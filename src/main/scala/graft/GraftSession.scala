@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standard session config for the graft engine. One place to keep the
+  * settings that matter at scale (AQE, shuffle partitions sized to the
+  * environment, UTC semantics) and the parquet-nanos compatibility
+  * switch the testdata needs.
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** local[n] session; n defaults from SPARK_GRAFT_CPUS. */
+  def local(defaultCpus: Int = 4): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus.toString).toInt
+    val spark = builder(s"local[$cpus]", math.max(cpus, 4)).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,191 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Every query key has a same-named DuckDB oracle in [[oracleSql]]
+  * unless the op is hash-function-dependent (rows-only check).
+  * Column names/types are aligned between both sides (the driver's
+  * compare sorts columns by name and hashes values).
+  */
 object SparkEntry {
+
+  /** Synthetic deterministic projection factor — SURVEY.md §3. Must
+    * stay in sync with the `CAST(1 + user_id % 7 AS DOUBLE)` used in
+    * every oracle below. */
+  private val ProjfactSql = "CAST(1 + user_id % 7 AS DOUBLE)"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
+  private val etypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> ((s, d) =>
+      Analytics.pricingSummary(Tables.lineitem(s, d))),
+    "q_revenue_by_nation" -> ((s, d) =>
+      Analytics.revenueByNation(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "q_top_orders_per_cust" -> ((s, d) =>
+      Analytics.topOrdersPerCustomer(Tables.orders(s, d))),
+    "q_event_windows" -> ((s, d) =>
+      Analytics.eventWindows(Tables.events(s, d))),
+    "q_reach_overall" -> ((s, d) =>
+      Reach.reachCount(Tables.media(s, d), "household_id", None, Some("projfact"))),
+    "q_reach_by_type" -> ((s, d) =>
+      Reach.reachCount(Tables.media(s, d), "household_id", Some("etype"), Some("projfact"))),
+    // Sparse deterministic samples keep these distributions
+    // non-degenerate (at sf>=0.01 every household otherwise hits every
+    // event type and frequency cap).
+    "q_frequency" -> ((s, d) =>
+      Frequency.freqDistribution(
+        Tables.media(s, d).where(col("event_id") % 37 === 0), None)),
+    "q_pairwise_matrix" -> ((s, d) =>
+      Pairwise.membershipMatrix(
+        Tables.media(s, d).where(col("event_id") % 23 === 0), "etype", etypes)),
+    "q_pairwise_pairs" -> ((s, d) =>
+      Pairwise.pairwiseOverlap(Tables.media(s, d), "etype")),
+    "q_reach_week" -> ((s, d) =>
+      ReachWeek.weeklyReach(Tables.media(s, d).where(col("event_id") % 101 === 0))),
+    "q_projection_ratio" -> ((s, d) =>
+      ProjectionRatio.projectionRatios(Tables.media(s, d))),
+    "q_value_mapping" -> ((s, d) =>
+      ValueMapping.mapValues(Tables.part(s, d).select(
+        col("p_partkey").as("id"),
+        lit("part_id").as("id_type"),
+        col("p_type").as("key"),
+        col("p_brand").as("value")))),
+    "q_qa_daily" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      DailyQA.groupingDiff(
+        ev.select(col("event_type"), to_date(col("ts")).as("date")),
+        ev.where(col("event_id") % 20 =!= 0)
+          .select(col("event_type"), to_date(col("ts")).as("date")),
+        Seq("event_type", "date"))
+    }),
+    "q_qa_meta" -> ((s, d) =>
+      DailyQA.metaAgg(
+        Tables.events(s, d).select(
+          col("event_type"),
+          (col("user_id") % 10).cast("string").as("conf")),
+        "event_type", "conf")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_revenue_by_nation" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+         count(*) AS num_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY revenue DESC, n_name""",
+    "q_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+         FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "q_event_windows" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_reach_overall" ->
+      s"""WITH dd AS (SELECT DISTINCT user_id AS household_id,
+          $ProjfactSql AS projfact FROM events)
+          SELECT 'all' AS dimension, '' AS value,
+          round(sum(projfact)) AS count, round(sum(projfact)) AS "unique",
+          round(sum(projfact)) - round(sum(projfact)) AS duplicates FROM dd""",
+    "q_reach_by_type" ->
+      s"""WITH m AS (SELECT DISTINCT user_id AS household_id,
+          event_type AS value, $ProjfactSql AS projfact FROM events),
+          c AS (SELECT *, count(*) OVER (PARTITION BY household_id) AS cnt FROM m),
+          g AS (SELECT value, round(sum(projfact)) AS count,
+            round(sum(CASE WHEN cnt > 1 THEN 0.0 ELSE projfact END)) AS "unique"
+            FROM c GROUP BY value)
+          SELECT 'etype' AS dimension, value, count, "unique",
+          count - "unique" AS duplicates FROM g ORDER BY count DESC, value""",
+    "q_frequency" ->
+      s"""WITH hh AS (SELECT user_id, count(*) AS frequency,
+          max($ProjfactSql) AS projfact FROM events
+          WHERE event_id % 37 = 0 GROUP BY user_id),
+          capped AS (SELECT CASE WHEN frequency >= 10 THEN 10 ELSE frequency END
+            AS frequency, projfact FROM hh),
+          g AS (SELECT frequency, sum(projfact) AS raw FROM capped GROUP BY frequency)
+          SELECT frequency, CAST(round(raw) AS BIGINT) AS proj_hh,
+          raw / sum(raw) OVER () AS pct_hh FROM g ORDER BY frequency""",
+    "q_pairwise_matrix" ->
+      s"""WITH p AS (SELECT user_id, $ProjfactSql AS projfact,
+          CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+          CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+          CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+          CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+          CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
+          FROM events WHERE event_id % 23 = 0 GROUP BY 1, 2)
+          SELECT click, error, purchase, signup, "view",
+          round(sum(projfact)) AS count FROM p GROUP BY 1, 2, 3, 4, 5
+          ORDER BY count DESC, click, error, purchase, signup, "view"""",
+    "q_pairwise_pairs" ->
+      s"""WITH m AS (SELECT DISTINCT user_id AS household_id,
+          event_type AS value, $ProjfactSql AS projfact FROM events),
+          pairs AS (SELECT a.value AS media_type_1, b.value AS media_type_2,
+            sum(a.projfact) AS overlap_raw FROM m a
+            JOIN m b ON a.household_id = b.household_id AND a.value < b.value
+            GROUP BY 1, 2),
+          t AS (SELECT value, sum(projfact) AS cnt FROM m GROUP BY 1)
+          SELECT media_type_1, media_type_2,
+          round(overlap_raw) AS overlapping_households,
+          overlap_raw / t1.cnt AS pct_of_media_type_1,
+          overlap_raw / t2.cnt AS pct_of_media_type_2
+          FROM pairs JOIN t t1 ON t1.value = media_type_1
+          JOIN t t2 ON t2.value = media_type_2
+          ORDER BY overlapping_households DESC, media_type_1, media_type_2""",
+    "q_reach_week" ->
+      s"""WITH m AS (SELECT user_id AS household_id,
+          CAST(date_trunc('week', ts) AS DATE) AS week,
+          $ProjfactSql AS projfact FROM events WHERE event_id % 101 = 0),
+          fw AS (SELECT household_id, min(week) AS week, max(projfact) AS projfact
+            FROM m GROUP BY 1),
+          pw AS (SELECT week, round(sum(projfact)) AS counts FROM fw GROUP BY 1)
+          SELECT week, counts, sum(counts) OVER (ORDER BY week
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_sum
+          FROM pw ORDER BY week""",
+    "q_projection_ratio" ->
+      s"""WITH g AS (SELECT event_type AS etype,
+          CAST(count(*) AS DOUBLE) AS exposures,
+          sum($ProjfactSql) AS proj_num FROM events GROUP BY 1),
+          u AS (SELECT * FROM g UNION ALL
+            SELECT 'all', sum(exposures), sum(proj_num) FROM g)
+          SELECT etype, exposures / proj_num AS ratio FROM u ORDER BY etype""",
+    "q_value_mapping" ->
+      """WITH v AS (SELECT DISTINCT p_brand AS value FROM part),
+         vm AS (SELECT value, CAST(dense_rank() OVER (ORDER BY value) AS BIGINT)
+           AS val_id FROM v)
+         SELECT p_partkey AS id, 'partid' AS id_type, lower(p_type) AS key,
+         p.p_brand AS value, val_id FROM part p JOIN vm ON vm.value = p.p_brand
+         ORDER BY id""",
+    "q_qa_daily" ->
+      """WITH l AS (SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS exe_imp
+         FROM events GROUP BY 1, 2),
+         a AS (SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS impressions
+         FROM events WHERE event_id % 20 <> 0 GROUP BY 1, 2)
+         SELECT event_type, date, exe_imp, impressions,
+         impressions - exe_imp AS diff,
+         CAST(impressions - exe_imp AS DOUBLE) / impressions AS pct_diff
+         FROM l FULL JOIN a USING (event_type, date)
+         ORDER BY event_type, date""",
+    "q_qa_meta" ->
+      """WITH d AS (SELECT DISTINCT event_type, CAST(user_id % 10 AS VARCHAR) AS conf
+         FROM events)
+         SELECT event_type, string_agg(conf, ' ' ORDER BY conf) AS meta
+         FROM d GROUP BY 1 ORDER BY 1""",
+  )
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic analytics queries exercising the DataFrame building blocks
+  * every reference pipeline composes (groupBy/agg arithmetic, joins
+  * with broadcast dims, window top-N, event-time tumbling windows).
+  * These are the bench headliners — scan-bound, codegen-friendly.
+  */
+object Analytics {
+
+  /** Pricing summary over lineitem (TPC-H Q1 shape): filter pushdown
+    * to the scan, one hash aggregate on two low-cardinality keys.
+    * Aggregates rounded to 2dp so the DuckDB oracle compares exactly
+    * despite double summation order. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Revenue by nation: fact table joins two broadcast dims. The
+    * customer/nation sides are small at any SF relative to orders —
+    * explicit broadcast hints keep the plan shuffle-free on the dim
+    * side even if stats are missing. */
+  def revenueByNation(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("num_orders"))
+      .orderBy(desc("revenue"), asc("n_name"))
+
+  /** Top-3 orders per customer by totalprice: ranking window on the
+    * natural partition key; ties broken by orderkey for determinism. */
+  def topOrdersPerCustomer(orders: DataFrame, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= n)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Tumbling 1-hour event-time windows per event type. Same transform
+    * is reused by streaming/EventStream with a watermark. */
+  def eventWindows(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+}

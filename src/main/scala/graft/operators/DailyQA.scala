@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-QA grouping diff: group a log table and an ad-server table by
+  * the same dimensions, outer-join the grouped counts, and emit
+  * difference / percent-difference columns; plus the meta aggregation
+  * (sorted-unique string agg of meta columns per dimension value).
+  *
+  * Semantics: /root/reference/dataQA/dailyQAHelpers.py:75-90
+  * (`join_dfs`: sum(exe_imp) vs sum(impressions), outer merge, diff,
+  * pct_diff) and dailyQAHelpers.py:160-171 (`agg_to_list_str` +
+  * `make_meta`: distinct meta values joined as one sorted
+  * space-separated string).
+  *
+  * Spark-first notes: the reference round-trips every grouping through
+  * pandas (`pd.read_sql`) and merges driver-side; here both sides are
+  * grouped DataFrames joined on the dimension key — the join inputs
+  * are already aggregated (small), so Spark picks a broadcast or
+  * small-shuffle join and the whole QA table never leaves the
+  * executors. The meta agg uses `sort_array(collect_set(...))` which
+  * is deterministic (unlike relying on arrival order).
+  */
+object DailyQA {
+
+  /** Outer-join grouped counts of `log` (count → exe_imp) and `ad`
+    * (count → impressions) on `dims`, with diff and pct_diff. */
+  def groupingDiff(log: DataFrame, ad: DataFrame, dims: Seq[String]): DataFrame = {
+    val cols = dims.map(col)
+    val logG = log.groupBy(cols: _*).agg(count(lit(1)).as("exe_imp"))
+    val adG = ad.groupBy(cols: _*).agg(count(lit(1)).as("impressions"))
+    logG
+      .join(adG, dims, "full_outer")
+      .withColumn("diff", col("impressions") - col("exe_imp"))
+      .withColumn("pct_diff", col("diff").cast("double") / col("impressions"))
+      .orderBy(cols: _*)
+  }
+
+  /** Per-dimension sorted-unique space-joined meta string. */
+  def metaAgg(df: DataFrame, dim: String, metaCol: String): DataFrame =
+    df.groupBy(col(dim))
+      .agg(array_join(sort_array(collect_set(col(metaCol).cast("string"))), " ")
+        .as("meta"))
+      .orderBy(col(dim))
+}

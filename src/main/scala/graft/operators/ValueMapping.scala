@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Value-id mapping: normalize key columns and assign a dense integer
+  * id per distinct value, then join the ids back onto the rows.
+  *
+  * Semantics: /root/reference/metrics/lib/hh_mapping.py:4-13
+  * (`filter_to_relevant`): lower-case the key, rewrite `_id` → `id` in
+  * the id-type column, build a distinct-value → id map, join back.
+  *
+  * Spark-first notes: the reference uses `monotonically_increasing_id`
+  * for the value ids — nondeterministic across partitionings and
+  * re-runs, which breaks reproducible pipelines and any downstream
+  * equality join on the id. Here the id is `dense_rank` over the
+  * distinct values (deterministic, stable, still one narrow shuffle of
+  * the tiny distinct-value frame). The join back is a broadcast of
+  * that frame — no repartition of the fact side.
+  */
+object ValueMapping {
+
+  /** Input must have columns (id, id_type, key, value). Output adds
+    * normalized key/id_type and a dense `val_id` per distinct value. */
+  def mapValues(df: DataFrame): DataFrame = {
+    val normalized = df
+      .withColumn("key", lower(col("key")))
+      .withColumn("id_type", regexp_replace(col("id_type"), "_id", "id"))
+    val valMap = normalized
+      .select(col("value")).distinct()
+      .withColumn("val_id", dense_rank().over(Window.orderBy(col("value"))).cast("long"))
+    normalized
+      .join(broadcast(valMap), Seq("value"))
+      .select(col("id"), col("id_type"), col("key"), col("value"), col("val_id"))
+      .orderBy(col("id"))
+  }
+}
