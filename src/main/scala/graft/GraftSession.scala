@@ -16,6 +16,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reference semantics (PySpark 2.x era): x/0 → NULL, matching
+      // DuckDB's oracle behavior, instead of ANSI errors
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   /** local[n] session; n defaults from SPARK_GRAFT_CPUS. */

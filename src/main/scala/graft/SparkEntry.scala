@@ -23,6 +23,95 @@ object SparkEntry {
 
   private val etypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Before/after inputs per SURVEY.md §3: purchases are the
+    * 'purchase' events (integer-valued volumes so double sums are
+    * exact in both engines), exposures a sparse view/click sample (so
+    * both exposed and not-exposed households exist), universe the
+    * customer table. */
+  private def beforeAfterInputs(s: SparkSession, d: String) = {
+    val ev = Tables.events(s, d)
+    val purch = ev.where(col("event_type") === "purchase").select(
+      col("user_id").as("household_id"),
+      to_date(col("ts")).as("pdate"),
+      floor(col("value")).cast("double").as("volume_tgt"),
+      (floor(col("value")) * 2 + 1).cast("double").as("volume_cat"))
+    val expo = ev
+      .where(col("event_type").isin("view", "click") && col("event_id") % 97 === 0)
+      .select(col("user_id").as("household_id"), to_date(col("ts")).as("date"))
+    val univ = Tables.customer(s, d).select(col("c_custkey").as("household_id"))
+    (purch, expo, univ)
+  }
+
+  /** Shared CTE prefix for the before/after oracles; `maxdays` =
+    * maxWks*7-1, `mindays` = minWks*7 (see BeforeAfter.filterToRange). */
+  private def beforeAfterCtes(maxdays: Int, mindays: Int, exposedOnly: Boolean): String = {
+    val exposedFilter = if (exposedOnly) "WHERE hh_exposed = 'exposed'" else ""
+    s"""WITH purch AS (
+       SELECT user_id AS household_id, CAST(ts AS DATE) AS pdate,
+         CAST(floor(value) AS DOUBLE) AS volume_tgt,
+         CAST(floor(value) * 2 + 1 AS DOUBLE) AS volume_cat
+       FROM events WHERE event_type = 'purchase'),
+     expo AS (
+       SELECT user_id AS household_id, CAST(ts AS DATE) AS date
+       FROM events WHERE event_type IN ('view', 'click') AND event_id % 97 = 0),
+     firstexpo AS (
+       SELECT household_id, min(date) AS date FROM expo GROUP BY 1),
+     univfe AS (
+       SELECT * FROM firstexpo
+       WHERE household_id IN (SELECT c_custkey FROM customer)),
+     raw0 AS (
+       SELECT coalesce(f.household_id, p.household_id) AS household_id,
+         CASE WHEN f.date IS NULL THEN 'not exposed' ELSE 'exposed' END AS hh_exposed,
+         CASE WHEN f.date IS NULL THEN (SELECT min(date) FROM expo)
+              ELSE f.date END AS date,
+         p.pdate, p.volume_tgt, p.volume_cat,
+         (SELECT max(pdate) FROM purch) AS max_dt
+       FROM univfe f FULL JOIN purch p ON f.household_id = p.household_id),
+     raw AS (SELECT * FROM raw0 $exposedFilter),
+     lim AS (
+       SELECT *, CASE WHEN max_dt < date + $maxdays THEN max_dt
+                      ELSE date + $maxdays END AS post_limit FROM raw),
+     filt AS (
+       SELECT household_id, hh_exposed, date, pdate, volume_tgt, volume_cat,
+         date_diff('day', date, post_limit) + 1 AS wgt
+       FROM lim
+       WHERE date_diff('day', pdate, date) < date_diff('day', date, post_limit) + 1
+         AND pdate <= post_limit
+         AND date_diff('day', date, post_limit) + 1 >= $mindays),
+     aggd AS (
+       SELECT household_id,
+         CASE WHEN pdate < date THEN 'before' ELSE 'after' END AS bef_aft,
+         hh_exposed, max(wgt) AS wgt, sum(volume_tgt) AS volume_tgt,
+         sum(volume_cat) AS volume_cat
+       FROM filt GROUP BY 1, 2, 3),
+     balanced AS (
+       SELECT * FROM aggd
+       UNION ALL
+       SELECT b.household_id, 'after', b.hh_exposed, b.wgt,
+         CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) FROM aggd b
+       LEFT JOIN aggd a ON a.bef_aft = 'after' AND a.hh_exposed = b.hh_exposed
+         AND a.household_id = b.household_id
+       WHERE b.bef_aft = 'before' AND a.household_id IS NULL
+       UNION ALL
+       SELECT a.household_id, 'before', a.hh_exposed, a.wgt,
+         CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) FROM aggd a
+       LEFT JOIN aggd b ON b.bef_aft = 'before' AND b.hh_exposed = a.hh_exposed
+         AND b.household_id = a.household_id
+       WHERE a.bef_aft = 'after' AND b.household_id IS NULL),
+     wts AS (
+       SELECT *, max(CASE WHEN volume_tgt > 0 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY household_id) AS brandbuyer FROM balanced),
+     wts2 AS (
+       SELECT household_id, bef_aft, hh_exposed, wgt, volume_tgt, volume_cat,
+         volume_cat * brandbuyer AS volume_cat_bb,
+         volume_tgt * wgt AS brand_wgt, volume_cat * wgt AS category_wgt,
+         volume_cat * brandbuyer * wgt AS category_wgt_bb,
+         CASE WHEN volume_tgt > 0 THEN wgt END AS bwgt,
+         CASE WHEN volume_cat > 0 THEN wgt END AS cwgt,
+         CASE WHEN volume_cat * brandbuyer > 0 THEN wgt END AS cwgt_bb
+       FROM wts)"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) =>
       Analytics.pricingSummary(Tables.lineitem(s, d))),
@@ -57,6 +146,18 @@ object SparkEntry {
         lit("part_id").as("id_type"),
         col("p_type").as("key"),
         col("p_brand").as("value")))),
+    "q_before_after" -> ((s, d) => {
+      val (p, e, u) = beforeAfterInputs(s, d)
+      BeforeAfter.metrics(
+        BeforeAfter.getBeforeAfter(BeforeAfter.constructHHFirst(p, e, u), 1, 2))
+    }),
+    "q_contingency" -> ((s, d) => {
+      val (p, e, u) = beforeAfterInputs(s, d)
+      BeforeAfter.contingency(
+        BeforeAfter.getBeforeAfter(
+          BeforeAfter.constructHHFirst(p, e, u).where(col("hh_exposed") === "exposed"),
+          1, 1))
+    }),
     "q_qa_daily" -> ((s, d) => {
       val ev = Tables.events(s, d)
       DailyQA.groupingDiff(
@@ -172,6 +273,52 @@ object SparkEntry {
          SELECT p_partkey AS id, 'partid' AS id_type, lower(p_type) AS key,
          p.p_brand AS value, val_id FROM part p JOIN vm ON vm.value = p.p_brand
          ORDER BY id""",
+    "q_before_after" ->
+      s"""${beforeAfterCtes(13, 7, exposedOnly = false)},
+          summed AS (
+            SELECT bef_aft, hh_exposed, sum(volume_tgt) AS volume_tgt,
+              sum(volume_cat) AS volume_cat, sum(volume_cat_bb) AS volume_cat_bb,
+              CAST(sum(bwgt) AS BIGINT) AS bwgt, CAST(sum(cwgt) AS BIGINT) AS cwgt,
+              CAST(sum(cwgt_bb) AS BIGINT) AS cwgt_bb,
+              sum(brand_wgt) AS brand_wgt, sum(category_wgt) AS category_wgt,
+              sum(category_wgt_bb) AS category_wgt_bb,
+              CAST(sum(wgt) AS BIGINT) AS wgt,
+              count(bwgt) AS bwgt_cnt, count(cwgt) AS cwgt_cnt,
+              count(cwgt_bb) AS cwgt_bb_cnt
+            FROM wts2 GROUP BY 1, 2)
+          SELECT hh_exposed, bef_aft, volume_tgt, volume_cat,
+            volume_tgt / volume_cat AS ratio,
+            brand_wgt / (bwgt / bwgt_cnt) AS brand_wgt,
+            category_wgt / (cwgt / cwgt_cnt) AS category_wgt,
+            (brand_wgt / (bwgt / bwgt_cnt)) /
+              (category_wgt / (cwgt / cwgt_cnt)) AS weighted_ratio,
+            bwgt_cnt, cwgt_cnt,
+            CAST(bwgt_cnt AS DOUBLE) / cwgt_cnt AS i_ratio,
+            volume_cat_bb, volume_tgt / volume_cat_bb AS ratio_bb,
+            category_wgt_bb / (cwgt_bb / cwgt_bb_cnt) AS category_wgt_bb,
+            (brand_wgt / (bwgt / bwgt_cnt)) /
+              (category_wgt_bb / (cwgt_bb / cwgt_bb_cnt)) AS weighted_ratio_bb,
+            cwgt_bb_cnt, CAST(bwgt_cnt AS DOUBLE) / cwgt_bb_cnt AS i_ratio_bb, wgt
+          FROM summed ORDER BY hh_exposed, bef_aft DESC""",
+    "q_contingency" ->
+      s"""${beforeAfterCtes(6, 7, exposedOnly = true)},
+          hh AS (
+            SELECT bef_aft, household_id, sum(volume_tgt) AS vt,
+              sum(volume_cat) AS vc
+            FROM wts2 GROUP BY 1, 2),
+          pv AS (
+            SELECT household_id,
+              coalesce(sum(CASE WHEN bef_aft = 'before' THEN vt END), 0) AS bvt,
+              coalesce(sum(CASE WHEN bef_aft = 'before' THEN vc END), 0) AS bvc,
+              coalesce(sum(CASE WHEN bef_aft = 'after' THEN vt END), 0) AS avt,
+              coalesce(sum(CASE WHEN bef_aft = 'after' THEN vc END), 0) AS avc
+            FROM hh GROUP BY 1)
+          SELECT CASE WHEN bvt > 0 THEN 1 ELSE 0 END AS bb,
+            CASE WHEN bvc > bvt THEN 1 ELSE 0 END AS bc,
+            CASE WHEN avt > 0 THEN 1 ELSE 0 END AS ab,
+            CASE WHEN avc > avt THEN 1 ELSE 0 END AS ac,
+            count(*) AS count
+          FROM pv GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
     "q_qa_daily" ->
       """WITH l AS (SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS exe_imp
          FROM events GROUP BY 1, 2),

@@ -16,6 +16,9 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+missing = [n for n in oracles if not os.path.isdir(os.path.join(outdir, n))]
+for n in missing:
+    print(f"{n:24s} NO DUMP (query failed in Verify?)")
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -66,5 +69,6 @@ for name in sorted(os.listdir(outdir)):
         print(f"{name:24s} VALUE MISMATCH: {str(e)[:300]}")
         fails.append(name)
 
+fails += missing
 print("\n%d/%d passed" % (len(oracles) - sum(1 for f in fails if f in oracles), len(oracles)))
 sys.exit(1 if fails else 0)
