@@ -172,7 +172,48 @@ object SparkEntry {
           col("event_type"),
           (col("user_id") % 10).cast("string").as("conf")),
         "event_type", "conf")),
+    "q_lang_id" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
+    "q_text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    "q_dedup_exact" -> ((s, d) => TextAnalysis.exactDedup(Tables.documents(s, d))),
+    "q_ngram_jaccard" -> ((s, d) =>
+      NearDup.jaccardPairs(Tables.documents(s, d), 3, 0.3)),
+    "q_minhash_dedup" -> ((s, d) => NearDup.minhashDedup(Tables.documents(s, d))),
+    "q_simhash" -> ((s, d) => NearDup.simhash(Tables.documents(s, d))),
+    "q_embed_neardup" -> ((s, d) =>
+      VectorSearch.cosineNearDup(Tables.embeddings(s, d), 0.4)),
+    "q_ann_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorSearch.bruteForceTopK(emb, emb.where(col("vec_id") < 10), 5)
+    }),
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorSearch.ivfTopK(emb, emb.where(col("vec_id") % 50 === 0),
+        col("vec_id") < 10, 3)
+    }),
+    "q_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
   )
+
+  /** DuckDB fragments shared by the text oracles. */
+  private val ToksSql =
+    """list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+       x -> x <> '')"""
+  private val NormSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  /** 3-word shingles of ToksSql (as `toks`). */
+  private val ShinglesSql =
+    """list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"""
+  /** Sequential-fold double dot product of a.embedding/b.embedding. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a.embedding) + 1),
+        i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)),
+        (x, y) -> x + y)"""
+  private val NormedEmbSql =
+    """SELECT vec_id, embedding,
+       sqrt(list_reduce(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+       FROM embeddings"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -334,5 +375,115 @@ object SparkEntry {
          FROM events)
          SELECT event_type, string_agg(conf, ' ' ORDER BY conf) AS meta
          FROM d GROUP BY 1 ORDER BY 1""",
+    "q_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+          sc AS (SELECT doc_id, lang,
+            CAST(len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS INTEGER) AS s_de,
+            CAST(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','is'], t))) AS INTEGER) AS s_en,
+            CAST(len(list_filter(toks, t -> list_contains(['el','los','las','y','es','no'], t))) AS INTEGER) AS s_es,
+            CAST(len(list_filter(toks, t -> list_contains(['le','la','et','les','est','pas'], t))) AS INTEGER) AS s_fr,
+            CAST(len(list_filter(toks, t -> list_contains(['de','shi','le','bu','wo','zai'], t))) AS INTEGER) AS s_zh
+          FROM t),
+          m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM sc)
+          SELECT doc_id, lang,
+            CASE WHEN mx > 0 AND s_de = mx THEN 'de'
+                 WHEN mx > 0 AND s_en = mx THEN 'en'
+                 WHEN mx > 0 AND s_es = mx THEN 'es'
+                 WHEN mx > 0 AND s_fr = mx THEN 'fr'
+                 WHEN mx > 0 AND s_zh = mx THEN 'zh'
+                 ELSE 'unknown' END AS lang_pred,
+            s_de, s_en, s_es, s_fr, s_zh
+          FROM m ORDER BY doc_id""",
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+          b AS (SELECT doc_id,
+            CAST(len(text) AS INTEGER) AS text_len,
+            CAST(len(toks) AS INTEGER) AS token_cnt,
+            CAST(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','is'], t))) AS INTEGER) AS stop_hits,
+            CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / len(text) AS alpha_ratio
+          FROM t),
+          r AS (SELECT *, CAST(stop_hits AS DOUBLE) / token_cnt AS stop_ratio FROM b)
+          SELECT doc_id, text_len, token_cnt, stop_hits, alpha_ratio, stop_ratio,
+            round(least(CAST(1.0 AS DOUBLE), token_cnt / CAST(100.0 AS DOUBLE)) *
+              (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * stop_ratio) * alpha_ratio, 6)
+              AS quality_score
+          FROM r ORDER BY doc_id""",
+    "q_token_count" ->
+      s"""SELECT doc_id,
+          CAST(len($ToksSql) AS INTEGER) AS ws_tokens,
+          CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS re_tokens,
+          CAST(len(text) AS INTEGER) AS n_chars_calc
+          FROM documents ORDER BY doc_id""",
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5($NormSql) AS fingerprint,
+          CAST(len($NormSql) AS INTEGER) AS norm_len
+          FROM documents ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      s"""WITH f AS (SELECT doc_id, md5($NormSql) AS fingerprint FROM documents),
+          r AS (SELECT doc_id, fingerprint,
+            min(doc_id) OVER (PARTITION BY fingerprint) AS rep_id FROM f)
+          SELECT doc_id, fingerprint, rep_id,
+            CAST(doc_id <> rep_id AS INTEGER) AS is_dup
+          FROM r ORDER BY doc_id""",
+    "q_ngram_jaccard" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),
+          e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+          c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS cnt
+            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          sz AS (SELECT doc_id, len(sh) AS n FROM t),
+          j AS (SELECT d1, d2,
+            CAST(cnt AS DOUBLE) / (s1.n + s2.n - cnt) AS jaccard
+            FROM c JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
+          SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY d1, d2""",
+    "q_embed_neardup" ->
+      s"""WITH e AS ($NormedEmbSql),
+          s AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+            ${dotSql("a", "b")} / (a.nrm * b.nrm) AS c
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+          SELECT v1, v2, round(c, 6) AS cos FROM s WHERE c >= 0.4 ORDER BY v1, v2""",
+    "q_ann_topk" ->
+      s"""WITH e AS ($NormedEmbSql),
+          q AS (SELECT * FROM e WHERE vec_id < 10),
+          s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+            ${dotSql("q", "e")} / (q.nrm * e.nrm) AS c
+            FROM q JOIN e ON q.vec_id <> e.vec_id),
+          r AS (SELECT query_id, neighbor_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY c DESC, neighbor_id) AS INTEGER) AS "rank",
+            round(c, 6) AS cos FROM s)
+          SELECT query_id, neighbor_id, "rank", cos FROM r
+          WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+    "q_ann_ivf" ->
+      s"""WITH e AS ($NormedEmbSql),
+          ctr AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e
+            WHERE vec_id % 50 = 0),
+          asg AS (SELECT e.vec_id, e.embedding, e.nrm, ctr.centroid_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,
+                       ctr.centroid_id) AS rk
+            FROM e CROSS JOIN ctr),
+          a2 AS (SELECT vec_id, embedding, nrm, centroid_id FROM asg WHERE rk = 1),
+          q AS (SELECT vec_id AS query_id, embedding, nrm, centroid_id FROM a2
+            WHERE vec_id < 10),
+          s AS (SELECT query_id, a2.vec_id AS neighbor_id,
+            ${dotSql("q", "a2")} / (q.nrm * a2.nrm) AS c
+            FROM q JOIN a2 USING (centroid_id) WHERE query_id <> a2.vec_id),
+          r AS (SELECT query_id, neighbor_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY c DESC, neighbor_id) AS INTEGER) AS "rank",
+            round(c, 6) AS cos FROM s)
+          SELECT query_id, neighbor_id, "rank", cos FROM r
+          WHERE "rank" <= 3 ORDER BY query_id, "rank"""",
+    "q_multimodal_meta" ->
+      """WITH b AS (SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS byte_len FROM documents)
+         SELECT doc_id,
+           CASE WHEN byte_len % 3 = 0 THEN 'jpeg'
+                WHEN byte_len % 3 = 1 THEN 'png'
+                ELSE 'webp' END AS format,
+           byte_len, byte_len % 640 + 16 AS width, byte_len % 480 + 16 AS height,
+           byte_len % 30 + 1 AS n_frames
+         FROM b ORDER BY doc_id""",
   )
 }

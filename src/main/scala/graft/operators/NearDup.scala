@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Near-duplicate detection over documents: exact n-gram Jaccard via
+  * an inverted shingle index, MinHash+LSH banding with exact
+  * verification, and SimHash fingerprints. Designed for the 100 TB
+  * shape: all-pairs work only ever happens on candidate pairs that
+  * share a shingle or an LSH bucket, never on the cross product.
+  */
+object NearDup {
+
+  /** (doc_id, sh) distinct word-`n`-gram shingle sets. */
+  def shingleSets(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), shingles(tokens(col("text")), n).as("sh"))
+
+  /** Exact Jaccard pairs ≥ `threshold` via inverted index: explode
+    * shingles, self-join on the shingle, count common per pair, join
+    * set sizes. Any pair with jaccard > 0 shares ≥1 shingle, so the
+    * index is exact (no recall loss). At scale, hot shingles are the
+    * skew risk — `dfCap` drops shingles shared by more than that many
+    * docs; with the default (no cap) results are exact. */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                   dfCap: Option[Int] = None): DataFrame = {
+    val t = shingleSets(docs, n)
+    val e0 = t.select(col("doc_id"), explode(col("sh")).as("s"))
+    val e = dfCap match {
+      case Some(cap) =>
+        val hot = e0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select(col("s"))
+        e0.join(hot, Seq("s"), "left_anti")
+      case None => e0
+    }
+    val common = e.as("a")
+      .join(e.withColumnRenamed("doc_id", "doc_id_2").as("b"), Seq("s"))
+      .where(col("doc_id") < col("doc_id_2"))
+      .groupBy(col("doc_id").as("d1"), col("doc_id_2").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = t.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** MinHash signatures: `k` hash functions = xxhash64(shingle, seed),
+    * signature = per-seed min over the doc's shingles. Computed by
+    * exploding (doc, shingle, seed-position) and min-aggregating — a
+    * single shuffle on (doc_id, pos), linear in total shingle count. */
+  private def minhashBands(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val e = shingleSets(docs, n)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val hashed = e.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(k - 1)), i => xxhash64(col("s"), i))))
+      .toDF("doc_id", "pos", "h")
+    val sig = hashed.groupBy(col("doc_id"), col("pos")).agg(min(col("h")).as("mh"))
+    sig
+      .withColumn("band", (col("pos") / rows).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("mh")))),
+        p => p.getField("mh").cast("string")), ",").as("band_sig"))
+  }
+
+  /** MinHash+LSH near-dup clustering: band-bucket candidates, exact
+    * Jaccard verification on candidates only, then per-doc cluster
+    * assignment (rep = min doc_id among itself and verified partners).
+    * Output is one row per document (doc_id, rep_id, n_dups) — the
+    * pair-generation is approximate (LSH recall) but every emitted
+    * pair is exactly verified. */
+  def minhashDedup(docs: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.5): DataFrame = {
+    val bnd = minhashBands(docs, n, k, bands)
+    val cand = bnd.as("a")
+      .join(bnd.withColumnRenamed("doc_id", "doc_id_2").as("b"), Seq("band", "band_sig"))
+      .where(col("doc_id") < col("doc_id_2"))
+      .select(col("doc_id").as("d1"), col("doc_id_2").as("d2"))
+      .distinct()
+    val t = shingleSets(docs, n)
+    val verified = cand
+      .join(t.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(t.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"))
+    val partners = verified
+      .select(col("d1").as("doc_id"), col("d2").as("partner"))
+      .unionAll(verified.select(col("d2").as("doc_id"), col("d1").as("partner")))
+    docs.select(col("doc_id"))
+      .join(partners, Seq("doc_id"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        least(min(col("partner")), col("doc_id").cast("long")).as("rep_id"),
+        count(col("partner")).as("n_dups"))
+      .withColumn("rep_id", coalesce(col("rep_id"), col("doc_id")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash: 40-bit fingerprint from the portable rolling hash — per
+    * token, each bit contributes ±1; fingerprint bit j is the sign of
+    * the sum. Emits (doc_id, simhash, b0..b3 10-bit band keys) for
+    * hamming-bucket grouping downstream. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .withColumn("h", rollingHash(col("w")))
+    val bits = tok.select(
+      col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, 39), j -> cast((shiftright(h, j) & 1) * 2 - 1 as long))")))
+      .toDF("doc_id", "j", "contrib")
+    val fp = bits
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr(
+        "case when s > 0 then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end"))
+        .as("simhash"))
+    fp.select(
+      col("doc_id"),
+      col("simhash"),
+      col("simhash").bitwiseAND(1023).as("b0"),
+      shiftright(col("simhash"), 10).bitwiseAND(1023).as("b1"),
+      shiftright(col("simhash"), 20).bitwiseAND(1023).as("b2"),
+      shiftright(col("simhash"), 30).bitwiseAND(1023).as("b3"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over a documents table (doc_id, text, …):
+  * language ID, quality scoring, token counting, fingerprinting and
+  * exact deduplication. All single-pass, codegen-friendly column
+  * expressions — per-row cost is independent of table size, so the
+  * operators scale linearly with a parquet scan at any SF.
+  */
+object TextAnalysis {
+
+  /** (doc_id, lang, lang_pred, s_de..s_zh): stopword-hit scores per
+    * language and the argmax prediction ('unknown' when no hits). */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scores = stopwords.map { case (l, ws) => l -> stopwordHits(toks, ws) }
+    val scoreCols = scores.toSeq.sortBy(_._1).map { case (l, c) => c.as(s"s_$l") }
+    docs.select(
+      Seq(col("doc_id"), col("lang"), langPred(scores).as("lang_pred")) ++ scoreCols: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality signals: lengths, token stats, alpha/stopword ratios and
+    * a bounded composite score. Pure arithmetic over exact integer
+    * counts — deterministic across engines. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("text_len"),
+      size(toks).as("token_cnt"),
+      stopwordHits(toks, stopwords("en")).as("stop_hits"),
+      (length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double") /
+        length(col("text"))).as("alpha_ratio"))
+      .withColumn("stop_ratio",
+        col("stop_hits").cast("double") / col("token_cnt"))
+      .withColumn("quality_score",
+        round(least(lit(1.0), col("token_cnt") / lit(100.0)) *
+          (lit(0.5) + lit(0.5) * col("stop_ratio")) * col("alpha_ratio"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counts: normalized-whitespace tokens and a regex word/number
+    * tokenizer (the BPE-ish lower bound). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+        .as("re_tokens"),
+      length(col("text")).as("n_chars_calc"))
+      .orderBy(col("doc_id"))
+
+  /** Content fingerprint: md5 of the normalized text (identical in any
+    * engine with md5) plus the normalized length. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(normText(col("text"))).as("fingerprint"),
+      length(normText(col("text"))).as("norm_len"))
+      .orderBy(col("doc_id"))
+
+  /** Exact dedup: min doc_id per fingerprint group is the survivor.
+    * One hash shuffle on the fingerprint — the canonical exact-dedup
+    * shape at any scale. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"), md5(normText(col("text"))).as("fingerprint"))
+    val w = Window.partitionBy(col("fingerprint"))
+    fp.withColumn("rep_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("rep_id")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+}
