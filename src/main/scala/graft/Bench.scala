@@ -1,17 +1,37 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Headline queries (SURVEY.md §6): the reference-surface metrics +
+    * scan-bound pipeline ops. Quadratic oracle baselines (brute-force
+    * knn, all-pairs cosine) are excluded — their scale path
+    * (IVF/LSH/minhash) is what gets benched. */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q_revenue_by_nation", "q_top_orders_per_cust",
+    "q_event_windows", "q_reach_overall", "q_reach_by_type", "q_frequency",
+    "q_pairwise_matrix", "q_pairwise_pairs", "q_reach_week",
+    "q_projection_ratio", "q_value_mapping", "q_before_after",
+    "q_contingency", "q_qa_daily", "q_qa_meta", "q_lang_id",
+    "q_text_quality", "q_token_count", "q_fingerprint", "q_dedup_exact",
+    "q_minhash_dedup", "q_simhash", "q_ann_ivf", "q_multimodal_meta")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warm the JVM/codegen once on the smallest table so the first
+    // timed query doesn't pay one-time session costs
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink forces full evaluation of every column (count() would
+      // let Spark prune the plan)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -12,9 +12,16 @@ import graft.functions.TextFunctions._
   */
 object NearDup {
 
-  /** (doc_id, sh) distinct word-`n`-gram shingle sets. */
+  /** (doc_id, sh) distinct word-`n`-gram shingle sets. Tokens are
+    * materialized in their own projection first: Spark does not
+    * common-subexpression-eliminate inside higher-order-function
+    * lambdas, so inlining `tokens(text)` into the shingle transform
+    * would re-run the regex tokenizer per shingle (measured 50–100×
+    * slower at sf0.1). */
   def shingleSets(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), shingles(tokens(col("text")), n).as("sh"))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks"), n).as("sh"))
 
   /** Exact Jaccard pairs ≥ `threshold` via inverted index: explode
     * shingles, self-join on the shingle, count common per pair, join
@@ -50,24 +57,34 @@ object NearDup {
   }
 
   /** MinHash signatures: `k` hash functions = xxhash64(shingle, seed),
-    * signature = per-seed min over the doc's shingles. Computed by
-    * exploding (doc, shingle, seed-position) and min-aggregating — a
-    * single shuffle on (doc_id, pos), linear in total shingle count. */
+    * signature = per-seed min over the doc's shingles. Computed as `k`
+    * min-aggregate COLUMNS over the exploded (doc, shingle) frame —
+    * one hash shuffle on doc_id with map-side partial mins and zero
+    * row multiplication (an earlier (doc, shingle, seed) explode was
+    * 64× the rows and 100× the wall time). Band keys are then built
+    * row-locally and unpivoted to (doc, band, band_sig). */
   private def minhashBands(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val e = shingleSets(docs, n)
       .select(col("doc_id"), explode(col("sh")).as("s"))
-    val hashed = e.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(k - 1)), i => xxhash64(col("s"), i))))
-      .toDF("doc_id", "pos", "h")
-    val sig = hashed.groupBy(col("doc_id"), col("pos")).agg(min(col("h")).as("mh"))
+    // one string hash per shingle; the k functions are affine
+    // permutations of it (Broder-style), i.e. 64 wrapping mul-adds
+    // instead of 64 string hashes per row
+    val rnd = new scala.util.Random(42)
+    val coef = Array.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))
+    val hashed = e.select(col("doc_id"), xxhash64(col("s")).as("h0"))
+    val sig = hashed.groupBy(col("doc_id")).agg(
+      min(col("h0") * coef(0)._1 + coef(0)._2).as("m0"),
+      (1 until k).map(i => min(col("h0") * coef(i)._1 + coef(i)._2).as(s"m$i")): _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}").cast("string")): _*)
+          .as("band_sig"))
+    }
     sig
-      .withColumn("band", (col("pos") / rows).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("mh")))),
-        p => p.getField("mh").cast("string")), ",").as("band_sig"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
   }
 
   /** MinHash+LSH near-dup clustering: band-bucket candidates, exact
@@ -79,10 +96,19 @@ object NearDup {
   def minhashDedup(docs: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5): DataFrame = {
     val bnd = minhashBands(docs, n, k, bands)
-    val cand = bnd.as("a")
-      .join(bnd.withColumnRenamed("doc_id", "doc_id_2").as("b"), Seq("band", "band_sig"))
-      .where(col("doc_id") < col("doc_id_2"))
-      .select(col("doc_id").as("d1"), col("doc_id_2").as("d2"))
+    // bucket by (band, band_sig) and emit pairs from each bucket's id
+    // list — one pass over the signature pipeline (a self-join would
+    // compute it twice) and no join blowup on hot buckets
+    val cand = bnd
+      .groupBy(col("band"), col("band_sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+           i -> transform(sequence(i + 1, size(ids)),
+           j -> struct(element_at(ids, i) AS d1, element_at(ids, j) AS d2))))"""))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
     val t = shingleSets(docs, n)
     val verified = cand

@@ -14,13 +14,19 @@ import graft.functions.TextFunctions._
 object TextAnalysis {
 
   /** (doc_id, lang, lang_pred, s_de..s_zh): stopword-hit scores per
-    * language and the argmax prediction ('unknown' when no hits). */
+    * language and the argmax prediction ('unknown' when no hits).
+    * Tokens and scores are staged through projections — lambdas don't
+    * CSE, so inlining would re-tokenize once per stopword list. */
   def languageId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val scores = stopwords.map { case (l, ws) => l -> stopwordHits(toks, ws) }
-    val scoreCols = scores.toSeq.sortBy(_._1).map { case (l, c) => c.as(s"s_$l") }
-    docs.select(
-      Seq(col("doc_id"), col("lang"), langPred(scores).as("lang_pred")) ++ scoreCols: _*)
+    val langs = stopwords.keys.toSeq.sorted
+    val withToks = docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val withScores = withToks.select(
+      Seq(col("doc_id"), col("lang")) ++
+        langs.map(l => stopwordHits(col("toks"), stopwords(l)).as(s"s_$l")): _*)
+    val scoreRefs = langs.map(l => l -> col(s"s_$l")).toMap
+    withScores.select(
+      Seq(col("doc_id"), col("lang"), langPred(scoreRefs).as("lang_pred")) ++
+        langs.map(l => col(s"s_$l")): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -28,14 +34,14 @@ object TextAnalysis {
     * a bounded composite score. Pure arithmetic over exact integer
     * counts — deterministic across engines. */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    docs.select(
-      col("doc_id"),
-      length(col("text")).as("text_len"),
-      size(toks).as("token_cnt"),
-      stopwordHits(toks, stopwords("en")).as("stop_hits"),
-      (length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double") /
-        length(col("text"))).as("alpha_ratio"))
+    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("text_len"),
+        size(col("toks")).as("token_cnt"),
+        stopwordHits(col("toks"), stopwords("en")).as("stop_hits"),
+        (length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double") /
+          length(col("text"))).as("alpha_ratio"))
       .withColumn("stop_ratio",
         col("stop_hits").cast("double") / col("token_cnt"))
       .withColumn("quality_score",

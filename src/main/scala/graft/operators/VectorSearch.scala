@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorSearch {
 
-  /** Sequential-fold dot product of two float vectors in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two float vectors in double via the native
+    * codegen'd [[graft.functions.DotProduct]] expression (registered
+    * by GraftSession through SparkSessionExtensions). Accumulates
+    * left-to-right in double — bit-identical to a zip_with+aggregate
+    * fold and to the DuckDB list_reduce oracles, but without the
+    * per-row intermediate array. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

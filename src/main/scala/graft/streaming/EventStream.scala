@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface of the engine: the batch transforms
+  * re-used over `readStream` sources with event-time watermarks, plus
+  * stateful sessionization via flatMapGroupsWithState.
+  *
+  * The reference is batch-only (daily Luigi tasks re-reading Hive
+  * tables, e.g. /root/reference/dataQA/dailyMain.py); the streaming
+  * module is the Spark-first replacement for that daily re-scan: the
+  * same aggregation plan runs incrementally with state kept in the
+  * state store instead of re-reading history.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour windowed counts per event type with a 2-hour
+    * watermark — the streaming twin of Analytics.eventWindows (same
+    * groupBy, plus lateness bound so state is GC'd). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class Session(user_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
+                     n_events: Long, total_value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /** Gap-based sessionization: events for a user belong to one session
+    * while consecutive events are within `gapMinutes`. Emits closed
+    * sessions via ProcessingTimeTimeout-free event-time state (the
+    * watermark closes sessions). State per user is O(1) — the shape
+    * that scales to any key cardinality. */
+  def sessionize(spark: SparkSession, events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(uid, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

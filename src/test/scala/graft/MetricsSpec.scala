@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Unit semantics of the household metrics over a hand-built panel:
+  * 3 households, 2 media types, household 3 single-type. */
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (household_id, etype, week, projfact)
+  private lazy val media = Seq(
+    (1L, "tv", "2024-01-01", 2.0),
+    (1L, "tv", "2024-01-01", 2.0),   // duplicate exposure
+    (1L, "web", "2024-01-08", 2.0),
+    (2L, "tv", "2024-01-08", 3.0),
+    (2L, "web", "2024-01-08", 3.0),
+    (3L, "web", "2024-01-15", 1.0)
+  ).toDF("household_id", "etype", "week_s", "projfact")
+    .withColumn("week", to_date(col("week_s")))
+
+  test("reach: count/unique/duplicates per dimension value") {
+    val r = Reach.reachCount(media, "household_id", Some("etype"), Some("projfact"))
+      .collect().map(r => r.getString(1) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // tv: hh1(2.0)+hh2(3.0)=5, unique: none (both have 2 types) → 0, dup 5
+    assert(r("tv") == ((5.0, 0.0, 5.0)))
+    // web: hh1+hh2+hh3 = 6, unique: hh3 only → 1, dup 5
+    assert(r("web") == ((6.0, 1.0, 5.0)))
+  }
+
+  test("frequency: capped distribution with pct of total") {
+    val f = Frequency.freqDistribution(media, None)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // hh3: 1 exposure (pf 1), hh2: 2 (pf 3), hh1: 3 (pf 2) — total 6
+    assert(f(1L)._1 == 1L && f(2L)._1 == 3L && f(3L)._1 == 2L)
+    assert(math.abs(f(2L)._2 - 0.5) < 1e-12)
+  }
+
+  test("pairwise overlap: projection-weighted pair counts + pcts") {
+    val p = Pairwise.pairwiseOverlap(media, "etype").collect()
+    assert(p.length == 1)
+    val r = p.head
+    // hh1 (2.0) and hh2 (3.0) have both → overlap 5; tv total 5, web total 6
+    assert(r.getAs[Double]("overlapping_households") == 5.0)
+    assert(math.abs(r.getAs[Double]("pct_of_media_type_1") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("pct_of_media_type_2") - 5.0 / 6.0) < 1e-12)
+  }
+
+  test("weekly incremental reach equals first-week counts + cumsum") {
+    val w = ReachWeek.weeklyReach(media)
+      .collect().map(r => r.getDate(0).toString -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(w("2024-01-01") == ((2.0, 2.0)))  // hh1 first seen wk1
+    assert(w("2024-01-08") == ((3.0, 5.0)))  // hh2
+    assert(w("2024-01-15") == ((1.0, 6.0)))  // hh3
+  }
+
+  test("projection ratio: per-type and overall") {
+    val pr = ProjectionRatio.projectionRatios(media)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // tv: 3 exposures / (2+2+3)=7 ; web: 3 / (2+3+1)=6 ; all: 6/13
+    assert(math.abs(pr("tv") - 3.0 / 7.0) < 1e-12)
+    assert(math.abs(pr("web") - 3.0 / 6.0) < 1e-12)
+    assert(math.abs(pr("all") - 6.0 / 13.0) < 1e-12)
+  }
+
+  test("grouping diff: outer join with diff/pct_diff") {
+    val log = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    val ad = Seq(("a", 9), ("c", 9)).toDF("k", "v")
+    val g = DailyQA.groupingDiff(log, ad, Seq("k")).collect()
+      .map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(g("a") == ((Some(2L), Some(1L))))
+    assert(g("b")._2.isEmpty)   // no adserver rows
+    assert(g("c")._1.isEmpty)   // no log rows
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming windowed counts match the batch transform") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts("2024-01-01 10:05:00"), "click", 1.0),
+      Event(2, ts("2024-01-01 10:45:00"), "click", 2.0),
+      Event(1, ts("2024-01-01 11:10:00"), "view", 3.0))
+    val q = EventStream.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    mem.addData(Event(1, ts("2024-01-01 14:00:00"), "click", 9.0)) // advances watermark
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wc")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("2024-01-01 10:00:00.0", "click")) == 2L)
+    assert(out(("2024-01-01 11:00:00.0", "view")) == 1L)
+  }
+
+  test("sessionization closes sessions after the gap") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts("2024-01-01 10:00:00"), "click", 1.0),
+      Event(1, ts("2024-01-01 10:10:00"), "view", 2.0),   // same session (gap 30m)
+      Event(1, ts("2024-01-01 12:00:00"), "click", 4.0),  // new session
+      Event(2, ts("2024-01-01 10:00:00"), "view", 8.0))
+    val q = EventStream.sessionize(spark, mem.toDS(), 30)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // push watermark far ahead so all sessions time out and emit
+    mem.addData(Event(3, ts("2024-01-02 00:00:00"), "click", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(3, ts("2024-01-03 00:00:00"), "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(out((1L, "2024-01-01 10:00:00.0")) == ((2L, 3.0)))
+    assert(out((1L, "2024-01-01 12:00:00.0")) == ((1L, 4.0)))
+    assert(out((2L, "2024-01-01 10:00:00.0")) == ((1L, 8.0)))
+  }
+
+  test("multimodal decode plumbing produces features per row") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val feats = graft.operators.Multimodal.decodeFeatures(
+      spark, graft.operators.Multimodal.asMedia(docs))
+    val n = feats.count()
+    assert(n == docs.count())
+    val f = feats.head()
+    assert(f.byte_len > 0 && f.width >= 16 && f.n_frames >= 1)
+  }
+}

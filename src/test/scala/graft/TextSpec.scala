@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{NearDup, TextAnalysis, VectorSearch}
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox JUMPS over the lazy dog!!", "en"),  // near-dup of 1
+    (3L, "der hund und die katze und das pferd", "de"),
+    (4L, "xy", "en"),                                             // < 3 tokens
+    (5L, "completely different words entirely here today", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("shingles: empty below n tokens, distinct, space-joined") {
+    val sh = docs.select(col("doc_id"),
+      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(4L).isEmpty)
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(1L).length == 7)
+  }
+
+  test("language id picks the max-stopword language") {
+    val lid = TextAnalysis.languageId(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(lid(1L) == "en")
+    assert(lid(3L) == "de")
+    assert(lid(4L) == "unknown")
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val same = Seq((1L, "Hello, World!"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val d = TextAnalysis.exactDedup(same)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(d(1L) == ((1L, 0)))
+    assert(d(2L) == ((1L, 1)))  // normalized-equal → dup of 1
+    assert(d(3L) == ((3L, 0)))
+  }
+
+  test("jaccard pairs finds the planted near-dup and nothing else") {
+    val p = NearDup.jaccardPairs(docs, 3, 0.3).collect()
+    assert(p.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(p.head.getDouble(2) > 0.9)
+  }
+
+  test("minhash dedup clusters the near-dup pair, leaves rest alone") {
+    val m = NearDup.minhashDedup(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(2L) == 1L)
+    assert(m(1L) == 1L)
+    assert(m(3L) == 3L && m(5L) == 5L)
+  }
+
+  test("simhash: near-identical docs get close fingerprints") {
+    val s = NearDup.simhash(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(s(1L), s(2L)) <= 6)         // near-dups
+    assert(hamming(s(1L), s(5L)) > hamming(s(1L), s(2L)))
+  }
+
+  test("cosine: identical vectors similarity 1, orthogonal 0") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val p = VectorSearch.cosineNearDup(vecs, 0.99).collect()
+    assert(p.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(math.abs(p.head.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("brute-force topk ranks by cosine desc") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val r = VectorSearch.bruteForceTopK(vecs, vecs.where(col("vec_id") === 1), 2)
+      .collect().map(r => r.getInt(2) -> r.getLong(1)).toMap
+    assert(r(1) == 2L)  // most aligned
+    assert(r(2) == 4L)
+  }
+}
