@@ -172,6 +172,21 @@ object SparkEntry {
           col("event_type"),
           (col("user_id") % 10).cast("string").as("conf")),
         "event_type", "conf")),
+    "q_friendly_join" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val ka = part.select(
+        col("p_partkey").as("id"),
+        lit("part_id").as("id_type"),
+        col("p_type").as("key"),
+        col("p_brand").as("value"))
+      val dm = part.where(col("p_partkey") % 3 === 0).select(
+        lit("partid").as("dimension"),
+        when(col("p_partkey") % 9 === 0, col("p_partkey") + 1000000)
+          .otherwise(col("p_partkey")).as("label"),
+        lit("dig").as("etype"),
+        (col("p_partkey") + 100000).as("id"))
+      ValueMapping.makeMap(ka, dm)
+    }),
     "q_lang_id" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
@@ -375,6 +390,23 @@ object SparkEntry {
          FROM events)
          SELECT event_type, string_agg(conf, ' ' ORDER BY conf) AS meta
          FROM d GROUP BY 1 ORDER BY 1""",
+    "q_friendly_join" ->
+      """WITH ka AS (SELECT p_partkey AS id_value, 'partid' AS id_type,
+           lower(p_type) AS key, p_brand AS value FROM part),
+         vm AS (SELECT value, CAST(dense_rank() OVER (ORDER BY value) AS BIGINT)
+           AS val_id FROM (SELECT DISTINCT p_brand AS value FROM part)),
+         ka2 AS (SELECT ka.id_value, ka.id_type, ka.key, ka.value, vm.val_id,
+           'dig' AS etype2 FROM ka JOIN vm ON vm.value = ka.value),
+         dm AS (SELECT 'partid' AS dimension,
+           CASE WHEN p_partkey % 9 = 0 THEN p_partkey + 1000000
+                ELSE p_partkey END AS label,
+           'dig' AS etype, p_partkey + 100000 AS id
+           FROM part WHERE p_partkey % 3 = 0)
+         SELECT dm.etype, coalesce(ka2.key, dm.dimension) AS key, dm.dimension,
+           dm.label, dm.id, ka2.value, coalesce(ka2.val_id, dm.id) AS val_id
+         FROM ka2 RIGHT JOIN dm ON dm.dimension = ka2.id_type
+           AND dm.label = ka2.id_value AND dm.etype = ka2.etype2
+         ORDER BY id, val_id""",
     "q_lang_id" ->
       s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
           sc AS (SELECT doc_id, lang,

@@ -35,4 +35,30 @@ object ValueMapping {
       .select(col("id"), col("id_type"), col("key"), col("value"), col("val_id"))
       .orderBy(col("id"))
   }
+
+  /** Friendly-name map assembly: normalized key-attribute rows
+    * right-outer-joined onto the dimension metadata, with key/val_id
+    * falling back to the dimension's own name/id where the attribute
+    * side has no match. Mirrors hh_mapping.make_map
+    * (/root/reference/metrics/lib/hh_mapping.py:16-23); the ka side's
+    * val_id assignment reuses [[mapValues]]'s dense_rank (the
+    * reference's monotonically_increasing_id is nondeterministic).
+    * The dimension-meta side is small — broadcast from the ka
+    * perspective would be wrong (ka is the fact-sized side), so the
+    * join keys stay as-is and AQE picks the build side. */
+  def makeMap(ka: DataFrame, dm: DataFrame): DataFrame = {
+    val ka2 = mapValues(ka)
+      .withColumnRenamed("id", "id_value")
+      .withColumn("etype2", lit("dig"))
+    ka2.join(dm,
+      dm("dimension") === ka2("id_type") &&
+        dm("label") === ka2("id_value") &&
+        dm("etype") === ka2("etype2"),
+      "right_outer")
+      .withColumn("key", coalesce(col("key"), col("dimension")))
+      .withColumn("val_id", coalesce(col("val_id"), col("id")))
+      .select(col("etype"), col("key"), col("dimension"), col("label"),
+        col("id"), col("value"), col("val_id"))
+      .orderBy(col("id"), col("val_id"))
+  }
 }

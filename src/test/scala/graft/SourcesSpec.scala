@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft-sources").toString
+
+  test("csv and json round-trip preserves data") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    Sources.writeCsv(df, s"$tmp/csv")
+    val back = Sources.csv(spark, s"$tmp/csv").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(back.toSeq == Seq((1, "a", 1.5), (2, "b", 2.5)))
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val df = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0),
+      (3L, "2024-01-02", 3.0)).toDF("id", "date", "v")
+    Sources.writePartitioned(df, s"$tmp/part", Seq("date"))
+    // partition dirs exist
+    assert(new java.io.File(s"$tmp/part/date=2024-01-01").exists())
+    val read = Sources.parquet(spark, s"$tmp/part").where(col("date") === "2024-01-02")
+    assert(read.count() == 2)
+    // the filter must reach the scan as a partition filter (pruning)
+    val scan = read.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("date#"), scan)
+  }
+
+  test("makeMap: friendly mapping falls back to dimension id/name") {
+    val ka = Seq((1L, "part_id", "TYPE", "B1"), (2L, "part_id", "TYPE", "B2"))
+      .toDF("id", "id_type", "key", "value")
+    val dm = Seq(("partid", 1L, "dig", 101L), ("partid", 99L, "dig", 199L))
+      .toDF("dimension", "label", "etype", "id")
+    val m = operators.ValueMapping.makeMap(ka, dm)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("key"), r.getAs[Long]("val_id"))).toMap
+    assert(m(101L) == (("type", 1L)))      // matched: normalized ka key
+    assert(m(199L) == (("partid", 199L)))  // unmatched: falls back to dim/id
+  }
+}
