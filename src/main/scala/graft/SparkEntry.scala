@@ -136,6 +136,10 @@ object SparkEntry {
         Tables.media(s, d).where(col("event_id") % 23 === 0), "etype", etypes)),
     "q_pairwise_pairs" -> ((s, d) =>
       Pairwise.pairwiseOverlap(Tables.media(s, d), "etype")),
+    "q_reach_multi" -> ((s, d) =>
+      Reach.reachByDimensions(
+        Tables.media(s, d).withColumn("week_s", col("week").cast("string")),
+        "household_id", Seq("etype", "week_s"), Some("projfact"))),
     "q_reach_week" -> ((s, d) =>
       ReachWeek.weeklyReach(Tables.media(s, d).where(col("event_id") % 101 === 0))),
     "q_projection_ratio" -> ((s, d) =>
@@ -305,6 +309,25 @@ object SparkEntry {
           FROM pairs JOIN t t1 ON t1.value = media_type_1
           JOIN t t2 ON t2.value = media_type_2
           ORDER BY overlapping_households DESC, media_type_1, media_type_2""",
+    "q_reach_multi" ->
+      s"""WITH m1 AS (SELECT DISTINCT user_id AS household_id,
+          event_type AS value, $ProjfactSql AS projfact FROM events),
+          c1 AS (SELECT *, count(*) OVER (PARTITION BY household_id) AS cnt FROM m1),
+          g1 AS (SELECT 'etype' AS dimension, value,
+            round(sum(projfact)) AS count,
+            round(sum(CASE WHEN cnt > 1 THEN 0.0 ELSE projfact END)) AS "unique"
+            FROM c1 GROUP BY value),
+          m2 AS (SELECT DISTINCT user_id AS household_id,
+            CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS value,
+            $ProjfactSql AS projfact FROM events),
+          c2 AS (SELECT *, count(*) OVER (PARTITION BY household_id) AS cnt FROM m2),
+          g2 AS (SELECT 'week_s' AS dimension, value,
+            round(sum(projfact)) AS count,
+            round(sum(CASE WHEN cnt > 1 THEN 0.0 ELSE projfact END)) AS "unique"
+            FROM c2 GROUP BY value),
+          u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+          SELECT dimension, value, count, "unique", count - "unique" AS duplicates
+          FROM u ORDER BY dimension, count DESC, value""",
     "q_reach_week" ->
       s"""WITH m AS (SELECT user_id AS household_id,
           CAST(date_trunc('week', ts) AS DATE) AS week,
@@ -468,6 +491,27 @@ object SparkEntry {
             CAST(cnt AS DOUBLE) / (s1.n + s2.n - cnt) AS jaccard
             FROM c JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
           SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY d1, d2""",
+    "q_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(toks) AS w FROM
+            (SELECT doc_id, $ToksSql AS toks FROM documents)),
+          h AS (SELECT doc_id,
+            list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1099511627776) AS hv
+            FROM tok),
+          bits AS (SELECT doc_id, j,
+            CASE WHEN ((hv >> j) & 1) = 1 THEN 1 ELSE -1 END AS contrib
+            FROM h CROSS JOIN (SELECT unnest(range(0, 40)) AS j)),
+          sums AS (SELECT doc_id, j, sum(contrib) AS s FROM bits GROUP BY 1, 2),
+          fp AS (SELECT doc_id,
+            CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+              AS BIGINT) AS simhash
+            FROM sums GROUP BY 1)
+          SELECT doc_id, simhash,
+            simhash & 1023 AS b0, (simhash >> 10) & 1023 AS b1,
+            (simhash >> 20) & 1023 AS b2, (simhash >> 30) & 1023 AS b3
+          FROM fp ORDER BY doc_id""",
     "q_embed_neardup" ->
       s"""WITH e AS ($NormedEmbSql),
           s AS (SELECT a.vec_id AS v1, b.vec_id AS v2,

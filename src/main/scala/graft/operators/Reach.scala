@@ -65,4 +65,15 @@ object Reach {
         col("duplicates"))
       .orderBy(desc("count"), asc("value"))
   }
+
+  /** Multi-dimension reach table: one reach frame per dimension,
+    * unioned. The reference assembles this with a driver-side pandas
+    * append loop over dimensions (hh_reach.py:48-61 + main:68-85);
+    * here it is a single distributed union plan — every dimension's
+    * aggregation runs concurrently and nothing collects. */
+  def reachByDimensions(df: DataFrame, cntCol: String, dims: Seq[String],
+                        proj: Option[String]): DataFrame =
+    dims.map(d => reachCount(df, cntCol, Some(d), proj))
+      .reduce(_.unionAll(_))
+      .orderBy(asc("dimension"), desc("count"), asc("value"))
 }

@@ -63,6 +63,22 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(pr("all") - 6.0 / 13.0) < 1e-12)
   }
 
+  test("salted sum equals direct groupBy sum") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0))
+      .toDF("k", "v").withColumn("row", monotonically_increasing_id())
+    val salted = Skew.saltedSum(df, Seq("k"), "v", col("row"), 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted == Map("a" -> 6.0, "b" -> 4.0))
+  }
+
+  test("multi-dimension reach unions per-dimension frames") {
+    val r = Reach.reachByDimensions(
+      media.withColumn("week_s", col("week").cast("string")),
+      "household_id", Seq("etype", "week_s"), Some("projfact"))
+    val dims = r.select("dimension").distinct().as[String].collect().toSet
+    assert(dims == Set("etype", "week_s"))
+  }
+
   test("grouping diff: outer join with diff/pct_diff") {
     val log = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
     val ad = Seq(("a", 9), ("c", 9)).toDF("k", "v")
