@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VectorSearch
+
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(1.0f), Array(2.0f, 9.0f)),   // length mismatch → min length
+    (3L, null.asInstanceOf[Array[Float]], Array(1.0f))
+  ).toDF("id", "a", "b")
+
+  test("graft_dot computes the double dot product (codegen path)") {
+    val r = df.select(col("id"), VectorSearch.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(r(1L) == Some(32.0))
+    assert(r(2L) == Some(2.0))
+    assert(r(3L).isEmpty)  // null input → null
+  }
+
+  test("graft_dot matches the zip_with/aggregate fold bit-for-bit") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val both = emb.select(
+      VectorSearch.dot(col("embedding"), col("embedding")).as("native"),
+      aggregate(
+        zip_with(col("embedding"), col("embedding"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+    assert(both.where(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("graft_dot rejects wrong input types at analysis") {
+    val bad = Seq((1, "x")).toDF("id", "s")
+    val e = intercept[Exception] {
+      bad.select(VectorSearch.dot(col("s"), col("s"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_dot") ||
+      e.getMessage.toLowerCase.contains("data type"))
+  }
+}
