@@ -170,6 +170,8 @@ object SparkEntry {
           .select(col("event_type"), to_date(col("ts")).as("date")),
         Seq("event_type", "date"))
     }),
+    "q_qa_hourshift" -> ((s, d) =>
+      DailyQA.shiftedDailyCounts(Tables.events(s, d), "ts", -6, 7)),
     "q_qa_meta" -> ((s, d) =>
       DailyQA.metaAgg(
         Tables.events(s, d).select(
@@ -408,6 +410,12 @@ object SparkEntry {
          CAST(impressions - exe_imp AS DOUBLE) / impressions AS pct_diff
          FROM l FULL JOIN a USING (event_type, date)
          ORDER BY event_type, date""",
+    "q_qa_hourshift" ->
+      """WITH s AS (SELECT CAST(ts - INTERVAL 6 HOUR AS DATE) AS date FROM events),
+         b AS (SELECT max(date) AS max_d FROM s)
+         SELECT date, count(*) AS exe_imp FROM s CROSS JOIN b
+         WHERE date_diff('day', date, max_d) < 7
+         GROUP BY date ORDER BY date""",
     "q_qa_meta" ->
       """WITH d AS (SELECT DISTINCT event_type, CAST(user_id % 10 AS VARCHAR) AS conf
          FROM events)

@@ -37,6 +37,26 @@ object DailyQA {
       .orderBy(cols: _*)
   }
 
+  /** Hour-shifted daily counts over the trailing period: timestamps
+    * shifted by `hours` (the reference's ad-server timezone fixup),
+    * truncated to dates, filtered to the last `periodDays` days
+    * relative to the max date, counted per day. Mirrors
+    * dailyQAHelpers.shift_hours (dailyQAHelpers.py:44-58) + the
+    * min_max_dt trailing window (dailyQA.py:43-50). The max-date bound
+    * stays a broadcast single-row frame — no driver collect. */
+  def shiftedDailyCounts(df: DataFrame, tsCol: String, hours: Int,
+                         periodDays: Int): DataFrame = {
+    val shifted = df.select(
+      to_date(col(tsCol) + expr(s"INTERVAL $hours HOURS")).as("date"))
+    val bounds = shifted.groupBy().agg(max(col("date")).as("max_d"))
+    shifted
+      .crossJoin(broadcast(bounds))
+      .where(datediff(col("max_d"), col("date")) < periodDays)
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("exe_imp"))
+      .orderBy(col("date"))
+  }
+
   /** Per-dimension sorted-unique space-joined meta string. */
   def metaAgg(df: DataFrame, dim: String, metaCol: String): DataFrame =
     df.groupBy(col(dim))

@@ -27,6 +27,18 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** File-source stream over an events parquet directory (new files
+    * picked up incrementally). The testdata's timestamp[ns] column
+    * arrives as raw nanos under the nanosAsLong session flag and is
+    * converted exactly like Tables.events. */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   case class Session(user_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
                      n_events: Long, total_value: Double)

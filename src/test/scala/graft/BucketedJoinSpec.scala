@@ -13,6 +13,11 @@ class BucketedJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   test("join of two bucketed tables has no shuffle exchange") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+    Seq("bk_a", "bk_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
     a.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bk_a")
     b.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bk_b")
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {

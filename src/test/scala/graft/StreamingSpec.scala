@@ -53,6 +53,21 @@ class StreamingSpec extends SparkSpec {
     assert(out((2L, "2024-01-01 10:00:00.0")) == ((1L, 8.0)))
   }
 
+  test("file-source stream reads the events dir incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val q = EventStream.fromParquetDir(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("fs_counts")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val total = spark.table("fs_counts").agg(sum("n")).collect()(0).getLong(0)
+    assert(total == 1000L)
+  }
+
   test("multimodal decode plumbing produces features per row") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = graft.operators.Multimodal.decodeFeatures(
