@@ -138,19 +138,18 @@ object NearDup {
     * hamming-bucket grouping downstream. */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .withColumn("h", rollingHash(col("w")))
-    val bits = tok.select(
+      .select(col("doc_id"), rollingHash(col("w")).as("h"))
+    // 40 sum-aggregate columns (±1 per bit) instead of a (token × 40)
+    // bit explode — one shuffle on doc_id with map-side partials, same
+    // numbers, ~10× less shuffled volume
+    val sums = tok.groupBy(col("doc_id")).agg(
+      sum(shiftright(col("h"), 0).bitwiseAND(1) * 2 - 1).as("s0"),
+      (1 until 40).map(j =>
+        sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j")): _*)
+    val fp = sums.select(
       col("doc_id"),
-      posexplode(expr(
-        "transform(sequence(0, 39), j -> cast((shiftright(h, j) & 1) * 2 - 1 as long))")))
-      .toDF("doc_id", "j", "contrib")
-    val fp = bits
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr(
-        "case when s > 0 then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end"))
-        .as("simhash"))
+      (0 until 40).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
     fp.select(
       col("doc_id"),
       col("simhash"),
