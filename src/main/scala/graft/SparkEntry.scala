@@ -150,6 +150,19 @@ object SparkEntry {
         lit("part_id").as("id_type"),
         col("p_type").as("key"),
         col("p_brand").as("value")))),
+    "q_media_projection" -> ((s, d) => {
+      val m = Tables.media(s, d)
+      val dfs = Seq(
+        m.where(col("etype").isin("view", "click")),
+        m.where(!col("etype").isin("view", "click")))
+      val proj = m.select(col("household_id"), col("projfact"))
+      val ratio = m.select(col("etype")).distinct()
+        .withColumn("ratio", lit(1.0) + length(col("etype")).cast("double") / 2)
+      MediaBuilder.makeMedia(dfs, "date", proj, Some(ratio))
+        .groupBy(col("date"))
+        .agg(round(sum(col("projfact")), 1).as("proj_sum"), count(lit(1)).as("n"))
+        .orderBy(col("date"))
+    }),
     "q_before_after" -> ((s, d) => {
       val (p, e, u) = beforeAfterInputs(s, d)
       BeforeAfter.metrics(
@@ -354,6 +367,18 @@ object SparkEntry {
          SELECT p_partkey AS id, 'partid' AS id_type, lower(p_type) AS key,
          p.p_brand AS value, val_id FROM part p JOIN vm ON vm.value = p.p_brand
          ORDER BY id""",
+    "q_media_projection" ->
+      s"""WITH m AS (SELECT user_id AS household_id, event_type AS etype,
+          CAST(ts AS DATE) AS date, $ProjfactSql AS projfact FROM events),
+          proj AS (SELECT DISTINCT household_id, projfact FROM m),
+          ratio AS (SELECT DISTINCT etype,
+            CAST(1.0 AS DOUBLE) + CAST(len(etype) AS DOUBLE) / 2 AS ratio FROM m),
+          j AS (SELECT mm.household_id, mm.date, mm.etype, p.projfact
+            FROM m mm JOIN proj p USING (household_id)),
+          r AS (SELECT j.*, j.projfact * ratio.ratio AS pf2
+            FROM j JOIN ratio USING (etype))
+          SELECT date, round(sum(pf2), 1) AS proj_sum, count(*) AS n
+          FROM r GROUP BY 1 ORDER BY 1""",
     "q_before_after" ->
       s"""${beforeAfterCtes(13, 7, exposedOnly = false)},
           summed AS (
