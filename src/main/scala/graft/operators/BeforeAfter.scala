@@ -80,20 +80,36 @@ object BeforeAfter {
 
   /** Balance the panel: households present on one side only get a
     * zero-volume row on the other side (keeping their wgt). Mirrors
-    * get_only_hh + add_zero_purch (:25-44). */
+    * get_only_hh + add_zero_purch (:25-44).
+    *
+    * The reference builds this with two anti-joins + a 3-way union —
+    * four references to the aggregated frame, so Spark recomputes its
+    * subtree four times and shuffles for each anti-join. Same
+    * semantics in ONE pass: conditional-pivot the ≤2 rows per
+    * (household, exposure) and stack both sides back with
+    * coalesce-to-zero fills (row-local, no extra shuffle). */
   def addZeroPurch(df: DataFrame): DataFrame = {
-    def onlyIn(left: DataFrame, right: DataFrame, side: String): DataFrame =
-      left
-        .join(right.select("hh_exposed", "household_id"),
-          Seq("hh_exposed", "household_id"), "left_anti")
-        .withColumn("volume_tgt", lit(0.0))
-        .withColumn("volume_cat", lit(0.0))
-        .withColumn("bef_aft", lit(side))
-    val before = df.where(col("bef_aft") === "before")
-    val after = df.where(col("bef_aft") === "after")
-    val cols = df.columns.map(col).toSeq
-    df.unionAll(onlyIn(before, after, "after").select(cols: _*))
-      .unionAll(onlyIn(after, before, "before").select(cols: _*))
+    def side(s: String, c: String) =
+      max(when(col("bef_aft") === s, col(c))).as(s"${c}_$s")
+    val pv = df
+      .groupBy(col("household_id"), col("hh_exposed"))
+      .agg(
+        side("before", "wgt"), side("before", "volume_tgt"), side("before", "volume_cat"),
+        side("after", "wgt"), side("after", "volume_tgt"), side("after", "volume_cat"))
+    pv.select(
+      col("household_id"),
+      col("hh_exposed"),
+      expr(
+        """stack(2,
+           'before', coalesce(wgt_before, wgt_after),
+             coalesce(volume_tgt_before, cast(0.0 as double)),
+             coalesce(volume_cat_before, cast(0.0 as double)),
+           'after', coalesce(wgt_after, wgt_before),
+             coalesce(volume_tgt_after, cast(0.0 as double)),
+             coalesce(volume_cat_after, cast(0.0 as double)))
+           AS (bef_aft, wgt, volume_tgt, volume_cat)"""))
+      .select(col("household_id"), col("bef_aft"), col("hh_exposed"),
+        col("wgt"), col("volume_tgt"), col("volume_cat"))
   }
 
   /** Brand-buyer flag + day-weighted volume columns. Mirrors
