@@ -492,8 +492,8 @@ object SparkEntry {
           FROM t),
           r AS (SELECT *, CAST(stop_hits AS DOUBLE) / token_cnt AS stop_ratio FROM b)
           SELECT doc_id, text_len, token_cnt, stop_hits, alpha_ratio, stop_ratio,
-            round(least(CAST(1.0 AS DOUBLE), token_cnt / CAST(100.0 AS DOUBLE)) *
-              (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * stop_ratio) * alpha_ratio, 6)
+            least(CAST(1.0 AS DOUBLE), token_cnt / CAST(100.0 AS DOUBLE)) *
+              (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * stop_ratio) * alpha_ratio
               AS quality_score
           FROM r ORDER BY doc_id""",
     "q_token_count" ->

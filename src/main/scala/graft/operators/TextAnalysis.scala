@@ -44,9 +44,12 @@ object TextAnalysis {
           length(col("text"))).as("alpha_ratio"))
       .withColumn("stop_ratio",
         col("stop_hits").cast("double") / col("token_cnt"))
+      // no rounding: both engines build the identical IEEE expression
+      // tree, so raw doubles match bit-for-bit, while round() exposes
+      // half-up vs half-even boundary disagreements
       .withColumn("quality_score",
-        round(least(lit(1.0), col("token_cnt") / lit(100.0)) *
-          (lit(0.5) + lit(0.5) * col("stop_ratio")) * col("alpha_ratio"), 6))
+        least(lit(1.0), col("token_cnt") / lit(100.0)) *
+          (lit(0.5) + lit(0.5) * col("stop_ratio")) * col("alpha_ratio"))
       .orderBy(col("doc_id"))
   }
 
