@@ -40,6 +40,35 @@ object EventStream {
   }
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class FirstSeen(household_id: Long, ts: java.sql.Timestamp)
+
+  /** Streaming incremental reach — the streaming twin of
+    * ReachWeek.weeklyReach: per-household first-seen events emitted
+    * exactly once via O(1) keyed state, then windowed counts of new
+    * households. The batch version re-derives min(week) from all
+    * history every run; this keeps one boolean per household and
+    * processes only new events. */
+  def incrementalReach(spark: SparkSession, events: Dataset[Event],
+                       windowLen: String = "7 days"): DataFrame = {
+    import spark.implicits._
+    val firstSeen = events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Boolean, FirstSeen](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[Boolean]) =>
+          if (state.exists || rows.isEmpty) Iterator.empty
+          else {
+            state.update(true)
+            Iterator(FirstSeen(uid, rows.minBy(_.ts.getTime).ts))
+          }
+      }
+    firstSeen
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("new_households"))
+      .select(col("window.start").as("window_start"), col("new_households"))
+  }
   case class Session(user_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
                      n_events: Long, total_value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)

@@ -31,6 +31,20 @@ class DotProductSpec extends SparkSpec {
     assert(both.where(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("graft_dot matches a driver-side reference on 200 random vectors") {
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 200).map { i =>
+      (i.toLong, Array.fill(33)(rnd.nextFloat() * 2 - 1), Array.fill(33)(rnd.nextFloat() * 2 - 1))
+    }
+    val expected = data.map { case (i, a, b) =>
+      i -> a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    }.toMap
+    val got = data.toDF("id", "a", "b")
+      .select(col("id"), VectorSearch.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    data.foreach { case (i, _, _) => assert(got(i) == expected(i), s"row $i") }
+  }
+
   test("graft_dot rejects wrong input types at analysis") {
     val bad = Seq((1, "x")).toDF("id", "s")
     val e = intercept[Exception] {

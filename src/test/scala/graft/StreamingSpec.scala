@@ -53,6 +53,27 @@ class StreamingSpec extends SparkSpec {
     assert(out((2L, "2024-01-01 10:00:00.0")) == ((1L, 8.0)))
   }
 
+  test("incremental reach counts each household once, in its first window") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts("2024-01-01 10:00:00"), "view", 1.0),
+      Event(2, ts("2024-01-02 10:00:00"), "view", 1.0),
+      Event(1, ts("2024-01-09 10:00:00"), "view", 1.0),  // repeat household
+      Event(3, ts("2024-01-10 10:00:00"), "view", 1.0))
+    val q = EventStream.incrementalReach(spark, mem.toDS())
+      .writeStream.format("memory").queryName("inc_reach").outputMode("append").start()
+    mem.addData(Event(99, ts("2024-02-01 00:00:00"), "view", 0.0)) // flush watermark
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("inc_reach")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    // 7-day windows aligned to epoch (Thursday): 2023-12-28 covers Jan 1-3,
+    // 2024-01-04 covers Jan 4-10
+    assert(out("2023-12-28 00:00:00.0") == 2L)  // households 1, 2
+    assert(out("2024-01-04 00:00:00.0") == 1L)  // household 3 only (1 is a repeat)
+  }
+
   test("file-source stream reads the events dir incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     java.nio.file.Files.copy(
