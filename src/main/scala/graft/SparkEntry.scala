@@ -524,6 +524,40 @@ object SparkEntry {
             CAST(cnt AS DOUBLE) / (s1.n + s2.n - cnt) AS jaccard
             FROM c JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
           SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY d1, d2""",
+    "q_minhash_dedup" -> {
+      val coefValues = NearDup.minhashCoefficients(64).zipWithIndex
+        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),
+          e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+          h AS (SELECT doc_id,
+            list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1099511627776) AS h0
+            FROM e),
+          coef(j, a, b) AS (VALUES $coefValues),
+          perms AS (SELECT doc_id, j,
+            min((h0 * a + b) % 1099511627776) AS mh
+            FROM h CROSS JOIN coef GROUP BY 1, 2),
+          bands AS (SELECT doc_id, j // 4 AS band,
+            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig
+            FROM perms GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+            FROM bands x JOIN bands y
+            ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+          ver AS (SELECT d1, d2 FROM cand
+            JOIN t t1 ON t1.doc_id = d1 JOIN t t2 ON t2.doc_id = d2
+            WHERE CAST(len(list_intersect(t1.sh, t2.sh)) AS DOUBLE) /
+              len(list_distinct(list_concat(t1.sh, t2.sh))) >= 0.5),
+          p AS (SELECT d1 AS doc_id, d2 AS partner FROM ver
+            UNION ALL SELECT d2, d1 FROM ver)
+          SELECT d.doc_id,
+            coalesce(least(min(p.partner), d.doc_id), d.doc_id) AS rep_id,
+            count(p.partner) AS n_dups
+          FROM documents d LEFT JOIN p USING (doc_id)
+          GROUP BY d.doc_id ORDER BY d.doc_id"""
+    },
     "q_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(toks) AS w FROM
             (SELECT doc_id, $ToksSql AS toks FROM documents)),

@@ -56,26 +56,40 @@ object NearDup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** MinHash signatures: `k` hash functions = xxhash64(shingle, seed),
-    * signature = per-seed min over the doc's shingles. Computed as `k`
-    * min-aggregate COLUMNS over the exploded (doc, shingle) frame —
-    * one hash shuffle on doc_id with map-side partial mins and zero
-    * row multiplication (an earlier (doc, shingle, seed) explode was
-    * 64× the rows and 100× the wall time). Band keys are then built
-    * row-locally and unpivoted to (doc, band, band_sig). */
+  /** The 2^40 modulus shared by the portable rolling hash and the
+    * MinHash permutations. */
+  val HashMod: Long = 1099511627776L
+
+  /** Affine permutation coefficients for the k MinHash functions,
+    * seeded so both the Spark pipeline and the DuckDB oracle embed the
+    * same constants. Bounds keep h*a+b < 2^60 — engines with strict
+    * (non-wrapping) BIGINT arithmetic never overflow. */
+  def minhashCoefficients(k: Int): IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    IndexedSeq.fill(k)((
+      (rnd.nextInt(1 << 20) | 1).toLong,
+      rnd.nextLong() & (HashMod - 1)))
+  }
+
+  /** MinHash signatures: one portable rolling hash per shingle, k
+    * affine permutations of it (Broder-style), signature = per-perm
+    * min. Computed as `k` min-aggregate COLUMNS over the exploded
+    * (doc, shingle) frame — one hash shuffle on doc_id with map-side
+    * partial mins and zero row multiplication (an earlier
+    * (doc, shingle, seed) explode was 64× the rows and 100× the wall
+    * time). Band keys are then built row-locally and unpivoted to
+    * (doc, band, band_sig). Every step is engine-portable, so the
+    * whole LSH pipeline is replayed by the DuckDB oracle. */
   private def minhashBands(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
+    val coef = minhashCoefficients(k)
     val e = shingleSets(docs, n)
       .select(col("doc_id"), explode(col("sh")).as("s"))
-    // one string hash per shingle; the k functions are affine
-    // permutations of it (Broder-style), i.e. 64 wrapping mul-adds
-    // instead of 64 string hashes per row
-    val rnd = new scala.util.Random(42)
-    val coef = Array.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))
-    val hashed = e.select(col("doc_id"), xxhash64(col("s")).as("h0"))
+    val hashed = e.select(col("doc_id"), rollingHash(col("s")).as("h0"))
     val sig = hashed.groupBy(col("doc_id")).agg(
-      min(col("h0") * coef(0)._1 + coef(0)._2).as("m0"),
-      (1 until k).map(i => min(col("h0") * coef(i)._1 + coef(i)._2).as(s"m$i")): _*)
+      min(pmod(col("h0") * coef(0)._1 + coef(0)._2, lit(HashMod))).as("m0"),
+      (1 until k).map(i =>
+        min(pmod(col("h0") * coef(i)._1 + coef(i)._2, lit(HashMod))).as(s"m$i")): _*)
     val bandStructs = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
