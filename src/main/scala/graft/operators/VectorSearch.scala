@@ -80,6 +80,31 @@ object VectorSearch {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
   }
 
+  /** Lloyd iterations for IVF centroid training: assign every vector
+    * to its nearest centroid (broadcast), recompute each non-empty
+    * cell's centroid as the elementwise mean. Each iteration is one
+    * map-side assignment pass + one (centroid, dim) aggregation —
+    * linear in corpus size, the standard distributed k-means shape.
+    * Returns (centroid_id, embedding). */
+  def trainCentroids(embeddings: DataFrame, initial: DataFrame,
+                     iterations: Int): DataFrame = {
+    var centroids = initial.select(col("vec_id").as("centroid_id"), col("embedding"))
+    (0 until iterations).foreach { _ =>
+      val assigned = assignCells(embeddings,
+        centroids.select(col("centroid_id").as("vec_id"), col("embedding")))
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col("embedding")))
+        .toDF("centroid_id", "pos", "x")
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m").cast("float")).as("embedding"))
+    }
+    centroids
+  }
+
   /** IVF top-k: search only the query's cell (nprobe=1). Approximate
     * by construction; deterministic given the centroid set, so an
     * engine-independent oracle can replay the same algorithm. */

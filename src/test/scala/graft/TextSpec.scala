@@ -72,6 +72,21 @@ class TextSpec extends SparkSpec {
     assert(math.abs(p.head.getDouble(2) - 1.0) < 1e-9)
   }
 
+  test("trainCentroids converges to the cluster means") {
+    // two tight clusters around (1,0) and (0,1); seeds one vector in each
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.9f, 0.05f)),
+      (10L, Array(0.1f, 1.0f)), (11L, Array(0.0f, 1.0f)), (12L, Array(0.05f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val seeds = vecs.where(col("vec_id").isin(1L, 10L))
+    val trained = VectorSearch.trainCentroids(vecs, seeds, 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(trained.size == 2)
+    val c1 = trained(1L)
+    assert(math.abs(c1.head - (1.0f + 1.0f + 0.9f) / 3) < 1e-6)
+    assert(math.abs(c1(1) - (0.1f + 0.0f + 0.05f) / 3) < 1e-6)
+  }
+
   test("brute-force topk ranks by cosine desc") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
