@@ -525,7 +525,7 @@ object SparkEntry {
             FROM c JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
           SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY d1, d2""",
     "q_minhash_dedup" -> {
-      val coefValues = NearDup.minhashCoefficients(64).zipWithIndex
+      val coefValues = NearDup.minhashCoefficients(32).zipWithIndex
         .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
           t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),
@@ -540,7 +540,7 @@ object SparkEntry {
           perms AS (SELECT doc_id, j,
             min((h0 * a + b) % 1099511627776) AS mh
             FROM h CROSS JOIN coef GROUP BY 1, 2),
-          bands AS (SELECT doc_id, j // 4 AS band,
+          bands AS (SELECT doc_id, j // 2 AS band,
             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig
             FROM perms GROUP BY 1, 2),
           cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2

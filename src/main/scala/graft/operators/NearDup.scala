@@ -107,8 +107,11 @@ object NearDup {
     * Output is one row per document (doc_id, rep_id, n_dups) — the
     * pair-generation is approximate (LSH recall) but every emitted
     * pair is exactly verified. */
-  def minhashDedup(docs: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
+  def minhashDedup(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 16,
                    threshold: Double = 0.5): DataFrame = {
+    // k=32 / r=2: at J=0.5 the candidate recall is 1-(1-J^2)^16 ≈ 0.99
+    // (vs 0.64 with r=4) while halving the signature aggregation; the
+    // extra false candidates are filtered by the exact verification.
     val bnd = minhashBands(docs, n, k, bands)
     // bucket by (band, band_sig) and emit pairs from each bucket's id
     // list — one pass over the signature pipeline (a self-join would
