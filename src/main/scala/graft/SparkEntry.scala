@@ -134,6 +134,21 @@ object SparkEntry {
     "q_pairwise_matrix" -> ((s, d) =>
       Pairwise.membershipMatrix(
         Tables.media(s, d).where(col("event_id") % 23 === 0), "etype", etypes)),
+    "q_frequency_dedup" -> ((s, d) =>
+      Frequency.freqDistribution(Tables.media(s, d), Some("etype"))),
+    "q_friendly_rename" -> ((s, d) => {
+      val reach = Reach.reachCount(
+        Tables.media(s, d), "household_id", Some("etype"), Some("projfact"))
+      val hier = Tables.nation(s, d).select(
+        col("n_name").as("dimension"),
+        concat(lit("Nation "), col("n_name")).as("friendly_name"))
+        .unionAll(Tables.events(s, d).select(col("event_type"), col("event_type"))
+          .distinct()
+          .select(col("event_type").as("dimension"),
+            upper(col("event_type")).as("friendly_name")))
+      ValueMapping.toFriendly(reach, "value", hier)
+        .orderBy(desc("count"), asc("value"))
+    }),
     "q_pairwise_pairs" -> ((s, d) =>
       Pairwise.pairwiseOverlap(Tables.media(s, d), "etype")),
     "q_reach_multi" -> ((s, d) =>
@@ -298,6 +313,32 @@ object SparkEntry {
           g AS (SELECT frequency, sum(projfact) AS raw FROM capped GROUP BY frequency)
           SELECT frequency, CAST(round(raw) AS BIGINT) AS proj_hh,
           raw / sum(raw) OVER () AS pct_hh FROM g ORDER BY frequency""",
+    "q_frequency_dedup" ->
+      s"""WITH m AS (SELECT DISTINCT user_id, event_type,
+          $ProjfactSql AS projfact FROM events),
+          hh AS (SELECT user_id, count(*) AS frequency, max(projfact) AS projfact
+            FROM m GROUP BY 1),
+          capped AS (SELECT CASE WHEN frequency >= 10 THEN 10 ELSE frequency END
+            AS frequency, projfact FROM hh),
+          g AS (SELECT frequency, sum(projfact) AS raw FROM capped GROUP BY 1)
+          SELECT frequency, CAST(round(raw) AS BIGINT) AS proj_hh,
+          raw / sum(raw) OVER () AS pct_hh FROM g ORDER BY frequency""",
+    "q_friendly_rename" ->
+      s"""WITH m AS (SELECT DISTINCT user_id AS household_id,
+          event_type AS value, $ProjfactSql AS projfact FROM events),
+          c AS (SELECT *, count(*) OVER (PARTITION BY household_id) AS cnt FROM m),
+          g AS (SELECT value, round(sum(projfact)) AS count,
+            round(sum(CASE WHEN cnt > 1 THEN 0.0 ELSE projfact END)) AS "unique"
+            FROM c GROUP BY value),
+          r AS (SELECT 'etype' AS dimension, value, count, "unique",
+            count - "unique" AS duplicates FROM g),
+          hier AS (SELECT n_name AS dimension, 'Nation ' || n_name AS friendly_name
+            FROM nation
+            UNION ALL SELECT DISTINCT event_type, upper(event_type) FROM events)
+          SELECT r.dimension, coalesce(h.friendly_name, r.value) AS value,
+            r.count, r."unique", r.duplicates
+          FROM r LEFT JOIN hier h ON lower(r.value) = lower(h.dimension)
+          ORDER BY r.count DESC, value""",
     "q_pairwise_matrix" ->
       s"""WITH p AS (SELECT user_id, $ProjfactSql AS projfact,
           CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

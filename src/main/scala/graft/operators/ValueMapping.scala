@@ -36,6 +36,21 @@ object ValueMapping {
       .orderBy(col("id"))
   }
 
+  /** Re-label a column through a (value → friendly_name) lookup,
+    * falling back to the original value when unmapped. Mirrors
+    * name_mapping.dimension_to_friendlyname
+    * (/root/reference/metrics/helpers/name_mapping.py:44-50), which
+    * applies a pandas lookup per cell; here it is a broadcast
+    * left-join + coalesce (case-insensitive like the reference). */
+  def toFriendly(df: DataFrame, column: String, mapping: DataFrame): DataFrame = {
+    val m = mapping
+      .select(lower(col("dimension")).as("_dim_key"), col("friendly_name"))
+      .dropDuplicates("_dim_key")
+    df.join(broadcast(m), lower(col(column)) === col("_dim_key"), "left_outer")
+      .withColumn(column, coalesce(col("friendly_name"), col(column)))
+      .drop("_dim_key", "friendly_name")
+  }
+
   /** Friendly-name map assembly: normalized key-attribute rows
     * right-outer-joined onto the dimension metadata, with key/val_id
     * falling back to the dimension's own name/id where the attribute
