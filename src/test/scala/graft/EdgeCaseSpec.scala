@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{NearDup, Reach}
+
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("reach drops null dimension values before dedup") {
+    val df = Seq(
+      (1L, Some("tv"), 1.0), (1L, None, 1.0), (2L, None, 2.0)
+    ).toDF("household_id", "etype", "projfact")
+    val r = Reach.reachCount(df, "household_id", Some("etype"), Some("projfact"))
+      .collect()
+    // household 2 only has null dims → disappears entirely
+    assert(r.length == 1)
+    assert(r.head.getString(1) == "tv" && r.head.getDouble(2) == 1.0)
+  }
+
+  test("normText/tokens handle punctuation-only and empty strings") {
+    val df = Seq((1L, "!!! ??? ..."), (2L, ""), (3L, "a-b c_d")).toDF("doc_id", "text")
+    val t = df.select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(t(1L).isEmpty)
+    assert(t(2L).isEmpty)
+    assert(t(3L) == Seq("a", "b", "c", "d"))
+  }
+
+  test("fingerprints are case/punctuation invariant") {
+    val df = Seq((1L, "Hello, World!"), (2L, "hello   world"), (3L, "hello worlds"))
+      .toDF("doc_id", "text")
+    val fp = graft.operators.TextAnalysis.fingerprints(df)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("jaccard dfCap drops hot shingles but keeps strong pairs") {
+    // docs 1/2 share many shingles; the hot shingle appears in all docs
+    val hot = "x y z"
+    val df = Seq(
+      (1L, s"$hot a b c d e f g h"),
+      (2L, s"$hot a b c d e f g k"),
+      (3L, s"$hot q w r t u i o p"),
+      (4L, s"$hot m n l j v s d a")
+    ).toDF("doc_id", "text")
+    val capped = NearDup.jaccardPairs(df, 3, 0.3, dfCap = Some(3)).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+  }
+
+  test("minhash dedup on an empty-ish corpus returns one row per doc") {
+    val df = Seq((1L, "a"), (2L, "b c")).toDF("doc_id", "text") // no shingles at all
+    val m = NearDup.minhashDedup(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 2L))
+  }
+}
