@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, RollingHash}
 
 /** Standard session config for the graft engine. One place to keep the
   * settings that matter at scale (AQE, shuffle partitions sized to the
@@ -14,11 +14,18 @@ object GraftSession {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
-      .withExtensions(_.injectFunction((
-        FunctionIdentifier("graft_dot"),
-        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          DotProduct(exprs.head, exprs(1)))))
+      .withExtensions { ext =>
+        ext.injectFunction((
+          FunctionIdentifier("graft_dot"),
+          new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+          (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            DotProduct(exprs.head, exprs(1))))
+        ext.injectFunction((
+          FunctionIdentifier("graft_rolling_hash"),
+          new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
+          (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            RollingHash(exprs.head)))
+      }
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -53,12 +53,12 @@ object TextFunctions {
   }
 
   /** Deterministic 40-bit polynomial rolling hash of a string:
-    * fold(h*31 + ascii(char)) mod 2^40 — small enough to never
-    * overflow a 64-bit accumulator, portable to any engine with a
-    * list fold. */
-  def rollingHash(c: Column): Column =
-    aggregate(
-      filter(split(c, ""), ch => ch =!= ""),
-      lit(0L),
-      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1099511627776L)))
+    * fold(h*31 + char) mod 2^40 — small enough to never overflow a
+    * 64-bit accumulator, portable to any engine with a list fold
+    * (the DuckDB oracles replay it with list_reduce over ascii()).
+    * Dispatches to the native codegen'd
+    * [[graft.functions.RollingHash]] expression (registered by
+    * GraftSession) — the interpreted split→filter→per-char-lambda
+    * fold computes the same value ~10× slower. */
+  def rollingHash(c: Column): Column = call_function("graft_rolling_hash", c)
 }
