@@ -23,15 +23,28 @@ object NearDup {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shingles(col("toks"), n).as("sh"))
 
+  /** Default document-frequency cap for [[jaccardPairs]]: a shingle
+    * shared by more docs than this is stopword-like evidence and the
+    * skew bomb at scale (d docs sharing a shingle → d²/2 join rows
+    * from one key). Results are exact whenever no shingle exceeds the
+    * cap (max observed df in the test corpora is 25); when the cap
+    * binds, pairs whose overlap includes capped shingles score lower
+    * (never higher), so the output degrades toward fewer pairs rather
+    * than wrong ones. */
+  val DefaultDfCap: Int = 1000
+
   /** Exact Jaccard pairs ≥ `threshold` via inverted index: explode
     * shingles, self-join on the shingle, count common per pair, join
     * set sizes. Any pair with jaccard > 0 shares ≥1 shingle, so the
-    * index is exact (no recall loss). At scale, hot shingles are the
-    * skew risk — `dfCap` drops shingles shared by more than that many
-    * docs; with the default (no cap) results are exact. */
+    * index is exact (no recall loss). Hot shingles are dropped past
+    * `dfCap` ([[DefaultDfCap]]); pass `None` for exact-at-any-skew.
+    * The shingle frame is persisted — the self-join reads it twice and
+    * the set-size join a third time, and the tokenize→shingle chain is
+    * the dominant cost of the operator. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                   dfCap: Option[Int] = None): DataFrame = {
+                   dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
     val t = shingleSets(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e0 = t.select(col("doc_id"), explode(col("sh")).as("s"))
     val e = dfCap match {
       case Some(cap) =>
@@ -71,34 +84,27 @@ object NearDup {
       rnd.nextLong() & (HashMod - 1)))
   }
 
-  /** MinHash signatures: one portable rolling hash per shingle, k
-    * affine permutations of it (Broder-style), signature = per-perm
-    * min. Computed as `k` min-aggregate COLUMNS over the exploded
-    * (doc, shingle) frame — one hash shuffle on doc_id with map-side
-    * partial mins and zero row multiplication (an earlier
-    * (doc, shingle, seed) explode was 64× the rows and 100× the wall
-    * time). Band keys are then built row-locally and unpivoted to
-    * (doc, band, band_sig). Every step is engine-portable, so the
-    * whole LSH pipeline is replayed by the DuckDB oracle. */
-  private def minhashBands(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
-    val rows = k / bands
+  /** (doc_id, sh, m0..m{k-1}): shingle set + MinHash signature in one
+    * frame, computed entirely row-locally — no explode, no shuffle.
+    * The per-shingle rolling hashes are staged in their own projection
+    * (Spark does not CSE inside higher-order-function lambdas), then
+    * each signature column is an `array_min` over the k-th affine
+    * permutation of that hash array (Broder-style). Keeping `sh` in
+    * the same frame means one persisted projection serves band
+    * generation AND both sides of the exact verification join. An
+    * earlier explode + k min-agg columns version computed the same
+    * numbers but paid a full (doc, shingle) shuffle and lost `sh`,
+    * forcing the tokenizer chain to be recomputed per consumer. */
+  private[operators] def signatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
     val coef = minhashCoefficients(k)
-    val e = shingleSets(docs, n)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-    val hashed = e.select(col("doc_id"), rollingHash(col("s")).as("h0"))
-    val sig = hashed.groupBy(col("doc_id")).agg(
-      min(pmod(col("h0") * coef(0)._1 + coef(0)._2, lit(HashMod))).as("m0"),
-      (1 until k).map(i =>
-        min(pmod(col("h0") * coef(i)._1 + coef(i)._2, lit(HashMod))).as(s"m$i")): _*)
-    val bandStructs = (0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}").cast("string")): _*)
-          .as("band_sig"))
-    }
-    sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    shingleSets(docs, n)
+      .withColumn("h0s", transform(col("sh"), s => rollingHash(s)))
+      .select(
+        Seq(col("doc_id"), col("sh")) ++
+          (0 until k).map { i =>
+            array_min(transform(col("h0s"),
+              h => pmod(h * coef(i)._1 + coef(i)._2, lit(HashMod)))).as(s"m$i")
+          }: _*)
   }
 
   /** MinHash+LSH near-dup clustering: band-bucket candidates, exact
@@ -106,19 +112,47 @@ object NearDup {
     * assignment (rep = min doc_id among itself and verified partners).
     * Output is one row per document (doc_id, rep_id, n_dups) — the
     * pair-generation is approximate (LSH recall) but every emitted
-    * pair is exactly verified. */
+    * pair is exactly verified.
+    *
+    * `bucketCap` bounds the per-bucket candidate list: a degenerate
+    * bucket (e.g. thousands of near-empty docs sharing a signature)
+    * would otherwise materialize O(m²) pairs from a single task. Ids
+    * are sorted before the cap so the kept prefix is deterministic;
+    * docs dropped from an oversized bucket can still pair through any
+    * of their other `bands-1` buckets. Must exceed the largest real
+    * duplicate cluster for exact results (a cluster of identical docs
+    * shares ALL its buckets, so no other band recovers a pair the cap
+    * dropped). */
   def minhashDedup(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 16,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
+    val rows = k / bands
     // k=32 / r=2: at J=0.5 the candidate recall is 1-(1-J^2)^16 ≈ 0.99
-    // (vs 0.64 with r=4) while halving the signature aggregation; the
-    // extra false candidates are filtered by the exact verification.
-    val bnd = minhashBands(docs, n, k, bands)
-    // bucket by (band, band_sig) and emit pairs from each bucket's id
-    // list — one pass over the signature pipeline (a self-join would
-    // compute it twice) and no join blowup on hot buckets
+    // (vs 0.64 with r=4) while halving the signature work; the extra
+    // false candidates are filtered by the exact verification.
+    // Persisted because bands + both verify sides read it — without
+    // the persist the tokenize→shingle→hash chain (the most expensive
+    // projection in the engine) runs three times. MEMORY_AND_DISK so
+    // a 100 TB corpus spills instead of evicting mid-job.
+    val sig = signatures(docs, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}").cast("string")): _*)
+          .as("band_sig"))
+    }
+    // shingle-less docs have NULL signatures (array_min of empty) and
+    // can never verify — exclude them so they don't all share one
+    // degenerate "" bucket (concat_ws skips NULLs)
+    val bnd = sig
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    // bucket by (band, band_sig) and emit pairs from each bucket's
+    // sorted, capped id list — no join blowup on hot buckets
     val cand = bnd
       .groupBy(col("band"), col("band_sig"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, bucketCap).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
@@ -127,7 +161,7 @@ object NearDup {
         .as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
-    val t = shingleSets(docs, n)
+    val t = sig.select(col("doc_id"), col("sh"))
     val verified = cand
       .join(t.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(t.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
