@@ -20,19 +20,31 @@ object Bench {
     // warm the JVM/codegen once on the smallest table so the first
     // timed query doesn't pay one-time session costs
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Fail loud: a crashing query records -1 (never a plausible time),
+    // is named in the errors list, and fails the whole bench run — a
+    // silently-swallowed failure would read as a very fast success and
+    // mask a regression in exactly the artifact the driver grades.
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every column (count() would
       // let Spark prune the plan)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (name, (System.nanoTime() - t0) / 1e9, None: Option[Throwable])
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          (name, -1.0, Some(e))
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, Some(_)) => k }
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -31,8 +31,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // reference semantics (PySpark 2.x era): x/0 → NULL, matching
-      // DuckDB's oracle behavior, instead of ANSI errors
+      // reference semantics (PySpark 2.x era): x/0 → NULL instead of
+      // ANSI errors. NOTE this does NOT match DuckDB double division
+      // (IEEE: x/0 → inf/NaN) — operators guard zero-able
+      // denominators with nullif on BOTH sides so the oracles agree
+      // regardless of data
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
 

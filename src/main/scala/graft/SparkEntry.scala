@@ -134,8 +134,15 @@ object SparkEntry {
     "q_pairwise_matrix" -> ((s, d) =>
       Pairwise.membershipMatrix(
         Tables.media(s, d).where(col("event_id") % 23 === 0), "etype", etypes)),
+    // Per-household sampling rate 1/(household_id+2) keeps the deduped
+    // distinct-etype counts spread over >1 bucket at EVERY sf (an
+    // unsampled input degenerates to one row: all households hit all 5
+    // event types at sf>=0.01).
     "q_frequency_dedup" -> ((s, d) =>
-      Frequency.freqDistribution(Tables.media(s, d), Some("etype"))),
+      Frequency.freqDistribution(
+        Tables.media(s, d)
+          .where(col("event_id") % (col("household_id") + 2) === 0),
+        Some("etype"))),
     "q_friendly_rename" -> ((s, d) => {
       val reach = Reach.reachCount(
         Tables.media(s, d), "household_id", Some("etype"), Some("projfact"))
@@ -241,6 +248,11 @@ object SparkEntry {
       VectorSearch.ivfTopK(emb, emb.where(col("vec_id") % 50 === 0),
         col("vec_id") < 10, 3)
     }),
+    "q_ann_ivf_p2" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorSearch.ivfTopK(emb, emb.where(col("vec_id") % 50 === 0),
+        col("vec_id") < 10, 3, nprobe = 2)
+    }),
     "q_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
   )
 
@@ -315,7 +327,8 @@ object SparkEntry {
           raw / sum(raw) OVER () AS pct_hh FROM g ORDER BY frequency""",
     "q_frequency_dedup" ->
       s"""WITH m AS (SELECT DISTINCT user_id, event_type,
-          $ProjfactSql AS projfact FROM events),
+          $ProjfactSql AS projfact FROM events
+          WHERE event_id % (user_id + 2) = 0),
           hh AS (SELECT user_id, count(*) AS frequency, max(projfact) AS projfact
             FROM m GROUP BY 1),
           capped AS (SELECT CASE WHEN frequency >= 10 THEN 10 ELSE frequency END
@@ -334,10 +347,12 @@ object SparkEntry {
             count - "unique" AS duplicates FROM g),
           hier AS (SELECT n_name AS dimension, 'Nation ' || n_name AS friendly_name
             FROM nation
-            UNION ALL SELECT DISTINCT event_type, upper(event_type) FROM events)
+            UNION ALL SELECT DISTINCT event_type, upper(event_type) FROM events),
+          hd AS (SELECT lower(dimension) AS dim_key,
+            min(friendly_name) AS friendly_name FROM hier GROUP BY 1)
           SELECT r.dimension, coalesce(h.friendly_name, r.value) AS value,
             r.count, r."unique", r.duplicates
-          FROM r LEFT JOIN hier h ON lower(r.value) = lower(h.dimension)
+          FROM r LEFT JOIN hd h ON lower(r.value) = h.dim_key
           ORDER BY r.count DESC, value""",
     "q_pairwise_matrix" ->
       s"""WITH p AS (SELECT user_id, $ProjfactSql AS projfact,
@@ -434,18 +449,20 @@ object SparkEntry {
               count(cwgt_bb) AS cwgt_bb_cnt
             FROM wts2 GROUP BY 1, 2)
           SELECT hh_exposed, bef_aft, volume_tgt, volume_cat,
-            volume_tgt / volume_cat AS ratio,
-            brand_wgt / (bwgt / bwgt_cnt) AS brand_wgt,
-            category_wgt / (cwgt / cwgt_cnt) AS category_wgt,
-            (brand_wgt / (bwgt / bwgt_cnt)) /
-              (category_wgt / (cwgt / cwgt_cnt)) AS weighted_ratio,
+            volume_tgt / nullif(volume_cat, 0) AS ratio,
+            brand_wgt / (bwgt / nullif(bwgt_cnt, 0)) AS brand_wgt,
+            category_wgt / (cwgt / nullif(cwgt_cnt, 0)) AS category_wgt,
+            (brand_wgt / (bwgt / nullif(bwgt_cnt, 0))) /
+              nullif(category_wgt / (cwgt / nullif(cwgt_cnt, 0)), 0) AS weighted_ratio,
             bwgt_cnt, cwgt_cnt,
-            CAST(bwgt_cnt AS DOUBLE) / cwgt_cnt AS i_ratio,
-            volume_cat_bb, volume_tgt / volume_cat_bb AS ratio_bb,
-            category_wgt_bb / (cwgt_bb / cwgt_bb_cnt) AS category_wgt_bb,
-            (brand_wgt / (bwgt / bwgt_cnt)) /
-              (category_wgt_bb / (cwgt_bb / cwgt_bb_cnt)) AS weighted_ratio_bb,
-            cwgt_bb_cnt, CAST(bwgt_cnt AS DOUBLE) / cwgt_bb_cnt AS i_ratio_bb, wgt
+            CAST(bwgt_cnt AS DOUBLE) / nullif(cwgt_cnt, 0) AS i_ratio,
+            volume_cat_bb, volume_tgt / nullif(volume_cat_bb, 0) AS ratio_bb,
+            category_wgt_bb / (cwgt_bb / nullif(cwgt_bb_cnt, 0)) AS category_wgt_bb,
+            (brand_wgt / (bwgt / nullif(bwgt_cnt, 0))) /
+              nullif(category_wgt_bb / (cwgt_bb / nullif(cwgt_bb_cnt, 0)), 0)
+              AS weighted_ratio_bb,
+            cwgt_bb_cnt,
+            CAST(bwgt_cnt AS DOUBLE) / nullif(cwgt_bb_cnt, 0) AS i_ratio_bb, wgt
           FROM summed ORDER BY hh_exposed, bef_aft DESC""",
     "q_contingency" ->
       s"""${beforeAfterCtes(6, 7, exposedOnly = true)},
@@ -473,7 +490,7 @@ object SparkEntry {
          FROM events WHERE event_id % 20 <> 0 GROUP BY 1, 2)
          SELECT event_type, date, exe_imp, impressions,
          impressions - exe_imp AS diff,
-         CAST(impressions - exe_imp AS DOUBLE) / impressions AS pct_diff
+         CAST(impressions - exe_imp AS DOUBLE) / nullif(impressions, 0) AS pct_diff
          FROM l FULL JOIN a USING (event_type, date)
          ORDER BY event_type, date""",
     "q_qa_hourshift" ->
@@ -529,9 +546,11 @@ object SparkEntry {
             CAST(len(text) AS INTEGER) AS text_len,
             CAST(len(toks) AS INTEGER) AS token_cnt,
             CAST(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','is'], t))) AS INTEGER) AS stop_hits,
-            CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / len(text) AS alpha_ratio
+            CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) /
+              nullif(len(text), 0) AS alpha_ratio
           FROM t),
-          r AS (SELECT *, CAST(stop_hits AS DOUBLE) / token_cnt AS stop_ratio FROM b)
+          r AS (SELECT *,
+            CAST(stop_hits AS DOUBLE) / nullif(token_cnt, 0) AS stop_ratio FROM b)
           SELECT doc_id, text_len, token_cnt, stop_hits, alpha_ratio, stop_ratio,
             least(CAST(1.0 AS DOUBLE), token_cnt / CAST(100.0 AS DOUBLE)) *
               (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * stop_ratio) * alpha_ratio
@@ -653,6 +672,34 @@ object SparkEntry {
           s AS (SELECT query_id, a2.vec_id AS neighbor_id,
             ${dotSql("q", "a2")} / (q.nrm * a2.nrm) AS c
             FROM q JOIN a2 USING (centroid_id) WHERE query_id <> a2.vec_id),
+          r AS (SELECT query_id, neighbor_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY c DESC, neighbor_id) AS INTEGER) AS "rank",
+            round(c, 6) AS cos FROM s)
+          SELECT query_id, neighbor_id, "rank", cos FROM r
+          WHERE "rank" <= 3 ORDER BY query_id, "rank"""",
+    "q_ann_ivf_p2" ->
+      s"""WITH e AS ($NormedEmbSql),
+          ctr AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e
+            WHERE vec_id % 50 = 0),
+          asg AS (SELECT e.vec_id, e.embedding, e.nrm, ctr.centroid_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,
+                       ctr.centroid_id) AS rk
+            FROM e CROSS JOIN ctr),
+          a2 AS (SELECT vec_id, embedding, nrm, centroid_id FROM asg WHERE rk = 1),
+          q AS (SELECT vec_id AS query_id, embedding, nrm FROM a2
+            WHERE vec_id < 10),
+          qc AS (SELECT query_id, ctr.centroid_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY ${dotSql("q", "ctr")} / (q.nrm * ctr.nrm) DESC,
+                       ctr.centroid_id) AS crk
+            FROM q CROSS JOIN ctr),
+          qcells AS (SELECT query_id, centroid_id FROM qc WHERE crk <= 2),
+          s AS (SELECT query_id, a2.vec_id AS neighbor_id,
+            ${dotSql("q", "a2")} / (q.nrm * a2.nrm) AS c
+            FROM qcells JOIN q USING (query_id) JOIN a2 USING (centroid_id)
+            WHERE query_id <> a2.vec_id),
           r AS (SELECT query_id, neighbor_id,
             CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY c DESC, neighbor_id) AS INTEGER) AS "rank",

@@ -7,12 +7,13 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen'd 40-bit polynomial rolling hash:
-  * fold(h*31 + codepoint) mod 2^40 over the string's characters —
-  * exactly the math of TextFunctions.rollingHash's higher-order fold
-  * (and of the DuckDB list_reduce oracles), but as a tight loop
-  * instead of split→filter→per-char lambda dispatch. Inputs are
-  * normalized ASCII ([a-z0-9 ]) in every call site, where UTF-8 bytes,
-  * UTF-16 units and codepoints coincide.
+  * fold(h*31 + codepoint) mod 2^40 over the string's Unicode code
+  * points — exactly the math of the DuckDB oracle recipe
+  * (list_reduce over per-character ascii(), which yields the
+  * codepoint). Iterating code points rather than UTF-16 units keeps
+  * the registered graft_rolling_hash oracle-consistent on non-BMP
+  * input too; on the normalized ASCII every call site feeds it, the
+  * two coincide.
   */
 case class RollingHash(child: Expression) extends UnaryExpression {
 
@@ -31,8 +32,9 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     var acc = 0L
     var i = 0
     while (i < s.length) {
-      acc = (acc * 31 + s.charAt(i)) % Mod
-      i += 1
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % Mod
+      i += Character.charCount(cp)
     }
     acc
   }
@@ -41,12 +43,16 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
       val acc = ctx.freshName("acc")
       s"""
          |String $s = $c.toString();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  $acc = ($acc * 31L + $s.charAt($i)) % ${Mod}L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 31L + $cp) % ${Mod}L;
+         |  $i += Character.charCount($cp);
          |}
          |${ev.value} = $acc;
        """.stripMargin

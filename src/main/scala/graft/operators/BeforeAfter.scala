@@ -147,26 +147,35 @@ object BeforeAfter {
     val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
       Seq("bwgt", "cwgt", "cwgt_bb").map(c => count(col(c)).as(c + "_cnt"))
     val g = weights.groupBy(col("bef_aft"), col("hh_exposed")).agg(aggs.head, aggs.tail: _*)
+    // zero-able denominators (volume sums over all-balanced-zero
+    // groups, counts over empty weight sets) go through nullif so both
+    // engines yield NULL — Spark's non-ANSI x/0 is NULL but DuckDB's
+    // IEEE double x/0 is inf/NaN, so without the guard the oracles
+    // only agree while the data happens to avoid zeros. nullif is the
+    // identity on every non-zero value, so expression trees (and
+    // hashes) are unchanged otherwise.
+    val bwgtMean = col("brand_wgt") / (col("bwgt") / nullif(col("bwgt_cnt"), lit(0)))
+    val cwgtMean = col("category_wgt") / (col("cwgt") / nullif(col("cwgt_cnt"), lit(0)))
+    val cwgtBbMean =
+      col("category_wgt_bb") / (col("cwgt_bb") / nullif(col("cwgt_bb_cnt"), lit(0)))
     g.select(
       col("hh_exposed"),
       col("bef_aft"),
       col("volume_tgt"),
       col("volume_cat"),
-      (col("volume_tgt") / col("volume_cat")).as("ratio"),
-      (col("brand_wgt") / (col("bwgt") / col("bwgt_cnt"))).as("brand_wgt"),
-      (col("category_wgt") / (col("cwgt") / col("cwgt_cnt"))).as("category_wgt"),
-      ((col("brand_wgt") / (col("bwgt") / col("bwgt_cnt"))) /
-        (col("category_wgt") / (col("cwgt") / col("cwgt_cnt")))).as("weighted_ratio"),
+      (col("volume_tgt") / nullif(col("volume_cat"), lit(0.0))).as("ratio"),
+      bwgtMean.as("brand_wgt"),
+      cwgtMean.as("category_wgt"),
+      (bwgtMean / nullif(cwgtMean, lit(0.0))).as("weighted_ratio"),
       col("bwgt_cnt"),
       col("cwgt_cnt"),
-      (col("bwgt_cnt").cast("double") / col("cwgt_cnt")).as("i_ratio"),
+      (col("bwgt_cnt").cast("double") / nullif(col("cwgt_cnt"), lit(0))).as("i_ratio"),
       col("volume_cat_bb"),
-      (col("volume_tgt") / col("volume_cat_bb")).as("ratio_bb"),
-      (col("category_wgt_bb") / (col("cwgt_bb") / col("cwgt_bb_cnt"))).as("category_wgt_bb"),
-      ((col("brand_wgt") / (col("bwgt") / col("bwgt_cnt"))) /
-        (col("category_wgt_bb") / (col("cwgt_bb") / col("cwgt_bb_cnt")))).as("weighted_ratio_bb"),
+      (col("volume_tgt") / nullif(col("volume_cat_bb"), lit(0.0))).as("ratio_bb"),
+      cwgtBbMean.as("category_wgt_bb"),
+      (bwgtMean / nullif(cwgtBbMean, lit(0.0))).as("weighted_ratio_bb"),
       col("cwgt_bb_cnt"),
-      (col("bwgt_cnt").cast("double") / col("cwgt_bb_cnt")).as("i_ratio_bb"),
+      (col("bwgt_cnt").cast("double") / nullif(col("cwgt_bb_cnt"), lit(0))).as("i_ratio_bb"),
       col("wgt"))
       .orderBy(asc("hh_exposed"), desc("bef_aft"))
   }

@@ -33,7 +33,11 @@ object DailyQA {
     logG
       .join(adG, dims, "full_outer")
       .withColumn("diff", col("impressions") - col("exe_imp"))
-      .withColumn("pct_diff", col("diff").cast("double") / col("impressions"))
+      // nullif: impressions can be 0 when the grouped ad side carries
+      // an explicit zero (e.g. sum over an all-zero group) — NULL in
+      // both engines instead of Spark-NULL vs DuckDB-inf
+      .withColumn("pct_diff",
+        col("diff").cast("double") / nullif(col("impressions"), lit(0)))
       .orderBy(cols: _*)
   }
 

@@ -40,10 +40,14 @@ object TextAnalysis {
         length(col("text")).as("text_len"),
         size(col("toks")).as("token_cnt"),
         stopwordHits(col("toks"), stopwords("en")).as("stop_hits"),
+        // nullif guards: empty text / zero tokens → NULL ratios in
+        // BOTH engines (DuckDB's IEEE double 0/0 is NaN, Spark's
+        // non-ANSI is NULL — without the guard the oracle match is
+        // data-dependent)
         (length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double") /
-          length(col("text"))).as("alpha_ratio"))
+          nullif(length(col("text")), lit(0))).as("alpha_ratio"))
       .withColumn("stop_ratio",
-        col("stop_hits").cast("double") / col("token_cnt"))
+        col("stop_hits").cast("double") / nullif(col("token_cnt"), lit(0)))
       // no rounding: both engines build the identical IEEE expression
       // tree, so raw doubles match bit-for-bit, while round() exposes
       // half-up vs half-even boundary disagreements

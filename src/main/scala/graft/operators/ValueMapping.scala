@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Value-id mapping: normalize key columns and assign a dense integer
@@ -14,12 +13,34 @@ import org.apache.spark.sql.functions._
   * Spark-first notes: the reference uses `monotonically_increasing_id`
   * for the value ids — nondeterministic across partitionings and
   * re-runs, which breaks reproducible pipelines and any downstream
-  * equality join on the id. Here the id is `dense_rank` over the
-  * distinct values (deterministic, stable, still one narrow shuffle of
-  * the tiny distinct-value frame). The join back is a broadcast of
-  * that frame — no repartition of the fact side.
+  * equality join on the id. Here the ids are dense 1..N in ascending
+  * value order, assigned two-phase ([[assignDenseIds]]) so no single
+  * task ever sees the whole value domain. The join back carries no
+  * broadcast hint — AQE broadcasts when the domain is small and falls
+  * back to a shuffle join when it is not.
   */
 object ValueMapping {
+
+  /** Dense ids 1..N in ascending `column` order — the semantics of
+    * `dense_rank() OVER (ORDER BY column)` on a distinct frame, but
+    * scalable: a global-window rank funnels every distinct value
+    * through one task, while this range-repartitions (phase 1: global
+    * order across partitions), sorts within each partition, and
+    * zipWithIndex-es (phase 2: one small per-partition-count job
+    * computes each partition's exclusive offset; indices are assigned
+    * locally). Input rows must already be distinct on `column`. */
+  def assignDenseIds(distinctVals: DataFrame, column: String): DataFrame = {
+    val spark = distinctVals.sparkSession
+    val sorted = distinctVals
+      .repartitionByRange(col(column).asc)
+      .sortWithinPartitions(col(column))
+    val schema = sorted.schema.add("val_id", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 
   /** Input must have columns (id, id_type, key, value). Output adds
     * normalized key/id_type and a dense `val_id` per distinct value. */
@@ -27,11 +48,9 @@ object ValueMapping {
     val normalized = df
       .withColumn("key", lower(col("key")))
       .withColumn("id_type", regexp_replace(col("id_type"), "_id", "id"))
-    val valMap = normalized
-      .select(col("value")).distinct()
-      .withColumn("val_id", dense_rank().over(Window.orderBy(col("value"))).cast("long"))
+    val valMap = assignDenseIds(normalized.select(col("value")).distinct(), "value")
     normalized
-      .join(broadcast(valMap), Seq("value"))
+      .join(valMap, Seq("value"))
       .select(col("id"), col("id_type"), col("key"), col("value"), col("val_id"))
       .orderBy(col("id"))
   }
@@ -41,11 +60,15 @@ object ValueMapping {
     * name_mapping.dimension_to_friendlyname
     * (/root/reference/metrics/helpers/name_mapping.py:44-50), which
     * applies a pandas lookup per cell; here it is a broadcast
-    * left-join + coalesce (case-insensitive like the reference). */
+    * left-join + coalesce (case-insensitive like the reference). A
+    * case-insensitively duplicated dimension resolves to the MIN
+    * friendly_name — deterministic, unlike dropDuplicates' arbitrary
+    * row, and mirrored by the oracle SQL. */
   def toFriendly(df: DataFrame, column: String, mapping: DataFrame): DataFrame = {
     val m = mapping
       .select(lower(col("dimension")).as("_dim_key"), col("friendly_name"))
-      .dropDuplicates("_dim_key")
+      .groupBy(col("_dim_key"))
+      .agg(min(col("friendly_name")).as("friendly_name"))
     df.join(broadcast(m), lower(col(column)) === col("_dim_key"), "left_outer")
       .withColumn(column, coalesce(col("friendly_name"), col(column)))
       .drop("_dim_key", "friendly_name")

@@ -65,18 +65,29 @@ object VectorSearch {
   }
 
   /** Deterministic centroid assignment: nearest centroid by cosine
-    * (centroid_id tiebreak). Centroids are broadcast — assignment is a
-    * map-side pass over the corpus, the scale path for IVF. */
+    * (min centroid_id on ties). Centroids are broadcast and the argmax
+    * is a `max_by` aggregate over the broadcast-nested-loop expansion:
+    * all k candidate rows for a vector sit in the same map partition,
+    * so partial aggregation collapses them to one row per vector
+    * BEFORE the single hash shuffle on vec_id — the corpus ×
+    * centroids frame is never shuffled (the previous row_number
+    * window shuffled the full expansion). */
   def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val e = withNorm(embeddings)
     val c = withNorm(centroids).select(
       col("vec_id").as("centroid_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("ccos"), asc("centroid_id"))
     e.crossJoin(broadcast(c))
       .withColumn("ccos", cosine(col("embedding"), col("ce"), col("nrm"), col("cn")))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        // every candidate row carries the same embedding/nrm for a
+        // given vec_id, so first() is deterministic here
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"),
+        // lexicographic struct max: highest ccos, then lowest
+        // centroid_id — the (cos DESC, centroid_id ASC) tiebreak
+        max_by(col("centroid_id"),
+          struct(col("ccos"), negate(col("centroid_id")))).as("centroid_id"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
   }
 
@@ -101,22 +112,44 @@ object VectorSearch {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           p => p.getField("m").cast("float")).as("embedding"))
+        // materialize the (tiny) centroid frame and truncate lineage:
+        // without this, iteration i's plan re-executes iterations
+        // 0..i-1, so Lloyd costs O(iterations²) corpus passes
+        .localCheckpoint()
     }
     centroids
   }
 
-  /** IVF top-k: search only the query's cell (nprobe=1). Approximate
+  /** IVF top-k: search the query's `nprobe` nearest cells. Approximate
     * by construction; deterministic given the centroid set, so an
-    * engine-independent oracle can replay the same algorithm. */
+    * engine-independent oracle can replay the same algorithm. Corpus
+    * vectors live in exactly one cell (nprobe applies to the query
+    * side only), so no neighbor is scored twice. The query side stays
+    * tiny (it is exploded to nprobe rows per query, then broadcast);
+    * the corpus is scanned once and only candidate cells are ranked.
+    * The final top-k row_number window partitions by query_id —
+    * bounded by the broadcastable query count, never corpus-sized. */
   def ivfTopK(embeddings: DataFrame, centroids: DataFrame,
-              queryFilter: Column, k: Int): DataFrame = {
+              queryFilter: Column, k: Int, nprobe: Int = 1): DataFrame = {
     val assigned = assignCells(embeddings, centroids)
-    val q = assigned.where(queryFilter).select(
-      col("vec_id").as("query_id"), col("embedding").as("qe"),
-      col("nrm").as("qn"), col("centroid_id"))
+    val c = withNorm(centroids).select(
+      col("vec_id").as("centroid_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    // top-nprobe cells per query, row-locally: sort the (neg cos,
+    // centroid_id) structs and keep the prefix — no window
+    val qcells = assigned.where(queryFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      .crossJoin(broadcast(c))
+      .withColumn("ccos", cosine(col("qe"), col("ce"), col("qn"), col("cn")))
+      .groupBy(col("query_id"))
+      .agg(first(col("qe")).as("qe"), first(col("qn")).as("qn"),
+        slice(sort_array(collect_list(struct(
+          negate(col("ccos")).as("nc"), col("centroid_id").as("cid")))),
+          1, nprobe).as("cells"))
+      .select(col("query_id"), col("qe"), col("qn"),
+        explode(col("cells.cid")).as("centroid_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_exact"), asc("vec_id"))
-    broadcast(q).join(assigned, Seq("centroid_id"))
+    broadcast(qcells).join(assigned, Seq("centroid_id"))
       .where(col("query_id") =!= col("vec_id"))
       .withColumn("cos_exact", cosine(col("qe"), col("embedding"), col("qn"), col("nrm")))
       .withColumn("rank", row_number().over(w))
