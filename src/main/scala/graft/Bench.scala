@@ -10,9 +10,11 @@ object Bench {
     "q_event_windows", "q_reach_overall", "q_reach_by_type", "q_frequency",
     "q_pairwise_matrix", "q_pairwise_pairs", "q_reach_week",
     "q_projection_ratio", "q_value_mapping", "q_before_after",
-    "q_contingency", "q_qa_daily", "q_qa_meta", "q_lang_id",
+    "q_contingency", "q_qa_daily", "q_qa_meta", "q_qa_multigroup",
+    "q_qa_flags", "q_lang_id",
     "q_text_quality", "q_token_count", "q_fingerprint", "q_dedup_exact",
-    "q_minhash_dedup", "q_simhash", "q_ann_ivf", "q_multimodal_meta")
+    "q_ngram_jaccard", "q_minhash_dedup", "q_simhash", "q_ann_ivf",
+    "q_ann_ivf_p2", "q_multimodal_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

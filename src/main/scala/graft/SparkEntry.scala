@@ -17,6 +17,32 @@ object SparkEntry {
     * every oracle below. */
   private val ProjfactSql = "CAST(1 + user_id % 7 AS DOUBLE)"
 
+  /** |pct_diff| threshold for q_qa_flags — ~the planted 1-in-20 ad-side
+    * drop rate, so the flag splits the groups non-trivially. */
+  private val QaTolerance = 0.0526
+
+  /** One multigroup-QA oracle block: grouped log/ad counts outer-joined
+    * on `keys`, log-side meta left-joined, labels applied. Mirrors one
+    * [[graft.operators.DailyQA.multiGroupingQA]] `block`. */
+  private def qaBlockSql(d: String, logT: String, adT: String,
+                         dateSel: String, dimLabel: String,
+                         byDate: Boolean): String = {
+    val keys = if (byDate) s"$d, date" else d
+    s"""SELECT '$dimLabel' AS dimension, CAST($d AS VARCHAR) AS value,
+       $dateSel AS date, exe_imp, impressions,
+       impressions - exe_imp AS diff,
+       CAST(impressions - exe_imp AS DOUBLE) / nullif(impressions, 0) AS pct_diff,
+       meta
+       FROM (
+         SELECT $keys, exe_imp, impressions, meta FROM
+           (SELECT $keys, count(*) AS exe_imp FROM $logT GROUP BY $keys) l
+           FULL JOIN (SELECT $keys, count(*) AS impressions FROM $adT
+                      GROUP BY $keys) a USING ($keys)
+           LEFT JOIN (SELECT $keys, string_agg(conf, ' ' ORDER BY conf) AS meta
+                      FROM (SELECT DISTINCT $keys, conf FROM $logT)
+                      GROUP BY $keys) m USING ($keys))"""
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Analytics.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
@@ -207,6 +233,27 @@ object SparkEntry {
     }),
     "q_qa_hourshift" -> ((s, d) =>
       DailyQA.shiftedDailyCounts(Tables.events(s, d), "ts", -6, 7)),
+    "q_qa_multigroup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def prep(df: DataFrame) = df.select(
+        col("event_type"),
+        (col("user_id") % 5).cast("string").as("site"),
+        to_date(col("ts")).as("date"),
+        (col("user_id") % 10).cast("string").as("conf"))
+      DailyQA.multiGroupingQA(
+        prep(ev), Some(prep(ev.where(col("event_id") % 20 =!= 0))),
+        Seq("event_type", "site"), 7, Some("conf"))
+    }),
+    "q_qa_flags" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val qa = DailyQA.groupingDiff(
+        ev.select(col("event_type"), to_date(col("ts")).as("date")),
+        ev.where(col("event_id") % 20 =!= 0)
+          .select(col("event_type"), to_date(col("ts")).as("date")),
+        Seq("event_type", "date"))
+      DataChecks.flagExceedances(qa, QaTolerance)
+        .orderBy(col("event_type"), col("date"))
+    }),
     "q_qa_meta" -> ((s, d) =>
       DailyQA.metaAgg(
         Tables.events(s, d).select(
@@ -492,6 +539,43 @@ object SparkEntry {
          impressions - exe_imp AS diff,
          CAST(impressions - exe_imp AS DOUBLE) / nullif(impressions, 0) AS pct_diff
          FROM l FULL JOIN a USING (event_type, date)
+         ORDER BY event_type, date""",
+    "q_qa_multigroup" -> {
+      val dims = Seq("event_type", "site")
+      val blocks =
+        (dims.map(d => qaBlockSql(d, "log", "ad", "'whole period'", d, byDate = false)) :+
+          qaBlockSql("date", "log", "ad", "CAST(date AS VARCHAR)", "date", byDate = false)) ++
+          dims.map(d => qaBlockSql(d, "logt", "adt", "'7 days'", d, byDate = false)) ++
+          dims.map(d => qaBlockSql(d, "logt", "adt", "CAST(date AS VARCHAR)",
+            s"$d date", byDate = true))
+      s"""WITH log AS (SELECT event_type, CAST(user_id % 5 AS VARCHAR) AS site,
+            CAST(ts AS DATE) AS date, CAST(user_id % 10 AS VARCHAR) AS conf
+            FROM events),
+          ad AS (SELECT event_type, CAST(user_id % 5 AS VARCHAR) AS site,
+            CAST(ts AS DATE) AS date, CAST(user_id % 10 AS VARCHAR) AS conf
+            FROM events WHERE event_id % 20 <> 0),
+          b AS (SELECT max(date) AS max_d FROM log),
+          logt AS (SELECT log.* FROM log CROSS JOIN b
+            WHERE date_diff('day', date, max_d) < 7),
+          adt AS (SELECT ad.* FROM ad CROSS JOIN b
+            WHERE date_diff('day', ad.date, max_d) < 7)
+          SELECT * FROM (${blocks.mkString("\n UNION ALL \n")})
+          ORDER BY dimension, date, value"""
+    },
+    "q_qa_flags" ->
+      s"""WITH l AS (SELECT event_type, CAST(ts AS DATE) AS date,
+           count(*) AS exe_imp FROM events GROUP BY 1, 2),
+         a AS (SELECT event_type, CAST(ts AS DATE) AS date,
+           count(*) AS impressions FROM events WHERE event_id % 20 <> 0
+           GROUP BY 1, 2),
+         q AS (SELECT event_type, date, exe_imp, impressions,
+           impressions - exe_imp AS diff,
+           CAST(impressions - exe_imp AS DOUBLE) / nullif(impressions, 0)
+             AS pct_diff
+           FROM l FULL JOIN a USING (event_type, date))
+         SELECT *, abs(pct_diff) AS abs_pct_diff,
+           CAST($QaTolerance AS DOUBLE) AS tolerance
+         FROM q WHERE abs(pct_diff) > CAST($QaTolerance AS DOUBLE)
          ORDER BY event_type, date""",
     "q_qa_hourshift" ->
       """WITH s AS (SELECT CAST(ts - INTERVAL 6 HOUR AS DATE) AS date FROM events),

@@ -67,4 +67,95 @@ object DailyQA {
       .agg(array_join(sort_array(collect_set(col(metaCol).cast("string"))), " ")
         .as("meta"))
       .orderBy(col(dim))
+
+  /** Full multi-grouping QA assembly: every dimension × the three
+    * period/grouping shapes, stacked into ONE labeled table — the
+    * artifact the reference's QA user actually consumes.
+    *
+    * Semantics: /root/reference/dataQA/dailyQA.py:87-112
+    * (`create_groupings`) with the shape list from dailyQA.py:52-63:
+    *   A. whole period, grouped by each dim alone (plus the `date`
+    *      grouping itself) — date label 'whole period';
+    *   B. trailing `period` days, grouped by each dim alone — date
+    *      label '<period> days';
+    *   C. trailing `period` days, grouped by (dim, date) — real dates,
+    *      Dimension label '<dim> date'.
+    * Each block outer-joins log counts (exe_imp) against ad counts
+    * (impressions), derives diff/pct_diff (dailyQAHelpers.py:75-90),
+    * left-joins the log-side meta string (make_meta,
+    * dailyQAHelpers.py:160-190), and is normalized to the canonical
+    * column order (reorder_cols, dailyQAHelpers.py:97-110) with the
+    * grouping value stringified into one `value` column so the stack
+    * is schema-uniform.
+    *
+    * Spark-first notes: the reference runs one SQL round-trip per
+    * (dimension, shape) through pandas and concatenates driver-side;
+    * here every block is a grouped DataFrame and the stack is one
+    * unionAll plan — Spark shares the two scans across blocks, each
+    * block's join inputs are already aggregated (small), and the full
+    * QA table never touches the driver. The trailing-period bound is
+    * a broadcast single-row max — no driver collect. */
+  def multiGroupingQA(log: DataFrame, ad: Option[DataFrame], dims: Seq[String],
+                      period: Int, metaCol: Option[String]): DataFrame = {
+    DataChecks.requireColumns(log, dims ++ Seq("date") ++ metaCol.toSeq,
+      "multiGroupingQA(log)")
+    ad.foreach(a =>
+      DataChecks.requireColumns(a, dims :+ "date", "multiGroupingQA(ad)"))
+    // every (dim, shape) block re-aggregates these two frames (the
+    // reference re-queries the warehouse per block); persist the
+    // projected inputs so the stack costs 2 scans, not 2 × blocks
+    val logP = log.select((dims ++ Seq("date") ++ metaCol.toSeq).map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adP = ad.map(_.select((dims :+ "date").map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bounds = logP.groupBy().agg(max(col("date")).as("max_d"))
+    def trailing(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(bounds))
+        .where(datediff(col("max_d"), col("date")) < period)
+        .drop("max_d")
+
+    def block(d: String, filtered: Boolean, byDate: Boolean): DataFrame = {
+      val l = if (filtered) trailing(logP) else logP
+      val keys = if (byDate && d != "date") Seq(d, "date") else Seq(d)
+      val lg = l.groupBy(keys.map(col): _*).agg(count(lit(1)).as("exe_imp"))
+      val joined = adP match {
+        case Some(ax) =>
+          val ag = (if (filtered) trailing(ax) else ax)
+            .groupBy(keys.map(col): _*).agg(count(lit(1)).as("impressions"))
+          lg.join(ag, keys, "full_outer")
+        case None => lg.withColumn("impressions", lit(null).cast("long"))
+      }
+      val withMeta = metaCol match {
+        case Some(mc) =>
+          val m = l.select((keys :+ mc).map(col): _*).distinct()
+            .groupBy(keys.map(col): _*)
+            .agg(array_join(sort_array(collect_set(col(mc).cast("string"))), " ")
+              .as("meta"))
+          joined.join(m, keys, "left_outer")
+        case None => joined.withColumn("meta", lit(null).cast("string"))
+      }
+      val dimLabel = if (byDate && d != "date") s"$d date" else d
+      val dateOut =
+        if (byDate || d == "date") col("date").cast("string")
+        else if (filtered) lit(s"$period days")
+        else lit("whole period")
+      withMeta.select(
+        lit(dimLabel).as("dimension"),
+        col(d).cast("string").as("value"),
+        dateOut.as("date"),
+        col("exe_imp"),
+        col("impressions"),
+        (col("impressions") - col("exe_imp")).as("diff"),
+        ((col("impressions") - col("exe_imp")).cast("double") /
+          nullif(col("impressions"), lit(0))).as("pct_diff"),
+        col("meta"))
+    }
+
+    val blocks =
+      (dims :+ "date").map(d => block(d, filtered = false, byDate = false)) ++
+        dims.map(d => block(d, filtered = true, byDate = false)) ++
+        dims.map(d => block(d, filtered = true, byDate = true))
+    blocks.reduce(_ unionAll _)
+      .orderBy(col("dimension"), col("date"), col("value"))
+  }
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, TimestampType}
+
+/** Structural failure of a QA input — the engine's analog of the
+  * reference's DataException
+  * (/root/reference/dataQA/dataExceptions.py:4-16): raised when a
+  * table is missing required columns or the timestamp column has the
+  * wrong type, i.e. when running the QA would produce garbage rather
+  * than a diff.
+  */
+class GraftDataException(msg: String) extends RuntimeException(msg)
+
+/** Schema preflight + threshold-exceedance flagging for QA tables.
+  *
+  * Semantics: /root/reference/dataQA/dailyQA.py:131-147 (`check_cols`
+  * raises DataException for missing date/impressions/timestamp
+  * columns) and dailyQAHelpers.py:31-41 (`check_timestamp` validates
+  * the column type). The reference surfaces bad rows by writing the
+  * error out for a human (dataExceptions.write_out); the Spark-native
+  * form is [[flagExceedances]] — a distributed filter producing the
+  * offending rows themselves, which scales to any QA table size and
+  * can feed an alerting sink directly.
+  */
+object DataChecks {
+
+  /** Preflight: every `required` column must exist, else a
+    * [[GraftDataException]] naming the missing ones (analysis-time,
+    * before any job runs). */
+  def requireColumns(df: DataFrame, required: Seq[String], context: String): Unit = {
+    val have = df.columns.toSet
+    val missing = required.filterNot(have)
+    if (missing.nonEmpty)
+      throw new GraftDataException(
+        s"$context: missing required column(s) ${missing.mkString(", ")}; " +
+          s"present: ${df.columns.mkString(", ")}")
+  }
+
+  /** Preflight: `column` must be a timestamp or date (the reference's
+    * check_timestamp, raised when an hour shift is requested on a
+    * non-timestamp column). */
+  def requireTimeColumn(df: DataFrame, column: String, context: String): Unit = {
+    requireColumns(df, Seq(column), context)
+    df.schema(column).dataType match {
+      case TimestampType | DateType => ()
+      case other =>
+        throw new GraftDataException(
+          s"$context: column $column must be timestamp/date, is ${other.simpleString}")
+    }
+  }
+
+  /** Rows of a QA diff table whose |pct_diff| exceeds `tolerance`,
+    * with the exceedance magnitude and the applied tolerance attached.
+    * NULL pct_diff (no ad-side rows) never flags — absence is a
+    * different failure than divergence. */
+  def flagExceedances(qa: DataFrame, tolerance: Double): DataFrame = {
+    requireColumns(qa, Seq("pct_diff"), "flagExceedances")
+    qa.where(abs(col("pct_diff")) > tolerance)
+      .withColumn("abs_pct_diff", abs(col("pct_diff")))
+      .withColumn("tolerance", lit(tolerance))
+  }
+}

@@ -135,8 +135,12 @@ object VectorSearch {
     val c = withNorm(centroids).select(
       col("vec_id").as("centroid_id"), col("embedding").as("ce"), col("nrm").as("cn"))
     // top-nprobe cells per query, row-locally: sort the (neg cos,
-    // centroid_id) structs and keep the prefix — no window
-    val qcells = assigned.where(queryFilter)
+    // centroid_id) structs and keep the prefix — no window. Queries
+    // are filtered from the RAW embeddings (the filter pushes to the
+    // scan), not from `assigned` — deriving them from the assignment
+    // would execute the corpus × centroids pass a second time just to
+    // select the query rows.
+    val qcells = withNorm(embeddings.where(queryFilter))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
       .crossJoin(broadcast(c))
       .withColumn("ccos", cosine(col("qe"), col("ce"), col("qn"), col("cn")))

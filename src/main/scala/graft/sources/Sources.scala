@@ -1,14 +1,15 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Source/sink surface of the engine. The reference reads Hive tables
-  * and Redshift via SQL (dataQA/dailyConnection.py, tasks' hc.table)
-  * and writes Hive tables + csv exports
+  * and Redshift via SQL (dataQA/dailyConnection.py:1-14, tasks'
+  * hc.table) and writes Hive tables + csv exports
   * (metrics/helpers/pdf_to_table_excel.py). The Spark-native analog:
   * columnar parquet as the primary format, csv/json for interchange,
-  * and hive-style partitioned writes so downstream scans prune on the
-  * partition key.
+  * a JDBC reader for the warehouse-connection path, hive-style
+  * partitioned writes so downstream scans prune on the partition key,
+  * and catalog-table publishing for downstream SQL consumers.
   */
 object Sources {
 
@@ -32,4 +33,50 @@ object Sources {
     * it scan only matching directories. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** JDBC table/query source — the engine's analog of the reference's
+    * live warehouse connection (dailyConnection.py builds one psycopg2
+    * conn that every pd.read_sql shares). `table` may be a table name
+    * or a `(SELECT …) alias` pushdown subquery. When `partitionColumn`
+    * bounds are given the read is split into `numPartitions` parallel
+    * range-bounded queries — without them a JDBC scan is a single
+    * task, which at warehouse scale means one executor doing all the
+    * I/O. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           properties: Map[String, String] = Map.empty,
+           partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(properties)
+    partitionColumn.fold(base) { case (colName, lower, upper, n) =>
+      base.option("partitionColumn", colName)
+        .option("lowerBound", lower)
+        .option("upperBound", upper)
+        .option("numPartitions", n)
+    }.load()
+  }
+
+  /** JDBC sink (the reference's table write-back path). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                properties: Map[String, String] = Map.empty,
+                mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(properties)
+      .mode(mode)
+      .save()
+
+  /** Publish a result as a catalog table (the analog of the
+    * reference's pdf_to_table_excel Hive publishing,
+    * create_hh_metrics_task.py:70-71): parquet-backed managed table,
+    * optionally partitioned, overwritten per run so downstream SQL
+    * reads the current round. */
+  def publishTable(df: DataFrame, name: String,
+                   partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .saveAsTable(name)
+  }
 }

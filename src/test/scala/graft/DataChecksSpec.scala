@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DailyQA, DataChecks, GraftDataException}
+
+class DataChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def qa = Seq(
+    ("a", 100L, 100L), ("b", 100L, 90L), ("c", 100L, 50L))
+    .toDF("dim", "exe_imp", "impressions")
+    .withColumn("pct_diff",
+      (col("impressions") - col("exe_imp")).cast("double") / col("impressions"))
+
+  test("requireColumns names every missing column") {
+    val e = intercept[GraftDataException] {
+      DataChecks.requireColumns(qa, Seq("dim", "date", "impressions", "nope"), "ctx")
+    }
+    assert(e.getMessage.contains("date") && e.getMessage.contains("nope"))
+    assert(!e.getMessage.startsWith("ctx: missing required column(s) dim"))
+    // present columns pass silently
+    DataChecks.requireColumns(qa, Seq("dim", "impressions"), "ctx")
+  }
+
+  test("requireTimeColumn rejects non-time types") {
+    val df = Seq(("2024-01-01", 1L)).toDF("s", "n")
+      .withColumn("d", to_date(col("s")))
+      .withColumn("ts", to_timestamp(col("s")))
+    DataChecks.requireTimeColumn(df, "d", "ctx")
+    DataChecks.requireTimeColumn(df, "ts", "ctx")
+    val e = intercept[GraftDataException] {
+      DataChecks.requireTimeColumn(df, "s", "ctx")
+    }
+    assert(e.getMessage.contains("timestamp/date"))
+    intercept[GraftDataException] {
+      DataChecks.requireTimeColumn(df, "missing", "ctx")
+    }
+  }
+
+  test("flagExceedances keeps only rows past tolerance, never NULLs") {
+    val withNull = qa.unionAll(
+      Seq(("d", 100L)).toDF("dim", "exe_imp")
+        .withColumn("impressions", lit(null).cast("long"))
+        .withColumn("pct_diff", lit(null).cast("double")))
+    val out = DataChecks.flagExceedances(withNull, 0.2).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("c"))
+    assert(out.head.getAs[Double]("abs_pct_diff") == 1.0)
+    assert(out.head.getAs[Double]("tolerance") == 0.2)
+    intercept[GraftDataException] {
+      DataChecks.flagExceedances(qa.drop("pct_diff"), 0.2)
+    }
+  }
+
+  test("multiGroupingQA stacks all shapes with reference labels") {
+    // two dims over four days; ad side misses day 4 entirely
+    val log = Seq(
+      ("x", "s1", "2024-01-01"), ("x", "s1", "2024-01-02"),
+      ("y", "s2", "2024-01-03"), ("y", "s1", "2024-01-04"),
+      ("x", "s2", "2024-01-04")
+    ).toDF("etype", "site", "ds")
+      .withColumn("date", to_date(col("ds"))).drop("ds")
+      .withColumn("conf", lit("c1"))
+    val ad = log.where(col("date") =!= "2024-01-04").drop("conf")
+    val out = DailyQA.multiGroupingQA(log, Some(ad), Seq("etype", "site"),
+      period = 2, metaCol = Some("conf"))
+    val rows = out.collect()
+    val labels = rows.map(_.getString(0)).distinct.sorted
+    assert(labels.toSeq ==
+      Seq("date", "etype", "etype date", "site", "site date"))
+    val dates = rows.map(_.getString(2)).distinct.sorted
+    assert(dates.contains("2 days") && dates.contains("whole period"))
+    // whole-period etype block: x has 3 log rows, 2 ad rows
+    val x = rows.find(r => r.getString(0) == "etype" && r.getString(1) == "x"
+      && r.getString(2) == "whole period").get
+    assert(x.getLong(3) == 3 && x.getLong(4) == 2 && x.getLong(5) == -1)
+    assert(x.getString(7) == "c1")
+    // trailing-2-day by-date block only covers the last 2 dates
+    val byDate = rows.filter(r => r.getString(0) == "etype date")
+    assert(byDate.map(_.getString(2)).forall(
+      d => d == "2024-01-03" || d == "2024-01-04"))
+    // ad side absent on day 4 → NULL impressions/diff/pct_diff
+    val day4 = byDate.filter(_.getString(2) == "2024-01-04")
+    assert(day4.nonEmpty && day4.forall(_.isNullAt(4)))
+    // preflight: a dim missing from the log side raises
+    intercept[GraftDataException] {
+      DailyQA.multiGroupingQA(log, Some(ad), Seq("etype", "campaign"), 2, None)
+    }
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{NearDup, Reach}
+import graft.operators.{NearDup, Reach, ValueMapping}
 
 class EdgeCaseSpec extends SparkSpec {
   import spark.implicits._
@@ -36,6 +36,16 @@ class EdgeCaseSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
   }
 
+  test("assignDenseIds = dense ids in value order across many partitions") {
+    val vals = (0 until 500).map(i => f"v${(i * 37) % 500}%03d")
+    val df = vals.toDF("value").distinct().repartition(7)
+    val out = ValueMapping.assignDenseIds(df, "value")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = vals.distinct.sorted.zipWithIndex
+      .map { case (v, i) => v -> (i + 1L) }.toMap
+    assert(out == expected)
+  }
+
   test("jaccard dfCap drops hot shingles but keeps strong pairs") {
     // docs 1/2 share many shingles; the hot shingle appears in all docs
     val hot = "x y z"
@@ -47,6 +57,24 @@ class EdgeCaseSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val capped = NearDup.jaccardPairs(df, 3, 0.3, dfCap = Some(3)).collect()
     assert(capped.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+  }
+
+  test("minhash bucketCap bounds pair generation from a degenerate bucket") {
+    // 10 identical docs share EVERY band bucket — uncapped that is one
+    // 45-pair bucket per band; capped at 4 only the sorted id prefix
+    // pairs, so the blowup from a single task is bounded by cap²/2
+    val docs = (0L until 10L).map(i => (i, "the quick brown fox jumps over dogs"))
+      .toDF("doc_id", "text")
+    val capped = NearDup.minhashDedup(docs, bucketCap = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // first 4 docs cluster to rep 0 with 3 partners each; the rest
+    // were dropped from every (identical) bucket and stay singletons
+    assert(capped.filter(_._1 < 4).forall(t => t._2 == 0L && t._3 == 3L))
+    assert(capped.filter(_._1 >= 4).forall(t => t._2 == t._1 && t._3 == 0L))
+    // default cap: all 10 cluster together
+    val full = NearDup.minhashDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.forall(t => t._2 == 0L && t._3 == 9L))
   }
 
   test("minhash dedup on an empty-ish corpus returns one row per doc") {

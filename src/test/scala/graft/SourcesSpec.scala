@@ -30,6 +30,37 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("date#"), scan)
   }
 
+  test("jdbc round-trip against embedded Derby") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "name", "v")
+    Sources.writeJdbc(df, url, "graft_rt", props)
+    val back = Sources.jdbc(spark, url, "graft_rt", props).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(back.toSeq == Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+    // pushdown-subquery form + range-partitioned parallel read
+    val part = Sources.jdbc(spark, url,
+      "(SELECT * FROM graft_rt WHERE \"id\" > 1) t", props,
+      partitionColumn = Some(("id", 1L, 4L, 2)))
+    assert(part.rdd.getNumPartitions == 2)
+    assert(part.count() == 2)
+  }
+
+  test("publishTable registers an overwritable partitioned catalog table") {
+    val df = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0),
+      (3L, "2024-01-02", 3.0)).toDF("id", "date", "v")
+    Sources.publishTable(df, "graft_pub", Seq("date"))
+    assert(spark.catalog.tableExists("graft_pub"))
+    assert(spark.table("graft_pub").count() == 3)
+    // overwrite on re-publish (the per-run refresh the reference does)
+    Sources.publishTable(df.where(col("id") =!= 1L), "graft_pub", Seq("date"))
+    assert(spark.table("graft_pub").count() == 2)
+    // a date filter prunes to one partition on the table read
+    val read = spark.table("graft_pub").where(col("date") === "2024-01-02")
+    val scan = read.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters"), scan)
+  }
+
   test("makeMap: friendly mapping falls back to dimension id/name") {
     val ka = Seq((1L, "part_id", "TYPE", "B1"), (2L, "part_id", "TYPE", "B2"))
       .toDF("id", "id_type", "key", "value")

@@ -15,6 +15,8 @@ object SparkSpec {
   lazy val session: SparkSession = {
     val s = GraftSession.builder("local[4]", 4)
       .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
