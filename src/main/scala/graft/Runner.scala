@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Thin pipeline runner: execute named engine queries against one sf
+  * directory and write each result as a parquet output with Luigi-like
+  * target semantics — an output that already exists (its `_SUCCESS`
+  * marker) is skipped, so a re-run after a partial failure only
+  * executes the missing pieces.
+  *
+  * This is the engine-side analog of the reference's task layer
+  * (/root/reference/metrics/tasks/create_hh_metrics_task.py:12-77 —
+  * Luigi tasks whose `output()` targets gate `run()`), kept
+  * deliberately thin: orchestration (scheduling, retries, DAGs) stays
+  * with whatever runs the JVM; the runner only contributes idempotent
+  * targets and a machine-readable per-query status line.
+  *
+  * Usage: runMain graft.Runner <sfDir> <outDir> [query,query,…|all]
+  * [--force]
+  */
+object Runner {
+
+  def runOne(spark: SparkSession, sfDir: String, outDir: String,
+             name: String, force: Boolean): String = {
+    val target = Paths.get(outDir, name)
+    val success = target.resolve("_SUCCESS")
+    if (!force && Files.exists(success)) "skipped (target exists)"
+    else {
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").parquet(target.toString)
+      "written"
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: graft.Runner <sfDir> <outDir> [names|all] [--force]")
+    val sfDir = args(0)
+    val outDir = args(1)
+    val force = args.contains("--force")
+    val names = args.lift(2).filterNot(_ == "all").filterNot(_.startsWith("--"))
+      .map(_.split(',').toSeq)
+      .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val spark = GraftSession.local()
+    var failed = 0
+    names.foreach { name =>
+      val status =
+        try runOne(spark, sfDir, outDir, name, force)
+        catch { case e: Throwable => failed += 1; s"FAILED: $e" }
+      println(s"[runner] $name: $status")
+    }
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}
