@@ -36,7 +36,11 @@ object ValueMapping {
       .sortWithinPartitions(col(column))
     val schema = sorted.schema.add("val_id", org.apache.spark.sql.types.LongType,
       nullable = false)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    // zipWithIndex runs its offset-count job over this RDD and the
+    // main query then reads it again — persist so the distinct+sort
+    // executes once, not twice
+    val base = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rdd = base.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(rdd, schema)
