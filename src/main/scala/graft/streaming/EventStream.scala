@@ -39,6 +39,31 @@ object EventStream {
     else raw
   }
 
+  /** Streaming QA exceedance alerting — the streaming twin of
+    * DailyQA.groupingDiff + DataChecks.flagExceedances. Each event is
+    * first joined against the STATIC per-type expected-count frame
+    * (stream-static joins are stateless; the static side broadcasts),
+    * then windowed counts are compared and only windows whose
+    * |pct_diff| exceeds `tolerance` are emitted. The reference
+    * re-runs its QA diff as a daily batch; this raises the alert one
+    * watermark delay after the data arrives, with state bounded by
+    * the watermark. Types absent from `expected` never flag —
+    * consistent with the batch rule that NULL pct_diff is absence,
+    * not divergence. */
+  def qaExceedances(events: DataFrame, expected: DataFrame,
+                    tolerance: Double): DataFrame =
+    events
+      .join(broadcast(expected), Seq("event_type"), "left_outer")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), first(col("expected")).as("expected"))
+      .withColumn("pct_diff",
+        (col("n_events") - col("expected")).cast("double") /
+          nullif(col("expected"), lit(0)))
+      .where(abs(col("pct_diff")) > tolerance)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("expected"), col("pct_diff"))
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   case class FirstSeen(household_id: Long, ts: java.sql.Timestamp)
 
