@@ -300,6 +300,11 @@ object SparkEntry {
       VectorSearch.ivfTopK(emb, emb.where(col("vec_id") % 50 === 0),
         col("vec_id") < 10, 3, nprobe = 2)
     }),
+    "q_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorSearch.pqTopK(emb, emb.where(col("vec_id") % 50 === 0),
+        col("vec_id") < 10, 5)
+    }),
     "q_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
   )
 
@@ -322,6 +327,20 @@ object SparkEntry {
        sqrt(list_reduce(list_transform(embedding,
          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
        FROM embeddings"""
+
+  /** Sequential-fold double dot product of the `len`-element subvector
+    * starting after `off` (1-based lists) — the oracle twin of
+    * VectorSearch.pqTopK's slice + graft_dot. */
+  private def dotSubSql(a: String, b: String, off: Int, len: Int): String =
+    s"""list_reduce(list_transform(range(1, ${len + 1}),
+        i -> CAST($a.embedding[i + $off] AS DOUBLE) * CAST($b.embedding[i + $off] AS DOUBLE)),
+        (x, y) -> x + y)"""
+
+  /** L2² between subvectors expanded as dot(a,a)+dot(b,b)-2·dot(a,b) —
+    * the exact expression tree of pqTopK's l2sq. */
+  private def l2SubSql(a: String, b: String, off: Int, len: Int): String =
+    s"""(${dotSubSql(a, a, off, len)} + ${dotSubSql(b, b, off, len)}
+        - CAST(2 AS DOUBLE) * ${dotSubSql(a, b, off, len)})"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -790,6 +809,39 @@ object SparkEntry {
             round(c, 6) AS cos FROM s)
           SELECT query_id, neighbor_id, "rank", cos FROM r
           WHERE "rank" <= 3 ORDER BY query_id, "rank"""",
+    "q_ann_pq" -> {
+      val m = 4; val subLen = 16
+      val ds = (0 until m).map(j => s"${l2SubSql("e", "cb", j * subLen, subLen)} AS d$j")
+      val qds = (0 until m).map(j => s"${l2SubSql("q", "cb", j * subLen, subLen)} AS qd$j")
+      val rks = (0 until m).map(j =>
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY d$j, centroid_id) AS r$j")
+      val cs = (0 until m).map(j =>
+        s"max(CASE WHEN r$j = 1 THEN centroid_id END) AS c$j")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          cb AS (SELECT vec_id AS centroid_id, embedding FROM embeddings
+            WHERE vec_id % 50 = 0),
+          wd AS (SELECT e.vec_id, cb.centroid_id, ${ds.mkString(", ")}
+            FROM e CROSS JOIN cb),
+          rk AS (SELECT *, ${rks.mkString(", ")} FROM wd),
+          codes AS (SELECT vec_id, ${cs.mkString(", ")} FROM rk GROUP BY vec_id),
+          q AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 10),
+          dtab AS (SELECT query_id, centroid_id, ${qds.mkString(", ")}
+            FROM q CROSS JOIN cb),
+          adc AS (SELECT t0.query_id, c.vec_id,
+            t0.qd0 + t1.qd1 + t2.qd2 + t3.qd3 AS approx_dist
+            FROM codes c
+            JOIN dtab t0 ON t0.centroid_id = c.c0
+            JOIN dtab t1 ON t1.query_id = t0.query_id AND t1.centroid_id = c.c1
+            JOIN dtab t2 ON t2.query_id = t0.query_id AND t2.centroid_id = c.c2
+            JOIN dtab t3 ON t3.query_id = t0.query_id AND t3.centroid_id = c.c3
+            WHERE t0.query_id <> c.vec_id),
+          r2 AS (SELECT query_id, vec_id AS neighbor_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_dist, vec_id) AS INTEGER) AS "rank",
+            round(approx_dist, 6) AS approx_dist FROM adc)
+          SELECT query_id, neighbor_id, "rank", approx_dist FROM r2
+          WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+    },
     "q_multimodal_meta" ->
       """WITH b AS (SELECT doc_id,
            CAST(octet_length(encode(text)) AS INTEGER) AS byte_len FROM documents)

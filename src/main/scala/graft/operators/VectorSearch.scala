@@ -162,4 +162,68 @@ object VectorSearch {
         round(col("cos_exact"), 6).as("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Product-quantization ADC top-k (Jégou et al., PAMI'11 — public
+    * algorithm): split the `dim`-dim space into `m` subspaces, encode
+    * every corpus vector as its nearest codebook entry per subspace
+    * (min L2², centroid_id tiebreak), and answer queries by
+    * asymmetric distance computation — the query's per-(centroid,
+    * subspace) distance table is summed over each vector's m codes.
+    *
+    * Scale shape: encoding is ONE corpus pass (broadcast codebook,
+    * m min_by aggregates collapsed map-side — the same shape as
+    * [[assignCells]]); a vector is then m small ints, so the
+    * "distance computation" over the whole corpus touches no floats
+    * except the broadcast m × |codebook| query table. That memory
+    * footprint — codes instead of vectors — is the reason PQ exists:
+    * at 100 TB the corpus scan reads 4 ints/vector instead of 64
+    * floats. Everything is sequential-fold arithmetic, so the DuckDB
+    * oracle replays it exactly. L2² is expanded as
+    * dot(a,a) + dot(b,b) − 2·dot(a,b) to reuse the codegen'd
+    * sequential-fold [[dot]] (identical expression tree on both
+    * engine sides). */
+  def pqTopK(embeddings: DataFrame, codebook: DataFrame, queryFilter: Column,
+             k: Int, m: Int = 4, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subLen = dim / m
+    def subCol(c: Column, j: Int): Column = slice(c, j * subLen + 1, subLen)
+    def l2sq(a: Column, b: Column): Column =
+      dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
+
+    val cb = codebook.select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    // encode: one corpus × codebook pass, m argmins aggregated at once
+    val withD = embeddings.crossJoin(broadcast(cb))
+      .select(Seq(col("vec_id"), col("centroid_id")) ++
+        (0 until m).map(j =>
+          l2sq(subCol(col("embedding"), j), subCol(col("ce"), j)).as(s"d$j")): _*)
+    val codes = withD.groupBy(col("vec_id")).agg(
+      min_by(col("centroid_id"), struct(col("d0"), col("centroid_id"))).as("c0"),
+      (1 until m).map(j =>
+        min_by(col("centroid_id"), struct(col(s"d$j"), col("centroid_id"))).as(s"c$j")): _*)
+    // query-side distance tables (tiny: queries × codebook), broadcast
+    val q = embeddings.where(queryFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val dtab = q.crossJoin(broadcast(cb))
+      .select(Seq(col("query_id"), col("centroid_id")) ++
+        (0 until m).map(j =>
+          l2sq(subCol(col("qe"), j), subCol(col("ce"), j)).as(s"qd$j")): _*)
+    // ADC: m broadcast lookups of the codes in the query's table
+    var adc = codes
+    (0 until m).foreach { j =>
+      val dj = dtab.select(
+        col("query_id"), col("centroid_id").as(s"c$j"), col(s"qd$j"))
+      adc = adc.join(broadcast(dj),
+        if (j == 0) Seq(s"c$j") else Seq("query_id", s"c$j"))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(asc("approx_dist"), asc("vec_id"))
+    adc
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("approx_dist", (0 until m).map(j => col(s"qd$j")).reduce(_ + _))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("approx_dist"), 6).as("approx_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }
