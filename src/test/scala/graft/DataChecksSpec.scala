@@ -85,5 +85,11 @@ class DataChecksSpec extends SparkSpec {
     intercept[GraftDataException] {
       DailyQA.multiGroupingQA(log, Some(ad), Seq("etype", "campaign"), 2, None)
     }
+    // no ad table (the reference's adServer-absent path): log counts
+    // survive, impressions/diff/pct_diff are NULL throughout
+    val noAd = DailyQA.multiGroupingQA(log, None, Seq("etype"), 2, None).collect()
+    assert(noAd.nonEmpty)
+    assert(noAd.forall(r => r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6)))
+    assert(noAd.exists(r => r.getString(0) == "etype" && r.getLong(3) > 0))
   }
 }
