@@ -34,18 +34,21 @@ object NearDup {
   val DefaultDfCap: Int = 1000
 
   /** Exact Jaccard pairs ≥ `threshold` via inverted index: explode
-    * shingles, self-join on the shingle, count common per pair, join
-    * set sizes. Any pair with jaccard > 0 shares ≥1 shingle, so the
-    * index is exact (no recall loss). Hot shingles are dropped past
-    * `dfCap` ([[DefaultDfCap]]); pass `None` for exact-at-any-skew.
-    * The shingle frame is persisted — the self-join reads it twice and
-    * the set-size join a third time, and the tokenize→shingle chain is
-    * the dominant cost of the operator.
+    * shingles into per-shingle posting lists, emit each list's pairs
+    * in-task, count how many shingles each pair shares, join set
+    * sizes. Any pair with jaccard > 0 shares ≥1 shingle, so the index
+    * is exact (no recall loss). Shingles with posting lists longer
+    * than `dfCap` ([[DefaultDfCap]]) are dropped — they are the skew
+    * bomb AND the unbounded-row risk (an uncapped hot shingle
+    * materializes its whole posting list in one aggregation row);
+    * pass `None` only when the corpus is known skew-free. The shingle
+    * frame is persisted (the posting build and the set-size join both
+    * read it, and the tokenize→shingle chain dominates the cost).
     *
-    * Verification is COUNT-based (aggregate the index self-join into
-    * per-pair common counts, jaccard = common/(n1+n2−common)) rather
-    * than per-candidate-pair array intersection — a deliberate,
-    * measured choice: ppjoin-style prefix filtering (index only the
+    * Verification is COUNT-based (jaccard = common/(n1+n2−common)
+    * from the per-pair shared-shingle counts) rather than
+    * per-candidate-pair array intersection — a deliberate, measured
+    * choice: ppjoin-style prefix filtering (index only the
     * |A|−⌈t·|A|⌉+1 rarest shingles, verify candidates on full sets)
     * was implemented and benchmarked 5× SLOWER on this corpus, because
     * the synthetic documents share a dense shingle vocabulary (avg df
@@ -60,17 +63,22 @@ object NearDup {
     val t = shingleSets(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e0 = t.select(col("doc_id"), explode(col("sh")).as("s"))
-    val e = dfCap match {
-      case Some(cap) =>
-        val hot = e0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .where(col("df") > cap).select(col("s"))
-        e0.join(hot, Seq("s"), "left_anti")
-      case None => e0
-    }
-    val common = e.as("a")
-      .join(e.withColumnRenamed("doc_id", "doc_id_2").as("b"), Seq("s"))
-      .where(col("doc_id") < col("doc_id_2"))
-      .groupBy(col("doc_id").as("d1"), col("doc_id_2").as("d2"))
+    // per-shingle posting lists, pairs generated in-task (the LSH
+    // bucket pattern): ONE shuffle of the index, where a self-join on
+    // the shingle would shuffle it twice and build a hash table per
+    // partition; the df cap falls out for free as a size filter on
+    // the posting list instead of a separate aggregate + anti-join
+    val postings = e0.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1 &&
+        size(col("ids")) <= dfCap.map(lit).getOrElse(size(col("ids"))))
+    val common = postings
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+           i -> transform(sequence(i + 1, size(ids)),
+           j -> struct(element_at(ids, i) AS d1, element_at(ids, j) AS d2))))"""))
+        .as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("common"))
     val sizes = t.select(col("doc_id"), size(col("sh")).as("n_sh"))
     common
