@@ -158,4 +158,23 @@ object DailyQA {
     blocks.reduce(_ unionAll _)
       .orderBy(col("dimension"), col("date"), col("value"))
   }
+
+  /** End-to-end daily QA run with the reference's failure contract
+    * (/root/reference/dataQA/dailyMain.py:20-44): produce the full
+    * multi-grouping QA table as a csv at `outPath`; if the inputs are
+    * structurally unusable ([[GraftDataException]]), the output
+    * becomes a one-line error file instead — the artifact always
+    * exists and says why when it isn't a table. Returns true when the
+    * QA table was written, false when the error path was taken. */
+  def runToCsv(log: DataFrame, ad: Option[DataFrame], dims: Seq[String],
+               period: Int, metaCol: Option[String], outPath: String): Boolean =
+    try {
+      multiGroupingQA(log, ad, dims, period, metaCol)
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(outPath)
+      true
+    } catch {
+      case e: GraftDataException =>
+        DataChecks.writeErrorOut(log.sparkSession, e.getMessage, outPath)
+        false
+    }
 }

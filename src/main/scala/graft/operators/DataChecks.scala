@@ -51,6 +51,18 @@ object DataChecks {
     }
   }
 
+  /** The reference's dataExceptions.write_out
+    * (/root/reference/dataQA/dataExceptions.py:18-23): when QA cannot
+    * run, the output artifact is a one-line error file rather than
+    * nothing — downstream consumers see WHY there is no table instead
+    * of a missing path. */
+  def writeErrorOut(spark: org.apache.spark.sql.SparkSession,
+                    message: String, path: String): Unit = {
+    import spark.implicits._
+    Seq(message).toDF("error")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+  }
+
   /** Rows of a QA diff table whose |pct_diff| exceeds `tolerance`,
     * with the exceedance magnitude and the applied tolerance attached.
     * NULL pct_diff (no ad-side rows) never flags — absence is a

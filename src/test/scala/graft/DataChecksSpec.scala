@@ -92,4 +92,17 @@ class DataChecksSpec extends SparkSpec {
     assert(noAd.forall(r => r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6)))
     assert(noAd.exists(r => r.getString(0) == "etype" && r.getLong(3) > 0))
   }
+
+  test("runToCsv writes the QA table, or the error as the artifact") {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    val log = Seq(("x", "2024-01-01"), ("y", "2024-01-02")).toDF("etype", "ds")
+      .withColumn("date", to_date(col("ds"))).drop("ds")
+    val out = java.nio.file.Files.createTempDirectory("graft-qa").toString
+    assert(DailyQA.runToCsv(log, None, Seq("etype"), 2, None, s"$out/ok"))
+    assert(spark.read.option("header", "true").csv(s"$out/ok").count() > 0)
+    // structurally unusable: the artifact is the error, not an absence
+    assert(!DailyQA.runToCsv(log, None, Seq("missing_dim"), 2, None, s"$out/err"))
+    val err = spark.read.option("header", "true").csv(s"$out/err").collect()
+    assert(err.length == 1 && err.head.getString(0).contains("missing_dim"))
+  }
 }
