@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** Thin pipeline runner: execute named engine queries against one sf
@@ -23,12 +23,22 @@ object Runner {
 
   def runOne(spark: SparkSession, sfDir: String, outDir: String,
              name: String, force: Boolean): String = {
-    val target = Paths.get(outDir, name)
-    val success = target.resolve("_SUCCESS")
-    if (!force && Files.exists(success)) "skipped (target exists)"
+    // Hadoop FS, not java.nio: outDir may be hdfs://, s3a://, file:/ —
+    // the target probe must see the same filesystem the write targets
+    val target = new Path(outDir, name)
+    val success = new Path(target, "_SUCCESS")
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!force && fs.exists(success)) "skipped (target exists)"
     else {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").parquet(target.toString)
+      // queries persist intermediate frames scoped to their own run
+      // (minhash signatures, QA input projections, zipWithIndex base
+      // RDDs); drop them so a 38-query run doesn't accumulate every
+      // query's cache for the session lifetime
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       "written"
     }
   }
@@ -39,9 +49,14 @@ object Runner {
     val sfDir = args(0)
     val outDir = args(1)
     val force = args.contains("--force")
-    val names = args.lift(2).filterNot(_ == "all").filterNot(_.startsWith("--"))
-      .map(_.split(',').toSeq)
-      .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+    // every non-flag arg past <outDir> is a name list — flag position
+    // doesn't matter ("--force q1" must not silently mean "all")
+    val nameArgs = args.drop(2).filterNot(_.startsWith("--"))
+      .flatMap(_.split(',')).filterNot(_.isEmpty).toSeq
+    val names =
+      if (nameArgs.isEmpty || nameArgs == Seq("all"))
+        SparkEntry.queries.keys.toSeq.sorted
+      else nameArgs
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = GraftSession.local()

@@ -516,16 +516,18 @@ object SparkEntry {
             FROM wts2 GROUP BY 1, 2)
           SELECT hh_exposed, bef_aft, volume_tgt, volume_cat,
             volume_tgt / nullif(volume_cat, 0) AS ratio,
-            brand_wgt / (bwgt / nullif(bwgt_cnt, 0)) AS brand_wgt,
-            category_wgt / (cwgt / nullif(cwgt_cnt, 0)) AS category_wgt,
-            (brand_wgt / (bwgt / nullif(bwgt_cnt, 0))) /
-              nullif(category_wgt / (cwgt / nullif(cwgt_cnt, 0)), 0) AS weighted_ratio,
+            brand_wgt / nullif(bwgt / nullif(bwgt_cnt, 0), 0) AS brand_wgt,
+            category_wgt / nullif(cwgt / nullif(cwgt_cnt, 0), 0) AS category_wgt,
+            (brand_wgt / nullif(bwgt / nullif(bwgt_cnt, 0), 0)) /
+              nullif(category_wgt / nullif(cwgt / nullif(cwgt_cnt, 0), 0), 0)
+              AS weighted_ratio,
             bwgt_cnt, cwgt_cnt,
             CAST(bwgt_cnt AS DOUBLE) / nullif(cwgt_cnt, 0) AS i_ratio,
             volume_cat_bb, volume_tgt / nullif(volume_cat_bb, 0) AS ratio_bb,
-            category_wgt_bb / (cwgt_bb / nullif(cwgt_bb_cnt, 0)) AS category_wgt_bb,
-            (brand_wgt / (bwgt / nullif(bwgt_cnt, 0))) /
-              nullif(category_wgt_bb / (cwgt_bb / nullif(cwgt_bb_cnt, 0)), 0)
+            category_wgt_bb / nullif(cwgt_bb / nullif(cwgt_bb_cnt, 0), 0)
+              AS category_wgt_bb,
+            (brand_wgt / nullif(bwgt / nullif(bwgt_cnt, 0), 0)) /
+              nullif(category_wgt_bb / nullif(cwgt_bb / nullif(cwgt_bb_cnt, 0), 0), 0)
               AS weighted_ratio_bb,
             cwgt_bb_cnt,
             CAST(bwgt_cnt AS DOUBLE) / nullif(cwgt_bb_cnt, 0) AS i_ratio_bb, wgt
@@ -797,7 +799,7 @@ object SparkEntry {
             row_number() OVER (PARTITION BY query_id
               ORDER BY ${dotSql("q", "ctr")} / (q.nrm * ctr.nrm) DESC,
                        ctr.centroid_id) AS crk
-            FROM q CROSS JOIN ctr),
+            FROM q CROSS JOIN ctr WHERE q.nrm * ctr.nrm <> 0),
           qcells AS (SELECT query_id, centroid_id FROM qc WHERE crk <= 2),
           s AS (SELECT query_id, a2.vec_id AS neighbor_id,
             ${dotSql("q", "a2")} / (q.nrm * a2.nrm) AS c

@@ -154,10 +154,17 @@ object BeforeAfter {
     // only agree while the data happens to avoid zeros. nullif is the
     // identity on every non-zero value, so expression trees (and
     // hashes) are unchanged otherwise.
-    val bwgtMean = col("brand_wgt") / (col("bwgt") / nullif(col("bwgt_cnt"), lit(0)))
-    val cwgtMean = col("category_wgt") / (col("cwgt") / nullif(col("cwgt_cnt"), lit(0)))
+    // the inner quotient (weight sum / count) is itself a denominator
+    // and the weight SUM can be zero even when the count isn't (all
+    // matching rows carrying wgt = 0) — guard the quotient, not just
+    // the count
+    val bwgtMean =
+      col("brand_wgt") / nullif(col("bwgt") / nullif(col("bwgt_cnt"), lit(0)), lit(0.0))
+    val cwgtMean =
+      col("category_wgt") / nullif(col("cwgt") / nullif(col("cwgt_cnt"), lit(0)), lit(0.0))
     val cwgtBbMean =
-      col("category_wgt_bb") / (col("cwgt_bb") / nullif(col("cwgt_bb_cnt"), lit(0)))
+      col("category_wgt_bb") /
+        nullif(col("cwgt_bb") / nullif(col("cwgt_bb_cnt"), lit(0)), lit(0.0))
     g.select(
       col("hh_exposed"),
       col("bef_aft"),

@@ -144,7 +144,12 @@ object NearDup {
     * of their other `bands-1` buckets. Must exceed the largest real
     * duplicate cluster for exact results (a cluster of identical docs
     * shares ALL its buckets, so no other band recovers a pair the cap
-    * dropped). */
+    * dropped) — run [[TextAnalysis.exactDedup]] FIRST in a pipeline:
+    * it removes identical-document clusters at any size for one hash
+    * shuffle, leaving minhash the genuinely-near duplicates whose
+    * clusters are far smaller than the cap. The oracle corpora sit
+    * two orders of magnitude below both caps (max bucket 14, max df
+    * 25), so the gate checks the exact regime. */
   def minhashDedup(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 16,
                    threshold: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
     val rows = k / bands

@@ -28,12 +28,16 @@ object ValueMapping {
     * order across partitions), sorts within each partition, and
     * zipWithIndex-es (phase 2: one small per-partition-count job
     * computes each partition's exclusive offset; indices are assigned
-    * locally). Input rows must already be distinct on `column`. */
+    * locally). Input rows must already be distinct on `column`.
+    * NULLS sort LAST — matching the DuckDB/ANSI default the oracles
+    * rank with, not Spark's asc-nulls-first window default (a single
+    * NULL value would otherwise shift every id by one between the
+    * engines). */
   def assignDenseIds(distinctVals: DataFrame, column: String): DataFrame = {
     val spark = distinctVals.sparkSession
     val sorted = distinctVals
-      .repartitionByRange(col(column).asc)
-      .sortWithinPartitions(col(column))
+      .repartitionByRange(col(column).asc_nulls_last)
+      .sortWithinPartitions(col(column).asc_nulls_last)
     val schema = sorted.schema.add("val_id", org.apache.spark.sql.types.LongType,
       nullable = false)
     // zipWithIndex runs its offset-count job over this RDD and the

@@ -144,6 +144,11 @@ object VectorSearch {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
       .crossJoin(broadcast(c))
       .withColumn("ccos", cosine(col("qe"), col("ce"), col("qn"), col("cn")))
+      // a zero-norm (degenerate) centroid yields NULL cosine, and
+      // negate(NULL) would sort FIRST in the struct sort — drop such
+      // cells so they are never probed (the desc/nulls-last ordering
+      // this replaced put them last)
+      .where(col("ccos").isNotNull)
       .groupBy(col("query_id"))
       .agg(first(col("qe")).as("qe"), first(col("qn")).as("qn"),
         slice(sort_array(collect_list(struct(

@@ -49,7 +49,9 @@ object EventStream {
     * watermark delay after the data arrives, with state bounded by
     * the watermark. Types absent from `expected` never flag —
     * consistent with the batch rule that NULL pct_diff is absence,
-    * not divergence. */
+    * not divergence — but a type EXPLICITLY configured with
+    * expected=0 flags on any traffic at all (that configuration means
+    * "this must be silent", the strongest possible exceedance). */
   def qaExceedances(events: DataFrame, expected: DataFrame,
                     tolerance: Double): DataFrame =
     events
@@ -60,7 +62,8 @@ object EventStream {
       .withColumn("pct_diff",
         (col("n_events") - col("expected")).cast("double") /
           nullif(col("expected"), lit(0)))
-      .where(abs(col("pct_diff")) > tolerance)
+      .where(abs(col("pct_diff")) > tolerance ||
+        (col("expected") === 0 && col("n_events") > 0))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("expected"), col("pct_diff"))
 

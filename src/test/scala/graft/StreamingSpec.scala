@@ -31,7 +31,8 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming QA flags only windows past tolerance") {
     implicit val sc = spark.sqlContext
-    val expected = Seq(("click", 2L), ("view", 1L)).toDF("event_type", "expected")
+    val expected = Seq(("click", 2L), ("view", 1L), ("retired", 0L))
+      .toDF("event_type", "expected")
     val mem = MemoryStream[Event]
     mem.addData(
       Event(1, ts("2024-01-01 10:01:00"), "click", 1.0),
@@ -39,17 +40,18 @@ class StreamingSpec extends SparkSpec {
       Event(3, ts("2024-01-01 10:03:00"), "click", 1.0),
       Event(4, ts("2024-01-01 10:04:00"), "click", 1.0), // 4 clicks vs 2 expected
       Event(5, ts("2024-01-01 10:05:00"), "view", 1.0),  // 1 view vs 1 expected
-      Event(6, ts("2024-01-01 10:06:00"), "scroll", 1.0)) // unknown type: no flag
+      Event(6, ts("2024-01-01 10:06:00"), "scroll", 1.0), // unknown type: no flag
+      Event(7, ts("2024-01-01 10:07:00"), "retired", 1.0)) // expected 0: must flag
     val q = EventStream.qaExceedances(mem.toDF(), expected, tolerance = 0.5)
       .writeStream.format("memory").queryName("qaflags").outputMode("append").start()
     mem.addData(Event(9, ts("2024-01-01 14:00:00"), "click", 0.0)) // advance watermark
     q.processAllAvailable()
     q.stop()
     val out = spark.table("qaflags").collect()
-      .map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
-        (r.getLong(2), r.getDouble(4)))
-    assert(out.toMap == Map(
-      ("2024-01-01 10:00:00.0", "click") -> ((4L, 1.0))))
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01 10:00:00.0", "click") -> 4L,
+      ("2024-01-01 10:00:00.0", "retired") -> 1L))
   }
 
   test("sessionization closes sessions after the gap") {
