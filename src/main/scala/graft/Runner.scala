@@ -43,20 +43,23 @@ object Runner {
     }
   }
 
+  /** Every non-flag arg past <outDir> is a name list — flag position
+    * doesn't matter ("--force q1" must not silently mean "all"). */
+  def parseNames(args: Array[String]): Seq[String] = {
+    val nameArgs = args.drop(2).filterNot(_.startsWith("--"))
+      .flatMap(_.split(',')).filterNot(_.isEmpty).toSeq
+    if (nameArgs.isEmpty || nameArgs == Seq("all"))
+      SparkEntry.queries.keys.toSeq.sorted
+    else nameArgs
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: graft.Runner <sfDir> <outDir> [names|all] [--force]")
     val sfDir = args(0)
     val outDir = args(1)
     val force = args.contains("--force")
-    // every non-flag arg past <outDir> is a name list — flag position
-    // doesn't matter ("--force q1" must not silently mean "all")
-    val nameArgs = args.drop(2).filterNot(_.startsWith("--"))
-      .flatMap(_.split(',')).filterNot(_.isEmpty).toSeq
-    val names =
-      if (nameArgs.isEmpty || nameArgs == Seq("all"))
-        SparkEntry.queries.keys.toSeq.sorted
-      else nameArgs
+    val names = parseNames(args)
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = GraftSession.local()

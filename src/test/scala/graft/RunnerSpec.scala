@@ -18,4 +18,14 @@ class RunnerSpec extends SparkSpec {
     assert(Runner.runOne(spark, sfDir, out, "q_reach_overall", force = true)
       == "written")
   }
+
+  test("name parsing is flag-position independent") {
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    assert(Runner.parseNames(Array("sf", "out")) == all)
+    assert(Runner.parseNames(Array("sf", "out", "all")) == all)
+    assert(Runner.parseNames(Array("sf", "out", "all", "--force")) == all)
+    assert(Runner.parseNames(Array("sf", "out", "q1,q2")) == Seq("q1", "q2"))
+    // the bug this guards: flag before the name must NOT mean "all"
+    assert(Runner.parseNames(Array("sf", "out", "--force", "q1")) == Seq("q1"))
+  }
 }
