@@ -283,6 +283,10 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) =>
       NearDup.jaccardPairs(Tables.documents(s, d), 3, 0.3)),
     "q_minhash_dedup" -> ((s, d) => NearDup.minhashDedup(Tables.documents(s, d))),
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      NearDup.dedupClusters(docs, NearDup.minhashPairs(docs))
+    }),
     "q_simhash" -> ((s, d) => NearDup.simhash(Tables.documents(s, d))),
     "q_embed_neardup" -> ((s, d) =>
       VectorSearch.cosineNearDup(Tables.embeddings(s, d), 0.4)),
@@ -341,6 +345,38 @@ object SparkEntry {
   private def l2SubSql(a: String, b: String, off: Int, len: Int): String =
     s"""(${dotSubSql(a, a, off, len)} + ${dotSubSql(b, b, off, len)}
         - CAST(2 AS DOUBLE) * ${dotSubSql(a, b, off, len)})"""
+
+  /** CTE chain replaying the MinHash LSH pipeline through the exact
+    * verification stage (`ver` = (d1 < d2) verified pairs) — shared by
+    * the one-hop q_minhash_dedup oracle and the recursive
+    * connected-components q_dedup_clusters oracle. */
+  private lazy val MinhashVerCtes: String = {
+    val coefValues = NearDup.minhashCoefficients(32).zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+    s"""tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),
+        e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        h AS (SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % 1099511627776) AS h0
+          FROM e),
+        coef(j, a, b) AS (VALUES $coefValues),
+        perms AS (SELECT doc_id, j,
+          min((h0 * a + b) % 1099511627776) AS mh
+          FROM h CROSS JOIN coef GROUP BY 1, 2),
+        bands AS (SELECT doc_id, j // 2 AS band,
+          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig
+          FROM perms GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+          FROM bands x JOIN bands y
+          ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+        ver AS (SELECT d1, d2 FROM cand
+          JOIN t t1 ON t1.doc_id = d1 JOIN t t2 ON t2.doc_id = d2
+          WHERE CAST(len(list_intersect(t1.sh, t2.sh)) AS DOUBLE) /
+            len(list_distinct(list_concat(t1.sh, t2.sh))) >= 0.5)"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -689,40 +725,27 @@ object SparkEntry {
             CAST(cnt AS DOUBLE) / (s1.n + s2.n - cnt) AS jaccard
             FROM c JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
           SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY d1, d2""",
-    "q_minhash_dedup" -> {
-      val coefValues = NearDup.minhashCoefficients(32).zipWithIndex
-        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
-      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-          t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),
-          e AS (SELECT doc_id, unnest(sh) AS s FROM t),
-          h AS (SELECT doc_id,
-            list_reduce(
-              list_prepend(CAST(0 AS BIGINT),
-                list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-              (acc, c) -> (acc * 31 + c) % 1099511627776) AS h0
-            FROM e),
-          coef(j, a, b) AS (VALUES $coefValues),
-          perms AS (SELECT doc_id, j,
-            min((h0 * a + b) % 1099511627776) AS mh
-            FROM h CROSS JOIN coef GROUP BY 1, 2),
-          bands AS (SELECT doc_id, j // 2 AS band,
-            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig
-            FROM perms GROUP BY 1, 2),
-          cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-            FROM bands x JOIN bands y
-            ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
-          ver AS (SELECT d1, d2 FROM cand
-            JOIN t t1 ON t1.doc_id = d1 JOIN t t2 ON t2.doc_id = d2
-            WHERE CAST(len(list_intersect(t1.sh, t2.sh)) AS DOUBLE) /
-              len(list_distinct(list_concat(t1.sh, t2.sh))) >= 0.5),
+    "q_minhash_dedup" ->
+      s"""WITH $MinhashVerCtes,
           p AS (SELECT d1 AS doc_id, d2 AS partner FROM ver
             UNION ALL SELECT d2, d1 FROM ver)
           SELECT d.doc_id,
             coalesce(least(min(p.partner), d.doc_id), d.doc_id) AS rep_id,
             count(p.partner) AS n_dups
           FROM documents d LEFT JOIN p USING (doc_id)
-          GROUP BY d.doc_id ORDER BY d.doc_id"""
-    },
+          GROUP BY d.doc_id ORDER BY d.doc_id""",
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $MinhashVerCtes,
+          edges AS (SELECT d1, d2 FROM ver UNION ALL SELECT d2, d1 FROM ver),
+          reach AS (
+            SELECT doc_id, doc_id AS r FROM documents
+            UNION
+            SELECT e.d2 AS doc_id, reach.r FROM reach
+            JOIN edges e ON e.d1 = reach.doc_id),
+          lab AS (SELECT doc_id, min(r) AS rep_id FROM reach GROUP BY doc_id),
+          sz AS (SELECT rep_id, count(*) AS cluster_size FROM lab GROUP BY rep_id)
+          SELECT lab.doc_id, lab.rep_id, sz.cluster_size
+          FROM lab JOIN sz USING (rep_id) ORDER BY lab.doc_id""",
     "q_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(toks) AS w FROM
             (SELECT doc_id, $ToksSql AS toks FROM documents)),

@@ -152,6 +152,26 @@ object NearDup {
     * 25), so the gate checks the exact regime. */
   def minhashDedup(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 16,
                    threshold: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
+    val verified = minhashPairs(docs, n, k, bands, threshold, bucketCap)
+    val partners = verified
+      .select(col("d1").as("doc_id"), col("d2").as("partner"))
+      .unionAll(verified.select(col("d2").as("doc_id"), col("d1").as("partner")))
+    docs.select(col("doc_id"))
+      .join(partners, Seq("doc_id"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        least(min(col("partner")), col("doc_id").cast("long")).as("rep_id"),
+        count(col("partner")).as("n_dups"))
+      .withColumn("rep_id", coalesce(col("rep_id"), col("doc_id")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The verified near-duplicate pair stage of [[minhashDedup]]:
+    * LSH-banded candidates, exact Jaccard verification, output
+    * (d1 < d2) pairs. Shared by the one-hop dedup summary and the
+    * transitive [[dedupClusters]]. */
+  def minhashPairs(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 16,
+                   threshold: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
     val rows = k / bands
     // k=32 / r=2: at J=0.5 the candidate recall is 1-(1-J^2)^16 ≈ 0.99
     // (vs 0.64 with r=4) while halving the signature work; the extra
@@ -189,7 +209,7 @@ object NearDup {
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
     val t = sig.select(col("doc_id"), col("sh"))
-    val verified = cand
+    cand
       .join(t.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(t.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("jaccard",
@@ -197,16 +217,55 @@ object NearDup {
           size(array_union(col("sh1"), col("sh2"))))
       .where(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"))
-    val partners = verified
-      .select(col("d1").as("doc_id"), col("d2").as("partner"))
-      .unionAll(verified.select(col("d2").as("doc_id"), col("d1").as("partner")))
-    docs.select(col("doc_id"))
-      .join(partners, Seq("doc_id"), "left_outer")
-      .groupBy(col("doc_id"))
-      .agg(
-        least(min(col("partner")), col("doc_id").cast("long")).as("rep_id"),
-        count(col("partner")).as("n_dups"))
-      .withColumn("rep_id", coalesce(col("rep_id"), col("doc_id")))
+  }
+
+  /** Transitive near-duplicate clustering: connected components over
+    * the verified pair graph by iterative min-label propagation —
+    * every doc's rep becomes the smallest doc_id reachable through
+    * ANY chain of verified near-dup pairs, where [[minhashDedup]]'s
+    * one-hop summary only looks at direct partners (A~B, B~C puts A
+    * and C in different groups there; here they share a cluster).
+    *
+    * Each iteration is one join + one min-aggregate on the label
+    * frame, localCheckpointed so iteration i's plan does not
+    * re-execute 0..i-1, with a convergence count per round — the
+    * standard distributed CC shape (Pregel-style, linear per round,
+    * rounds ≈ graph diameter; near-dup clusters are near-cliques so
+    * it converges in 1–2 rounds). Output: (doc_id, rep_id,
+    * cluster_size), cluster_size ≥ 1. */
+  def dedupClusters(docs: DataFrame, edges: DataFrame,
+                    maxIter: Int = 20): DataFrame = {
+    val ids = docs.select(col("doc_id").cast("long"))
+    val sym = edges
+      .select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
+      .unionAll(edges.select(col("d2").cast("long").as("a"),
+        col("d1").cast("long").as("b")))
+      .localCheckpoint()
+    var labels = ids.select(col("doc_id"), col("doc_id").as("rep"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("doc_id").as("a"), col("rep").as("nrep")), "a")
+        .groupBy(col("b").as("doc_id"))
+        .agg(min(col("nrep")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.select(col("doc_id"), col("rep").as("old")), "doc_id")
+        .where(col("rep") =!= col("old"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "rep")
+      .select(col("doc_id"), col("rep").as("rep_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
   }
 

@@ -77,6 +77,17 @@ class EdgeCaseSpec extends SparkSpec {
     assert(full.forall(t => t._2 == 0L && t._3 == 9L))
   }
 
+  test("dedupClusters propagates reps transitively along chains") {
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("d1", "d2")
+    val out = NearDup.dedupClusters(docs, edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 3 reaches 1 only through 2 — the one-hop summary can't do this
+    assert(out == Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      4L -> ((4L, 1L)), 5L -> ((5L, 2L)), 6L -> ((5L, 2L))))
+  }
+
   test("minhash dedup on an empty-ish corpus returns one row per doc") {
     val df = Seq((1L, "a"), (2L, "b c")).toDF("doc_id", "text") // no shingles at all
     val m = NearDup.minhashDedup(df).collect()
