@@ -14,7 +14,8 @@ object Bench {
     "q_qa_flags", "q_lang_id",
     "q_text_quality", "q_token_count", "q_fingerprint", "q_dedup_exact",
     "q_ngram_jaccard", "q_minhash_dedup", "q_dedup_clusters", "q_simhash",
-    "q_ann_ivf", "q_ann_ivf_p2", "q_ann_pq", "q_multimodal_meta")
+    "q_embed_lsh", "q_ann_ivf", "q_ann_ivf_p2", "q_ann_pq",
+    "q_multimodal_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -290,6 +290,8 @@ object SparkEntry {
     "q_simhash" -> ((s, d) => NearDup.simhash(Tables.documents(s, d))),
     "q_embed_neardup" -> ((s, d) =>
       VectorSearch.cosineNearDup(Tables.embeddings(s, d), 0.4)),
+    "q_embed_lsh" -> ((s, d) =>
+      VectorSearch.srpNearDup(Tables.embeddings(s, d), 0.4)),
     "q_ann_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       VectorSearch.bruteForceTopK(emb, emb.where(col("vec_id") < 10), 5)
@@ -773,6 +775,28 @@ object SparkEntry {
             ${dotSql("a", "b")} / (a.nrm * b.nrm) AS c
             FROM e a JOIN e b ON a.vec_id < b.vec_id)
           SELECT v1, v2, round(c, 6) AS cos FROM s WHERE c >= 0.4 ORDER BY v1, v2""",
+    "q_embed_lsh" -> {
+      val planeValues = VectorSearch.srpPlanes(16, 64).zipWithIndex
+        .map { case (arr, i) => s"($i, [${arr.map(_.toInt).mkString(", ")}])" }
+        .mkString(", ")
+      s"""WITH planes(i, vals) AS (VALUES $planeValues),
+          e AS ($NormedEmbSql),
+          bits AS (SELECT e.vec_id, planes.i,
+            CASE WHEN list_reduce(list_transform(range(1, 65),
+              k -> CAST(e.embedding[k] AS DOUBLE) * vals[k]), (x, y) -> x + y) >= 0
+            THEN 1 ELSE 0 END AS bit
+            FROM e CROSS JOIN planes),
+          bands AS (SELECT vec_id, i // 4 AS band,
+            string_agg(CAST(bit AS VARCHAR), ',' ORDER BY i) AS sig
+            FROM bits GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+            FROM bands x JOIN bands y
+            ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id),
+          s AS (SELECT v1, v2, ${dotSql("a", "b")} / (a.nrm * b.nrm) AS c
+            FROM cand JOIN e a ON a.vec_id = v1 JOIN e b ON b.vec_id = v2)
+          SELECT v1, v2, round(c, 6) AS cos FROM s WHERE c >= 0.4
+          ORDER BY v1, v2"""
+    },
     "q_ann_topk" ->
       s"""WITH e AS ($NormedEmbSql),
           q AS (SELECT * FROM e WHERE vec_id < 10),

@@ -168,6 +168,72 @@ object VectorSearch {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Deterministic ±1 (Rademacher) hyperplanes for [[srpNearDup]],
+    * seeded so the Spark pipeline and the DuckDB oracle embed the SAME
+    * constants — and exactly representable, so the per-plane
+    * projection is bit-identical in any engine with a sequential
+    * double fold (unlike Gaussian float literals, which need careful
+    * decimal round-tripping). */
+  def srpPlanes(planes: Int, dim: Int): IndexedSeq[Array[Float]] = {
+    val rnd = new scala.util.Random(1234)
+    IndexedSeq.fill(planes)(Array.fill(dim)(if (rnd.nextBoolean()) 1f else -1f))
+  }
+
+  /** Embedding near-dup at scale via sign-random-projection LSH
+    * (Charikar, STOC'02 — public algorithm): each vector's `planes`
+    * projection signs form a bit signature; vectors are bucketed by
+    * `bands` signature slices and only same-bucket candidates get an
+    * exact cosine verification. The quadratic [[cosineNearDup]] is the
+    * small-scale oracle baseline; this is its linear-ish scale path —
+    * candidate recall is the LSH collision probability
+    * (1-θ/π per plane, banded), every emitted pair is exact.
+    * Buckets carry a sorted capped id prefix ([[graft.operators
+    * .NearDup.minhashDedup]]'s degenerate-bucket defense — a
+    * zero-vector pile-up would otherwise emit O(m²) pairs from one
+    * task). Output matches cosineNearDup's shape: (v1, v2, cos). */
+  def srpNearDup(embeddings: DataFrame, threshold: Double,
+                 planes: Int = 16, bands: Int = 4, dim: Int = 64,
+                 bucketCap: Int = 1000): DataFrame = {
+    val rows = planes / bands
+    val p = srpPlanes(planes, dim)
+    def planeLit(i: Int): Column = array(p(i).map(lit(_)): _*)
+    // one pass: 16 projection-sign columns; persisted because band
+    // bucketing AND both verify sides read it
+    val withBits = withNorm(embeddings)
+      .select(Seq(col("vec_id"), col("embedding"), col("nrm")) ++
+        (0 until planes).map(i =>
+          (dot(col("embedding"), planeLit(i)) >= 0).cast("int").as(s"b$i")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rows).map(r =>
+          col(s"b${b * rows + r}").cast("string")): _*).as("sig"))
+    }
+    val cand = withBits
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .groupBy(col("band"), col("sig"))
+      .agg(slice(sort_array(collect_list(col("vec_id"))), 1, bucketCap).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+           i -> transform(sequence(i + 1, size(ids)),
+           j -> struct(element_at(ids, i) AS v1, element_at(ids, j) AS v2))))"""))
+        .as("p"))
+      .select(col("p.v1").as("v1"), col("p.v2").as("v2"))
+      .distinct()
+    val side = withBits.select(col("vec_id"), col("embedding"), col("nrm"))
+    cand
+      .join(side.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("nrm").as("n1")), "v1")
+      .join(side.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        col("nrm").as("n2")), "v2")
+      .withColumn("cos", cosine(col("e1"), col("e2"), col("n1"), col("n2")))
+      .where(col("cos") >= threshold)
+      .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
   /** Product-quantization ADC top-k (Jégou et al., PAMI'11 — public
     * algorithm): split the `dim`-dim space into `m` subspaces, encode
     * every corpus vector as its nearest codebook entry per subspace
