@@ -30,16 +30,20 @@ object Runner {
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     if (!force && fs.exists(success)) "skipped (target exists)"
     else {
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").parquet(target.toString)
-      // queries persist intermediate frames scoped to their own run
-      // (minhash signatures, QA input projections, zipWithIndex base
-      // RDDs); drop them so a 38-query run doesn't accumulate every
-      // query's cache for the session lifetime
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      "written"
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").parquet(target.toString)
+        "written"
+      } finally {
+        // queries persist intermediate frames scoped to their own run
+        // (minhash signatures, QA input projections, zipWithIndex base
+        // RDDs); drop them — on failure too, or a crashed query's
+        // cached frames squeeze every subsequent query — so a 40-query
+        // run doesn't accumulate caches for the session lifetime
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
   }
 

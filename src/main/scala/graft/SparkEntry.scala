@@ -371,9 +371,14 @@ object SparkEntry {
         bands AS (SELECT doc_id, j // 2 AS band,
           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig
           FROM perms GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-          FROM bands x JOIN bands y
-          ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+        buckets AS (SELECT band, band_sig,
+          (list_sort(list(doc_id)))[1:1000] AS ids
+          FROM bands GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT p[1] AS d1, p[2] AS d2 FROM
+          (SELECT unnest(flatten(list_transform(range(1, len(ids)),
+            i -> list_transform(range(i + 1, len(ids) + 1),
+            j -> [ids[i], ids[j]])))) AS p
+           FROM buckets WHERE len(ids) > 1)),
         ver AS (SELECT d1, d2 FROM cand
           JOIN t t1 ON t1.doc_id = d1 JOIN t t2 ON t2.doc_id = d2
           WHERE CAST(len(list_intersect(t1.sh, t2.sh)) AS DOUBLE) /
@@ -719,7 +724,9 @@ object SparkEntry {
     "q_ngram_jaccard" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
           t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),
-          e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+          e0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
+          e AS (SELECT e0.* FROM e0 JOIN (SELECT s FROM e0 GROUP BY s
+            HAVING count(*) <= ${NearDup.DefaultDfCap}) k USING (s)),
           c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS cnt
             FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
           sz AS (SELECT doc_id, len(sh) AS n FROM t),
@@ -789,9 +796,14 @@ object SparkEntry {
           bands AS (SELECT vec_id, i // 4 AS band,
             string_agg(CAST(bit AS VARCHAR), ',' ORDER BY i) AS sig
             FROM bits GROUP BY 1, 2),
-          cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
-            FROM bands x JOIN bands y
-            ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id),
+          buckets AS (SELECT band, sig,
+            (list_sort(list(vec_id)))[1:1000] AS ids
+            FROM bands GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT p[1] AS v1, p[2] AS v2 FROM
+            (SELECT unnest(flatten(list_transform(range(1, len(ids)),
+              i -> list_transform(range(i + 1, len(ids) + 1),
+              j -> [ids[i], ids[j]])))) AS p
+             FROM buckets WHERE len(ids) > 1)),
           s AS (SELECT v1, v2, ${dotSql("a", "b")} / (a.nrm * b.nrm) AS c
             FROM cand JOIN e a ON a.vec_id = v1 JOIN e b ON b.vec_id = v2)
           SELECT v1, v2, round(c, 6) AS cos FROM s WHERE c >= 0.4
@@ -817,7 +829,7 @@ object SparkEntry {
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,
                        ctr.centroid_id) AS rk
-            FROM e CROSS JOIN ctr),
+            FROM e CROSS JOIN ctr WHERE e.nrm <> 0 AND ctr.nrm <> 0),
           a2 AS (SELECT vec_id, embedding, nrm, centroid_id FROM asg WHERE rk = 1),
           q AS (SELECT vec_id AS query_id, embedding, nrm, centroid_id FROM a2
             WHERE vec_id < 10),
@@ -838,7 +850,7 @@ object SparkEntry {
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,
                        ctr.centroid_id) AS rk
-            FROM e CROSS JOIN ctr),
+            FROM e CROSS JOIN ctr WHERE e.nrm <> 0 AND ctr.nrm <> 0),
           a2 AS (SELECT vec_id, embedding, nrm, centroid_id FROM asg WHERE rk = 1),
           q AS (SELECT vec_id AS query_id, embedding, nrm FROM a2
             WHERE vec_id < 10),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -63,21 +63,26 @@ object NearDup {
     val t = shingleSets(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e0 = t.select(col("doc_id"), explode(col("sh")).as("s"))
-    // per-shingle posting lists, pairs generated in-task (the LSH
-    // bucket pattern): ONE shuffle of the index, where a self-join on
-    // the shingle would shuffle it twice and build a hash table per
-    // partition; the df cap falls out for free as a size filter on
-    // the posting list instead of a separate aggregate + anti-join
-    val postings = e0.groupBy(col("s"))
+    // hot shingles are dropped BEFORE the posting-list aggregation via
+    // a cheap count + anti-join (integer partials, no lists): filtering
+    // after collect_list would already have materialized a hot
+    // shingle's entire posting list in one aggregation buffer — the
+    // unbounded-row blowup the cap exists to prevent
+    val e = dfCap match {
+      case Some(cap) =>
+        val hot = e0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select(col("s"))
+        e0.join(hot, Seq("s"), "left_anti")
+      case None => e0
+    }
+    // per-shingle posting lists (bounded by dfCap), pairs generated
+    // in-task — the LSH bucket pattern: one shuffle of the index for
+    // pair generation, where a self-join on the shingle would shuffle
+    // it twice and build a hash table per partition
+    val common = e.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1 &&
-        size(col("ids")) <= dfCap.map(lit).getOrElse(size(col("ids"))))
-    val common = postings
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ids) - 1),
-           i -> transform(sequence(i + 1, size(ids)),
-           j -> struct(element_at(ids, i) AS d1, element_at(ids, j) AS d2))))"""))
-        .as("p"))
+      .where(size(col("ids")) > 1)
+      .select(explode(pairsFromSortedIds("d1", "d2")).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("common"))
     val sizes = t.select(col("doc_id"), size(col("sh")).as("n_sh"))
@@ -90,6 +95,16 @@ object NearDup {
       .select(col("d1"), col("d2"), col("jaccard"))
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** All (a < b) pairs from a sorted `ids` array column, generated
+    * row-locally with caller-chosen field names. Shared by the jaccard
+    * posting lists, the minhash LSH buckets, and
+    * [[graft.operators.VectorSearch.srpNearDup]]'s embedding buckets. */
+  private[operators] def pairsFromSortedIds(f1: String, f2: String): Column =
+    expr(
+      s"""flatten(transform(sequence(1, size(ids) - 1),
+         i -> transform(sequence(i + 1, size(ids)),
+         j -> struct(element_at(ids, i) AS $f1, element_at(ids, j) AS $f2))))""")
 
   /** The 2^40 modulus shared by the portable rolling hash and the
     * MinHash permutations. */
@@ -201,11 +216,7 @@ object NearDup {
       .groupBy(col("band"), col("band_sig"))
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, bucketCap).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ids) - 1),
-           i -> transform(sequence(i + 1, size(ids)),
-           j -> struct(element_at(ids, i) AS d1, element_at(ids, j) AS d2))))"""))
-        .as("p"))
+      .select(explode(pairsFromSortedIds("d1", "d2")).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
     val t = sig.select(col("doc_id"), col("sh"))
@@ -263,6 +274,13 @@ object NearDup {
       converged = changed == 0
       iter += 1
     }
+    // fail loud rather than emit split components: min-label moves one
+    // hop per round, so a duplicate chain longer than maxIter would
+    // otherwise come back silently partitioned into wrong clusters
+    if (!converged)
+      throw new GraftDataException(
+        s"dedupClusters did not converge within $maxIter iterations — " +
+          "a component has diameter > maxIter; raise maxIter")
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "rep")
       .select(col("doc_id"), col("rep").as("rep_id"), col("cluster_size"))

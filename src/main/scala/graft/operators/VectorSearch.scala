@@ -73,8 +73,11 @@ object VectorSearch {
     * centroids frame is never shuffled (the previous row_number
     * window shuffled the full expansion). */
   def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    val e = withNorm(embeddings)
-    val c = withNorm(centroids).select(
+    // zero-norm vectors/centroids have no defined cosine (NULL here,
+    // inf/NaN in IEEE engines) — exclude them from the index rather
+    // than let engine-specific null/NaN ordering pick their cells
+    val e = withNorm(embeddings).where(col("nrm") =!= 0.0)
+    val c = withNorm(centroids).where(col("nrm") =!= 0.0).select(
       col("vec_id").as("centroid_id"), col("embedding").as("ce"), col("nrm").as("cn"))
     e.crossJoin(broadcast(c))
       .withColumn("ccos", cosine(col("embedding"), col("ce"), col("nrm"), col("cn")))
@@ -190,7 +193,15 @@ object VectorSearch {
     * Buckets carry a sorted capped id prefix ([[graft.operators
     * .NearDup.minhashDedup]]'s degenerate-bucket defense — a
     * zero-vector pile-up would otherwise emit O(m²) pairs from one
-    * task). Output matches cosineNearDup's shape: (v1, v2, cos). */
+    * task). SIZE `planes`/`bands` TO THE CORPUS: a band has only
+    * 2^(planes/bands) buckets, so expected bucket size is
+    * N / 2^(planes/bands) — once that approaches `bucketCap` the
+    * prefix cap binds on ORDINARY buckets and recall silently skews
+    * toward low vec_ids (the defaults are sized for ≤ ~16k vectors;
+    * at 1M use e.g. planes=48, bands=4). The cap is replayed by the
+    * q_embed_lsh oracle, so a binding cap is gate-visible, not a
+    * correctness drift. Output matches cosineNearDup's shape:
+    * (v1, v2, cos). */
   def srpNearDup(embeddings: DataFrame, threshold: Double,
                  planes: Int = 16, bands: Int = 4, dim: Int = 64,
                  bucketCap: Int = 1000): DataFrame = {
@@ -215,11 +226,7 @@ object VectorSearch {
       .groupBy(col("band"), col("sig"))
       .agg(slice(sort_array(collect_list(col("vec_id"))), 1, bucketCap).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ids) - 1),
-           i -> transform(sequence(i + 1, size(ids)),
-           j -> struct(element_at(ids, i) AS v1, element_at(ids, j) AS v2))))"""))
-        .as("p"))
+      .select(explode(NearDup.pairsFromSortedIds("v1", "v2")).as("p"))
       .select(col("p.v1").as("v1"), col("p.v2").as("v2"))
       .distinct()
     val side = withBits.select(col("vec_id"), col("embedding"), col("nrm"))

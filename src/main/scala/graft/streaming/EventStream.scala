@@ -62,8 +62,9 @@ object EventStream {
       .withColumn("pct_diff",
         (col("n_events") - col("expected")).cast("double") /
           nullif(col("expected"), lit(0)))
-      .where(abs(col("pct_diff")) > tolerance ||
-        (col("expected") === 0 && col("n_events") > 0))
+      // a window group only exists because >=1 event arrived, so
+      // expected=0 alone means traffic on a must-be-silent type
+      .where(abs(col("pct_diff")) > tolerance || col("expected") === 0)
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("expected"), col("pct_diff"))
 
