@@ -88,6 +88,25 @@ class EdgeCaseSpec extends SparkSpec {
       4L -> ((4L, 1L)), 5L -> ((5L, 2L)), 6L -> ((5L, 2L))))
   }
 
+  test("dedupClusters fails loud when a chain outruns maxIter") {
+    val docs = (1L to 4L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("d1", "d2")
+    intercept[graft.operators.GraftDataException] {
+      NearDup.dedupClusters(docs, chain, maxIter = 1)
+    }
+  }
+
+  test("zero-norm vectors are excluded from IVF assignment") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0f, 0f)) // no defined cosine — must not be indexed
+    ).toDF("vec_id", "embedding")
+    val assigned = graft.operators.VectorSearch
+      .assignCells(emb, emb.where(col("vec_id") < 2))
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(assigned.toSeq == Seq(0L, 1L))
+  }
+
   test("minhash dedup on an empty-ish corpus returns one row per doc") {
     val df = Seq((1L, "a"), (2L, "b c")).toDF("doc_id", "text") // no shingles at all
     val m = NearDup.minhashDedup(df).collect()
