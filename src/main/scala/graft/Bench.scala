@@ -12,7 +12,8 @@ object Bench {
     "q_projection_ratio", "q_value_mapping", "q_before_after",
     "q_contingency", "q_qa_daily", "q_qa_meta", "q_qa_multigroup",
     "q_qa_flags", "q_lang_id",
-    "q_text_quality", "q_token_count", "q_fingerprint", "q_dedup_exact",
+    "q_text_quality", "q_token_count", "q_fingerprint", "q_repetition",
+    "q_quality_filter", "q_dedup_exact",
     "q_ngram_jaccard", "q_minhash_dedup", "q_dedup_clusters", "q_simhash",
     "q_embed_lsh", "q_ann_ivf", "q_ann_ivf_p2", "q_ann_pq",
     "q_multimodal_meta")

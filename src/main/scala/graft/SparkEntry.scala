@@ -279,6 +279,8 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    "q_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
+    "q_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "q_dedup_exact" -> ((s, d) => TextAnalysis.exactDedup(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) =>
       NearDup.jaccardPairs(Tables.documents(s, d), 3, 0.3)),
@@ -714,6 +716,54 @@ object SparkEntry {
       s"""SELECT doc_id, md5($NormSql) AS fingerprint,
           CAST(len($NormSql) AS INTEGER) AS norm_len
           FROM documents ORDER BY doc_id""",
+    "q_repetition" ->
+      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+          b AS (SELECT doc_id, toks,
+            list_filter(list_transform(string_split(text, '.'), l -> trim(l)),
+              l -> l <> '') AS lines,
+            CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1])
+            ELSE CAST([] AS VARCHAR[]) END AS bgs
+            FROM t)
+          SELECT doc_id,
+            CAST(len(lines) AS INTEGER) AS n_lines,
+            CAST(1 AS DOUBLE) - CAST(len(list_distinct(lines)) AS DOUBLE) /
+              nullif(len(lines), 0) AS dup_line_frac,
+            CAST(1 AS DOUBLE) - CAST(len(list_distinct(toks)) AS DOUBLE) /
+              nullif(len(toks), 0) AS dup_word_frac,
+            CAST(list_max(list_transform(list_distinct(bgs),
+              d -> len(list_filter(bgs, x -> x = d)))) AS DOUBLE) /
+              nullif(len(bgs), 0) AS top_bigram_frac
+          FROM b ORDER BY doc_id""",
+    "q_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+          b AS (SELECT doc_id, toks,
+            list_filter(list_transform(string_split(text, '.'), l -> trim(l)),
+              l -> l <> '') AS lines,
+            CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1])
+            ELSE CAST([] AS VARCHAR[]) END AS bgs
+            FROM t),
+          r AS (SELECT doc_id,
+            CAST(len(toks) AS INTEGER) AS token_cnt,
+            CAST(len(list_filter(toks,
+              t -> list_contains(['the','a','and','of','to','is'], t)))
+              AS INTEGER) AS stop_hits,
+            CAST(1 AS DOUBLE) - CAST(len(list_distinct(lines)) AS DOUBLE) /
+              nullif(len(lines), 0) AS dup_line_frac,
+            CAST(list_max(list_transform(list_distinct(bgs),
+              d -> len(list_filter(bgs, x -> x = d)))) AS DOUBLE) /
+              nullif(len(bgs), 0) AS top_bigram_frac
+            FROM b),
+          rr AS (SELECT *, CASE
+            WHEN token_cnt < 20 THEN 'too_short'
+            WHEN dup_line_frac > CAST(0.3 AS DOUBLE) THEN 'dup_lines'
+            WHEN top_bigram_frac > CAST(0.08 AS DOUBLE) THEN 'repetitive_bigrams'
+            WHEN stop_hits < 1 THEN 'no_stopwords'
+            ELSE 'ok' END AS reason FROM r)
+          SELECT doc_id, CAST(reason = 'ok' AS INTEGER) AS keep, reason,
+            token_cnt, dup_line_frac, top_bigram_frac, stop_hits
+          FROM rr ORDER BY doc_id""",
     "q_dedup_exact" ->
       s"""WITH f AS (SELECT doc_id, md5($NormSql) AS fingerprint FROM documents),
           r AS (SELECT doc_id, fingerprint,

@@ -77,6 +77,63 @@ object TextAnalysis {
       length(normText(col("text"))).as("norm_len"))
       .orderBy(col("doc_id"))
 
+  /** Repetition signals (Gopher-style quality heuristics, Rae et al.
+    * 2021 — public thresholds/recipes): duplicate-sentence fraction,
+    * duplicate-word fraction, and the fraction of all bigrams taken by
+    * the single most frequent bigram. Everything is row-local
+    * higher-order array arithmetic over staged token/bigram columns
+    * (Spark does not CSE inside lambdas — the staging projections keep
+    * the tokenizer from re-running per element), so cost is per-row
+    * and the scan stays linear at any corpus size. Integer counts +
+    * guarded double ratios → engine-portable. */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .withColumn("lines",
+        filter(transform(split(col("text"), "\\."), l => trim(l)), l => l =!= ""))
+      .withColumn("bgs",
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>")))
+      .select(
+        col("doc_id"),
+        size(col("lines")).as("n_lines"),
+        (lit(1.0) - size(array_distinct(col("lines"))).cast("double") /
+          nullif(size(col("lines")), lit(0))).as("dup_line_frac"),
+        (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          nullif(size(col("toks")), lit(0))).as("dup_word_frac"),
+        (array_max(transform(array_distinct(col("bgs")),
+          d => size(filter(col("bgs"), x => x === d)))).cast("double") /
+          nullif(size(col("bgs")), lit(0))).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+
+  /** Composite keep/drop quality filter over the repetition + quality
+    * signals, with the FIRST failing rule named — the end of the
+    * text-pipeline funnel (filter → exact dedup → near-dup cluster).
+    * Thresholds are Gopher-flavored, tuned so the gate corpus
+    * exercises both outcomes. */
+  def qualityFilter(docs: DataFrame, minTokens: Int = 20,
+                    maxDupLineFrac: Double = 0.3,
+                    maxTopBigramFrac: Double = 0.08,
+                    minStopHits: Int = 1): DataFrame = {
+    val rep = repetitionSignals(docs)
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("token_cnt"),
+        stopwordHits(col("toks"), stopwords("en")).as("stop_hits"))
+    rep.join(base, "doc_id")
+      .withColumn("reason",
+        when(col("token_cnt") < minTokens, lit("too_short"))
+          .when(col("dup_line_frac") > maxDupLineFrac, lit("dup_lines"))
+          .when(col("top_bigram_frac") > maxTopBigramFrac, lit("repetitive_bigrams"))
+          .when(col("stop_hits") < minStopHits, lit("no_stopwords"))
+          .otherwise(lit("ok")))
+      .withColumn("keep", (col("reason") === "ok").cast("int"))
+      .select(col("doc_id"), col("keep"), col("reason"), col("token_cnt"),
+        col("dup_line_frac"), col("top_bigram_frac"), col("stop_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact dedup: min doc_id per fingerprint group is the survivor.
     * One hash shuffle on the fingerprint — the canonical exact-dedup
     * shape at any scale. */
