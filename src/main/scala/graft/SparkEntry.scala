@@ -316,6 +316,32 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
   )
 
+  /** Shared CTE chain for the repetition oracles: lines + bigrams,
+    * then the sorted run-start formulation of the top-bigram count —
+    * the oracle twin of repetitionSignals' flat-HOF shape (same
+    * greatest(i-1,1) guard, same sentinel append). Expects `t` with
+    * (doc_id, text, toks) in scope; yields `b3` with everything. */
+  private val RepetitionCtes: String =
+    """b AS (SELECT doc_id, toks,
+         list_filter(list_transform(string_split(text, '.'), l -> trim(l)),
+           l -> l <> '') AS lines,
+         CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+           i -> toks[i] || ' ' || toks[i+1])
+         ELSE CAST([] AS VARCHAR[]) END AS bgs
+         FROM t),
+       b2 AS (SELECT *, list_sort(bgs) AS sbgs FROM b),
+       b3 AS (SELECT *,
+         CASE WHEN len(starts) > 0 THEN
+           list_max(list_transform(range(1, len(starts) + 1),
+             j -> list_append(starts, len(sbgs) + 1)[j + 1] -
+                  list_append(starts, len(sbgs) + 1)[j]))
+         ELSE NULL END AS top_bigram_cnt
+         FROM (SELECT *,
+           CASE WHEN len(sbgs) > 0 THEN
+             list_filter(range(1, len(sbgs) + 1),
+               i -> i = 1 OR sbgs[i] <> sbgs[greatest(i - 1, 1)])
+           ELSE CAST([] AS BIGINT[]) END AS starts FROM b2))"""
+
   /** DuckDB fragments shared by the text oracles. */
   private val ToksSql =
     """list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
@@ -718,32 +744,19 @@ object SparkEntry {
           FROM documents ORDER BY doc_id""",
     "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
-          b AS (SELECT doc_id, toks,
-            list_filter(list_transform(string_split(text, '.'), l -> trim(l)),
-              l -> l <> '') AS lines,
-            CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
-              i -> toks[i] || ' ' || toks[i+1])
-            ELSE CAST([] AS VARCHAR[]) END AS bgs
-            FROM t)
+          $RepetitionCtes
           SELECT doc_id,
             CAST(len(lines) AS INTEGER) AS n_lines,
             CAST(1 AS DOUBLE) - CAST(len(list_distinct(lines)) AS DOUBLE) /
               nullif(len(lines), 0) AS dup_line_frac,
             CAST(1 AS DOUBLE) - CAST(len(list_distinct(toks)) AS DOUBLE) /
               nullif(len(toks), 0) AS dup_word_frac,
-            CAST(list_max(list_transform(list_distinct(bgs),
-              d -> len(list_filter(bgs, x -> x = d)))) AS DOUBLE) /
+            CAST(top_bigram_cnt AS DOUBLE) /
               nullif(len(bgs), 0) AS top_bigram_frac
-          FROM b ORDER BY doc_id""",
+          FROM b3 ORDER BY doc_id""",
     "q_quality_filter" ->
       s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
-          b AS (SELECT doc_id, toks,
-            list_filter(list_transform(string_split(text, '.'), l -> trim(l)),
-              l -> l <> '') AS lines,
-            CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
-              i -> toks[i] || ' ' || toks[i+1])
-            ELSE CAST([] AS VARCHAR[]) END AS bgs
-            FROM t),
+          $RepetitionCtes,
           r AS (SELECT doc_id,
             CAST(len(toks) AS INTEGER) AS token_cnt,
             CAST(len(list_filter(toks,
@@ -751,10 +764,9 @@ object SparkEntry {
               AS INTEGER) AS stop_hits,
             CAST(1 AS DOUBLE) - CAST(len(list_distinct(lines)) AS DOUBLE) /
               nullif(len(lines), 0) AS dup_line_frac,
-            CAST(list_max(list_transform(list_distinct(bgs),
-              d -> len(list_filter(bgs, x -> x = d)))) AS DOUBLE) /
+            CAST(top_bigram_cnt AS DOUBLE) /
               nullif(len(bgs), 0) AS top_bigram_frac
-            FROM b),
+            FROM b3),
           rr AS (SELECT *, CASE
             WHEN token_cnt < 20 THEN 'too_short'
             WHEN dup_line_frac > CAST(0.3 AS DOUBLE) THEN 'dup_lines'

@@ -96,6 +96,21 @@ object TextAnalysis {
             i => concat_ws(" ", element_at(col("toks"), i),
               element_at(col("toks"), i + 1))))
           .otherwise(array().cast("array<string>")))
+      // top-bigram count = longest equal run in the SORTED bigram
+      // array, found via run-start indices — flat O(n log n) per row.
+      // The obvious mode formulation (for each distinct bigram, count
+      // its occurrences) is a NESTED higher-order function, O(n²)
+      // interpreted lambda calls per row — measured 4× the cost of
+      // every other text operator combined at sf0.1.
+      .withColumn("sbgs", array_sort(col("bgs")))
+      .withColumn("starts",
+        when(size(col("sbgs")) > 0,
+          filter(sequence(lit(1), size(col("sbgs"))),
+            i => (i === 1) || (element_at(col("sbgs"), i) =!=
+              element_at(col("sbgs"), greatest(i - 1, lit(1))))))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("starts_ext",
+        concat(col("starts"), array(size(col("sbgs")) + 1)))
       .select(
         col("doc_id"),
         size(col("lines")).as("n_lines"),
@@ -103,8 +118,12 @@ object TextAnalysis {
           nullif(size(col("lines")), lit(0))).as("dup_line_frac"),
         (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
           nullif(size(col("toks")), lit(0))).as("dup_word_frac"),
-        (array_max(transform(array_distinct(col("bgs")),
-          d => size(filter(col("bgs"), x => x === d)))).cast("double") /
+        // guarded: sequence(1, 0) would count DOWN through index 0
+        (when(size(col("starts")) > 0,
+          array_max(transform(sequence(lit(1), size(col("starts"))),
+            j => element_at(col("starts_ext"), j + 1) -
+              element_at(col("starts_ext"), j))))
+          .cast("double") /
           nullif(size(col("bgs")), lit(0))).as("top_bigram_frac"))
       .orderBy(col("doc_id"))
 
