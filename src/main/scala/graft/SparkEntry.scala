@@ -400,7 +400,7 @@ object SparkEntry {
           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig
           FROM perms GROUP BY 1, 2),
         buckets AS (SELECT band, band_sig,
-          (list_sort(list(doc_id)))[1:1000] AS ids
+          (list_sort(list(doc_id)))[1:${NearDup.DefaultBucketCap}] AS ids
           FROM bands GROUP BY 1, 2),
         cand AS (SELECT DISTINCT p[1] AS d1, p[2] AS d2 FROM
           (SELECT unnest(flatten(list_transform(range(1, len(ids)),
@@ -768,6 +768,7 @@ object SparkEntry {
               nullif(len(bgs), 0) AS top_bigram_frac
             FROM b3),
           rr AS (SELECT *, CASE
+            WHEN token_cnt IS NULL THEN 'invalid_text'
             WHEN token_cnt < 20 THEN 'too_short'
             WHEN dup_line_frac > CAST(0.3 AS DOUBLE) THEN 'dup_lines'
             WHEN top_bigram_frac > CAST(0.08 AS DOUBLE) THEN 'repetitive_bigrams'
@@ -859,7 +860,7 @@ object SparkEntry {
             string_agg(CAST(bit AS VARCHAR), ',' ORDER BY i) AS sig
             FROM bits GROUP BY 1, 2),
           buckets AS (SELECT band, sig,
-            (list_sort(list(vec_id)))[1:1000] AS ids
+            (list_sort(list(vec_id)))[1:${NearDup.DefaultBucketCap}] AS ids
             FROM bands GROUP BY 1, 2),
           cand AS (SELECT DISTINCT p[1] AS v1, p[2] AS v2 FROM
             (SELECT unnest(flatten(list_transform(range(1, len(ids)),

@@ -106,6 +106,14 @@ object NearDup {
          i -> transform(sequence(i + 1, size(ids)),
          j -> struct(element_at(ids, i) AS $f1, element_at(ids, j) AS $f2))))""")
 
+  /** Default LSH bucket candidate-prefix cap, shared by
+    * [[minhashDedup]]/[[minhashPairs]] and
+    * [[graft.operators.VectorSearch.srpNearDup]] — and interpolated
+    * into their oracles, so tuning it here keeps the SQL replay of the
+    * cap in lockstep (a hardcoded oracle literal would silently stop
+    * replaying the cap the day this is changed). */
+  val DefaultBucketCap: Int = 1000
+
   /** The 2^40 modulus shared by the portable rolling hash and the
     * MinHash permutations. */
   val HashMod: Long = 1099511627776L
@@ -166,7 +174,7 @@ object NearDup {
     * two orders of magnitude below both caps (max bucket 14, max df
     * 25), so the gate checks the exact regime. */
   def minhashDedup(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 16,
-                   threshold: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
+                   threshold: Double = 0.5, bucketCap: Int = DefaultBucketCap): DataFrame = {
     val verified = minhashPairs(docs, n, k, bands, threshold, bucketCap)
     val partners = verified
       .select(col("d1").as("doc_id"), col("d2").as("partner"))
@@ -186,7 +194,7 @@ object NearDup {
     * (d1 < d2) pairs. Shared by the one-hop dedup summary and the
     * transitive [[dedupClusters]]. */
   def minhashPairs(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 16,
-                   threshold: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
+                   threshold: Double = 0.5, bucketCap: Int = DefaultBucketCap): DataFrame = {
     val rows = k / bands
     // k=32 / r=2: at J=0.5 the candidate recall is 1-(1-J^2)^16 ≈ 0.99
     // (vs 0.64 with r=4) while halving the signature work; the extra
@@ -254,33 +262,45 @@ object NearDup {
       .localCheckpoint()
     var labels = ids.select(col("doc_id"), col("doc_id").as("rep"))
       .localCheckpoint()
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
+    def step(cur: DataFrame): (DataFrame, Long) = {
       val nbrMin = sym
-        .join(labels.select(col("doc_id").as("a"), col("rep").as("nrep")), "a")
+        .join(cur.select(col("doc_id").as("a"), col("rep").as("nrep")), "a")
         .groupBy(col("b").as("doc_id"))
         .agg(min(col("nrep")).as("nbr_min"))
-      val next = labels
+      val next = cur
         .join(nbrMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"))
         .localCheckpoint()
       val changed = next.as("n")
-        .join(labels.select(col("doc_id"), col("rep").as("old")), "doc_id")
+        .join(cur.select(col("doc_id"), col("rep").as("old")), "doc_id")
         .where(col("rep") =!= col("old"))
         .count()
+      (next, changed)
+    }
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val (next, changed) = step(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
     // fail loud rather than emit split components: min-label moves one
-    // hop per round, so a duplicate chain longer than maxIter would
-    // otherwise come back silently partitioned into wrong clusters
-    if (!converged)
-      throw new GraftDataException(
-        s"dedupClusters did not converge within $maxIter iterations — " +
-          "a component has diameter > maxIter; raise maxIter")
+    // hop per round, so a chain longer than the budget would otherwise
+    // come back silently partitioned into wrong clusters. Detecting
+    // convergence needs one zero-change round AFTER the last real
+    // propagation, so a run whose final counted round still changed
+    // labels gets one extra verification step before being declared
+    // unconverged (a diameter-of-exactly-maxIter component is complete
+    // even though the loop never observed a quiet round).
+    if (!converged) {
+      val (_, stillChanging) = step(labels)
+      if (stillChanging > 0)
+        throw new GraftDataException(
+          s"dedupClusters did not converge within $maxIter iterations — " +
+            "a component has diameter exceeding the budget; raise maxIter")
+    }
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "rep")
       .select(col("doc_id"), col("rep").as("rep_id"), col("cluster_size"))

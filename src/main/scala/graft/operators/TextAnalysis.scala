@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -87,6 +87,34 @@ object TextAnalysis {
     * and the scan stays linear at any corpus size. Integer counts +
     * guarded double ratios → engine-portable. */
   def repetitionSignals(docs: DataFrame): DataFrame =
+    repetitionFrame(docs)
+      .select(
+        col("doc_id"),
+        size(col("lines")).as("n_lines"),
+        (lit(1.0) - size(array_distinct(col("lines"))).cast("double") /
+          nullif(size(col("lines")), lit(0))).as("dup_line_frac"),
+        (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          nullif(size(col("toks")), lit(0))).as("dup_word_frac"),
+        topBigramFrac.as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+
+  /** Longest equal run in the sorted bigram array over the total
+    * bigram count — evaluated against [[repetitionFrame]]'s staged
+    * columns. Guarded: sequence(1, 0) would count DOWN through
+    * index 0. */
+  private def topBigramFrac: Column =
+    when(size(col("starts")) > 0,
+      array_max(transform(sequence(lit(1), size(col("starts"))),
+        j => element_at(col("starts_ext"), j + 1) -
+          element_at(col("starts_ext"), j))))
+      .cast("double") / nullif(size(col("bgs")), lit(0))
+
+  /** One staged row-local projection chain shared by
+    * [[repetitionSignals]] and [[qualityFilter]] — both consumers read
+    * it directly so the tokenizer (the most expensive projection in
+    * the text module) runs once and no join is needed to recombine
+    * signals that never left the row. */
+  private def repetitionFrame(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .withColumn("lines",
         filter(transform(split(col("text"), "\\."), l => trim(l)), l => l =!= ""))
@@ -111,38 +139,30 @@ object TextAnalysis {
           .otherwise(array().cast("array<int>")))
       .withColumn("starts_ext",
         concat(col("starts"), array(size(col("sbgs")) + 1)))
-      .select(
-        col("doc_id"),
-        size(col("lines")).as("n_lines"),
-        (lit(1.0) - size(array_distinct(col("lines"))).cast("double") /
-          nullif(size(col("lines")), lit(0))).as("dup_line_frac"),
-        (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
-          nullif(size(col("toks")), lit(0))).as("dup_word_frac"),
-        // guarded: sequence(1, 0) would count DOWN through index 0
-        (when(size(col("starts")) > 0,
-          array_max(transform(sequence(lit(1), size(col("starts"))),
-            j => element_at(col("starts_ext"), j + 1) -
-              element_at(col("starts_ext"), j))))
-          .cast("double") /
-          nullif(size(col("bgs")), lit(0))).as("top_bigram_frac"))
-      .orderBy(col("doc_id"))
 
   /** Composite keep/drop quality filter over the repetition + quality
     * signals, with the FIRST failing rule named — the end of the
     * text-pipeline funnel (filter → exact dedup → near-dup cluster).
     * Thresholds are Gopher-flavored, tuned so the gate corpus
-    * exercises both outcomes. */
+    * exercises both outcomes. NULL text (all signals NULL) is its own
+    * rule: every threshold comparison is NULL for such rows, and
+    * without the explicit check they would fall through to 'ok' — the
+    * most degenerate document kept silently. */
   def qualityFilter(docs: DataFrame, minTokens: Int = 20,
                     maxDupLineFrac: Double = 0.3,
                     maxTopBigramFrac: Double = 0.08,
-                    minStopHits: Int = 1): DataFrame = {
-    val rep = repetitionSignals(docs)
-    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("token_cnt"),
-        stopwordHits(col("toks"), stopwords("en")).as("stop_hits"))
-    rep.join(base, "doc_id")
+                    minStopHits: Int = 1): DataFrame =
+    repetitionFrame(docs)
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("token_cnt"),
+        stopwordHits(col("toks"), stopwords("en")).as("stop_hits"),
+        (lit(1.0) - size(array_distinct(col("lines"))).cast("double") /
+          nullif(size(col("lines")), lit(0))).as("dup_line_frac"),
+        topBigramFrac.as("top_bigram_frac"))
       .withColumn("reason",
-        when(col("token_cnt") < minTokens, lit("too_short"))
+        when(col("token_cnt").isNull, lit("invalid_text"))
+          .when(col("token_cnt") < minTokens, lit("too_short"))
           .when(col("dup_line_frac") > maxDupLineFrac, lit("dup_lines"))
           .when(col("top_bigram_frac") > maxTopBigramFrac, lit("repetitive_bigrams"))
           .when(col("stop_hits") < minStopHits, lit("no_stopwords"))
@@ -151,7 +171,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("keep"), col("reason"), col("token_cnt"),
         col("dup_line_frac"), col("top_bigram_frac"), col("stop_hits"))
       .orderBy(col("doc_id"))
-  }
 
   /** Exact dedup: min doc_id per fingerprint group is the survivor.
     * One hash shuffle on the fingerprint — the canonical exact-dedup

@@ -204,7 +204,7 @@ object VectorSearch {
     * (v1, v2, cos). */
   def srpNearDup(embeddings: DataFrame, threshold: Double,
                  planes: Int = 16, bands: Int = 4, dim: Int = 64,
-                 bucketCap: Int = 1000): DataFrame = {
+                 bucketCap: Int = NearDup.DefaultBucketCap): DataFrame = {
     val rows = planes / bands
     val p = srpPlanes(planes, dim)
     def planeLit(i: Int): Column = array(p(i).map(lit(_)): _*)

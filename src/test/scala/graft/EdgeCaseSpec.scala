@@ -96,6 +96,17 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("dedupClusters completes when diameter exactly equals maxIter") {
+    // path 1-2-3 has diameter 2: round 2 still changes a label, so the
+    // loop never sees a quiet round — the extra verification step must
+    // accept the (complete) labels instead of throwing
+    val docs = (1L to 3L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val out = NearDup.dedupClusters(docs, chain, maxIter = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("zero-norm vectors are excluded from IVF assignment") {
     val emb = Seq(
       (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
