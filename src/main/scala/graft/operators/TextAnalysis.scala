@@ -86,15 +86,21 @@ object TextAnalysis {
     * the tokenizer from re-running per element), so cost is per-row
     * and the scan stays linear at any corpus size. Integer counts +
     * guarded double ratios → engine-portable. */
+  /** NULL-propagating size: this session runs with the legacy
+    * size(NULL) = -1 semantics, but the oracles' len(NULL) is NULL —
+    * a NULL text row would otherwise emit -1 counts (and even satisfy
+    * `< threshold` rules) instead of NULL signals. */
+  private def sz(c: Column): Column = when(c.isNotNull, size(c))
+
   def repetitionSignals(docs: DataFrame): DataFrame =
     repetitionFrame(docs)
       .select(
         col("doc_id"),
-        size(col("lines")).as("n_lines"),
-        (lit(1.0) - size(array_distinct(col("lines"))).cast("double") /
-          nullif(size(col("lines")), lit(0))).as("dup_line_frac"),
-        (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
-          nullif(size(col("toks")), lit(0))).as("dup_word_frac"),
+        sz(col("lines")).as("n_lines"),
+        (lit(1.0) - sz(array_distinct(col("lines"))).cast("double") /
+          nullif(sz(col("lines")), lit(0))).as("dup_line_frac"),
+        (lit(1.0) - sz(array_distinct(col("toks"))).cast("double") /
+          nullif(sz(col("toks")), lit(0))).as("dup_word_frac"),
         topBigramFrac.as("top_bigram_frac"))
       .orderBy(col("doc_id"))
 
@@ -155,10 +161,11 @@ object TextAnalysis {
     repetitionFrame(docs)
       .select(
         col("doc_id"),
-        size(col("toks")).as("token_cnt"),
-        stopwordHits(col("toks"), stopwords("en")).as("stop_hits"),
-        (lit(1.0) - size(array_distinct(col("lines"))).cast("double") /
-          nullif(size(col("lines")), lit(0))).as("dup_line_frac"),
+        sz(col("toks")).as("token_cnt"),
+        when(col("toks").isNotNull,
+          stopwordHits(col("toks"), stopwords("en"))).as("stop_hits"),
+        (lit(1.0) - sz(array_distinct(col("lines"))).cast("double") /
+          nullif(sz(col("lines")), lit(0))).as("dup_line_frac"),
         topBigramFrac.as("top_bigram_frac"))
       .withColumn("reason",
         when(col("token_cnt").isNull, lit("invalid_text"))

@@ -97,4 +97,27 @@ class TextSpec extends SparkSpec {
     assert(r(1) == 2L)  // most aligned
     assert(r(2) == 4L)
   }
+  test("qualityFilter: every drop rule fires on its crafted document") {
+    val stops = Seq("the", "a", "and", "of", "to", "is")
+    val longOk = (1 to 15).map(i => s"${stops(i % 6)} word$i").mkString(" ") + "."
+    val dupLines = (1 to 12).map(_ => "the same sentence again and so").mkString(". ") +
+      ". " + (1 to 12).map(i => s"unique tail $i").mkString(" ")
+    val repBigrams = "the of " * 40 + (1 to 10).map(i => s"w$i").mkString(" ")
+    val noStops = (1 to 30).map(i => s"zebra$i").mkString(" ")
+    val cases = Seq(
+      (1L, longOk), (2L, "too short"), (3L, dupLines),
+      (4L, repBigrams), (5L, noStops))
+      .toDF("doc_id", "text")
+      .unionAll(Seq(6L).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
+    val out = TextAnalysis.qualityFilter(cases)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "ok")
+    assert(out(2L) == "too_short")
+    assert(out(3L) == "dup_lines")
+    assert(out(4L) == "repetitive_bigrams")
+    assert(out(5L) == "no_stopwords")
+    assert(out(6L) == "invalid_text")
+  }
+
 }
