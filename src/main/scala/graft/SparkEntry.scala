@@ -290,6 +290,7 @@ object SparkEntry {
       NearDup.dedupClusters(docs, NearDup.minhashPairs(docs))
     }),
     "q_simhash" -> ((s, d) => NearDup.simhash(Tables.documents(s, d))),
+    "q_simhash_pairs" -> ((s, d) => NearDup.simhashPairs(Tables.documents(s, d))),
     "q_embed_neardup" -> ((s, d) =>
       VectorSearch.cosineNearDup(Tables.embeddings(s, d), 0.4)),
     "q_embed_lsh" -> ((s, d) =>
@@ -313,7 +314,27 @@ object SparkEntry {
       VectorSearch.pqTopK(emb, emb.where(col("vec_id") % 50 === 0),
         col("vec_id") < 10, 5)
     }),
+    "q_ann_pq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorSearch.pqTopKRerank(emb, emb.where(col("vec_id") % 50 === 0),
+        col("vec_id") < 10, 5)
+    }),
     "q_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
+    // Planted pathological key: half of all events collapse onto
+    // hot_key 0 — the one-household-with-millions-of-rows shape. The
+    // salted two-phase sum bounds any single reducer's input to
+    // 1/32 of the hot key; integer (floored) volumes keep the
+    // differently-ordered partial sums bit-exact against the oracle's
+    // single-pass sum.
+    "q_skew_salted" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        when(col("event_id") % 2 === 0, lit(0L))
+          .otherwise(col("user_id").cast("long")).as("hot_key"),
+        floor(col("value")).cast("long").as("v"),
+        col("event_id"))
+      Skew.saltedSum(ev, Seq("hot_key"), "v", col("event_id"), 32)
+        .orderBy(col("hot_key"))
+    }),
   )
 
   /** Shared CTE chain for the repetition oracles: lines + bigrams,
@@ -361,6 +382,13 @@ object SparkEntry {
        sqrt(list_reduce(list_transform(embedding,
          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
        FROM embeddings"""
+
+  /** [[NormedEmbSql]] minus zero-norm vectors — the oracle twin of the
+    * engine's degenerate-vector exclusion in cosineNearDup/srpNearDup
+    * (0/0 cosine is NULL here, NaN in IEEE engines; neither belongs in
+    * a near-dup candidate set). */
+  private val NormedNonzeroEmbSql =
+    s"SELECT * FROM ($NormedEmbSql) WHERE nrm <> 0"
 
   /** Sequential-fold double dot product of the `len`-element subvector
     * starting after `off` (1-based lists) — the oracle twin of
@@ -412,6 +440,58 @@ object SparkEntry {
           WHERE CAST(len(list_intersect(t1.sh, t2.sh)) AS DOUBLE) /
             len(list_distinct(list_concat(t1.sh, t2.sh))) >= 0.5)"""
   }
+
+  /** CTE chain replaying the PQ encode + ADC stages (`adc` =
+    * (query_id, vec_id, approx_dist), self-pairs excluded) — shared by
+    * the q_ann_pq and q_ann_pq_rerank oracles. */
+  private lazy val PqAdcCtes: String = {
+    val m = 4; val subLen = 16
+    val ds = (0 until m).map(j => s"${l2SubSql("e", "cb", j * subLen, subLen)} AS d$j")
+    val qds = (0 until m).map(j => s"${l2SubSql("q", "cb", j * subLen, subLen)} AS qd$j")
+    val rks = (0 until m).map(j =>
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY d$j, centroid_id) AS r$j")
+    val cs = (0 until m).map(j =>
+      s"max(CASE WHEN r$j = 1 THEN centroid_id END) AS c$j")
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+        cb AS (SELECT vec_id AS centroid_id, embedding FROM embeddings
+          WHERE vec_id % 50 = 0),
+        wd AS (SELECT e.vec_id, cb.centroid_id, ${ds.mkString(", ")}
+          FROM e CROSS JOIN cb),
+        rk AS (SELECT *, ${rks.mkString(", ")} FROM wd),
+        codes AS (SELECT vec_id, ${cs.mkString(", ")} FROM rk GROUP BY vec_id),
+        q AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 10),
+        dtab AS (SELECT query_id, centroid_id, ${qds.mkString(", ")}
+          FROM q CROSS JOIN cb),
+        adc AS (SELECT t0.query_id, c.vec_id,
+          t0.qd0 + t1.qd1 + t2.qd2 + t3.qd3 AS approx_dist
+          FROM codes c
+          JOIN dtab t0 ON t0.centroid_id = c.c0
+          JOIN dtab t1 ON t1.query_id = t0.query_id AND t1.centroid_id = c.c1
+          JOIN dtab t2 ON t2.query_id = t0.query_id AND t2.centroid_id = c.c2
+          JOIN dtab t3 ON t3.query_id = t0.query_id AND t3.centroid_id = c.c3
+          WHERE t0.query_id <> c.vec_id)"""
+  }
+
+  /** CTE chain computing the 40-bit simhash fingerprints (`fp` =
+    * (doc_id, simhash)) — shared by the q_simhash signature oracle and
+    * the q_simhash_pairs hamming-bucket oracle. */
+  private val SimhashFpCtes: String =
+    s"""tok AS (SELECT doc_id, unnest(toks) AS w FROM
+          (SELECT doc_id, $ToksSql AS toks FROM documents)),
+        h AS (SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % 1099511627776) AS hv
+          FROM tok),
+        bits AS (SELECT doc_id, j,
+          CASE WHEN ((hv >> j) & 1) = 1 THEN 1 ELSE -1 END AS contrib
+          FROM h CROSS JOIN (SELECT unnest(range(0, 40)) AS j)),
+        sums AS (SELECT doc_id, j, sum(contrib) AS s FROM bits GROUP BY 1, 2),
+        fp AS (SELECT doc_id,
+          CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            AS BIGINT) AS simhash
+          FROM sums GROUP BY 1)"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -819,28 +899,34 @@ object SparkEntry {
           SELECT lab.doc_id, lab.rep_id, sz.cluster_size
           FROM lab JOIN sz USING (rep_id) ORDER BY lab.doc_id""",
     "q_simhash" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(toks) AS w FROM
-            (SELECT doc_id, $ToksSql AS toks FROM documents)),
-          h AS (SELECT doc_id,
-            list_reduce(
-              list_prepend(CAST(0 AS BIGINT),
-                list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
-              (acc, c) -> (acc * 31 + c) % 1099511627776) AS hv
-            FROM tok),
-          bits AS (SELECT doc_id, j,
-            CASE WHEN ((hv >> j) & 1) = 1 THEN 1 ELSE -1 END AS contrib
-            FROM h CROSS JOIN (SELECT unnest(range(0, 40)) AS j)),
-          sums AS (SELECT doc_id, j, sum(contrib) AS s FROM bits GROUP BY 1, 2),
-          fp AS (SELECT doc_id,
-            CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
-              AS BIGINT) AS simhash
-            FROM sums GROUP BY 1)
+      s"""WITH $SimhashFpCtes
           SELECT doc_id, simhash,
             simhash & 1023 AS b0, (simhash >> 10) & 1023 AS b1,
             (simhash >> 20) & 1023 AS b2, (simhash >> 30) & 1023 AS b3
           FROM fp ORDER BY doc_id""",
+    "q_simhash_pairs" ->
+      s"""WITH $SimhashFpCtes,
+          bands AS (SELECT doc_id, b,
+            CASE b WHEN 0 THEN simhash & 1023
+                   WHEN 1 THEN (simhash >> 10) & 1023
+                   WHEN 2 THEN (simhash >> 20) & 1023
+                   ELSE (simhash >> 30) & 1023 END AS key
+            FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+          buckets AS (SELECT b, key,
+            (list_sort(list(doc_id)))[1:${NearDup.DefaultBucketCap}] AS ids
+            FROM bands GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT p[1] AS d1, p[2] AS d2 FROM
+            (SELECT unnest(flatten(list_transform(range(1, len(ids)),
+              i -> list_transform(range(i + 1, len(ids) + 1),
+              j -> [ids[i], ids[j]])))) AS p
+             FROM buckets WHERE len(ids) > 1))
+          SELECT d1, d2,
+            CAST(bit_count(xor(f1.simhash, f2.simhash)) AS INTEGER) AS hamming
+          FROM cand JOIN fp f1 ON f1.doc_id = d1 JOIN fp f2 ON f2.doc_id = d2
+          WHERE bit_count(xor(f1.simhash, f2.simhash)) <= 3
+          ORDER BY d1, d2""",
     "q_embed_neardup" ->
-      s"""WITH e AS ($NormedEmbSql),
+      s"""WITH e AS ($NormedNonzeroEmbSql),
           s AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
             ${dotSql("a", "b")} / (a.nrm * b.nrm) AS c
             FROM e a JOIN e b ON a.vec_id < b.vec_id)
@@ -850,7 +936,7 @@ object SparkEntry {
         .map { case (arr, i) => s"($i, [${arr.map(_.toInt).mkString(", ")}])" }
         .mkString(", ")
       s"""WITH planes(i, vals) AS (VALUES $planeValues),
-          e AS ($NormedEmbSql),
+          e AS ($NormedNonzeroEmbSql),
           bits AS (SELECT e.vec_id, planes.i,
             CASE WHEN list_reduce(list_transform(range(1, 65),
               k -> CAST(e.embedding[k] AS DOUBLE) * vals[k]), (x, y) -> x + y) >= 0
@@ -933,39 +1019,38 @@ object SparkEntry {
             round(c, 6) AS cos FROM s)
           SELECT query_id, neighbor_id, "rank", cos FROM r
           WHERE "rank" <= 3 ORDER BY query_id, "rank"""",
-    "q_ann_pq" -> {
-      val m = 4; val subLen = 16
-      val ds = (0 until m).map(j => s"${l2SubSql("e", "cb", j * subLen, subLen)} AS d$j")
-      val qds = (0 until m).map(j => s"${l2SubSql("q", "cb", j * subLen, subLen)} AS qd$j")
-      val rks = (0 until m).map(j =>
-        s"row_number() OVER (PARTITION BY vec_id ORDER BY d$j, centroid_id) AS r$j")
-      val cs = (0 until m).map(j =>
-        s"max(CASE WHEN r$j = 1 THEN centroid_id END) AS c$j")
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-          cb AS (SELECT vec_id AS centroid_id, embedding FROM embeddings
-            WHERE vec_id % 50 = 0),
-          wd AS (SELECT e.vec_id, cb.centroid_id, ${ds.mkString(", ")}
-            FROM e CROSS JOIN cb),
-          rk AS (SELECT *, ${rks.mkString(", ")} FROM wd),
-          codes AS (SELECT vec_id, ${cs.mkString(", ")} FROM rk GROUP BY vec_id),
-          q AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 10),
-          dtab AS (SELECT query_id, centroid_id, ${qds.mkString(", ")}
-            FROM q CROSS JOIN cb),
-          adc AS (SELECT t0.query_id, c.vec_id,
-            t0.qd0 + t1.qd1 + t2.qd2 + t3.qd3 AS approx_dist
-            FROM codes c
-            JOIN dtab t0 ON t0.centroid_id = c.c0
-            JOIN dtab t1 ON t1.query_id = t0.query_id AND t1.centroid_id = c.c1
-            JOIN dtab t2 ON t2.query_id = t0.query_id AND t2.centroid_id = c.c2
-            JOIN dtab t3 ON t3.query_id = t0.query_id AND t3.centroid_id = c.c3
-            WHERE t0.query_id <> c.vec_id),
+    "q_ann_pq" ->
+      s"""WITH $PqAdcCtes,
           r2 AS (SELECT query_id, vec_id AS neighbor_id,
             CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY approx_dist, vec_id) AS INTEGER) AS "rank",
             round(approx_dist, 6) AS approx_dist FROM adc)
           SELECT query_id, neighbor_id, "rank", approx_dist FROM r2
-          WHERE "rank" <= 5 ORDER BY query_id, "rank""""
-    },
+          WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+    "q_ann_pq_rerank" ->
+      s"""WITH $PqAdcCtes,
+          shortlist AS (SELECT query_id, vec_id FROM
+            (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_dist, vec_id) AS arank FROM adc)
+            WHERE arank <= 20),
+          en AS ($NormedNonzeroEmbSql),
+          qn AS (SELECT vec_id AS query_id, embedding, nrm FROM en
+            WHERE vec_id < 10),
+          s AS (SELECT sl.query_id, sl.vec_id AS neighbor_id,
+            ${dotSql("q", "e")} / (q.nrm * e.nrm) AS c
+            FROM shortlist sl JOIN qn q ON q.query_id = sl.query_id
+            JOIN en e ON e.vec_id = sl.vec_id),
+          rr AS (SELECT query_id, neighbor_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY c DESC, neighbor_id) AS INTEGER) AS "rank",
+            round(c, 6) AS cos FROM s)
+          SELECT query_id, neighbor_id, "rank", cos FROM rr
+          WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+    "q_skew_salted" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 0
+                ELSE CAST(user_id AS BIGINT) END AS hot_key,
+         CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v
+         FROM events GROUP BY 1 ORDER BY hot_key""",
     "q_multimodal_meta" ->
       """WITH b AS (SELECT doc_id,
            CAST(octet_length(encode(text)) AS INTEGER) AS byte_len FROM documents)

@@ -310,8 +310,14 @@ object NearDup {
   /** SimHash: 40-bit fingerprint from the portable rolling hash — per
     * token, each bit contributes ±1; fingerprint bit j is the sign of
     * the sum. Emits (doc_id, simhash, b0..b3 10-bit band keys) for
-    * hamming-bucket grouping downstream. */
-  def simhash(docs: DataFrame): DataFrame = {
+    * hamming-bucket grouping — consumed by [[simhashPairs]]. */
+  def simhash(docs: DataFrame): DataFrame =
+    simhashFrame(docs).orderBy(col("doc_id"))
+
+  /** [[simhash]] without the presentation sort — the shared input of
+    * the band bucketing and both verification sides in
+    * [[simhashPairs]]. */
+  private def simhashFrame(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .select(col("doc_id"), rollingHash(col("w")).as("h"))
     // 40 sum-aggregate columns (±1 per bit) instead of a (token × 40)
@@ -332,6 +338,54 @@ object NearDup {
       shiftright(col("simhash"), 10).bitwiseAND(1023).as("b1"),
       shiftright(col("simhash"), 20).bitwiseAND(1023).as("b2"),
       shiftright(col("simhash"), 30).bitwiseAND(1023).as("b3"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs — the cheapest-signature dedup path (one
+    * long per document vs 32 minhash columns): bucket documents by
+    * their four 10-bit band keys, generate candidate pairs from each
+    * bucket's sorted capped id prefix, and verify candidates exactly
+    * by hamming distance `bit_count(xor(s1, s2)) <= maxHamming`. With
+    * 4 bands over 40 bits, any pair within hamming 3 agrees exactly on
+    * at least one band (pigeonhole), so `maxHamming <= 3` gives FULL
+    * recall from the banding — the only approximation is the bucket
+    * cap, which the oracle replays (sorted prefix), so a binding cap
+    * is gate-visible.
+    *
+    * Scale shape: signatures are one shuffle ([[simhash]]'s 40-column
+    * sum aggregate with map-side partials); bucketing shuffles
+    * (band, key) pairs only; candidate pairs come from in-task
+    * explodes of capped lists (a degenerate bucket — e.g. a whole
+    * corpus of near-identical bags whose band keys coincide, exactly
+    * what this synthetic corpus does — costs O(cap²), never O(m²));
+    * verification joins each candidate against the persisted one-long
+    * fingerprint frame. Output: (d1 < d2, hamming). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   bucketCap: Int = DefaultBucketCap): DataFrame = {
+    require(maxHamming <= 3,
+      "maxHamming > 3 breaks the 4-band pigeonhole recall guarantee")
+    // persisted: band generation + both verification sides read it,
+    // and the upstream tokenize→hash chain dominates the cost
+    val fp = simhashFrame(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"), col(s"b$b").as("key")))
+    val cand = fp
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.key").as("key"))
+      .groupBy(col("band"), col("key"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, bucketCap).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(pairsFromSortedIds("d1", "d2")).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+    val s = fp.select(col("doc_id"), col("simhash"))
+    cand
+      .join(s.select(col("doc_id").as("d1"), col("simhash").as("sh1")), "d1")
+      .join(s.select(col("doc_id").as("d2"), col("simhash").as("sh2")), "d2")
+      .withColumn("hamming",
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
   }
 }

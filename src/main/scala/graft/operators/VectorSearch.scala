@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,7 +12,7 @@ import org.apache.spark.sql.functions._
   * codegen'd, UDF-free, and bit-reproducible in any engine with an
   * ordered list fold.
   */
-object VectorSearch {
+object VectorSearch extends Logging {
 
   /** Dot product of two float vectors in double via the native
     * codegen'd [[graft.functions.DotProduct]] expression (registered
@@ -32,9 +33,11 @@ object VectorSearch {
 
   /** All pairs (v1 < v2) with cosine ≥ threshold, by blocked self-join.
     * Quadratic — the exact baseline for small/medium sets and the
-    * oracle for the approximate paths. */
+    * oracle for the approximate paths. Zero-norm vectors are excluded
+    * (cosine is undefined for them; engines disagree on 0/0 — see
+    * [[srpNearDup]]), mirrored by the oracle's `nrm <> 0`. */
   def cosineNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val e = withNorm(embeddings)
+    val e = withNorm(embeddings).where(col("nrm") =!= 0.0)
     val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
     val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
     a.crossJoin(b)
@@ -182,6 +185,24 @@ object VectorSearch {
     IndexedSeq.fill(planes)(Array.fill(dim)(if (rnd.nextBoolean()) 1f else -1f))
   }
 
+  /** Corpus-sized SRP parameters: the planes-per-band count such that a
+    * band's expected bucket occupancy N / 2^(planes/bands) lands at or
+    * below `targetBucket` — the knob that keeps ordinary buckets far
+    * from the [[graft.operators.NearDup.DefaultBucketCap]] prefix cap
+    * (a cap that binds on ordinary buckets silently skews recall
+    * toward low vec_ids; a cap that only ever binds on degenerate
+    * pile-ups is the intended defense). Returns (planes, bands).
+    * Floors at 2 planes/band (1 bucket bit is no LSH at all); more
+    * planes per band sharpen precision but cost recall, so the derived
+    * value is the smallest that respects `targetBucket`. */
+  def srpParamsFor(corpusCount: Long, bands: Int = 4,
+                   targetBucket: Int = 64): (Int, Int) = {
+    require(corpusCount > 0 && bands > 0 && targetBucket > 0)
+    val perBand = math.max(2,
+      math.ceil(math.log(corpusCount.toDouble / targetBucket) / math.log(2.0)).toInt)
+    (bands * perBand, bands)
+  }
+
   /** Embedding near-dup at scale via sign-random-projection LSH
     * (Charikar, STOC'02 — public algorithm): each vector's `planes`
     * projection signs form a bit signature; vectors are bucketed by
@@ -198,24 +219,54 @@ object VectorSearch {
     * N / 2^(planes/bands) — once that approaches `bucketCap` the
     * prefix cap binds on ORDINARY buckets and recall silently skews
     * toward low vec_ids (the defaults are sized for ≤ ~16k vectors;
-    * at 1M use e.g. planes=48, bands=4). The cap is replayed by the
-    * q_embed_lsh oracle, so a binding cap is gate-visible, not a
-    * correctness drift. Output matches cosineNearDup's shape:
-    * (v1, v2, cos). */
+    * at 1M use e.g. planes=48, bands=4). Pass `corpusCount` to have
+    * the engine derive (planes, bands) itself via [[srpParamsFor]] —
+    * the derived choice is logged, and a configuration whose expected
+    * ordinary-bucket occupancy still exceeds the cap (possible only
+    * with explicit parameters) logs a loud recall warning. The cap is
+    * replayed by the q_embed_lsh oracle, so a binding cap is
+    * gate-visible, not a correctness drift.
+    *
+    * Zero-norm vectors are excluded before bucketing (mirrored by the
+    * oracle's `nrm <> 0`): an all-zero vector signs every plane the
+    * same way, so degenerate vectors would pile into ONE bucket per
+    * band — crowding real candidates out of the capped prefix — and
+    * their verify cosine is 0/0, which this engine nulls out while
+    * IEEE engines produce NaN (and NaN-vs-threshold ordering is
+    * engine-specific). Same treatment as [[assignCells]].
+    * Output matches cosineNearDup's shape: (v1, v2, cos). */
   def srpNearDup(embeddings: DataFrame, threshold: Double,
                  planes: Int = 16, bands: Int = 4, dim: Int = 64,
-                 bucketCap: Int = NearDup.DefaultBucketCap): DataFrame = {
-    val rows = planes / bands
-    val p = srpPlanes(planes, dim)
+                 bucketCap: Int = NearDup.DefaultBucketCap,
+                 corpusCount: Option[Long] = None): DataFrame = {
+    val (nPlanes, nBands) = corpusCount match {
+      case Some(n) =>
+        val derived = srpParamsFor(n, bands)
+        log.info(s"srpNearDup: corpusCount=$n → planes=${derived._1} " +
+          s"bands=${derived._2} (expected ordinary bucket ≈ " +
+          s"${n / (1L << (derived._1 / derived._2))})")
+        derived
+      case None => (planes, bands)
+    }
+    corpusCount.foreach { n =>
+      val expected = n.toDouble / (1L << (nPlanes / nBands))
+      if (expected > bucketCap)
+        log.warn(s"srpNearDup: expected bucket occupancy $expected exceeds " +
+          s"bucketCap=$bucketCap — ordinary buckets will be truncated and " +
+          "recall will skew toward low vec_ids; raise planes or targetBucket")
+    }
+    val rows = nPlanes / nBands
+    val p = srpPlanes(nPlanes, dim)
     def planeLit(i: Int): Column = array(p(i).map(lit(_)): _*)
     // one pass: 16 projection-sign columns; persisted because band
     // bucketing AND both verify sides read it
     val withBits = withNorm(embeddings)
+      .where(col("nrm") =!= 0.0)
       .select(Seq(col("vec_id"), col("embedding"), col("nrm")) ++
-        (0 until planes).map(i =>
+        (0 until nPlanes).map(i =>
           (dot(col("embedding"), planeLit(i)) >= 0).cast("int").as(s"b$i")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandStructs = (0 until bands).map { b =>
+    val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until rows).map(r =>
           col(s"b${b * rows + r}").cast("string")): _*).as("sig"))
@@ -262,6 +313,21 @@ object VectorSearch {
     * engine sides). */
   def pqTopK(embeddings: DataFrame, codebook: DataFrame, queryFilter: Column,
              k: Int, m: Int = 4, dim: Int = 64): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(asc("approx_dist"), asc("vec_id"))
+    pqApproxDistances(embeddings, codebook, queryFilter, m, dim)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("approx_dist"), 6).as("approx_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The shared PQ-ADC stage of [[pqTopK]] and [[pqTopKRerank]]:
+    * (query_id, vec_id, approx_dist) for every (query, corpus vector)
+    * pair, self-pairs excluded. */
+  private def pqApproxDistances(embeddings: DataFrame, codebook: DataFrame,
+                                queryFilter: Column, m: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subLen = dim / m
     def subCol(c: Column, j: Int): Column = slice(c, j * subLen + 1, subLen)
@@ -293,15 +359,45 @@ object VectorSearch {
       adc = adc.join(broadcast(dj),
         if (j == 0) Seq(s"c$j") else Seq("query_id", s"c$j"))
     }
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(asc("approx_dist"), asc("vec_id"))
     adc
       .where(col("query_id") =!= col("vec_id"))
       .withColumn("approx_dist", (0 until m).map(j => col(s"qd$j")).reduce(_ + _))
-      .withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("vec_id"), col("approx_dist"))
+  }
+
+  /** PQ-ADC with an exact re-rank stage — standard ADC practice
+    * (Jégou et al., PAMI'11 §V): the code-based approximate distances
+    * shortlist `k · overfetch` candidates per query, and only that
+    * shortlist is re-scored by exact cosine against the raw vectors.
+    * At 100 TB the corpus-wide work still touches only the m-int
+    * codes; the float vectors are read for ≤ k·overfetch·|queries|
+    * rows — a candidate frame small enough to broadcast into the
+    * corpus-side join. Zero-norm vectors are excluded from the
+    * re-rank on both engine and oracle sides (0/0 cosine — see
+    * [[srpNearDup]]). Output: (query_id, neighbor_id, rank, cos). */
+  def pqTopKRerank(embeddings: DataFrame, codebook: DataFrame,
+                   queryFilter: Column, k: Int, m: Int = 4, dim: Int = 64,
+                   overfetch: Int = 4): DataFrame = {
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(asc("approx_dist"), asc("vec_id"))
+    val shortlist = pqApproxDistances(embeddings, codebook, queryFilter, m, dim)
+      .withColumn("arank", row_number().over(wA))
+      .where(col("arank") <= k * overfetch)
+      .select(col("query_id"), col("vec_id"))
+    val e = withNorm(embeddings).where(col("nrm") =!= 0.0)
+    val q = e.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("nrm").as("qn"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_exact"), asc("vec_id"))
+    broadcast(shortlist)
+      .join(q, "query_id")
+      .join(e, "vec_id")
+      .withColumn("cos_exact",
+        cosine(col("qe"), col("embedding"), col("qn"), col("nrm")))
+      .withColumn("rank", row_number().over(wE))
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
-        round(col("approx_dist"), 6).as("approx_dist"))
+        round(col("cos_exact"), 6).as("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
 }
