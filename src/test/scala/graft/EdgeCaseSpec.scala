@@ -124,4 +124,60 @@ class EdgeCaseSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m == Map(1L -> 1L, 2L -> 2L))
   }
+
+  test("simhashPairs finds identical docs and rejects hamming-far ones") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dogs again today"),
+      (2L, "the quick brown fox jumps over the lazy dogs again today"),
+      (3L, "zzz qqq www rrr ttt uuu iii ooo ppp xxx vvv nnn mmm kkk")
+    ).toDF("doc_id", "text")
+    val pairs = NearDup.simhashPairs(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // identical text → identical fingerprint → hamming 0
+    assert(pairs.get((1L, 2L)).contains(0))
+    // the far doc shares no tokens; its fingerprint is far from both
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhashPairs bucketCap bounds a degenerate all-identical bucket") {
+    // identical docs share every band key — uncapped that is one
+    // 45-pair bucket per band; capped at 4 only the sorted prefix pairs
+    val docs = (0L until 10L).map(i => (i, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val capped = NearDup.simhashPairs(docs, bucketCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSet == (for (a <- 0L until 4L; b <- a + 1 until 4L)
+      yield (a, b)).toSet)
+  }
+
+  test("srpParamsFor keeps expected bucket occupancy at or below target") {
+    import graft.operators.VectorSearch.srpParamsFor
+    for (n <- Seq(10000L, 1000000L, 100000000L)) {
+      val (planes, bands) = srpParamsFor(n)
+      assert(planes % bands == 0)
+      val expected = n.toDouble / (1L << (planes / bands))
+      assert(expected <= 64.0, s"n=$n planes=$planes expected=$expected")
+      // and it never over-shards into single-occupancy vanity buckets:
+      // one fewer bit per band would blow the target
+      assert(n.toDouble / (1L << (planes / bands - 1)) > 64.0 ||
+        planes / bands == 2)
+    }
+    // derived parameters grow with the corpus
+    assert(srpParamsFor(1000000L)._1 > srpParamsFor(10000L)._1)
+    assert(srpParamsFor(100000000L)._1 > srpParamsFor(1000000L)._1)
+  }
+
+  test("srpNearDup excludes zero-norm vectors from buckets and output") {
+    val dim = 64
+    def vec(seed: Int) = Array.tabulate(dim)(i => if (i % 7 == seed % 7) 1f else 0.1f)
+    val emb = Seq(
+      (0L, vec(1)), (1L, vec(1)),          // near-identical pair
+      (2L, Array.fill(dim)(0f)), (3L, Array.fill(dim)(0f)) // degenerate
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.VectorSearch.srpNearDup(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the zero vectors would otherwise co-bucket everywhere and emit a
+    // NULL-cosine (or NaN) pair; they must simply be absent
+    assert(out.toSeq == Seq((0L, 1L)))
+  }
 }

@@ -44,4 +44,53 @@ class PlanAuditSpec extends SparkSpec {
     // bands + both verify sides read the persisted frame
     assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(2000))
   }
+
+  test("simhash pairs reuses one cached fingerprint frame") {
+    val p = plan("q_simhash_pairs")
+    // band bucketing + both hamming-verify sides read the persisted
+    // fingerprint frame — a miss here recomputes the tokenizer chain
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(2000))
+  }
+
+  test("salted sum aggregates on (key, salt) before the key combine") {
+    val p = plan("q_skew_salted")
+    assert(p.contains("_salt"), p.take(2000))
+    // two-phase: a partial+final pair per groupBy = 4 HashAggregates,
+    // the first pair keyed by (hot_key, _salt)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
+  }
+
+  test("AQE splits the planted skewed join at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{when, lit, concat, length, sum}
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 100k of 101k rows land on key 0 → one shuffle partition holds
+      // ~99% of the build side; AQE must split it into subpartitions
+      val left = spark.range(0, 101000)
+        .select(when($"id" % 101 =!= 0, lit(0L)).otherwise($"id").as("k"),
+          concat(lit("payload-payload-payload-"), $"id").as("v"))
+      val right = spark.range(0, 2000).select(($"id" % 50).as("k"), $"id".as("w"))
+      // a global aggregate has no distribution requirement downstream
+      // of the join — a groupBy(k) there would PIN the join's hash
+      // partitioning and (correctly) forbid AQE from splitting it.
+      // Summing over the payload keeps it from being pruned away (a
+      // constant-key long column compresses below any skew threshold)
+      val j = left.join(right, "k").agg(sum(length($"v")))
+      // collect() drives j's OWN queryExecution, so the adaptive plan
+      // below is the final one (a write re-plans a copy)
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
