@@ -837,7 +837,11 @@ object SparkEntry {
     "q_quality_filter" ->
       s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
           $RepetitionCtes,
-          r AS (SELECT doc_id,
+          rl AS (SELECT doc_id,
+            list_filter(list_transform(string_split(text, chr(10)),
+              l -> trim(l)), l -> l <> '') AS rawlines
+            FROM t),
+          r AS (SELECT b3.doc_id,
             CAST(len(toks) AS INTEGER) AS token_cnt,
             CAST(len(list_filter(toks,
               t -> list_contains(['the','a','and','of','to','is'], t)))
@@ -845,17 +849,36 @@ object SparkEntry {
             CAST(1 AS DOUBLE) - CAST(len(list_distinct(lines)) AS DOUBLE) /
               nullif(len(lines), 0) AS dup_line_frac,
             CAST(top_bigram_cnt AS DOUBLE) /
-              nullif(len(bgs), 0) AS top_bigram_frac
-            FROM b3),
+              nullif(len(bgs), 0) AS top_bigram_frac,
+            CASE WHEN len(toks) > 0 THEN
+              CAST(list_reduce(list_transform(toks, x -> len(x)),
+                (a, b) -> a + b) AS DOUBLE) / len(toks) END AS mean_word_len,
+            CAST(len(regexp_extract_all(tx.text, '#|\\.\\.\\.')) AS DOUBLE) /
+              nullif(len(toks), 0) AS symbol_word_ratio,
+            CAST(len(list_filter(rawlines, l -> regexp_matches(l, '^[-*]')))
+              AS DOUBLE) / nullif(len(rawlines), 0) AS bullet_line_frac,
+            CAST(len(list_filter(rawlines,
+              l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE) /
+              nullif(len(rawlines), 0) AS ellipsis_line_frac
+            FROM b3
+            JOIN (SELECT doc_id, text FROM t) tx ON tx.doc_id = b3.doc_id
+            JOIN rl ON rl.doc_id = b3.doc_id),
           rr AS (SELECT *, CASE
             WHEN token_cnt IS NULL THEN 'invalid_text'
             WHEN token_cnt < 20 THEN 'too_short'
             WHEN dup_line_frac > CAST(0.3 AS DOUBLE) THEN 'dup_lines'
             WHEN top_bigram_frac > CAST(0.08 AS DOUBLE) THEN 'repetitive_bigrams'
             WHEN stop_hits < 1 THEN 'no_stopwords'
+            WHEN mean_word_len < CAST(3.0 AS DOUBLE)
+              OR mean_word_len > CAST(4.8 AS DOUBLE) THEN 'word_length'
+            WHEN symbol_word_ratio > CAST(0.1 AS DOUBLE) THEN 'symbol_heavy'
+            WHEN bullet_line_frac > CAST(0.9 AS DOUBLE) THEN 'bullet_lines'
+            WHEN ellipsis_line_frac > CAST(0.3 AS DOUBLE) THEN 'ellipsis_lines'
             ELSE 'ok' END AS reason FROM r)
           SELECT doc_id, CAST(reason = 'ok' AS INTEGER) AS keep, reason,
-            token_cnt, dup_line_frac, top_bigram_frac, stop_hits
+            token_cnt, dup_line_frac, top_bigram_frac, stop_hits,
+            mean_word_len, symbol_word_ratio, bullet_line_frac,
+            ellipsis_line_frac
           FROM rr ORDER BY doc_id""",
     "q_dedup_exact" ->
       s"""WITH f AS (SELECT doc_id, md5($NormSql) AS fingerprint FROM documents),

@@ -149,16 +149,35 @@ object TextAnalysis {
   /** Composite keep/drop quality filter over the repetition + quality
     * signals, with the FIRST failing rule named — the end of the
     * text-pipeline funnel (filter → exact dedup → near-dup cluster).
-    * Thresholds are Gopher-flavored, tuned so the gate corpus
-    * exercises both outcomes. NULL text (all signals NULL) is its own
-    * rule: every threshold comparison is NULL for such rows, and
-    * without the explicit check they would fall through to 'ok' — the
-    * most degenerate document kept silently. */
+    * Thresholds are Gopher-flavored (Rae et al. 2021 §A1.1), tuned so
+    * the gate corpus exercises both outcomes where its synthetic text
+    * can (`maxMeanWordLen` 4.8 vs Gopher's 10 — the word-soup corpus
+    * never leaves [3.7, 5.3]); the symbol/bullet/ellipsis rules can
+    * never fire on a symbol-free corpus and are exercised by planted
+    * spec documents instead, while their signal COLUMNS are still
+    * oracle-checked on every gate row. NULL text (all signals NULL) is
+    * its own rule: every threshold comparison is NULL for such rows,
+    * and without the explicit check they would fall through to 'ok' —
+    * the most degenerate document kept silently.
+    *
+    * Signal recipes: mean token length (fold over the staged token
+    * array); symbol-to-word ratio ('#' chars + ascii '...' runs over
+    * tokens); bullet/ellipsis line fractions over RAW newline-split
+    * lines (the '.'-split `lines` used for dup detection would never
+    * contain either marker). */
   def qualityFilter(docs: DataFrame, minTokens: Int = 20,
                     maxDupLineFrac: Double = 0.3,
                     maxTopBigramFrac: Double = 0.08,
-                    minStopHits: Int = 1): DataFrame =
+                    minStopHits: Int = 1,
+                    minMeanWordLen: Double = 3.0,
+                    maxMeanWordLen: Double = 4.8,
+                    maxSymbolWordRatio: Double = 0.1,
+                    maxBulletLineFrac: Double = 0.9,
+                    maxEllipsisLineFrac: Double = 0.3): DataFrame =
     repetitionFrame(docs)
+      // raw newline lines staged once — two line-shape signals read it
+      .withColumn("rawlines", when(col("text").isNotNull,
+        filter(transform(split(col("text"), "\n"), l => trim(l)), l => l =!= "")))
       .select(
         col("doc_id"),
         sz(col("toks")).as("token_cnt"),
@@ -166,17 +185,36 @@ object TextAnalysis {
           stopwordHits(col("toks"), stopwords("en"))).as("stop_hits"),
         (lit(1.0) - sz(array_distinct(col("lines"))).cast("double") /
           nullif(sz(col("lines")), lit(0))).as("dup_line_frac"),
-        topBigramFrac.as("top_bigram_frac"))
+        topBigramFrac.as("top_bigram_frac"),
+        when(size(col("toks")) > 0,
+          aggregate(col("toks"), lit(0), (acc, x) => acc + length(x))
+            .cast("double") / size(col("toks"))).as("mean_word_len"),
+        (when(col("text").isNotNull,
+          size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0))))
+          .cast("double") / nullif(sz(col("toks")), lit(0)))
+          .as("symbol_word_ratio"),
+        (sz(filter(col("rawlines"), l => l.rlike("^[-*]"))).cast("double") /
+          nullif(sz(col("rawlines")), lit(0))).as("bullet_line_frac"),
+        (sz(filter(col("rawlines"), l => l.rlike("\\.\\.\\.$"))).cast("double") /
+          nullif(sz(col("rawlines")), lit(0))).as("ellipsis_line_frac"))
       .withColumn("reason",
         when(col("token_cnt").isNull, lit("invalid_text"))
           .when(col("token_cnt") < minTokens, lit("too_short"))
           .when(col("dup_line_frac") > maxDupLineFrac, lit("dup_lines"))
           .when(col("top_bigram_frac") > maxTopBigramFrac, lit("repetitive_bigrams"))
           .when(col("stop_hits") < minStopHits, lit("no_stopwords"))
+          .when(col("mean_word_len") < minMeanWordLen ||
+            col("mean_word_len") > maxMeanWordLen, lit("word_length"))
+          .when(col("symbol_word_ratio") > maxSymbolWordRatio, lit("symbol_heavy"))
+          .when(col("bullet_line_frac") > maxBulletLineFrac, lit("bullet_lines"))
+          .when(col("ellipsis_line_frac") > maxEllipsisLineFrac,
+            lit("ellipsis_lines"))
           .otherwise(lit("ok")))
       .withColumn("keep", (col("reason") === "ok").cast("int"))
       .select(col("doc_id"), col("keep"), col("reason"), col("token_cnt"),
-        col("dup_line_frac"), col("top_bigram_frac"), col("stop_hits"))
+        col("dup_line_frac"), col("top_bigram_frac"), col("stop_hits"),
+        col("mean_word_len"), col("symbol_word_ratio"),
+        col("bullet_line_frac"), col("ellipsis_line_frac"))
       .orderBy(col("doc_id"))
 
   /** Exact dedup: min doc_id per fingerprint group is the survivor.

@@ -120,4 +120,32 @@ class TextSpec extends SparkSpec {
     assert(out(6L) == "invalid_text")
   }
 
+  test("qualityFilter v2: gopher shape rules fire on crafted documents") {
+    // every doc passes ALL earlier rules (>=20 tokens, no dup lines,
+    // distinct bigrams, has a stopword) so the NEW rule is the first
+    // failure — and the 'ok' doc passes the new rules too
+    val longWords = "the " + (1 to 24).map(i => s"elephantine$i").mkString(" ")
+    val symbols = "the " + (1 to 24).map(i => s"cat$i").mkString(" # ") + " # # #"
+    val bullets = (1 to 7).map(i => s"- the w${i}abc x${i}def z${i}ghi").mkString("\n")
+    val ellipsis = "the aaa bbb ccc ddd eee fff...\n" +
+      "the ggg hhh iii jjj kkk lll\nthe mmm nnn ooo ppp qqq rrr"
+    val okDoc = "the " + (1 to 24).map(i => s"dog$i").mkString(" ")
+    val cases = Seq(
+      (1L, longWords), (2L, symbols), (3L, bullets), (4L, ellipsis), (5L, okDoc))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.qualityFilter(cases).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val out = rows.map { case (k, r) => k -> r.getString(2) }
+    assert(out(1L) == "word_length", rows(1L).toString)
+    assert(out(2L) == "symbol_heavy", rows(2L).toString)
+    assert(out(3L) == "bullet_lines", rows(3L).toString)
+    assert(out(4L) == "ellipsis_lines", rows(4L).toString)
+    assert(out(5L) == "ok", rows(5L).toString)
+    // signal values, not just verdicts: 27 '#'/'...' marks over 25
+    // tokens; 7 of 7 bullet lines; 1 of 3 ellipsis lines
+    assert(rows(2L).getDouble(8) > 0.1)
+    assert(rows(3L).getDouble(9) == 1.0)
+    assert(math.abs(rows(4L).getDouble(10) - 1.0 / 3) < 1e-9)
+  }
+
 }
