@@ -90,45 +90,84 @@ object DailyQA {
     *
     * Spark-first notes: the reference runs one SQL round-trip per
     * (dimension, shape) through pandas and concatenates driver-side;
-    * here every block is a grouped DataFrame and the stack is one
-    * unionAll plan — Spark shares the two scans across blocks, each
-    * block's join inputs are already aggregated (small), and the full
-    * QA table never touches the driver. The trailing-period bound is
-    * a broadcast single-row max — no driver collect. */
+    * here each input is aggregated ONCE by a single GROUPING SETS
+    * pass — one set per dimension, `date` (and the meta column) kept
+    * in every set so the trailing-period shapes are date-filters over
+    * the pre-aggregated cube — and every (dim, shape) block is a tiny
+    * re-aggregation of that persisted cube. At scale this means ONE
+    * shuffle of each fact input (Expand multiplies rows by the set
+    * count, but map-side partial aggregation collapses them before
+    * the exchange, and per-set key cardinality is Σ|dim_i|×|dates| —
+    * linear in dims, never the dims-product blowup of a full cube);
+    * the round-2 shape paid one full-input shuffle per block. The
+    * trailing-period bound is a broadcast single-row max over the
+    * cube — no driver collect. `grouping_id` disambiguates which set
+    * a cube row belongs to (a NULL dim VALUE is not the same as a
+    * dim that was not grouped). */
   def multiGroupingQA(log: DataFrame, ad: Option[DataFrame], dims: Seq[String],
                       period: Int, metaCol: Option[String]): DataFrame = {
     DataChecks.requireColumns(log, dims ++ Seq("date") ++ metaCol.toSeq,
       "multiGroupingQA(log)")
     ad.foreach(a =>
       DataChecks.requireColumns(a, dims :+ "date", "multiGroupingQA(ad)"))
-    // every (dim, shape) block re-aggregates these two frames (the
-    // reference re-queries the warehouse per block); persist the
-    // projected inputs so the stack costs 2 scans, not 2 × blocks
-    val logP = log.select((dims ++ Seq("date") ++ metaCol.toSeq).map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val adP = ad.map(_.select((dims :+ "date").map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val bounds = logP.groupBy().agg(max(col("date")).as("max_d"))
+    // grouping_id bit for column i (of n) is 2^(n-1-i) when NOT grouped
+    def gidOf(all: Seq[String], kept: Seq[String]): Long =
+      all.zipWithIndex.collect { case (c, i) if !kept.contains(c) =>
+        1L << (all.size - 1 - i) }.sum
+
+    // localCheckpoint, not persist: the cube is materialized ONCE and
+    // every block scans the resulting (tiny) RDD. A persisted cube
+    // does not survive union-branch deduplication — DeduplicateRelations
+    // rewrites each branch's attribute ids and the rewritten
+    // grouping-sets subtree no longer cache-matches canonically
+    // (measured: 31 raw re-aggregations, 2 cache hits), so the persist
+    // route silently recomputes the Expand per block. The checkpoint
+    // trades lineage (an executor loss mid-query fails the query, the
+    // caller's retry recomputes) for a guaranteed single evaluation —
+    // the right trade for a cube that is Σ|dim_i|×|dates|×|confs| rows.
+    val logCols: Seq[String] = dims ++ Seq("date") ++ metaCol.toSeq
+    val logSets: Seq[Seq[String]] =
+      dims.map(d => Seq(d, "date") ++ metaCol.toSeq) :+
+        (Seq("date") ++ metaCol.toSeq)
+    val logF = log
+      .groupingSets(logSets.map(_.map(col)), logCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+      .localCheckpoint()
+    val adCols: Seq[String] = dims :+ "date"
+    val adSets: Seq[Seq[String]] = dims.map(d => Seq(d, "date")) :+ Seq("date")
+    val adF = ad.map(_
+      .groupingSets(adSets.map(_.map(col)), adCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+      .localCheckpoint())
+    val bounds = logF
+      .where(col("gid") === gidOf(logCols, Seq("date") ++ metaCol.toSeq))
+      .groupBy().agg(max(col("date")).as("max_d"))
     def trailing(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(bounds))
         .where(datediff(col("max_d"), col("date")) < period)
         .drop("max_d")
 
     def block(d: String, filtered: Boolean, byDate: Boolean): DataFrame = {
-      val l = if (filtered) trailing(logP) else logP
       val keys = if (byDate && d != "date") Seq(d, "date") else Seq(d)
-      val lg = l.groupBy(keys.map(col): _*).agg(count(lit(1)).as("exe_imp"))
-      val joined = adP match {
-        case Some(ax) =>
-          val ag = (if (filtered) trailing(ax) else ax)
-            .groupBy(keys.map(col): _*).agg(count(lit(1)).as("impressions"))
+      val logKept = (if (d == "date") Seq("date") else Seq(d, "date")) ++
+        metaCol.toSeq
+      val lf0 = logF.where(col("gid") === gidOf(logCols, logKept))
+      val lf = if (filtered) trailing(lf0) else lf0
+      val lg = lf.groupBy(keys.map(col): _*).agg(sum(col("cnt")).as("exe_imp"))
+      val joined = adF match {
+        case Some(af0) =>
+          val adKept = if (d == "date") Seq("date") else Seq(d, "date")
+          val af1 = af0.where(col("gid") === gidOf(adCols, adKept))
+          val ag = (if (filtered) trailing(af1) else af1)
+            .groupBy(keys.map(col): _*).agg(sum(col("cnt")).as("impressions"))
           lg.join(ag, keys, "full_outer")
         case None => lg.withColumn("impressions", lit(null).cast("long"))
       }
       val withMeta = metaCol match {
         case Some(mc) =>
-          val m = l.select((keys :+ mc).map(col): _*).distinct()
-            .groupBy(keys.map(col): _*)
+          // the cube rows are (keys…, conf) grain, so collect_set IS
+          // the distinct-conf aggregation the raw-row version did
+          val m = lf.groupBy(keys.map(col): _*)
             .agg(array_join(sort_array(collect_set(col(mc).cast("string"))), " ")
               .as("meta"))
           joined.join(m, keys, "left_outer")

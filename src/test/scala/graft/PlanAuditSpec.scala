@@ -45,6 +45,28 @@ class PlanAuditSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(2000))
   }
 
+  test("multi-grouping QA aggregates each input once via grouping sets") {
+    import org.apache.spark.sql.execution.RDDScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val exec = SparkEntry.queries("q_qa_multigroup")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan match {
+        // collect() does not descend into the adaptive wrapper (its
+        // input plan is not a tree child)
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+    // the grouping-sets Expand ran ONCE per side while materializing
+    // the cube checkpoints — the assembled query never re-expands and
+    // never re-reads the raw input…
+    val p = exec.toString
+    assert(!p.contains("Expand"), p.take(3000))
+    assert(!p.contains("FileScan") && !p.contains("Scan parquet"), p.take(3000))
+    // …it only re-aggregates exactly TWO materialized cubes (log + ad)
+    val scans = exec.collect { case s: RDDScanExec => s }
+    assert(scans.size >= 10, p.take(3000))
+    assert(scans.map(_.rdd.id).distinct.size == 2, p.take(3000))
+  }
+
   test("simhash pairs reuses one cached fingerprint frame") {
     val p = plan("q_simhash_pairs")
     // band bucketing + both hamming-verify sides read the persisted
