@@ -1,5 +1,8 @@
 package graft
 
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
@@ -7,19 +10,62 @@ import org.apache.spark.sql.SparkSession
   * directory and write each result as a parquet output with Luigi-like
   * target semantics — an output that already exists (its `_SUCCESS`
   * marker) is skipped, so a re-run after a partial failure only
-  * executes the missing pieces.
+  * executes the missing pieces — and Luigi-like `requires()`
+  * dependencies: a query's dependencies run (or skip, when their
+  * targets are satisfied) before it does.
   *
   * This is the engine-side analog of the reference's task layer
   * (/root/reference/metrics/tasks/create_hh_metrics_task.py:12-77 —
-  * Luigi tasks whose `output()` targets gate `run()`), kept
-  * deliberately thin: orchestration (scheduling, retries, DAGs) stays
-  * with whatever runs the JVM; the runner only contributes idempotent
-  * targets and a machine-readable per-query status line.
+  * Luigi tasks whose `output()` targets gate `run()`, and
+  * consulting_metrics_supertask.py:32-34 / projtables_task.py:33-35 —
+  * `requires()` DAG edges), kept deliberately thin: scheduling and
+  * retries stay with whatever runs the JVM; the runner contributes
+  * idempotent targets, dependency ordering and a machine-readable
+  * per-query status line.
+  *
+  * Caching contract: engine queries persist/checkpoint intermediate
+  * frames scoped to their own run (minhash signatures, QA cubes,
+  * zipWithIndex base RDDs). [[runOne]] snapshots the persistent-RDD
+  * ids before the query and unpersists only the ids the query itself
+  * created — embedded in a host application, the host's own cached
+  * data is never touched.
   *
   * Usage: runMain graft.Runner <sfDir> <outDir> [query,query,…|all]
   * [--force]
   */
 object Runner {
+
+  /** Reference-shaped default DAG (consulting_metrics_supertask.py's
+    * `requires()` edges re-expressed over this engine's queries): the
+    * cluster step follows pair generation, exceedance flags follow the
+    * daily diff, the contingency table follows the before/after build.
+    * Queries are self-contained (a dependency's OUTPUT is not read
+    * back), so the edges order work and gate on targets exactly like
+    * the reference's task graph. */
+  val defaultDependencies: Map[String, Seq[String]] = Map(
+    "q_dedup_clusters" -> Seq("q_minhash_dedup"),
+    "q_qa_flags" -> Seq("q_qa_daily"),
+    "q_contingency" -> Seq("q_before_after"))
+
+  /** Requested names expanded with their transitive dependencies, in
+    * dependency-first order; fails loud on a cycle. */
+  def resolveOrder(names: Seq[String],
+                   deps: Map[String, Seq[String]]): Seq[String] = {
+    val order = mutable.LinkedHashSet[String]()
+    val visiting = mutable.LinkedHashSet[String]()
+    def visit(n: String): Unit = {
+      if (!order.contains(n)) {
+        require(!visiting.contains(n),
+          s"dependency cycle: ${visiting.mkString(" -> ")} -> $n")
+        visiting += n
+        deps.getOrElse(n, Nil).foreach(visit)
+        visiting -= n
+        order += n
+      }
+    }
+    names.foreach(visit)
+    order.toSeq
+  }
 
   def runOne(spark: SparkSession, sfDir: String, outDir: String,
              name: String, force: Boolean): String = {
@@ -30,22 +76,40 @@ object Runner {
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     if (!force && fs.exists(success)) "skipped (target exists)"
     else {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").parquet(target.toString)
         "written"
       } finally {
-        // queries persist intermediate frames scoped to their own run
-        // (minhash signatures, QA input projections, zipWithIndex base
-        // RDDs); drop them — on failure too, or a crashed query's
-        // cached frames squeeze every subsequent query — so a 40-query
-        // run doesn't accumulate caches for the session lifetime
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // drop ONLY the cached/checkpointed RDDs this query created —
+        // on failure too, or a crashed query's frames squeeze every
+        // subsequent query. The ids of a host application's own cached
+        // data predate the snapshot and survive untouched.
+        sc.getPersistentRDDs
+          .filterNot { case (id, _) => before(id) }
+          .values.foreach(_.unpersist(blocking = false))
       }
     }
   }
+
+  /** Run `names` (dependencies first) against `sfDir`, one target per
+    * query under `outDir`. Returns (name, status) in execution order;
+    * a failed query reports `FAILED: …` and does not stop later
+    * queries (they may not depend on it). Fatal JVM errors are NOT
+    * caught — continuing in a corrupted JVM would report misleading
+    * per-query failures. */
+  def runAll(spark: SparkSession, sfDir: String, outDir: String,
+             names: Seq[String], force: Boolean,
+             deps: Map[String, Seq[String]] = defaultDependencies
+            ): Seq[(String, String)] =
+    resolveOrder(names, deps).map { name =>
+      val status =
+        try runOne(spark, sfDir, outDir, name, force)
+        catch { case NonFatal(e) => s"FAILED: $e" }
+      name -> status
+    }
 
   /** Every non-flag arg past <outDir> is a name list — flag position
     * doesn't matter ("--force q1" must not silently mean "all"). */
@@ -67,14 +131,11 @@ object Runner {
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = GraftSession.local()
-    var failed = 0
-    names.foreach { name =>
-      val status =
-        try runOne(spark, sfDir, outDir, name, force)
-        catch { case e: Throwable => failed += 1; s"FAILED: $e" }
+    val statuses = runAll(spark, sfDir, outDir, names, force)
+    statuses.foreach { case (name, status) =>
       println(s"[runner] $name: $status")
     }
     spark.stop()
-    if (failed > 0) sys.exit(1)
+    if (statuses.exists(_._2.startsWith("FAILED"))) sys.exit(1)
   }
 }

@@ -9,6 +9,16 @@ import graft.functions.TextFunctions._
   * verification, and SimHash fingerprints. Designed for the 100 TB
   * shape: all-pairs work only ever happens on candidate pairs that
   * share a shingle or an LSH bucket, never on the cross product.
+  *
+  * Caching contract: the multi-consumer operators persist (or
+  * checkpoint) intermediate frames — minhash/simhash signature frames,
+  * the jaccard shingle frame, per-round CC labels — for the duration
+  * of their own query plan and do not unpersist them (the library
+  * returns lazy frames; there is no post-action hook). Callers running
+  * many queries in one session should free a query's caches after its
+  * terminal action; [[graft.Runner]] does this automatically by
+  * snapshotting persistent-RDD ids around each query, without touching
+  * a host application's own cached data.
   */
 object NearDup {
 
@@ -70,8 +80,18 @@ object NearDup {
     // unbounded-row blowup the cap exists to prevent
     val e = dfCap match {
       case Some(cap) =>
+        // observed metric: a binding cap is a visible event, not silent
+        // recall drift — every action over this plan reports how many
+        // hot shingles were dropped via
+        // queryExecution.observedMetrics("graft_jaccard_dfcap") (or a
+        // QueryExecutionListener); zero cost when nothing is dropped.
+        // NB an ABSENT metric also means nothing dropped: when no row
+        // flows through the observe node no task updates its
+        // accumulator, so the entry never materializes
         val hot = e0.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .where(col("df") > cap).select(col("s"))
+          .observe("graft_jaccard_dfcap",
+            count(lit(1)).as("dropped_hot_shingles"))
         e0.join(hot, Seq("s"), "left_anti")
       case None => e0
     }
@@ -254,35 +274,57 @@ object NearDup {
     * cluster_size), cluster_size ≥ 1. */
   def dedupClusters(docs: DataFrame, edges: DataFrame,
                     maxIter: Int = 20): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    // reliable (HDFS-file) checkpoints when the session has a
+    // checkpoint dir — survives executor loss on a long cluster job;
+    // localCheckpoint otherwise (executor-local blocks: an executor
+    // loss mid-iteration fails the job and the caller retries — the
+    // documented single-job tradeoff). Local checkpoints are tracked
+    // by RDD id so each round frees the previous round's blocks once
+    // the next round is materialized — memory stays O(1) in rounds,
+    // not O(rounds).
+    val reliable = sc.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): (DataFrame, Set[Int]) =
+      if (reliable) (df.checkpoint(), Set.empty)
+      else {
+        val before = sc.getPersistentRDDs.keySet
+        val out = df.localCheckpoint()
+        (out, sc.getPersistentRDDs.keySet.diff(before).toSet)
+      }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
     val ids = docs.select(col("doc_id").cast("long"))
-    val sym = edges
+    val (sym, symIds) = ckpt(edges
       .select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
       .unionAll(edges.select(col("d2").cast("long").as("a"),
-        col("d1").cast("long").as("b")))
-      .localCheckpoint()
-    var labels = ids.select(col("doc_id"), col("doc_id").as("rep"))
-      .localCheckpoint()
-    def step(cur: DataFrame): (DataFrame, Long) = {
+        col("d1").cast("long").as("b"))))
+    var (labels, labelIds) = ckpt(ids.select(col("doc_id"), col("doc_id").as("rep")))
+    def step(cur: DataFrame): (DataFrame, Set[Int], Long) = {
       val nbrMin = sym
         .join(cur.select(col("doc_id").as("a"), col("rep").as("nrep")), "a")
         .groupBy(col("b").as("doc_id"))
         .agg(min(col("nrep")).as("nbr_min"))
-      val next = cur
+      val (next, nextIds) = ckpt(cur
         .join(nbrMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
-          least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"))
-        .localCheckpoint()
+          least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep")))
       val changed = next.as("n")
         .join(cur.select(col("doc_id"), col("rep").as("old")), "doc_id")
         .where(col("rep") =!= col("old"))
         .count()
-      (next, changed)
+      (next, nextIds, changed)
     }
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val (next, changed) = step(labels)
+      val (next, nextIds, changed) = step(labels)
+      // next is materialized and the changed-count no longer reads the
+      // previous round — its blocks can go
+      free(labelIds)
       labels = next
+      labelIds = nextIds
       converged = changed == 0
       iter += 1
     }
@@ -295,12 +337,16 @@ object NearDup {
     // unconverged (a diameter-of-exactly-maxIter component is complete
     // even though the loop never observed a quiet round).
     if (!converged) {
-      val (_, stillChanging) = step(labels)
+      val (_, verifyIds, stillChanging) = step(labels)
+      free(verifyIds)
       if (stillChanging > 0)
         throw new GraftDataException(
           s"dedupClusters did not converge within $maxIter iterations — " +
             "a component has diameter exceeding the budget; raise maxIter")
     }
+    // the result plan only reads the final label checkpoint; the edge
+    // frame served its last read in the loop above
+    free(symIds)
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "rep")
       .select(col("doc_id"), col("rep").as("rep_id"), col("cluster_size"))

@@ -125,6 +125,43 @@ class EdgeCaseSpec extends SparkSpec {
     assert(m == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("jaccard df-cap drops are observable, zero when the cap is slack") {
+    val hot = "x y z"
+    val df = Seq(
+      (1L, s"$hot a b c d e f g h"),
+      (2L, s"$hot a b c d e f g k"),
+      (3L, s"$hot q w r t u i o p"),
+      (4L, s"$hot m n l j v s d a")
+    ).toDF("doc_id", "text")
+    val capped = NearDup.jaccardPairs(df, 3, 0.3, dfCap = Some(3))
+    capped.collect()
+    val dropped = capped.queryExecution.observedMetrics("graft_jaccard_dfcap")
+      .getAs[Long]("dropped_hot_shingles")
+    assert(dropped == 1L) // only the planted df=4 shingle binds
+    val slack = NearDup.jaccardPairs(df, 3, 0.3) // default cap 1000
+    slack.collect()
+    // nothing flows through the observe node when the cap is slack, so
+    // the metric is absent (no task ever updates the accumulator) —
+    // absent and [0] both mean "nothing dropped"
+    assert(slack.queryExecution.observedMetrics
+      .get("graft_jaccard_dfcap")
+      .forall(_.getAs[Long]("dropped_hot_shingles") == 0L))
+  }
+
+  test("dedupClusters frees per-round checkpoints as it iterates") {
+    val docs = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = NearDup.dedupClusters(docs, chain) // 7 propagation rounds
+    assert(out.collect().forall(_.getLong(1) == 1L))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    // only the final label checkpoint survives (the result plan reads
+    // it); the old shape leaked one checkpoint per round plus edges
+    assert(leaked.size <= 2, s"leaked checkpoint RDDs: $leaked")
+    leaked.foreach(id => spark.sparkContext.getPersistentRDDs(id)
+      .unpersist(blocking = false))
+  }
+
   test("simhashPairs finds identical docs and rejects hamming-far ones") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dogs again today"),

@@ -19,6 +19,40 @@ class RunnerSpec extends SparkSpec {
       == "written")
   }
 
+  test("dependencies run first, satisfied targets skip, cycles fail") {
+    val deps = Map("b" -> Seq("a"), "c" -> Seq("b", "a"))
+    assert(Runner.resolveOrder(Seq("c"), deps) == Seq("a", "b", "c"))
+    assert(Runner.resolveOrder(Seq("c", "a"), deps) == Seq("a", "b", "c"))
+    intercept[IllegalArgumentException] {
+      Runner.resolveOrder(Seq("x"), Map("x" -> Seq("y"), "y" -> Seq("x")))
+    }
+    // end-to-end: requesting only the dependent runs its dependency
+    // first; a re-run skips both via their satisfied targets
+    val out = Files.createTempDirectory("graft-runner-deps").toString
+    val sfDir = "/root/testdata/sf0.001"
+    val first = Runner.runAll(spark, sfDir, out, Seq("q_qa_flags"),
+      force = false, deps = Map("q_qa_flags" -> Seq("q_qa_daily")))
+    assert(first == Seq("q_qa_daily" -> "written", "q_qa_flags" -> "written"))
+    val second = Runner.runAll(spark, sfDir, out, Seq("q_qa_flags"),
+      force = false, deps = Map("q_qa_flags" -> Seq("q_qa_daily")))
+    assert(second.forall(_._2 == "skipped (target exists)"))
+  }
+
+  test("runOne unpersists only the RDDs the query itself created") {
+    val out = Files.createTempDirectory("graft-runner-cache").toString
+    val hostFrame = spark.range(0, 10).persist()
+    hostFrame.count() // materialize the host application's cache
+    val hostIds = spark.sparkContext.getPersistentRDDs.keySet
+    assert(hostIds.nonEmpty)
+    // q_minhash_dedup persists its signature frame internally
+    Runner.runOne(spark, "/root/testdata/sf0.001", out, "q_minhash_dedup",
+      force = false)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    // the query's own cached frames are gone, the host's survive
+    assert(after == hostIds)
+    hostFrame.unpersist()
+  }
+
   test("name parsing is flag-position independent") {
     val all = SparkEntry.queries.keys.toSeq.sorted
     assert(Runner.parseNames(Array("sf", "out")) == all)
