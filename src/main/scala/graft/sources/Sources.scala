@@ -79,4 +79,35 @@ object Sources {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .saveAsTable(name)
   }
+
+  /** Publish a SET of result frames as one artifact — the engine
+    * analog of the reference's shared xlsx workbook
+    * (metrics/helpers/pdf_to_table_excel.py:16-32 writes every metrics
+    * table as a sheet of one workbook, used at
+    * create_hh_metrics_task.py:70-71). Spreadsheet container formats
+    * need a client-side library and collect the whole result to one
+    * machine; the distributed re-expression is one directory with a
+    * single-header csv per "sheet" plus a `_manifest.json` naming the
+    * sheets in publish order — any spreadsheet tool imports the csvs,
+    * and downstream jobs read the manifest instead of globbing.
+    * Each sheet coalesces to ONE file deliberately: workbook sheets
+    * are human-audience small tables (metrics summaries), never fact
+    * data — publish fact-sized frames with [[writePartitioned]]. */
+  def publishWorkbook(spark: SparkSession,
+                      sheets: Seq[(String, DataFrame)], path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(sheets.map(_._1).distinct.size == sheets.size,
+      s"duplicate sheet names: ${sheets.map(_._1).mkString(", ")}")
+    sheets.foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(s"$path/$name")
+    }
+    val manifest = sheets.map { case (name, _) =>
+      s"""{"sheet": "$name", "path": "$name"}"""
+    }.mkString("[\n  ", ",\n  ", "\n]")
+    val target = new Path(path, "_manifest.json")
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(target, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
 }

@@ -61,6 +61,23 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"), scan)
   }
 
+  test("publishWorkbook writes one csv per sheet plus a manifest") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("graft-workbook").toString
+    val reach = Seq(("tv", 10L), ("web", 7L)).toDF("value", "count")
+    val freq = Seq((1, 5L), (2, 3L)).toDF("frequency", "hh")
+    Sources.publishWorkbook(spark, Seq("reach" -> reach, "frequency" -> freq), out)
+    assert(Sources.csv(spark, s"$out/reach").count() == 2)
+    assert(Sources.csv(spark, s"$out/frequency").count() == 2)
+    val manifest = new String(
+      Files.readAllBytes(Paths.get(out, "_manifest.json")), "UTF-8")
+    assert(manifest.indexOf("\"reach\"") >= 0 &&
+      manifest.indexOf("\"reach\"") < manifest.indexOf("\"frequency\""))
+    intercept[IllegalArgumentException] {
+      Sources.publishWorkbook(spark, Seq("a" -> reach, "a" -> freq), out)
+    }
+  }
+
   test("makeMap: friendly mapping falls back to dimension id/name") {
     val ka = Seq((1L, "part_id", "TYPE", "B1"), (2L, "part_id", "TYPE", "B2"))
       .toDF("id", "id_type", "key", "value")
