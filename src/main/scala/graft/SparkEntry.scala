@@ -21,6 +21,19 @@ object SparkEntry {
     * drop rate, so the flag splits the groups non-trivially. */
   private val QaTolerance = 0.0526
 
+  /** q_containment threshold: strictly stronger than the 0.3 jaccard
+    * gate — the asymmetric check finds ~10× more pairs on the planted
+    * corpus (short-in-long dups that symmetric jaccard misses). */
+  private val ContainmentThreshold = 0.6
+
+  /** q_decontam: eval set = docs with doc_id % Mod == Rem (a
+    * deterministic ~5% held-out slice); contamination = sharing any
+    * 8-gram with it. 8 words ≈ the corpus's doc length scale (30–80
+    * tokens), selective enough to flag only planted near-dups. */
+  private val DecontamN = 8
+  private val DecontamEvalMod = 20
+  private val DecontamEvalRem = 7
+
   /** One multigroup-QA oracle block: grouped log/ad counts outer-joined
     * on `keys`, log-side meta left-joined, labels applied. Mirrors one
     * [[graft.operators.DailyQA.multiGroupingQA]] `block`. */
@@ -284,6 +297,15 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => TextAnalysis.exactDedup(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) =>
       NearDup.jaccardPairs(Tables.documents(s, d), 3, 0.3)),
+    "q_containment" -> ((s, d) =>
+      NearDup.containmentPairs(Tables.documents(s, d), 3, ContainmentThreshold)),
+    "q_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      NearDup.decontaminate(
+        docs.where(pmod(col("doc_id"), lit(DecontamEvalMod)) =!= DecontamEvalRem),
+        docs.where(pmod(col("doc_id"), lit(DecontamEvalMod)) === DecontamEvalRem),
+        DecontamN)
+    }),
     "q_minhash_dedup" -> ((s, d) => NearDup.minhashDedup(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -368,10 +390,18 @@ object SparkEntry {
     """list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
        x -> x <> '')"""
   private val NormSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  /** Distinct n-word shingles of ToksSql (as `toks`) — the DuckDB twin
+    * of TextFunctions.shingles for any n. */
+  private def shinglesSqlN(n: Int): String = {
+    val cat = (0 until n).map {
+      case 0 => "toks[i]"
+      case j => s"toks[i+$j]"
+    }.mkString(" || ' ' || ")
+    s"""list_distinct(list_transform(range(1, greatest(len(toks) - ${n - 2}, 1)),
+       i -> $cat))"""
+  }
   /** 3-word shingles of ToksSql (as `toks`). */
-  private val ShinglesSql =
-    """list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
-       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"""
+  private val ShinglesSql = shinglesSqlN(3)
   /** Sequential-fold double dot product of a.embedding/b.embedding. */
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, len($a.embedding) + 1),
@@ -900,6 +930,33 @@ object SparkEntry {
             CAST(cnt AS DOUBLE) / (s1.n + s2.n - cnt) AS jaccard
             FROM c JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
           SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY d1, d2""",
+    "q_containment" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),
+          e0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
+          e AS (SELECT e0.* FROM e0 JOIN (SELECT s FROM e0 GROUP BY s
+            HAVING count(*) <= ${NearDup.DefaultDfCap}) k USING (s)),
+          c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS cnt
+            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          sz AS (SELECT doc_id, len(sh) AS n FROM t),
+          j AS (SELECT d1, d2,
+            CAST(cnt AS DOUBLE) / least(s1.n, s2.n) AS containment
+            FROM c JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
+          SELECT d1, d2, containment FROM j
+          WHERE containment >= $ContainmentThreshold ORDER BY d1, d2""",
+    "q_decontam" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          t AS (SELECT doc_id, ${shinglesSqlN(DecontamN)} AS sh FROM tk),
+          ev AS (SELECT DISTINCT unnest(sh) AS s FROM t
+            WHERE doc_id % $DecontamEvalMod = $DecontamEvalRem),
+          tr AS (SELECT doc_id, unnest(sh) AS s FROM t
+            WHERE doc_id % $DecontamEvalMod <> $DecontamEvalRem),
+          hit AS (SELECT doc_id, count(*) AS n_overlap
+            FROM tr JOIN ev USING (s) GROUP BY 1),
+          sz AS (SELECT doc_id, len(sh) AS n_sh FROM t)
+          SELECT doc_id, n_overlap, n_sh,
+            CAST(n_overlap AS DOUBLE) / n_sh AS overlap_frac
+          FROM hit JOIN sz USING (doc_id) ORDER BY doc_id""",
     "q_minhash_dedup" ->
       s"""WITH $MinhashVerCtes,
           p AS (SELECT d1 AS doc_id, d2 AS partner FROM ver

@@ -69,7 +69,34 @@ object NearDup {
     * diverse vocabulary); for a dense corpus the count aggregation is
     * the scale shape. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                   dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
+                   dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame =
+    sharedShingleCounts(docs, n, dfCap)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+
+  /** Asymmetric containment pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥
+    * `threshold` — the "short doc embedded in long doc" near-dup that
+    * symmetric Jaccard misses (a 50-shingle doc fully contained in a
+    * 500-shingle doc has jaccard ≈ 0.1 but containment 1.0). Same
+    * inverted-index machinery and df-cap contract as [[jaccardPairs]];
+    * only the final scoring differs. */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+                       dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame =
+    sharedShingleCounts(docs, n, dfCap)
+      .withColumn("containment",
+        col("common").cast("double") / least(col("n1"), col("n2")))
+      .where(col("containment") >= threshold)
+      .select(col("d1"), col("d2"), col("containment"))
+      .orderBy(col("d1"), col("d2"))
+
+  /** (d1 < d2, common, n1, n2): per-pair shared-shingle counts plus
+    * set sizes, the shared core of [[jaccardPairs]] and
+    * [[containmentPairs]]. */
+  private def sharedShingleCounts(docs: DataFrame, n: Int,
+                                  dfCap: Option[Int]): DataFrame = {
     val t = shingleSets(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e0 = t.select(col("doc_id"), explode(col("sh")).as("s"))
@@ -109,11 +136,35 @@ object NearDup {
     common
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
-      .where(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), col("jaccard"))
-      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Benchmark decontamination: flag training docs sharing any word
+    * `n`-gram with a held-out eval set (the GPT-3-style long-n-gram
+    * overlap check). Returns (doc_id, n_overlap, n_sh, overlap_frac)
+    * for contaminated train docs only, ordered by doc_id.
+    *
+    * 100 TB shape: eval sets are benchmark-sized (thousands of docs),
+    * so their distinct shingle set is explicitly `broadcast` — the
+    * 100 TB train corpus is shingled row-locally and hash-joined
+    * against the broadcast set with NO shuffle of the corpus; only the
+    * matched rows (rare by construction) shuffle for the per-doc
+    * count. Train docs with fewer than n tokens have no shingles and
+    * cannot be flagged; n_sh ≥ n_overlap ≥ 1 on every output row, so
+    * the fraction needs no zero guard. */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int): DataFrame = {
+    val evalShingles = broadcast(
+      shingleSets(eval, n)
+        .select(explode(col("sh")).as("s")).distinct())
+    val tr = shingleSets(train, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hits = tr.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(evalShingles, "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    hits
+      .join(tr.select(col("doc_id"), size(col("sh")).as("n_sh")), "doc_id")
+      .withColumn("overlap_frac",
+        col("n_overlap").cast("double") / col("n_sh"))
+      .orderBy(col("doc_id"))
   }
 
   /** All (a < b) pairs from a sorted `ids` array column, generated
