@@ -16,8 +16,9 @@ object Bench {
     "q_qa_flags", "q_lang_id",
     "q_text_quality", "q_token_count", "q_fingerprint", "q_repetition",
     "q_quality_filter", "q_dedup_exact",
-    "q_ngram_jaccard", "q_minhash_dedup", "q_dedup_clusters", "q_simhash",
-    "q_simhash_pairs", "q_skew_salted",
+    "q_ngram_jaccard", "q_containment", "q_minhash_dedup", "q_dedup_clusters",
+    "q_simhash", "q_simhash_pairs", "q_skew_salted", "q_decontam",
+    "q_stratified_sample", "q_blocklist", "q_chunks", "q_chunk_dedup",
     "q_embed_lsh", "q_ann_ivf", "q_ann_ivf_p2", "q_ann_pq", "q_ann_pq_rerank",
     "q_multimodal_meta")
 

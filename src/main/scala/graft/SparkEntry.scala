@@ -34,6 +34,25 @@ object SparkEntry {
   private val DecontamEvalMod = 20
   private val DecontamEvalRem = 7
 
+  /** q_stratified_sample: per-language keep rates (language mixture
+    * reweighting). Chosen to split every stratum non-trivially on the
+    * test corpus: fr kept whole, en/es halved, de/zh quartered. */
+  private val SampleRates = Map(
+    "en" -> 0.5, "fr" -> 1.0, "de" -> 0.25, "es" -> 0.5, "zh" -> 0.25)
+  private val SampleBuckets = 10000
+
+  /** q_blocklist: corpus-vocabulary terms (synthetic docs have no real
+    * profanity; what matters is the deterministic filter contract) and
+    * a hit-fraction threshold that splits the corpus ~80/20. */
+  private val BlocklistTerms = Seq("slow", "big", "customer")
+  private val BlocklistMaxFrac = 0.12
+
+  /** q_chunks/q_chunk_dedup: 32-token windows every 24 tokens
+    * (8-token overlap) — small enough that the planted near-dup docs
+    * share exact windows at every SF. */
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
   /** One multigroup-QA oracle block: grouped log/ad counts outer-joined
     * on `keys`, log-side meta left-joined, labels applied. Mirrors one
     * [[graft.operators.DailyQA.multiGroupingQA]] `block`. */
@@ -306,6 +325,16 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(DecontamEvalMod)) === DecontamEvalRem),
         DecontamN)
     }),
+    "q_stratified_sample" -> ((s, d) =>
+      Curation.stratifiedSample(Tables.documents(s, d), SampleRates,
+        buckets = SampleBuckets)),
+    "q_blocklist" -> ((s, d) =>
+      Curation.blocklistFilter(Tables.documents(s, d), BlocklistTerms,
+        BlocklistMaxFrac)),
+    "q_chunks" -> ((s, d) =>
+      Curation.chunks(Tables.documents(s, d), ChunkSize, ChunkStride)),
+    "q_chunk_dedup" -> ((s, d) =>
+      Curation.chunkDedup(Tables.documents(s, d), ChunkSize, ChunkStride)),
     "q_minhash_dedup" -> ((s, d) => NearDup.minhashDedup(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -402,6 +431,24 @@ object SparkEntry {
   }
   /** 3-word shingles of ToksSql (as `toks`). */
   private val ShinglesSql = shinglesSqlN(3)
+
+  /** DuckDB replay of Curation.chunks(ChunkSize, ChunkStride):
+    * per-doc sliding token windows with md5 fingerprints. */
+  private lazy val ChunksSql =
+    s"""SELECT doc_id, CAST(ix AS INTEGER) AS chunk_ix,
+          CAST(ix * $ChunkStride AS INTEGER) AS start_tok,
+          CAST(len(list_slice(toks, ix * $ChunkStride + 1,
+            ix * $ChunkStride + $ChunkSize)) AS INTEGER) AS n_chunk_toks,
+          md5(array_to_string(list_slice(toks, ix * $ChunkStride + 1,
+            ix * $ChunkStride + $ChunkSize), ' ')) AS chunk_fp
+        FROM (
+          SELECT doc_id, toks, unnest(range(0,
+            CASE WHEN nt <= $ChunkSize THEN 1
+                 ELSE (nt - $ChunkSize + ${ChunkStride - 1}) // $ChunkStride + 1
+            END)) AS ix
+          FROM (SELECT doc_id, toks, len(toks) AS nt
+                FROM (SELECT doc_id, $ToksSql AS toks FROM documents))
+          WHERE nt > 0)"""
   /** Sequential-fold double dot product of a.embedding/b.embedding. */
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, len($a.embedding) + 1),
@@ -957,6 +1004,35 @@ object SparkEntry {
           SELECT doc_id, n_overlap, n_sh,
             CAST(n_overlap AS DOUBLE) / n_sh AS overlap_frac
           FROM hit JOIN sz USING (doc_id) ORDER BY doc_id""",
+    "q_stratified_sample" -> {
+      val cases = SampleRates.keys.toSeq.sorted.map(l =>
+        s"WHEN '$l' THEN ${math.round(SampleRates(l) * SampleBuckets)}")
+        .mkString(" ")
+      s"""SELECT doc_id, lang, source, bucket FROM (
+            SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+              % $SampleBuckets AS bucket
+            FROM documents)
+          WHERE bucket < CASE lang $cases ELSE 0 END
+          ORDER BY doc_id"""
+    },
+    "q_blocklist" -> {
+      val list = BlocklistTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          b AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_toks,
+            list_filter(toks, t -> list_contains([$list], t)) AS ha FROM tk)
+          SELECT doc_id, n_toks, CAST(len(ha) AS INTEGER) AS bl_hits,
+            ha[1] AS first_term,
+            CAST(len(ha) AS DOUBLE) / nullif(n_toks, 0) AS bl_frac,
+            CAST(len(ha) AS DOUBLE) / nullif(n_toks, 0) <= $BlocklistMaxFrac
+              AS kept
+          FROM b ORDER BY doc_id"""
+    },
+    "q_chunks" -> (ChunksSql + " ORDER BY doc_id, chunk_ix"),
+    "q_chunk_dedup" ->
+      s"""WITH c AS ($ChunksSql)
+          SELECT chunk_fp, count(*) AS n_occ,
+            count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+          FROM c GROUP BY chunk_fp HAVING count(*) > 1 ORDER BY chunk_fp""",
     "q_minhash_dedup" ->
       s"""WITH $MinhashVerCtes,
           p AS (SELECT d1 AS doc_id, d2 AS partner FROM ver

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Dataset-curation operators for training-data pipelines: stable
+  * stratified sampling, term-blocklist filtering, and fixed-window
+  * token chunking with chunk-level dedup. All row-local column
+  * expressions except the one dedup shuffle — each scales linearly
+  * with the scan at any corpus size.
+  */
+object Curation {
+
+  /** Deterministic per-doc sampling bucket in [0, buckets): the first
+    * 24 bits of md5(doc_id) — stable across runs, engines, partitions
+    * and cluster sizes, unlike `rand()` (re-rolls per task retry) or
+    * `TABLESAMPLE` (physical-layout dependent). The md5-prefix parse
+    * is portable SQL: `('0x' || substr(md5(id), 1, 6))::BIGINT` in
+    * DuckDB replays it exactly. */
+  def sampleBucket(id: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long"),
+      lit(buckets))
+
+  /** Hash-stratified sampling: keep each doc iff its [[sampleBucket]]
+    * falls under its stratum's rate (strata with no configured rate
+    * are dropped). The workhorse of mixture curation — "50% of en,
+    * all of fr, 25% of zh" — as a zero-shuffle, rerun-stable filter:
+    * adding data to the corpus never changes the keep/drop decision
+    * of an existing doc, so incremental pipeline runs stay consistent.
+    * At 100 TB this is a scan + filter with full pushdown below it;
+    * no state, no shuffle, no driver involvement. */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       strataCol: String = "lang",
+                       buckets: Int = 10000): DataFrame = {
+    val threshold = rates.keys.toSeq.sorted.foldRight(lit(0)) { (s, acc) =>
+      when(col(strataCol) === s,
+        lit(math.round(rates(s) * buckets).toInt)).otherwise(acc)
+    }
+    docs
+      .withColumn("bucket", sampleBucket(col("doc_id"), buckets))
+      .where(col("bucket") < threshold)
+      .select(col("doc_id"), col(strataCol), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Term-blocklist filter: per-doc blocklist hit count, hit fraction,
+    * first matching term (NULL when clean) and a keep flag. The
+    * blocklist travels inside the plan as an array literal — at
+    * cluster scale it ships once per task closure (broadcast-like),
+    * never as a join side. NULL text / zero tokens propagate NULL
+    * fraction and flag rather than dividing by zero. */
+  def blocklistFilter(docs: DataFrame, terms: Seq[String],
+                      maxFrac: Double): DataFrame = {
+    val arr = array(terms.map(lit): _*)
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        filter(col("toks"), t => array_contains(arr, t)).as("ha"))
+      .select(
+        col("doc_id"), col("n_toks"),
+        size(col("ha")).as("bl_hits"),
+        element_at(col("ha"), 1).as("first_term"),
+        (size(col("ha")).cast("double") / nullif(col("n_toks"), lit(0)))
+          .as("bl_frac"))
+      .withColumn("kept", col("bl_frac") <= maxFrac)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-window token chunking: split each doc's token stream into
+    * windows of `size` tokens every `stride` tokens (overlap =
+    * size − stride), the shape LLM pretraining shards want. Windows
+    * are `ceil((n − size) / stride) + 1` per doc so every token is
+    * covered; the tail window may be short. Docs with zero tokens
+    * produce no chunks. Emits (doc_id, chunk_ix, start_tok,
+    * n_chunk_toks, chunk_fp) with an md5 fingerprint of the rejoined
+    * window — row-local explode, no shuffle, output ~n/stride rows
+    * per doc regardless of corpus size. */
+  def chunks(docs: DataFrame, size: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride > 0 && size >= stride,
+      s"need size >= stride > 0, got size=$size stride=$stride")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("nt", org.apache.spark.sql.functions.size(col("toks")))
+      .where(col("nt") > 0)
+      // ceil((nt-size)/stride)+1 in exact integer arithmetic; `sequence`
+      // would count DOWN for a negative span, hence the nt>0 guard
+      .withColumn("nchunks",
+        when(col("nt") <= size, lit(1))
+          .otherwise(expr(s"(nt - $size + ${stride - 1}) div $stride")
+            .cast("int") + 1))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("nchunks") - 1)).as("chunk_ix"))
+      .withColumn("start_tok", col("chunk_ix") * stride)
+      .withColumn("chunk", slice(col("toks"), col("start_tok") + 1, lit(size)))
+      .select(
+        col("doc_id"), col("chunk_ix"), col("start_tok"),
+        org.apache.spark.sql.functions.size(col("chunk")).as("n_chunk_toks"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_ix"))
+  }
+
+  /** Chunk-level exact dedup: duplicate window groups across the
+    * corpus — the paragraph-granularity dedup pass (boilerplate
+    * headers/footers repeated across docs) that doc-level dedup
+    * misses. One hash shuffle on the chunk fingerprint; group rows
+    * are bounded counts, never materialized chunk lists. */
+  def chunkDedup(docs: DataFrame, size: Int = 32,
+                 stride: Int = 24): DataFrame =
+    chunks(docs, size, stride)
+      .groupBy(col("chunk_fp"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_occ") > 1)
+      .orderBy(col("chunk_fp"))
+}

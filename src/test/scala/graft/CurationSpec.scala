@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, NearDup}
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    val df = (0L until 400L).map(i =>
+      (i, s"doc $i", if (i % 2 == 0) "en" else "fr", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rates = Map("en" -> 0.5, "fr" -> 1.0)
+    val a = Curation.stratifiedSample(df, rates).collect()
+    val b = Curation.stratifiedSample(df, rates).collect()
+    assert(a.toSeq == b.toSeq, "hash sampling must be rerun-stable")
+    val kept = a.map(r => r.getLong(0)).toSet
+    // every fr doc survives; en is a strict non-empty subset
+    assert((1L until 400L by 2).forall(kept))
+    val en = kept.filter(_ % 2 == 0)
+    assert(en.nonEmpty && en.size < 200)
+    // sampling decisions are per-doc: restricting the corpus never
+    // flips an existing doc's decision (incremental-run stability)
+    val half = Curation.stratifiedSample(df.where(col("doc_id") < 200), rates)
+      .collect().map(_.getLong(0)).toSet
+    assert(half == kept.filter(_ < 200L))
+  }
+
+  test("stratifiedSample drops strata with no configured rate") {
+    val df = Seq((1L, "x", "en", "s"), (2L, "x", "xx", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val kept = Curation.stratifiedSample(df, Map("en" -> 1.0))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
+  test("blocklistFilter counts hits, names the first term, NULLs empty docs") {
+    val df = docs(
+      1L -> "bad bad word word word word word word word word",
+      2L -> "clean words only here today",
+      3L -> "")
+    val out = Curation.blocklistFilter(df, Seq("bad", "worse"), 0.1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(2) == 2 && out(1L).getString(3) == "bad")
+    assert(!out(1L).getBoolean(5), "20% hits > 10% threshold: dropped")
+    assert(out(2L).getInt(2) == 0 && out(2L).isNullAt(3))
+    assert(out(2L).getBoolean(5))
+    // zero tokens: fraction and flag are NULL, not a division error
+    assert(out(3L).isNullAt(4) && out(3L).isNullAt(5))
+  }
+
+  test("chunks cover every token with the configured overlap") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val out = Curation.chunks(docs(1L -> text), size = 32, stride = 24)
+      .collect()
+    // ceil((100-32)/24)+1 = 4 windows at starts 0,24,48,72
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(out.map(_.getInt(2)).toSeq == Seq(0, 24, 48, 72))
+    // all full except the 28-token tail; 72+28 = 100 → full coverage
+    assert(out.map(_.getInt(3)).toSeq == Seq(32, 32, 32, 28))
+  }
+
+  test("chunks: short docs get one window, empty docs none") {
+    val out = Curation.chunks(docs(1L -> "a b c", 2L -> ""), 32, 24).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getInt(3) == 3)
+  }
+
+  test("chunkDedup finds a window repeated across docs") {
+    val boiler = (1 to 40).map(i => s"b$i").mkString(" ")
+    val df = docs(
+      1L -> s"$boiler unique one tail text here",
+      2L -> s"$boiler different ending entirely now ok",
+      3L -> "no shared window in this document at all")
+    val out = Curation.chunkDedup(df, 32, 24).collect()
+    // the first 32-token window of docs 1 and 2 is identical
+    assert(out.exists(r => r.getLong(1) == 2 && r.getLong(2) == 2
+      && r.getLong(3) == 1L))
+    assert(out.forall(_.getLong(1) > 1))
+  }
+
+  test("decontaminate flags only train docs sharing an n-gram with eval") {
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val all = docs(
+      1L -> s"$shared plus some extra training tokens",
+      2L -> "completely unrelated training document text here",
+      3L -> s"eval doc containing $shared inside it",
+      4L -> "tiny")
+    val out = NearDup.decontaminate(
+      all.where(col("doc_id") =!= 3L), all.where(col("doc_id") === 3L), 8)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    val r = out.head
+    // doc 1 shares the 3 8-grams inside the 10 shared tokens
+    assert(r.getLong(1) == 3L)
+    assert(r.getInt(2) > 3 && r.getDouble(3) > 0 && r.getDouble(3) < 1)
+  }
+
+  test("containment finds short-in-long dups that jaccard misses") {
+    val short = (1 to 12).map(i => s"s$i").mkString(" ")
+    val filler = (1 to 120).map(i => s"f$i").mkString(" ")
+    val df = docs(1L -> short, 2L -> s"$short $filler")
+    val cont = NearDup.containmentPairs(df, 3, 0.9).collect()
+    assert(cont.length == 1)
+    assert(cont.head.getDouble(2) == 1.0, "short doc fully contained")
+    val jac = NearDup.jaccardPairs(df, 3, 0.3).collect()
+    assert(jac.isEmpty, "symmetric jaccard misses the containment pair")
+  }
+}
