@@ -13,7 +13,7 @@ object Bench {
     "q_pairwise_matrix", "q_pairwise_pairs", "q_reach_week",
     "q_projection_ratio", "q_value_mapping", "q_before_after",
     "q_contingency", "q_qa_daily", "q_qa_meta", "q_qa_multigroup",
-    "q_qa_flags", "q_lang_id",
+    "q_qa_flags", "q_profile", "q_lang_id",
     "q_text_quality", "q_token_count", "q_fingerprint", "q_repetition",
     "q_quality_filter", "q_dedup_exact",
     "q_ngram_jaccard", "q_containment", "q_minhash_dedup", "q_dedup_clusters",

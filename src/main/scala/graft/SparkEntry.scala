@@ -53,6 +53,13 @@ object SparkEntry {
   private val ChunkSize = 32
   private val ChunkStride = 24
 
+  /** q_profile columns — numeric and string legs of the lineitem
+    * describe-profile; both the query and its oracle are generated
+    * from these lists. */
+  private val ProfileNumCols =
+    Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+  private val ProfileStrCols = Seq("l_returnflag", "l_linestatus")
+
   /** One multigroup-QA oracle block: grouped log/ad counts outer-joined
     * on `keys`, log-side meta left-joined, labels applied. Mirrors one
     * [[graft.operators.DailyQA.multiGroupingQA]] `block`. */
@@ -335,6 +342,8 @@ object SparkEntry {
       Curation.chunks(Tables.documents(s, d), ChunkSize, ChunkStride)),
     "q_chunk_dedup" -> ((s, d) =>
       Curation.chunkDedup(Tables.documents(s, d), ChunkSize, ChunkStride)),
+    "q_profile" -> ((s, d) =>
+      DataChecks.profile(Tables.lineitem(s, d), ProfileNumCols, ProfileStrCols)),
     "q_minhash_dedup" -> ((s, d) => NearDup.minhashDedup(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1033,6 +1042,32 @@ object SparkEntry {
           SELECT chunk_fp, count(*) AS n_occ,
             count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
           FROM c GROUP BY chunk_fp HAVING count(*) > 1 ORDER BY chunk_fp""",
+    "q_profile" -> {
+      val aggSel =
+        ProfileNumCols.flatMap(c => Seq(
+          s"count($c) AS cnt_$c", s"count(DISTINCT $c) AS nd_$c",
+          s"CAST(min($c) AS DOUBLE) AS min_$c",
+          s"CAST(max($c) AS DOUBLE) AS max_$c",
+          s"round(avg($c), 2) AS mean_$c")) ++
+        ProfileStrCols.flatMap(c => Seq(
+          s"count($c) AS cnt_$c", s"count(DISTINCT $c) AS nd_$c",
+          s"CAST(min($c) AS VARCHAR) AS smin_$c",
+          s"CAST(max($c) AS VARCHAR) AS smax_$c"))
+      val blocks =
+        ProfileNumCols.map(c =>
+          s"""SELECT '$c' AS col_name, n_rows, n_rows - cnt_$c AS n_nulls,
+              nd_$c AS n_distinct, min_$c AS min_num, max_$c AS max_num,
+              mean_$c AS mean, CAST(NULL AS VARCHAR) AS min_str,
+              CAST(NULL AS VARCHAR) AS max_str FROM a""") ++
+        ProfileStrCols.map(c =>
+          s"""SELECT '$c' AS col_name, n_rows, n_rows - cnt_$c AS n_nulls,
+              nd_$c AS n_distinct, CAST(NULL AS DOUBLE) AS min_num,
+              CAST(NULL AS DOUBLE) AS max_num, CAST(NULL AS DOUBLE) AS mean,
+              smin_$c AS min_str, smax_$c AS max_str FROM a""")
+      s"""WITH a AS (SELECT count(*) AS n_rows, ${aggSel.mkString(", ")}
+          FROM lineitem)
+          SELECT * FROM (${blocks.mkString(" UNION ALL ")}) ORDER BY col_name"""
+    },
     "q_minhash_dedup" ->
       s"""WITH $MinhashVerCtes,
           p AS (SELECT d1 AS doc_id, d2 AS partner FROM ver

@@ -73,4 +73,53 @@ object DataChecks {
       .withColumn("abs_pct_diff", abs(col("pct_diff")))
       .withColumn("tolerance", lit(tolerance))
   }
+
+  /** Single-pass column profile (the describe-table QA step): one row
+    * per profiled column with exact row/null/distinct counts, numeric
+    * min/max/mean (mean rounded to 2 — the partial sums of a
+    * distributed avg are order-dependent in the last bits) and string
+    * min/max. ONE aggregation over the table: Spark plans the mixed
+    * distinct aggregates as a single Expand+Aggregate scan (rows
+    * duplicated once per distinct column — the standard multi-distinct
+    * shape), never one job per column; the long format comes from
+    * exploding the single result row, which is free. Exact distinct is
+    * a deliberate choice over approx_count_distinct: profiles feed QA
+    * gates, and an HLL estimate that drifts between runs would flag
+    * phantom changes. */
+  def profile(df: DataFrame, numCols: Seq[String],
+              strCols: Seq[String]): DataFrame = {
+    requireColumns(df, numCols ++ strCols, "profile")
+    val aggs =
+      numCols.flatMap(c => Seq(
+        count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"),
+        round(avg(col(c)), 2).as(s"mean_$c"))) ++
+      strCols.flatMap(c => Seq(
+        count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"smin_$c"),
+        max(col(c)).cast("string").as(s"smax_$c")))
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    val entries =
+      numCols.map(c => struct(
+        lit(c).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        col(s"min_$c").as("min_num"), col(s"max_$c").as("max_num"),
+        col(s"mean_$c").as("mean"),
+        nullS.as("min_str"), nullS.as("max_str"))) ++
+      strCols.map(c => struct(
+        lit(c).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        nullD.as("min_num"), nullD.as("max_num"), nullD.as("mean"),
+        col(s"smin_$c").as("min_str"), col(s"smax_$c").as("max_str")))
+    row.select(explode(array(entries: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
 }

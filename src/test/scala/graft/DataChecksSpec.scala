@@ -105,4 +105,26 @@ class DataChecksSpec extends SparkSpec {
     val err = spark.read.option("header", "true").csv(s"$out/err").collect()
     assert(err.length == 1 && err.head.getString(0).contains("missing_dim"))
   }
+
+  test("profile: exact counts, nulls, distincts, typed min/max in one pass") {
+    val df = Seq(
+      (Some(1.0), Some("a")), (Some(3.0), Some("b")),
+      (None, Some("a")), (Some(3.0), None))
+      .toDF("x", "s")
+    val p = DataChecks.profile(df, Seq("x"), Seq("s"))
+    val rows = p.collect().map(r => r.getString(0) -> r).toMap
+    val x = rows("x")
+    assert(x.getLong(1) == 4 && x.getLong(2) == 1 && x.getLong(3) == 2)
+    assert(x.getDouble(4) == 1.0 && x.getDouble(5) == 3.0)
+    assert(x.getDouble(6) == 2.33) // mean of 1,3,3 rounded
+    assert(x.isNullAt(7) && x.isNullAt(8))
+    val s = rows("s")
+    assert(s.getLong(2) == 1 && s.getLong(3) == 2)
+    assert(s.isNullAt(4) && s.getString(7) == "a" && s.getString(8) == "b")
+    // single-pass shape: the mixed distinct aggregates plan as ONE
+    // Expand+Aggregate chain over the input, not one job per column
+    // (AQE prints Final + Initial plan; inspect the final section only)
+    val plan = p.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert("Expand".r.findAllIn(plan).length == 1, plan)
+  }
 }
