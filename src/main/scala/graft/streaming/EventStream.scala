@@ -98,6 +98,25 @@ object EventStream {
       .agg(count(lit(1)).as("new_households"))
       .select(col("window.start").as("window_start"), col("new_households"))
   }
+  /** Streaming exact dedup — the streaming twin of
+    * TextAnalysis.exactDedup for a continuously-ingested document
+    * stream (doc_id, text, ts): fingerprint the normalized text
+    * row-locally, then emit only first-seen fingerprints.
+    * `dropDuplicatesWithinWatermark` keeps one state entry per
+    * DISTINCT fingerprint and GC's it once the watermark passes —
+    * bounded state, where a naive dropDuplicates would retain every
+    * fingerprint ever seen and OOM on an unbounded corpus. The
+    * contract is correspondingly windowed: a duplicate arriving more
+    * than `delay` after its original is re-emitted (cross-epoch dedup
+    * belongs to the batch operator over the accumulated table). */
+  def dedupByFingerprint(docs: DataFrame, delay: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        md5(graft.functions.TextFunctions.normText(col("text"))))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select(col("doc_id"), col("ts"), col("fingerprint"))
+
   case class Session(user_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
                      n_events: Long, total_value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)

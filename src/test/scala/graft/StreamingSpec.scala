@@ -114,6 +114,25 @@ class StreamingSpec extends SparkSpec {
     assert(total == 1000L)
   }
 
+  test("streaming dedup suppresses in-watermark duplicates, keeps first-seen") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(
+      (1L, "Hello, World!", ts("2024-01-01 10:00:00")),
+      (2L, "hello   world", ts("2024-01-01 10:05:00")), // same fingerprint as 1
+      (3L, "a different doc", ts("2024-01-01 10:10:00")))
+    val q = EventStream.dedupByFingerprint(
+      mem.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("ddup").outputMode("append").start()
+    q.processAllAvailable()
+    // a near-identical doc inside the watermark window is still a dup
+    mem.addData((4L, "HELLO WORLD?", ts("2024-01-01 10:20:00")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("ddup").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L))
+  }
+
   test("multimodal decode plumbing produces features per row") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = graft.operators.Multimodal.decodeFeatures(
