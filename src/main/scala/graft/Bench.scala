@@ -41,7 +41,10 @@ object Bench {
     // mask a regression in exactly the artifact the driver grades.
     // Fatal JVM errors (OOM, linkage) are NOT caught: timings from a
     // possibly-corrupted JVM would grade the crash, not the engine.
-    val results = headline.map { name =>
+    // optional args = bench only the named queries (local iteration);
+    // the driver invokes with no args and gets the full headline set
+    val selected = if (args.nonEmpty) headline.filter(args.toSet) else headline
+    val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to RunsPerQuery).map { _ =>
         // queries persist intermediate frames (minhash signatures, QA

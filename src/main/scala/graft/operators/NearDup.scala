@@ -450,39 +450,48 @@ object NearDup {
     *
     * Scale shape: signatures are one shuffle ([[simhash]]'s 40-column
     * sum aggregate with map-side partials); bucketing shuffles
-    * (band, key) pairs only; candidate pairs come from in-task
-    * explodes of capped lists (a degenerate bucket — e.g. a whole
-    * corpus of near-identical bags whose band keys coincide, exactly
-    * what this synthetic corpus does — costs O(cap²), never O(m²));
-    * verification joins each candidate against the persisted one-long
-    * fingerprint frame. Output: (d1 < d2, hamming). */
+    * (band, key, simhash) rows only; candidate pairs are generated AND
+    * hamming-verified inside the bucket's task — the signature is one
+    * long, so unlike minhash (whose shingle sets are too big to carry)
+    * the verification data rides along with the bucket and the cap²
+    * candidate explosion never leaves its task: only verified pairs
+    * (then de-duplicated across bands) are ever shuffled. A degenerate
+    * bucket — e.g. a whole corpus of near-identical bags whose band
+    * keys coincide, exactly what this synthetic corpus does — costs
+    * O(cap²) local work, never O(m²) and never a cap²-row shuffle.
+    * Output: (d1 < d2, hamming). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(maxHamming <= 3,
       "maxHamming > 3 breaks the 4-band pigeonhole recall guarantee")
-    // persisted: band generation + both verification sides read it,
-    // and the upstream tokenize→hash chain dominates the cost
     val fp = simhashFrame(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"), col(s"b$b").as("key")))
-    val cand = fp
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.key").as("key"))
+    fp
+      .select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"),
+        col("bs.band").as("band"), col("bs.key").as("key"))
+      // struct sort = doc_id order (ids are unique), so the capped
+      // prefix is identical to the sorted-id prefix the oracle replays
       .groupBy(col("band"), col("key"))
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, bucketCap).as("ids"))
+      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("simhash")))),
+        1, bucketCap).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(pairsFromSortedIds("d1", "d2")).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      // the hamming filter sits INSIDE the pair lambda: a degenerate
+      // cap-sized bucket evaluates cap² bit_counts but only ever
+      // materializes the surviving pairs, instead of building the full
+      // cap²-struct array for the generator to re-filter
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(ids) - 1),
+           i -> filter(transform(sequence(i + 1, size(ids)),
+             j -> struct(ids[i-1].doc_id AS d1, ids[j-1].doc_id AS d2,
+               cast(bit_count(ids[i-1].simhash ^ ids[j-1].simhash) AS int)
+                 AS hamming)),
+             x -> x.hamming <= $maxHamming)))""")).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        col("p.hamming").as("hamming"))
       .distinct()
-    val s = fp.select(col("doc_id"), col("simhash"))
-    cand
-      .join(s.select(col("doc_id").as("d1"), col("simhash").as("sh1")), "d1")
-      .join(s.select(col("doc_id").as("d2"), col("simhash").as("sh2")), "d2")
-      .withColumn("hamming",
-        bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("int"))
-      .where(col("hamming") <= maxHamming)
-      .select(col("d1"), col("d2"), col("hamming"))
       .orderBy(col("d1"), col("d2"))
   }
 }

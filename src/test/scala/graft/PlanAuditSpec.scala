@@ -67,11 +67,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans.map(_.rdd.id).distinct.size == 2, p.take(3000))
   }
 
-  test("simhash pairs reuses one cached fingerprint frame") {
+  test("simhash pairs verifies hamming in-task: no joins, no cache") {
     val p = plan("q_simhash_pairs")
-    // band bucketing + both hamming-verify sides read the persisted
-    // fingerprint frame — a miss here recomputes the tokenizer chain
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(2000))
+    // the one-long signature rides inside the bucket list, so pair
+    // generation AND hamming verification happen in the bucket's own
+    // task — a join (or a cached frame feeding one) in this plan means
+    // the cap² candidate explosion is being shuffled again
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("bit_count"), p.take(2000))
   }
 
   test("salted sum aggregates on (key, salt) before the key combine") {
