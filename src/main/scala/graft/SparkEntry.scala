@@ -1043,30 +1043,31 @@ object SparkEntry {
             count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
           FROM c GROUP BY chunk_fp HAVING count(*) > 1 ORDER BY chunk_fp""",
     "q_profile" -> {
-      val aggSel =
-        ProfileNumCols.flatMap(c => Seq(
-          s"count($c) AS cnt_$c", s"count(DISTINCT $c) AS nd_$c",
-          s"CAST(min($c) AS DOUBLE) AS min_$c",
-          s"CAST(max($c) AS DOUBLE) AS max_$c",
-          s"round(avg($c), 2) AS mean_$c")) ++
-        ProfileStrCols.flatMap(c => Seq(
-          s"count($c) AS cnt_$c", s"count(DISTINCT $c) AS nd_$c",
-          s"CAST(min($c) AS VARCHAR) AS smin_$c",
-          s"CAST(max($c) AS VARCHAR) AS smax_$c"))
-      val blocks =
-        ProfileNumCols.map(c =>
-          s"""SELECT '$c' AS col_name, n_rows, n_rows - cnt_$c AS n_nulls,
-              nd_$c AS n_distinct, min_$c AS min_num, max_$c AS max_num,
-              mean_$c AS mean, CAST(NULL AS VARCHAR) AS min_str,
-              CAST(NULL AS VARCHAR) AS max_str FROM a""") ++
-        ProfileStrCols.map(c =>
-          s"""SELECT '$c' AS col_name, n_rows, n_rows - cnt_$c AS n_nulls,
-              nd_$c AS n_distinct, CAST(NULL AS DOUBLE) AS min_num,
-              CAST(NULL AS DOUBLE) AS max_num, CAST(NULL AS DOUBLE) AS mean,
-              smin_$c AS min_str, smax_$c AS max_str FROM a""")
-      s"""WITH a AS (SELECT count(*) AS n_rows, ${aggSel.mkString(", ")}
-          FROM lineitem)
-          SELECT * FROM (${blocks.mkString(" UNION ALL ")}) ORDER BY col_name"""
+      // replays profile's per-column shape: stats derived from the
+      // per-value counts, incl. the value-weighted mean
+      def legSql(c: String, isNum: Boolean): String = {
+        val typed =
+          if (isNum)
+            s"""CAST(min($c) AS DOUBLE) AS min_num,
+                CAST(max($c) AS DOUBLE) AS max_num,
+                round(CAST(sum($c * cnt) AS DOUBLE) /
+                  CAST(sum(CASE WHEN $c IS NOT NULL THEN cnt END) AS DOUBLE), 2)
+                  AS mean,
+                CAST(NULL AS VARCHAR) AS min_str,
+                CAST(NULL AS VARCHAR) AS max_str"""
+          else
+            s"""CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+                CAST(NULL AS DOUBLE) AS mean,
+                CAST(min($c) AS VARCHAR) AS min_str,
+                CAST(max($c) AS VARCHAR) AS max_str"""
+        s"""SELECT '$c' AS col_name, sum(cnt) AS n_rows,
+            coalesce(sum(CASE WHEN $c IS NULL THEN cnt END), 0) AS n_nulls,
+            count($c) AS n_distinct, $typed
+            FROM (SELECT $c, count(*) AS cnt FROM lineitem GROUP BY $c)"""
+      }
+      val blocks = ProfileNumCols.map(legSql(_, isNum = true)) ++
+        ProfileStrCols.map(legSql(_, isNum = false))
+      s"""SELECT * FROM (${blocks.mkString(" UNION ALL ")}) ORDER BY col_name"""
     },
     "q_minhash_dedup" ->
       s"""WITH $MinhashVerCtes,

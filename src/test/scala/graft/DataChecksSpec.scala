@@ -121,10 +121,10 @@ class DataChecksSpec extends SparkSpec {
     val s = rows("s")
     assert(s.getLong(2) == 1 && s.getLong(3) == 2)
     assert(s.isNullAt(4) && s.getString(7) == "a" && s.getString(8) == "b")
-    // single-pass shape: the mixed distinct aggregates plan as ONE
-    // Expand+Aggregate chain over the input, not one job per column
-    // (AQE prints Final + Initial plan; inspect the final section only)
-    val plan = p.queryExecution.executedPlan.toString.split("Initial Plan")(0)
-    assert("Expand".r.findAllIn(plan).length == 1, plan)
+    // per-column pruned-scan shape: no Expand (the multi-distinct
+    // single-scan plan that multiplies every row once per column),
+    // one hash-aggregate leg per profiled column instead
+    val plan = p.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan.take(3000))
   }
 }
