@@ -53,6 +53,9 @@ object SparkEntry {
   private val ChunkSize = 32
   private val ChunkStride = 24
 
+  /** q_pack: training-bin token budget (≈16 chunks per bin). */
+  private val PackContextLen = 512
+
   /** q_profile columns — numeric and string legs of the lineitem
     * describe-profile; both the query and its oracle are generated
     * from these lists. */
@@ -344,6 +347,9 @@ object SparkEntry {
       Curation.chunkDedup(Tables.documents(s, d), ChunkSize, ChunkStride)),
     "q_profile" -> ((s, d) =>
       DataChecks.profile(Tables.lineitem(s, d), ProfileNumCols, ProfileStrCols)),
+    "q_pack" -> ((s, d) =>
+      Curation.packChunks(Tables.documents(s, d), PackContextLen,
+        ChunkSize, ChunkStride).orderBy(col("doc_id"), col("chunk_ix"))),
     "q_minhash_dedup" -> ((s, d) => NearDup.minhashDedup(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1069,6 +1075,17 @@ object SparkEntry {
         ProfileStrCols.map(legSql(_, isNum = false))
       s"""SELECT * FROM (${blocks.mkString(" UNION ALL ")}) ORDER BY col_name"""
     },
+    "q_pack" ->
+      s"""WITH c AS ($ChunksSql)
+          SELECT doc_id, chunk_ix, start_tok, n_chunk_toks, chunk_fp,
+            CAST((sum(n_chunk_toks) OVER w - n_chunk_toks)
+              // $PackContextLen AS BIGINT) AS bin_id,
+            CAST((sum(n_chunk_toks) OVER w - n_chunk_toks)
+              % $PackContextLen AS BIGINT) AS bin_offset
+          FROM c
+          WINDOW w AS (ORDER BY doc_id, chunk_ix
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          ORDER BY doc_id, chunk_ix""",
     "q_minhash_dedup" ->
       s"""WITH $MinhashVerCtes,
           p AS (SELECT d1 AS doc_id, d2 AS partner FROM ver

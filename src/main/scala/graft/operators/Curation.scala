@@ -76,7 +76,13 @@ object Curation {
     * n_chunk_toks, chunk_fp) with an md5 fingerprint of the rejoined
     * window — row-local explode, no shuffle, output ~n/stride rows
     * per doc regardless of corpus size. */
-  def chunks(docs: DataFrame, size: Int = 32, stride: Int = 24): DataFrame = {
+  def chunks(docs: DataFrame, size: Int = 32, stride: Int = 24): DataFrame =
+    chunkFrame(docs, size, stride).orderBy(col("doc_id"), col("chunk_ix"))
+
+  /** [[chunks]] without the presentation sort — shared with
+    * [[chunkDedup]] and [[packChunks]], which impose their own
+    * ordering. */
+  private def chunkFrame(docs: DataFrame, size: Int, stride: Int): DataFrame = {
     require(stride > 0 && size >= stride,
       s"need size >= stride > 0, got size=$size stride=$stride")
     docs
@@ -97,7 +103,6 @@ object Curation {
         col("doc_id"), col("chunk_ix"), col("start_tok"),
         org.apache.spark.sql.functions.size(col("chunk")).as("n_chunk_toks"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
-      .orderBy(col("doc_id"), col("chunk_ix"))
   }
 
   /** Chunk-level exact dedup: duplicate window groups across the
@@ -107,11 +112,62 @@ object Curation {
     * are bounded counts, never materialized chunk lists. */
   def chunkDedup(docs: DataFrame, size: Int = 32,
                  stride: Int = 24): DataFrame =
-    chunks(docs, size, stride)
+    chunkFrame(docs, size, stride)
       .groupBy(col("chunk_fp"))
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("first_doc"))
       .where(col("n_occ") > 1)
       .orderBy(col("chunk_fp"))
+
+  /** Sequence packing: assign every chunk, in (doc_id, chunk_ix)
+    * order, to a fixed `contextLen`-token training bin — the
+    * concatenate-and-slice step that turns a curated corpus into
+    * equal-budget pretraining rows. A chunk's bin is determined by
+    * the EXCLUSIVE running token total before it
+    * (`bin_id = prefix // contextLen`, `bin_offset = prefix %
+    * contextLen`), so bins are filled greedily in corpus order and a
+    * chunk can straddle a boundary (its tail spills into the next
+    * bin, exactly like token-stream packing).
+    *
+    * The global running sum is NOT a global window (which would drag
+    * the whole corpus through one task): phase 1 range-partitions by
+    * (doc_id, chunk_ix) and sums each partition (one tiny job — one
+    * long per partition to the driver); phase 2 assigns bins locally
+    * from each partition's broadcast exclusive offset. The classic
+    * distributed prefix-sum — every step is partition-parallel at any
+    * corpus size. */
+  def packChunks(docs: DataFrame, contextLen: Int, size: Int = 32,
+                 stride: Int = 24): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    val spark = docs.sparkSession
+    val sorted = chunkFrame(docs, size, stride)
+      .repartitionByRange(col("doc_id"), col("chunk_ix"))
+      .sortWithinPartitions(col("doc_id"), col("chunk_ix"))
+    // both the per-partition-sum job and the assignment pass read this
+    // RDD — persist so the tokenize→chunk chain runs once
+    val base = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nIdx = sorted.schema.fieldIndex("n_chunk_toks")
+    val partSums = base.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getInt(nIdx))
+      Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(
+      partSums.scanLeft(0L)(_ + _))
+    val schema = sorted.schema
+      .add("bin_id", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("bin_offset", org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = base.mapPartitionsWithIndex { (pid, it) =>
+      var prefix = offsets.value(pid)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ prefix / contextLen :+ prefix % contextLen)
+        prefix += r.getInt(nIdx)
+        out
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }

@@ -100,6 +100,27 @@ class CurationSpec extends SparkSpec {
     assert(r.getInt(2) > 3 && r.getDouble(3) > 0 && r.getDouble(3) < 1)
   }
 
+  test("packChunks: greedy in-order bins, straddling allowed, partition-proof") {
+    // 10 docs × 40 tokens → chunks of 32+8 per doc: (32, 8)? no —
+    // 40 tokens, size 32, stride 24 → starts 0, 24: windows 32 and 16
+    val df = (0L until 10L).map(i =>
+      (i, (1 to 40).map(j => s"d${i}t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .repartition(7) // bins must not depend on physical layout
+    val out = Curation.packChunks(df, contextLen = 100, 32, 24)
+      .orderBy("doc_id", "chunk_ix").collect()
+    assert(out.length == 20)
+    // per-doc token sequence is 32,16 → exclusive prefix 0,32,48,80,...
+    val prefixes = out.scanLeft(0L)((acc, r) => acc + r.getInt(3)).init
+    out.zip(prefixes).foreach { case (r, p) =>
+      assert(r.getLong(5) == p / 100, s"bin_id at prefix $p")
+      assert(r.getLong(6) == p % 100, s"bin_offset at prefix $p")
+    }
+    // total 480 tokens → bins 0..4; chunk at prefix 80 straddles into bin 0
+    assert(out.map(_.getLong(5)).max == 4)
+  }
+
   test("containment finds short-in-long dups that jaccard misses") {
     val short = (1 to 12).map(i => s"s$i").mkString(" ")
     val filler = (1 to 120).map(i => s"f$i").mkString(" ")
