@@ -1059,11 +1059,12 @@ object SparkEntry {
                 round(CAST(sum($c * cnt) AS DOUBLE) /
                   CAST(sum(CASE WHEN $c IS NOT NULL THEN cnt END) AS DOUBLE), 2)
                   AS mean,
+                (SELECT quantile_cont($c, 0.5) FROM lineitem) AS p50,
                 CAST(NULL AS VARCHAR) AS min_str,
                 CAST(NULL AS VARCHAR) AS max_str"""
           else
             s"""CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
-                CAST(NULL AS DOUBLE) AS mean,
+                CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS p50,
                 CAST(min($c) AS VARCHAR) AS min_str,
                 CAST(max($c) AS VARCHAR) AS max_str"""
         s"""SELECT '$c' AS col_name, sum(cnt) AS n_rows,

@@ -117,10 +117,11 @@ class DataChecksSpec extends SparkSpec {
     assert(x.getLong(1) == 4 && x.getLong(2) == 1 && x.getLong(3) == 2)
     assert(x.getDouble(4) == 1.0 && x.getDouble(5) == 3.0)
     assert(x.getDouble(6) == 2.33) // mean of 1,3,3 rounded
-    assert(x.isNullAt(7) && x.isNullAt(8))
+    assert(x.getDouble(7) == 3.0)  // exact median of 1,3,3
+    assert(x.isNullAt(8) && x.isNullAt(9))
     val s = rows("s")
     assert(s.getLong(2) == 1 && s.getLong(3) == 2)
-    assert(s.isNullAt(4) && s.getString(7) == "a" && s.getString(8) == "b")
+    assert(s.isNullAt(4) && s.getString(8) == "a" && s.getString(9) == "b")
     // per-column pruned-scan shape: no Expand (the multi-distinct
     // single-scan plan that multiplies every row once per column),
     // one hash-aggregate leg per profiled column instead
