@@ -63,6 +63,14 @@ object SparkEntry {
     Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
   private val ProfileStrCols = Seq("l_returnflag", "l_linestatus")
 
+  /** Oracle twins of Curation.sampleBucket + the SampleRates CASE —
+    * shared by q_stratified_sample and q_curation_funnel. */
+  private def sampleBucketSql(id: String) =
+    s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 6))::BIGINT % $SampleBuckets"
+  private lazy val SampleCaseSql = SampleRates.keys.toSeq.sorted.map(l =>
+    s"WHEN '$l' THEN ${math.round(SampleRates(l) * SampleBuckets)}")
+    .mkString("CASE lang ", " ", " ELSE 0 END")
+
   /** One multigroup-QA oracle block: grouped log/ad counts outer-joined
     * on `keys`, log-side meta left-joined, labels applied. Mirrors one
     * [[graft.operators.DailyQA.multiGroupingQA]] `block`. */
@@ -350,6 +358,9 @@ object SparkEntry {
     "q_pack" -> ((s, d) =>
       Curation.packChunks(Tables.documents(s, d), PackContextLen,
         ChunkSize, ChunkStride).orderBy(col("doc_id"), col("chunk_ix"))),
+    "q_curation_funnel" -> ((s, d) =>
+      Curation.curationFunnel(Tables.documents(s, d), BlocklistTerms,
+        BlocklistMaxFrac, SampleRates, SampleBuckets)),
     "q_minhash_dedup" -> ((s, d) => NearDup.minhashDedup(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -428,6 +439,52 @@ object SparkEntry {
              list_filter(range(1, len(sbgs) + 1),
                i -> i = 1 OR sbgs[i] <> sbgs[greatest(i - 1, 1)])
            ELSE CAST([] AS BIGINT[]) END AS starts FROM b2))"""
+
+  /** Full quality-filter CTE chain (toks → repetition signals → line
+    * shapes → signals `r` → reasons `rr`) — the q_quality_filter
+    * oracle body, factored so the curation-funnel oracle replays the
+    * IDENTICAL filter. Yields `rr` with (doc_id, …signals…, reason). */
+  private lazy val QualityCtes: String =
+    s"""t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+        $RepetitionCtes,
+        rl AS (SELECT doc_id,
+          list_filter(list_transform(string_split(text, chr(10)),
+            l -> trim(l)), l -> l <> '') AS rawlines
+          FROM t),
+        r AS (SELECT b3.doc_id,
+          CAST(len(toks) AS INTEGER) AS token_cnt,
+          CAST(len(list_filter(toks,
+            t -> list_contains(['the','a','and','of','to','is'], t)))
+            AS INTEGER) AS stop_hits,
+          CAST(1 AS DOUBLE) - CAST(len(list_distinct(lines)) AS DOUBLE) /
+            nullif(len(lines), 0) AS dup_line_frac,
+          CAST(top_bigram_cnt AS DOUBLE) /
+            nullif(len(bgs), 0) AS top_bigram_frac,
+          CASE WHEN len(toks) > 0 THEN
+            CAST(list_reduce(list_transform(toks, x -> len(x)),
+              (a, b) -> a + b) AS DOUBLE) / len(toks) END AS mean_word_len,
+          CAST(len(regexp_extract_all(tx.text, '#|\\.\\.\\.')) AS DOUBLE) /
+            nullif(len(toks), 0) AS symbol_word_ratio,
+          CAST(len(list_filter(rawlines, l -> regexp_matches(l, '^[-*]')))
+            AS DOUBLE) / nullif(len(rawlines), 0) AS bullet_line_frac,
+          CAST(len(list_filter(rawlines,
+            l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE) /
+            nullif(len(rawlines), 0) AS ellipsis_line_frac
+          FROM b3
+          JOIN (SELECT doc_id, text FROM t) tx ON tx.doc_id = b3.doc_id
+          JOIN rl ON rl.doc_id = b3.doc_id),
+        rr AS (SELECT *, CASE
+          WHEN token_cnt IS NULL THEN 'invalid_text'
+          WHEN token_cnt < 20 THEN 'too_short'
+          WHEN dup_line_frac > CAST(0.3 AS DOUBLE) THEN 'dup_lines'
+          WHEN top_bigram_frac > CAST(0.08 AS DOUBLE) THEN 'repetitive_bigrams'
+          WHEN stop_hits < 1 THEN 'no_stopwords'
+          WHEN mean_word_len < CAST(3.0 AS DOUBLE)
+            OR mean_word_len > CAST(4.8 AS DOUBLE) THEN 'word_length'
+          WHEN symbol_word_ratio > CAST(0.1 AS DOUBLE) THEN 'symbol_heavy'
+          WHEN bullet_line_frac > CAST(0.9 AS DOUBLE) THEN 'bullet_lines'
+          WHEN ellipsis_line_frac > CAST(0.3 AS DOUBLE) THEN 'ellipsis_lines'
+          ELSE 'ok' END AS reason FROM r)"""
 
   /** DuckDB fragments shared by the text oracles. */
   private val ToksSql =
@@ -927,46 +984,7 @@ object SparkEntry {
               nullif(len(bgs), 0) AS top_bigram_frac
           FROM b3 ORDER BY doc_id""",
     "q_quality_filter" ->
-      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
-          $RepetitionCtes,
-          rl AS (SELECT doc_id,
-            list_filter(list_transform(string_split(text, chr(10)),
-              l -> trim(l)), l -> l <> '') AS rawlines
-            FROM t),
-          r AS (SELECT b3.doc_id,
-            CAST(len(toks) AS INTEGER) AS token_cnt,
-            CAST(len(list_filter(toks,
-              t -> list_contains(['the','a','and','of','to','is'], t)))
-              AS INTEGER) AS stop_hits,
-            CAST(1 AS DOUBLE) - CAST(len(list_distinct(lines)) AS DOUBLE) /
-              nullif(len(lines), 0) AS dup_line_frac,
-            CAST(top_bigram_cnt AS DOUBLE) /
-              nullif(len(bgs), 0) AS top_bigram_frac,
-            CASE WHEN len(toks) > 0 THEN
-              CAST(list_reduce(list_transform(toks, x -> len(x)),
-                (a, b) -> a + b) AS DOUBLE) / len(toks) END AS mean_word_len,
-            CAST(len(regexp_extract_all(tx.text, '#|\\.\\.\\.')) AS DOUBLE) /
-              nullif(len(toks), 0) AS symbol_word_ratio,
-            CAST(len(list_filter(rawlines, l -> regexp_matches(l, '^[-*]')))
-              AS DOUBLE) / nullif(len(rawlines), 0) AS bullet_line_frac,
-            CAST(len(list_filter(rawlines,
-              l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE) /
-              nullif(len(rawlines), 0) AS ellipsis_line_frac
-            FROM b3
-            JOIN (SELECT doc_id, text FROM t) tx ON tx.doc_id = b3.doc_id
-            JOIN rl ON rl.doc_id = b3.doc_id),
-          rr AS (SELECT *, CASE
-            WHEN token_cnt IS NULL THEN 'invalid_text'
-            WHEN token_cnt < 20 THEN 'too_short'
-            WHEN dup_line_frac > CAST(0.3 AS DOUBLE) THEN 'dup_lines'
-            WHEN top_bigram_frac > CAST(0.08 AS DOUBLE) THEN 'repetitive_bigrams'
-            WHEN stop_hits < 1 THEN 'no_stopwords'
-            WHEN mean_word_len < CAST(3.0 AS DOUBLE)
-              OR mean_word_len > CAST(4.8 AS DOUBLE) THEN 'word_length'
-            WHEN symbol_word_ratio > CAST(0.1 AS DOUBLE) THEN 'symbol_heavy'
-            WHEN bullet_line_frac > CAST(0.9 AS DOUBLE) THEN 'bullet_lines'
-            WHEN ellipsis_line_frac > CAST(0.3 AS DOUBLE) THEN 'ellipsis_lines'
-            ELSE 'ok' END AS reason FROM r)
+      s"""WITH $QualityCtes
           SELECT doc_id, CAST(reason = 'ok' AS INTEGER) AS keep, reason,
             token_cnt, dup_line_frac, top_bigram_frac, stop_hits,
             mean_word_len, symbol_word_ratio, bullet_line_frac,
@@ -1019,17 +1037,12 @@ object SparkEntry {
           SELECT doc_id, n_overlap, n_sh,
             CAST(n_overlap AS DOUBLE) / n_sh AS overlap_frac
           FROM hit JOIN sz USING (doc_id) ORDER BY doc_id""",
-    "q_stratified_sample" -> {
-      val cases = SampleRates.keys.toSeq.sorted.map(l =>
-        s"WHEN '$l' THEN ${math.round(SampleRates(l) * SampleBuckets)}")
-        .mkString(" ")
+    "q_stratified_sample" ->
       s"""SELECT doc_id, lang, source, bucket FROM (
-            SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
-              % $SampleBuckets AS bucket
+            SELECT *, ${sampleBucketSql("doc_id")} AS bucket
             FROM documents)
-          WHERE bucket < CASE lang $cases ELSE 0 END
-          ORDER BY doc_id"""
-    },
+          WHERE bucket < $SampleCaseSql
+          ORDER BY doc_id""",
     "q_blocklist" -> {
       val list = BlocklistTerms.map(t => s"'$t'").mkString(", ")
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
@@ -1087,6 +1100,42 @@ object SparkEntry {
           WINDOW w AS (ORDER BY doc_id, chunk_ix
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           ORDER BY doc_id, chunk_ix""",
+    "q_curation_funnel" -> {
+      val list = BlocklistTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH $QualityCtes,
+          ntok AS (SELECT doc_id, len(toks) AS n FROM t),
+          qk AS (SELECT doc_id FROM rr WHERE reason = 'ok'),
+          bk AS (SELECT doc_id FROM (
+            SELECT doc_id, CAST(len(list_filter(toks,
+              tk -> list_contains([$list], tk))) AS DOUBLE) /
+              nullif(len(toks), 0) AS f FROM t)
+            WHERE f <= $BlocklistMaxFrac),
+          s2 AS (SELECT qk.doc_id FROM qk JOIN bk USING (doc_id)),
+          dd AS (SELECT s2.doc_id,
+            md5($NormSql) AS fp, d.lang
+            FROM s2 JOIN documents d USING (doc_id)),
+          s3 AS (SELECT doc_id, lang FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY fp) AS rep FROM dd)
+            WHERE doc_id = rep),
+          s4 AS (SELECT doc_id FROM s3
+            WHERE ${sampleBucketSql("doc_id")} < $SampleCaseSql)
+          SELECT * FROM (
+            SELECT 0 AS stage_ix, 'raw' AS stage, count(*) AS n_docs,
+              CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens FROM ntok
+            UNION ALL SELECT 1, 'quality', count(*),
+              CAST(coalesce(sum(n), 0) AS BIGINT)
+              FROM qk JOIN ntok USING (doc_id)
+            UNION ALL SELECT 2, 'blocklist', count(*),
+              CAST(coalesce(sum(n), 0) AS BIGINT)
+              FROM s2 JOIN ntok USING (doc_id)
+            UNION ALL SELECT 3, 'dedup', count(*),
+              CAST(coalesce(sum(n), 0) AS BIGINT)
+              FROM s3 JOIN ntok USING (doc_id)
+            UNION ALL SELECT 4, 'sample', count(*),
+              CAST(coalesce(sum(n), 0) AS BIGINT)
+              FROM s4 JOIN ntok USING (doc_id))
+          ORDER BY stage_ix"""
+    },
     "q_minhash_dedup" ->
       s"""WITH $MinhashVerCtes,
           p AS (SELECT d1 AS doc_id, d2 AS partner FROM ver

@@ -170,4 +170,58 @@ object Curation {
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** End-to-end curation funnel: quality filter → blocklist → exact
+    * dedup (among the survivors, so a kept doc's duplicate that was
+    * itself dropped upstream cannot shadow it) → stratified sampling,
+    * reported as per-stage doc and token survival — the
+    * one-table-per-run report a corpus-curation pipeline publishes.
+    * Composes the individual operators unchanged; every stage's doc
+    * set is an id semi-join against the previous one, and the token
+    * totals read ONE persisted (doc_id, n_toks) frame. The funnel
+    * itself adds only id-set joins and five tiny aggregates on top of
+    * the composed operators' own (linear / one-shuffle) cost. */
+  def curationFunnel(docs: DataFrame, blocklist: Seq[String],
+                     blMaxFrac: Double, rates: Map[String, Double],
+                     buckets: Int = 10000): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("toks")).as("n_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the flag frames are PERSISTED BEFORE the keep-filter on purpose:
+    // filtering the raw operator output would push `keep = 1` down
+    // through the staged signal projections, inlining the whole
+    // tokenize→bigram→sort chain into per-element lambdas (Spark
+    // neither CSEs inside HOF lambdas nor keeps the staging once a
+    // pushed predicate references it) — observed as a >1000× blowup,
+    // an interpreted O(tokens^k) re-evaluation per row. Materializing
+    // (doc_id, flag) once keeps every signal evaluated exactly once;
+    // the filter then runs against the in-memory relation.
+    val qf = TextAnalysis.qualityFilter(docs)
+      .select(col("doc_id"), col("keep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = blocklistFilter(docs, blocklist, blMaxFrac)
+      .select(col("doc_id"), col("kept"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qIds = qf.where(col("keep") === 1).select(col("doc_id"))
+    val bIds = bf.where(col("kept")).select(col("doc_id"))
+    val s2 = docs.join(qIds, "doc_id").join(bIds, "doc_id")
+    val dIds = TextAnalysis.exactDedup(s2)
+      .where(col("is_dup") === 0).select(col("doc_id"))
+    val s3 = s2.join(dIds, "doc_id")
+    val s4 = stratifiedSample(s3, rates, buckets = buckets)
+    def stage(ix: Int, name: String, ids: DataFrame): DataFrame =
+      ids.select(col("doc_id")).join(tok, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"))
+        .select(lit(ix).as("stage_ix"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    Seq(
+      stage(0, "raw", docs), stage(1, "quality", qIds),
+      stage(2, "blocklist", s2), stage(3, "dedup", s3),
+      stage(4, "sample", s4))
+      .reduce(_.union(_))
+      .orderBy(col("stage_ix"))
+  }
 }

@@ -165,6 +165,14 @@ object TextAnalysis {
     * tokens); bullet/ellipsis line fractions over RAW newline-split
     * lines (the '.'-split `lines` used for dup detection would never
     * contain either marker). */
+  /** COMPOSITION WARNING: filtering this output on `keep`/`reason`
+    * and then dropping the signal columns lets Catalyst push the
+    * predicate below the staged projections, inlining the whole
+    * tokenize→bigram→sort chain into per-element lambdas (no CSE
+    * inside HOFs) — an interpreted, superlinear re-evaluation measured
+    * as a >1000× slowdown. Persist (or otherwise materialize) the
+    * (doc_id, keep) projection BEFORE filtering, as
+    * [[graft.operators.Curation.curationFunnel]] does. */
   def qualityFilter(docs: DataFrame, minTokens: Int = 20,
                     maxDupLineFrac: Double = 0.3,
                     maxTopBigramFrac: Double = 0.08,

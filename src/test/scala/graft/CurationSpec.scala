@@ -121,6 +121,23 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getLong(5)).max == 4)
   }
 
+  test("curationFunnel: labeled stages, monotone survival, strata filter") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Curation.curationFunnel(real, Seq("slow"), 0.12,
+      Map("en" -> 1.0)).collect()
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("raw", "quality", "blocklist", "dedup", "sample"))
+    assert(rows.head.getLong(2) == real.count())
+    val nDocs = rows.map(_.getLong(2))
+    val nToks = rows.map(_.getLong(3))
+    assert(nDocs.zip(nDocs.tail).forall { case (a, b) => b <= a },
+      s"docs not monotone: ${nDocs.toSeq}")
+    assert(nToks.zip(nToks.tail).forall { case (a, b) => b <= a })
+    // en-only rates: the sample stage keeps a nonempty strict subset
+    // (the corpus has five languages)
+    assert(nDocs.last > 0 && nDocs.last < nDocs(3))
+  }
+
   test("containment finds short-in-long dups that jaccard misses") {
     val short = (1 to 12).map(i => s"s$i").mkString(" ")
     val filler = (1 to 120).map(i => s"f$i").mkString(" ")
