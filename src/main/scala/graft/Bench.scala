@@ -43,7 +43,12 @@ object Bench {
     // Fatal JVM errors (OOM, linkage) are NOT caught: timings from a
     // possibly-corrupted JVM would grade the crash, not the engine.
     // optional args = bench only the named queries (local iteration);
-    // the driver invokes with no args and gets the full headline set
+    // the driver invokes with no args and gets the full headline set.
+    // Unknown names fail loud — a typo'd arg would otherwise bench
+    // nothing and exit 0, reading as an impossibly fast clean run.
+    val unknown = args.filterNot(headline.toSet)
+    require(unknown.isEmpty,
+      s"not in Bench.headline: ${unknown.mkString(", ")}")
     val selected = if (args.nonEmpty) headline.filter(args.toSet) else headline
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
@@ -73,13 +78,20 @@ object Bench {
         t
       }
       val ok = times.filter(_ >= 0)
+      // a query that failed in ANY run is named in the errors list even
+      // when another run succeeded — a flaky failure silently absorbed
+      // by min-of-N would mask exactly the nondeterministic regressions
+      // (executor loss, OOM-adjacent errors) a graded artifact must
+      // surface; the min of the successful runs is still recorded
       (name, if (ok.isEmpty) -1.0 else ok.min, ok.size)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v, _) if v < 0 => k }
+    val failed = results.collect {
+      case (k, v, n) if v < 0 || n < RunsPerQuery => k
+    }
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}""")

@@ -25,10 +25,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Caching contract: engine queries persist/checkpoint intermediate
   * frames scoped to their own run (minhash signatures, QA cubes,
-  * zipWithIndex base RDDs). [[runOne]] snapshots the persistent-RDD
-  * ids before the query and unpersists only the ids the query itself
-  * created — embedded in a host application, the host's own cached
-  * data is never touched.
+  * zipWithIndex base RDDs). [[runOne]] snapshots BOTH the
+  * persistent-RDD ids and the CacheManager's registered plans before
+  * the query, and afterwards drops only what the query itself created
+  * — embedded in a host application, the host's own cached data is
+  * never touched. Clearing the CacheManager entries (not just the
+  * RDDs) matters: a stale entry whose buffers were unpersisted is a
+  * DEAD cache — a later query persisting the identical plan fragment
+  * (q_minhash_dedup → q_dedup_clusters both persist the signature
+  * frame; q_ngram_jaccard → q_containment the shingle frame) would
+  * hit "already cached" as a no-op and recompute the chain once per
+  * consumer with nothing stored.
   *
   * Usage: runMain graft.Runner <sfDir> <outDir> [query,query,…|all]
   * [--force]
@@ -67,6 +74,20 @@ object Runner {
     order.toSeq
   }
 
+  /** Plans currently registered in the session's CacheManager. The
+    * enumeration reads the private `cachedData` field reflectively (no
+    * public listing exists); if a Spark upgrade moves it, this returns
+    * empty and the scoped cleanup degrades to RDD-level unpersist. */
+  private[graft] def cachedPlans(spark: SparkSession): Seq[AnyRef] =
+    try {
+      val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sharedState.cacheManager
+      val f = cm.getClass.getDeclaredField("cachedData")
+      f.setAccessible(true)
+      f.get(cm).asInstanceOf[IndexedSeq[Product]]
+        .map(_.productElement(0).asInstanceOf[AnyRef])
+    } catch { case NonFatal(_) => Nil }
+
   def runOne(spark: SparkSession, sfDir: String, outDir: String,
              name: String, force: Boolean): String = {
     // Hadoop FS, not java.nio: outDir may be hdfs://, s3a://, file:/ —
@@ -78,15 +99,26 @@ object Runner {
     else {
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet
+      val beforePlans = cachedPlans(spark)
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").parquet(target.toString)
         "written"
       } finally {
-        // drop ONLY the cached/checkpointed RDDs this query created —
-        // on failure too, or a crashed query's frames squeeze every
-        // subsequent query. The ids of a host application's own cached
-        // data predate the snapshot and survive untouched.
+        // drop ONLY what this query created — on failure too, or a
+        // crashed query's frames squeeze every subsequent query. The
+        // host application's entries predate the snapshots and survive.
+        // CacheManager entries first (uncacheQuery also unpersists the
+        // entry's buffers), then raw RDD ids as the backstop for
+        // localCheckpoints, which never touch the CacheManager.
+        val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        cachedPlans(spark).filterNot(p => beforePlans.exists(_ eq p))
+          .foreach { p =>
+            try cs.sharedState.cacheManager.uncacheQuery(cs,
+              p.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
+              cascade = false, blocking = false)
+            catch { case NonFatal(_) => () }
+          }
         sc.getPersistentRDDs
           .filterNot { case (id, _) => before(id) }
           .values.foreach(_.unpersist(blocking = false))

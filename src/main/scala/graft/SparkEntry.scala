@@ -1080,8 +1080,9 @@ object SparkEntry {
                 CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS p50,
                 CAST(min($c) AS VARCHAR) AS min_str,
                 CAST(max($c) AS VARCHAR) AS max_str"""
-        s"""SELECT '$c' AS col_name, sum(cnt) AS n_rows,
-            coalesce(sum(CASE WHEN $c IS NULL THEN cnt END), 0) AS n_nulls,
+        s"""SELECT '$c' AS col_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+            CAST(coalesce(sum(CASE WHEN $c IS NULL THEN cnt END), 0) AS BIGINT)
+              AS n_nulls,
             count($c) AS n_distinct, $typed
             FROM (SELECT $c, count(*) AS cnt FROM lineitem GROUP BY $c)"""
       }

@@ -36,6 +36,12 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "et", "les", "est", "pas"),
     "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai"))
 
+  /** NULL-propagating array size: this session runs with the legacy
+    * size(NULL) = -1 semantics, while every oracle's len(NULL) is
+    * NULL — an unguarded size would emit -1 counts (which even satisfy
+    * `< threshold` rules) for NULL-text rows. */
+  def sizeOrNull(c: Column): Column = when(c.isNotNull, size(c))
+
   /** Count of tokens present in `words`. */
   def stopwordHits(toks: Column, words: Seq[String]): Column = {
     val arr = array(words.map(lit): _*)

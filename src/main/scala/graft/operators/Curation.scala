@@ -55,13 +55,13 @@ object Curation {
     val arr = array(terms.map(lit): _*)
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+      .select(col("doc_id"), sizeOrNull(col("toks")).as("n_toks"),
         filter(col("toks"), t => array_contains(arr, t)).as("ha"))
       .select(
         col("doc_id"), col("n_toks"),
-        size(col("ha")).as("bl_hits"),
+        sizeOrNull(col("ha")).as("bl_hits"),
         element_at(col("ha"), 1).as("first_term"),
-        (size(col("ha")).cast("double") / nullif(col("n_toks"), lit(0)))
+        (sizeOrNull(col("ha")).cast("double") / nullif(col("n_toks"), lit(0)))
           .as("bl_frac"))
       .withColumn("kept", col("bl_frac") <= maxFrac)
       .orderBy(col("doc_id"))
@@ -186,8 +186,7 @@ object Curation {
                      buckets: Int = 10000): DataFrame = {
     val tok = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        org.apache.spark.sql.functions.size(col("toks")).as("n_toks"))
+      .select(col("doc_id"), sizeOrNull(col("toks")).as("n_toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the flag frames are PERSISTED BEFORE the keep-filter on purpose:
     // filtering the raw operator output would push `keep = 1` down

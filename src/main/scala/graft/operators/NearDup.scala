@@ -70,7 +70,7 @@ object NearDup {
     * the scale shape. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                    dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame =
-    sharedShingleCounts(docs, n, dfCap)
+    sharedShingleCounts(docs, n, dfCap, "graft_jaccard_dfcap")
       .withColumn("jaccard",
         col("common").cast("double") / (col("n1") + col("n2") - col("common")))
       .where(col("jaccard") >= threshold)
@@ -85,7 +85,7 @@ object NearDup {
     * only the final scoring differs. */
   def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
                        dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame =
-    sharedShingleCounts(docs, n, dfCap)
+    sharedShingleCounts(docs, n, dfCap, "graft_containment_dfcap")
       .withColumn("containment",
         col("common").cast("double") / least(col("n1"), col("n2")))
       .where(col("containment") >= threshold)
@@ -94,9 +94,14 @@ object NearDup {
 
   /** (d1 < d2, common, n1, n2): per-pair shared-shingle counts plus
     * set sizes, the shared core of [[jaccardPairs]] and
-    * [[containmentPairs]]. */
+    * [[containmentPairs]]. Each caller passes its OWN observe-metric
+    * name — observed metrics must be unique within a plan, so a query
+    * combining both operators would otherwise fail analysis (and a
+    * listener would attribute containment's dropped shingles to
+    * jaccard). */
   private def sharedShingleCounts(docs: DataFrame, n: Int,
-                                  dfCap: Option[Int]): DataFrame = {
+                                  dfCap: Option[Int],
+                                  metricName: String): DataFrame = {
     val t = shingleSets(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e0 = t.select(col("doc_id"), explode(col("sh")).as("s"))
@@ -110,14 +115,14 @@ object NearDup {
         // observed metric: a binding cap is a visible event, not silent
         // recall drift — every action over this plan reports how many
         // hot shingles were dropped via
-        // queryExecution.observedMetrics("graft_jaccard_dfcap") (or a
+        // queryExecution.observedMetrics(metricName) (or a
         // QueryExecutionListener); zero cost when nothing is dropped.
         // NB an ABSENT metric also means nothing dropped: when no row
         // flows through the observe node no task updates its
         // accumulator, so the entry never materializes
         val hot = e0.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .where(col("df") > cap).select(col("s"))
-          .observe("graft_jaccard_dfcap",
+          .observe(metricName,
             count(lit(1)).as("dropped_hot_shingles"))
         e0.join(hot, Seq("s"), "left_anti")
       case None => e0

@@ -221,10 +221,13 @@ object VectorSearch extends Logging {
     * toward low vec_ids (the defaults are sized for ≤ ~16k vectors;
     * at 1M use e.g. planes=48, bands=4). Pass `corpusCount` to have
     * the engine derive (planes, bands) itself via [[srpParamsFor]] —
-    * the derived choice is logged, and a configuration whose expected
-    * ordinary-bucket occupancy still exceeds the cap (possible only
-    * with explicit parameters) logs a loud recall warning. The cap is
-    * replayed by the q_embed_lsh oracle, so a binding cap is
+    * the derived choice is logged. With EXPLICIT parameters the engine
+    * cannot estimate occupancy without an action, so the guard is
+    * observational instead: every action over this plan reports
+    * `graft_srp_bucketcap.truncated_buckets`, the number of buckets
+    * that actually overflowed the cap — nonzero means the
+    * recall-skew regime is live and planes must be raised. The cap is
+    * also replayed by the q_embed_lsh oracle, so a binding cap is
     * gate-visible, not a correctness drift.
     *
     * Zero-norm vectors are excluded before bucketing (mirrored by the
@@ -275,7 +278,19 @@ object VectorSearch extends Logging {
       .select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       .groupBy(col("band"), col("sig"))
-      .agg(slice(sort_array(collect_list(col("vec_id"))), 1, bucketCap).as("ids"))
+      .agg(count(lit(1)).as("n_bucket"),
+        slice(sort_array(collect_list(col("vec_id"))), 1, bucketCap).as("ids"))
+      // observed metric: the cap BINDING is a visible event on every
+      // action over this plan — truncated_buckets counts ordinary
+      // buckets that actually overflowed (the recall-skew regime the
+      // scaladoc warns about), which no driver-side estimate can see
+      // when the caller passed explicit planes/bands and no corpus
+      // count. Absent metric = no row reached the observe = no bucket
+      // truncated.
+      .observe("graft_srp_bucketcap", sum(
+        when(col("n_bucket") > bucketCap, 1L).otherwise(0L))
+        .as("truncated_buckets"))
+      .drop("n_bucket")
       .where(size(col("ids")) > 1)
       .select(explode(NearDup.pairsFromSortedIds("v1", "v2")).as("p"))
       .select(col("p.v1").as("v1"), col("p.v2").as("v2"))

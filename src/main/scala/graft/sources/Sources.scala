@@ -102,8 +102,17 @@ object Sources {
       df.coalesce(1).write.mode("overwrite")
         .option("header", "true").csv(s"$path/$name")
     }
+    // JSON string escape — a sheet name with a quote/backslash/control
+    // char would otherwise produce a manifest no parser accepts,
+    // breaking the read-the-manifest contract above
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val manifest = sheets.map { case (name, _) =>
-      s"""{"sheet": "$name", "path": "$name"}"""
+      s"""{"sheet": ${jq(name)}, "path": ${jq(name)}}"""
     }.mkString("[\n  ", ",\n  ", "\n]")
     val target = new Path(path, "_manifest.json")
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())

@@ -42,7 +42,8 @@ class CurationSpec extends SparkSpec {
     val df = docs(
       1L -> "bad bad word word word word word word word word",
       2L -> "clean words only here today",
-      3L -> "")
+      3L -> "",
+      4L -> (null: String))
     val out = Curation.blocklistFilter(df, Seq("bad", "worse"), 0.1)
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getInt(2) == 2 && out(1L).getString(3) == "bad")
@@ -51,6 +52,10 @@ class CurationSpec extends SparkSpec {
     assert(out(2L).getBoolean(5))
     // zero tokens: fraction and flag are NULL, not a division error
     assert(out(3L).isNullAt(4) && out(3L).isNullAt(5))
+    // NULL text propagates NULL counts (legacy size(NULL) is -1, which
+    // would otherwise leak through as n_toks=-1, frac=1.0, kept=false)
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(2)
+      && out(4L).isNullAt(4) && out(4L).isNullAt(5))
   }
 
   test("chunks cover every token with the configured overlap") {

@@ -53,6 +53,24 @@ class RunnerSpec extends SparkSpec {
     hostFrame.unpersist()
   }
 
+  test("runOne removes its CacheManager entries, not just the RDDs") {
+    val out = Files.createTempDirectory("graft-runner-cm").toString
+    val hostFrame = spark.range(0, 7).toDF("h").persist()
+    hostFrame.count()
+    val beforePlans = Runner.cachedPlans(spark)
+    assert(beforePlans.nonEmpty, "reflective CacheManager enumeration broke")
+    Runner.runOne(spark, "/root/testdata/sf0.001", out, "q_minhash_dedup",
+      force = true)
+    // a stale entry with unpersisted buffers would be a DEAD cache: the
+    // next query persisting the same signature-frame plan would no-op
+    // ("already cached") and recompute the chain once per consumer
+    val afterPlans = Runner.cachedPlans(spark)
+    assert(afterPlans.size == beforePlans.size,
+      s"leaked ${afterPlans.size - beforePlans.size} CacheManager entries")
+    assert(hostFrame.storageLevel.useMemory, "host cache was clobbered")
+    hostFrame.unpersist()
+  }
+
   test("name parsing is flag-position independent") {
     val all = SparkEntry.queries.keys.toSeq.sorted
     assert(Runner.parseNames(Array("sf", "out")) == all)
