@@ -56,6 +56,18 @@ object SparkEntry {
   /** q_pack: training-bin token budget (≈16 chunks per bin). */
   private val PackContextLen = 512
 
+  /** q_vocab top-N (non-binding on the 31-term synthetic vocabulary —
+    * the ordering contract, not the cut, is what the gate checks). */
+  private val VocabTopN = 1000
+
+  /** q_quality_cap: best docs kept per source. */
+  private val QualityPerSource = 3
+
+  /** q_dedup_incremental: the "daily increment" slice (doc_id % Mod ==
+    * Rem); the rest of documents plays the existing corpus. */
+  private val IncrementMod = 10
+  private val IncrementRem = 3
+
   /** q_profile columns — numeric and string legs of the lineitem
     * describe-profile; both the query and its oracle are generated
     * from these lists. */
@@ -361,6 +373,16 @@ object SparkEntry {
     "q_curation_funnel" -> ((s, d) =>
       Curation.curationFunnel(Tables.documents(s, d), BlocklistTerms,
         BlocklistMaxFrac, SampleRates, SampleBuckets)),
+    "q_vocab" -> ((s, d) =>
+      TextAnalysis.vocabulary(Tables.documents(s, d), VocabTopN)),
+    "q_quality_cap" -> ((s, d) =>
+      Curation.topQualityPerSource(Tables.documents(s, d), QualityPerSource)),
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      NearDup.dedupIncrement(
+        docs.where(pmod(col("doc_id"), lit(IncrementMod)) === IncrementRem),
+        docs.where(pmod(col("doc_id"), lit(IncrementMod)) =!= IncrementRem))
+    }),
     "q_minhash_dedup" -> ((s, d) => NearDup.minhashDedup(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1137,6 +1159,53 @@ object SparkEntry {
               FROM s4 JOIN ntok USING (doc_id))
           ORDER BY stage_ix"""
     },
+    "q_vocab" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          e AS (SELECT doc_id, unnest(toks) AS term FROM tk)
+          SELECT term, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+          FROM e GROUP BY term
+          ORDER BY n_occ DESC, term LIMIT $VocabTopN""",
+    "q_quality_cap" ->
+      s"""WITH t AS (SELECT doc_id, text, source, $ToksSql AS toks FROM documents),
+          b AS (SELECT doc_id, source,
+            CAST(len(toks) AS INTEGER) AS token_cnt,
+            CAST(len(list_filter(toks,
+              t -> list_contains(['the','a','and','of','to','is'], t)))
+              AS INTEGER) AS stop_hits,
+            CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) /
+              nullif(len(text), 0) AS alpha_ratio
+          FROM t),
+          r AS (SELECT doc_id, source,
+            least(CAST(1.0 AS DOUBLE), token_cnt / CAST(100.0 AS DOUBLE)) *
+              (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) *
+                (CAST(stop_hits AS DOUBLE) / nullif(token_cnt, 0))) * alpha_ratio
+              AS quality_score
+          FROM b),
+          rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+            ORDER BY quality_score DESC NULLS LAST, doc_id) AS INTEGER) AS rk
+          FROM r)
+          SELECT doc_id, source, quality_score, rk FROM rk
+          WHERE rk <= $QualityPerSource ORDER BY source, rk""",
+    "q_dedup_incremental" ->
+      s"""WITH $MinhashVerCtes,
+          nw AS (SELECT doc_id FROM documents
+            WHERE doc_id % $IncrementMod = $IncrementRem),
+          fp AS (SELECT doc_id, md5($NormSql) AS f FROM documents),
+          cfp AS (SELECT f, min(doc_id) AS exact_match FROM fp
+            WHERE doc_id % $IncrementMod <> $IncrementRem GROUP BY f),
+          ex AS (SELECT fp.doc_id, cfp.exact_match
+            FROM fp JOIN nw USING (doc_id) LEFT JOIN cfp USING (f)),
+          nr AS (SELECT doc_id, min(c) AS near_match FROM (
+            SELECT d1 AS doc_id, d2 AS c FROM ver
+              WHERE d1 % $IncrementMod = $IncrementRem
+                AND d2 % $IncrementMod <> $IncrementRem
+            UNION ALL SELECT d2, d1 FROM ver
+              WHERE d2 % $IncrementMod = $IncrementRem
+                AND d1 % $IncrementMod <> $IncrementRem) GROUP BY doc_id)
+          SELECT nw.doc_id, ex.exact_match, nr.near_match,
+            (ex.exact_match IS NULL AND nr.near_match IS NULL) AS is_new
+          FROM nw LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
+          ORDER BY nw.doc_id""",
     "q_minhash_dedup" ->
       s"""WITH $MinhashVerCtes,
           p AS (SELECT d1 AS doc_id, d2 AS partner FROM ver

@@ -171,6 +171,27 @@ object Curation {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Per-source quality cap: the best `perSource` docs of each source
+    * by composite quality score (ties and NULL scores ordered last by
+    * doc_id, so the selection is deterministic) — the "keep the top N
+    * documents per domain" mixture-shaping step. The window partitions
+    * by source, so no corpus-wide ordering exists anywhere in the
+    * plan; each source's rank is computed inside its own hash
+    * partition. */
+  def topQualityPerSource(docs: DataFrame, perSource: Int): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_score").desc_nulls_last, col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .join(scored, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= perSource)
+      .select(col("doc_id"), col("source"), col("quality_score"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** End-to-end curation funnel: quality filter → blocklist → exact
     * dedup (among the survivors, so a kept doc's duplicate that was
     * itself dropped upstream cannot shadow it) → stratified sampling,

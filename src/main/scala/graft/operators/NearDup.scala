@@ -314,6 +314,75 @@ object NearDup {
       .select(col("d1"), col("d2"))
   }
 
+  /** Incremental-ingestion dedup: flag each NEW doc that exactly or
+    * nearly duplicates the EXISTING corpus — the operational shape at
+    * 100 TB, where the daily increment is deduped against the corpus
+    * index instead of re-deduping the whole corpus. Output, one row
+    * per new doc ordered by id: (doc_id, exact_match, near_match,
+    * is_new) where the match columns carry the smallest matching
+    * corpus id (NULL = none) and is_new = no match of either kind.
+    *
+    * Scale shape: the corpus side reduces to its fingerprint set and
+    * minhash band index — both corpus-sized-once artifacts a real
+    * deployment precomputes and reuses across increments; the
+    * increment (tiny by comparison) is fingerprinted/shingled fresh.
+    * Candidates come from joining the increment's band rows against
+    * the corpus's capped per-bucket id lists, so a hot bucket costs
+    * O(increment_rows_in_bucket × cap), never corpus². Verification
+    * is the exact Jaccard on candidate shingle sets only. New-vs-new
+    * duplicates are deliberately NOT flagged here — dedup the
+    * increment internally with [[minhashDedup]]/
+    * [[TextAnalysis.exactDedup]] first, then probe the corpus. */
+  def dedupIncrement(newDocs: DataFrame, corpus: DataFrame, n: Int = 3,
+                     k: Int = 32, bands: Int = 16, threshold: Double = 0.5,
+                     bucketCap: Int = DefaultBucketCap): DataFrame = {
+    import graft.functions.TextFunctions.normText
+    val rows = k / bands
+    val corpusFp = corpus
+      .select(col("doc_id").as("c_id"), md5(normText(col("text"))).as("fp"))
+      .groupBy(col("fp")).agg(min(col("c_id")).as("exact_match"))
+    val newFp = newDocs.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+    val exact = newFp.join(corpusFp, Seq("fp"), "left_outer")
+      .select(col("doc_id"), col("exact_match"))
+    def bandRows(sig: DataFrame): DataFrame = {
+      val bandStructs = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until rows).map(r =>
+            col(s"m${b * rows + r}").cast("string")): _*).as("band_sig"))
+      }
+      sig.where(size(col("sh")) > 0)
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"),
+          col("bs.band_sig").as("band_sig"))
+    }
+    val sigN = signatures(newDocs, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigC = signatures(corpus, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBuckets = bandRows(sigC)
+      .groupBy(col("band"), col("band_sig"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, bucketCap)
+        .as("c_ids"))
+    val cand = bandRows(sigN)
+      .join(corpusBuckets, Seq("band", "band_sig"))
+      .select(col("doc_id"), explode(col("c_ids")).as("c_id"))
+      .distinct()
+    val near = cand
+      .join(sigN.select(col("doc_id"), col("sh").as("sh_n")), "doc_id")
+      .join(sigC.select(col("doc_id").as("c_id"), col("sh").as("sh_c")), "c_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_n"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_c"))))
+      .where(col("jaccard") >= threshold)
+      .groupBy(col("doc_id")).agg(min(col("c_id")).as("near_match"))
+    newDocs.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left_outer")
+      .join(near, Seq("doc_id"), "left_outer")
+      .withColumn("is_new",
+        col("exact_match").isNull && col("near_match").isNull)
+      .orderBy(col("doc_id"))
+  }
+
   /** Transitive near-duplicate clustering: connected components over
     * the verified pair graph by iterative min-label propagation —
     * every doc's rep becomes the smallest doc_id reachable through

@@ -225,6 +225,19 @@ object TextAnalysis {
         col("bullet_line_frac"), col("ellipsis_line_frac"))
       .orderBy(col("doc_id"))
 
+  /** Corpus vocabulary: top-`topN` terms by occurrence (ties broken
+    * by term), with corpus-wide occurrence and document frequencies —
+    * the word-count table every tokenizer build (BPE init, stopword
+    * induction, df-cap tuning) starts from. One shuffle on the term
+    * with map-side partials; the top-N is a TakeOrdered, never a full
+    * vocab sort materialization. */
+  def vocabulary(docs: DataFrame, topN: Int): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("term"))
+      .limit(topN)
+
   /** Exact dedup: min doc_id per fingerprint group is the survivor.
     * One hash shuffle on the fingerprint — the canonical exact-dedup
     * shape at any scale. */

@@ -143,6 +143,49 @@ class CurationSpec extends SparkSpec {
     assert(nDocs.last > 0 && nDocs.last < nDocs(3))
   }
 
+  test("vocabulary: counts, doc frequencies, deterministic top-N cut") {
+    val df = docs(
+      1L -> "apple apple banana", 2L -> "apple cherry", 3L -> "banana date")
+    val all = graft.operators.TextAnalysis.vocabulary(df, 10).collect()
+    assert(all.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("apple", 3L, 2L), ("banana", 2L, 2L),
+        ("cherry", 1L, 1L), ("date", 1L, 1L)))
+    // ties at the cut resolve by term, so the top-N is deterministic
+    val top3 = graft.operators.TextAnalysis.vocabulary(df, 3).collect()
+    assert(top3.map(_.getString(0)).toSeq == Seq("apple", "banana", "cherry"))
+  }
+
+  test("topQualityPerSource keeps the best N per source, ranked") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "while a small bird sings of summer days in the green field"
+    val df = (0L until 8L).map { i =>
+      // progressively worse docs: shorter text → lower quality score
+      (i, base.split(" ").take(25 - i.toInt * 2).mkString(" "),
+        "en", s"src${i % 2}")
+    }.toDF("doc_id", "text", "lang", "source")
+    val out = Curation.topQualityPerSource(df, 2).collect()
+    assert(out.length == 4)
+    // per source, the two LONGEST (= highest score) docs win, rank 1,2
+    assert(out.map(r => (r.getString(1), r.getInt(3), r.getLong(0))).toSeq ==
+      Seq(("src0", 1, 0L), ("src0", 2, 2L), ("src1", 1, 1L), ("src1", 2, 3L)))
+  }
+
+  test("dedupIncrement flags exact, near, and fresh docs vs the corpus") {
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = docs(10L -> body, 11L -> "an unrelated corpus document here")
+    val fresh = (1 to 30).map(i => s"z$i").mkString(" ")
+    val nearTxt = (1 to 28).map(i => s"w$i").mkString(" ") + " tail changed"
+    val newDocs = docs(20L -> body, 21L -> nearTxt, 22L -> fresh)
+    val out = NearDup.dedupIncrement(newDocs, corpus)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(20L).getLong(1) == 10L, "identical doc: exact match")
+    assert(!out(20L).getBoolean(3))
+    assert(out(21L).isNullAt(1) && out(21L).getLong(2) == 10L,
+      "high-jaccard doc: near match only")
+    assert(out(22L).isNullAt(1) && out(22L).isNullAt(2)
+      && out(22L).getBoolean(3), "fresh doc is new")
+  }
+
   test("containment finds short-in-long dups that jaccard misses") {
     val short = (1 to 12).map(i => s"s$i").mkString(" ")
     val filler = (1 to 120).map(i => s"f$i").mkString(" ")
