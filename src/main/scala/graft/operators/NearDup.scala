@@ -329,7 +329,14 @@ object NearDup {
     * Candidates come from joining the increment's band rows against
     * the corpus's capped per-bucket id lists, so a hot bucket costs
     * O(increment_rows_in_bucket × cap), never corpus². Verification
-    * is the exact Jaccard on candidate shingle sets only. New-vs-new
+    * is the exact Jaccard on candidate shingle sets only. NB the
+    * q_dedup_incremental oracle replays the COMBINED-bucket
+    * formulation (cross pairs of the all-docs LSH), which is
+    * identical whenever the bucket cap does not bind — the gate
+    * corpora sit two orders of magnitude under the cap; in a binding
+    * regime the split cap here keeps MORE increment-side candidates
+    * (the whole increment row set probes each bucket, only the corpus
+    * list is capped). New-vs-new
     * duplicates are deliberately NOT flagged here — dedup the
     * increment internally with [[minhashDedup]]/
     * [[TextAnalysis.exactDedup]] first, then probe the corpus. */
