@@ -508,6 +508,31 @@ object SparkEntry {
           WHEN ellipsis_line_frac > CAST(0.3 AS DOUBLE) THEN 'ellipsis_lines'
           ELSE 'ok' END AS reason FROM r)"""
 
+  /** Quality-score CTE chain (the TextAnalysis.qualityScore recipe,
+    * factored once) — yields `qsc` with (doc_id, source, text_len,
+    * token_cnt, stop_hits, alpha_ratio, stop_ratio, quality_score).
+    * Shared by q_text_quality and q_quality_cap so the scoring can
+    * never drift between them. */
+  private lazy val QualityScoreCtes: String =
+    s"""tq AS (SELECT doc_id, text, source, $ToksSql AS toks FROM documents),
+        bq AS (SELECT doc_id, source,
+          CAST(len(text) AS INTEGER) AS text_len,
+          CAST(len(toks) AS INTEGER) AS token_cnt,
+          CAST(len(list_filter(toks,
+            t -> list_contains(['the','a','and','of','to','is'], t)))
+            AS INTEGER) AS stop_hits,
+          CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) /
+            nullif(len(text), 0) AS alpha_ratio
+        FROM tq),
+        rq AS (SELECT *,
+          CAST(stop_hits AS DOUBLE) / nullif(token_cnt, 0) AS stop_ratio
+        FROM bq),
+        qsc AS (SELECT *,
+          least(CAST(1.0 AS DOUBLE), token_cnt / CAST(100.0 AS DOUBLE)) *
+            (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * stop_ratio) *
+            alpha_ratio AS quality_score
+        FROM rq)"""
+
   /** DuckDB fragments shared by the text oracles. */
   private val ToksSql =
     """list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
@@ -968,21 +993,10 @@ object SparkEntry {
             s_de, s_en, s_es, s_fr, s_zh
           FROM m ORDER BY doc_id""",
     "q_text_quality" ->
-      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
-          b AS (SELECT doc_id,
-            CAST(len(text) AS INTEGER) AS text_len,
-            CAST(len(toks) AS INTEGER) AS token_cnt,
-            CAST(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','is'], t))) AS INTEGER) AS stop_hits,
-            CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) /
-              nullif(len(text), 0) AS alpha_ratio
-          FROM t),
-          r AS (SELECT *,
-            CAST(stop_hits AS DOUBLE) / nullif(token_cnt, 0) AS stop_ratio FROM b)
-          SELECT doc_id, text_len, token_cnt, stop_hits, alpha_ratio, stop_ratio,
-            least(CAST(1.0 AS DOUBLE), token_cnt / CAST(100.0 AS DOUBLE)) *
-              (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * stop_ratio) * alpha_ratio
-              AS quality_score
-          FROM r ORDER BY doc_id""",
+      s"""WITH $QualityScoreCtes
+          SELECT doc_id, text_len, token_cnt, stop_hits, alpha_ratio,
+            stop_ratio, quality_score
+          FROM qsc ORDER BY doc_id""",
     "q_token_count" ->
       s"""SELECT doc_id,
           CAST(len($ToksSql) AS INTEGER) AS ws_tokens,
@@ -1166,24 +1180,11 @@ object SparkEntry {
           FROM e GROUP BY term
           ORDER BY n_occ DESC, term LIMIT $VocabTopN""",
     "q_quality_cap" ->
-      s"""WITH t AS (SELECT doc_id, text, source, $ToksSql AS toks FROM documents),
-          b AS (SELECT doc_id, source,
-            CAST(len(toks) AS INTEGER) AS token_cnt,
-            CAST(len(list_filter(toks,
-              t -> list_contains(['the','a','and','of','to','is'], t)))
-              AS INTEGER) AS stop_hits,
-            CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) /
-              nullif(len(text), 0) AS alpha_ratio
-          FROM t),
-          r AS (SELECT doc_id, source,
-            least(CAST(1.0 AS DOUBLE), token_cnt / CAST(100.0 AS DOUBLE)) *
-              (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) *
-                (CAST(stop_hits AS DOUBLE) / nullif(token_cnt, 0))) * alpha_ratio
-              AS quality_score
-          FROM b),
-          rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
-            ORDER BY quality_score DESC NULLS LAST, doc_id) AS INTEGER) AS rk
-          FROM r)
+      s"""WITH $QualityScoreCtes,
+          rk AS (SELECT doc_id, source, quality_score,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY quality_score DESC NULLS LAST, doc_id) AS INTEGER) AS rk
+          FROM qsc)
           SELECT doc_id, source, quality_score, rk FROM rk
           WHERE rk <= $QualityPerSource ORDER BY source, rk""",
     "q_dedup_incremental" ->

@@ -174,21 +174,19 @@ object Curation {
   /** Per-source quality cap: the best `perSource` docs of each source
     * by composite quality score (ties and NULL scores ordered last by
     * doc_id, so the selection is deterministic) — the "keep the top N
-    * documents per domain" mixture-shaping step. The window partitions
-    * by source, so no corpus-wide ordering exists anywhere in the
-    * plan; each source's rank is computed inside its own hash
-    * partition. */
+    * documents per domain" mixture-shaping step. Scoring is row-local
+    * with `source` passed through (no re-join against the input), and
+    * the ranking window partitions by source, so the only pre-filter
+    * exchange is the window's hash partitioning; the trailing
+    * presentation sort orders the ≤ sources×perSource survivors. */
   def topQualityPerSource(docs: DataFrame, perSource: Int): DataFrame = {
-    val scored = TextAnalysis.qualityScore(docs)
-      .select(col("doc_id"), col("quality_score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("quality_score").desc_nulls_last, col("doc_id"))
-    docs.select(col("doc_id"), col("source"))
-      .join(scored, "doc_id")
+    TextAnalysis.qualityFrame(docs, passthrough = Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality_score"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= perSource)
-      .select(col("doc_id"), col("source"), col("quality_score"), col("rk"))
       .orderBy(col("source"), col("rk"))
   }
 

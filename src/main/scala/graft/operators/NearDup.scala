@@ -216,6 +216,26 @@ object NearDup {
     * earlier explode + k min-agg columns version computed the same
     * numbers but paid a full (doc, shingle) shuffle and lost `sh`,
     * forcing the tokenizer chain to be recomputed per consumer. */
+  /** (doc_id, band, band_sig) LSH band rows of a [[signatures]] frame
+    * — the ONE definition of the band-sig format, shared by
+    * [[minhashPairs]] and [[dedupIncrement]] (and replayed by the
+    * MinhashVerCtes oracle); a drift between copies would silently
+    * desynchronize the incremental gate from the pair gates.
+    * Shingle-less docs have NULL signatures (array_min of empty) and
+    * can never verify — excluded so they don't all share one
+    * degenerate "" bucket (concat_ws skips NULLs). */
+  private def bandRows(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rows).map(r =>
+          col(s"m${b * rows + r}").cast("string")): _*).as("band_sig"))
+    }
+    sig.where(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.band_sig").as("band_sig"))
+  }
+
   private[operators] def signatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
     val coef = minhashCoefficients(k)
     shingleSets(docs, n)
@@ -281,19 +301,7 @@ object NearDup {
     // a 100 TB corpus spills instead of evicting mid-job.
     val sig = signatures(docs, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandStructs = (0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}").cast("string")): _*)
-          .as("band_sig"))
-    }
-    // shingle-less docs have NULL signatures (array_min of empty) and
-    // can never verify — exclude them so they don't all share one
-    // degenerate "" bucket (concat_ws skips NULLs)
-    val bnd = sig
-      .where(size(col("sh")) > 0)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    val bnd = bandRows(sig, bands, rows)
     // bucket by (band, band_sig) and emit pairs from each bucket's
     // sorted, capped id list — no join blowup on hot buckets
     val cand = bnd
@@ -351,26 +359,15 @@ object NearDup {
     val newFp = newDocs.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
     val exact = newFp.join(corpusFp, Seq("fp"), "left_outer")
       .select(col("doc_id"), col("exact_match"))
-    def bandRows(sig: DataFrame): DataFrame = {
-      val bandStructs = (0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(",", (0 until rows).map(r =>
-            col(s"m${b * rows + r}").cast("string")): _*).as("band_sig"))
-      }
-      sig.where(size(col("sh")) > 0)
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"),
-          col("bs.band_sig").as("band_sig"))
-    }
     val sigN = signatures(newDocs, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigC = signatures(corpus, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpusBuckets = bandRows(sigC)
+    val corpusBuckets = bandRows(sigC, bands, rows)
       .groupBy(col("band"), col("band_sig"))
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, bucketCap)
         .as("c_ids"))
-    val cand = bandRows(sigN)
+    val cand = bandRows(sigN, bands, rows)
       .join(corpusBuckets, Seq("band", "band_sig"))
       .select(col("doc_id"), explode(col("c_ids")).as("c_id"))
       .distinct()

@@ -32,11 +32,21 @@ object TextAnalysis {
 
   /** Quality signals: lengths, token stats, alpha/stopword ratios and
     * a bounded composite score. Pure arithmetic over exact integer
-    * counts — deterministic across engines. */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+    * counts — deterministic across engines. `passthrough` columns ride
+    * along unchanged (e.g. `source` for per-domain capping) so callers
+    * needing them don't pay a re-join against the input. */
+  def qualityScore(docs: DataFrame,
+                   passthrough: Seq[String] = Nil): DataFrame =
+    qualityFrame(docs, passthrough).orderBy(col("doc_id"))
+
+  /** [[qualityScore]] without the presentation sort — for callers
+    * (per-source capping) that re-partition anyway. */
+  private[operators] def qualityFrame(docs: DataFrame,
+                                      passthrough: Seq[String]): DataFrame = {
+    docs.select(Seq(col("doc_id"), col("text"),
+        tokens(col("text")).as("toks")) ++ passthrough.map(col): _*)
       .select(
-        col("doc_id"),
+        Seq(col("doc_id"),
         length(col("text")).as("text_len"),
         size(col("toks")).as("token_cnt"),
         stopwordHits(col("toks"), stopwords("en")).as("stop_hits"),
@@ -46,6 +56,7 @@ object TextAnalysis {
         // data-dependent)
         (length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double") /
           nullif(length(col("text")), lit(0))).as("alpha_ratio"))
+        ++ passthrough.map(col): _*)
       .withColumn("stop_ratio",
         col("stop_hits").cast("double") / nullif(col("token_cnt"), lit(0)))
       // no rounding: both engines build the identical IEEE expression
@@ -54,7 +65,6 @@ object TextAnalysis {
       .withColumn("quality_score",
         least(lit(1.0), col("token_cnt") / lit(100.0)) *
           (lit(0.5) + lit(0.5) * col("stop_ratio")) * col("alpha_ratio"))
-      .orderBy(col("doc_id"))
   }
 
   /** Token counts: normalized-whitespace tokens and a regex word/number
@@ -228,9 +238,11 @@ object TextAnalysis {
   /** Corpus vocabulary: top-`topN` terms by occurrence (ties broken
     * by term), with corpus-wide occurrence and document frequencies —
     * the word-count table every tokenizer build (BPE init, stopword
-    * induction, df-cap tuning) starts from. One shuffle on the term
-    * with map-side partials; the top-N is a TakeOrdered, never a full
-    * vocab sort materialization. */
+    * induction, df-cap tuning) starts from. The doc-frequency distinct
+    * makes this the standard two-phase distinct aggregate — an
+    * exchange on (term, doc_id) for the dedup, then one on term for
+    * the final counts, both with map-side partials; the top-N is a
+    * TakeOrdered, never a full vocab sort materialization. */
   def vocabulary(docs: DataFrame, topN: Int): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("term"))
