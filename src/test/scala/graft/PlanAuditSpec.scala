@@ -77,6 +77,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("bit_count"), p.take(2000))
   }
 
+  test("stratified sample is a pure scan+filter: no join, no aggregate") {
+    val p = plan("q_stratified_sample")
+    // the md5-bucket filter is row-local — any join/aggregate here
+    // means the zero-shuffle sampling contract broke (the only
+    // exchange allowed is the presentation sort's range partitioning)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("per-source quality cap scores row-locally: no join") {
+    val p = plan("q_quality_cap")
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("decontamination broadcasts the eval shingle set") {
+    val p = plan("q_decontam")
+    // the train corpus must hash-join against a BROADCAST eval set —
+    // a shuffled join here would shuffle the 100 TB side
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("salted sum aggregates on (key, salt) before the key combine") {
     val p = plan("q_skew_salted")
     assert(p.contains("_salt"), p.take(2000))
