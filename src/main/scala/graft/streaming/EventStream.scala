@@ -117,6 +117,22 @@ object EventStream {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select(col("doc_id"), col("ts"), col("fingerprint"))
 
+  /** Stream → catalog publishing: run a streaming frame into an
+    * append-mode catalog table via foreachBatch — the streaming leg of
+    * [[graft.sources.Sources.publishTable]] (which is overwrite-mode,
+    * the batch-republish contract). Each micro-batch appends
+    * transactionally under the streaming checkpoint's exactly-once
+    * bookkeeping; downstream batch queries read the table mid-stream.
+    * Returns the started query; the caller owns its lifecycle. */
+  def publishStream(df: DataFrame, table: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").format("parquet").saveAsTable(table)
+      }
+      .start()
+
   case class Session(user_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
                      n_events: Long, total_value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)

@@ -38,4 +38,47 @@ class EquivalenceSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming dedup keeps exactly the batch exactDedup survivors") {
+    // the sf0.001 planted dups are NEAR dups only — plant one exact
+    // duplicate (new id, same text as doc 0) so the dedup binds
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val docs = base :+ (9001L -> base.head._2)
+    val docsDf = docs.toDF("doc_id", "text")
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    // id-ordered arrival, all inside one watermark window → streaming
+    // first-seen == batch min-doc_id survivor for every fingerprint
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    mem.addData(docs.map { case (id, tx) => (id, tx, t0) }: _*)
+    val q = EventStream.dedupByFingerprint(
+      mem.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("eq_dd").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("eq_dd").collect().map(_.getLong(0)).toSet
+    val batch = graft.operators.TextAnalysis.exactDedup(docsDf)
+      .where(col("is_dup") === 0).collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(batch.size == docs.size - 1, "exactly the planted dup dropped")
+  }
+
+  test("publishStream appends each micro-batch to a catalog table") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pub").toString
+    spark.sql("DROP TABLE IF EXISTS graft_stream_pub")
+    mem.addData((1L, "a"), (2L, "b"))
+    val q = EventStream.publishStream(
+      mem.toDF().toDF("id", "v"), "graft_stream_pub", ckpt)
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("graft_stream_pub").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L))
+    spark.sql("DROP TABLE graft_stream_pub")
+  }
 }
