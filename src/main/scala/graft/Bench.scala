@@ -22,7 +22,7 @@ object Bench {
     "q_pack", "q_curation_funnel", "q_vocab", "q_quality_cap",
     "q_dedup_incremental",
     "q_embed_lsh", "q_ann_ivf", "q_ann_ivf_p2", "q_ann_pq", "q_ann_pq_rerank",
-    "q_multimodal_meta")
+    "q_multimodal_meta", "q_multimodal_frames")
 
   /** Timed runs per query — the min is recorded. One run is hostage to
     * neighbor load on a shared box (BENCH_r02 recorded 110 s for an

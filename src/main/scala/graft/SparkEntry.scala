@@ -68,6 +68,10 @@ object SparkEntry {
   private val IncrementMod = 10
   private val IncrementRem = 3
 
+  /** q_multimodal_frames: every 5th frame, at most 4 per doc. */
+  private val FrameStride = 5
+  private val MaxFrames = 4
+
   /** q_profile columns — numeric and string legs of the lineitem
     * describe-profile; both the query and its oracle are generated
     * from these lists. */
@@ -419,6 +423,8 @@ object SparkEntry {
         col("vec_id") < 10, 5)
     }),
     "q_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
+    "q_multimodal_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Tables.documents(s, d), FrameStride, MaxFrames)),
     // Planted pathological key: half of all events collapse onto
     // hot_key 0 — the one-household-with-millions-of-rows shape. The
     // salted two-phase sum bounds any single reducer's input to
@@ -1391,5 +1397,19 @@ object SparkEntry {
            byte_len, byte_len % 640 + 16 AS width, byte_len % 480 + 16 AS height,
            byte_len % 30 + 1 AS n_frames
          FROM b ORDER BY doc_id""",
+    "q_multimodal_frames" ->
+      s"""WITH b AS (SELECT doc_id,
+            CAST(octet_length(encode(text)) AS INTEGER) AS byte_len
+          FROM documents),
+          m AS (SELECT doc_id,
+            CASE WHEN byte_len % 3 = 0 THEN 'jpeg'
+                 WHEN byte_len % 3 = 1 THEN 'png'
+                 ELSE 'webp' END AS format,
+            byte_len % 30 + 1 AS n_frames
+          FROM b)
+          SELECT doc_id, format, n_frames,
+            CAST(unnest(list_slice(range(0, n_frames, $FrameStride),
+              1, $MaxFrames)) AS INTEGER) AS frame_ix
+          FROM m ORDER BY doc_id, frame_ix""",
   )
 }

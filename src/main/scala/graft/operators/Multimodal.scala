@@ -58,6 +58,11 @@ object Multimodal {
     * fake decode geometry, expressed as pure column arithmetic so the
     * DuckDB oracle can replay it. Mirrors StubCodec's geometry. */
   def mediaMeta(docs: DataFrame): DataFrame =
+    metaFrame(docs).orderBy(col("doc_id"))
+
+  /** [[mediaMeta]] without the presentation sort (shared with
+    * [[sampleFrames]], which sorts its own exploded output). */
+  private def metaFrame(docs: DataFrame): DataFrame =
     asMedia(docs)
       .select(
         col("doc_id"),
@@ -66,5 +71,24 @@ object Multimodal {
       .withColumn("width", col("byte_len") % 640 + 16)
       .withColumn("height", col("byte_len") % 480 + 16)
       .withColumn("n_frames", col("byte_len") % 30 + 1)
-      .orderBy(col("doc_id"))
+
+  /** Frame sampling plan: fan each media row out into its sampled
+    * frame rows — every `stride`-th frame index, at most `maxFrames`
+    * per doc — the video→frames step that feeds per-frame decode /
+    * embedding at scale. Row-local explode with output bounded by
+    * maxFrames per doc, so the fan-out never amplifies a long video
+    * unboundedly; the frame DECODE stays behind the
+    * [[decodeFeatures]] codec seam, but the sampling plan (which
+    * frames exist, in which order) is pure column arithmetic and
+    * oracle-checked. */
+  def sampleFrames(docs: DataFrame, stride: Int = 5,
+                   maxFrames: Int = 4): DataFrame = {
+    require(stride > 0 && maxFrames > 0)
+    metaFrame(docs)
+      .select(col("doc_id"), col("format"), col("n_frames"),
+        explode(slice(
+          sequence(lit(0), col("n_frames") - 1, lit(stride)),
+          1, maxFrames)).as("frame_ix"))
+      .orderBy(col("doc_id"), col("frame_ix"))
+  }
 }

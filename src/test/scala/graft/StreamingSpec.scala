@@ -133,6 +133,17 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 3L))
   }
 
+  test("frame sampling strides and caps per-doc frame rows") {
+    import spark.implicits._
+    // 1-char text → byte_len 1 → n_frames 2 → frames 0 (stride 5 caps)
+    // 26-char → n_frames 27 → frames 0,5,10,15 (maxFrames 4 binds)
+    val df = Seq((1L, "x"), (2L, "a" * 26)).toDF("doc_id", "text")
+    val out = graft.operators.Multimodal.sampleFrames(df, 5, 4).collect()
+    assert(out.filter(_.getLong(0) == 1L).map(_.getInt(3)).toSeq == Seq(0))
+    assert(out.filter(_.getLong(0) == 2L).map(_.getInt(3)).toSeq ==
+      Seq(0, 5, 10, 15))
+  }
+
   test("multimodal decode plumbing produces features per row") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = graft.operators.Multimodal.decodeFeatures(
