@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print ONE machine-parsed JSON line on stdout; sbt's
+// default LoggedOutput for forked runs prefixes every line with
+// "[info] ", which defeats a line-oriented json.loads (BENCH_r01–r03
+// all record parsed:null). StdoutOutput inherits sbt's raw stdout —
+// the JSON line reaches the driver unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
