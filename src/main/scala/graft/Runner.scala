@@ -37,6 +37,16 @@ import org.apache.spark.sql.SparkSession
   * hit "already cached" as a no-op and recompute the chain once per
   * consumer with nothing stored.
   *
+  * The snapshot-diff is SINGLE-FLIGHT: it assumes nothing else
+  * persists on this session while a query runs. A host thread that
+  * caches a frame mid-query would postdate the snapshots and be
+  * indistinguishable from the query's own scratch caches — and get
+  * dropped. Embedders that cache concurrently must serialize around
+  * [[runOne]] (the reference has the same one-task-at-a-time model:
+  * Luigi workers run tasks serially per process). Bench and
+  * NearDup.dedupClusters use the same snapshot-diff under the same
+  * assumption.
+  *
   * Usage: runMain graft.Runner <sfDir> <outDir> [query,query,…|all]
   * [--force]
   */
@@ -111,14 +121,21 @@ object Runner {
         // CacheManager entries first (uncacheQuery also unpersists the
         // entry's buffers), then raw RDD ids as the backstop for
         // localCheckpoints, which never touch the CacheManager.
-        val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        cachedPlans(spark).filterNot(p => beforePlans.exists(_ eq p))
-          .foreach { p =>
-            try cs.sharedState.cacheManager.uncacheQuery(cs,
-              p.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
-              cascade = false, blocking = false)
-            catch { case NonFatal(_) => () }
-          }
+        // The classic-session cast sits INSIDE the guard: on a
+        // non-classic session (e.g. Connect) it would otherwise throw
+        // ClassCastException from the finally and mask the query's
+        // real result or exception — cachedPlans() already degrades
+        // to Nil there, and the RDD-level unpersist still runs.
+        try {
+          val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          cachedPlans(spark).filterNot(p => beforePlans.exists(_ eq p))
+            .foreach { p =>
+              try cs.sharedState.cacheManager.uncacheQuery(cs,
+                p.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
+                cascade = false, blocking = false)
+              catch { case NonFatal(_) => () }
+            }
+        } catch { case NonFatal(_) => () }
         sc.getPersistentRDDs
           .filterNot { case (id, _) => before(id) }
           .values.foreach(_.unpersist(blocking = false))

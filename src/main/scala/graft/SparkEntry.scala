@@ -361,7 +361,7 @@ object SparkEntry {
     }),
     "q_stratified_sample" -> ((s, d) =>
       Curation.stratifiedSample(Tables.documents(s, d), SampleRates,
-        buckets = SampleBuckets)),
+        buckets = SampleBuckets, passthrough = Seq("source"))),
     "q_blocklist" -> ((s, d) =>
       Curation.blocklistFilter(Tables.documents(s, d), BlocklistTerms,
         BlocklistMaxFrac)),

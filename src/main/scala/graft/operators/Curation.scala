@@ -29,10 +29,13 @@ object Curation {
     * adding data to the corpus never changes the keep/drop decision
     * of an existing doc, so incremental pipeline runs stay consistent.
     * At 100 TB this is a scan + filter with full pushdown below it;
-    * no state, no shuffle, no driver involvement. */
+    * no state, no shuffle, no driver involvement. The operator needs
+    * only `doc_id` and `strataCol`; `passthrough` names extra input
+    * columns to carry into the output. */
   def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
                        strataCol: String = "lang",
-                       buckets: Int = 10000): DataFrame = {
+                       buckets: Int = 10000,
+                       passthrough: Seq[String] = Nil): DataFrame = {
     val threshold = rates.keys.toSeq.sorted.foldRight(lit(0)) { (s, acc) =>
       when(col(strataCol) === s,
         lit(math.round(rates(s) * buckets).toInt)).otherwise(acc)
@@ -40,7 +43,7 @@ object Curation {
     docs
       .withColumn("bucket", sampleBucket(col("doc_id"), buckets))
       .where(col("bucket") < threshold)
-      .select(col("doc_id"), col(strataCol), col("source"), col("bucket"))
+      .select((Seq("doc_id", strataCol) ++ passthrough :+ "bucket").map(col): _*)
       .orderBy(col("doc_id"))
   }
 

@@ -117,19 +117,57 @@ object EventStream {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select(col("doc_id"), col("ts"), col("fingerprint"))
 
-  /** Stream → catalog publishing: run a streaming frame into an
-    * append-mode catalog table via foreachBatch — the streaming leg of
+  /** Publish one micro-batch idempotently into `table`'s
+    * `batch_id=<id>` partition. foreachBatch is at-least-once — a
+    * failure after a partial or complete write re-runs the batch with
+    * the SAME id — so a plain append would duplicate the replayed
+    * rows. Overwriting exactly the batch's own partition (dynamic
+    * partition overwrite touches no other batch's data) makes the
+    * replay converge to one copy. Package-visible so the replay
+    * contract is directly testable. */
+  private[graft] def publishBatch(batch: Dataset[org.apache.spark.sql.Row],
+                                  table: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val tagged = batch.withColumn("batch_id", lit(batchId))
+    if (!spark.catalog.tableExists(table))
+      // saveAsTable moves the partition column last in the catalog
+      // schema — the same position withColumn gave it — so later
+      // position-based insertInto lines up
+      tagged.write.partitionBy("batch_id").format("parquet")
+        .saveAsTable(table)
+    else {
+      // the writer-level partitionOverwriteMode option is not honored
+      // on catalog-table insertInto (static overwrite would truncate
+      // EVERY partition, not just this batch's) — set the session conf
+      // around the insert and restore it after
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try tagged.write.mode("overwrite").insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  /** Stream → catalog publishing: run a streaming frame into a
+    * catalog table via foreachBatch — the streaming leg of
     * [[graft.sources.Sources.publishTable]] (which is overwrite-mode,
-    * the batch-republish contract). Each micro-batch appends
-    * transactionally under the streaming checkpoint's exactly-once
-    * bookkeeping; downstream batch queries read the table mid-stream.
-    * Returns the started query; the caller owns its lifecycle. */
+    * the batch-republish contract). Rows land partitioned by
+    * `batch_id`; because foreachBatch is at-least-once, each
+    * micro-batch [[publishBatch]] OVERWRITES its own batch_id
+    * partition, so a retried batch replaces its earlier (possibly
+    * partial) write instead of appending a second copy — net effect
+    * exactly-once per partition. Downstream batch queries read the
+    * table mid-stream. Returns the started query; the caller owns its
+    * lifecycle. */
   def publishStream(df: DataFrame, table: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").format("parquet").saveAsTable(table)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        publishBatch(batch, table, batchId)
       }
       .start()
 

@@ -38,6 +38,15 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("stratifiedSample needs only doc_id and the stratum column") {
+    // no 'source' column: the operator must not reference one unless
+    // asked to pass it through
+    val df = Seq((1L, "en"), (2L, "fr")).toDF("doc_id", "lang")
+    val out = Curation.stratifiedSample(df, Map("en" -> 1.0, "fr" -> 1.0))
+    assert(out.columns.toSeq == Seq("doc_id", "lang", "bucket"))
+    assert(out.count() == 2)
+  }
+
   test("blocklistFilter counts hits, names the first term, NULLs empty docs") {
     val df = docs(
       1L -> "bad bad word word word word word word word word",

@@ -79,6 +79,15 @@ class EquivalenceSpec extends SparkSpec {
     q.stop()
     assert(spark.table("graft_stream_pub").collect().map(_.getLong(0)).toSet
       == Set(1L, 2L, 3L))
+    // foreachBatch is at-least-once: replaying a micro-batch with its
+    // original batchId (retry after a failure mid-append) must
+    // overwrite that batch's partition, not append a second copy
+    import spark.implicits._
+    EventStream.publishBatch(
+      Seq((3L, "c")).toDF("id", "v"), "graft_stream_pub", 1L)
+    val after = spark.table("graft_stream_pub")
+    assert(after.count() == 3, "replayed batch must not duplicate rows")
+    assert(after.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
     spark.sql("DROP TABLE graft_stream_pub")
   }
 }
