@@ -72,6 +72,17 @@ object SparkEntry {
   private val FrameStride = 5
   private val MaxFrames = 4
 
+  /** q_sessionize: gap (minutes) closing a session. 30 min splits the
+    * synthetic per-user event streams into multi-session histories at
+    * every SF. */
+  private val SessionGapMin = 30
+
+  /** q_rolling_daily: trailing window length in days. */
+  private val RollingDays = 7
+
+  /** q_tfidf: terms kept per document. */
+  private val TfidfPerDoc = 3
+
   /** q_profile columns — numeric and string legs of the lineitem
     * describe-profile; both the query and its oracle are generated
     * from these lists. */
@@ -440,6 +451,42 @@ object SparkEntry {
       Skew.saltedSum(ev, Seq("hot_key"), "v", col("event_id"), 32)
         .orderBy(col("hot_key"))
     }),
+    "q_sessionize" -> ((s, d) =>
+      Temporal.sessionize(Tables.events(s, d), SessionGapMin)),
+    // One exposure per (user, instant) before the as-of probe: the
+    // carried payload at equal timestamps is otherwise tie-order
+    // dependent on BOTH engines (max event_id wins, deterministically).
+    "q_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val tie = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+      val exposures = e.where(col("event_type") =!= "purchase")
+        .withColumn("rk", row_number().over(tie)).where(col("rk") === 1)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      Temporal.asofJoin(purchases, exposures, "user_id",
+        Seq("ts", "event_type"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(col("asof_ts")))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+    "q_rolling_daily" -> ((s, d) =>
+      Temporal.rollingDaily(Tables.events(s, d), RollingDays)),
+    "q_reach_rollup" -> ((s, d) =>
+      Reach.reachRollup(Tables.media(s, d), Seq("etype", "week"),
+        "projfact")),
+    // Sketch-based: engine-specific HLL internals → rows-only gate;
+    // ReachSpec bounds the estimates against the exact counts.
+    "q_reach_approx" -> ((s, d) =>
+      Reach.approxReach(Tables.media(s, d), "etype")),
+    "q_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidf(Tables.documents(s, d), TfidfPerDoc)),
+    "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
+    // Spec-gated semantics (the synthetic corpus plants no PII — an
+    // all-zeros oracle could not catch a broken pattern); the entry
+    // still runs the full redaction plan for the rows-only gate+bench.
+    "q_pii_redact" -> ((s, d) => Privacy.piiRedact(Tables.documents(s, d))),
   )
 
   /** Shared CTE chain for the repetition oracles: lines + bigrams,
@@ -1411,5 +1458,86 @@ object SparkEntry {
             CAST(unnest(list_slice(range(0, n_frames, $FrameStride),
               1, $MaxFrames)) AS INTEGER) AS frame_ix
           FROM m ORDER BY doc_id, frame_ix""",
+    // events.ts is parquet timestamp[ns]; the temporal oracles CAST to
+    // microsecond TIMESTAMP up front so gap arithmetic and equality
+    // match the engine (GraftSession reads the same column as micros).
+    "q_sessionize" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+            value, epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+          s AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+              OR tu - lag(tu) OVER w > ${SessionGapMin * 60L * 1000000L}
+              THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          x AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_ix FROM s)
+          SELECT user_id, session_ix, min(ts) AS session_start,
+            max(ts) AS session_end, count(*) AS n_events,
+            round(sum(value), 2) AS total_value
+          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+            value FROM events WHERE event_type = 'purchase'),
+          x0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+            row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+              ORDER BY event_id DESC) AS rk
+            FROM events WHERE event_type <> 'purchase'),
+          x AS (SELECT user_id, ts, event_type FROM x0 WHERE rk = 1)
+          SELECT p.user_id, p.ts, p.event_id, p.value,
+            x.ts AS asof_ts, x.event_type AS asof_event_type,
+            epoch_us(p.ts) - epoch_us(x.ts) AS gap_us
+          FROM p ASOF LEFT JOIN x
+            ON p.user_id = x.user_id AND p.ts >= x.ts
+          ORDER BY p.user_id, p.ts, p.event_id""",
+    "q_rolling_daily" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS date, event_type,
+            count(*) AS n_events, round(sum(value), 2) AS sum_value,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+          FROM events GROUP BY 1, 2, 5)
+          SELECT date, event_type, n_events, sum_value,
+            CAST(sum(n_events) OVER w AS BIGINT) AS n_events_7d,
+            round(sum(sum_value) OVER w, 2) AS sum_value_7d
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+            RANGE BETWEEN ${RollingDays - 1} PRECEDING AND CURRENT ROW)
+          ORDER BY date, event_type""",
+    "q_reach_rollup" ->
+      s"""WITH m AS (SELECT user_id AS household_id, event_type AS etype,
+            CAST(date_trunc('week', ts) AS DATE) AS week,
+            $ProjfactSql AS projfact FROM events)
+          SELECT coalesce(CAST(etype AS VARCHAR), 'all') AS etype,
+            coalesce(CAST(week AS VARCHAR), 'all') AS week,
+            count(*) AS exposures, round(sum(projfact)) AS proj_sum,
+            count(DISTINCT household_id) AS households,
+            CAST(GROUPING(etype) * 2 + GROUPING(week) AS INTEGER) AS lvl
+          FROM m GROUP BY ROLLUP (etype, week)
+          ORDER BY lvl, etype, week""",
+    "q_tfidf" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          e AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2),
+          dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+          nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+            FROM documents),
+          sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+              tf.tf * (nd.n_docs / dfq.df) AS tfidf
+            FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+          rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term) AS INTEGER) AS rk FROM sc)
+          SELECT doc_id, term, tf, df, tfidf, rk FROM rk
+          WHERE rk <= $TfidfPerDoc ORDER BY doc_id, rk""",
+    "q_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          e AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+          tfreq AS (SELECT term, count(*) AS cnt FROM e GROUP BY 1),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tfreq),
+          agg AS (SELECT e.doc_id, count(*) AS n_toks,
+              CAST(sum(tfreq.cnt) AS BIGINT) AS sum_cnt
+            FROM e JOIN tfreq USING (term) GROUP BY 1)
+          SELECT doc_id, n_toks, sum_cnt,
+            CAST(sum_cnt AS DOUBLE) / n_toks AS mean_term_freq,
+            CAST(sum_cnt AS DOUBLE) / (n_toks * total) AS typicality
+          FROM agg CROSS JOIN tot ORDER BY doc_id""",
   )
 }

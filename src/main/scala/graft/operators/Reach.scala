@@ -76,4 +76,52 @@ object Reach {
     dims.map(d => reachCount(df, cntCol, Some(d), proj))
       .reduce(_.unionAll(_))
       .orderBy(asc("dimension"), desc("count"), asc("value"))
+
+  /** Hierarchical exposure totals in ONE pass: exposures, projected
+    * sum and exact distinct-household reach at every prefix level of
+    * `dims` (full detail → per-dim1 → grand total) via ROLLUP. The
+    * reference computes each level as its own job over the fact table
+    * (hh_reach.py main's per-dim loop plus a separate overall run);
+    * ROLLUP's Expand emits levels+1 copies of each row into a single
+    * hash aggregate — one shuffle for the whole hierarchy, with
+    * `lvl` = grouping_id() labeling the level and NULL group keys
+    * coalesced to 'all'. The countDistinct adds the standard two-phase
+    * distinct expansion; both stay map-side-partial. */
+  def reachRollup(media: DataFrame, dims: Seq[String],
+                  proj: String): DataFrame = {
+    val dcols = dims.map(col)
+    media
+      .rollup(dcols: _*)
+      .agg(count(lit(1)).as("exposures"),
+        round(sum(col(proj))).as("proj_sum"),
+        countDistinct(col("household_id")).as("households"),
+        grouping_id().cast("int").as("lvl"))
+      .select(dims.map(d => coalesce(col(d).cast("string"), lit("all")).as(d)) ++
+        Seq(col("exposures"), col("proj_sum"), col("households"), col("lvl")): _*)
+      .orderBy(col("lvl") +: dcols: _*)
+  }
+
+  /** Approximate distinct reach per dimension value + overall, via
+    * HyperLogLog SKETCHES (not just approx_count_distinct): one
+    * sketch-aggregate per dimension value, then the overall row MERGES
+    * the per-value sketches (hll_union_agg) instead of rescanning the
+    * fact table. This is the genuine 100 TB reach path — an exact
+    * countDistinct shuffles every distinct (value, household) pair,
+    * while a sketch is a fixed ~KB state with map-side combine; the
+    * mergeability is what makes incremental / cross-partition reach
+    * roll-ups cheap. No DuckDB oracle (sketch internals are
+    * engine-specific — rows-only gate); ReachSpec bounds the estimate
+    * against the exact count instead (lgK=12 → ~1.6% rsd). */
+  def approxReach(media: DataFrame, dim: String): DataFrame = {
+    val perValue = media
+      .groupBy(col(dim).cast("string").as("value"))
+      .agg(hll_sketch_agg(col("household_id"), lit(12)).as("sk"))
+    perValue
+      .select(col("value"), hll_sketch_estimate(col("sk")).as("reach_est"))
+      .unionAll(perValue.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("reach_est"))
+        .select(lit("all").as("value"), col("reach_est")))
+      .orderBy(desc("reach_est"), asc("value"))
+  }
 }

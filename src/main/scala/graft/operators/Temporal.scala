@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the event log: batch gap-based
+  * sessionization, backward as-of joins, and trailing-window rolling
+  * aggregates. The reference's pipelines handle time driver-side (day
+  * loops in dataQA, first-exposure scans in hh_before_after.py); these
+  * re-express the standard event-time shapes as single distributed
+  * plans — one hash exchange on the entity key, per-key window
+  * functions, no driver iteration.
+  */
+object Temporal {
+
+  /** Gap-based sessionization (batch): consecutive events of a user
+    * belong to one session while the gap between them is <= `gapMinutes`.
+    * The batch twin of [[graft.streaming.EventStream.sessionize]] —
+    * EquivalenceSpec proves both emit the same sessions.
+    *
+    * Shape: ONE hash exchange on user_id, then two per-key window
+    * passes (lag → session-start flags, running sum → session index)
+    * and a per-(user, session) aggregate that reuses the same
+    * partitioning. Gaps compare integer epoch-microseconds (exact at
+    * any timestamp precision; a double epoch would lose sub-second
+    * bits past 2^53). At 100 TB the plan is embarrassingly parallel in
+    * user_id — no global state, no driver loop. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("tu"))
+      .withColumn("new_sess",
+        when(lag(col("tu"), 1).over(order).isNull ||
+          col("tu") - lag(col("tu"), 1).over(order) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_ix",
+        sum(col("new_sess")).over(order.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+    sess
+      .groupBy(col("user_id"), col("session_ix"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("user_id"), col("session_ix"))
+  }
+
+  /** Backward as-of join: for every left row, the single right row
+    * with the greatest `ts <= left.ts` for the same key (NULL columns
+    * when no right row precedes). The operator Spark's relational
+    * algebra lacks natively — and the naive encodings fail at scale: a
+    * range self-join explodes to O(left × right-per-key) candidate
+    * pairs before taking the max, and a per-key collect_list breaks on
+    * hot keys. This is the merge formulation instead: union-tag both
+    * sides, sort once per key, and carry the last right payload
+    * forward with last_value(ignoreNulls) — cost is exactly one hash
+    * exchange + per-key sort of |left| + |right| rows, the same shape
+    * at any scale.
+    *
+    * `rightCols` are the payload columns carried from the right side;
+    * ties inside the right frame must be pre-broken by the caller
+    * (one row per (key, ts)) or the carried payload at equal ts is
+    * tie-order dependent. At equal left/right timestamps the right row
+    * is visible ("at or before" semantics — right sorts first). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val pay = struct(rightCols.map(col): _*)
+    val r = right.select(
+      Seq(col(key), col("ts").as("ts"), pay.as("asof_pay"), lit(0).as("side")) ++
+        leftCols.filterNot(Set(key, "ts")).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val l = left.select(
+      Seq(col(key), col("ts"), lit(null).cast(r.schema("asof_pay").dataType).as("asof_pay"),
+        lit(1).as("side")) ++ leftCols.filterNot(Set(key, "ts")).map(col): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("asof_match", last(col("asof_pay"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"asof_match.$c").as(s"asof_$c")): _*)
+  }
+
+  /** Trailing `windowDays`-day rolling aggregates over the daily
+    * per-type event counts: for each (event_type, date) the count and
+    * 2dp-rounded value sum over the trailing window INCLUDING absent
+    * days (a RANGE frame over the integer day number spans calendar
+    * gaps; a ROWS frame would silently widen across them). Two-level
+    * plan: one hash aggregate to daily grain — the map-side-combine
+    * shuffle is the only full-data exchange — then windows over the
+    * tiny (types × days) daily frame. Inner AND outer sums round to
+    * 2dp: the outer sum of 2dp-rounded daily values has an exact 2dp
+    * true value, so the final round is engine-order-independent. */
+  def rollingDaily(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("day_num", datediff(col("date"), lit("1970-01-01")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-(windowDays - 1), 0)
+    daily
+      .withColumn("n_events_7d", sum(col("n_events")).over(w))
+      .withColumn("sum_value_7d", round(sum(col("sum_value")).over(w), 2))
+      .select(col("date"), col("event_type"), col("n_events"),
+        col("sum_value"), col("n_events_7d"), col("sum_value_7d"))
+      .orderBy(col("date"), col("event_type"))
+  }
+}

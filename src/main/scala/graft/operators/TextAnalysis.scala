@@ -250,6 +250,67 @@ object TextAnalysis {
       .orderBy(col("n_occ").desc, col("term"))
       .limit(topN)
 
+  /** Top-`perDoc` TF-IDF terms per document. IDF is the LOG-FREE
+    * ratio n_docs/df: ln() is only 1-ulp-accurate and differs between
+    * libm implementations, so a log idf would make the oracle compare
+    * hash-unstable; the ratio is one exactly-rounded IEEE division —
+    * bit-identical on any engine — and preserves the signal (rarer
+    * term → bigger weight). Plan: one (doc_id, term) count aggregate
+    * over the exploded tokens (map-side partials; the only full-data
+    * shuffle), a broadcast join against the vocab-sized df table, and
+    * a per-doc top-k window on the doc's own terms. At 100 TB the df
+    * table is the corpus vocabulary — bounded, broadcastable; nothing
+    * quadratic anywhere. */
+  def tfidf(docs: DataFrame, perDoc: Int): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.select(
+      countDistinct(col("doc_id")).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    terms
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * (col("n_docs") / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= perDoc)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Corpus-frequency unigram LM score — the word-frequency
+    * "typicality" quality signal (the log-free stand-in for CCNet's LM
+    * perplexity filter): docs built from corpus-rare tokens score low
+    * (gibberish, OOV soup), docs of common words score high. All
+    * intermediate sums are INTEGER (each token contributes its corpus
+    * occurrence count), so the two final ratios are single exact IEEE
+    * divisions — engine-portable without rounding, where an avg-log-
+    * probability would be a float sum in engine-dependent order. Plan:
+    * token explode → one (doc, term) shuffle, broadcast term-frequency
+    * join, per-doc integer sums; the corpus total rides along as a
+    * broadcast 1-row frame. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tfreq = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = tfreq.select(sum(col("cnt")).as("total"))
+    toks
+      .join(broadcast(tfreq), "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("cnt")).as("sum_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_toks"), col("sum_cnt"),
+        (col("sum_cnt").cast("double") / col("n_toks")).as("mean_term_freq"),
+        (col("sum_cnt").cast("double") / (col("n_toks") * col("total")))
+          .as("typicality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact dedup: min doc_id per fingerprint group is the survivor.
     * One hash shuffle on the fingerprint — the canonical exact-dedup
     * shape at any scale. */

@@ -106,6 +106,39 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
   }
 
+  test("asof join is the merge formulation: union + window, zero joins") {
+    val p = plan("q_asof_join")
+    // the naive encodings (range self-join + max, or per-key
+    // collect_list) reappear as a Join — the union-tag merge never
+    // joins, so the plan's cost is one exchange + per-key sort
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("last("), p.take(2000))
+  }
+
+  test("sessionize reuses one user_id exchange end-to-end") {
+    val p = plan("q_sessionize")
+    // lag + running-sum windows and the (user, session) aggregate all
+    // cluster by user_id: HashPartitioning(user_id) satisfies the
+    // aggregate's (user_id, session_ix) requirement, so exactly one
+    // hash exchange (plus the presentation sort's range exchange) may
+    // appear — a second hash exchange means the window chain broke
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("tfidf broadcasts the vocabulary-sized df and n_docs sides") {
+    val p = plan("q_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("reach rollup is a single Expand into one aggregate chain") {
+    val p = plan("q_reach_rollup")
+    // ROLLUP = one Expand; the exact-distinct adds aggregate phases,
+    // not more Expands. Two Expands means the hierarchy is being
+    // recomputed per level again (the reference's per-level jobs).
+    assert("Expand".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
   test("AQE splits the planted skewed join at runtime") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{when, lit, concat, length, sum}

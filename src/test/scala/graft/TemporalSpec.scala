@@ -1,0 +1,142 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.{Reach, Temporal}
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, Long, Double)*) =
+    rows.map { case (u, t, id, v) => (u, ts(t), id, v) }
+      .toDF("user_id", "ts", "event_id", "value")
+
+  test("sessionize splits on gaps and aggregates per session") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, 1.0),
+      (1L, "2024-01-01 10:10:00", 2L, 2.0),   // same session (10 min)
+      (1L, "2024-01-01 10:50:00", 3L, 4.0),   // 40 min > 30 → new session
+      (2L, "2024-01-01 09:00:00", 4L, 8.0))
+    val out = Temporal.sessionize(events, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getTimestamp(2), r.getTimestamp(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out.size == 3)
+    assert(out((1L, 1L)) == ((ts("2024-01-01 10:00:00"),
+      ts("2024-01-01 10:10:00"), 2L, 3.0)))
+    assert(out((1L, 2L)) == ((ts("2024-01-01 10:50:00"),
+      ts("2024-01-01 10:50:00"), 1L, 4.0)))
+    assert(out((2L, 1L)) == ((ts("2024-01-01 09:00:00"),
+      ts("2024-01-01 09:00:00"), 1L, 8.0)))
+  }
+
+  test("batch sessionize equals streaming sessionize on the same events") {
+    val rows = Seq(
+      Event(1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      Event(1L, ts("2024-01-01 10:10:00"), "view", 2.0),
+      Event(1L, ts("2024-01-01 12:00:00"), "click", 4.0),
+      Event(2L, ts("2024-01-01 10:00:00"), "view", 8.0))
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(rows: _*)
+    val q = EventStream.sessionize(spark, mem.toDS(), 30)
+      .writeStream.format("memory").queryName("tmp_sess_eq")
+      .outputMode("append").start()
+    // sentinel far past the watermark + gap times every session out
+    mem.addData(Event(99L, ts("2024-01-03 00:00:00"), "x", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(99L, ts("2024-01-04 00:00:00"), "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tmp_sess_eq").where(col("user_id") =!= 99L)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val batch = Temporal.sessionize(
+      rows.zipWithIndex.map { case (e, i) =>
+        (e.user_id, e.ts, i.toLong, e.value) }
+        .toDF("user_id", "ts", "event_id", "value"), 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(streamed == batch)
+    assert(batch.size == 3)
+  }
+
+  test("asofJoin picks the latest at-or-before right row per key") {
+    val purchases = ev(
+      (1L, "2024-01-01 10:01:40", 10L, 5.0),
+      (1L, "2024-01-01 09:00:40", 11L, 6.0),  // before any exposure
+      (2L, "2024-01-01 12:00:00", 12L, 7.0))
+    val exposures = Seq(
+      (1L, ts("2024-01-01 10:00:50"), "view"),
+      (1L, ts("2024-01-01 10:01:40"), "click"), // equal ts: at-or-before
+      (2L, ts("2024-01-01 00:00:10"), "view"))  // old but still carried
+      .toDF("user_id", "ts", "event_type")
+    val out = Temporal.asofJoin(purchases, exposures, "user_id",
+      Seq("ts", "event_type")).collect()
+      .map(r => r.getLong(2) -> (Option(r.getTimestamp(4)),
+        Option(r.getString(5)))).toMap
+    assert(out(10L) == ((Some(ts("2024-01-01 10:01:40")), Some("click"))))
+    assert(out(11L) == ((None, None)))
+    assert(out(12L) == ((Some(ts("2024-01-01 00:00:10")), Some("view"))))
+  }
+
+  test("rollingDaily RANGE frame spans calendar gaps, not row gaps") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 1.0),
+      (1L, ts("2024-01-02 10:00:00"), "a", 2.0),
+      (1L, ts("2024-01-09 10:00:00"), "a", 4.0)) // 7 days after day 2
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = Temporal.rollingDaily(events, 7).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(4), r.getDouble(5))).toMap
+    assert(out("2024-01-01") == ((1L, 1.0)))
+    assert(out("2024-01-02") == ((2L, 3.0)))
+    // day 9 trailing window is [day 3, day 9]: days 1-2 fall outside —
+    // a ROWS frame would wrongly include them
+    assert(out("2024-01-09") == ((1L, 4.0)))
+  }
+
+  test("reachRollup levels agree with their dedicated aggregates") {
+    val media = Seq(
+      (1L, "click", "2024-01-01", 2.0),
+      (1L, "view", "2024-01-01", 2.0),
+      (2L, "click", "2024-01-08", 3.0),
+      (2L, "click", "2024-01-08", 3.0))
+      .toDF("household_id", "etype", "week", "projfact")
+      .withColumn("week", col("week").cast("date"))
+    val out = Reach.reachRollup(media, Seq("etype", "week"), "projfact")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getInt(5))).toMap
+    // detail level
+    assert(out(("click", "2024-01-01")) == ((1L, 2.0, 1L, 0)))
+    assert(out(("click", "2024-01-08")) == ((2L, 6.0, 1L, 0)))
+    // per-etype level: distinct households across weeks
+    assert(out(("click", "all")) == ((3L, 8.0, 2L, 1)))
+    assert(out(("view", "all")) == ((1L, 2.0, 1L, 1)))
+    // grand total: 4 exposures, 2 distinct households
+    assert(out(("all", "all")) == ((4L, 10.0, 2L, 3)))
+  }
+
+  test("approxReach estimates stay within 5% of exact reach on sf0.001") {
+    val media = Tables.media(spark, "/root/testdata/sf0.001")
+    val est = Reach.approxReach(media, "etype").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = media.groupBy(col("etype"))
+      .agg(countDistinct(col("household_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = media.select(countDistinct(col("household_id")))
+      .head().getLong(0)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"etype $k: est ${est(k)} vs exact $n")
+    }
+    assert(math.abs(est("all") - exactAll) <=
+      math.max(1L, (exactAll * 0.05).toLong))
+  }
+}
