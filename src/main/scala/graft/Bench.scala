@@ -24,7 +24,8 @@ object Bench {
     "q_embed_lsh", "q_ann_ivf", "q_ann_ivf_p2", "q_ann_pq", "q_ann_pq_rerank",
     "q_multimodal_meta", "q_multimodal_frames",
     "q_sessionize", "q_asof_join", "q_rolling_daily", "q_reach_rollup",
-    "q_reach_approx", "q_tfidf", "q_lm_score", "q_pii_redact")
+    "q_reach_approx", "q_tfidf", "q_lm_score", "q_pii_redact",
+    "q_range_join")
 
   /** Timed runs per query — the min is recorded. One run is hostage to
     * neighbor load on a shared box (BENCH_r02 recorded 110 s for an

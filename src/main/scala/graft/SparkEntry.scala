@@ -83,6 +83,11 @@ object SparkEntry {
   /** q_tfidf: terms kept per document. */
   private val TfidfPerDoc = 3
 
+  /** q_range_join: attribution window length (days) after a purchase.
+    * The range-join band width equals the window, so each interval
+    * explodes to at most 2 bins. */
+  private val AttribDays = 3
+
   /** q_profile columns — numeric and string legs of the lineitem
     * describe-profile; both the query and its oracle are generated
     * from these lists. */
@@ -487,6 +492,29 @@ object SparkEntry {
     // all-zeros oracle could not catch a broken pattern); the entry
     // still runs the full redaction plan for the rows-only gate+bench.
     "q_pii_redact" -> ((s, d) => Privacy.piiRedact(Tables.documents(s, d))),
+    // Attribution windows: follow-up activity within AttribDays after
+    // each purchase, via the banded range join (equi-join on
+    // (user, bin) + residual filter — never a nested-loop join).
+    "q_range_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("start"),
+          (col("ts") + expr(s"INTERVAL $AttribDays DAYS")).as("end"),
+          col("event_id"))
+      val follows = e.where(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val counts = Temporal.rangeJoin(purchases, follows, "user_id",
+        AttribDays * 86400L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_follow"),
+          round(sum(col("value")), 2).as("follow_value"))
+      purchases.select(col("user_id"), col("start").as("ts"), col("event_id"))
+        .join(counts, Seq("event_id"), "left_outer")
+        .withColumn("n_follow", coalesce(col("n_follow"), lit(0L)))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("n_follow"), col("follow_value"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
   )
 
   /** Shared CTE chain for the repetition oracles: lines + bigrams,
@@ -1539,5 +1567,15 @@ object SparkEntry {
             CAST(sum_cnt AS DOUBLE) / n_toks AS mean_term_freq,
             CAST(sum_cnt AS DOUBLE) / (n_toks * total) AS typicality
           FROM agg CROSS JOIN tot ORDER BY doc_id""",
+    "q_range_join" ->
+      s"""WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+            FROM events WHERE event_type = 'purchase'),
+          x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type <> 'purchase')
+          SELECT p.user_id, p.ts, p.event_id,
+            count(x.ts) AS n_follow, round(sum(x.value), 2) AS follow_value
+          FROM p LEFT JOIN x ON p.user_id = x.user_id
+            AND x.ts >= p.ts AND x.ts <= p.ts + INTERVAL $AttribDays DAY
+          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
   )
 }

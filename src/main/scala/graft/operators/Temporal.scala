@@ -86,6 +86,34 @@ object Temporal {
         rightCols.map(c => col(s"asof_match.$c").as(s"asof_$c")): _*)
   }
 
+  /** Banded (binned) range join: inner-join `intervals` (key, start,
+    * end, payload…) to `points` (key, ts, payload…) on key equality +
+    * ts ∈ [start, end]. Spark's optimizer turns a raw inequality join
+    * into BroadcastNestedLoop/cartesian — O(|L|·|R|) per key and a
+    * driver OOM at scale — so this uses the standard banding trick
+    * instead: each interval explodes to the `binSeconds`-wide epoch
+    * bins it covers, each point maps to its single bin, and the join
+    * becomes an EQUI-join on (key, bin) + residual filter, which
+    * Catalyst plans as an ordinary shuffled hash/sort-merge join.
+    * Replication factor = interval_span/binSeconds + 1, so pick
+    * binSeconds ≈ the typical interval length (replication ≈ 2).
+    * A point lives in exactly one bin — matches are never duplicated.
+    * Scales as sum of per-(key, bin) products, not per-key products. */
+  def rangeJoin(intervals: DataFrame, points: DataFrame, key: String,
+                binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    val iv = intervals
+      .withColumn("bin", explode(sequence(
+        floor(unix_micros(col("start")) / (binSeconds * 1000000L)),
+        floor(unix_micros(col("end")) / (binSeconds * 1000000L)))))
+    val pt = points
+      .withColumn("bin",
+        floor(unix_micros(col("ts")) / (binSeconds * 1000000L)))
+    iv.join(pt, Seq(key, "bin"))
+      .where(col("ts") >= col("start") && col("ts") <= col("end"))
+      .drop("bin")
+  }
+
   /** Trailing `windowDays`-day rolling aggregates over the daily
     * per-type event counts: for each (event_type, date) the count and
     * 2dp-rounded value sum over the trailing window INCLUDING absent

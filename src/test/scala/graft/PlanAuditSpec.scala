@@ -139,6 +139,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("Expand".r.findAllIn(p).size == 1, p.take(3000))
   }
 
+  test("range join plans as an equi-join on (key, bin), never nested-loop") {
+    val p = plan("q_range_join")
+    // a raw inequality join degenerates to BroadcastNestedLoopJoin /
+    // CartesianProduct — O(|L|·|R|) per key; the banding must keep it
+    // an ordinary hash-partitioned equi-join with a residual filter
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("AQE splits the planted skewed join at runtime") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{when, lit, concat, length, sum}

@@ -86,6 +86,27 @@ class TemporalSpec extends SparkSpec {
     assert(out(12L) == ((Some(ts("2024-01-01 00:00:10")), Some("view"))))
   }
 
+  test("rangeJoin matches points inside intervals across bin boundaries") {
+    val intervals = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-04 00:00:00"), 100L),
+      (1L, ts("2024-02-01 00:00:00"), ts("2024-02-01 06:00:00"), 101L),
+      (2L, ts("2024-01-01 00:00:00"), ts("2024-01-04 00:00:00"), 102L))
+      .toDF("user_id", "start", "end", "iv_id")
+    val points = Seq(
+      (1L, ts("2024-01-03 23:59:59"), 1.0),  // inside, different bin than start
+      (1L, ts("2024-01-04 00:00:00"), 2.0),  // boundary: inclusive end
+      (1L, ts("2024-01-04 00:00:01"), 4.0),  // just outside
+      (1L, ts("2024-02-01 03:00:00"), 8.0),  // inside the short interval
+      (2L, ts("2024-01-02 00:00:00"), 16.0)) // other key
+      .toDF("user_id", "ts", "value")
+    val out = Temporal.rangeJoin(intervals, points, "user_id", 3 * 86400L)
+      .collect().map(r => (r.getLong(3), r.getDouble(5))).toSet
+    assert(out == Set((100L, 1.0), (100L, 2.0), (101L, 8.0), (102L, 16.0)))
+    // no duplicate matches from the bin explode
+    val n = Temporal.rangeJoin(intervals, points, "user_id", 3 * 86400L).count()
+    assert(n == 4)
+  }
+
   test("rollingDaily RANGE frame spans calendar gaps, not row gaps") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), "a", 1.0),
