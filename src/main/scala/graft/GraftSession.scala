@@ -9,6 +9,28 @@ import graft.functions.{DotProduct, RollingHash}
   * settings that matter at scale (AQE, shuffle partitions sized to the
   * environment, UTC semantics) and the parquet-nanos compatibility
   * switch the testdata needs.
+  *
+  * Cluster sizing (the knobs that change when this session moves from
+  * local[32] to a 1000-executor cluster; values here are the local
+  * ones):
+  *  - `spark.sql.shuffle.partitions`: 2–3× total executor cores. AQE
+  *    coalesces small post-shuffle partitions downward at runtime, so
+  *    err high — too few partitions at 100 TB means >2 GB shuffle
+  *    blocks and executor OOM, which AQE cannot fix upward before
+  *    Spark 4's full skew handling kicks in only for joins/aggs.
+  *  - `spark.sql.files.maxPartitionBytes` (default 128 MB): leave at
+  *    default for columnar scans; RAISE (256–512 MB) only for narrow
+  *    projections over many small row groups, where task-scheduling
+  *    overhead dominates. Every operator here prunes columns, so scan
+  *    tasks are input-bound, not CPU-bound.
+  *  - `spark.sql.autoBroadcastJoinThreshold`: the engine broadcast()s
+  *    its dimension/vocab/centroid/eval-set sides EXPLICITLY, so
+  *    correctness never depends on this threshold or on stats.
+  *  - AQE stays on everywhere: runtime partition coalescing plus
+  *    skew-join splitting (demonstrated in PlanAuditSpec) are the
+  *    defense for the skew this engine does not pre-salt; the planted
+  *    hot-key path (Skew.saltedSum) covers aggregation skew, which
+  *    AQE does not split.
   */
 object GraftSession {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =

@@ -171,6 +171,36 @@ object EventStream {
       }
       .start()
 
+  /** Streaming attribution join — the streaming twin of the batch
+    * banded range join (q_range_join): purchases joined to follow-up
+    * events of the same user with f_ts ∈ [p_ts, p_ts + windowDays].
+    * A stream-stream SELF-join: both sides branch from one input
+    * stream, each with its own watermark; the time-range predicate in
+    * the join condition is what lets Spark bound the state store —
+    * purchase state is droppable once the watermark passes its window
+    * end, follow-up state once it can no longer match any future
+    * purchase. Matches emit as soon as both sides arrive (inner
+    * join); the batch operator remains the source of truth for
+    * historical recomputation, this one answers "attribute now".
+    * TemporalSpec proves the emitted pairs equal the batch
+    * rangeJoin's on the same events. */
+  def attributionJoin(events: DataFrame, windowDays: Int): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_event_id"))
+      .withWatermark("p_ts", "2 hours")
+    val follows = events.where(col("event_type") =!= "purchase")
+      .select(col("user_id").as("f_user"), col("ts").as("f_ts"),
+        col("value"))
+      .withWatermark("f_ts", "2 hours")
+    purchases.join(follows,
+      col("user_id") === col("f_user") &&
+        col("f_ts") >= col("p_ts") &&
+        col("f_ts") <= col("p_ts") + expr(s"INTERVAL $windowDays DAYS"))
+      .select(col("user_id"), col("p_ts"), col("p_event_id"),
+        col("f_ts"), col("value"))
+  }
+
   case class Session(user_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
                      n_events: Long, total_value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)

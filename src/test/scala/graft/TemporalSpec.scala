@@ -107,6 +107,43 @@ class TemporalSpec extends SparkSpec {
     assert(n == 4)
   }
 
+  test("streaming attributionJoin emits exactly the batch rangeJoin pairs") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "purchase", 0.0, 100L),
+      (1L, ts("2024-01-02 10:00:00"), "view", 2.0, 1L),     // inside
+      (1L, ts("2024-01-04 10:00:00"), "click", 4.0, 2L),    // boundary (=3d)
+      (1L, ts("2024-01-05 10:00:01"), "click", 8.0, 3L),    // outside
+      (2L, ts("2024-01-01 10:00:00"), "view", 16.0, 4L),    // before purchase
+      (2L, ts("2024-01-03 10:00:00"), "purchase", 0.0, 101L))
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double, Long)]
+    mem.addData(rows.map { case (u, t, e, v, id) => (u, t, e, v, id) }: _*)
+    val q = EventStream.attributionJoin(
+      mem.toDF().toDF("user_id", "ts", "event_type", "value", "event_id"), 3)
+      .writeStream.format("memory").queryName("attr_eq")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_eq").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getTimestamp(3),
+        r.getDouble(4))).toSet
+    val df = rows.toDF("user_id", "ts", "event_type", "value", "event_id")
+    val batch = Temporal.rangeJoin(
+      df.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("start"),
+          (col("ts") + expr("INTERVAL 3 DAYS")).as("end"),
+          col("event_id").as("p_event_id")),
+      df.where(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"), col("value")),
+      "user_id", 3 * 86400L).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getTimestamp(4),
+        r.getDouble(5))).toSet
+    assert(streamed == batch)
+    assert(batch == Set(
+      (1L, 100L, ts("2024-01-02 10:00:00"), 2.0),
+      (1L, 100L, ts("2024-01-04 10:00:00"), 4.0)))
+  }
+
   test("rollingDaily RANGE frame spans calendar gaps, not row gaps") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), "a", 1.0),
