@@ -492,6 +492,15 @@ object SparkEntry {
     // all-zeros oracle could not catch a broken pattern); the entry
     // still runs the full redaction plan for the rows-only gate+bench.
     "q_pii_redact" -> ((s, d) => Privacy.piiRedact(Tables.documents(s, d))),
+    // Mix drift between deterministic even/odd epoch-day snapshots —
+    // the synthetic stand-in for yesterday-vs-today QA.
+    "q_qa_drift" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("dn",
+        datediff(to_date(col("ts")), lit("1970-01-01")))
+      DataChecks.distributionDrift(
+        e.where(pmod(col("dn"), lit(2)) === 0),
+        e.where(pmod(col("dn"), lit(2)) === 1), "event_type")
+    }),
     // Attribution windows: follow-up activity within AttribDays after
     // each purchase, via the banded range join (equi-join on
     // (user, bin) + residual filter — never a nested-loop join).
@@ -1577,5 +1586,28 @@ object SparkEntry {
           FROM p LEFT JOIN x ON p.user_id = x.user_id
             AND x.ts >= p.ts AND x.ts <= p.ts + INTERVAL $AttribDays DAY
           GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_qa_drift" ->
+      """WITH e AS (SELECT event_type,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn
+          FROM events),
+          b AS (SELECT event_type, count(*) AS n_base FROM e
+            WHERE dn % 2 = 0 GROUP BY 1),
+          c AS (SELECT event_type, count(*) AS n_cur FROM e
+            WHERE dn % 2 = 1 GROUP BY 1),
+          tb AS (SELECT CAST(coalesce(sum(n_base), 0) AS BIGINT) AS tot_b FROM b),
+          tc AS (SELECT CAST(coalesce(sum(n_cur), 0) AS BIGINT) AS tot_c FROM c),
+          j AS (SELECT coalesce(b.event_type, c.event_type) AS event_type,
+              CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+              CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+            FROM b FULL OUTER JOIN c ON b.event_type = c.event_type),
+          s AS (SELECT event_type, n_base, n_cur,
+              CAST(n_base AS DOUBLE) / nullif(tot_b, 0) AS share_base,
+              CAST(n_cur AS DOUBLE) / nullif(tot_c, 0) AS share_cur
+            FROM j CROSS JOIN tb CROSS JOIN tc)
+          SELECT event_type, n_base, n_cur, share_base, share_cur,
+            share_cur - share_base AS share_delta,
+            (share_cur - share_base) * (share_cur - share_base) /
+              nullif(share_base, 0) AS chi2_term
+          FROM s ORDER BY event_type""",
   )
 }

@@ -92,6 +92,45 @@ object DataChecks {
     * estimate that drifts between runs would flag phantom changes.
     * Mean is the value-weighted sum over distinct values (replayed
     * identically by the oracle), so no second raw-row pass is needed. */
+  /** Categorical-mix drift between a baseline and a current snapshot:
+    * per category value, the counts, each snapshot's share, the share
+    * delta, and the chi-square contribution (delta² / base share) —
+    * the per-category pieces of a population-stability / chi² drift
+    * test, emitted per row so a QA gate can flag WHICH category moved,
+    * not just a scalar. Categories present on one side only survive
+    * the full-outer join with count 0; a brand-new category has no
+    * base share, so its chi² term is NULL by the nullif guard (flag
+    * "new category" upstream, don't divide by zero). Every share is a
+    * single exact IEEE division of integer counts and the delta/chi²
+    * derive from those — engine-portable with no rounding. Plan: one
+    * hash aggregate per side on the (low-cardinality) category, a
+    * full-outer join of two category-sized frames, totals as
+    * broadcast 1-row frames — nothing scales with the snapshots
+    * beyond the two aggregates. */
+  def distributionDrift(baseline: DataFrame, current: DataFrame,
+                        dim: String): DataFrame = {
+    def cnt(df: DataFrame, n: String) =
+      df.groupBy(col(dim)).agg(count(lit(1)).as(n))
+    val b = cnt(baseline, "n_base")
+    val c = cnt(current, "n_cur")
+    val tb = b.agg(coalesce(sum(col("n_base")), lit(0L)).as("tot_b"))
+    val tc = c.agg(coalesce(sum(col("n_cur")), lit(0L)).as("tot_c"))
+    b.join(c, Seq(dim), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+      .crossJoin(broadcast(tb)).crossJoin(broadcast(tc))
+      .withColumn("share_base",
+        col("n_base").cast("double") / nullif(col("tot_b"), lit(0L)))
+      .withColumn("share_cur",
+        col("n_cur").cast("double") / nullif(col("tot_c"), lit(0L)))
+      .withColumn("share_delta", col("share_cur") - col("share_base"))
+      .withColumn("chi2_term",
+        col("share_delta") * col("share_delta") /
+          nullif(col("share_base"), lit(0.0)))
+      .select(col(dim), col("n_base"), col("n_cur"), col("share_base"),
+        col("share_cur"), col("share_delta"), col("chi2_term"))
+      .orderBy(col(dim))
+  }
+
   def profile(df: DataFrame, numCols: Seq[String],
               strCols: Seq[String]): DataFrame = {
     requireColumns(df, numCols ++ strCols, "profile")

@@ -128,4 +128,24 @@ class DataChecksSpec extends SparkSpec {
     val plan = p.queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan.take(3000))
   }
+
+  test("distributionDrift reports shares, deltas and guarded chi2 terms") {
+    import spark.implicits._
+    val base = Seq("a", "a", "a", "b").toDF("event_type")       // a .75, b .25
+    val cur = Seq("a", "b", "c", "c").toDF("event_type")        // a .25, b .25, c .5
+    val out = DataChecks.distributionDrift(base, cur, "event_type")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) == 3 && out("a").getLong(2) == 1)
+    assert(out("a").getDouble(3) == 0.75 && out("a").getDouble(4) == 0.25)
+    assert(out("a").getDouble(5) == -0.5)
+    assert(math.abs(out("a").getDouble(6) - 0.25 / 0.75) < 1e-15)
+    assert(out("b").getDouble(5) == 0.0 && out("b").getDouble(6) == 0.0)
+    // brand-new category: no base share → chi2 NULL, never /0
+    assert(out("c").getLong(1) == 0 && out("c").getDouble(4) == 0.5)
+    assert(out("c").isNullAt(6))
+    // vanished category: present with n_cur = 0
+    val gone = DataChecks.distributionDrift(cur, base, "event_type")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(gone("c").getLong(2) == 0 && gone("c").getDouble(4) == 0.0)
+  }
 }
