@@ -1594,16 +1594,17 @@ object SparkEntry {
             WHERE dn % 2 = 0 GROUP BY 1),
           c AS (SELECT event_type, count(*) AS n_cur FROM e
             WHERE dn % 2 = 1 GROUP BY 1),
-          tb AS (SELECT CAST(coalesce(sum(n_base), 0) AS BIGINT) AS tot_b FROM b),
-          tc AS (SELECT CAST(coalesce(sum(n_cur), 0) AS BIGINT) AS tot_c FROM c),
           j AS (SELECT coalesce(b.event_type, c.event_type) AS event_type,
               CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
               CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
             FROM b FULL OUTER JOIN c ON b.event_type = c.event_type),
+          w AS (SELECT event_type, n_base, n_cur,
+              CAST(sum(n_base) OVER () AS BIGINT) AS tot_b,
+              CAST(sum(n_cur) OVER () AS BIGINT) AS tot_c FROM j),
           s AS (SELECT event_type, n_base, n_cur,
               CAST(n_base AS DOUBLE) / nullif(tot_b, 0) AS share_base,
               CAST(n_cur AS DOUBLE) / nullif(tot_c, 0) AS share_cur
-            FROM j CROSS JOIN tb CROSS JOIN tc)
+            FROM w)
           SELECT event_type, n_base, n_cur, share_base, share_cur,
             share_cur - share_base AS share_delta,
             (share_cur - share_base) * (share_cur - share_base) /

@@ -103,21 +103,24 @@ object DataChecks {
     * "new category" upstream, don't divide by zero). Every share is a
     * single exact IEEE division of integer counts and the delta/chi²
     * derive from those — engine-portable with no rounding. Plan: one
-    * hash aggregate per side on the (low-cardinality) category, a
-    * full-outer join of two category-sized frames, totals as
-    * broadcast 1-row frames — nothing scales with the snapshots
-    * beyond the two aggregates. */
+    * hash aggregate per side on the (low-cardinality) category — the
+    * ONLY scans of each snapshot — a full-outer join of two
+    * category-sized frames, and totals as unbounded windows over the
+    * joined frame (category-sized: the single-partition WindowExec is
+    * bounded by the dim cardinality, never by the snapshots; deriving
+    * totals from separate aggregates would scan each snapshot twice). */
   def distributionDrift(baseline: DataFrame, current: DataFrame,
                         dim: String): DataFrame = {
     def cnt(df: DataFrame, n: String) =
       df.groupBy(col(dim)).agg(count(lit(1)).as(n))
-    val b = cnt(baseline, "n_base")
-    val c = cnt(current, "n_cur")
-    val tb = b.agg(coalesce(sum(col("n_base")), lit(0L)).as("tot_b"))
-    val tc = c.agg(coalesce(sum(col("n_cur")), lit(0L)).as("tot_c"))
-    b.join(c, Seq(dim), "full_outer")
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    cnt(baseline, "n_base").join(cnt(current, "n_cur"), Seq(dim), "full_outer")
       .na.fill(0L, Seq("n_base", "n_cur"))
-      .crossJoin(broadcast(tb)).crossJoin(broadcast(tc))
+      .withColumn("tot_b", sum(col("n_base")).over(all))
+      .withColumn("tot_c", sum(col("n_cur")).over(all))
       .withColumn("share_base",
         col("n_base").cast("double") / nullif(col("tot_b"), lit(0L)))
       .withColumn("share_cur",
