@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, RollingHash}
+import graft.functions.{BloomAgg, BloomContains, DotProduct, RollingHash}
 
 /** Standard session config for the graft engine. One place to keep the
   * settings that matter at scale (AQE, shuffle partitions sized to the
@@ -47,6 +47,16 @@ object GraftSession {
           new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
           (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
             RollingHash(exprs.head)))
+        ext.injectFunction((
+          FunctionIdentifier("graft_bloom_agg"),
+          new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),
+          (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            BloomAgg(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+        ext.injectFunction((
+          FunctionIdentifier("graft_bloom_contains"),
+          new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+          (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            BloomContains(exprs(0), exprs(1))))
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")

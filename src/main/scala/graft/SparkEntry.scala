@@ -403,6 +403,15 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(IncrementMod)) === IncrementRem),
         docs.where(pmod(col("doc_id"), lit(IncrementMod)) =!= IncrementRem))
     }),
+    // Bloom-pruned exact increment probe: same IncrementMod/Rem split
+    // as q_dedup_incremental; the oracle replays plain exact semantics
+    // (the bloom only prunes — a false negative would fail the gate).
+    "q_dedup_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      NearDup.dedupIncrementBloom(
+        docs.where(pmod(col("doc_id"), lit(IncrementMod)) === IncrementRem),
+        docs.where(pmod(col("doc_id"), lit(IncrementMod)) =!= IncrementRem))
+    }),
     "q_minhash_dedup" -> ((s, d) => NearDup.minhashDedup(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1586,6 +1595,15 @@ object SparkEntry {
           FROM p LEFT JOIN x ON p.user_id = x.user_id
             AND x.ts >= p.ts AND x.ts <= p.ts + INTERVAL $AttribDays DAY
           GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_dedup_bloom" ->
+      s"""WITH nw AS (SELECT doc_id, md5($NormSql) AS fp FROM documents
+            WHERE doc_id % $IncrementMod = $IncrementRem),
+          cf AS (SELECT md5($NormSql) AS fp, min(doc_id) AS rep_id
+            FROM documents WHERE doc_id % $IncrementMod <> $IncrementRem
+            GROUP BY 1)
+          SELECT nw.doc_id, cf.rep_id,
+            CASE WHEN cf.rep_id IS NULL THEN 0 ELSE 1 END AS is_dup
+          FROM nw LEFT JOIN cf ON nw.fp = cf.fp ORDER BY nw.doc_id""",
     "q_qa_drift" ->
       """WITH e AS (SELECT event_type,
             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn

@@ -387,6 +387,49 @@ object NearDup {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-pruned incremental EXACT dedup: the corpus's fingerprints
+    * are reduced to one fixed-size bloom bitset
+    * ([[graft.functions.BloomAgg]] — map-side OR-combine, so the
+    * 100 TB corpus ships one bitset per task, not its fingerprints),
+    * the increment probes the broadcast blob row-locally
+    * (codegen'd [[graft.functions.BloomContains]]), and ONLY
+    * bloom-positive rows reach the exact fingerprint join. At steady
+    * state an increment is mostly novel text, so the join's probe
+    * side shrinks to true-dup rate + false-positive rate — the rest
+    * of the increment never shuffles at all.
+    *
+    * The output is EXACT (same rows as a plain fingerprint
+    * left-join): a bloom false positive just pays the join once and
+    * finds no match; a false NEGATIVE is impossible by construction —
+    * which is why the q_dedup_bloom oracle replays plain exact
+    * semantics and would catch any missed duplicate. Default sizing:
+    * 2^22 bits / 5 hashes ≈ 0.1% FP at 100k corpus fingerprints;
+    * scale numBits with the corpus (bits ≈ 10× fingerprint count for
+    * ~1% FP). */
+  def dedupIncrementBloom(newDocs: DataFrame, corpus: DataFrame,
+                          numBits: Int = 1 << 22,
+                          numHashes: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions.normText
+    val corpusFp = corpus
+      .select(col("doc_id").as("c_id"), md5(normText(col("text"))).as("fp"))
+      .groupBy(col("fp")).agg(min(col("c_id")).as("rep_id"))
+    val bloom = corpusFp
+      .agg(expr(s"graft_bloom_agg(xxhash64(fp), $numBits, $numHashes)")
+        .as("bf"))
+    val probed = newDocs
+      .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+      .crossJoin(broadcast(bloom))
+      .withColumn("maybe", expr("graft_bloom_contains(bf, xxhash64(fp))"))
+    val hits = probed.where(col("maybe"))
+      .join(corpusFp, Seq("fp"), "left_outer")
+      .select(col("doc_id"), col("rep_id"))
+    val misses = probed.where(!col("maybe"))
+      .select(col("doc_id"), lit(null).cast("long").as("rep_id"))
+    hits.unionByName(misses)
+      .withColumn("is_dup", col("rep_id").isNotNull.cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Transitive near-duplicate clustering: connected components over
     * the verified pair graph by iterative min-label propagation —
     * every doc's rep becomes the smallest doc_id reachable through
