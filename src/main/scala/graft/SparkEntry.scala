@@ -88,6 +88,40 @@ object SparkEntry {
     * explodes to at most 2 bins. */
   private val AttribDays = 3
 
+  /** q_cohort / q_funnel_steps: the full synthetic stream has every
+    * user active in week 1 and completing every stage (degenerate
+    * retention/conversion), so the journey queries run on
+    * deterministic modular event_id slices that simulate sparse
+    * product usage — non-trivial at every SF. */
+  private val CohortSliceMod = 17
+  private val FunnelSliceMod = 13
+  private val FunnelStages = Seq("view", "click", "purchase")
+
+  /** q_histogram: fixed-width value bins (events.value spans ~0–490 at
+    * every SF, so all 10 interior bins populate; the open under/
+    * overflow bins are exercised by spec). */
+  private val HistLo = 0.0
+  private val HistWidth = 50.0
+  private val HistBins = 10
+
+  /** q_qa_anomaly: 7-day trailing baseline, 3σ threshold, ≥4 baseline
+    * days before a day may flag. */
+  private val AnomalyDays = 7
+  private val AnomalyK = 3
+  private val AnomalyMinDays = 4
+
+  /** q_semantic_dedup: same deterministic centroid seeds as the ANN
+    * queries (vec_id % 50), same 0.4 cosine gate as the near-dup
+    * queries — so the three vector surfaces stay comparable. */
+  private val SemDedupThreshold = 0.4
+
+  /** q_mixture: per-source target weights (unlisted sources weight 1)
+    * and the token budget as a fraction of the corpus. Weights are
+    * dyadic rationals so every windowed partial sum is exactly
+    * representable — the normalizer is summation-order-independent. */
+  private val MixtureWeights = Map("src0" -> 4.0, "src3" -> 2.0, "src7" -> 0.5)
+  private val MixtureBudget = 0.5
+
   /** q_profile columns — numeric and string legs of the lineitem
     * describe-profile; both the query and its oracle are generated
     * from these lists. */
@@ -533,6 +567,27 @@ object SparkEntry {
           col("n_follow"), col("follow_value"))
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
+    "q_cohort" -> ((s, d) =>
+      Journey.cohortRetention(Tables.events(s, d)
+        .where(col("event_id") % CohortSliceMod === 0))),
+    "q_funnel_steps" -> ((s, d) =>
+      Journey.funnelSteps(Tables.events(s, d)
+        .where(col("event_id") % FunnelSliceMod === 0), FunnelStages)),
+    "q_histogram" -> ((s, d) =>
+      DataChecks.histogram(Tables.events(s, d), "value", "event_type",
+        HistLo, HistWidth, HistBins)),
+    "q_qa_anomaly" -> ((s, d) =>
+      DataChecks.anomalyFlags(Tables.events(s, d), AnomalyDays, AnomalyK,
+        AnomalyMinDays)),
+    "q_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorSearch.semanticDedup(emb, emb.where(col("vec_id") % 50 === 0),
+        SemDedupThreshold)
+    }),
+    "q_mixture" -> ((s, d) =>
+      Curation.mixturePlan(Tables.documents(s, d), MixtureWeights,
+        MixtureBudget)),
+    "q_props_health" -> ((s, d) => Analytics.propsHealth(Tables.events(s, d))),
   )
 
   /** Shared CTE chain for the repetition oracles: lines + bigrams,
@@ -1628,5 +1683,138 @@ object SparkEntry {
             (share_cur - share_base) * (share_cur - share_base) /
               nullif(share_base, 0) AS chi2_term
           FROM s ORDER BY event_type""",
+    "q_cohort" ->
+      s"""WITH s AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE)
+            AS week FROM events WHERE event_id % $CohortSliceMod = 0),
+          fu AS (SELECT user_id, min(week) AS cohort_week FROM s GROUP BY 1),
+          uw AS (SELECT DISTINCT s.user_id, fu.cohort_week, s.week
+            FROM s JOIN fu USING (user_id)),
+          m AS (SELECT cohort_week,
+              CAST(date_diff('day', cohort_week, week) / 7 AS INTEGER)
+                AS week_ix,
+              count(*) AS n_users FROM uw GROUP BY 1, 2),
+          z AS (SELECT cohort_week, week_ix, n_users,
+              max(CASE WHEN week_ix = 0 THEN n_users END)
+                OVER (PARTITION BY cohort_week) AS cohort_size FROM m)
+          SELECT cohort_week, week_ix, n_users, cohort_size,
+            CAST(n_users AS DOUBLE) / cohort_size AS retention
+          FROM z ORDER BY cohort_week, week_ix""",
+    "q_funnel_steps" -> {
+      val src = s"SELECT user_id, ts, event_type FROM events " +
+        s"WHERE event_id % $FunnelSliceMod = 0"
+      val ctes = FunnelStages.zipWithIndex.map { case (st, i) =>
+        if (i == 0)
+          s"t0 AS (SELECT user_id, min(ts) AS ts FROM s " +
+            s"WHERE event_type = '$st' GROUP BY 1)"
+        else
+          s"t$i AS (SELECT s.user_id, min(s.ts) AS ts FROM s " +
+            s"JOIN t${i - 1} USING (user_id) WHERE s.event_type = '$st' " +
+            s"AND s.ts >= t${i - 1}.ts GROUP BY 1)"
+      }.mkString(",\n          ")
+      val stageRows = FunnelStages.zipWithIndex.map { case (st, i) =>
+        s"SELECT $i AS stage_ix, '$st' AS stage, count(*) AS n_users FROM t$i"
+      }.mkString("\n          UNION ALL ")
+      s"""WITH s AS ($src),
+          $ctes,
+          c AS ($stageRows)
+          SELECT stage_ix, stage, n_users,
+            CAST(n_users AS DOUBLE) /
+              nullif(lag(n_users) OVER (ORDER BY stage_ix), 0) AS pct_prev,
+            CAST(n_users AS DOUBLE) /
+              nullif(first_value(n_users) OVER (ORDER BY stage_ix
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+              AS pct_first
+          FROM c ORDER BY stage_ix"""
+    },
+    "q_histogram" ->
+      s"""WITH b AS (SELECT event_type,
+            CASE WHEN value < $HistLo THEN -1
+                 ELSE CAST(least(floor((value - $HistLo) / $HistWidth),
+                   $HistBins) AS INTEGER) END AS bin
+            FROM events WHERE value IS NOT NULL),
+          g AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2)
+          SELECT event_type, bin,
+            CASE WHEN bin >= 0 THEN $HistLo + bin * $HistWidth END AS bin_lo,
+            CASE WHEN bin < $HistBins
+                 THEN $HistLo + (bin + 1) * $HistWidth END AS bin_hi,
+            n, CAST(n AS DOUBLE) /
+              CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS share
+          FROM g ORDER BY event_type, bin""",
+    "q_qa_anomaly" ->
+      s"""WITH d AS (SELECT CAST(ts AS DATE) AS date, event_type,
+            count(*) AS n_events,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+          FROM events GROUP BY 1, 2, 4),
+          w AS (SELECT date, event_type, n_events,
+            count(n_events) OVER win AS base_days,
+            CAST(sum(n_events) OVER win AS BIGINT) AS base_sum,
+            CAST(sum(n_events * n_events) OVER win AS BIGINT) AS base_sumsq
+          FROM d WINDOW win AS (PARTITION BY event_type ORDER BY day_num
+            RANGE BETWEEN $AnomalyDays PRECEDING AND 1 PRECEDING))
+          SELECT date, event_type, n_events, base_days, base_sum,
+            CASE WHEN base_days < $AnomalyMinDays THEN false
+              ELSE (CAST(base_days AS DOUBLE) * CAST(n_events AS DOUBLE)
+                    - CAST(base_sum AS DOUBLE))
+                 * (CAST(base_days AS DOUBLE) * CAST(n_events AS DOUBLE)
+                    - CAST(base_sum AS DOUBLE))
+                 > ${AnomalyK * AnomalyK}.0 *
+                   (CAST(base_days AS DOUBLE) * CAST(base_sumsq AS DOUBLE)
+                    - CAST(base_sum AS DOUBLE) * CAST(base_sum AS DOUBLE))
+              END AS is_anomaly
+          FROM w ORDER BY date, event_type""",
+    "q_semantic_dedup" ->
+      s"""WITH e AS ($NormedEmbSql),
+          ctr AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e
+            WHERE vec_id % 50 = 0),
+          asg AS (SELECT e.vec_id, e.embedding, e.nrm, ctr.centroid_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,
+                       ctr.centroid_id) AS rk
+            FROM e CROSS JOIN ctr WHERE e.nrm <> 0 AND ctr.nrm <> 0),
+          a2 AS (SELECT vec_id, embedding, nrm, centroid_id FROM asg
+            WHERE rk = 1),
+          dp AS (SELECT hi.vec_id, min(lo.vec_id) AS dup_of
+            FROM a2 lo JOIN a2 hi ON lo.centroid_id = hi.centroid_id
+              AND lo.vec_id < hi.vec_id
+            WHERE ${dotSql("lo", "hi")} / (lo.nrm * hi.nrm)
+              >= $SemDedupThreshold
+            GROUP BY 1)
+          SELECT a2.vec_id, a2.centroid_id,
+            CASE WHEN dp.dup_of IS NULL THEN 0 ELSE 1 END AS is_dup,
+            dp.dup_of
+          FROM a2 LEFT JOIN dp ON a2.vec_id = dp.vec_id
+          ORDER BY a2.vec_id""",
+    "q_mixture" -> {
+      val wcase = MixtureWeights.keys.toSeq.sorted.map(k =>
+        s"WHEN '$k' THEN ${MixtureWeights(k)}")
+        .mkString("CASE source ", " ", " ELSE 1.0 END")
+      s"""WITH t AS (SELECT source, $ToksSql AS toks FROM documents),
+          g AS (SELECT source, count(*) AS n_docs,
+            CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_tokens
+            FROM t GROUP BY 1),
+          w AS (SELECT source, n_docs, n_tokens, $wcase AS weight,
+            CAST(sum(n_tokens) OVER () AS BIGINT) AS tot_tokens,
+            sum($wcase) OVER () AS tot_weight FROM g),
+          x AS (SELECT source, n_docs, n_tokens,
+            CAST(n_tokens AS DOUBLE) / nullif(tot_tokens, 0) AS avail_share,
+            weight / nullif(tot_weight, 0.0) AS target_share,
+            tot_tokens FROM w)
+          SELECT source, n_docs, n_tokens, avail_share, target_share,
+            CAST(floor((target_share * $MixtureBudget) *
+              CAST(tot_tokens AS DOUBLE)) AS BIGINT) AS target_tokens,
+            CAST(CAST(floor((target_share * $MixtureBudget) *
+              CAST(tot_tokens AS DOUBLE)) AS BIGINT) AS DOUBLE) /
+              nullif(n_tokens, 0) AS epochs
+          FROM x ORDER BY source"""
+    },
+    "q_props_health" ->
+      """SELECT event_type, count(*) AS n_events, count(k) AS n_valid,
+          count(*) - count(k) AS n_invalid, min(k) AS min_k,
+          max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k
+          FROM (SELECT event_type,
+            CASE WHEN json_valid(props) THEN
+              TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+            END AS k FROM events)
+          GROUP BY 1 ORDER BY 1""",
   )
 }

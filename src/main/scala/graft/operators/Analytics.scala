@@ -53,6 +53,31 @@ object Analytics {
       .orderBy(col("o_custkey"), col("rk"))
   }
 
+  /** Semi-structured property extraction + validity QA: parse the JSON
+    * `props` payload, extract the numeric `k` field, and aggregate per
+    * event type the row count, how many rows yielded a value (valid
+    * JSON with the field present), how many did not (malformed payload
+    * OR missing field — both surface as NULL, the PERMISSIVE-parse
+    * contract), and the min/max/sum of the extracted values. The
+    * payload-health QA a pipeline runs before trusting a
+    * semi-structured column. get_json_object is a row-local codegen'd
+    * projection — the whole operator is a scan plus ONE
+    * map-side-combine hash aggregate on the (low-cardinality) type;
+    * the props column never shuffles. */
+  def propsHealth(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_valid"),
+        (count(lit(1)) - count(col("k"))).as("n_invalid"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
   /** Tumbling 1-hour event-time windows per event type. Same transform
     * is reused by streaming/EventStream with a watermark. */
   def eventWindows(events: DataFrame): DataFrame =

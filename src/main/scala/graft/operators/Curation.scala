@@ -174,6 +174,58 @@ object Curation {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Source-mixture plan: per source, the available docs/tokens and
+    * share of the corpus, the TARGET share implied by a per-source
+    * weight map (unlisted sources weight `defaultWeight`, weights
+    * normalized over the sources actually present), the target token
+    * count under a total budget of `budgetFactor` × corpus tokens, and
+    * the implied epochs (passes over the source's data — > 1 means
+    * upsampling, < 1 downsampling). The mixture-rebalancing worksheet
+    * that decides a [[stratifiedSample]] rate map: weights express the
+    * desired mix, epochs say what each source must be repeated/sampled
+    * at to hit it.
+    *
+    * Shape: one map-side-combine hash aggregate to source grain (the
+    * only full-data exchange — tokenization is row-local), then
+    * unbounded windows over the sources-sized frame for the two
+    * normalizers. Shares/epochs are single exact IEEE divisions (and
+    * one floor) of exact inputs, so the oracle compares
+    * bit-identically. */
+  def mixturePlan(docs: DataFrame, weights: Map[String, Double],
+                  budgetFactor: Double,
+                  defaultWeight: Double = 1.0): DataFrame = {
+    val w = weights.keys.toSeq.sorted.foldRight(lit(defaultWeight)) {
+      (s, acc) => when(col("source") === s, lit(weights(s))).otherwise(acc)
+    }
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    docs
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(sizeOrNull(col("toks")).cast("long")), lit(0L))
+          .as("n_tokens"))
+      .withColumn("weight", w)
+      .withColumn("tot_tokens", sum(col("n_tokens")).over(all))
+      .withColumn("tot_weight", sum(col("weight")).over(all))
+      .withColumn("avail_share",
+        col("n_tokens").cast("double") / nullif(col("tot_tokens"), lit(0L)))
+      .withColumn("target_share",
+        col("weight") / nullif(col("tot_weight"), lit(0.0)))
+      .withColumn("target_tokens",
+        floor(col("target_share") * lit(budgetFactor) *
+          col("tot_tokens").cast("double")).cast("long"))
+      .withColumn("epochs",
+        col("target_tokens").cast("double") /
+          nullif(col("n_tokens"), lit(0L)))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("avail_share"), col("target_share"), col("target_tokens"),
+        col("epochs"))
+      .orderBy(col("source"))
+  }
+
   /** Per-source quality cap: the best `perSource` docs of each source
     * by composite quality score (ties and NULL scores ordered last by
     * doc_id, so the selection is deterministic) — the "keep the top N

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, TimestampType}
 
@@ -132,6 +133,84 @@ object DataChecks {
       .select(col(dim), col("n_base"), col("n_cur"), col("share_base"),
         col("share_cur"), col("share_delta"), col("chi2_term"))
       .orderBy(col(dim))
+  }
+
+  /** Fixed-width histogram of `valueCol` per `dim` value: bin index
+    * (−1 = underflow, `nbins` = overflow), bin bounds (NULL on the
+    * open under/overflow edges), count and within-dim share — the
+    * numeric-distribution QA snapshot next to [[distributionDrift]]'s
+    * categorical one. Binning is a row-local floor over literal
+    * bounds, so the whole operator is ONE hash aggregate on the
+    * (dim, bin) pair — map-side partials collapse each partition to
+    * ≤ dims×(nbins+2) rows before the only shuffle — plus a
+    * dim-partitioned window over the (tiny) binned frame for totals.
+    * Shares are single exact IEEE divisions of bigint counts. */
+  def histogram(df: DataFrame, valueCol: String, dim: String,
+                lo: Double, width: Double, nbins: Int): DataFrame = {
+    require(width > 0 && nbins > 0,
+      s"need width > 0 and nbins > 0, got width=$width nbins=$nbins")
+    val v = col(valueCol)
+    val bin = when(v < lo, lit(-1))
+      .otherwise(least(floor((v - lo) / width), lit(nbins.toLong)))
+      .cast("int")
+    val wd = Window.partitionBy(col(dim))
+    df.where(v.isNotNull)
+      .select(col(dim), bin.as("bin"))
+      .groupBy(col(dim), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo",
+        when(col("bin") >= 0, lit(lo) + col("bin") * lit(width)))
+      .withColumn("bin_hi",
+        when(col("bin") < nbins, lit(lo) + (col("bin") + 1) * lit(width)))
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(wd))
+      .select(col(dim), col("bin"), col("bin_lo"), col("bin_hi"),
+        col("n"), col("share"))
+      .orderBy(col(dim), col("bin"))
+  }
+
+  /** Trailing-window anomaly flags on the daily event counts: for each
+    * (event_type, date), the day's count is tested against the mean
+    * and variance of the PRECEDING `windowDays` calendar days (RANGE
+    * frame over the integer day number — absent days shrink the
+    * baseline rather than silently widening it, and the current day
+    * never contaminates its own baseline). A day flags when
+    * (x − μ)² > k²·σ² with at least `minDays` baseline days — the
+    * z-score test cleared of divisions: both sides are scaled by n²
+    * ((n·x − S)² > k²·(n·SS − S²)) so the inputs stay integer sums.
+    * The products are evaluated in double — exact below 2^53, i.e.
+    * for any daily count under ~94M in a 7-day window; the oracle
+    * replays the identical expression tree so the gate compares
+    * bit-identically, and a 100 TB deployment past that bound trades
+    * only last-bit rounding in a statistical threshold.
+    *
+    * Shape: one map-side-combine hash aggregate to daily grain (the
+    * only full-data exchange), then windows over the (types × days)
+    * daily frame. */
+  def anomalyFlags(events: DataFrame, windowDays: Int = 7, k: Int = 3,
+                   minDays: Int = 4): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("day_num", datediff(col("date"), lit("1970-01-01")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-windowDays, -1)
+    val x = col("n_events").cast("double")
+    val n = col("base_days").cast("double")
+    val s = col("base_sum").cast("double")
+    val ss = col("base_sumsq").cast("double")
+    val dev = n * x - s
+    daily
+      .withColumn("base_days", count(col("n_events")).over(w))
+      .withColumn("base_sum", sum(col("n_events")).over(w))
+      .withColumn("base_sumsq",
+        sum(col("n_events") * col("n_events")).over(w))
+      .withColumn("is_anomaly",
+        when(col("base_days") < minDays, lit(false))
+          .otherwise(dev * dev > lit(k.toDouble * k) * (n * ss - s * s)))
+      .select(col("date"), col("event_type"), col("n_events"),
+        col("base_days"), col("base_sum"), col("is_anomaly"))
+      .orderBy(col("date"), col("event_type"))
   }
 
   def profile(df: DataFrame, numCols: Seq[String],

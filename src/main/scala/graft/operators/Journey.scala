@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-journey analytics over the event log: weekly cohort retention
+  * and ordered conversion funnels. The reference computes per-household
+  * first-touch tables driver-side (first-exposure scans in
+  * /root/reference/metrics/lib/hh_before_after.py:24-31, weekly
+  * new-household loops in hh_reach_week.py:11-27); these are the two
+  * standard product-analytics generalizations of that first-touch
+  * shape, each as one distributed plan keyed on the entity id.
+  */
+object Journey {
+
+  /** Weekly cohort retention: users bucketed by their first-seen week
+    * (the cohort), then for each (cohort_week, weeks-since) the number
+    * of cohort members active that week and the retention ratio vs the
+    * cohort's size. The canonical activation/retention triangle.
+    *
+    * Shape: ONE hash exchange on user_id — the per-user aggregate
+    * collects the user's distinct active weeks (bounded by the
+    * calendar, not the event volume: a year is 53 entries no matter
+    * how many billions of events a user has), the cohort is element 0
+    * of the sorted set, and the explode fans back out to (user, week)
+    * grain. The cohort matrix after the second aggregate is
+    * (weeks × weeks)-sized — every downstream step is calendar-bounded.
+    * Retention is a single exact IEEE division of two bigints, so the
+    * oracle compares bit-identically. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(
+        date_trunc("week", col("ts")).cast("date"))).as("wks"))
+    val uw = perUser
+      .select(col("wks").getItem(0).as("cohort_week"),
+        explode(col("wks")).as("week"))
+      .withColumn("week_ix",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+    val wc = Window.partitionBy(col("cohort_week"))
+    uw.groupBy(col("cohort_week"), col("week_ix"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("cohort_size",
+        max(when(col("week_ix") === 0, col("n_users"))).over(wc))
+      .withColumn("retention",
+        col("n_users").cast("double") / col("cohort_size"))
+      .select(col("cohort_week"), col("week_ix"), col("n_users"),
+        col("cohort_size"), col("retention"))
+      .orderBy(col("cohort_week"), col("week_ix"))
+  }
+
+  /** Ordered conversion funnel: a user completes stage i at the
+    * earliest event of type `stages(i)` AT OR AFTER their stage-(i−1)
+    * completion time (stage 0 is the earliest event of its type). Emits
+    * one row per stage with the user count, the conversion ratio vs
+    * the previous stage, and vs stage 0.
+    *
+    * Shape: stage 0 is one hash aggregate on user_id; each later stage
+    * is a join of the (one-row-per-user) reached frame against the
+    * stage's events, filtered to ts >= previous completion, then the
+    * same per-user min — every join and aggregate in the chain keys on
+    * user_id, so the initial hash partitioning is reused down the
+    * whole chain and no step ever holds more than one row per user in
+    * state. The final pct window runs over #stages rows. Conversion
+    * ratios are exact IEEE divisions of bigint counts. */
+  def funnelSteps(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnelSteps needs at least one stage")
+    val e = events.select(col("user_id"), col("ts"), col("event_type"))
+    val reachedFrames = stages.zipWithIndex.scanLeft(
+      Option.empty[DataFrame]) { case (prev, (stage, _)) =>
+      Some(prev match {
+        case None =>
+          e.where(col("event_type") === stage)
+            .groupBy(col("user_id")).agg(min(col("ts")).as("ts"))
+        case Some(p) =>
+          e.where(col("event_type") === stage)
+            .join(p.select(col("user_id"), col("ts").as("prev_ts")),
+              Seq("user_id"))
+            .where(col("ts") >= col("prev_ts"))
+            .groupBy(col("user_id")).agg(min(col("ts")).as("ts"))
+      })
+    }.flatten
+    val counts = reachedFrames.zip(stages).zipWithIndex.map {
+      case ((df, stage), ix) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(ix).as("stage_ix"), lit(stage).as("stage"),
+            col("n_users"))
+    }.reduce(_.union(_))
+    val w = Window.orderBy(col("stage_ix"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("pct_prev",
+        col("n_users").cast("double") /
+          nullif(lag(col("n_users"), 1).over(Window.orderBy(col("stage_ix"))),
+            lit(0L)))
+      .withColumn("pct_first",
+        col("n_users").cast("double") /
+          nullif(first(col("n_users")).over(w), lit(0L)))
+      .orderBy(col("stage_ix"))
+  }
+}

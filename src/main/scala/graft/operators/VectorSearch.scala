@@ -126,6 +126,41 @@ object VectorSearch extends Logging {
     centroids
   }
 
+  /** SemDeDup-style semantic dedup: assign every vector to its nearest
+    * centroid ([[assignCells]] — broadcast centroids, map-side argmax),
+    * then mark a vector a duplicate iff a LOWER-id vector in the SAME
+    * cell has cosine ≥ `threshold` (dup_of = the smallest such id, so
+    * survivors are deterministic min-id representatives). The
+    * cluster-then-compare shape from the SemDeDup paper (Abbas et al.,
+    * 2023): the quadratic pair comparison is confined to one cell,
+    * turning the all-pairs O(N²) into Σ|cell|² — with N/k-sized cells
+    * that is N²/k, and at 100 TB the cell count scales with the corpus
+    * so per-cell work stays bounded. Both self-join sides read ONE
+    * persisted assignment frame (the corpus × centroids argmax runs
+    * once, not three times); the join key is centroid_id, one shuffle
+    * each side. Zero-norm vectors are excluded by assignCells on both
+    * engine and oracle sides (cosine undefined). */
+  def semanticDedup(embeddings: DataFrame, centroids: DataFrame,
+                    threshold: Double): DataFrame = {
+    val assigned = assignCells(embeddings, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lo = assigned.select(col("centroid_id"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val hi = assigned.select(col("centroid_id"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val dups = lo.join(hi, Seq("centroid_id"))
+      .where(col("v1") < col("v2"))
+      .where(cosine(col("e1"), col("e2"), col("n1"), col("n2"))
+        >= threshold)
+      .groupBy(col("v2").as("vec_id"))
+      .agg(min(col("v1")).as("dup_of"))
+    assigned.select(col("vec_id"), col("centroid_id"))
+      .join(dups, Seq("vec_id"), "left_outer")
+      .withColumn("is_dup", col("dup_of").isNotNull.cast("int"))
+      .select(col("vec_id"), col("centroid_id"), col("is_dup"), col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF top-k: search the query's `nprobe` nearest cells. Approximate
     * by construction; deterministic given the centroid set, so an
     * engine-independent oracle can replay the same algorithm. Corpus
