@@ -25,7 +25,9 @@ object Bench {
     "q_multimodal_meta", "q_multimodal_frames",
     "q_sessionize", "q_asof_join", "q_rolling_daily", "q_reach_rollup",
     "q_reach_approx", "q_tfidf", "q_lm_score", "q_pii_redact",
-    "q_range_join", "q_qa_drift", "q_dedup_bloom")
+    "q_range_join", "q_qa_drift", "q_dedup_bloom",
+    "q_cohort", "q_funnel_steps", "q_histogram", "q_qa_anomaly",
+    "q_semantic_dedup", "q_mixture", "q_props_health")
 
   /** Timed runs per query — the min is recorded. One run is hostage to
     * neighbor load on a shared box (BENCH_r02 recorded 110 s for an

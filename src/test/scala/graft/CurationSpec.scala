@@ -205,4 +205,27 @@ class CurationSpec extends SparkSpec {
     val jac = NearDup.jaccardPairs(df, 3, 0.3).collect()
     assert(jac.isEmpty, "symmetric jaccard misses the containment pair")
   }
+
+  test("mixturePlan normalizes weights, budgets tokens, computes epochs") {
+    // s1: 4 tokens, s2: 6 tokens; weights s1=3, s2=1; budget = half
+    // the 10-token corpus → targets 3.75 / 1.25 → floor 3 / 1 tokens
+    val df = Seq(
+      (1L, "w w w w", "s1"), (2L, "x x x", "s2"), (3L, "y y y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.mixturePlan(df, Map("s1" -> 3.0), 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("s1").getLong(1) == 1 && out("s1").getLong(2) == 4)
+    assert(out("s2").getLong(2) == 6)
+    assert(out("s1").getDouble(3) == 0.4 && out("s2").getDouble(3) == 0.6)
+    assert(out("s1").getDouble(4) == 0.75 && out("s2").getDouble(4) == 0.25)
+    assert(out("s1").getLong(5) == 3 && out("s2").getLong(5) == 1)
+    assert(out("s1").getDouble(6) == 3.0 / 4.0, "s1 upweighted epochs")
+    assert(out("s2").getDouble(6) == 1.0 / 6.0)
+    // NULL-text source: zero tokens, NULL epochs rather than /0
+    val withNull = df.unionAll(Seq((4L, null: String, "s3"))
+      .toDF("doc_id", "text", "source"))
+    val o2 = Curation.mixturePlan(withNull, Map("s1" -> 3.0), 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(o2("s3").getLong(2) == 0 && o2("s3").isNullAt(6))
+  }
 }

@@ -148,4 +148,49 @@ class DataChecksSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r).toMap
     assert(gone("c").getLong(2) == 0 && gone("c").getDouble(4) == 0.0)
   }
+
+  test("histogram bins with open under/overflow edges and within-dim shares") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", -5.0), ("a", 0.0), ("a", 49.9), ("a", 50.0), ("a", 1000.0),
+      ("b", 25.0), ("b", 25.0))
+      .toDF("event_type", "value")
+      .unionAll(Seq("b").toDF("event_type")
+        .withColumn("value", lit(null).cast("double")))
+    val out = DataChecks.histogram(df, "value", "event_type", 0.0, 50.0, 10)
+      .collect()
+    val a = out.filter(_.getString(0) == "a")
+      .map(r => r.getInt(1) -> (r.getLong(4), r.getDouble(5))).toMap
+    assert(a(-1) == ((1L, 0.2)), "underflow bin")
+    assert(a(0) == ((2L, 0.4)))
+    assert(a(1) == ((1L, 0.2)))
+    assert(a(10) == ((1L, 0.2)), "overflow bin")
+    // open edges have NULL bounds; interior bins carry both
+    val rows = out.filter(_.getString(0) == "a").map(r => r.getInt(1) -> r).toMap
+    assert(rows(-1).isNullAt(2) && rows(10).isNullAt(3))
+    assert(rows(1).getDouble(2) == 50.0 && rows(1).getDouble(3) == 100.0)
+    // NULL values are excluded, shares still sum to 1 within b
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.map(_.getLong(4)).sum == 2L)
+    assert(b.map(_.getDouble(5)).sum == 1.0)
+  }
+
+  test("anomalyFlags flags a planted spike, honors minDays warmup") {
+    import spark.implicits._
+    // 9 quiet days (counts 10 or 12, alternating) then a 100x spike
+    val rows = (1 to 9).flatMap { d =>
+      val n = if (d % 2 == 0) 12 else 10
+      (1 to n).map(i => (s"2024-01-0$d".take(10), "t"))
+    } ++ (1 to 500).map(_ => ("2024-01-10", "t"))
+    val df = rows.toDF("ds", "event_type")
+      .withColumn("ts", to_timestamp(concat(col("ds"), lit(" 00:00:00"))))
+    val out = DataChecks.anomalyFlags(df, windowDays = 7, k = 3, minDays = 4)
+      .collect().map(r => r.getDate(0).toString -> r.getBoolean(5)).toMap
+    assert(out("2024-01-10"), "spike day must flag")
+    // warmup: first minDays days have too few baseline days to flag
+    assert(!out("2024-01-01") && !out("2024-01-02") &&
+      !out("2024-01-03") && !out("2024-01-04"))
+    // quiet post-warmup days never flag
+    assert(!out("2024-01-08") && !out("2024-01-09"))
+  }
 }

@@ -217,4 +217,30 @@ class EdgeCaseSpec extends SparkSpec {
     // NULL-cosine (or NaN) pair; they must simply be absent
     assert(out.toSeq == Seq((0L, 1L)))
   }
+
+  test("semanticDedup dups within a cell, blind across cells, min-id rep") {
+    import graft.operators.VectorSearch
+    def emb(rows: (Long, Array[Float])*) =
+      rows.toDF("vec_id", "embedding")
+    val e = emb(
+      1L -> Array(1f, 0f),        // cell A
+      2L -> Array(0.99f, 0.01f),  // cell A, near-dup of 1
+      3L -> Array(0.98f, 0.02f),  // cell A, near-dup of 1 and 2
+      4L -> Array(0f, 1f),        // cell B
+      5L -> Array(0.01f, 0.99f),  // cell B, near-dup of 4
+      6L -> Array(-1f, 0.6f),     // cell B by cosine, far from 4/5
+      7L -> Array(0f, 0f))        // zero-norm: excluded
+    val cents = emb(100L -> Array(1f, 0f), 200L -> Array(0f, 1f))
+    val out = VectorSearch.semanticDedup(e, cents, 0.95)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), "zero-norm excluded")
+    assert(out(1L).getInt(2) == 0, "lowest id survives")
+    assert(out(2L).getInt(2) == 1 && out(2L).getLong(3) == 1L)
+    assert(out(3L).getInt(2) == 1 && out(3L).getLong(3) == 1L,
+      "dup_of is the SMALLEST qualifying lower id")
+    assert(out(4L).getInt(2) == 0)
+    assert(out(5L).getInt(2) == 1 && out(5L).getLong(3) == 4L)
+    assert(out(6L).getInt(2) == 0, "same cell but below threshold")
+    assert(out(1L).getLong(1) == 100L && out(4L).getLong(1) == 200L)
+  }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Journey}
+
+class JourneySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.toDF("user_id", "tss", "event_type")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+
+  test("cohortRetention buckets users by first week and divides by cohort size") {
+    // u1 starts wk of Jan 1 and returns wk of Jan 8; u2 starts Jan 1
+    // only; u3 starts Jan 8 only → cohort 1 has size 2 with 50%
+    // week-1 retention, cohort 2 has size 1.
+    val e = ev(
+      (1L, "2024-01-02 10:00:00", "view"),
+      (1L, "2024-01-09 10:00:00", "view"),
+      (2L, "2024-01-03 10:00:00", "view"),
+      (3L, "2024-01-10 10:00:00", "view"))
+    val out = Journey.cohortRetention(e).collect()
+    val byKey = out.map(r => (r.getDate(0).toString, r.getInt(1)) ->
+      (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(byKey(("2024-01-01", 0)) == ((2L, 2L, 1.0)))
+    assert(byKey(("2024-01-01", 1)) == ((1L, 2L, 0.5)))
+    assert(byKey(("2024-01-08", 0)) == ((1L, 1L, 1.0)))
+    assert(out.length == 3)
+  }
+
+  test("cohortRetention week_ix is calendar-correct across a gap") {
+    val e = ev(
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-29 00:00:00", "view")) // 4 weeks later, gap between
+    val out = Journey.cohortRetention(e).collect()
+    assert(out.map(_.getInt(1)).sorted.toSeq == Seq(0, 4))
+  }
+
+  test("funnelSteps only counts stages completed in order") {
+    val e = ev(
+      // u1 completes view → click → purchase in order
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-02 00:00:00", "click"),
+      (1L, "2024-01-03 00:00:00", "purchase"),
+      // u2 clicks BEFORE its first view — click never counts
+      (2L, "2024-01-01 00:00:00", "click"),
+      (2L, "2024-01-02 00:00:00", "view"),
+      // u3 views then purchases with no click — stalls at stage 0
+      (3L, "2024-01-01 00:00:00", "view"),
+      (3L, "2024-01-02 00:00:00", "purchase"))
+    val out = Journey.funnelSteps(e, Seq("view", "click", "purchase"))
+      .collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((0, "view", 3L), (1, "click", 1L), (2, "purchase", 1L)))
+    assert(out(0).isNullAt(3)) // first stage has no pct_prev
+    assert(out(1).getDouble(3) == 1.0 / 3.0)
+    assert(out(2).getDouble(4) == 1.0 / 3.0) // pct_first
+  }
+
+  test("funnelSteps same-instant completion counts (at-or-after)") {
+    val e = ev(
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-01 00:00:00", "click"))
+    val out = Journey.funnelSteps(e, Seq("view", "click")).collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L))
+  }
+
+  test("propsHealth splits valid, missing-field and malformed payloads") {
+    val e = Seq(
+      ("a", """{"k": 5}"""), ("a", """{"k": 7}"""),
+      ("a", """{"x": 1}"""), // valid JSON, no k
+      ("b", "not json"),     // malformed
+      ("b", """{"k": 2}"""))
+      .toDF("event_type", "props")
+    val out = Analytics.propsHealth(e).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) == 3 && out("a").getLong(2) == 2)
+    assert(out("a").getLong(3) == 1) // n_invalid
+    assert(out("a").getInt(4) == 5 && out("a").getInt(5) == 7)
+    assert(out("a").getLong(6) == 12)
+    assert(out("b").getLong(2) == 1 && out("b").getLong(3) == 1)
+  }
+}

@@ -181,4 +181,33 @@ class PlanAuditSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("cohort retention is join-free: one user exchange + calendar frames") {
+    val p = plan("q_cohort")
+    assert(!p.contains("Join"), p.take(2000))
+    // full-data exchange on user_id, then only calendar-bounded frames
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      p.take(2000))
+  }
+
+  test("funnel joins stay shuffled equi-joins on user_id, never nested-loop") {
+    val p = plan("q_funnel_steps")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("semantic dedup reuses one cached assignment frame on both sides") {
+    val p = plan("q_semantic_dedup")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(2000))
+  }
+
+  test("props health aggregates partially before its only exchange") {
+    val p = plan("q_props_health")
+    assert(!p.contains("Join"))
+    // two-phase hash aggregate: partial_ before the exchange means the
+    // JSON payload column itself never shuffles
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+  }
 }
