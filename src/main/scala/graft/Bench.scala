@@ -27,7 +27,8 @@ object Bench {
     "q_reach_approx", "q_tfidf", "q_lm_score", "q_pii_redact",
     "q_range_join", "q_qa_drift", "q_dedup_bloom",
     "q_cohort", "q_funnel_steps", "q_histogram", "q_qa_anomaly",
-    "q_semantic_dedup", "q_mixture", "q_props_health")
+    "q_semantic_dedup", "q_mixture", "q_props_health",
+    "q_search", "q_qa_orphans", "q_percentiles")
 
   /** Timed runs per query — the min is recorded. One run is hostage to
     * neighbor load on a shared box (BENCH_r02 recorded 110 s for an

@@ -122,6 +122,17 @@ object SparkEntry {
   private val MixtureWeights = Map("src0" -> 4.0, "src3" -> 2.0, "src7" -> 0.5)
   private val MixtureBudget = 0.5
 
+  /** q_search: literal query terms (corpus-vocabulary words) and the
+    * result-list size. */
+  private val SearchTerms = Seq("spark", "window", "stream")
+  private val SearchK = 20
+
+  /** q_qa_orphans: the measurement panel = customers with key <
+    * PanelMaxKey — the stand-in for the reference's matched-universe
+    * file; events from users outside it count as orphans (would be
+    * dropped by the universe semi-join). */
+  private val PanelMaxKey = 100
+
   /** q_profile columns — numeric and string legs of the lineitem
     * describe-profile; both the query and its oracle are generated
     * from these lists. */
@@ -588,6 +599,14 @@ object SparkEntry {
       Curation.mixturePlan(Tables.documents(s, d), MixtureWeights,
         MixtureBudget)),
     "q_props_health" -> ((s, d) => Analytics.propsHealth(Tables.events(s, d))),
+    "q_search" -> ((s, d) =>
+      TextAnalysis.searchTopK(Tables.documents(s, d), SearchTerms, SearchK)),
+    "q_qa_orphans" -> ((s, d) =>
+      DataChecks.coverageCheck(Tables.events(s, d),
+        Tables.customer(s, d).where(col("c_custkey") < PanelMaxKey),
+        "user_id", "c_custkey", "event_type")),
+    "q_percentiles" -> ((s, d) =>
+      DataChecks.percentileBands(Tables.events(s, d), "value", "event_type")),
   )
 
   /** Shared CTE chain for the repetition oracles: lines + bigrams,
@@ -1816,5 +1835,47 @@ object SparkEntry {
               TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
             END AS k FROM events)
           GROUP BY 1 ORDER BY 1""",
+    "q_search" -> {
+      val terms = SearchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+          h AS (SELECT doc_id, term, count(*) AS tf FROM ex
+            WHERE term IN ($terms) GROUP BY 1, 2),
+          dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM h
+            GROUP BY 1),
+          nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+            FROM documents),
+          sc AS (SELECT h.doc_id, h.term, h.tf,
+              h.tf * (nd.n_docs / dfq.df) AS w
+            FROM h JOIN dfq USING (term) CROSS JOIN nd),
+          ag AS (SELECT doc_id, count(*) AS n_terms,
+              CAST(sum(tf) AS BIGINT) AS n_hits,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(w ORDER BY term)), (x, y) -> x + y) AS score
+            FROM sc GROUP BY 1)
+          SELECT doc_id, n_terms, n_hits, score FROM ag
+          ORDER BY score DESC, doc_id LIMIT $SearchK"""
+    },
+    "q_qa_orphans" ->
+      s"""WITH k AS (SELECT DISTINCT c_custkey AS user_id FROM customer
+            WHERE c_custkey < $PanelMaxKey),
+          j AS (SELECT e.event_type,
+              CASE WHEN k.user_id IS NULL THEN 0 ELSE 1 END AS m
+            FROM events e LEFT JOIN k ON e.user_id = k.user_id)
+          SELECT event_type, count(*) AS n_rows,
+            CAST(sum(m) AS BIGINT) AS n_matched,
+            count(*) - CAST(sum(m) AS BIGINT) AS n_orphans,
+            CAST(count(*) - CAST(sum(m) AS BIGINT) AS DOUBLE) / count(*)
+              AS orphan_share
+          FROM j GROUP BY 1 ORDER BY 1""",
+    "q_percentiles" ->
+      """WITH c AS (SELECT event_type,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL),
+          q AS (SELECT event_type, count(*) AS n_rows,
+            quantile_cont(c, [0.25, 0.5, 0.75]) AS ps FROM c GROUP BY 1)
+          SELECT event_type, n_rows, ps[1] / 100.0 AS p25,
+            ps[2] / 100.0 AS p50, ps[3] / 100.0 AS p75
+          FROM q ORDER BY event_type""",
   )
 }

@@ -213,6 +213,67 @@ object DataChecks {
       .orderBy(col("date"), col("event_type"))
   }
 
+  /** Referential-coverage QA: per event type, how many fact rows have
+    * a key in `universe` and how many are orphans (no matching
+    * universe row) — the reference gates metrics on a matched-universe
+    * semi-join (/root/reference/metrics/lib/hh_before_after.py:33-35);
+    * this is the audit that says what that gate would DROP, per
+    * category, before anyone runs it. Universe keys are deduped first
+    * (a duplicated dimension row must not double-count facts), the
+    * join is a plain equi-join on the key (shuffled or broadcast at
+    * Spark's discretion — the universe side is dimension-sized), and
+    * everything after is one hash aggregate on the low-cardinality
+    * type. Shares are exact IEEE divisions of bigint counts. */
+  def coverageCheck(facts: DataFrame, universe: DataFrame,
+                    factKey: String, universeKey: String,
+                    dim: String): DataFrame = {
+    val keys = universe.select(col(universeKey).as(factKey)).distinct()
+      .withColumn("matched", lit(1))
+    facts.select(col(factKey), col(dim))
+      .join(keys, Seq(factKey), "left_outer")
+      .groupBy(col(dim))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("matched")), lit(0L)).as("n_matched"))
+      .withColumn("n_orphans", col("n_rows") - col("n_matched"))
+      .withColumn("orphan_share",
+        col("n_orphans").cast("double") / col("n_rows"))
+      .select(col(dim), col("n_rows"), col("n_matched"), col("n_orphans"),
+        col("orphan_share"))
+      .orderBy(col(dim))
+  }
+
+  /** Exact percentile bands of `valueCol` per `dim`: the quartile
+    * summary QA publishes next to min/max/mean. Values are fixed to
+    * integer cents (floor(v·100 + 0.5) — the data's native 2dp grain)
+    * BEFORE ranking: with integer inputs and dyadic probabilities
+    * (quarters), every interpolation any engine computes is EXACT, so
+    * the oracle compares bit-identically where raw-double
+    * interpolation would differ in the last ULP by formula shape. The
+    * final /100 back to display units is one identical IEEE division
+    * on both sides. Plan: one map-side-combine aggregate to
+    * (dim, cents) grain — the only full-data shuffle — then Spark's
+    * frequency-weighted percentile over the per-value counts
+    * (probe-verified bit-equal to quantile_cont over raw rows; see
+    * [[profile]]). Buffer is O(distinct cents) per dim; at extreme
+    * scale substitute approx_percentile and drop the oracle to
+    * rows-only. */
+  def percentileBands(df: DataFrame, valueCol: String,
+                      dim: String): DataFrame = {
+    val cents = floor(col(valueCol) * 100 + lit(0.5)).cast("long")
+    df.where(col(valueCol).isNotNull)
+      .select(col(dim), cents.as("c"))
+      .groupBy(col(dim), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(dim))
+      .agg(sum(col("cnt")).as("n_rows"),
+        expr("percentile(c, array(0.25D, 0.5D, 0.75D), cnt)").as("ps"))
+      .select(col(dim), col("n_rows"),
+        (element_at(col("ps"), 1) / 100.0).as("p25"),
+        (element_at(col("ps"), 2) / 100.0).as("p50"),
+        (element_at(col("ps"), 3) / 100.0).as("p75"))
+      .orderBy(col(dim))
+  }
+
   def profile(df: DataFrame, numCols: Seq[String],
               strCols: Seq[String]): DataFrame = {
     requireColumns(df, numCols ++ strCols, "profile")

@@ -283,6 +283,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Keyword search: rank documents against a literal term list by
+    * summed tf·idf over the MATCHED terms (the same log-free ratio idf
+    * as [[tfidf]], so scores are bit-portable), returning the top `k`
+    * docs. The retrieval leg of the tf-idf pair: tfidf indexes what a
+    * doc is about, searchTopK answers a query against the corpus.
+    *
+    * Scale shape: the term filter runs BEFORE the (doc, term)
+    * aggregate, so the only shuffled stream is the query-term hits —
+    * the corpus token stream never shuffles. df is computed from the
+    * hits themselves (df of a term nobody queried is never built),
+    * both df and n_docs ride along as broadcasts, and the final top-k
+    * is an orderBy+limit — Spark plans TakeOrderedAndProject:
+    * per-partition heaps, no global sort. The per-doc score folds the
+    * (term, weight) pairs in sorted-term order (a ≤|terms|-element
+    * row-local fold), so float summation order is engine-independent
+    * — a bare sum() would differ in the last ULP between engines. */
+  def searchTopK(docs: DataFrame, queryTerms: Seq[String],
+                 k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "searchTopK needs at least one term")
+    val hits = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = hits.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.select(
+      countDistinct(col("doc_id")).cast("double").as("n_docs"))
+    hits
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", col("tf") * (col("n_docs") / col("df")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("tf")).as("n_hits"),
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Corpus-frequency unigram LM score — the word-frequency
     * "typicality" quality signal (the log-free stand-in for CCNet's LM
     * perplexity filter): docs built from corpus-rare tokens score low

@@ -193,4 +193,33 @@ class DataChecksSpec extends SparkSpec {
     // quiet post-warmup days never flag
     assert(!out("2024-01-08") && !out("2024-01-09"))
   }
+
+  test("coverageCheck counts orphans per category, dedupes the universe") {
+    import spark.implicits._
+    val facts = Seq((1L, "a"), (1L, "a"), (2L, "a"), (3L, "b"))
+      .toDF("user_id", "event_type")
+    // key 1 duplicated in the universe — must not double-count facts
+    val uni = Seq(1L, 1L, 3L).toDF("c_custkey")
+    val out = DataChecks.coverageCheck(facts, uni, "user_id", "c_custkey",
+      "event_type").collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) == 3 && out("a").getLong(2) == 2)
+    assert(out("a").getLong(3) == 1)
+    assert(out("a").getDouble(4) == 1.0 / 3.0)
+    assert(out("b").getLong(3) == 0 && out("b").getDouble(4) == 0.0)
+  }
+
+  test("percentileBands computes exact quartiles on the cent grid") {
+    import spark.implicits._
+    // values 1.00..4.00: quartiles of [100,200,300,400] cents are
+    // 175/250/325 → 1.75/2.50/3.25
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0))
+      .toDF("event_type", "value")
+      .unionAll(Seq(("a", Option.empty[Double])).toDF("event_type", "value"))
+    val out = DataChecks.percentileBands(df, "value", "event_type").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 4, "NULL values excluded")
+    assert(r.getDouble(2) == 1.75 && r.getDouble(3) == 2.5 &&
+      r.getDouble(4) == 3.25)
+  }
 }

@@ -210,4 +210,11 @@ class PlanAuditSpec extends SparkSpec {
       p.take(2000))
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
   }
+
+  test("search top-k is TakeOrdered with broadcast df sides") {
+    val p = plan("q_search")
+    // distributed per-partition heaps, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }

@@ -148,4 +148,28 @@ class TextSpec extends SparkSpec {
     assert(math.abs(rows(4L).getDouble(10) - 1.0 / 3) < 1e-9)
   }
 
+  test("searchTopK ranks rare-term hits above common-term hits") {
+    import graft.operators.TextAnalysis
+    // 'rare' appears in 1 of 4 docs, 'common' in 3; tf equal → the
+    // rare-term doc outscores the common-term docs (idf 4 vs 4/3)
+    val df = Seq(
+      (1L, "rare alpha beta"), (2L, "common alpha beta"),
+      (3L, "common beta gamma"), (4L, "common gamma delta"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.searchTopK(df, Seq("rare", "common"), 10)
+      .collect()
+    assert(out.head.getLong(0) == 1L, "rare-term doc ranks first")
+    assert(out.head.getDouble(3) == 4.0)
+    assert(out.length == 4)
+    assert(out(1).getDouble(3) == 4.0 / 3.0)
+    // doc_id tiebreak among the equal-scored common docs
+    assert(out.drop(1).map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    // k truncates
+    assert(TextAnalysis.searchTopK(df, Seq("common"), 2).count() == 2)
+    // multi-term docs sum matched-term weights only
+    val both = TextAnalysis.searchTopK(
+      df.unionAll(Seq((5L, "rare common")).toDF("doc_id", "text")),
+      Seq("rare", "common"), 1).collect()
+    assert(both.head.getLong(0) == 5L && both.head.getLong(1) == 2L)
+  }
 }
