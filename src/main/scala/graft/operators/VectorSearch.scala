@@ -140,6 +140,25 @@ object VectorSearch extends Logging {
     * once, not three times); the join key is centroid_id, one shuffle
     * each side. Zero-norm vectors are excluded by assignCells on both
     * engine and oracle sides (cosine undefined). */
+  /** Centroid count for [[semanticDedup]] at a given corpus size: the
+    * cell count must scale WITH the corpus (k ≈ N / targetCell) or the
+    * within-cell pair stage degrades quadratically — fixed k means
+    * N²/k pair work, k ∝ N means N·targetCell. The same
+    * derive-from-the-corpus contract as [[srpParamsFor]]: defaults
+    * that were tuned at gate scale must not silently become a blowup
+    * at 100 TB. Train/seed that many centroids (e.g. every
+    * (N/k)-th vec_id, or [[trainCentroids]] on a sample). Broadcast
+    * bound: k centroids ship to every task — beyond ~10⁶ centroids
+    * (hundreds of MB) switch the assignment to a two-level hierarchy
+    * (assign to √k coarse cells, then √k fine within); the pair stage
+    * is unchanged. */
+  def semanticCentroidCountFor(corpusCount: Long,
+                               targetCell: Int = 1024): Int = {
+    require(corpusCount > 0 && targetCell > 0)
+    math.max(1, math.ceil(corpusCount.toDouble / targetCell).toLong)
+      .min(Int.MaxValue).toInt
+  }
+
   def semanticDedup(embeddings: DataFrame, centroids: DataFrame,
                     threshold: Double): DataFrame = {
     val assigned = assignCells(embeddings, centroids)

@@ -243,4 +243,14 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out(6L).getInt(2) == 0, "same cell but below threshold")
     assert(out(1L).getLong(1) == 100L && out(4L).getLong(1) == 200L)
   }
+
+  test("semanticCentroidCountFor scales cells with the corpus") {
+    import graft.operators.VectorSearch.semanticCentroidCountFor
+    assert(semanticCentroidCountFor(10000L) == 10)
+    assert(semanticCentroidCountFor(1000000L) == 977)
+    assert(semanticCentroidCountFor(100000000L) == 97657)
+    // per-cell work stays ~targetCell² no matter the corpus
+    assert(semanticCentroidCountFor(500L) == 1)
+    assert(semanticCentroidCountFor(1L, 1) == 1)
+  }
 }
