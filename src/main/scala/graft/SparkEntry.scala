@@ -607,6 +607,14 @@ object SparkEntry {
         "user_id", "c_custkey", "event_type")),
     "q_percentiles" -> ((s, d) =>
       DataChecks.percentileBands(Tables.events(s, d), "value", "event_type")),
+    "q_mixture_sample" -> ((s, d) =>
+      Curation.materializeMixture(Tables.documents(s, d), MixtureWeights,
+        MixtureBudget, SampleBuckets)),
+    // Eval harness: contains the deliberately-quadratic exact leg, so
+    // like q_embed_neardup it is oracle-gated but not benched — at
+    // scale it runs on a held-out sample.
+    "q_dedup_recall" -> ((s, d) =>
+      VectorSearch.nearDupRecall(Tables.embeddings(s, d), 0.4)),
   )
 
   /** Shared CTE chain for the repetition oracles: lines + bigrams,
@@ -758,6 +766,72 @@ object SparkEntry {
     * a near-dup candidate set). */
   private val NormedNonzeroEmbSql =
     s"SELECT * FROM ($NormedEmbSql) WHERE nrm <> 0"
+
+  /** Oracle of Curation.mixturePlan under MixtureWeights/MixtureBudget
+    * — shared by q_mixture and q_mixture_sample's epochs leg. */
+  private lazy val MixtureSql = {
+    val wcase = MixtureWeights.keys.toSeq.sorted.map(k =>
+      s"WHEN '$k' THEN ${MixtureWeights(k)}")
+      .mkString("CASE source ", " ", " ELSE 1.0 END")
+    s"""WITH t AS (SELECT source, $ToksSql AS toks FROM documents),
+        g AS (SELECT source, count(*) AS n_docs,
+          CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_tokens
+          FROM t GROUP BY 1),
+        w AS (SELECT source, n_docs, n_tokens, $wcase AS weight,
+          CAST(sum(n_tokens) OVER () AS BIGINT) AS tot_tokens,
+          sum($wcase) OVER () AS tot_weight FROM g),
+        x AS (SELECT source, n_docs, n_tokens,
+          CAST(n_tokens AS DOUBLE) / nullif(tot_tokens, 0) AS avail_share,
+          weight / nullif(tot_weight, 0.0) AS target_share,
+          tot_tokens FROM w)
+        SELECT source, n_docs, n_tokens, avail_share, target_share,
+          CAST(floor((target_share * $MixtureBudget) *
+            CAST(tot_tokens AS DOUBLE)) AS BIGINT) AS target_tokens,
+          CAST(CAST(floor((target_share * $MixtureBudget) *
+            CAST(tot_tokens AS DOUBLE)) AS BIGINT) AS DOUBLE) /
+            nullif(n_tokens, 0) AS epochs
+        FROM x ORDER BY source"""
+  }
+
+  /** Oracle of VectorSearch.cosineNearDup at 0.4 — shared by
+    * q_embed_neardup and the q_dedup_recall exact leg. */
+  private lazy val EmbedNearDupSql =
+    s"""WITH e AS ($NormedNonzeroEmbSql),
+        s AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+          ${dotSql("a", "b")} / (a.nrm * b.nrm) AS c
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT v1, v2, round(c, 6) AS cos FROM s WHERE c >= 0.4 ORDER BY v1, v2"""
+
+  /** Oracle of VectorSearch.srpNearDup at 0.4 (plane literals, band
+    * bucketing, capped sorted prefixes, exact verify) — shared by
+    * q_embed_lsh and the q_dedup_recall approximate leg. */
+  private lazy val EmbedLshSql = {
+    val planeValues = VectorSearch.srpPlanes(16, 64).zipWithIndex
+      .map { case (arr, i) => s"($i, [${arr.map(_.toInt).mkString(", ")}])" }
+      .mkString(", ")
+    s"""WITH planes(i, vals) AS (VALUES $planeValues),
+        e AS ($NormedNonzeroEmbSql),
+        bits AS (SELECT e.vec_id, planes.i,
+          CASE WHEN list_reduce(list_transform(range(1, 65),
+            k -> CAST(e.embedding[k] AS DOUBLE) * vals[k]), (x, y) -> x + y) >= 0
+          THEN 1 ELSE 0 END AS bit
+          FROM e CROSS JOIN planes),
+        bands AS (SELECT vec_id, i // 4 AS band,
+          string_agg(CAST(bit AS VARCHAR), ',' ORDER BY i) AS sig
+          FROM bits GROUP BY 1, 2),
+        buckets AS (SELECT band, sig,
+          (list_sort(list(vec_id)))[1:${NearDup.DefaultBucketCap}] AS ids
+          FROM bands GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT p[1] AS v1, p[2] AS v2 FROM
+          (SELECT unnest(flatten(list_transform(range(1, len(ids)),
+            i -> list_transform(range(i + 1, len(ids) + 1),
+            j -> [ids[i], ids[j]])))) AS p
+           FROM buckets WHERE len(ids) > 1)),
+        s AS (SELECT v1, v2, ${dotSql("a", "b")} / (a.nrm * b.nrm) AS c
+          FROM cand JOIN e a ON a.vec_id = v1 JOIN e b ON b.vec_id = v2)
+        SELECT v1, v2, round(c, 6) AS cos FROM s WHERE c >= 0.4
+        ORDER BY v1, v2"""
+  }
 
   /** Sequential-fold double dot product of the `len`-element subvector
     * starting after `off` (1-based lists) — the oracle twin of
@@ -1428,39 +1502,8 @@ object SparkEntry {
           FROM cand JOIN fp f1 ON f1.doc_id = d1 JOIN fp f2 ON f2.doc_id = d2
           WHERE bit_count(xor(f1.simhash, f2.simhash)) <= 3
           ORDER BY d1, d2""",
-    "q_embed_neardup" ->
-      s"""WITH e AS ($NormedNonzeroEmbSql),
-          s AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
-            ${dotSql("a", "b")} / (a.nrm * b.nrm) AS c
-            FROM e a JOIN e b ON a.vec_id < b.vec_id)
-          SELECT v1, v2, round(c, 6) AS cos FROM s WHERE c >= 0.4 ORDER BY v1, v2""",
-    "q_embed_lsh" -> {
-      val planeValues = VectorSearch.srpPlanes(16, 64).zipWithIndex
-        .map { case (arr, i) => s"($i, [${arr.map(_.toInt).mkString(", ")}])" }
-        .mkString(", ")
-      s"""WITH planes(i, vals) AS (VALUES $planeValues),
-          e AS ($NormedNonzeroEmbSql),
-          bits AS (SELECT e.vec_id, planes.i,
-            CASE WHEN list_reduce(list_transform(range(1, 65),
-              k -> CAST(e.embedding[k] AS DOUBLE) * vals[k]), (x, y) -> x + y) >= 0
-            THEN 1 ELSE 0 END AS bit
-            FROM e CROSS JOIN planes),
-          bands AS (SELECT vec_id, i // 4 AS band,
-            string_agg(CAST(bit AS VARCHAR), ',' ORDER BY i) AS sig
-            FROM bits GROUP BY 1, 2),
-          buckets AS (SELECT band, sig,
-            (list_sort(list(vec_id)))[1:${NearDup.DefaultBucketCap}] AS ids
-            FROM bands GROUP BY 1, 2),
-          cand AS (SELECT DISTINCT p[1] AS v1, p[2] AS v2 FROM
-            (SELECT unnest(flatten(list_transform(range(1, len(ids)),
-              i -> list_transform(range(i + 1, len(ids) + 1),
-              j -> [ids[i], ids[j]])))) AS p
-             FROM buckets WHERE len(ids) > 1)),
-          s AS (SELECT v1, v2, ${dotSql("a", "b")} / (a.nrm * b.nrm) AS c
-            FROM cand JOIN e a ON a.vec_id = v1 JOIN e b ON b.vec_id = v2)
-          SELECT v1, v2, round(c, 6) AS cos FROM s WHERE c >= 0.4
-          ORDER BY v1, v2"""
-    },
+    "q_embed_neardup" -> EmbedNearDupSql,
+    "q_embed_lsh" -> EmbedLshSql,
     "q_ann_topk" ->
       s"""WITH e AS ($NormedEmbSql),
           q AS (SELECT * FROM e WHERE vec_id < 10),
@@ -1803,29 +1846,38 @@ object SparkEntry {
             dp.dup_of
           FROM a2 LEFT JOIN dp ON a2.vec_id = dp.vec_id
           ORDER BY a2.vec_id""",
-    "q_mixture" -> {
-      val wcase = MixtureWeights.keys.toSeq.sorted.map(k =>
-        s"WHEN '$k' THEN ${MixtureWeights(k)}")
-        .mkString("CASE source ", " ", " ELSE 1.0 END")
-      s"""WITH t AS (SELECT source, $ToksSql AS toks FROM documents),
-          g AS (SELECT source, count(*) AS n_docs,
-            CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_tokens
-            FROM t GROUP BY 1),
-          w AS (SELECT source, n_docs, n_tokens, $wcase AS weight,
-            CAST(sum(n_tokens) OVER () AS BIGINT) AS tot_tokens,
-            sum($wcase) OVER () AS tot_weight FROM g),
-          x AS (SELECT source, n_docs, n_tokens,
-            CAST(n_tokens AS DOUBLE) / nullif(tot_tokens, 0) AS avail_share,
-            weight / nullif(tot_weight, 0.0) AS target_share,
-            tot_tokens FROM w)
-          SELECT source, n_docs, n_tokens, avail_share, target_share,
-            CAST(floor((target_share * $MixtureBudget) *
-              CAST(tot_tokens AS DOUBLE)) AS BIGINT) AS target_tokens,
-            CAST(CAST(floor((target_share * $MixtureBudget) *
-              CAST(tot_tokens AS DOUBLE)) AS BIGINT) AS DOUBLE) /
-              nullif(n_tokens, 0) AS epochs
-          FROM x ORDER BY source"""
-    },
+    "q_mixture" -> MixtureSql,
+    "q_mixture_sample" ->
+      s"""WITH mix AS ($MixtureSql),
+          d AS (SELECT doc_id, source,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 6))::BIGINT
+              % $SampleBuckets AS bucket
+            FROM documents),
+          c AS (SELECT d.doc_id, d.source,
+            CAST(floor(mix.epochs) AS BIGINT) +
+              CASE WHEN d.bucket <
+                CAST(floor((mix.epochs - floor(mix.epochs)) * $SampleBuckets)
+                  AS BIGINT)
+              THEN 1 ELSE 0 END AS n_copies
+            FROM d JOIN mix USING (source))
+          SELECT doc_id, source, unnest(range(0, n_copies)) AS copy_ix
+          FROM c WHERE n_copies > 0 ORDER BY doc_id, copy_ix""",
+    "q_dedup_recall" ->
+      s"""WITH ex AS ($EmbedNearDupSql),
+          ap AS ($EmbedLshSql),
+          j AS (SELECT v1, v2, in_exact, in_approx FROM
+            (SELECT v1, v2, 1 AS in_exact FROM ex) a
+            FULL OUTER JOIN (SELECT v1, v2, 1 AS in_approx FROM ap) b
+            USING (v1, v2)),
+          g AS (SELECT
+            coalesce(CAST(sum(in_exact) AS BIGINT), 0) AS n_exact,
+            coalesce(CAST(sum(in_approx) AS BIGINT), 0) AS n_approx,
+            coalesce(CAST(sum(in_exact * in_approx) AS BIGINT), 0) AS n_both
+            FROM j)
+          SELECT n_exact, n_approx, n_both,
+            CAST(n_both AS DOUBLE) / nullif(n_approx, 0) AS precision,
+            CAST(n_both AS DOUBLE) / nullif(n_exact, 0) AS recall
+          FROM g""",
     "q_props_health" ->
       """SELECT event_type, count(*) AS n_events, count(k) AS n_valid,
           count(*) - count(k) AS n_invalid, min(k) AS min_k,

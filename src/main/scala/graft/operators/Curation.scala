@@ -226,6 +226,39 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Materialize a [[mixturePlan]] into an upsampled training
+    * manifest: one output row per (doc, copy). A source with epochs
+    * 3.2 repeats every doc 3 times and gives a deterministic 20% of
+    * its docs (chosen by a salted [[sampleBucket]], so the extra-copy
+    * population is independent of any sampling the docs already went
+    * through and stable under corpus growth) a 4th copy — the
+    * repeat-and-sample step that turns mixture math into the actual
+    * token stream a trainer reads. Fractional thresholds floor to the
+    * bucket grid, so a doc's copy count is exact integer arithmetic on
+    * both engine and oracle sides.
+    *
+    * Shape: the sources-sized plan frame broadcasts onto the corpus
+    * (row-local copy-count arithmetic + a bounded explode — output is
+    * Σ epochs·|source| rows); nothing corpus-sized shuffles. */
+  def materializeMixture(docs: DataFrame, weights: Map[String, Double],
+                         budgetFactor: Double,
+                         buckets: Int = 10000): DataFrame = {
+    val plan = mixturePlan(docs, weights, budgetFactor)
+      .select(col("source"), col("epochs"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("full_copies", floor(col("epochs")))
+      .withColumn("frac", col("epochs") - floor(col("epochs")))
+      .withColumn("extra",
+        (sampleBucket(concat(col("doc_id").cast("string"), lit(":mix")),
+          buckets) < floor(col("frac") * buckets)).cast("long"))
+      .withColumn("n_copies", col("full_copies") + col("extra"))
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_ix"))
+      .orderBy(col("doc_id"), col("copy_ix"))
+  }
+
   /** Per-source quality cap: the best `perSource` docs of each source
     * by composite quality score (ties and NULL scores ordered last by
     * doc_id, so the selection is deterministic) — the "keep the top N

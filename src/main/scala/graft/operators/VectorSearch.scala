@@ -140,6 +140,33 @@ object VectorSearch extends Logging {
     * once, not three times); the join key is centroid_id, one shuffle
     * each side. Zero-norm vectors are excluded by assignCells on both
     * engine and oracle sides (cosine undefined). */
+  /** Approximation-quality evaluation for the embedding near-dup
+    * paths: pair-level precision/recall of [[srpNearDup]] (the scale
+    * path) against [[cosineNearDup]] (the exact baseline) at the same
+    * threshold — "measure, don't guess" as a first-class query. At
+    * 100 TB this runs on a held-out SAMPLE (the exact leg is
+    * quadratic by design); the number it produces is what justifies
+    * trusting the banded path on the full corpus, and a recall drop
+    * after a parameter change is a gate event, not a silent skew.
+    * One full-outer join of the two (small) pair sets; counts are
+    * integer sums, the two ratios exact IEEE divisions. */
+  def nearDupRecall(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val exact = cosineNearDup(embeddings, threshold)
+      .select(col("v1"), col("v2"), lit(1).as("in_exact"))
+    val approx = srpNearDup(embeddings, threshold)
+      .select(col("v1"), col("v2"), lit(1).as("in_approx"))
+    exact.join(approx, Seq("v1", "v2"), "full_outer")
+      .agg(
+        coalesce(sum(col("in_exact")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("in_approx")), lit(0L)).as("n_approx"),
+        coalesce(sum(col("in_exact") * col("in_approx")), lit(0L))
+          .as("n_both"))
+      .withColumn("precision",
+        col("n_both").cast("double") / nullif(col("n_approx"), lit(0L)))
+      .withColumn("recall",
+        col("n_both").cast("double") / nullif(col("n_exact"), lit(0L)))
+  }
+
   /** Centroid count for [[semanticDedup]] at a given corpus size: the
     * cell count must scale WITH the corpus (k ≈ N / targetCell) or the
     * within-cell pair stage degrades quadratically — fixed k means

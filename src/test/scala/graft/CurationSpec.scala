@@ -228,4 +228,28 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r).toMap
     assert(o2("s3").getLong(2) == 0 && o2("s3").isNullAt(6))
   }
+
+  test("materializeMixture repeats full epochs and samples the fraction") {
+    // one source, 20 docs with 1 token each; budgetFactor 2.5 on a
+    // single source → epochs 2.5: every doc gets 2 copies, the salted
+    // md5-bucket half a 3rd
+    val df = (1L to 20L).map(i => (i, "w", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.materializeMixture(df, Map.empty, 2.5)
+      .collect()
+    val copies = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(copies.values.forall(c => c == 2 || c == 3))
+    assert(copies.values.exists(_ == 2) && copies.values.exists(_ == 3),
+      "fractional epoch splits the population")
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).distinct.length ==
+      out.length, "copy_ix enumerates each doc's copies")
+    // deterministic: same plan twice → same manifest
+    val again = Curation.materializeMixture(df, Map.empty, 2.5).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      again.map(r => (r.getLong(0), r.getLong(2))).toSet)
+    // epochs < 1 → pure downsample, no doc repeated
+    val down = Curation.materializeMixture(df, Map.empty, 0.5).collect()
+    assert(down.groupBy(_.getLong(0)).values.forall(_.length == 1))
+    assert(down.length < 20 && down.nonEmpty)
+  }
 }

@@ -253,4 +253,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(semanticCentroidCountFor(500L) == 1)
     assert(semanticCentroidCountFor(1L, 1) == 1)
   }
+
+  test("nearDupRecall scores the banded path against the exact baseline") {
+    import graft.operators.VectorSearch
+    val out = VectorSearch.nearDupRecall(
+      spark.read.parquet(s"${sf("x")}/embeddings.parquet"), 0.4).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (nExact, nApprox, nBoth) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nExact > 0, "exact baseline finds pairs on the test corpus")
+    assert(nBoth <= nExact && nBoth <= nApprox)
+    // SRP candidates are verified by exact cosine, so precision is 1
+    // by construction — any false positive means the verify broke
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+  }
 }
