@@ -1809,8 +1809,9 @@ object SparkEntry {
           FROM events GROUP BY 1, 2, 4),
           w AS (SELECT date, event_type, n_events,
             count(n_events) OVER win AS base_days,
-            CAST(sum(n_events) OVER win AS BIGINT) AS base_sum,
-            CAST(sum(n_events * n_events) OVER win AS BIGINT) AS base_sumsq
+            coalesce(CAST(sum(n_events) OVER win AS BIGINT), 0) AS base_sum,
+            coalesce(CAST(sum(n_events * n_events) OVER win AS BIGINT), 0)
+              AS base_sumsq
           FROM d WINDOW win AS (PARTITION BY event_type ORDER BY day_num
             RANGE BETWEEN $AnomalyDays PRECEDING AND 1 PRECEDING))
           SELECT date, event_type, n_events, base_days, base_sum,

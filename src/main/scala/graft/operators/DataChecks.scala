@@ -202,9 +202,12 @@ object DataChecks {
     val dev = n * x - s
     daily
       .withColumn("base_days", count(col("n_events")).over(w))
-      .withColumn("base_sum", sum(col("n_events")).over(w))
+      // empty baseline sums are 0, not NULL — the warmup rows carry
+      // honest zeros and the streaming twin agrees bit-for-bit
+      .withColumn("base_sum",
+        coalesce(sum(col("n_events")).over(w), lit(0L)))
       .withColumn("base_sumsq",
-        sum(col("n_events") * col("n_events")).over(w))
+        coalesce(sum(col("n_events") * col("n_events")).over(w), lit(0L)))
       .withColumn("is_anomaly",
         when(col("base_days") < minDays, lit(false))
           .otherwise(dev * dev > lit(k.toDouble * k) * (n * ss - s * s)))

@@ -201,6 +201,75 @@ object EventStream {
         col("f_ts"), col("value"))
   }
 
+  case class DayBucket(day: Long, n: Long)
+  case class AnomalyState(pending: Map[Long, Long], closed: Seq[DayBucket])
+  case class DailyAnomaly(event_type: String, day_num: Long, n_events: Long,
+                          base_days: Long, base_sum: Long,
+                          is_anomaly: Boolean)
+
+  /** Streaming anomaly alerting — the streaming twin of
+    * DataChecks.anomalyFlags: per event type, each UTC day's count is
+    * tested against the mean/variance of the preceding `windowDays`
+    * finalized days with the same division-free z²-rule
+    * ((n·x − S)² > k²·(n·SS − S²), ≥ `minDays` baseline days). The
+    * batch operator re-scans all history every run; here a day
+    * finalizes ONE WATERMARK DELAY after it ends and the alert emits
+    * immediately, with per-key state bounded at `windowDays` closed
+    * counts plus the open days — O(1) per event type, independent of
+    * event volume. Late events past the watermark miss their
+    * (already-emitted) day — the watermark is the lateness contract;
+    * historical truth stays with the batch operator. Day numbers are
+    * epoch days of the event-time instant (UTC), matching the batch
+    * operator's to_date under the session's UTC timezone. */
+  def anomalyAlerts(spark: SparkSession, events: Dataset[Event],
+                    windowDays: Int = 7, k: Int = 3,
+                    minDays: Int = 4): Dataset[DailyAnomaly] = {
+    import spark.implicits._
+    val dayMs = 86400000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, DailyAnomaly](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (etype, rows, state: GroupState[AnomalyState]) =>
+          val st = state.getOption.getOrElse(AnomalyState(Map.empty, Nil))
+          var pending = st.pending
+          rows.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, dayMs)
+            pending = pending.updated(d, pending.getOrElse(d, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (done, open) =
+            pending.partition { case (d, _) => (d + 1) * dayMs <= wm }
+          var closed = st.closed
+          val out = done.toSeq.sortBy(_._1).map { case (d, x) =>
+            val base = closed.filter(b =>
+              b.day >= d - windowDays && b.day <= d - 1)
+            val bn = base.size.toLong
+            val bs = base.map(_.n).sum
+            val bss = base.map(b => b.n * b.n).sum
+            val flag = bn >= minDays && {
+              val dev = bn.toDouble * x.toDouble - bs.toDouble
+              dev * dev >
+                (k.toDouble * k) * (bn.toDouble * bss.toDouble -
+                  bs.toDouble * bs.toDouble)
+            }
+            // keep only days a FUTURE day's trailing window can read
+            closed = (closed :+ DayBucket(d, x))
+              .filter(_.day > d - windowDays)
+            DailyAnomaly(etype, d, x, bn, bs, flag)
+          }
+          if (open.nonEmpty || closed.nonEmpty) {
+            state.update(AnomalyState(open, closed))
+            // wake when the earliest open day can finalize (strictly
+            // past the current watermark by the partition above)
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp((open.keys.min + 1) * dayMs)
+          } else state.remove()
+          out.iterator
+      }
+  }
+
   case class Session(user_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
                      n_events: Long, total_value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)

@@ -153,4 +153,42 @@ class StreamingSpec extends SparkSpec {
     val f = feats.head()
     assert(f.byte_len > 0 && f.width >= 16 && f.n_frames >= 1)
   }
+
+  test("streaming anomaly alerts match the batch flags on finalized days") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // 9 quiet days (2/3 events alternating), then a 50-event spike on
+    // day 10; a sentinel on day 12 advances the watermark past day 10
+    val quiet = (1 to 9).flatMap { d =>
+      val n = if (d % 2 == 0) 2 else 3
+      (1 to n).map(i => Event(i, ts(f"2024-01-0$d%d 0$i%d:00:00"), "t", 1.0))
+    }
+    val spike = (1 to 50).map(i =>
+      Event(i, ts("2024-01-10 05:00:00"), "t", 1.0))
+    mem.addData(quiet ++ spike: _*)
+    val q = EventStream.anomalyAlerts(spark, mem.toDS())
+      .writeStream.format("memory").queryName("anom").outputMode("append")
+      .start()
+    mem.addData(Event(99, ts("2024-01-12 00:00:00"), "t", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("anom").collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).toMap
+    val day10 = java.time.LocalDate.of(2024, 1, 10).toEpochDay
+    assert(streamed.keySet == (day10 - 9 to day10).toSet,
+      "all ten event days finalized, sentinel day still open")
+    assert(streamed(day10)._4, "spike day flags")
+    assert(streamed.filterNot(_._1 == day10).values.forall(!_._4),
+      "quiet and warmup days never flag")
+    // exact equivalence with the batch operator on the finalized days
+    val batchIn = (quiet ++ spike).toDF()
+    val batch = graft.operators.DataChecks.anomalyFlags(batchIn)
+      .withColumn("day_num",
+        datediff(col("date"), lit("1970-01-01")).cast("long"))
+      .collect()
+      .map(r => r.getAs[Long]("day_num") -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(streamed == batch, "streamed alerts equal batch flags")
+  }
 }
