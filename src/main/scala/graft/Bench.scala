@@ -28,7 +28,8 @@ object Bench {
     "q_range_join", "q_qa_drift", "q_dedup_bloom",
     "q_cohort", "q_funnel_steps", "q_histogram", "q_qa_anomaly",
     "q_semantic_dedup", "q_mixture", "q_props_health",
-    "q_search", "q_qa_orphans", "q_percentiles", "q_mixture_sample")
+    "q_search", "q_qa_orphans", "q_percentiles", "q_mixture_sample",
+    "q_active_users", "q_skew_report")
 
   /** Timed runs per query — the min is recorded. One run is hostage to
     * neighbor load on a shared box (BENCH_r02 recorded 110 s for an

@@ -133,6 +133,12 @@ object SparkEntry {
     * dropped by the universe semi-join). */
   private val PanelMaxKey = 100
 
+  /** q_active_users: trailing active-user window (the WAU leg). */
+  private val ActiveDays = 7
+
+  /** q_skew_report: heaviest keys listed. */
+  private val SkewTopN = 10
+
   /** q_profile columns — numeric and string legs of the lineitem
     * describe-profile; both the query and its oracle are generated
     * from these lists. */
@@ -615,6 +621,16 @@ object SparkEntry {
     // scale it runs on a held-out sample.
     "q_dedup_recall" -> ((s, d) =>
       VectorSearch.nearDupRecall(Tables.embeddings(s, d), 0.4)),
+    "q_active_users" -> ((s, d) =>
+      Journey.activeUsers(Tables.events(s, d), ActiveDays)),
+    // Same planted hot key as q_skew_salted — the detector that says
+    // the mitigation is needed.
+    "q_skew_report" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        when(col("event_id") % 2 === 0, lit(0L))
+          .otherwise(col("user_id").cast("long")).as("hot_key"))
+      Skew.skewReport(ev, "hot_key", SkewTopN)
+    }),
   )
 
   /** Shared CTE chain for the repetition oracles: lines + bigrams,
@@ -1930,5 +1946,24 @@ object SparkEntry {
           SELECT event_type, n_rows, ps[1] / 100.0 AS p25,
             ps[2] / 100.0 AS p50, ps[3] / 100.0 AS p75
           FROM q ORDER BY event_type""",
+    "q_active_users" ->
+      s"""WITH uw AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+          dau AS (SELECT day, count(*) AS dau FROM uw GROUP BY 1),
+          ex AS (SELECT DISTINCT user_id, day + CAST(x AS INTEGER) AS day2
+            FROM uw, range(0, $ActiveDays) t(x)),
+          wau AS (SELECT day2 AS day, count(*) AS active_${ActiveDays}d
+            FROM ex GROUP BY 1)
+          SELECT d.day, d.dau, w.active_${ActiveDays}d
+          FROM dau d JOIN wau w USING (day) ORDER BY day""",
+    "q_skew_report" ->
+      s"""WITH h AS (SELECT CASE WHEN event_id % 2 = 0 THEN 0
+            ELSE user_id END AS hot_key FROM events),
+          t AS (SELECT count(*) AS n_total FROM h),
+          g AS (SELECT hot_key, count(*) AS n_rows FROM h GROUP BY 1)
+          SELECT hot_key, n_rows, n_total,
+            CAST(n_rows AS DOUBLE) / n_total AS share
+          FROM g CROSS JOIN t ORDER BY n_rows DESC, hot_key
+          LIMIT $SkewTopN""",
   )
 }

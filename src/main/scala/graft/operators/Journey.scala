@@ -50,6 +50,32 @@ object Journey {
       .orderBy(col("cohort_week"), col("week_ix"))
   }
 
+  /** Daily + trailing-window active users (the DAU/WAU pair): for each
+    * calendar day with activity, the distinct users active THAT day
+    * and the distinct users active in the `windowDays`-day window
+    * ENDING that day. Exact sliding-window distinct — the one metric a
+    * plain windowed sum cannot give (users active on several days must
+    * count once) — via the standard contribute-forward expansion: the
+    * deduped (user, day) frame fans each row out to the `windowDays`
+    * target days it contributes to, and a second dedup+count lands the
+    * window total. Cost is windowDays × |deduped user-days| — the
+    * expansion multiplies the DEDUPED frame (bounded by users ×
+    * calendar), never the raw event volume, and both dedups are
+    * map-side-combining hash aggregates on (user, day). The HLL
+    * alternative (approxReach) trades exactness for a merge; this is
+    * the exact path a product-metrics pipeline publishes. */
+  def activeUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val uw = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = uw.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = uw
+      .select(col("user_id"), explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as(s"active_${windowDays}d"))
+    dau.join(wau, Seq("day")).orderBy(col("day"))
+  }
+
   /** Ordered conversion funnel: a user completes stage i at the
     * earliest event of type `stages(i)` AT OR AFTER their stage-(i−1)
     * completion time (stage 0 is the earliest event of its type). Emits

@@ -25,4 +25,26 @@ object Skew {
       .groupBy(keyCols: _*)
       .agg(sum(col("_partial")).as(s"sum_$valueCol"))
   }
+
+  /** Skew detector — the diagnostic that says WHETHER [[saltedSum]] /
+    * AQE skew handling is needed on a key column before a 100 TB job
+    * discovers it the hard way: the `topN` heaviest key values with
+    * row counts and share of the table. Runs as one map-side-combine
+    * hash aggregate (partial counts collapse hot keys per partition,
+    * so the shuffle carries ≤ distinct-keys rows), the table total as
+    * a broadcast 1-row frame (never a window over the corpus-sized
+    * key-count frame), and a TakeOrderedAndProject top-N (per-partition
+    * heaps, no global sort). A share near 1/shuffle-partitions on
+    * rank 1 means a straggler reducer; near 1.0 means a degenerate
+    * key (the planted q_skew_report hot key holds ~half the table). */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    val total = df.agg(count(lit(1)).as("n_total"))
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(total))
+      .withColumn("share", col("n_rows").cast("double") / col("n_total"))
+      .select(col(keyCol), col("n_rows"), col("n_total"), col("share"))
+      .orderBy(col("n_rows").desc, col(keyCol))
+      .limit(topN)
+  }
 }

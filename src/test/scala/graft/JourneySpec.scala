@@ -80,4 +80,22 @@ class JourneySpec extends SparkSpec {
     assert(out("a").getLong(6) == 12)
     assert(out("b").getLong(2) == 1 && out("b").getLong(3) == 1)
   }
+
+  test("activeUsers counts each user once per trailing window") {
+    // u1 active days 1 and 2 (counts once in any window holding both);
+    // u2 active day 1 only; u3 active day 9 (outside day 1's window)
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 11:00:00", "view"), // same user+day dedups
+      (1L, "2024-01-02 10:00:00", "view"),
+      (2L, "2024-01-01 10:00:00", "view"),
+      (3L, "2024-01-09 10:00:00", "view"))
+    val out = Journey.activeUsers(e, 7).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("2024-01-01") == ((2L, 2L)))
+    assert(out("2024-01-02") == ((1L, 2L)), "u1 counted once in the window")
+    assert(out("2024-01-09") == ((1L, 1L)),
+      "day-1 users aged out of the 7-day window")
+    assert(out.size == 3, "only days with own-day activity emit")
+  }
 }

@@ -88,4 +88,16 @@ class MetricsSpec extends SparkSpec {
     assert(g("b")._2.isEmpty)   // no adserver rows
     assert(g("c")._1.isEmpty)   // no log rows
   }
+
+  test("skewReport surfaces the hot key with its share") {
+    import graft.operators.Skew
+    val df = (1L to 90L).map(i => ("hot", i)).toDF("k", "v")
+      .unionAll((1L to 10L).map(i => (s"k$i", i)).toDF("k", "v"))
+    val out = Skew.skewReport(df, "k", 3).collect()
+    assert(out.length == 3)
+    assert(out.head.getString(0) == "hot" && out.head.getLong(1) == 90L)
+    assert(out.head.getLong(2) == 100L && out.head.getDouble(3) == 0.9)
+    // deterministic tiebreak among the singleton keys
+    assert(out.drop(1).map(_.getString(0)).toSeq == Seq("k1", "k10"))
+  }
 }
