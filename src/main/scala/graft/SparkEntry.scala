@@ -136,6 +136,16 @@ object SparkEntry {
   /** q_active_users: trailing active-user window (the WAU leg). */
   private val ActiveDays = 7
 
+  /** q_table_diff / q_scd_merge planted snapshot deltas: keys %
+    * ChangeMod change an attribute, % DropMod vanish (diff only),
+    * % NewMod reappear shifted by NewKeyOffset as brand-new keys.
+    * Non-trivial added/removed/changed/closed populations at every
+    * SF. */
+  private val ChangeMod = 9
+  private val DropMod = 13
+  private val NewMod = 17
+  private val NewKeyOffset = 1000000L
+
   /** q_skew_report: heaviest keys listed. */
   private val SkewTopN = 10
 
@@ -630,6 +640,35 @@ object SparkEntry {
         when(col("event_id") % 2 === 0, lit(0L))
           .otherwise(col("user_id").cast("long")).as("hot_key"))
       Skew.skewReport(ev, "hot_key", SkewTopN)
+    }),
+    "q_dedup_best" -> ((s, d) =>
+      TextAnalysis.exactDedupBest(Tables.documents(s, d))),
+    "q_table_diff" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val after = cust.where(col("c_custkey") % DropMod =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % ChangeMod === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(cust.where(col("c_custkey") % NewMod === 0)
+          .withColumn("c_custkey", col("c_custkey") + NewKeyOffset))
+      DataChecks.tableDiff(cust, after, "c_custkey",
+        Seq("c_name", "c_acctbal"))
+    }),
+    "q_scd_merge" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val current = cust
+        .withColumn("effective_from", lit("2024-01-01").cast("date"))
+        .withColumn("effective_to", lit(null).cast("date"))
+      val updates = cust.where(col("c_custkey") % ChangeMod === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .unionByName(cust.where(col("c_custkey") % ChangeMod === 1))
+        .unionByName(cust.where(col("c_custkey") % NewMod === 0)
+          .withColumn("c_custkey", col("c_custkey") + NewKeyOffset))
+        .withColumn("eff", lit("2024-06-01").cast("date"))
+      Scd.merge2(current, updates, "c_custkey",
+        Seq("c_name", "c_acctbal"), "eff")
     }),
   )
 
@@ -1965,5 +2004,68 @@ object SparkEntry {
             CAST(n_rows AS DOUBLE) / n_total AS share
           FROM g CROSS JOIN t ORDER BY n_rows DESC, hot_key
           LIMIT $SkewTopN""",
+    "q_dedup_best" ->
+      s"""WITH $QualityScoreCtes,
+          f AS (SELECT doc_id, md5($NormSql) AS fingerprint FROM documents),
+          j AS (SELECT f.doc_id, f.fingerprint, qsc.quality_score
+            FROM f JOIN qsc USING (doc_id)),
+          w AS (SELECT *, first_value(doc_id) OVER (PARTITION BY fingerprint
+            ORDER BY quality_score DESC NULLS LAST, doc_id) AS rep_id FROM j)
+          SELECT doc_id, fingerprint, quality_score, rep_id,
+            CASE WHEN doc_id <> rep_id THEN 1 ELSE 0 END AS is_dup
+          FROM w ORDER BY doc_id""",
+    "q_table_diff" ->
+      s"""WITH cust AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+          aft AS (SELECT c_custkey, c_name,
+              CASE WHEN c_custkey % $ChangeMod = 0 THEN c_acctbal + 100.0
+                   ELSE c_acctbal END AS c_acctbal
+            FROM cust WHERE c_custkey % $DropMod <> 0
+            UNION ALL
+            SELECT c_custkey + $NewKeyOffset, c_name, c_acctbal FROM cust
+            WHERE c_custkey % $NewMod = 0),
+          j AS (SELECT o.c_custkey AS ok, a.c_custkey AS nk,
+              o.c_name AS onm, o.c_acctbal AS ob,
+              a.c_name AS nnm, a.c_acctbal AS nb
+            FROM cust o FULL OUTER JOIN aft a
+              ON o.c_custkey = a.c_custkey),
+          st AS (SELECT *,
+            CASE WHEN ok IS NULL THEN 'added'
+                 WHEN nk IS NULL THEN 'removed'
+                 WHEN (onm IS DISTINCT FROM nnm) OR
+                      (ob IS DISTINCT FROM nb) THEN 'changed'
+                 ELSE 'unchanged' END AS status FROM j)
+          SELECT coalesce(ok, nk) AS c_custkey, status,
+            CASE WHEN status = 'changed' THEN concat_ws(',',
+              CASE WHEN onm IS DISTINCT FROM nnm THEN 'c_name' END,
+              CASE WHEN ob IS DISTINCT FROM nb THEN 'c_acctbal' END)
+            END AS changed_cols
+          FROM st WHERE status <> 'unchanged' ORDER BY c_custkey""",
+    "q_scd_merge" ->
+      s"""WITH cust AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+          up AS (SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+            FROM cust WHERE c_custkey % $ChangeMod = 0
+            UNION ALL
+            SELECT c_custkey, c_name, c_acctbal FROM cust
+            WHERE c_custkey % $ChangeMod = 1
+            UNION ALL
+            SELECT c_custkey + $NewKeyOffset, c_name, c_acctbal FROM cust
+            WHERE c_custkey % $NewMod = 0),
+          j AS (SELECT o.c_custkey AS ok, o.c_name AS onm,
+              o.c_acctbal AS ob, u.c_custkey AS uk, u.c_name AS unm,
+              u.c_acctbal AS ub
+            FROM cust o FULL OUTER JOIN up u ON o.c_custkey = u.c_custkey),
+          df AS (SELECT *, (onm IS DISTINCT FROM unm) OR
+              (ob IS DISTINCT FROM ub) AS d FROM j)
+          SELECT ok AS c_custkey, onm AS c_name, ob AS c_acctbal,
+            DATE '2024-01-01' AS effective_from,
+            CAST(NULL AS DATE) AS effective_to
+          FROM df WHERE ok IS NOT NULL AND (uk IS NULL OR NOT d)
+          UNION ALL
+          SELECT ok, onm, ob, DATE '2024-01-01', DATE '2024-06-01'
+          FROM df WHERE ok IS NOT NULL AND uk IS NOT NULL AND d
+          UNION ALL
+          SELECT uk, unm, ub, DATE '2024-06-01', CAST(NULL AS DATE)
+          FROM df WHERE uk IS NOT NULL AND (ok IS NULL OR d)
+          ORDER BY c_custkey, effective_from""",
   )
 }

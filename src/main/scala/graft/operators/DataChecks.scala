@@ -277,6 +277,39 @@ object DataChecks {
       .orderBy(col(dim))
   }
 
+  /** Row-level diff between two keyed snapshots: per key, whether the
+    * row was `added`, `removed`, or `changed` (with the comma-joined
+    * names of the columns that differ — NULL-safe comparison, so a
+    * NULL→value flip counts as a change, not a crash). Unchanged rows
+    * are NOT emitted: at 100 TB the diff is the small artifact, the
+    * snapshots are the big ones. The reconciliation QA behind
+    * "yesterday's dim table vs today's" — [[distributionDrift]] says
+    * the mix moved, this says which rows. One full-outer shuffle join
+    * on the key; the status/changed-cols logic is row-local. Callers
+    * must pass key-unique snapshots (dimension contract). */
+  def tableDiff(before: DataFrame, after: DataFrame, key: String,
+                cols: Seq[String]): DataFrame = {
+    val o = before.select((key +: cols).map(c => col(c).as(s"o_$c")): _*)
+    val n = after.select((key +: cols).map(c => col(c).as(s"n_$c")): _*)
+    val anyDiff = cols.map(c => !(col(s"o_$c") <=> col(s"n_$c")))
+      .reduce(_ || _)
+    val diffNames = cols.map(c =>
+      when(!(col(s"o_$c") <=> col(s"n_$c")), lit(c)))
+    o.join(n, col(s"o_$key") <=> col(s"n_$key"), "full_outer")
+      .withColumn("status",
+        when(col(s"o_$key").isNull, lit("added"))
+          .when(col(s"n_$key").isNull, lit("removed"))
+          .when(anyDiff, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .where(col("status") =!= "unchanged")
+      .withColumn("changed_cols",
+        when(col("status") === "changed",
+          concat_ws(",", diffNames: _*)))
+      .select(coalesce(col(s"o_$key"), col(s"n_$key")).as(key),
+        col("status"), col("changed_cols"))
+      .orderBy(col(key))
+  }
+
   def profile(df: DataFrame, numCols: Seq[String],
               strCols: Seq[String]): DataFrame = {
     requireColumns(df, numCols ++ strCols, "profile")

@@ -363,4 +363,26 @@ object TextAnalysis {
       .withColumn("is_dup", (col("doc_id") =!= col("rep_id")).cast("int"))
       .orderBy(col("doc_id"))
   }
+
+  /** Exact dedup with best-copy survivor selection: the duplicate
+    * group's representative is its highest-QUALITY member
+    * (quality_score desc, doc_id tiebreak) instead of [[exactDedup]]'s
+    * min-id — the policy a curation pipeline actually wants when
+    * differently-mangled copies of a page collide: keep the cleanest
+    * one, not the lowest id. Fingerprint and score are computed in the
+    * SAME row-local projection chain (no join), so the plan is still
+    * exactly one hash shuffle on the fingerprint; the representative
+    * is a running first_value over the (score, id)-ordered group. */
+  def exactDedupBest(docs: DataFrame): DataFrame = {
+    val scored = qualityFrame(
+      docs.withColumn("fingerprint", md5(normText(col("text")))),
+      passthrough = Seq("fingerprint"))
+      .select(col("doc_id"), col("fingerprint"), col("quality_score"))
+    val w = Window.partitionBy(col("fingerprint"))
+      .orderBy(col("quality_score").desc_nulls_last, col("doc_id"))
+    scored
+      .withColumn("rep_id", first(col("doc_id")).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("rep_id")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -222,4 +222,48 @@ class DataChecksSpec extends SparkSpec {
     assert(r.getDouble(2) == 1.75 && r.getDouble(3) == 2.5 &&
       r.getDouble(4) == 3.25)
   }
+
+  test("tableDiff classifies added/removed/changed with column names") {
+    import spark.implicits._
+    val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, null.asInstanceOf[String], 40.0)).toDF("k", "name", "bal")
+    val after = Seq((1L, "a", 10.0), (2L, "b2", 21.0),
+      (4L, "now-set", 40.0), (5L, "new", 50.0)).toDF("k", "name", "bal")
+    val out = DataChecks.tableDiff(before, after, "k", Seq("name", "bal"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(out.size == 4, "unchanged row 1 not emitted")
+    assert(out(2L) == (("changed", "name,bal")))
+    assert(out(3L)._1 == "removed" && out(3L)._2 == null)
+    assert(out(4L) == (("changed", "name")), "NULL -> value is a change")
+    assert(out(5L)._1 == "added")
+  }
+
+  test("scd merge2 closes changed rows, passes no-ops and history") {
+    import spark.implicits._
+    import graft.operators.Scd
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val current = Seq(
+      // history row: must pass through untouched
+      (1L, "old-name", d("2023-01-01"), d("2023-06-01")),
+      (1L, "k1-v2", d("2023-06-01"), null.asInstanceOf[java.sql.Date]),
+      (2L, "k2-v1", d("2023-01-01"), null.asInstanceOf[java.sql.Date]),
+      (3L, "k3-v1", d("2023-01-01"), null.asInstanceOf[java.sql.Date]))
+      .toDF("k", "name", "effective_from", "effective_to")
+    val updates = Seq(
+      (1L, "k1-v3", d("2024-01-01")),  // differs -> close + open
+      (2L, "k2-v1", d("2024-01-01")),  // identical -> no-op
+      (9L, "k9-v1", d("2024-01-01"))) // new key -> open
+      .toDF("k", "name", "eff")
+    val out = Scd.merge2(current, updates, "k", Seq("name"), "eff")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        String.valueOf(r.getDate(2)), String.valueOf(r.getDate(3))))
+    assert(out.toSet == Set(
+      (1L, "old-name", "2023-01-01", "2023-06-01"),
+      (1L, "k1-v2", "2023-06-01", "2024-01-01"),
+      (1L, "k1-v3", "2024-01-01", "null"),
+      (2L, "k2-v1", "2023-01-01", "null"),
+      (3L, "k3-v1", "2023-01-01", "null"),
+      (9L, "k9-v1", "2024-01-01", "null")))
+  }
 }

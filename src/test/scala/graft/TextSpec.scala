@@ -172,4 +172,23 @@ class TextSpec extends SparkSpec {
       Seq("rare", "common"), 1).collect()
     assert(both.head.getLong(0) == 5L && both.head.getLong(1) == 2L)
   }
+
+  test("exactDedupBest keeps the cleanest copy, not the lowest id") {
+    import graft.operators.TextAnalysis
+    // doc 2 normalizes identically to doc 1 but is cleaner raw text
+    // (no punctuation noise -> higher alpha_ratio/quality), so it wins
+    // the group despite the higher id; doc 3 is its own group
+    val df = Seq(
+      (1L, "the cat!!! sat??? on... the mat!!!"),
+      (2L, "the cat sat on the mat"),
+      (3L, "something else entirely"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.exactDedupBest(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == out(2L).getString(1), "same fingerprint")
+    assert(out(1L).getLong(3) == 2L && out(1L).getInt(4) == 1,
+      "noisy copy marked dup of the clean one")
+    assert(out(2L).getLong(3) == 2L && out(2L).getInt(4) == 0)
+    assert(out(3L).getInt(4) == 0)
+  }
 }
