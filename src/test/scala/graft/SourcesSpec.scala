@@ -89,4 +89,22 @@ class SourcesSpec extends SparkSpec {
     assert(m(101L) == (("type", 1L)))      // matched: normalized ka key
     assert(m(199L) == (("partid", 199L)))  // unmatched: falls back to dim/id
   }
+
+  test("compact rewrites a fragmented directory into few files, same rows") {
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // 40 tiny files
+    spark.range(0, 4000).selectExpr("id", "id * 2 AS v")
+      .repartition(40).write.mode("overwrite").parquet(dir)
+    def files = new java.io.File(dir).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files >= 40)
+    val n = Sources.compact(spark, dir, targetFileMB = 128)
+    assert(n == 1 && files == 1, "tiny table compacts to one file")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0)
+      == 2L * 4000 * 3999 / 2)
+    assert(!new java.io.File(dir + "._compact_tmp").exists, "tmp dir swapped away")
+  }
 }
