@@ -50,7 +50,7 @@ object Scd {
         (col(s"u_$key").isNull || !differs))
       .select(col(s"o_$key").as(key) +: attrs.map(a => col(s"o_$a").as(a))
         :+ col(s"o_effective_from").as("effective_from")
-        :+ lit(null).cast(open.schema("effective_from").dataType)
+        :+ lit(null).cast(open.schema("effective_to").dataType)
           .as("effective_to"): _*)
     val closed = j
       .where(col(s"o_$key").isNotNull && col(s"u_$key").isNotNull && differs)
@@ -62,7 +62,7 @@ object Scd {
         (col(s"o_$key").isNull || differs))
       .select(col(s"u_$key").as(key) +: attrs.map(a => col(s"u_$a").as(a))
         :+ col(s"u_$effCol").as("effective_from")
-        :+ lit(null).cast(open.schema("effective_from").dataType)
+        :+ lit(null).cast(open.schema("effective_to").dataType)
           .as("effective_to"): _*)
     hist.unionByName(keepOpen).unionByName(closed).unionByName(opened)
       .orderBy(col(key), col("effective_from"))

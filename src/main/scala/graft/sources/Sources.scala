@@ -39,7 +39,11 @@ object Sources {
     * the rewrite is one coalesce — no shuffle, each output task
     * concatenates whole input splits — and lands in a temp dir first
     * so a mid-rewrite crash never destroys the source (the swap is
-    * the only non-atomic step, flagged in the scaladoc of the return).
+    * the only non-atomic step — on rename-as-copy object stores run
+    * compaction against a snapshot/staging prefix instead). FLAT
+    * directories only: reading a hive-partitioned tree would lift the
+    * partition columns into the data and write them back flattened —
+    * compact each leaf partition directory instead.
     * Returns the output file count. */
   def compact(spark: SparkSession, dir: String,
               targetFileMB: Int = 128): Int = {

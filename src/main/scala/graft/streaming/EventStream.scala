@@ -202,7 +202,8 @@ object EventStream {
   }
 
   case class DayBucket(day: Long, n: Long)
-  case class AnomalyState(pending: Map[Long, Long], closed: Seq[DayBucket])
+  case class AnomalyState(pending: Map[Long, Long], closed: Seq[DayBucket],
+                          frontier: Long)
   case class DailyAnomaly(event_type: String, day_num: Long, n_events: Long,
                           base_days: Long, base_sum: Long,
                           is_anomaly: Boolean)
@@ -232,11 +233,17 @@ object EventStream {
       .flatMapGroupsWithState[AnomalyState, DailyAnomaly](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (etype, rows, state: GroupState[AnomalyState]) =>
-          val st = state.getOption.getOrElse(AnomalyState(Map.empty, Nil))
+          val st = state.getOption.getOrElse(
+            AnomalyState(Map.empty, Nil, Long.MinValue))
           var pending = st.pending
           rows.foreach { e =>
             val d = Math.floorDiv(e.ts.getTime, dayMs)
-            pending = pending.updated(d, pending.getOrElse(d, 0L) + 1L)
+            // flatMapGroupsWithState does NOT filter watermark-late
+            // input — without the frontier guard a straggler for an
+            // already-emitted day would re-open it and emit the day a
+            // second time with a partial count
+            if (d > st.frontier)
+              pending = pending.updated(d, pending.getOrElse(d, 0L) + 1L)
           }
           val wm = state.getCurrentWatermarkMs()
           val (done, open) =
@@ -259,8 +266,10 @@ object EventStream {
               .filter(_.day > d - windowDays)
             DailyAnomaly(etype, d, x, bn, bs, flag)
           }
+          val frontier =
+            if (done.isEmpty) st.frontier else done.keys.max
           if (open.nonEmpty || closed.nonEmpty) {
-            state.update(AnomalyState(open, closed))
+            state.update(AnomalyState(open, closed, frontier))
             // wake when the earliest open day can finalize (strictly
             // past the current watermark by the partition above)
             if (open.nonEmpty)

@@ -171,7 +171,14 @@ class StreamingSpec extends SparkSpec {
       .start()
     mem.addData(Event(99, ts("2024-01-12 00:00:00"), "t", 0.0))
     q.processAllAvailable()
+    // a straggler for the already-finalized day 10 must NOT re-open
+    // and re-emit it (flatMapGroupsWithState delivers late rows)
+    mem.addData(Event(98, ts("2024-01-10 06:00:00"), "t", 0.0))
+    mem.addData(Event(97, ts("2024-01-12 01:00:00"), "t", 0.0))
+    q.processAllAvailable()
     q.stop()
+    assert(spark.table("anom").groupBy("day_num").count()
+      .where(col("count") > 1).count() == 0, "no day emitted twice")
     val streamed = spark.table("anom").collect()
       .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4),
         r.getBoolean(5))).toMap
