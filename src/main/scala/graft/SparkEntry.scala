@@ -136,6 +136,10 @@ object SparkEntry {
   /** q_active_users: trailing active-user window (the WAU leg). */
   private val ActiveDays = 7
 
+  /** q_sample_fixed: docs kept per stratum — binds (strata are larger)
+    * at every SF. */
+  private val FixedPerStratum = 30
+
   /** q_table_diff / q_scd_merge planted snapshot deltas: keys %
     * ChangeMod change an attribute, % DropMod vanish (diff only),
     * % NewMod reappear shifted by NewKeyOffset as brand-new keys.
@@ -670,6 +674,14 @@ object SparkEntry {
       Scd.merge2(current, updates, "c_custkey",
         Seq("c_name", "c_acctbal"), "eff")
     }),
+    "q_langid_eval" -> ((s, d) =>
+      TextAnalysis.langIdEval(Tables.documents(s, d))),
+    "q_sample_fixed" -> ((s, d) =>
+      Curation.fixedSample(Tables.documents(s, d), FixedPerStratum)),
+    "q_cluster_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      NearDup.clusterBest(docs, NearDup.minhashPairs(docs))
+    }),
   )
 
   /** Shared CTE chain for the repetition oracles: lines + bigrams,
@@ -847,6 +859,41 @@ object SparkEntry {
             nullif(n_tokens, 0) AS epochs
         FROM x ORDER BY source"""
   }
+
+  /** Oracle of TextAnalysis.languageId — shared by q_lang_id and the
+    * q_langid_eval confusion matrix. */
+  private lazy val LangIdSql = s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+          sc AS (SELECT doc_id, lang,
+            CAST(len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS INTEGER) AS s_de,
+            CAST(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','is'], t))) AS INTEGER) AS s_en,
+            CAST(len(list_filter(toks, t -> list_contains(['el','los','las','y','es','no'], t))) AS INTEGER) AS s_es,
+            CAST(len(list_filter(toks, t -> list_contains(['le','la','et','les','est','pas'], t))) AS INTEGER) AS s_fr,
+            CAST(len(list_filter(toks, t -> list_contains(['de','shi','le','bu','wo','zai'], t))) AS INTEGER) AS s_zh
+          FROM t),
+          m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM sc)
+          SELECT doc_id, lang,
+            CASE WHEN mx > 0 AND s_de = mx THEN 'de'
+                 WHEN mx > 0 AND s_en = mx THEN 'en'
+                 WHEN mx > 0 AND s_es = mx THEN 'es'
+                 WHEN mx > 0 AND s_fr = mx THEN 'fr'
+                 WHEN mx > 0 AND s_zh = mx THEN 'zh'
+                 ELSE 'unknown' END AS lang_pred,
+            s_de, s_en, s_es, s_fr, s_zh
+          FROM m ORDER BY doc_id"""
+
+  /** Min-label connected-components CTE chain over the minhash-verified
+    * edge set (expects `ver` in scope, yields `lab`/`sz`) — shared by
+    * q_dedup_clusters and q_cluster_best. */
+  private lazy val ClusterCtes =
+    """edges AS (SELECT d1, d2 FROM ver UNION ALL SELECT d2, d1 FROM ver),
+       reach AS (
+         SELECT doc_id, doc_id AS r FROM documents
+         UNION
+         SELECT e.d2 AS doc_id, reach.r FROM reach
+         JOIN edges e ON e.d1 = reach.doc_id),
+       lab AS (SELECT doc_id, min(r) AS rep_id FROM reach GROUP BY doc_id),
+       sz AS (SELECT rep_id, count(*) AS cluster_size FROM lab
+         GROUP BY rep_id)"""
 
   /** Oracle of VectorSearch.cosineNearDup at 0.4 — shared by
     * q_embed_neardup and the q_dedup_recall exact leg. */
@@ -1275,25 +1322,7 @@ object SparkEntry {
          FROM ka2 RIGHT JOIN dm ON dm.dimension = ka2.id_type
            AND dm.label = ka2.id_value AND dm.etype = ka2.etype2
          ORDER BY id, val_id""",
-    "q_lang_id" ->
-      s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
-          sc AS (SELECT doc_id, lang,
-            CAST(len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS INTEGER) AS s_de,
-            CAST(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','is'], t))) AS INTEGER) AS s_en,
-            CAST(len(list_filter(toks, t -> list_contains(['el','los','las','y','es','no'], t))) AS INTEGER) AS s_es,
-            CAST(len(list_filter(toks, t -> list_contains(['le','la','et','les','est','pas'], t))) AS INTEGER) AS s_fr,
-            CAST(len(list_filter(toks, t -> list_contains(['de','shi','le','bu','wo','zai'], t))) AS INTEGER) AS s_zh
-          FROM t),
-          m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM sc)
-          SELECT doc_id, lang,
-            CASE WHEN mx > 0 AND s_de = mx THEN 'de'
-                 WHEN mx > 0 AND s_en = mx THEN 'en'
-                 WHEN mx > 0 AND s_es = mx THEN 'es'
-                 WHEN mx > 0 AND s_fr = mx THEN 'fr'
-                 WHEN mx > 0 AND s_zh = mx THEN 'zh'
-                 ELSE 'unknown' END AS lang_pred,
-            s_de, s_en, s_es, s_fr, s_zh
-          FROM m ORDER BY doc_id""",
+    "q_lang_id" -> LangIdSql,
     "q_text_quality" ->
       s"""WITH $QualityScoreCtes
           SELECT doc_id, text_len, token_cnt, stop_hits, alpha_ratio,
@@ -1520,14 +1549,7 @@ object SparkEntry {
           GROUP BY d.doc_id ORDER BY d.doc_id""",
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $MinhashVerCtes,
-          edges AS (SELECT d1, d2 FROM ver UNION ALL SELECT d2, d1 FROM ver),
-          reach AS (
-            SELECT doc_id, doc_id AS r FROM documents
-            UNION
-            SELECT e.d2 AS doc_id, reach.r FROM reach
-            JOIN edges e ON e.d1 = reach.doc_id),
-          lab AS (SELECT doc_id, min(r) AS rep_id FROM reach GROUP BY doc_id),
-          sz AS (SELECT rep_id, count(*) AS cluster_size FROM lab GROUP BY rep_id)
+          $ClusterCtes
           SELECT lab.doc_id, lab.rep_id, sz.cluster_size
           FROM lab JOIN sz USING (rep_id) ORDER BY lab.doc_id""",
     "q_simhash" ->
@@ -2067,5 +2089,34 @@ object SparkEntry {
           SELECT uk, unm, ub, DATE '2024-06-01', CAST(NULL AS DATE)
           FROM df WHERE uk IS NOT NULL AND (ok IS NULL OR d)
           ORDER BY c_custkey, effective_from""",
+    "q_langid_eval" ->
+      s"""WITH p AS ($LangIdSql),
+          g AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2)
+          SELECT lang, lang_pred, n,
+            CAST(n AS DOUBLE) /
+              CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT)
+              AS share_of_lang
+          FROM g ORDER BY lang, lang_pred""",
+    "q_sample_fixed" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+            md5(CAST(doc_id AS VARCHAR) || ':fix') AS h FROM documents),
+          r AS (SELECT doc_id, lang,
+            CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY h, doc_id) AS INTEGER) AS rk FROM h)
+          SELECT doc_id, lang, rk FROM r WHERE rk <= $FixedPerStratum
+          ORDER BY lang, rk""",
+    "q_cluster_best" ->
+      s"""WITH RECURSIVE $MinhashVerCtes,
+          $ClusterCtes,
+          $QualityScoreCtes,
+          cb AS (SELECT lab.doc_id, lab.rep_id, sz.cluster_size,
+              qsc.quality_score
+            FROM lab JOIN sz USING (rep_id) JOIN qsc USING (doc_id)),
+          wv AS (SELECT *, first_value(doc_id) OVER (PARTITION BY rep_id
+            ORDER BY quality_score DESC NULLS LAST, doc_id) AS best_id
+            FROM cb)
+          SELECT doc_id, rep_id, cluster_size, quality_score, best_id,
+            CASE WHEN doc_id <> best_id THEN 1 ELSE 0 END AS is_dup
+          FROM wv ORDER BY doc_id""",
   )
 }

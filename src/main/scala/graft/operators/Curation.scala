@@ -226,6 +226,33 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Fixed-SIZE deterministic sample: the `perStratum` docs of each
+    * stratum with the smallest salted md5 hash (doc_id tiebreak) — the
+    * fixed-budget complement of the rate-based [[stratifiedSample]]
+    * ("give me exactly 1000 docs per language for the eval set").
+    * Hash-ordered selection is rerun-stable the way rand() ordering is
+    * not, but unlike the rate filter it is NOT growth-stable: new docs
+    * can hash under the cut and displace old members (a fixed-size
+    * sample of a grown corpus must change — that is the contract).
+    * The within-stratum rank is a window sort: strata process in
+    * parallel, one reducer per stratum — exact fixed-size selection
+    * needs the per-stratum order. For corpus-sized strata either use
+    * the rate-based sampler or pre-filter with a generous rate and
+    * rank the survivors. */
+  def fixedSample(docs: DataFrame, perStratum: Int,
+                  strataCol: String = "lang"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col(strataCol),
+        md5(concat(col("doc_id").cast("string"), lit(":fix"))).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= perStratum)
+      .select(col("doc_id"), col(strataCol), col("rk"))
+      .orderBy(col(strataCol), col("rk"))
+  }
+
   /** Materialize a [[mixturePlan]] into an upsampled training
     * manifest: one output row per (doc, copy). A source with epochs
     * 3.2 repeats every doc 3 times and gives a deterministic 20% of

@@ -525,6 +525,31 @@ object NearDup {
       .orderBy(col("doc_id"))
   }
 
+  /** Best-copy survivors over transitive near-dup clusters: each
+    * [[dedupClusters]] component keeps its highest-QUALITY member
+    * (quality_score desc, doc_id tiebreak) instead of the min-label
+    * representative — [[TextAnalysis.exactDedupBest]]'s survivor
+    * policy lifted from exact-duplicate groups to near-dup components,
+    * which is where it matters most: the members of a near-dup cluster
+    * genuinely differ, so WHICH copy survives changes the corpus. Adds
+    * one row-local scoring pass and one component-keyed window on top
+    * of the clustering; components are near-dup groups (small by
+    * construction), so the per-component sort is bounded. */
+  def clusterBest(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val clusters = dedupClusters(docs, edges)
+    val scored = TextAnalysis.qualityFrame(docs, Nil)
+      .select(col("doc_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rep_id"))
+      .orderBy(col("quality_score").desc_nulls_last, col("doc_id"))
+    clusters.join(scored, "doc_id")
+      .withColumn("best_id", first(col("doc_id")).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("best_id")).cast("int"))
+      .select(col("doc_id"), col("rep_id"), col("cluster_size"),
+        col("quality_score"), col("best_id"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash: 40-bit fingerprint from the portable rolling hash — per
     * token, each bit contributes ±1; fingerprint bit j is the sign of
     * the sum. Emits (doc_id, simhash, b0..b3 10-bit band keys) for

@@ -364,6 +364,26 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID accuracy evaluation: the confusion matrix of
+    * [[languageId]]'s prediction against the labeled `lang` column —
+    * per (actual, predicted) pair the doc count and the share of the
+    * actual language's docs (the per-class recall diagonal). The
+    * "measure, don't guess" harness for the classifier: a heuristic
+    * whose accuracy nobody measured is a silent corpus-mix bug at
+    * 100 TB, and this query makes a regression a visible gate event.
+    * One row-local scoring pass + one hash aggregate on the
+    * (languages × languages)-bounded pair; the share window runs over
+    * that tiny frame. */
+  def langIdEval(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+    languageId(docs)
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_of_lang",
+        col("n").cast("double") / sum(col("n")).over(w))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
   /** Exact dedup with best-copy survivor selection: the duplicate
     * group's representative is its highest-QUALITY member
     * (quality_score desc, doc_id tiebreak) instead of [[exactDedup]]'s

@@ -252,4 +252,19 @@ class CurationSpec extends SparkSpec {
     assert(down.groupBy(_.getLong(0)).values.forall(_.length == 1))
     assert(down.length < 20 && down.nonEmpty)
   }
+
+  test("fixedSample takes exactly N per stratum, hash-deterministic") {
+    val df = ((1L to 20L).map(i => (i, "en")) ++ (21L to 25L).map(i => (i, "fr")))
+      .toDF("doc_id", "lang")
+    val out = Curation.fixedSample(df, 8, "lang").collect()
+    val bySt = out.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(bySt("en").size == 8, "binds on the large stratum")
+    assert(bySt("fr") == (21L to 25L).toSet, "short stratum kept whole")
+    // rerun-stable: same selection both times
+    assert(Curation.fixedSample(df, 8, "lang").collect()
+      .map(_.getLong(0)).toSet == out.map(_.getLong(0)).toSet)
+    // ranks enumerate 1..N within each stratum
+    assert(out.filter(_.getString(1) == "en").map(_.getInt(2)).sorted.toSeq
+      == (1 to 8))
+  }
 }

@@ -269,4 +269,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0)
     assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
   }
+
+  test("clusterBest keeps the cleanest member of a near-dup chain") {
+    import graft.operators.NearDup
+    // docs 1-2 near-identical; doc 2 is noisier raw text (lower
+    // quality), doc 1 cleaner — but give doc 3 the chain link so the
+    // min-label rep and the best-quality member can differ
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (5L, base + " tail"),
+      (9L, base.toUpperCase + "!!! ??? !!!"),  // same shingles post-norm, noisy
+      (7L, "completely different content here entirely"))
+      .toDF("doc_id", "text")
+    val out = NearDup.clusterBest(df, NearDup.minhashPairs(df))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(5L).getLong(1) == 5L && out(9L).getLong(1) == 5L,
+      "min-label rep")
+    assert(out(5L).getLong(4) == 5L && out(9L).getLong(4) == 5L,
+      "doc 5 is both rep and best (cleaner text)")
+    assert(out(9L).getInt(5) == 1 && out(5L).getInt(5) == 0)
+    assert(out(7L).getInt(5) == 0 && out(7L).getLong(2) == 1L)
+  }
 }

@@ -191,4 +191,20 @@ class TextSpec extends SparkSpec {
     assert(out(2L).getLong(3) == 2L && out(2L).getInt(4) == 0)
     assert(out(3L).getInt(4) == 0)
   }
+
+  test("langIdEval builds the confusion matrix with per-class shares") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "the cat and the dog is a pet", "en"),   // correct en
+      (2L, "le chat est la et pas le chien", "fr"), // correct fr
+      (3L, "zqx wvu ppo", "en"))                    // no stopwords -> unknown
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langIdEval(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("en", "en")) == ((1L, 0.5)))
+    assert(out(("en", "unknown")) == ((1L, 0.5)))
+    assert(out(("fr", "fr")) == ((1L, 1.0)))
+    assert(out.size == 3)
+  }
 }
