@@ -302,11 +302,14 @@ object TextAnalysis {
   def searchTopK(docs: DataFrame, queryTerms: Seq[String],
                  k: Int): DataFrame = {
     require(queryTerms.nonEmpty, "searchTopK needs at least one term")
+    // persisted: both the df aggregate and the scoring join read this
+    // frame — without the persist each side re-runs the corpus scan
     val hits = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .where(col("term").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfT = hits.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val nDocs = docs.select(

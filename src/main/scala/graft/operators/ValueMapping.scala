@@ -44,7 +44,7 @@ object ValueMapping {
     // main query then reads it again — persist so the distinct+sort
     // executes once, not twice
     val base = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rdd = base.zipWithIndex.map { case (r, i) =>
+    val rdd = base.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(rdd, schema)

@@ -126,20 +126,6 @@ object VectorSearch extends Logging {
     centroids
   }
 
-  /** SemDeDup-style semantic dedup: assign every vector to its nearest
-    * centroid ([[assignCells]] — broadcast centroids, map-side argmax),
-    * then mark a vector a duplicate iff a LOWER-id vector in the SAME
-    * cell has cosine ≥ `threshold` (dup_of = the smallest such id, so
-    * survivors are deterministic min-id representatives). The
-    * cluster-then-compare shape from the SemDeDup paper (Abbas et al.,
-    * 2023): the quadratic pair comparison is confined to one cell,
-    * turning the all-pairs O(N²) into Σ|cell|² — with N/k-sized cells
-    * that is N²/k, and at 100 TB the cell count scales with the corpus
-    * so per-cell work stays bounded. Both self-join sides read ONE
-    * persisted assignment frame (the corpus × centroids argmax runs
-    * once, not three times); the join key is centroid_id, one shuffle
-    * each side. Zero-norm vectors are excluded by assignCells on both
-    * engine and oracle sides (cosine undefined). */
   /** Approximation-quality evaluation for the embedding near-dup
     * paths: pair-level precision/recall of [[srpNearDup]] (the scale
     * path) against [[cosineNearDup]] (the exact baseline) at the same
@@ -186,6 +172,20 @@ object VectorSearch extends Logging {
       .min(Int.MaxValue).toInt
   }
 
+  /** SemDeDup-style semantic dedup: assign every vector to its nearest
+    * centroid ([[assignCells]] — broadcast centroids, map-side argmax),
+    * then mark a vector a duplicate iff a LOWER-id vector in the SAME
+    * cell has cosine ≥ `threshold` (dup_of = the smallest such id, so
+    * survivors are deterministic min-id representatives). The
+    * cluster-then-compare shape from the SemDeDup paper (Abbas et al.,
+    * 2023): the quadratic pair comparison is confined to one cell,
+    * turning the all-pairs O(N²) into Σ|cell|² — with N/k-sized cells
+    * that is N²/k, and at 100 TB the cell count scales with the corpus
+    * so per-cell work stays bounded. Both self-join sides read ONE
+    * persisted assignment frame (the corpus × centroids argmax runs
+    * once, not three times); the join key is centroid_id, one shuffle
+    * each side. Zero-norm vectors are excluded by assignCells on both
+    * engine and oracle sides (cosine undefined). */
   def semanticDedup(embeddings: DataFrame, centroids: DataFrame,
                     threshold: Double): DataFrame = {
     val assigned = assignCells(embeddings, centroids)
@@ -341,7 +341,7 @@ object VectorSearch extends Logging {
     }
     val rows = nPlanes / nBands
     val p = srpPlanes(nPlanes, dim)
-    def planeLit(i: Int): Column = array(p(i).map(lit(_)): _*)
+    def planeLit(i: Int): Column = array(p(i).toIndexedSeq.map(lit(_)): _*)
     // one pass: 16 projection-sign columns; persisted because band
     // bucketing AND both verify sides read it
     val withBits = withNorm(embeddings)
