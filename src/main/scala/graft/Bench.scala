@@ -30,7 +30,8 @@ object Bench {
     "q_semantic_dedup", "q_mixture", "q_props_health",
     "q_search", "q_qa_orphans", "q_percentiles", "q_mixture_sample",
     "q_active_users", "q_skew_report", "q_dedup_best", "q_table_diff",
-    "q_scd_merge", "q_langid_eval", "q_sample_fixed", "q_cluster_best")
+    "q_scd_merge", "q_langid_eval", "q_sample_fixed", "q_cluster_best",
+    "q_percentiles_approx")
 
   /** Timed runs per query — the min is recorded. One run is hostage to
     * neighbor load on a shared box (BENCH_r02 recorded 110 s for an

@@ -682,6 +682,11 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       NearDup.clusterBest(docs, NearDup.minhashPairs(docs))
     }),
+    // Sketch internals are engine-specific -> rows-only gate;
+    // DataChecksSpec bounds the estimates against the exact quartiles.
+    "q_percentiles_approx" -> ((s, d) =>
+      DataChecks.percentileBandsApprox(Tables.events(s, d), "value",
+        "event_type")),
   )
 
   /** Shared CTE chain for the repetition oracles: lines + bigrams,

@@ -310,6 +310,29 @@ object DataChecks {
       .orderBy(col(key))
   }
 
+  /** Sketch-based percentile bands — the 100 TB path next to the exact
+    * [[percentileBands]], the same pairing as exact reach vs
+    * approxReach: approx_percentile's KLL-style sketch keeps
+    * fixed-size mergeable state per dim (map-side combine; no
+    * O(distinct-values) buffer), trading a bounded rank error
+    * (≤ n/accuracy rows) for scale-independence. Engine-specific
+    * sketch internals → rows-only gate; the spec bounds the estimates
+    * against the exact operator instead. */
+  def percentileBandsApprox(df: DataFrame, valueCol: String, dim: String,
+                            accuracy: Int = 10000): DataFrame = {
+    require(accuracy > 0, "accuracy must be positive")
+    df.where(col(valueCol).isNotNull)
+      .groupBy(col(dim))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"approx_percentile($valueCol, array(0.25D, 0.5D, 0.75D), " +
+          s"$accuracy)").as("ps"))
+      .select(col(dim), col("n_rows"),
+        element_at(col("ps"), 1).as("p25"),
+        element_at(col("ps"), 2).as("p50"),
+        element_at(col("ps"), 3).as("p75"))
+      .orderBy(col(dim))
+  }
+
   def profile(df: DataFrame, numCols: Seq[String],
               strCols: Seq[String]): DataFrame = {
     requireColumns(df, numCols ++ strCols, "profile")

@@ -266,4 +266,23 @@ class DataChecksSpec extends SparkSpec {
       (3L, "k3-v1", "2023-01-01", "null"),
       (9L, "k9-v1", "2024-01-01", "null")))
   }
+
+  test("approx percentile bands track the exact quartiles") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = DataChecks.percentileBands(ev, "value", "event_type")
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    val approx = DataChecks.percentileBandsApprox(ev, "value", "event_type")
+      .collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (e25, e50, e75) = exact(r.getString(0))
+      // sketch error is in RANK; on this smooth distribution the
+      // value deviation stays within a few percent of the exact cut
+      assert(math.abs(r.getDouble(2) - e25) <= 0.05 * e25 + 1,
+        s"p25 ${r.getDouble(2)} vs $e25")
+      assert(math.abs(r.getDouble(3) - e50) <= 0.05 * e50 + 1)
+      assert(math.abs(r.getDouble(4) - e75) <= 0.05 * e75 + 1)
+    }
+  }
 }
