@@ -90,4 +90,21 @@ class EquivalenceSpec extends SparkSpec {
     assert(after.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
     spark.sql("DROP TABLE graft_stream_pub")
   }
+
+  test("best-copy dedup partitions groups exactly like min-id dedup") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val byMin = TextAnalysis.exactDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap        // doc -> rep
+    val byBest = TextAnalysis.exactDedupBest(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap        // doc -> best
+    assert(byMin.keySet == byBest.keySet)
+    // identical group partition: two docs share a min-id rep iff they
+    // share a best-quality rep — only WHICH member represents differs
+    val groupsMin = byMin.groupBy(_._2).values.map(_.keySet).toSet
+    val groupsBest = byBest.groupBy(_._2).values.map(_.keySet).toSet
+    assert(groupsMin == groupsBest)
+    // and each best rep belongs to its own group
+    assert(byBest.forall { case (_, rep) => byBest(rep) == rep })
+  }
 }

@@ -31,4 +31,14 @@ object PureProps extends Properties("graft") {
         f1.height >= 16 && f1.height < 496 &&
         f1.n_frames >= 1 && f1.n_frames <= 30
     }
+
+  property("semantic centroid count keeps per-cell work bounded") =
+    Prop.forAll(Gen.choose(1L, 1000000000000L), Gen.choose(1, 100000)) {
+      (n, target) =>
+        val k = graft.operators.VectorSearch.semanticCentroidCountFor(n, target)
+        // enough cells that expected occupancy <= target, but never
+        // more cells than a one-smaller count could also satisfy
+        k >= 1 && k.toLong * target >= n &&
+          (k == 1 || (k.toLong - 1) * target < n)
+    }
 }
