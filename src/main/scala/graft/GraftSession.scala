@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BloomAgg, BloomContains, DotProduct, RollingHash}
+import graft.functions.{BloomAgg, BloomContains, DotProduct, MinHashSigs, RollingHash}
 
 /** Standard session config for the graft engine. One place to keep the
   * settings that matter at scale (AQE, shuffle partitions sized to the
@@ -47,6 +47,11 @@ object GraftSession {
           new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
           (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
             RollingHash(exprs.head)))
+        ext.injectFunction((
+          FunctionIdentifier("graft_minhash"),
+          new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash"),
+          (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            MinHashSigs(exprs(0), exprs(1), exprs(2))))
         ext.injectFunction((
           FunctionIdentifier("graft_bloom_agg"),
           new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),

@@ -238,14 +238,20 @@ object NearDup {
 
   private[operators] def signatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
     val coef = minhashCoefficients(k)
+    // all k affine-min signatures in ONE native codegen'd pass over
+    // the hash array (graft_minhash) — the k-HOF formulation walked it
+    // k times through interpreted lambdas; results are bit-identical
+    // (wrapping long affine + pmod, order-independent min)
+    require(HashMod == graft.functions.MinHashSigs.Mod,
+      "HashMod drifted from the native expression's modulus")
+    val aLit = array(coef.map(c => lit(c._1)): _*)
+    val bLit = array(coef.map(c => lit(c._2)): _*)
     shingleSets(docs, n)
       .withColumn("h0s", transform(col("sh"), s => rollingHash(s)))
+      .withColumn("mh", call_function("graft_minhash", col("h0s"), aLit, bLit))
       .select(
         Seq(col("doc_id"), col("sh")) ++
-          (0 until k).map { i =>
-            array_min(transform(col("h0s"),
-              h => pmod(h * coef(i)._1 + coef(i)._2, lit(HashMod)))).as(s"m$i")
-          }: _*)
+          (0 until k).map(i => element_at(col("mh"), i + 1).as(s"m$i")): _*)
   }
 
   /** MinHash+LSH near-dup clustering: band-bucket candidates, exact

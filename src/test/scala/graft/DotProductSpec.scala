@@ -53,4 +53,35 @@ class DotProductSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("graft_dot") ||
       e.getMessage.toLowerCase.contains("data type"))
   }
+
+  test("graft_minhash equals the k-pass HOF formulation, null on empty") {
+    import graft.operators.NearDup
+    val k = 8
+    val coef = NearDup.minhashCoefficients(k)
+    val aLit = array(coef.map(c => lit(c._1)): _*)
+    val bLit = array(coef.map(c => lit(c._2)): _*)
+    val df = Seq(
+      (1L, Seq(17L, -3L, 999999999999L, 0L)),
+      (2L, Seq(Long.MaxValue / 3, 42L)),
+      (3L, Seq.empty[Long]))
+      .toDF("id", "h0s")
+    val out = df
+      .withColumn("mh", call_function("graft_minhash", col("h0s"), aLit, bLit))
+      .select(
+        Seq(col("id"), col("mh")) ++ (0 until k).map { i =>
+          array_min(transform(col("h0s"),
+            h => pmod(h * coef(i)._1 + coef(i)._2, lit(NearDup.HashMod))))
+            .as(s"ref$i")
+        }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      val r = out(id)
+      val mh = r.getSeq[Long](1)
+      (0 until k).foreach { i =>
+        assert(mh(i) == r.getLong(2 + i), s"id=$id coef $i")
+        assert(mh(i) >= 0 && mh(i) < NearDup.HashMod)
+      }
+    }
+    assert(out(3L).isNullAt(1), "empty hash array yields NULL signatures")
+  }
 }
