@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BloomAgg, BloomContains, DotProduct, MinHashSigs, RollingHash}
+import graft.functions.{BloomAgg, BloomContains, DotProduct, MinHashSigs, RollingHash, SimHash40}
 
 /** Standard session config for the graft engine. One place to keep the
   * settings that matter at scale (AQE, shuffle partitions sized to the
@@ -52,6 +52,11 @@ object GraftSession {
           new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash"),
           (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
             MinHashSigs(exprs(0), exprs(1), exprs(2))))
+        ext.injectFunction((
+          FunctionIdentifier("graft_simhash"),
+          new ExpressionInfo(classOf[SimHash40].getName, "graft_simhash"),
+          (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            SimHash40(exprs.head)))
         ext.injectFunction((
           FunctionIdentifier("graft_bloom_agg"),
           new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),

@@ -567,19 +567,16 @@ object NearDup {
     * the band bucketing and both verification sides in
     * [[simhashPairs]]. */
   private def simhashFrame(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .select(col("doc_id"), rollingHash(col("w")).as("h"))
-    // 40 sum-aggregate columns (±1 per bit) instead of a (token × 40)
-    // bit explode — one shuffle on doc_id with map-side partials, same
-    // numbers, ~10× less shuffled volume
-    val sums = tok.groupBy(col("doc_id")).agg(
-      sum(shiftright(col("h"), 0).bitwiseAND(1) * 2 - 1).as("s0"),
-      (1 until 40).map(j =>
-        sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j")): _*)
-    val fp = sums.select(
-      col("doc_id"),
-      (0 until 40).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _).as("simhash"))
+    // one native row-local pass over the token array (graft_simhash):
+    // the previous 40-sum-column aggregate hash-shuffled the whole
+    // token stream on doc_id; this computes the fingerprint where the
+    // row lives — zero exchange, bit-identical counters. Token-less
+    // docs are filtered exactly as the aggregate dropped them.
+    val fp = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        call_function("graft_simhash", col("toks")).as("simhash"))
     fp.select(
       col("doc_id"),
       col("simhash"),
@@ -600,8 +597,8 @@ object NearDup {
     * cap, which the oracle replays (sorted prefix), so a binding cap
     * is gate-visible.
     *
-    * Scale shape: signatures are one shuffle ([[simhash]]'s 40-column
-    * sum aggregate with map-side partials); bucketing shuffles
+    * Scale shape: signatures are ZERO shuffle ([[simhash]]'s native
+    * row-local graft_simhash pass); bucketing shuffles
     * (band, key, simhash) rows only; candidate pairs are generated AND
     * hamming-verified inside the bucket's task — the signature is one
     * long, so unlike minhash (whose shingle sets are too big to carry)

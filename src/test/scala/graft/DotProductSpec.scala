@@ -84,4 +84,24 @@ class DotProductSpec extends SparkSpec {
     }
     assert(out(3L).isNullAt(1), "empty hash array yields NULL signatures")
   }
+
+  test("graft_simhash of one token mirrors its rolling-hash bits") {
+    // with a single token every bit counter is +-1, so the fingerprint
+    // IS the token's rolling hash; order of a multi-token bag must not
+    // matter; empty bags yield 0
+    val df = Seq(
+      (1L, Seq("alpha")),
+      (2L, Seq("alpha", "beta", "gamma")),
+      (3L, Seq("gamma", "alpha", "beta")),
+      (4L, Seq.empty[String]))
+      .toDF("id", "toks")
+    val out = df.select(col("id"),
+      call_function("graft_simhash", col("toks")).as("fp"),
+      call_function("graft_rolling_hash", lit("alpha")).as("rh"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == out(1L)._2, "single-token fp = rolling hash")
+    assert(out(2L)._1 == out(3L)._1, "order-independent")
+    assert(out(4L)._1 == 0L)
+    assert((out(1L)._1 >> 40) == 0L, "40-bit fingerprint")
+  }
 }
