@@ -168,8 +168,14 @@ object VectorSearch extends Logging {
   def semanticCentroidCountFor(corpusCount: Long,
                                targetCell: Int = 1024): Int = {
     require(corpusCount > 0 && targetCell > 0)
-    math.max(1, math.ceil(corpusCount.toDouble / targetCell).toLong)
-      .min(Int.MaxValue).toInt
+    val k = math.max(1L, math.ceil(corpusCount.toDouble / targetCell).toLong)
+    // fail loud rather than silently cap: a capped k quietly re-grows
+    // the cells past targetCell, which is exactly the blowup this
+    // function exists to prevent — raise targetCell instead
+    require(k <= Int.MaxValue,
+      s"corpusCount=$corpusCount / targetCell=$targetCell needs $k cells " +
+        "(> Int.MaxValue); raise targetCell")
+    k.toInt
   }
 
   /** SemDeDup-style semantic dedup: assign every vector to its nearest

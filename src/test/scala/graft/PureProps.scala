@@ -35,10 +35,17 @@ object PureProps extends Properties("graft") {
   property("semantic centroid count keeps per-cell work bounded") =
     Prop.forAll(Gen.choose(1L, 1000000000000L), Gen.choose(1, 100000)) {
       (n, target) =>
-        val k = graft.operators.VectorSearch.semanticCentroidCountFor(n, target)
-        // enough cells that expected occupancy <= target, but never
-        // more cells than a one-smaller count could also satisfy
-        k >= 1 && k.toLong * target >= n &&
-          (k == 1 || (k.toLong - 1) * target < n)
+        if (math.ceil(n.toDouble / target) > Int.MaxValue)
+          // over-cap regimes must fail loud, never silently re-grow cells
+          Prop(scala.util.Try(
+            graft.operators.VectorSearch.semanticCentroidCountFor(n, target))
+            .isFailure)
+        else {
+          val k = graft.operators.VectorSearch.semanticCentroidCountFor(n, target)
+          // enough cells that expected occupancy <= target, but never
+          // more cells than a one-smaller count could also satisfy
+          Prop(k >= 1 && k.toLong * target >= n &&
+            (k == 1 || (k.toLong - 1) * target < n))
+        }
     }
 }
