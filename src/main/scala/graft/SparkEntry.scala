@@ -140,6 +140,9 @@ object SparkEntry {
     * at every SF. */
   private val FixedPerStratum = 30
 
+  /** q_reach_var: jackknife replicate groups. */
+  private val JackknifeGroups = 10
+
   /** q_table_diff / q_scd_merge planted snapshot deltas: keys %
     * ChangeMod change an attribute, % DropMod vanish (diff only),
     * % NewMod reappear shifted by NewKeyOffset as brand-new keys.
@@ -687,6 +690,9 @@ object SparkEntry {
     "q_percentiles_approx" -> ((s, d) =>
       DataChecks.percentileBandsApprox(Tables.events(s, d), "value",
         "event_type")),
+    "q_reach_var" -> ((s, d) =>
+      Reach.reachVariance(Tables.media(s, d), "household_id", "projfact",
+        JackknifeGroups)),
   )
 
   /** Shared CTE chain for the repetition oracles: lines + bigrams,
@@ -2123,5 +2129,29 @@ object SparkEntry {
           SELECT doc_id, rep_id, cluster_size, quality_score, best_id,
             CASE WHEN doc_id <> best_id THEN 1 ELSE 0 END AS is_dup
           FROM wv ORDER BY doc_id""",
+    "q_reach_var" ->
+      s"""WITH m AS (SELECT user_id AS household_id,
+            $ProjfactSql AS projfact FROM events),
+          hh AS (SELECT household_id, max(projfact) AS w FROM m GROUP BY 1),
+          sp AS (SELECT CAST(unnest(range(0, $JackknifeGroups)) AS BIGINT)
+            AS g),
+          xg AS (SELECT household_id % $JackknifeGroups AS g, w FROM hh),
+          pg AS (SELECT sp.g, coalesce(sum(xg.w), 0.0) AS s_g,
+              count(xg.w) AS n_g
+            FROM sp LEFT JOIN xg ON sp.g = xg.g GROUP BY 1),
+          t AS (SELECT g, s_g, CAST(sum(s_g) OVER () AS DOUBLE) AS total,
+              CAST(sum(n_g) OVER () AS BIGINT) AS n_households FROM pg),
+          d AS (SELECT g, total, n_households,
+              (total - s_g) * (CAST($JackknifeGroups AS DOUBLE) /
+                CAST(${JackknifeGroups - 1} AS DOUBLE)) - total AS dev
+            FROM t)
+          SELECT first(total) AS reach,
+            first(n_households) AS n_households,
+            $JackknifeGroups AS groups,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(dev * dev ORDER BY g)), (x, y) -> x + y) *
+              (CAST(${JackknifeGroups - 1} AS DOUBLE) /
+               CAST($JackknifeGroups AS DOUBLE)) AS jk_variance
+          FROM d""",
   )
 }

@@ -66,6 +66,55 @@ object Reach {
       .orderBy(desc("count"), asc("value"))
   }
 
+  /** Delete-a-group jackknife variance of the projection-weighted
+    * overall reach (DAGJK, the standard replicate-variance estimator
+    * of survey measurement): households are split into `groups`
+    * deterministic replicate groups (numeric key mod G — rerun- and
+    * engine-stable, unlike rand(); hash string keys to a bucket
+    * first), each replicate estimate θ₍g₎ = G/(G−1) · (T − s_g)
+    * re-scales the total with group g deleted, and
+    * v = (G−1)/G · Σ (θ₍g₎ − T)². A reach number without an error bar
+    * is not measurement-grade; this emits the variance next to the
+    * estimate (standard error needs a sqrt, which is not bit-portable
+    * across engines — take it client-side).
+    *
+    * Scale shape: one household aggregate (map-side combine) is the
+    * only full-data exchange; everything after runs on the G-row
+    * replicate frame, including a spine join so EMPTY groups still
+    * contribute their θ₍g₎ = G/(G−1)·T replicate. The deviation
+    * squares fold in sorted group order, so the float summation is
+    * engine-independent and the DuckDB oracle matches bit-for-bit. */
+  def reachVariance(df: DataFrame, cntCol: String, proj: String,
+                    groups: Int = 10): DataFrame = {
+    require(groups > 1, s"need at least 2 replicate groups, got $groups")
+    val hh = df.na.drop(Seq(cntCol))
+      .groupBy(col(cntCol)).agg(max(col(proj)).as("w"))
+      .withColumn("g", pmod(col(cntCol), lit(groups)))
+    val spine = df.sparkSession.range(1).select(
+      explode(sequence(lit(0), lit(groups - 1))).as("g"))
+    val perG = spine.join(
+      hh.groupBy(col("g")).agg(sum(col("w")).as("s_g"),
+        count(lit(1)).as("n_g")),
+      Seq("g"), "left_outer")
+      .na.fill(0.0, Seq("s_g")).na.fill(0L, Seq("n_g"))
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val scale = lit(groups.toDouble / (groups - 1.0))
+    val est = perG
+      .withColumn("total", sum(col("s_g")).over(all))
+      .withColumn("n_households", sum(col("n_g")).over(all))
+      .withColumn("dev", (col("total") - col("s_g")) * scale - col("total"))
+    est
+      .agg(first(col("total")).as("reach"),
+        first(col("n_households")).as("n_households"),
+        sort_array(collect_list(struct(col("g"), col("dev")))).as("devs"))
+      .select(col("reach"), col("n_households"),
+        lit(groups).as("groups"),
+        (aggregate(col("devs"), lit(0.0),
+          (acc, x) => acc + x.getField("dev") * x.getField("dev")) *
+          lit((groups - 1.0) / groups)).as("jk_variance"))
+  }
+
   /** Multi-dimension reach table: one reach frame per dimension,
     * unioned. The reference assembles this with a driver-side pandas
     * append loop over dimensions (hh_reach.py:48-61 + main:68-85);

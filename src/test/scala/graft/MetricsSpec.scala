@@ -100,4 +100,29 @@ class MetricsSpec extends SparkSpec {
     // deterministic tiebreak among the singleton keys
     assert(out.drop(1).map(_.getString(0)).toSeq == Seq("k1", "k10"))
   }
+
+  test("reachVariance: exact DAGJK on hand-computable replicates") {
+    import graft.operators.Reach
+    // G=2: ids {2,4} -> group 0, {1,3} -> group 1. Weights 3,1,0,0?
+    // use hh1 w=3 (g1), hh2 w=1 (g0): T=4, theta_g = (T-s_g)*2 - T
+    // -> dev0 = (4-1)*2-4 = 2, dev1 = (4-3)*2-4 = -2,
+    // v = (1/2)*(4+4) = 4
+    val df = Seq((1L, 3.0), (1L, 3.0), (2L, 1.0))
+      .toDF("household_id", "projfact")
+    val r = Reach.reachVariance(df, "household_id", "projfact", 2)
+      .collect().head
+    assert(r.getDouble(0) == 4.0 && r.getLong(1) == 2 && r.getInt(2) == 2)
+    assert(r.getDouble(3) == 4.0)
+    // empty replicate group still contributes: ids 0,2 both in g0,
+    // g1 empty -> dev0 = (T-T)*2-T = -T, dev1 = (T-0)*2-T = T
+    // -> v = (1/2)*(T² + T²) = T² with T=2
+    val df2 = Seq((0L, 1.0), (2L, 1.0)).toDF("household_id", "projfact")
+    val r2 = Reach.reachVariance(df2, "household_id", "projfact", 2)
+      .collect().head
+    assert(r2.getDouble(0) == 2.0 && r2.getDouble(3) == 4.0)
+    // balanced groups -> zero variance
+    val df3 = Seq((1L, 1.0), (2L, 1.0)).toDF("household_id", "projfact")
+    assert(Reach.reachVariance(df3, "household_id", "projfact", 2)
+      .collect().head.getDouble(3) == 0.0)
+  }
 }
