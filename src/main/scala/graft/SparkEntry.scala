@@ -693,6 +693,9 @@ object SparkEntry {
     "q_reach_var" -> ((s, d) =>
       Reach.reachVariance(Tables.media(s, d), "household_id", "projfact",
         JackknifeGroups)),
+    "q_reach_var_by_type" -> ((s, d) =>
+      Reach.reachVarianceByDim(Tables.media(s, d), "household_id",
+        "etype", "projfact", JackknifeGroups)),
   )
 
   /** Shared CTE chain for the repetition oracles: lines + bigrams,
@@ -2153,5 +2156,32 @@ object SparkEntry {
               (CAST(${JackknifeGroups - 1} AS DOUBLE) /
                CAST($JackknifeGroups AS DOUBLE)) AS jk_variance
           FROM d""",
+    "q_reach_var_by_type" ->
+      s"""WITH m AS (SELECT user_id AS household_id, event_type AS etype,
+            $ProjfactSql AS projfact FROM events),
+          hv AS (SELECT etype, household_id, max(projfact) AS w FROM m
+            GROUP BY 1, 2),
+          pg0 AS (SELECT etype, household_id % $JackknifeGroups AS g,
+            w FROM hv),
+          pg AS (SELECT etype, g, sum(w) AS s_g FROM pg0 GROUP BY 1, 2),
+          sp AS (SELECT DISTINCT etype,
+              CAST(unnest(range(0, $JackknifeGroups)) AS BIGINT) AS g
+            FROM pg),
+          fl AS (SELECT sp.etype, sp.g, coalesce(pg.s_g, 0.0) AS s_g
+            FROM sp LEFT JOIN pg ON sp.etype = pg.etype AND sp.g = pg.g),
+          t AS (SELECT etype, g, s_g,
+              CAST(sum(s_g) OVER (PARTITION BY etype) AS DOUBLE) AS total
+            FROM fl),
+          d AS (SELECT etype, g, total,
+              (total - s_g) * (CAST($JackknifeGroups AS DOUBLE) /
+                CAST(${JackknifeGroups - 1} AS DOUBLE)) - total AS dev
+            FROM t)
+          SELECT etype, first(total) AS reach,
+            $JackknifeGroups AS groups,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(dev * dev ORDER BY g)), (x, y) -> x + y) *
+              (CAST(${JackknifeGroups - 1} AS DOUBLE) /
+               CAST($JackknifeGroups AS DOUBLE)) AS jk_variance
+          FROM d GROUP BY etype ORDER BY etype""",
   )
 }

@@ -115,6 +115,41 @@ object Reach {
           lit((groups - 1.0) / groups)).as("jk_variance"))
   }
 
+  /** [[reachVariance]] per dimension value: the by-segment reach table
+    * WITH its error bars — the artifact a measurement client actually
+    * consumes ("reach of sports was 1.2M ± 40k"). Same DAGJK
+    * estimator, one more key: replicate sums are per (value, group),
+    * the spine join gives every value all G replicates (an empty
+    * replicate still contributes), the windows and the sorted
+    * deviation folds are value-partitioned. One (value, household)
+    * dedup aggregate is the only full-data exchange; everything after
+    * is values × G rows. */
+  def reachVarianceByDim(df: DataFrame, cntCol: String, dim: String,
+                         proj: String, groups: Int = 10): DataFrame = {
+    require(groups > 1, s"need at least 2 replicate groups, got $groups")
+    val hv = df.na.drop(Seq(dim, cntCol))
+      .groupBy(col(dim), col(cntCol)).agg(max(col(proj)).as("w"))
+      .withColumn("g", pmod(col(cntCol), lit(groups)))
+    val perG = hv.groupBy(col(dim), col("g")).agg(sum(col("w")).as("s_g"))
+    val spine = perG.select(col(dim)).distinct()
+      .select(col(dim), explode(sequence(lit(0), lit(groups - 1))).as("g"))
+    val wv = Window.partitionBy(col(dim)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val scale = lit(groups.toDouble / (groups - 1.0))
+    spine.join(perG, Seq(dim, "g"), "left_outer")
+      .na.fill(0.0, Seq("s_g"))
+      .withColumn("total", sum(col("s_g")).over(wv))
+      .withColumn("dev", (col("total") - col("s_g")) * scale - col("total"))
+      .groupBy(col(dim))
+      .agg(first(col("total")).as("reach"),
+        sort_array(collect_list(struct(col("g"), col("dev")))).as("devs"))
+      .select(col(dim), col("reach"), lit(groups).as("groups"),
+        (aggregate(col("devs"), lit(0.0),
+          (acc, x) => acc + x.getField("dev") * x.getField("dev")) *
+          lit((groups - 1.0) / groups)).as("jk_variance"))
+      .orderBy(col(dim))
+  }
+
   /** Multi-dimension reach table: one reach frame per dimension,
     * unioned. The reference assembles this with a driver-side pandas
     * append loop over dimensions (hh_reach.py:48-61 + main:68-85);

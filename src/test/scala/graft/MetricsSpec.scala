@@ -125,4 +125,19 @@ class MetricsSpec extends SparkSpec {
     assert(Reach.reachVariance(df3, "household_id", "projfact", 2)
       .collect().head.getDouble(3) == 0.0)
   }
+
+  test("reachVarianceByDim gives each value its own replicates") {
+    import graft.operators.Reach
+    // value a: hh1 w=3 (g1), hh2 w=1 (g0) -> var 4 (as the overall
+    // case); value b: balanced -> var 0; a household in both values
+    // contributes to each value's replicate independently
+    val df = Seq(
+      (1L, "a", 3.0), (2L, "a", 1.0),
+      (1L, "b", 1.0), (2L, "b", 1.0))
+      .toDF("household_id", "etype", "projfact")
+    val out = Reach.reachVarianceByDim(df, "household_id", "etype",
+      "projfact", 2).collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getDouble(1) == 4.0 && out("a").getDouble(3) == 4.0)
+    assert(out("b").getDouble(1) == 2.0 && out("b").getDouble(3) == 0.0)
+  }
 }
