@@ -104,7 +104,14 @@ object Bench {
     }
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Full per-query line first (for humans / committed artifacts)...
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
+    // ...then a compact total-only line LAST. The driver captures only a
+    // ~2 KB stdout tail, so the ~6 KB per-query line gets its head
+    // truncated and never parses (BENCH_r01–r04 all recorded
+    // parsed:null). This line is ~100 bytes — it survives any tail
+    // truncation and is the line a line-oriented parser sees last.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
