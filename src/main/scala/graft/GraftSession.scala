@@ -33,6 +33,17 @@ import graft.functions.{BloomAgg, BloomContains, DotProduct, MinHashSigs, Rollin
   *    AQE does not split.
   */
 object GraftSession {
+  private type Exprs = Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+
+  /** Arity gate for the SQL-callable builders: a wrong-arity call
+    * (`graft_minhash(sigs)`) must fail with a named analysis-time
+    * error, not an IndexOutOfBoundsException from `exprs(2)`. */
+  private def arity(name: String, n: Int, exprs: Exprs): Exprs = {
+    require(exprs.length == n,
+      s"$name expects $n argument(s), got ${exprs.length}")
+    exprs
+  }
+
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
@@ -40,33 +51,33 @@ object GraftSession {
         ext.injectFunction((
           FunctionIdentifier("graft_dot"),
           new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-          (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-            DotProduct(exprs.head, exprs(1))))
+          (exprs: Exprs) => { val e = arity("graft_dot", 2, exprs)
+            DotProduct(e.head, e(1)) }))
         ext.injectFunction((
           FunctionIdentifier("graft_rolling_hash"),
           new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
-          (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-            RollingHash(exprs.head)))
+          (exprs: Exprs) => { val e = arity("graft_rolling_hash", 1, exprs)
+            RollingHash(e.head) }))
         ext.injectFunction((
           FunctionIdentifier("graft_minhash"),
           new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash"),
-          (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-            MinHashSigs(exprs(0), exprs(1), exprs(2))))
+          (exprs: Exprs) => { val e = arity("graft_minhash", 3, exprs)
+            MinHashSigs(e(0), e(1), e(2)) }))
         ext.injectFunction((
           FunctionIdentifier("graft_simhash"),
           new ExpressionInfo(classOf[SimHash40].getName, "graft_simhash"),
-          (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-            SimHash40(exprs.head)))
+          (exprs: Exprs) => { val e = arity("graft_simhash", 1, exprs)
+            SimHash40(e.head) }))
         ext.injectFunction((
           FunctionIdentifier("graft_bloom_agg"),
           new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),
-          (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-            BloomAgg(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+          (exprs: Exprs) => { val e = arity("graft_bloom_agg", 3, exprs)
+            BloomAgg(e(0), e(1), e(2)).toAggregateExpression() }))
         ext.injectFunction((
           FunctionIdentifier("graft_bloom_contains"),
           new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
-          (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-            BloomContains(exprs(0), exprs(1))))
+          (exprs: Exprs) => { val e = arity("graft_bloom_contains", 2, exprs)
+            BloomContains(e(0), e(1)) }))
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")

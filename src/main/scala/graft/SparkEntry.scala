@@ -2138,7 +2138,8 @@ object SparkEntry {
           hh AS (SELECT household_id, max(projfact) AS w FROM m GROUP BY 1),
           sp AS (SELECT CAST(unnest(range(0, $JackknifeGroups)) AS BIGINT)
             AS g),
-          xg AS (SELECT household_id % $JackknifeGroups AS g, w FROM hh),
+          xg AS (SELECT ((household_id % $JackknifeGroups) +
+              $JackknifeGroups) % $JackknifeGroups AS g, w FROM hh),
           pg AS (SELECT sp.g, coalesce(sum(xg.w), 0.0) AS s_g,
               count(xg.w) AS n_g
             FROM sp LEFT JOIN xg ON sp.g = xg.g GROUP BY 1),
@@ -2161,7 +2162,8 @@ object SparkEntry {
             $ProjfactSql AS projfact FROM events),
           hv AS (SELECT etype, household_id, max(projfact) AS w FROM m
             GROUP BY 1, 2),
-          pg0 AS (SELECT etype, household_id % $JackknifeGroups AS g,
+          pg0 AS (SELECT etype, ((household_id % $JackknifeGroups) +
+              $JackknifeGroups) % $JackknifeGroups AS g,
             w FROM hv),
           pg AS (SELECT etype, g, sum(w) AS s_g FROM pg0 GROUP BY 1, 2),
           sp AS (SELECT DISTINCT etype,

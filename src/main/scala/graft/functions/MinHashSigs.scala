@@ -39,14 +39,27 @@ case class MinHashSigs(hashes: Expression, a: Expression, b: Expression)
   override def prettyName: String = "graft_minhash"
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // The hash array's element type is array<bigint> with
+    // containsNull = true at the TYPE level even when no element is
+    // ever null (transform() output is nullable-element). A null
+    // element therefore can't be rejected at analysis; eval/codegen
+    // NULL-propagate the whole signature instead (below) — silently
+    // reading it as a 0-valued hash would bake a wrong signature with
+    // no error. The coefficient arrays are engine-built literals and
+    // must have non-null elements.
     def ok(t: DataType) = t match {
       case ArrayType(LongType, _) => true
       case _ => false
     }
-    if (ok(hashes.dataType) && ok(a.dataType) && ok(b.dataType))
+    def lit(t: DataType) = t match {
+      case ArrayType(LongType, false) => true
+      case _ => false
+    }
+    if (ok(hashes.dataType) && lit(a.dataType) && lit(b.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_minhash expects three array<bigint> args, got " +
+      s"graft_minhash expects (array<bigint>, array<bigint> non-null " +
+        s"elements, array<bigint> non-null elements), got " +
         s"(${hashes.dataType.simpleString}, ${a.dataType.simpleString}, " +
         s"${b.dataType.simpleString})")
   }
@@ -61,6 +74,10 @@ case class MinHashSigs(hashes: Expression, a: Expression, b: Expression)
     val out = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
+      // null element → NULL signature (a 0-valued read would be a
+      // silently wrong hash); mirrors NULL-propagating arithmetic in
+      // the HOF formulation this expression replaced
+      if (hs.isNullAt(i)) return null
       val hv = hs.getLong(i)
       var j = 0
       while (j < k) {
@@ -96,7 +113,9 @@ case class MinHashSigs(hashes: Expression, a: Expression, b: Expression)
          |  int $k = $aa.length;
          |  long[] $out = new long[$k];
          |  java.util.Arrays.fill($out, Long.MAX_VALUE);
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    // null element -> NULL signature (matches nullSafeEval)
+         |    if ($h.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    long $hv = $h.getLong($i);
          |    for (int $j = 0; $j < $k; $j++) {
          |      long $m = ($hv * $aa[$j] + $ba[$j]) % ${mod}L;
@@ -104,7 +123,9 @@ case class MinHashSigs(hashes: Expression, a: Expression, b: Expression)
          |      if ($m < $out[$j]) $out[$j] = $m;
          |    }
          |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
          |}
        """.stripMargin
     })

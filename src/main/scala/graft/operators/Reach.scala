@@ -93,8 +93,12 @@ object Reach {
     val spine = df.sparkSession.range(1).select(
       explode(sequence(lit(0), lit(groups - 1))).as("g"))
     val perG = spine.join(
+      // count(w), not count(*): a household whose every projfact is
+      // NULL has w NULL and contributes nothing to any replicate sum —
+      // counting it would report n_households the estimator never saw
+      // (and diverge from the oracle's count(xg.w))
       hh.groupBy(col("g")).agg(sum(col("w")).as("s_g"),
-        count(lit(1)).as("n_g")),
+        count(col("w")).as("n_g")),
       Seq("g"), "left_outer")
       .na.fill(0.0, Seq("s_g")).na.fill(0L, Seq("n_g"))
     val all = Window.partitionBy().rowsBetween(

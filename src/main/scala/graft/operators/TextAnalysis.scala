@@ -303,7 +303,13 @@ object TextAnalysis {
                  k: Int): DataFrame = {
     require(queryTerms.nonEmpty, "searchTopK needs at least one term")
     // persisted: both the df aggregate and the scoring join read this
-    // frame — without the persist each side re-runs the corpus scan
+    // frame — without the persist each side re-runs the corpus scan.
+    // CALLER OWNS the cache lifetime: the returned frame is lazy, so
+    // this function cannot unpersist after the action it never runs —
+    // a long-lived session invoking this repeatedly must unpersist
+    // (spark.catalog.clearCache() or track getPersistentRDDs deltas,
+    // as Bench.main does) or the cache pool accretes one dead entry
+    // per call
     val hits = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .where(col("term").isin(queryTerms: _*))

@@ -194,6 +194,10 @@ object VectorSearch extends Logging {
     * engine and oracle sides (cosine undefined). */
   def semanticDedup(embeddings: DataFrame, centroids: DataFrame,
                     threshold: Double): DataFrame = {
+    // CALLER OWNS the cache lifetime (same contract as searchTopK):
+    // the returned frame is lazy, so the persist can't be released
+    // here — repeated calls in a long-lived session must clearCache()
+    // or unpersist the delta (as Bench.main does) between calls
     val assigned = assignCells(embeddings, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lo = assigned.select(col("centroid_id"), col("vec_id").as("v1"),

@@ -53,12 +53,27 @@ object Sources {
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1,
       math.ceil(bytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
+    // Temp and backup dirs are SIBLINGS derived via the Path API — a
+    // string-concat temp path with a trailing-slash `dir` becomes a
+    // CHILD of the source, and the old delete-the-source step would
+    // then delete the freshly-written output before the rename.
+    val parent = path.getParent
+    val tmp = new org.apache.hadoop.fs.Path(parent, path.getName + "._compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(parent, path.getName + "._compact_old")
+    fs.delete(tmp, true) // stale leftovers from a prior crash
+    fs.delete(old, true)
     spark.read.parquet(dir).coalesce(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    if (!fs.rename(tmp, path))
-      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    // Rename the source ASIDE (not delete-first): if the swap-in fails
+    // the source is restored, so there is no window where the table is
+    // absent at its path with no copy anywhere.
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compact: rename $path -> $old failed")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path)
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed (source restored)")
+    }
+    fs.delete(old, true)
     nFiles
   }
 

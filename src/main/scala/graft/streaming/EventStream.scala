@@ -236,16 +236,22 @@ object EventStream {
           val st = state.getOption.getOrElse(
             AnomalyState(Map.empty, Nil, Long.MinValue))
           var pending = st.pending
+          val wm = state.getCurrentWatermarkMs()
           rows.foreach { e =>
             val d = Math.floorDiv(e.ts.getTime, dayMs)
             // flatMapGroupsWithState does NOT filter watermark-late
             // input — without the frontier guard a straggler for an
             // already-emitted day would re-open it and emit the day a
-            // second time with a partial count
-            if (d > st.frontier)
+            // second time with a partial count. The watermark guard
+            // covers the first-contact case the frontier can't: a day
+            // this key has never seen whose rows all arrive after the
+            // watermark passed it would otherwise finalize THIS batch
+            // with only those late rows — a partial-count day. Both
+            // guards enforce the same contract: late events miss
+            // their day.
+            if (d > st.frontier && (d + 1) * dayMs > wm)
               pending = pending.updated(d, pending.getOrElse(d, 0L) + 1L)
           }
-          val wm = state.getCurrentWatermarkMs()
           val (done, open) =
             pending.partition { case (d, _) => (d + 1) * dayMs <= wm }
           var closed = st.closed
