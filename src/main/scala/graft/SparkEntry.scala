@@ -565,10 +565,12 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) =>
       TextAnalysis.tfidf(Tables.documents(s, d), TfidfPerDoc)),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
-    // Spec-gated semantics (the synthetic corpus plants no PII — an
-    // all-zeros oracle could not catch a broken pattern); the entry
-    // still runs the full redaction plan for the rows-only gate+bench.
-    "q_pii_redact" -> ((s, d) => Privacy.piiRedact(Tables.documents(s, d))),
+    // PII is PLANTED deterministically in-query (the raw corpus has
+    // none — an all-zeros oracle could not catch a broken pattern)
+    // and the planting is mirrored verbatim in the oracle SQL, so the
+    // hash check verifies real counts and real replacements.
+    "q_pii_redact" -> ((s, d) =>
+      Privacy.piiRedact(Privacy.plantPii(Tables.documents(s, d)))),
     // Mix drift between deterministic even/odd epoch-day snapshots —
     // the synthetic stand-in for yesterday-vs-today QA.
     "q_qa_drift" -> ((s, d) => {
@@ -1793,6 +1795,30 @@ object SparkEntry {
             CAST(sum_cnt AS DOUBLE) / n_toks AS mean_term_freq,
             CAST(sum_cnt AS DOUBLE) / (n_toks * total) AS typicality
           FROM agg CROSS JOIN tot ORDER BY doc_id""",
+    // Planted PII mirrored verbatim from Privacy.plantPii; the three
+    // patterns are in the RE2 ∩ Java subset, so regexp_extract_all /
+    // regexp_replace('g') agree with Spark's regexp_count /
+    // regexp_replace match-for-match.
+    "q_pii_redact" ->
+      s"""WITH planted AS (SELECT doc_id,
+            CASE WHEN doc_id % ${Privacy.PlantEvery} = 0 THEN
+              text || ' Contact user' || doc_id ||
+              '@example.com or call 555-867-5309 from 10.' ||
+              (doc_id % 250) || '.0.1'
+            ELSE text END AS text
+          FROM documents),
+          c AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '${Privacy.EmailRe}')) AS BIGINT) AS n_email,
+            CAST(len(regexp_extract_all(text, '${Privacy.PhoneRe}')) AS BIGINT) AS n_phone,
+            CAST(len(regexp_extract_all(text, '${Privacy.Ipv4Re}')) AS BIGINT) AS n_ip,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '${Privacy.EmailRe}', '<EMAIL>', 'g'),
+              '${Privacy.PhoneRe}', '<PHONE>', 'g'),
+              '${Privacy.Ipv4Re}', '<IP>', 'g') AS redacted
+          FROM planted)
+          SELECT doc_id, n_email, n_phone, n_ip,
+            n_email + n_phone + n_ip AS pii_total, redacted
+          FROM c ORDER BY doc_id""",
     "q_range_join" ->
       s"""WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
             FROM events WHERE event_type = 'purchase'),

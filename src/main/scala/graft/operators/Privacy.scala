@@ -9,12 +9,37 @@ import org.apache.spark.sql.functions._
   * row-local regexp column expressions (codegen'd, no UDF) — linear
   * with the scan at any corpus size, full pushdown below it.
   *
-  * Spec-gated rather than oracle-gated: the synthetic corpus contains
-  * no PII, so a DuckDB oracle would be an all-zeros gate that can't
-  * catch a broken pattern — PrivacySpec plants each PII class and
-  * asserts detection, redaction and idempotence instead.
+  * Oracle-gated via [[plantPii]] (deterministic in-query PII planted
+  * into the corpus, replayed verbatim in DuckDB) AND spec-gated
+  * (PrivacySpec plants each PII class and asserts detection,
+  * redaction and idempotence).
   */
 object Privacy {
+
+  /** Deterministic PII planting — the oracle fixture for the redaction
+    * gate. The synthetic corpus contains no PII, so a DuckDB oracle on
+    * raw documents would be an all-zeros gate that can't catch a
+    * broken pattern. Every `every`-th doc gets one email, one phone
+    * and one IPv4 appended, all derived from doc_id, mirrored
+    * verbatim in the oracle SQL — the hash check then verifies real
+    * match counts and real replacements, not zeros. The patterns
+    * stay in the RE2 ∩ java.util.regex subset (character classes,
+    * bounded repetition, non-capturing groups, ASCII \b — no
+    * backrefs, no lookaround), so both engines agree match-for-match.
+    * NULL text stays NULL (concat propagates, as does SQL ||). */
+  /** Planting period shared with the oracle SQL. */
+  val PlantEvery = 7
+
+  def plantPii(docs: DataFrame, every: Int = PlantEvery): DataFrame = {
+    require(every > 0)
+    docs.withColumn("text",
+      when(col("doc_id") % every === 0,
+        concat(col("text"),
+          lit(" Contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-867-5309 from 10."),
+          (col("doc_id") % 250).cast("string"), lit(".0.1")))
+        .otherwise(col("text")))
+  }
 
   /** Deliberately conservative patterns: high-precision shapes (a
     * false redaction destroys training text; a rare miss is caught by
