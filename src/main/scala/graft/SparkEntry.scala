@@ -515,7 +515,10 @@ object SparkEntry {
       VectorSearch.pqTopKRerank(emb, emb.where(col("vec_id") % 50 === 0),
         col("vec_id") < 10, 5)
     }),
-    "q_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
+    // Real PNG encode→decode round trip (javax.imageio); the oracle
+    // predicts the decoded geometry + pixel sum in closed form.
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.mediaMeta(s, Tables.documents(s, d))),
     "q_multimodal_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Tables.documents(s, d), FrameStride, MaxFrames)),
     // Planted pathological key: half of all events collapse onto
@@ -1690,16 +1693,20 @@ object SparkEntry {
                 ELSE CAST(user_id AS BIGINT) END AS hot_key,
          CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v
          FROM events GROUP BY 1 ORDER BY hot_key""",
+    // Mirrors Multimodal.ImageCodec: the engine really encodes and
+    // decodes a PNG per doc; the oracle replays the closed-form
+    // geometry (width/height from doc_id, 1 gray band) and the
+    // checkerboard pixel sum (cells with (x+y) odd in a w×h grid =
+    // wh//2; an odd doc_id phase-flips to the complement).
     "q_multimodal_meta" ->
-      """WITH b AS (SELECT doc_id,
-           CAST(octet_length(encode(text)) AS INTEGER) AS byte_len FROM documents)
-         SELECT doc_id,
-           CASE WHEN byte_len % 3 = 0 THEN 'jpeg'
-                WHEN byte_len % 3 = 1 THEN 'png'
-                ELSE 'webp' END AS format,
-           byte_len, byte_len % 640 + 16 AS width, byte_len % 480 + 16 AS height,
-           byte_len % 30 + 1 AS n_frames
-         FROM b ORDER BY doc_id""",
+      """WITH g AS (SELECT doc_id,
+           (doc_id % 48) + 16 AS width, (doc_id % 32) + 16 AS height
+         FROM documents)
+         SELECT doc_id, 'png' AS format, width, height,
+           CAST(1 AS BIGINT) AS bands,
+           255 * (CASE WHEN doc_id % 2 = 0 THEN (width * height) // 2
+                  ELSE width * height - (width * height) // 2 END) AS px_sum
+         FROM g ORDER BY doc_id""",
     "q_multimodal_frames" ->
       s"""WITH b AS (SELECT doc_id,
             CAST(octet_length(encode(text)) AS INTEGER) AS byte_len

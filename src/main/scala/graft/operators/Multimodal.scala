@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,33 +12,120 @@ import org.apache.spark.sql.functions._
   * mapPartitions over a typed Dataset (the Scala analog of Python's
   * mapInPandas batches).
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): [[StubCodec.decode]] produces deterministic fake
-  * features from the bytes. The Spark-side contract — binary schema,
-  * partition-wise batching, feature struct shape — is real and
-  * spec-tested; swapping the stub for a JNI/JavaCV codec changes no
-  * plan shape.
+  * The IMAGE leg is real: [[ImageCodec]] encodes deterministic PNGs
+  * with `javax.imageio` (ships with the JDK) and decode reads real
+  * width/height/band/pixel data back out of the compressed bytes —
+  * the oracle's closed-form geometry is verified against an actual
+  * PNG encode→decode round trip. Audio/video codecs are not in this
+  * environment; they would plug in behind the same [[MediaRow]] seam
+  * (binary content + format tag) with no plan-shape change, and the
+  * video→frames SAMPLING plan is covered by [[sampleFrames]].
   */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, content: Array[Byte], format: String)
-  case class MediaFeatures(doc_id: Long, format: String, byte_len: Int,
-                           width: Int, height: Int, n_frames: Int,
-                           feature_checksum: Long)
+  case class MediaFeatures(doc_id: Long, format: String, width: Long,
+                           height: Long, bands: Long, px_sum: Long)
 
-  /** Deterministic stand-in for a real media codec. */
-  object StubCodec {
+  /** Real PNG codec over `javax.imageio`. Encode builds a grayscale
+    * checkerboard whose geometry and pixel phase derive from doc_id:
+    * width = doc_id%48+16, height = doc_id%32+16,
+    * pixel(x,y) = ((x+y+doc_id)%2)·255. Every decoded feature is
+    * therefore predictable in closed form — width/height/bands from
+    * the geometry, px_sum = 255·(odd-parity cell count) — while the
+    * decode itself does the real work: PNG inflate, filter reversal,
+    * raster sample reads. The checkerboard alternation exercises PNG
+    * row filters rather than compressing to a constant plane. */
+  object ImageCodec {
+    def geometry(docId: Long): (Int, Int) =
+      (((docId % 48) + 16).toInt, ((docId % 32) + 16).toInt)
+
+    /** Closed-form expected pixel sum (mirrors the oracle SQL): the
+      * count of cells with (x+y) odd in a w×h grid is ⌊wh/2⌋, and an
+      * odd doc_id flips the phase to the complement. */
+    def expectedPxSum(docId: Long): Long = {
+      val (w, h) = geometry(docId)
+      val cells = w.toLong * h
+      255L * (if (docId % 2 == 0) cells / 2 else cells - cells / 2)
+    }
+
+    def encodePng(docId: Long): Array[Byte] = {
+      val (w, h) = geometry(docId)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, (((x + y + docId) % 2) * 255).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      require(ImageIO.write(img, "png", out), "no PNG writer available")
+      out.toByteArray
+    }
+
+    /** Decode real bytes. Fails loud on undecodable content — a
+      * corrupt payload silently skipped would undercount a corpus. */
     def decode(r: MediaRow): MediaFeatures = {
-      val len = r.content.length
-      // ??? real codec goes here; the fake is a pure function of bytes
-      val checksum = r.content.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0xffffffffL)
-      MediaFeatures(r.doc_id, r.format, len,
-        len % 640 + 16, len % 480 + 16, len % 30 + 1, checksum)
+      val img = ImageIO.read(new ByteArrayInputStream(r.content))
+      require(img != null,
+        s"doc ${r.doc_id}: undecodable ${r.format} payload")
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      val bands = raster.getNumBands
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(r.doc_id, r.format, w.toLong, h.toLong, bands.toLong,
+        sum)
     }
   }
 
-  /** Text→binary media view of documents (the testdata has no real
-    * media payloads; the binary column IS the contract). */
+  /** Synthetic image corpus: one real PNG per document, generated
+    * partition-locally (no shuffle — the encode rides the scan). The
+    * testdata ships no media payloads; this IS the binary-column
+    * contract a real corpus would arrive with. */
+  def syntheticImages(spark: SparkSession,
+                      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map(id => MediaRow(id, ImageCodec.encodePng(id), "png"))
+    }
+  }
+
+  /** Batch decode via mapPartitions: one codec context per partition,
+    * rows streamed through it — the right shape for expensive
+    * per-batch initialization (model load, codec init) at scale. */
+  def decodeFeatures(spark: SparkSession,
+                     media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(rows => rows.map(ImageCodec.decode))
+  }
+
+  /** Oracle-checked decode query: encode a real PNG per doc, decode
+    * it back, emit the decoded geometry and pixel sum. The oracle
+    * predicts every column in closed form from doc_id, so a hash
+    * match proves the decode read exactly what the encode wrote. */
+  def mediaMeta(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeFeatures(spark, syntheticImages(spark, docs))
+      .toDF().orderBy(col("doc_id"))
+
+  /** Text→binary media view of documents with synthetic format tags —
+    * the metadata-only leg that feeds the frame-sampling plan (video
+    * payloads don't exist in this environment; their frame COUNTS are
+    * declared metadata derived from byte length). */
   def asMedia(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
@@ -43,33 +134,14 @@ object Multimodal {
         .when(octet_length(encode(col("text"), "UTF-8")) % 3 === 1, "png")
         .otherwise("webp").as("format"))
 
-  /** Batch decode via mapPartitions: one codec context per partition,
-    * rows streamed through it — the right shape for expensive
-    * per-batch initialization (model load, codec init) at scale. */
-  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
-      // per-partition codec init would happen here
-      rows.map(StubCodec.decode)
-    }
-  }
-
-  /** Oracle-checkable metadata query: byte length + the deterministic
-    * fake decode geometry, expressed as pure column arithmetic so the
-    * DuckDB oracle can replay it. Mirrors StubCodec's geometry. */
-  def mediaMeta(docs: DataFrame): DataFrame =
-    metaFrame(docs).orderBy(col("doc_id"))
-
-  /** [[mediaMeta]] without the presentation sort (shared with
-    * [[sampleFrames]], which sorts its own exploded output). */
+  /** Declared media metadata for the sampling plan (byte_len-derived
+    * synthetic frame counts — see [[asMedia]]). */
   private def metaFrame(docs: DataFrame): DataFrame =
     asMedia(docs)
       .select(
         col("doc_id"),
         col("format"),
         octet_length(col("content")).as("byte_len"))
-      .withColumn("width", col("byte_len") % 640 + 16)
-      .withColumn("height", col("byte_len") % 480 + 16)
       .withColumn("n_frames", col("byte_len") % 30 + 1)
 
   /** Frame sampling plan: fan each media row out into its sampled
@@ -77,9 +149,9 @@ object Multimodal {
     * per doc — the video→frames step that feeds per-frame decode /
     * embedding at scale. Row-local explode with output bounded by
     * maxFrames per doc, so the fan-out never amplifies a long video
-    * unboundedly; the frame DECODE stays behind the
-    * [[decodeFeatures]] codec seam, but the sampling plan (which
-    * frames exist, in which order) is pure column arithmetic and
+    * unboundedly; the frame DECODE would sit behind the same
+    * [[ImageCodec]]-style seam, but the sampling plan (which frames
+    * exist, in which order) is pure column arithmetic and
     * oracle-checked. */
   def sampleFrames(docs: DataFrame, stride: Int = 5,
                    maxFrames: Int = 4): DataFrame = {

@@ -15,21 +15,17 @@ object PureProps extends Properties("graft") {
       }
     }
 
-  private val mediaRow = for {
-    id <- Gen.choose(0L, 1000000L)
-    bytes <- Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
-    fmt <- Gen.oneOf("jpeg", "png", "webp")
-  } yield Multimodal.MediaRow(id, bytes.toArray, fmt)
-
-  property("stub codec is deterministic with bounded geometry") =
-    Prop.forAll(mediaRow) { r =>
-      val f1 = Multimodal.StubCodec.decode(r)
-      val f2 = Multimodal.StubCodec.decode(r)
-      f1 == f2 &&
-        f1.byte_len == r.content.length &&
-        f1.width >= 16 && f1.width < 656 &&
-        f1.height >= 16 && f1.height < 496 &&
-        f1.n_frames >= 1 && f1.n_frames <= 30
+  property("png codec round-trips geometry and pixel sum") =
+    Prop.forAll(Gen.choose(0L, 1000000L)) { id =>
+      val png = Multimodal.ImageCodec.encodePng(id)
+      val f = Multimodal.ImageCodec.decode(
+        Multimodal.MediaRow(id, png, "png"))
+      val (w, h) = Multimodal.ImageCodec.geometry(id)
+      // real decode of real compressed bytes must land exactly on the
+      // closed form the DuckDB oracle predicts
+      f.width == w && f.height == h && f.bands == 1L &&
+        f.px_sum == Multimodal.ImageCodec.expectedPxSum(id) &&
+        png.length > 8 && (png(1) & 0xff) == 'P'.toInt
     }
 
   property("semantic centroid count keeps per-cell work bounded") =

@@ -144,14 +144,17 @@ class StreamingSpec extends SparkSpec {
       Seq(0, 5, 10, 15))
   }
 
-  test("multimodal decode plumbing produces features per row") {
+  test("multimodal decode reads real PNG geometry and pixels back") {
+    import graft.operators.Multimodal
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val feats = graft.operators.Multimodal.decodeFeatures(
-      spark, graft.operators.Multimodal.asMedia(docs))
-    val n = feats.count()
-    assert(n == docs.count())
-    val f = feats.head()
-    assert(f.byte_len > 0 && f.width >= 16 && f.n_frames >= 1)
+    val feats = Multimodal.decodeFeatures(
+      spark, Multimodal.syntheticImages(spark, docs)).collect()
+    assert(feats.length == docs.count())
+    feats.foreach { f =>
+      val (w, h) = Multimodal.ImageCodec.geometry(f.doc_id)
+      assert(f.width == w && f.height == h && f.bands == 1L)
+      assert(f.px_sum == Multimodal.ImageCodec.expectedPxSum(f.doc_id))
+    }
   }
 
   test("streaming anomaly alerts match the batch flags on finalized days") {
