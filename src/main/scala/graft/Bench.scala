@@ -29,7 +29,8 @@ object Bench {
     "q_cohort", "q_funnel_steps", "q_histogram", "q_qa_anomaly",
     "q_semantic_dedup", "q_mixture", "q_props_health",
     "q_search", "q_qa_orphans", "q_percentiles", "q_mixture_sample",
-    "q_active_users", "q_skew_report", "q_dedup_best", "q_table_diff",
+    "q_active_users", "q_active_users_approx",
+    "q_skew_report", "q_dedup_best", "q_table_diff",
     "q_scd_merge", "q_langid_eval", "q_sample_fixed", "q_cluster_best",
     "q_percentiles_approx", "q_reach_var", "q_reach_var_by_type")
 

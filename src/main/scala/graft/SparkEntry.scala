@@ -645,6 +645,12 @@ object SparkEntry {
       VectorSearch.nearDupRecall(Tables.embeddings(s, d), 0.4)),
     "q_active_users" -> ((s, d) =>
       Journey.activeUsers(Tables.events(s, d), ActiveDays)),
+    // Sketch twin of q_active_users: fixed-state per-day HLL sketches,
+    // WAU = union of the trailing window's sketches. Rows-only gate
+    // (sketch internals are engine-specific); JourneySpec bounds the
+    // estimates against the exact pair.
+    "q_active_users_approx" -> ((s, d) =>
+      Journey.approxActiveUsers(Tables.events(s, d), ActiveDays)),
     // Same planted hot key as q_skew_salted — the detector that says
     // the mitigation is needed.
     "q_skew_report" -> ((s, d) => {

@@ -76,6 +76,37 @@ object Journey {
     dau.join(wau, Seq("day")).orderBy(col("day"))
   }
 
+  /** Sketch twin of [[activeUsers]] — DAU/WAU from mergeable per-day
+    * HLL sketches. The exact operator's contribute-forward expansion
+    * costs windowDays × |deduped user-days| through two shuffles; at
+    * 10⁹ users × 365 days × 7 that is ~2.5×10¹² rows. Here each day
+    * aggregates ONE fixed ~KB sketch (map-side combine absorbs any
+    * event volume), and a day's WAU is the union of its trailing
+    * `windowDays` daily sketches — the expansion multiplies day-count
+    * rows (365/year), not user-days, so the whole post-aggregate plan
+    * is calendar-sized at any corpus scale. Same inner-join contract
+    * as the exact pair: only days with their own activity publish.
+    * No DuckDB oracle (sketch internals are engine-specific —
+    * rows-only gate); JourneySpec bounds both estimates against the
+    * exact [[activeUsers]] instead (lgK=12 → ~1.6% rsd). */
+  def approxActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val daily = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val contributed = daily
+      .select(col("day").as("src_day"), col("sk"))
+      .select(explode(sequence(col("src_day"),
+        date_add(col("src_day"), windowDays - 1))).as("day"), col("sk"))
+    val wau = contributed.groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as(s"active_${windowDays}d_est"))
+    daily
+      .select(col("day"), hll_sketch_estimate(col("sk")).as("dau_est"))
+      .join(wau, Seq("day"))
+      .orderBy(col("day"))
+  }
+
   /** Ordered conversion funnel: a user completes stage i at the
     * earliest event of type `stages(i)` AT OR AFTER their stage-(i−1)
     * completion time (stage 0 is the earliest event of its type). Emits

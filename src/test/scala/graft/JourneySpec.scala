@@ -98,4 +98,22 @@ class JourneySpec extends SparkSpec {
       "day-1 users aged out of the 7-day window")
     assert(out.size == 3, "only days with own-day activity emit")
   }
+
+  test("approxActiveUsers tracks the exact DAU/WAU within 5%") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = Journey.activeUsers(events, 7).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = Journey.approxActiveUsers(events, 7).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet,
+      "sketch twin must publish exactly the exact pair's days")
+    approx.foreach { case (day, (dauEst, wauEst)) =>
+      val (dau, wau) = exact(day)
+      assert(math.abs(dauEst - dau) <= math.max(1L, (0.05 * dau).toLong),
+        s"$day dau_est $dauEst vs exact $dau")
+      assert(math.abs(wauEst - wau) <= math.max(1L, (0.05 * wau).toLong),
+        s"$day wau_est $wauEst vs exact $wau")
+    }
+  }
 }
