@@ -133,15 +133,20 @@ object Sources {
     * analog of the reference's shared xlsx workbook
     * (metrics/helpers/pdf_to_table_excel.py:16-32 writes every metrics
     * table as a sheet of one workbook, used at
-    * create_hh_metrics_task.py:70-71). Spreadsheet container formats
-    * need a client-side library and collect the whole result to one
-    * machine; the distributed re-expression is one directory with a
-    * single-header csv per "sheet" plus a `_manifest.json` naming the
-    * sheets in publish order — any spreadsheet tool imports the csvs,
-    * and downstream jobs read the manifest instead of globbing.
-    * Each sheet coalesces to ONE file deliberately: workbook sheets
+    * create_hh_metrics_task.py:70-71). Emits BOTH surfaces:
+    *  - a real multi-sheet `workbook.xlsx` (via [[Xlsx]], zero
+    *    dependencies) — the artifact the reference's consulting
+    *    consumer actually opens;
+    *  - one single-header csv per "sheet" plus a `_manifest.json`
+    *    naming the sheets in publish order — the machine-readable
+    *    interchange downstream jobs consume instead of globbing.
+    * The xlsx path collects each sheet to the driver BY DESIGN (and
+    * caps at [[Xlsx.MaxRows]], Excel's own ceiling): workbook sheets
     * are human-audience small tables (metrics summaries), never fact
-    * data — publish fact-sized frames with [[writePartitioned]]. */
+    * data — publish fact-sized frames with [[writePartitioned]].
+    * Numeric columns become real numeric cells (bigints beyond 2^53
+    * would round — metrics summaries never carry them); everything
+    * else is rendered as inline text, NULL as empty. */
   def publishWorkbook(spark: SparkSession,
                       sheets: Seq[(String, DataFrame)], path: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -151,6 +156,27 @@ object Sources {
       df.coalesce(1).write.mode("overwrite")
         .option("header", "true").csv(s"$path/$name")
     }
+    val xlsxSheets = sheets.map { case (name, df) =>
+      import org.apache.spark.sql.types._
+      val numeric = df.schema.fields.map(_.dataType match {
+        case _: NumericType => true
+        case _ => false
+      })
+      val rows = df.collect().toSeq.map { row =>
+        row.toSeq.zipWithIndex.map { case (v, i) =>
+          val cell: Xlsx.Cell =
+            if (v == null) Right("")
+            else if (numeric(i)) Left(v.asInstanceOf[Number].doubleValue())
+            else Right(v.toString)
+          cell
+        }
+      }
+      (name, df.columns.toSeq, rows)
+    }
+    val xlsxTarget = new Path(path, "workbook.xlsx")
+    val xfs = xlsxTarget.getFileSystem(spark.sessionState.newHadoopConf())
+    val xout = xfs.create(xlsxTarget, true)
+    try Xlsx.write(xlsxSheets, xout) finally xout.close()
     // JSON string escape — a sheet name with a quote/backslash/control
     // char would otherwise produce a manifest no parser accepts,
     // breaking the read-the-manifest contract above

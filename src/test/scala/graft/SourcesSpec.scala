@@ -78,6 +78,46 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("publishWorkbook emits a real xlsx that round-trips sheets and cells") {
+    import java.nio.file.{Files, Paths}
+    import java.util.zip.ZipFile
+    import javax.xml.parsers.DocumentBuilderFactory
+    val out = Files.createTempDirectory("graft-xlsx").toString
+    val reach = Seq(("tv", 10L), ("web", 7L)).toDF("value", "count")
+    val freq = Seq((1, 5L), (2, 3L)).toDF("frequency", "hh")
+    Sources.publishWorkbook(spark, Seq("reach" -> reach, "frequency" -> freq), out)
+    val zf = new ZipFile(Paths.get(out, "workbook.xlsx").toFile)
+    try {
+      def xml(p: String) = {
+        val e = zf.getEntry(p)
+        assert(e != null, s"missing xlsx part $p")
+        DocumentBuilderFactory.newInstance().newDocumentBuilder()
+          .parse(zf.getInputStream(e))
+      }
+      // workbook part names the sheets in publish order
+      val sheets = xml("xl/workbook.xml").getElementsByTagName("sheet")
+      val names = (0 until sheets.getLength).map(i =>
+        sheets.item(i).getAttributes.getNamedItem("name").getNodeValue)
+      assert(names == Seq("reach", "frequency"))
+      // sheet 1: header text cells + a real numeric cell value
+      val s1 = xml("xl/worksheets/sheet1.xml")
+      val texts = s1.getElementsByTagName("t")
+      val textVals = (0 until texts.getLength).map(i =>
+        texts.item(i).getTextContent)
+      assert(textVals.take(2) == Seq("value", "count"))
+      assert(textVals.contains("tv") && textVals.contains("web"))
+      val nums = s1.getElementsByTagName("v")
+      val numVals = (0 until nums.getLength).map(i =>
+        nums.item(i).getTextContent)
+      assert(numVals.toSet == Set("10", "7"),
+        s"numeric cells should carry real numbers, got $numVals")
+    } finally zf.close()
+    // Excel sheet-name rules enforced, not silently truncated
+    intercept[IllegalArgumentException] {
+      Sources.publishWorkbook(spark, Seq("bad[name]" -> reach), out)
+    }
+  }
+
   test("makeMap: friendly mapping falls back to dimension id/name") {
     val ka = Seq((1L, "part_id", "TYPE", "B1"), (2L, "part_id", "TYPE", "B2"))
       .toDF("id", "id_type", "key", "value")
