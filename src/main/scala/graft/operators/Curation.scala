@@ -234,19 +234,49 @@ object Curation {
     * not, but unlike the rate filter it is NOT growth-stable: new docs
     * can hash under the cut and displace old members (a fixed-size
     * sample of a grown corpus must change — that is the contract).
-    * The within-stratum rank is a window sort: strata process in
-    * parallel, one reducer per stratum — exact fixed-size selection
-    * needs the per-stratum order. For corpus-sized strata either use
-    * the rate-based sampler or pre-filter with a generous rate and
-    * rank the survivors. */
+    *
+    * TWO-PHASE selection, so no corpus-sized sort ever happens even
+    * for corpus-sized strata: (1) a histogram of 3-hex-char hash
+    * prefixes per stratum (one map-side-combined count aggregate over
+    * a strata×4096 key space — md5 hex order IS string order, so
+    * prefix buckets are order-preserving ranges of the hash line)
+    * finds the buckets whose cumulative count reaches `perStratum`;
+    * (2) only rows in those contributing buckets — ≈ perStratum plus
+    * one boundary bucket (~|stratum|/4096) per stratum — join against
+    * the broadcast bucket list and go through the exact (h, doc_id)
+    * ranking window. The window input is sample-sized, not
+    * stratum-sized: the one-reducer-per-stratum sort this operator
+    * used to do on the FULL stratum now touches ~perStratum rows.
+    * Same winners, same ranks, bit-identical output. Cost: two corpus
+    * scans (histogram + candidate filter) instead of one — at scale a
+    * second parallel scan is cheap; a single-reducer terabyte sort is
+    * not. A perStratum approaching the stratum size degrades
+    * gracefully into the full sort it genuinely requires. */
   def fixedSample(docs: DataFrame, perStratum: Int,
                   strataCol: String = "lang"): DataFrame = {
+    require(perStratum > 0, s"perStratum must be positive: $perStratum")
+    val hashed = docs.select(col("doc_id"), col(strataCol),
+      md5(concat(col("doc_id").cast("string"), lit(":fix"))).as("h"))
+      .withColumn("b", substring(col("h"), 1, 3))
+    // per-(stratum, prefix) histogram — tiny (strata × 4096), ordered
+    // cumulative sums run per stratum over ≤4096 rows
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val contrib = hashed.groupBy(col(strataCol), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum_end", sum(col("n")).over(wb))
+      // a bucket contributes iff the quota isn't already filled by
+      // strictly-smaller buckets; the (single) boundary bucket is the
+      // one whose range straddles the cut
+      .where(col("cum_end") - col("n") < perStratum)
+      .select(col(strataCol), col("b"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
       .orderBy(col("h"), col("doc_id"))
-    docs
-      .select(col("doc_id"), col(strataCol),
-        md5(concat(col("doc_id").cast("string"), lit(":fix"))).as("h"))
+    hashed
+      .join(broadcast(contrib), Seq(strataCol, "b"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= perStratum)
       .select(col("doc_id"), col(strataCol), col("rk"))

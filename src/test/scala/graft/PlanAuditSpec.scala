@@ -221,4 +221,18 @@ class PlanAuditSpec extends SparkSpec {
   test("best-copy dedup is join-free: score and fingerprint share one projection") {
     assert(!plan("q_dedup_best").contains("Join"))
   }
+
+  test("fixed sample ranks only broadcast-selected candidate buckets") {
+    val p = plan("q_sample_fixed")
+    // two-phase: the ranking window must consume the candidate join
+    // (corpus ⋈ broadcast contributing-bucket list), never the raw
+    // scan — a Window directly over the scan means the
+    // one-reducer-per-stratum full-stratum sort is back
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val wix = p.indexOf("Window")
+    val jix = p.indexOf("BroadcastHashJoin")
+    assert(wix >= 0 && jix >= 0 && wix < jix,
+      "ranking Window must sit above the candidate broadcast join\n" +
+        p.take(2000))
+  }
 }
