@@ -285,6 +285,95 @@ object EventStream {
       }
   }
 
+  case class ActiveDaysState(days: Seq[Long])
+  case class DayContribution(user_id: Long, ts: java.sql.Timestamp,
+                             kind: String)
+
+  /** Streaming exact DAU/WAU — the streaming twin of
+    * Journey.activeUsers. The batch operator re-expands all user-days
+    * every run; here per-user state holds only the active days still
+    * inside a live trailing window (≤ windowDays + lateness entries —
+    * calendar-bounded, independent of event volume) and each
+    * micro-batch emits only NEW contributions:
+    *  - `dau`: one row per (user, day) first touch;
+    *  - `wau`: one row per (user, target day t) when the user first
+    *    becomes active inside t's trailing window [t−W+1, t] — later
+    *    active days inside the same window find it covered and emit
+    *    nothing, so the downstream count per target day is EXACTLY
+    *    the distinct-user window count, with no contribute-forward
+    *    re-expansion and no double counting. Out-of-order days inside
+    *    the lateness bound reconstruct precisely the uncovered
+    *    targets (the state still holds every day that could cover
+    *    them).
+    * Downstream, one tumbling-day count per kind lands the pair. The
+    * same lateness contract as the rest of the module: a day the
+    * watermark has passed misses its (already-emitted) windows;
+    * historical truth stays with the batch operator. State GC is
+    * revisit-driven (the [[incrementalReach]] pattern): each
+    * invocation prunes the day list against the watermark and removes
+    * the entry once empty, so an ACTIVE user's state is always
+    * ≤ windowDays + lateness days; a user who stops sending forever
+    * leaves one final pruned entry, exactly like incrementalReach's
+    * per-household boolean. (An event-time timeout would GC those
+    * too, but Spark's global-watermark correctness check statically
+    * rejects EventTimeTimeout flatMapGroupsWithState upstream of a
+    * stateful aggregation, and a processing-time timeout makes the
+    * microbatch engine spin continuous timeout batches.) */
+  def dailyActive(spark: SparkSession, events: Dataset[Event],
+                  windowDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    require(windowDays > 0)
+    val dayMs = 86400000L
+    val contrib = events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ActiveDaysState, DayContribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[ActiveDaysState]) =>
+          {
+            val wm = state.getCurrentWatermarkMs()
+            var days = state.getOption.map(_.days.toSet)
+              .getOrElse(Set.empty[Long])
+            val out = Seq.newBuilder[DayContribution]
+            val newDays = rows.map(e => Math.floorDiv(e.ts.getTime, dayMs))
+              .toSeq.distinct.sorted
+            newDays.foreach { d =>
+              // skip already-seen days and watermark-expired days
+              // (late contract, same guard as anomalyAlerts)
+              if (!days(d) && (d + 1) * dayMs > wm) {
+                out += DayContribution(uid,
+                  new java.sql.Timestamp(d * dayMs), "dau")
+                var t = d
+                while (t <= d + windowDays - 1) {
+                  // target t is covered iff some other active day sits
+                  // in its window [t-W+1, t]; only uncovered targets
+                  // emit — exactly-once per (user, target)
+                  val covered =
+                    days.exists(o => o >= t - windowDays + 1 && o <= t)
+                  if (!covered)
+                    out += DayContribution(uid,
+                      new java.sql.Timestamp(t * dayMs), "wau")
+                  t += 1
+                }
+                days += d
+              }
+            }
+            // keep a day while its furthest target (o+W-1) is open:
+            // that window closes when wm reaches (o+W)·dayMs
+            val kept = days.filter(o => (o + windowDays) * dayMs > wm)
+            if (kept.nonEmpty) state.update(ActiveDaysState(kept.toSeq.sorted))
+            else state.remove()
+            out.result().iterator
+          }
+      }
+    contrib
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day"), col("kind"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("window.start").cast("date").as("day"), col("kind"),
+        col("n_users"))
+  }
+
   case class Session(user_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
                      n_events: Long, total_value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)

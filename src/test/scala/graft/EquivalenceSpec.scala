@@ -39,6 +39,45 @@ class EquivalenceSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming dailyActive equals batch activeUsers on finalized days") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val maxTs = ev.map(_.ts.getTime).max
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(ev: _*)
+    val q = EventStream.dailyActive(spark, mem.toDS(), 7)
+      .writeStream.format("memory").queryName("eq_da").outputMode("append")
+      .start()
+    // sentinel far past the watermark finalizes every real day window
+    // (10 days so even the last day's trailing targets close)
+    mem.addData(Event(0L,
+      new Timestamp(maxTs + 10 * 86400000L), "sentinel", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("eq_da").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+    val batch = graft.operators.Journey
+      .activeUsers(Tables.events(spark, "/root/testdata/sf0.001"), 7)
+      .collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(batch.nonEmpty)
+    // every batch day (days with own-day activity) must match exactly
+    // on both legs; streaming also emits trailing ghost-day wau rows
+    // the batch pair's inner join drops — those aren't compared
+    batch.foreach { case (day, (dau, wau)) =>
+      assert(streamed.get((day, "dau")).contains(dau),
+        s"$day dau: streamed ${streamed.get((day, "dau"))} vs batch $dau")
+      assert(streamed.get((day, "wau")).contains(wau),
+        s"$day wau: streamed ${streamed.get((day, "wau"))} vs batch $wau")
+    }
+  }
+
   test("streaming dedup keeps exactly the batch exactDedup survivors") {
     // the sf0.001 planted dups are NEAR dups only — plant one exact
     // duplicate (new id, same text as doc 0) so the dedup binds
