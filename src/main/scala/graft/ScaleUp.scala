@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-data amplifier for scale probes: replicates a testdata
+  * directory `factor`× with disjoint entity keys, so a bench run at
+  * 10× the gate scale can catch superlinear surprises (bucket caps
+  * binding, window skew, broadcast limits) before the 100× claims are
+  * trusted. Fact tables replicate with key shifts that preserve
+  * referential integrity (orders↔customer↔lineitem, events.user_id);
+  * dimension tables (region/nation/part/supplier) stay fixed — at
+  * scale the dims don't grow with the facts, per-dim row counts do.
+  * Document text and embedding copies are PERTURBED per copy so the
+  * copies are NOT near-dups of each other — a verbatim (or
+  * epsilon-shifted) 10× corpus would turn every doc into a 10-member
+  * near-dup cluster and blow the pair queries up QUADRATICALLY in
+  * the copy count, measuring an artifact of the amplifier, not the
+  * engine. Text: a copy-distinct marker token inserted after every
+  * 2nd word, so every word 3-gram (the shingle size) contains the
+  * marker — zero shingle overlap across copies, while doc A ≈ doc B
+  * near-dup structure WITHIN a copy is preserved (both get the same
+  * insertion). Embeddings: rotate the vector by `copy` positions —
+  * cross-copy cosine collapses to ~0 (high-dim), while every planted
+  * pair rotates identically, so per-copy pair structure replicates
+  * exactly. Key shifts use the table's own max+1 as stride, so ids
+  * stay dense-ish and positive.
+  *
+  * Usage: runMain graft.ScaleUp <inDir> <outDir> <factor>
+  */
+object ScaleUp {
+
+  private def stride(df: DataFrame, key: String): Long =
+    df.agg(max(col(key))).head().getLong(0) + 1L
+
+  /** Cross the table with `factor` copy indices and shift `keys` (all
+    * sharing one stride from `keys.head`) by copy·stride. */
+  private def replicate(df: DataFrame, factor: Int, keys: Seq[String],
+                        strideBy: Long): DataFrame = {
+    val copies = df.sparkSession.range(factor).select(col("id").as("_copy"))
+    val crossed = df.crossJoin(broadcast(copies))
+    keys.foldLeft(crossed) { (acc, k) =>
+      acc.withColumn(k, col(k) + col("_copy") * strideBy)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <inDir> <outDir> <factor>")
+    val Array(inDir, outDir, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1)
+    val spark = GraftSession.local()
+    def in(t: String) = spark.read.parquet(s"$inDir/$t.parquet")
+    def out(df: DataFrame, t: String): Unit =
+      df.drop("_copy").write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    // dims: fixed
+    Seq("region", "nation", "part", "supplier").foreach(t => out(in(t), t))
+
+    val cust = in("customer")
+    val custStride = stride(cust, "c_custkey")
+    out(replicate(cust, factor, Seq("c_custkey"), custStride), "customer")
+
+    val orders = in("orders")
+    val orderStride = stride(orders, "o_orderkey")
+    out(replicate(orders, factor, Seq("o_orderkey"), orderStride)
+      .withColumn("o_custkey", col("o_custkey") + col("_copy") * custStride),
+      "orders")
+
+    out(replicate(in("lineitem"), factor, Seq("l_orderkey"), orderStride),
+      "lineitem")
+
+    // events.ts reads as raw int64 nanos under nanosAsLong and writes
+    // back as plain int64 — Tables.events handles both encodings
+    val ev = in("events")
+    val userStride = stride(ev, "user_id")
+    out(replicate(ev, factor, Seq("event_id"), stride(ev, "event_id"))
+      .withColumn("user_id", col("user_id") + col("_copy") * userStride),
+      "events")
+
+    val docs = in("documents")
+    out(replicate(docs, factor, Seq("doc_id"), stride(docs, "doc_id"))
+      .withColumn("text",
+        when(col("_copy") === 0, col("text"))
+          .otherwise(array_join(flatten(expr(
+            "transform(split(text, ' '), (w, i) -> " +
+              "IF((i + 1) % 2 = 0, array(w, concat('cv', _copy)), array(w)))")),
+            " ")))
+      .withColumn("n_chars", length(col("text")).cast("long")),
+      "documents")
+
+    val emb = in("embeddings")
+    out(replicate(emb, factor, Seq("vec_id"), stride(emb, "vec_id"))
+      .withColumn("embedding",
+        expr("CASE WHEN _copy = 0 THEN embedding ELSE " +
+          "concat(slice(embedding, CAST(_copy AS INT) + 1, " +
+          "size(embedding) - CAST(_copy AS INT)), " +
+          "slice(embedding, 1, CAST(_copy AS INT))) END")),
+      "embeddings")
+
+    spark.stop()
+  }
+}
