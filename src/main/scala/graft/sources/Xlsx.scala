@@ -29,7 +29,7 @@ object Xlsx {
   }
 
   /** A1-style column name: 0 → A, 25 → Z, 26 → AA. */
-  private[sources] def colRef(ix: Int): String = {
+  private[graft] def colRef(ix: Int): String = {
     require(ix >= 0)
     var i = ix
     val sb = new StringBuilder

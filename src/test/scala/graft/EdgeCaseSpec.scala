@@ -290,4 +290,43 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out(9L).getInt(5) == 1 && out(5L).getInt(5) == 0)
     assert(out(7L).getInt(5) == 0 && out(7L).getLong(2) == 1L)
   }
+
+  test("fixedSample two-phase: quota over stratum size keeps every row") {
+    import graft.operators.Curation
+    // 3-doc stratum, quota 10: every bucket contributes, all rows
+    // selected with dense 1..3 ranks — the boundary-bucket logic must
+    // not drop or double-rank when the histogram never reaches quota
+    val df = Seq((1L, "en"), (2L, "en"), (3L, "en"), (4L, "fr"))
+      .toDF("doc_id", "lang")
+    val out = Curation.fixedSample(df, 10, "lang").collect()
+    assert(out.count(_.getString(1) == "en") == 3)
+    assert(out.filter(_.getString(1) == "en").map(_.getInt(2)).sorted
+      .toSeq == Seq(1, 2, 3))
+    assert(out.count(_.getString(1) == "fr") == 1)
+  }
+
+  test("plantPii propagates NULL text and plants only on period docs") {
+    import graft.operators.Privacy
+    val df = Seq((0L, Some("alpha beta")), (7L, None),
+      (3L, Some("plain text"))).toDF("doc_id", "text")
+    val out = Privacy.piiRedact(Privacy.plantPii(df)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0 (0 % 7 == 0): one of each planted class, all redacted
+    assert(out(0L).getLong(1) == 1 && out(0L).getLong(2) == 1 &&
+      out(0L).getLong(3) == 1)
+    val red = out(0L).getString(5)
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>") &&
+      red.contains("<IP>") && !red.contains("@example.com"))
+    // NULL text stays NULL through planting, counting and redaction
+    assert(out(7L).isNullAt(1) && out(7L).isNullAt(5))
+    // off-period doc: untouched, zero counts
+    assert(out(3L).getLong(4) == 0 && out(3L).getString(5) == "plain text")
+  }
+
+  test("xlsx colRef covers the multi-letter column range") {
+    import graft.sources.Xlsx
+    assert(Xlsx.colRef(0) == "A" && Xlsx.colRef(25) == "Z")
+    assert(Xlsx.colRef(26) == "AA" && Xlsx.colRef(27) == "AB")
+    assert(Xlsx.colRef(26 * 27 - 1) == "ZZ" && Xlsx.colRef(26 * 27) == "AAA")
+  }
 }
