@@ -374,6 +374,77 @@ object EventStream {
         col("n_users"))
   }
 
+  case class CohortState(cohortDay: Long, weeks: Seq[Long])
+  case class CohortTouch(user_id: Long, ts: java.sql.Timestamp,
+                         cohort_week: java.sql.Date)
+
+  /** Streaming cohort retention — the streaming twin of
+    * Journey.cohortRetention. Per-user state = the first-seen week
+    * (the cohort — one permanent entry per user, the
+    * [[incrementalReach]] contract) plus the open weeks already
+    * emitted (pruned once the watermark closes them, so the live part
+    * is O(lateness) entries). First activity in a week emits ONE
+    * (user, cohort, week) touch; a Monday-aligned 7-day window count
+    * per (week, cohort) then lands exactly the batch triangle's
+    * n_users — the batch operator re-collects every user's full week
+    * set each run, this touches only new events. Emits
+    * (cohort_week, week_ix, n_users); cohort_size/retention are one
+    * self-join downstream once a cohort's week 0 finalizes (ratios
+    * of finalized counts belong to the consumer, not the stream).
+    * Contract notes: the cohort is fixed by the user's first
+    * non-late event — an event from a strictly EARLIER week arriving
+    * inside the lateness window at the user's very first week
+    * boundary is dropped rather than retroactively re-cohorting
+    * (append mode cannot retract); and as everywhere in this module,
+    * a week the watermark closed misses late touches. */
+  def cohortActivity(spark: SparkSession, events: Dataset[Event]): DataFrame = {
+    import spark.implicits._
+    val dayMs = 86400000L
+    def mondayOf(epochDay: Long): Long =
+      epochDay - Math.floorMod(epochDay + 3, 7)
+    val touches = events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortState, CohortTouch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[CohortState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val weeks = rows.map(e =>
+            mondayOf(Math.floorDiv(e.ts.getTime, dayMs))).toSeq.distinct.sorted
+          var st = state.getOption.getOrElse(CohortState(Long.MaxValue, Nil))
+          var open = st.weeks.toSet
+          val out = Seq.newBuilder[CohortTouch]
+          weeks.foreach { w =>
+            // skip weeks the watermark already closed, weeks already
+            // emitted, and (documented contract) weeks before an
+            // established cohort
+            if ((w + 7) * dayMs > wm && !open(w)) {
+              if (st.cohortDay == Long.MaxValue) st = st.copy(cohortDay = w)
+              if (w >= st.cohortDay) {
+                out += CohortTouch(uid, new java.sql.Timestamp(w * dayMs),
+                  java.sql.Date.valueOf(
+                    java.time.LocalDate.ofEpochDay(st.cohortDay)))
+                open += w
+              }
+            }
+          }
+          val kept = open.filter(w => (w + 7) * dayMs > wm)
+          if (st.cohortDay != Long.MaxValue)
+            state.update(CohortState(st.cohortDay, kept.toSeq.sorted))
+          out.result().iterator
+      }
+    touches
+      .withWatermark("ts", "2 hours")
+      // Monday-aligned tumbling weeks (epoch is a Thursday: +4 days)
+      .groupBy(window(col("ts"), "7 days", "7 days", "4 days"),
+        col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("cohort_week"),
+        (datediff(col("window.start").cast("date"), col("cohort_week")) / 7)
+          .cast("int").as("week_ix"),
+        col("n_users"))
+  }
+
   case class Session(user_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
                      n_events: Long, total_value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)

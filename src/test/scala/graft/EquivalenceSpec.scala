@@ -78,6 +78,41 @@ class EquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("streaming cohortActivity equals the batch retention triangle") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq.sortBy(_.ts.getTime)
+    val maxTs = ev.map(_.ts.getTime).max
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(ev: _*)
+    val q = EventStream.cohortActivity(spark, mem.toDS())
+      .writeStream.format("memory").queryName("eq_co").outputMode("append")
+      .start()
+    // sentinel 3 weeks past the data finalizes every real week window
+    mem.addData(Event(0L,
+      new Timestamp(maxTs + 21 * 86400000L), "sentinel", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("eq_co").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val batch = graft.operators.Journey
+      .cohortRetention(Tables.events(spark, "/root/testdata/sf0.001"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(batch.nonEmpty)
+    // the sentinel user adds its own 1-user cohort; every BATCH cell
+    // must be reproduced exactly by the stream
+    batch.foreach { case (cell, n) =>
+      assert(streamed.get(cell).contains(n),
+        s"cohort cell $cell: streamed ${streamed.get(cell)} vs batch $n")
+    }
+  }
+
   test("streaming dedup keeps exactly the batch exactDedup survivors") {
     // the sf0.001 planted dups are NEAR dups only — plant one exact
     // duplicate (new id, same text as doc 0) so the dedup binds
