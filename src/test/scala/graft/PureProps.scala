@@ -28,6 +28,30 @@ object PureProps extends Properties("graft") {
         png.length > 8 && (png(1) & 0xff) == 'P'.toInt
     }
 
+  property("xlsx sheets round-trip arbitrary text cells through a real XML parser") =
+    Prop.forAll(Gen.listOfN(3,
+      Gen.asciiPrintableStr.map(_.take(40)))) { cells =>
+      import graft.sources.Xlsx
+      val bos = new java.io.ByteArrayOutputStream()
+      Xlsx.write(Seq(("s", Seq("c1", "c2", "c3"),
+        Seq(cells.map(Right(_): Xlsx.Cell)))), bos)
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      var sheet: String = null
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (e.getName == "xl/worksheets/sheet1.xml")
+          sheet = new String(zin.readAllBytes(), "UTF-8")
+        e = zin.getNextEntry
+      }
+      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(sheet.getBytes("UTF-8")))
+      val ts = doc.getElementsByTagName("t")
+      val got = (3 until ts.getLength).map(i => ts.item(i).getTextContent)
+      got == cells
+    }
+
   property("semantic centroid count keeps per-cell work bounded") =
     Prop.forAll(Gen.choose(1L, 1000000000000L), Gen.choose(1, 100000)) {
       (n, target) =>
