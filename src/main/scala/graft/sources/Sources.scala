@@ -22,11 +22,30 @@ object Sources {
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** ORC source/sink — the Hive-native columnar format the
+    * reference's warehouse tables (hc.table) actually live in.
+    * Spark's ORC reader pushes predicates and prunes columns exactly
+    * like parquet (SourcesSpec pins the pushdown reaching the scan);
+    * parquet stays the engine's primary format, ORC is the
+    * interchange path for Hive-era estates. (Avro would be the row
+    * format counterpart, but the spark-avro connector isn't on this
+    * classpath — zero-egress environment.) */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** JSON-lines sink (one object per row) — the interchange format
+    * for downstream tools that speak neither parquet nor ORC. */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 
   /** Small-files compaction: rewrite a parquet directory into
     * ~`targetFileMB`-sized files. Streaming micro-batches, per-day

@@ -61,6 +61,33 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"), scan)
   }
 
+  test("orc round-trips and pushes filters to the scan") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    Sources.writeOrc(df, s"$dir/li")
+    val back = Sources.orc(spark, s"$dir/li")
+    assert(back.count() == df.count())
+    assert(back.schema == df.schema)
+    // predicate pushdown must reach the ORC scan like parquet
+    val scan = back.where(col("l_returnflag") === "R")
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_returnflag"),
+      scan.take(500))
+  }
+
+  test("json-lines sink round-trips rows") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-json").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sources.writeJson(df, s"$dir/j")
+    val back = Sources.json(spark, s"$dir/j")
+    assert(back.count() == 2 &&
+      back.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v")))
+        .toSet == Set((1L, "a"), (2L, "b")))
+  }
+
   test("publishWorkbook writes one csv per sheet plus a manifest") {
     import java.nio.file.{Files, Paths}
     val out = Files.createTempDirectory("graft-workbook").toString
