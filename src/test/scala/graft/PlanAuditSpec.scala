@@ -222,6 +222,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan("q_dedup_best").contains("Join"))
   }
 
+  test("sketch WAU aggregates sketches, never re-expands user-days") {
+    val p = plan("q_active_users_approx")
+    // the whole point of the twin: per-day HLL sketches union across
+    // the trailing window — day-count-sized rows after the first
+    // aggregate. The exact operator's contribute-forward explode of
+    // the USER-day frame must not appear above a corpus-sized input:
+    // the only explode here fans out day-sketch rows (post-aggregate)
+    assert(p.contains("hll_sketch_agg") && p.contains("hll_union_agg"),
+      p.take(2000))
+    // no window operator anywhere — both counts are plain aggregates
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("fixed sample ranks only broadcast-selected candidate buckets") {
     val p = plan("q_sample_fixed")
     // two-phase: the ranking window must consume the candidate join
