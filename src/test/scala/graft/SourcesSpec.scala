@@ -174,4 +174,16 @@ class SourcesSpec extends SparkSpec {
       == 2L * 4000 * 3999 / 2)
     assert(!new java.io.File(dir + "._compact_tmp").exists, "tmp dir swapped away")
   }
+
+  test("compact survives a trailing-slash dir (temp is a sibling, not a child)") {
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact2").toString
+    spark.range(0, 100).repartition(8).write.mode("overwrite").parquet(dir)
+    // a trailing-slash path used to nest the temp dir INSIDE the
+    // source, so the pre-swap delete destroyed the fresh output
+    val n = Sources.compact(spark, dir + "/", targetFileMB = 128)
+    assert(n == 1)
+    assert(spark.read.parquet(dir).count() == 100, "table intact after swap")
+    assert(!new java.io.File(dir + "._compact_old").exists, "backup cleaned")
+  }
 }
