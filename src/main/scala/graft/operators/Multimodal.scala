@@ -100,9 +100,16 @@ object Multimodal {
   def syntheticImages(spark: SparkSession,
                       docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
-      ids.map(id => MediaRow(id, ImageCodec.encodePng(id), "png"))
-    }
+    // repartition the (8-byte) id frame before the codec: the docs
+    // parquet at probe scale is one small file = 1-2 scan partitions,
+    // which would serialize all encode+decode work onto 2 of 32
+    // cores; a real media corpus arrives already distributed, and
+    // this shuffle moves ids, not payloads
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long].mapPartitions { ids =>
+        ids.map(id => MediaRow(id, ImageCodec.encodePng(id), "png"))
+      }
   }
 
   /** Batch decode via mapPartitions: one codec context per partition,
