@@ -425,17 +425,24 @@ object SparkEntry {
         (col("p_partkey") + 100000).as("id"))
       ValueMapping.makeMap(ka, dm)
     }),
-    "q_lang_id" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
+    // documentsFloored on the regex/shingle-heavy single-pass queries
+    // below — see Tables.documentsFloored scaladoc for the measured
+    // keep/skip decision per query
+    "q_lang_id" -> ((s, d) =>
+      TextAnalysis.languageId(Tables.documentsFloored(s, d))),
     "q_text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
-    "q_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
-    "q_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
+    "q_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(Tables.documentsFloored(s, d))),
+    "q_quality_filter" -> ((s, d) =>
+      TextAnalysis.qualityFilter(Tables.documentsFloored(s, d))),
     "q_dedup_exact" -> ((s, d) => TextAnalysis.exactDedup(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) =>
-      NearDup.jaccardPairs(Tables.documents(s, d), 3, 0.3)),
+      NearDup.jaccardPairs(Tables.documentsFloored(s, d), 3, 0.3)),
     "q_containment" -> ((s, d) =>
-      NearDup.containmentPairs(Tables.documents(s, d), 3, ContainmentThreshold)),
+      NearDup.containmentPairs(Tables.documentsFloored(s, d), 3,
+        ContainmentThreshold)),
     "q_decontam" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       NearDup.decontaminate(
@@ -573,7 +580,7 @@ object SparkEntry {
     // and the planting is mirrored verbatim in the oracle SQL, so the
     // hash check verifies real counts and real replacements.
     "q_pii_redact" -> ((s, d) =>
-      Privacy.piiRedact(Privacy.plantPii(Tables.documents(s, d)))),
+      Privacy.piiRedact(Privacy.plantPii(Tables.documentsFloored(s, d)))),
     // Mix drift between deterministic even/odd epoch-day snapshots —
     // the synthetic stand-in for yesterday-vs-today QA.
     "q_qa_drift" -> ((s, d) => {
@@ -689,7 +696,7 @@ object SparkEntry {
         Seq("c_name", "c_acctbal"), "eff")
     }),
     "q_langid_eval" -> ((s, d) =>
-      TextAnalysis.langIdEval(Tables.documents(s, d))),
+      TextAnalysis.langIdEval(Tables.documentsFloored(s, d))),
     "q_sample_fixed" -> ((s, d) =>
       Curation.fixedSample(Tables.documents(s, d), FixedPerStratum)),
     "q_cluster_best" -> ((s, d) => {

@@ -38,6 +38,30 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+
+  /** Documents with a PARALLELISM FLOOR — for the regex/shingle-heavy
+    * SINGLE-PASS operators only (quality filter, repetition, language
+    * ID, PII redaction, the jaccard/containment index build). The
+    * testdata ships one single-row-group parquet file, and parquet
+    * can't split below a row group, so those operators' row-local CPU
+    * (the engine's heaviest) would serialize on 1 core of 32 until
+    * the first shuffle; when the scan yields fewer partitions than
+    * cores, redistribute once. At real scale a 100 TB corpus arrives
+    * as thousands of row groups and this is a no-op.
+    *
+    * Deliberately NOT the default documents loader: the floor's
+    * upfront full-text exchange costs ~0.3 s at sf0.1, so the ~40
+    * lighter documents queries would pay more in shuffle tax than
+    * they win in parallelism (measured: global floor moved the
+    * 84-query bench 61.8 s → 66.2 s, while these single-pass CPU
+    * operators individually won 30–40%). Hash-gate-safe where
+    * applied: each floored operator emits row-local columns or
+    * integer aggregates, so results are independent of partitioning. */
+  def documentsFloored(s: SparkSession, d: String): DataFrame = {
+    val raw = documents(s, d)
+    val cores = s.sparkContext.defaultParallelism
+    if (raw.rdd.getNumPartitions < cores) raw.repartition(cores) else raw
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Exposure-log view of `events` in the reference's media schema:
