@@ -493,6 +493,9 @@ object SparkEntry {
       NearDup.dedupClusters(docs, NearDup.minhashPairs(docs))
     }),
     "q_simhash" -> ((s, d) => NearDup.simhash(Tables.documents(s, d))),
+    // simhash stays UNfloored: measured 4.49 s -> 4.43 s (noise) — the
+    // native row-local fingerprint is cheap enough that bucket/verify
+    // output volume dominates, so the floor's exchange buys nothing
     "q_simhash_pairs" -> ((s, d) => NearDup.simhashPairs(Tables.documents(s, d))),
     "q_embed_neardup" -> ((s, d) =>
       VectorSearch.cosineNearDup(Tables.embeddings(s, d), 0.4)),
