@@ -430,7 +430,8 @@ object SparkEntry {
     // keep/skip decision per query
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documentsFloored(s, d))),
-    "q_text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "q_text_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documentsFloored(s, d))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) =>

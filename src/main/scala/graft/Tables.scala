@@ -40,8 +40,9 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
 
   /** Documents with a PARALLELISM FLOOR — for the regex/shingle-heavy
-    * SINGLE-PASS operators only (quality filter, repetition, language
-    * ID, PII redaction, the jaccard/containment index build). The
+    * SINGLE-PASS operators only (quality scoring + filter, repetition,
+    * language ID, PII redaction, the jaccard/containment index
+    * build). The
     * testdata ships one single-row-group parquet file, and parquet
     * can't split below a row group, so those operators' row-local CPU
     * (the engine's heaviest) would serialize on 1 core of 32 until
