@@ -157,6 +157,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dailyActive reconstructs out-of-order days across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // batch 1: user 1 active on day 2 (01:00) — emits dau(d2) and
+    // wau targets d2..d8; watermark lands at day-1 23:00, so day 1
+    // is NOT yet expired
+    mem.addData(Event(1, ts("2024-01-02 01:00:00"), "view", 1.0))
+    val q = EventStream.dailyActive(spark, mem.toDS(), 7)
+      .writeStream.format("memory").queryName("ooo_da").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    // batch 2: the SAME user's day-1 event arrives late but inside
+    // the lateness bound — the covered-target check must emit exactly
+    // the targets day 2 didn't cover: dau(d1) + wau(d1) only (targets
+    // d2..d7 are already covered by the day-2 emission)
+    mem.addData(Event(1, ts("2024-01-01 23:30:00"), "view", 1.0))
+    q.processAllAvailable()
+    // sentinel finalizes all real windows
+    mem.addData(Event(99, ts("2024-02-01 00:00:00"), "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ooo_da").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out(("2024-01-01", "dau")) == 1 && out(("2024-01-02", "dau")) == 1)
+    // one user, counted ONCE per trailing window — a re-expansion bug
+    // would count the user twice on days 2..7
+    (1 to 7).foreach { d =>
+      assert(out((f"2024-01-0$d%d", "wau")) == 1,
+        s"day $d window must count the user once")
+    }
+    assert(out(("2024-01-08", "wau")) == 1,
+      "day 8 still inside day 2's trailing window")
+    assert(!out.contains(("2024-01-09", "wau")),
+      "day 9 is outside both days' windows")
+  }
+
   test("streaming anomaly alerts match the batch flags on finalized days") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
