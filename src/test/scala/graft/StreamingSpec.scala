@@ -194,6 +194,40 @@ class StreamingSpec extends SparkSpec {
       "day 9 is outside both days' windows")
   }
 
+  test("cohortActivity: late earlier-week touch is dropped, not re-cohorted") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // 2024-01-01 and 2024-01-08 are Mondays. user 2: clean two-week
+    // history (cohort week Jan 1, active weeks 0 and 1). user 1:
+    // first non-late event in week Jan 8 → cohort fixed there.
+    mem.addData(
+      Event(2, ts("2024-01-01 10:00:00"), "view", 1.0),
+      Event(2, ts("2024-01-08 10:00:00"), "view", 1.0),
+      Event(1, ts("2024-01-08 01:00:00"), "view", 1.0))
+    val q = EventStream.cohortActivity(spark, mem.toDS())
+      .writeStream.format("memory").queryName("coh_c").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    // user 1's week-Jan-1 event arrives late but inside the lateness
+    // bound (wm = Jan 7 23:00): append mode cannot retract the
+    // already-emitted week-Jan-8 cohort row, so the documented
+    // contract DROPS it rather than re-cohorting
+    mem.addData(Event(1, ts("2024-01-07 23:30:00"), "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(99, ts("2024-03-01 00:00:00"), "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("coh_c").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(out(("2024-01-01", 0)) == 1, "user 2 anchors cohort week 1")
+    assert(out(("2024-01-01", 1)) == 1, "user 2 retained in week 2")
+    assert(out(("2024-01-08", 0)) == 1, "user 1 cohorts at first non-late week")
+    // the dropped touch must not create a week-1 cohort cell for
+    // user 1 or bump any existing cell
+    assert(out.values.forall(_ == 1) && out.size == 3, out.toString)
+  }
+
   test("streaming anomaly alerts match the batch flags on finalized days") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
