@@ -251,7 +251,17 @@ object Curation {
     * scans (histogram + candidate filter) instead of one — at scale a
     * second parallel scan is cheap; a single-reducer terabyte sort is
     * not. A perStratum approaching the stratum size degrades
-    * gracefully into the full sort it genuinely requires. */
+    * gracefully into the full sort it genuinely requires.
+    *
+    * Broadcast bound: the contributing-bucket list is ≈
+    * ⌈perStratum·4096/|stratum|⌉+1 rows per stratum — a handful for
+    * the corpus-sized strata this operator exists for. In a
+    * MANY-TINY-STRATA regime (strata ≳ 10⁶ with |stratum| ≲
+    * perStratum) the list approaches one row per document and must
+    * not be broadcast — but in that regime every row is selected
+    * anyway: use the rate-based [[stratifiedSample]] (zero-shuffle)
+    * or skip sampling; fixed-size quota selection presupposes strata
+    * ≪ corpus. */
   def fixedSample(docs: DataFrame, perStratum: Int,
                   strataCol: String = "lang"): DataFrame = {
     require(perStratum > 0, s"perStratum must be positive: $perStratum")
