@@ -153,6 +153,16 @@ object SparkEntry {
   private val NewMod = 17
   private val NewKeyOffset = 1000000L
 
+  /** q_cdc_apply planted change log: % UpdMod updated at seq 1,
+    * % DelMod deleted at seq 2, % InsMod inserted as shifted new keys
+    * at seq 2, % ResMod (⊂ DelMod's multiples) re-upserted at seq 3 —
+    * so last-writer-wins is exercised in both directions (update→
+    * delete wins delete, delete→upsert resurrects). */
+  private val CdcUpdMod = 5
+  private val CdcDelMod = 7
+  private val CdcInsMod = 11
+  private val CdcResMod = 21
+
   /** q_skew_report: heaviest keys listed. */
   private val SkewTopN = 10
 
@@ -698,6 +708,23 @@ object SparkEntry {
         .withColumn("eff", lit("2024-06-01").cast("date"))
       Scd.merge2(current, updates, "c_custkey",
         Seq("c_name", "c_acctbal"), "eff")
+    }),
+    "q_cdc_apply" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val chg = cust.where(col("c_custkey") % CdcUpdMod === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 50.0)
+        .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+        .unionByName(cust.where(col("c_custkey") % CdcDelMod === 0)
+          .withColumn("seq", lit(2L)).withColumn("op", lit("D")))
+        .unionByName(cust.where(col("c_custkey") % CdcInsMod === 0)
+          .withColumn("c_custkey", col("c_custkey") + NewKeyOffset)
+          .withColumn("seq", lit(2L)).withColumn("op", lit("U")))
+        .unionByName(cust.where(col("c_custkey") % CdcResMod === 0)
+          .withColumn("c_acctbal", lit(0.0))
+          .withColumn("seq", lit(3L)).withColumn("op", lit("U")))
+      Scd.applyCdc(cust, chg, "c_custkey", Seq("c_name", "c_acctbal"),
+        "seq", "op")
     }),
     "q_langid_eval" -> ((s, d) =>
       TextAnalysis.langIdEval(Tables.documentsFloored(s, d))),
@@ -2153,6 +2180,34 @@ object SparkEntry {
           SELECT uk, unm, ub, DATE '2024-06-01', CAST(NULL AS DATE)
           FROM df WHERE uk IS NOT NULL AND (ok IS NULL OR d)
           ORDER BY c_custkey, effective_from""",
+    "q_cdc_apply" ->
+      s"""WITH cust AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+          chg AS (
+            SELECT c_custkey, c_name, c_acctbal + 50.0 AS c_acctbal,
+              1 AS seq, 'U' AS op FROM cust WHERE c_custkey % $CdcUpdMod = 0
+            UNION ALL
+            SELECT c_custkey, c_name, c_acctbal, 2, 'D' FROM cust
+            WHERE c_custkey % $CdcDelMod = 0
+            UNION ALL
+            SELECT c_custkey + $NewKeyOffset, c_name, c_acctbal, 2, 'U'
+            FROM cust WHERE c_custkey % $CdcInsMod = 0
+            UNION ALL
+            SELECT c_custkey, c_name, 0.0, 3, 'U' FROM cust
+            WHERE c_custkey % $CdcResMod = 0),
+          latest AS (SELECT * FROM (SELECT *, row_number() OVER
+              (PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM chg)
+            WHERE rn = 1),
+          j AS (SELECT s.c_custkey AS sk, s.c_name AS snm,
+              s.c_acctbal AS sb, l.c_custkey AS lk, l.c_name AS lnm,
+              l.c_acctbal AS lb, l.seq, l.op
+            FROM cust s FULL OUTER JOIN latest l
+              ON s.c_custkey = l.c_custkey)
+          SELECT coalesce(sk, lk) AS c_custkey,
+            CASE WHEN op = 'U' THEN lnm ELSE snm END AS c_name,
+            CASE WHEN op = 'U' THEN lb ELSE sb END AS c_acctbal,
+            CAST(coalesce(seq, 0) AS BIGINT) AS version_seq
+          FROM j WHERE op IS NULL OR op = 'U'
+          ORDER BY c_custkey""",
     "q_langid_eval" ->
       s"""WITH p AS ($LangIdSql),
           g AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2)

@@ -67,4 +67,50 @@ object Scd {
     hist.unionByName(keepOpen).unionByName(closed).unionByName(opened)
       .orderBy(col(key), col("effective_from"))
   }
+
+  /** CDC log apply: fold a change log of upserts/deletes into a
+    * snapshot, last-writer-wins by `seqCol`. `changes` carries
+    * (key, attrs…, seqCol, opCol) with opCol ∈ {'U','D'} and at most
+    * one row per (key, seq) — seq ties within a key are a caller
+    * contract violation (ambiguous order), not resolved here. A key's
+    * LATEST change decides it: 'U' upserts (update or insert), 'D'
+    * deletes — even if earlier changes said otherwise, and a 'U'
+    * after a 'D' resurrects the key. Untouched snapshot rows pass
+    * through with version_seq = 0.
+    *
+    * Shape for 100 TB: the log is first reduced to latest-per-key —
+    * a window over the CHANGE BATCH only (operationally small). The
+    * corpus-sized snapshot then meets it in a BROADCAST left-outer
+    * join (updates, deletes and pass-through resolve row-locally —
+    * the snapshot never shuffles and a full-outer join, which Spark
+    * cannot broadcast, never appears); inserts are the latest 'U'
+    * rows anti-joined against the snapshot's KEY COLUMN only, so the
+    * one shuffle that does touch the corpus carries a single pruned
+    * column, not rows. This is the Delta/Iceberg MERGE access pattern
+    * expressed in pure relational ops. */
+  def applyCdc(snapshot: DataFrame, changes: DataFrame, key: String,
+               attrs: Seq[String], seqCol: String, opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = changes
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(seqCol).desc)))
+      .where(col("_rn") === 1)
+      .select(col(key).as(s"u_$key") +:
+        attrs.map(a => col(a).as(s"u_$a")) :+
+        col(seqCol).as("u_seq") :+ col(opCol).as("u_op"): _*)
+    val existing = snapshot.join(broadcast(latest),
+      col(key) <=> col(s"u_$key"), "left_outer")
+      .where(col("u_op").isNull || col("u_op") === "U")
+      .select(col(key) +:
+        attrs.map(a =>
+          when(col("u_op") === "U", col(s"u_$a")).otherwise(col(a)).as(a)) :+
+        coalesce(col("u_seq"), lit(0L)).as("version_seq"): _*)
+    val inserted = latest.where(col("u_op") === "U")
+      .join(snapshot.select(col(key).as(s"u_$key")), Seq(s"u_$key"),
+        "left_anti")
+      .select(col(s"u_$key").as(key) +:
+        attrs.map(a => col(s"u_$a").as(a)) :+
+        col("u_seq").as("version_seq"): _*)
+    existing.unionByName(inserted).orderBy(col(key))
+  }
 }

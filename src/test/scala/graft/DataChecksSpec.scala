@@ -267,6 +267,30 @@ class DataChecksSpec extends SparkSpec {
       (9L, "k9-v1", "2024-01-01", "null")))
   }
 
+  test("cdc apply: last writer wins, deletes drop, resurrect works") {
+    import spark.implicits._
+    import graft.operators.Scd
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "name", "bal")
+    val chg = Seq(
+      (2L, "b2", 21.0, 1L, "U"),   // plain update
+      (3L, "c", 30.0, 1L, "U"),    // update then...
+      (3L, "c", 30.0, 2L, "D"),    //   ...delete: delete wins
+      (4L, "d", 40.0, 1L, "D"),    // delete then...
+      (4L, "d4", 44.0, 2L, "U"),   //   ...upsert: resurrects
+      (9L, "new", 90.0, 1L, "U"),  // insert of unseen key
+      (8L, "x", 0.0, 1L, "D"))     // delete of unseen key: no-op
+      .toDF("k", "name", "bal", "seq", "op")
+    val out = Scd.applyCdc(snap, chg, "k", Seq("name", "bal"), "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(out.toSet == Set(
+      (1L, "a", 10.0, 0L),    // untouched passthrough, version 0
+      (2L, "b2", 21.0, 1L),
+      (4L, "d4", 44.0, 2L),
+      (9L, "new", 90.0, 1L)))
+  }
+
   test("approx percentile bands track the exact quartiles") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val exact = DataChecks.percentileBands(ev, "value", "event_type")
