@@ -163,6 +163,14 @@ object SparkEntry {
   private val CdcInsMod = 11
   private val CdcResMod = 21
 
+  /** q_entity_match: planted typos over customer names — id % 3 == 0
+    * gets one mid-name substitution (dist 1), % 3 == 1 two (dist 2),
+    * % 3 == 2 a LAST-char substitution that breaks the right-4
+    * blocking key — the intentional blocking-miss class (NULL match)
+    * that makes the matcher's recall tradeoff visible in the gate. */
+  private val EntityBlockLen = 4
+  private val EntityMaxDist = 2
+
   /** q_skew_report: heaviest keys listed. */
   private val SkewTopN = 10
 
@@ -725,6 +733,20 @@ object SparkEntry {
           .withColumn("seq", lit(3L)).withColumn("op", lit("U")))
       Scd.applyCdc(cust, chg, "c_custkey", Seq("c_name", "c_acctbal"),
         "seq", "op")
+    }),
+    "q_entity_match" -> ((s, d) => {
+      val clean = Tables.customer(s, d)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val dirty = clean.select(col("id"),
+        when(col("id") % 3 === 0,
+          expr("concat(substring(name, 1, 5), 'x', substring(name, 7))"))
+        .when(col("id") % 3 === 1,
+          expr("concat(substring(name, 1, 5), 'xy', substring(name, 8))"))
+        .otherwise(
+          expr("concat(substring(name, 1, length(name) - 1), 'z')"))
+        .as("name"))
+      Entity.resolve(dirty, clean, "id", "name", EntityBlockLen,
+        EntityMaxDist)
     }),
     "q_langid_eval" -> ((s, d) =>
       TextAnalysis.langIdEval(Tables.documentsFloored(s, d))),
@@ -2208,6 +2230,30 @@ object SparkEntry {
             CAST(coalesce(seq, 0) AS BIGINT) AS version_seq
           FROM j WHERE op IS NULL OR op = 'U'
           ORDER BY c_custkey""",
+    "q_entity_match" ->
+      s"""WITH clean AS (SELECT c_custkey AS id, c_name AS name
+            FROM customer),
+          dirty AS (SELECT id,
+            CASE WHEN id % 3 = 0 THEN
+                substr(name, 1, 5) || 'x' || substr(name, 7)
+              WHEN id % 3 = 1 THEN
+                substr(name, 1, 5) || 'xy' || substr(name, 8)
+              ELSE substr(name, 1, length(name) - 1) || 'z'
+            END AS name FROM clean),
+          d AS (SELECT id AS dirty_id, name AS dirty_name,
+            right(name, $EntityBlockLen) AS blk FROM dirty),
+          c AS (SELECT id AS clean_id, name AS clean_name,
+            right(name, $EntityBlockLen) AS blk FROM clean),
+          j AS (SELECT d.dirty_id, d.dirty_name, c.clean_id,
+              levenshtein(d.dirty_name, c.clean_name) AS dist
+            FROM d LEFT JOIN c USING (blk)),
+          r AS (SELECT *, row_number() OVER (PARTITION BY dirty_id
+              ORDER BY CASE WHEN dist <= $EntityMaxDist THEN 0 ELSE 1 END,
+                dist, clean_id) AS rn FROM j)
+          SELECT dirty_id, dirty_name,
+            CASE WHEN dist <= $EntityMaxDist THEN clean_id END AS clean_id,
+            CASE WHEN dist <= $EntityMaxDist THEN dist END AS dist
+          FROM r WHERE rn = 1 ORDER BY dirty_id""",
     "q_langid_eval" ->
       s"""WITH p AS ($LangIdSql),
           g AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2)

@@ -291,6 +291,25 @@ class DataChecksSpec extends SparkSpec {
       (9L, "new", 90.0, 1L)))
   }
 
+  test("entity resolve: best-in-block, ties deterministic, misses NULL") {
+    import spark.implicits._
+    import graft.operators.Entity
+    val clean = Seq((1L, "node-0001"), (2L, "nude-0001"), (3L, "node-0002"))
+      .toDF("id", "name")
+    val dirty = Seq(
+      (10L, "nodx-0001"),  // dist 1 to clean 1, dist 2 to clean 2
+      (11L, "nzdz-0001"),  // dist 2 to BOTH -> tie breaks to clean 1
+      (12L, "node-9999"),  // block 9999 empty -> NULL match
+      (13L, "zzzz-0002"))  // in-block candidate at dist 4 > max -> NULL
+      .toDF("id", "name")
+    val out = Entity.resolve(dirty, clean, "id", "name", 4, 2)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toSet
+    assert(out == Set((10L, 1L, 1), (11L, 1L, 2), (12L, -1L, -1),
+      (13L, -1L, -1)))
+  }
+
   test("approx percentile bands track the exact quartiles") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val exact = DataChecks.percentileBands(ev, "value", "event_type")
