@@ -603,6 +603,11 @@ object SparkEntry {
     // hash check verifies real counts and real replacements.
     "q_pii_redact" -> ((s, d) =>
       Privacy.piiRedact(Privacy.plantPii(Tables.documentsFloored(s, d)))),
+    // Boilerplate is PLANTED deterministically like the PII above (the
+    // synthetic corpus has no URLs/markup) and mirrored in the oracle.
+    "q_text_clean" -> ((s, d) =>
+      TextAnalysis.cleanText(
+        TextAnalysis.plantNoise(Tables.documentsFloored(s, d)))),
     // Mix drift between deterministic even/odd epoch-day snapshots —
     // the synthetic stand-in for yesterday-vs-today QA.
     "q_qa_drift" -> ((s, d) => {
@@ -1891,6 +1896,27 @@ object SparkEntry {
           FROM planted)
           SELECT doc_id, n_email, n_phone, n_ip,
             n_email + n_phone + n_ip AS pii_total, redacted
+          FROM c ORDER BY doc_id""",
+    // Planted boilerplate mirrored verbatim from TextAnalysis.plantNoise;
+    // patterns in the RE2 ∩ Java subset like the PII oracle above.
+    "q_text_clean" ->
+      s"""WITH planted AS (SELECT doc_id,
+            CASE WHEN doc_id % ${TextAnalysis.CleanPlantEvery} = 0 THEN
+              text || ' see https://ex' || doc_id ||
+              '.com/a?q=1  and <div class="x">tagged</div>  end'
+            ELSE text END AS text
+          FROM documents),
+          c AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '${TextAnalysis.UrlRe}')) AS BIGINT) AS url_count,
+            CAST(len(regexp_extract_all(text, '${TextAnalysis.TagRe}')) AS BIGINT) AS tag_count,
+            CAST(length(text) AS BIGINT) AS len_before,
+            trim(regexp_replace(regexp_replace(regexp_replace(text,
+              '${TextAnalysis.UrlRe}', ' ', 'g'),
+              '${TextAnalysis.TagRe}', ' ', 'g'),
+              '[ \t\n\r]+', ' ', 'g')) AS cleaned
+          FROM planted)
+          SELECT doc_id, url_count, tag_count, len_before,
+            CAST(length(cleaned) AS BIGINT) AS len_after, cleaned
           FROM c ORDER BY doc_id""",
     "q_range_join" ->
       s"""WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

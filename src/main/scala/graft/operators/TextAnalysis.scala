@@ -414,4 +414,53 @@ object TextAnalysis {
       .withColumn("is_dup", (col("doc_id") =!= col("rep_id")).cast("int"))
       .orderBy(col("doc_id"))
   }
+
+  /** [[cleanText]] patterns, shared with the oracle SQL. RE2 ∩ Java
+    * subset (explicit character classes — no \s/\S dialect risk, no
+    * backrefs, no lookaround) so both engines agree match-for-match.
+    * Urls: scheme to the next space; tags: one balanced angle pair
+    * (never spans two tags — [^<>] can't cross a '>'). */
+  val UrlRe = "https?://[^ ]+"
+  val TagRe = "<[^<>]+>"
+  private val SpaceRe = "[ \\t\\n\\r]+"
+
+  /** Deterministic boilerplate planting — the oracle fixture for the
+    * cleaning gate (the synthetic corpus has no URLs or markup, so an
+    * unplanted oracle would be an all-zeros gate). Every `every`-th
+    * doc gets a doc_id-derived URL, an HTML fragment and doubled
+    * spaces appended, mirrored verbatim in the oracle SQL. */
+  val CleanPlantEvery = 6
+
+  def plantNoise(docs: DataFrame, every: Int = CleanPlantEvery): DataFrame = {
+    require(every > 0)
+    docs.withColumn("text",
+      when(col("doc_id") % every === 0,
+        concat(col("text"),
+          lit(" see https://ex"), col("doc_id").cast("string"),
+          lit(".com/a?q=1  and <div class=\"x\">tagged</div>  end")))
+        .otherwise(col("text")))
+  }
+
+  /** Boilerplate removal: strip URLs and HTML-ish tags, collapse runs
+    * of whitespace, and report what was removed — the normalization
+    * pass a web-scrape corpus takes before any quality scoring or
+    * dedup. Pure row-local regexp column expressions (codegen'd, no
+    * UDF): linear with the scan at any corpus size, full pushdown
+    * below it. Counts are taken BEFORE removal so the output is
+    * self-describing (url_count/tag_count say why len shrank); NULL
+    * text propagates NULL everywhere. */
+  def cleanText(docs: DataFrame): DataFrame = {
+    val stripped =
+      regexp_replace(regexp_replace(col("text"), UrlRe, " "), TagRe, " ")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(UrlRe)).cast("long").as("url_count"),
+      regexp_count(col("text"), lit(TagRe)).cast("long").as("tag_count"),
+      length(col("text")).cast("long").as("len_before"),
+      trim(regexp_replace(stripped, SpaceRe, " ")).as("cleaned"))
+      .withColumn("len_after", length(col("cleaned")).cast("long"))
+      .select(col("doc_id"), col("url_count"), col("tag_count"),
+        col("len_before"), col("len_after"), col("cleaned"))
+      .orderBy(col("doc_id"))
+  }
 }

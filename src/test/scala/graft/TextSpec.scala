@@ -192,6 +192,27 @@ class TextSpec extends SparkSpec {
     assert(out(3L).getInt(4) == 0)
   }
 
+  test("cleanText strips urls/tags, collapses whitespace, idempotent") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "go to https://a.io/x?z=1 now <b>bold</b>  and\t\ndone"),
+      (2L, "plain text untouched"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.cleanText(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 1L && out(1L).getLong(2) == 2L)
+    assert(out(1L).getString(5) == "go to now bold and done")
+    assert(out(1L).getLong(4) == out(1L).getString(5).length.toLong)
+    assert(out(2L).getString(5) == "plain text untouched")
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(5), "NULL propagates")
+    // idempotent: cleaning already-clean text changes nothing
+    val again = TextAnalysis.cleanText(
+      Seq((1L, out(1L).getString(5))).toDF("doc_id", "text")).collect()(0)
+    assert(again.getString(5) == out(1L).getString(5))
+    assert(again.getLong(1) == 0L && again.getLong(2) == 0L)
+  }
+
   test("langIdEval builds the confusion matrix with per-class shares") {
     import graft.operators.TextAnalysis
     val df = Seq(
