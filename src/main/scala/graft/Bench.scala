@@ -32,7 +32,8 @@ object Bench {
     "q_search", "q_qa_orphans", "q_percentiles", "q_mixture_sample",
     "q_active_users", "q_active_users_approx",
     "q_skew_report", "q_dedup_best", "q_table_diff",
-    "q_scd_merge", "q_cdc_apply", "q_entity_match", "q_langid_eval",
+    "q_scd_merge", "q_cdc_apply", "q_entity_match", "q_agg_merge",
+    "q_langid_eval",
     "q_sample_fixed",
     "q_cluster_best",
     "q_percentiles_approx", "q_reach_var", "q_reach_var_by_type")

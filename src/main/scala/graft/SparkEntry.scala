@@ -739,6 +739,11 @@ object SparkEntry {
       Scd.applyCdc(cust, chg, "c_custkey", Seq("c_name", "c_acctbal"),
         "seq", "op")
     }),
+    // Second aggregation reads ONLY the (type, day) partials — the
+    // incremental-warehouse rollup pattern; exact variance from merged
+    // integer moments.
+    "q_agg_merge" -> ((s, d) =>
+      Analytics.mergeRollup(Analytics.dailyPartials(Tables.events(s, d)))),
     "q_entity_match" -> ((s, d) => {
       val clean = Tables.customer(s, d)
         .select(col("c_custkey").as("id"), col("c_name").as("name"))
@@ -2256,6 +2261,30 @@ object SparkEntry {
             CAST(coalesce(seq, 0) AS BIGINT) AS version_seq
           FROM j WHERE op IS NULL OR op = 'U'
           ORDER BY c_custkey""",
+    // Integer-moment merge: every step before the one division is
+    // exact (DuckDB sums in int128, a superset), so doubles compare
+    // bit-identically.
+    "q_agg_merge" ->
+      """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL),
+          p AS (SELECT event_type, day, count(*) AS n, sum(c) AS sum_c,
+            sum(c * c) AS sumsq_c, min(c) AS min_c, max(c) AS max_c
+          FROM c GROUP BY 1, 2),
+          m AS (SELECT event_type,
+            CAST(date_trunc('week', day) AS DATE) AS week,
+            CAST(sum(n) AS BIGINT) AS n, count(*) AS n_days,
+            CAST(sum(sum_c) AS BIGINT) AS sum_c,
+            CAST(sum(sumsq_c) AS BIGINT) AS sumsq_c,
+            min(min_c) AS min_c, max(max_c) AS max_c
+          FROM p GROUP BY 1, 2)
+          SELECT event_type, week, n, n_days,
+            CAST(sum_c AS DOUBLE) / n / 100.0 AS mean_value,
+            CAST(n * sumsq_c - sum_c * sum_c AS DOUBLE) / (n * n) / 10000.0
+              AS var_value,
+            CAST(min_c AS DOUBLE) / 100.0 AS min_value,
+            CAST(max_c AS DOUBLE) / 100.0 AS max_value
+          FROM m ORDER BY event_type, week""",
     "q_entity_match" ->
       s"""WITH clean AS (SELECT c_custkey AS id, c_name AS name
             FROM customer),

@@ -89,4 +89,48 @@ object Analytics {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
+
+  /** Mergeable per-day partial aggregates of `value` per event type —
+    * the nightly artifact an incremental warehouse keeps so that
+    * rollups NEVER re-scan history. Values live on the data's native
+    * integer cent grid, so the moments (n, Σc, Σc², min, max) are
+    * exact integers and merge associatively: any union of days can be
+    * combined with plain sums. Σc² of a 490-dollar cent value is
+    * ≈2.4e9 per row — a group overflows signed 64-bit only past ~3.8e9
+    * rows per (type, day), far beyond any real daily partition. */
+  def dailyPartials(events: DataFrame): DataFrame =
+    events.where(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_c"),
+        sum(col("c") * col("c")).as("sumsq_c"),
+        min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+
+  /** Merge daily partials into a weekly rollup with exact mean and
+    * population variance recovered from the merged moments:
+    * var = (n·Σc² − (Σc)²) / n² on the integer grid, divided once —
+    * every arithmetic step before the division is exact, so the
+    * result is bit-portable across engines (the classic streaming-
+    * variance merge, integer-exact instead of Welford-float).
+    *
+    * Shape for 100 TB: this second aggregation reads ONLY the partial
+    * table — (types × days) rows however large the raw history is;
+    * re-summarizing a year costs 365 rows per type, not a year of
+    * events. */
+  def mergeRollup(partials: DataFrame): DataFrame =
+    partials
+      .groupBy(col("event_type"),
+        date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("n_days"),
+        sum(col("sum_c")).as("sum_c"), sum(col("sumsq_c")).as("sumsq_c"),
+        min(col("min_c")).as("min_c"), max(col("max_c")).as("max_c"))
+      .select(col("event_type"), col("week"), col("n"), col("n_days"),
+        (col("sum_c").cast("double") / col("n") / 100.0).as("mean_value"),
+        ((col("n") * col("sumsq_c") - col("sum_c") * col("sum_c"))
+          .cast("double") / (col("n") * col("n")) / 10000.0)
+          .as("var_value"),
+        (col("min_c").cast("double") / 100.0).as("min_value"),
+        (col("max_c").cast("double") / 100.0).as("max_value"))
+      .orderBy(col("event_type"), col("week"))
 }

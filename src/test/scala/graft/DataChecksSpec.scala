@@ -291,6 +291,40 @@ class DataChecksSpec extends SparkSpec {
       (9L, "new", 90.0, 1L)))
   }
 
+  test("mergeRollup: split-batch partials merge to the whole; exact var") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      ("a", t("2024-01-01 10:00:00"), 1.00),
+      ("a", t("2024-01-01 11:00:00"), 3.00),
+      ("a", t("2024-01-02 10:00:00"), 5.00),
+      ("b", t("2024-01-03 10:00:00"), 2.50))
+    val ev = rows.toDF("event_type", "ts", "value")
+    val whole = Analytics.mergeRollup(Analytics.dailyPartials(ev))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    // population variance of {1,3,5} = 8/3, computed on the cent grid
+    // as (3·350000 − 900²)/9/10⁴ — replicate the op order exactly
+    assert(whole == Set(
+      ("a", 3L, 2L, 3.0, 240000.0 / 9 / 10000.0),
+      ("b", 1L, 1L, 2.5, 0.0)))
+    // merging partials computed over disjoint batches = the whole
+    val h1 = Analytics.dailyPartials(rows.take(2).toDF("event_type", "ts", "value"))
+    val h2 = Analytics.dailyPartials(rows.drop(2).toDF("event_type", "ts", "value"))
+    // re-aggregate the unioned partials at day grain before the rollup
+    // (two batches may both carry a partial for the same (type, day))
+    val merged = h1.unionByName(h2)
+      .groupBy("event_type", "day")
+      .agg(sum("n").as("n"), sum("sum_c").as("sum_c"),
+        sum("sumsq_c").as("sumsq_c"), min("min_c").as("min_c"),
+        max("max_c").as("max_c"))
+    val viaParts = Analytics.mergeRollup(merged)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(viaParts == whole)
+  }
+
   test("entity resolve: best-in-block, ties deterministic, misses NULL") {
     import spark.implicits._
     import graft.operators.Entity
