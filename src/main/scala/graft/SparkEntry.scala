@@ -60,6 +60,11 @@ object SparkEntry {
     * the ordering contract, not the cut, is what the gate checks). */
   private val VocabTopN = 1000
 
+  /** q_bpe_pairs top-N — BINDING on the synthetic corpus (~40-word
+    * vocabulary → hundreds of distinct adjacent pairs), so the
+    * deterministic tie-break at the cut is itself gate-checked. */
+  private val BpeTopN = 200
+
   /** q_quality_cap: best docs kept per source. */
   private val QualityPerSource = 3
 
@@ -489,6 +494,8 @@ object SparkEntry {
         BlocklistMaxFrac, SampleRates, SampleBuckets)),
     "q_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(Tables.documents(s, d), VocabTopN)),
+    "q_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairs(Tables.documents(s, d), BpeTopN)),
     "q_quality_cap" -> ((s, d) =>
       Curation.topQualityPerSource(Tables.documents(s, d), QualityPerSource)),
     "q_dedup_incremental" -> ((s, d) => {
@@ -1605,6 +1612,18 @@ object SparkEntry {
           SELECT term, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
           FROM e GROUP BY term
           ORDER BY n_occ DESC, term LIMIT $VocabTopN""",
+    // Pair construction identical to the repetition oracle's bigram
+    // CTE (1-based range over toks).
+    "q_bpe_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          p AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+              list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])
+            ELSE CAST([] AS VARCHAR[]) END) AS pair FROM t)
+          SELECT pair, count(*) AS n_occ,
+            count(DISTINCT doc_id) AS n_docs
+          FROM p GROUP BY pair
+          ORDER BY n_occ DESC, pair LIMIT $BpeTopN""",
     "q_quality_cap" ->
       s"""WITH $QualityScoreCtes,
           rk AS (SELECT doc_id, source, quality_score,

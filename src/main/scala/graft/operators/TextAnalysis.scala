@@ -250,6 +250,28 @@ object TextAnalysis {
       .orderBy(col("n_occ").desc, col("term"))
       .limit(topN)
 
+  /** Adjacent-token-pair counts: the merge-selection table one BPE
+    * training step reads — the pair with the top count is the next
+    * merge. Occurrence and document frequencies per pair, top-`topN`
+    * by (count desc, pair asc — deterministic at the cut). Tokens are
+    * materialized in a projection BEFORE the pair lambda (Spark does
+    * not common-subexpression-eliminate inside HOFs — the tokenizer
+    * would re-run per element). Plan: row-local pair explode, one
+    * two-phase distinct aggregate on pair, TakeOrdered top-N — the
+    * identical shape to [[vocabulary]], linear at any corpus size. */
+  def bpePairs(docs: DataFrame, topN: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(topN)
+
   /** Top-`perDoc` TF-IDF terms per document. IDF is the LOG-FREE
     * ratio n_docs/df: ln() is only 1-ulp-accurate and differs between
     * libm implementations, so a log idf would make the oracle compare

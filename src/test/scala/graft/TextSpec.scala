@@ -192,6 +192,15 @@ class TextSpec extends SparkSpec {
     assert(out(3L).getInt(4) == 0)
   }
 
+  test("bpePairs counts adjacent pairs; short and NULL docs contribute none") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairs(df, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a b", 3L, 2L), ("b a", 1L, 1L)))
+  }
+
   test("cleanText strips urls/tags, collapses whitespace, idempotent") {
     import graft.operators.TextAnalysis
     val df = Seq(
