@@ -16,7 +16,8 @@ object Bench {
     "q_qa_flags", "q_profile", "q_lang_id",
     "q_text_quality", "q_token_count", "q_fingerprint", "q_repetition",
     "q_quality_filter", "q_dedup_exact",
-    "q_ngram_jaccard", "q_containment", "q_minhash_dedup", "q_dedup_clusters",
+    "q_ngram_jaccard", "q_containment", "q_minhash_dedup", "q_minhash_recall",
+    "q_dedup_clusters",
     "q_simhash", "q_simhash_pairs", "q_skew_salted", "q_decontam",
     "q_stratified_sample", "q_blocklist", "q_chunks", "q_chunk_dedup",
     "q_pack", "q_curation_funnel", "q_vocab", "q_bpe_pairs",

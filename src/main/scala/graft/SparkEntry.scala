@@ -464,6 +464,11 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => TextAnalysis.exactDedup(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) =>
       NearDup.jaccardPairs(Tables.documentsFloored(s, d), 3, 0.3)),
+    // Text twin of q_dedup_recall: banding recall + df-cap precision
+    // of the minhash path vs the exact index at the same threshold
+    // (0.5 — pinned by the verify stage both here and in the oracle).
+    "q_minhash_recall" -> ((s, d) =>
+      NearDup.minhashRecall(Tables.documentsFloored(s, d))),
     "q_containment" -> ((s, d) =>
       NearDup.containmentPairs(Tables.documentsFloored(s, d), 3,
         ContainmentThreshold)),
@@ -1479,6 +1484,35 @@ object SparkEntry {
             CAST(cnt AS DOUBLE) / (s1.n + s2.n - cnt) AS jaccard
             FROM c JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
           SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY d1, d2""",
+    // Replays BOTH legs: the minhash chain (ver, threshold 0.5 pinned
+    // in MinhashVerCtes) and the exact df-capped index at 0.5.
+    "q_minhash_recall" ->
+      s"""WITH $MinhashVerCtes,
+          je0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
+          je AS (SELECT je0.* FROM je0 JOIN (SELECT s FROM je0 GROUP BY s
+            HAVING count(*) <= ${NearDup.DefaultDfCap}) k USING (s)),
+          jc AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS cnt
+            FROM je a JOIN je b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          jsz AS (SELECT doc_id, len(sh) AS n FROM t),
+          ex AS (SELECT d1, d2 FROM jc
+            JOIN jsz s1 ON s1.doc_id = d1 JOIN jsz s2 ON s2.doc_id = d2
+            WHERE CAST(cnt AS DOUBLE) / (s1.n + s2.n - cnt) >= 0.5),
+          fo AS (SELECT
+            CASE WHEN ex.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
+            CASE WHEN ver.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_approx
+            FROM ex FULL OUTER JOIN ver
+              ON ex.d1 = ver.d1 AND ex.d2 = ver.d2)
+          SELECT CAST(coalesce(sum(in_exact), 0) AS BIGINT) AS n_exact,
+            CAST(coalesce(sum(in_approx), 0) AS BIGINT) AS n_approx,
+            CAST(coalesce(sum(in_exact * in_approx), 0) AS BIGINT) AS n_both,
+            CAST(coalesce(sum(in_exact * in_approx), 0) AS DOUBLE) /
+              nullif(CAST(coalesce(sum(in_approx), 0) AS BIGINT), 0)
+              AS precision,
+            CAST(coalesce(sum(in_exact * in_approx), 0) AS DOUBLE) /
+              nullif(CAST(coalesce(sum(in_exact), 0) AS BIGINT), 0)
+              AS recall
+          FROM fo""",
     "q_containment" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
           t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),

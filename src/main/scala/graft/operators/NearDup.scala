@@ -328,6 +328,36 @@ object NearDup {
       .select(col("d1"), col("d2"))
   }
 
+  /** Pair-level precision/recall of the LSH-banded minhash path
+    * measured against the exact inverted-index pairs at the SAME
+    * jaccard threshold — the text twin of
+    * [[VectorSearch.nearDupRecall]]. Recall < 1 localizes banding
+    * misses (pairs whose signatures never collided in any band);
+    * precision < 1 localizes df-cap drops on the EXACT leg (minhash
+    * found a true pair whose shared shingles were all capped out of
+    * the index) — both asymmetries are measurement targets, not
+    * noise. Both legs are the linear scale paths (no quadratic
+    * baseline anywhere), so this eval can run corpus-wide, but its
+    * operational home is a held-out sample re-checked whenever
+    * bands/rows/cap parameters change. */
+  def minhashRecall(docs: DataFrame, n: Int = 3,
+                    threshold: Double = 0.5): DataFrame = {
+    val exact = jaccardPairs(docs, n, threshold)
+      .select(col("d1"), col("d2"), lit(1).as("in_exact"))
+    val approx = minhashPairs(docs, n = n, threshold = threshold)
+      .select(col("d1"), col("d2"), lit(1).as("in_approx"))
+    exact.join(approx, Seq("d1", "d2"), "full_outer")
+      .agg(
+        coalesce(sum(col("in_exact")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("in_approx")), lit(0L)).as("n_approx"),
+        coalesce(sum(col("in_exact") * col("in_approx")), lit(0L))
+          .as("n_both"))
+      .withColumn("precision",
+        col("n_both").cast("double") / nullif(col("n_approx"), lit(0L)))
+      .withColumn("recall",
+        col("n_both").cast("double") / nullif(col("n_exact"), lit(0L)))
+  }
+
   /** Incremental-ingestion dedup: flag each NEW doc that exactly or
     * nearly duplicates the EXISTING corpus — the operational shape at
     * 100 TB, where the daily increment is deduped against the corpus

@@ -192,6 +192,23 @@ class TextSpec extends SparkSpec {
     assert(out(3L).getInt(4) == 0)
   }
 
+  test("minhashRecall: identical docs found by both legs; bounds hold") {
+    import graft.operators.NearDup
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "entirely different words about completely other things here"))
+      .toDF("doc_id", "text")
+    val r = NearDup.minhashRecall(df).collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+    // empty corpus: zero counts, NULL ratios (never a division error)
+    val e = NearDup.minhashRecall(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).collect()(0)
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L)
+    assert(e.isNullAt(3) && e.isNullAt(4))
+  }
+
   test("bpePairs counts adjacent pairs; short and NULL docs contribute none") {
     import graft.operators.TextAnalysis
     val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"),
