@@ -31,7 +31,8 @@ object Bench {
     "q_range_join", "q_qa_drift", "q_dedup_bloom",
     "q_cohort", "q_funnel_steps", "q_histogram", "q_qa_anomaly",
     "q_semantic_dedup", "q_mixture", "q_props_health",
-    "q_search", "q_qa_orphans", "q_percentiles", "q_mixture_sample",
+    "q_search", "q_qa_orphans", "q_percentiles", "q_winsorize",
+    "q_mixture_sample",
     "q_active_users", "q_active_users_approx",
     "q_skew_report", "q_dedup_best", "q_table_diff",
     "q_scd_merge", "q_cdc_apply", "q_entity_match", "q_agg_merge",

@@ -681,6 +681,8 @@ object SparkEntry {
         "user_id", "c_custkey", "event_type")),
     "q_percentiles" -> ((s, d) =>
       DataChecks.percentileBands(Tables.events(s, d), "value", "event_type")),
+    "q_winsorize" -> ((s, d) =>
+      DataChecks.winsorize(Tables.events(s, d), "value", "event_type")),
     "q_mixture_sample" -> ((s, d) =>
       Curation.materializeMixture(Tables.documents(s, d), MixtureWeights,
         MixtureBudget, SampleBuckets)),
@@ -2204,6 +2206,30 @@ object SparkEntry {
           SELECT event_type, n_rows, ps[1] / 100.0 AS p25,
             ps[2] / 100.0 AS p50, ps[3] / 100.0 AS p75
           FROM q ORDER BY event_type""",
+    // Dyadic 1/16 cut points on the cent grid — interpolation exact,
+    // clipped sums on the 2^-4 grid stay order-independent (same
+    // bit-portability contract as q_percentiles).
+    "q_winsorize" ->
+      """WITH c0 AS (SELECT event_type,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL),
+          cuts AS (SELECT event_type, count(*) AS n_rows,
+            quantile_cont(c, [0.0625, 0.9375]) AS ps
+          FROM c0 GROUP BY 1),
+          j AS (SELECT c0.event_type, c0.c, cuts.n_rows,
+            ps[1] AS lo_c, ps[2] AS hi_c
+          FROM c0 JOIN cuts USING (event_type))
+          SELECT event_type, n_rows,
+            lo_c / 100.0 AS lo_cut, hi_c / 100.0 AS hi_cut,
+            CAST(coalesce(sum(CASE WHEN c < lo_c THEN 1 END), 0) AS BIGINT)
+              AS n_clip_lo,
+            CAST(coalesce(sum(CASE WHEN c > hi_c THEN 1 END), 0) AS BIGINT)
+              AS n_clip_hi,
+            CAST(sum(c) AS DOUBLE) / n_rows / 100.0 AS mean_before,
+            sum(greatest(lo_c, least(hi_c, CAST(c AS DOUBLE)))) / n_rows
+              / 100.0 AS mean_after
+          FROM j GROUP BY event_type, n_rows, lo_c, hi_c
+          ORDER BY event_type""",
     "q_active_users" ->
       s"""WITH uw AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
             FROM events),

@@ -277,6 +277,51 @@ object DataChecks {
       .orderBy(col(dim))
   }
 
+  /** Winsorization QA: per `dim`, the outlier-clipping summary — cut
+    * points, how many rows each tail clips, and the mean before/after
+    * clipping. Cuts are the DYADIC percentiles 1/16 and 15/16 on the
+    * integer cent grid: with integer inputs and dyadic probabilities
+    * every interpolation is exact (same contract as
+    * [[percentileBands]]), clipped values land on the 2⁻⁴-cent grid,
+    * and their sums stay far under 2⁵³ — so means are order-independent
+    * and the oracle compares bit-identically. Plan: ONE map-side-
+    * combine aggregate to (dim, cents) grain is the only full-data
+    * shuffle; cuts come from the frequency-weighted percentile over
+    * that grain and rejoin it via broadcast (dims are tiny), so the
+    * clip statistics never touch raw rows a second time. */
+  def winsorize(df: DataFrame, valueCol: String, dim: String): DataFrame = {
+    val cents = floor(col(valueCol) * 100 + lit(0.5)).cast("long")
+    val cg = df.where(col(valueCol).isNotNull)
+      .select(col(dim), cents.as("c"))
+      .groupBy(col(dim), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val cuts = cg.groupBy(col(dim))
+      .agg(sum(col("cnt")).as("n_rows"),
+        expr("percentile(c, array(0.0625D, 0.9375D), cnt)").as("ps"))
+      .select(col(dim), col("n_rows"),
+        element_at(col("ps"), 1).as("lo_c"),
+        element_at(col("ps"), 2).as("hi_c"))
+    cg.join(broadcast(cuts), Seq(dim))
+      .groupBy(col(dim), col("n_rows"), col("lo_c"), col("hi_c"))
+      .agg(
+        sum(when(col("c") < col("lo_c"), col("cnt")).otherwise(0L))
+          .as("n_clip_lo"),
+        sum(when(col("c") > col("hi_c"), col("cnt")).otherwise(0L))
+          .as("n_clip_hi"),
+        sum(col("c") * col("cnt")).as("sum_c"),
+        sum(greatest(col("lo_c"),
+          least(col("hi_c"), col("c").cast("double"))) * col("cnt"))
+          .as("sum_clip"))
+      .select(col(dim), col("n_rows"),
+        (col("lo_c") / 100.0).as("lo_cut"),
+        (col("hi_c") / 100.0).as("hi_cut"),
+        col("n_clip_lo"), col("n_clip_hi"),
+        (col("sum_c").cast("double") / col("n_rows") / 100.0)
+          .as("mean_before"),
+        (col("sum_clip") / col("n_rows") / 100.0).as("mean_after"))
+      .orderBy(col(dim))
+  }
+
   /** Row-level diff between two keyed snapshots: per key, whether the
     * row was `added`, `removed`, or `changed` (with the comma-joined
     * names of the columns that differ — NULL-safe comparison, so a

@@ -291,6 +291,20 @@ class DataChecksSpec extends SparkSpec {
       (9L, "new", 90.0, 1L)))
   }
 
+  test("winsorize clips dyadic tails exactly") {
+    import spark.implicits._
+    val vals = (1 to 15).map(_.toDouble) :+ 100.0
+    val df = vals.map(("a", _)).toDF("dim", "v")
+    val r = DataChecks.winsorize(df, "v", "dim").collect()(0)
+    assert(r.getLong(1) == 16L)
+    // lo = interp(0.9375 between 100,200 cents), hi = interp between
+    // 1500 and 10000 cents — both exact dyadics
+    assert(r.getDouble(2) == 1.9375 && r.getDouble(3) == 20.3125)
+    assert(r.getLong(4) == 1L && r.getLong(5) == 1L)
+    assert(r.getDouble(6) == 13.75)
+    assert(r.getDouble(7) == 14125.0 / 16 / 100.0)
+  }
+
   test("mergeRollup: split-batch partials merge to the whole; exact var") {
     import spark.implicits._
     import graft.operators.Analytics
