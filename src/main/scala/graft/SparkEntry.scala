@@ -683,6 +683,8 @@ object SparkEntry {
       DataChecks.percentileBands(Tables.events(s, d), "value", "event_type")),
     "q_winsorize" -> ((s, d) =>
       DataChecks.winsorize(Tables.events(s, d), "value", "event_type")),
+    "q_basket_pairs" -> ((s, d) =>
+      Temporal.basketPairs(Tables.events(s, d), SessionGapMin)),
     "q_mixture_sample" -> ((s, d) =>
       Curation.materializeMixture(Tables.documents(s, d), MixtureWeights,
         MixtureBudget, SampleBuckets)),
@@ -1870,6 +1872,33 @@ object SparkEntry {
             max(ts) AS session_end, count(*) AS n_events,
             round(sum(value), 2) AS total_value
           FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Same session CTEs as q_sessionize, carrying event_type; pairs
+    // from the sorted distinct type set (1-based list ranges).
+    "q_basket_pairs" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+            event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+          s AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+              OR tu - lag(tu) OVER w > ${SessionGapMin * 60L * 1000000L}
+              THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          x AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_ix FROM s),
+          sets AS (SELECT user_id, session_ix,
+            list_sort(list_distinct(list(event_type))) AS types
+            FROM x GROUP BY 1, 2),
+          tot AS (SELECT count(*) AS n_sessions FROM sets),
+          p AS (SELECT unnest(flatten(list_transform(
+              range(1, len(types)),
+              i -> list_transform(range(i + 1, len(types) + 1),
+                j -> [types[i], types[j]])))) AS pr
+            FROM sets WHERE len(types) >= 2)
+          SELECT pr[1] AS t1, pr[2] AS t2, count(*) AS n_co,
+            tot.n_sessions,
+            CAST(count(*) AS DOUBLE) / tot.n_sessions AS support
+          FROM p CROSS JOIN tot GROUP BY 1, 2, tot.n_sessions
+          ORDER BY 1, 2""",
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
             value FROM events WHERE event_type = 'purchase'),

@@ -139,4 +139,49 @@ object Temporal {
         col("sum_value"), col("n_events_7d"), col("sum_value_7d"))
       .orderBy(col("date"), col("event_type"))
   }
+
+  /** Session co-occurrence (market-basket support over sessions):
+    * which event types happen together in one session, counted over
+    * the [[sessionize]] session definition (same gap rule, same
+    * deterministic (ts, event_id) ordering). Per session the DISTINCT
+    * type set is tiny (bounded by the type vocabulary), so the pair
+    * fan-out is the LSH-bucket pattern — sorted set, in-task (t1 < t2)
+    * pair generation, never a self-join. Plan: ONE user_id exchange
+    * covers the session windows and the (user, session) type-set
+    * aggregate; pairs then collapse onto the (types × types) grain —
+    * vocabulary-sized — and the session total arrives by broadcast.
+    * Support = n_co/n_sessions is one exact IEEE division. */
+  def basketPairs(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+      .withColumn("new_sess",
+        when(lag(col("tu"), 1).over(order).isNull ||
+          col("tu") - lag(col("tu"), 1).over(order) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_ix",
+        sum(col("new_sess")).over(order.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+    val sets = sess.groupBy(col("user_id"), col("session_ix"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+    val total = sets.select(count(lit(1)).as("n_sessions"))
+    sets.where(size(col("types")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("types")) - 1),
+        i => transform(sequence(i + 1, size(col("types"))),
+          j => struct(element_at(col("types"), i).as("t1"),
+            element_at(col("types"), j).as("t2")))))).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_co"))
+      .crossJoin(broadcast(total))
+      .withColumn("support",
+        col("n_co").cast("double") / col("n_sessions"))
+      .select(col("t1"), col("t2"), col("n_co"), col("n_sessions"),
+        col("support"))
+      .orderBy(col("t1"), col("t2"))
+  }
 }

@@ -34,6 +34,24 @@ class TemporalSpec extends SparkSpec {
       ts("2024-01-01 09:00:00"), 1L, 8.0)))
   }
 
+  test("basketPairs counts co-occurring types per session") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:10:00"), 2L, "click"),  // same session
+      (1L, ts("2024-01-01 10:12:00"), 3L, "view"),   // dup type: one entry
+      (1L, ts("2024-01-01 12:00:00"), 4L, "view"),   // new session, solo
+      (2L, ts("2024-01-01 09:00:00"), 5L, "click"),
+      (2L, ts("2024-01-01 09:01:00"), 6L, "buy"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Temporal.basketPairs(events, 30).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // 3 sessions total; pairs sorted lexicographically within session
+    assert(out == Map(
+      ("click", "view") -> ((1L, 3L, 1.0 / 3)),
+      ("buy", "click") -> ((1L, 3L, 1.0 / 3))))
+  }
+
   test("batch sessionize equals streaming sessionize on the same events") {
     val rows = Seq(
       Event(1L, ts("2024-01-01 10:00:00"), "click", 1.0),
