@@ -685,6 +685,8 @@ object SparkEntry {
       DataChecks.winsorize(Tables.events(s, d), "value", "event_type")),
     "q_basket_pairs" -> ((s, d) =>
       Temporal.basketPairs(Tables.events(s, d), SessionGapMin)),
+    "q_event_gaps" -> ((s, d) =>
+      Temporal.eventGaps(Tables.events(s, d))),
     "q_mixture_sample" -> ((s, d) =>
       Curation.materializeMixture(Tables.documents(s, d), MixtureWeights,
         MixtureBudget, SampleBuckets)),
@@ -1899,6 +1901,24 @@ object SparkEntry {
             CAST(count(*) AS DOUBLE) / tot.n_sessions AS support
           FROM p CROSS JOIN tot GROUP BY 1, 2, tot.n_sessions
           ORDER BY 1, 2""",
+    // Integer-microsecond gaps, dyadic quartiles on the integer grid
+    // (the q_percentiles contract), one /1e6 display division.
+    "q_event_gaps" ->
+      """WITH e AS (SELECT event_type, user_id, CAST(ts AS TIMESTAMP) AS ts,
+            event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+          g AS (SELECT event_type, tu - lag(tu) OVER (
+              PARTITION BY user_id, event_type ORDER BY ts, event_id)
+              AS gap FROM e),
+          f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+          q AS (SELECT event_type, count(*) AS n_gaps,
+            CAST(sum(gap) AS BIGINT) AS sum_gap,
+            quantile_cont(gap, [0.25, 0.5, 0.75]) AS ps
+          FROM f GROUP BY 1)
+          SELECT event_type, n_gaps,
+            CAST(sum_gap AS DOUBLE) / n_gaps / 1000000.0 AS mean_gap_s,
+            ps[1] / 1000000.0 AS p25_s, ps[2] / 1000000.0 AS p50_s,
+            ps[3] / 1000000.0 AS p75_s
+          FROM q ORDER BY event_type""",
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
             value FROM events WHERE event_type = 'purchase'),

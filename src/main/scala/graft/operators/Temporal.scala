@@ -184,4 +184,40 @@ object Temporal {
         col("support"))
       .orderBy(col("t1"), col("t2"))
   }
+
+  /** Inter-event gap statistics: per event type, the distribution of
+    * time between a user's consecutive events of that type — the
+    * cadence profile behind session-gap and anomaly thresholds
+    * (pick the sessionize gap ABOVE the typical p75, not by folklore).
+    * Gaps are exact integer microseconds; quartiles use dyadic
+    * probabilities over that integer grid (interpolations exact, the
+    * [[DataChecks.percentileBands]] contract) and the mean is an
+    * integer sum with one division — so all doubles compare
+    * bit-identically, with /10⁶-to-seconds as the one final display
+    * division on both sides. Plan: one (user, type) hash exchange for
+    * the lag window, then a map-side-combine aggregate to the
+    * (type, gap) grain feeding the frequency-weighted percentile —
+    * raw rows shuffle once. */
+  def eventGaps(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("tu"))
+      .withColumn("gap", col("tu") - lag(col("tu"), 1).over(order))
+      .where(col("gap").isNotNull)
+    gaps.groupBy(col("event_type"), col("gap"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n_gaps"),
+        sum(col("gap") * col("cnt")).as("sum_gap"),
+        expr("percentile(gap, array(0.25D, 0.5D, 0.75D), cnt)").as("ps"))
+      .select(col("event_type"), col("n_gaps"),
+        (col("sum_gap").cast("double") / col("n_gaps") / 1000000.0)
+          .as("mean_gap_s"),
+        (element_at(col("ps"), 1) / 1000000.0).as("p25_s"),
+        (element_at(col("ps"), 2) / 1000000.0).as("p50_s"),
+        (element_at(col("ps"), 3) / 1000000.0).as("p75_s"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -52,6 +52,22 @@ class TemporalSpec extends SparkSpec {
       ("buy", "click") -> ((1L, 3L, 1.0 / 3))))
   }
 
+  test("eventGaps computes per-type gap quartiles over user streams") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:00:10"), 2L, "a"),   // gap 10s
+      (1L, ts("2024-01-01 10:00:30"), 3L, "a"),   // gap 20s
+      (2L, ts("2024-01-01 09:00:00"), 4L, "a"),
+      (2L, ts("2024-01-01 09:00:04"), 5L, "a"),   // gap 4s
+      (3L, ts("2024-01-01 08:00:00"), 6L, "b"))   // single event: no gap
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Temporal.eventGaps(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // gaps {4,10,20}: p25 = 4+0.5·6 = 7, p50 = 10, p75 = 15
+    assert(out == Map("a" -> ((3L, 34e6 / 3 / 1e6, 7.0, 10.0, 15.0))))
+  }
+
   test("batch sessionize equals streaming sessionize on the same events") {
     val rows = Seq(
       Event(1L, ts("2024-01-01 10:00:00"), "click", 1.0),
