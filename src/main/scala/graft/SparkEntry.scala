@@ -176,6 +176,11 @@ object SparkEntry {
   private val EntityBlockLen = 4
   private val EntityMaxDist = 2
 
+  /** q_split: 80/10/10 train/val/test over [[SampleBuckets]] salted
+    * hash buckets. */
+  private val SplitTrainBuckets = 8000
+  private val SplitValBuckets = 1000
+
   /** q_skew_report: heaviest keys listed. */
   private val SkewTopN = 10
 
@@ -687,6 +692,9 @@ object SparkEntry {
       Temporal.basketPairs(Tables.events(s, d), SessionGapMin)),
     "q_event_gaps" -> ((s, d) =>
       Temporal.eventGaps(Tables.events(s, d))),
+    "q_split" -> ((s, d) =>
+      Curation.hashSplit(Tables.documents(s, d), SampleBuckets,
+        SplitTrainBuckets, SplitValBuckets)),
     "q_mixture_sample" -> ((s, d) =>
       Curation.materializeMixture(Tables.documents(s, d), MixtureWeights,
         MixtureBudget, SampleBuckets)),
@@ -1919,6 +1927,21 @@ object SparkEntry {
             ps[1] / 1000000.0 AS p25_s, ps[2] / 1000000.0 AS p50_s,
             ps[3] / 1000000.0 AS p75_s
           FROM q ORDER BY event_type""",
+    // Salted sampleBucket twin (':split' salt) + the 80/10/10 CASE.
+    "q_split" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+          b AS (SELECT doc_id, lang, len(toks) AS n_toks,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 6))
+              ::BIGINT % $SampleBuckets AS bucket FROM tk),
+          s AS (SELECT *, CASE WHEN bucket < $SplitTrainBuckets THEN 'train'
+              WHEN bucket < ${SplitTrainBuckets + SplitValBuckets} THEN 'val'
+              ELSE 'test' END AS split FROM b),
+          tot AS (SELECT count(*) AS n_total FROM s)
+          SELECT split, lang, count(*) AS n_docs,
+            CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+            CAST(count(*) AS DOUBLE) / tot.n_total AS doc_share
+          FROM s CROSS JOIN tot GROUP BY 1, 2, tot.n_total
+          ORDER BY 1, 2""",
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
             value FROM events WHERE event_type = 'purchase'),

@@ -47,6 +47,42 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test split with a per-split mixture
+    * report. Assignment is a salted md5 bucket of doc_id (the ':split'
+    * salt keeps it INDEPENDENT of [[sampleBucket]]-based sampling
+    * decisions — a doc's sample fate must not correlate with its split
+    * fate), so it is rerun-stable: growing the corpus never moves an
+    * existing doc between splits, and no coordination or state is
+    * needed — any worker can answer "which split?" row-locally. The
+    * report aggregates (split, lang) doc and token counts with each
+    * split's share of all docs — the balance check that catches a
+    * skewed split before training does. Plan: row-local assignment +
+    * one aggregate to the (3 × langs) grain; the total arrives by
+    * broadcast. */
+  def hashSplit(docs: DataFrame, buckets: Int = 10000,
+                trainBuckets: Int = 8000,
+                valBuckets: Int = 1000): DataFrame = {
+    require(trainBuckets + valBuckets <= buckets)
+    val bucket = pmod(conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 6),
+      16, 10).cast("long"), lit(buckets))
+    val withSplit = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"),
+        bucket.as("bucket"))
+      .select(col("doc_id"), col("lang"), sizeOrNull(col("toks")).as("n_toks"),
+        when(col("bucket") < trainBuckets, "train")
+          .when(col("bucket") < trainBuckets + valBuckets, "val")
+          .otherwise("test").as("split"))
+    val total = withSplit.select(count(lit(1)).as("n_total"))
+    withSplit.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("doc_share", col("n_docs").cast("double") / col("n_total"))
+      .select(col("split"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("doc_share"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   /** Term-blocklist filter: per-doc blocklist hit count, hit fraction,
     * first matching term (NULL when clean) and a keep flag. The
     * blocklist travels inside the plan as an array literal — at

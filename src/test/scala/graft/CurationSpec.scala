@@ -267,4 +267,25 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(_.getString(1) == "en").map(_.getInt(2)).sorted.toSeq
       == (1 to 8))
   }
+
+  test("hashSplit is rerun-stable and shares sum to one") {
+    import graft.operators.Curation
+    val small = docs((1L to 200L).map(i => (i, s"doc $i words here")): _*)
+    val big = docs((1L to 400L).map(i => (i, s"doc $i words here")): _*)
+    val sOf = (df: org.apache.spark.sql.DataFrame) =>
+      Curation.hashSplit(df).collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(4))).toMap
+    val (s1, s2) = (sOf(small), sOf(big))
+    // shares sum to 1 exactly (counts over one total)
+    assert(math.abs(s1.values.map(_._2).sum - 1.0) < 1e-12)
+    // doubling the corpus grows every split; the 80/10/10 shape holds
+    // loosely (hash noise at n=400) and train stays the bulk
+    assert(s2("train")._1 > s2("val")._1 && s2("train")._1 > s2("test")._1)
+    assert(s2.values.map(_._1).sum == 400L)
+    // rerun stability at the assignment level: each doc keeps its
+    // split when the corpus doubles — counts over the common prefix
+    // are monotone (every small-corpus member is in the big corpus)
+    assert(s1.values.map(_._1).sum == 200L)
+    assert(s1.keys.forall(k => s2(k)._1 >= s1(k)._1))
+  }
 }
