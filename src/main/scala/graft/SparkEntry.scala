@@ -181,6 +181,9 @@ object SparkEntry {
   private val SplitTrainBuckets = 8000
   private val SplitValBuckets = 1000
 
+  /** q_vector_health: the testdata embedding dimensionality. */
+  private val EmbeddingDim = 64
+
   /** q_skew_report: heaviest keys listed. */
   private val SkewTopN = 10
 
@@ -695,6 +698,8 @@ object SparkEntry {
     "q_split" -> ((s, d) =>
       Curation.hashSplit(Tables.documents(s, d), SampleBuckets,
         SplitTrainBuckets, SplitValBuckets)),
+    "q_vector_health" -> ((s, d) =>
+      VectorSearch.vectorHealth(Tables.embeddings(s, d), EmbeddingDim)),
     "q_mixture_sample" -> ((s, d) =>
       Curation.materializeMixture(Tables.documents(s, d), MixtureWeights,
         MixtureBudget, SampleBuckets)),
@@ -1942,6 +1947,34 @@ object SparkEntry {
             CAST(count(*) AS DOUBLE) / tot.n_total AS doc_share
           FROM s CROSS JOIN tot GROUP BY 1, 2, tot.n_total
           ORDER BY 1, 2""",
+    // norm² is the same sequential double fold as graft_dot; min/max
+    // are order-independent (a sum of doubles would not be).
+    "q_vector_health" ->
+      s"""WITH c AS (SELECT
+            CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
+            CASE WHEN embedding IS NOT NULL
+              AND len(embedding) <> $EmbeddingDim THEN 1 ELSE 0 END
+              AS wrong_dim,
+            CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding,
+              x -> isnan(x) OR isinf(x))) > 0 THEN 1 ELSE 0 END
+              AS is_nonfinite,
+            CASE WHEN embedding IS NOT NULL
+              AND len(embedding) = $EmbeddingDim
+              AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0 THEN
+              list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                (a, b) -> a + b)
+            END AS norm2
+          FROM embeddings)
+          SELECT count(*) AS n_vecs,
+            CAST(sum(is_null) AS BIGINT) AS n_null,
+            CAST(sum(wrong_dim) AS BIGINT) AS n_wrong_dim,
+            CAST(sum(is_nonfinite) AS BIGINT) AS n_nonfinite,
+            CAST(coalesce(sum(CASE WHEN norm2 = 0.0 THEN 1 END), 0)
+              AS BIGINT) AS n_zero_norm,
+            min(norm2) AS min_norm2, max(norm2) AS max_norm2
+          FROM c""",
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
             value FROM events WHERE event_type = 'purchase'),

@@ -31,6 +31,38 @@ object VectorSearch extends Logging {
     embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
 
+  /** Embedding-column health QA: the preflight every vector operator
+    * in this file assumes has already run — NULL embeddings, wrong
+    * dimensionality, zero norms (excluded by the cosine operators;
+    * this says HOW MANY were excluded) and non-finite components
+    * (NaN/Inf poison every distance silently). One row of counts plus
+    * min/max norm² over the healthy vectors. Bit-portable by
+    * construction: counts are integers, norm² is the same sequential
+    * double fold as graft_dot on both engines, and min/max (unlike a
+    * sum of doubles) are order-independent. Plan: row-local checks
+    * into one map-side-combine aggregate — a single scan, no shuffle
+    * of anything vector-sized. */
+  def vectorHealth(embeddings: DataFrame, expectedDim: Int): DataFrame = {
+    val e = col("embedding")
+    val nonfinite = exists(e, x => isnan(x) || x === Float.PositiveInfinity ||
+      x === Float.NegativeInfinity)
+    val checked = embeddings.select(
+      e.isNull.cast("long").as("is_null"),
+      (e.isNotNull && size(e) =!= expectedDim).cast("long").as("wrong_dim"),
+      (e.isNotNull && nonfinite).cast("long").as("is_nonfinite"),
+      when(e.isNotNull && size(e) === expectedDim && !nonfinite,
+        dot(e, e)).as("norm2"))
+    checked.agg(
+      count(lit(1)).as("n_vecs"),
+      sum(col("is_null")).as("n_null"),
+      sum(col("wrong_dim")).as("n_wrong_dim"),
+      sum(col("is_nonfinite")).as("n_nonfinite"),
+      coalesce(sum((col("norm2") === 0.0).cast("long")), lit(0L))
+        .as("n_zero_norm"),
+      min(col("norm2")).as("min_norm2"),
+      max(col("norm2")).as("max_norm2"))
+  }
+
   /** All pairs (v1 < v2) with cosine ≥ threshold, by blocked self-join.
     * Quadratic — the exact baseline for small/medium sets and the
     * oracle for the approximate paths. Zero-norm vectors are excluded

@@ -323,6 +323,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out(3L).getLong(4) == 0 && out(3L).getString(5) == "plain text")
   }
 
+  test("vectorHealth classifies null/wrong-dim/nonfinite/zero vectors") {
+    import spark.implicits._
+    import graft.operators.VectorSearch
+    val rows = Seq(
+      (1L, Array(3.0f, 4.0f)),             // healthy, norm2 = 25
+      (2L, Array(1.0f, 0.0f)),             // healthy, norm2 = 1
+      (3L, null.asInstanceOf[Array[Float]]),
+      (4L, Array(1.0f, 2.0f, 3.0f)),       // wrong dim
+      (5L, Array(Float.NaN, 1.0f)),        // nonfinite
+      (6L, Array(Float.PositiveInfinity, 1.0f)), // nonfinite
+      (7L, Array(0.0f, 0.0f)))             // zero norm
+      .toDF("vec_id", "embedding")
+    val r = VectorSearch.vectorHealth(rows, 2).collect()(0)
+    assert(r.getLong(0) == 7L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 1L)
+    assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 25.0)
+  }
+
   test("xlsx colRef covers the multi-letter column range") {
     import graft.sources.Xlsx
     assert(Xlsx.colRef(0) == "A" && Xlsx.colRef(25) == "Z")
