@@ -165,8 +165,13 @@ object Temporal {
       .withColumn("session_ix",
         sum(col("new_sess")).over(order.rowsBetween(
           Window.unboundedPreceding, Window.currentRow)))
+    // persisted: the pair leg AND the broadcast session total both read
+    // it — unpersisted, the total branch re-runs the session windows
+    // end-to-end (a second full user_id exchange). Caller owns the
+    // cache lifetime (same contract as the minhash signature frame).
     val sets = sess.groupBy(col("user_id"), col("session_ix"))
       .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = sets.select(count(lit(1)).as("n_sessions"))
     sets.where(size(col("types")) >= 2)
       .select(explode(flatten(transform(

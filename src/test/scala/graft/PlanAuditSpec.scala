@@ -248,4 +248,46 @@ class PlanAuditSpec extends SparkSpec {
       "ranking Window must sit above the candidate broadcast join\n" +
         p.take(2000))
   }
+
+  test("cdc apply broadcasts the change batch; no full-outer join") {
+    val p = plan("q_cdc_apply")
+    // updates/deletes resolve against a broadcast of latest-per-key;
+    // a FullOuter here means the snapshot is shuffling again
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("FullOuter"), p.take(2000))
+  }
+
+  test("entity match joins on the block key, never nested-loop") {
+    val p = plan("q_entity_match")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("split assignment is row-local: no join, no window, one aggregate") {
+    val p = plan("q_split")
+    // the broadcast total is the only join-like node allowed
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      p.take(2000))
+  }
+
+  test("winsorize clip stats rejoin the cents grain via broadcast") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("basket pairs: both legs read the cached session-set frame") {
+    val p = plan("q_basket_pairs")
+    // pair leg + broadcast total leg share ONE cached (user, session)
+    // type-set frame — without it the total branch re-runs the session
+    // windows end-to-end (a second full user_id exchange)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("agg merge reads partials, not raw rows, in the outer rollup") {
+    val p = plan("q_agg_merge")
+    // two-level aggregate: partial_ aggregates appear on both grains,
+    // and no window/join sneaks into the chain
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(2000))
+  }
 }
