@@ -38,7 +38,7 @@ object Bench {
     "q_search", "q_qa_orphans", "q_percentiles", "q_winsorize",
     "q_mixture_sample",
     "q_active_users", "q_active_users_approx",
-    "q_skew_report", "q_dedup_best", "q_table_diff",
+    "q_skew_report", "q_skew_report_approx", "q_dedup_best", "q_table_diff",
     "q_scd_merge", "q_cdc_apply", "q_entity_match", "q_agg_merge",
     "q_langid_eval",
     "q_sample_fixed",

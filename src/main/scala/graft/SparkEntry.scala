@@ -724,6 +724,15 @@ object SparkEntry {
           .otherwise(col("user_id").cast("long")).as("hot_key"))
       Skew.skewReport(ev, "hot_key", SkewTopN)
     }),
+    // Sketch twin of q_skew_report (O(k) state vs one row per distinct
+    // key). Rows-only gate (merge order perturbs the estimates);
+    // SkewSpec bounds estimates against the exact detector.
+    "q_skew_report_approx" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        when(col("event_id") % 2 === 0, lit(0L))
+          .otherwise(col("user_id").cast("long")).as("hot_key"))
+      Skew.skewReportApprox(ev, "hot_key", SkewTopN)
+    }),
     "q_dedup_best" -> ((s, d) =>
       TextAnalysis.exactDedupBest(Tables.documents(s, d))),
     "q_table_diff" -> ((s, d) => {

@@ -47,4 +47,31 @@ object Skew {
       .orderBy(col("n_rows").desc, col(keyCol))
       .limit(topN)
   }
+
+  /** Sketch twin of [[skewReport]]: Misra–Gries heavy hitters via the
+    * custom `graft_heavy_agg` Catalyst aggregate. The exact detector's
+    * shuffle carries one row per DISTINCT key — fine for household
+    * ids, pathological when the key is near-unique (URLs, session
+    * ids: the diagnostic becomes as expensive as the problem). Here
+    * every task keeps at most k counters, partials merge by the
+    * mergeable-summaries rule, and ONE k-entry summary reaches the
+    * driver side of the plan — state is O(k) at any corpus size.
+    * Estimates are lower bounds within n/(k+1) of the true count
+    * (every key above that threshold is guaranteed present), so run
+    * it with k ≫ the top-N of interest. Merge order perturbs
+    * estimates (not the guarantee), hence rows-only at the gate with
+    * SkewSpec bounding it against [[skewReport]] — the same contract
+    * as the HLL/KLL sketch twins. */
+  def skewReportApprox(df: DataFrame, keyCol: String, topN: Int,
+                       k: Int = 256): DataFrame = {
+    val agg = df.agg(
+      count(lit(1)).as("n_total"),
+      call_function("graft_heavy_agg", col(keyCol), lit(k)).as("hh"))
+    agg.select(col("n_total"), explode(col("hh")).as("e"))
+      .select(col("e.key").as(keyCol), col("e.est").as("est_rows"),
+        col("n_total"),
+        (col("e.est").cast("double") / col("n_total")).as("min_share"))
+      .orderBy(col("est_rows").desc, col(keyCol))
+      .limit(topN)
+  }
 }

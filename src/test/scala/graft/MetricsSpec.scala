@@ -101,6 +101,25 @@ class MetricsSpec extends SparkSpec {
     assert(out.drop(1).map(_.getString(0)).toSeq == Seq("k1", "k10"))
   }
 
+  test("skewReportApprox: MG bound holds and small-cardinality is exact") {
+    import graft.operators.Skew
+    // 900 hot rows + 100 singletons, k=16: any key with true count
+    // > n/(k+1) = 1000/17 must survive, estimates are lower bounds
+    // within that margin
+    val df = ((1L to 900L).map(_ => 0L) ++ (1L to 100L))
+      .toDF("k").repartition(8)
+    val top = Skew.skewReportApprox(df, "k", 3, k = 16).collect()
+    assert(top.head.getLong(0) == 0L)
+    val est = top.head.getLong(1)
+    assert(est <= 900L && est >= 900L - (1000L / 17 + 1), s"est=$est")
+    assert(top.head.getLong(2) == 1000L)
+    // distinct keys ≤ k: no decrement ever fires, estimates are exact
+    val small = Seq(1L, 1L, 1L, 2L, 2L, 3L).toDF("k").repartition(4)
+    val ex = Skew.skewReportApprox(small, "k", 10, k = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ex == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+  }
+
   test("reachVariance: exact DAGJK on hand-computable replicates") {
     import graft.operators.Reach
     // G=2: ids {2,4} -> group 0, {1,3} -> group 1. Weights 3,1,0,0?
