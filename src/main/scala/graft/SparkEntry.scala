@@ -628,6 +628,11 @@ object SparkEntry {
     "q_text_clean" -> ((s, d) =>
       TextAnalysis.cleanText(
         TextAnalysis.plantNoise(Tables.documentsFloored(s, d)))),
+    // Mixed composed/decomposed Unicode planted like the PII/noise
+    // above; normalization via the native graft_nfc expression.
+    "q_unicode_norm" -> ((s, d) =>
+      TextAnalysis.unicodeNormalize(
+        TextAnalysis.plantUnicode(Tables.documents(s, d)))),
     // Mix drift between deterministic even/odd epoch-day snapshots —
     // the synthetic stand-in for yesterday-vs-today QA.
     "q_qa_drift" -> ((s, d) => {
@@ -2092,6 +2097,24 @@ object SparkEntry {
           SELECT doc_id, url_count, tag_count, len_before,
             CAST(length(cleaned) AS BIGINT) AS len_after, cleaned
           FROM c ORDER BY doc_id""",
+    // chr(769) = U+0301 combining acute (decomposed), chr(233) = é
+    // composed; java.text.Normalizer NFC == DuckDB nfc_normalize
+    // (both implement the Unicode standard algorithm).
+    "q_unicode_norm" ->
+      s"""WITH planted AS (SELECT doc_id,
+            CASE WHEN doc_id % ${TextAnalysis.UnicodePlantMod} = 0 THEN
+              text || ' caf' || 'e' || chr(769)
+            WHEN doc_id % ${TextAnalysis.UnicodePlantMod} = 1 THEN
+              text || ' caf' || chr(233)
+            ELSE text END AS text FROM documents),
+          n AS (SELECT doc_id, text, nfc_normalize(text) AS nfc
+            FROM planted)
+          SELECT doc_id,
+            CASE WHEN text IS NULL THEN NULL
+                 WHEN text = nfc THEN 0 ELSE 1 END AS changed,
+            length(text) AS len_before, length(nfc) AS len_after,
+            md5(nfc) AS norm_fp
+          FROM n ORDER BY doc_id""",
     "q_range_join" ->
       s"""WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
             FROM events WHERE event_type = 'purchase'),

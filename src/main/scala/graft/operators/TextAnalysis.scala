@@ -250,6 +250,43 @@ object TextAnalysis {
       .orderBy(col("n_occ").desc, col("term"))
       .limit(topN)
 
+  /** Deterministic mixed-form Unicode planting — the oracle fixture
+    * for [[unicodeNormalize]] (the synthetic corpus is pure ASCII, so
+    * an unplanted oracle would be an all-unchanged gate). Every
+    * doc_id % 4 == 0 doc gets a DECOMPOSED café (e + U+0301), every
+    * % 4 == 1 doc the COMPOSED form (U+00E9) — visually identical,
+    * byte-different — mirrored via chr() in the oracle SQL. */
+  val UnicodePlantMod = 4
+
+  def plantUnicode(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % UnicodePlantMod === 0,
+        concat(col("text"), lit(" cafe\u0301")))  // decomposed
+        .when(col("doc_id") % UnicodePlantMod === 1,
+          concat(col("text"), lit(" caf\u00e9"))) // composed
+        .otherwise(col("text")))
+
+  /** Unicode NFC normalization report: per doc, whether normalization
+    * changed the text, code-point lengths before/after, and the md5
+    * fingerprint of the NORMALIZED text — the fingerprint exact dedup
+    * should key on, since composed and decomposed forms of the same
+    * visible string otherwise land in different duplicate groups.
+    * Row-local via the native `graft_nfc` expression (Spark has no
+    * builtin; a Scala UDF would leave whole-stage codegen) — linear
+    * with the scan, full pushdown below it; already-NFC text pays one
+    * allocation-free quick-check. NULL text propagates NULL. */
+  def unicodeNormalize(docs: DataFrame): DataFrame = {
+    val nfc = call_function("graft_nfc", col("text"))
+    docs.select(col("doc_id"), col("text"), nfc.as("nfc"))
+      .select(col("doc_id"),
+        when(col("text").isNotNull,
+          (col("text") =!= col("nfc")).cast("int")).as("changed"),
+        length(col("text")).cast("long").as("len_before"),
+        length(col("nfc")).cast("long").as("len_after"),
+        md5(col("nfc")).as("norm_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Adjacent-token-pair counts: the merge-selection table one BPE
     * training step reads — the pair with the top count is the next
     * merge. Occurrence and document frequencies per pair, top-`topN`

@@ -192,6 +192,25 @@ class TextSpec extends SparkSpec {
     assert(out(3L).getInt(4) == 0)
   }
 
+  test("unicodeNormalize unifies composed and decomposed forms") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "caf\u00e9"),        // composed: already NFC
+      (2L, "cafe\u0301"),      // decomposed: changes under NFC
+      (3L, "plain"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unicodeNormalize(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 0 && out(2L).getInt(1) == 1)
+    // decomposed is 5 code points before, 4 after; fingerprints agree
+    assert(out(2L).getLong(2) == 5L && out(2L).getLong(3) == 4L)
+    assert(out(1L).getString(4) == out(2L).getString(4),
+      "composed and decomposed must share the normalized fingerprint")
+    assert(out(3L).getInt(1) == 0)
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(4))
+  }
+
   test("minhashRecall: identical docs found by both legs; bounds hold") {
     import graft.operators.NearDup
     val df = Seq(
