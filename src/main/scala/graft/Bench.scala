@@ -31,7 +31,7 @@ object Bench {
     "q_rolling_daily",
     "q_reach_rollup",
     "q_reach_approx", "q_tfidf", "q_lm_score", "q_pii_redact",
-    "q_text_clean", "q_unicode_norm",
+    "q_text_clean", "q_unicode_norm", "q_boilerplate",
     "q_range_join", "q_qa_drift", "q_dedup_bloom",
     "q_cohort", "q_funnel_steps", "q_histogram", "q_qa_anomaly",
     "q_semantic_dedup", "q_mixture", "q_props_health",

@@ -633,6 +633,11 @@ object SparkEntry {
     "q_unicode_norm" -> ((s, d) =>
       TextAnalysis.unicodeNormalize(
         TextAnalysis.plantUnicode(Tables.documents(s, d)))),
+    // Boilerplate lines planted on overlapping doc_id mods; the strip
+    // derives the frequent set from the corpus itself.
+    "q_boilerplate" -> ((s, d) =>
+      Curation.boilerplateStrip(
+        Curation.plantBoilerplate(Tables.documents(s, d)))),
     // Mix drift between deterministic even/odd epoch-day snapshots —
     // the synthetic stand-in for yesterday-vs-today QA.
     "q_qa_drift" -> ((s, d) => {
@@ -2115,6 +2120,34 @@ object SparkEntry {
             length(text) AS len_before, length(nfc) AS len_after,
             md5(nfc) AS norm_fp
           FROM n ORDER BY doc_id""",
+    // Replays both passes: line document-frequency over distinct
+    // (doc, line) pairs, integer threshold line_df * 20 >= n_docs,
+    // then the row-local strip. list_filter + list_contains mirror
+    // the Spark higher-order filter; NULL text propagates NULL.
+    "q_boilerplate" ->
+      s"""WITH planted AS (SELECT doc_id, text ||
+            CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || '${Curation.BoilerplateLine1}' ELSE '' END ||
+            CASE WHEN doc_id % 4 = 1
+              THEN chr(10) || '${Curation.BoilerplateLine2}' ELSE '' END
+            AS text FROM documents),
+          lines AS (SELECT DISTINCT doc_id,
+            unnest(string_split(text, chr(10))) AS line FROM planted),
+          ldf AS (SELECT line, count(*) AS line_df FROM lines GROUP BY line),
+          tot AS (SELECT count(*) AS n_total FROM planted),
+          freq AS (SELECT coalesce(list(line ORDER BY line), []) AS bp
+            FROM ldf, tot WHERE line_df * 20 >= n_total),
+          c AS (SELECT p.doc_id,
+            string_split(p.text, chr(10)) AS ls,
+            list_filter(string_split(p.text, chr(10)),
+              l -> NOT list_contains(f.bp, l)) AS keep
+            FROM planted p, freq f)
+          SELECT doc_id,
+            CAST(len(ls) AS INTEGER) AS n_lines,
+            CAST(len(ls) - len(keep) AS INTEGER) AS n_dropped,
+            array_to_string(keep, chr(10)) AS cleaned,
+            md5(array_to_string(keep, chr(10))) AS clean_fp
+          FROM c ORDER BY doc_id""",
     "q_range_join" ->
       s"""WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
             FROM events WHERE event_type = 'purchase'),

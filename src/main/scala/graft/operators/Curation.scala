@@ -106,6 +106,60 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic boilerplate planting — the oracle fixture for
+    * [[boilerplateStrip]] (the synthetic corpus is single-line, so an
+    * unplanted oracle would find no frequent lines). Every
+    * doc_id % 3 == 0 doc gains a newsletter line, every % 4 == 1 a
+    * rights line — overlapping mods, so some docs carry both —
+    * mirrored with chr(10) concatenation in the oracle SQL. */
+  val BoilerplateLine1 = "Subscribe to our newsletter for updates"
+  val BoilerplateLine2 = "All rights reserved worldwide"
+
+  def plantBoilerplate(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit("\n" + BoilerplateLine1))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 1, lit("\n" + BoilerplateLine2))
+        .otherwise(lit(""))))
+
+  /** Corpus-frequent-line (boilerplate) removal, the C4-style cleanup
+    * pass (Raffel et al. 2020 — public recipe): a line appearing in at
+    * least one in `maxDocEvery` of all documents is boilerplate (nav
+    * chrome, cookie banners, license footers) and is stripped from
+    * every doc. The threshold is the integer comparison
+    * `line_df * maxDocEvery >= n_docs` — no fractional cutoff, so the
+    * oracle replay is bit-exact at any corpus size (a double 0.05×n
+    * crosses ceil() boundaries differently in decimal engines).
+    * Two linear passes, no per-doc shuffle of text: pass 1 explodes
+    * distinct (doc, line) pairs into a line-frequency aggregate whose
+    * output is tiny by construction (a line over the df threshold can
+    * number at most avgLinesPerDoc / minDocFrac distinct values), so
+    * the frequent set collapses to a ONE-ROW array frame that
+    * broadcast-crossJoins back; pass 2 strips row-locally with an
+    * array higher-order filter — document text never shuffles, and
+    * the whole strip stays inside whole-stage codegen. NULL text
+    * propagates NULL counts/output. */
+  def boilerplateStrip(docs: DataFrame, maxDocEvery: Int = 20): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      explode(split(col("text"), "\n")).as("line"))
+    val freq = lines.distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("line_df"))
+      .crossJoin(broadcast(docs.select(count(lit(1)).as("n_total"))))
+      .filter(col("line_df") * maxDocEvery >= col("n_total"))
+      .agg(array_sort(collect_list(col("line"))).as("bp_lines"))
+    docs.crossJoin(broadcast(freq))
+      .select(col("doc_id"),
+        split(col("text"), "\n").as("ls"), col("bp_lines"))
+      .select(col("doc_id"), col("ls"),
+        filter(col("ls"), l => !array_contains(col("bp_lines"), l)).as("keep"))
+      .select(col("doc_id"),
+        sizeOrNull(col("ls")).as("n_lines"),
+        (sizeOrNull(col("ls")) - sizeOrNull(col("keep"))).as("n_dropped"),
+        array_join(col("keep"), "\n").as("cleaned"))
+      .withColumn("clean_fp", md5(col("cleaned")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fixed-window token chunking: split each doc's token stream into
     * windows of `size` tokens every `stride` tokens (overlap =
     * size − stride), the shape LLM pretraining shards want. Windows

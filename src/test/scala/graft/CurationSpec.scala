@@ -268,6 +268,30 @@ class CurationSpec extends SparkSpec {
       == (1 to 8))
   }
 
+  test("boilerplateStrip drops corpus-frequent lines, keeps unique ones") {
+    // 10 docs: every doc carries the banner line, doc 0-4 also a
+    // footer; each doc's body line is unique. threshold 1-in-2.
+    val df = docs((0L until 10L).map { i =>
+      val footer = if (i < 5) "\nCopyright Foo" else ""
+      (i, s"unique body $i\nBanner line$footer")
+    }: _*)
+    val out = Curation.boilerplateStrip(df, maxDocEvery = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 10)
+    // banner (10/10) and footer (5/10) are both >= 1/2 -> stripped
+    assert(out(0L).getInt(1) == 3 && out(0L).getInt(2) == 2)
+    assert(out(0L).getString(3) == "unique body 0")
+    assert(out(7L).getInt(1) == 2 && out(7L).getInt(2) == 1)
+    assert(out(7L).getString(3) == "unique body 7")
+    // NULL text propagates NULL
+    val withNull = docs((0L, "a\nB"), (1L, "b\nB"),
+      (2L, null.asInstanceOf[String]))
+    val nres = Curation.boilerplateStrip(withNull, maxDocEvery = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(nres(2L).isNullAt(1) && nres(2L).isNullAt(3))
+    assert(nres(0L).getString(3) == "a")
+  }
+
   test("hashSplit is rerun-stable and shares sum to one") {
     import graft.operators.Curation
     val small = docs((1L to 200L).map(i => (i, s"doc $i words here")): _*)
