@@ -184,6 +184,9 @@ object SparkEntry {
   /** q_vector_health: the testdata embedding dimensionality. */
   private val EmbeddingDim = 64
 
+  /** q_shard_plan: output shards the balance plan targets. */
+  private val ShardCount = 16
+
   /** q_skew_report: heaviest keys listed. */
   private val SkewTopN = 10
 
@@ -638,6 +641,8 @@ object SparkEntry {
     "q_boilerplate" -> ((s, d) =>
       Curation.boilerplateStrip(
         Curation.plantBoilerplate(Tables.documents(s, d)))),
+    "q_shard_plan" -> ((s, d) =>
+      Curation.shardPlan(Tables.documents(s, d), ShardCount)),
     // Mix drift between deterministic even/odd epoch-day snapshots —
     // the synthetic stand-in for yesterday-vs-today QA.
     "q_qa_drift" -> ((s, d) => {
@@ -2148,6 +2153,24 @@ object SparkEntry {
             array_to_string(keep, chr(10)) AS cleaned,
             md5(array_to_string(keep, chr(10))) AS clean_fp
           FROM c ORDER BY doc_id""",
+    // The oracle ranks with the plain single-window row_number the
+    // engine deliberately avoids — equality proves the bucketed
+    // offset+partitioned-window rank IS the global rank. // is
+    // integer division (rk and 16 are both BIGINT); engine sums stay
+    // BIGINT while DuckDB's widen to HUGEINT -> CAST back.
+    "q_shard_plan" ->
+      s"""WITH t AS (SELECT doc_id,
+            coalesce(len($ToksSql), 0) AS n_toks FROM documents),
+          r AS (SELECT doc_id, n_toks,
+            row_number() OVER (ORDER BY n_toks DESC, doc_id) - 1 AS rk
+            FROM t),
+          s AS (SELECT n_toks, CASE WHEN (rk // 16) % 2 = 0 THEN rk % 16
+            ELSE 15 - (rk % 16) END AS shard FROM r),
+          tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS tt FROM t)
+          SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_docs,
+            CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+            CAST(sum(n_toks) AS BIGINT) / tt AS token_share
+          FROM s, tot GROUP BY shard, tt ORDER BY shard""",
     "q_range_join" ->
       s"""WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
             FROM events WHERE event_type = 'purchase'),

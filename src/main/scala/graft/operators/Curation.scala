@@ -487,4 +487,63 @@ object Curation {
       .reduce(_.union(_))
       .orderBy(col("stage_ix"))
   }
+
+  /** Balanced output-shard plan: assign every doc to one of `shards`
+    * output files balancing total token count, via a serpentine
+    * (boustrophedon) walk over docs in descending token order — rank r
+    * goes to shard r%S on even passes and S-1-(r%S) on odd ones, the
+    * static analogue of longest-processing-time scheduling (per-shard
+    * token sums stay within one max-doc of each other without any
+    * driver-side packing loop). What makes it survive 100 TB is the
+    * RANK: a global `row_number()` window is a single-reducer sort of
+    * the corpus, so instead docs bucket by fixed-width token ranges
+    * (width from corpus min/max — ranges are disjoint and
+    * order-aligned, so bucket order IS token order), a tiny ≤`buckets`
+    * -row frame turns per-bucket counts into cumulative offsets, and
+    * each bucket ranks independently under a bucket-PARTITIONED
+    * window: rank = offset + within-bucket row_number − 1 ==
+    * the global rank, bit-exact (oracle replays the plain global
+    * window). Each window partition sorts ~corpus/buckets rows; a
+    * token-value hot spot concentrates one bucket, which AQE splits
+    * like any skewed partition. The (doc_id, n_toks) frame is
+    * persisted — three legs (stats, offsets, totals) would otherwise
+    * re-tokenize the corpus; ~16 bytes/doc, spills to disk. Returns
+    * per-shard doc/token totals and the share of all tokens — the
+    * balance report a shard writer publishes next to its output. */
+  def shardPlan(docs: DataFrame, shards: Int = 16,
+                buckets: Int = 64): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      coalesce(sizeOrNull(tokens(col("text"))).cast("long"), lit(0L))
+        .as("n_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = t.agg(min(col("n_toks")).as("lo"), max(col("n_toks")).as("hi"))
+    val bucketed = t.crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        expr(s"(n_toks - lo) div (((hi - lo) div $buckets) + 1)"))
+      .select(col("doc_id"), col("n_toks"), col("bucket"))
+    val offs = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .withColumn("off",
+        coalesce(sum(col("bucket_n")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("bucket").desc)
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("off"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("n_toks").desc, col("doc_id"))
+    val ranked = bucketed.join(broadcast(offs), "bucket")
+      .withColumn("rk", col("off") + row_number().over(wb) - 1)
+      .withColumn("shard",
+        expr(s"""CASE WHEN (rk div $shards) % 2 = 0 THEN rk % $shards
+                 ELSE ${shards - 1} - (rk % $shards) END""").cast("int"))
+    ranked.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .crossJoin(broadcast(t.agg(sum(col("n_toks")).as("tot_tokens"))))
+      .withColumn("token_share", col("n_tokens") / col("tot_tokens"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("token_share"))
+      .orderBy(col("shard"))
+  }
 }

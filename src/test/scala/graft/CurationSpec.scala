@@ -292,6 +292,34 @@ class CurationSpec extends SparkSpec {
     assert(nres(0L).getString(3) == "a")
   }
 
+  test("shardPlan: bucketed rank == global rank; tokens serpentine-balanced") {
+    // 100 docs, token counts cycling 1..17 — many cross-bucket ties
+    val df = docs((0L until 100L).map(i =>
+      (i, Seq.fill((i % 17 + 1).toInt)("w").mkString(" "))): _*)
+    val out = Curation.shardPlan(df, shards = 4, buckets = 8).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out.size == 4 && out.values.map(_.getLong(1)).sum == 100L)
+    // naive replay: global sort desc by (toks, doc_id), serpentine
+    val expected = (0L until 100L).map(i => (i, i % 17 + 1))
+      .sortBy { case (id, t) => (-t, id) }.zipWithIndex
+      .map { case ((_, t), rk) =>
+        val pos = rk % 4
+        (if ((rk / 4) % 2 == 0) pos else 3 - pos) -> t
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    (0 to 3).foreach { s =>
+      assert(out(s).getLong(2) == expected(s),
+        s"shard $s token sum must equal the global-rank serpentine")
+    }
+    val sums = out.values.map(_.getLong(2))
+    assert(sums.max - sums.min <= 17, "balance within one max-doc")
+    // degenerate corpus: every doc identical -> one bucket, still exact
+    val flat = docs((0L until 9L).map(i => (i, "a b c")): _*)
+    val fo = Curation.shardPlan(flat, shards = 3, buckets = 8).collect()
+    assert(fo.map(_.getLong(1)).toSeq == Seq(3L, 3L, 3L))
+    assert(fo.map(_.getLong(2)).toSeq == Seq(9L, 9L, 9L))
+  }
+
   test("hashSplit is rerun-stable and shares sum to one") {
     import graft.operators.Curation
     val small = docs((1L to 200L).map(i => (i, s"doc $i words here")): _*)

@@ -290,4 +290,28 @@ class PlanAuditSpec extends SparkSpec {
     // and no window/join sneaks into the chain
     assert(!p.contains("Window") && !p.contains("Join"), p.take(2000))
   }
+
+  test("shard plan ranks inside bucket partitions, corpus frame cached") {
+    val p = plan("q_shard_plan")
+    // the corpus-sized ranking window must be PARTITIONED by bucket —
+    // 'windowspecdefinition(bucket' present; a global row_number
+    // (single-reducer corpus sort) shows an empty partition spec on
+    // the big frame. The tiny ≤buckets-row offsets window is the only
+    // unpartitioned one.
+    assert(p.contains("windowspecdefinition(bucket"), p.take(2000))
+    // stats/offsets/totals legs read the cached (doc_id, n_toks)
+    // frame instead of re-tokenizing the corpus
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("boilerplate strips row-locally off one broadcast frequent set") {
+    val p = plan("q_boilerplate")
+    // the frequent set rejoins as a broadcast one-row array — doc text
+    // must never go through a SortMergeJoin or corpus-sized window
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }
