@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BloomAgg, BloomContains, DotProduct, MinHashSigs, MisraGriesAgg, NfcNormalize, RollingHash, SimHash40}
+import graft.functions.{BloomAgg, BloomContains, DotProduct, MinHashSigs, MisraGriesAgg, NfcNormalize, RollingHash, SimHash40, TopKAgg}
 
 /** Standard session config for the graft engine. One place to keep the
   * settings that matter at scale (AQE, shuffle partitions sized to the
@@ -73,6 +73,11 @@ object GraftSession {
           new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),
           (exprs: Exprs) => { val e = arity("graft_bloom_agg", 3, exprs)
             BloomAgg(e(0), e(1), e(2)).toAggregateExpression() }))
+        ext.injectFunction((
+          FunctionIdentifier("graft_topk"),
+          new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+          (exprs: Exprs) => { val e = arity("graft_topk", 3, exprs)
+            TopKAgg(e(0), e(1), e(2)).toAggregateExpression() }))
         ext.injectFunction((
           FunctionIdentifier("graft_nfc"),
           new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),

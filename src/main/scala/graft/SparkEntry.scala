@@ -329,6 +329,10 @@ object SparkEntry {
       Analytics.revenueByNation(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "q_top_orders_per_cust" -> ((s, d) =>
       Analytics.topOrdersPerCustomer(Tables.orders(s, d))),
+    // Same result through the graft_topk bounded-heap aggregate — the
+    // no-sort scale path; shares the window oracle shape.
+    "q_topk_orders" -> ((s, d) =>
+      Analytics.topOrdersPerCustomerAgg(Tables.orders(s, d))),
     "q_event_windows" -> ((s, d) =>
       Analytics.eventWindows(Tables.events(s, d))),
     "q_reach_overall" -> ((s, d) =>
@@ -1204,6 +1208,12 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY 1 ORDER BY revenue DESC, n_name""",
     "q_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+         FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "q_topk_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
          SELECT o_custkey, o_orderkey, o_totalprice,
          CAST(row_number() OVER (PARTITION BY o_custkey

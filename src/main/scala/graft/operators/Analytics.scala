@@ -53,6 +53,25 @@ object Analytics {
       .orderBy(col("o_custkey"), col("rk"))
   }
 
+  /** The aggregate twin of [[topOrdersPerCustomer]], built on the
+    * native `graft_topk` bounded-heap aggregate: identical output
+    * (hash-matched against the same window oracle), different physical
+    * plan — a window must shuffle and SORT every order row per
+    * customer, while the heap aggregate combines map-side and ships
+    * groups×k entries through the exchange with no sort at all. At
+    * 100 TB the window's per-partition sort is the bottleneck; the
+    * aggregate's shuffle volume is the OUTPUT size. */
+  def topOrdersPerCustomerAgg(orders: DataFrame, n: Int = 3): DataFrame =
+    orders.groupBy(col("o_custkey"))
+      .agg(call_function("graft_topk",
+        col("o_totalprice"), col("o_orderkey"), lit(n)).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("o_custkey"),
+        col("e.id").as("o_orderkey"),
+        col("e.score").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+
   /** Semi-structured property extraction + validity QA: parse the JSON
     * `props` payload, extract the numeric `k` field, and aggregate per
     * event type the row count, how many rows yielded a value (valid

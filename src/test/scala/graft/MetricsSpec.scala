@@ -120,6 +120,30 @@ class MetricsSpec extends SparkSpec {
     assert(ex == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("graft_topk aggregate equals the ranking window exactly") {
+    import graft.operators.Analytics
+    // 40 customers x 25 orders with heavy score ties (score = i % 7),
+    // spread over 9 partitions so partial heaps must merge; ties
+    // break by lower orderkey in both paths
+    val rows = for { c <- 0L until 40L; i <- 0L until 25L }
+      yield (c, c * 100 + i, (i % 7).toDouble)
+    val df = rows.toDF("o_custkey", "o_orderkey", "o_totalprice")
+      .repartition(9)
+    val agg = Analytics.topOrdersPerCustomerAgg(df, n = 3).collect()
+    val win = Analytics.topOrdersPerCustomer(df, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val aggT = agg.map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(aggT.toSeq == win.toSeq,
+      "bounded-heap top-k must match the window bit-for-bit")
+    assert(aggT.length == 40 * 3)
+    // groups smaller than k emit all their rows, still ranked
+    val tiny = Seq((1L, 10L, 5.0), (1L, 11L, 7.0))
+      .toDF("o_custkey", "o_orderkey", "o_totalprice")
+    val t = Analytics.topOrdersPerCustomerAgg(tiny, n = 3).collect()
+    assert(t.map(_.getLong(1)).toSeq == Seq(11L, 10L))
+  }
+
   test("reachVariance: exact DAGJK on hand-computable replicates") {
     import graft.operators.Reach
     // G=2: ids {2,4} -> group 0, {1,3} -> group 1. Weights 3,1,0,0?

@@ -305,6 +305,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("topk aggregate plans with no window and no sort before exchange") {
+    val p = plan("q_topk_orders")
+    // the whole point: partial ObjectHashAggregate heaps combine
+    // map-side; a Window or a Sort under the exchange means the
+    // per-group full sort is back
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("boilerplate strips row-locally off one broadcast frequent set") {
     val p = plan("q_boilerplate")
     // the frequent set rejoins as a broadcast one-row array — doc text
