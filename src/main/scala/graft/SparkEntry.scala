@@ -682,6 +682,10 @@ object SparkEntry {
     "q_cohort" -> ((s, d) =>
       Journey.cohortRetention(Tables.events(s, d)
         .where(col("event_id") % CohortSliceMod === 0))),
+    // Same sparse slice as q_cohort so weekly gaps actually occur.
+    "q_lifecycle" -> ((s, d) =>
+      Journey.lifecycle(Tables.events(s, d)
+        .where(col("event_id") % CohortSliceMod === 0))),
     "q_funnel_steps" -> ((s, d) =>
       Journey.funnelSteps(Tables.events(s, d)
         .where(col("event_id") % FunnelSliceMod === 0), FunnelStages)),
@@ -2240,6 +2244,29 @@ object SparkEntry {
           SELECT cohort_week, week_ix, n_users, cohort_size,
             CAST(n_users AS DOUBLE) / cohort_size AS retention
           FROM z ORDER BY cohort_week, week_ix""",
+    // lag/lead windows replay the engine's row-local array-gap
+    // classification; churn lands on the first silent week, capped at
+    // the corpus max week. DuckDB date-date is integer days.
+    "q_lifecycle" ->
+      s"""WITH uw AS (SELECT DISTINCT user_id,
+            CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events WHERE event_id % $CohortSliceMod = 0),
+          mx AS (SELECT max(week) AS max_week FROM uw),
+          lagged AS (SELECT user_id, week,
+            lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_w,
+            lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_w
+            FROM uw),
+          act AS (SELECT week,
+            CASE WHEN prev_w IS NULL THEN 'new'
+                 WHEN week - prev_w = 7 THEN 'retained'
+                 ELSE 'resurrected' END AS status FROM lagged),
+          churn AS (SELECT week + 7 AS week, 'churned' AS status
+            FROM lagged, mx
+            WHERE (next_w IS NULL OR next_w - week > 7)
+              AND week + 7 <= max_week),
+          allr AS (SELECT * FROM act UNION ALL SELECT * FROM churn)
+          SELECT week, status, count(*) AS n_users
+          FROM allr GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_funnel_steps" -> {
       val src = s"SELECT user_id, ts, event_type FROM events " +
         s"WHERE event_id % $FunnelSliceMod = 0"

@@ -156,4 +156,53 @@ object Journey {
           nullif(first(col("n_users")).over(w), lit(0L)))
       .orderBy(col("stage_ix"))
   }
+
+  /** Weekly user-lifecycle transitions — the growth-accounting table
+    * behind every "net active users" chart: per week, how many users
+    * are `new` (first-ever activity), `retained` (also active the
+    * prior week), `resurrected` (returning after a gap ≥ 2 weeks), and
+    * `churned` (active the prior week, absent this one; attributed to
+    * the FIRST silent week, and only up to the corpus's last observed
+    * week so trailing silence isn't counted before it can be known).
+    *
+    * Shape: the same single user_id exchange as [[cohortRetention]] —
+    * the per-user aggregate collects the sorted distinct active-week
+    * set (calendar-bounded however many events a user has), and every
+    * classification is row-local array arithmetic over that set:
+    * statuses from adjacent-week gaps via `transform`, churn events
+    * from gap starts via `filter`+`transform`, one explode back to
+    * (week, status) grain, and a calendar×4-row final aggregate. The
+    * corpus max week joins as a broadcast scalar. The oracle replays
+    * it with lag/lead windows — different algorithm, same table. */
+  def lifecycle(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(
+        date_trunc("week", col("ts")).cast("date"))).as("wks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = perUser.agg(max(element_at(col("wks"), -1)).as("max_week"))
+    val ix = sequence(lit(0), size(col("wks")) - 1)
+    // CaseWhen/Or evaluate lazily, so the out-of-range element_at
+    // branches are never touched on the guarded rows
+    val acts = transform(ix, i => struct(
+      element_at(col("wks"), i + 1).as("week"),
+      when(i === 0, lit("new"))
+        .when(datediff(element_at(col("wks"), i + 1),
+          element_at(col("wks"), greatest(i, lit(1)))) === 7, lit("retained"))
+        .otherwise(lit("resurrected")).as("status")))
+    val gapStarts = filter(ix, i =>
+      (i === size(col("wks")) - 1) ||
+        (datediff(element_at(col("wks"), i + 2),
+          element_at(col("wks"), i + 1)) > 7))
+    val churns = transform(gapStarts, i => struct(
+      date_add(element_at(col("wks"), i + 1), 7).as("week"),
+      lit("churned").as("status")))
+    perUser.crossJoin(broadcast(mx))
+      .select(col("max_week"),
+        explode(concat(acts, churns)).as("e"))
+      .where(col("e.week") <= col("max_week"))
+      .groupBy(col("e.week").as("week"), col("e.status").as("status"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("week"), col("status"))
+  }
 }

@@ -36,6 +36,29 @@ class JourneySpec extends SparkSpec {
     assert(out.map(_.getInt(1)).sorted.toSeq == Seq(0, 4))
   }
 
+  test("lifecycle classifies new/retained/resurrected/churned per week") {
+    // u1 active wk0+wk1 (trailing churn lands wk2 = corpus max);
+    // u2 active wk0+wk2 (gap churn at wk1, trailing churn past max
+    // suppressed); u3 active wk0 only (churn at wk1). Multiple events
+    // in one user-week must dedup before classification.
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-02 11:00:00", "view"),
+      (1L, "2024-01-08 10:00:00", "view"),
+      (2L, "2024-01-03 09:00:00", "view"),
+      (2L, "2024-01-16 09:00:00", "view"),
+      (3L, "2024-01-04 08:00:00", "view"))
+    val out = Journey.lifecycle(e).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      ("2024-01-01", "new") -> 3L,
+      ("2024-01-08", "retained") -> 1L,
+      ("2024-01-08", "churned") -> 2L,
+      ("2024-01-15", "resurrected") -> 1L,
+      ("2024-01-15", "churned") -> 1L))
+  }
+
   test("funnelSteps only counts stages completed in order") {
     val e = ev(
       // u1 completes view → click → purchase in order
