@@ -20,7 +20,7 @@ object Bench {
     "q_ngram_jaccard", "q_containment", "q_minhash_dedup", "q_minhash_recall",
     "q_dedup_clusters",
     "q_simhash", "q_simhash_pairs", "q_skew_salted", "q_decontam",
-    "q_stratified_sample", "q_split", "q_blocklist", "q_chunks",
+    "q_stratified_sample", "q_split", "q_split_leak", "q_blocklist", "q_chunks",
     "q_chunk_dedup",
     "q_pack", "q_curation_funnel", "q_vocab", "q_bpe_pairs",
     "q_quality_cap",

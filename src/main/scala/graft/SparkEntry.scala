@@ -647,6 +647,9 @@ object SparkEntry {
         Curation.plantBoilerplate(Tables.documents(s, d)))),
     "q_shard_plan" -> ((s, d) =>
       Curation.shardPlan(Tables.documents(s, d), ShardCount)),
+    "q_split_leak" -> ((s, d) =>
+      Curation.splitLeak(Tables.documents(s, d), SampleBuckets,
+        SplitTrainBuckets, SplitValBuckets)),
     // Mix drift between deterministic even/odd epoch-day snapshots —
     // the synthetic stand-in for yesterday-vs-today QA.
     "q_qa_drift" -> ((s, d) => {
@@ -2167,6 +2170,24 @@ object SparkEntry {
             array_to_string(keep, chr(10)) AS cleaned,
             md5(array_to_string(keep, chr(10))) AS clean_fp
           FROM c ORDER BY doc_id""",
+    // Verified LSH pairs (shared MinhashVerCtes) classified by the
+    // same salted-hash split as q_split — both endpoints derive
+    // row-locally from the id, no join in either engine.
+    "q_split_leak" ->
+      s"""WITH $MinhashVerCtes,
+          sp AS (SELECT d1, d2,
+            CASE WHEN ('0x' || substr(md5(CAST(d1 AS VARCHAR) || ':split'), 1, 6))::BIGINT % $SampleBuckets < $SplitTrainBuckets THEN 'train'
+                 WHEN ('0x' || substr(md5(CAST(d1 AS VARCHAR) || ':split'), 1, 6))::BIGINT % $SampleBuckets < ${SplitTrainBuckets + SplitValBuckets} THEN 'val'
+                 ELSE 'test' END AS s1,
+            CASE WHEN ('0x' || substr(md5(CAST(d2 AS VARCHAR) || ':split'), 1, 6))::BIGINT % $SampleBuckets < $SplitTrainBuckets THEN 'train'
+                 WHEN ('0x' || substr(md5(CAST(d2 AS VARCHAR) || ':split'), 1, 6))::BIGINT % $SampleBuckets < ${SplitTrainBuckets + SplitValBuckets} THEN 'val'
+                 ELSE 'test' END AS s2
+            FROM ver),
+          x AS (SELECT least(s1, s2) AS split_a, greatest(s1, s2) AS split_b
+            FROM sp)
+          SELECT split_a, split_b, count(*) AS n_pairs,
+            CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS is_leak
+          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
     // The oracle ranks with the plain single-window row_number the
     // engine deliberately avoids — equality proves the bucketed
     // offset+partitioned-window rank IS the global rank. // is

@@ -488,6 +488,38 @@ object Curation {
       .orderBy(col("stage_ix"))
   }
 
+  /** Train/test contamination audit: near-duplicate pairs that
+    * straddle the [[hashSplit]] boundary — the hygiene check a
+    * training pipeline runs BEFORE publishing a split, since a
+    * near-dup of a test doc inside train quietly inflates eval (the
+    * cross-split complement of [[graft.operators.NearDup.decontaminate]],
+    * which checks train against an EXTERNAL benchmark). Pair counts
+    * per (split, split) combination with a leak flag on off-diagonal
+    * rows. Because the split is salted-hash-derived from doc_id, both
+    * endpoints classify row-locally on the pair frame — zero joins,
+    * zero extra corpus scans on top of the LSH pair generation. */
+  def splitLeak(docs: DataFrame, buckets: Int = 10000,
+                trainBuckets: Int = 8000,
+                valBuckets: Int = 1000): DataFrame = {
+    def splitOf(id: Column): Column = {
+      val b = pmod(conv(substring(
+        md5(concat(id.cast("string"), lit(":split"))), 1, 6),
+        16, 10).cast("long"), lit(buckets))
+      when(b < trainBuckets, "train")
+        .when(b < trainBuckets + valBuckets, "val")
+        .otherwise("test")
+    }
+    NearDup.minhashPairs(docs)
+      .select(splitOf(col("d1")).as("s1"), splitOf(col("d2")).as("s2"))
+      .select(least(col("s1"), col("s2")).as("split_a"),
+        greatest(col("s1"), col("s2")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak",
+        (col("split_a") =!= col("split_b")).cast("int"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** Balanced output-shard plan: assign every doc to one of `shards`
     * output files balancing total token count, via a serpentine
     * (boustrophedon) walk over docs in descending token order — rank r

@@ -292,6 +292,29 @@ class CurationSpec extends SparkSpec {
     assert(nres(0L).getString(3) == "a")
   }
 
+  test("splitLeak classifies near-dup pairs by their salted-hash splits") {
+    val dup = Seq.fill(4)("alpha beta gamma delta epsilon zeta").mkString(" ")
+    val df = docs((0L, dup), (1L, dup),
+      (2L, "totally different words here about fish migration"),
+      (3L, "unrelated text on another topic entirely for sure"))
+    val out = Curation.splitLeak(df,
+      buckets = 10, trainBuckets = 5, valBuckets = 3).collect()
+    // replay the salted split assignment independently
+    def split(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:split".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val b = java.lang.Long.parseLong(hex, 16) % 10
+      if (b < 5) "train" else if (b < 8) "val" else "test"
+    }
+    val exp = Seq(split(0L), split(1L)).sorted
+    assert(out.length == 1, "only the planted dup pair may surface")
+    assert(out.head.getString(0) == exp.head &&
+      out.head.getString(1) == exp(1))
+    assert(out.head.getLong(2) == 1L)
+    assert(out.head.getInt(3) == (if (exp.head == exp(1)) 0 else 1))
+  }
+
   test("shardPlan: bucketed rank == global rank; tokens serpentine-balanced") {
     // 100 docs, token counts cycling 1..17 — many cross-bucket ties
     val df = docs((0L until 100L).map(i =>
