@@ -42,7 +42,7 @@ object Bench {
     "q_skew_report", "q_skew_report_approx", "q_dedup_best", "q_table_diff",
     "q_scd_merge", "q_cdc_apply", "q_entity_match", "q_agg_merge",
     "q_langid_eval",
-    "q_sample_fixed", "q_shard_plan",
+    "q_sample_fixed", "q_shard_plan", "q_zorder",
     "q_cluster_best",
     "q_percentiles_approx", "q_reach_var", "q_reach_var_by_type")
 

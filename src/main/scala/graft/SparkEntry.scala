@@ -650,6 +650,7 @@ object SparkEntry {
     "q_split_leak" -> ((s, d) =>
       Curation.splitLeak(Tables.documents(s, d), SampleBuckets,
         SplitTrainBuckets, SplitValBuckets)),
+    "q_zorder" -> ((s, d) => Layout.zorderReport(Tables.events(s, d))),
     // Mix drift between deterministic even/odd epoch-day snapshots —
     // the synthetic stand-in for yesterday-vs-today QA.
     "q_qa_drift" -> ((s, d) => {
@@ -941,6 +942,16 @@ object SparkEntry {
             (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * stop_ratio) *
             alpha_ratio AS quality_score
         FROM rq)"""
+
+  /** The Morton magic-mask spread ladder as SQL — mirrors
+    * [[graft.operators.Layout.spreadBits]] operation-for-operation
+    * (pure 64-bit shifts/masks, so both engines are bit-exact). */
+  private def spreadSql(v: String): String = {
+    val s8 = s"((($v) | (($v) << 8)) & 16711935)"
+    val s4 = s"((($s8) | (($s8) << 4)) & 252645135)"
+    val s2 = s"((($s4) | (($s4) << 2)) & 858993459)"
+    s"((($s2) | (($s2) << 1)) & 1431655765)"
+  }
 
   /** DuckDB fragments shared by the text oracles. */
   private val ToksSql =
@@ -2170,6 +2181,22 @@ object SparkEntry {
             array_to_string(keep, chr(10)) AS cleaned,
             md5(array_to_string(keep, chr(10))) AS clean_fp
           FROM c ORDER BY doc_id""",
+    "q_zorder" ->
+      s"""WITH base AS (SELECT
+            CAST(user_id % 1024 AS BIGINT) AS ux,
+            CAST((CAST(epoch(ts) AS BIGINT) // 3600) % 1024 AS BIGINT)
+              AS ty FROM events),
+          z AS (SELECT ux, ty,
+            (${spreadSql("ux")}) | ((${spreadSql("ty")}) << 1) AS zv
+            FROM base),
+          f AS (SELECT ux, ty, CAST(zv // 16384 AS INTEGER) AS file_id
+            FROM z)
+          SELECT file_id, count(*) AS n_rows,
+            min(ux) AS user_min, max(ux) AS user_max,
+            min(ty) AS time_min, max(ty) AS time_max,
+            (max(ux) - min(ux) + 1) / CAST(1024 AS DOUBLE) AS user_span_frac,
+            (max(ty) - min(ty) + 1) / CAST(1024 AS DOUBLE) AS time_span_frac
+          FROM f GROUP BY 1 ORDER BY 1""",
     // Verified LSH pairs (shared MinhashVerCtes) classified by the
     // same salted-hash split as q_split — both endpoints derive
     // row-locally from the id, no join in either engine.

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def spreadRef(v: Long): Long =
+    (0 until 16).map(i => ((v >> i) & 1L) << (2 * i)).reduce(_ | _)
+
+  test("spreadBits matches the bit-by-bit reference on the dim range") {
+    val vals = Seq(0L, 1L, 2L, 3L, 5L, 127L, 128L, 511L, 512L, 1023L)
+    val out = vals.toDF("v")
+      .select(col("v"), Layout.spreadBits(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vals.foreach(v => assert(out(v) == spreadRef(v), s"spread($v)"))
+  }
+
+  test("zValue interleaves x on even and y on odd bits") {
+    val out = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"))).head().getLong(0)
+    assert(out == (spreadRef(3L) | (spreadRef(5L) << 1)))
+  }
+
+  test("zorderReport confines every file to a small (user, day) rectangle") {
+    // a 128x128 grid of (user, epoch-hour) cells stepping 8 in each
+    // dim — coverage across the whole plane, multiple z-files touched
+    val rows = for { u <- 0L until 1024L by 8; h <- 0L until 1024L by 8 }
+      yield (u, new java.sql.Timestamp(h * 3600L * 1000L))
+    val df = rows.toDF("user_id", "ts")
+    val out = Layout.zorderReport(df, files = 64).collect()
+    assert(out.map(_.getLong(1)).sum == rows.size.toLong)
+    assert(out.length <= 64)
+    out.foreach { r =>
+      // 64 files over 2^20 z-cells -> each file is a 128x128 rectangle
+      assert(r.getLong(3) - r.getLong(2) <= 127L,
+        s"user span too wide in file ${r.getInt(0)}")
+      assert(r.getLong(5) - r.getLong(4) <= 127L,
+        s"day span too wide in file ${r.getInt(0)}")
+      assert(r.getDouble(6) <= 0.125 && r.getDouble(7) <= 0.125)
+    }
+  }
+}
