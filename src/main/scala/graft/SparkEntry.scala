@@ -727,6 +727,8 @@ object SparkEntry {
         SplitTrainBuckets, SplitValBuckets)),
     "q_vector_health" -> ((s, d) =>
       VectorSearch.vectorHealth(Tables.embeddings(s, d), EmbeddingDim)),
+    "q_embed_quant" -> ((s, d) =>
+      VectorSearch.quantizeReport(Tables.embeddings(s, d), EmbeddingDim)),
     "q_mixture_sample" -> ((s, d) =>
       Curation.materializeMixture(Tables.documents(s, d), MixtureWeights,
         MixtureBudget, SampleBuckets)),
@@ -2027,6 +2029,42 @@ object SparkEntry {
               AS BIGINT) AS n_zero_norm,
             min(norm2) AS min_norm2, max(norm2) AS max_norm2
           FROM c""",
+    // Every float op is the same expression tree as the engine's
+    // (identical op order incl. the 0.0-init folds — 0+x is exact),
+    // so doubles hash-match; codes are exact integers.
+    "q_embed_quant" ->
+      s"""WITH h AS (SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = $EmbeddingDim
+              AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0),
+          dd AS (SELECT unnest(range(1, $EmbeddingDim + 1)) AS dim),
+          st AS (SELECT dim,
+              min(CAST(embedding[dim] AS DOUBLE)) AS lo,
+              max(CAST(embedding[dim] AS DOUBLE)) AS hi
+            FROM h CROSS JOIN dd GROUP BY dim),
+          m AS (SELECT list(lo ORDER BY dim) AS mins,
+              list(hi ORDER BY dim) AS maxs FROM st),
+          q AS (SELECT vec_id, embedding,
+              list_transform(range(1, $EmbeddingDim + 1), i ->
+                CASE WHEN maxs[i] - mins[i] = 0 THEN 0
+                ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
+                  / (maxs[i] - mins[i]) * 255 + 0.5) AS BIGINT) END)
+                AS codes
+            FROM h CROSS JOIN m),
+          r AS (SELECT vec_id, codes,
+              list_transform(range(1, $EmbeddingDim + 1), i ->
+                abs(CAST(embedding[i] AS DOUBLE) -
+                  CASE WHEN maxs[i] - mins[i] = 0 THEN mins[i]
+                  ELSE mins[i] + codes[i] / 255 * (maxs[i] - mins[i])
+                  END)) AS errs
+            FROM q CROSS JOIN m)
+          SELECT vec_id,
+            list_reduce(codes, (a, b) -> a + b) AS q_sum,
+            list_reduce(errs,
+              (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS max_abs_err,
+            list_reduce(list_transform(errs, x -> x * x),
+              (a, b) -> a + b) AS sse
+          FROM r ORDER BY vec_id""",
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
             value FROM events WHERE event_type = 'purchase'),

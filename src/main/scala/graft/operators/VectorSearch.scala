@@ -63,6 +63,56 @@ object VectorSearch extends Logging {
       max(col("norm2")).as("max_norm2"))
   }
 
+  /** Int8 (256-level) per-dimension min/max embedding quantization
+    * with a reconstruction-error report — the 4×-memory-compression
+    * pass that makes a 100 TB ANN index RAM-resident (PQ's scalar
+    * cousin: PQ compresses subspaces to centroid ids, this compresses
+    * each dimension to a byte; serving stacks run scalar quantization
+    * first because decode is two flops). Pass 1 aggregates per-dim
+    * lo/hi over healthy vectors (64 rows out however large the
+    * corpus, map-side combined) and packs them into one broadcast
+    * row; pass 2 quantizes row-locally and reports per vector the
+    * integer code checksum, max absolute reconstruction error
+    * (order-independent max) and squared error folded in index order
+    * — every float op is an identical expression tree in the DuckDB
+    * oracle, so the gate hash-matches doubles exactly. Codes are
+    * exact integers; a degenerate lo=hi dimension quantizes to 0 with
+    * zero error. */
+  def quantizeReport(embeddings: DataFrame, expectedDim: Int): DataFrame = {
+    val e = col("embedding")
+    val nonfinite = exists(e, x => isnan(x) || x === Float.PositiveInfinity ||
+      x === Float.NegativeInfinity)
+    val healthy = embeddings
+      .where(e.isNotNull && size(e) === expectedDim && !nonfinite)
+    val packed = healthy
+      .select(posexplode(e).as(Seq("d0", "v")))
+      .groupBy(col("d0"))
+      .agg(min(col("v").cast("double")).as("lo"),
+        max(col("v").cast("double")).as("hi"))
+      .agg(array_sort(collect_list(struct(col("d0"), col("lo"), col("hi"))))
+        .as("st"))
+      .select(transform(col("st"), s => s.getField("lo")).as("mins"),
+        transform(col("st"), s => s.getField("hi")).as("maxs"))
+    def vAt(i: Column) = element_at(e, i + 1).cast("double")
+    def loAt(i: Column) = element_at(col("mins"), i + 1)
+    def rngAt(i: Column) = element_at(col("maxs"), i + 1) - loAt(i)
+    healthy.crossJoin(broadcast(packed))
+      .withColumn("codes",
+        transform(sequence(lit(0), lit(expectedDim - 1)), i =>
+          when(rngAt(i) === 0.0, lit(0L))
+            .otherwise(floor((vAt(i) - loAt(i)) / rngAt(i) * 255 + 0.5))))
+      .withColumn("errs",
+        transform(sequence(lit(0), lit(expectedDim - 1)), i =>
+          abs(vAt(i) - when(rngAt(i) === 0.0, loAt(i))
+            .otherwise(loAt(i) +
+              element_at(col("codes"), i + 1) / lit(255) * rngAt(i)))))
+      .select(col("vec_id"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_max(col("errs")).as("max_abs_err"),
+        aggregate(col("errs"), lit(0.0), (a, x) => a + x * x).as("sse"))
+      .orderBy(col("vec_id"))
+  }
+
   /** All pairs (v1 < v2) with cosine ≥ threshold, by blocked self-join.
     * Quadratic — the exact baseline for small/medium sets and the
     * oracle for the approximate paths. Zero-norm vectors are excluded

@@ -54,6 +54,28 @@ class DotProductSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("data type"))
   }
 
+  test("quantizeReport: codes exact, errors bounded by half a level") {
+    // dim=4 fixture with a known per-dim range and one degenerate dim
+    val df = Seq(
+      (1L, Array(0.0f, 10.0f, 5.0f, 2.0f)),
+      (2L, Array(1.0f, 20.0f, 5.0f, 2.0f)),
+      (3L, Array(0.5f, 15.0f, 5.0f, 2.0f)),
+      (4L, null.asInstanceOf[Array[Float]]),            // dropped
+      (5L, Array(0.0f, 0.0f)))                          // wrong dim
+      .toDF("vec_id", "embedding")
+    val out = VectorSearch.quantizeReport(df, expectedDim = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // v1: dims at range ends -> codes 0/0, degenerate dims -> 0;
+    // reconstruction at the ends is exact
+    assert(out(1L).getLong(1) == 0L && out(1L).getDouble(2) == 0.0)
+    assert(out(2L).getLong(1) == 510L && out(2L).getDouble(2) == 0.0)
+    // v3 sits mid-range: error bounded by half a quantization step
+    val maxStep = math.max(1.0 / 255, 10.0 / 255)
+    assert(out(3L).getDouble(2) <= maxStep / 2 + 1e-12)
+    assert(out(3L).getDouble(3) >= 0.0)
+  }
+
   test("graft_minhash equals the k-pass HOF formulation, null on empty") {
     import graft.operators.NearDup
     val k = 8
