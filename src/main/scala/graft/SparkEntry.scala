@@ -187,6 +187,10 @@ object SparkEntry {
   /** q_shard_plan: output shards the balance plan targets. */
   private val ShardCount = 16
 
+  /** q_bloom_join: the dim-side nation cut (5 of 25 nations ≈ 20%
+    * join selectivity — selective enough that pruning pays). */
+  private val BloomJoinMaxNation = 5
+
   /** q_skew_report: heaviest keys listed. */
   private val SkewTopN = 10
 
@@ -333,6 +337,11 @@ object SparkEntry {
     // no-sort scale path; shares the window oracle shape.
     "q_topk_orders" -> ((s, d) =>
       Analytics.topOrdersPerCustomerAgg(Tables.orders(s, d))),
+    // Bloom false positives die in the exact join, so the plain-join
+    // oracle is byte-identical.
+    "q_bloom_join" -> ((s, d) =>
+      Analytics.bloomPrunedOrderStats(Tables.orders(s, d),
+        Tables.customer(s, d), BloomJoinMaxNation)),
     "q_event_windows" -> ((s, d) =>
       Analytics.eventWindows(Tables.events(s, d))),
     "q_reach_overall" -> ((s, d) =>
@@ -1239,6 +1248,12 @@ object SparkEntry {
          CAST(row_number() OVER (PARTITION BY o_custkey
            ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
          FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "q_bloom_join" ->
+      s"""SELECT c_nationkey, count(*) AS n_orders,
+          round(sum(o_totalprice), 2) AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_nationkey < $BloomJoinMaxNation
+          GROUP BY 1 ORDER BY 1""",
     "q_event_windows" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
          event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value

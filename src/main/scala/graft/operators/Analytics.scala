@@ -53,6 +53,40 @@ object Analytics {
       .orderBy(col("o_custkey"), col("rk"))
   }
 
+  /** Bloom-pruned fact⋈dim join — the runtime-filter pattern for
+    * selective dimension joins at fact-table scale: the filtered dim
+    * side's keys aggregate into ONE fixed-size bloom bitset (via the
+    * native `graft_bloom_agg`, map-side combined), the bitset
+    * broadcasts to the fact scan, and `graft_bloom_contains` drops
+    * non-joining fact rows BEFORE the join exchange — the shuffle
+    * then carries only the ~selectivity fraction of the fact table
+    * instead of all of it. Bloom false positives survive the filter
+    * but die in the exact join, so the result is byte-identical to
+    * the plain join (the oracle IS the plain join); false negatives
+    * are impossible. 2²⁰ bits ≈ 128 KB handles ~10⁵ keys at <1% FP —
+    * sizing is per-use, the mechanism is scale-free. Per-nation
+    * order stats keep aggregate groups small enough that the
+    * cents-rounded revenue sum is engine-stable. */
+  def bloomPrunedOrderStats(orders: DataFrame, customer: DataFrame,
+                            maxNation: Int,
+                            numBits: Int = 1 << 20,
+                            numHashes: Int = 4): DataFrame = {
+    val dim = customer.where(col("c_nationkey") < maxNation)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val bf = dim.agg(expr(
+      s"graft_bloom_agg(xxhash64(c_custkey), $numBits, $numHashes)").as("bf"))
+    val pruned = orders
+      .select(col("o_custkey"), col("o_totalprice"))
+      .crossJoin(broadcast(bf))
+      .where(expr("graft_bloom_contains(bf, xxhash64(o_custkey))"))
+      .drop("bf")
+    pruned.join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** The aggregate twin of [[topOrdersPerCustomer]], built on the
     * native `graft_topk` bounded-heap aggregate: identical output
     * (hash-matched against the same window oracle), different physical

@@ -33,6 +33,27 @@ class BloomSpec extends SparkSpec {
     assert(java.util.Arrays.equals(one, many))
   }
 
+  test("bloomPrunedOrderStats equals the plain join even with heavy FPs") {
+    import graft.operators.Analytics
+    // 64-bit bloom over 20 keys -> false-positive rate is enormous;
+    // the exact join must still produce the plain-join answer
+    val customer = (0L until 40L).map(i => (i, (i % 8).toInt))
+      .toDF("c_custkey", "c_nationkey")
+    val orders = (0L until 400L).map(i => (i, i % 50L, (i % 13).toDouble))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = Analytics.bloomPrunedOrderStats(orders, customer,
+      maxNation = 3, numBits = 64, numHashes = 2).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val expected = orders.join(customer,
+      col("o_custkey") === col("c_custkey"))
+      .where(col("c_nationkey") < 3)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("r"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == expected)
+    assert(out.nonEmpty)
+  }
+
   test("dedupIncrementBloom equals the plain exact fingerprint probe") {
     val corpus = Seq(
       (1L, "the quick brown fox"),

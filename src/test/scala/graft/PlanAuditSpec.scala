@@ -314,6 +314,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("bloom join filters the fact scan before the join") {
+    val p = plan("q_bloom_join")
+    val fix = p.indexOf("graft_bloom_contains")
+    // the executed plan prints children below parents, so the prune
+    // filter must appear AFTER (deeper than) the join node
+    val jix = math.max(p.indexOf("SortMergeJoin"),
+      p.indexOf("BroadcastHashJoin"))
+    assert(fix >= 0, p.take(2000))
+    assert(jix >= 0 && jix < fix,
+      "bloom prune must sit under the exact join\n" + p.take(2000))
+  }
+
   test("boilerplate strips row-locally off one broadcast frequent set") {
     val p = plan("q_boilerplate")
     // the frequent set rejoins as a broadcast one-row array — doc text
