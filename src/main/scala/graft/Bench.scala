@@ -28,7 +28,8 @@ object Bench {
     "q_vector_health", "q_embed_quant",
     "q_embed_lsh", "q_ann_ivf", "q_ann_ivf_p2", "q_ann_pq", "q_ann_pq_rerank",
     "q_multimodal_meta", "q_multimodal_frames",
-    "q_sessionize", "q_basket_pairs", "q_event_gaps", "q_asof_join",
+    "q_sessionize", "q_basket_pairs", "q_event_gaps", "q_gap_fill",
+    "q_asof_join",
     "q_rolling_daily",
     "q_reach_rollup",
     "q_reach_approx", "q_tfidf", "q_lm_score", "q_pii_redact",

@@ -102,6 +102,10 @@ object SparkEntry {
   private val FunnelSliceMod = 13
   private val FunnelStages = Seq("view", "click", "purchase")
 
+  /** q_gap_fill: 1-in-997 event slice — sparse enough that the daily
+    * series has real holes at every SF. */
+  private val GapSliceMod = 997
+
   /** q_histogram: fixed-width value bins (events.value spans ~0–490 at
     * every SF, so all 10 interior bins populate; the open under/
     * overflow bins are exercised by spec). */
@@ -731,6 +735,11 @@ object SparkEntry {
       Temporal.basketPairs(Tables.events(s, d), SessionGapMin)),
     "q_event_gaps" -> ((s, d) =>
       Temporal.eventGaps(Tables.events(s, d))),
+    // Sparse slice (1-in-997 events) so the daily series actually has
+    // holes for the fill to close.
+    "q_gap_fill" -> ((s, d) =>
+      Temporal.gapFill(Tables.events(s, d)
+        .where(col("event_id") % GapSliceMod === 0))),
     "q_split" -> ((s, d) =>
       Curation.hashSplit(Tables.documents(s, d), SampleBuckets,
         SplitTrainBuckets, SplitValBuckets)),
@@ -2001,6 +2010,30 @@ object SparkEntry {
             ps[1] / 1000000.0 AS p25_s, ps[2] / 1000000.0 AS p50_s,
             ps[3] / 1000000.0 AS p75_s
           FROM q ORDER BY event_type""",
+    // generate_series spine + running max of observed days replays the
+    // engine's fill; day arithmetic is all-integer.
+    "q_gap_fill" ->
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            count(*) AS n_events FROM events
+            WHERE event_id % $GapSliceMod = 0 GROUP BY 1, 2),
+          sp AS (SELECT event_type,
+            CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+              AS day
+            FROM (SELECT event_type, min(day) AS lo, max(day) AS hi
+              FROM daily GROUP BY 1)),
+          j AS (SELECT sp.event_type, sp.day, d.n_events
+            FROM sp LEFT JOIN daily d
+            ON sp.event_type = d.event_type AND sp.day = d.day),
+          f AS (SELECT event_type, day,
+            CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+            CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS is_filled
+            FROM j),
+          g AS (SELECT *, max(CASE WHEN is_filled = 0 THEN day END)
+              OVER (PARTITION BY event_type ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS last_active FROM f)
+          SELECT event_type, day, n_events, is_filled,
+            CAST(day - last_active AS INTEGER) AS days_since_active
+          FROM g ORDER BY event_type, day""",
     // Salted sampleBucket twin (':split' salt) + the 80/10/10 CASE.
     "q_split" ->
       s"""WITH tk AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),

@@ -225,4 +225,39 @@ object Temporal {
         (element_at(col("ps"), 3) / 1000000.0).as("p75_s"))
       .orderBy(col("event_type"))
   }
+
+  /** Calendar gap-fill of the per-type daily series: every day between
+    * a type's first and last activity gets a row — observed days keep
+    * their count, silent days emit an explicit zero with `is_filled`=1
+    * and the days-since-last-activity distance. Dashboards, anomaly
+    * baselines and forecasting joins all need the dense spine (a
+    * missing row reads as "no data", a zero row as "no events" — at
+    * QA time those are different facts). Scale shape: the raw event
+    * volume collapses in the FIRST aggregate; everything after —
+    * spine explode, left join, running-max window — operates on the
+    * types × days grain (thousands of rows at any corpus size), so
+    * the fill costs nothing more than the daily rollup itself. The
+    * last-active distance uses a running max of observed days (dates
+    * are monotone under max) rather than lag-ignoring-nulls, which
+    * keeps the oracle replay a plain window max. */
+  def gapFill(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("is_filled", col("n_events").isNull.cast("int"))
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("last_active",
+        max(when(col("is_filled") === 0, col("day"))).over(w))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("is_filled"),
+        datediff(col("day"), col("last_active")).as("days_since_active"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

@@ -16,6 +16,23 @@ class TemporalSpec extends SparkSpec {
     rows.map { case (u, t, id, v) => (u, ts(t), id, v) }
       .toDF("user_id", "ts", "event_id", "value")
 
+  test("gapFill densifies the daily series and tracks staleness") {
+    val events = Seq(
+      ("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 11:00:00")),
+      ("a", ts("2024-01-04 10:00:00")),
+      ("b", ts("2024-01-02 09:00:00")))
+      .toDF("event_type", "ts")
+    val out = Temporal.gapFill(events).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out == Map(
+      ("a", "2024-01-01") -> ((2L, 0, 0)),
+      ("a", "2024-01-02") -> ((0L, 1, 1)),
+      ("a", "2024-01-03") -> ((0L, 1, 2)),
+      ("a", "2024-01-04") -> ((1L, 0, 0)),
+      ("b", "2024-01-02") -> ((1L, 0, 0))))
+  }
+
   test("sessionize splits on gaps and aggregates per session") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", 1L, 1.0),
