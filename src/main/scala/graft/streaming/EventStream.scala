@@ -445,6 +445,79 @@ object EventStream {
         col("n_users"))
   }
 
+  case class LifecycleState(maxWeek: Long, recent: Seq[Long])
+  case class LifecycleTouch(user_id: Long, ts: java.sql.Timestamp,
+                            status: String)
+
+  /** Streaming user-lifecycle classification — the streaming twin of
+    * Journey.lifecycle for the ACTIVE statuses: a user's first touch
+    * in a week emits exactly one (user, week, status) with `new`
+    * (first week ever), `retained` (previous week active) or
+    * `resurrected` (gap ≥ 2 weeks), and a Monday-aligned weekly count
+    * per status lands the growth table live. Per-user state is the
+    * max week seen (one permanent long — the [[incrementalReach]]
+    * contract) plus the open weeks inside the lateness horizon
+    * (pruned against the watermark, O(lateness/7) entries), so state
+    * stays fixed-size over an unbounded stream. `churned` is
+    * deliberately batch-only: deciding silence needs either a closed
+    * corpus (the batch cap) or per-key event-time timers, and Spark
+    * statically rejects EventTimeTimeout upstream of the stateful
+    * weekly aggregate — emitting churn on the user's RETURN instead
+    * would timestamp it behind the watermark, where the window
+    * aggregate must drop it. Contract notes (cohortActivity
+    * precedent): a strictly earlier week arriving late against
+    * already-classified later weeks is dropped rather than
+    * retroactively re-classified (append mode cannot retract), and a
+    * week the watermark closed misses its touches. */
+  def lifecycleStatus(spark: SparkSession,
+                      events: Dataset[Event]): DataFrame = {
+    import spark.implicits._
+    val dayMs = 86400000L
+    def mondayOf(epochDay: Long): Long =
+      epochDay - Math.floorMod(epochDay + 3, 7)
+    val touches = events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LifecycleState, LifecycleTouch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[LifecycleState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val weeks = rows.map(e =>
+            mondayOf(Math.floorDiv(e.ts.getTime, dayMs)))
+            .toSeq.distinct.sorted
+          var st = state.getOption.getOrElse(LifecycleState(Long.MinValue, Nil))
+          var recent = st.recent.toSet
+          val out = Seq.newBuilder[LifecycleTouch]
+          weeks.foreach { w =>
+            if ((w + 7) * dayMs > wm && !recent(w) &&
+              (st.maxWeek == Long.MinValue || w > st.maxWeek)) {
+              // w > maxWeek here, and weeks are 7-aligned, so the
+              // previous active week is maxWeek itself
+              val status =
+                if (st.maxWeek == Long.MinValue) "new"
+                else if (st.maxWeek == w - 7) "retained"
+                else "resurrected"
+              out += LifecycleTouch(uid,
+                new java.sql.Timestamp(w * dayMs), status)
+              recent += w
+              st = st.copy(maxWeek = math.max(st.maxWeek, w))
+            }
+          }
+          val kept = recent.filter(w => (w + 14) * dayMs > wm)
+          if (st.maxWeek != Long.MinValue)
+            state.update(LifecycleState(st.maxWeek, kept.toSeq.sorted))
+          out.result().iterator
+      }
+    touches
+      .withWatermark("ts", "2 hours")
+      // Monday-aligned tumbling weeks (epoch is a Thursday: +4 days)
+      .groupBy(window(col("ts"), "7 days", "7 days", "4 days"),
+        col("status"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("window.start").cast("date").as("week"), col("status"),
+        col("n_users"))
+  }
+
   case class Session(user_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
                      n_events: Long, total_value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)

@@ -113,6 +113,43 @@ class EquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("streaming lifecycleStatus equals the batch active statuses") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq.sortBy(_.ts.getTime)
+    val maxTs = ev.map(_.ts.getTime).max
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(ev: _*)
+    val q = EventStream.lifecycleStatus(spark, mem.toDS())
+      .writeStream.format("memory").queryName("eq_lc").outputMode("append")
+      .start()
+    mem.addData(Event(0L,
+      new Timestamp(maxTs + 21 * 86400000L), "sentinel", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("eq_lc").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+    val batch = graft.operators.Journey
+      .lifecycle(Tables.events(spark, "/root/testdata/sf0.001"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(batch.nonEmpty)
+    // churned is batch-only (needs a closed corpus or timers — see
+    // scaladoc); the sentinel user adds one week-of-sentinel 'new'
+    // row outside the batch frame. Every batch ACTIVE cell must be
+    // reproduced exactly; user 0's real first week stays 'new' since
+    // the sentinel week is strictly later.
+    batch.filterNot(_._1._2 == "churned").foreach { case (cell, n) =>
+      assert(streamed.get(cell).contains(n),
+        s"lifecycle cell $cell: streamed ${streamed.get(cell)} vs batch $n")
+    }
+  }
+
   test("streaming dedup keeps exactly the batch exactDedup survivors") {
     // the sf0.001 planted dups are NEAR dups only — plant one exact
     // duplicate (new id, same text as doc 0) so the dedup binds
