@@ -747,6 +747,9 @@ object SparkEntry {
       VectorSearch.vectorHealth(Tables.embeddings(s, d), EmbeddingDim)),
     "q_embed_quant" -> ((s, d) =>
       VectorSearch.quantizeReport(Tables.embeddings(s, d), EmbeddingDim)),
+    // Asymmetric-distance search over the int8 codes — SQ's ADC.
+    "q_ann_sq" -> ((s, d) =>
+      VectorSearch.sqTopK(Tables.embeddings(s, d), EmbeddingDim)),
     "q_mixture_sample" -> ((s, d) =>
       Curation.materializeMixture(Tables.documents(s, d), MixtureWeights,
         MixtureBudget, SampleBuckets)),
@@ -2113,6 +2116,54 @@ object SparkEntry {
             list_reduce(list_transform(errs, x -> x * x),
               (a, b) -> a + b) AS sse
           FROM r ORDER BY vec_id""",
+    "q_ann_sq" ->
+      s"""WITH h AS (SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = $EmbeddingDim
+              AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0),
+          dd AS (SELECT unnest(range(1, $EmbeddingDim + 1)) AS dim),
+          st AS (SELECT dim,
+              min(CAST(embedding[dim] AS DOUBLE)) AS lo,
+              max(CAST(embedding[dim] AS DOUBLE)) AS hi
+            FROM h CROSS JOIN dd GROUP BY dim),
+          m AS (SELECT list(lo ORDER BY dim) AS mins,
+              list(hi ORDER BY dim) AS maxs FROM st),
+          cd AS (SELECT vec_id,
+              list_transform(range(1, $EmbeddingDim + 1), i ->
+                CASE WHEN maxs[i] - mins[i] = 0 THEN 0
+                ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
+                  / (maxs[i] - mins[i]) * 255 + 0.5) AS BIGINT) END)
+                AS codes
+            FROM h CROSS JOIN m),
+          dq AS (SELECT vec_id,
+              list_transform(range(1, $EmbeddingDim + 1), i ->
+                CASE WHEN maxs[i] - mins[i] = 0 THEN mins[i]
+                ELSE mins[i] + codes[i] / 255 * (maxs[i] - mins[i]) END)
+                AS dqv
+            FROM cd CROSS JOIN m),
+          dn AS (SELECT vec_id, dqv,
+              sqrt(list_reduce(list_transform(dqv, x -> x * x),
+                (a, b) -> a + b)) AS dn
+            FROM dq),
+          dnn AS (SELECT * FROM dn WHERE dn <> 0),
+          qry AS (SELECT vec_id AS query_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+            FROM h WHERE vec_id < 10),
+          qn AS (SELECT query_id, qe,
+              sqrt(list_reduce(list_transform(qe, x -> x * x),
+                (a, b) -> a + b)) AS qn
+            FROM qry),
+          qnn AS (SELECT * FROM qn WHERE qn <> 0),
+          s AS (SELECT query_id, d.vec_id AS neighbor_id,
+              list_reduce(list_transform(range(1, $EmbeddingDim + 1),
+                i -> qe[i] * dqv[i]), (a, b) -> a + b) / (qn * dn) AS c
+            FROM qnn q CROSS JOIN dnn d WHERE q.query_id <> d.vec_id),
+          r AS (SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY c DESC, neighbor_id) AS INTEGER) AS "rank",
+              round(c, 6) AS cos FROM s)
+          SELECT query_id, neighbor_id, "rank", cos FROM r
+          WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
             value FROM events WHERE event_type = 'purchase'),

@@ -78,14 +78,20 @@ object VectorSearch extends Logging {
     * oracle, so the gate hash-matches doubles exactly. Codes are
     * exact integers; a degenerate lo=hi dimension quantizes to 0 with
     * zero error. */
-  def quantizeReport(embeddings: DataFrame, expectedDim: Int): DataFrame = {
+  /** Healthy-vector filter shared by the quantization pair: non-null,
+    * expected dim, all components finite. */
+  private def healthyVecs(embeddings: DataFrame, expectedDim: Int): DataFrame = {
     val e = col("embedding")
     val nonfinite = exists(e, x => isnan(x) || x === Float.PositiveInfinity ||
       x === Float.NegativeInfinity)
-    val healthy = embeddings
-      .where(e.isNotNull && size(e) === expectedDim && !nonfinite)
-    val packed = healthy
-      .select(posexplode(e).as(Seq("d0", "v")))
+    embeddings.where(e.isNotNull && size(e) === expectedDim && !nonfinite)
+  }
+
+  /** One-row (mins, maxs) per-dimension stats frame over healthy
+    * vectors — the broadcast side of both quantization operators. */
+  private def dimStats(healthy: DataFrame): DataFrame =
+    healthy
+      .select(posexplode(col("embedding")).as(Seq("d0", "v")))
       .groupBy(col("d0"))
       .agg(min(col("v").cast("double")).as("lo"),
         max(col("v").cast("double")).as("hi"))
@@ -93,14 +99,33 @@ object VectorSearch extends Logging {
         .as("st"))
       .select(transform(col("st"), s => s.getField("lo")).as("mins"),
         transform(col("st"), s => s.getField("hi")).as("maxs"))
+
+  private def loAt(i: Column) = element_at(col("mins"), i + 1)
+  private def rngAt(i: Column) = element_at(col("maxs"), i + 1) - loAt(i)
+
+  /** The int8 code array for the row's embedding (requires the
+    * [[dimStats]] columns in scope). */
+  private def sqCodes(expectedDim: Int): Column = {
+    def vAt(i: Column) = element_at(col("embedding"), i + 1).cast("double")
+    transform(sequence(lit(0), lit(expectedDim - 1)), i =>
+      when(rngAt(i) === 0.0, lit(0L))
+        .otherwise(floor((vAt(i) - loAt(i)) / rngAt(i) * 255 + 0.5)))
+  }
+
+  /** Dequantized double vector from the `codes` column. */
+  private def sqDecode(expectedDim: Int): Column =
+    transform(sequence(lit(0), lit(expectedDim - 1)), i =>
+      when(rngAt(i) === 0.0, loAt(i))
+        .otherwise(loAt(i) +
+          element_at(col("codes"), i + 1) / lit(255) * rngAt(i)))
+
+  def quantizeReport(embeddings: DataFrame, expectedDim: Int): DataFrame = {
+    val e = col("embedding")
+    val healthy = healthyVecs(embeddings, expectedDim)
+    val packed = dimStats(healthy)
     def vAt(i: Column) = element_at(e, i + 1).cast("double")
-    def loAt(i: Column) = element_at(col("mins"), i + 1)
-    def rngAt(i: Column) = element_at(col("maxs"), i + 1) - loAt(i)
     healthy.crossJoin(broadcast(packed))
-      .withColumn("codes",
-        transform(sequence(lit(0), lit(expectedDim - 1)), i =>
-          when(rngAt(i) === 0.0, lit(0L))
-            .otherwise(floor((vAt(i) - loAt(i)) / rngAt(i) * 255 + 0.5))))
+      .withColumn("codes", sqCodes(expectedDim))
       .withColumn("errs",
         transform(sequence(lit(0), lit(expectedDim - 1)), i =>
           abs(vAt(i) - when(rngAt(i) === 0.0, loAt(i))
@@ -111,6 +136,52 @@ object VectorSearch extends Logging {
         array_max(col("errs")).as("max_abs_err"),
         aggregate(col("errs"), lit(0.0), (a, x) => a + x * x).as("sse"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Sequential-fold double dot product — the array<double> sibling of
+    * `graft_dot` (float-only), same left-to-right order, so the DuckDB
+    * list_reduce replay is bit-identical. */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** ANN top-k over the int8-quantized corpus (asymmetric distance:
+    * full-precision query × dequantized corpus — SQ's version of PQ's
+    * ADC). The search-side payoff of [[quantizeReport]]: the corpus
+    * the scorer scans is code arrays + one broadcast stats row — a
+    * quarter of the float footprint, which is what decides whether
+    * the index fits executor memory at 10⁹ vectors. Scores differ
+    * from exact cosine only by the reconstruction error the
+    * quantization report already bounds. Same deterministic contract
+    * as the exact [[bruteForceTopK]] (ties by neighbor id, zero-norm
+    * reconstructions excluded); the oracle replays dequantize + fold
+    * + window. At scale the scan is sharded by the same IVF cells as
+    * the full-precision path — this is the baseline scorer. */
+  def sqTopK(embeddings: DataFrame, expectedDim: Int,
+             nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val healthy = healthyVecs(embeddings, expectedDim)
+    val packed = dimStats(healthy)
+    val corpus = healthy.crossJoin(broadcast(packed))
+      .withColumn("codes", sqCodes(expectedDim))
+      .withColumn("dqv", sqDecode(expectedDim))
+      .select(col("vec_id"), col("dqv"))
+      .withColumn("dn", sqrt(dotD(col("dqv"), col("dqv"))))
+      .where(col("dn") =!= 0.0)
+    val q = healthy.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qe"))
+      .withColumn("qn", sqrt(dotD(col("qe"), col("qe"))))
+      .where(col("qn") =!= 0.0)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sq"), asc("vec_id"))
+    broadcast(q).crossJoin(corpus)
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sq",
+        dotD(col("qe"), col("dqv")) / (col("qn") * col("dn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cos_sq"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** All pairs (v1 < v2) with cosine ≥ threshold, by blocked self-join.

@@ -76,6 +76,26 @@ class DotProductSpec extends SparkSpec {
     assert(out(3L).getDouble(3) >= 0.0)
   }
 
+  test("sqTopK ranks like exact search when margins exceed quant error") {
+    // well-separated directions in 4-d: quantization error (≤ half a
+    // level of the per-dim range) cannot reorder these cosines
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // query
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // closest
+      (2L, Array(0.5f, 0.5f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.1f, 0.0f)))  // farthest
+      .toDF("vec_id", "embedding")
+    val sq = VectorSearch.sqTopK(df, expectedDim = 4, nQueries = 1, k = 4)
+      .collect().map(r => (r.getInt(2), r.getLong(1)))
+    assert(sq.toSeq == Seq((1, 1L), (2, 2L), (3, 3L), (4, 4L)))
+    val exact = VectorSearch.bruteForceTopK(df,
+      df.where(col("vec_id") === 0L), 4)
+      .collect().map(r => (r.getInt(2), r.getLong(1)))
+    assert(sq.toSeq == exact.toSeq,
+      "SQ ranking must match exact on separated vectors")
+  }
+
   test("graft_minhash equals the k-pass HOF formulation, null on empty") {
     import graft.operators.NearDup
     val k = 8

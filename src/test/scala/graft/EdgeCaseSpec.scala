@@ -27,6 +27,50 @@ class EdgeCaseSpec extends SparkSpec {
     assert(t(3L) == Seq("a", "b", "c", "d"))
   }
 
+  test("boilerplateStrip with no frequent lines is a no-op on text") {
+    import graft.operators.Curation
+    val df = Seq((1L, "only one\nof each line"), (2L, "different\nlines"))
+      .toDF("doc_id", "text")
+    // threshold 1-in-1: a line must appear in EVERY doc — none does
+    val out = Curation.boilerplateStrip(df, maxDocEvery = 1).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(2) == 0 &&
+      out(1L).getString(3) == "only one\nof each line")
+    assert(out(2L).getInt(2) == 0)
+  }
+
+  test("shardPlan with fewer docs than shards fills low shards first") {
+    import graft.operators.Curation
+    val df = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Curation.shardPlan(df, shards = 8, buckets = 4).collect()
+    // ranks 0,1 -> shards 0,1 on the first (even) pass
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1))
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 2L))
+  }
+
+  test("lifecycle of a single-week corpus is all new, no churn") {
+    import graft.operators.Journey
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-03 11:00:00")))
+      .toDF("user_id", "ts")
+    val out = Journey.lifecycle(df).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(1) == "new" && out.head.getLong(2) == 2L)
+  }
+
+  test("quantizeReport drops unhealthy vectors instead of poisoning stats") {
+    import graft.operators.VectorSearch
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array(Float.NaN, 0.0f)),        // nonfinite -> dropped
+      (3L, Array(100.0f, 200.0f, 3.0f)))   // wrong dim -> dropped
+      .toDF("vec_id", "embedding")
+    val out = VectorSearch.quantizeReport(df, expectedDim = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    // sole healthy vector: degenerate ranges, exact reconstruction
+    assert(out.head.getDouble(2) == 0.0)
+  }
+
   test("fingerprints are case/punctuation invariant") {
     val df = Seq((1L, "Hello, World!"), (2L, "hello   world"), (3L, "hello worlds"))
       .toDF("doc_id", "text")
