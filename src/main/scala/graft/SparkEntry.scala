@@ -658,6 +658,8 @@ object SparkEntry {
     "q_boilerplate" -> ((s, d) =>
       Curation.boilerplateStrip(
         Curation.plantBoilerplate(Tables.documents(s, d)))),
+    "q_source_drift" -> ((s, d) =>
+      DataChecks.sourceDrift(Tables.documents(s, d))),
     "q_shard_plan" -> ((s, d) =>
       Curation.shardPlan(Tables.documents(s, d), ShardCount)),
     "q_split_leak" -> ((s, d) =>
@@ -705,6 +707,9 @@ object SparkEntry {
         .where(col("event_id") % CohortSliceMod === 0))),
     "q_funnel_steps" -> ((s, d) =>
       Journey.funnelSteps(Tables.events(s, d)
+        .where(col("event_id") % FunnelSliceMod === 0), FunnelStages)),
+    "q_funnel_latency" -> ((s, d) =>
+      Journey.funnelLatency(Tables.events(s, d)
         .where(col("event_id") % FunnelSliceMod === 0), FunnelStages)),
     "q_histogram" -> ((s, d) =>
       DataChecks.histogram(Tables.events(s, d), "value", "event_type",
@@ -2137,26 +2142,28 @@ object SparkEntry {
             FROM h CROSS JOIN m),
           dq AS (SELECT vec_id,
               list_transform(range(1, $EmbeddingDim + 1), i ->
-                CASE WHEN maxs[i] - mins[i] = 0 THEN mins[i]
-                ELSE mins[i] + codes[i] / 255 * (maxs[i] - mins[i]) END)
-                AS dqv
+                CAST(CASE WHEN maxs[i] - mins[i] = 0 THEN mins[i]
+                ELSE mins[i] + codes[i] / 255 * (maxs[i] - mins[i]) END
+                AS FLOAT)) AS dqf
             FROM cd CROSS JOIN m),
-          dn AS (SELECT vec_id, dqv,
-              sqrt(list_reduce(list_transform(dqv, x -> x * x),
+          dn AS (SELECT vec_id, dqf,
+              sqrt(list_reduce(list_transform(dqf,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                 (a, b) -> a + b)) AS dn
             FROM dq),
           dnn AS (SELECT * FROM dn WHERE dn <> 0),
-          qry AS (SELECT vec_id AS query_id,
-              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+          qry AS (SELECT vec_id AS query_id, embedding AS qe
             FROM h WHERE vec_id < 10),
           qn AS (SELECT query_id, qe,
-              sqrt(list_reduce(list_transform(qe, x -> x * x),
+              sqrt(list_reduce(list_transform(qe,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                 (a, b) -> a + b)) AS qn
             FROM qry),
           qnn AS (SELECT * FROM qn WHERE qn <> 0),
           s AS (SELECT query_id, d.vec_id AS neighbor_id,
               list_reduce(list_transform(range(1, $EmbeddingDim + 1),
-                i -> qe[i] * dqv[i]), (a, b) -> a + b) / (qn * dn) AS c
+                i -> CAST(qe[i] AS DOUBLE) * CAST(dqf[i] AS DOUBLE)),
+                (a, b) -> a + b) / (qn * dn) AS c
             FROM qnn q CROSS JOIN dnn d WHERE q.query_id <> d.vec_id),
           r AS (SELECT query_id, neighbor_id,
               CAST(row_number() OVER (PARTITION BY query_id
@@ -2290,6 +2297,36 @@ object SparkEntry {
             length(text) AS len_before, length(nfc) AS len_after,
             md5(nfc) AS norm_fp
           FROM n ORDER BY doc_id""",
+    // CDFs on the shared bucket grid via cumulative windows; D =
+    // max |F_src - F_rest| attained on bucket edges. DuckDB window
+    // sums widen to HUGEINT -> CAST before the double division.
+    "q_source_drift" ->
+      s"""WITH sb AS (SELECT source,
+            least(CAST(length(text) AS BIGINT) // 50, 40) AS bucket,
+            count(*) AS cnt FROM documents
+            WHERE text IS NOT NULL GROUP BY 1, 2),
+          g AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS gcnt
+            FROM sb GROUP BY 1),
+          srcs AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS stot
+            FROM sb GROUP BY 1),
+          grid AS (SELECT s.source, s.stot, g.bucket, g.gcnt,
+            coalesce(sb.cnt, 0) AS cnt
+            FROM srcs s CROSS JOIN g LEFT JOIN sb
+            ON sb.source = s.source AND sb.bucket = g.bucket),
+          c AS (SELECT *,
+            sum(gcnt) OVER (PARTITION BY source) AS gtot,
+            sum(cnt) OVER (PARTITION BY source ORDER BY bucket
+              ROWS UNBOUNDED PRECEDING) AS scum,
+            sum(gcnt) OVER (PARTITION BY source ORDER BY bucket
+              ROWS UNBOUNDED PRECEDING) AS gcum
+            FROM grid),
+          t AS (SELECT source, stot,
+            abs(CAST(scum AS DOUBLE) / nullif(stot, 0) -
+              CAST(gcum - scum AS DOUBLE) / nullif(gtot - stot, 0))
+              AS term FROM c)
+          SELECT source, CAST(max(stot) AS BIGINT) AS n_docs,
+            max(term) AS ks_vs_rest
+          FROM t GROUP BY 1 ORDER BY 1""",
     // Replays both passes: line document-frequency over distinct
     // (doc, line) pairs, integer threshold line_df * 20 >= n_docs,
     // then the row-local strip. list_filter + list_contains mirror
@@ -2478,6 +2515,40 @@ object SparkEntry {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
               AS pct_first
           FROM c ORDER BY stage_ix"""
+    },
+    // Same stage CTEs as q_funnel_steps; per adjacent step the
+    // integer-microsecond latency distribution at dyadic quantiles —
+    // the eventGaps portability recipe.
+    "q_funnel_latency" -> {
+      val src = s"SELECT user_id, ts, event_type FROM events " +
+        s"WHERE event_id % $FunnelSliceMod = 0"
+      val ctes = FunnelStages.zipWithIndex.map { case (st, i) =>
+        if (i == 0)
+          s"t0 AS (SELECT user_id, min(ts) AS ts FROM s " +
+            s"WHERE event_type = '$st' GROUP BY 1)"
+        else
+          s"t$i AS (SELECT s.user_id, min(s.ts) AS ts FROM s " +
+            s"JOIN t${i - 1} USING (user_id) WHERE s.event_type = '$st' " +
+            s"AND s.ts >= t${i - 1}.ts GROUP BY 1)"
+      }.mkString(",\n          ")
+      val stepRows = FunnelStages.sliding(2).toSeq.zipWithIndex.map {
+        case (Seq(a, b), i) =>
+          s"""SELECT $i AS step_ix, '$a>$b' AS step,
+              epoch_us(t${i + 1}.ts) - epoch_us(t$i.ts) AS gap
+              FROM t${i + 1} JOIN t$i USING (user_id)"""
+      }.mkString("\n          UNION ALL ")
+      s"""WITH s AS ($src),
+          $ctes,
+          g AS ($stepRows),
+          q AS (SELECT step_ix, step, count(*) AS n_conv,
+            CAST(sum(gap) AS BIGINT) AS sum_gap,
+            quantile_cont(gap, [0.25, 0.5, 0.75]) AS ps
+            FROM g GROUP BY 1, 2)
+          SELECT step_ix, step, n_conv,
+            CAST(sum_gap AS DOUBLE) / n_conv / 1000000.0 AS mean_s,
+            ps[1] / 1000000.0 AS p25_s, ps[2] / 1000000.0 AS p50_s,
+            ps[3] / 1000000.0 AS p75_s
+          FROM q ORDER BY step_ix"""
     },
     "q_histogram" ->
       s"""WITH b AS (SELECT event_type,

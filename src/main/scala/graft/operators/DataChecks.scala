@@ -135,6 +135,54 @@ object DataChecks {
       .orderBy(col(dim))
   }
 
+  /** Per-source length-distribution shift: the two-sample
+    * Kolmogorov–Smirnov distance between each source's doc-length
+    * distribution and the REST of the corpus — the detector for "this
+    * source started sending truncated/concatenated docs" that
+    * count-based QA can't see (volume unchanged, shape shifted).
+    * Lengths bucket row-locally on a fixed integer grid (width ·
+    * nbuckets, overflow clamped), so the only corpus-sized work is
+    * ONE (source, bucket) hash aggregate; the KS scan then runs on
+    * the sources × buckets grid (hundreds of rows at any scale) via
+    * cumulative windows — each source's CDF against the
+    * complement's, D = max |F_src − F_rest| over the grid, exact
+    * because stepwise CDFs attain their sup on bucket edges. Every
+    * share is one integer-to-double division; max is
+    * order-independent — engine-portable. A single-source corpus has
+    * no complement: NULL ks. NULL text is excluded (length is
+    * undefined, not zero). */
+  def sourceDrift(docs: DataFrame, bucketWidth: Int = 50,
+                  nbuckets: Int = 40): DataFrame = {
+    // persisted: the global, per-source and grid legs all read this
+    // sources×buckets frame — without it each leg re-scans the corpus
+    // (cache lifetime is caller-owned, like the other shared frames)
+    val sb = docs.where(col("text").isNotNull)
+      .select(col("source"),
+        least(expr(s"CAST(length(text) AS BIGINT) div $bucketWidth"),
+          lit(nbuckets.toLong)).as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = sb.groupBy(col("bucket")).agg(sum(col("cnt")).as("gcnt"))
+    val srcs = sb.groupBy(col("source")).agg(sum(col("cnt")).as("stot"))
+    val cum = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    srcs.crossJoin(g.select(col("bucket"), col("gcnt")))
+      .join(sb, Seq("source", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("gtot", sum(col("gcnt")).over(
+        Window.partitionBy(col("source"))))
+      .withColumn("scum", sum(col("cnt")).over(cum))
+      .withColumn("gcum", sum(col("gcnt")).over(cum))
+      .withColumn("term", abs(
+        col("scum").cast("double") / nullif(col("stot"), lit(0L)) -
+          (col("gcum") - col("scum")).cast("double") /
+            nullif(col("gtot") - col("stot"), lit(0L))))
+      .groupBy(col("source"))
+      .agg(max(col("stot")).as("n_docs"), max(col("term")).as("ks_vs_rest"))
+      .orderBy(col("source"))
+  }
+
   /** Fixed-width histogram of `valueCol` per `dim` value: bin index
     * (−1 = underflow, `nbins` = overflow), bin bounds (NULL on the
     * open under/overflow edges), count and within-dim share — the

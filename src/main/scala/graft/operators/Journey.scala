@@ -121,10 +121,13 @@ object Journey {
     * whole chain and no step ever holds more than one row per user in
     * state. The final pct window runs over #stages rows. Conversion
     * ratios are exact IEEE divisions of bigint counts. */
-  def funnelSteps(events: DataFrame, stages: Seq[String]): DataFrame = {
-    require(stages.nonEmpty, "funnelSteps needs at least one stage")
+  /** The ordered-completion recurrence shared by [[funnelSteps]] and
+    * [[funnelLatency]]: frame i holds (user_id, ts) of each user's
+    * earliest stage-i completion AT OR AFTER their stage-(i−1) time. */
+  private def reachedStages(events: DataFrame,
+                            stages: Seq[String]): Seq[DataFrame] = {
     val e = events.select(col("user_id"), col("ts"), col("event_type"))
-    val reachedFrames = stages.zipWithIndex.scanLeft(
+    stages.zipWithIndex.scanLeft(
       Option.empty[DataFrame]) { case (prev, (stage, _)) =>
       Some(prev match {
         case None =>
@@ -138,6 +141,11 @@ object Journey {
             .groupBy(col("user_id")).agg(min(col("ts")).as("ts"))
       })
     }.flatten
+  }
+
+  def funnelSteps(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnelSteps needs at least one stage")
+    val reachedFrames = reachedStages(events, stages)
     val counts = reachedFrames.zip(stages).zipWithIndex.map {
       case ((df, stage), ix) =>
         df.agg(count(lit(1)).as("n_users"))
@@ -155,6 +163,43 @@ object Journey {
         col("n_users").cast("double") /
           nullif(first(col("n_users")).over(w), lit(0L)))
       .orderBy(col("stage_ix"))
+  }
+
+  /** Time-to-convert between adjacent funnel stages: for each user who
+    * completed stage i in order, the latency from their stage-(i−1)
+    * time, summarized per step as converter count, mean and exact
+    * quartiles in seconds. The question funnelSteps' counts can't
+    * answer — WHERE the drop-off pressure is (a step users take days
+    * over loses them; the count alone can't see it). Same portability
+    * recipe as [[graft.operators.Temporal.eventGaps]]: integer
+    * microsecond gaps, a (gap, count) pre-aggregate so the exact
+    * percentile folds weighted integers at dyadic probabilities, one
+    * final division into seconds. Per-step frames are user-grained
+    * aggregates off the shared [[reachedStages]] recurrence — the raw
+    * event stream is filtered to stage rows before anything joins. */
+  def funnelLatency(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "funnelLatency needs at least two stages")
+    val reached = reachedStages(events, stages)
+    val steps = reached.sliding(2).toSeq.zipWithIndex.map {
+      case (Seq(prev, cur), ix) =>
+        cur.join(prev.select(col("user_id"), col("ts").as("prev_ts")),
+          Seq("user_id"))
+          .select((unix_micros(col("ts")) -
+            unix_micros(col("prev_ts"))).as("gap"))
+          .groupBy(col("gap")).agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt")).as("n_conv"),
+            sum(col("gap") * col("cnt")).as("sum_gap"),
+            expr("percentile(gap, array(0.25D, 0.5D, 0.75D), cnt)").as("ps"))
+          .select(lit(ix).as("step_ix"),
+            lit(s"${stages(ix)}>${stages(ix + 1)}").as("step"),
+            col("n_conv"),
+            (col("sum_gap").cast("double") / col("n_conv") / 1000000.0)
+              .as("mean_s"),
+            (element_at(col("ps"), 1) / 1000000.0).as("p25_s"),
+            (element_at(col("ps"), 2) / 1000000.0).as("p50_s"),
+            (element_at(col("ps"), 3) / 1000000.0).as("p75_s"))
+    }
+    steps.reduce(_.union(_)).orderBy(col("step_ix"))
   }
 
   /** Weekly user-lifecycle transitions — the growth-accounting table

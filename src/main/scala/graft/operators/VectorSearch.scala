@@ -138,12 +138,6 @@ object VectorSearch extends Logging {
       .orderBy(col("vec_id"))
   }
 
-  /** Sequential-fold double dot product — the array<double> sibling of
-    * `graft_dot` (float-only), same left-to-right order, so the DuckDB
-    * list_reduce replay is bit-identical. */
-  private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
   /** ANN top-k over the int8-quantized corpus (asymmetric distance:
     * full-precision query × dequantized corpus — SQ's version of PQ's
     * ADC). The search-side payoff of [[quantizeReport]]: the corpus
@@ -151,32 +145,42 @@ object VectorSearch extends Logging {
     * quarter of the float footprint, which is what decides whether
     * the index fits executor memory at 10⁹ vectors. Scores differ
     * from exact cosine only by the reconstruction error the
-    * quantization report already bounds. Same deterministic contract
-    * as the exact [[bruteForceTopK]] (ties by neighbor id, zero-norm
-    * reconstructions excluded); the oracle replays dequantize + fold
-    * + window. At scale the scan is sharded by the same IVF cells as
-    * the full-precision path — this is the baseline scorer. */
+    * quantization report already bounds. The dequantized vector casts
+    * back to float32 (IEEE round — DuckDB `CAST AS FLOAT` agrees
+    * bit-for-bit) so every per-PAIR product runs through the
+    * codegen'd `graft_dot` — the first cut folded doubles through
+    * interpreted array HOFs per pair and measured 135 s at the sf1
+    * probe; float-cast + native dot is the same contract at scan
+    * speed. Same determinism as [[bruteForceTopK]] (ties by neighbor
+    * id, zero-norm reconstructions excluded); the oracle replays
+    * dequantize + float cast + fold + window. At scale the scan is
+    * sharded by the same IVF cells as the full-precision path. */
   def sqTopK(embeddings: DataFrame, expectedDim: Int,
              nQueries: Int = 10, k: Int = 5): DataFrame = {
     val healthy = healthyVecs(embeddings, expectedDim)
     val packed = dimStats(healthy)
+    // persisted: this IS the index build — without it projection
+    // collapse inlines the interpreted decode transforms into the
+    // per-PAIR join projection (measured 83 s at the sf1 probe; the
+    // cached index scans in ~1 s). Cache lifetime is caller-owned,
+    // like the other shared frames.
     val corpus = healthy.crossJoin(broadcast(packed))
       .withColumn("codes", sqCodes(expectedDim))
-      .withColumn("dqv", sqDecode(expectedDim))
-      .select(col("vec_id"), col("dqv"))
-      .withColumn("dn", sqrt(dotD(col("dqv"), col("dqv"))))
+      .withColumn("dqf", transform(sqDecode(expectedDim), x => x.cast("float")))
+      .select(col("vec_id"), col("dqf"))
+      .withColumn("dn", sqrt(dot(col("dqf"), col("dqf"))))
       .where(col("dn") =!= 0.0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = healthy.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"),
-        transform(col("embedding"), x => x.cast("double")).as("qe"))
-      .withColumn("qn", sqrt(dotD(col("qe"), col("qe"))))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
       .where(col("qn") =!= 0.0)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sq"), asc("vec_id"))
     broadcast(q).crossJoin(corpus)
       .where(col("query_id") =!= col("vec_id"))
       .withColumn("cos_sq",
-        dotD(col("qe"), col("dqv")) / (col("qn") * col("dn")))
+        dot(col("qe"), col("dqf")) / (col("qn") * col("dn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -4,6 +4,23 @@ import org.apache.spark.sql.functions._
 import graft.operators.{DailyQA, DataChecks, GraftDataException}
 
 class DataChecksSpec extends SparkSpec {
+
+  test("sourceDrift: disjoint length distributions give KS = 1") {
+    import spark.implicits._
+    import graft.operators.DataChecks
+    // source a: all docs in bucket 0 (short); source b: bucket 2
+    val df = (Seq.fill(10)(("a", "x" * 20)) ++
+      Seq.fill(10)(("b", "y" * 120)))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, t, s) }
+      .toDF("doc_id", "text", "source")
+    val out = DataChecks.sourceDrift(df).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("a") == 1.0 && out("b") == 1.0)
+    // single source: no complement -> NULL ks
+    val solo = Seq((1L, "abc", "only")).toDF("doc_id", "text", "source")
+    val so = DataChecks.sourceDrift(solo).collect()
+    assert(so.length == 1 && so.head.isNullAt(2))
+  }
   import spark.implicits._
 
   private def qa = Seq(

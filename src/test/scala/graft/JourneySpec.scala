@@ -59,6 +59,23 @@ class JourneySpec extends SparkSpec {
       ("2024-01-15", "churned") -> 1L))
   }
 
+  test("funnelLatency: per-step conversion latency quartiles") {
+    // u1 converts view>click in 10s and click>purchase in 60s;
+    // u2 converts view>click in 30s and never purchases
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:00:10", "click"),
+      (1L, "2024-01-01 10:01:10", "purchase"),
+      (2L, "2024-01-01 09:00:00", "view"),
+      (2L, "2024-01-01 09:00:30", "click"))
+    val out = Journey.funnelLatency(e, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(out("view>click") == ((2L, 20.0, 15.0, 20.0, 25.0)))
+    assert(out("click>purchase") == ((1L, 60.0, 60.0, 60.0, 60.0)))
+  }
+
   test("funnelSteps only counts stages completed in order") {
     val e = ev(
       // u1 completes view → click → purchase in order
