@@ -37,6 +37,7 @@ object Bench {
     "q_text_clean", "q_unicode_norm", "q_boilerplate",
     "q_range_join", "q_qa_drift", "q_source_drift", "q_dedup_bloom",
     "q_cohort", "q_lifecycle", "q_funnel_steps", "q_funnel_latency",
+    "q_next_event", "q_rfm", "q_trend", "q_source_overlap",
     "q_histogram", "q_qa_anomaly",
     "q_semantic_dedup", "q_mixture", "q_props_health",
     "q_search", "q_qa_orphans", "q_percentiles", "q_winsorize",

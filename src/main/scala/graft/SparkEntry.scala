@@ -711,6 +711,14 @@ object SparkEntry {
     "q_funnel_latency" -> ((s, d) =>
       Journey.funnelLatency(Tables.events(s, d)
         .where(col("event_id") % FunnelSliceMod === 0), FunnelStages)),
+    "q_next_event" -> ((s, d) =>
+      Journey.nextEventMatrix(Tables.events(s, d))),
+    "q_rfm" -> ((s, d) =>
+      Journey.rfmSegments(Tables.events(s, d))),
+    "q_trend" -> ((s, d) =>
+      DataChecks.dailyTrend(Tables.events(s, d))),
+    "q_source_overlap" -> ((s, d) =>
+      TextAnalysis.sourceVocabOverlap(Tables.documents(s, d))),
     "q_histogram" -> ((s, d) =>
       DataChecks.histogram(Tables.events(s, d), "value", "event_type",
         HistLo, HistWidth, HistBins)),
@@ -2550,6 +2558,89 @@ object SparkEntry {
             ps[3] / 1000000.0 AS p75_s
           FROM q ORDER BY step_ix"""
     },
+    // lead over (ts, event_id) — the unique id makes the successor
+    // deterministic; p is one bigint/bigint division.
+    "q_next_event" ->
+      """WITH p AS (SELECT event_type AS from_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS to_type
+            FROM events),
+          c AS (SELECT from_type, to_type, count(*) AS n FROM p
+            WHERE to_type IS NOT NULL GROUP BY 1, 2),
+          t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+            FROM c GROUP BY 1)
+          SELECT c.from_type, c.to_type, c.n,
+            CAST(c.n AS DOUBLE) / t.n_from AS p
+          FROM c JOIN t USING (from_type) ORDER BY 1, 2""",
+    // quantile_cont == Spark's exact percentile (same rank-(n-1)p
+    // interpolation); dyadic probabilities on integer grids are exact
+    // doubles, so the > threshold cuts agree bit-for-bit. Monetary
+    // sums integer cents; the one float division is per CELL.
+    "q_rfm" ->
+      """WITH u AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+            count(*) AS freq,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+              AS mon_cents
+            FROM events GROUP BY 1),
+          a AS (SELECT max(last_day) AS as_of FROM u),
+          ur AS (SELECT u.*,
+            CAST(date_diff('day', last_day, as_of) AS BIGINT) AS rec_days
+            FROM u CROSS JOIN a),
+          thr AS (SELECT
+            quantile_cont(rec_days, [0.25, 0.5, 0.75]) AS rq,
+            quantile_cont(freq, [0.25, 0.5, 0.75]) AS fq,
+            quantile_cont(mon_cents, [0.25, 0.5, 0.75]) AS mq FROM ur),
+          sc AS (SELECT mon_cents,
+            1 + CAST(rec_days > rq[1] AS INT) +
+              CAST(rec_days > rq[2] AS INT) +
+              CAST(rec_days > rq[3] AS INT) AS r_score,
+            1 + CAST(freq > fq[1] AS INT) + CAST(freq > fq[2] AS INT) +
+              CAST(freq > fq[3] AS INT) AS f_score,
+            1 + CAST(mon_cents > mq[1] AS INT) +
+              CAST(mon_cents > mq[2] AS INT) +
+              CAST(mon_cents > mq[3] AS INT) AS m_score
+            FROM ur CROSS JOIN thr)
+          SELECT r_score, f_score, m_score, count(*) AS n_users,
+            CAST(CAST(sum(mon_cents) AS BIGINT) AS DOUBLE) / count(*)
+              / 100.0 AS mean_spend
+          FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // Integer moments, ONE final division each (the portability
+    // recipe); DuckDB sums BIGINT into HUGEINT -> CAST back.
+    "q_trend" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            count(*) AS y FROM events GROUP BY 1, 2),
+          o AS (SELECT min(day) AS day0 FROM d),
+          x AS (SELECT event_type,
+            CAST(date_diff('day', day0, day) AS BIGINT) AS x, y
+            FROM d CROSS JOIN o),
+          m AS (SELECT event_type, count(*) AS n_days,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM x GROUP BY 1),
+          s AS (SELECT *, CAST(n_days * sxy - sx * sy AS DOUBLE) /
+            nullif(n_days * sxx - sx * sx, 0) AS slope_per_day FROM m)
+          SELECT event_type, n_days, sy AS n_events, slope_per_day,
+            (CAST(sy AS DOUBLE) - slope_per_day * sx) / n_days AS intercept
+          FROM s ORDER BY 1""",
+    // Distinct (source, term) then a term-keyed self-join; union size
+    // by inclusion-exclusion, one bigint division per pair.
+    "q_source_overlap" ->
+      s"""WITH tk AS (SELECT source, $ToksSql AS toks FROM documents),
+          e AS (SELECT source, unnest(toks) AS term FROM tk),
+          st AS (SELECT DISTINCT source, term FROM e),
+          sz AS (SELECT source, count(*) AS vocab FROM st GROUP BY 1),
+          i AS (SELECT a.source AS source_a, b.source AS source_b,
+            count(*) AS n_shared
+            FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+            GROUP BY 1, 2)
+          SELECT source_a, source_b, sa.vocab AS vocab_a,
+            sb.vocab AS vocab_b, n_shared,
+            CAST(n_shared AS DOUBLE) /
+              (sa.vocab + sb.vocab - n_shared) AS jaccard
+          FROM i JOIN sz sa ON sa.source = i.source_a
+            JOIN sz sb ON sb.source = i.source_b
+          ORDER BY 1, 2""",
     "q_histogram" ->
       s"""WITH b AS (SELECT event_type,
             CASE WHEN value < $HistLo THEN -1

@@ -183,6 +183,42 @@ object DataChecks {
       .orderBy(col("source"))
   }
 
+  /** Per-type volume trend: the least-squares slope (and intercept) of
+    * daily event counts against the day index — the one-number answer
+    * to "is this event type growing or decaying, and how fast", the QA
+    * gate that catches a feed ramping down long before an absolute
+    * threshold trips. Closed-form regression over integer moments: the
+    * corpus collapses to (type, day) counts in one hash aggregate, the
+    * day index is days since the corpus's first active day (a
+    * broadcast 1-row min, never a driver collect), and slope =
+    * (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with every moment an exact bigint
+    * sum — ONE final float division each for slope and intercept, so
+    * the oracle replays bit-identically. A single-day type has zero
+    * x-variance: slope and intercept are NULL, not a crash. */
+  def dailyTrend(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val origin = daily.agg(min(col("day")).as("day0"))
+    daily.crossJoin(broadcast(origin))
+      .withColumn("x", datediff(col("day"), col("day0")).cast("bigint"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_per_day",
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullif(col("n_days") * col("sxx") - col("sx") * col("sx"),
+            lit(0L)))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope_per_day") * col("sx")) /
+          col("n_days"))
+      .select(col("event_type"), col("n_days"), col("sy").as("n_events"),
+        col("slope_per_day"), col("intercept"))
+      .orderBy(col("event_type"))
+  }
+
   /** Fixed-width histogram of `valueCol` per `dim` value: bin index
     * (−1 = underflow, `nbins` = overflow), bin bounds (NULL on the
     * open under/overflow edges), count and within-dim share — the

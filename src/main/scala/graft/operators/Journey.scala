@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -249,5 +249,89 @@ object Journey {
       .groupBy(col("e.week").as("week"), col("e.status").as("status"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("week"), col("status"))
+  }
+
+  /** First-order Markov transition matrix over the event stream: for
+    * each (from_type, to_type) pair, how often a user's next event is
+    * `to_type` given the current is `from_type`, with the conditional
+    * probability. The behavioral-flow summary funnels can't give — a
+    * funnel fixes the path, this measures ALL adjacent transitions.
+    * Each user's final event has no successor and drops out.
+    *
+    * Shape: ONE hash exchange on user_id, a per-user in-partition sort
+    * for the `lead` window (ties broken by the unique event_id, so the
+    * successor is deterministic), then the pair count collapses to a
+    * types×types frame — every row after the window is
+    * cardinality-bounded by the type domain, not the event volume.
+    * `p` is one exact IEEE division of two bigints (the per-from total
+    * joins back from a types-sized aggregate, not a second window over
+    * the event grain). */
+  def nextEventMatrix(events: DataFrame): DataFrame = {
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("n_from")).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** RFM segmentation — the standard customer-value grid: per user,
+    * Recency (days from their last event to the corpus as-of day),
+    * Frequency (event count) and Monetary (value summed in integer
+    * cents), each cut into quartile scores 1–4 at the corpus's exact
+    * quartile thresholds, then one row per occupied (r, f, m) cell
+    * with the user count and the cell's mean spend.
+    *
+    * Deliberately NOT `ntile`: a global ntile is a single-partition
+    * sort of the whole user universe — the anti-pattern at 10⁹ users.
+    * Here the three quartile thresholds come from ONE exact-percentile
+    * aggregate over the per-user frame (dyadic probabilities on
+    * integer grids — exact doubles, engine-portable) and broadcast
+    * back; each score is three row-local comparisons, so the plan is
+    * two user-keyed aggregates plus a cells-sized one. Ties share a
+    * bucket (equal metric ⇒ equal score), which segmentation wants
+    * anyway — ntile would split them arbitrarily. Monetary sums cents
+    * (`round(value * 100)` per event) so the corpus sum is
+    * order-independent; the one float division back into currency
+    * happens per CELL, not per user. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(round(col("value") * 100).cast("bigint")).as("mon_cents"))
+    val asOf = perUser.agg(max(col("last_day")).as("as_of"))
+    val u = perUser.crossJoin(broadcast(asOf))
+      .withColumn("rec_days",
+        datediff(col("as_of"), col("last_day")).cast("bigint"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = Seq(0.25, 0.5, 0.75)
+    val thr = u.agg(
+      expr(s"percentile(rec_days, array(${qs.mkString("D,")}D))").as("rq"),
+      expr(s"percentile(freq, array(${qs.mkString("D,")}D))").as("fq"),
+      expr(s"percentile(mon_cents, array(${qs.mkString("D,")}D))").as("mq"))
+    def score(v: Column, t: Column): Column =
+      lit(1) + (v > element_at(t, 1)).cast("int") +
+        (v > element_at(t, 2)).cast("int") +
+        (v > element_at(t, 3)).cast("int")
+    u.crossJoin(broadcast(thr))
+      .select(
+        score(col("rec_days"), col("rq")).as("r_score"),
+        score(col("freq"), col("fq")).as("f_score"),
+        score(col("mon_cents"), col("mq")).as("m_score"),
+        col("mon_cents"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        (sum(col("mon_cents")).cast("double") / count(lit(1)) / 100.0)
+          .as("mean_spend"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 }

@@ -250,6 +250,46 @@ object TextAnalysis {
       .orderBy(col("n_occ").desc, col("term"))
       .limit(topN)
 
+  /** Pairwise vocabulary overlap between sources: for each source
+    * pair, the Jaccard similarity of their distinct token sets — the
+    * mixture-design signal for "are these two crawls the same corpus
+    * in different wrappers" (near-1 vocab Jaccard between two sources
+    * usually means one should be dropped before near-dup even runs).
+    *
+    * Shape: the corpus collapses to distinct (source, term) in one
+    * hash aggregate (the only event-volume-sized step); per-source
+    * vocab sizes are a sources-sized aggregate off it; the
+    * intersection is a term-keyed self-join of the DEDUPED frame with
+    * `s1 < s2` — each term contributes at most sources²/2 pairs
+    * regardless of corpus size, so the join output is vocab ×
+    * pair-count, never corpus-sized. |A∪B| = |A|+|B|−|A∩B| by
+    * inclusion–exclusion (no union materialization), one exact
+    * bigint division per pair. Pairs with zero shared terms drop out
+    * (inner join) — absent pairs read as jaccard 0. */
+  def sourceVocabOverlap(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("vocab"))
+    val inter = st.select(col("source").as("source_a"), col("term"))
+      .join(st.select(col("source").as("source_b"), col("term")), Seq("term"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("vocab").as("vocab_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("vocab").as("vocab_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("vocab_a"), col("vocab_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("vocab_a") + col("vocab_b") - col("n_shared")))
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Deterministic mixed-form Unicode planting — the oracle fixture
     * for [[unicodeNormalize]] (the synthetic corpus is pure ASCII, so
     * an unplanted oracle would be an all-unchanged gate). Every

@@ -5,6 +5,24 @@ import graft.operators.{DailyQA, DataChecks, GraftDataException}
 
 class DataChecksSpec extends SparkSpec {
 
+  test("dailyTrend fits the exact slope and NULLs a single-day type") {
+    import spark.implicits._
+    // type a: 1, 2, 3 events on three consecutive days -> slope 1,
+    // intercept 1; type b: one day -> zero x-variance -> NULLs
+    val rows =
+      (1 to 1).map(i => ("a", s"2024-01-01 0$i:00:00")) ++
+        (1 to 2).map(i => ("a", s"2024-01-02 0$i:00:00")) ++
+        (1 to 3).map(i => ("a", s"2024-01-03 0$i:00:00")) ++
+        Seq(("b", "2024-01-02 05:00:00"))
+    val e = rows.toDF("event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val out = DataChecks.dailyTrend(e).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) == 3L && out("a").getLong(2) == 6L)
+    assert(out("a").getDouble(3) == 1.0 && out("a").getDouble(4) == 1.0)
+    assert(out("b").isNullAt(3) && out("b").isNullAt(4))
+  }
+
   test("sourceDrift: disjoint length distributions give KS = 1") {
     import spark.implicits._
     import graft.operators.DataChecks

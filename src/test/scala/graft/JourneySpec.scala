@@ -76,6 +76,42 @@ class JourneySpec extends SparkSpec {
     assert(out("click>purchase") == ((1L, 60.0, 60.0, 60.0, 60.0)))
   }
 
+  test("nextEventMatrix counts adjacent transitions per user with probabilities") {
+    val e = Seq(
+      (1L, 10L, "2024-01-01 10:00:00", "view"),
+      (1L, 11L, "2024-01-01 10:01:00", "click"),
+      (1L, 12L, "2024-01-01 10:02:00", "view"),
+      (2L, 20L, "2024-01-01 09:00:00", "view"),
+      (2L, 21L, "2024-01-01 09:05:00", "view"))
+      .toDF("user_id", "event_id", "tss", "event_type")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val out = Journey.nextEventMatrix(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("view", "click")) == ((1L, 0.5)))
+    assert(out(("view", "view")) == ((1L, 0.5)))
+    assert(out(("click", "view")) == ((1L, 1.0)))
+    assert(out.size == 3) // u2's last event has no successor
+  }
+
+  test("rfmSegments scores quartiles without a global sort") {
+    val e = Seq(
+      (1L, "2024-01-04 10:00:00", 40.0),
+      (2L, "2024-01-03 10:00:00", 30.0),
+      (3L, "2024-01-02 10:00:00", 20.0),
+      (4L, "2024-01-01 10:00:00", 10.0))
+      .toDF("user_id", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val out = Journey.rfmSegments(e).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    // freq ties (all 1) share f-score 1; recency and monetary spread 1-4
+    assert(out((1, 1, 4)) == ((1L, 40.0)))
+    assert(out((2, 1, 3)) == ((1L, 30.0)))
+    assert(out((3, 1, 2)) == ((1L, 20.0)))
+    assert(out((4, 1, 1)) == ((1L, 10.0)))
+  }
+
   test("funnelSteps only counts stages completed in order") {
     val e = ev(
       // u1 completes view → click → purchase in order

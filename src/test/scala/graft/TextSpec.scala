@@ -273,4 +273,16 @@ class TextSpec extends SparkSpec {
     assert(out(("fr", "fr")) == ((1L, 1.0)))
     assert(out.size == 3)
   }
+
+  test("sourceVocabOverlap: pairwise vocab Jaccard, zero-overlap pairs absent") {
+    val df = Seq(
+      (1L, "a b c", "s1"), (2L, "b c d", "s2"), (3L, "x", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceVocabOverlap(df).collect()
+    assert(out.length == 1) // s3 shares nothing with anyone
+    val r = out.head
+    assert(r.getString(0) == "s1" && r.getString(1) == "s2")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L && r.getLong(4) == 2L)
+    assert(r.getDouble(5) == 0.5)
+  }
 }
