@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
 
@@ -101,6 +101,27 @@ object SparkEntry {
   private val CohortSliceMod = 17
   private val FunnelSliceMod = 13
   private val FunnelStages = Seq("view", "click", "purchase")
+
+  /** q_session_paths: opening-path prefix length and report size. */
+  private val PathMaxLen = 5
+  private val PathTopN = 20
+
+  /** q_user_features: the fixed event-type domain of the testdata —
+    * static so the feature schema is data-independent. */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q_dq_rules: the expectations suite on `orders`. The price cap is
+    * deliberately INSIDE the data range so the report shows real
+    * violations, not a wall of zeros. */
+  private val OrderPriceCap = 300000
+  private def orderRules: Seq[(String, Column)] = Seq(
+    "custkey_not_null" -> col("o_custkey").isNotNull,
+    "orderdate_in_range" ->
+      col("o_orderdate").between("1992-01-01", "1998-12-31"),
+    "orderkey_not_null" -> col("o_orderkey").isNotNull,
+    "status_known" -> col("o_orderstatus").isin("O", "F", "P"),
+    "totalprice_below_cap" -> (col("o_totalprice") < OrderPriceCap),
+    "totalprice_positive" -> (col("o_totalprice") > 0))
 
   /** q_gap_fill: 1-in-997 event slice — sparse enough that the daily
     * series has real holes at every SF. */
@@ -719,6 +740,13 @@ object SparkEntry {
       DataChecks.dailyTrend(Tables.events(s, d))),
     "q_source_overlap" -> ((s, d) =>
       TextAnalysis.sourceVocabOverlap(Tables.documents(s, d))),
+    "q_session_paths" -> ((s, d) =>
+      Temporal.sessionPaths(Tables.events(s, d), SessionGapMin,
+        PathMaxLen, PathTopN)),
+    "q_dq_rules" -> ((s, d) =>
+      DataChecks.ruleCheck(Tables.orders(s, d), orderRules)),
+    "q_user_features" -> ((s, d) =>
+      Journey.userFeatures(Tables.events(s, d), EventTypes)),
     "q_histogram" -> ((s, d) =>
       DataChecks.histogram(Tables.events(s, d), "value", "event_type",
         HistLo, HistWidth, HistBins)),
@@ -2641,6 +2669,70 @@ object SparkEntry {
           FROM i JOIN sz sa ON sa.source = i.source_a
             JOIN sz sb ON sb.source = i.source_b
           ORDER BY 1, 2""",
+    // Same session CTEs as q_sessionize, carrying event_type; the
+    // ordered list slice is the path prefix, share one bigint division.
+    "q_session_paths" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+            event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+          s AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+              OR tu - lag(tu) OVER w > ${SessionGapMin * 60L * 1000000L}
+              THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          x AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS session_ix FROM s),
+          p AS (SELECT user_id, session_ix,
+            array_to_string(list(event_type ORDER BY ts, event_id)
+              [1:$PathMaxLen], '>') AS path
+            FROM x GROUP BY 1, 2),
+          t AS (SELECT count(*) AS n_sessions FROM p),
+          c AS (SELECT path, count(*) AS n FROM p GROUP BY 1)
+          SELECT path, n, CAST(n AS DOUBLE) / t.n_sessions AS share
+          FROM c CROSS JOIN t ORDER BY n DESC, path LIMIT $PathTopN""",
+    // One SELECT per rule over the same predicate text the engine
+    // builds from orderRules; NULL predicate = violation on both sides.
+    "q_dq_rules" -> {
+      val preds = Seq(
+        "custkey_not_null" -> "o_custkey IS NOT NULL",
+        "orderdate_in_range" ->
+          "o_orderdate BETWEEN '1992-01-01' AND '1998-12-31'",
+        "orderkey_not_null" -> "o_orderkey IS NOT NULL",
+        "status_known" -> "o_orderstatus IN ('O', 'F', 'P')",
+        "totalprice_below_cap" -> s"o_totalprice < $OrderPriceCap",
+        "totalprice_positive" -> "o_totalprice > 0")
+      preds.map { case (name, p) =>
+        s"""SELECT '$name' AS rule, count(*) AS n_rows,
+            CAST(sum(CAST(NOT coalesce($p, false) AS INT)) AS BIGINT)
+              AS n_violations,
+            CAST(CAST(sum(CAST(NOT coalesce($p, false) AS INT)) AS BIGINT)
+              AS DOUBLE) / count(*) AS violation_rate
+            FROM orders"""
+      }.mkString("", "\n          UNION ALL ", "\n          ORDER BY rule")
+    },
+    // Single GROUP BY replay; cadence is (last-first)/(n-1) off integer
+    // microsecond extremes, spend sums integer cents.
+    "q_user_features" -> {
+      val typeCols = EventTypes.map(t =>
+        s"CAST(sum(CAST(event_type = '$t' AS INT)) AS BIGINT) AS n_$t")
+        .mkString(",\n            ")
+      s"""WITH u AS (SELECT user_id, count(*) AS n_events,
+            count(DISTINCT CAST(ts AS DATE)) AS active_days,
+            min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+            max(CAST(ts AS DATE)) AS last_day,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+              AS spend_cents,
+            $typeCols
+            FROM events GROUP BY 1),
+          a AS (SELECT max(last_day) AS as_of FROM u)
+          SELECT user_id, n_events, active_days,
+            CAST(date_diff('day', last_day, as_of) AS INT) AS rec_days,
+            CAST(last_us - first_us AS DOUBLE) / nullif(n_events - 1, 0)
+              / 1000000.0 AS mean_gap_s,
+            CAST(spend_cents AS DOUBLE) / 100.0 AS spend,
+            ${EventTypes.map("n_" + _).mkString(", ")}
+          FROM u CROSS JOIN a ORDER BY user_id"""
+    },
     "q_histogram" ->
       s"""WITH b AS (SELECT event_type,
             CASE WHEN value < $HistLo THEN -1

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, TimestampType}
@@ -181,6 +181,37 @@ object DataChecks {
       .groupBy(col("source"))
       .agg(max(col("stot")).as("n_docs"), max(col("term")).as("ks_vs_rest"))
       .orderBy(col("source"))
+  }
+
+  /** Declarative data-quality rule engine: each rule is a boolean
+    * Column a row should satisfy; the report is one row per rule with
+    * the violation count and rate — the generic contract behind every
+    * "expectations" suite (not-null, range, domain, referential
+    * checks), where [[preflight]] hard-codes one schema's checks. A
+    * NULL predicate result counts as a violation (a rule that can't
+    * evaluate didn't pass — the Kleene middle is not a pass).
+    *
+    * Shape: ONE scan with a single map-side-combining aggregate
+    * computing every rule's violation sum at once (k rules = k
+    * conditional sums in one pass, not k scans); the explode back to
+    * rule rows fans out a 1-row frame. Violation rate is one exact
+    * bigint division. */
+  def ruleCheck(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "ruleCheck needs at least one rule")
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.zipWithIndex.map { case ((_, pred), i) =>
+        sum((!coalesce(pred, lit(false))).cast("bigint")).as(s"v_$i")
+      }
+    val structs = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"v_$i").as("n_violations"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(structs: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("n_rows"),
+        col("r.n_violations").as("n_violations"),
+        (col("r.n_violations").cast("double") / col("n_rows"))
+          .as("violation_rate"))
+      .orderBy(col("rule"))
   }
 
   /** Per-type volume trend: the least-squares slope (and intercept) of

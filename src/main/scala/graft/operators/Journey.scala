@@ -283,6 +283,47 @@ object Journey {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Per-user ML feature assembly — the training-table materialization
+    * step of a churn/LTV pipeline: one row per user with activity
+    * volume, calendar spread, recency, cadence, spend, and per-type
+    * event counts (the `types` list is fixed so the schema is static —
+    * a dynamic pivot would make the feature schema data-dependent,
+    * which no downstream trainer wants).
+    *
+    * Shape: ONE hash aggregate on user_id computes every feature in a
+    * single pass (type counts are conditional sums, cadence is
+    * (last − first) / (n − 1) off integer microsecond extremes — no
+    * window, no second exchange); recency joins the corpus as-of day
+    * back as a broadcast 1-row max. Spend sums integer cents; the
+    * per-user divisions into seconds/currency are the final step on
+    * both engine and oracle. Single-event users have no cadence:
+    * NULL, not 0 (a zero gap means something else). */
+  def userFeatures(events: DataFrame, types: Seq[String]): DataFrame = {
+    val typeAggs = types.map(t =>
+      sum((col("event_type") === t).cast("bigint")).as(s"n_$t"))
+    val aggs = Seq(
+      count(lit(1)).as("n_events"),
+      countDistinct(to_date(col("ts"))).as("active_days"),
+      min(unix_micros(col("ts"))).as("first_us"),
+      max(unix_micros(col("ts"))).as("last_us"),
+      max(to_date(col("ts"))).as("last_day"),
+      sum(round(col("value") * 100).cast("bigint")).as("spend_cents")) ++
+      typeAggs
+    val perUser = events.groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    val asOf = perUser.agg(max(col("last_day")).as("as_of"))
+    perUser.crossJoin(broadcast(asOf))
+      .select(Seq(
+        col("user_id"), col("n_events"), col("active_days"),
+        datediff(col("as_of"), col("last_day")).as("rec_days"),
+        ((col("last_us") - col("first_us")).cast("double") /
+          nullif(col("n_events") - 1, lit(0L)) / 1000000.0)
+          .as("mean_gap_s"),
+        (col("spend_cents").cast("double") / 100.0).as("spend")) ++
+        types.map(t => col(s"n_$t")): _*)
+      .orderBy(col("user_id"))
+  }
+
   /** RFM segmentation — the standard customer-value grid: per user,
     * Recency (days from their last event to the corpus as-of day),
     * Frequency (event count) and Monetary (value summed in integer

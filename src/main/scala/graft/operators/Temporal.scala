@@ -190,6 +190,55 @@ object Temporal {
       .orderBy(col("t1"), col("t2"))
   }
 
+  /** Top session paths: the most common ordered event-type sequences a
+    * session opens with (first `maxLen` events, joined with `>`), with
+    * session counts and share of all sessions — the flow summary that
+    * tells you what users actually DO in a session, where
+    * [[basketPairs]] only says what co-occurs. Sessions longer than
+    * `maxLen` contribute their prefix (a path is a prefix class, so
+    * counts are stable as sessions grow).
+    *
+    * Shape: the same single user_id exchange as [[sessionize]] for the
+    * session windows, then a per-(user, session) aggregate collects
+    * the session's (ts, event_id, type) structs — bounded by session
+    * length, never a user's whole history — sorts them in-row, slices
+    * the prefix and joins it to one string; the path aggregate and
+    * top-N are paths-sized. The unique event_id in the sort key makes
+    * the path deterministic under same-timestamp events. Share is one
+    * bigint division by a broadcast 1-row session total. */
+  def sessionPaths(events: DataFrame, gapMinutes: Int,
+                   maxLen: Int = 5, topN: Int = 20): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+      .withColumn("new_sess",
+        when(lag(col("tu"), 1).over(order).isNull ||
+          col("tu") - lag(col("tu"), 1).over(order) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_ix",
+        sum(col("new_sess")).over(order.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+    // persisted: the path leg and the broadcast session total both
+    // read it (the basketPairs contract; caller owns the lifetime)
+    val paths = sess.groupBy(col("user_id"), col("session_ix"))
+      .agg(sort_array(collect_list(struct(
+        col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(concat_ws(">",
+        slice(transform(col("evs"), e => e.getField("event_type")),
+          1, maxLen)).as("path"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = paths.select(count(lit(1)).as("n_sessions"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("path"), col("n"),
+        (col("n").cast("double") / col("n_sessions")).as("share"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topN)
+  }
+
   /** Inter-event gap statistics: per event type, the distribution of
     * time between a user's consecutive events of that type — the
     * cadence profile behind session-gap and anomaly thresholds

@@ -112,12 +112,24 @@ object VectorSearch extends Logging {
         .otherwise(floor((vAt(i) - loAt(i)) / rngAt(i) * 255 + 0.5)))
   }
 
-  /** Dequantized double vector from the `codes` column. */
-  private def sqDecode(expectedDim: Int): Column =
+  /** Fused quantize→dequantize→float straight from `embedding` — the
+    * same arithmetic as [[sqCodes]] then the decode
+    * (floor(x·255+0.5) is the stored code; identical doubles, so the
+    * oracle's two-CTE replay is unchanged), in ONE transform with no
+    * intermediate `codes` column. The column reference is the point:
+    * projection collapse inlines a referenced array column's FULL
+    * transform into every element of the referencing one — the
+    * codes→decode→cast chain evaluated O(dim²) interpreted ops per
+    * row and measured 8.6 s on 2000×64 vectors; fused it is O(dim). */
+  private def sqDequantF(expectedDim: Int): Column = {
+    def vAt(i: Column) = element_at(col("embedding"), i + 1).cast("double")
     transform(sequence(lit(0), lit(expectedDim - 1)), i =>
-      when(rngAt(i) === 0.0, loAt(i))
+      (when(rngAt(i) === 0.0, loAt(i))
         .otherwise(loAt(i) +
-          element_at(col("codes"), i + 1) / lit(255) * rngAt(i)))
+          floor((vAt(i) - loAt(i)) / rngAt(i) * 255 + 0.5) / lit(255) *
+            rngAt(i)))
+        .cast("float"))
+  }
 
   def quantizeReport(embeddings: DataFrame, expectedDim: Int): DataFrame = {
     val e = col("embedding")
@@ -126,11 +138,17 @@ object VectorSearch extends Logging {
     def vAt(i: Column) = element_at(e, i + 1).cast("double")
     healthy.crossJoin(broadcast(packed))
       .withColumn("codes", sqCodes(expectedDim))
+      // the reconstruction re-derives the code in-element (identical
+      // floor) instead of element_at(codes, ·) — a codes reference
+      // inside this transform would inline the whole codes transform
+      // per element (the O(dim²) projection-collapse trap sqDequantF
+      // documents)
       .withColumn("errs",
         transform(sequence(lit(0), lit(expectedDim - 1)), i =>
           abs(vAt(i) - when(rngAt(i) === 0.0, loAt(i))
             .otherwise(loAt(i) +
-              element_at(col("codes"), i + 1) / lit(255) * rngAt(i)))))
+              floor((vAt(i) - loAt(i)) / rngAt(i) * 255 + 0.5) / lit(255) *
+                rngAt(i)))))
       .select(col("vec_id"),
         aggregate(col("codes"), lit(0L), (a, x) => a + x).as("q_sum"),
         array_max(col("errs")).as("max_abs_err"),
@@ -165,8 +183,7 @@ object VectorSearch extends Logging {
     // cached index scans in ~1 s). Cache lifetime is caller-owned,
     // like the other shared frames.
     val corpus = healthy.crossJoin(broadcast(packed))
-      .withColumn("codes", sqCodes(expectedDim))
-      .withColumn("dqf", transform(sqDecode(expectedDim), x => x.cast("float")))
+      .withColumn("dqf", sqDequantF(expectedDim))
       .select(col("vec_id"), col("dqf"))
       .withColumn("dn", sqrt(dot(col("dqf"), col("dqf"))))
       .where(col("dn") =!= 0.0)

@@ -5,6 +5,21 @@ import graft.operators.{DailyQA, DataChecks, GraftDataException}
 
 class DataChecksSpec extends SparkSpec {
 
+  test("ruleCheck: one pass, NULL predicate counts as violation") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 10.0), (2L, -5.0), (null, 20.0), (4L, null))
+      .toDF("id", "amount")
+    val out = DataChecks.ruleCheck(df, Seq(
+      "amount_positive" -> (col("amount") > 0),
+      "id_not_null" -> col("id").isNotNull))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // amount: -5 fails, NULL fails (Kleene middle is not a pass)
+    assert(out("amount_positive") == ((4L, 2L, 0.5)))
+    assert(out("id_not_null") == ((4L, 1L, 0.25)))
+  }
+
   test("dailyTrend fits the exact slope and NULLs a single-day type") {
     import spark.implicits._
     // type a: 1, 2, 3 events on three consecutive days -> slope 1,

@@ -94,6 +94,28 @@ class JourneySpec extends SparkSpec {
     assert(out.size == 3) // u2's last event has no successor
   }
 
+  test("userFeatures assembles the per-user row in one pass") {
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0, "view"),
+      (1L, "2024-01-01 10:00:30", 20.0, "click"),
+      (1L, "2024-01-03 10:01:00", 30.0, "view"),
+      (2L, "2024-01-03 09:00:00", 5.5, "purchase"))
+      .toDF("user_id", "tss", "value", "event_type")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val out = Journey.userFeatures(e, Seq("click", "purchase", "view"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val u1 = out(1L)
+    assert(u1.getLong(1) == 3L && u1.getLong(2) == 2L) // events, days
+    assert(u1.getInt(3) == 0)                          // recent on as-of day
+    // (2 days + 60 s) / 2 gaps
+    assert(u1.getDouble(4) == (2 * 86400.0 + 60.0) / 2)
+    assert(u1.getDouble(5) == 60.0)                    // spend
+    assert(u1.getLong(6) == 1L && u1.getLong(7) == 0L && u1.getLong(8) == 2L)
+    val u2 = out(2L)
+    assert(u2.isNullAt(4))                             // no cadence from 1 event
+    assert(u2.getDouble(5) == 5.5 && u2.getLong(7) == 1L)
+  }
+
   test("rfmSegments scores quartiles without a global sort") {
     val e = Seq(
       (1L, "2024-01-04 10:00:00", 40.0),

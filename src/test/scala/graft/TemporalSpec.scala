@@ -16,6 +16,26 @@ class TemporalSpec extends SparkSpec {
     rows.map { case (u, t, id, v) => (u, ts(t), id, v) }
       .toDF("user_id", "ts", "event_id", "value")
 
+  test("sessionPaths: prefix paths per session with shares, ordered top-N") {
+    // u1 session A: view>click>purchase; after a 2h gap session B: view
+    // u2 one session: view>click
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (1L, "2024-01-01 10:01:00", 2L, "click"),
+      (1L, "2024-01-01 10:02:00", 3L, "purchase"),
+      (1L, "2024-01-01 13:00:00", 4L, "view"),
+      (2L, "2024-01-01 09:00:00", 5L, "view"),
+      (2L, "2024-01-01 09:10:00", 6L, "click"))
+      .map { case (u, t, id, et) => (u, ts(t), id, et) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Temporal.sessionPaths(e, gapMinutes = 30, maxLen = 2, topN = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+    // maxLen=2 truncates u1's first session to its prefix
+    assert(out.toMap == Map(
+      "view>click" -> ((2L, 2.0 / 3)), "view" -> ((1L, 1.0 / 3))))
+    assert(out.head._1 == "view>click") // ordered by count desc
+  }
+
   test("gapFill densifies the daily series and tracks staleness") {
     val events = Seq(
       ("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 11:00:00")),
