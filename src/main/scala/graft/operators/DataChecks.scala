@@ -227,9 +227,12 @@ object DataChecks {
     * the oracle replays bit-identically. A single-day type has zero
     * x-variance: slope and intercept are NULL, not a crash. */
   def dailyTrend(events: DataFrame): DataFrame = {
+    // persisted: the day-0 origin leg would otherwise re-run the event
+    // scan + daily aggregate (caller owns the lifetime)
     val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val origin = daily.agg(min(col("day")).as("day0"))
     daily.crossJoin(broadcast(origin))
       .withColumn("x", datediff(col("day"), col("day0")).cast("bigint"))

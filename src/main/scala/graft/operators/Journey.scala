@@ -263,9 +263,12 @@ object Journey {
     * successor is deterministic), then the pair count collapses to a
     * types×types frame — every row after the window is
     * cardinality-bounded by the type domain, not the event volume.
-    * `p` is one exact IEEE division of two bigints (the per-from total
-    * joins back from a types-sized aggregate, not a second window over
-    * the event grain). */
+    * `p` is one exact IEEE division of two bigints; the per-from total
+    * is a from-partitioned window over the types²-sized aggregate —
+    * a separate totals aggregate would silently RE-RUN the event scan
+    * and lead window as its second input leg (the unpersisted-shared-
+    * frame trap), where this window costs one exchange of types²
+    * rows. */
   def nextEventMatrix(events: DataFrame): DataFrame = {
     val pairs = events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -275,11 +278,9 @@ object Journey {
       .where(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy(col("from_type"))
-      .agg(sum(col("n")).as("n_from"))
-    pairs.join(broadcast(totals), Seq("from_type"))
-      .select(col("from_type"), col("to_type"), col("n"),
-        (col("n").cast("double") / col("n_from")).as("p"))
+    pairs
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
       .orderBy(col("from_type"), col("to_type"))
   }
 
@@ -309,8 +310,11 @@ object Journey {
       max(to_date(col("ts"))).as("last_day"),
       sum(round(col("value") * 100).cast("bigint")).as("spend_cents")) ++
       typeAggs
+    // persisted: the as-of leg would otherwise re-run the scan + user
+    // aggregate as its own input (caller owns the lifetime)
     val perUser = events.groupBy(col("user_id"))
       .agg(aggs.head, aggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val asOf = perUser.agg(max(col("last_day")).as("as_of"))
     perUser.crossJoin(broadcast(asOf))
       .select(Seq(
@@ -344,16 +348,19 @@ object Journey {
     * order-independent; the one float division back into currency
     * happens per CELL, not per user. */
   def rfmSegments(events: DataFrame): DataFrame = {
+    // persisted: the as-of max, the threshold aggregate and the scoring
+    // pass all read the per-user frame — unpersisted, each leg re-runs
+    // the event scan + user aggregate (caller owns the lifetime)
     val perUser = events
       .groupBy(col("user_id"))
       .agg(max(to_date(col("ts"))).as("last_day"),
         count(lit(1)).as("freq"),
         sum(round(col("value") * 100).cast("bigint")).as("mon_cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val asOf = perUser.agg(max(col("last_day")).as("as_of"))
     val u = perUser.crossJoin(broadcast(asOf))
       .withColumn("rec_days",
         datediff(col("as_of"), col("last_day")).cast("bigint"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = Seq(0.25, 0.5, 0.75)
     val thr = u.agg(
       expr(s"percentile(rec_days, array(${qs.mkString("D,")}D))").as("rq"),

@@ -335,4 +335,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("rfm scores at broadcast thresholds: no window, no sort-exchange") {
+    val p = plan("q_rfm")
+    // quartiles come from one exact-percentile aggregate broadcast
+    // back — a Window/ntile here means the global-sort scorer is back
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // every leg reads the cached per-user frame (each InMemoryRelation
+    // prints its cached child's FileScan, so equal counts == no live
+    // uncached scan leg)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size ==
+      "InMemoryTableScan".r.findAllIn(p).size, p.take(2000))
+  }
+
+  test("dq rules run as ONE aggregate scan, no join, no shuffle fan-out") {
+    val p = plan("q_dq_rules")
+    assert(!p.contains("Join"), p.take(2000))
+    // one source scan: k rules must not become k passes
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("user features: one user-keyed aggregate, as-of joins broadcast") {
+    val p = plan("q_user_features")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the as-of leg reads the cached per-user frame (cached-child
+    // FileScan prints make the counts equal iff no live scan leaks)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size ==
+      "InMemoryTableScan".r.findAllIn(p).size, p.take(2000))
+  }
+
+  test("source vocab overlap: both join legs read the cached dedup frame") {
+    val p = plan("q_source_overlap")
+    // the (source, term) distinct frame feeds sizes + both self-join
+    // sides from cache — without it each leg re-tokenizes the corpus
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("next-event matrix: one event scan; totals never re-run the lead") {
+    val p = plan("q_next_event")
+    // the per-from total is a window over the types^2 aggregate — a
+    // join-based total would re-scan events as its second input leg
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
 }
