@@ -22,7 +22,7 @@ object Bench {
     "q_simhash", "q_simhash_pairs", "q_skew_salted", "q_decontam",
     "q_stratified_sample", "q_split", "q_split_leak", "q_blocklist", "q_chunks",
     "q_chunk_dedup",
-    "q_pack", "q_curation_funnel", "q_vocab", "q_bpe_pairs",
+    "q_pack", "q_curation_funnel", "q_vocab", "q_bpe_pairs", "q_bpe_train",
     "q_quality_cap",
     "q_dedup_incremental",
     "q_vector_health", "q_embed_quant",
@@ -38,7 +38,7 @@ object Bench {
     "q_range_join", "q_qa_drift", "q_source_drift", "q_dedup_bloom",
     "q_cohort", "q_lifecycle", "q_funnel_steps", "q_funnel_latency",
     "q_next_event", "q_rfm", "q_trend", "q_source_overlap",
-    "q_session_paths", "q_dq_rules", "q_user_features",
+    "q_session_paths", "q_dq_rules", "q_user_features", "q_attribution",
     "q_histogram", "q_qa_anomaly",
     "q_semantic_dedup", "q_mixture", "q_props_health",
     "q_search", "q_qa_orphans", "q_percentiles", "q_winsorize",

@@ -65,6 +65,10 @@ object SparkEntry {
     * deterministic tie-break at the cut is itself gate-checked. */
   private val BpeTopN = 200
 
+  /** q_bpe_train merge rounds (spec-gated — no SQL oracle for the
+    * data-dependent argmax loop). */
+  private val BpeMerges = 10
+
   /** q_quality_cap: best docs kept per source. */
   private val QualityPerSource = 3
 
@@ -550,6 +554,8 @@ object SparkEntry {
       TextAnalysis.vocabulary(Tables.documents(s, d), VocabTopN)),
     "q_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairs(Tables.documents(s, d), BpeTopN)),
+    "q_bpe_train" -> ((s, d) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, d), BpeMerges)),
     "q_quality_cap" -> ((s, d) =>
       Curation.topQualityPerSource(Tables.documents(s, d), QualityPerSource)),
     "q_dedup_incremental" -> ((s, d) => {
@@ -743,6 +749,8 @@ object SparkEntry {
     "q_session_paths" -> ((s, d) =>
       Temporal.sessionPaths(Tables.events(s, d), SessionGapMin,
         PathMaxLen, PathTopN)),
+    "q_attribution" -> ((s, d) =>
+      Temporal.attribution(Tables.events(s, d), AttribDays)),
     "q_dq_rules" -> ((s, d) =>
       DataChecks.ruleCheck(Tables.orders(s, d), orderRules)),
     "q_user_features" -> ((s, d) =>
@@ -2690,6 +2698,31 @@ object SparkEntry {
           c AS (SELECT path, count(*) AS n FROM p GROUP BY 1)
           SELECT path, n, CAST(n AS DOUBLE) / t.n_sessions AS share
           FROM c CROSS JOIN t ORDER BY n DESC, path LIMIT $PathTopN""",
+    // Integer micro-cent credits (cents*1e6 // n) are summation-order
+    // exact; the one display division closes the query on both sides.
+    "q_attribution" ->
+      s"""WITH p AS (SELECT user_id, ts AS end_ts,
+            ts - INTERVAL $AttribDays DAYS AS start_ts,
+            event_id AS purchase_id,
+            CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'),
+          x AS (SELECT user_id, ts, event_type AS channel FROM events
+            WHERE event_type <> 'purchase'),
+          pc AS (SELECT purchase_id, cents, channel, count(*) AS k
+            FROM p JOIN x ON x.user_id = p.user_id
+              AND x.ts >= p.start_ts AND x.ts < p.end_ts
+            GROUP BY 1, 2, 3),
+          pn AS (SELECT *, CAST(sum(k) OVER (PARTITION BY purchase_id)
+              AS BIGINT) AS n FROM pc),
+          cr AS (SELECT channel, k, (cents * 1000000) // n * k AS credit
+              FROM pn
+            UNION ALL
+            SELECT '(none)', 1, cents * 1000000 FROM p
+              WHERE purchase_id NOT IN (SELECT purchase_id FROM pc))
+          SELECT channel, CAST(sum(k) AS BIGINT) AS n_credits,
+            CAST(CAST(sum(credit) AS BIGINT) AS DOUBLE) / 100000000.0
+              AS credited_value
+          FROM cr GROUP BY 1 ORDER BY 1""",
     // One SELECT per rule over the same predicate text the engine
     // builds from orderRules; NULL predicate = violation on both sides.
     "q_dq_rules" -> {

@@ -190,6 +190,58 @@ object Temporal {
       .orderBy(col("t1"), col("t2"))
   }
 
+  /** Equal-split multi-touch attribution: every purchase's value is
+    * divided equally over the user's exposure events in the trailing
+    * `windowDays` window strictly before it, credited to the
+    * exposure's event type (the channel); purchases with no exposure
+    * in window land in the `(none)` bucket at full value, so the
+    * report is a complete accounting of purchase value by touch
+    * channel. The multi-touch generalization of [[asofJoin]]-style
+    * last-touch — one purchase can credit several channels.
+    *
+    * Determinism is the point of the credit unit: a per-exposure
+    * `value/n` double would make channel sums order-dependent, so the
+    * credit is integer MICRO-CENTS — `cents·10⁶ div n` — exact in any
+    * summation order, with one display division at the very end (each
+    * purchase strands < n micro-cents of remainder — bounded,
+    * documented, and far below the display unit). Pairing reuses the
+    * [[rangeJoin]] bin pattern (day-binned equi-join, never an
+    * unbounded interval cross product); everything after the pair
+    * count is (purchase × channel)-sized. */
+  def attribution(events: DataFrame, windowDays: Int): DataFrame = {
+    // persisted: the pair leg and the unattributed anti leg both read
+    // it (caller owns the lifetime, as for the other shared frames)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        (col("ts") - expr(s"INTERVAL $windowDays DAYS")).as("start"),
+        col("ts").as("end"), col("event_id").as("purchase_id"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exposures = events.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_type").as("channel"))
+    val pc = rangeJoin(purchases, exposures, "user_id", 86400L)
+      .where(col("ts") < col("end")) // strictly before the purchase
+      .groupBy(col("purchase_id"), col("cents"), col("channel"))
+      .agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val credited = pc
+      .withColumn("n", sum(col("k")).over(
+        Window.partitionBy(col("purchase_id"))))
+      .select(col("channel"), col("k"),
+        (expr("(cents * 1000000) div n") * col("k")).as("credit"))
+    val unattributed = purchases
+      .join(pc.select(col("purchase_id")).distinct(),
+        Seq("purchase_id"), "left_anti")
+      .select(lit("(none)").as("channel"), lit(1L).as("k"),
+        (col("cents") * 1000000L).as("credit"))
+    credited.union(unattributed)
+      .groupBy(col("channel"))
+      .agg(sum(col("k")).as("n_credits"),
+        (sum(col("credit")).cast("double") / 100000000.0)
+          .as("credited_value"))
+      .orderBy(col("channel"))
+  }
+
   /** Top session paths: the most common ordered event-type sequences a
     * session opens with (first `maxLen` events, joined with `>`), with
     * session counts and share of all sessions — the flow summary that

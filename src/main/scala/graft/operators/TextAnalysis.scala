@@ -349,6 +349,77 @@ object TextAnalysis {
       .orderBy(col("n_occ").desc, col("pair"))
       .limit(topN)
 
+  /** Word-level BPE training — `nMerges` iterations of the byte-pair
+    * encoding merge loop over the corpus vocabulary: start from
+    * per-character symbols on the (term, count) vocab frame, each
+    * round count adjacent symbol pairs weighted by word frequency,
+    * merge the most frequent pair corpus-wide (ties to the
+    * lexicographically smallest pair — fully deterministic), and
+    * rewrite the symbol arrays greedily left-to-right. Returns the
+    * merge table (rank, pair, merged symbol, weighted count) — the
+    * artifact a tokenizer build actually ships. [[bpePairs]] is one
+    * round of this at word grain; this is the real loop at symbol
+    * grain.
+    *
+    * Scale shape: the corpus collapses to the VOCAB frame in one
+    * token-count aggregate (the only event-volume-sized step — the
+    * merge loop never rescans the corpus); each round is a pair
+    * explode + one small aggregate over vocab-sized data, with the
+    * winning pair reduced driver-side (a 1-row argmax, the
+    * trainCentroids contract) and the rewrite a row-local fold.
+    * `localCheckpoint` per round keeps lineage O(1) across
+    * iterations (the Lloyd pattern) — without it round k replays all
+    * k−1 rewrites. No DuckDB oracle: the loop's data-dependent argmax
+    * can't be replayed in non-recursive SQL — spec-gated instead
+    * (exact merge sequence on a hand-computable fixture). */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .select(filter(split(col("term"), ""), s => s =!= "").as("sym"),
+        col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var done = false
+    for (ix <- 0 until nMerges if !done) {
+      val top = vocab
+        .where(size(col("sym")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("sym")) - 1),
+          i => struct(element_at(col("sym"), i).as("a"),
+            element_at(col("sym"), i + 1).as("b")))).as("p"),
+          col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("w"))
+        .orderBy(col("w").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, w) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        merges += ((ix, a, b, a + b, w))
+        // greedy left-to-right rewrite: fold each word's symbols,
+        // merging a symbol into the accumulator tail when the tail is
+        // `a` and it is `b` (an overlapping run re-merges only after
+        // the tail changes — standard BPE greedy semantics)
+        vocab = vocab.select(
+          aggregate(col("sym"),
+            array().cast("array<string>"),
+            (acc, s) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) &&
+                s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(s)))).as("sym"),
+          col("cnt"))
+          .localCheckpoint()
+      }
+    }
+    merges.result()
+      .toDF("merge_ix", "left", "right", "merged", "pair_weight")
+      .orderBy(col("merge_ix"))
+  }
+
   /** Top-`perDoc` TF-IDF terms per document. IDF is the LOG-FREE
     * ratio n_docs/df: ln() is only 1-ulp-accurate and differs between
     * libm implementations, so a log idf would make the oracle compare

@@ -518,6 +518,58 @@ object EventStream {
         col("n_users"))
   }
 
+  case class NextEvState(lastUs: Long, lastType: String)
+  case class Transition(user_id: Long, ts: java.sql.Timestamp,
+                        from_type: String, to_type: String)
+
+  /** Streaming twin of
+    * [[graft.operators.Journey.nextEventMatrix]]: per-user state is
+    * ONE (last event-time, last type) pair — O(1) per key over an
+    * unbounded stream — and each arriving event at or past that
+    * frontier emits one (from, to) transition and advances it, feeding
+    * a watermarked daily tumbling count per pair (the batch matrix is
+    * the sum of those finalized days). In-batch rows are processed in
+    * event-time order (integer microseconds — millis would merge
+    * sub-ms neighbors into false ties); a row arriving BEHIND the
+    * frontier is dropped rather than retroactively re-chained
+    * (append mode cannot retract the transition that already spanned
+    * it — the cohortActivity contract). EquivalenceSpec proves the
+    * summed finalized days equal the batch matrix counts on the real
+    * events table. */
+  def transitionCounts(spark: SparkSession,
+                       events: Dataset[Event]): DataFrame = {
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events.withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[NextEvState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[NextEvState]) =>
+          val sorted = rows.toSeq.sortBy(e => micros(e.ts))
+          var st = state.getOption
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            st match {
+              case Some(s) if t >= s.lastUs =>
+                out += Transition(uid, e.ts, s.lastType, e.event_type)
+                st = Some(NextEvState(t, e.event_type))
+              case None =>
+                st = Some(NextEvState(t, e.event_type))
+              case _ => // behind the per-user frontier: late, dropped
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day"), col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("date").as("day"),
+        col("from_type"), col("to_type"), col("n"))
+  }
+
   case class Session(user_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
                      n_events: Long, total_value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)

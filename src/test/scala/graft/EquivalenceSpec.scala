@@ -150,6 +150,39 @@ class EquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("streaming transitionCounts sums to the batch next-event matrix") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq.sortBy(_.ts.getTime)
+    val maxTs = ev.map(_.ts.getTime).max
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(ev: _*)
+    val q = EventStream.transitionCounts(spark, mem.toDS())
+      .writeStream.format("memory").queryName("eq_ne").outputMode("append")
+      .start()
+    // sentinel far past the watermark finalizes every real day
+    mem.addData(Event(0L,
+      new Timestamp(maxTs + 10 * 86400000L), "sentinel", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    // user 0's last real event chains into the sentinel — exclude it
+    val streamed = spark.table("eq_ne")
+      .where(col("to_type") =!= "sentinel")
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("n")).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.Journey
+      .nextEventMatrix(Tables.events(spark, "/root/testdata/sf0.001"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming dedup keeps exactly the batch exactDedup survivors") {
     // the sf0.001 planted dups are NEAR dups only — plant one exact
     // duplicate (new id, same text as doc 0) so the dedup binds

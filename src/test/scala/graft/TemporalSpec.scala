@@ -16,6 +16,41 @@ class TemporalSpec extends SparkSpec {
     rows.map { case (u, t, id, v) => (u, ts(t), id, v) }
       .toDF("user_id", "ts", "event_id", "value")
 
+  test("attribution splits purchase cents equally; unattributed goes to (none)") {
+    // u1 buys 10.00 after a view and a click (5.00 each); u2 buys
+    // 7.77 with no prior exposure in window; u1's second view is
+    // AFTER the purchase -> no credit
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 11:00:00", 2L, "click", 0.0),
+      (1L, "2024-01-01 12:00:00", 3L, "purchase", 10.0),
+      (1L, "2024-01-01 13:00:00", 4L, "view", 0.0),
+      (2L, "2024-01-05 12:00:00", 5L, "purchase", 7.77))
+      .map { case (u, t, id, et, v) => (u, ts(t), id, et, v) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Temporal.attribution(e, windowDays = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map(
+      "view" -> ((1L, 5.0)), "click" -> ((1L, 5.0)),
+      "(none)" -> ((1L, 7.77))))
+  }
+
+  test("attribution credits are exact under uneven splits") {
+    // 0.01 over 3 exposures: each credit = 333333 micro-cents, one
+    // micro-cent remainder stranded (documented contract)
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 10:10:00", 2L, "view", 0.0),
+      (1L, "2024-01-01 10:20:00", 3L, "click", 0.0),
+      (1L, "2024-01-01 11:00:00", 4L, "purchase", 0.01))
+      .map { case (u, t, id, et, v) => (u, ts(t), id, et, v) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Temporal.attribution(e, windowDays = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("view") == ((2L, 2 * 333333 / 1e8)))
+    assert(out("click") == ((1L, 333333 / 1e8)))
+  }
+
   test("sessionPaths: prefix paths per session with shares, ordered top-N") {
     // u1 session A: view>click>purchase; after a 2h gap session B: view
     // u2 one session: view>click

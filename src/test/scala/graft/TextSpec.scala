@@ -274,6 +274,20 @@ class TextSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("bpeTrain learns the exact merge sequence and stops when dry") {
+    // vocab: aaab x1, ab x2. Round 1: (a,b) w=3 beats (a,a) w=2.
+    // Round 2: tie at w=1 -> lexicographic (a,a) wins. Round 3 merges
+    // the last pair; rounds 4-5 have nothing left -> 3 rows only.
+    val df = Seq((1L, "aaab"), (2L, "ab ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(df, nMerges = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0, "a", "b", "ab", 3L),
+      (1, "a", "a", "aa", 1L),
+      (2, "aa", "ab", "aaab", 1L)))
+  }
+
   test("sourceVocabOverlap: pairwise vocab Jaccard, zero-overlap pairs absent") {
     val df = Seq(
       (1L, "a b c", "s1"), (2L, "b c d", "s2"), (3L, "x", "s3"))
