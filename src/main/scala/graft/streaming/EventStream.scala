@@ -570,6 +570,61 @@ object EventStream {
         col("from_type"), col("to_type"), col("n"))
   }
 
+  case class FunnelState(stageIx: Int, lastUs: Long)
+  case class StageTouch(user_id: Long, ts: java.sql.Timestamp,
+                        stage_ix: Int, stage: String)
+
+  /** Streaming twin of [[graft.operators.Journey.funnelSteps]]'
+    * ordered-completion counts: per-user state is ONE (highest stage
+    * reached, its completion time) pair, each arriving event that
+    * matches the NEXT stage at or past that time advances the state
+    * and emits a stage touch, and a watermarked daily tumbling count
+    * per stage finalizes — a user completes each stage at most once,
+    * so the summed finalized days ARE the batch per-stage user
+    * counts (EquivalenceSpec proves it on the real sliced events).
+    * In-batch rows chain in event-time order (the
+    * [[transitionCounts]] contract); a row arriving behind the
+    * frontier is dropped — with in-order arrival the first matching
+    * event IS the batch min, so the twins agree; under reordering the
+    * streaming completion time can only be later (append cannot
+    * retract an already-emitted touch). Finalization rides the TOUCH
+    * stream's watermark (the event stream's tag does not survive the
+    * stateful hop): a day publishes once a LATER touch passes it, so
+    * a funnel that goes quiet holds its last open day — the spec's
+    * flush sentinel is therefore a stage-0 completion, not a generic
+    * event. */
+  def funnelProgress(spark: SparkSession, events: Dataset[Event],
+                     stages: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(stages.nonEmpty, "funnelProgress needs at least one stage")
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events.withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageTouch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => micros(e.ts))
+          var st = state.getOption.getOrElse(FunnelState(-1, Long.MinValue))
+          val out = Seq.newBuilder[StageTouch]
+          sorted.foreach { e =>
+            val next = st.stageIx + 1
+            if (next < stages.size && e.event_type == stages(next) &&
+              micros(e.ts) >= st.lastUs) {
+              st = FunnelState(next, micros(e.ts))
+              out += StageTouch(uid, e.ts, next, stages(next))
+            }
+          }
+          if (st.stageIx >= 0) state.update(st)
+          out.result().iterator
+      }
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day"), col("stage_ix"), col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("window.start").cast("date").as("day"),
+        col("stage_ix"), col("stage"), col("n_users"))
+  }
+
   case class Session(user_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
                      n_events: Long, total_value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)

@@ -183,6 +183,41 @@ class EquivalenceSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming funnelProgress sums to the batch funnel stage counts") {
+    val stages = Seq("view", "click", "purchase")
+    // same sparse slice the batch funnel queries use
+    val sliced = Tables.events(spark, "/root/testdata/sf0.001")
+      .where(col("event_id") % 13 === 0)
+    val ev = sliced
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq.sortBy(_.ts.getTime)
+    val maxTs = ev.map(_.ts.getTime).max
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(ev: _*)
+    val q = EventStream.funnelProgress(spark, mem.toDS(), stages)
+      .writeStream.format("memory").queryName("eq_fp").outputMode("append")
+      .start()
+    // finalization follows the TOUCH stream's watermark (see the
+    // operator scaladoc), so the flush sentinel must COMPLETE a stage:
+    // a far-future stage-0 view from a user id outside the corpus
+    mem.addData(Event(999999L,
+      new Timestamp(maxTs + 10 * 86400000L), "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val lastRealDay = new java.sql.Date(maxTs).toString
+    val streamed = spark.table("eq_fp")
+      .where(col("day") <= lastRealDay) // drop the sentinel's own touch
+      .groupBy(col("stage")).agg(sum(col("n_users")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Journey.funnelSteps(sliced, stages)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty && batch("view") > 0)
+    assert(streamed == batch.filter(_._2 > 0))
+  }
+
   test("streaming dedup keeps exactly the batch exactDedup survivors") {
     // the sf0.001 planted dups are NEAR dups only — plant one exact
     // duplicate (new id, same text as doc 0) so the dedup binds
