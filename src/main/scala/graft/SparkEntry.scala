@@ -118,6 +118,9 @@ object SparkEntry {
     * deliberately INSIDE the data range so the report shows real
     * violations, not a wall of zeros. */
   private val OrderPriceCap = 300000
+
+  /** q_ooo_audit candidate watermark delays (seconds). */
+  private val OooDelays = Seq(60, 300, 3600)
   private def orderRules: Seq[(String, Column)] = Seq(
     "custkey_not_null" -> col("o_custkey").isNotNull,
     "orderdate_in_range" ->
@@ -753,6 +756,9 @@ object SparkEntry {
       Temporal.attribution(Tables.events(s, d), AttribDays)),
     "q_dq_rules" -> ((s, d) =>
       DataChecks.ruleCheck(Tables.orders(s, d), orderRules)),
+    "q_ooo_audit" -> ((s, d) =>
+      DataChecks.oooAudit(DataChecks.plantLate(Tables.events(s, d)),
+        OooDelays)),
     "q_user_features" -> ((s, d) =>
       Journey.userFeatures(Tables.events(s, d), EventTypes)),
     "q_histogram" -> ((s, d) =>
@@ -2723,6 +2729,31 @@ object SparkEntry {
             CAST(CAST(sum(credit) AS BIGINT) AS DOUBLE) / 100000000.0
               AS credited_value
           FROM cr GROUP BY 1 ORDER BY 1""",
+    // Replays the planted shift with integer epoch arithmetic, then
+    // the two-phase prefix max as ONE flat global window (a prefix max
+    // is partition-boundary-independent, so the values agree).
+    "q_ooo_audit" -> {
+      val lateCols = OooDelays.map(d =>
+        s"CAST(sum(CAST(late_us > ${d * 1000000L} AS INT)) AS BIGINT) " +
+          s"AS n_late_${d}s").mkString(",\n            ")
+      s"""WITH e AS (SELECT event_type, event_id,
+            CASE WHEN event_id % 101 = 7
+              THEN epoch_us(ts) - (1 + event_id % 7) * 60000000
+              ELSE epoch_us(ts) END AS tu FROM events),
+          m AS (SELECT *, max(tu) OVER (ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pfx
+            FROM e),
+          l AS (SELECT event_type,
+            CASE WHEN pfx IS NULL OR pfx <= tu THEN 0
+              ELSE pfx - tu END AS late_us FROM m)
+          SELECT event_type, count(*) AS n_events,
+            CAST(sum(CAST(late_us > 0 AS INT)) AS BIGINT) AS n_ooo,
+            CAST(max(late_us) AS DOUBLE) / 1000000.0 AS max_late_s,
+            $lateCols,
+            CAST(CAST(sum(CAST(late_us > 0 AS INT)) AS BIGINT) AS DOUBLE)
+              / count(*) AS ooo_frac
+          FROM l GROUP BY 1 ORDER BY 1"""
+    },
     // One SELECT per rule over the same predicate text the engine
     // builds from orderRules; NULL predicate = violation on both sides.
     "q_dq_rules" -> {

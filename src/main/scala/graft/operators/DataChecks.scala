@@ -183,6 +183,82 @@ object DataChecks {
       .orderBy(col("source"))
   }
 
+  /** Deterministic late-arrival planting — the oracle fixture for
+    * [[oooAudit]] (the synthetic feed is perfectly ordered, so an
+    * unplanted audit would be an all-zero gate): every
+    * event_id % 101 == 7 event's timestamp shifts back 1–7 minutes
+    * (by event_id % 7), mirrored by integer epoch arithmetic in the
+    * oracle SQL. */
+  def plantLate(events: DataFrame): DataFrame =
+    events.withColumn("ts",
+      when(pmod(col("event_id"), lit(101)) === 7,
+        timestamp_micros(unix_micros(col("ts")) -
+          (lit(1) + pmod(col("event_id"), lit(7))) * 60000000L))
+        .otherwise(col("ts")))
+
+  /** Out-of-order-arrival audit — the measurement a watermark delay
+    * should be SIZED from instead of folklore: treating `event_id` as
+    * arrival order, each event's lateness is how far its event time
+    * sits behind the maximum event time that already arrived (the
+    * frontier a streaming watermark tracks); per event type the report
+    * gives the out-of-order count/fraction, the worst lateness, and
+    * how many events each candidate watermark delay in `delaysSec`
+    * would drop. Read it as: pick the smallest delay whose drop count
+    * you can live with.
+    *
+    * The running frontier is a prefix max over arrival order — the
+    * textbook single-reducer window. Here it is a two-phase scan over
+    * ROW-LOCAL arrival buckets (`event_id div bucketSize` — no
+    * RangePartitioner sampling, no spark_partition_id, AQE-proof):
+    * a strict-prefix max within each bucket (one balanced hash
+    * exchange, the only corpus-sized shuffle), then each bucket's
+    * exclusive offset from a (n/bucketSize)-row cumulative window,
+    * broadcast back. Size bucketSize so the bucket count stays ~10⁵–6
+    * at the target corpus (a third level generalizes). The result is
+    * bucket-boundary-independent (prefix max is associative), which
+    * is what lets the oracle replay it as one flat global window.
+    * Lateness is exact integer microseconds; the fraction is the one
+    * final division. */
+  def oooAudit(events: DataFrame,
+               delaysSec: Seq[Int] = Seq(60, 300, 3600),
+               bucketSize: Long = 1L << 16): DataFrame = {
+    // persisted: the offsets leg re-reads the bucketed frame (caller
+    // owns the lifetime)
+    val parts = events
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tu"))
+      .withColumn("bkt", expr(s"event_id div ${bucketSize}L"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wLocal = Window.partitionBy(col("bkt")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // n/bucketSize rows — the only cross-bucket step
+    val wOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("bkt")).agg(max(col("tu")).as("bmax"))
+      .withColumn("prev_max", max(col("bmax")).over(wOff))
+      .select(col("bkt"), col("prev_max"))
+    val lateAggs = delaysSec.map(d =>
+      sum((col("late_us") > d * 1000000L).cast("bigint"))
+        .as(s"n_late_${d}s"))
+    val aggs = Seq(count(lit(1)).as("n_events"),
+      sum((col("late_us") > 0).cast("bigint")).as("n_ooo"),
+      (max(col("late_us")).cast("double") / 1000000.0)
+        .as("max_late_s")) ++ lateAggs
+    parts.join(broadcast(offsets), Seq("bkt"))
+      // greatest skips NULLs: rows of the first bucket have no offset
+      // and its first row no local prefix -> NULL frontier -> not late
+      .withColumn("pfx",
+        greatest(max(col("tu")).over(wLocal), col("prev_max")))
+      .withColumn("late_us",
+        when(col("pfx").isNull || col("pfx") <= col("tu"), 0L)
+          .otherwise(col("pfx") - col("tu")))
+      .groupBy(col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("ooo_frac",
+        col("n_ooo").cast("double") / col("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** Declarative data-quality rule engine: each rule is a boolean
     * Column a row should satisfy; the report is one row per rule with
     * the violation count and rate — the generic contract behind every

@@ -5,6 +5,29 @@ import graft.operators.{DailyQA, DataChecks, GraftDataException}
 
 class DataChecksSpec extends SparkSpec {
 
+  test("oooAudit measures lateness against the global arrival frontier") {
+    import spark.implicits._
+    // arrival order by event_id; event 3 is 90s behind the frontier
+    // set by event 2, event 5 is 30s behind event 4's frontier
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", "a"),
+      (2L, "2024-01-01 10:05:00", "a"),
+      (3L, "2024-01-01 10:03:30", "b"), // 90s late vs 10:05
+      (4L, "2024-01-01 10:10:00", "b"),
+      (5L, "2024-01-01 10:09:30", "a")) // 30s late vs 10:10
+      .map { case (id, t, et) =>
+        (id, java.sql.Timestamp.valueOf(t), et) }
+      .toDF("event_id", "ts", "event_type")
+    // bucketSize 3: ids 1-2 in bucket 0, 3-5 in bucket 1 — event 3 is
+    // its bucket's FIRST row, so its frontier comes from the offset
+    // phase; event 5's comes from the local prefix
+    val out = DataChecks.oooAudit(e, Seq(60), bucketSize = 3).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out("a") == ((3L, 1L, 30.0, 0L))) // 30s late, under 60s
+    assert(out("b") == ((2L, 1L, 90.0, 1L))) // 90s late, dropped at 60s
+  }
+
   test("ruleCheck: one pass, NULL predicate counts as violation") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, java.lang.Double)](

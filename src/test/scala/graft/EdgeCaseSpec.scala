@@ -27,6 +27,61 @@ class EdgeCaseSpec extends SparkSpec {
     assert(t(3L) == Seq("a", "b", "c", "d"))
   }
 
+  test("attribution with no purchases at all returns an empty report") {
+    import graft.operators.Temporal
+    val e = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+      1L, "view", 0.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    assert(Temporal.attribution(e, 3).collect().isEmpty)
+  }
+
+  test("nextEventMatrix on single-event users is empty") {
+    import graft.operators.Journey
+    val e = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+      1L, "view"), (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"),
+      2L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(Journey.nextEventMatrix(e).collect().isEmpty)
+  }
+
+  test("rfmSegments with one user puts them in the all-1 cell") {
+    import graft.operators.Journey
+    val e = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    val out = Journey.rfmSegments(e).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // all thresholds equal the single value -> no strict exceedance
+    assert(r.getInt(0) == 1 && r.getInt(1) == 1 && r.getInt(2) == 1)
+    assert(r.getLong(3) == 1L && r.getDouble(4) == 5.0)
+  }
+
+  test("sessionPaths single-event sessions are length-1 paths") {
+    import graft.operators.Temporal
+    val e = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+      1L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Temporal.sessionPaths(e, 30).collect()
+    assert(out.length == 1 && out.head.getString(0) == "view" &&
+      out.head.getDouble(2) == 1.0)
+  }
+
+  test("bpeTrain on an empty corpus learns nothing") {
+    import graft.operators.TextAnalysis
+    val df = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(df, 3).collect().isEmpty)
+  }
+
+  test("sourceVocabOverlap ignores NULL text rows") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, Some("a b"), "s1"), (2L, None, "s1"),
+      (3L, Some("a"), "s2")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceVocabOverlap(df).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(2) == 2L && out.head.getLong(3) == 1L &&
+      out.head.getDouble(5) == 0.5)
+  }
+
   test("boilerplateStrip with no frequent lines is a no-op on text") {
     import graft.operators.Curation
     val df = Seq((1L, "only one\nof each line"), (2L, "different\nlines"))

@@ -383,4 +383,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(2000))
     assert(!p.contains("Join"), p.take(2000))
   }
+
+  test("ooo audit: bucketed prefix max, offsets broadcast, no live scan") {
+    val p = plan("q_ooo_audit")
+    // the corpus-sized window is PARTITIONED by bkt; the only global
+    // window runs on the #buckets-sized aggregate, and the offsets
+    // rejoin must broadcast — a SortMergeJoin here re-shuffles the
+    // corpus on bkt a second time
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    // both legs (main + offsets) read the persisted bucketed frame;
+    // cached-child FileScan prints make the counts equal iff no live
+    // uncached scan leaks
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size ==
+      "InMemoryTableScan".r.findAllIn(p).size, p.take(2000))
+  }
 }
