@@ -17,7 +17,8 @@ object Bench {
     "q_qa_flags", "q_profile", "q_lang_id",
     "q_text_quality", "q_token_count", "q_fingerprint", "q_repetition",
     "q_quality_filter", "q_dedup_exact",
-    "q_ngram_jaccard", "q_containment", "q_minhash_dedup", "q_minhash_recall",
+    "q_ngram_jaccard", "q_dedup_sweep", "q_containment",
+    "q_minhash_dedup", "q_minhash_recall",
     "q_dedup_clusters",
     "q_simhash", "q_simhash_pairs", "q_skew_salted", "q_decontam",
     "q_stratified_sample", "q_split", "q_split_leak", "q_blocklist", "q_chunks",
@@ -39,7 +40,7 @@ object Bench {
     "q_cohort", "q_lifecycle", "q_funnel_steps", "q_funnel_latency",
     "q_next_event", "q_rfm", "q_trend", "q_source_overlap",
     "q_session_paths", "q_dq_rules", "q_user_features", "q_attribution",
-    "q_ooo_audit",
+    "q_ooo_audit", "q_record_dedup",
     "q_histogram", "q_qa_anomaly",
     "q_semantic_dedup", "q_mixture", "q_props_health",
     "q_search", "q_qa_orphans", "q_percentiles", "q_winsorize",

@@ -26,6 +26,11 @@ object SparkEntry {
     * corpus (short-in-long dups that symmetric jaccard misses). */
   private val ContainmentThreshold = 0.6
 
+  /** q_dedup_sweep candidate Jaccard thresholds (permille): brackets
+    * the 0.3 gate q_ngram_jaccard runs at so the report shows how the
+    * pair/drop counts decay toward strictness. */
+  private val SweepThresholdsPm = Seq(300, 500, 700, 900)
+
   /** q_decontam: eval set = docs with doc_id % Mod == Rem (a
     * deterministic ~5% held-out slice); contamination = sharing any
     * 8-gram with it. 8 words ≈ the corpus's doc length scale (30–80
@@ -520,6 +525,9 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => TextAnalysis.exactDedup(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) =>
       NearDup.jaccardPairs(Tables.documentsFloored(s, d), 3, 0.3)),
+    "q_dedup_sweep" -> ((s, d) =>
+      NearDup.dedupSweep(Tables.documentsFloored(s, d), 3,
+        SweepThresholdsPm)),
     // Text twin of q_dedup_recall: banding recall + df-cap precision
     // of the minhash path vs the exact index at the same threshold
     // (0.5 — pinned by the verify stage both here and in the oracle).
@@ -759,6 +767,8 @@ object SparkEntry {
     "q_ooo_audit" -> ((s, d) =>
       DataChecks.oooAudit(DataChecks.plantLate(Tables.events(s, d)),
         OooDelays)),
+    "q_record_dedup" -> ((s, d) =>
+      Linkage.entityMatch(Linkage.plantDupes(Tables.customer(s, d)))),
     "q_user_features" -> ((s, d) =>
       Journey.userFeatures(Tables.events(s, d), EventTypes)),
     "q_histogram" -> ((s, d) =>
@@ -1639,6 +1649,27 @@ object SparkEntry {
             CAST(cnt AS DOUBLE) / (s1.n + s2.n - cnt) AS jaccard
             FROM c JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
           SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY d1, d2""",
+    // Same inverted-index CTEs as q_ngram_jaccard; each threshold
+    // qualifies pairs by integer cross-multiplication (no division
+    // anywhere), so the replay is bit-exact by construction.
+    "q_dedup_sweep" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),
+          e0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
+          e AS (SELECT e0.* FROM e0 JOIN (SELECT s FROM e0 GROUP BY s
+            HAVING count(*) <= ${NearDup.DefaultDfCap}) k USING (s)),
+          c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS cnt
+            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          sz AS (SELECT doc_id, len(sh) AS n FROM t),
+          p AS (SELECT d1, d2, cnt, s1.n + s2.n - cnt AS den
+            FROM c JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2),
+          th AS (SELECT unnest([${SweepThresholdsPm.mkString(", ")}])
+            AS threshold_pm),
+          q AS (SELECT threshold_pm, d2 FROM p JOIN th
+            ON cnt * 1000 >= threshold_pm * den)
+          SELECT threshold_pm, count(*) AS n_pairs,
+            count(DISTINCT d2) AS n_docs_dropped
+          FROM q GROUP BY 1 ORDER BY 1""",
     // Replays BOTH legs: the minhash chain (ver, threshold 0.5 pinned
     // in MinhashVerCtes) and the exact df-capped index at 0.5.
     "q_minhash_recall" ->
@@ -2754,6 +2785,28 @@ object SparkEntry {
               / count(*) AS ooo_frac
           FROM l GROUP BY 1 ORDER BY 1"""
     },
+    // Replays the planting (char-10 deletion, +0.25 dyadic balance
+    // drift) and the block-then-verify match; the blocking key is
+    // nation × LAST-3 name chars on both sides, so the candidate sets
+    // are identical and the pair list matches row-for-row.
+    "q_record_dedup" ->
+      s"""WITH c AS (SELECT c_custkey AS k, c_name AS nm,
+            c_nationkey AS nk, c_acctbal AS bal, c_mktsegment AS seg
+            FROM customer),
+          p AS (SELECT k + ${Linkage.DupKeyOffset} AS k,
+            substr(nm, 1, 9) || substr(nm, 11) AS nm, nk,
+            bal + CAST(0.25 AS DOUBLE) AS bal, seg
+            FROM c WHERE k % 10 = 3),
+          u AS (SELECT * FROM c UNION ALL SELECT * FROM p),
+          b AS (SELECT *, nk || '|' || substr(nm, length(nm) - 2, 3)
+            AS blk FROM u)
+          SELECT a.k AS a_key, b2.k AS b_key,
+            CAST(levenshtein(a.nm, b2.nm) AS INT) AS name_lev,
+            abs(a.bal - b2.bal) AS bal_diff, a.seg AS segment
+          FROM b a JOIN b b2 ON a.blk = b2.blk AND a.k < b2.k
+          WHERE levenshtein(a.nm, b2.nm) <= 1 AND a.seg = b2.seg
+            AND abs(a.bal - b2.bal) <= 100
+          ORDER BY 1, 2""",
     // One SELECT per rule over the same predicate text the engine
     // builds from orderRules; NULL predicate = violation on both sides.
     "q_dq_rules" -> {

@@ -143,6 +143,38 @@ object NearDup {
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
   }
 
+  /** Dedup-threshold sensitivity sweep — sizes the Jaccard threshold
+    * from data the way [[graft.operators.DataChecks.oooAudit]] sizes a
+    * watermark: one row per candidate threshold (permille) with how
+    * many near-dup pairs qualify and how many documents canonical
+    * keep-lowest-id dedup would drop there. Read it as: pick the
+    * highest threshold whose drop count matches the dedup budget.
+    *
+    * Thresholds are integer permille and each pair qualifies via the
+    * integer cross-multiplication `common·1000 ≥ t·(n1+n2−common)` —
+    * no float division, so the oracle replay is bit-exact by
+    * construction. The pair frame ([[jaccardPairs]]'s inverted-index
+    * core, generated ONCE) fans out row-locally to only its
+    * qualifying thresholds before one small keyed aggregate — the
+    * sweep's marginal cost over a single-threshold run is the
+    * qualifying-pair fan-out, never #thresholds extra corpus passes.
+    * A threshold no pair reaches yields no row (engine and oracle
+    * agree). */
+  def dedupSweep(docs: DataFrame, n: Int, thresholdsPm: Seq[Int],
+                 dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
+    require(thresholdsPm.nonEmpty, "dedupSweep needs at least one threshold")
+    val tArr = array(thresholdsPm.map(lit): _*)
+    sharedShingleCounts(docs, n, dfCap, "graft_sweep_dfcap")
+      .select(col("d2"), filter(tArr, t =>
+        col("common") * 1000L >= t.cast("long") *
+          (col("n1") + col("n2") - col("common"))).as("ts"))
+      .select(col("d2"), explode(col("ts")).as("threshold_pm"))
+      .groupBy(col("threshold_pm"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("d2")).as("n_docs_dropped"))
+      .orderBy(col("threshold_pm"))
+  }
+
   /** Benchmark decontamination: flag training docs sharing any word
     * `n`-gram with a held-out eval set (the GPT-3-style long-n-gram
     * overlap check). Returns (doc_id, n_overlap, n_sh, overlap_frac)

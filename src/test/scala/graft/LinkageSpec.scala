@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Linkage
+
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cust(rows: (Long, Int, Double, String)*) =
+    rows.map { case (k, nk, bal, seg) =>
+      (k, f"Customer#$k%09d", nk, bal, seg) }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+
+  test("entityMatch links planted dups and same-block near-collisions") {
+    val df = cust(
+      (3L, 1, 100.0, "AUTO"),   // planted → dup under key offset
+      (13L, 2, 100.0, "BIKE"),  // planted, other nation
+      (1L, 1, 500.0, "AUTO"),   // unplanted, different block (last3)
+      (1104L, 1, 50.0, "AUTO"), // accidental pair: same block, lev 1,
+      (2104L, 1, 60.0, "AUTO")) //   close balance — genuine output
+    val out = Linkage.entityMatch(Linkage.plantDupes(df)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (3L, 3L + Linkage.DupKeyOffset, 1, 0.25),
+      (13L, 13L + Linkage.DupKeyOffset, 1, 0.25),
+      (1104L, 2104L, 1, 10.0)))
+  }
+
+  test("entityMatch gates on segment and balance tolerance") {
+    // same block, lev-1 names, but segment differs / balance too far
+    val df = cust(
+      (1204L, 1, 50.0, "AUTO"),
+      (2204L, 1, 55.0, "BIKE"),   // segment mismatch vs 1204
+      (1304L, 1, 50.0, "AUTO"),
+      (2304L, 1, 500.0, "AUTO"))  // 450 > balTol vs 1304
+    assert(Linkage.entityMatch(df).collect().isEmpty)
+  }
+}

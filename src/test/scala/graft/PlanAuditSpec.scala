@@ -384,6 +384,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("record dedup joins on the blocking key, never the cross product") {
+    val p = plan("q_record_dedup")
+    // the whole point of blocking: candidates come from an equi-join
+    // on blk — a nested-loop/cartesian here means the verify predicate
+    // is running over the full pair space
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("dedup sweep: one shingle-frame build feeds pairs and sizes") {
+    val p = plan("q_dedup_sweep")
+    // same caching contract as jaccardPairs: the tokenize→shingle
+    // chain must come from the persisted frame on every leg
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("ooo audit: bucketed prefix max, offsets broadcast, no live scan") {
     val p = plan("q_ooo_audit")
     // the corpus-sized window is PARTITIONED by bkt; the only global

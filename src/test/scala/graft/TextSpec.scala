@@ -47,6 +47,20 @@ class TextSpec extends SparkSpec {
     assert(p.head.getDouble(2) > 0.9)
   }
 
+  test("dedup sweep reports pair/drop decay across the threshold ladder") {
+    // a==b exactly (4 shared shingles, j=1); c shares 2 of a's 4
+    // shingles (j = 2/(4+4-2) = 1/3) — qualifies at 300, not 500
+    val tri = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "w1 w2 w3 w4 x y")).toDF("doc_id", "text")
+    val out = NearDup.dedupSweep(tri, 3, Seq(300, 500, 2000)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(300) == ((3L, 2L))) // (1,2) (1,3) (2,3); d2 ∈ {2,3}
+    assert(out(500) == ((1L, 1L))) // only the exact pair survives
+    assert(!out.contains(2000))    // unreachable threshold → no row
+  }
+
   test("minhash dedup clusters the near-dup pair, leaves rest alone") {
     val m = NearDup.minhashDedup(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
