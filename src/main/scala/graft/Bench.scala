@@ -40,7 +40,7 @@ object Bench {
     "q_cohort", "q_lifecycle", "q_funnel_steps", "q_funnel_latency",
     "q_next_event", "q_rfm", "q_trend", "q_source_overlap",
     "q_session_paths", "q_dq_rules", "q_user_features", "q_attribution",
-    "q_ooo_audit", "q_record_dedup",
+    "q_ooo_audit", "q_record_dedup", "q_canary_scan", "q_inverted_index",
     "q_histogram", "q_qa_anomaly",
     "q_semantic_dedup", "q_mixture", "q_props_health",
     "q_search", "q_qa_orphans", "q_percentiles", "q_winsorize",

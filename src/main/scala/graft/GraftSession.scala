@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BloomAgg, BloomContains, DotProduct, MinHashSigs, MisraGriesAgg, NfcNormalize, RollingHash, SimHash40, TopKAgg}
+import graft.functions.{BloomAgg, BloomContains, DotProduct, MatchMask, MinHashSigs, MisraGriesAgg, NfcNormalize, RollingHash, SimHash40, TopKAgg}
 
 /** Standard session config for the graft engine. One place to keep the
   * settings that matter at scale (AQE, shuffle partitions sized to the
@@ -88,6 +88,20 @@ object GraftSession {
           new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_heavy_agg"),
           (exprs: Exprs) => { val e = arity("graft_heavy_agg", 2, exprs)
             MisraGriesAgg(e(0), e(1)).toAggregateExpression() }))
+        ext.injectFunction((
+          FunctionIdentifier("graft_match_mask"),
+          new ExpressionInfo(classOf[MatchMask].getName, "graft_match_mask"),
+          (exprs: Exprs) => {
+            require(exprs.length >= 2,
+              "graft_match_mask expects (text, pattern, ...)")
+            val pats = exprs.tail.map {
+              case org.apache.spark.sql.catalyst.expressions.Literal(
+                s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+              case other => throw new IllegalArgumentException(
+                s"graft_match_mask patterns must be string literals, got $other")
+            }
+            MatchMask(exprs.head, pats)
+          }))
         ext.injectFunction((
           FunctionIdentifier("graft_bloom_contains"),
           new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),

@@ -52,6 +52,13 @@ object SparkEntry {
   private val BlocklistTerms = Seq("slow", "big", "customer")
   private val BlocklistMaxFrac = 0.12
 
+  /** q_canary_scan phrases: multi-word substrings with corpus hit
+    * counts spanning rare→common, plus one deliberately absent canary
+    * (index 4) so the report proves a zero is a zero. Order matters —
+    * bit i of the mask is phrase i. */
+  private val CanaryPhrases = Seq("agg join small", "table window table",
+    "fast spark", "scan slow fast", "benchmark answer key")
+
   /** q_chunks/q_chunk_dedup: 32-token windows every 24 tokens
     * (8-token overlap) — small enough that the planted near-dup docs
     * share exact windows at every SF. */
@@ -96,6 +103,10 @@ object SparkEntry {
 
   /** q_tfidf: terms kept per document. */
   private val TfidfPerDoc = 3
+
+  /** q_inverted_index: df floor and postings kept per term. */
+  private val IndexMinDf = 2
+  private val IndexTopPostings = 5
 
   /** q_range_join: attribution window length (days) after a purchase.
     * The range-join band width equals the window, so each interval
@@ -549,6 +560,8 @@ object SparkEntry {
     "q_blocklist" -> ((s, d) =>
       Curation.blocklistFilter(Tables.documents(s, d), BlocklistTerms,
         BlocklistMaxFrac)),
+    "q_canary_scan" -> ((s, d) =>
+      Curation.canaryScan(Tables.documents(s, d), CanaryPhrases)),
     "q_chunks" -> ((s, d) =>
       Curation.chunks(Tables.documents(s, d), ChunkSize, ChunkStride)),
     "q_chunk_dedup" -> ((s, d) =>
@@ -674,6 +687,9 @@ object SparkEntry {
       Reach.approxReach(Tables.media(s, d), "etype")),
     "q_tfidf" -> ((s, d) =>
       TextAnalysis.tfidf(Tables.documents(s, d), TfidfPerDoc)),
+    "q_inverted_index" -> ((s, d) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, d), IndexMinDf,
+        IndexTopPostings)),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
     // PII is PLANTED deterministically in-query (the raw corpus has
     // none — an all-zeros oracle could not catch a broken pattern)
@@ -1744,6 +1760,21 @@ object SparkEntry {
               AS kept
           FROM b ORDER BY doc_id"""
     },
+    // The automaton's mask replayed as a sum of contains-flags (bit i
+    // = phrase i), then the same integer bit arithmetic for the
+    // derived columns on both sides.
+    "q_canary_scan" -> {
+      val maskSql = CanaryPhrases.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN contains(text, '$p') THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH m AS (SELECT doc_id, CAST($maskSql AS BIGINT) AS mask
+            FROM documents)
+          SELECT doc_id, mask, CAST(bit_count(mask) AS INT) AS n_pats,
+            CASE WHEN mask <> 0
+              THEN CAST(bit_count((mask & -mask) - 1) AS INT) END
+              AS first_idx
+          FROM m ORDER BY doc_id"""
+    },
     "q_chunks" -> (ChunksSql + " ORDER BY doc_id, chunk_ix"),
     "q_chunk_dedup" ->
       s"""WITH c AS ($ChunksSql)
@@ -2303,6 +2334,25 @@ object SparkEntry {
               ORDER BY tfidf DESC, term) AS INTEGER) AS rk FROM sc)
           SELECT doc_id, term, tf, df, tfidf, rk FROM rk
           WHERE rk <= $TfidfPerDoc ORDER BY doc_id, rk""",
+    // tf replayed with the plain exploded GROUP BY (row-local vs
+    // shuffled formulations agree exactly); postings via the
+    // row_number window the heap aggregate replaces, same (tf desc,
+    // doc asc) tiebreak.
+    "q_inverted_index" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          e AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2),
+          r AS (SELECT *, row_number() OVER (PARTITION BY term
+              ORDER BY tf DESC, doc_id) AS rk FROM tf),
+          top AS (SELECT term, string_agg(doc_id || ':' || tf, ','
+              ORDER BY tf DESC, doc_id) AS top_postings
+            FROM r WHERE rk <= $IndexTopPostings GROUP BY term),
+          s AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT)
+              AS total_tf
+            FROM tf GROUP BY term)
+          SELECT s.term, s.df, s.total_tf, top.top_postings
+          FROM s JOIN top USING (term)
+          WHERE s.df >= $IndexMinDf ORDER BY s.term""",
     "q_lm_score" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
           e AS (SELECT doc_id, unnest(toks) AS term FROM tk),

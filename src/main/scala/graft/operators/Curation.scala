@@ -106,6 +106,29 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-substring canary scan: which of ≤64 literal phrases (eval
+    * benchmark canaries, policy strings, tracking snippets) occur in
+    * each document — substring semantics, so multi-word phrases and
+    * mid-token hits that [[blocklistFilter]]'s token-set membership
+    * cannot see. ONE Aho–Corasick pass per row
+    * ([[graft.functions.MatchMask]], full-DFA, early-exit) instead of
+    * k `contains` rescans of the text: at a 100 TB corpus × a
+    * 50-phrase canary list that is the difference between 1 and 50
+    * CPU passes over every byte. Emits the match bitmask plus derived
+    * pattern count and first (lowest-index) matched pattern — all
+    * integer bit arithmetic, replayed exactly by the oracle. */
+  def canaryScan(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    val mask = call_function("graft_match_mask",
+      (col("text") +: phrases.map(lit)): _*)
+    docs
+      .select(col("doc_id"), mask.as("mask"))
+      .withColumn("n_pats", bit_count(col("mask")).cast("int"))
+      .withColumn("first_idx", when(col("mask") =!= 0,
+        bit_count(col("mask").bitwiseAND(negate(col("mask"))) - 1)
+          .cast("int")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic boilerplate planting — the oracle fixture for
     * [[boilerplateStrip]] (the synthetic corpus is single-line, so an
     * unplanted oracle would find no frequent lines). Every

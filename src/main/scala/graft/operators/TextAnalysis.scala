@@ -453,6 +453,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Inverted-index build: per term, the document frequency, total
+    * term frequency, and the top-`k` postings by tf — the index
+    * artifact behind [[searchTopK]]-style retrieval, materialized as
+    * a table. Two scale choices vs [[tfidf]]'s machinery: (1) per-doc
+    * tf is computed ROW-LOCALLY (distinct terms × an in-array count),
+    * so the only corpus-sized shuffle carries one row per DISTINCT
+    * (doc, term) pair instead of every token occurrence; (2) the
+    * postings cut is the bounded-heap `graft_topk` aggregate — on a
+    * stopword term with 10⁸ postings a row_number window would sort
+    * the whole group, while the heap ships ≤k entries per map task.
+    * Postings render as "doc:tf" best-first (tf desc, doc asc — the
+    * heap's deterministic tiebreak), so the row is flat and
+    * hash-comparable. Terms below `minDf` are cut AFTER aggregation
+    * (df must be known); the vocab-sized result is orderBy-safe. */
+  def invertedIndex(docs: DataFrame, minDf: Int, k: Int): DataFrame = {
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tf = toked
+      .select(col("doc_id"), transform(array_distinct(col("toks")), t =>
+        struct(t.as("term"),
+          size(filter(col("toks"), x => x === t)).cast("long").as("tf")))
+        .as("tfs"))
+      .select(col("doc_id"), explode(col("tfs")).as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"))
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+        call_function("graft_topk",
+          col("tf").cast("double"), col("doc_id"), lit(k)).as("top"))
+      .where(col("df") >= minDf)
+      .select(col("term"), col("df"), col("total_tf"),
+        array_join(transform(col("top"), e =>
+          concat(e.getField("id").cast("string"), lit(":"),
+            e.getField("score").cast("long").cast("string"))), ",")
+          .as("top_postings"))
+      .orderBy(col("term"))
+  }
+
   /** Keyword search: rank documents against a literal term list by
     * summed tf·idf over the MATCHED terms (the same log-free ratio idf
     * as [[tfidf]], so scores are bit-portable), returning the top `k`

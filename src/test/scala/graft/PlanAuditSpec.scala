@@ -400,6 +400,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("inverted index: heap-aggregate postings, no window, one scan") {
+    val p = plan("q_inverted_index")
+    // graft_topk keeps postings bounded map-side; a Window here means
+    // the per-term full sort is back on hot stopword terms
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
   test("ooo audit: bucketed prefix max, offsets broadcast, no live scan") {
     val p = plan("q_ooo_audit")
     // the corpus-sized window is PARTITIONED by bkt; the only global

@@ -47,6 +47,19 @@ class TextSpec extends SparkSpec {
     assert(p.head.getDouble(2) > 0.9)
   }
 
+  test("inverted index: row-local tf, df floor, best-first postings") {
+    val df = Seq(
+      (1L, "a a a b"),
+      (2L, "a b b"),
+      (3L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(df, minDf = 2, k = 2).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out("a") == ((2L, 4L, "1:3,2:1")))       // tf desc
+    assert(out("b") == ((3L, 4L, "2:2,1:1")))       // k=2 cuts doc 3
+    assert(!out.contains("c"))                      // df 1 < minDf
+  }
+
   test("dedup sweep reports pair/drop decay across the threshold ladder") {
     // a==b exactly (4 shared shingles, j=1); c shares 2 of a's 4
     // shingles (j = 2/(4+4-2) = 1/3) — qualifies at 300, not 500
