@@ -108,6 +108,26 @@ object SparkEntry {
   private val IndexMinDf = 2
   private val IndexTopPostings = 5
 
+  /** q_ship_priority (TPC-H Q3 shape): segment, cutoff, top-k. The
+    * cutoff sits mid-range of the order dates so both date filters
+    * are selective. */
+  private val ShipSegment = "BUILDING"
+  private val ShipCutoff = "1998-06-01"
+  private val ShipTopK = 10
+
+  /** q_late_suppliers: ship-delay threshold (days). The synthetic
+    * shipdates spread years past the order date (95th pct ≈ 1723
+    * days), so 1800 makes "late" a selective ~4% slice. */
+  private val LateDelayDays = 1800
+
+  /** q_k_anon: minimum equivalence-class size; balance bands of 1000
+    * currency units generalize c_acctbal. */
+  private val KAnonK = 5
+  private val KAnonBalBand = 1000
+
+  /** q_forecast_naive: seasonal lag in days (same weekday last week). */
+  private val ForecastLagDays = 7
+
   /** q_range_join: attribution window length (days) after a purchase.
     * The range-join band width equals the window, so each interval
     * explodes to at most 2 bins. */
@@ -785,6 +805,20 @@ object SparkEntry {
         OooDelays)),
     "q_record_dedup" -> ((s, d) =>
       Linkage.entityMatch(Linkage.plantDupes(Tables.customer(s, d)))),
+    "q_ship_priority" -> ((s, d) =>
+      Analytics.shippingPriority(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), ShipSegment, ShipCutoff, ShipTopK)),
+    "q_late_suppliers" -> ((s, d) =>
+      Analytics.soleLateSuppliers(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.supplier(s, d), LateDelayDays)),
+    "q_k_anon" -> ((s, d) =>
+      Privacy.kAnonymity(Tables.customer(s, d), Seq(
+        "nationkey" -> col("c_nationkey"),
+        "segment" -> col("c_mktsegment"),
+        "bal_band" -> floor(col("c_acctbal") / KAnonBalBand).cast("bigint")),
+        KAnonK)),
+    "q_forecast_naive" -> ((s, d) =>
+      Temporal.forecastNaive(Tables.events(s, d), ForecastLagDays)),
     "q_user_features" -> ((s, d) =>
       Journey.userFeatures(Tables.events(s, d), EventTypes)),
     "q_histogram" -> ((s, d) =>
@@ -2835,6 +2869,48 @@ object SparkEntry {
               / count(*) AS ooo_frac
           FROM l GROUP BY 1 ORDER BY 1"""
     },
+    "q_ship_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+            sum(l_extendedprice * (1 - l_discount)) AS revenue
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = '$ShipSegment'
+            AND o_orderdate < DATE '$ShipCutoff'
+            AND l_shipdate > DATE '$ShipCutoff'
+          GROUP BY 1, 2, 3
+          ORDER BY revenue DESC, o_orderdate, l_orderkey
+          LIMIT $ShipTopK""",
+    // The semi/anti joins replayed as EXISTS / NOT EXISTS.
+    "q_late_suppliers" ->
+      s"""WITH late AS (SELECT l_orderkey, l_suppkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE date_diff('day', o_orderdate, l_shipdate)
+              > $LateDelayDays),
+          sole AS (SELECT l1.* FROM late l1
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM late l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey))
+          SELECT s_name, count(*) AS numwait
+          FROM sole JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY 1 ORDER BY numwait DESC, s_name""",
+    "q_k_anon" ->
+      s"""SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+            CAST(floor(c_acctbal / $KAnonBalBand) AS BIGINT) AS bal_band,
+            count(*) AS class_size, count(*) >= $KAnonK AS anonymous
+          FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_forecast_naive" ->
+      s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            count(*) AS n FROM events GROUP BY 1, 2),
+          b AS (SELECT event_type, day + $ForecastLagDays AS day,
+            n AS forecast_n FROM d)
+          SELECT d.event_type, d.day, d.n, b.forecast_n,
+            abs(d.n - b.forecast_n) AS abs_err
+          FROM d LEFT JOIN b USING (event_type, day)
+          ORDER BY 1, 2""",
     // Replays the planting (char-10 deletion, +0.25 dyadic balance
     // drift) and the block-then-verify match; the blocking key is
     // nation × LAST-3 name chars on both sides, so the candidate sets

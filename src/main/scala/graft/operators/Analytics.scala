@@ -192,4 +192,63 @@ object Analytics {
         (col("min_c").cast("double") / 100.0).as("min_value"),
         (col("max_c").cast("double") / 100.0).as("max_value"))
       .orderBy(col("event_type"), col("week"))
+
+  /** Shipping-priority report (the classic TPC-H Q3 shape): unshipped
+    * revenue per order for one market segment at a cutoff date — two
+    * selective joins then a top-k by revenue. Scale shape: both date
+    * filters and the segment filter push into the scans (Catalyst
+    * pushes them below the joins), the customer leg reduces to keys
+    * before joining, and the final top-k is orderBy+limit — Spark
+    * plans TakeOrderedAndProject (per-partition heaps, no global
+    * sort). Revenue is the standard Σ price·(1−discount) double — at
+    * ≤7 lines per order the summation-order wobble sits at ~1e-11
+    * relative, far inside the gate's tolerance. */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, segment: String,
+                       cutoff: String, k: Int): DataFrame =
+    lineitem.where(col("l_shipdate") > lit(cutoff))
+      .join(orders.where(col("o_orderdate") < lit(cutoff)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.where(col("c_mktsegment") === segment)
+        .select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(k)
+
+  /** Sole-late-supplier report (the TPC-H Q21 join shape on this
+    * schema): per supplier, how many multi-supplier orders they alone
+    * shipped late (ship delay > `delayDays` after the order date).
+    * The interesting part is the plan: EXISTS (another supplier on
+    * the order) and NOT EXISTS (another LATE supplier on the order)
+    * become one left-SEMI and one left-ANTI join keyed on l_orderkey
+    * — no count-distinct blowup, no self-aggregation; each join ships
+    * only the keys+suppkey projection of lineitem, and the late frame
+    * is computed once and reused for the anti side. */
+  def soleLateSuppliers(lineitem: DataFrame, orders: DataFrame,
+                        supplier: DataFrame, delayDays: Int): DataFrame = {
+    val lines = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+    val late = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .where(datediff(col("l_shipdate"), col("o_orderdate")) > delayDays)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l1 = late.as("l1")
+    val sole = l1
+      .join(lines.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+      .join(late.as("l3"),
+        col("l1.l_orderkey") === col("l3.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+    sole.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
 }

@@ -75,4 +75,25 @@ object Privacy {
         col("pii_total"), col("redacted"))
       .orderBy(col("doc_id"))
   }
+
+  /** k-anonymity audit over a set of quasi-identifier expressions:
+    * one row per equivalence class (the distinct quasi-identifier
+    * combination) with its size and whether it meets `k` — the
+    * pre-release check that a "de-identified" extract can't be
+    * re-identified by joining on the quasi-identifiers (classes
+    * smaller than k pinpoint individuals). `quasi` is (output name →
+    * expression) so callers generalize inline (bands, truncations)
+    * and the report shows the GENERALIZED values it certifies. One
+    * map-side-combining aggregate — group count is bounded by the
+    * generalized domain, never the table; no distinct, no window. */
+  def kAnonymity(df: DataFrame, quasi: Seq[(String, Column)],
+                 k: Int): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymity needs at least one quasi-identifier")
+    val cols = quasi.map { case (n, c) => c.as(n) }
+    df.select(cols: _*)
+      .groupBy(quasi.map(q => col(q._1)): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("anonymous", col("class_size") >= k)
+      .orderBy(quasi.map(q => col(q._1)): _*)
+  }
 }

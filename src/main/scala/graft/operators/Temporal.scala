@@ -361,4 +361,29 @@ object Temporal {
         datediff(col("day"), col("last_active")).as("days_since_active"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** Seasonal-naive forecast evaluation: tomorrow looks like the same
+    * weekday last week — forecast(type, day) = count(type, day−`lag`
+    * days), the baseline every real forecasting model must beat, run
+    * as a backtest over the history with the per-day absolute error.
+    * Joining the per-day aggregate to itself on (type, day+lag) keeps
+    * the semantics exact under calendar gaps (a row-number lag would
+    * silently reach past a missing day); days without history `lag`
+    * days back report a NULL forecast and error, distinguishing "no
+    * baseline yet" from "baseline of zero". Scale: one corpus-sized
+    * daily aggregate, persisted; the self-join runs on the types×days
+    * result — broadcast-sized however big the raw history. Counts are
+    * integers, so the error column is exact. */
+  def forecastNaive(events: DataFrame, lagDays: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = daily.select(col("event_type"),
+      date_add(col("day"), lagDays).as("day"), col("n").as("forecast_n"))
+    daily.join(base, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), col("n"), col("forecast_n"),
+        abs(col("n") - col("forecast_n")).as("abs_err"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

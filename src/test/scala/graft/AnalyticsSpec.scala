@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Privacy, Temporal}
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("soleLateSuppliers: only the sole late supplier of a shared order") {
+    val orders = Seq((1L, Date.valueOf("2024-01-01")),
+      (2L, Date.valueOf("2024-01-01")), (3L, Date.valueOf("2024-01-01")))
+      .toDF("o_orderkey", "o_orderdate")
+    // order 1: s10 late, s20 on time -> s10 counts
+    // order 2: s10 and s20 BOTH late -> nobody counts (not sole)
+    // order 3: s30 late but alone on the order -> no other supplier,
+    //          the EXISTS leg drops it
+    val li = Seq(
+      (1L, 10L, "2024-06-01"), (1L, 20L, "2024-01-05"),
+      (2L, 10L, "2024-06-01"), (2L, 20L, "2024-06-02"),
+      (3L, 30L, "2024-06-01"))
+      .map { case (o, s, d) => (o, s, Date.valueOf(d)) }
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val supp = Seq((10L, "s#10"), (20L, "s#20"), (30L, "s#30"))
+      .toDF("s_suppkey", "s_name")
+    val out = Analytics.soleLateSuppliers(li, orders, supp, 100).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("s#10", 1L)))
+  }
+
+  test("kAnonymity flags classes under k with generalized values") {
+    val df = Seq((1, "A", 500.0), (1, "A", 700.0), (1, "A", 1500.0))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = Privacy.kAnonymity(df, Seq(
+      "nationkey" -> col("c_nationkey"),
+      "band" -> floor(col("c_acctbal") / 1000).cast("bigint")), k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out((1, 0L)) == ((2L, true)))   // two in band 0 → anonymous
+    assert(out((1, 1L)) == ((1L, false)))  // singleton class exposed
+  }
+
+  test("forecastNaive: exact day-lag join, NULL before history exists") {
+    def ev(day: Int, n: Int) = (1 to n).map(i =>
+      (day * 100L + i, Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"),
+        1L, "view", 0.0))
+    val events = (ev(1, 3) ++ ev(8, 5) ++ ev(15, 2))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Temporal.forecastNaive(events, 7).collect()
+      .map(r => r.getDate(1).toString ->
+        (r.getLong(2), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(out("2024-01-01") == ((3L, None, None)))       // no baseline
+    assert(out("2024-01-08") == ((5L, Some(3L), Some(2L))))
+    assert(out("2024-01-15") == ((2L, Some(5L), Some(3L))))
+  }
+}

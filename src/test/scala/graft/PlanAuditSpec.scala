@@ -409,6 +409,35 @@ class PlanAuditSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(2000))
   }
 
+  test("ship priority: pushed date filters and a top-k, no global sort") {
+    val p = plan("q_ship_priority")
+    // both date predicates must reach the scans; the final top-10 is
+    // a TakeOrdered, not a full Sort of the aggregate
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      p.take(3000))
+  }
+
+  test("late suppliers: semi+anti joins, late frame computed once") {
+    val p = plan("q_late_suppliers")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(2000))
+    // the late join feeds both the probe and the anti side from cache
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("k-anonymity is one aggregate scan, no join, no window") {
+    val p = plan("q_k_anon")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("forecast joins the persisted daily aggregate to itself") {
+    val p = plan("q_forecast_naive")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size ==
+      "InMemoryTableScan".r.findAllIn(p).size, p.take(2000))
+  }
+
   test("ooo audit: bucketed prefix max, offsets broadcast, no live scan") {
     val p = plan("q_ooo_audit")
     // the corpus-sized window is PARTITIONED by bkt; the only global
