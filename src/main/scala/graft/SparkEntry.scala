@@ -2871,7 +2871,7 @@ object SparkEntry {
     },
     "q_ship_priority" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
-            sum(l_extendedprice * (1 - l_discount)) AS revenue
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
           FROM customer
           JOIN orders ON c_custkey = o_custkey
           JOIN lineitem ON l_orderkey = o_orderkey
@@ -3252,9 +3252,10 @@ object SparkEntry {
             CAST(coalesce(seq, 0) AS BIGINT) AS version_seq
           FROM j WHERE op IS NULL OR op = 'U'
           ORDER BY c_custkey""",
-    // Integer-moment merge: every step before the one division is
-    // exact (DuckDB sums in int128, a superset), so doubles compare
-    // bit-identically.
+    // Integer-moment merge; the variance step runs in double as
+    // E[c²]−E[c]² with the operation order mirrored exactly — no
+    // int64 overflow cliff, and bigint→double casts round identically
+    // in both engines.
     "q_agg_merge" ->
       """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
@@ -3271,8 +3272,8 @@ object SparkEntry {
           FROM p GROUP BY 1, 2)
           SELECT event_type, week, n, n_days,
             CAST(sum_c AS DOUBLE) / n / 100.0 AS mean_value,
-            CAST(n * sumsq_c - sum_c * sum_c AS DOUBLE) / (n * n) / 10000.0
-              AS var_value,
+            (CAST(sumsq_c AS DOUBLE) / n - (CAST(sum_c AS DOUBLE) / n)
+              * (CAST(sum_c AS DOUBLE) / n)) / 10000.0 AS var_value,
             CAST(min_c AS DOUBLE) / 100.0 AS min_value,
             CAST(max_c AS DOUBLE) / 100.0 AS max_value
           FROM m ORDER BY event_type, week""",

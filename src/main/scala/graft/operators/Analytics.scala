@@ -167,11 +167,15 @@ object Analytics {
         min(col("c")).as("min_c"), max(col("c")).as("max_c"))
 
   /** Merge daily partials into a weekly rollup with exact mean and
-    * population variance recovered from the merged moments:
-    * var = (n·Σc² − (Σc)²) / n² on the integer grid, divided once —
-    * every arithmetic step before the division is exact, so the
-    * result is bit-portable across engines (the classic streaming-
-    * variance merge, integer-exact instead of Welford-float).
+    * population variance recovered from the merged moments. The
+    * integer moments (Σc, Σc²) merge exactly; the variance step is
+    * then computed in DOUBLE as E[c²] − E[c]², i.e.
+    * sumsq_c/n − (sum_c/n)², with the identical operation order
+    * mirrored in the oracle — IEEE-deterministic in both engines.
+    * (The integer form n·Σc² − (Σc)² would overflow int64 at roughly
+    * n ≈ 6e4 rows per group for cent values near 5e4; the double form
+    * has no such cliff — bigint→double casts round identically in
+    * both engines at any magnitude.)
     *
     * Shape for 100 TB: this second aggregation reads ONLY the partial
     * table — (types × days) rows however large the raw history is;
@@ -186,8 +190,9 @@ object Analytics {
         min(col("min_c")).as("min_c"), max(col("max_c")).as("max_c"))
       .select(col("event_type"), col("week"), col("n"), col("n_days"),
         (col("sum_c").cast("double") / col("n") / 100.0).as("mean_value"),
-        ((col("n") * col("sumsq_c") - col("sum_c") * col("sum_c"))
-          .cast("double") / (col("n") * col("n")) / 10000.0)
+        ((col("sumsq_c").cast("double") / col("n") -
+          (col("sum_c").cast("double") / col("n")) *
+            (col("sum_c").cast("double") / col("n"))) / 10000.0)
           .as("var_value"),
         (col("min_c").cast("double") / 100.0).as("min_value"),
         (col("max_c").cast("double") / 100.0).as("max_value"))
@@ -200,9 +205,9 @@ object Analytics {
     * pushes them below the joins), the customer leg reduces to keys
     * before joining, and the final top-k is orderBy+limit — Spark
     * plans TakeOrderedAndProject (per-partition heaps, no global
-    * sort). Revenue is the standard Σ price·(1−discount) double — at
-    * ≤7 lines per order the summation-order wobble sits at ~1e-11
-    * relative, far inside the gate's tolerance. */
+    * sort). Revenue is rounded to cents (like every money query in
+    * the engine) so the ORDER BY revenue DESC ranking and the top-k
+    * cut are immune to double summation-order wobble near ties. */
   def shippingPriority(customer: DataFrame, orders: DataFrame,
                        lineitem: DataFrame, segment: String,
                        cutoff: String, k: Int): DataFrame =
@@ -214,7 +219,7 @@ object Analytics {
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"),
         col("o_orderpriority"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
       .limit(k)

@@ -457,9 +457,14 @@ object TextAnalysis {
     * term frequency, and the top-`k` postings by tf — the index
     * artifact behind [[searchTopK]]-style retrieval, materialized as
     * a table. Two scale choices vs [[tfidf]]'s machinery: (1) per-doc
-    * tf is computed ROW-LOCALLY (distinct terms × an in-array count),
-    * so the only corpus-sized shuffle carries one row per DISTINCT
-    * (doc, term) pair instead of every token occurrence; (2) the
+    * tf is explode + groupBy(doc_id, term) count — linear, fully
+    * codegen'd, and the hash aggregate's map-side partial combine
+    * means the shuffle still carries ~one row per DISTINCT (doc,
+    * term) pair, not per token occurrence (the earlier row-local
+    * formulation — distinct terms × an in-array count through
+    * interpreted HOF lambdas — was O(distinct×len) per doc, the same
+    * cost family as the fixed SQ projection collapse; at real doc
+    * lengths of 10⁴–10⁵ tokens that quadratic dominates); (2) the
     * postings cut is the bounded-heap `graft_topk` aggregate — on a
     * stopword term with 10⁸ postings a row_number window would sort
     * the whole group, while the heap ships ≤k entries per map task.
@@ -468,14 +473,10 @@ object TextAnalysis {
     * hash-comparable. Terms below `minDf` are cut AFTER aggregation
     * (df must be known); the vocab-sized result is orderBy-safe. */
   def invertedIndex(docs: DataFrame, minDf: Int, k: Int): DataFrame = {
-    val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    val tf = toked
-      .select(col("doc_id"), transform(array_distinct(col("toks")), t =>
-        struct(t.as("term"),
-          size(filter(col("toks"), x => x === t)).cast("long").as("tf")))
-        .as("tfs"))
-      .select(col("doc_id"), explode(col("tfs")).as("p"))
-      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
     tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
         call_function("graft_topk",
