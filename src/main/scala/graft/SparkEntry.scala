@@ -238,10 +238,11 @@ object SparkEntry {
 
   /** q_entity_match: planted typos over customer names — id % 3 == 0
     * gets one mid-name substitution (dist 1), % 3 == 1 two (dist 2),
-    * % 3 == 2 a LAST-char substitution that breaks the right-4
+    * % 3 == 2 a LAST-char substitution that breaks the trailing-chars
     * blocking key — the intentional blocking-miss class (NULL match)
-    * that makes the matcher's recall tradeoff visible in the gate. */
-  private val EntityBlockLen = 4
+    * that makes the matcher's recall tradeoff visible in the gate.
+    * Block length is corpus-derived (Entity.blockLenFor), replayed
+    * in SQL by the oracle off count(*) of the clean side. */
   private val EntityMaxDist = 2
 
   /** q_split: 80/10/10 train/val/test over [[SampleBuckets]] salted
@@ -803,8 +804,13 @@ object SparkEntry {
     "q_ooo_audit" -> ((s, d) =>
       DataChecks.oooAudit(DataChecks.plantLate(Tables.events(s, d)),
         OooDelays)),
-    "q_record_dedup" -> ((s, d) =>
-      Linkage.entityMatch(Linkage.plantDupes(Tables.customer(s, d)))),
+    "q_record_dedup" -> ((s, d) => {
+      // one cheap count action derives the blocking width from the
+      // corpus (Linkage.blockCharsFor) — the oracle replays the same
+      // formula in SQL off count(*), so both widen in lockstep.
+      val planted = Linkage.plantDupes(Tables.customer(s, d))
+      Linkage.entityMatch(planted, corpusCount = Some(planted.count()))
+    }),
     "q_ship_priority" -> ((s, d) =>
       Analytics.shippingPriority(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), ShipSegment, ShipCutoff, ShipTopK)),
@@ -960,8 +966,8 @@ object SparkEntry {
         .otherwise(
           expr("concat(substring(name, 1, length(name) - 1), 'z')"))
         .as("name"))
-      Entity.resolve(dirty, clean, "id", "name", EntityBlockLen,
-        EntityMaxDist)
+      Entity.resolve(dirty, clean, "id", "name",
+        Entity.blockLenFor(clean.count()), EntityMaxDist)
     }),
     "q_langid_eval" -> ((s, d) =>
       TextAnalysis.langIdEval(Tables.documentsFloored(s, d))),
@@ -2924,8 +2930,11 @@ object SparkEntry {
             bal + CAST(0.25 AS DOUBLE) AS bal, seg
             FROM c WHERE k % 10 = 3),
           u AS (SELECT * FROM c UNION ALL SELECT * FROM p),
-          b AS (SELECT *, nk || '|' || substr(nm, length(nm) - 2, 3)
-            AS blk FROM u)
+          wp AS (SELECT least(8, greatest(3, CAST(ceil(log10(
+            CAST(count(*) AS DOUBLE) / 1600.0)) AS INT))) AS wd FROM u),
+          b AS (SELECT u.*, nk || '|' ||
+            substr(nm, length(nm) - (wp.wd - 1), wp.wd) AS blk
+            FROM u, wp)
           SELECT a.k AS a_key, b2.k AS b_key,
             CAST(levenshtein(a.nm, b2.nm) AS INT) AS name_lev,
             abs(a.bal - b2.bal) AS bal_diff, a.seg AS segment
@@ -3287,10 +3296,12 @@ object SparkEntry {
                 substr(name, 1, 5) || 'xy' || substr(name, 8)
               ELSE substr(name, 1, length(name) - 1) || 'z'
             END AS name FROM clean),
+          wq AS (SELECT least(8, greatest(4, CAST(ceil(log10(
+            CAST(count(*) AS DOUBLE) / 64.0)) AS INT))) AS wd FROM clean),
           d AS (SELECT id AS dirty_id, name AS dirty_name,
-            right(name, $EntityBlockLen) AS blk FROM dirty),
+            right(name, wq.wd) AS blk FROM dirty, wq),
           c AS (SELECT id AS clean_id, name AS clean_name,
-            right(name, $EntityBlockLen) AS blk FROM clean),
+            right(name, wq.wd) AS blk FROM clean, wq),
           j AS (SELECT d.dirty_id, d.dirty_name, c.clean_id,
               levenshtein(d.dirty_name, c.clean_name) AS dist
             FROM d LEFT JOIN c USING (blk)),

@@ -13,6 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object Entity {
 
+  /** Corpus-derived blocking length — the same contract as
+    * [[Linkage.blockCharsFor]] and [[VectorSearch.srpParamsFor]]: the
+    * block domain is 10^len (digit-like name tails), so expected
+    * block size is n / 10^len; len is the smallest keeping that ≤
+    * `targetBlock`, clamped to [4, 8] — 4 preserves the small-corpus
+    * behavior, 8 keeps the key inside the digit tail that the typo
+    * edits this matcher targets leave intact. Pinned at 1e6→5,
+    * 1e8→7, 1e10→8 by LinkageSpec; the q_entity_match oracle replays
+    * the same formula in SQL off count(*) of the clean side. */
+  def blockLenFor(n: Long, targetBlock: Int = 64): Int = {
+    require(n > 0, "blockLenFor needs a positive corpus count")
+    val raw = math.ceil(math.log10(n.toDouble / targetBlock)).toInt
+    math.min(8, math.max(4, raw))
+  }
+
   /** Match each `dirty` record to its best `clean` candidate.
     *
     * Blocking key = the last `blockLen` characters of the name: the
@@ -32,7 +47,8 @@ object Entity {
     * and oracle (identical integer semantics). A pathological block
     * (every name ending alike) would make per-block products square —
     * cap or widen blockLen there, same regime call as the jaccard
-    * df cap. */
+    * df cap; derive blockLen from the corpus via [[blockLenFor]] so
+    * a growing corpus widens the key instead of growing the blocks. */
   def resolve(dirty: DataFrame, clean: DataFrame, idCol: String,
               nameCol: String, blockLen: Int, maxDist: Int): DataFrame = {
     val d = dirty.select(

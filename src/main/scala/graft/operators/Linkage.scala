@@ -35,15 +35,37 @@ object Linkage {
           expr("substring(c_name, 11)")))
         .withColumn("c_acctbal", col("c_acctbal") + lit(0.25)))
 
-  /** Blocking key: nation × the name's LAST three characters. The
+  /** Corpus-derived blocking width — the same derive-from-the-corpus
+    * contract as [[VectorSearch.srpParamsFor]]. The block domain is
+    * `nationCount` × 10^width (the trailing name characters are
+    * digits, uniform by construction), so expected block size is
+    * n / (nationCount·10^width) and within-block pair work per block
+    * is its square: a FIXED width makes total candidate pairs grow as
+    * n²/blocks — fine at sf0.1, ~450G candidate pairs at 150M rows.
+    * Width is the smallest that keeps expected block size ≤
+    * `targetBlock`: ceil(log₁₀(n / (nationCount·targetBlock))),
+    * clamped to [3, 8] — 3 preserves the small-corpus behavior, 8
+    * because the 9-digit name tail's FIRST digit is the character the
+    * planted deletion removes (a 9-char key would split true dupes
+    * across blocks). Pinned at 1e6→3, 1e8→5, 1e10→7 by LinkageSpec;
+    * the oracle replays the same formula in SQL off count(*). */
+  def blockCharsFor(n: Long, nationCount: Int = 25,
+                    targetBlock: Int = 64): Int = {
+    require(n > 0, "blockCharsFor needs a positive corpus count")
+    val raw = math.ceil(math.log10(
+      n.toDouble / (nationCount.toDouble * targetBlock))).toInt
+    math.min(8, math.max(3, raw))
+  }
+
+  /** Blocking key: nation × the name's LAST `width` characters. The
     * trailing digits survive the high-position typo edits this matcher
     * targets (unlike a prefix, which is constant across the whole
     * corpus — "Customer#000…" would put everything in one block), and
     * they distribute uniformly, so block sizes stay balanced as the
     * table grows. */
-  private def blockKey(name: Column, nation: Column): Column =
+  private def blockKey(name: Column, nation: Column, width: Int): Column =
     concat(nation.cast("string"), lit("|"),
-      substring(name, -3, 3))
+      substring(name, -width, width))
 
   /** Blocked fuzzy self-match: candidate pairs share a block, then
     * match when the name edit distance is ≤ `maxLev`, the market
@@ -51,14 +73,19 @@ object Linkage {
     * row per matched pair (lower key first) with the per-field
     * evidence — a linkage report, not a verdict: accidental neighbor
     * collisions (keys differing in one digit with close balances) are
-    * genuine output, deterministically reproduced by the oracle. */
+    * genuine output, deterministically reproduced by the oracle.
+    * Pass `corpusCount` to have the blocking width derived via
+    * [[blockCharsFor]] (one cheap count action caller-side); without
+    * it the width floors at 3 — the sf-small regime. */
   def entityMatch(customers: DataFrame, maxLev: Int = 1,
-                  balTol: Int = 100): DataFrame = {
+                  balTol: Int = 100,
+                  corpusCount: Option[Long] = None): DataFrame = {
+    val width = corpusCount.map(blockCharsFor(_)).getOrElse(3)
     val c = customers.select(
       col("c_custkey").as("k"), col("c_name").as("nm"),
       col("c_nationkey").as("nk"), col("c_acctbal").as("bal"),
       col("c_mktsegment").as("seg"))
-      .withColumn("blk", blockKey(col("nm"), col("nk")))
+      .withColumn("blk", blockKey(col("nm"), col("nk"), width))
     val a = c.as("a")
     val b = c.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.k") < col("b.k"))

@@ -26,6 +26,38 @@ class LinkageSpec extends SparkSpec {
       (1104L, 2104L, 1, 10.0)))
   }
 
+  test("blocking widths are corpus-derived and pinned across regimes") {
+    // Linkage: nation × 10^w blocks, target 64/block, clamp [3, 8].
+    assert(Linkage.blockCharsFor(1650L) == 3)      // sf0.01 — unchanged
+    assert(Linkage.blockCharsFor(1000000L) == 3)
+    assert(Linkage.blockCharsFor(100000000L) == 5)
+    assert(Linkage.blockCharsFor(10000000000L) == 7)
+    // Entity: 10^len blocks (no nation), target 64/block, clamp [4, 8].
+    assert(operators.Entity.blockLenFor(1500L) == 4)  // sf0.01 — unchanged
+    assert(operators.Entity.blockLenFor(1000000L) == 5)
+    assert(operators.Entity.blockLenFor(100000000L) == 7)
+    assert(operators.Entity.blockLenFor(10000000000L) == 8)
+  }
+
+  test("entityMatch widened by corpusCount still links planted dups") {
+    // At width 4 (forced via a corpusCount in the 1e7 regime:
+    // ceil(log10(1e7/1600)) = 4) the planted dup still shares its
+    // block — the deletion removes a LEADING zero, so the trailing
+    // digits are typo-invariant — while the 1104/2104 accidental
+    // pair (same last-3, different last-4) now correctly splits:
+    // widening trades exactly that collision class for bounded
+    // block size.
+    val df = cust(
+      (3L, 1, 100.0, "AUTO"),
+      (1104L, 1, 50.0, "AUTO"),
+      (2104L, 1, 60.0, "AUTO"))
+    assert(Linkage.blockCharsFor(10000000L) == 4)
+    val out = Linkage.entityMatch(Linkage.plantDupes(df),
+      corpusCount = Some(10000000L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((3L, 3L + Linkage.DupKeyOffset)))
+  }
+
   test("entityMatch gates on segment and balance tolerance") {
     // same block, lev-1 names, but segment differs / balance too far
     val df = cust(
