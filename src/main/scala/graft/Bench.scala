@@ -16,6 +16,7 @@ object Bench {
     "q_contingency", "q_qa_daily", "q_qa_meta", "q_qa_multigroup",
     "q_qa_flags", "q_profile", "q_lang_id",
     "q_text_quality", "q_token_count", "q_fingerprint", "q_repetition",
+    "q_compress_ratio",
     "q_quality_filter", "q_dedup_exact",
     "q_ngram_jaccard", "q_dedup_sweep", "q_containment",
     "q_minhash_dedup", "q_minhash_recall",
@@ -125,8 +126,23 @@ object Bench {
     }
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}"""
     // Full per-query line first (for humans / committed artifacts)...
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
+    println(fullLine)
+    // ...and ALSO persisted to a file: the driver keeps only a ~2 KB
+    // stdout tail, so per-query history died with truncation in rounds
+    // 1–4 (only 12 of round 4's 83 per-query times were recoverable).
+    // The file survives regardless of tail size and gets committed
+    // alongside the graded artifact. Full runs only — arg-filtered
+    // local iterations would overwrite real history with a subset.
+    if (args.isEmpty) {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json"))
+      java.nio.file.Files.write(out,
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] per-query JSON written to ${out.toAbsolutePath}")
+    }
     // ...then a compact total-only line LAST. The driver captures only a
     // ~2 KB stdout tail, so the ~6 KB per-query line gets its head
     // truncated and never parses (BENCH_r01–r04 all recorded

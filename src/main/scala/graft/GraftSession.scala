@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BloomAgg, BloomContains, DotProduct, MatchMask, MinHashSigs, MisraGriesAgg, NfcNormalize, RollingHash, SimHash40, TopKAgg}
+import graft.functions.{BloomAgg, BloomContains, DeflateLen, DotProduct, MatchMask, MinHashSigs, MisraGriesAgg, NfcNormalize, RollingHash, SimHash40, TopKAgg}
 
 /** Standard session config for the graft engine. One place to keep the
   * settings that matter at scale (AQE, shuffle partitions sized to the
@@ -102,6 +102,11 @@ object GraftSession {
             }
             MatchMask(exprs.head, pats)
           }))
+        ext.injectFunction((
+          FunctionIdentifier("graft_deflate_len"),
+          new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
+          (exprs: Exprs) => { val e = arity("graft_deflate_len", 1, exprs)
+            DeflateLen(e.head) }))
         ext.injectFunction((
           FunctionIdentifier("graft_bloom_contains"),
           new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),

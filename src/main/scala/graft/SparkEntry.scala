@@ -552,6 +552,10 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(Tables.documentsFloored(s, d))),
+    // DEFLATE internals are engine-specific (no deflate in DuckDB) →
+    // rows-only gate; TextSpec pins determinism + ordering bounds.
+    "q_compress_ratio" -> ((s, d) =>
+      TextAnalysis.compressionRatio(Tables.documents(s, d))),
     "q_quality_filter" -> ((s, d) =>
       TextAnalysis.qualityFilter(Tables.documentsFloored(s, d))),
     "q_dedup_exact" -> ((s, d) => TextAnalysis.exactDedup(Tables.documents(s, d))),

@@ -114,6 +114,28 @@ object TextAnalysis {
         topBigramFrac.as("top_bigram_frac"))
       .orderBy(col("doc_id"))
 
+  /** Compression-ratio quality signal: DEFLATE length over raw UTF-8
+    * byte length per document, via the codegen'd `graft_deflate_len`
+    * expression ([[graft.functions.DeflateLen]]). Templated or
+    * repetitive text compresses far below natural prose, so a low
+    * ratio flags boilerplate/spam with ONE row-local pass and no
+    * vocabulary — the vocabulary-free complement to
+    * [[repetitionSignals]]. No SQL oracle (DuckDB has no deflate);
+    * gated rows-only with TextSpec pinning determinism, the
+    * repetitive-vs-prose ordering, and the raw-length identity.
+    * Scale shape: pure per-row map over the scan — no shuffle at all;
+    * cost is linear in corpus bytes and embarrassingly parallel. */
+  def compressionRatio(docs: DataFrame, flagBelow: Double = 0.3): DataFrame =
+    docs.select(col("doc_id"),
+      octet_length(col("text")).as("raw_len"),
+      call_function("graft_deflate_len", col("text")).as("deflate_len"))
+      .withColumn("ratio",
+        round(col("deflate_len").cast("double") /
+          nullif(col("raw_len"), lit(0)), 6))
+      .withColumn("is_templated",
+        when(col("ratio").isNotNull, col("ratio") < flagBelow))
+      .orderBy(col("doc_id"))
+
   /** Longest equal run in the sorted bigram array over the total
     * bigram count — evaluated against [[repetitionFrame]]'s staged
     * columns. Guarded: sequence(1, 0) would count DOWN through

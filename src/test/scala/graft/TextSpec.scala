@@ -24,6 +24,32 @@ class TextSpec extends SparkSpec {
     assert(sh(1L).length == 7)
   }
 
+  test("compression ratio: deterministic, repetitive < prose, raw len exact") {
+    val cr = Seq(
+      (1L, "a" * 2000),                                   // degenerate repeat
+      (2L, "The quick brown fox jumps over the lazy dog. " * 44), // templated
+      (3L, (1 to 300).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")), // high-entropy prose-ish
+      (4L, ""),                                           // empty → null ratio
+      (5L, "héllo wörld ünïcode")                         // multibyte raw_len
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(cr).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // raw_len is UTF-8 BYTES, not chars
+    assert(out(5L)._1 == "héllo wörld ünïcode".getBytes("UTF-8").length)
+    assert(out(1L)._1 == 2000)
+    // deflate output is non-empty even for empty input; ratio guards /0
+    assert(out(4L)._1 == 0 && out(4L)._3.isEmpty)
+    // ordering: pure repeat ≪ templated ≪ high-entropy
+    assert(out(1L)._3.get < out(2L)._3.get)
+    assert(out(2L)._3.get < out(3L)._3.get)
+    assert(out(1L)._3.get < 0.05 && out(3L)._3.get > 0.3)
+    // determinism across runs (fixed level, one whole-buffer pass)
+    val again = TextAnalysis.compressionRatio(cr).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(again == out.view.mapValues(_._2).toMap)
+  }
+
   test("language id picks the max-stopword language") {
     val lid = TextAnalysis.languageId(docs)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
