@@ -157,6 +157,11 @@ object SparkEntry {
 
   /** q_ooo_audit candidate watermark delays (seconds). */
   private val OooDelays = Seq(60, 300, 3600)
+
+  /** q_span_dedup: seed-window length in tokens. Repeated spans
+    * shorter than this are invisible by design (ExactSubstr's
+    * min-match-length knob). */
+  private val SpanSeedLen = 8
   private def orderRules: Seq[(String, Column)] = Seq(
     "custkey_not_null" -> col("o_custkey").isNotNull,
     "orderdate_in_range" ->
@@ -564,6 +569,9 @@ object SparkEntry {
     "q_dedup_sweep" -> ((s, d) =>
       NearDup.dedupSweep(Tables.documentsFloored(s, d), 3,
         SweepThresholdsPm)),
+    "q_span_dedup" -> ((s, d) =>
+      NearDup.spanDedup(NearDup.plantSpans(Tables.documents(s, d)),
+        SpanSeedLen)),
     // Text twin of q_dedup_recall: banding recall + df-cap precision
     // of the minhash path vs the exact index at the same threshold
     // (0.5 — pinned by the verify stage both here and in the oracle).
@@ -1730,6 +1738,40 @@ object SparkEntry {
           SELECT threshold_pm, count(*) AS n_pairs,
             count(DISTINCT d2) AS n_docs_dropped
           FROM q GROUP BY 1 ORDER BY 1""",
+    // Seed md5 is bit-identical across engines, so membership, island
+    // merging and span extents replay exactly; sum() OVER (ORDER BY
+    // pos) has identical RANGE framing in both engines on unique pos.
+    "q_span_dedup" -> {
+      val k = SpanSeedLen
+      s"""WITH planted AS (SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0
+              THEN text || ' ${NearDup.PlantedSpan}' ELSE text END AS text
+          FROM documents),
+          tk AS (SELECT doc_id, $ToksSql AS toks FROM planted),
+          tt AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= $k),
+          s0 AS (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks) - ${k - 1})) AS i
+            FROM tt),
+          s AS (SELECT doc_id, i - 1 AS pos,
+              md5(array_to_string(toks[i:i + ${k - 1}], ' ')) AS sk
+            FROM s0),
+          shared AS (SELECT sk FROM s GROUP BY sk
+            HAVING count(DISTINCT doc_id) >= 2),
+          h AS (SELECT s.doc_id, s.pos FROM s JOIN shared USING (sk)),
+          i1 AS (SELECT doc_id, pos,
+              lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM h),
+          i2 AS (SELECT doc_id, pos, CASE WHEN prev IS NULL
+              OR pos - prev > $k THEN 1 ELSE 0 END AS ni FROM i1),
+          i3 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id
+              ORDER BY pos) AS island FROM i2)
+          SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+            CAST(max(pos) + $k AS INT) AS span_end,
+            CAST(max(pos) + $k - min(pos) AS INT) AS span_len,
+            count(*) AS n_seeds
+          FROM i3 GROUP BY doc_id, island
+          ORDER BY doc_id, span_start"""
+    },
     // Replays BOTH legs: the minhash chain (ver, threshold 0.5 pinned
     // in MinhashVerCtes) and the exact df-capped index at 0.5.
     "q_minhash_recall" ->

@@ -705,4 +705,84 @@ object NearDup {
       .distinct()
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** Planted repeated span — the q_span_dedup gate fixture. The
+    * synthetic corpus is word-soup over a tiny vocabulary, so natural
+    * cross-doc 8-gram sharing is ~zero; without planting, a span
+    * dedup gate would compare empty frames. All-lowercase a–z tokens,
+    * so the tokenizer maps it to itself. */
+  val PlantedSpan: String =
+    "the license text below is replicated verbatim across mirrored " +
+    "documents and must be stripped by the span deduplicator before " +
+    "training because repeated spans teach models to memorize " +
+    "boilerplate instead of language"
+
+  /** Append [[PlantedSpan]] to every `every`-th document —
+    * deterministic, replayed in SQL by the oracle. */
+  def plantSpans(docs: DataFrame, every: Int = 7): DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(every)) === 0,
+        concat(col("text"), lit(" " + PlantedSpan)))
+        .otherwise(col("text")))
+
+  /** Cross-doc repeated-span detection (the ExactSubstr pass of Lee
+    * et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22 — public algorithm): find maximal token spans
+    * that appear verbatim in ≥2 distinct documents, the
+    * variable-length complement to fixed-granularity
+    * [[graft.operators.Curation]] chunk dedup. No suffix array is
+    * needed: every repeated span of length ≥ `seedLen` is covered by
+    * length-`seedLen` seed windows that are themselves repeated, so
+    * (1) hash every token position's seed window (md5 — bit-identical
+    * in DuckDB, so the gate replays membership exactly; an
+    * engine-only deployment would swap in xxhash64 for an 8-byte
+    * shuffle key), (2) keep seeds seen in ≥2 docs, (3) merge each
+    * doc's surviving positions into maximal spans with one
+    * gaps-and-islands window (new island when the position gap
+    * exceeds `seedLen`, i.e. coverage windows no longer overlap or
+    * abut). Emits (doc_id, span_start, span_end, span_len, n_seeds)
+    * in token coordinates, end-exclusive.
+    *
+    * 100 TB shape: the seed frame is one row per token position
+    * (hash + int + id — ~20 bytes/token); it is persisted because
+    * both the df aggregate and the membership join read it — the
+    * alternative is a second full tokenize+hash scan of the corpus.
+    * Both shuffles key on the 16-byte seed hash (uniform by
+    * construction), the islands window partitions per doc, and
+    * all-pairs work never exists — a span shared by a million docs
+    * costs a million seed rows, not a million² comparisons. */
+  def spanDedup(docs: DataFrame, seedLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= seedLen)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - (seedLen - 1)),
+        i => struct((i - 1).as("pos"),
+          md5(concat_ws(" ", slice(col("toks"), i, lit(seedLen)))).as("sk"))))
+        .as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.sk").as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = seeds.groupBy(col("sk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("sk"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    seeds.join(shared, "sk")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("new_isl",
+        when(col("prev").isNull || col("pos") - col("prev") > seedLen, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("new_isl")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s0"), max(col("pos")).as("s1"),
+        count(lit(1)).as("n_seeds"))
+      .select(col("doc_id"),
+        col("s0").cast("int").as("span_start"),
+        (col("s1") + seedLen).cast("int").as("span_end"),
+        (col("s1") + seedLen - col("s0")).cast("int").as("span_len"),
+        col("n_seeds"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
 }

@@ -24,6 +24,36 @@ class TextSpec extends SparkSpec {
     assert(sh(1L).length == 7)
   }
 
+  test("span dedup finds maximal cross-doc repeated spans") {
+    // spans: docs 1 and 2 share a 12-token span mid-text; docs 1 and 3
+    // share a DIFFERENT 9-token span later; doc 4 is clean. Seeds are
+    // 8-gram windows, so both spans exceed the detection floor.
+    val spanA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val spanB = "one two three four five six seven eight nine"
+    val sd = Seq(
+      (1L, s"unique1 prefix $spanA filler middle $spanB unique1 tail"),
+      (2L, s"unique2 start $spanA unique2 end"),
+      (3L, s"unique3 lead mid $spanB unique3 close"),
+      (4L, "entirely fresh words nowhere else repeated in any document at all")
+    ).toDF("doc_id", "text")
+    val out = NearDup.spanDedup(sd, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // doc 1: spanA at tokens [2, 14), spanB at [16, 25)
+    // doc 2: spanA at [2, 14); doc 3: spanB at [3, 12); doc 4: none
+    assert(out.toSeq == Seq(
+      (1L, 2, 14, 12), (1L, 16, 25, 9),
+      (2L, 2, 14, 12), (3L, 3, 12, 9)))
+  }
+
+  test("span dedup merges overlapping seeds and respects the seed floor") {
+    // a 7-token shared run is below the 8-token seed floor → invisible
+    val short = Seq(
+      (1L, "p q r s t u v w x y z zz"),
+      (2L, "aa bb p q r s t u v cc")  // shares only 7 tokens (p..v)
+    ).toDF("doc_id", "text")
+    assert(NearDup.spanDedup(short, 8).collect().isEmpty)
+  }
+
   test("compression ratio: deterministic, repetitive < prose, raw len exact") {
     val cr = Seq(
       (1L, "a" * 2000),                                   // degenerate repeat
