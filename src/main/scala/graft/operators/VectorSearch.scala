@@ -174,9 +174,24 @@ object VectorSearch extends Logging {
     * dequantize + float cast + fold + window. At scale the scan is
     * sharded by the same IVF cells as the full-precision path. */
   def sqTopK(embeddings: DataFrame, expectedDim: Int,
-             nQueries: Int = 10, k: Int = 5): DataFrame = {
+             nQueries: Int = 10, k: Int = 5): DataFrame =
+    sqTopKWith(embeddings, expectedDim, sqStats(embeddings, expectedDim),
+      nQueries, k)
+
+  /** The SQ index artifact: one-row per-dimension (mins, maxs) over
+    * healthy vectors — what [[graft.operators.AnnIndex]] persists so
+    * serving never re-scans the corpus for stats. */
+  def sqStats(embeddings: DataFrame, expectedDim: Int): DataFrame =
+    dimStats(healthyVecs(embeddings, expectedDim))
+
+  /** [[sqTopK]] against a CALLER-PROVIDED stats frame (freshly
+    * computed or read back from a persisted index — bit-identical
+    * either way, since the stats are exact min/max doubles). */
+  def sqTopKWith(embeddings: DataFrame, expectedDim: Int,
+                 stats: DataFrame, nQueries: Int = 10,
+                 k: Int = 5): DataFrame = {
     val healthy = healthyVecs(embeddings, expectedDim)
-    val packed = dimStats(healthy)
+    val packed = stats
     // persisted: this IS the index build — without it projection
     // collapse inlines the interpreted decode transforms into the
     // per-PAIR join projection (measured 83 s at the sf1 probe; the
