@@ -41,7 +41,8 @@ object Bench {
     "q_cohort", "q_lifecycle", "q_funnel_steps", "q_funnel_latency",
     "q_next_event", "q_rfm", "q_trend", "q_source_overlap",
     "q_session_paths", "q_dq_rules", "q_user_features", "q_attribution",
-    "q_ooo_audit", "q_record_dedup", "q_canary_scan", "q_inverted_index",
+    "q_ooo_audit", "q_watermark_rec", "q_record_dedup", "q_canary_scan",
+    "q_inverted_index",
     "q_ship_priority", "q_late_suppliers", "q_k_anon", "q_forecast_naive",
     "q_histogram", "q_qa_anomaly",
     "q_semantic_dedup", "q_mixture", "q_props_health",

@@ -158,6 +158,10 @@ object SparkEntry {
   /** q_ooo_audit candidate watermark delays (seconds). */
   private val OooDelays = Seq(60, 300, 3600)
 
+  /** q_watermark_rec: max tolerated drop rate, per-mille (integer so
+    * the selection threshold is exact in both engines). */
+  private val WatermarkTargetPm = 5
+
   /** q_span_dedup: seed-window length in tokens. Repeated spans
     * shorter than this are invisible by design (ExactSubstr's
     * min-match-length knob). */
@@ -816,6 +820,10 @@ object SparkEntry {
     "q_ooo_audit" -> ((s, d) =>
       DataChecks.oooAudit(DataChecks.plantLate(Tables.events(s, d)),
         OooDelays)),
+    "q_watermark_rec" -> ((s, d) =>
+      DataChecks.watermarkRecommendation(
+        DataChecks.plantLate(Tables.events(s, d)), OooDelays,
+        WatermarkTargetPm)),
     "q_record_dedup" -> ((s, d) => {
       // one cheap count action derives the blocking width from the
       // corpus (Linkage.blockCharsFor) — the oracle replays the same
@@ -2920,6 +2928,37 @@ object SparkEntry {
             CAST(CAST(sum(CAST(late_us > 0 AS INT)) AS BIGINT) AS DOUBLE)
               / count(*) AS ooo_frac
           FROM l GROUP BY 1 ORDER BY 1"""
+    },
+    // Same lateness CTEs as q_ooo_audit; the CASE chains pick the
+    // FIRST (smallest) qualifying delay, selection by integer
+    // cross-multiplication, one final division for the rate.
+    "q_watermark_rec" -> {
+      val lateCols = OooDelays.map(d =>
+        s"CAST(sum(CAST(late_us > ${d * 1000000L} AS INT)) AS BIGINT) " +
+          s"AS n_late_${d}s").mkString(",\n            ")
+      def cases(value: Int => String) = OooDelays.map(d =>
+        s"WHEN n_late_${d}s * 1000 <= $WatermarkTargetPm * n_events " +
+          s"THEN ${value(d)}").mkString("CASE ", " ", " END")
+      s"""WITH e AS (SELECT event_type, event_id,
+            CASE WHEN event_id % 101 = 7
+              THEN epoch_us(ts) - (1 + event_id % 7) * 60000000
+              ELSE epoch_us(ts) END AS tu FROM events),
+          m AS (SELECT *, max(tu) OVER (ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pfx
+            FROM e),
+          l AS (SELECT event_type,
+            CASE WHEN pfx IS NULL OR pfx <= tu THEN 0
+              ELSE pfx - tu END AS late_us FROM m),
+          a AS (SELECT event_type, count(*) AS n_events,
+            CAST(sum(CAST(late_us > 0 AS INT)) AS BIGINT) AS n_ooo,
+            $lateCols
+          FROM l GROUP BY 1)
+          SELECT event_type, n_events, n_ooo,
+            ${cases(d => d.toString)} AS recommended_delay_s,
+            ${cases(d => s"n_late_${d}s")} AS pred_dropped,
+            CAST(${cases(d => s"n_late_${d}s")} AS DOUBLE) / n_events
+              AS pred_drop_rate
+          FROM a ORDER BY event_type"""
     },
     "q_ship_priority" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,

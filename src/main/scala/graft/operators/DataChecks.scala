@@ -259,6 +259,42 @@ object DataChecks {
       .orderBy(col("event_type"))
   }
 
+  /** Watermark recommendation from the out-of-order audit: per event
+    * type, the SMALLEST candidate delay whose predicted drop rate is
+    * ≤ `targetPm` per-mille — the number a streaming job should set
+    * as its `withWatermark` delay instead of folklore. The audit's
+    * per-row lateness (frontier − event time, arrival order =
+    * event_id) predicts streaming drops EXACTLY: Spark's watermark at
+    * any row is (max event time already arrived − delay) and late
+    * filtering is strict (`ts < watermark` drops), which is precisely
+    * `late_us > delay` — StreamingSpec proves the streamed drop count
+    * equals `pred_dropped` row for row. Types where no candidate
+    * meets the target come back with NULL recommendation (the honest
+    * answer: raise the candidate list or the target, or fix the
+    * feed). Integer cross-multiplication (dropped·1000 ≤ target·n)
+    * keeps selection exact in both engines; the one division is the
+    * reported rate. Consumers: [[graft.streaming.EventStream]]'s
+    * watermarked ops (`windowedCounts`, `dedupByFingerprint`,
+    * `dailyActive`, `transitionCounts`) — size their delay from this
+    * report's `recommended_delay_s` for the measured feed. */
+  def watermarkRecommendation(events: DataFrame,
+                              delaysSec: Seq[Int] = Seq(60, 300, 3600),
+                              targetPm: Int = 5): DataFrame = {
+    require(delaysSec.nonEmpty && delaysSec == delaysSec.sorted,
+      "delaysSec must be ascending")
+    def ok(d: Int) =
+      col(s"n_late_${d}s") * 1000L <= lit(targetPm.toLong) * col("n_events")
+    oooAudit(events, delaysSec)
+      .select(col("event_type"), col("n_events"), col("n_ooo"),
+        coalesce(delaysSec.map(d => when(ok(d), lit(d))): _*)
+          .as("recommended_delay_s"),
+        coalesce(delaysSec.map(d => when(ok(d), col(s"n_late_${d}s"))): _*)
+          .as("pred_dropped"))
+      .withColumn("pred_drop_rate",
+        col("pred_dropped").cast("double") / col("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** Declarative data-quality rule engine: each rule is a boolean
     * Column a row should satisfy; the report is one row per rule with
     * the violation count and rate — the generic contract behind every

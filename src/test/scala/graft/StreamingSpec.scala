@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import graft.operators.DataChecks
 import graft.streaming.EventStream
 import graft.streaming.EventStream.Event
 
@@ -10,6 +11,42 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("recommended watermark's streamed drops match the audit prediction") {
+    implicit val sc = spark.sqlContext
+    // arrival order = event_id; lateness vs the running frontier:
+    // id3 is 360 s late, id5 90 s, id7 30 s.
+    val rows = Seq(
+      (1L, "click", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 10:10:00")),
+      (3L, "click", ts("2024-01-01 10:04:00")),
+      (4L, "click", ts("2024-01-01 10:12:00")),
+      (5L, "click", ts("2024-01-01 10:10:30")),
+      (6L, "click", ts("2024-01-01 10:20:00")),
+      (7L, "click", ts("2024-01-01 10:19:30")),
+      (8L, "click", ts("2024-01-01 10:25:00")))
+    // target 150‰ of 8 rows = 1.2: 60 s drops 2 (too many), 300 s
+    // drops 1 → recommend 300 s.
+    val rec = DataChecks.watermarkRecommendation(
+      rows.toDF("event_id", "event_type", "ts"), Seq(60, 300),
+      targetPm = 150).collect()
+    assert(rec.length == 1)
+    val d = rec(0).getAs[Int]("recommended_delay_s")
+    val predDropped = rec(0).getAs[Long]("pred_dropped")
+    assert(d == 300 && predDropped == 1L)
+    // replay the same arrival order through a real watermarked stream,
+    // one micro-batch per row so the frontier advances per arrival
+    // exactly as the audit models it
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = mem.toDF().toDF("event_id", "event_type", "ts")
+      .withWatermark("ts", s"$d seconds")
+      .dropDuplicates("event_id", "ts")
+      .writeStream.format("memory").queryName("wmrec")
+      .outputMode("append").start()
+    rows.foreach { r => mem.addData(r); q.processAllAvailable() }
+    q.stop()
+    assert(rows.size - spark.table("wmrec").count() == predDropped)
+  }
 
   test("streaming windowed counts match the batch transform") {
     implicit val sc = spark.sqlContext
