@@ -117,7 +117,14 @@ object Curation {
     * CPU passes over every byte. Emits the match bitmask plus derived
     * pattern count and first (lowest-index) matched pattern — all
     * integer bit arithmetic, replayed exactly by the oracle. */
-  def canaryScan(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+  def canaryScan(docs: DataFrame, phrases: Seq[String]): DataFrame =
+    canaryScanUnordered(docs, phrases).orderBy(col("doc_id"))
+
+  /** [[canaryScan]] without the final sort — the one-pass DFA scan is
+    * stateless, so it runs unchanged over an unbounded stream
+    * ([[graft.streaming.EventStream.canaryScanStream]]). */
+  def canaryScanUnordered(docs: DataFrame,
+                          phrases: Seq[String]): DataFrame = {
     val mask = call_function("graft_match_mask",
       (col("text") +: phrases.map(lit)): _*)
     docs
@@ -126,7 +133,6 @@ object Curation {
       .withColumn("first_idx", when(col("mask") =!= 0,
         bit_count(col("mask").bitwiseAND(negate(col("mask"))) - 1)
           .cast("int")))
-      .orderBy(col("doc_id"))
   }
 
   /** Deterministic boilerplate planting — the oracle fixture for

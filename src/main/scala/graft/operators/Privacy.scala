@@ -60,7 +60,14 @@ object Privacy {
     * digits can't be re-matched as a phone fragment; placeholders
     * contain no redactable characters, so the operator is idempotent.
     * NULL text propagates NULL counts and NULL redaction. */
-  def piiRedact(docs: DataFrame): DataFrame = {
+  def piiRedact(docs: DataFrame): DataFrame =
+    piiRedactUnordered(docs).orderBy(col("doc_id"))
+
+  /** [[piiRedact]] without the final sort — the row-local core is
+    * stateless, so it runs unchanged over an unbounded stream
+    * ([[graft.streaming.EventStream.piiRedactStream]]); batch callers
+    * get the sorted report above. */
+  def piiRedactUnordered(docs: DataFrame): DataFrame = {
     val counts = classes.map { case (name, re, _) =>
       regexp_count(col("text"), lit(re)).cast("long").as(s"n_$name")
     }
@@ -73,7 +80,6 @@ object Privacy {
         col("n_email") + col("n_phone") + col("n_ip"))
       .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
         col("pii_total"), col("redacted"))
-      .orderBy(col("doc_id"))
   }
 
   /** k-anonymity audit over a set of quasi-identifier expressions:

@@ -117,6 +117,24 @@ object EventStream {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select(col("doc_id"), col("ts"), col("fingerprint"))
 
+  /** Streaming canary scan — the stateless one-pass Aho–Corasick DFA
+    * ([[graft.operators.Curation.canaryScan]]) over an unbounded doc
+    * stream: ONE `select`, no state, no watermark, so every
+    * micro-batch row is scanned once and emitted immediately
+    * (EquivalenceSpec proves stream rows equal the batch operator's).
+    * The scan-before-ingest shape: canaries are caught as documents
+    * ARRIVE, not in a nightly batch after they leaked into training
+    * shards. */
+  def canaryScanStream(docs: DataFrame, phrases: Seq[String]): DataFrame =
+    graft.operators.Curation.canaryScanUnordered(docs, phrases)
+
+  /** Streaming PII redaction — the stateless row-local
+    * [[graft.operators.Privacy.piiRedact]] core over an unbounded doc
+    * stream; same one-`select` shape and rationale as
+    * [[canaryScanStream]]. */
+  def piiRedactStream(docs: DataFrame): DataFrame =
+    graft.operators.Privacy.piiRedactUnordered(docs)
+
   /** Publish one micro-batch idempotently into `table`'s
     * `batch_id=<id>` partition. foreachBatch is at-least-once — a
     * failure after a partial or complete write re-runs the batch with

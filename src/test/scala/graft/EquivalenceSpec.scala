@@ -39,6 +39,44 @@ class EquivalenceSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming canary scan and PII redaction equal their batch twins") {
+    val phrases = Seq("agg join small", "table window table", "never present")
+    val planted = graft.operators.Privacy.plantPii(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select(col("doc_id"), col("text"))
+    val rows = planted.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val qc = EventStream.canaryScanStream(
+      mem.toDF().toDF("doc_id", "text"), phrases)
+      .writeStream.format("memory").queryName("eq_canary")
+      .outputMode("append").start()
+    qc.processAllAvailable()
+    qc.stop()
+    val streamedC = spark.table("eq_canary").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batchC = graft.operators.Curation.canaryScan(planted, phrases)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamedC == batchC && batchC.exists(_._2 != 0L))
+
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData(rows: _*)
+    val qp = EventStream.piiRedactStream(mem2.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("eq_pii")
+      .outputMode("append").start()
+    qp.processAllAvailable()
+    qp.stop()
+    val streamedP = spark.table("eq_pii").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getString(5))).sorted.toSeq
+    val batchP = graft.operators.Privacy.piiRedact(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getString(5)))
+      .sorted.toSeq
+    assert(streamedP == batchP && batchP.exists(_._2 > 0L))
+  }
+
   test("streaming dailyActive equals batch activeUsers on finalized days") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))
