@@ -18,7 +18,8 @@ object Bench {
     "q_text_quality", "q_token_count", "q_fingerprint", "q_repetition",
     "q_compress_ratio",
     "q_quality_filter", "q_dedup_exact",
-    "q_ngram_jaccard", "q_dedup_sweep", "q_span_dedup", "q_containment",
+    "q_ngram_jaccard", "q_dedup_sweep", "q_span_dedup", "q_span_strip",
+    "q_novelty", "q_containment",
     "q_minhash_dedup", "q_minhash_recall",
     "q_dedup_clusters",
     "q_simhash", "q_simhash_pairs", "q_skew_salted", "q_decontam",

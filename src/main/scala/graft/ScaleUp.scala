@@ -59,7 +59,19 @@ object ScaleUp {
 
     val cust = in("customer")
     val custStride = stride(cust, "c_custkey")
-    out(replicate(cust, factor, Seq("c_custkey"), custStride), "customer")
+    // names rebuilt from the SHIFTED key (the testdata invariant
+    // c_name = Customer#%09d(c_custkey), asserted cheap below): a
+    // verbatim name copy would hand the record-linkage queries 10
+    // identical names per original customer — C(10,2) exact-dup pairs
+    // each, quadratic in the copy factor — measuring the amplifier,
+    // not the engine (the same artifact class the doc/embedding
+    // perturbations below exist to avoid).
+    require(cust.where(col("c_name") =!=
+      format_string("Customer#%09d", col("c_custkey"))).isEmpty,
+      "customer names deviate from Customer#%09d — rewrite rule invalid")
+    out(replicate(cust, factor, Seq("c_custkey"), custStride)
+      .withColumn("c_name", format_string("Customer#%09d", col("c_custkey"))),
+      "customer")
 
     val orders = in("orders")
     val orderStride = stride(orders, "o_orderkey")

@@ -166,6 +166,47 @@ object SparkEntry {
     * shorter than this are invisible by design (ExactSubstr's
     * min-match-length knob). */
   private val SpanSeedLen = 8
+
+  /** Shared CTE prefix of the span-family oracles (q_span_dedup,
+    * q_span_strip, q_novelty): planted span fixture → tokens → md5
+    * seed windows per position. Mirrors NearDup.plantSpans +
+    * NearDup.seedFrame; md5 is bit-identical across engines. */
+  private def spanSeedCtes: String = {
+    val k = SpanSeedLen
+    s"""planted AS (SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0
+              THEN text || ' ${NearDup.PlantedSpan}' ELSE text END AS text
+          FROM documents),
+          tk AS (SELECT doc_id, $ToksSql AS toks FROM planted),
+          tt AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= $k),
+          s0 AS (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks) - ${k - 1})) AS i
+            FROM tt),
+          s AS (SELECT doc_id, i - 1 AS pos,
+              md5(array_to_string(toks[i:i + ${k - 1}], ' ')) AS sk
+            FROM s0)"""
+  }
+
+  /** [[spanSeedCtes]] extended through island merging to `sp`, the
+    * per-doc maximal-span frame (doc_id, island, span_start,
+    * span_end, n_seeds) — shared by q_span_dedup and q_span_strip. */
+  private def spanCtes: String = {
+    val k = SpanSeedLen
+    s"""$spanSeedCtes,
+          shared AS (SELECT sk FROM s GROUP BY sk
+            HAVING count(DISTINCT doc_id) >= 2),
+          h AS (SELECT s.doc_id, s.pos FROM s JOIN shared USING (sk)),
+          i1 AS (SELECT doc_id, pos,
+              lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM h),
+          i2 AS (SELECT doc_id, pos, CASE WHEN prev IS NULL
+              OR pos - prev > $k THEN 1 ELSE 0 END AS ni FROM i1),
+          i3 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id
+              ORDER BY pos) AS island FROM i2),
+          sp AS (SELECT doc_id, island, min(pos) AS span_start,
+              max(pos) + $k AS span_end, count(*) AS n_seeds
+            FROM i3 GROUP BY doc_id, island)"""
+  }
   private def orderRules: Seq[(String, Column)] = Seq(
     "custkey_not_null" -> col("o_custkey").isNotNull,
     "orderdate_in_range" ->
@@ -575,6 +616,12 @@ object SparkEntry {
         SweepThresholdsPm)),
     "q_span_dedup" -> ((s, d) =>
       NearDup.spanDedup(NearDup.plantSpans(Tables.documents(s, d)),
+        SpanSeedLen)),
+    "q_span_strip" -> ((s, d) =>
+      NearDup.spanStrip(NearDup.plantSpans(Tables.documents(s, d)),
+        SpanSeedLen)),
+    "q_novelty" -> ((s, d) =>
+      NearDup.seedNovelty(NearDup.plantSpans(Tables.documents(s, d)),
         SpanSeedLen)),
     // Text twin of q_dedup_recall: banding recall + df-cap precision
     // of the minhash path vs the exact index at the same threshold
@@ -1749,37 +1796,51 @@ object SparkEntry {
     // Seed md5 is bit-identical across engines, so membership, island
     // merging and span extents replay exactly; sum() OVER (ORDER BY
     // pos) has identical RANGE framing in both engines on unique pos.
-    "q_span_dedup" -> {
-      val k = SpanSeedLen
-      s"""WITH planted AS (SELECT doc_id,
-            CASE WHEN doc_id % 7 = 0
-              THEN text || ' ${NearDup.PlantedSpan}' ELSE text END AS text
-          FROM documents),
-          tk AS (SELECT doc_id, $ToksSql AS toks FROM planted),
-          tt AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= $k),
-          s0 AS (SELECT doc_id, toks,
-              unnest(generate_series(1, len(toks) - ${k - 1})) AS i
-            FROM tt),
-          s AS (SELECT doc_id, i - 1 AS pos,
-              md5(array_to_string(toks[i:i + ${k - 1}], ' ')) AS sk
-            FROM s0),
-          shared AS (SELECT sk FROM s GROUP BY sk
-            HAVING count(DISTINCT doc_id) >= 2),
-          h AS (SELECT s.doc_id, s.pos FROM s JOIN shared USING (sk)),
-          i1 AS (SELECT doc_id, pos,
-              lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-            FROM h),
-          i2 AS (SELECT doc_id, pos, CASE WHEN prev IS NULL
-              OR pos - prev > $k THEN 1 ELSE 0 END AS ni FROM i1),
-          i3 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id
-              ORDER BY pos) AS island FROM i2)
-          SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
-            CAST(max(pos) + $k AS INT) AS span_end,
-            CAST(max(pos) + $k - min(pos) AS INT) AS span_len,
-            count(*) AS n_seeds
-          FROM i3 GROUP BY doc_id, island
-          ORDER BY doc_id, span_start"""
-    },
+    "q_span_dedup" ->
+      s"""WITH $spanCtes
+          SELECT doc_id, CAST(span_start AS INT) AS span_start,
+            CAST(span_end AS INT) AS span_end,
+            CAST(span_end - span_start AS INT) AS span_len, n_seeds
+          FROM sp ORDER BY doc_id, span_start""",
+    // The apply step: positional anti-filter of each doc's tokens
+    // against its own spans, then one ordered string_agg — the SQL
+    // twin of the engine's row-local positional filter.
+    "q_span_strip" ->
+      s"""WITH $spanCtes,
+          ns AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans
+            FROM sp GROUP BY doc_id),
+          pos AS (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks))) AS i FROM tk),
+          posv AS (SELECT doc_id, i, toks[i] AS tok FROM pos),
+          kept AS (SELECT p.doc_id, p.i, p.tok FROM posv p
+            WHERE NOT EXISTS (SELECT 1 FROM sp
+              WHERE sp.doc_id = p.doc_id
+                AND p.i - 1 >= sp.span_start AND p.i - 1 < sp.span_end)),
+          ka AS (SELECT doc_id, count(*) AS n_kept,
+              string_agg(tok, ' ' ORDER BY i) AS clean_text
+            FROM kept GROUP BY doc_id),
+          sz AS (SELECT doc_id, len(toks) AS n_toks FROM tk)
+          SELECT sz.doc_id, coalesce(ns.n_spans, 0) AS n_spans,
+            CAST(sz.n_toks AS INT) AS n_toks,
+            CAST(sz.n_toks - coalesce(ka.n_kept, 0) AS INT)
+              AS toks_removed,
+            coalesce(ka.clean_text, '') AS clean_text
+          FROM sz LEFT JOIN ns USING (doc_id) LEFT JOIN ka USING (doc_id)
+          ORDER BY sz.doc_id""",
+    // Novelty = corpus-unique seed fraction; integer counts, one
+    // final division, NULL for docs below the seed floor.
+    "q_novelty" ->
+      s"""WITH $spanSeedCtes,
+          d AS (SELECT sk, count(DISTINCT doc_id) AS nd
+            FROM s GROUP BY sk),
+          sc AS (SELECT s.doc_id, count(*) AS n_seeds,
+              CAST(sum(CAST(d.nd = 1 AS INT)) AS BIGINT) AS n_unique
+            FROM s JOIN d USING (sk) GROUP BY s.doc_id)
+          SELECT t.doc_id, coalesce(sc.n_seeds, 0) AS n_seeds,
+            coalesce(sc.n_unique, 0) AS n_unique,
+            CAST(sc.n_unique AS DOUBLE) / sc.n_seeds AS novelty
+          FROM (SELECT doc_id FROM documents) t LEFT JOIN sc USING (doc_id)
+          ORDER BY t.doc_id""",
     // Replays BOTH legs: the minhash chain (ver, threshold 0.5 pinned
     // in MinhashVerCtes) and the exact df-capped index at 0.5.
     "q_minhash_recall" ->

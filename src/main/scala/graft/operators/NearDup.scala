@@ -751,9 +751,11 @@ object NearDup {
     * construction), the islands window partitions per doc, and
     * all-pairs work never exists — a span shared by a million docs
     * costs a million seed rows, not a million² comparisons. */
-  def spanDedup(docs: DataFrame, seedLen: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val seeds = docs
+  /** (doc_id, pos, sk): the md5 seed-window frame shared by
+    * [[spanDedup]], [[spanStrip]] and [[seedNovelty]] — one row per
+    * token position; each consumer that reads it twice persists it. */
+  private def seedFrame(docs: DataFrame, seedLen: Int): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= seedLen)
       .select(col("doc_id"), explode(transform(
@@ -762,6 +764,10 @@ object NearDup {
           md5(concat_ws(" ", slice(col("toks"), i, lit(seedLen)))).as("sk"))))
         .as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.sk").as("sk"))
+
+  def spanDedup(docs: DataFrame, seedLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = seedFrame(docs, seedLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shared = seeds.groupBy(col("sk"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -784,5 +790,69 @@ object NearDup {
         (col("s1") + seedLen - col("s0")).cast("int").as("span_len"),
         col("n_seeds"))
       .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Repeated-span REMOVAL — the apply step of [[spanDedup]]: strip
+    * every flagged span from every document and emit the cleaned
+    * token text plus removal accounting. Policy is deliberately
+    * conservative for memorization risk (strip ALL occurrences, not
+    * all-but-one — the canonical copy belongs to the doc-level dedup
+    * family, which keeps whole documents). Works in normalized token
+    * space: `clean_text` is the surviving tokens space-joined, the
+    * same coordinates the spans were reported in.
+    *
+    * Shape: the span frame is span-sized (tiny vs the corpus) and
+    * collected per doc as an array via one groupBy, then the strip is
+    * ONE row-local positional filter per doc (each token tests
+    * against its own doc's few spans — O(len·spans_per_doc), no
+    * shuffle of text beyond the doc⋈spans hash join). */
+  def spanStrip(docs: DataFrame, seedLen: Int = 8): DataFrame = {
+    val spans = spanDedup(docs, seedLen)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("spans"), count(lit(1)).cast("int").as("n_spans"))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .join(spans, Seq("doc_id"), "left_outer")
+      .withColumn("kept", when(col("spans").isNull, col("toks"))
+        .otherwise(filter(col("toks"), (_, i) =>
+          !exists(col("spans"), s =>
+            i >= s.getField("span_start") && i < s.getField("span_end")))))
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        size(col("toks")).as("n_toks"),
+        (size(col("toks")) - size(col("kept"))).as("toks_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Seed-novelty score — the memorization-risk complement of
+    * [[spanDedup]]: per document, the fraction of its seed windows
+    * that are corpus-UNIQUE (appear in no other document). Low
+    * novelty means the doc is largely assembled from text that exists
+    * elsewhere (template instantiations, mirrored fragments) even
+    * when no single span is long enough for the span report; high
+    * novelty marks genuinely fresh text worth keeping under a
+    * dedup-pressure budget. Docs shorter than `seedLen` tokens carry
+    * no signal: n_seeds = 0, NULL novelty.
+    *
+    * Shape: same two seed-hash-keyed shuffles as [[spanDedup]] (df
+    * aggregate + membership join on the persisted seed frame), then
+    * one per-doc aggregate; integer counts, ONE final division. */
+  def seedNovelty(docs: DataFrame, seedLen: Int = 8): DataFrame = {
+    val seeds = seedFrame(docs, seedLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = seeds.groupBy(col("sk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val scored = seeds.join(df, "sk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seeds"),
+        sum((col("nd") === 1).cast("bigint")).as("n_unique"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_seeds"), lit(0L)).as("n_seeds"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        (col("n_unique").cast("double") / col("n_seeds")).as("novelty"))
+      .orderBy(col("doc_id"))
   }
 }

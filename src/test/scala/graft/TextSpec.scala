@@ -45,6 +45,41 @@ class TextSpec extends SparkSpec {
       (2L, 2, 14, 12), (3L, 3, 12, 9)))
   }
 
+  test("span strip removes all flagged spans and accounts for them") {
+    val spanA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val sd = Seq(
+      (1L, s"unique1 prefix $spanA unique1 tail"),
+      (2L, s"unique2 start $spanA unique2 end"),
+      (3L, "entirely fresh words nowhere else repeated in any document at all")
+    ).toDF("doc_id", "text")
+    val out = NearDup.spanStrip(sd, 8).collect()
+      .map(r => (r.getLong(0),
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    // doc 1: 16 tokens, spanA (12) stripped → 4 survive
+    assert(out(1L) == ((1, 16, 12, "unique1 prefix unique1 tail")))
+    assert(out(2L) == ((1, 16, 12, "unique2 start unique2 end")))
+    assert(out(3L)._1 == 0 && out(3L)._3 == 0 &&
+      out(3L)._4 == "entirely fresh words nowhere else repeated in any document at all")
+  }
+
+  test("seed novelty scores corpus-unique seed fraction") {
+    val spanA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val sd = Seq(
+      (1L, s"unique1 prefix $spanA unique1 tail"),   // 16 toks → 9 seeds
+      (2L, s"unique2 start $spanA unique2 end"),
+      (3L, "short doc"),                              // below seed floor
+      (4L, "entirely fresh words nowhere else repeated in any document at all")
+    ).toDF("doc_id", "text")
+    val out = NearDup.seedNovelty(sd, 8).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    // doc 1: 9 seeds, 5 fully inside the shared span are non-unique
+    assert(out(1L)._1 == 9L && out(1L)._2 == 4L)
+    assert(out(1L)._3.get == 4.0 / 9.0)
+    assert(out(3L) == ((0L, 0L, None)))   // no seeds → NULL novelty
+    assert(out(4L)._3.get == 1.0)         // all seeds unique
+  }
+
   test("span dedup merges overlapping seeds and respects the seed floor") {
     // a 7-token shared run is below the 8-token seed floor → invisible
     val short = Seq(
