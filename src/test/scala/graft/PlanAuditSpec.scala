@@ -438,6 +438,32 @@ class PlanAuditSpec extends SparkSpec {
       "InMemoryTableScan".r.findAllIn(p).size, p.take(2000))
   }
 
+  test("span dedup: cached seed frame feeds both legs, no cross product") {
+    val p = plan("q_span_dedup")
+    // the all-pairs regime must never exist — membership is a hash
+    // join on the seed md5, never a nested-loop pairing
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // df aggregate + membership join both read the persisted seed
+    // frame; FileScan == InMemoryTableScan iff no live scan leaks
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size ==
+      "InMemoryTableScan".r.findAllIn(p).size, p.take(2000))
+  }
+
+  test("seed novelty: same cached-seed shape as span dedup") {
+    val p = plan("q_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("compression ratio is a pure per-row map: no join, no window") {
+    val p = plan("q_compress_ratio")
+    assert(p.contains("graft_deflate_len"), p.take(2000))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
+  }
+
   test("ooo audit: bucketed prefix max, offsets broadcast, no live scan") {
     val p = plan("q_ooo_audit")
     // the corpus-sized window is PARTITIONED by bkt; the only global
