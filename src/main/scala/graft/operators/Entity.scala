@@ -57,9 +57,16 @@ object Entity {
     val c = clean.select(
       col(idCol).as("clean_id"), col(nameCol).as("clean_name"),
       expr(s"right($nameCol, $blockLen)").as("blk"))
+    // threshold levenshtein: banded DP with early exit, -1 above the
+    // bound. Exact within the bound, so ok-candidates rank and report
+    // identically; among not-ok candidates the rn=1 winner may differ
+    // from an unbounded engine, but every not-ok row projects to the
+    // same (dirty_id, dirty_name, NULL, NULL), so the output — and
+    // the oracle hash — cannot change.
     val j = d.join(c, Seq("blk"), "left_outer")
-      .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name")))
-      .withColumn("ok", col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("dirty_name"), col("clean_name"), maxDist))
+      .withColumn("ok", col("dist") >= 0)
     val w = Window.partitionBy(col("dirty_id")).orderBy(
       when(col("ok"), 0).otherwise(1), col("dist"), col("clean_id"))
     j.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
