@@ -811,7 +811,11 @@ object NearDup {
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("spans"), count(lit(1)).cast("int").as("n_spans"))
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // NULL text reads as an empty doc (0 tokens kept/removed), not a
+    // -1-sized row under the legacy size(NULL) semantics
+    docs.select(col("doc_id"),
+      coalesce(tokens(col("text")), array().cast("array<string>"))
+        .as("toks"))
       .join(spans, Seq("doc_id"), "left_outer")
       .withColumn("kept", when(col("spans").isNull, col("toks"))
         .otherwise(filter(col("toks"), (_, i) =>

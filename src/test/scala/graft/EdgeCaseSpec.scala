@@ -18,6 +18,29 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.head.getString(1) == "tv" && r.head.getDouble(2) == 1.0)
   }
 
+  test("span family tolerates null/empty/short texts") {
+    val df = Seq(
+      (1L, null.asInstanceOf[String]), (2L, ""), (3L, "two tokens"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta shared tail x"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta other close y")
+    ).toDF("doc_id", "text")
+    // docs 4/5 share an 8-token prefix → one span each; 1/2/3 silent
+    val spans = NearDup.spanDedup(df, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spans.toSeq == Seq((4L, 0, 8), (5L, 0, 8)))
+    val strip = NearDup.spanStrip(df, 8).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))).toMap
+    assert(strip(1L) == ((0, 0, 0, "")))   // null text = empty doc
+    assert(strip(2L) == ((0, 0, 0, "")))
+    assert(strip(3L) == ((0, 2, 0, "two tokens")))
+    assert(strip(4L) == ((1, 11, 8, "shared tail x")))
+    val nov = NearDup.seedNovelty(df, 8).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(nov(1L) == ((0L, 0L)) && nov(2L) == ((0L, 0L)))
+    assert(nov(4L)._1 == 4L && nov(4L)._2 == 3L) // 1 shared, 3 unique
+  }
+
   test("normText/tokens handle punctuation-only and empty strings") {
     val df = Seq((1L, "!!! ??? ..."), (2L, ""), (3L, "a-b c_d")).toDF("doc_id", "text")
     val t = df.select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
