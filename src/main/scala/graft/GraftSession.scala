@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BloomAgg, BloomContains, DeflateLen, DotProduct, MatchMask, MinHashSigs, MisraGriesAgg, NfcNormalize, RollingHash, SimHash40, TopKAgg}
+import graft.functions.{BloomAgg, BloomContains, DeflateLen, DotProduct, MatchMask, MinHashSigs, MisraGriesAgg, NfcNormalize, RollingHash, SeedHashes, SimHash40, TopKAgg}
 
 /** Standard session config for the graft engine. One place to keep the
   * settings that matter at scale (AQE, shuffle partitions sized to the
@@ -102,6 +102,17 @@ object GraftSession {
             }
             MatchMask(exprs.head, pats)
           }))
+        ext.injectFunction((
+          FunctionIdentifier("graft_seed_hashes"),
+          new ExpressionInfo(classOf[SeedHashes].getName, "graft_seed_hashes"),
+          (exprs: Exprs) => { val e = arity("graft_seed_hashes", 2, exprs)
+            val len = e(1) match {
+              case org.apache.spark.sql.catalyst.expressions.Literal(
+                i: Int, _) => i
+              case other => throw new IllegalArgumentException(
+                s"graft_seed_hashes seedLen must be an int literal, got $other")
+            }
+            SeedHashes(e.head, len) }))
         ext.injectFunction((
           FunctionIdentifier("graft_deflate_len"),
           new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),

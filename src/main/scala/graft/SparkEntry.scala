@@ -194,7 +194,7 @@ object SparkEntry {
     val k = SpanSeedLen
     s"""$spanSeedCtes,
           shared AS (SELECT sk FROM s GROUP BY sk
-            HAVING count(DISTINCT doc_id) >= 2),
+            HAVING min(doc_id) <> max(doc_id)),
           h AS (SELECT s.doc_id, s.pos FROM s JOIN shared USING (sk)),
           i1 AS (SELECT doc_id, pos,
               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
@@ -1831,10 +1831,10 @@ object SparkEntry {
     // final division, NULL for docs below the seed floor.
     "q_novelty" ->
       s"""WITH $spanSeedCtes,
-          d AS (SELECT sk, count(DISTINCT doc_id) AS nd
+          d AS (SELECT sk, min(doc_id) = max(doc_id) AS uniq
             FROM s GROUP BY sk),
           sc AS (SELECT s.doc_id, count(*) AS n_seeds,
-              CAST(sum(CAST(d.nd = 1 AS INT)) AS BIGINT) AS n_unique
+              CAST(sum(CAST(d.uniq AS INT)) AS BIGINT) AS n_unique
             FROM s JOIN d USING (sk) GROUP BY s.doc_id)
           SELECT t.doc_id, coalesce(sc.n_seeds, 0) AS n_seeds,
             coalesce(sc.n_unique, 0) AS n_unique,

@@ -753,25 +753,29 @@ object NearDup {
     * costs a million seed rows, not a million² comparisons. */
   /** (doc_id, pos, sk): the md5 seed-window frame shared by
     * [[spanDedup]], [[spanStrip]] and [[seedNovelty]] — one row per
-    * token position; each consumer that reads it twice persists it. */
+    * token position; each consumer that reads it twice persists it.
+    * Seed hashing is the native one-pass
+    * [[graft.functions.SeedHashes]] (byte-identical to
+    * md5(concat_ws(' ', slice(toks, i+1, k))), so the oracles are
+    * unchanged); posexplode supplies the 0-based position. */
   private def seedFrame(docs: DataFrame, seedLen: Int): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= seedLen)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("toks")) - (seedLen - 1)),
-        i => struct((i - 1).as("pos"),
-          md5(concat_ws(" ", slice(col("toks"), i, lit(seedLen)))).as("sk"))))
-        .as("s"))
-      .select(col("doc_id"), col("s.pos").as("pos"), col("s.sk").as("sk"))
+      .select(col("doc_id"), posexplode(call_function("graft_seed_hashes",
+        col("toks"), lit(seedLen))).as(Seq("pos", "sk")))
 
   def spanDedup(docs: DataFrame, seedLen: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val seeds = seedFrame(docs, seedLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // "≥2 distinct docs" as min≠max: the seed domain is near-unique,
+    // so a count-distinct would expand every (sk, doc) pair through a
+    // distinct aggregate; min/max combine map-side in one pass with
+    // identical semantics (mirrored in the oracle's HAVING).
     val shared = seeds.groupBy(col("sk"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .where(col("mn") =!= col("mx"))
       .select(col("sk"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     seeds.join(shared, "sk")
@@ -845,12 +849,14 @@ object NearDup {
   def seedNovelty(docs: DataFrame, seedLen: Int = 8): DataFrame = {
     val seeds = seedFrame(docs, seedLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus-unique ⟺ all occurrences in ONE doc ⟺ min = max — same
+    // count-distinct avoidance as [[spanDedup]]'s shared-seed test
     val df = seeds.groupBy(col("sk"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
+      .agg((min(col("doc_id")) === max(col("doc_id"))).as("uniq"))
     val scored = seeds.join(df, "sk")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_seeds"),
-        sum((col("nd") === 1).cast("bigint")).as("n_unique"))
+        sum(col("uniq").cast("bigint")).as("n_unique"))
     docs.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
