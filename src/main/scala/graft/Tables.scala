@@ -24,16 +24,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** `events.ts` is parquet timestamp[ns], which Spark only reads with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by
-    * [[GraftSession]]). Convert the raw nanos to a microsecond
-    * timestamp with integer division (ns since epoch exceeds 2^53, so
-    * double division would lose precision). */
+  /** The driver has shipped `events.ts` in two parquet encodings:
+    * timestamp[ns] (read as Long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * [[GraftSession]]) and timestamp[us] with isAdjustedToUTC=false
+    * (read as TIMESTAMP_NTZ). Normalize both to a session-TZ
+    * TIMESTAMP: the engine's temporal operators use
+    * `unix_micros`/watermarks, which require the LTZ type. The session
+    * runs in UTC, so the NTZ→LTZ cast preserves wall-clock instants
+    * bit-for-bit (and matches DuckDB, which reads the same column as a
+    * naive timestamp). The nanos path divides with integer `div` (ns
+    * since epoch exceeds 2^53, so double division would lose
+    * precision). */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
