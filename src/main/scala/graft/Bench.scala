@@ -45,6 +45,8 @@ object Bench {
     "q_ooo_audit", "q_watermark_rec", "q_record_dedup", "q_canary_scan",
     "q_inverted_index",
     "q_ship_priority", "q_late_suppliers", "q_k_anon", "q_forecast_naive",
+    "q_autocorr", "q_chi2_independence", "q_fanout_audit",
+    "q_item_similarity", "q_pagerank", "q_bigram_lm",
     "q_histogram", "q_qa_anomaly",
     "q_semantic_dedup", "q_mixture", "q_props_health",
     "q_search", "q_qa_orphans", "q_percentiles", "q_winsorize",

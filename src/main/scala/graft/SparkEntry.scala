@@ -128,6 +128,36 @@ object SparkEntry {
   /** q_forecast_naive: seasonal lag in days (same weekday last week). */
   private val ForecastLagDays = 7
 
+  /** q_autocorr: lags (days) tested — 1 for day-to-day persistence, 7
+    * for weekly cadence (the [[ForecastLagDays]] model check). */
+  private val AutocorrLags = Seq(1, 7)
+
+  /** q_item_similarity: neighbors kept per item. */
+  private val ItemSimTopN = 5
+
+  /** q_pagerank: damped value-iteration rounds (unrolled verbatim in
+    * the oracle CTE chain) and report size. */
+  private val PageRankIters = 3
+  private val PageRankTopN = 100
+
+  /** q_fanout_audit: per-key multiplicity cap — the top bucket reads
+    * "cap or more". */
+  private val FanoutMultCap = 8
+
+  /** The q_pagerank oracle's unrolled value-iteration rounds: one
+    * (contribution, rank) CTE pair per round over the shared
+    * e/deg/nodes frames. */
+  private val PageRankIterCtes: String = (1 to PageRankIters).map(i =>
+    s"""c$i AS (SELECT e.dst AS node,
+            CAST(sum(((r.rank_micro * 17) // 20) // d.deg) AS BIGINT)
+              AS inflow
+            FROM e JOIN r${i - 1} r ON r.node = e.src
+            JOIN deg d ON d.src = e.src GROUP BY 1),
+          r$i AS (SELECT n.node,
+            CAST(150000 + coalesce(c.inflow, 0) AS BIGINT) AS rank_micro
+            FROM nodes n LEFT JOIN c$i c USING (node))""")
+    .mkString(",\n          ")
+
   /** q_range_join: attribution window length (days) after a purchase.
     * The range-join band width equals the window, so each interval
     * explodes to at most 2 bins. */
@@ -892,6 +922,19 @@ object SparkEntry {
         KAnonK)),
     "q_forecast_naive" -> ((s, d) =>
       Temporal.forecastNaive(Tables.events(s, d), ForecastLagDays)),
+    "q_autocorr" -> ((s, d) =>
+      DataChecks.autocorr(Tables.events(s, d), AutocorrLags)),
+    "q_chi2_independence" -> ((s, d) =>
+      DataChecks.chi2Independence(Tables.events(s, d))),
+    "q_fanout_audit" -> ((s, d) =>
+      DataChecks.fanoutAudit(Tables.customer(s, d), Tables.orders(s, d),
+        "c_custkey", "o_custkey", FanoutMultCap)),
+    "q_item_similarity" -> ((s, d) =>
+      Affinity.itemSimilarity(Tables.lineitem(s, d), ItemSimTopN)),
+    "q_pagerank" -> ((s, d) =>
+      Affinity.pageRank(Tables.lineitem(s, d), PageRankIters, PageRankTopN)),
+    "q_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramLmScore(Tables.documents(s, d))),
     "q_user_features" -> ((s, d) =>
       Journey.userFeatures(Tables.events(s, d), EventTypes)),
     "q_histogram" -> ((s, d) =>
@@ -3063,6 +3106,131 @@ object SparkEntry {
             abs(d.n - b.forecast_n) AS abs_err
           FROM d LEFT JOIN b USING (event_type, day)
           ORDER BY 1, 2""",
+    // Moments are exact BIGINT sums (DuckDB sums into HUGEINT — cast
+    // back); the r combination runs in DOUBLE off the exact moments on
+    // both engines (identical correctly-rounded scalar chain), with
+    // zero variance on either side -> NULL.
+    "q_autocorr" ->
+      s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+          l AS (${AutocorrLags.map(x => s"SELECT $x AS lag")
+            .mkString(" UNION ALL ")}),
+          b AS (SELECT d.event_type, l.lag, d.day + l.lag AS day,
+            d.y AS yp FROM d CROSS JOIN l),
+          p AS (SELECT d.event_type, b.lag, d.y AS yc, b.yp
+            FROM d JOIN b ON b.event_type = d.event_type
+              AND b.day = d.day),
+          m AS (SELECT event_type, lag, count(*) AS n_pairs,
+            CAST(sum(yc) AS BIGINT) AS sy, CAST(sum(yp) AS BIGINT) AS sx,
+            CAST(sum(yc * yp) AS BIGINT) AS sxy,
+            CAST(sum(yc * yc) AS BIGINT) AS syy,
+            CAST(sum(yp * yp) AS BIGINT) AS sxx
+            FROM p GROUP BY 1, 2),
+          s AS (SELECT event_type, lag, n_pairs,
+            CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+            CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS varx,
+            CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vary
+            FROM m)
+          SELECT event_type, lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+            CASE WHEN varx > 0 AND vary > 0
+              THEN num / sqrt(varx * vary) END AS acf
+          FROM s ORDER BY 1, 2""",
+    // Spark weekday() is Monday=0 -> +1 == DuckDB isodow (Monday=1).
+    // expected/term are pure scalar IEEE chains over exact integer
+    // marginals — (n−e)·(n−e), never pow() (not correctly rounded).
+    "q_chi2_independence" ->
+      """WITH obs AS (SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
+            count(*) AS n FROM events GROUP BY 1, 2),
+          r AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS row_n
+            FROM obs GROUP BY 1),
+          c AS (SELECT dow, CAST(sum(n) AS BIGINT) AS col_n
+            FROM obs GROUP BY 1),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
+          sc AS (SELECT o.event_type, o.dow, o.n, r.row_n, c.col_n,
+            CAST(r.row_n AS DOUBLE) * c.col_n / t.total AS expected
+            FROM obs o JOIN r USING (event_type) JOIN c USING (dow)
+            CROSS JOIN t)
+          SELECT event_type, dow, n, row_n, col_n, expected,
+            (n - expected) * (n - expected) / expected AS chi2_term
+          FROM sc ORDER BY 1, 2""",
+    "q_fanout_audit" ->
+      s"""WITH la AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT)
+            AS ln FROM customer GROUP BY 1),
+          ra AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS rn
+            FROM orders GROUP BY 1),
+          j AS (SELECT coalesce(la.ln, 0) AS ln, coalesce(ra.rn, 0) AS rn
+            FROM la FULL JOIN ra USING (k))
+          SELECT least(ln, $FanoutMultCap) AS left_mult,
+            least(rn, $FanoutMultCap) AS right_mult,
+            count(*) AS n_keys, CAST(sum(ln) AS BIGINT) AS left_rows,
+            CAST(sum(rn) AS BIGINT) AS right_rows,
+            CAST(sum(ln * rn) AS BIGINT) AS join_rows
+          FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+    // cos = cooc/sqrt(n_a·n_b): every input an exact integer, every
+    // IEEE step correctly rounded -> bit-identical across engines. The
+    // row_number tie order (cos DESC, other) is graft_topk's exact
+    // (score desc, id asc) heap order.
+    "q_item_similarity" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS okey,
+            l_partkey AS part FROM lineitem),
+          cnt AS (SELECT part, CAST(count(*) AS BIGINT) AS cnt
+            FROM op GROUP BY 1),
+          pr AS (SELECT a.part AS pa, b.part AS pb,
+            CAST(count(*) AS BIGINT) AS cooc
+            FROM op a JOIN op b ON a.okey = b.okey AND a.part < b.part
+            GROUP BY 1, 2),
+          sym AS (SELECT pa AS part, pb AS other, cooc FROM pr
+            UNION ALL SELECT pb, pa, cooc FROM pr),
+          sc AS (SELECT s.part, s.other, s.cooc,
+            ca.cnt AS n_a, cb.cnt AS n_b,
+            CAST(s.cooc AS DOUBLE) / sqrt(CAST(ca.cnt AS DOUBLE) * cb.cnt)
+              AS cos_sim
+            FROM sym s JOIN cnt ca ON ca.part = s.part
+              JOIN cnt cb ON cb.part = s.other),
+          rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY part
+              ORDER BY cos_sim DESC, other) AS INT) AS rk FROM sc)
+          SELECT part, other, cooc, n_a, n_b, cos_sim, rk FROM rk
+          WHERE rk <= $ItemSimTopN ORDER BY part, rk""",
+    // The value iteration unrolled: one (contribution, rank) CTE pair
+    // per round, all-integer arithmetic — truncating div replaces
+    // float rounding, so sums are order-independent and the chain
+    // replays bit-for-bit.
+    "q_pagerank" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS okey,
+            l_partkey AS part FROM lineitem),
+          pr AS (SELECT DISTINCT a.part AS pa, b.part AS pb
+            FROM op a JOIN op b ON a.okey = b.okey AND a.part < b.part),
+          e AS (SELECT pa AS src, pb AS dst FROM pr
+            UNION ALL SELECT pb, pa FROM pr),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM e GROUP BY 1),
+          nodes AS (SELECT DISTINCT src AS node FROM e),
+          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro
+            FROM nodes),
+          $PageRankIterCtes
+          SELECT node AS part, rank_micro FROM r$PageRankIters
+          ORDER BY rank_micro DESC, part LIMIT $PageRankTopN""",
+    // Integer micro-probability contributions ((10⁶·cb) div cf) make
+    // per-doc sums order-independent; the two display divisions run
+    // once at the end in the same order on both engines.
+    "q_bigram_lm" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          p AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+              list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])
+            ELSE CAST([] AS VARCHAR[]) END) AS big FROM tk),
+          bf AS (SELECT big, CAST(count(*) AS BIGINT) AS cb
+            FROM p GROUP BY 1),
+          cf AS (SELECT split_part(big, ' ', 1) AS t1,
+            CAST(count(*) AS BIGINT) AS cf FROM p GROUP BY 1),
+          st AS (SELECT bf.big, (1000000 * bf.cb) // cf.cf AS score
+            FROM bf JOIN cf ON cf.t1 = split_part(bf.big, ' ', 1)),
+          agg AS (SELECT p.doc_id, count(*) AS n_bigrams,
+            CAST(sum(st.score) AS BIGINT) AS sum_score
+            FROM p JOIN st USING (big) GROUP BY 1)
+          SELECT doc_id, n_bigrams, sum_score,
+            CAST(sum_score AS DOUBLE) / 1000000 / n_bigrams AS mean_cond
+          FROM agg ORDER BY doc_id""",
     // Replays the planting (char-10 deletion, +0.25 dyadic balance
     // drift) and the block-then-verify match; the blocking key is
     // nation × LAST-3 name chars on both sides, so the candidate sets

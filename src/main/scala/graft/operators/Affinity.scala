@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Item-affinity analytics over the order log: co-purchase pair
+  * counts, item-item cosine similarity (the classic item-based
+  * collaborative-filtering neighborhood table), and PageRank over the
+  * co-purchase graph (the "importance" centrality a recommender or
+  * merchandising report ranks catalog items by).
+  *
+  * Scale shape, in one sentence each:
+  *  - pairs are generated IN-TASK from per-order sorted item sets
+  *    (never a self-join of the (order, item) stream — the
+  *    [[Temporal.basketPairs]] idiom), so pair work is bounded by
+  *    items-per-order², not corpus²;
+  *  - similarity joins are all key-grain (pair counts carry both
+  *    items' order counts WITH them via structs, so no post-pair
+  *    count join exists at all), and the per-item neighborhood cut
+  *    uses the bounded-heap `graft_topk` aggregate — shuffle volume
+  *    items×k, no sort over hot items' candidate lists;
+  *  - PageRank is the standard distributed value iteration: the
+  *    STATIC edge frame is hash-partitioned on src once and persisted,
+  *    so each iteration moves only the node-sized rank frame to the
+  *    edges (plus one edge-grain aggregate to the dst grain), and
+  *    lineage is cut per iteration with localCheckpoint (the Lloyd /
+  *    BPE loop pattern — without it the plan doubles per round).
+  *
+  * Determinism (the gate property): similarity scores are
+  * `cooc / sqrt(n_a·n_b)` where every input is an exact integer count
+  * — each IEEE step (int→double, ×, sqrt, ÷) is correctly rounded, so
+  * engine and oracle agree bit-for-bit. PageRank avoids float
+  * entirely: ranks are integer MICRO-rank units, the damping step is
+  * the exact rational `(rank·17) div 20 div outdeg`, and integer sums
+  * are order-independent — a float PageRank would differ in the last
+  * ULP per summation order at any scale. Rank overflow bound:
+  * total mass ≤ nodes·10⁶, and the ·17 step needs rank·17 < 2⁶³ —
+  * safe below ~5·10¹⁴ nodes (documented, unreachable).
+  */
+object Affinity {
+
+  /** Distinct (order, item) memberships — an order listing an item on
+    * several lines counts once, as a set membership. */
+  private def orderParts(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+
+  /** Undirected co-purchase pairs with both sides' order counts:
+    * (part_a < part_b, n_a, n_b, cooc). Each item's order count is
+    * attached BEFORE the per-order set aggregation (one key-grain
+    * join), so the exploded pairs carry (n_a, n_b) with them and the
+    * pair grain never joins anything afterwards. */
+  def coPurchasePairs(lineitem: DataFrame): DataFrame = {
+    val op = orderParts(lineitem)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cnt = op.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
+    val sets = op.join(cnt, "part")
+      .groupBy(col("okey"))
+      .agg(sort_array(collect_set(struct(col("part"), col("cnt")))).as("ps"))
+    sets.where(size(col("ps")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ps")) - 1),
+        i => transform(sequence(i + 1, size(col("ps"))),
+          j => struct(
+            element_at(col("ps"), i).getField("part").as("part_a"),
+            element_at(col("ps"), j).getField("part").as("part_b"),
+            element_at(col("ps"), i).getField("cnt").as("n_a"),
+            element_at(col("ps"), j).getField("cnt").as("n_b")))))).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+      .agg(count(lit(1)).as("cooc"))
+  }
+
+  /** Top-`topN` most-similar items per item by co-purchase cosine:
+    * cos(a,b) = |orders with both| / sqrt(|orders with a|·|orders
+    * with b|). The neighborhood cut is the bounded-heap `graft_topk`
+    * (score desc, item-id-asc ties — exactly the oracle's
+    * row_number order), and the kept (item, other) keys re-join the
+    * persisted scored frame to recover the count columns — a
+    * (items×k)-sized probe into the pair grain, cheaper than sorting
+    * every hot item's full candidate list under a window. */
+  def itemSimilarity(lineitem: DataFrame, topN: Int = 5): DataFrame = {
+    val pairs = coPurchasePairs(lineitem)
+    val sym = pairs
+      .select(col("part_a").as("part"), col("part_b").as("other"),
+        col("cooc"), col("n_a"), col("n_b"))
+      .unionAll(pairs.select(col("part_b").as("part"),
+        col("part_a").as("other"), col("cooc"),
+        col("n_b").as("n_a"), col("n_a").as("n_b")))
+    // persisted: the graft_topk cut and the count-recovery join both
+    // read it (caller owns the lifetime, as for the other shared
+    // frames)
+    val scored = sym
+      .withColumn("cos_sim", col("cooc").cast("double") /
+        sqrt(col("n_a").cast("double") * col("n_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val top = scored.groupBy(col("part"))
+      .agg(call_function("graft_topk",
+        col("cos_sim"), col("other"), lit(topN)).as("top"))
+      .select(col("part"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("part"), col("e.id").as("other"),
+        (col("pos") + 1).cast("int").as("rk"))
+    top.join(scored, Seq("part", "other"))
+      .select(col("part"), col("other"), col("cooc"), col("n_a"),
+        col("n_b"), col("cos_sim"), col("rk"))
+      .orderBy(col("part"), col("rk"))
+  }
+
+  /** Exact-integer PageRank over the undirected co-purchase graph
+    * (each undirected pair contributes both directed edges), `iters`
+    * damped value-iteration rounds, top-`topN` items by final rank.
+    *
+    * rank₀ = 10⁶ micro-rank per node;
+    * rankₖ₊₁(v) = 150 000 + Σ_{u→v} ((rankₖ(u)·17) div 20) div deg(u)
+    * — the 0.85-damped update in exact integer arithmetic (truncation
+    * replaces float rounding; sums are order-independent, so the
+    * result is bit-identical however Spark schedules the shuffle).
+    * Every node in the graph has deg ≥ 1 by construction (pairs are
+    * symmetric), so no dangling-mass term is needed. */
+  def pageRank(lineitem: DataFrame, iters: Int = 3,
+               topN: Int = 100): DataFrame = {
+    val pairs = coPurchasePairs(lineitem).select(col("part_a"), col("part_b"))
+    val edges = pairs.unionAll(
+      pairs.select(col("part_b"), col("part_a"))).toDF("src", "dst")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // static over all iterations: partition on src ONCE and persist —
+    // each iteration's rank join reuses this layout, so only the
+    // node-sized rank frame is exchanged per round
+    val edgesDeg = edges.join(deg, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = deg.select(col("src").as("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.select(col("node"), lit(1000000L).as("rank_micro"))
+    for (_ <- 1 to iters) {
+      val inflow = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst"), expr("((rank_micro * 17) div 20) div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      // localCheckpoint: cut lineage per round — the iterated plan
+      // would otherwise double per iteration (the Lloyd pattern)
+      ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        .select(col("node"),
+          (lit(150000L) + coalesce(col("inflow"), lit(0L))).as("rank_micro"))
+        .localCheckpoint()
+    }
+    ranks.orderBy(col("rank_micro").desc, col("node")).limit(topN)
+      .select(col("node").as("part"), col("rank_micro"))
+  }
+}

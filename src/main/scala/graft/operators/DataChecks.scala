@@ -649,4 +649,124 @@ object DataChecks {
       .reduce(_.union(_))
       .orderBy(col("col_name"))
   }
+
+  /** Join-cardinality audit between two tables on a shared key — the
+    * preflight that predicts a join's output size and fan-out shape
+    * BEFORE anyone runs it: per-key multiplicity on each side
+    * (capped at `multCap` — the cap bucket reads "multCap or more"),
+    * the key count per (left_mult, right_mult) cell, and the exact
+    * join cardinality each cell contributes (Σ ln·rn). A (0, heavy)
+    * cell is orphaned fan-out on the right; a (heavy, heavy) cell is
+    * the m×n explosion that melts a shuffle at scale. The sibling of
+    * [[orphanReport]] (which answers "who doesn't match") — this
+    * answers "what happens when they DO match".
+    *
+    * Shape: one key-grain aggregate per side, one full-outer key join
+    * of the two count frames, one ≤multCap²-row aggregate — the
+    * corpus never moves except to its own key grain. */
+  def fanoutAudit(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  multCap: Int = 8): DataFrame = {
+    val la = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("ln"))
+    val ra = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("rn"))
+    la.join(ra, Seq("k"), "full_outer")
+      .select(coalesce(col("ln"), lit(0L)).as("ln"),
+        coalesce(col("rn"), lit(0L)).as("rn"))
+      .groupBy(least(col("ln"), lit(multCap.toLong)).as("left_mult"),
+        least(col("rn"), lit(multCap.toLong)).as("right_mult"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("ln")).as("left_rows"),
+        sum(col("rn")).as("right_rows"),
+        sum(col("ln") * col("rn")).as("join_rows"))
+      .orderBy(col("left_mult"), col("right_mult"))
+  }
+
+  /** Chi-squared independence audit of event type × ISO weekday — the
+    * "is traffic mix stable across the week" QA (a type whose share
+    * spikes on one weekday has a scheduling bug or a bot, long before
+    * any volume threshold trips). Emits the full contingency grid with
+    * each cell's observed count, marginals, expected count under
+    * independence, and chi² contribution — per-CELL terms, never a
+    * cross-cell float total (a summed chi² would depend on the
+    * engine's summation order; the caller can fold the ≤types×7 rows
+    * in any fixed order it likes).
+    *
+    * Determinism: marginals are exact bigint sums; expected =
+    * row·col/N and term = (n−e)²/e are pure scalar IEEE chains over
+    * those integers (each step correctly rounded), so engine and
+    * oracle agree bit-for-bit — (n−e)·(n−e) is used instead of pow(),
+    * which is NOT correctly rounded on either engine. Shape: ONE
+    * corpus aggregate to the (type, dow) grain; marginals and total
+    * are grid-sized re-aggregates broadcast back. */
+  def chi2Independence(events: DataFrame): DataFrame = {
+    // persisted: the marginal legs would otherwise re-run the corpus
+    // scan + aggregate (caller owns the lifetime)
+    val obs = events
+      .select(col("event_type"), (weekday(col("ts")) + 1).as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowT = obs.groupBy(col("event_type")).agg(sum(col("n")).as("row_n"))
+    val colT = obs.groupBy(col("dow")).agg(sum(col("n")).as("col_n"))
+    val tot = obs.agg(sum(col("n")).as("total"))
+    obs.join(broadcast(rowT), "event_type")
+      .join(broadcast(colT), "dow")
+      .crossJoin(broadcast(tot))
+      .withColumn("expected",
+        col("row_n").cast("double") * col("col_n") / col("total"))
+      .withColumn("chi2_term",
+        (col("n") - col("expected")) * (col("n") - col("expected")) /
+          col("expected"))
+      .select(col("event_type"), col("dow"), col("n"), col("row_n"),
+        col("col_n"), col("expected"), col("chi2_term"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** Lag-k autocorrelation of per-type daily volumes — the
+    * seasonality detector that tells [[seasonalNaiveBacktest]] whether
+    * a weekly lag is even the right model (acf(7) ≫ acf(1) means
+    * weekly cadence; both ≈ 0 means white noise and no naive forecast
+    * will work). Pearson r between (day t, day t−lag) count pairs,
+    * computed only over day pairs where BOTH days exist (calendar
+    * gaps shrink n_pairs rather than fabricating zeros — the
+    * [[Temporal.gapFill]] spine is the explicit-zeros alternative).
+    *
+    * Shape: the corpus collapses to (type, day) counts once
+    * (persisted); each requested lag is a shifted copy of that tiny
+    * frame equi-joined back on (type, day) — the forecast-backtest
+    * join pattern, exact on day arithmetic. Moments are exact bigint
+    * sums; the r combination runs in double OFF the exact moments
+    * (n·Σxy − …, each factor cast first — the bigint product would
+    * overflow long before the moments themselves do), with zero
+    * variance on either side yielding NULL, not a division error. */
+  def autocorr(events: DataFrame, lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0), "lags must be positive")
+    // persisted: every lag leg and the current-day side read it
+    // (caller owns the lifetime)
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shifted = daily
+      .select(col("event_type"),
+        explode(array(lags.map(lit(_)): _*)).as("lag"),
+        col("day"), col("y"))
+      .select(col("event_type"), col("lag"),
+        date_add(col("day"), col("lag")).as("day"), col("y").as("yp"))
+    val m = daily.join(shifted, Seq("event_type", "day"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("y")).as("sy"), sum(col("yp")).as("sx"),
+        sum(col("y") * col("yp")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("yp") * col("yp")).as("sxx"))
+    val nD = col("n_pairs").cast("double")
+    val num = nD * col("sxy") - col("sx").cast("double") * col("sy")
+    val varx = nD * col("sxx") - col("sx").cast("double") * col("sx")
+    val vary = nD * col("syy") - col("sy").cast("double") * col("sy")
+    m.select(col("event_type"), col("lag"), col("n_pairs"),
+      when(varx > 0 && vary > 0, num / sqrt(varx * vary)).as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
 }

@@ -591,6 +591,54 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Conditional-bigram LM score — the second-order upgrade of
+    * [[lmScore]]: each bigram (t₁ t₂) contributes the corpus
+    * conditional frequency c(t₁ t₂)/c(t₁ ·) — high for text whose
+    * word TRANSITIONS are typical, low for shuffled-word salad that
+    * unigram typicality cannot distinguish (same words, scrambled
+    * order). The log-free stand-in for bigram-LM perplexity.
+    *
+    * Determinism: each bigram's contribution is the INTEGER
+    * `(10⁶·c(t₁t₂)) div c(t₁·)` (a per-mille-of-a-mille probability),
+    * so per-doc sums are order-independent and the two display
+    * divisions happen once at the end — a float Σp(t₂|t₁) would
+    * differ in the last ULP per summation order. Overflow bound:
+    * c(bigram) ≤ corpus bigram count, so the ·10⁶ product needs
+    * < 9.2·10¹² total bigrams — beyond that drop the scale to 10³.
+    *
+    * Shape: the bigram stream is materialized ONCE (persisted — it
+    * feeds the bigram counts, the first-token counts, and the scoring
+    * join). First-token counts are unigram-VOCABULARY-sized and ride
+    * as a broadcast into the bigram-count frame; the scoring join on
+    * the bigram key is a plain key-grain shuffle join — bigram
+    * vocabulary is NOT bounded like the unigram one, so broadcasting
+    * it would be wrong at corpus scale. */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val bigr = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("big"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = bigr.groupBy(col("big")).agg(count(lit(1)).as("cb"))
+    val cf = bigr
+      .groupBy(substring_index(col("big"), " ", 1).as("t1"))
+      .agg(count(lit(1)).as("cf"))
+    val st = bf
+      .join(broadcast(cf), substring_index(col("big"), " ", 1) === col("t1"))
+      .select(col("big"), expr("(1000000 * cb) div cf").as("score"))
+    bigr.join(st, "big")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("score")).as("sum_score"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_score"),
+        (col("sum_score").cast("double") / 1000000.0 / col("n_bigrams"))
+          .as("mean_cond"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact dedup: min doc_id per fingerprint group is the survivor.
     * One hash shuffle on the fingerprint — the canonical exact-dedup
     * shape at any scale. */

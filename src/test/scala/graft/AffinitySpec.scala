@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Affinity
+import org.apache.spark.sql.DataFrame
+
+class AffinitySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (order, part) memberships as a minimal lineitem; order 3 lists
+    * part 10 twice — membership must count once. */
+  private def li(rows: (Long, Long)*): DataFrame =
+    rows.map { case (o, p) => (o, p) }.toDF("l_orderkey", "l_partkey")
+
+  private val baskets = li(
+    (1L, 10L), (1L, 20L), (1L, 30L),
+    (2L, 10L), (2L, 20L),
+    (3L, 10L), (3L, 10L), (3L, 40L),
+    (4L, 50L))
+
+  test("coPurchasePairs counts distinct-order co-memberships with both counts") {
+    val out = Affinity.coPurchasePairs(baskets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(x => (x._1, x._2))
+    // (part_a, part_b, n_a, n_b, cooc); order counts 10→3, 20→2,
+    // 30/40→1; the duplicated (3, 10) line adds no pair
+    assert(out.toSeq == Seq(
+      (10L, 20L, 3L, 2L, 2L),
+      (10L, 30L, 3L, 1L, 1L),
+      (10L, 40L, 3L, 1L, 1L),
+      (20L, 30L, 2L, 1L, 1L)))
+  }
+
+  test("itemSimilarity ranks by cosine with id-asc ties at the cut") {
+    val out = Affinity.itemSimilarity(baskets, topN = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5), r.getInt(6)))
+    val for10 = out.filter(_._1 == 10L)
+    // part 10's candidates: 20 at 2/sqrt(6), then 30 and 40 tied at
+    // 1/sqrt(3) — the id-asc tie keeps 30 and cuts 40
+    assert(for10.map(x => (x._2, x._4)).toSeq == Seq((20L, 1), (30L, 2)))
+    assert(math.abs(for10(0)._3 - 2.0 / math.sqrt(6.0)) < 1e-15)
+    assert(math.abs(for10(1)._3 - 1.0 / math.sqrt(3.0)) < 1e-15)
+    // singleton part 50 has no neighbors at all
+    assert(!out.exists(_._1 == 50L))
+  }
+
+  /** The operator's integer recurrence re-implemented driver-side —
+    * the spec proves the distributed loop computes exactly this. */
+  private def refPageRank(edges: Seq[(Long, Long)],
+                          iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = edges.map(_._1).distinct
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((s, d) <- edges)
+        inflow(d) += (rank(s) * 17L / 20L) / deg(s)
+      rank = nodes.map(n => n -> (150000L + inflow(n))).toMap
+    }
+    rank
+  }
+
+  test("pageRank equals the integer recurrence bit-for-bit") {
+    val undirected = Seq((10L, 20L), (10L, 30L), (10L, 40L), (20L, 30L))
+    val edges = undirected ++ undirected.map(_.swap)
+    val expected = refPageRank(edges, iters = 3)
+    val out = Affinity.pageRank(baskets, iters = 3, topN = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toMap == expected)
+    // hub 10 (degree 3) outranks the leaves, and ranks are DESC
+    assert(out.head._1 == 10L)
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
+  }
+}

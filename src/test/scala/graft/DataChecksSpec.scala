@@ -431,6 +431,70 @@ class DataChecksSpec extends SparkSpec {
       (13L, -1L, -1)))
   }
 
+  test("fanoutAudit buckets key multiplicities and predicts join rows") {
+    import spark.implicits._
+    // key 1: 1×3, key 2: 2×0 (right orphan of the left), key 3: 0×1
+    val left = Seq(1L, 2L, 2L).toDF("lk")
+    val right = Seq(1L, 1L, 1L, 3L).toDF("rk")
+    val out = DataChecks.fanoutAudit(left, right, "lk", "rk", multCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 1L, 0L, 1L, 0L),   // key 3: right-only
+      (1L, 3L, 1L, 1L, 3L, 3L),   // key 1: 1×3 -> 3 join rows
+      (2L, 0L, 1L, 2L, 0L, 0L)))  // key 2: left-only
+  }
+
+  test("fanoutAudit caps the multiplicity buckets") {
+    import spark.implicits._
+    val left = Seq.fill(10)(7L).toDF("lk")   // multiplicity 10 > cap 3
+    val right = Seq(7L).toDF("rk")
+    val out = DataChecks.fanoutAudit(left, right, "lk", "rk", multCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    // bucket reads (3+, 1) but the exact join cardinality is preserved
+    assert(out.toSeq == Seq((3L, 1L, 10L)))
+  }
+
+  test("chi2Independence emits exact marginals and per-cell terms") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday (isodow 1), 01-02 Tuesday (2):
+    // A: 3 Mon + 1 Tue; B: 1 Mon + 3 Tue -> all expected cells = 2
+    def ev(n: Int, day: String, et: String) = Seq.tabulate(n)(i =>
+      (java.sql.Timestamp.valueOf(s"2024-01-0$day 10:0$i:00"), et))
+    val e = (ev(3, "1", "A") ++ ev(1, "2", "A") ++
+      ev(1, "1", "B") ++ ev(3, "2", "B"))
+      .toDF("ts", "event_type")
+    val out = DataChecks.chi2Independence(e).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(5), r.getDouble(6)))
+    assert(out.toSeq == Seq(
+      ("A", 1, 3L, 2.0, 0.5), ("A", 2, 1L, 2.0, 0.5),
+      ("B", 1, 1L, 2.0, 0.5), ("B", 2, 3L, 2.0, 0.5)))
+  }
+
+  test("autocorr is exactly 1 on a linear ramp and skips absent lags") {
+    import spark.implicits._
+    // day d has d events, days 1..5 — lag-1 pairs are perfectly
+    // linearly related, so r = 1.0 EXACTLY (num == varx == vary);
+    // lag 7 has no pairs and emits no row rather than a NULL row
+    val e = (1 to 5).flatMap(d => Seq.tabulate(d)(i =>
+      (java.sql.Timestamp.valueOf(s"2024-01-0$d 10:0$i:00"), "A")))
+      .toDF("ts", "event_type")
+    val out = DataChecks.autocorr(e, Seq(1, 7)).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("A", 1, 4L, 1.0)))
+  }
+
+  test("autocorr returns NULL acf on zero variance") {
+    import spark.implicits._
+    // constant daily counts: varx = vary = 0 -> NULL, not an error
+    val e = (1 to 3).map(d =>
+      (java.sql.Timestamp.valueOf(s"2024-01-0$d 10:00:00"), "A"))
+      .toDF("ts", "event_type")
+    val out = DataChecks.autocorr(e, Seq(1)).collect()
+    assert(out.length == 1 && out(0).isNullAt(3))
+  }
+
   test("approx percentile bands track the exact quartiles") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val exact = DataChecks.percentileBands(ev, "value", "event_type")

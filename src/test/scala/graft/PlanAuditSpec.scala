@@ -479,4 +479,40 @@ class PlanAuditSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size ==
       "InMemoryTableScan".r.findAllIn(p).size, p.take(2000))
   }
+
+  test("item similarity: in-task pairs, bounded-heap cut, cached rejoin") {
+    val p = plan("q_item_similarity")
+    // pair generation explodes per-order sorted sets in-task — a
+    // nested-loop join here means the (order, item) stream is being
+    // self-joined into the m×n explosion this shape exists to avoid
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("graft_topk"), p.take(2000))
+    // the topk cut and the count-recovery join both read the persisted
+    // scored frame
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("pagerank: iterations are checkpointed, final read is sorted topN") {
+    val p = plan("q_pagerank")
+    // every value-iteration round materialized behind localCheckpoint —
+    // the final plan reads ONLY the checkpoint RDD (no live parquet
+    // scan, no join replay of the whole iteration chain)
+    assert(!p.contains("FileScan parquet"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("chi2 grid: one cached corpus aggregate feeds all marginal legs") {
+    val p = plan("q_chi2_independence")
+    // obs + row/col/total marginals all read the persisted (type, dow)
+    // frame; the marginals rejoin as broadcasts
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("autocorr: both day-lag legs read the cached daily aggregate") {
+    val p = plan("q_autocorr")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+  }
 }

@@ -417,4 +417,33 @@ class TextSpec extends SparkSpec {
     assert(r.getLong(2) == 3L && r.getLong(3) == 3L && r.getLong(4) == 2L)
     assert(r.getDouble(5) == 0.5)
   }
+
+  test("bigramLmScore: integer conditional contributions, hand-checked") {
+    // corpus bigrams: "a b", "b c" (doc 1), "a c" (doc 2);
+    // first-token counts: a→2, b→1. Scores (micro-probability):
+    // "a b" = 10⁶·1 div 2 = 500000, "b c" = 10⁶, "a c" = 500000
+    val df = Seq((1L, "a b c"), (2L, "a c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the single-token doc 3 has no bigrams and no row
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1500000L, 0.75),
+      (2L, 1L, 500000L, 0.5)))
+  }
+
+  test("bigramLmScore separates in-order text from shuffled words") {
+    // same WORDS, different transitions: the repeated in-order docs
+    // share every bigram (high conditional score); the scrambled doc's
+    // transitions are unique (low score). Unigram lmScore cannot tell
+    // these apart — that is the point of the second order.
+    val inOrder = "the quick brown fox jumps over the lazy dog"
+    val df = Seq((1L, inOrder), (2L, inOrder), (3L, inOrder),
+      (4L, "dog the over quick lazy brown the jumps fox"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(4L) < out(1L) / 2)
+  }
 }
