@@ -144,6 +144,15 @@ object SparkEntry {
     * "cap or more". */
   private val FanoutMultCap = 8
 
+  /** q_changepoint: window length and minimum observed days per side. */
+  private val ChangepointDays = 7
+  private val ChangepointMinDays = 3
+
+  /** q_file_skipping: z-order files and probes per dimension (probe
+    * width = 1024/8 = 128 cells). */
+  private val SkipFiles = 64
+  private val SkipProbes = 8
+
   /** The q_pagerank oracle's unrolled value-iteration rounds: one
     * (contribution, rank) CTE pair per round over the shared
     * e/deg/nodes frames. */
@@ -935,6 +944,13 @@ object SparkEntry {
       Affinity.pageRank(Tables.lineitem(s, d), PageRankIters, PageRankTopN)),
     "q_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, d))),
+    "q_graph_stats" -> ((s, d) =>
+      Affinity.graphStats(Tables.lineitem(s, d))),
+    "q_changepoint" -> ((s, d) =>
+      DataChecks.changepoint(Tables.events(s, d), ChangepointDays,
+        ChangepointMinDays)),
+    "q_file_skipping" -> ((s, d) =>
+      Layout.fileSkipping(Tables.events(s, d), SkipFiles, SkipProbes)),
     "q_user_features" -> ((s, d) =>
       Journey.userFeatures(Tables.events(s, d), EventTypes)),
     "q_histogram" -> ((s, d) =>
@@ -3231,6 +3247,96 @@ object SparkEntry {
           SELECT doc_id, n_bigrams, sum_score,
             CAST(sum_score AS DOUBLE) / 1000000 / n_bigrams AS mean_cond
           FROM agg ORDER BY doc_id""",
+    "q_graph_stats" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS okey,
+            l_partkey AS part FROM lineitem),
+          pr AS (SELECT DISTINCT a.part AS pa, b.part AS pb
+            FROM op a JOIN op b ON a.okey = b.okey AND a.part < b.part),
+          e AS (SELECT pa AS src, pb AS dst FROM pr
+            UNION ALL SELECT pb, pa FROM pr),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM e GROUP BY 1),
+          t AS (SELECT count(*) AS n_nodes_total FROM deg)
+          SELECT length(CAST(deg AS VARCHAR)) AS deg_digits,
+            count(*) AS n_nodes, min(deg) AS deg_min,
+            max(deg) AS deg_max, CAST(sum(deg) AS BIGINT) AS sum_deg,
+            CAST(count(*) AS DOUBLE) / t.n_nodes_total AS node_frac
+          FROM deg CROSS JOIN t GROUP BY 1, t.n_nodes_total
+          ORDER BY 1""",
+    // Both RANGE frames replay gap-correct (missing days shrink the
+    // frame); means are single divisions of exact window sums, and
+    // the |shift| argmax ties break on the earlier day.
+    "q_changepoint" ->
+      s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(count(*) AS BIGINT) AS y,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS day_num
+            FROM events GROUP BY 1, 2, 4),
+          w AS (SELECT event_type, day, y,
+            count(y) OVER wb AS b_days,
+            CAST(sum(y) OVER wb AS BIGINT) AS b_sum,
+            count(y) OVER wa AS a_days,
+            CAST(sum(y) OVER wa AS BIGINT) AS a_sum
+            FROM d WINDOW
+              wb AS (PARTITION BY event_type ORDER BY day_num
+                RANGE BETWEEN $ChangepointDays PRECEDING AND 1 PRECEDING),
+              wa AS (PARTITION BY event_type ORDER BY day_num
+                RANGE BETWEEN CURRENT ROW
+                  AND ${ChangepointDays - 1} FOLLOWING)),
+          f AS (SELECT event_type, day, b_days, a_days,
+            CAST(b_sum AS DOUBLE) / b_days AS before_mean,
+            CAST(a_sum AS DOUBLE) / a_days AS after_mean,
+            CAST(a_sum AS DOUBLE) / a_days -
+              CAST(b_sum AS DOUBLE) / b_days AS shift
+            FROM w
+            WHERE b_days >= $ChangepointMinDays
+              AND a_days >= $ChangepointMinDays),
+          r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY abs(shift) DESC, day) AS rk FROM f)
+          SELECT event_type, day, b_days, a_days, before_mean,
+            after_mean, shift
+          FROM r WHERE rk = 1 ORDER BY event_type""",
+    // Replays the zorder ladder (shared with q_zorder) then probes the
+    // per-file footers with the same 2×nProbes range grid.
+    "q_file_skipping" ->
+      s"""WITH base AS (SELECT
+            CAST(user_id % 1024 AS BIGINT) AS ux,
+            CAST((CAST(epoch(ts) AS BIGINT) // 3600) % 1024 AS BIGINT)
+              AS ty FROM events),
+          z AS (SELECT ux, ty,
+            (${spreadSql("ux")}) | ((${spreadSql("ty")}) << 1) AS zv
+            FROM base),
+          f AS (SELECT ux, ty, CAST(zv // ${(1L << 20) / SkipFiles}
+            AS INTEGER) AS file_id FROM z),
+          rep AS (SELECT file_id, count(*) AS n_rows,
+            min(ux) AS user_min, max(ux) AS user_max,
+            min(ty) AS time_min, max(ty) AS time_max
+            FROM f GROUP BY 1),
+          pg AS (SELECT d.dim, CAST(r.range AS INT) AS probe_ix,
+            CAST(r.range * ${1024 / SkipProbes} AS INT) AS lo,
+            CAST(r.range * ${1024 / SkipProbes} +
+              ${1024 / SkipProbes - 1} AS INT) AS hi
+            FROM range($SkipProbes) r CROSS JOIN
+              (SELECT 'user' AS dim UNION ALL SELECT 'time') d),
+          ov AS (SELECT pg.dim, pg.probe_ix, pg.lo, pg.hi, rep.n_rows,
+            CASE WHEN pg.dim = 'user'
+              THEN rep.user_min <= pg.hi AND rep.user_max >= pg.lo
+              ELSE rep.time_min <= pg.hi AND rep.time_max >= pg.lo
+            END AS hit
+            FROM pg CROSS JOIN rep),
+          ag AS (SELECT dim, probe_ix, lo, hi, count(*) AS n_files,
+            CAST(coalesce(sum(CAST(hit AS INT)), 0) AS BIGINT)
+              AS files_scanned,
+            CAST(coalesce(sum(CASE WHEN hit THEN n_rows END), 0)
+              AS BIGINT) AS rows_scanned
+            FROM ov GROUP BY 1, 2, 3, 4),
+          t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows
+            FROM rep)
+          SELECT dim, probe_ix, lo, hi, n_files, files_scanned,
+            1.0 - CAST(files_scanned AS DOUBLE) / n_files AS skip_frac,
+            rows_scanned,
+            CAST(rows_scanned AS DOUBLE) / total_rows AS rows_frac
+          FROM ag CROSS JOIN t ORDER BY dim, probe_ix""",
     // Replays the planting (char-10 deletion, +0.25 dyadic balance
     // drift) and the block-then-verify match; the blocking key is
     // nation × LAST-3 name chars on both sides, so the candidate sets

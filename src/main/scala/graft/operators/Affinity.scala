@@ -126,18 +126,19 @@ object Affinity {
     * result is bit-identical however Spark schedules the shuffle).
     * Every node in the graph has deg ≥ 1 by construction (pairs are
     * symmetric), so no dangling-mass term is needed. */
-  def pageRank(lineitem: DataFrame, iters: Int = 3,
-               topN: Int = 100): DataFrame = {
-    // leaner pair builder than [[coPurchasePairs]]: the graph needs
-    // only the distinct pair set, so skip the order-count attach join
-    // AND the distinct pre-pass (collect_set dedups in-aggregate) —
-    // one shuffle from the raw line stream to per-order sets, one to
-    // the distinct pair grain (measured ~40% off the setup at sf0.1)
+  /** Distinct undirected co-purchase pairs WITHOUT counts — the graph
+    * edge set. Leaner than [[coPurchasePairs]]: collect_set dedups
+    * in-aggregate so the distinct pre-pass and the count-attach join
+    * both drop out — one shuffle from the raw line stream to
+    * per-order sets, one to the distinct pair grain (measured ~40%
+    * off [[pageRank]]'s setup at sf0.1). Persisted; caller owns the
+    * lifetime. */
+  def coPairs(lineitem: DataFrame): DataFrame = {
     val sets = lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .groupBy(col("okey"))
       .agg(sort_array(collect_set(col("part"))).as("ps"))
-    val pairs = sets.where(size(col("ps")) >= 2)
+    sets.where(size(col("ps")) >= 2)
       .select(explode(flatten(transform(
         sequence(lit(1), size(col("ps")) - 1),
         i => transform(sequence(i + 1, size(col("ps"))),
@@ -146,6 +147,42 @@ object Affinity {
       .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Degree distribution + size QA of the co-purchase graph — the
+    * preflight for [[pageRank]]/[[itemSimilarity]]: a heavy top
+    * bucket means hub items whose neighborhoods dominate pair work
+    * (the graph's skew report). Buckets are DECIMAL MAGNITUDE (the
+    * digit count of the degree: 1–9, 10–99, …) — an integer-exact,
+    * engine-portable log₁₀ that stays non-degenerate from sparse to
+    * dense graphs, where a fixed cap collapses every dense graph
+    * into one row and floor(log2(double)) is not correctly rounded
+    * at the bucket boundaries. node_frac is each bucket's share of
+    * all nodes. One edge-grain aggregate to the node grain, one
+    * node-grain aggregate to ≤20 digit rows, total as a broadcast
+    * 1-row frame. */
+  def graphStats(lineitem: DataFrame): DataFrame = {
+    val pairs = coPairs(lineitem)
+    val edges = pairs.unionAll(
+      pairs.select(col("part_b"), col("part_a"))).toDF("src", "dst")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val total = deg.agg(count(lit(1)).as("n_nodes_total"))
+    deg.groupBy(length(col("deg").cast("string")).cast("long")
+        .as("deg_digits"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("deg_min"), max(col("deg")).as("deg_max"),
+        sum(col("deg")).as("sum_deg"))
+      .crossJoin(broadcast(total))
+      .select(col("deg_digits"), col("n_nodes"), col("deg_min"),
+        col("deg_max"), col("sum_deg"),
+        (col("n_nodes").cast("double") / col("n_nodes_total"))
+          .as("node_frac"))
+      .orderBy(col("deg_digits"))
+  }
+
+  def pageRank(lineitem: DataFrame, iters: Int = 3,
+               topN: Int = 100): DataFrame = {
+    val pairs = coPairs(lineitem)
     val edges = pairs.unionAll(
       pairs.select(col("part_b"), col("part_a"))).toDF("src", "dst")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))

@@ -769,4 +769,52 @@ object DataChecks {
       when(varx > 0 && vary > 0, num / sqrt(varx * vary)).as("acf"))
       .orderBy(col("event_type"), col("lag"))
   }
+
+  /** Per-type level-shift changepoint: for each day, compare the mean
+    * daily volume of the `windowDays` days STRICTLY BEFORE against
+    * the window STARTING AT the day (a shift at day d means d opens
+    * the new level), and report the day with the largest absolute
+    * shift per type — the "when did this feed change behavior"
+    * answer that [[anomalyFlags]]' single-day z-test can't give (a
+    * permanent level change stops being an anomaly once the trailing
+    * window absorbs it; the changepoint stays put).
+    *
+    * Both windows are RANGE frames over day numbers (calendar-gap-
+    * correct: missing days shrink the frame rather than entering as
+    * zeros), days with fewer than `minDays` observed on either side
+    * are not candidates, and means are single exact divisions of
+    * bigint window sums — the shift and its |·| ranking replay
+    * bit-identically. One corpus aggregate to the (type, day) grain;
+    * windows and the final per-type argmax run on that grain. */
+  def changepoint(events: DataFrame, windowDays: Int = 7,
+                  minDays: Int = 3): DataFrame = {
+    val d = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("day_num", datediff(col("day"),
+        lit("1970-01-01").cast("date")).cast("long"))
+    val base = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+    val before = base.rangeBetween(-windowDays, -1)
+    val after = base.rangeBetween(Window.currentRow, windowDays - 1)
+    val framed = d
+      .withColumn("b_days", count(col("y")).over(before))
+      .withColumn("b_sum", sum(col("y")).over(before))
+      .withColumn("a_days", count(col("y")).over(after))
+      .withColumn("a_sum", sum(col("y")).over(after))
+      .where(col("b_days") >= minDays && col("a_days") >= minDays)
+      .withColumn("before_mean",
+        col("b_sum").cast("double") / col("b_days"))
+      .withColumn("after_mean",
+        col("a_sum").cast("double") / col("a_days"))
+      .withColumn("shift", col("after_mean") - col("before_mean"))
+    framed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("shift")).desc, col("day"))))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("day"), col("b_days"), col("a_days"),
+        col("before_mean"), col("after_mean"), col("shift"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -68,4 +68,56 @@ object Layout {
         (col("time_max") - col("time_min") + 1L) / lit(DimCells.toDouble))
       .orderBy(col("file_id"))
   }
+
+  /** Data-skipping effectiveness report — the measurable payoff of
+    * [[zorderReport]]: for a grid of `nProbes` equal-width range
+    * predicates per dimension (the queries a scan planner prunes
+    * with), how many files' min/max footers overlap the range
+    * (must-scan), what fraction skip outright, and how many rows the
+    * surviving files hold. On a z-ordered layout BOTH dimensions
+    * should skip ~ (1 − span_frac) of the files; a linear layout
+    * shows one dimension at skip_frac ≈ 0 — this report turns that
+    * claim into numbers.
+    *
+    * Everything downstream of the ≤`files`-row zorder report is
+    * probe-grid-sized: the report is persisted (the probe fan-out and
+    * the 1-row total both read it), probes fan out as an exploded
+    * literal array, and the per-probe aggregate runs over
+    * files×2·nProbes rows. */
+  def fileSkipping(events: DataFrame, files: Int = 64,
+                   nProbes: Int = 8): DataFrame = {
+    require(DimCells % nProbes == 0, s"nProbes must divide $DimCells")
+    val probeW = DimCells / nProbes
+    // persisted: the probe fan-out and the total-rows leg both read it
+    // (caller owns the lifetime)
+    val rep = zorderReport(events, files)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = rep.agg(sum(col("n_rows")).as("total_rows"))
+    val probes = for (d <- Seq("user", "time"); i <- 0 until nProbes)
+      yield struct(lit(d).as("dim"), lit(i).as("probe_ix"),
+        lit(i * probeW).as("lo"), lit(i * probeW + probeW - 1).as("hi"))
+    val hit = when(col("p.dim") === "user",
+      col("user_min") <= col("p.hi") && col("user_max") >= col("p.lo"))
+      .otherwise(
+        col("time_min") <= col("p.hi") && col("time_max") >= col("p.lo"))
+    rep.select(col("n_rows"), col("user_min"), col("user_max"),
+        col("time_min"), col("time_max"),
+        explode(array(probes: _*)).as("p"))
+      .withColumn("hit", hit)
+      .groupBy(col("p.dim").as("dim"), col("p.probe_ix").as("probe_ix"),
+        col("p.lo").as("lo"), col("p.hi").as("hi"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("hit").cast("bigint")).as("files_scanned"),
+        coalesce(sum(when(col("hit"), col("n_rows"))), lit(0L))
+          .as("rows_scanned"))
+      .crossJoin(broadcast(total))
+      .select(col("dim"), col("probe_ix"), col("lo"), col("hi"),
+        col("n_files"), col("files_scanned"),
+        (lit(1.0) - col("files_scanned").cast("double") / col("n_files"))
+          .as("skip_frac"),
+        col("rows_scanned"),
+        (col("rows_scanned").cast("double") / col("total_rows"))
+          .as("rows_frac"))
+      .orderBy(col("dim"), col("probe_ix"))
+  }
 }

@@ -60,6 +60,17 @@ class AffinitySpec extends SparkSpec {
     rank
   }
 
+  test("graphStats buckets degrees by decimal magnitude") {
+    // degrees: 10→3, 20→2, 30→2, 40→1 — all single-digit, one bucket
+    val out = Affinity.graphStats(baskets).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 3L)   // deg min/max
+    assert(r.getLong(4) == 8L)                          // sum of degrees
+    assert(r.getDouble(5) == 1.0)
+  }
+
   test("pageRank equals the integer recurrence bit-for-bit") {
     val undirected = Seq((10L, 20L), (10L, 30L), (10L, 40L), (20L, 30L))
     val edges = undirected ++ undirected.map(_.swap)

@@ -485,6 +485,25 @@ class DataChecksSpec extends SparkSpec {
     assert(out.toSeq == Seq(("A", 1, 4L, 1.0)))
   }
 
+  test("changepoint finds the level-shift day, gap- and guard-correct") {
+    import spark.implicits._
+    // days 1–5 at 2/day, days 6–10 at 10/day: the shift opens at day 6
+    // (before-mean 2 over days 3–5, after-mean 10 over days 6–8)
+    val e = (1 to 10).flatMap { d =>
+      val n = if (d <= 5) 2 else 10
+      Seq.tabulate(n)(i =>
+        (java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:$i%02d:00"), "A"))
+    }.toDF("ts", "event_type")
+    val out = DataChecks.changepoint(e, windowDays = 3, minDays = 2)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDate(1).toString == "2024-01-06")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == 2.0 && r.getDouble(5) == 10.0)
+    assert(r.getDouble(6) == 8.0)
+  }
+
   test("autocorr returns NULL acf on zero variance") {
     import spark.implicits._
     // constant daily counts: varx = vary = 0 -> NULL, not an error

@@ -41,4 +41,23 @@ class LayoutSpec extends SparkSpec {
       assert(r.getDouble(6) <= 0.125 && r.getDouble(7) <= 0.125)
     }
   }
+
+  test("fileSkipping: aligned z-files skip 7/8 of files on every probe") {
+    // same full-coverage grid: 64 z-files are 128x128 ALIGNED
+    // rectangles, and each 128-wide probe band intersects exactly the
+    // 8 files of its band — skip_frac exactly 0.875, rows_frac 0.125,
+    // in BOTH dimensions (the whole point of z-order vs linear sort)
+    val rows = for { u <- 0L until 1024L by 8; h <- 0L until 1024L by 8 }
+      yield (u, new java.sql.Timestamp(h * 3600L * 1000L))
+    val out = Layout.fileSkipping(rows.toDF("user_id", "ts"),
+      files = 64, nProbes = 8).collect()
+    assert(out.length == 16)
+    out.foreach { r =>
+      assert(r.getLong(4) == 64L, "n_files")
+      assert(r.getLong(5) == 8L, s"files_scanned for ${r.getString(0)}")
+      assert(r.getDouble(6) == 0.875, "skip_frac")
+      assert(r.getLong(7) == rows.size / 8L, "rows_scanned")
+      assert(r.getDouble(8) == 0.125, "rows_frac")
+    }
+  }
 }
