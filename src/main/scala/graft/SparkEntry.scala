@@ -153,6 +153,10 @@ object SparkEntry {
   private val SkipFiles = 64
   private val SkipProbes = 8
 
+  /** q_small_orders (TPC-H Q17 shape): a line is "small" below this
+    * fraction of its part's average quantity. */
+  private val SmallOrderFrac = 0.2
+
   /** The q_pagerank oracle's unrolled value-iteration rounds: one
     * (contribution, rank) CTE pair per round over the shared
     * e/deg/nodes frames. */
@@ -951,6 +955,9 @@ object SparkEntry {
         ChangepointMinDays)),
     "q_file_skipping" -> ((s, d) =>
       Layout.fileSkipping(Tables.events(s, d), SkipFiles, SkipProbes)),
+    "q_small_orders" -> ((s, d) =>
+      Analytics.smallOrderRevenue(Tables.lineitem(s, d), Tables.part(s, d),
+        SmallOrderFrac)),
     "q_user_features" -> ((s, d) =>
       Journey.userFeatures(Tables.events(s, d), EventTypes)),
     "q_histogram" -> ((s, d) =>
@@ -3337,6 +3344,23 @@ object SparkEntry {
             rows_scanned,
             CAST(rows_scanned AS DOUBLE) / total_rows AS rows_frac
           FROM ag CROSS JOIN t ORDER BY dim, probe_ix""",
+    // Integer-valued quantities sum exactly in double in any order, so
+    // avg is ONE correctly-rounded division and the 0.2·avg threshold
+    // replays bit-identically.
+    "q_small_orders" ->
+      s"""WITH a AS (SELECT l_partkey,
+            sum(l_quantity) / count(*) AS avg_qty
+            FROM lineitem GROUP BY 1),
+          s AS (SELECT l.l_partkey, l.l_extendedprice
+            FROM lineitem l JOIN a USING (l_partkey)
+            WHERE l.l_quantity < CAST($SmallOrderFrac AS DOUBLE)
+              * a.avg_qty),
+          j AS (SELECT p.p_brand, s.l_extendedprice
+            FROM s JOIN part p ON p.p_partkey = s.l_partkey)
+          SELECT p_brand, count(*) AS n_small_lines,
+            CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+          FROM j GROUP BY 1 ORDER BY 1""",
     // Replays the planting (char-10 deletion, +0.25 dyadic balance
     // drift) and the block-then-verify match; the blocking key is
     // nation × LAST-3 name chars on both sides, so the candidate sets

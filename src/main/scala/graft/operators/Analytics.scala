@@ -256,4 +256,36 @@ object Analytics {
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
   }
+
+  /** Small-order revenue per brand (TPC-H Q17 shape): lines whose
+    * quantity falls below `smallFrac` × that part's average order
+    * quantity — the "would drop-shipping these tiny orders matter"
+    * report. The interesting part is the correlated scalar subquery
+    * (per-part average): it becomes ONE part-grain aggregate joined
+    * back to the line stream on the part key — never a per-row
+    * subquery — and the brand dimension rides as a broadcast.
+    *
+    * Determinism: quantities are integer-valued doubles, so the
+    * per-part sum is exact in any order and the average is one
+    * correctly-rounded division; the smallFrac·avg threshold and the
+    * strict compare replay identically in DuckDB. Revenue sums
+    * integer cents. */
+  def smallOrderRevenue(lineitem: DataFrame, part: DataFrame,
+                        smallFrac: Double = 0.2): DataFrame = {
+    val avgq = lineitem.groupBy(col("l_partkey"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    lineitem.select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      .join(avgq, "l_partkey")
+      .where(col("l_quantity") < lit(smallFrac) * col("avg_qty"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        sum(round(col("l_extendedprice") * 100).cast("bigint"))
+          .as("rev_cents"))
+      .select(col("p_brand"), col("n_small_lines"),
+        (col("rev_cents").cast("double") / 100.0).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
 }

@@ -135,6 +135,21 @@ object EventStream {
   def piiRedactStream(docs: DataFrame): DataFrame =
     graft.operators.Privacy.piiRedactUnordered(docs)
 
+  /** Streaming heavy-hitters — the Misra–Gries
+    * [[graft.operators.Skew.skewReportApprox]] aggregate over an
+    * unbounded stream (complete output mode): the state store holds
+    * ONE serialized k-counter sketch buffer however many distinct
+    * keys flow past, and each micro-batch merges into it by the same
+    * mergeable-summaries rule as the batch plan's map-side partials —
+    * so the n/(k+1) guarantee (every key above that count reported,
+    * estimates lower bounds within the margin) holds continuously on
+    * the stream-so-far. The live skew detector for near-unique key
+    * domains, where an exact streaming groupBy(key) would grow state
+    * with every distinct key ever seen. */
+  def heavyHittersStream(events: DataFrame, keyCol: String, topN: Int,
+                         k: Int = 256): DataFrame =
+    graft.operators.Skew.skewReportApprox(events, keyCol, topN, k)
+
   /** Publish one micro-batch idempotently into `table`'s
     * `batch_id=<id>` partition. foreachBatch is at-least-once — a
     * failure after a partial or complete write re-runs the batch with

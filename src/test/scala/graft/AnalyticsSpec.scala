@@ -54,4 +54,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("2024-01-08") == ((5L, Some(3L), Some(2L))))
     assert(out("2024-01-15") == ((2L, Some(5L), Some(3L))))
   }
+
+  test("smallOrderRevenue: per-part avg threshold, brand rollup") {
+    import spark.implicits._
+    // part 1: quantities (1, 10, 49) -> avg 20, small = qty < 4:
+    // only the 1. part 2: (5, 5) -> avg 5, nothing below 1 -> absent.
+    val li = Seq(
+      (1L, 1.0, 100.50), (1L, 10.0, 200.0), (1L, 49.0, 300.0),
+      (2L, 5.0, 50.0), (2L, 5.0, 60.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "Brand#1"), (2L, "Brand#2"))
+      .toDF("p_partkey", "p_brand")
+    val out = Analytics.smallOrderRevenue(li, part, 0.2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("Brand#1", 1L, 100.50)))
+  }
 }

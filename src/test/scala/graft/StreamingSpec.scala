@@ -48,6 +48,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.size - spark.table("wmrec").count() == predDropped)
   }
 
+  test("streaming heavy hitters: sketch state merges across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val hot = 100L
+    val mem = MemoryStream[Long]
+    val q = EventStream.heavyHittersStream(mem.toDF().toDF("k"),
+      "k", topN = 3, k = 16)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("complete").start()
+    // two micro-batches — the second MERGES into the stored sketch,
+    // it does not restart it
+    mem.addData(Seq.fill(30)(hot) ++ Seq(1L, 2L, 3L): _*)
+    q.processAllAvailable()
+    mem.addData(Seq.fill(20)(hot) ++ Seq(1L, 4L): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("hh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // 6 distinct keys < k=16 -> the sketch is EXACT over the whole
+    // stream-so-far: hot=50 of 55 rows, then the key-1=2 tie by key
+    assert(out == List((hot, 50L, 55L), (1L, 2L, 55L), (2L, 1L, 55L)))
+  }
+
   test("streaming windowed counts match the batch transform") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
