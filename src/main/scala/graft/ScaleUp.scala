@@ -82,8 +82,9 @@ object ScaleUp {
     out(replicate(in("lineitem"), factor, Seq("l_orderkey"), orderStride),
       "lineitem")
 
-    // events.ts reads as raw int64 nanos under nanosAsLong and writes
-    // back as plain int64 — Tables.events handles both encodings
+    // events.ts passes through untouched in whichever encoding the
+    // driver shipped (int64 nanos under nanosAsLong, or timestamp[us]
+    // NTZ) — Tables.events normalizes both on read
     val ev = in("events")
     val userStride = stride(ev, "user_id")
     out(replicate(ev, factor, Seq("event_id"), stride(ev, "event_id"))

@@ -157,6 +157,17 @@ object SparkEntry {
     * fraction of its part's average quantity. */
   private val SmallOrderFrac = 0.2
 
+  /** q_ctr_wilson: trial/success event types, segment count, z. */
+  private val CtrZ = 1.96
+
+  /** q_entity_components synthetic shared identifiers: key g3 groups
+    * consecutive custkey triples; key dec links the multiples of 3
+    * within each 30-key decade — so triples chain into ~30-record
+    * entities through the decade hubs, exercising transitivity
+    * without collapsing the table into one giant component. */
+  private val EntityG3 = 3
+  private val EntityDecade = 30
+
   /** The q_pagerank oracle's unrolled value-iteration rounds: one
     * (contribution, rank) CTE pair per round over the shared
     * e/deg/nodes frames. */
@@ -958,6 +969,13 @@ object SparkEntry {
     "q_small_orders" -> ((s, d) =>
       Analytics.smallOrderRevenue(Tables.lineitem(s, d), Tables.part(s, d),
         SmallOrderFrac)),
+    "q_ctr_wilson" -> ((s, d) =>
+      Journey.conversionWilson(Tables.events(s, d), "purchase", 5, CtrZ)),
+    "q_entity_components" -> ((s, d) =>
+      Entity.linkByKeys(Tables.customer(s, d), "c_custkey", Seq(
+        "g3" -> expr(s"c_custkey div $EntityG3").cast("string"),
+        "dec" -> when(col("c_custkey") % EntityG3 === 0,
+          expr(s"c_custkey div $EntityDecade")).cast("string")))),
     "q_user_features" -> ((s, d) =>
       Journey.userFeatures(Tables.events(s, d), EventTypes)),
     "q_histogram" -> ((s, d) =>
@@ -3361,6 +3379,55 @@ object SparkEntry {
             CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
               AS BIGINT) AS DOUBLE) / 100.0 AS revenue
           FROM j GROUP BY 1 ORDER BY 1""",
+    // p̂ and the Wilson bound are the SAME fixed-shape scalar chain
+    // over exact integer (n, s) on both engines — every step
+    // correctly rounded, so doubles hash-match. The z² literal is the
+    // Scala-computed product interpolated at full precision.
+    "q_ctr_wilson" -> {
+      val z2 = CtrZ * CtrZ
+      s"""WITH a AS (SELECT user_id % 5 AS segment,
+            count(DISTINCT user_id) AS n,
+            count(DISTINCT CASE WHEN event_type = 'purchase'
+              THEN user_id END) AS s
+            FROM events GROUP BY 1),
+          p AS (SELECT segment, n, s,
+            CAST(s AS DOUBLE) / n AS rate FROM a)
+          SELECT segment, n, s,
+            CASE WHEN n > 0 THEN rate END AS rate,
+            CASE WHEN n > 0 THEN
+              (rate + $z2 / (CAST(n AS DOUBLE) * 2) - $CtrZ *
+                sqrt(rate * (1.0 - rate) / CAST(n AS DOUBLE) +
+                  $z2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 4))) /
+              (1.0 + $z2 / CAST(n AS DOUBLE))
+            END AS wilson_lb
+          FROM p ORDER BY segment""" },
+    // Star edges to each key group's min record, then the recursive
+    // reach closure — identical components to the all-pairs graph.
+    "q_entity_components" ->
+      s"""WITH RECURSIVE ids AS (SELECT c_custkey AS doc_id FROM customer),
+          keyed AS (
+            SELECT c_custkey AS id,
+              'g3:' || CAST(c_custkey // $EntityG3 AS VARCHAR) AS k
+            FROM customer
+            UNION ALL
+            SELECT c_custkey,
+              'dec:' || CAST(c_custkey // $EntityDecade AS VARCHAR)
+            FROM customer WHERE c_custkey % $EntityG3 = 0),
+          hubs AS (SELECT k, min(id) AS d1 FROM keyed GROUP BY 1),
+          star AS (SELECT DISTINCT hubs.d1, keyed.id AS d2
+            FROM keyed JOIN hubs USING (k) WHERE keyed.id <> hubs.d1),
+          edges AS (SELECT d1, d2 FROM star
+            UNION ALL SELECT d2, d1 FROM star),
+          reach AS (
+            SELECT doc_id, doc_id AS r FROM ids
+            UNION
+            SELECT e.d2 AS doc_id, reach.r FROM reach
+            JOIN edges e ON e.d1 = reach.doc_id),
+          lab AS (SELECT doc_id, min(r) AS rep FROM reach GROUP BY 1),
+          sz AS (SELECT rep, count(*) AS entity_size FROM lab GROUP BY 1)
+          SELECT lab.doc_id AS record_id, lab.rep AS entity_id,
+            sz.entity_size
+          FROM lab JOIN sz USING (rep) ORDER BY 1""",
     // Replays the planting (char-10 deletion, +0.25 dyadic balance
     // drift) and the block-then-verify match; the blocking key is
     // nation × LAST-3 name chars on both sides, so the candidate sets

@@ -382,4 +382,40 @@ object Journey {
           .as("mean_spend"))
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
+
+  /** Per-segment user conversion rate with a Wilson-score lower
+    * bound — the ranking-safe rate: a segment with 2/2 converters
+    * must NOT outrank one with 90/100, and the Wilson lower bound is
+    * the standard fix (sorting by the raw rate is the classic
+    * small-sample trap). Trials are DISTINCT USERS active in the
+    * segment, successes the distinct users with a `successType`
+    * event — a true proportion (converters ⊆ users), unlike an
+    * event-count ratio whose "rate" can exceed 1. Segments are
+    * `user_id % segments` (the qa_multigroup site convention).
+    *
+    * Determinism: n and s are exact distinct counts from ONE
+    * aggregate; p̂ and the bound are a fixed-shape scalar IEEE chain
+    * over them (every step correctly rounded, identical structure in
+    * the oracle — bit-identical results). Segments with zero users
+    * emit NULL rate and bound, not a division error. */
+  def conversionWilson(events: DataFrame, successType: String,
+                       segments: Int = 5, z: Double = 1.96): DataFrame = {
+    val agg = events
+      .select((col("user_id") % segments).as("segment"), col("user_id"),
+        col("event_type"))
+      .groupBy(col("segment"))
+      .agg(countDistinct(col("user_id")).as("n"),
+        countDistinct(when(col("event_type") === successType,
+          col("user_id"))).as("s"))
+    val nD = col("n").cast("double")
+    val p = col("s").cast("double") / nD
+    val z2 = z * z
+    val lb = (p + lit(z2) / (nD * 2) - lit(z) *
+      sqrt(p * (lit(1.0) - p) / nD + lit(z2) / (nD * nD * 4))) /
+      (lit(1.0) + lit(z2) / nD)
+    agg.select(col("segment"), col("n"), col("s"),
+        when(col("n") > 0, p).as("rate"),
+        when(col("n") > 0, lb).as("wilson_lb"))
+      .orderBy(col("segment"))
+  }
 }

@@ -214,4 +214,27 @@ class JourneySpec extends SparkSpec {
         s"$day wau_est $wauEst vs exact $wau")
     }
   }
+
+  test("conversionWilson: true proportion, exact bound, NULL on empty") {
+    // segment 0: users 0, 5, 10, 15 active; only user 5 purchases ->
+    // n=4, s=1. Segment 1: user 1 views only -> s=0, lb=0-ish.
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val e = Seq(
+      (0L, "view"), (5L, "purchase"), (10L, "view"), (15L, "click"),
+      (5L, "view"),          // second event of an existing converter
+      (1L, "view"))
+      .map { case (u, t) => (u, t, ts) }
+      .toDF("user_id", "event_type", "ts")
+    val out = Journey.conversionWilson(e, "purchase", 5, 1.96).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val (n, s) = (4L, 1L)
+    val (nD, z, z2) = (n.toDouble, 1.96, 1.96 * 1.96)
+    val p = s.toDouble / nD
+    val lb = (p + z2 / (nD * 2) - z *
+      math.sqrt(p * (1.0 - p) / nD + z2 / (nD * nD * 4))) / (1.0 + z2 / nD)
+    assert(out(0L) == ((n, s, p, lb)))     // bit-exact same chain
+    assert(out(1L)._2 == 0L && out(1L)._3 == 0.0)
+    assert(out(0L)._4 > 0.0 && out(0L)._4 < p)
+  }
 }

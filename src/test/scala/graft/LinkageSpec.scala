@@ -67,4 +67,22 @@ class LinkageSpec extends SparkSpec {
       (2304L, 1, 500.0, "AUTO"))  // 450 > balTol vs 1304
     assert(Linkage.entityMatch(df).collect().isEmpty)
   }
+
+  test("linkByKeys merges transitively across key kinds, NULLs never link") {
+    import org.apache.spark.sql.functions.col
+    // A: 1~2 share email x, B: 2~3 share phone y -> {1,2,3}; 4~5 share
+    // email z -> {4,5}; 6 isolated (NULL phone must not link 6 and 7)
+    val recs = Seq(
+      (1L, "x", null.asInstanceOf[String]), (2L, "x", "y"),
+      (3L, "w", "y"), (4L, "z", null.asInstanceOf[String]),
+      (5L, "z", "p"), (6L, null.asInstanceOf[String], null.asInstanceOf[String]),
+      (7L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("id", "email", "phone")
+    val out = operators.Entity.linkByKeys(recs, "id", Seq(
+      "em" -> col("email"), "ph" -> col("phone"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 2L), (5L, 4L, 2L), (6L, 6L, 1L), (7L, 7L, 1L)))
+  }
 }
