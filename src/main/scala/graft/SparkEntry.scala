@@ -959,6 +959,15 @@ object SparkEntry {
       Affinity.pageRank(Tables.lineitem(s, d), PageRankIters, PageRankTopN)),
     "q_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, d))),
+    // Rows-only: the merge table comes from bpeTrain's data-dependent
+    // argmax loop (no SQL oracle); TextSpec pins train+apply
+    // segmentations on the training fixture.
+    "q_bpe_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TextAnalysis.bpeTrain(docs, BpeMerges).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeApply(docs, merges)
+    }),
     "q_graph_stats" -> ((s, d) =>
       Affinity.graphStats(Tables.lineitem(s, d))),
     "q_changepoint" -> ((s, d) =>

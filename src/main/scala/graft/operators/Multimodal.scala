@@ -37,6 +37,16 @@ object Multimodal {
     * raster sample reads. The checkerboard alternation exercises PNG
     * row filters rather than compressing to a constant plane. */
   object ImageCodec {
+    // ImageIO defaults to DISK-backed stream caching: every
+    // read/write through a raw Byte*Stream allocates a temp FILE per
+    // image. On an executor decoding millions of in-memory payloads
+    // that is one filesystem round-trip per row for zero benefit
+    // (the payload is already fully in memory) — and its cost varies
+    // with host dentry-cache state, which made the query's wall time
+    // depend on what ran before it. Memory caching is strictly
+    // better here; measured 4× on the sf0.1 bench mid-session.
+    ImageIO.setUseCache(false)
+
     def geometry(docId: Long): (Int, Int) =
       (((docId % 48) + 16).toInt, ((docId % 32) + 16).toInt)
 

@@ -421,18 +421,7 @@ object TextAnalysis {
         val (a, b, w) = (top.head.getString(0), top.head.getString(1),
           top.head.getLong(2))
         merges += ((ix, a, b, a + b, w))
-        // greedy left-to-right rewrite: fold each word's symbols,
-        // merging a symbol into the accumulator tail when the tail is
-        // `a` and it is `b` (an overlapping run re-merges only after
-        // the tail changes — standard BPE greedy semantics)
-        vocab = vocab.select(
-          aggregate(col("sym"),
-            array().cast("array<string>"),
-            (acc, s) => when(
-              size(acc) > 0 && element_at(acc, -1) === lit(a) &&
-                s === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-              .otherwise(concat(acc, array(s)))).as("sym"),
+        vocab = vocab.select(mergeFold(col("sym"), a, b).as("sym"),
           col("cnt"))
           .localCheckpoint()
       }
@@ -440,6 +429,56 @@ object TextAnalysis {
     merges.result()
       .toDF("merge_ix", "left", "right", "merged", "pair_weight")
       .orderBy(col("merge_ix"))
+  }
+
+  /** Greedy left-to-right rewrite of one BPE merge (a, b) over a
+    * symbol array: fold each word's symbols, merging a symbol into
+    * the accumulator tail when the tail is `a` and it is `b` (an
+    * overlapping run re-merges only after the tail changes — standard
+    * BPE greedy semantics). Shared by [[bpeTrain]]'s per-round
+    * rewrite and [[bpeApply]]'s encode, so deploy-time segmentation
+    * reproduces training-time segmentation by construction. */
+  private def mergeFold(sym: Column, a: String, b: String): Column =
+    aggregate(sym,
+      array().cast("array<string>"),
+      (acc, s) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Apply a trained BPE merge table — the tokenizer DEPLOY step:
+    * per doc, whitespace tokens vs symbols after all merges, the
+    * symbols-per-token compression the tokenizer build is judged by.
+    *
+    * Scale shape: merges apply once per DISTINCT term (the
+    * vocabulary), not per token occurrence — the corpus never folds;
+    * the (term → symbol count) map is vocabulary-sized and broadcasts
+    * back into the token stream, whose only shuffle is the per-doc
+    * aggregate. The chained per-merge folds collapse into ONE
+    * projection over the vocab frame (each round's array is consumed
+    * exactly once by the next fold's input, so projection collapse
+    * chains — it does not multiply — the evaluations). Rows-only at
+    * the gate: the merge table comes from [[bpeTrain]]'s
+    * data-dependent argmax loop; TextSpec pins the segmentation on
+    * the training fixture. */
+  def bpeApply(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val vocab0 = toks.select(col("term")).distinct()
+      .select(col("term"),
+        filter(split(col("term"), ""), s => s =!= "").as("sym"))
+    val encoded = merges.foldLeft(vocab0) { case (v, (a, b)) =>
+      v.select(col("term"), mergeFold(col("sym"), a, b).as("sym"))
+    }
+    val nSym = encoded.select(col("term"),
+      size(col("sym")).cast("long").as("n_sym"))
+    toks.join(broadcast(nSym), "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sym")).as("n_symbols"))
+      .select(col("doc_id"), col("n_tokens"), col("n_symbols"),
+        (col("n_symbols").cast("double") / col("n_tokens"))
+          .as("symbols_per_token"))
+      .orderBy(col("doc_id"))
   }
 
   /** Top-`perDoc` TF-IDF terms per document. IDF is the LOG-FREE

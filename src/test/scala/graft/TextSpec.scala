@@ -406,6 +406,22 @@ class TextSpec extends SparkSpec {
       (2, "aa", "ab", "aaab", 1L)))
   }
 
+  test("bpeApply reproduces training-time segmentation on the fixture") {
+    // merges learned above: (a,b)->ab, (a,a)->aa, (aa,ab)->aaab.
+    // "aaab" folds a,a,a,b -> a,a,ab -> aa,ab -> aaab (1 symbol);
+    // "ab" -> ab (1 symbol per token)
+    val df = Seq((1L, "aaab"), (2L, "ab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(df, nMerges = 5).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = TextAnalysis.bpeApply(df, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 1L, 1L, 1.0), (2L, 2L, 2L, 1.0)))
+    // an untrained word stays at character grain
+    val out2 = TextAnalysis.bpeApply(
+      Seq((3L, "xyz")).toDF("doc_id", "text"), merges).collect()
+    assert(out2.head.getLong(2) == 3L)
+  }
+
   test("sourceVocabOverlap: pairwise vocab Jaccard, zero-overlap pairs absent") {
     val df = Seq(
       (1L, "a b c", "s1"), (2L, "b c d", "s2"), (3L, "x", "s3"))
