@@ -148,6 +148,10 @@ object SparkEntry {
   private val ChangepointDays = 7
   private val ChangepointMinDays = 3
 
+  /** q_freshness: trailing activity windows (days before the corpus
+    * frontier day). */
+  private val FreshnessTrailDays = Seq(1, 7)
+
   /** q_file_skipping: z-order files and probes per dimension (probe
     * width = 1024/8 = 128 cells). */
   private val SkipFiles = 64
@@ -973,6 +977,10 @@ object SparkEntry {
     "q_changepoint" -> ((s, d) =>
       DataChecks.changepoint(Tables.events(s, d), ChangepointDays,
         ChangepointMinDays)),
+    "q_freshness" -> ((s, d) =>
+      DataChecks.freshness(Tables.events(s, d), FreshnessTrailDays)),
+    "q_seasonality" -> ((s, d) =>
+      DataChecks.seasonality(Tables.events(s, d))),
     "q_file_skipping" -> ((s, d) =>
       Layout.fileSkipping(Tables.events(s, d), SkipFiles, SkipProbes)),
     "q_small_orders" -> ((s, d) =>
@@ -3330,6 +3338,40 @@ object SparkEntry {
           SELECT event_type, day, b_days, a_days, before_mean,
             after_mean, shift
           FROM r WHERE rk = 1 ORDER BY event_type""",
+    // Closed-corpus freshness: frontier day/us are maxes over the
+    // same (type, day) grain; lag is exact integer microseconds with
+    // one integer division to seconds.
+    "q_freshness" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            count(*) AS n, CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+            FROM events GROUP BY 1, 2),
+          a AS (SELECT max(max_us) AS as_of_us, max(day) AS as_of_day
+            FROM d),
+          t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+            max(max_us) AS last_us, max(as_of_us) AS as_of_us,
+            CAST(coalesce(sum(CASE WHEN day > as_of_day - 1
+              THEN n END), 0) AS BIGINT) AS n_1d,
+            CAST(coalesce(sum(CASE WHEN day > as_of_day - 7
+              THEN n END), 0) AS BIGINT) AS n_7d
+            FROM d CROSS JOIN a GROUP BY 1)
+          SELECT event_type, n_events, make_timestamp(last_us) AS last_ts,
+            (as_of_us - last_us) // 1000000 AS lag_s, n_1d, n_7d
+          FROM t ORDER BY 1""",
+    // mean ratios are fixed-shape correctly-rounded chains over exact
+    // counts — bit-portable like the trend/autocorr combinations.
+    "q_seasonality" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            count(*) AS n FROM events GROUP BY 1, 2),
+          w AS (SELECT event_type, CAST(isodow(day) AS INT) AS dow,
+            count(*) AS n_days, CAST(sum(n) AS BIGINT) AS n_events
+            FROM d GROUP BY 1, 2),
+          t AS (SELECT event_type, count(*) AS t_days,
+            CAST(sum(n) AS BIGINT) AS t_events FROM d GROUP BY 1)
+          SELECT w.event_type, w.dow, w.n_days, w.n_events,
+            CAST(w.n_events AS DOUBLE) / w.n_days AS mean_day,
+            (CAST(w.n_events AS DOUBLE) / w.n_days) /
+              (CAST(t.t_events AS DOUBLE) / t.t_days) AS idx
+          FROM w JOIN t USING (event_type) ORDER BY 1, 2""",
     // Replays the zorder ladder (shared with q_zorder) then probes the
     // per-file footers with the same 2×nProbes range grid.
     "q_file_skipping" ->

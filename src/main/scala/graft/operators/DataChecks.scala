@@ -770,6 +770,81 @@ object DataChecks {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** Feed-freshness QA: per type, the event-time frontier, its lag
+    * behind the corpus-wide frontier, and trailing activity counts —
+    * the "is this feed still flowing" page-one check (a type whose
+    * frontier lags days behind the others is stuck upstream long
+    * before volume stats show it). Trailing windows are closed-corpus
+    * — relative to the corpus frontier DAY, not wall clock — so the
+    * report is deterministic and oracle-replayable; the lag is exact
+    * integer microseconds with one integer division to seconds.
+    *
+    * Shape: ONE corpus aggregate to the (type, day) grain (count +
+    * microsecond max per cell, persisted); the corpus frontier is a
+    * broadcast 1-row max over that grain and every trailing count is
+    * a conditional sum over it — the corpus never scans twice. */
+  def freshness(events: DataFrame,
+                trailDays: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(trailDays.nonEmpty && trailDays.forall(_ > 0),
+      "trailDays must be positive")
+    // persisted: the as-of leg would otherwise re-run the corpus scan
+    // (caller owns the lifetime)
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("tu"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), max(col("tu")).as("max_us"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val asOf = daily.agg(max(col("max_us")).as("as_of_us"),
+      max(col("day")).as("as_of_day"))
+    val trailAggs = trailDays.map(dd =>
+      coalesce(sum(when(col("day") > date_sub(col("as_of_day"), dd),
+        col("n"))), lit(0L)).as(s"n_${dd}d"))
+    val aggs = Seq(sum(col("n")).as("n_events"),
+      max(col("max_us")).as("last_us"),
+      max(col("as_of_us")).as("as_of_us")) ++ trailAggs
+    daily.crossJoin(broadcast(asOf))
+      .groupBy(col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("event_type"), col("n_events"),
+        timestamp_micros(col("last_us")).as("last_ts"),
+        expr("(as_of_us - last_us) div 1000000").as("lag_s")) ++
+        trailDays.map(dd => col(s"n_${dd}d")): _*)
+      .orderBy(col("event_type"))
+  }
+
+  /** Weekday seasonality index per type: each ISO weekday's mean
+    * daily volume relative to the type's overall mean active-day
+    * volume — the multiplicative profile ("Mondays run 1.4×") that
+    * complements [[autocorr]] (detects THAT weekly cadence exists)
+    * and [[seasonalNaiveBacktest]]'s lag model (assumes it). Means
+    * divide exact bigint sums by exact active-day counts; the index
+    * is the ratio of the two means — a fixed-shape correctly-rounded
+    * chain, bit-portable. One corpus aggregate to the (type, day)
+    * grain; the weekday and per-type rollups are grid-sized, the
+    * type totals rejoin as a broadcast. */
+  def seasonality(events: DataFrame): DataFrame = {
+    // persisted: the per-type totals leg re-reads it (caller owns the
+    // lifetime)
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byDow = daily
+      .groupBy(col("event_type"), (weekday(col("day")) + 1).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+    val totals = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("t_days"), sum(col("n")).as("t_events"))
+    byDow.join(broadcast(totals), "event_type")
+      .withColumn("mean_day", col("n_events").cast("double") / col("n_days"))
+      .withColumn("idx", col("mean_day") /
+        (col("t_events").cast("double") / col("t_days")))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        col("n_events"), col("mean_day"), col("idx"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   /** Per-type level-shift changepoint: for each day, compare the mean
     * daily volume of the `windowDays` days STRICTLY BEFORE against
     * the window STARTING AT the day (a shift at day d means d opens

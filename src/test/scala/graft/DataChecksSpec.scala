@@ -485,6 +485,37 @@ class DataChecksSpec extends SparkSpec {
     assert(out.toSeq == Seq(("A", 1, 4L, 1.0)))
   }
 
+  test("freshness: closed-corpus frontier lag and trailing counts") {
+    import spark.implicits._
+    // corpus frontier = A's event on day 3 10:00; B stopped on day 1
+    val e = Seq(
+      ("A", "2024-01-01 10:00:00"), ("A", "2024-01-03 10:00:00"),
+      ("B", "2024-01-01 09:00:00"))
+      .map { case (t, s) => (t, java.sql.Timestamp.valueOf(s)) }
+      .toDF("event_type", "ts")
+    val out = DataChecks.freshness(e, Seq(1, 7)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out("A") == ((2L, 0L, 1L, 2L)))
+    // B: 2 days + 1 hour behind the frontier; nothing in the last day
+    assert(out("B") == ((1L, 2L * 86400L + 3600L, 0L, 1L)))
+  }
+
+  test("seasonality: weekday index over active days only") {
+    import spark.implicits._
+    // 2024-01-01/08 are Mondays (2 + 4 events), 01-02 a Tuesday (6):
+    // Monday mean 3 vs overall mean 4 -> idx 0.75; Tuesday 6/4 -> 1.5
+    def ev(day: String, n: Int) = Seq.tabulate(n)(i =>
+      ("A", java.sql.Timestamp.valueOf(s"2024-01-$day 10:0$i:00")))
+    val e = (ev("01", 2) ++ ev("08", 4) ++ ev("02", 6))
+      .toDF("event_type", "ts")
+    val out = DataChecks.seasonality(e).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(1) == ((2L, 6L, 3.0, 0.75)))
+    assert(out(2) == ((1L, 6L, 6.0, 1.5)))
+  }
+
   test("changepoint finds the level-shift day, gap- and guard-correct") {
     import spark.implicits._
     // days 1–5 at 2/day, days 6–10 at 10/day: the shift opens at day 6
