@@ -49,7 +49,7 @@ object Bench {
     "q_item_similarity", "q_pagerank", "q_bigram_lm",
     "q_graph_stats", "q_changepoint", "q_file_skipping", "q_small_orders",
     "q_ctr_wilson", "q_entity_components", "q_bpe_apply",
-    "q_freshness", "q_seasonality",
+    "q_freshness", "q_seasonality", "q_funnel_windowed",
     "q_histogram", "q_qa_anomaly",
     "q_semantic_dedup", "q_mixture", "q_props_health",
     "q_search", "q_qa_orphans", "q_percentiles", "q_winsorize",

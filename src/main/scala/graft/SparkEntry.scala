@@ -200,6 +200,13 @@ object SparkEntry {
   private val FunnelSliceMod = 13
   private val FunnelStages = Seq("view", "click", "purchase")
 
+  /** q_funnel_windowed: conversion deadline per step (days). 14 BINDS
+    * on the sparse funnel slice at every SF while keeping all stages
+    * non-zero (probed: sf0.01 unbounded (102, 46, 12) vs windowed
+    * (102, 35, 6)) — the windowed counts must differ from the
+    * unbounded funnel's or the query proves nothing. */
+  private val FunnelWindowDays = 14
+
   /** q_session_paths: opening-path prefix length and report size. */
   private val PathMaxLen = 5
   private val PathTopN = 20
@@ -907,6 +914,10 @@ object SparkEntry {
     "q_funnel_latency" -> ((s, d) =>
       Journey.funnelLatency(Tables.events(s, d)
         .where(col("event_id") % FunnelSliceMod === 0), FunnelStages)),
+    "q_funnel_windowed" -> ((s, d) =>
+      Journey.funnelWindowed(Tables.events(s, d)
+        .where(col("event_id") % FunnelSliceMod === 0), FunnelStages,
+        FunnelWindowDays)),
     "q_next_event" -> ((s, d) =>
       Journey.nextEventMatrix(Tables.events(s, d))),
     "q_rfm" -> ((s, d) =>
@@ -2901,6 +2912,37 @@ object SparkEntry {
               nullif(first_value(n_users) OVER (ORDER BY stage_ix
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
               AS pct_first
+          FROM c ORDER BY stage_ix"""
+    },
+    // The stage recurrence with the deadline: each stage's earliest
+    // event within gapUs of the previous completion; abandonment is
+    // the lag difference. Exact integer-microsecond compare.
+    "q_funnel_windowed" -> {
+      val src = s"SELECT user_id, ts, event_type FROM events " +
+        s"WHERE event_id % $FunnelSliceMod = 0"
+      val gapUs = FunnelWindowDays * 86400L * 1000000L
+      val ctes = FunnelStages.zipWithIndex.map { case (st, i) =>
+        if (i == 0)
+          s"t0 AS (SELECT user_id, min(ts) AS ts FROM s " +
+            s"WHERE event_type = '$st' GROUP BY 1)"
+        else
+          s"t$i AS (SELECT s.user_id, min(s.ts) AS ts FROM s " +
+            s"JOIN t${i - 1} USING (user_id) WHERE s.event_type = '$st' " +
+            s"AND s.ts >= t${i - 1}.ts " +
+            s"AND epoch_us(s.ts) - epoch_us(t${i - 1}.ts) <= $gapUs " +
+            s"GROUP BY 1)"
+      }.mkString(",\n          ")
+      val stageRows = FunnelStages.zipWithIndex.map { case (st, i) =>
+        s"SELECT $i AS stage_ix, '$st' AS stage, count(*) AS n_users FROM t$i"
+      }.mkString("\n          UNION ALL ")
+      s"""WITH s AS ($src),
+          $ctes,
+          c AS ($stageRows)
+          SELECT stage_ix, stage, n_users,
+            lag(n_users) OVER (ORDER BY stage_ix) - n_users
+              AS n_abandoned,
+            CAST(n_users AS DOUBLE) /
+              nullif(lag(n_users) OVER (ORDER BY stage_ix), 0) AS pct_prev
           FROM c ORDER BY stage_ix"""
     },
     // Same stage CTEs as q_funnel_steps; per adjacent step the

@@ -165,6 +165,55 @@ object Journey {
       .orderBy(col("stage_ix"))
   }
 
+  /** Conversion-window funnel — [[funnelSteps]] with a deadline: a
+    * user advances to stage i only if some stage-i event lands within
+    * `maxGapDays` of their stage-(i−1) completion time, and the
+    * stage-completion time is the EARLIEST such qualifying event
+    * (later stages measure their deadline from it). The report the
+    * unbounded funnel can't give: "converted, but months later" is a
+    * lost user in any campaign accounting, and `n_abandoned` per step
+    * (prior stage's survivors who missed the deadline) is the number
+    * the unbounded pct_prev hides. Same per-stage user-grain
+    * recurrence and single-exchange shape as [[funnelSteps]]; the
+    * deadline is an exact integer-microsecond compare. */
+  def funnelWindowed(events: DataFrame, stages: Seq[String],
+                     maxGapDays: Int): DataFrame = {
+    require(stages.size >= 2, "funnelWindowed needs at least two stages")
+    require(maxGapDays > 0, "maxGapDays must be positive")
+    val gapUs = maxGapDays * 86400L * 1000000L
+    val e = events.select(col("user_id"), col("ts"), col("event_type"))
+    val frames = stages.zipWithIndex.scanLeft(
+      Option.empty[DataFrame]) { case (prev, (stage, _)) =>
+      Some(prev match {
+        case None =>
+          e.where(col("event_type") === stage)
+            .groupBy(col("user_id")).agg(min(col("ts")).as("ts"))
+        case Some(p) =>
+          e.where(col("event_type") === stage)
+            .join(p.select(col("user_id"), col("ts").as("prev_ts")),
+              Seq("user_id"))
+            .where(col("ts") >= col("prev_ts") &&
+              unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+                <= gapUs)
+            .groupBy(col("user_id")).agg(min(col("ts")).as("ts"))
+      })
+    }.flatten
+    val counts = frames.zip(stages).zipWithIndex.map {
+      case ((df, stage), ix) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(ix).as("stage_ix"), lit(stage).as("stage"),
+            col("n_users"))
+    }.reduce(_.union(_))
+    val byIx = Window.orderBy(col("stage_ix"))
+    counts
+      .withColumn("n_abandoned",
+        lag(col("n_users"), 1).over(byIx) - col("n_users"))
+      .withColumn("pct_prev",
+        col("n_users").cast("double") /
+          nullif(lag(col("n_users"), 1).over(byIx), lit(0L)))
+      .orderBy(col("stage_ix"))
+  }
+
   /** Time-to-convert between adjacent funnel stages: for each user who
     * completed stage i in order, the latency from their stage-(i−1)
     * time, summarized per step as converter count, mean and exact

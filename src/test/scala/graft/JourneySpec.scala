@@ -215,6 +215,24 @@ class JourneySpec extends SparkSpec {
     }
   }
 
+  test("funnelWindowed: deadline binds per step, abandonment counted") {
+    def ev(u: Long, day: Int, et: String) =
+      (u, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), et)
+    // u1 converts within every 3-day deadline; u2's click is 9 days
+    // late; u3 clicks in time but purchases 18 days later
+    val e = Seq(
+      ev(1, 1, "view"), ev(1, 2, "click"), ev(1, 3, "purchase"),
+      ev(2, 1, "view"), ev(2, 10, "click"),
+      ev(3, 1, "view"), ev(3, 2, "click"), ev(3, 20, "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Journey.funnelWindowed(e,
+      Seq("view", "click", "purchase"), maxGapDays = 3).collect()
+      .map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("view", 3L, -1L), ("click", 2L, 1L), ("purchase", 1L, 1L)))
+  }
+
   test("conversionWilson: true proportion, exact bound, NULL on empty") {
     // segment 0: users 0, 5, 10, 15 active; only user 5 purchases ->
     // n=4, s=1. Segment 1: user 1 views only -> s=0, lb=0-ish.
