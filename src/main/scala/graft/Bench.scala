@@ -11,7 +11,8 @@ object Bench {
     "q1_pricing_summary", "q_revenue_by_nation", "q_top_orders_per_cust",
     "q_topk_orders", "q_bloom_join",
     "q_event_windows", "q_reach_overall", "q_reach_by_type", "q_frequency",
-    "q_pairwise_matrix", "q_pairwise_pairs", "q_reach_week",
+    "q_pairwise_matrix", "q_pairwise_pairs", "q_pairwise_approx",
+    "q_reach_week",
     "q_projection_ratio", "q_value_mapping", "q_before_after",
     "q_contingency", "q_qa_daily", "q_qa_meta", "q_qa_multigroup",
     "q_qa_flags", "q_profile", "q_lang_id",

@@ -565,6 +565,10 @@ object SparkEntry {
     }),
     "q_pairwise_pairs" -> ((s, d) =>
       Pairwise.pairwiseOverlap(Tables.media(s, d), "etype")),
+    // Rows-only: HLL internals are engine-specific; MetricsSpec bounds
+    // the inclusion-exclusion estimates against exact distinct counts.
+    "q_pairwise_approx" -> ((s, d) =>
+      Pairwise.pairwiseOverlapApprox(Tables.media(s, d), "etype")),
     "q_reach_multi" -> ((s, d) =>
       Reach.reachByDimensions(
         Tables.media(s, d).withColumn("week_s", col("week").cast("string")),

@@ -667,6 +667,7 @@ object DataChecks {
   def fanoutAudit(left: DataFrame, right: DataFrame,
                   leftKey: String, rightKey: String,
                   multCap: Int = 8): DataFrame = {
+    require(multCap > 0, "multCap must be positive")
     val la = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("ln"))
     val ra = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("rn"))
     la.join(ra, Seq("k"), "full_outer")
@@ -740,7 +741,9 @@ object DataChecks {
     * overflow long before the moments themselves do), with zero
     * variance on either side yielding NULL, not a division error. */
   def autocorr(events: DataFrame, lags: Seq[Int] = Seq(1, 7)): DataFrame = {
-    require(lags.nonEmpty && lags.forall(_ > 0), "lags must be positive")
+    require(lags.nonEmpty && lags.forall(_ > 0) &&
+      lags.distinct.size == lags.size,
+      "lags must be positive and distinct")
     // persisted: every lag leg and the current-day side read it
     // (caller owns the lifetime)
     val daily = events
@@ -785,8 +788,9 @@ object DataChecks {
     * a conditional sum over it — the corpus never scans twice. */
   def freshness(events: DataFrame,
                 trailDays: Seq[Int] = Seq(1, 7)): DataFrame = {
-    require(trailDays.nonEmpty && trailDays.forall(_ > 0),
-      "trailDays must be positive")
+    require(trailDays.nonEmpty && trailDays.forall(_ > 0) &&
+      trailDays.distinct.size == trailDays.size,
+      "trailDays must be positive and distinct")
     // persisted: the as-of leg would otherwise re-run the corpus scan
     // (caller owns the lifetime)
     val daily = events

@@ -449,6 +449,7 @@ object Journey {
     * emit NULL rate and bound, not a division error. */
   def conversionWilson(events: DataFrame, successType: String,
                        segments: Int = 5, z: Double = 1.96): DataFrame = {
+    require(segments > 0 && z > 0, "segments and z must be positive")
     val agg = events
       .select((col("user_id") % segments).as("segment"), col("user_id"),
         col("event_type"))

@@ -79,4 +79,43 @@ object Pairwise {
         (col("overlap_raw") / col("cnt2")).as("pct_of_media_type_2"))
       .orderBy(desc("overlapping_households"), asc("media_type_1"), asc("media_type_2"))
   }
+
+  /** Sketch twin of [[pairwiseOverlap]] for audience UNIQUES — the
+    * 100 TB overlap path: per dim-value pair, estimated distinct
+    * households on each side and in the intersection via HLL
+    * inclusion–exclusion (|A∩B| ≈ |A|+|B|−|A∪B|, clamped at 0). The
+    * exact operator self-joins the deduped membership frame — at 10⁹
+    * households that join carries the whole audience per pair; here
+    * the corpus collapses to ONE fixed ~KB sketch per value
+    * (map-side combined, any event volume absorbed) and every pair
+    * statistic derives from values²-sized sketch merges — no second
+    * corpus pass, mergeable across days/partitions like the reach
+    * sketches. Inclusion–exclusion COMPOUNDS sketch error (three
+    * estimates feed one subtraction), so small intersections
+    * disappear into the noise floor — the documented tradeoff vs the
+    * exact path; rows-only at the gate, MetricsSpec bounds all three
+    * estimates against exact distinct counts. */
+  def pairwiseOverlapApprox(df: DataFrame, dim: String,
+                            lgK: Int = 12): DataFrame = {
+    val sk = df.groupBy(col(dim).as("value"))
+      .agg(hll_sketch_agg(col("household_id"), lit(lgK)).as("sk"))
+    val a = sk.select(col("value").as("media_type_1"), col("sk").as("sk1"))
+    val b = sk.select(col("value").as("media_type_2"), col("sk").as("sk2"))
+    a.join(b, col("media_type_1") < col("media_type_2"))
+      .select(col("media_type_1"), col("media_type_2"),
+        hll_sketch_estimate(col("sk1")).as("n1_est"),
+        hll_sketch_estimate(col("sk2")).as("n2_est"),
+        hll_sketch_estimate(hll_union(col("sk1"), col("sk2")))
+          .as("union_est"))
+      .withColumn("overlap_est", greatest(lit(0L),
+        col("n1_est") + col("n2_est") - col("union_est")))
+      .select(col("media_type_1"), col("media_type_2"), col("n1_est"),
+        col("n2_est"), col("overlap_est"),
+        (col("overlap_est").cast("double") / col("n1_est"))
+          .as("pct_of_media_type_1"),
+        (col("overlap_est").cast("double") / col("n2_est"))
+          .as("pct_of_media_type_2"))
+      .orderBy(desc("overlap_est"), asc("media_type_1"),
+        asc("media_type_2"))
+  }
 }

@@ -183,4 +183,35 @@ class MetricsSpec extends SparkSpec {
     assert(out("a").getDouble(1) == 4.0 && out("a").getDouble(3) == 4.0)
     assert(out("b").getDouble(1) == 2.0 && out("b").getDouble(3) == 0.0)
   }
+
+  test("pairwiseOverlapApprox tracks exact distinct overlaps on real data") {
+    val media = Tables.media(spark, "/root/testdata/sf0.001")
+    val m = media.select(col("household_id"), col("etype"))
+      .distinct()
+    val exactPair = m.as("a").join(m.as("b"),
+        col("a.household_id") === col("b.household_id") &&
+          col("a.etype") < col("b.etype"))
+      .groupBy(col("a.etype").as("v1"), col("b.etype").as("v2"))
+      .agg(count(lit(1)).as("overlap"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val exactSide = m.groupBy(col("etype")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.operators.Pairwise
+      .pairwiseOverlapApprox(media, "etype").collect()
+    assert(approx.length == exactPair.size)
+    approx.foreach { r =>
+      val (v1, v2) = (r.getString(0), r.getString(1))
+      val (n1, n2) = (exactSide(v1), exactSide(v2))
+      assert(math.abs(r.getLong(2) - n1) <= math.max(2L, (0.05 * n1).toLong),
+        s"$v1 side estimate ${r.getLong(2)} vs $n1")
+      assert(math.abs(r.getLong(3) - n2) <= math.max(2L, (0.05 * n2).toLong))
+      // inclusion–exclusion compounds three sketch errors — bound the
+      // intersection against the UNION's magnitude, not its own
+      val ex = exactPair((v1, v2))
+      val union = n1 + n2 - ex
+      assert(math.abs(r.getLong(4) - ex) <= math.max(3L, (0.08 * union).toLong),
+        s"($v1,$v2) overlap est ${r.getLong(4)} vs exact $ex")
+    }
+  }
 }
