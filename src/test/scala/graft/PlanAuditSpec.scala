@@ -515,4 +515,23 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_autocorr")
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
   }
+
+  test("freshness: one corpus aggregate, broadcast frontier, no rescan") {
+    val p = plan("q_freshness")
+    // the daily grain is cached; the as-of frontier and the trailing
+    // counts both read it — a second parquet scan here means the
+    // corpus is being re-read for the frontier
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size ==
+      "InMemoryTableScan".r.findAllIn(p).size, p.take(2000))
+  }
+
+  test("pairwise sketch overlap: per-value sketches, no membership join") {
+    val p = plan("q_pairwise_approx")
+    // the corpus collapses to one sketch per dim value; the only join
+    // is the values²-sized pair merge — a SortMergeJoin here means the
+    // exact path's corpus-sized membership self-join crept back
+    assert(p.contains("hll_sketch_agg"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }
