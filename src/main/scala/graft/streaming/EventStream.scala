@@ -150,6 +150,26 @@ object EventStream {
                          k: Int = 256): DataFrame =
     graft.operators.Skew.skewReportApprox(events, keyCol, topN, k)
 
+  /** Windowed trending keys — [[heavyHittersStream]]'s production
+    * shape: one Misra–Gries sketch PER tumbling event-time window
+    * (append mode + watermark), so each closed window emits its own
+    * finalized heavy-hitter list and its state is dropped — the
+    * "what's hot this hour" feed, with state bounded by
+    * open-windows × k counters instead of growing with the stream.
+    * Same n/(k+1)-per-window guarantee as the batch aggregate; the
+    * caller explodes the sketch list per window row. */
+  def trendingStream(events: DataFrame, keyCol: String,
+                     windowLen: String = "1 hour",
+                     delay: String = "2 hours",
+                     k: Int = 256): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n_total"),
+        call_function("graft_heavy_agg", col(keyCol), lit(k)).as("hh"))
+      .select(col("window.start").as("window_start"), col("n_total"),
+        col("hh"))
+
   /** Publish one micro-batch idempotently into `table`'s
     * `batch_id=<id>` partition. foreachBatch is at-least-once — a
     * failure after a partial or complete write re-runs the batch with

@@ -70,6 +70,33 @@ class StreamingSpec extends SparkSpec {
     assert(out == List((hot, 50L, 55L), (1L, 2L, 55L), (2L, 1L, 55L)))
   }
 
+  test("trendingStream: per-window sketches finalize on watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = EventStream.trendingStream(
+      mem.toDF().toDF("k", "ts"), "k", "1 hour", "30 minutes", k = 16)
+      .writeStream.format("memory").queryName("trend")
+      .outputMode("append").start()
+    // hour 10: key 7 hot; hour 11: key 9 hot — then advance the
+    // watermark past both windows so they finalize
+    def at(h: Int, m: Int) = ts(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((Seq.fill(5)(7L) :+ 1L).map(x => (x, at(10, 5))): _*)
+    mem.addData((Seq.fill(3)(9L) :+ 2L).map(x => (x, at(11, 10))): _*)
+    mem.addData((99L, at(13, 0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("trend").collect()
+      .map(r => r.getTimestamp(0).toString ->
+        ((r.getLong(1), r.getSeq[org.apache.spark.sql.Row](2)
+          .map(e => e.getLong(0) -> e.getLong(1)).toMap)))
+      .toMap
+    // both closed windows emitted exactly once with exact counts
+    // (distinct keys < k); the 13:00 window is still open -> absent
+    assert(out.keySet == Set("2024-01-01 10:00:00.0", "2024-01-01 11:00:00.0"))
+    assert(out("2024-01-01 10:00:00.0") == ((6L, Map(7L -> 5L, 1L -> 1L))))
+    assert(out("2024-01-01 11:00:00.0") == ((4L, Map(9L -> 3L, 2L -> 1L))))
+  }
+
   test("streaming windowed counts match the batch transform") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
