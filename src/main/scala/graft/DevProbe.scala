@@ -40,7 +40,7 @@ object DevProbe {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     // decompose setup
-    val pairs2 = Affinity.coPurchasePairs(li).select(col("part_a"), col("part_b"))
+    val pairs2 = Affinity.coPairs(li)  // the production pageRank path
     time("pr: pairs")(pairs2.write.format("noop").mode("overwrite").save())
     val edges2 = pairs2.unionAll(pairs2.select(col("part_b"), col("part_a"))).toDF("src", "dst")
     val deg2 = edges2.groupBy(col("src")).agg(count(lit(1)).as("deg"))

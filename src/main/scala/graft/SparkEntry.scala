@@ -161,7 +161,10 @@ object SparkEntry {
     * fraction of its part's average quantity. */
   private val SmallOrderFrac = 0.2
 
-  /** q_ctr_wilson: trial/success event types, segment count, z. */
+  /** q_ctr_wilson: success event type, segment count (the
+    * qa_multigroup site convention), z. */
+  private val CtrSuccessType = "purchase"
+  private val CtrSegments = 5
   private val CtrZ = 1.96
 
   /** q_entity_components synthetic shared identifiers: key g3 groups
@@ -1002,7 +1005,8 @@ object SparkEntry {
       Analytics.smallOrderRevenue(Tables.lineitem(s, d), Tables.part(s, d),
         SmallOrderFrac)),
     "q_ctr_wilson" -> ((s, d) =>
-      Journey.conversionWilson(Tables.events(s, d), "purchase", 5, CtrZ)),
+      Journey.conversionWilson(Tables.events(s, d), CtrSuccessType,
+        CtrSegments, CtrZ)),
     "q_entity_components" -> ((s, d) =>
       Entity.linkByKeys(Tables.customer(s, d), "c_custkey", Seq(
         "g3" -> expr(s"c_custkey div $EntityG3").cast("string"),
@@ -3482,9 +3486,9 @@ object SparkEntry {
     // Scala-computed product interpolated at full precision.
     "q_ctr_wilson" -> {
       val z2 = CtrZ * CtrZ
-      s"""WITH a AS (SELECT user_id % 5 AS segment,
+      s"""WITH a AS (SELECT user_id % $CtrSegments AS segment,
             count(DISTINCT user_id) AS n,
-            count(DISTINCT CASE WHEN event_type = 'purchase'
+            count(DISTINCT CASE WHEN event_type = '$CtrSuccessType'
               THEN user_id END) AS s
             FROM events GROUP BY 1),
           p AS (SELECT segment, n, s,

@@ -52,12 +52,12 @@ object Affinity {
     * join), so the exploded pairs carry (n_a, n_b) with them and the
     * pair grain never joins anything afterwards.
     *
-    * The RESULT is persisted (caller owns the lifetime): both
-    * consumers immediately union the frame with its own swap
-    * ([[itemSimilarity]]'s sym, [[pageRank]]'s directed edges), and
-    * without the persist each union branch re-runs the whole
-    * distinct→join→sets→explode chain — measured 3× the operator's
-    * total cost at sf0.1. */
+    * The RESULT is persisted (caller owns the lifetime):
+    * [[itemSimilarity]] immediately unions the frame with its own
+    * swap, and without the persist each union branch re-runs the
+    * whole distinct→join→sets→explode chain — measured 3× the
+    * operator's total cost at sf0.1. (The graph operators use the
+    * leaner count-free [[coPairs]] instead.) */
   def coPurchasePairs(lineitem: DataFrame): DataFrame = {
     val op = orderParts(lineitem)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -121,11 +121,15 @@ object Journey {
     * whole chain and no step ever holds more than one row per user in
     * state. The final pct window runs over #stages rows. Conversion
     * ratios are exact IEEE divisions of bigint counts. */
-  /** The ordered-completion recurrence shared by [[funnelSteps]] and
-    * [[funnelLatency]]: frame i holds (user_id, ts) of each user's
-    * earliest stage-i completion AT OR AFTER their stage-(i−1) time. */
-  private def reachedStages(events: DataFrame,
-                            stages: Seq[String]): Seq[DataFrame] = {
+  /** The ordered-completion recurrence shared by [[funnelSteps]],
+    * [[funnelLatency]] and [[funnelWindowed]]: frame i holds
+    * (user_id, ts) of each user's earliest stage-i completion AT OR
+    * AFTER their stage-(i−1) time — additionally within `maxGapUs`
+    * of it when a deadline is given (the ONE place the tie rule and
+    * deadline semantics live, so the three reports can never
+    * disagree about what "reached stage i" means). */
+  private def reachedStages(events: DataFrame, stages: Seq[String],
+                            maxGapUs: Option[Long] = None): Seq[DataFrame] = {
     val e = events.select(col("user_id"), col("ts"), col("event_type"))
     stages.zipWithIndex.scanLeft(
       Option.empty[DataFrame]) { case (prev, (stage, _)) =>
@@ -134,24 +138,30 @@ object Journey {
           e.where(col("event_type") === stage)
             .groupBy(col("user_id")).agg(min(col("ts")).as("ts"))
         case Some(p) =>
-          e.where(col("event_type") === stage)
+          val inOrder = e.where(col("event_type") === stage)
             .join(p.select(col("user_id"), col("ts").as("prev_ts")),
               Seq("user_id"))
             .where(col("ts") >= col("prev_ts"))
+          maxGapUs.fold(inOrder)(gap => inOrder.where(
+            unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+              <= gap))
             .groupBy(col("user_id")).agg(min(col("ts")).as("ts"))
       })
     }.flatten
   }
 
+  /** One (stage_ix, stage, n_users) row per stage frame. */
+  private def stageCounts(frames: Seq[DataFrame],
+                          stages: Seq[String]): DataFrame =
+    frames.zip(stages).zipWithIndex.map { case ((df, stage), ix) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(ix).as("stage_ix"), lit(stage).as("stage"),
+          col("n_users"))
+    }.reduce(_.union(_))
+
   def funnelSteps(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnelSteps needs at least one stage")
-    val reachedFrames = reachedStages(events, stages)
-    val counts = reachedFrames.zip(stages).zipWithIndex.map {
-      case ((df, stage), ix) =>
-        df.agg(count(lit(1)).as("n_users"))
-          .select(lit(ix).as("stage_ix"), lit(stage).as("stage"),
-            col("n_users"))
-    }.reduce(_.union(_))
+    val counts = stageCounts(reachedStages(events, stages), stages)
     val w = Window.orderBy(col("stage_ix"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     counts
@@ -181,29 +191,8 @@ object Journey {
     require(stages.size >= 2, "funnelWindowed needs at least two stages")
     require(maxGapDays > 0, "maxGapDays must be positive")
     val gapUs = maxGapDays * 86400L * 1000000L
-    val e = events.select(col("user_id"), col("ts"), col("event_type"))
-    val frames = stages.zipWithIndex.scanLeft(
-      Option.empty[DataFrame]) { case (prev, (stage, _)) =>
-      Some(prev match {
-        case None =>
-          e.where(col("event_type") === stage)
-            .groupBy(col("user_id")).agg(min(col("ts")).as("ts"))
-        case Some(p) =>
-          e.where(col("event_type") === stage)
-            .join(p.select(col("user_id"), col("ts").as("prev_ts")),
-              Seq("user_id"))
-            .where(col("ts") >= col("prev_ts") &&
-              unix_micros(col("ts")) - unix_micros(col("prev_ts"))
-                <= gapUs)
-            .groupBy(col("user_id")).agg(min(col("ts")).as("ts"))
-      })
-    }.flatten
-    val counts = frames.zip(stages).zipWithIndex.map {
-      case ((df, stage), ix) =>
-        df.agg(count(lit(1)).as("n_users"))
-          .select(lit(ix).as("stage_ix"), lit(stage).as("stage"),
-            col("n_users"))
-    }.reduce(_.union(_))
+    val counts = stageCounts(
+      reachedStages(events, stages, Some(gapUs)), stages)
     val byIx = Window.orderBy(col("stage_ix"))
     counts
       .withColumn("n_abandoned",

@@ -37,15 +37,23 @@ object Multimodal {
     * raster sample reads. The checkerboard alternation exercises PNG
     * row filters rather than compressing to a constant plane. */
   object ImageCodec {
-    // ImageIO defaults to DISK-backed stream caching: every
-    // read/write through a raw Byte*Stream allocates a temp FILE per
-    // image. On an executor decoding millions of in-memory payloads
-    // that is one filesystem round-trip per row for zero benefit
-    // (the payload is already fully in memory) — and its cost varies
-    // with host dentry-cache state, which made the query's wall time
-    // depend on what ran before it. Memory caching is strictly
-    // better here; measured 4× on the sf0.1 bench mid-session.
-    ImageIO.setUseCache(false)
+    /** ImageIO defaults to DISK-backed stream caching: every
+      * read/write through a raw Byte*Stream allocates a temp FILE per
+      * image. On an executor decoding millions of in-memory payloads
+      * that is one filesystem round-trip per row for zero benefit
+      * (the payload is already fully in memory) — and its cost varies
+      * with host dentry-cache state, which made the query's wall time
+      * depend on what ran before it (measured 4× on the sf0.1 bench
+      * mid-session). Called at each codec entry point, not only in a
+      * class initializer, so the setting holds regardless of which
+      * executor JVM touches the codec first. DELIBERATELY
+      * process-global (javax.imageio has no per-stream switch short
+      * of constructing ImageInputStreams by hand): any other ImageIO
+      * user in this JVM also switches to memory-backed streams —
+      * acceptable for an engine whose payloads are in-memory columns
+      * by design, documented here in case one ever is not. */
+    private def ensureMemoryCache(): Unit =
+      if (ImageIO.getUseCache) ImageIO.setUseCache(false)
 
     def geometry(docId: Long): (Int, Int) =
       (((docId % 48) + 16).toInt, ((docId % 32) + 16).toInt)
@@ -60,6 +68,7 @@ object Multimodal {
     }
 
     def encodePng(docId: Long): Array[Byte] = {
+      ensureMemoryCache()
       val (w, h) = geometry(docId)
       val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
       val raster = img.getRaster
@@ -80,6 +89,7 @@ object Multimodal {
     /** Decode real bytes. Fails loud on undecodable content — a
       * corrupt payload silently skipped would undercount a corpus. */
     def decode(r: MediaRow): MediaFeatures = {
+      ensureMemoryCache()
       val img = ImageIO.read(new ByteArrayInputStream(r.content))
       require(img != null,
         s"doc ${r.doc_id}: undecodable ${r.format} payload")

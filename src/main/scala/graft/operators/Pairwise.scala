@@ -93,8 +93,11 @@ object Pairwise {
     * sketches. Inclusion–exclusion COMPOUNDS sketch error (three
     * estimates feed one subtraction), so small intersections
     * disappear into the noise floor — the documented tradeoff vs the
-    * exact path; rows-only at the gate, MetricsSpec bounds all three
-    * estimates against exact distinct counts. */
+    * exact path. Emits EVERY value pair, zero-overlap pairs included
+    * (a sketch cannot prove an intersection empty), where the exact
+    * operator's self-join omits them. Rows-only at the gate;
+    * MetricsSpec bounds all three estimates against exact distinct
+    * counts. */
   def pairwiseOverlapApprox(df: DataFrame, dim: String,
                             lgK: Int = 12): DataFrame = {
     val sk = df.groupBy(col(dim).as("value"))

@@ -199,7 +199,13 @@ class MetricsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val approx = graft.operators.Pairwise
       .pairwiseOverlapApprox(media, "etype").collect()
-    assert(approx.length == exactPair.size)
+    // the sketch twin emits EVERY value pair (zero-overlap pairs
+    // included — sketches can't know an intersection is empty), where
+    // the exact self-join omits them; on this fixture every pair
+    // overlaps, so the row sets coincide — assert that precondition
+    // explicitly rather than crashing on a regenerated fixture
+    val nVals = exactSide.size
+    assert(approx.length == nVals * (nVals - 1) / 2)
     approx.foreach { r =>
       val (v1, v2) = (r.getString(0), r.getString(1))
       val (n1, n2) = (exactSide(v1), exactSide(v2))
@@ -207,8 +213,9 @@ class MetricsSpec extends SparkSpec {
         s"$v1 side estimate ${r.getLong(2)} vs $n1")
       assert(math.abs(r.getLong(3) - n2) <= math.max(2L, (0.05 * n2).toLong))
       // inclusion–exclusion compounds three sketch errors — bound the
-      // intersection against the UNION's magnitude, not its own
-      val ex = exactPair((v1, v2))
+      // intersection against the UNION's magnitude, not its own;
+      // a pair absent from the exact map genuinely has zero overlap
+      val ex = exactPair.getOrElse((v1, v2), 0L)
       val union = n1 + n2 - ex
       assert(math.abs(r.getLong(4) - ex) <= math.max(3L, (0.08 * union).toLong),
         s"($v1,$v2) overlap est ${r.getLong(4)} vs exact $ex")
