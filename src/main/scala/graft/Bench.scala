@@ -40,7 +40,8 @@ object Bench {
     "q_reach_approx", "q_tfidf", "q_lm_score", "q_pii_redact",
     "q_text_clean", "q_unicode_norm", "q_boilerplate",
     "q_range_join", "q_qa_drift", "q_source_drift", "q_dedup_bloom",
-    "q_cohort", "q_lifecycle", "q_funnel_steps", "q_funnel_latency",
+    "q_cohort", "q_lifecycle", "q_lifecycle_approx",
+    "q_funnel_steps", "q_funnel_latency",
     "q_next_event", "q_rfm", "q_trend", "q_source_overlap",
     "q_session_paths", "q_dq_rules", "q_user_features", "q_attribution",
     "q_ooo_audit", "q_watermark_rec", "q_record_dedup", "q_canary_scan",

@@ -915,6 +915,11 @@ object SparkEntry {
     "q_lifecycle" -> ((s, d) =>
       Journey.lifecycle(Tables.events(s, d)
         .where(col("event_id") % CohortSliceMod === 0))),
+    // Rows-only (engine-specific sketches); JourneySpec pins
+    // small-domain near-exactness and bounds vs the exact lifecycle.
+    "q_lifecycle_approx" -> ((s, d) =>
+      Journey.lifecycleApprox(Tables.events(s, d)
+        .where(col("event_id") % CohortSliceMod === 0))),
     "q_funnel_steps" -> ((s, d) =>
       Journey.funnelSteps(Tables.events(s, d)
         .where(col("event_id") % FunnelSliceMod === 0), FunnelStages)),

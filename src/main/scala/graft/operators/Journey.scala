@@ -240,6 +240,72 @@ object Journey {
     steps.reduce(_.union(_)).orderBy(col("step_ix"))
   }
 
+  /** Sketch twin of [[lifecycle]] — growth accounting from weekly HLL
+    * sketches, the 100 TB path: the exact operator's per-user
+    * active-week set is calendar-bounded but still carries one row
+    * per user through a user_id exchange; here the corpus collapses
+    * to ONE fixed sketch per week (map-side combined), and every
+    * status estimate is sketch arithmetic on the weeks-sized frame:
+    *  - active(w)    = |W_w|,
+    *  - retained(w)  = |W_{w−1}| + |W_w| − |W_{w−1} ∪ W_w|
+    *    (inclusion–exclusion with the calendar-previous week),
+    *  - new(w)       = |∪_{v≤w} W_v| − |∪_{v<w} W_v| (the cumulative-
+    *    union delta — first-ever-seen needs ALL history, which is
+    *    exactly what a mergeable union gives without re-scanning it),
+    *  - resurrected  = active − retained − new (clamped),
+    *  - churned(w)   = active(w−1) − retained(w) (the prior week's
+    *    users who fell silent — attributed at w like the exact
+    *    operator's first-silent-week rule for adjacent weeks).
+    * The cumulative union is a weeks²-sized self-join of the
+    * persisted weekly sketch frame (weeks are calendar-bounded, so
+    * weeks² is trivially small at any corpus scale). Divergence from
+    * the exact twin, documented: only weeks WITH activity emit rows
+    * (the exact operator emits churn rows for silent calendar weeks),
+    * and inclusion–exclusion compounds sketch error, so small
+    * statuses sit in the noise floor. Rows-only at the gate;
+    * JourneySpec pins small-domain near-exactness and real-data
+    * bounds. */
+  def lifecycleApprox(events: DataFrame, lgK: Int = 12): DataFrame = {
+    // persisted: the cumulative-union self-join and the adjacent-week
+    // legs all read it (caller owns the lifetime)
+    val wk = events
+      .select(date_trunc("week", col("ts")).cast("date").as("week"),
+        col("user_id"))
+      .groupBy(col("week"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cum = wk.as("a")
+      .join(wk.as("b"), col("b.week") <= col("a.week"))
+      .groupBy(col("a.week").as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("b.sk"), lit(false)))
+        .as("cum_est"))
+    // weeks-sized frame: the single-partition lag window is bounded
+    // by the calendar, never the corpus
+    val newEst = cum
+      .withColumn("new_est", col("cum_est") -
+        coalesce(lag(col("cum_est"), 1)
+          .over(Window.orderBy(col("week"))), lit(0L)))
+    val base = wk.select(col("week"), col("sk"),
+      hll_sketch_estimate(col("sk")).as("active_est"))
+    val prev = base.select(date_add(col("week"), 7).as("week"),
+      col("sk").as("sk_prev"), col("active_est").as("active_prev"))
+    base.join(prev, Seq("week"), "left_outer")
+      .withColumn("retained_est",
+        when(col("sk_prev").isNull, lit(0L)).otherwise(
+          greatest(lit(0L), col("active_prev") + col("active_est") -
+            hll_sketch_estimate(hll_union(col("sk"), col("sk_prev"))))))
+      .withColumn("churned_est",
+        when(col("sk_prev").isNull, lit(null).cast("long"))
+          .otherwise(greatest(lit(0L),
+            col("active_prev") - col("retained_est"))))
+      .join(newEst.select(col("week"), col("new_est")), Seq("week"))
+      .withColumn("resurrected_est", greatest(lit(0L),
+        col("active_est") - col("retained_est") - col("new_est")))
+      .select(col("week"), col("active_est"), col("new_est"),
+        col("retained_est"), col("resurrected_est"), col("churned_est"))
+      .orderBy(col("week"))
+  }
+
   /** Weekly user-lifecycle transitions — the growth-accounting table
     * behind every "net active users" chart: per week, how many users
     * are `new` (first-ever activity), `retained` (also active the

@@ -215,6 +215,45 @@ class JourneySpec extends SparkSpec {
     }
   }
 
+  test("lifecycleApprox: sketch statuses near-exact on a small domain") {
+    // w1 (2024-01-01): u1, u2; w2: u1 (retained), u3 (new); u2 churns
+    def ev(u: Long, day: String) =
+      (u, java.sql.Timestamp.valueOf(s"2024-01-$day 10:00:00"))
+    val e = Seq(ev(1, "01"), ev(2, "02"), ev(1, "08"), ev(3, "09"))
+      .toDF("user_id", "ts")
+    val out = Journey.lifecycleApprox(e).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    def close(a: Long, b: Long) = math.abs(a - b) <= 1
+    val (a1, n1, r1, s1, c1) = out("2024-01-01")
+    assert(close(a1, 2) && close(n1, 2) && r1 == 0L && s1 == 0L
+      && c1 == -1L)
+    val (a2, n2, r2, s2, c2) = out("2024-01-08")
+    assert(close(a2, 2) && close(n2, 1) && close(r2, 1) && close(s2, 0)
+      && close(c2, 1))
+  }
+
+  test("lifecycleApprox tracks the exact lifecycle on real data") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .where(col("event_id") % 17 === 0)
+    val exact = Journey.lifecycle(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap.withDefaultValue(0L)
+    val approx = Journey.lifecycleApprox(ev).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val w = r.getDate(0).toString
+      def bound(est: Long, ex: Long, what: String): Unit =
+        assert(math.abs(est - ex) <= math.max(3L, (0.08 * (ex + 1)).toLong),
+          s"$w $what est $est vs exact $ex")
+      bound(r.getLong(2), exact((w, "new")), "new")
+      bound(r.getLong(3), exact((w, "retained")), "retained")
+      bound(r.getLong(4), exact((w, "resurrected")), "resurrected")
+      if (!r.isNullAt(5)) bound(r.getLong(5), exact((w, "churned")), "churned")
+    }
+  }
+
   test("funnelWindowed: deadline binds per step, abandonment counted") {
     def ev(u: Long, day: Int, et: String) =
       (u, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), et)
