@@ -469,4 +469,42 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Xlsx.colRef(26) == "AA" && Xlsx.colRef(27) == "AB")
     assert(Xlsx.colRef(26 * 27 - 1) == "ZZ" && Xlsx.colRef(26 * 27) == "AAA")
   }
+
+  test("affinity family tolerates empty and singleton order sets") {
+    import graft.operators.Affinity
+    val empty = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+    assert(Affinity.coPurchasePairs(empty).collect().isEmpty)
+    assert(Affinity.pageRank(empty).collect().isEmpty)
+    assert(Affinity.graphStats(empty).collect().isEmpty)
+    // singleton orders yield no pairs -> no graph, empty everywhere
+    val singles = Seq((1L, 10L), (2L, 20L)).toDF("l_orderkey", "l_partkey")
+    assert(Affinity.itemSimilarity(singles).collect().isEmpty)
+    assert(Affinity.pageRank(singles).collect().isEmpty)
+  }
+
+  test("new QA ops tolerate an empty event log") {
+    import graft.operators.DataChecks
+    val e = Seq.empty[(java.sql.Timestamp, String)].toDF("ts", "event_type")
+    assert(DataChecks.chi2Independence(e).collect().isEmpty)
+    assert(DataChecks.autocorr(e, Seq(1)).collect().isEmpty)
+    assert(DataChecks.changepoint(e).collect().isEmpty)
+    assert(DataChecks.freshness(e).collect().isEmpty)
+    assert(DataChecks.seasonality(e).collect().isEmpty)
+  }
+
+  test("bigramLmScore drops null and sub-2-token docs silently") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "one"),
+      (4L, "two words")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(df).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("linkByKeys: everyone isolated when no keys are shared") {
+    val recs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "k")
+    val out = operators.Entity.linkByKeys(recs, "id",
+      Seq("k" -> col("k"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L)))
+  }
 }
