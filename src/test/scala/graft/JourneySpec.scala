@@ -237,20 +237,28 @@ class JourneySpec extends SparkSpec {
   test("lifecycleApprox tracks the exact lifecycle on real data") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .where(col("event_id") % 17 === 0)
-    val exact = Journey.lifecycle(ev).collect()
-      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
-      .toMap.withDefaultValue(0L)
-    val approx = Journey.lifecycleApprox(ev).collect()
-    assert(approx.nonEmpty)
-    approx.foreach { r =>
-      val w = r.getDate(0).toString
-      def bound(est: Long, ex: Long, what: String): Unit =
-        assert(math.abs(est - ex) <= math.max(3L, (0.08 * (ex + 1)).toLong),
-          s"$w $what est $est vs exact $ex")
-      bound(r.getLong(2), exact((w, "new")), "new")
-      bound(r.getLong(3), exact((w, "retained")), "retained")
-      bound(r.getLong(4), exact((w, "resurrected")), "resurrected")
-      if (!r.isNullAt(5)) bound(r.getLong(5), exact((w, "churned")), "churned")
+    try {
+      val exact = Journey.lifecycle(ev).collect()
+        .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
+        .toMap.withDefaultValue(0L)
+      val approx = Journey.lifecycleApprox(ev).collect()
+      assert(approx.nonEmpty)
+      approx.foreach { r =>
+        val w = r.getDate(0).toString
+        def bound(est: Long, ex: Long, what: String): Unit =
+          assert(math.abs(est - ex) <= math.max(3L, (0.08 * (ex + 1)).toLong),
+            s"$w $what est $est vs exact $ex")
+        bound(r.getLong(2), exact((w, "new")), "new")
+        bound(r.getLong(3), exact((w, "retained")), "retained")
+        bound(r.getLong(4), exact((w, "resurrected")), "resurrected")
+        if (!r.isNullAt(5)) bound(r.getLong(5), exact((w, "churned")), "churned")
+      }
+    } finally {
+      // both operators persist internal frames on the SAME sliced
+      // input q_cohort's plan audit later builds — a leftover cache
+      // entry would alter that audited plan (caller owns the persist
+      // lifetime; this test is the caller)
+      spark.catalog.clearCache()
     }
   }
 

@@ -9,6 +9,15 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
+  // hermetic plans: other suites' operator-internal persists on the
+  // same testdata inputs would otherwise splice InMemoryTableScans
+  // into the audited plans (CacheManager matches plan FRAGMENTS, so a
+  // leftover cache from any earlier suite changes what gets audited)
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.catalog.clearCache()
+  }
+
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
