@@ -50,6 +50,7 @@ object Bench {
     "q_autocorr", "q_chi2_independence", "q_fanout_audit",
     "q_item_similarity", "q_pagerank", "q_bigram_lm",
     "q_graph_stats", "q_changepoint", "q_file_skipping", "q_small_orders",
+    "q_bulk_orders", "q_idle_customers",
     "q_ctr_wilson", "q_entity_components", "q_bpe_apply",
     "q_freshness", "q_seasonality", "q_funnel_windowed",
     "q_histogram", "q_qa_anomaly",

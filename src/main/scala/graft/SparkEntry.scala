@@ -161,6 +161,16 @@ object SparkEntry {
     * fraction of its part's average quantity. */
   private val SmallOrderFrac = 0.2
 
+  /** q_bulk_orders (Q18 shape): quantity threshold ≈ p95 of per-order
+    * totals (874 qualifying orders at sf0.01), report size. */
+  private val BulkMinQty = 200
+  private val BulkTopK = 100
+
+  /** q_idle_customers (Q22 shape): no-order trailing window — 365 d
+    * keeps 149 of 1500 above-average customers at sf0.01 (classic
+    * no-orders-EVER is degenerate here: every customer orders). */
+  private val IdleDays = 365
+
   /** q_ctr_wilson: success event type, segment count (the
     * qa_multigroup site convention), z. */
   private val CtrSuccessType = "purchase"
@@ -1009,6 +1019,12 @@ object SparkEntry {
     "q_small_orders" -> ((s, d) =>
       Analytics.smallOrderRevenue(Tables.lineitem(s, d), Tables.part(s, d),
         SmallOrderFrac)),
+    "q_bulk_orders" -> ((s, d) =>
+      Analytics.bulkOrders(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), BulkMinQty, BulkTopK)),
+    "q_idle_customers" -> ((s, d) =>
+      Analytics.idleRichCustomers(Tables.customer(s, d),
+        Tables.orders(s, d), IdleDays)),
     "q_ctr_wilson" -> ((s, d) =>
       Journey.conversionWilson(Tables.events(s, d), CtrSuccessType,
         CtrSegments, CtrZ)),
@@ -3485,6 +3501,32 @@ object SparkEntry {
             CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
               AS BIGINT) AS DOUBLE) / 100.0 AS revenue
           FROM j GROUP BY 1 ORDER BY 1""",
+    "q_bulk_orders" ->
+      s"""WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > $BulkMinQty)
+          SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+            o.o_totalprice, big.sum_qty
+          FROM orders o JOIN big ON big.l_orderkey = o.o_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT $BulkTopK""",
+    // The above-average test is the integer cross-multiplication
+    // bal·n > Σbal — no average division anywhere; anti-join replays
+    // as NOT EXISTS over the same recency window.
+    "q_idle_customers" ->
+      s"""WITH b AS (SELECT c_custkey, c_nationkey,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS bc FROM customer),
+          t AS (SELECT CAST(sum(bc) AS BIGINT) AS sc, count(*) AS n
+            FROM b WHERE bc > 0),
+          mx AS (SELECT max(o_orderdate) AS m FROM orders),
+          idle AS (SELECT b.c_nationkey, b.bc
+            FROM b CROSS JOIN t CROSS JOIN mx
+            WHERE b.bc * t.n > t.sc AND NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = b.c_custkey
+                AND o.o_orderdate > mx.m - INTERVAL $IdleDays DAY))
+          SELECT c_nationkey, count(*) AS n_custs,
+            CAST(CAST(sum(bc) AS BIGINT) AS DOUBLE) / 100.0 AS total_bal
+          FROM idle GROUP BY 1 ORDER BY 1""",
     // p̂ and the Wilson bound are the SAME fixed-shape scalar chain
     // over exact integer (n, s) on both engines — every step
     // correctly rounded, so doubles hash-match. The z² literal is the

@@ -288,4 +288,58 @@ object Analytics {
         (col("rev_cents").cast("double") / 100.0).as("revenue"))
       .orderBy(col("p_brand"))
   }
+
+  /** Bulk-order report (TPC-H Q18 shape): orders whose total line
+    * quantity exceeds `minQty`, with their customer — the
+    * HAVING-filtered aggregate used as a join input. The aggregate
+    * collapses lineitem to the order grain BEFORE any join (the fact
+    * table's only exchange), the filter drops ~99% of orders at that
+    * grain, and the two key joins carry only qualifying orders; the
+    * top-k is TakeOrderedAndProject (per-partition heaps, no global
+    * sort). Quantities are integer-valued doubles, so sum_qty and the
+    * threshold compare are exact in any order. */
+  def bulkOrders(lineitem: DataFrame, orders: DataFrame,
+                 customer: DataFrame, minQty: Double = 200,
+                 topK: Int = 100): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .where(col("sum_qty") > minQty)
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(topK)
+  }
+
+  /** Idle high-balance customers (TPC-H Q22 shape with a recency
+    * twist): customers whose balance exceeds the positive-balance
+    * AVERAGE and who placed no order in the trailing `idleDays` —
+    * the scalar-subquery threshold plus NOT EXISTS, as one broadcast
+    * 1-row aggregate plus one left-ANTI join (never a per-row
+    * subquery). The recency window replaces classic Q22's
+    * no-orders-ever (degenerate on a corpus where every customer
+    * orders); the frontier is a broadcast max like the freshness QA.
+    * Determinism: balances are integer cents and the above-average
+    * test is the integer cross-multiplication `bal·n > Σbal` — no
+    * average division anywhere; per-nation totals sum cents. */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame,
+                        idleDays: Int = 365): DataFrame = {
+    val bal = customer.select(col("c_custkey"), col("c_nationkey"),
+      round(col("c_acctbal") * 100).cast("bigint").as("bal_cents"))
+    val thr = bal.where(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("sc"), count(lit(1)).as("n"))
+    val mx = orders.agg(max(col("o_orderdate")).as("mx"))
+    val recent = orders.crossJoin(broadcast(mx))
+      .where(col("o_orderdate") > expr(s"mx - INTERVAL '$idleDays' DAY"))
+      .select(col("o_custkey"))
+    bal.crossJoin(broadcast(thr))
+      .where(col("bal_cents") * col("n") > col("sc"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        (sum(col("bal_cents")).cast("double") / 100.0).as("total_bal"))
+      .orderBy(col("c_nationkey"))
+  }
 }

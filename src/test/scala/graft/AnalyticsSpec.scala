@@ -69,4 +69,32 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq(("Brand#1", 1L, 100.50)))
   }
+
+  test("bulkOrders: having-filtered aggregate joins only qualifiers") {
+    import spark.implicits._
+    val li = Seq((1L, 150.0), (1L, 100.0), (2L, 50.0))
+      .toDF("l_orderkey", "l_quantity")
+    val orders = Seq((1L, 10L, 999.0, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, 11L, 5.0, Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val cust = Seq((10L, "Alice"), (11L, "Bob")).toDF("c_custkey", "c_name")
+    val out = Analytics.bulkOrders(li, orders, cust, minQty = 200).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(5)))
+    assert(out.toSeq == Seq(("Alice", 1L, 250.0)))
+  }
+
+  test("idleRichCustomers: integer above-average test + recency anti-join") {
+    import spark.implicits._
+    // balances 10, 20, 30 -> avg 20: only 30 is above. Customer 3 has
+    // a recent order -> excluded; customer 4 (bal 30, old order) stays
+    val cust = Seq((3L, 1, 30.0), (4L, 1, 30.0), (5L, 2, 10.0),
+      (6L, 2, 10.0)).toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val orders = Seq(
+      (3L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (4L, Timestamp.valueOf("2020-01-01 00:00:00")))
+      .toDF("o_custkey", "o_orderdate")
+    val out = Analytics.idleRichCustomers(cust, orders, idleDays = 365)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1, 1L, 30.0)))
+  }
 }
