@@ -645,9 +645,16 @@ object EventStream {
     * stateful hop): a day publishes once a LATER touch passes it, so
     * a funnel that goes quiet holds its last open day — the spec's
     * flush sentinel is therefore a stage-0 completion, not a generic
-    * event. */
+    * event.
+    *
+    * `maxGapUs` makes it the live twin of
+    * [[graft.operators.Journey.funnelWindowed]]: a matching event
+    * past the deadline does not advance the state (and no later one
+    * can — it is even later), so a user who misses a step's window
+    * is abandoned exactly as in the batch recurrence. */
   def funnelProgress(spark: SparkSession, events: Dataset[Event],
-                     stages: Seq[String]): DataFrame = {
+                     stages: Seq[String],
+                     maxGapUs: Option[Long] = None): DataFrame = {
     import spark.implicits._
     require(stages.nonEmpty, "funnelProgress needs at least one stage")
     def micros(t: java.sql.Timestamp): Long =
@@ -662,8 +669,11 @@ object EventStream {
           val out = Seq.newBuilder[StageTouch]
           sorted.foreach { e =>
             val next = st.stageIx + 1
+            val inOrder = micros(e.ts) >= st.lastUs
+            val inWindow = st.stageIx < 0 || maxGapUs.forall(
+              micros(e.ts) - st.lastUs <= _)
             if (next < stages.size && e.event_type == stages(next) &&
-              micros(e.ts) >= st.lastUs) {
+              inOrder && inWindow) {
               st = FunnelState(next, micros(e.ts))
               out += StageTouch(uid, e.ts, next, stages(next))
             }

@@ -256,6 +256,48 @@ class EquivalenceSpec extends SparkSpec {
     assert(streamed == batch.filter(_._2 > 0))
   }
 
+  test("windowed funnelProgress sums to the batch windowed funnel") {
+    val stages = Seq("view", "click", "purchase")
+    // 7 days BINDS on the sf0.001 slice (purchase 1 -> 0 vs the
+    // unbounded funnel; the gate's 14-day constant only binds at
+    // sf0.01+), which is what makes this twin prove the deadline path
+    val windowDays = 7
+    val sliced = Tables.events(spark, "/root/testdata/sf0.001")
+      .where(col("event_id") % 13 === 0)
+    val ev = sliced
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq.sortBy(_.ts.getTime)
+    val maxTs = ev.map(_.ts.getTime).max
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(ev: _*)
+    val q = EventStream.funnelProgress(spark, mem.toDS(), stages,
+      Some(windowDays * 86400L * 1000000L))
+      .writeStream.format("memory").queryName("eq_fw").outputMode("append")
+      .start()
+    mem.addData(Event(999999L,
+      new Timestamp(maxTs + 10 * 86400000L), "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val lastRealDay = new java.sql.Date(maxTs).toString
+    val streamed = spark.table("eq_fw")
+      .where(col("day") <= lastRealDay)
+      .groupBy(col("stage")).agg(sum(col("n_users")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Journey
+      .funnelWindowed(sliced, stages, windowDays)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty && batch("view") > 0)
+    // the deadline must BIND vs the unbounded funnel, or this proves
+    // nothing beyond the other twin
+    val unbounded = graft.operators.Journey.funnelSteps(sliced, stages)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(stages.exists(st => batch(st) < unbounded(st)))
+    assert(streamed == batch.filter(_._2 > 0))
+  }
+
   test("streaming dedup keeps exactly the batch exactDedup survivors") {
     // the sf0.001 planted dups are NEAR dups only — plant one exact
     // duplicate (new id, same text as doc 0) so the dedup binds
