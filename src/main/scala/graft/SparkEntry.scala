@@ -185,6 +185,12 @@ object SparkEntry {
   private val EntityG3 = 3
   private val EntityDecade = 30
 
+  /** q_triangles: co-purchase min-support — the noise floor AND the
+    * density control (support-1 basket graphs are near-complete;
+    * support 2 is non-degenerate at every SF: 3258/61/1 triangles at
+    * sf0.001/0.01/0.1). */
+  private val TriangleMinSupport = 2
+
   /** The q_pagerank oracle's unrolled value-iteration rounds: one
     * (contribution, rank) CTE pair per round over the shared
     * e/deg/nodes frames. */
@@ -994,6 +1000,8 @@ object SparkEntry {
       Affinity.itemSimilarity(Tables.lineitem(s, d), ItemSimTopN)),
     "q_pagerank" -> ((s, d) =>
       Affinity.pageRank(Tables.lineitem(s, d), PageRankIters, PageRankTopN)),
+    "q_triangles" -> ((s, d) =>
+      Affinity.triangleStats(Tables.lineitem(s, d), TriangleMinSupport)),
     "q_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, d))),
     // Rows-only: the merge table comes from bpeTrain's data-dependent
@@ -3376,6 +3384,31 @@ object SparkEntry {
             CAST(count(*) AS DOUBLE) / t.n_nodes_total AS node_frac
           FROM deg CROSS JOIN t GROUP BY 1, t.n_nodes_total
           ORDER BY 1""",
+    // The NAIVE a<b<c triangle join — the engine's degree-ordered
+    // orientation changes the plan, never the count, so equality here
+    // proves the orientation exact.
+    "q_triangles" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS okey,
+            l_partkey AS part FROM lineitem),
+          pr AS (SELECT a.part AS pa, b.part AS pb
+            FROM op a JOIN op b ON a.okey = b.okey AND a.part < b.part
+            GROUP BY 1, 2 HAVING count(*) >= $TriangleMinSupport),
+          e AS (SELECT pa AS src, pb AS dst FROM pr
+            UNION ALL SELECT pb, pa FROM pr),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM e GROUP BY 1),
+          tr AS (SELECT count(*) AS t FROM pr p1
+            JOIN pr p2 ON p2.pa = p1.pa AND p2.pb > p1.pb
+            JOIN pr p3 ON p3.pa = p1.pb AND p3.pb = p2.pb),
+          sz AS (SELECT count(*) AS n_nodes,
+            CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+            CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+            FROM deg)
+          SELECT sz.n_nodes, sz.n_edges, sz.n_wedges,
+            tr.t AS n_triangles,
+            CAST(tr.t * 3 AS DOUBLE) / nullif(sz.n_wedges, 0)
+              AS transitivity
+          FROM sz CROSS JOIN tr""",
     // Both RANGE frames replay gap-correct (missing days shrink the
     // frame); means are single divisions of exact window sums, and
     // the |shift| argmax ties break on the earlier day.

@@ -43,6 +43,22 @@ class AffinitySpec extends SparkSpec {
     assert(!out.exists(_._1 == 50L))
   }
 
+  test("triangleStats: one triangle, wedges from degrees, transitivity") {
+    // support 1: edges 10-20, 10-30, 10-40, 20-30 -> triangle
+    // {10,20,30}; degrees (3,2,2,1) -> wedges C(3,2)+1+1 = 5 -> 0.6
+    val r = Affinity.triangleStats(baskets, minSupport = 1).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((4L, 4L, 5L, 1L)))
+    assert(r.getDouble(4) == 0.6)
+    // the default support floor drops the once-seen pairs: only
+    // (10, 20) co-occurs twice -> a single edge, no wedge, no
+    // triangle, NULL transitivity
+    val r2 = Affinity.triangleStats(baskets).collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3))
+      == ((2L, 1L, 0L, 0L)))
+    assert(r2.isNullAt(4))
+  }
+
   /** The operator's integer recurrence re-implemented driver-side —
     * the spec proves the distributed loop computes exactly this. */
   private def refPageRank(edges: Seq[(Long, Long)],
