@@ -191,6 +191,11 @@ object SparkEntry {
     * sf0.001/0.01/0.1). */
   private val TriangleMinSupport = 2
 
+  /** q_wedge_recs: per-vertex neighbor cap (hub fan-out ≤ cap², the
+    * LSH-bucket discipline) and report size. */
+  private val WedgeNeighborCap = 64
+  private val WedgeTopN = 100
+
   /** The q_pagerank oracle's unrolled value-iteration rounds: one
     * (contribution, rank) CTE pair per round over the shared
     * e/deg/nodes frames. */
@@ -1002,6 +1007,9 @@ object SparkEntry {
       Affinity.pageRank(Tables.lineitem(s, d), PageRankIters, PageRankTopN)),
     "q_triangles" -> ((s, d) =>
       Affinity.triangleStats(Tables.lineitem(s, d), TriangleMinSupport)),
+    "q_wedge_recs" -> ((s, d) =>
+      Affinity.wedgeRecommendations(Tables.lineitem(s, d),
+        TriangleMinSupport, WedgeNeighborCap, WedgeTopN)),
     "q_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, d))),
     // Rows-only: the merge table comes from bpeTrain's data-dependent
@@ -3409,6 +3417,31 @@ object SparkEntry {
             CAST(tr.t * 3 AS DOUBLE) / nullif(sz.n_wedges, 0)
               AS transitivity
           FROM sz CROSS JOIN tr""",
+    // Capped sorted neighbor prefixes + in-task wedge pairs (the
+    // simhash-bucket idiom) — the cap is replayed, so a binding cap
+    // is a gate event.
+    "q_wedge_recs" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS okey,
+            l_partkey AS part FROM lineitem),
+          pr AS (SELECT a.part AS pa, b.part AS pb
+            FROM op a JOIN op b ON a.okey = b.okey AND a.part < b.part
+            GROUP BY 1, 2 HAVING count(*) >= $TriangleMinSupport),
+          e AS (SELECT pa AS src, pb AS dst FROM pr
+            UNION ALL SELECT pb, pa FROM pr),
+          nb AS (SELECT src,
+            (list_sort(list(dst)))[1:$WedgeNeighborCap] AS ns
+            FROM e GROUP BY 1),
+          cand AS (SELECT p[1] AS part_u, p[2] AS part_w,
+            count(*) AS n_common FROM
+            (SELECT unnest(flatten(list_transform(range(1, len(ns)),
+              i -> list_transform(range(i + 1, len(ns) + 1),
+                j -> [ns[i], ns[j]])))) AS p
+             FROM nb WHERE len(ns) >= 2) GROUP BY 1, 2),
+          open_p AS (SELECT c.part_u, c.part_w, c.n_common FROM cand c
+            LEFT JOIN pr ON pr.pa = c.part_u AND pr.pb = c.part_w
+            WHERE pr.pa IS NULL)
+          SELECT part_u, part_w, n_common FROM open_p
+          ORDER BY n_common DESC, part_u, part_w LIMIT $WedgeTopN""",
     // Both RANGE frames replay gap-correct (missing days shrink the
     // frame); means are single divisions of exact window sums, and
     // the |shift| argmax ties break on the earlier day.

@@ -241,6 +241,46 @@ object Affinity {
           nullif(col("n_wedges"), lit(0L))).as("transitivity"))
   }
 
+  /** Triadic-closure recommendations over the min-support co-purchase
+    * graph: item pairs that are NOT connected but share common
+    * neighbors — "bought together with the same things, never yet
+    * together" — ranked by common-neighbor count (the link-prediction
+    * baseline every recommender starts from).
+    *
+    * Shape: per-vertex neighbor sets (sorted, capped at `neighborCap`
+    * — a hub's candidate fan-out is cap², never deg², the LSH-bucket
+    * cap discipline; the cap is REPLAYED by the oracle so a binding
+    * cap is a gate event, not drift), in-task wedge-pair explode (the
+    * basketPairs idiom), one (u, w)-grain count, and a left-ANTI join
+    * against the existing edge set — candidates are wedge-bounded,
+    * the anti join is key-grain. */
+  def wedgeRecommendations(lineitem: DataFrame, minSupport: Int = 2,
+                           neighborCap: Int = 64,
+                           topN: Int = 100): DataFrame = {
+    val pairs = coPurchasePairs(lineitem)
+      .where(col("cooc") >= minSupport)
+      .select(col("part_a"), col("part_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.unionAll(
+      pairs.select(col("part_b"), col("part_a"))).toDF("src", "dst")
+    val nbrs = edges.groupBy(col("src"))
+      .agg(slice(sort_array(collect_set(col("dst"))), 1, neighborCap)
+        .as("ns"))
+    val cand = nbrs.where(size(col("ns")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ns")) - 1),
+        i => transform(sequence(i + 1, size(col("ns"))),
+          j => struct(element_at(col("ns"), i).as("u"),
+            element_at(col("ns"), j).as("w")))))).as("p"))
+      .groupBy(col("p.u").as("part_u"), col("p.w").as("part_w"))
+      .agg(count(lit(1)).as("n_common"))
+    cand.join(pairs,
+        col("part_u") === col("part_a") && col("part_w") === col("part_b"),
+        "left_anti")
+      .orderBy(col("n_common").desc, col("part_u"), col("part_w"))
+      .limit(topN)
+  }
+
   def pageRank(lineitem: DataFrame, iters: Int = 3,
                topN: Int = 100): DataFrame = {
     val pairs = coPairs(lineitem)

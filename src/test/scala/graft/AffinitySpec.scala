@@ -59,6 +59,15 @@ class AffinitySpec extends SparkSpec {
     assert(r2.isNullAt(4))
   }
 
+  test("wedgeRecommendations: open wedges only, existing edges excluded") {
+    // support-1 graph 10-20, 10-30, 10-40, 20-30: open wedges via 10
+    // are (20,40) and (30,40); (20,30)/(10,x) candidates are already
+    // edges and must anti-join away
+    val out = Affinity.wedgeRecommendations(baskets, minSupport = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((20L, 40L, 1L), (30L, 40L, 1L)))
+  }
+
   /** The operator's integer recurrence re-implemented driver-side —
     * the spec proves the distributed loop computes exactly this. */
   private def refPageRank(edges: Seq[(Long, Long)],
