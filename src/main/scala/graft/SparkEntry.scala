@@ -3428,20 +3428,23 @@ object SparkEntry {
             GROUP BY 1, 2 HAVING count(*) >= $TriangleMinSupport),
           e AS (SELECT pa AS src, pb AS dst FROM pr
             UNION ALL SELECT pb, pa FROM pr),
-          nb AS (SELECT src,
+          nb AS (SELECT src, CAST(count(*) AS BIGINT) AS deg,
             (list_sort(list(dst)))[1:$WedgeNeighborCap] AS ns
             FROM e GROUP BY 1),
           cand AS (SELECT p[1] AS part_u, p[2] AS part_w,
-            count(*) AS n_common FROM
-            (SELECT unnest(flatten(list_transform(range(1, len(ns)),
+            count(*) AS n_common, CAST(sum(ra) AS BIGINT) AS ra_micro
+            FROM
+            (SELECT 1000000 // deg AS ra,
+              unnest(flatten(list_transform(range(1, len(ns)),
               i -> list_transform(range(i + 1, len(ns) + 1),
                 j -> [ns[i], ns[j]])))) AS p
              FROM nb WHERE len(ns) >= 2) GROUP BY 1, 2),
-          open_p AS (SELECT c.part_u, c.part_w, c.n_common FROM cand c
+          open_p AS (SELECT c.part_u, c.part_w, c.n_common, c.ra_micro
+            FROM cand c
             LEFT JOIN pr ON pr.pa = c.part_u AND pr.pb = c.part_w
             WHERE pr.pa IS NULL)
-          SELECT part_u, part_w, n_common FROM open_p
-          ORDER BY n_common DESC, part_u, part_w LIMIT $WedgeTopN""",
+          SELECT part_u, part_w, n_common, ra_micro FROM open_p
+          ORDER BY ra_micro DESC, part_u, part_w LIMIT $WedgeTopN""",
     // Both RANGE frames replay gap-correct (missing days shrink the
     // frame); means are single divisions of exact window sums, and
     // the |shift| argmax ties break on the earlier day.

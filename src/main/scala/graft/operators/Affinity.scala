@@ -263,21 +263,29 @@ object Affinity {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.unionAll(
       pairs.select(col("part_b"), col("part_a"))).toDF("src", "dst")
+    // the center's TRUE degree rides with its wedge pairs: the
+    // resource-allocation index Σ 1/deg(center) down-weights hub
+    // centers (two items co-bought with milk means nothing; with a
+    // niche lens kit, everything). Integer micro-units (10⁶ div deg)
+    // keep the pair sums order-independent — a float Σ1/deg would be
+    // shuffle-order-dependent in the last ULP.
     val nbrs = edges.groupBy(col("src"))
-      .agg(slice(sort_array(collect_set(col("dst"))), 1, neighborCap)
-        .as("ns"))
+      .agg(count(lit(1)).as("deg"),
+        slice(sort_array(collect_set(col("dst"))), 1, neighborCap)
+          .as("ns"))
     val cand = nbrs.where(size(col("ns")) >= 2)
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("ns")) - 1),
-        i => transform(sequence(i + 1, size(col("ns"))),
-          j => struct(element_at(col("ns"), i).as("u"),
-            element_at(col("ns"), j).as("w")))))).as("p"))
+      .select(expr("1000000 div deg").as("ra"),
+        explode(flatten(transform(
+          sequence(lit(1), size(col("ns")) - 1),
+          i => transform(sequence(i + 1, size(col("ns"))),
+            j => struct(element_at(col("ns"), i).as("u"),
+              element_at(col("ns"), j).as("w")))))).as("p"))
       .groupBy(col("p.u").as("part_u"), col("p.w").as("part_w"))
-      .agg(count(lit(1)).as("n_common"))
+      .agg(count(lit(1)).as("n_common"), sum(col("ra")).as("ra_micro"))
     cand.join(pairs,
         col("part_u") === col("part_a") && col("part_w") === col("part_b"),
         "left_anti")
-      .orderBy(col("n_common").desc, col("part_u"), col("part_w"))
+      .orderBy(col("ra_micro").desc, col("part_u"), col("part_w"))
       .limit(topN)
   }
 

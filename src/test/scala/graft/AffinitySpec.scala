@@ -62,10 +62,13 @@ class AffinitySpec extends SparkSpec {
   test("wedgeRecommendations: open wedges only, existing edges excluded") {
     // support-1 graph 10-20, 10-30, 10-40, 20-30: open wedges via 10
     // are (20,40) and (30,40); (20,30)/(10,x) candidates are already
-    // edges and must anti-join away
+    // edges and must anti-join away. Center 10 has degree 3, so each
+    // wedge scores 10⁶ div 3 resource-allocation micro-units.
     val out = Affinity.wedgeRecommendations(baskets, minSupport = 1)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(out.toSeq == Seq((20L, 40L, 1L), (30L, 40L, 1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (20L, 40L, 1L, 333333L), (30L, 40L, 1L, 333333L)))
   }
 
   /** The operator's integer recurrence re-implemented driver-side —
