@@ -7,7 +7,7 @@ import graft.operators.Affinity
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf0.1")
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
       f

@@ -192,9 +192,17 @@ object SparkEntry {
   private val TriangleMinSupport = 2
 
   /** q_wedge_recs: per-vertex neighbor cap (hub fan-out ≤ cap², the
-    * LSH-bucket discipline) and report size. */
+    * LSH-bucket discipline), report size, and the edge BUDGET the
+    * corpus-derived support level is solved against
+    * ([[graft.operators.Affinity.wedgeSupportFor]]): wedge candidate
+    * volume is bounded by 2·budget·cap² regardless of corpus density.
+    * 100k edges × cap 64 ⇒ ≤ ~3·10⁸ candidate wedge pairs worst
+    * case, seconds of in-task explode work at any SF; non-binding at
+    * gate scale (support-2 edges ≈ 3.6k at sf0.1), binding exactly
+    * when density would otherwise compound. */
   private val WedgeNeighborCap = 64
   private val WedgeTopN = 100
+  private val WedgeEdgeBudget = 100000L
 
   /** The q_pagerank oracle's unrolled value-iteration rounds: one
     * (contribution, rank) CTE pair per round over the shared
@@ -1009,7 +1017,8 @@ object SparkEntry {
       Affinity.triangleStats(Tables.lineitem(s, d), TriangleMinSupport)),
     "q_wedge_recs" -> ((s, d) =>
       Affinity.wedgeRecommendations(Tables.lineitem(s, d),
-        TriangleMinSupport, WedgeNeighborCap, WedgeTopN)),
+        TriangleMinSupport, WedgeNeighborCap, WedgeTopN,
+        WedgeEdgeBudget)),
     "q_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, d))),
     // Rows-only: the merge table comes from bpeTrain's data-dependent
@@ -3419,13 +3428,26 @@ object SparkEntry {
           FROM sz CROSS JOIN tr""",
     // Capped sorted neighbor prefixes + in-task wedge pairs (the
     // simhash-bucket idiom) — the cap is replayed, so a binding cap
-    // is a gate event.
+    // is a gate event. The SUPPORT level is corpus-derived (smallest
+    // s ≥ floor whose edge set fits the budget, off the pair
+    // multiplicity histogram — wedgeSupportFor's exact rule) and
+    // emitted as min_support, so the derivation itself is
+    // hash-checked.
     "q_wedge_recs" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey AS okey,
             l_partkey AS part FROM lineitem),
-          pr AS (SELECT a.part AS pa, b.part AS pb
+          pr0 AS (SELECT a.part AS pa, b.part AS pb,
+            CAST(count(*) AS BIGINT) AS cooc
             FROM op a JOIN op b ON a.okey = b.okey AND a.part < b.part
-            GROUP BY 1, 2 HAVING count(*) >= $TriangleMinSupport),
+            GROUP BY 1, 2),
+          hist AS (SELECT cooc, CAST(count(*) AS BIGINT) AS c
+            FROM pr0 GROUP BY 1),
+          ge AS (SELECT cooc, sum(c) OVER (ORDER BY cooc DESC) AS g
+            FROM hist),
+          thr AS (SELECT CAST(greatest($TriangleMinSupport,
+              1 + coalesce(max(cooc), 0)) AS BIGINT) AS s
+            FROM ge WHERE g > $WedgeEdgeBudget),
+          pr AS (SELECT pa, pb FROM pr0, thr WHERE cooc >= thr.s),
           e AS (SELECT pa AS src, pb AS dst FROM pr
             UNION ALL SELECT pb, pa FROM pr),
           nb AS (SELECT src, CAST(count(*) AS BIGINT) AS deg,
@@ -3443,7 +3465,8 @@ object SparkEntry {
             FROM cand c
             LEFT JOIN pr ON pr.pa = c.part_u AND pr.pb = c.part_w
             WHERE pr.pa IS NULL)
-          SELECT part_u, part_w, n_common, ra_micro FROM open_p
+          SELECT part_u, part_w, n_common, ra_micro,
+            (SELECT s FROM thr) AS min_support FROM open_p
           ORDER BY ra_micro DESC, part_u, part_w LIMIT $WedgeTopN""",
     // Both RANGE frames replay gap-correct (missing days shrink the
     // frame); means are single divisions of exact window sums, and

@@ -40,6 +40,61 @@ import org.apache.spark.storage.StorageLevel
   */
 object Affinity {
 
+  /** Memoized shared pair frames, keyed by (session, input plan,
+    * builder). Running several affinity queries in one session used
+    * to build and persist an independent copy of the same pair frame
+    * per operator; the memo hands every operator the SAME persisted
+    * frame. Entries whose cache was dropped externally (Bench/Runner
+    * do scoped per-query release) re-persist on lookup — the plan is
+    * identical, only the materialization is redone. [[clearCache]] is
+    * the caller-side release for ALL frames this module persists,
+    * internal intermediates included. */
+  private val memo =
+    scala.collection.mutable.Map[(Int, Int, String), DataFrame]()
+
+  /** Internal persisted intermediates (e.g. the triangle orientation
+    * frame) that are not returned to the caller — released by
+    * [[clearCache]] so a long-lived session can reclaim them. */
+  private val held = scala.collection.mutable.ListBuffer[DataFrame]()
+
+  private def hold(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    held += p
+    p
+  }
+
+  private def memoized(input: DataFrame, kind: String)
+                      (build: => DataFrame): DataFrame = synchronized {
+    val key = (System.identityHashCode(input.sparkSession),
+      input.queryExecution.analyzed.semanticHash(), kind)
+    memo.get(key) match {
+      case Some(df) =>
+        // external scoped cleanup (Bench, Runner) may have dropped the
+        // buffers; re-register so in-query reuse stays cached
+        if (df.storageLevel == StorageLevel.NONE)
+          df.persist(StorageLevel.MEMORY_AND_DISK)
+        df
+      case None =>
+        // the builder persists (and may eagerly materialize, so its
+        // own intermediates can be released immediately)
+        val df = build
+        memo(key) = df
+        df
+    }
+  }
+
+  /** Release every frame this module has persisted (memoized pair
+    * frames and internal intermediates). Safe to call mid-session;
+    * subsequent operator calls rebuild what they need. */
+  def clearCache(): Unit = synchronized {
+    (memo.values ++ held).foreach { df =>
+      try df.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    memo.clear()
+    held.clear()
+  }
+
   /** Distinct (order, item) memberships — an order listing an item on
     * several lines counts once, as a set membership. */
   private def orderParts(lineitem: DataFrame): DataFrame =
@@ -52,33 +107,41 @@ object Affinity {
     * join), so the exploded pairs carry (n_a, n_b) with them and the
     * pair grain never joins anything afterwards.
     *
-    * The RESULT is persisted (caller owns the lifetime):
-    * [[itemSimilarity]] immediately unions the frame with its own
-    * swap, and without the persist each union branch re-runs the
-    * whole distinct→join→sets→explode chain — measured 3× the
-    * operator's total cost at sf0.1. (The graph operators use the
-    * leaner count-free [[coPairs]] instead.) */
-  def coPurchasePairs(lineitem: DataFrame): DataFrame = {
-    val op = orderParts(lineitem)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val cnt = op.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
-    val sets = op.join(cnt, "part")
-      .groupBy(col("okey"))
-      .agg(sort_array(collect_set(struct(col("part"), col("cnt")))).as("ps"))
-    sets.where(size(col("ps")) >= 2)
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("ps")) - 1),
-        i => transform(sequence(i + 1, size(col("ps"))),
-          j => struct(
-            element_at(col("ps"), i).getField("part").as("part_a"),
-            element_at(col("ps"), j).getField("part").as("part_b"),
-            element_at(col("ps"), i).getField("cnt").as("n_a"),
-            element_at(col("ps"), j).getField("cnt").as("n_b")))))).as("p"))
-      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"),
-        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
-      .agg(count(lit(1)).as("cooc"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-  }
+    * The RESULT is persisted and MEMOIZED (released via
+    * [[clearCache]]): [[itemSimilarity]] immediately unions the frame
+    * with its own swap, and without the persist each union branch
+    * re-runs the whole distinct→join→sets→explode chain — measured 3×
+    * the operator's total cost at sf0.1 — while the memo hands
+    * [[triangleStats]]/[[wedgeRecommendations]]/[[itemSimilarity]]
+    * the same copy instead of three. The first build materializes
+    * eagerly so the internal (order, item) frame can be released at
+    * once instead of pinning storage for the session. (The graph
+    * operators use the leaner count-free [[coPairs]] instead.) */
+  def coPurchasePairs(lineitem: DataFrame): DataFrame =
+    memoized(lineitem, "coPurchasePairs") {
+      val op = orderParts(lineitem)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cnt = op.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
+      val sets = op.join(cnt, "part")
+        .groupBy(col("okey"))
+        .agg(sort_array(collect_set(struct(col("part"), col("cnt")))).as("ps"))
+      val res = sets.where(size(col("ps")) >= 2)
+        .select(explode(flatten(transform(
+          sequence(lit(1), size(col("ps")) - 1),
+          i => transform(sequence(i + 1, size(col("ps"))),
+            j => struct(
+              element_at(col("ps"), i).getField("part").as("part_a"),
+              element_at(col("ps"), j).getField("part").as("part_b"),
+              element_at(col("ps"), i).getField("cnt").as("n_a"),
+              element_at(col("ps"), j).getField("cnt").as("n_b")))))).as("p"))
+        .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"),
+          col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+        .agg(count(lit(1)).as("cooc"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      res.count()
+      op.unpersist(blocking = false)
+      res
+    }
 
   /** Top-`topN` most-similar items per item by co-purchase cosine:
     * cos(a,b) = |orders with both| / sqrt(|orders with a|·|orders
@@ -96,13 +159,11 @@ object Affinity {
       .unionAll(pairs.select(col("part_b").as("part"),
         col("part_a").as("other"), col("cooc"),
         col("n_b").as("n_a"), col("n_a").as("n_b")))
-    // persisted: the graft_topk cut and the count-recovery join both
-    // read it (caller owns the lifetime, as for the other shared
-    // frames)
-    val scored = sym
+    // persisted via hold(): the graft_topk cut and the count-recovery
+    // join both read it; released by [[clearCache]]
+    val scored = hold(sym
       .withColumn("cos_sim", col("cooc").cast("double") /
-        sqrt(col("n_a").cast("double") * col("n_b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        sqrt(col("n_a").cast("double") * col("n_b"))))
     val top = scored.groupBy(col("part"))
       .agg(call_function("graft_topk",
         col("cos_sim"), col("other"), lit(topN)).as("top"))
@@ -131,23 +192,25 @@ object Affinity {
     * in-aggregate so the distinct pre-pass and the count-attach join
     * both drop out — one shuffle from the raw line stream to
     * per-order sets, one to the distinct pair grain (measured ~40%
-    * off [[pageRank]]'s setup at sf0.1). Persisted; caller owns the
-    * lifetime. */
-  def coPairs(lineitem: DataFrame): DataFrame = {
-    val sets = lineitem
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .groupBy(col("okey"))
-      .agg(sort_array(collect_set(col("part"))).as("ps"))
-    sets.where(size(col("ps")) >= 2)
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("ps")) - 1),
-        i => transform(sequence(i + 1, size(col("ps"))),
-          j => struct(element_at(col("ps"), i).as("part_a"),
-            element_at(col("ps"), j).as("part_b")))))).as("p"))
-      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-  }
+    * off [[pageRank]]'s setup at sf0.1). Persisted and memoized
+    * ([[graphStats]] and [[pageRank]] share one copy); released via
+    * [[clearCache]]. */
+  def coPairs(lineitem: DataFrame): DataFrame =
+    memoized(lineitem, "coPairs") {
+      val sets = lineitem
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .groupBy(col("okey"))
+        .agg(sort_array(collect_set(col("part"))).as("ps"))
+      sets.where(size(col("ps")) >= 2)
+        .select(explode(flatten(transform(
+          sequence(lit(1), size(col("ps")) - 1),
+          i => transform(sequence(i + 1, size(col("ps"))),
+            j => struct(element_at(col("ps"), i).as("part_a"),
+              element_at(col("ps"), j).as("part_b")))))).as("p"))
+        .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Degree distribution + size QA of the co-purchase graph — the
     * preflight for [[pageRank]]/[[itemSimilarity]]: a heavy top
@@ -209,21 +272,19 @@ object Affinity {
       .select(col("part_a"), col("part_b"))
     val edges = pairs.unionAll(
       pairs.select(col("part_b"), col("part_a"))).toDF("src", "dst")
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = hold(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val withDeg = pairs
       .join(deg.select(col("src").as("part_a"), col("deg").as("da")),
         "part_a")
       .join(deg.select(col("src").as("part_b"), col("deg").as("db")),
         "part_b")
-    val oriented = withDeg.select(
+    val oriented = hold(withDeg.select(
       when(col("da") < col("db") ||
         (col("da") === col("db") && col("part_a") < col("part_b")),
         struct(col("part_a").as("u"), col("part_b").as("v")))
         .otherwise(struct(col("part_b").as("u"), col("part_a").as("v")))
         .as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("e.u").as("u"), col("e.v").as("v")))
     val tri = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
       .join(oriented.as("e3"),
@@ -241,6 +302,35 @@ object Affinity {
           nullif(col("n_wedges"), lit(0L))).as("transitivity"))
   }
 
+  /** Corpus-derived wedge-graph support — the same
+    * derive-from-the-corpus contract as [[Linkage.blockCharsFor]]: a
+    * FIXED minSupport makes the support-filtered edge set compound
+    * with corpus density (measured 11.4× operator time at 10× data at
+    * the sf1 probe), so the support level is derived from the pair
+    * multiplicity histogram instead. `hist` is (cooc, pair count)
+    * rows; the result is the smallest support s ≥ `floor` whose
+    * edge set |{pairs : cooc ≥ s}| fits `edgeBudget` — equivalently
+    * `max(floor, 1 + max{v : ge(v) > edgeBudget})` where ge(v) is the
+    * descending-cumulative pair count. ge is non-increasing in v, so
+    * this is the unique minimal in-budget support; the oracle replays
+    * the identical rule in SQL off the same histogram, making the
+    * derived knob part of the gate, not folklore. The wedge stage's
+    * work is then bounded by nodes·cap² ≤ 2·edgeBudget·cap² — density
+    * moves the support level, never the candidate volume. */
+  def wedgeSupportFor(hist: Seq[(Long, Long)], floor: Int = 2,
+                      edgeBudget: Long = 100000L): Int = {
+    require(floor >= 1, "support floor must be at least 1")
+    require(edgeBudget > 0, "edgeBudget must be positive")
+    var cum = 0L
+    var over = 0L // largest cooc value whose ge-count exceeds budget
+    hist.sortBy(-_._1).foreach { case (v, c) =>
+      cum += c
+      if (cum > edgeBudget && v > over) over = v
+    }
+    require(over < Int.MaxValue, s"cooc $over out of Int range")
+    math.max(floor, over.toInt + 1)
+  }
+
   /** Triadic-closure recommendations over the min-support co-purchase
     * graph: item pairs that are NOT connected but share common
     * neighbors — "bought together with the same things, never yet
@@ -253,14 +343,27 @@ object Affinity {
     * cap is a gate event, not drift), in-task wedge-pair explode (the
     * basketPairs idiom), one (u, w)-grain count, and a left-ANTI join
     * against the existing edge set — candidates are wedge-bounded,
-    * the anti join is key-grain. */
-  def wedgeRecommendations(lineitem: DataFrame, minSupport: Int = 2,
+    * the anti join is key-grain.
+    *
+    * The support level is CORPUS-DERIVED via [[wedgeSupportFor]]
+    * (floored at `minSupportFloor`, edge set bounded by `edgeBudget`)
+    * and emitted as the `min_support` column, so the oracle's
+    * replayed derivation is hash-checked with the result. The
+    * multiplicity histogram collected to the driver is bounded by the
+    * DISTINCT cooc values — O(√Σcooc) rows, a few hundred at any
+    * scale — the BPE-merge-table driver-small class. */
+  def wedgeRecommendations(lineitem: DataFrame, minSupportFloor: Int = 2,
                            neighborCap: Int = 64,
-                           topN: Int = 100): DataFrame = {
-    val pairs = coPurchasePairs(lineitem)
-      .where(col("cooc") >= minSupport)
-      .select(col("part_a"), col("part_b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+                           topN: Int = 100,
+                           edgeBudget: Long = 100000L): DataFrame = {
+    val all = coPurchasePairs(lineitem)
+    val hist = all.groupBy(col("cooc"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val support = wedgeSupportFor(hist, minSupportFloor, edgeBudget)
+    val pairs = hold(all
+      .where(col("cooc") >= support)
+      .select(col("part_a"), col("part_b")))
     val edges = pairs.unionAll(
       pairs.select(col("part_b"), col("part_a"))).toDF("src", "dst")
     // the center's TRUE degree rides with its wedge pairs: the
@@ -285,6 +388,7 @@ object Affinity {
     cand.join(pairs,
         col("part_u") === col("part_a") && col("part_w") === col("part_b"),
         "left_anti")
+      .withColumn("min_support", lit(support.toLong))
       .orderBy(col("ra_micro").desc, col("part_u"), col("part_w"))
       .limit(topN)
   }
@@ -298,11 +402,9 @@ object Affinity {
     // static over all iterations: partition on src ONCE and persist —
     // each iteration's rank join reuses this layout, so only the
     // node-sized rank frame is exchanged per round
-    val edgesDeg = edges.join(deg, "src")
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = deg.select(col("src").as("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgesDeg = hold(edges.join(deg, "src")
+      .repartition(col("src")))
+    val nodes = hold(deg.select(col("src").as("node")))
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank_micro"))
     for (_ <- 1 to iters) {
       // SHUFFLE_HASH: build the node-sized rank frame, STREAM the

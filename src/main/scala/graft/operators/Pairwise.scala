@@ -114,10 +114,15 @@ object Pairwise {
         col("n1_est") + col("n2_est") - col("union_est")))
       .select(col("media_type_1"), col("media_type_2"), col("n1_est"),
         col("n2_est"), col("overlap_est"),
-        (col("overlap_est").cast("double") / col("n1_est"))
-          .as("pct_of_media_type_1"),
-        (col("overlap_est").cast("double") / col("n2_est"))
-          .as("pct_of_media_type_2"))
+        // nullif guards the empty-sketch case (a dim value whose
+        // household_id column is all NULL estimates 0): NULL pct, not
+        // NaN/Infinity — the exact twin's self-join can never divide
+        // by zero, so without this the sketch twin's failure mode
+        // would be a poisoned double, not a visible NULL
+        (col("overlap_est").cast("double") /
+          nullif(col("n1_est"), lit(0L))).as("pct_of_media_type_1"),
+        (col("overlap_est").cast("double") /
+          nullif(col("n2_est"), lit(0L))).as("pct_of_media_type_2"))
       .orderBy(desc("overlap_est"), asc("media_type_1"),
         asc("media_type_2"))
   }

@@ -64,11 +64,35 @@ class AffinitySpec extends SparkSpec {
     // are (20,40) and (30,40); (20,30)/(10,x) candidates are already
     // edges and must anti-join away. Center 10 has degree 3, so each
     // wedge scores 10⁶ div 3 resource-allocation micro-units.
-    val out = Affinity.wedgeRecommendations(baskets, minSupport = 1)
+    val out = Affinity.wedgeRecommendations(baskets, minSupportFloor = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3)))
+        r.getLong(3), r.getLong(4)))
+    // the 4-pair histogram is far under the default edge budget, so
+    // the derived support stays at the floor (= 1) and is emitted
     assert(out.toSeq == Seq(
-      (20L, 40L, 1L, 333333L), (30L, 40L, 1L, 333333L)))
+      (20L, 40L, 1L, 333333L, 1L), (30L, 40L, 1L, 333333L, 1L)))
+  }
+
+  test("wedgeSupportFor: floor when in budget, raised exactly past it") {
+    // in budget at the floor -> floor wins
+    assert(Affinity.wedgeSupportFor(Seq((1L, 50L), (2L, 10L)),
+      floor = 2, edgeBudget = 100L) == 2)
+    // ge(1)=60 > 40 but ge(2)=10 <= 40 -> smallest in-budget support
+    // is 2 (the floor); with floor 1 the derivation must still raise
+    // to 2, not stay at 1
+    assert(Affinity.wedgeSupportFor(Seq((1L, 50L), (2L, 10L)),
+      floor = 1, edgeBudget = 40L) == 2)
+    // dense regime: ge(3)=70 > 64, ge(4)=30 <= 64 -> 4
+    assert(Affinity.wedgeSupportFor(
+      Seq((1L, 1000L), (2L, 200L), (3L, 40L), (4L, 20L), (7L, 10L)),
+      floor = 2, edgeBudget = 64L) == 4)
+    // even the heaviest multiplicity exceeds the budget -> support
+    // lands past it (empty graph is the in-budget answer)
+    assert(Affinity.wedgeSupportFor(Seq((5L, 100L)),
+      floor = 2, edgeBudget = 10L) == 6)
+    // empty histogram (no pairs at all) -> floor
+    assert(Affinity.wedgeSupportFor(Nil, floor = 2,
+      edgeBudget = 10L) == 2)
   }
 
   /** The operator's integer recurrence re-implemented driver-side —
