@@ -84,19 +84,42 @@ object Runner {
     order.toSeq
   }
 
-  /** Plans currently registered in the session's CacheManager. The
-    * enumeration reads the private `cachedData` field reflectively (no
-    * public listing exists); if a Spark upgrade moves it, this returns
-    * empty and the scoped cleanup degrades to RDD-level unpersist. */
-  private[graft] def cachedPlans(spark: SparkSession): Seq[AnyRef] =
+  /** CachedData entries currently registered in the session's
+    * CacheManager. The enumeration reads the private `cachedData`
+    * field reflectively (no public listing exists); if a Spark
+    * upgrade moves it, this returns empty and the scoped cleanup
+    * degrades to RDD-level unpersist. */
+  private[graft] def cachedEntries(spark: SparkSession): Seq[Product] =
     try {
       val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sharedState.cacheManager
       val f = cm.getClass.getDeclaredField("cachedData")
       f.setAccessible(true)
-      f.get(cm).asInstanceOf[IndexedSeq[Product]]
-        .map(_.productElement(0).asInstanceOf[AnyRef])
+      f.get(cm).asInstanceOf[IndexedSeq[Product]].toSeq
     } catch { case NonFatal(_) => Nil }
+
+  private[graft] def cachedPlans(spark: SparkSession): Seq[AnyRef] =
+    cachedEntries(spark).map(_.productElement(0).asInstanceOf[AnyRef])
+
+  /** The buffer-RDD ids behind a CachedData entry's InMemoryRelation,
+    * read reflectively. `Some(Nil)` means the buffers were never
+    * materialized (nothing to exempt); `None` means the internals
+    * moved under a Spark upgrade — callers must NOT keep the entry
+    * then, or the RDD backstop would strip its buffers and leave a
+    * dead cache. */
+  private[graft] def bufferRddIds(entry: Product): Option[Seq[Int]] =
+    try {
+      val rel = entry.productElement(1)
+      val cb = rel.getClass.getMethod("cacheBuilder").invoke(rel)
+      Some(cb.getClass.getDeclaredFields.toSeq
+        .filter(f => classOf[org.apache.spark.rdd.RDD[_]]
+          .isAssignableFrom(f.getType))
+        .flatMap { f =>
+          f.setAccessible(true)
+          Option(f.get(cb))
+        }
+        .map(_.asInstanceOf[org.apache.spark.rdd.RDD[_]].id))
+    } catch { case NonFatal(_) => None }
 
   def runOne(spark: SparkSession, sfDir: String, outDir: String,
              name: String, force: Boolean): String = {
@@ -109,7 +132,10 @@ object Runner {
     else {
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet
-      val beforePlans = cachedPlans(spark)
+      val beforeEntries = cachedEntries(spark)
+      // buffer-RDD ids of SHARED artifacts kept past this query — the
+      // RDD backstop must not strip what the kept entries still serve
+      val exempt = mutable.Set[Int]()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").parquet(target.toString)
@@ -118,26 +144,51 @@ object Runner {
         // drop ONLY what this query created — on failure too, or a
         // crashed query's frames squeeze every subsequent query. The
         // host application's entries predate the snapshots and survive.
+        // EXCEPTION: frames tracked by [[Caches]] (the memoized
+        // one-artifact-many-consumers frames — the span family's seed
+        // frame, the affinity pair frames) are RUN-scoped, not
+        // query-scoped: kept here so the next query reuses one corpus
+        // scan instead of paying its own, released by [[runAll]] at
+        // the end of the run. An entry is kept ONLY when its buffer
+        // RDDs are identifiable (or not yet materialized) — otherwise
+        // the backstop below would strip the buffers and leave a dead
+        // cache, the recompute-per-consumer trap this cleanup exists
+        // to prevent.
         // CacheManager entries first (uncacheQuery also unpersists the
         // entry's buffers), then raw RDD ids as the backstop for
         // localCheckpoints, which never touch the CacheManager.
         // The classic-session cast sits INSIDE the guard: on a
         // non-classic session (e.g. Connect) it would otherwise throw
         // ClassCastException from the finally and mask the query's
-        // real result or exception — cachedPlans() already degrades
+        // real result or exception — cachedEntries() already degrades
         // to Nil there, and the RDD-level unpersist still runs.
         try {
           val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-          cachedPlans(spark).filterNot(p => beforePlans.exists(_ eq p))
-            .foreach { p =>
-              try cs.sharedState.cacheManager.uncacheQuery(cs,
-                p.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
-                cascade = false, blocking = false)
-              catch { case NonFatal(_) => () }
+          val shared = Caches.tracked.flatMap(df =>
+            try Some(df.queryExecution.normalized)
+            catch { case NonFatal(_) => None })
+          cachedEntries(spark)
+            .filterNot(e => beforeEntries.exists(b =>
+              b.asInstanceOf[AnyRef] eq e.asInstanceOf[AnyRef]))
+            .foreach { e =>
+              val p = e.productElement(0)
+                .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+              val keep =
+                if (shared.exists(sp => try sp.sameResult(p)
+                  catch { case NonFatal(_) => false }))
+                  bufferRddIds(e) match {
+                    case Some(ids) => exempt ++= ids; true
+                    case None => false
+                  }
+                else false
+              if (!keep)
+                try cs.sharedState.cacheManager.uncacheQuery(cs, p,
+                  cascade = false, blocking = false)
+                catch { case NonFatal(_) => () }
             }
         } catch { case NonFatal(_) => () }
         sc.getPersistentRDDs
-          .filterNot { case (id, _) => before(id) }
+          .filterNot { case (id, _) => before(id) || exempt(id) }
           .values.foreach(_.unpersist(blocking = false))
       }
     }
@@ -152,13 +203,22 @@ object Runner {
   def runAll(spark: SparkSession, sfDir: String, outDir: String,
              names: Seq[String], force: Boolean,
              deps: Map[String, Seq[String]] = defaultDependencies
-            ): Seq[(String, String)] =
-    resolveOrder(names, deps).map { name =>
+            ): Seq[(String, String)] = {
+    val statuses = resolveOrder(names, deps).map { name =>
       val status =
         try runOne(spark, sfDir, outDir, name, force)
         catch { case NonFatal(e) => s"FAILED: $e" }
       name -> status
     }
+    // the RUN-scoped shared artifacts runOne kept alive across
+    // queries (seed frames, pair frames) end their lifetime with the
+    // run — a host that wants them warm across runs re-pays one build
+    try {
+      Caches.clear()
+      operators.Affinity.clearCache()
+    } catch { case NonFatal(_) => () }
+    statuses
+  }
 
   /** Every non-flag arg past <outDir> is a name list — flag position
     * doesn't matter ("--force q1" must not silently mean "all"). */

@@ -57,6 +57,10 @@ object Affinity {
     * [[clearCache]] so a long-lived session can reclaim them. */
   private val held = scala.collection.mutable.ListBuffer[DataFrame]()
 
+  // visible to the Runner's run-scoped shared-artifact exemption
+  graft.Caches.registerProvider(() =>
+    synchronized((memo.values ++ held).toSeq))
+
   private def hold(df: DataFrame): DataFrame = synchronized {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     held += p

@@ -162,7 +162,7 @@ object DataChecks {
           lit(nbuckets.toLong)).as("bucket"))
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.hold)
     val g = sb.groupBy(col("bucket")).agg(sum(col("cnt")).as("gcnt"))
     val srcs = sb.groupBy(col("source")).agg(sum(col("cnt")).as("stot"))
     val cum = Window.partitionBy(col("source")).orderBy(col("bucket"))
@@ -228,7 +228,7 @@ object DataChecks {
       .select(col("event_type"), col("event_id"),
         unix_micros(col("ts")).as("tu"))
       .withColumn("bkt", expr(s"event_id div ${bucketSize}L"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.hold)
     val wLocal = Window.partitionBy(col("bkt")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // n/bucketSize rows — the only cross-bucket step
@@ -344,7 +344,7 @@ object DataChecks {
     val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.hold)
     val origin = daily.agg(min(col("day")).as("day0"))
     daily.crossJoin(broadcast(origin))
       .withColumn("x", datediff(col("day"), col("day0")).cast("bigint"))
@@ -706,7 +706,7 @@ object DataChecks {
       .select(col("event_type"), (weekday(col("ts")) + 1).as("dow"))
       .groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.hold)
     val rowT = obs.groupBy(col("event_type")).agg(sum(col("n")).as("row_n"))
     val colT = obs.groupBy(col("dow")).agg(sum(col("n")).as("col_n"))
     val tot = obs.agg(sum(col("n")).as("total"))
@@ -750,7 +750,7 @@ object DataChecks {
       .select(col("event_type"), to_date(col("ts")).as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.hold)
     val shifted = daily
       .select(col("event_type"),
         explode(array(lags.map(lit(_)): _*)).as("lag"),
@@ -798,7 +798,7 @@ object DataChecks {
         unix_micros(col("ts")).as("tu"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"), max(col("tu")).as("max_us"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.hold)
     val asOf = daily.agg(max(col("max_us")).as("as_of_us"),
       max(col("day")).as("as_of_day"))
     val trailAggs = trailDays.map(dd =>
@@ -834,7 +834,7 @@ object DataChecks {
       .select(col("event_type"), to_date(col("ts")).as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.hold)
     val byDow = daily
       .groupBy(col("event_type"), (weekday(col("day")) + 1).as("dow"))
       .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))

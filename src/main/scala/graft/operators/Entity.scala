@@ -108,7 +108,7 @@ object Entity {
         .select(col("id"),
           concat_ws(":", lit(kind), col("kv")).as("k"))
     }.reduce(_.unionAll(_))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.hold)
     val hubs = keyed.groupBy(col("k")).agg(min(col("id")).as("d1"))
     val star = keyed.join(hubs, "k")
       .where(col("id") =!= col("d1"))

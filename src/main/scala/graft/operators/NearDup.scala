@@ -753,22 +753,26 @@ object NearDup {
     * costs a million seed rows, not a million² comparisons. */
   /** (doc_id, pos, sk): the md5 seed-window frame shared by
     * [[spanDedup]], [[spanStrip]] and [[seedNovelty]] — one row per
-    * token position; each consumer that reads it twice persists it.
-    * Seed hashing is the native one-pass
+    * token position, MEMOIZED per (session, corpus, seedLen) via
+    * [[graft.Caches.memo]]: a curation pipeline running all three
+    * span queries pays ONE tokenize+hash corpus scan, not three (the
+    * AnnIndex.publish one-artifact discipline, in-session). Seed
+    * hashing is the native one-pass
     * [[graft.functions.SeedHashes]] (byte-identical to
     * md5(concat_ws(' ', slice(toks, i+1, k))), so the oracles are
     * unchanged); posexplode supplies the 0-based position. */
   private def seedFrame(docs: DataFrame, seedLen: Int): DataFrame =
-    docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .where(size(col("toks")) >= seedLen)
-      .select(col("doc_id"), posexplode(call_function("graft_seed_hashes",
-        col("toks"), lit(seedLen))).as(Seq("pos", "sk")))
+    graft.Caches.memo(docs, s"neardup.seeds.$seedLen") {
+      docs
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= seedLen)
+        .select(col("doc_id"), posexplode(call_function("graft_seed_hashes",
+          col("toks"), lit(seedLen))).as(Seq("pos", "sk")))
+    }
 
   def spanDedup(docs: DataFrame, seedLen: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val seeds = seedFrame(docs, seedLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // "≥2 distinct docs" as min≠max: the seed domain is near-unique,
     // so a count-distinct would expand every (sk, doc) pair through a
     // distinct aggregate; min/max combine map-side in one pass with
@@ -848,7 +852,6 @@ object NearDup {
     * one per-doc aggregate; integer counts, ONE final division. */
   def seedNovelty(docs: DataFrame, seedLen: Int = 8): DataFrame = {
     val seeds = seedFrame(docs, seedLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus-unique ⟺ all occurrences in ONE doc ⟺ min = max — same
     // count-distinct avoidance as [[spanDedup]]'s shared-seed test
     val df = seeds.groupBy(col("sk"))

@@ -292,7 +292,7 @@ object TextAnalysis {
     val st = docs
       .select(col("source"), explode(tokens(col("text"))).as("term"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.hold)
     val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("vocab"))
     val inter = st.select(col("source").as("source_a"), col("term"))
       .join(st.select(col("source").as("source_b"), col("term")), Seq("term"))
@@ -583,7 +583,7 @@ object TextAnalysis {
       .where(col("term").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.hold)
     val dfT = hits.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val nDocs = docs.select(
@@ -661,7 +661,7 @@ object TextAnalysis {
             i => concat_ws(" ", element_at(col("toks"), i),
               element_at(col("toks"), i + 1))))
           .otherwise(array().cast("array<string>"))).as("big"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.hold)
     val bf = bigr.groupBy(col("big")).agg(count(lit(1)).as("cb"))
     val cf = bigr
       .groupBy(substring_index(col("big"), " ", 1).as("t1"))

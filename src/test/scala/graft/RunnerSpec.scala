@@ -71,6 +71,27 @@ class RunnerSpec extends SparkSpec {
     hostFrame.unpersist()
   }
 
+  test("shared seed artifact is run-scoped: survives runOne, released by runAll") {
+    val out = Files.createTempDirectory("graft-runner-shared").toString
+    val sfDir = "/root/testdata/sf0.001"
+    Caches.clear()
+    operators.Affinity.clearCache()
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
+    assert(Runner.runOne(spark, sfDir, out, "q_span_dedup", force = true)
+      == "written")
+    // the memoized seed frame survived the per-query cleanup with its
+    // buffers intact — q_span_strip/q_novelty in the same run reuse
+    // one tokenize+hash corpus scan instead of paying their own
+    val kept = Caches.tracked.filter(df =>
+      df.storageLevel.useMemory || df.storageLevel.useDisk)
+    assert(kept.nonEmpty, "seed frame was dropped by query-scoped cleanup")
+    val statuses = Runner.runAll(spark, sfDir, out,
+      Seq("q_novelty", "q_span_strip"), force = true, deps = Map.empty)
+    assert(statuses.forall(_._2 == "written"), statuses.toString)
+    // end of run: the shared artifacts are gone, RDD-level too
+    assert(spark.sparkContext.getPersistentRDDs.keySet == beforeIds)
+  }
+
   test("name parsing is flag-position independent") {
     val all = SparkEntry.queries.keys.toSeq.sorted
     assert(Runner.parseNames(Array("sf", "out")) == all)
