@@ -28,10 +28,10 @@ object NearDup {
     * lambdas, so inlining `tokens(text)` into the shingle transform
     * would re-run the regex tokenizer per shingle (measured 50–100×
     * slower at sf0.1). */
-  def shingleSets(docs: DataFrame, n: Int): DataFrame =
+  def shingleSets(docs: DataFrame, n: Int, extra: Seq[String] = Nil): DataFrame =
     docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shingles(col("toks"), n).as("sh"))
+      .select(col("doc_id") +: extra.map(col) :+ tokens(col("text")).as("toks"): _*)
+      .select(col("doc_id") +: extra.map(col) :+ shingles(col("toks"), n).as("sh"): _*)
 
   /** Default document-frequency cap for [[jaccardPairs]]: a shingle
     * shared by more docs than this is stopword-like evidence and the
@@ -256,19 +256,22 @@ object NearDup {
     * Shingle-less docs have NULL signatures (array_min of empty) and
     * can never verify — excluded so they don't all share one
     * degenerate "" bucket (concat_ws skips NULLs). */
-  private def bandRows(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+  private[graft] def bandRows(sig: DataFrame, bands: Int, rows: Int,
+                              extra: Seq[String] = Nil): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until rows).map(r =>
           col(s"m${b * rows + r}").cast("string")): _*).as("band_sig"))
     }
     sig.where(size(col("sh")) > 0)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"),
-        col("bs.band_sig").as("band_sig"))
+      .select(col("doc_id") +: extra.map(col) :+
+        explode(array(bandStructs: _*)).as("bs"): _*)
+      .select(col("doc_id") +: extra.map(col) :+
+        col("bs.band").as("band") :+ col("bs.band_sig").as("band_sig"): _*)
   }
 
-  private[operators] def signatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+  private[graft] def signatures(docs: DataFrame, n: Int, k: Int,
+                                extra: Seq[String] = Nil): DataFrame = {
     val coef = minhashCoefficients(k)
     // all k affine-min signatures in ONE native codegen'd pass over
     // the hash array (graft_minhash) — the k-HOF formulation walked it
@@ -278,11 +281,11 @@ object NearDup {
       "HashMod drifted from the native expression's modulus")
     val aLit = array(coef.map(c => lit(c._1)): _*)
     val bLit = array(coef.map(c => lit(c._2)): _*)
-    shingleSets(docs, n)
+    shingleSets(docs, n, extra)
       .withColumn("h0s", transform(col("sh"), s => rollingHash(s)))
       .withColumn("mh", call_function("graft_minhash", col("h0s"), aLit, bLit))
       .select(
-        Seq(col("doc_id"), col("sh")) ++
+        Seq(col("doc_id"), col("sh")) ++ extra.map(col) ++
           (0 until k).map(i => element_at(col("mh"), i + 1).as(s"m$i")): _*)
   }
 
@@ -420,28 +423,19 @@ object NearDup {
                      k: Int = 32, bands: Int = 16, threshold: Double = 0.5,
                      bucketCap: Int = DefaultBucketCap): DataFrame = {
     import graft.functions.TextFunctions.normText
-    val rows = k / bands
-    val corpusFp = corpus
-      .select(col("doc_id").as("c_id"), md5(normText(col("text"))).as("fp"))
-      .groupBy(col("fp")).agg(min(col("c_id")).as("exact_match"))
+    val idx = buildIncrementIndex(corpus, n, k, bands, bucketCap)
     val newFp = newDocs.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
-    val exact = newFp.join(corpusFp, Seq("fp"), "left_outer")
+    val exact = newFp.join(idx.fingerprints, Seq("fp"), "left_outer")
       .select(col("doc_id"), col("exact_match"))
     val sigN = signatures(newDocs, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigC = signatures(corpus, n, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpusBuckets = bandRows(sigC, bands, rows)
-      .groupBy(col("band"), col("band_sig"))
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, bucketCap)
-        .as("c_ids"))
-    val cand = bandRows(sigN, bands, rows)
-      .join(corpusBuckets, Seq("band", "band_sig"))
+    val cand = bandRows(sigN, bands, k / bands)
+      .join(idx.buckets, Seq("band", "band_sig"))
       .select(col("doc_id"), explode(col("c_ids")).as("c_id"))
       .distinct()
     val near = cand
       .join(sigN.select(col("doc_id"), col("sh").as("sh_n")), "doc_id")
-      .join(sigC.select(col("doc_id").as("c_id"), col("sh").as("sh_c")), "c_id")
+      .join(idx.sigs, "c_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_n"), col("sh_c"))).cast("double") /
           size(array_union(col("sh_n"), col("sh_c"))))
@@ -453,6 +447,38 @@ object NearDup {
       .withColumn("is_new",
         col("exact_match").isNull && col("near_match").isNull)
       .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-side probe artifacts for incremental/streaming near-dup:
+    * the exact-fingerprint map (min corpus id per md5), the capped
+    * LSH band index, and the per-doc shingle sets the exact-Jaccard
+    * verify reads. One corpus-sized pass builds all three; a real
+    * deployment persists them across increments (publish like
+    * [[graft.operators.AnnIndex]]) instead of re-scanning 100 TB per
+    * daily batch, and the streaming probe
+    * ([[graft.streaming.EventStream.nearDupProbe]]) joins the SAME
+    * artifacts stream-static — one index definition, two cadences.
+    * The signature frame is persisted (bucket build + verify both
+    * read it); release with `sigs.unpersist()` when retired. */
+  case class IncrementIndex(fingerprints: DataFrame, buckets: DataFrame,
+                            sigs: DataFrame, n: Int, k: Int, bands: Int)
+
+  def buildIncrementIndex(corpus: DataFrame, n: Int = 3, k: Int = 32,
+                          bands: Int = 16,
+                          bucketCap: Int = DefaultBucketCap): IncrementIndex = {
+    import graft.functions.TextFunctions.normText
+    val fp = corpus
+      .select(col("doc_id").as("c_id"), md5(normText(col("text"))).as("fp"))
+      .groupBy(col("fp")).agg(min(col("c_id")).as("exact_match"))
+    val sigC = signatures(corpus, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = bandRows(sigC, bands, k / bands)
+      .groupBy(col("band"), col("band_sig"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, bucketCap)
+        .as("c_ids"))
+    IncrementIndex(fp, buckets,
+      sigC.select(col("doc_id").as("c_id"), col("sh").as("sh_c")),
+      n, k, bands)
   }
 
   /** Bloom-pruned incremental EXACT dedup: the corpus's fingerprints

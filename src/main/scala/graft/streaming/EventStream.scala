@@ -117,6 +117,67 @@ object EventStream {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select(col("doc_id"), col("ts"), col("fingerprint"))
 
+  /** Streaming NEAR-dup probe — the q_dedup_incremental shape live:
+    * each arriving document (doc_id, text, ts) is fingerprinted and
+    * MinHash-banded ROW-LOCALLY (no stream-side shuffle), probed
+    * against the STATIC corpus artifacts of
+    * [[graft.operators.NearDup.buildIncrementIndex]] via STATELESS
+    * stream-static joins — exact-fingerprint left join, band-bucket
+    * inner join, exact-Jaccard verify against candidate shingle sets
+    * only — then ONE watermark-windowed aggregation assembles the
+    * per-document verdict (min matching corpus id per kind, exactly
+    * the batch operator's tie-break). Output per finalized window:
+    * (window_start, doc_id, exact_match, near_match, is_new).
+    *
+    * Same index, two cadences: the batch dedupIncrement re-probes a
+    * daily increment; this probes documents as they ARRIVE, emitting
+    * each verdict one watermark delay after ingestion instead of at
+    * the next nightly run. State is only the in-flight windows'
+    * verdict groups (bounded by `delay`); the corpus index never
+    * enters the state store. EquivalenceSpec proves finalized-window
+    * verdicts equal dedupIncrement's on the same increment. */
+  def nearDupProbe(docs: DataFrame,
+                   idx: graft.operators.NearDup.IncrementIndex,
+                   threshold: Double = 0.5, delay: String = "2 hours",
+                   windowLen: String = "1 hour"): DataFrame = {
+    import graft.functions.TextFunctions.normText
+    import graft.operators.NearDup
+    // every doc gets exactly one base row (its exact verdict), so
+    // shingle-less documents still reach the output as is_new/exact
+    val exactBranch = docs
+      .withColumn("fp", md5(normText(col("text"))))
+      .join(idx.fingerprints, Seq("fp"), "left_outer")
+      .select(col("doc_id"), col("ts"), col("exact_match"),
+        lit(null).cast("long").as("near_c"))
+    // candidate generation + verify, all row-local or stream-static;
+    // duplicate candidates from multiple agreeing bands are harmless
+    // (min-agg below), so no distinct() — distinct would be a second
+    // stream aggregation
+    val sig = NearDup.signatures(docs, idx.n, idx.k, extra = Seq("ts"))
+    val nearBranch = NearDup
+      .bandRows(sig, idx.bands, idx.k / idx.bands, extra = Seq("ts", "sh"))
+      .join(idx.buckets, Seq("band", "band_sig"))
+      .select(col("doc_id"), col("ts"), col("sh"),
+        explode(col("c_ids")).as("c_id"))
+      .join(idx.sigs, Seq("c_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh"), col("sh_c"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("ts"),
+        lit(null).cast("long").as("exact_match"),
+        col("c_id").as("near_c"))
+    exactBranch.unionByName(nearBranch)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen), col("doc_id"))
+      .agg(min(col("exact_match")).as("exact_match"),
+        min(col("near_c")).as("near_match"))
+      .withColumn("is_new",
+        col("exact_match").isNull && col("near_match").isNull)
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("exact_match"), col("near_match"), col("is_new"))
+  }
+
   /** Streaming canary scan — the stateless one-pass Aho–Corasick DFA
     * ([[graft.operators.Curation.canaryScan]]) over an unbounded doc
     * stream: ONE `select`, no state, no watermark, so every

@@ -324,6 +324,54 @@ class EquivalenceSpec extends SparkSpec {
     assert(batch.size == docs.size - 1, "exactly the planted dup dropped")
   }
 
+  test("streaming near-dup probe equals batch dedupIncrement verdicts") {
+    import graft.operators.NearDup
+    // slice sf0.001 docs into corpus + increment, then plant one exact
+    // and one near duplicate of a corpus doc in the increment so both
+    // match kinds bind (the natural slice may have no cross-slice dups)
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val corpusRows = base.filter(_._1 % 10 != 3)
+    val donor = corpusRows.find(_._2.split(" ").length > 50).get
+    val nearText = donor._2.split(" ").zipWithIndex
+      .map { case (w, i) => if (i % 17 == 0) w + "x" else w }.mkString(" ")
+    val incRows = base.filter(_._1 % 10 == 3) ++
+      Seq(900001L -> donor._2, 900002L -> nearText)
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val inc = incRows.toDF("doc_id", "text")
+
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val batch = NearDup.dedupIncrement(inc, corpus).collect()
+      .map(r => (r.getLong(0), opt(r, 1), opt(r, 2), r.getBoolean(3))).toSet
+    assert(batch.exists(v => v._2.isDefined), "planted exact dup must bind")
+    assert(batch.exists(v => v._2.isEmpty && v._3.isDefined),
+      "planted near dup must bind through the LSH path")
+
+    implicit val sc = spark.sqlContext
+    val idx = NearDup.buildIncrementIndex(corpus)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    mem.addData(incRows.map { case (id, tx) => (id, tx, t0) }: _*)
+    val q = EventStream.nearDupProbe(
+      mem.toDF().toDF("doc_id", "text", "ts"), idx)
+      .writeStream.format("memory").queryName("eq_ndp")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // sentinel far past the watermark finalizes the real window
+    mem.addData((999999L, "sentinel doc",
+      new Timestamp(t0.getTime + 10L * 3600 * 1000)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("eq_ndp")
+      .where(col("doc_id") =!= 999999L)
+      .collect().map(r => (r.getLong(1), opt(r, 2), opt(r, 3), r.getBoolean(4)))
+      .toSet
+    assert(streamed == batch)
+    idx.sigs.unpersist()
+  }
+
   test("publishStream appends each micro-batch to a catalog table") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
