@@ -159,6 +159,10 @@ object Sources {
     *  - one single-header csv per "sheet" plus a `_manifest.json`
     *    naming the sheets in publish order — the machine-readable
     *    interchange downstream jobs consume instead of globbing.
+    * Incremental: if `workbook.xlsx` already exists at `path` it is
+    * loaded and the new sheets MERGED in (replace-by-name in place,
+    * new names appended) — the reference's load_workbook append
+    * behavior (pdf_to_table_excel.py:25-29).
     * The xlsx path collects each sheet to the driver BY DESIGN (and
     * caps at [[Xlsx.MaxRows]], Excel's own ceiling): workbook sheets
     * are human-audience small tables (metrics summaries), never fact
@@ -194,8 +198,26 @@ object Sources {
     }
     val xlsxTarget = new Path(path, "workbook.xlsx")
     val xfs = xlsxTarget.getFileSystem(spark.sessionState.newHadoopConf())
+    // Reference semantics (pdf_to_table_excel.py:25-29): an existing
+    // workbook is LOADED and the new sheets merged in — same name
+    // replaces that sheet in place, new names append in publish
+    // order — so incremental runs accumulate one workbook instead of
+    // each run clobbering the last. Republishing is idempotent.
+    val existing =
+      if (xfs.exists(xlsxTarget)) {
+        val in = xfs.open(xlsxTarget)
+        try Xlsx.read(in) finally in.close()
+      } else Seq.empty
+    val newByName = xlsxSheets.map(s => s._1 -> s).toMap
+    val merged = existing.map(s => newByName.getOrElse(s._1, s)) ++
+      xlsxSheets.filterNot(s => existing.exists(_._1 == s._1))
+    // serialize BEFORE truncating the target: a sheet-name/row-limit
+    // validation failure inside Xlsx.write must not destroy the
+    // existing workbook it was meant to append to
+    val buf = new java.io.ByteArrayOutputStream()
+    Xlsx.write(merged, buf)
     val xout = xfs.create(xlsxTarget, true)
-    try Xlsx.write(xlsxSheets, xout) finally xout.close()
+    try xout.write(buf.toByteArray) finally xout.close()
     // JSON string escape — a sheet name with a quote/backslash/control
     // char would otherwise produce a manifest no parser accepts,
     // breaking the read-the-manifest contract above
@@ -205,7 +227,11 @@ object Sources {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val manifest = sheets.map { case (name, _) =>
+    // manifest lists the MERGED workbook order — retained sheets'
+    // csv dirs from earlier publishes are still on disk at
+    // `path/<name>`, so the manifest contract (every listed sheet
+    // readable at its path) holds across incremental runs
+    val manifest = merged.map { case (name, _, _) =>
       s"""{"sheet": ${jq(name)}, "path": ${jq(name)}}"""
     }.mkString("[\n  ", ",\n  ", "\n]")
     val target = new Path(path, "_manifest.json")

@@ -1,7 +1,7 @@
 package graft.sources
 
-import java.io.OutputStream
-import java.util.zip.{ZipEntry, ZipOutputStream}
+import java.io.{InputStream, OutputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
 
 /** Minimal OOXML spreadsheet writer — a real multi-sheet `.xlsx`
   * (what the reference publishes via pandas+openpyxl,
@@ -134,5 +134,62 @@ object Xlsx {
       part(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(header, rows))
     }
     zip.finish()
+  }
+
+  /** Read a workbook written by [[write]] back into (sheetName,
+    * header, rows) triples in sheet order — what lets
+    * `publishWorkbook` APPEND to an existing workbook the way the
+    * reference's pdf_to_excel loads the existing file with openpyxl
+    * (/root/reference/metrics/helpers/pdf_to_table_excel.py:25-29).
+    * Scope is OUR OWN dialect (inline strings, dense rows, no
+    * sharedStrings) — a general xlsx reader would need the
+    * sharedStrings/styles parts this writer never emits. Numeric
+    * cells round-trip as numbers; the NaN/Inf inline-string fallback
+    * reads back as text (same loss pandas+openpyxl accepts). Caller
+    * owns the stream. */
+  def read(in: InputStream): Seq[(String, Seq[String], Seq[Seq[Cell]])] = {
+    val zis = new ZipInputStream(in)
+    val parts = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    var e = zis.getNextEntry
+    while (e != null) {
+      parts(e.getName) = zis.readAllBytes()
+      e = zis.getNextEntry
+    }
+    def dom(name: String): org.w3c.dom.Document = {
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.setNamespaceAware(false)
+      val part = parts.getOrElse(name,
+        throw new IllegalArgumentException(s"workbook part missing: $name"))
+      f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(part))
+    }
+    val rels = dom("xl/_rels/workbook.xml.rels")
+      .getElementsByTagName("Relationship")
+    val relMap = (0 until rels.getLength).map { i =>
+      val el = rels.item(i).asInstanceOf[org.w3c.dom.Element]
+      el.getAttribute("Id") -> el.getAttribute("Target")
+    }.toMap
+    val sheetNodes = dom("xl/workbook.xml").getElementsByTagName("sheet")
+    (0 until sheetNodes.getLength).map { i =>
+      val el = sheetNodes.item(i).asInstanceOf[org.w3c.dom.Element]
+      val name = el.getAttribute("name")
+      val ws = dom("xl/" + relMap(el.getAttribute("r:id")))
+      val rowNodes = ws.getElementsByTagName("row")
+      val allRows = (0 until rowNodes.getLength).map { r =>
+        val cells = rowNodes.item(r).asInstanceOf[org.w3c.dom.Element]
+          .getElementsByTagName("c")
+        (0 until cells.getLength).map { ci =>
+          val c = cells.item(ci).asInstanceOf[org.w3c.dom.Element]
+          val cell: Cell =
+            if (c.getAttribute("t") == "inlineStr") Right(c.getTextContent)
+            else Left(c.getTextContent.toDouble)
+          cell
+        }.toSeq
+      }
+      val header = allRows.headOption.getOrElse(Seq.empty).map {
+        case Right(s) => s
+        case Left(d) => num(d)
+      }
+      (name, header, allRows.drop(1).toSeq)
+    }
   }
 }

@@ -145,6 +145,46 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("publishWorkbook appends to an existing workbook, replacing by name") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("graft-xlsx-append").toString
+    val reach = Seq(("tv", 10L), ("web", 7L)).toDF("value", "count")
+    val freq = Seq((1, 5L), (2, 3L)).toDF("frequency", "hh")
+    val reach2 = Seq(("tv", 11L)).toDF("value", "count")
+    // publish A, then B: workbook holds both in publish order
+    Sources.publishWorkbook(spark, Seq("reach" -> reach), out)
+    Sources.publishWorkbook(spark, Seq("frequency" -> freq), out)
+    def readBack() = {
+      val in = Files.newInputStream(Paths.get(out, "workbook.xlsx"))
+      try sources.Xlsx.read(in) finally in.close()
+    }
+    val merged = readBack()
+    assert(merged.map(_._1) == Seq("reach", "frequency"))
+    assert(merged.head._2 == Seq("value", "count"))
+    assert(merged.head._3 == Seq(
+      Seq(Right("tv"), Left(10.0)), Seq(Right("web"), Left(7.0))))
+    // manifest lists the merged order, and the first publish's csv
+    // is still readable at its manifest path
+    val manifest = new String(
+      Files.readAllBytes(Paths.get(out, "_manifest.json")), "UTF-8")
+    assert(manifest.indexOf("\"reach\"") >= 0 &&
+      manifest.indexOf("\"reach\"") < manifest.indexOf("\"frequency\""))
+    assert(Sources.csv(spark, s"$out/reach").count() == 2)
+    // re-publishing an existing name replaces that sheet IN PLACE
+    Sources.publishWorkbook(spark, Seq("reach" -> reach2), out)
+    val replaced = readBack()
+    assert(replaced.map(_._1) == Seq("reach", "frequency"))
+    assert(replaced.head._3 == Seq(Seq(Right("tv"), Left(11.0))))
+    assert(replaced(1)._3 == Seq(
+      Seq(Left(1.0), Left(5.0)), Seq(Left(2.0), Left(3.0))))
+    // a failed publish (invalid sheet name) must NOT destroy the
+    // existing workbook it was appending to
+    intercept[IllegalArgumentException] {
+      Sources.publishWorkbook(spark, Seq("bad[name]" -> reach), out)
+    }
+    assert(readBack().map(_._1) == Seq("reach", "frequency"))
+  }
+
   test("makeMap: friendly mapping falls back to dimension id/name") {
     val ka = Seq((1L, "part_id", "TYPE", "B1"), (2L, "part_id", "TYPE", "B2"))
       .toDF("id", "id_type", "key", "value")
