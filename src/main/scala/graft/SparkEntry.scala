@@ -142,7 +142,7 @@ object SparkEntry {
 
   /** q_fanout_audit: per-key multiplicity cap — the top bucket reads
     * "cap or more". */
-  private val FanoutMultCap = 8
+  private[graft] val FanoutMultCap = 8
 
   /** q_changepoint: window length and minimum observed days per side. */
   private val ChangepointDays = 7
@@ -200,9 +200,9 @@ object SparkEntry {
     * case, seconds of in-task explode work at any SF; non-binding at
     * gate scale (support-2 edges ≈ 3.6k at sf0.1), binding exactly
     * when density would otherwise compound. */
-  private val WedgeNeighborCap = 64
+  private[graft] val WedgeNeighborCap = 64
   private val WedgeTopN = 100
-  private val WedgeEdgeBudget = 100000L
+  private[graft] val WedgeEdgeBudget = 100000L
 
   /** The q_pagerank oracle's unrolled value-iteration rounds: one
     * (contribution, rank) CTE pair per round over the shared

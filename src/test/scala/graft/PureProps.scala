@@ -68,4 +68,30 @@ object PureProps extends Properties("graft") {
             (k == 1 || (k.toLong - 1) * target < n))
         }
     }
+
+  property("every cap constant is interpolated into its oracle (CAPS.md)") = {
+    // the cap discipline requires the oracle SQL to replay each cap by
+    // interpolating the SAME constant — a hardcoded literal in the SQL
+    // would silently stop replaying the cap the day the constant moves.
+    // This pin makes that drift a test failure: each marker embeds the
+    // constant's CURRENT value, so an oracle left on the old number no
+    // longer contains the marker.
+    val pins = Seq(
+      "q_ngram_jaccard" -> s"<= ${NearDup.DefaultDfCap}",
+      "q_containment" -> s"<= ${NearDup.DefaultDfCap}",
+      "q_minhash_recall" -> s"<= ${NearDup.DefaultDfCap}",
+      "q_dedup_sweep" -> s"<= ${NearDup.DefaultDfCap}",
+      "q_minhash_dedup" -> s"[1:${NearDup.DefaultBucketCap}]",
+      "q_dedup_clusters" -> s"[1:${NearDup.DefaultBucketCap}]",
+      "q_embed_lsh" -> s"[1:${NearDup.DefaultBucketCap}]",
+      "q_dedup_incremental" -> s"[1:${NearDup.DefaultBucketCap}]",
+      "q_fanout_audit" -> s"least(ln, ${SparkEntry.FanoutMultCap})",
+      "q_wedge_recs" -> s"[1:${SparkEntry.WedgeNeighborCap}]",
+      "q_wedge_recs" -> s"> ${SparkEntry.WedgeEdgeBudget}")
+    val missing = pins.collect {
+      case (q, marker) if !SparkEntry.oracleSql(q).contains(marker) =>
+        s"$q missing '$marker'"
+    }
+    Prop(missing.isEmpty) :| missing.mkString("; ")
+  }
 }
