@@ -244,7 +244,58 @@ object Runner {
     statuses.foreach { case (name, status) =>
       println(s"[runner] $name: $status")
     }
+    QaLog.append(spark, outDir, statuses.map { case (name, status) =>
+      (if (status.startsWith("FAILED")) "ERROR" else "INFO",
+        s"$name: $status")
+    })
     spark.stop()
     if (statuses.exists(_._2.startsWith("FAILED"))) sys.exit(1)
+  }
+}
+
+/** Persistent QA log artifact — the engine analog of the reference's
+  * file-teed QA logger (/root/reference/dataQA/dailyLogger.py:1-12:
+  * every dataQA run logs to console AND appends `qa_log.txt`), so an
+  * operator can audit what past runs did without scrollback. Lines
+  * use the reference formatter's shape
+  * (`timestamp - name - LEVEL - message`). The runner's console
+  * status lines stay as-is; this adds the durable tee.
+  *
+  * Written through Hadoop FS so `outDir` may be any filesystem the
+  * run targets; appended as read-then-rewrite because
+  * LocalFileSystem (checksummed) rejects `append()` — the log is
+  * run-status sized, never fact data, so the rewrite is trivially
+  * small. One write per RUN, not per query: a crashed JVM loses at
+  * most the in-flight run's lines, and the per-query `_SUCCESS`
+  * targets (not the log) are what gate re-execution. */
+object QaLog {
+
+  val LogName = "qa_log.txt"
+
+  private def timestamp(): String =
+    java.time.LocalDateTime.now()
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+  /** Append `(level, message)` lines to `<dir>/qa_log.txt`. */
+  def append(spark: SparkSession, dir: String,
+             lines: Seq[(String, String)],
+             name: String = "graft.runner"): Unit = {
+    if (lines.nonEmpty) {
+      val target = new Path(dir, LogName)
+      val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+      val existing =
+        if (fs.exists(target)) {
+          val in = fs.open(target)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        } else ""
+      val ts = timestamp()
+      val block = lines.map { case (level, msg) =>
+        s"$ts - $name - $level - $msg\n"
+      }.mkString
+      val out = fs.create(target, true)
+      try out.write((existing + block).getBytes("UTF-8"))
+      finally out.close()
+    }
   }
 }

@@ -101,4 +101,23 @@ class RunnerSpec extends SparkSpec {
     // the bug this guards: flag before the name must NOT mean "all"
     assert(Runner.parseNames(Array("sf", "out", "--force", "q1")) == Seq("q1"))
   }
+
+  test("qa_log.txt accumulates status lines across runs, reference format") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("graft-qalog").toString
+    QaLog.append(spark, out, Seq("INFO" -> "q_x: written"))
+    QaLog.append(spark, out, Seq(
+      "ERROR" -> "q_y: FAILED: boom",
+      "INFO" -> "q_z: skipped (target exists)"))
+    val lines = new String(
+      Files.readAllBytes(Paths.get(out, QaLog.LogName)), "UTF-8")
+      .split("\n").toSeq
+    assert(lines.length == 3, s"two appends must accumulate, got $lines")
+    // dailyLogger.py formatter shape: timestamp - name - LEVEL - message
+    assert(lines.head.matches(
+      """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} - graft\.runner - INFO - q_x: written"""),
+      lines.head)
+    assert(lines(1).contains(" - ERROR - q_y: FAILED: boom"))
+    assert(lines(2).contains(" - INFO - q_z: skipped (target exists)"))
+  }
 }
