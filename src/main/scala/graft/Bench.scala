@@ -28,7 +28,7 @@ object Bench {
     "q_chunk_dedup",
     "q_pack", "q_curation_funnel", "q_vocab", "q_bpe_pairs", "q_bpe_train",
     "q_quality_cap",
-    "q_dedup_incremental",
+    "q_dedup_incremental", "q_dedup_index_stats",
     "q_vector_health", "q_embed_quant",
     "q_embed_lsh", "q_ann_ivf", "q_ann_ivf_p2", "q_ann_pq", "q_ann_pq_rerank",
     "q_ann_sq",

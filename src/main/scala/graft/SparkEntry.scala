@@ -331,9 +331,29 @@ object SparkEntry {
   private val AnomalyMinDays = 4
 
   /** q_semantic_dedup: same deterministic centroid seeds as the ANN
-    * queries (vec_id % 50), same 0.4 cosine gate as the near-dup
+    * queries ([[annSeeds]]), same 0.4 cosine gate as the near-dup
     * queries — so the three vector surfaces stay comparable. */
   private val SemDedupThreshold = 0.4
+
+  /** Centroid seeds for the IVF/PQ/semantic-dedup family: every
+    * (√n)-th vec_id ([[VectorSearch.centroidStrideFor]] — cells grow
+    * as √n, keeping assignment AND in-cell quadratic work at n^1.5;
+    * the fixed ÷50 stride this replaces grew cells linearly and
+    * assignment quadratically, 12–21× at the 10× sf1 probe). The
+    * corpus count is one cheap parquet metadata action, memoized per
+    * data dir; the oracles replay round(sqrt(count(*))) off the same
+    * table. */
+  private val embCountMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def annSeeds(emb: DataFrame, d: String): DataFrame = {
+    val stride = VectorSearch.centroidStrideFor(
+      embCountMemo.getOrElseUpdate(d, emb.count()))
+    emb.where(col("vec_id") % stride === 0)
+  }
+
+  /** The oracle-side twin of [[annSeeds]]'s stride. */
+  private val CentroidStrideSql =
+    "(SELECT greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
 
   /** q_mixture: per-source target weights (unlisted sources weight 1)
     * and the token budget as a fraction of the corpus. Weights are
@@ -782,6 +802,10 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(IncrementMod)) === IncrementRem),
         docs.where(pmod(col("doc_id"), lit(IncrementMod)) =!= IncrementRem))
     }),
+    // LSH bucket-occupancy histogram of the published dedup index —
+    // the cap-engagement QA read before trusting an increment run
+    "q_dedup_index_stats" -> ((s, d) =>
+      NearDup.indexStats(Tables.documents(s, d))),
     "q_minhash_dedup" -> ((s, d) => NearDup.minhashDedup(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -802,22 +826,22 @@ object SparkEntry {
     }),
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      VectorSearch.ivfTopK(emb, emb.where(col("vec_id") % 50 === 0),
+      VectorSearch.ivfTopK(emb, annSeeds(emb, d),
         col("vec_id") < 10, 3)
     }),
     "q_ann_ivf_p2" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      VectorSearch.ivfTopK(emb, emb.where(col("vec_id") % 50 === 0),
+      VectorSearch.ivfTopK(emb, annSeeds(emb, d),
         col("vec_id") < 10, 3, nprobe = 2)
     }),
     "q_ann_pq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      VectorSearch.pqTopK(emb, emb.where(col("vec_id") % 50 === 0),
+      VectorSearch.pqTopK(emb, annSeeds(emb, d),
         col("vec_id") < 10, 5)
     }),
     "q_ann_pq_rerank" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      VectorSearch.pqTopKRerank(emb, emb.where(col("vec_id") % 50 === 0),
+      VectorSearch.pqTopKRerank(emb, annSeeds(emb, d),
         col("vec_id") < 10, 5)
     }),
     // Real PNG encode→decode round trip (javax.imageio); the oracle
@@ -1068,7 +1092,7 @@ object SparkEntry {
         AnomalyMinDays)),
     "q_semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      VectorSearch.semanticDedup(emb, emb.where(col("vec_id") % 50 === 0),
+      VectorSearch.semanticDedup(emb, annSeeds(emb, d),
         SemDedupThreshold)
     }),
     "q_mixture" -> ((s, d) =>
@@ -1548,7 +1572,7 @@ object SparkEntry {
       s"max(CASE WHEN r$j = 1 THEN centroid_id END) AS c$j")
     s"""e AS (SELECT vec_id, embedding FROM embeddings),
         cb AS (SELECT vec_id AS centroid_id, embedding FROM embeddings
-          WHERE vec_id % 50 = 0),
+          WHERE vec_id % $CentroidStrideSql = 0),
         wd AS (SELECT e.vec_id, cb.centroid_id, ${ds.mkString(", ")}
           FROM e CROSS JOIN cb),
         rk AS (SELECT *, ${rks.mkString(", ")} FROM wd),
@@ -2204,6 +2228,16 @@ object SparkEntry {
           FROM qsc)
           SELECT doc_id, source, quality_score, rk FROM rk
           WHERE rk <= $QualityPerSource ORDER BY source, rk""",
+    // bucket-size histogram off the same band CTEs; the stored size
+    // is cap-truncated exactly like the engine's sorted-prefix slice
+    "q_dedup_index_stats" ->
+      s"""WITH $MinhashVerCtes,
+          bsz AS (SELECT band, band_sig, count(*) AS sz
+            FROM bands GROUP BY 1, 2)
+          SELECT CAST(least(sz, ${NearDup.DefaultBucketCap}) AS INTEGER)
+              AS bucket_size,
+            count(*) AS n_buckets
+          FROM bsz GROUP BY 1 ORDER BY 1""",
     "q_dedup_incremental" ->
       s"""WITH $MinhashVerCtes,
           nw AS (SELECT doc_id FROM documents
@@ -2282,7 +2316,7 @@ object SparkEntry {
     "q_ann_ivf" ->
       s"""WITH e AS ($NormedEmbSql),
           ctr AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e
-            WHERE vec_id % 50 = 0),
+            WHERE vec_id % $CentroidStrideSql = 0),
           asg AS (SELECT e.vec_id, e.embedding, e.nrm, ctr.centroid_id,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,
@@ -2303,7 +2337,7 @@ object SparkEntry {
     "q_ann_ivf_p2" ->
       s"""WITH e AS ($NormedEmbSql),
           ctr AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e
-            WHERE vec_id % 50 = 0),
+            WHERE vec_id % $CentroidStrideSql = 0),
           asg AS (SELECT e.vec_id, e.embedding, e.nrm, ctr.centroid_id,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,
@@ -3776,7 +3810,7 @@ object SparkEntry {
     "q_semantic_dedup" ->
       s"""WITH e AS ($NormedEmbSql),
           ctr AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e
-            WHERE vec_id % 50 = 0),
+            WHERE vec_id % $CentroidStrideSql = 0),
           asg AS (SELECT e.vec_id, e.embedding, e.nrm, ctr.centroid_id,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,

@@ -421,9 +421,18 @@ object NearDup {
     * [[TextAnalysis.exactDedup]] first, then probe the corpus. */
   def dedupIncrement(newDocs: DataFrame, corpus: DataFrame, n: Int = 3,
                      k: Int = 32, bands: Int = 16, threshold: Double = 0.5,
-                     bucketCap: Int = DefaultBucketCap): DataFrame = {
+                     bucketCap: Int = DefaultBucketCap): DataFrame =
+    dedupIncrementAgainst(newDocs,
+      buildIncrementIndex(corpus, n, k, bands, bucketCap), threshold)
+
+  /** The increment-side probe of [[dedupIncrement]] against an
+    * already-built (or [[loadIncrementIndex]]-loaded) corpus index —
+    * the batch twin of
+    * [[graft.streaming.EventStream.nearDupProbe]]. */
+  def dedupIncrementAgainst(newDocs: DataFrame, idx: IncrementIndex,
+                            threshold: Double = 0.5): DataFrame = {
     import graft.functions.TextFunctions.normText
-    val idx = buildIncrementIndex(corpus, n, k, bands, bucketCap)
+    val (n, k, bands) = (idx.n, idx.k, idx.bands)
     val newFp = newDocs.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
     val exact = newFp.join(idx.fingerprints, Seq("fp"), "left_outer")
       .select(col("doc_id"), col("exact_match"))
@@ -458,10 +467,15 @@ object NearDup {
     * daily batch, and the streaming probe
     * ([[graft.streaming.EventStream.nearDupProbe]]) joins the SAME
     * artifacts stream-static — one index definition, two cadences.
-    * The signature frame is persisted (bucket build + verify both
-    * read it); release with `sigs.unpersist()` when retired. */
+    * The signature scan backing `buckets`/`sigs` is persisted (both
+    * read it); call [[IncrementIndex.release]] when retired. */
   case class IncrementIndex(fingerprints: DataFrame, buckets: DataFrame,
-                            sigs: DataFrame, n: Int, k: Int, bands: Int)
+                            sigs: DataFrame, n: Int, k: Int, bands: Int,
+                            private val backing: Option[DataFrame]) {
+    /** Unpersist the shared signature scan (no-op for a loaded
+      * index, whose frames are parquet-backed). */
+    def release(): Unit = backing.foreach(_.unpersist())
+  }
 
   def buildIncrementIndex(corpus: DataFrame, n: Int = 3, k: Int = 32,
                           bands: Int = 16,
@@ -478,8 +492,73 @@ object NearDup {
         .as("c_ids"))
     IncrementIndex(fp, buckets,
       sigC.select(col("doc_id").as("c_id"), col("sh").as("sh_c")),
-      n, k, bands)
+      n, k, bands, Some(sigC))
   }
+
+  /** Catalog table names for a published increment index. */
+  val DefaultDedupPrefix = "graft_dedup"
+  def fpTable(prefix: String): String = s"${prefix}_fp"
+  def bucketsTable(prefix: String): String = s"${prefix}_buckets"
+  def sigsTable(prefix: String): String = s"${prefix}_sigs"
+
+  /** Publish the corpus-side dedup index as catalog parquet tables —
+    * the [[graft.operators.AnnIndex.publish]] discipline for the
+    * dedup family: ONE corpus scan per snapshot writes the
+    * exact-fingerprint map, the capped band index and the shingle
+    * sets; every subsequent increment (batch [[dedupIncrement]]-style
+    * probe) or stream
+    * ([[graft.streaming.EventStream.nearDupProbe]]) probes the frozen
+    * artifacts instead of re-scanning 100 TB of corpus text. Probe
+    * results against a loaded index are row-identical to an
+    * in-session build (TextSpec proves it): the artifacts carry the
+    * exact shingle sets, so verification is exact either way.
+    * Re-publish on corpus snapshot advance, exactly like retraining
+    * ANN centroids on drift. */
+  def publishIncrementIndex(corpus: DataFrame, n: Int = 3, k: Int = 32,
+                            bands: Int = 16,
+                            bucketCap: Int = DefaultBucketCap,
+                            prefix: String = DefaultDedupPrefix): Unit = {
+    val idx = buildIncrementIndex(corpus, n, k, bands, bucketCap)
+    try {
+      graft.sources.Sources.publishTable(idx.fingerprints, fpTable(prefix))
+      graft.sources.Sources.publishTable(idx.buckets, bucketsTable(prefix))
+      graft.sources.Sources.publishTable(idx.sigs, sigsTable(prefix))
+    } finally idx.release()
+  }
+
+  /** Dedup-index health report: the LSH bucket-occupancy histogram
+    * (stored, i.e. cap-truncated, bucket sizes pooled across bands) —
+    * the QA an operator reads BEFORE trusting an increment run
+    * against a published index. A mass at `bucket_size = bucketCap`
+    * means the cap is binding (recall loss on whatever shares those
+    * buckets — re-shard with more bands or raise the cap); a healthy
+    * corpus shows a long tail of 1s and single-digit buckets. Cost:
+    * the same one corpus scan the index build pays; the oracle
+    * replays tokenize→minhash→band→cap in SQL, so cap engagement is
+    * gate-checked, not folklore. */
+  def indexStats(corpus: DataFrame, n: Int = 3, k: Int = 32,
+                 bands: Int = 16,
+                 bucketCap: Int = DefaultBucketCap): DataFrame =
+    buildIncrementIndex(corpus, n, k, bands, bucketCap).buckets
+      .groupBy(size(col("c_ids")).as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .orderBy(col("bucket_size"))
+
+  /** Load a published increment index. `n`/`k`/`bands` must match the
+    * publish-time values (they parameterize the PROBE side's shingle
+    * and band generation; the artifacts carry no metadata row by
+    * design — catalog tables stay pure data). A mismatch cannot
+    * corrupt silently: band sigs are formatted from k/bands, so wrong
+    * parameters produce zero bucket joins, and the increment spec
+    * pins the round trip. */
+  def loadIncrementIndex(spark: org.apache.spark.sql.SparkSession,
+                         n: Int = 3, k: Int = 32, bands: Int = 16,
+                         prefix: String = DefaultDedupPrefix): IncrementIndex =
+    IncrementIndex(
+      spark.table(fpTable(prefix)),
+      spark.table(bucketsTable(prefix)),
+      spark.table(sigsTable(prefix)),
+      n, k, bands, None)
 
   /** Bloom-pruned incremental EXACT dedup: the corpus's fingerprints
     * are reduced to one fixed-size bloom bitset

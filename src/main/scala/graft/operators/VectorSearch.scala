@@ -367,6 +367,25 @@ object VectorSearch extends Logging {
     k.toInt
   }
 
+  /** Corpus-derived centroid-seed stride: every `stride`-th vec_id
+    * seeds a cell, with `stride ≈ √n` so the cell count grows as √n —
+    * the knee of both curves this family pays: IVF assignment is
+    * n·cells and in-cell quadratic work is cells·(n/cells)², so
+    * cells = √n makes BOTH n^1.5, the blocked-quadratic optimum (a
+    * FIXED stride grows cells linearly and assignment quadratically —
+    * measured 12–21× at the 10× sf1 probe before this derivation; a
+    * FIXED cell count blows up the in-cell quadratic instead). Same
+    * derive-from-the-corpus contract as `Linkage.blockCharsFor` /
+    * `Affinity.wedgeSupportFor`: the oracle replays
+    * `round(sqrt(count(*)))` in SQL off the same table, so stride
+    * drift is a gate event. Rounding note: `sqrt(n)` can never land
+    * exactly on .5 for integral n ((k+.5)² is never integral), so
+    * JVM and SQL half-away rounding are always identical here. */
+  def centroidStrideFor(corpusCount: Long): Long = {
+    require(corpusCount > 0, "corpus must be non-empty")
+    math.max(1L, math.round(math.sqrt(corpusCount.toDouble)))
+  }
+
   /** SemDeDup-style semantic dedup: assign every vector to its nearest
     * centroid ([[assignCells]] — broadcast centroids, map-side argmax),
     * then mark a vector a duplicate iff a LOWER-id vector in the SAME

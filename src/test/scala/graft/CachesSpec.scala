@@ -52,4 +52,25 @@ class CachesSpec extends SparkSpec {
     Caches.clear()
     assert(operators.TextAnalysis.tfidf(docs, 3).count() == before)
   }
+
+  test("span family shares ONE seed frame per corpus across all three ops") {
+    import graft.operators.NearDup
+    Caches.clear()
+    val planted = NearDup.plantSpans(
+      Tables.documents(spark, sf("documents")))
+    assert(NearDup.spanDedup(planted, 8).count() > 0)
+    // the seed frame spanDedup built is memoized under the corpus
+    // plan — a second consumer must get a memo HIT, not rebuild the
+    // tokenize+hash scan (the round-6 3-scans-for-one-artifact cost)
+    var rebuilt = false
+    Caches.memo(planted, "neardup.seeds.8") { rebuilt = true; planted }
+    assert(!rebuilt,
+      "spanStrip/seedNovelty would rebuild the seed frame — memo key drifted")
+    val trackedBefore = Caches.tracked.size
+    NearDup.spanStrip(planted, 8).count()
+    NearDup.seedNovelty(planted, 8).count()
+    assert(Caches.tracked.size == trackedBefore,
+      "strip/novelty registered extra seed frames instead of sharing")
+    Caches.clear()
+  }
 }

@@ -195,6 +195,32 @@ class CurationSpec extends SparkSpec {
       && out(22L).getBoolean(3), "fresh doc is new")
   }
 
+  test("published dedup index probes row-identically to an in-session build") {
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = docs(10L -> body, 11L -> "an unrelated corpus document here")
+    val fresh = (1 to 30).map(i => s"z$i").mkString(" ")
+    val nearTxt = (1 to 28).map(i => s"w$i").mkString(" ") + " tail changed"
+    val newDocs = docs(20L -> body, 21L -> nearTxt, 22L -> fresh)
+    val direct = NearDup.dedupIncrement(newDocs, corpus).collect().toSeq
+    // publish once, probe the frozen catalog artifacts — the
+    // operational 100 TB cadence (index written per corpus snapshot,
+    // increments never re-scan corpus text)
+    val prefix = "graft_dedup_spec"
+    NearDup.publishIncrementIndex(corpus, prefix = prefix)
+    val loaded = NearDup.loadIncrementIndex(spark, prefix = prefix)
+    val served = NearDup.dedupIncrementAgainst(newDocs, loaded)
+      .collect().toSeq
+    assert(served == direct,
+      "probe against the loaded index must be row-identical")
+    // the loaded artifacts also serve the STREAMING probe shape: the
+    // exact+near verdicts come from the same three frames
+    Seq(NearDup.fpTable(prefix), NearDup.bucketsTable(prefix),
+      NearDup.sigsTable(prefix)).foreach { t =>
+      assert(spark.table(t).count() > 0)
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
+
   test("containment finds short-in-long dups that jaccard misses") {
     val short = (1 to 12).map(i => s"s$i").mkString(" ")
     val filler = (1 to 120).map(i => s"f$i").mkString(" ")

@@ -369,7 +369,7 @@ class EquivalenceSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), opt(r, 2), opt(r, 3), r.getBoolean(4)))
       .toSet
     assert(streamed == batch)
-    idx.sigs.unpersist()
+    idx.release()
   }
 
   test("publishStream appends each micro-batch to a catalog table") {

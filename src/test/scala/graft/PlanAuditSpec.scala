@@ -543,4 +543,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hll_sketch_agg"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("dedup index stats: join-free, one band shuffle then histogram") {
+    val p = plan("q_dedup_index_stats")
+    // scan → row-local minhash+band explode → bucket agg → size
+    // histogram → output sort: a Join here means the histogram
+    // re-derived something the capped bucket rows already carry; more
+    // than 3 exchanges (bucket hash, histogram hash, order range)
+    // means a stage stopped chaining
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Exchange".r.findAllIn(p).size <= 3, p.take(2000))
+  }
 }

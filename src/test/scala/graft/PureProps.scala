@@ -69,6 +69,14 @@ object PureProps extends Properties("graft") {
         }
     }
 
+  property("centroid stride tracks sqrt(n) within rounding") =
+    Prop.forAll(Gen.choose(1L, 4000000000000L)) { n =>
+      val s = graft.operators.VectorSearch.centroidStrideFor(n)
+      // stride = round(sqrt(n)) exactly — and sqrt(n) never ties at
+      // .5 for integral n, so JVM/SQL half-away rounding agree
+      s >= 1 && math.abs(s - math.sqrt(n.toDouble)) <= 0.5
+    }
+
   property("every cap constant is interpolated into its oracle (CAPS.md)") = {
     // the cap discipline requires the oracle SQL to replay each cap by
     // interpolating the SAME constant — a hardcoded literal in the SQL
