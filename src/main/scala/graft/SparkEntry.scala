@@ -748,7 +748,7 @@ object SparkEntry {
     // of the minhash path vs the exact index at the same threshold
     // (0.5 — pinned by the verify stage both here and in the oracle).
     "q_minhash_recall" -> ((s, d) =>
-      NearDup.minhashRecall(Tables.documentsFloored(s, d))),
+      NearDup.minhashRecallSampled(Tables.documentsFloored(s, d))),
     "q_containment" -> ((s, d) =>
       NearDup.containmentPairs(Tables.documentsFloored(s, d), 3,
         ContainmentThreshold)),
@@ -1526,10 +1526,18 @@ object SparkEntry {
     * verification stage (`ver` = (d1 < d2) verified pairs) — shared by
     * the one-hop q_minhash_dedup oracle and the recursive
     * connected-components q_dedup_clusters oracle. */
-  private lazy val MinhashVerCtes: String = {
+  private lazy val MinhashVerCtes: String = minhashVerCtes("TRUE")
+
+  /** The q_minhash_recall oracle's sample-modulus derivation — the
+    * SQL twin of [[graft.operators.NearDup.sampleModFor]]. */
+  private val SampleModSql =
+    s"(SELECT greatest(1, CAST(round(count(*) / ${NearDup.RecallSampleTarget}.0) AS BIGINT)) FROM documents)"
+
+  private def minhashVerCtes(docFilter: String): String = {
     val coefValues = NearDup.minhashCoefficients(32).zipWithIndex
       .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
-    s"""tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+    s"""tk AS (SELECT doc_id, $ToksSql AS toks FROM documents
+          WHERE $docFilter),
         t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),
         e AS (SELECT doc_id, unnest(sh) AS s FROM t),
         h AS (SELECT doc_id,
@@ -2032,9 +2040,12 @@ object SparkEntry {
           FROM (SELECT doc_id FROM documents) t LEFT JOIN sc USING (doc_id)
           ORDER BY t.doc_id""",
     // Replays BOTH legs: the minhash chain (ver, threshold 0.5 pinned
-    // in MinhashVerCtes) and the exact df-capped index at 0.5.
+    // in MinhashVerCtes) and the exact df-capped index at 0.5 — both
+    // restricted to the SAME corpus-derived doc sample the engine
+    // evaluates (full corpus at gate SFs, ~RecallSampleTarget docs
+    // above them).
     "q_minhash_recall" ->
-      s"""WITH $MinhashVerCtes,
+      s"""WITH ${minhashVerCtes(s"doc_id % $SampleModSql = 0")},
           je0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
           je AS (SELECT je0.* FROM je0 JOIN (SELECT s FROM je0 GROUP BY s
             HAVING count(*) <= ${NearDup.DefaultDfCap}) k USING (s)),

@@ -375,6 +375,42 @@ object NearDup {
     * baseline anywhere), so this eval can run corpus-wide, but its
     * operational home is a held-out sample re-checked whenever
     * bands/rows/cap parameters change. */
+  /** Evaluation-sample target for [[minhashRecallSampled]] —
+    * interpolated into the q_minhash_recall oracle's sample-modulus
+    * derivation, so engine and gate sample identically. */
+  val RecallSampleTarget = 5000L
+
+  /** Deterministic doc-sample modulus: every `mod`-th doc_id, with
+    * `mod ≈ n/target` so the sampled sub-corpus holds ~`target` docs
+    * at any corpus size. Same derive-from-the-corpus contract as
+    * [[graft.operators.VectorSearch.centroidStrideFor]]. Rounding:
+    * JVM half-up equals SQL half-away for positives, so the oracle's
+    * `round(count(*)/target)` always lands on the same modulus. */
+  def sampleModFor(corpusCount: Long,
+                   target: Long = RecallSampleTarget): Long = {
+    require(target > 0, "sample target must be positive")
+    math.max(1L, math.round(corpusCount.toDouble / target))
+  }
+
+  /** [[minhashRecall]] on a corpus-derived deterministic sample — the
+    * operational form at scale: recall/precision of the banding are
+    * PROPERTIES OF THE PARAMETERS (bands, rows, df cap), estimated
+    * unbiasedly from a sub-corpus; the full-corpus exact leg grows in
+    * the df² regime and is exactly what an evaluator need not pay
+    * (63× at the 10× sf1 probe before sampling). The modulus derives
+    * from the corpus count (~[[RecallSampleTarget]] docs kept), so
+    * the gate corpora — at or under the target — evaluate the FULL
+    * corpus: sampling engages only above gate scale, and the oracle
+    * replays the identical derivation, making the engaged regime
+    * gate-visible. Both legs restrict to the same sampled docs, so
+    * every reported pair is a true pair of the sub-corpus. */
+  def minhashRecallSampled(docs: DataFrame, n: Int = 3,
+                           threshold: Double = 0.5,
+                           target: Long = RecallSampleTarget): DataFrame = {
+    val mod = sampleModFor(docs.count(), target)
+    minhashRecall(docs.where(col("doc_id") % mod === 0), n, threshold)
+  }
+
   def minhashRecall(docs: DataFrame, n: Int = 3,
                     threshold: Double = 0.5): DataFrame = {
     val exact = jaccardPairs(docs, n, threshold)

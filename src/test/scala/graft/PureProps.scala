@@ -88,6 +88,7 @@ object PureProps extends Properties("graft") {
       "q_ngram_jaccard" -> s"<= ${NearDup.DefaultDfCap}",
       "q_containment" -> s"<= ${NearDup.DefaultDfCap}",
       "q_minhash_recall" -> s"<= ${NearDup.DefaultDfCap}",
+      "q_minhash_recall" -> s"/ ${NearDup.RecallSampleTarget}.0",
       "q_dedup_sweep" -> s"<= ${NearDup.DefaultDfCap}",
       "q_minhash_dedup" -> s"[1:${NearDup.DefaultBucketCap}]",
       "q_dedup_clusters" -> s"[1:${NearDup.DefaultBucketCap}]",
