@@ -345,9 +345,10 @@ object SparkEntry {
     * table. */
   private val embCountMemo =
     scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def embCount(emb: DataFrame, d: String): Long =
+    embCountMemo.getOrElseUpdate(d, emb.count())
   private def annSeeds(emb: DataFrame, d: String): DataFrame = {
-    val stride = VectorSearch.centroidStrideFor(
-      embCountMemo.getOrElseUpdate(d, emb.count()))
+    val stride = VectorSearch.centroidStrideFor(embCount(emb, d))
     emb.where(col("vec_id") % stride === 0)
   }
 
@@ -818,8 +819,14 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, d) => NearDup.simhashPairs(Tables.documents(s, d))),
     "q_embed_neardup" -> ((s, d) =>
       VectorSearch.cosineNearDup(Tables.embeddings(s, d), 0.4)),
-    "q_embed_lsh" -> ((s, d) =>
-      VectorSearch.srpNearDup(Tables.embeddings(s, d), 0.4)),
+    // corpus-derived plane count (srpParamsFor): gate corpora derive
+    // 12/20 planes, 100 TB derives more — the oracle replays the
+    // power-of-two ladder in SQL against a prefix-stable plane table
+    "q_embed_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorSearch.srpNearDup(emb, 0.4,
+        corpusCount = Some(embCount(emb, d)))
+    }),
     "q_ann_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       VectorSearch.bruteForceTopK(emb, emb.where(col("vec_id") < 10), 5)
@@ -1134,8 +1141,11 @@ object SparkEntry {
     // Eval harness: contains the deliberately-quadratic exact leg, so
     // like q_embed_neardup it is oracle-gated but not benched — at
     // scale it runs on a held-out sample.
-    "q_dedup_recall" -> ((s, d) =>
-      VectorSearch.nearDupRecall(Tables.embeddings(s, d), 0.4)),
+    "q_dedup_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorSearch.nearDupRecall(emb, 0.4,
+        corpusCount = Some(embCount(emb, d)))
+    }),
     "q_active_users" -> ((s, d) =>
       Journey.activeUsers(Tables.events(s, d), ActiveDays)),
     // Sketch twin of q_active_users: fixed-state per-day HLL sketches,
@@ -1479,19 +1489,30 @@ object SparkEntry {
 
   /** Oracle of VectorSearch.srpNearDup at 0.4 (plane literals, band
     * bucketing, capped sorted prefixes, exact verify) — shared by
-    * q_embed_lsh and the q_dedup_recall approximate leg. */
+    * q_embed_lsh and the q_dedup_recall approximate leg. The plane
+    * count is CORPUS-DERIVED on both sides: srpPlanes is
+    * prefix-stable (same seed, same generation order — plane i is
+    * identical whatever the total), so the SQL embeds literals for
+    * the first 64 planes (enough for 4·2^16·64 ≈ 4.2M vectors) and
+    * replays srpParamsFor's integer power-of-two ladder
+    * (`pb.per_band` = smallest p ≥ 2 with n ≤ 64·2^p) to pick how
+    * many it uses and how they band. */
   private lazy val EmbedLshSql = {
-    val planeValues = VectorSearch.srpPlanes(16, 64).zipWithIndex
+    val planeValues = VectorSearch.srpPlanes(64, 64).zipWithIndex
       .map { case (arr, i) => s"($i, [${arr.map(_.toInt).mkString(", ")}])" }
       .mkString(", ")
     s"""WITH planes(i, vals) AS (VALUES $planeValues),
+        pb AS (SELECT greatest(2, min(p)) AS per_band
+          FROM range(2, 17) t(p)
+          WHERE (SELECT count(*) FROM embeddings) <= 64 * (1 << p)),
         e AS ($NormedNonzeroEmbSql),
         bits AS (SELECT e.vec_id, planes.i,
           CASE WHEN list_reduce(list_transform(range(1, 65),
             k -> CAST(e.embedding[k] AS DOUBLE) * vals[k]), (x, y) -> x + y) >= 0
           THEN 1 ELSE 0 END AS bit
-          FROM e CROSS JOIN planes),
-        bands AS (SELECT vec_id, i // 4 AS band,
+          FROM e CROSS JOIN planes
+          WHERE planes.i < 4 * (SELECT per_band FROM pb)),
+        bands AS (SELECT vec_id, i // (SELECT per_band FROM pb) AS band,
           string_agg(CAST(bit AS VARCHAR), ',' ORDER BY i) AS sig
           FROM bits GROUP BY 1, 2),
         buckets AS (SELECT band, sig,

@@ -325,10 +325,11 @@ object VectorSearch extends Logging {
     * after a parameter change is a gate event, not a silent skew.
     * One full-outer join of the two (small) pair sets; counts are
     * integer sums, the two ratios exact IEEE divisions. */
-  def nearDupRecall(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def nearDupRecall(embeddings: DataFrame, threshold: Double,
+                    corpusCount: Option[Long] = None): DataFrame = {
     val exact = cosineNearDup(embeddings, threshold)
       .select(col("v1"), col("v2"), lit(1).as("in_exact"))
-    val approx = srpNearDup(embeddings, threshold)
+    val approx = srpNearDup(embeddings, threshold, corpusCount = corpusCount)
       .select(col("v1"), col("v2"), lit(1).as("in_approx"))
     exact.join(approx, Seq("v1", "v2"), "full_outer")
       .agg(
@@ -497,8 +498,13 @@ object VectorSearch extends Logging {
   def srpParamsFor(corpusCount: Long, bands: Int = 4,
                    targetBucket: Int = 64): (Int, Int) = {
     require(corpusCount > 0 && bands > 0 && targetBucket > 0)
-    val perBand = math.max(2,
-      math.ceil(math.log(corpusCount.toDouble / targetBucket) / math.log(2.0)).toInt)
+    // integer power-of-two ladder, NOT float log2: the oracle replays
+    // this derivation in SQL, and float log at an exact power-of-two
+    // boundary can round to either side of the integer depending on
+    // the engine's libm — the ladder cannot
+    var perBand = 2
+    while (corpusCount > targetBucket.toLong * (1L << perBand) && perBand < 60)
+      perBand += 1
     (bands * perBand, bands)
   }
 

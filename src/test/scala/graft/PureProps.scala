@@ -77,6 +77,14 @@ object PureProps extends Properties("graft") {
       s >= 1 && math.abs(s - math.sqrt(n.toDouble)) <= 0.5
     }
 
+  property("srp plane derivation is the integer power-of-two ladder") =
+    Prop.forAll(Gen.choose(1L, 4000000L)) { n =>
+      val (planes, bands) = graft.operators.VectorSearch.srpParamsFor(n)
+      // the oracle's SQL twin: smallest p in [2, 16] with n <= 64*2^p
+      val p = (2 to 16).find(p => n <= 64L * (1L << p)).get
+      planes == 4 * p && bands == 4
+    }
+
   property("every cap constant is interpolated into its oracle (CAPS.md)") = {
     // the cap discipline requires the oracle SQL to replay each cap by
     // interpolating the SAME constant — a hardcoded literal in the SQL
