@@ -841,6 +841,12 @@ object SparkEntry {
       VectorSearch.ivfTopK(emb, annSeeds(emb, d),
         col("vec_id") < 10, 3, nprobe = 2)
     }),
+    // recall@3 of q_ann_ivf's serving path vs the exact top-3 — the
+    // ANN twin of q_dedup_recall, linear in the corpus (fixed queries)
+    "q_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorSearch.annRecall(emb, annSeeds(emb, d), col("vec_id") < 10, 3)
+    }),
     "q_ann_pq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       VectorSearch.pqTopK(emb, annSeeds(emb, d),
@@ -2345,6 +2351,48 @@ object SparkEntry {
             round(c, 6) AS cos FROM s)
           SELECT query_id, neighbor_id, "rank", cos FROM r
           WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+    // both legs at rank <= 3 with identical tie-breaks, full-outer
+    // joined per (query, neighbor), rolled up per query
+    "q_ann_recall" ->
+      s"""WITH e AS ($NormedEmbSql),
+          ctr AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e
+            WHERE vec_id % $CentroidStrideSql = 0),
+          asg AS (SELECT e.vec_id, e.embedding, e.nrm, ctr.centroid_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,
+                       ctr.centroid_id) AS rk
+            FROM e CROSS JOIN ctr WHERE e.nrm <> 0 AND ctr.nrm <> 0),
+          a2 AS (SELECT vec_id, embedding, nrm, centroid_id FROM asg
+            WHERE rk = 1),
+          q AS (SELECT vec_id AS query_id, embedding, nrm, centroid_id
+            FROM a2 WHERE vec_id < 10),
+          s AS (SELECT query_id, a2.vec_id AS neighbor_id,
+            ${dotSql("q", "a2")} / (q.nrm * a2.nrm) AS c
+            FROM q JOIN a2 USING (centroid_id) WHERE query_id <> a2.vec_id),
+          r AS (SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY c DESC, neighbor_id) AS rk FROM s),
+          ap AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 3),
+          bq AS (SELECT * FROM e WHERE vec_id < 10),
+          bs AS (SELECT bq.vec_id AS query_id, e.vec_id AS neighbor_id,
+            ${dotSql("bq", "e")} / (bq.nrm * e.nrm) AS c
+            FROM bq JOIN e ON bq.vec_id <> e.vec_id),
+          br AS (SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY c DESC, neighbor_id) AS rk FROM bs),
+          ex AS (SELECT query_id, neighbor_id FROM br WHERE rk <= 3),
+          fo AS (SELECT coalesce(ex.query_id, ap.query_id) AS query_id,
+            CASE WHEN ex.query_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
+            CASE WHEN ap.query_id IS NOT NULL THEN 1 ELSE 0 END AS in_approx
+            FROM ex FULL OUTER JOIN ap
+              ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id)
+          SELECT query_id,
+            CAST(sum(in_exact) AS BIGINT) AS n_exact,
+            CAST(sum(in_approx) AS BIGINT) AS n_approx,
+            CAST(sum(in_exact * in_approx) AS BIGINT) AS n_both,
+            CAST(sum(in_exact * in_approx) AS DOUBLE) /
+              nullif(CAST(sum(in_exact) AS BIGINT), 0) AS recall
+          FROM fo GROUP BY query_id ORDER BY query_id""",
     "q_ann_ivf" ->
       s"""WITH e AS ($NormedEmbSql),
           ctr AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e

@@ -343,6 +343,34 @@ object VectorSearch extends Logging {
         col("n_both").cast("double") / nullif(col("n_exact"), lit(0L)))
   }
 
+  /** ANN recall@k: per-query overlap of the IVF top-k with the exact
+    * brute-force top-k at the same k and tie-breaks (desc cosine,
+    * asc vec_id) — the serving-quality twin of [[nearDupRecall]].
+    * recall < 1 on a query localizes cell-boundary loss (true
+    * neighbors assigned to cells the probe never visited — raise
+    * `nprobe` or retrain centroids); n_approx < k localizes thin
+    * cells. The brute leg is LINEAR (fixed query set × corpus,
+    * broadcast queries), so unlike the all-pairs evaluators this one
+    * runs corpus-wide at any scale. Output one row per query:
+    * (query_id, n_exact, n_approx, n_both, recall). */
+  def annRecall(embeddings: DataFrame, centroids: DataFrame,
+                queryFilter: Column, k: Int, nprobe: Int = 1): DataFrame = {
+    val exact = bruteForceTopK(embeddings, embeddings.where(queryFilter), k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("in_exact"))
+    val approx = ivfTopK(embeddings, centroids, queryFilter, k, nprobe)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("in_approx"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "full_outer")
+      .groupBy(col("query_id"))
+      .agg(
+        coalesce(sum(col("in_exact")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("in_approx")), lit(0L)).as("n_approx"),
+        coalesce(sum(col("in_exact") * col("in_approx")), lit(0L))
+          .as("n_both"))
+      .withColumn("recall",
+        col("n_both").cast("double") / nullif(col("n_exact"), lit(0L)))
+      .orderBy(col("query_id"))
+  }
+
   /** Centroid count for [[semanticDedup]] at a given corpus size: the
     * cell count must scale WITH the corpus (k ≈ N / targetCell) or the
     * within-cell pair stage degrades quadratically — fixed k means

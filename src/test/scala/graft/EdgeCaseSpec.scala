@@ -507,4 +507,18 @@ class EdgeCaseSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L)))
   }
+
+  test("increment probe against an empty corpus marks everything new") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val inc = Seq(1L -> "some brand new document text here",
+      2L -> "").toDF("doc_id", "text")
+    val idx = NearDup.buildIncrementIndex(corpus)
+    val out = NearDup.dedupIncrementAgainst(inc, idx).collect()
+      .map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq((1L, true, true, true), (2L, true, true, true)))
+    // and the index health report of an empty corpus is an empty
+    // histogram, not a failure
+    assert(NearDup.indexStats(corpus).collect().isEmpty)
+    idx.release()
+  }
 }
