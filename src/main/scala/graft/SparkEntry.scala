@@ -1114,6 +1114,8 @@ object SparkEntry {
     "q_props_health" -> ((s, d) => Analytics.propsHealth(Tables.events(s, d))),
     "q_search" -> ((s, d) =>
       TextAnalysis.searchTopK(Tables.documents(s, d), SearchTerms, SearchK)),
+    "q_search_bm25" -> ((s, d) =>
+      TextAnalysis.searchBm25(Tables.documents(s, d), SearchTerms, SearchK)),
     "q_qa_orphans" -> ((s, d) =>
       DataChecks.coverageCheck(Tables.events(s, d),
         Tables.customer(s, d).where(col("c_custkey") < PanelMaxKey),
@@ -3967,6 +3969,35 @@ object SparkEntry {
               CAST(sum(tf) AS BIGINT) AS n_hits,
               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                 list(w ORDER BY term)), (x, y) -> x + y) AS score
+            FROM sc GROUP BY 1)
+          SELECT doc_id, n_terms, n_hits, score FROM ag
+          ORDER BY score DESC, doc_id LIMIT $SearchK"""
+    },
+    // same hit/df/dl CTEs as the engine; the fold is term-sorted and
+    // the k-cut orders by the ROUNDED score (ln is the one libm op —
+    // see searchBm25 scaladoc)
+    "q_search_bm25" -> {
+      val terms = SearchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+          st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+          ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+          h AS (SELECT doc_id, term, count(*) AS tf FROM ex
+            WHERE term IN ($terms) GROUP BY 1, 2),
+          dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM h
+            GROUP BY 1),
+          sc AS (SELECT h.doc_id, h.term, h.tf,
+              ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                (h.tf * (1.2 + 1)) /
+                (h.tf + 1.2 * (CAST(1 AS DOUBLE) - 0.75 +
+                  0.75 * dl.dl / st.avgdl)) AS w
+            FROM h JOIN dfq USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN st),
+          ag AS (SELECT doc_id, count(*) AS n_terms,
+              CAST(sum(tf) AS BIGINT) AS n_hits,
+              round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(w ORDER BY term)), (x, y) -> x + y), 6) AS score
             FROM sc GROUP BY 1)
           SELECT doc_id, n_terms, n_hits, score FROM ag
           ORDER BY score DESC, doc_id LIMIT $SearchK"""

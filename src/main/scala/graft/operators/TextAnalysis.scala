@@ -602,6 +602,57 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 ranking over the same inverted hit frame as [[searchTopK]]
+    * (Robertson–Spärck Jones, the retrieval baseline every curation
+    * ranker starts from): k1/b defaults 1.2/0.75,
+    * idf = ln(1 + (N − df + ½)/(df + ½)), per-term weight
+    * idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)). Plan shape is
+    * searchTopK's: one (doc, term) shuffle for the query terms only,
+    * broadcast df and corpus stats, TakeOrdered top-k. Determinism:
+    * the per-doc sum folds term-sorted (same discipline as
+    * searchTopK), and the final ordering uses the ROUNDED score with
+    * a doc_id tie-break — `ln` is the one non-exactly-rounded
+    * operation in the engine/oracle pair, so ordering by the raw
+    * double would let a last-ulp libm disagreement flip the k-cut.
+    * dl/avgdl derive from the same tokenizer as the hits; avgdl is
+    * one exact division of two integer aggregates. */
+  def searchBm25(docs: DataFrame, queryTerms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "searchBm25 needs at least one term")
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .transform(graft.Caches.hold)
+    val docLen = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = docLen.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val hits = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = hits.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    hits
+      .join(broadcast(dfT), "term")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("tf")).as("n_hits"),
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("score"))
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Corpus-frequency unigram LM score — the word-frequency
     * "typicality" quality signal (the log-free stand-in for CCNet's LM
     * perplexity filter): docs built from corpus-rare tokens score low
