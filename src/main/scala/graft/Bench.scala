@@ -18,7 +18,7 @@ object Bench {
     "q_qa_flags", "q_profile", "q_lang_id",
     "q_text_quality", "q_token_count", "q_fingerprint", "q_repetition",
     "q_compress_ratio",
-    "q_quality_filter", "q_dedup_exact",
+    "q_quality_filter", "q_dedup_exact", "q_quality_dup_calib",
     "q_ngram_jaccard", "q_dedup_sweep", "q_span_dedup", "q_span_strip",
     "q_novelty", "q_containment",
     "q_minhash_dedup", "q_minhash_recall",

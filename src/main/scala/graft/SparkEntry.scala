@@ -731,6 +731,9 @@ object SparkEntry {
     "q_quality_filter" -> ((s, d) =>
       TextAnalysis.qualityFilter(Tables.documentsFloored(s, d))),
     "q_dedup_exact" -> ((s, d) => TextAnalysis.exactDedup(Tables.documents(s, d))),
+    // cross-signal QA: fixed-width quality bands x exact-dup flags
+    "q_quality_dup_calib" -> ((s, d) =>
+      TextAnalysis.qualityDupCalibration(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) =>
       NearDup.jaccardPairs(Tables.documentsFloored(s, d), 3, 0.3)),
     "q_dedup_sweep" -> ((s, d) =>
@@ -1986,6 +1989,23 @@ object SparkEntry {
           SELECT doc_id, fingerprint, rep_id,
             CAST(doc_id <> rep_id AS INTEGER) AS is_dup
           FROM r ORDER BY doc_id""",
+    // NULL-score docs band as NULL via the explicit CASE — both
+    // engines' `least` skips NULLs and would silently put empty docs
+    // in the TOP band
+    "q_quality_dup_calib" ->
+      s"""WITH $QualityScoreCtes,
+          f AS (SELECT doc_id, md5($NormSql) AS fingerprint FROM documents),
+          r AS (SELECT doc_id, CASE WHEN doc_id <> min(doc_id)
+              OVER (PARTITION BY fingerprint) THEN 1 ELSE 0 END AS is_dup
+            FROM f),
+          bd AS (SELECT doc_id, CASE WHEN quality_score IS NULL THEN NULL
+              ELSE CAST(least(floor(quality_score * 10), 9) AS INTEGER)
+            END AS quality_band FROM qsc)
+          SELECT quality_band, count(*) AS n_docs,
+            CAST(sum(is_dup) AS BIGINT) AS n_dups,
+            CAST(sum(is_dup) AS DOUBLE) / count(*) AS dup_rate
+          FROM bd JOIN r USING (doc_id)
+          GROUP BY 1 ORDER BY 1""",
     "q_ngram_jaccard" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
           t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),

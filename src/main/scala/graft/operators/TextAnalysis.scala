@@ -740,6 +740,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-vs-duplication calibration: fixed-width quality bands
+    * (floor(score·10), capped at 9) crossed with [[exactDedup]]'s dup
+    * flags — the cross-signal QA that tells a curator whether the
+    * quality score and the dedup family agree on what junk looks like
+    * (boilerplate-heavy corpora show dup_rate falling as quality
+    * rises; a FLAT profile says the score is missing what dedup
+    * catches, and vice versa). Bands are ROW-LOCAL by design — a
+    * decile NTILE would be a global single-partition window, the
+    * scale anti-pattern this engine bans; fixed-width bands cost one
+    * aggregate and mean the same thing at any corpus size. Docs with
+    * NULL scores (empty text) band as NULL, kept as their own row —
+    * an explicit guard, because both engines' `least` skips NULLs and
+    * would otherwise promote empty docs to the TOP band. Cost: the
+    * dedup's fingerprint shuffle + one band aggregate. */
+  def qualityDupCalibration(docs: DataFrame): DataFrame = {
+    val bands = qualityFrame(docs, Nil).select(col("doc_id"),
+      when(col("quality_score").isNull, lit(null))
+        .otherwise(least(floor(col("quality_score") * 10), lit(9)))
+        .cast("int").as("quality_band"))
+    val dups = exactDedup(docs).select(col("doc_id"), col("is_dup"))
+    bands.join(dups, "doc_id")
+      .groupBy(col("quality_band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
+      .withColumn("dup_rate",
+        col("n_dups").cast("double") / col("n_docs"))
+      .orderBy(col("quality_band"))
+  }
+
   /** Language-ID accuracy evaluation: the confusion matrix of
     * [[languageId]]'s prediction against the labeled `lang` column —
     * per (actual, predicted) pair the doc count and the share of the

@@ -544,6 +544,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("bm25 search: broadcast stat sides, TakeOrdered k-cut") {
+    val p = plan("q_search_bm25")
+    // df/avgdl are term- and single-row-sized: they must broadcast,
+    // and the k-cut must be TakeOrdered, never a global sort
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("ann recall: broadcast query sides, no cartesian product") {
+    val p = plan("q_ann_recall")
+    // the fixed query set broadcasts into both legs (brute leg is a
+    // BroadcastNestedLoop by design); a CartesianProduct here means a
+    // corpus x corpus expansion crept in
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("dedup index stats: join-free, one band shuffle then histogram") {
     val p = plan("q_dedup_index_stats")
     // scan → row-local minhash+band explode → bucket agg → size
