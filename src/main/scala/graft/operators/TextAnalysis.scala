@@ -214,6 +214,24 @@ object TextAnalysis {
                     maxSymbolWordRatio: Double = 0.1,
                     maxBulletLineFrac: Double = 0.9,
                     maxEllipsisLineFrac: Double = 0.3): DataFrame =
+    qualityFilterUnordered(docs, minTokens, maxDupLineFrac,
+      maxTopBigramFrac, minStopHits, minMeanWordLen, maxMeanWordLen,
+      maxSymbolWordRatio, maxBulletLineFrac, maxEllipsisLineFrac)
+      .orderBy(col("doc_id"))
+
+  /** [[qualityFilter]] without the presentation sort — every signal
+    * and the keep/reason verdict is ROW-LOCAL, so this shape runs
+    * unchanged on an unbounded stream
+    * ([[graft.streaming.EventStream.qualityFilterStream]]). */
+  def qualityFilterUnordered(docs: DataFrame, minTokens: Int = 20,
+                    maxDupLineFrac: Double = 0.3,
+                    maxTopBigramFrac: Double = 0.08,
+                    minStopHits: Int = 1,
+                    minMeanWordLen: Double = 3.0,
+                    maxMeanWordLen: Double = 4.8,
+                    maxSymbolWordRatio: Double = 0.1,
+                    maxBulletLineFrac: Double = 0.9,
+                    maxEllipsisLineFrac: Double = 0.3): DataFrame =
     repetitionFrame(docs)
       // raw newline lines staged once — two line-shape signals read it
       .withColumn("rawlines", when(col("text").isNotNull,
@@ -255,7 +273,6 @@ object TextAnalysis {
         col("dup_line_frac"), col("top_bigram_frac"), col("stop_hits"),
         col("mean_word_len"), col("symbol_word_ratio"),
         col("bullet_line_frac"), col("ellipsis_line_frac"))
-      .orderBy(col("doc_id"))
 
   /** Corpus vocabulary: top-`topN` terms by occurrence (ties broken
     * by term), with corpus-wide occurrence and document frequencies —

@@ -178,6 +178,19 @@ object EventStream {
         col("exact_match"), col("near_match"), col("is_new"))
   }
 
+  /** Streaming composite quality filter — the Gopher-style keep/drop
+    * verdict (named reasons) of
+    * [[graft.operators.TextAnalysis.qualityFilter]] applied as
+    * documents ARRIVE: every signal (token count, dup-line fraction,
+    * top-bigram share, stopword hits, word-length band, symbol/
+    * bullet/ellipsis shares) is row-local, so the stream plan is ONE
+    * select — no state, no watermark, verdicts at ingest latency
+    * instead of a nightly batch (the scan-before-ingest shape, like
+    * [[canaryScanStream]]). EquivalenceSpec proves stream verdicts
+    * equal the batch operator's on the same docs. */
+  def qualityFilterStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.qualityFilterUnordered(docs)
+
   /** Streaming canary scan — the stateless one-pass Aho–Corasick DFA
     * ([[graft.operators.Curation.canaryScan]]) over an unbounded doc
     * stream: ONE `select`, no state, no watermark, so every

@@ -77,6 +77,29 @@ class EquivalenceSpec extends SparkSpec {
     assert(streamedP == batchP && batchP.exists(_._2 > 0L))
   }
 
+  test("streaming quality filter equals the batch verdicts") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val q = EventStream.qualityFilterStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("eq_qf")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("eq_qf").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    val batch = graft.operators.TextAnalysis.qualityFilter(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sorted.toSeq
+    assert(streamed == batch)
+    // both verdict classes must actually occur or the test proves
+    // nothing about the reason chain
+    assert(batch.exists(_._2 == 1) && batch.exists(_._2 == 0))
+  }
+
   test("streaming dailyActive equals batch activeUsers on finalized days") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))
