@@ -120,4 +120,32 @@ object Layout {
           .as("rows_frac"))
       .orderBy(col("dim"), col("probe_ix"))
   }
+
+  /** The clustered WRITE that [[zorderReport]] plans and
+    * [[fileSkipping]] scores: z-value each row on the (user, time)
+    * plane, range-partition into `files` z-ranges, sort within each,
+    * write parquet. ONE range exchange at any scale — this is the
+    * lakehouse OPTIMIZE ZORDER maintenance pass, so each written
+    * file's min/max footer stats bound a small rectangle in both
+    * dimensions and either-dimension range scans prune most files
+    * (LayoutSpec reads the files back and asserts both spans).
+    * The helper z columns are dropped before writing: the layout is
+    * the product, the key is derivable. `repartitionByRange` samples
+    * range boundaries, so file SIZES are approximate — acceptable for
+    * a maintenance pass whose contract is footer-stat quality, not
+    * exact file counts. */
+  def writeZOrdered(events: DataFrame, path: String,
+                    files: Int = 64): Unit = {
+    require(Integer.bitCount(files) == 1 && files <= (1 << (2 * DimBits)),
+      s"files must be a power of two up to ${1 << (2 * DimBits)}, got $files")
+    events
+      .withColumn("_ux", pmod(col("user_id"), lit(DimCells.toLong)))
+      .withColumn("_ty",
+        pmod(expr("unix_timestamp(ts) div 3600"), lit(DimCells.toLong)))
+      .withColumn("_z", zValue(col("_ux"), col("_ty")))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_ux", "_ty", "_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -508,6 +508,36 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L)))
   }
 
+  test("bm25 handles absent terms, empty docs, and short corpora") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "the spark engine streams the window"),
+      (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "no match here at all")).toDF("doc_id", "text")
+    // only doc 1 matches; absent terms contribute nothing, empty/null
+    // docs never surface, and k larger than the hit set is safe
+    val out = TextAnalysis.searchBm25(df, Seq("spark", "window", "zzz"), 10)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out.head.getLong(1) == 2L, "two of three terms matched")
+    assert(out.head.getDouble(3) > 0.0)
+    // no query term anywhere -> empty result, not a failure
+    assert(TextAnalysis.searchBm25(df, Seq("zzz"), 5).collect().isEmpty)
+  }
+
+  test("quality-dup calibration bands NULL scores as NULL, not top band") {
+    import graft.operators.TextAnalysis
+    val good = (1 to 120).map(i => s"the and of to is a word$i").mkString(" ")
+    val df = Seq(1L -> good, 2L -> good, 3L -> "").toDF("doc_id", "text")
+    val out = TextAnalysis.qualityDupCalibration(df).collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // the empty doc lands in the NULL band (alpha_ratio null), never 9
+    assert(out.contains(-1) && out(-1) == ((1L, 0L)))
+    // the duplicated good doc's band carries exactly one dup
+    assert(out.exists { case (b, (n, d)) => b >= 0 && n == 2L && d == 1L })
+  }
+
   test("increment probe against an empty corpus marks everything new") {
     val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val inc = Seq(1L -> "some brand new document text here",

@@ -42,6 +42,37 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrdered: written files bound BOTH dims' footer stats") {
+    val rows = for { u <- 0L until 1024L by 8; h <- 0L until 1024L by 8 }
+      yield (u, new java.sql.Timestamp(h * 3600L * 1000L))
+    val df = rows.toDF("user_id", "ts")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString
+    Layout.writeZOrdered(df, out, files = 64)
+    val back = spark.read.parquet(out)
+    assert(back.count() == rows.size.toLong, "rows preserved")
+    assert(back.columns.toSeq == Seq("user_id", "ts"),
+      "helper z columns must not leak into the layout")
+    // per physical file, recompute the cell coordinates and check the
+    // min/max rectangle a scan planner would prune with: range
+    // boundary sampling can merge adjacent z-ranges, so the bound is
+    // 2 z-widths (256 cells), still ~4x better per dim than the 1024
+    // a single-dim sort leaves the trailing dimension
+    val spans = back
+      .select(input_file_name().as("f"),
+        pmod(col("user_id"), lit(1024L)).as("ux"),
+        pmod(expr("unix_timestamp(ts) div 3600"), lit(1024L)).as("ty"))
+      .groupBy(col("f"))
+      .agg((max(col("ux")) - min(col("ux"))).as("us"),
+        (max(col("ty")) - min(col("ty"))).as("ts"))
+      .collect()
+    assert(spans.length > 8, "clustering must produce many files")
+    spans.foreach { r =>
+      assert(r.getLong(1) <= 255L, s"user span ${r.getLong(1)} too wide")
+      assert(r.getLong(2) <= 255L, s"time span ${r.getLong(2)} too wide")
+    }
+  }
+
   test("fileSkipping: aligned z-files skip 7/8 of files on every probe") {
     // same full-coverage grid: 64 z-files are 128x128 ALIGNED
     // rectangles, and each 128-wide probe band intersects exactly the
