@@ -125,6 +125,10 @@ object SparkEntry {
   private val KAnonK = 5
   private val KAnonBalBand = 1000
 
+  /** q_l_diversity: distinct sensitive (balance-band) values each
+    * (nation, segment) class must carry. */
+  private val LDiversityL = 3
+
   /** q_forecast_naive: seasonal lag in days (same weekday last week). */
   private val ForecastLagDays = 7
 
@@ -1012,6 +1016,8 @@ object SparkEntry {
         PathMaxLen, PathTopN)),
     "q_attribution" -> ((s, d) =>
       Temporal.attribution(Tables.events(s, d), AttribDays)),
+    "q_attribution_decay" -> ((s, d) =>
+      Temporal.attributionDecay(Tables.events(s, d), AttribDays)),
     "q_dq_rules" -> ((s, d) =>
       DataChecks.ruleCheck(Tables.orders(s, d), orderRules)),
     "q_ooo_audit" -> ((s, d) =>
@@ -1040,6 +1046,15 @@ object SparkEntry {
         "segment" -> col("c_mktsegment"),
         "bal_band" -> floor(col("c_acctbal") / KAnonBalBand).cast("bigint")),
         KAnonK)),
+    // l-diversity over the coarser (nation, segment) classes with the
+    // balance band as the SENSITIVE attribute — the homogeneity-attack
+    // audit on top of q_k_anon
+    "q_l_diversity" -> ((s, d) =>
+      Privacy.lDiversity(Tables.customer(s, d), Seq(
+        "nationkey" -> col("c_nationkey"),
+        "segment" -> col("c_mktsegment")),
+        "bal_band" -> floor(col("c_acctbal") / KAnonBalBand).cast("bigint"),
+        LDiversityL)),
     "q_forecast_naive" -> ((s, d) =>
       Temporal.forecastNaive(Tables.events(s, d), ForecastLagDays)),
     "q_autocorr" -> ((s, d) =>
@@ -3298,6 +3313,38 @@ object SparkEntry {
             CAST(CAST(sum(credit) AS BIGINT) AS DOUBLE) / 100000000.0
               AS credited_value
           FROM cr GROUP BY 1 ORDER BY 1""",
+    // Same pairing as q_attribution; integer power-of-two day weights
+    // and micro-cent credit division, so sums replay exactly
+    "q_attribution_decay" ->
+      s"""WITH p AS (SELECT user_id, ts AS end_ts,
+            ts - INTERVAL $AttribDays DAYS AS start_ts,
+            event_id AS purchase_id,
+            CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'),
+          x AS (SELECT user_id, ts, event_type AS channel FROM events
+            WHERE event_type <> 'purchase'),
+          pairs AS (SELECT purchase_id, cents, channel,
+              (epoch_us(end_ts) - epoch_us(x.ts)) // 86400000000 AS age
+            FROM p JOIN x ON x.user_id = p.user_id
+              AND x.ts >= p.start_ts AND x.ts < p.end_ts),
+          pw AS (SELECT purchase_id, cents, channel,
+              (CAST(1 AS BIGINT) <<
+                greatest(0, $AttribDays - 1 - CAST(age AS INT))) AS w
+            FROM pairs WHERE age < $AttribDays),
+          pc AS (SELECT purchase_id, cents, channel,
+              CAST(sum(w) AS BIGINT) AS wsum, count(*) AS k
+            FROM pw GROUP BY 1, 2, 3),
+          pn AS (SELECT *, CAST(sum(wsum) OVER (PARTITION BY purchase_id)
+              AS BIGINT) AS tw FROM pc),
+          cr AS (SELECT channel, k,
+              (cents * 1000000 * wsum) // tw AS credit FROM pn
+            UNION ALL
+            SELECT '(none)', 1, cents * 1000000 FROM p
+              WHERE purchase_id NOT IN (SELECT purchase_id FROM pc))
+          SELECT channel, CAST(sum(k) AS BIGINT) AS n_credits,
+            CAST(CAST(sum(credit) AS BIGINT) AS DOUBLE) / 100000000.0
+              AS credited_value
+          FROM cr GROUP BY 1 ORDER BY 1""",
     // Replays the planted shift with integer epoch arithmetic, then
     // the two-phase prefix max as ONE flat global window (a prefix max
     // is partition-boundary-independent, so the values agree).
@@ -3387,6 +3434,14 @@ object SparkEntry {
             CAST(floor(c_acctbal / $KAnonBalBand) AS BIGINT) AS bal_band,
             count(*) AS class_size, count(*) >= $KAnonK AS anonymous
           FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_l_diversity" ->
+      s"""SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+            count(*) AS class_size,
+            count(DISTINCT CAST(floor(c_acctbal / $KAnonBalBand) AS BIGINT))
+              AS n_sensitive,
+            count(DISTINCT CAST(floor(c_acctbal / $KAnonBalBand) AS BIGINT))
+              >= $LDiversityL AS diverse
+          FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_forecast_naive" ->
       s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
             count(*) AS n FROM events GROUP BY 1, 2),

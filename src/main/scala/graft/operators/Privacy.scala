@@ -102,4 +102,25 @@ object Privacy {
       .withColumn("anonymous", col("class_size") >= k)
       .orderBy(quasi.map(q => col(q._1)): _*)
   }
+
+  /** l-diversity audit — the [[kAnonymity]] follow-up (Machanavajjhala
+    * et al., ICDE'06): a k-anonymous class is still a disclosure if
+    * everyone in it shares the same SENSITIVE value (the homogeneity
+    * attack), so each quasi-identifier class must also carry at least
+    * `l` distinct sensitive values. One aggregate at the class grain
+    * (count + count-distinct over the same shuffle kAnonymity pays);
+    * rows with a NULL sensitive value count toward class size but not
+    * diversity — an absent value discloses nothing. */
+  def lDiversity(df: DataFrame, quasi: Seq[(String, Column)],
+                 sensitive: (String, Column), l: Int): DataFrame = {
+    require(quasi.nonEmpty, "lDiversity needs at least one quasi-identifier")
+    val cols = quasi.map { case (n, c) => c.as(n) } :+
+      sensitive._2.as(sensitive._1)
+    df.select(cols: _*)
+      .groupBy(quasi.map(q => col(q._1)): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitive._1)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+      .orderBy(quasi.map(q => col(q._1)): _*)
+  }
 }

@@ -242,6 +242,61 @@ object Temporal {
       .orderBy(col("channel"))
   }
 
+  /** Time-decay multi-touch attribution — [[attribution]] with
+    * exponential recency weighting: an exposure `a` whole days before
+    * the purchase weighs 2^(windowDays−1−a), so yesterday's touch
+    * counts double the day before's (the marketer's standard decay
+    * model, with half-life = 1 day in day bins). The weights are
+    * INTEGER powers of two and the credit stays integer micro-cents —
+    * `(cents·10⁶·w_channel) div W` per purchase — so channel sums are
+    * exact in any summation order, the same determinism discipline as
+    * the equal-split operator (which is this with all weights 1).
+    * Unattributed purchases land in `(none)` at full value. Pairing
+    * is the same day-binned [[rangeJoin]]; everything after the pair
+    * stage is (purchase × channel)-sized. */
+  def attributionDecay(events: DataFrame, windowDays: Int): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        (col("ts") - expr(s"INTERVAL $windowDays DAYS")).as("start"),
+        col("ts").as("end"), col("event_id").as("purchase_id"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exposures = events.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_type").as("channel"))
+    val pc = rangeJoin(purchases, exposures, "user_id", 86400L)
+      .where(col("ts") < col("end"))
+      // whole days of age on integer MICROSECONDS (unix_timestamp
+      // truncates sub-second parts and would disagree with the
+      // oracle's epoch_us near day boundaries); 0-based,
+      // strictly-inside-window rows only
+      .withColumn("age",
+        expr("(unix_micros(end) - unix_micros(ts)) div 86400000000"))
+      // the exact window-start boundary would be age == windowDays —
+      // a negative shift; excluded (strictly inside the window)
+      .where(col("age") < windowDays)
+      .withColumn("w", expr(
+        s"shiftleft(CAST(1 AS BIGINT), ${windowDays - 1} - CAST(age AS INT))"))
+      .groupBy(col("purchase_id"), col("cents"), col("channel"))
+      .agg(sum(col("w")).as("wsum"), count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val credited = pc
+      .withColumn("tw", sum(col("wsum")).over(
+        Window.partitionBy(col("purchase_id"))))
+      .select(col("channel"), col("k"),
+        expr("(cents * 1000000 * wsum) div tw").as("credit"))
+    val unattributed = purchases
+      .join(pc.select(col("purchase_id")).distinct(),
+        Seq("purchase_id"), "left_anti")
+      .select(lit("(none)").as("channel"), lit(1L).as("k"),
+        (col("cents") * 1000000L).as("credit"))
+    credited.union(unattributed)
+      .groupBy(col("channel"))
+      .agg(sum(col("k")).as("n_credits"),
+        (sum(col("credit")).cast("double") / 100000000.0)
+          .as("credited_value"))
+      .orderBy(col("channel"))
+  }
+
   /** Top session paths: the most common ordered event-type sequences a
     * session opens with (first `maxLen` events, joined with `>`), with
     * session counts and share of all sessions — the flow summary that

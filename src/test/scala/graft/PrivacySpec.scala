@@ -27,6 +27,23 @@ class PrivacySpec extends SparkSpec {
     assert(out(4L).isNullAt(4) && out(4L).isNullAt(5))
   }
 
+  test("lDiversity flags homogeneous classes; NULL sensitive excluded") {
+    // class (1,'A'): 3 rows but ONE distinct sensitive value -> not
+    // diverse even though k-anonymous; class (2,'B'): 3 rows, 2
+    // distinct + a NULL that counts to size but not diversity
+    val df = Seq(
+      (1, "A", Some(10)), (1, "A", Some(10)), (1, "A", Some(10)),
+      (2, "B", Some(1)), (2, "B", Some(2)), (2, "B", None))
+      .toDF("nk", "seg", "bal")
+    val out = Privacy.lDiversity(df,
+      Seq("nk" -> col("nk"), "seg" -> col("seg")),
+      "bal" -> col("bal"), l = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out((1, "A")) == ((3L, 1L, false)))
+    assert(out((2, "B")) == ((3L, 2L, true)))
+  }
+
   test("piiRedact is idempotent and emails never double-match as phones") {
     val docs = Seq((1L, "mail a123.4567890@host1234.com now")).toDF("doc_id", "text")
     val once = Privacy.piiRedact(docs).head()

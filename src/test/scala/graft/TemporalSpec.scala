@@ -51,6 +51,22 @@ class TemporalSpec extends SparkSpec {
     assert(out("click") == ((1L, 333333 / 1e8)))
   }
 
+  test("attributionDecay weights recent touches by powers of two") {
+    // window 3: a view 2 days before (age 2 -> w=1) and a click hours
+    // before (age 0 -> w=4) split 10.00 as 2.00 / 8.00; the boundary
+    // exposure exactly 3 days before is OUTSIDE (age == windowDays)
+    val e = Seq(
+      (1L, "2024-01-01 12:00:00", 1L, "view", 0.0),  // boundary, out
+      (1L, "2024-01-02 12:00:00", 2L, "view", 0.0),  // age 2 -> w 1
+      (1L, "2024-01-04 09:00:00", 3L, "click", 0.0), // age 0 -> w 4
+      (1L, "2024-01-04 12:00:00", 4L, "purchase", 10.0))
+      .map { case (u, t, id, et, v) => (u, ts(t), id, et, v) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Temporal.attributionDecay(e, windowDays = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map("view" -> ((1L, 2.0)), "click" -> ((1L, 8.0))))
+  }
+
   test("sessionPaths: prefix paths per session with shares, ordered top-N") {
     // u1 session A: view>click>purchase; after a 2h gap session B: view
     // u2 one session: view>click
