@@ -115,6 +115,12 @@ object SparkEntry {
   private val ShipCutoff = "1998-06-01"
   private val ShipTopK = 10
 
+  /** q_local_volume (TPC-H Q5 shape): region and order-year window
+    * (orders span 1995–2001 in the testdata). */
+  private val Q5Region = "ASIA"
+  private val Q5YearStart = "1996-01-01"
+  private val Q5YearEnd = "1997-01-01"
+
   /** q_late_suppliers: ship-delay threshold (days). The synthetic
     * shipdates spread years past the order date (95th pct ≈ 1723
     * days), so 1800 makes "late" a selective ~4% slice. */
@@ -570,6 +576,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) =>
       Analytics.pricingSummary(Tables.lineitem(s, d))),
+    // TPC-H Q5 shape: same-nation customer/supplier revenue per
+    // region-year — the 6-table star join
+    "q_local_volume" -> ((s, d) =>
+      Analytics.localSupplierVolume(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.region(s, d),
+        Q5Region, Q5YearStart, Q5YearEnd)),
     "q_revenue_by_nation" -> ((s, d) =>
       Analytics.revenueByNation(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "q_top_orders_per_cust" -> ((s, d) =>
@@ -1675,6 +1688,21 @@ object SparkEntry {
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_local_volume" ->
+      s"""SELECT n_name,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            count(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+            AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = '$Q5Region'
+            AND o_orderdate >= TIMESTAMP '$Q5YearStart'
+            AND o_orderdate < TIMESTAMP '$Q5YearEnd'
+          GROUP BY 1 ORDER BY revenue DESC, n_name""",
     "q_revenue_by_nation" ->
       """SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
          count(*) AS num_orders

@@ -41,6 +41,41 @@ object Analytics {
         count(lit(1)).as("num_orders"))
       .orderBy(desc("revenue"), asc("n_name"))
 
+  /** TPC-H Q5 shape — local supplier volume: revenue from line items
+    * where the customer and the supplier share a nation inside one
+    * region, for one order year. The canonical 6-table star-join
+    * planning exercise: the two FACT tables (lineitem ⋈ filtered
+    * orders) meet in the one genuine shuffle join on orderkey with the
+    * date filter pushed below it; customer/supplier/nation/region are
+    * all broadcast, with the region filter applied BEFORE its
+    * broadcast so non-qualifying nations never reach the probe side.
+    * The same-nation condition rides on the supplier broadcast join.
+    * Cites /root/reference/metrics/lib/metrics.py's join-then-
+    * aggregate surface; the shape is public TPC-H Q5. */
+  def localSupplierVolume(lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame,
+                          regionName: String, yearStart: String,
+                          yearEnd: String): DataFrame =
+    lineitem
+      .join(orders.where(col("o_orderdate") >= lit(yearStart) &&
+        col("o_orderdate") < lit(yearEnd)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.where(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("n_name"))
+
   /** Top-3 orders per customer by totalprice: ranking window on the
     * natural partition key; ties broken by orderkey for determinism. */
   def topOrdersPerCustomer(orders: DataFrame, n: Int = 3): DataFrame = {

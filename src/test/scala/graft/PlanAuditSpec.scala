@@ -544,6 +544,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("q5 local volume: date filter pushed to the orders scan, dims broadcast") {
+    val p = plan("q_local_volume")
+    // the year window must reach the parquet footer, not a post-scan
+    // Filter; all four dimension sides broadcast
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("bm25 search: broadcast stat sides, TakeOrdered k-cut") {
     val p = plan("q_search_bm25")
     // df/avgdl are term- and single-row-sized: they must broadcast,
