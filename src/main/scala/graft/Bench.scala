@@ -8,7 +8,7 @@ object Bench {
     * knn, all-pairs cosine) are excluded — their scale path
     * (IVF/LSH/minhash) is what gets benched. */
   val headline: Seq[String] = Seq(
-    "q1_pricing_summary", "q_revenue_by_nation", "q_local_volume",
+    "q1_pricing_summary", "q_revenue_by_nation", "q_local_volume", "q_returned_items",
     "q_top_orders_per_cust",
     "q_topk_orders", "q_bloom_join",
     "q_event_windows", "q_reach_overall", "q_reach_by_type", "q_frequency",

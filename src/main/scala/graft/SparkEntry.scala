@@ -121,6 +121,11 @@ object SparkEntry {
   private val Q5YearStart = "1996-01-01"
   private val Q5YearEnd = "1997-01-01"
 
+  /** q_returned_items (TPC-H Q10 shape): order quarter + top-k. */
+  private val Q10Start = "1997-01-01"
+  private val Q10End = "1997-04-01"
+  private val Q10TopK = 20
+
   /** q_late_suppliers: ship-delay threshold (days). The synthetic
     * shipdates spread years past the order date (95th pct ≈ 1723
     * days), so 1800 makes "late" a selective ~4% slice. */
@@ -583,6 +588,10 @@ object SparkEntry {
         Tables.orders(s, d), Tables.customer(s, d), Tables.supplier(s, d),
         Tables.nation(s, d), Tables.region(s, d),
         Q5Region, Q5YearStart, Q5YearEnd)),
+    "q_returned_items" -> ((s, d) =>
+      Analytics.returnedItemReport(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d),
+        Q10Start, Q10End, Q10TopK)),
     "q_revenue_by_nation" -> ((s, d) =>
       Analytics.revenueByNation(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "q_top_orders_per_cust" -> ((s, d) =>
@@ -1688,6 +1697,20 @@ object SparkEntry {
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_returned_items" ->
+      s"""WITH agg AS (SELECT o_custkey,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            count(*) AS n_items
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '$Q10Start'
+            AND o_orderdate < TIMESTAMP '$Q10End'
+          GROUP BY 1)
+          SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
+            revenue, n_items
+          FROM agg JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          ORDER BY revenue DESC, custkey LIMIT $Q10TopK""",
     "q_local_volume" ->
       s"""SELECT n_name,
             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

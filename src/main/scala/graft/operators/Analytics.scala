@@ -76,6 +76,35 @@ object Analytics {
         count(lit(1)).as("n_items"))
       .orderBy(desc("revenue"), asc("n_name"))
 
+  /** TPC-H Q10 shape — returned-item report: the top customers by
+    * lost revenue from RETURNED line items in one order quarter, with
+    * their nation. Fact side first: lineitem's returnflag filter and
+    * orders' quarter window both push to the scans before the
+    * orderkey shuffle join; the per-customer aggregate runs on the
+    * join grain, and only THEN do the customer/nation broadcasts
+    * decorate the (customers)-sized result — decorating before the
+    * aggregate would carry name strings through the fact shuffle.
+    * TakeOrdered top-k, revenue-desc with custkey tie-break. */
+  def returnedItemReport(lineitem: DataFrame, orders: DataFrame,
+                         customer: DataFrame, nation: DataFrame,
+                         quarterStart: String, quarterEnd: String,
+                         k: Int): DataFrame =
+    lineitem.where(col("l_returnflag") === "R")
+      .join(orders.where(col("o_orderdate") >= lit(quarterStart) &&
+        col("o_orderdate") < lit(quarterEnd)),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("n_name").as("nation"), col("revenue"), col("n_items"))
+      .orderBy(desc("revenue"), asc("custkey"))
+      .limit(k)
+
   /** Top-3 orders per customer by totalprice: ranking window on the
     * natural partition key; ties broken by orderkey for determinism. */
   def topOrdersPerCustomer(orders: DataFrame, n: Int = 3): DataFrame = {
