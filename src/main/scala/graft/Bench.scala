@@ -9,6 +9,10 @@ object Bench {
     * (IVF/LSH/minhash) is what gets benched. */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q_revenue_by_nation", "q_local_volume", "q_returned_items",
+    "q_order_priority", "q_revenue_forecast", "q_nation_trade",
+    "q_market_share", "q_product_profit", "q_priority_delay",
+    "q_cust_order_dist", "q_promo_share", "q_top_supplier",
+    "q_supplier_variety", "q_disjunctive_rev",
     "q_top_orders_per_cust",
     "q_topk_orders", "q_bloom_join",
     "q_event_windows", "q_reach_overall", "q_reach_by_type", "q_frequency",

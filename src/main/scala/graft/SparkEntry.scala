@@ -126,6 +126,65 @@ object SparkEntry {
   private val Q10End = "1997-04-01"
   private val Q10TopK = 20
 
+  /** q_order_priority (TPC-H Q4 shape): order quarter + the lateness
+    * threshold. Ship delays here spread years (median 36 d, p90
+    * 1404 d), so 365 makes "had a late line" a genuine split rather
+    * than all-or-nothing. */
+  private val Q4Start = "1997-01-01"
+  private val Q4End = "1997-04-01"
+  private val Q4LateDays = 365
+
+  /** q_revenue_forecast (TPC-H Q6 shape): ship year + discount band
+    * (the generator's discounts sit on an exact 0.01 grid, 0.00–0.10)
+    * + quantity cap. */
+  private val Q6YearStart = "1997-01-01"
+  private val Q6YearEnd = "1998-01-01"
+  private val Q6DiscLo = 0.05
+  private val Q6DiscHi = 0.07
+  private val Q6MaxQty = 24.0
+
+  /** q_nation_trade (TPC-H Q7 shape): the two trading nations. */
+  private val Q7NationA = "NATION_1"
+  private val Q7NationB = "NATION_2"
+
+  /** q_market_share (TPC-H Q8 shape): target supplier nation,
+    * customer region, part type under study. */
+  private val Q8SuppNation = "NATION_3"
+  private val Q8CustRegion = "ASIA"
+  private val Q8PartType = "ECONOMY"
+
+  /** q_product_profit (TPC-H Q9 shape): part type under study. */
+  private val Q9PartType = "PROMO"
+
+  /** q_priority_delay (TPC-H Q12 shape): ship year + the LATE band
+    * threshold (same 365-day lateness notion as Q4). */
+  private val Q12Start = "1997-01-01"
+  private val Q12End = "1998-01-01"
+  private val Q12LateDays = 365
+
+  /** q_cust_order_dist (TPC-H Q13 shape): priority class excluded
+    * from the per-customer order counts. */
+  private val Q13ExcludePriority = "5-LOW"
+
+  /** q_promo_share (TPC-H Q14 shape): promo part type + ship window
+    * (a year of months so the month grain has >1 row). */
+  private val Q14PromoType = "PROMO"
+  private val Q14Start = "1997-01-01"
+  private val Q14End = "1998-01-01"
+
+  /** q_top_supplier (TPC-H Q15 shape): revenue window (a quarter). */
+  private val Q15Start = "1997-01-01"
+  private val Q15End = "1997-04-01"
+
+  /** q_supplier_variety (TPC-H Q16 shape): excluded brand + size band
+    * width (p_size spans 1–50 → five bands). */
+  private val Q16ExcludeBrand = "Brand#1"
+  private val Q16SizeBand = 10
+
+  /** q_disjunctive_rev (TPC-H Q19 shape): the three clause brands
+    * (disjoint by construction, so clause labels are exact). */
+  private val Q19Brands = Seq("Brand#1", "Brand#9", "Brand#15")
+
   /** q_late_suppliers: ship-delay threshold (days). The synthetic
     * shipdates spread years past the order date (95th pct ≈ 1723
     * days), so 1800 makes "late" a selective ~4% slice. */
@@ -592,6 +651,54 @@ object SparkEntry {
       Analytics.returnedItemReport(Tables.lineitem(s, d),
         Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d),
         Q10Start, Q10End, Q10TopK)),
+    // TPC-H Q4 shape: EXISTS-a-late-line as a left-semi join
+    "q_order_priority" -> ((s, d) =>
+      Analytics.orderPriorityCheck(Tables.orders(s, d),
+        Tables.lineitem(s, d), Q4Start, Q4End, Q4LateDays)),
+    // TPC-H Q6 shape: pure scan-filter aggregate, zero joins
+    "q_revenue_forecast" -> ((s, d) =>
+      Analytics.revenueChangeForecast(Tables.lineitem(s, d),
+        Q6YearStart, Q6YearEnd, Q6DiscLo, Q6DiscHi, Q6MaxQty)),
+    // TPC-H Q7 shape: bilateral trade, nation filters before broadcast
+    "q_nation_trade" -> ((s, d) =>
+      Analytics.nationTradeVolume(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Q7NationA, Q7NationB)),
+    // TPC-H Q8 shape: conditional-sum market share, one aggregate
+    "q_market_share" -> ((s, d) =>
+      Analytics.marketShare(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d), Tables.part(s, d),
+        Q8SuppNation, Q8CustRegion, Q8PartType)),
+    // TPC-H Q9 shape: nation×year profit for one part type
+    "q_product_profit" -> ((s, d) =>
+      Analytics.productTypeProfit(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.part(s, d), Q9PartType)),
+    // TPC-H Q12 shape: ship-delay band × order-priority cross-tab
+    "q_priority_delay" -> ((s, d) =>
+      Analytics.shipDelayPriority(Tables.lineitem(s, d),
+        Tables.orders(s, d), Q12Start, Q12End, Q12LateDays)),
+    // TPC-H Q13 shape: order-count histogram incl. zero-order customers
+    "q_cust_order_dist" -> ((s, d) =>
+      Analytics.customerOrderDistribution(Tables.customer(s, d),
+        Tables.orders(s, d), Q13ExcludePriority)),
+    // TPC-H Q14 shape: monthly promo revenue percentage
+    "q_promo_share" -> ((s, d) =>
+      Analytics.promoRevenueShare(Tables.lineitem(s, d),
+        Tables.part(s, d), Q14PromoType, Q14Start, Q14End)),
+    // TPC-H Q15 shape: argmax supplier via broadcast 1-row max
+    "q_top_supplier" -> ((s, d) =>
+      Analytics.topSupplier(Tables.lineitem(s, d), Tables.supplier(s, d),
+        Q15Start, Q15End)),
+    // TPC-H Q16 shape: supplier variety per part group
+    "q_supplier_variety" -> ((s, d) =>
+      Analytics.partSupplierVariety(Tables.lineitem(s, d),
+        Tables.part(s, d), Q16ExcludeBrand, Q16SizeBand)),
+    // TPC-H Q19 shape: OR-of-ANDs predicates, per-clause revenue
+    "q_disjunctive_rev" -> ((s, d) =>
+      Analytics.disjunctiveRevenue(Tables.lineitem(s, d),
+        Tables.part(s, d), Q19Brands)),
     "q_revenue_by_nation" -> ((s, d) =>
       Analytics.revenueByNation(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "q_top_orders_per_cust" -> ((s, d) =>
@@ -1726,6 +1833,139 @@ object SparkEntry {
             AND o_orderdate >= TIMESTAMP '$Q5YearStart'
             AND o_orderdate < TIMESTAMP '$Q5YearEnd'
           GROUP BY 1 ORDER BY revenue DESC, n_name""",
+    "q_order_priority" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '$Q4Start'
+            AND o_orderdate < TIMESTAMP '$Q4End'
+            AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND date_diff('day', o_orderdate, l_shipdate) > $Q4LateDays)
+          GROUP BY 1 ORDER BY 1""",
+    "q_revenue_forecast" ->
+      s"""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+            count(*) AS n_lines
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '$Q6YearStart'
+            AND l_shipdate < TIMESTAMP '$Q6YearEnd'
+            AND l_discount >= $Q6DiscLo AND l_discount <= $Q6DiscHi
+            AND l_quantity < $Q6MaxQty""",
+    "q_nation_trade" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+            CAST(year(l_shipdate) AS INTEGER) AS l_year,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            count(*) AS n_lines
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          WHERE (sn.n_name = '$Q7NationA' AND cn.n_name = '$Q7NationB')
+             OR (sn.n_name = '$Q7NationB' AND cn.n_name = '$Q7NationA')
+          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+            round(sum(CASE WHEN n_name = '$Q8SuppNation'
+              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
+              AS target_rev,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev,
+            round(sum(CASE WHEN n_name = '$Q8SuppNation'
+              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
+              / round(sum(l_extendedprice * (1 - l_discount)), 2) AS mkt_share
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_type = '$Q8PartType'
+            AND o_custkey IN (SELECT c_custkey FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = '$Q8CustRegion')
+          GROUP BY 1 ORDER BY 1""",
+    "q_product_profit" ->
+      s"""SELECT n_name AS nation,
+            CAST(year(o_orderdate) AS INTEGER) AS o_year,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit,
+            count(*) AS n_lines
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_type = '$Q9PartType'
+          GROUP BY 1, 2 ORDER BY 1, 2 DESC""",
+    "q_priority_delay" ->
+      s"""SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+              > $Q12LateDays THEN 'LATE' ELSE 'ONTIME' END AS delay_band,
+            count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+              AS high_line_count,
+            count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+              AS low_line_count
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate >= TIMESTAMP '$Q12Start'
+            AND l_shipdate < TIMESTAMP '$Q12End'
+          GROUP BY 1 ORDER BY 1""",
+    "q_cust_order_dist" ->
+      s"""SELECT c_count, count(*) AS custdist FROM (
+            SELECT c_custkey, count(o_custkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              AND o_orderpriority <> '$Q13ExcludePriority'
+            GROUP BY 1) t
+          GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+    "q_promo_share" ->
+      s"""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+            round(sum(CASE WHEN p_type = '$Q14PromoType'
+              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
+              AS promo_rev,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev,
+            100.0 * round(sum(CASE WHEN p_type = '$Q14PromoType'
+              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
+              / round(sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '$Q14Start'
+            AND l_shipdate < TIMESTAMP '$Q14End'
+          GROUP BY 1 ORDER BY 1""",
+    "q_top_supplier" ->
+      s"""WITH rev AS (
+            SELECT l_suppkey,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '$Q15Start'
+              AND l_shipdate < TIMESTAMP '$Q15End'
+            GROUP BY 1)
+          SELECT s_suppkey, s_name, total_revenue
+          FROM rev JOIN supplier ON l_suppkey = s_suppkey
+          WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+          ORDER BY s_suppkey""",
+    "q_supplier_variety" ->
+      s"""SELECT p_brand, p_type,
+            CAST(floor(p_size / $Q16SizeBand) * $Q16SizeBand AS INTEGER)
+              AS size_band,
+            count(DISTINCT l_suppkey) AS supplier_cnt
+          FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+          JOIN part ON l_partkey = p_partkey
+          WHERE p_brand <> '$Q16ExcludeBrand'
+          GROUP BY 1, 2, 3
+          ORDER BY supplier_cnt DESC, p_brand, p_type, size_band""",
+    "q_disjunctive_rev" ->
+      s"""SELECT CASE
+            WHEN p_brand = '${Q19Brands(0)}' AND p_size BETWEEN 1 AND 10
+              AND l_quantity BETWEEN 1 AND 15 THEN 'clause_1'
+            WHEN p_brand = '${Q19Brands(1)}' AND p_size BETWEEN 11 AND 25
+              AND l_quantity BETWEEN 10 AND 25 THEN 'clause_2'
+            ELSE 'clause_3' END AS clause,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            count(*) AS n_lines
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE (p_brand = '${Q19Brands(0)}' AND p_size BETWEEN 1 AND 10
+              AND l_quantity BETWEEN 1 AND 15)
+             OR (p_brand = '${Q19Brands(1)}' AND p_size BETWEEN 11 AND 25
+              AND l_quantity BETWEEN 10 AND 25)
+             OR (p_brand = '${Q19Brands(2)}' AND p_size BETWEEN 26 AND 50
+              AND l_quantity BETWEEN 20 AND 35)
+          GROUP BY 1 ORDER BY 1""",
     "q_revenue_by_nation" ->
       """SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
          count(*) AS num_orders

@@ -300,11 +300,13 @@ object Analytics {
   def soleLateSuppliers(lineitem: DataFrame, orders: DataFrame,
                         supplier: DataFrame, delayDays: Int): DataFrame = {
     val lines = lineitem.select(col("l_orderkey"), col("l_suppkey"))
-    val late = lineitem
+    val lateRaw = lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .where(datediff(col("l_shipdate"), col("o_orderdate")) > delayDays)
       .select(col("l_orderkey"), col("l_suppkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // read by both the semi and anti sides; Caches-tracked so a host
+    // session can release it (ADVICE round-6: no orphan cache pins)
+    val late = graft.Caches.hold(lateRaw)
     val l1 = late.as("l1")
     val sole = l1
       .join(lines.as("l2"),
@@ -405,5 +407,276 @@ object Analytics {
       .agg(count(lit(1)).as("n_custs"),
         (sum(col("bal_cents")).cast("double") / 100.0).as("total_bal"))
       .orderBy(col("c_nationkey"))
+  }
+
+  /** Order-priority check (TPC-H Q4 shape): orders placed in a
+    * window that had at least one late line — EXISTS as one left-SEMI
+    * join carrying only lineitem's (orderkey, shipdate) projection.
+    * The date window pushes to the orders scan; the semi join
+    * deduplicates multi-late-line orders for free (no distinct, no
+    * count filter). The lateness test compares calendar days
+    * (datediff on midnight timestamps), exact in both engines. */
+  def orderPriorityCheck(orders: DataFrame, lineitem: DataFrame,
+                         start: String, end: String,
+                         lateDays: Int): DataFrame =
+    orders.where(col("o_orderdate") >= lit(start).cast("timestamp") &&
+        col("o_orderdate") < lit(end).cast("timestamp"))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          datediff(col("l_shipdate"), col("o_orderdate")) > lateDays,
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Revenue-change forecast (TPC-H Q6 shape): the what-if of
+    * eliminating a discount band — a pure scan-side filter aggregate,
+    * zero joins, zero shuffles beyond the final 1-row combine. All
+    * four predicates push into the parquet scan (year bounds as
+    * timestamp min/max, discount band, quantity cap); discounts are
+    * the generator's 11 exact 0.01-grid doubles, so the band compare
+    * replays bit-identically in DuckDB. */
+  def revenueChangeForecast(lineitem: DataFrame, yearStart: String,
+                            yearEnd: String, discLo: Double,
+                            discHi: Double, maxQty: Double): DataFrame =
+    lineitem.where(col("l_shipdate") >= lit(yearStart).cast("timestamp") &&
+        col("l_shipdate") < lit(yearEnd).cast("timestamp") &&
+        col("l_discount") >= discLo && col("l_discount") <= discHi &&
+        col("l_quantity") < maxQty)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue_delta"), count(lit(1)).as("n_lines"))
+
+  /** Bilateral trade volume (TPC-H Q7 shape): revenue shipped between
+    * two nations per direction per year. Both dimension legs filter
+    * to the two nations BEFORE their broadcast, so the fact stream
+    * drops to the two-nation slice inside the broadcast-hash probes —
+    * the only full-width exchange is the lineitem⋈orders key join.
+    * The cross-pair condition (A→B or B→A) runs after both
+    * decorations as a cheap string filter on an already-tiny frame. */
+  def nationTradeVolume(lineitem: DataFrame, orders: DataFrame,
+                        customer: DataFrame, supplier: DataFrame,
+                        nation: DataFrame, nationA: String,
+                        nationB: String): DataFrame = {
+    val n = nation.where(col("n_name").isin(nationA, nationB))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = supplier.join(broadcast(n),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer.join(broadcast(n),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** National market share (TPC-H Q8 shape): of the revenue a
+    * region's customers spent on one part type, what fraction came
+    * from one nation's suppliers, per order year. The share's
+    * numerator is a conditional sum over the SAME decorated stream as
+    * the denominator — one aggregate, not two queries joined. The
+    * supplier leg broadcasts with an `is_target` flag instead of
+    * filtering (the denominator needs every supplier); the part-type
+    * and region filters cut before their joins. Determinism: both
+    * sums round to cents first, then one IEEE double division — no
+    * re-rounding of the share, so there is no tie to flip. */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, supplier: DataFrame,
+                  nation: DataFrame, region: DataFrame, part: DataFrame,
+                  suppNation: String, custRegion: String,
+                  pType: String): DataFrame = {
+    val custR = customer
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.where(col("r_name") === custRegion)
+        .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val sup = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), (col("n_name") === suppNation).as("is_target"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem
+      .join(broadcast(part.where(col("p_type") === pType)
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .join(custR, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(when(col("is_target"), rev).otherwise(lit(0.0))), 2)
+        .as("target_rev"), round(sum(rev), 2).as("total_rev"))
+      .select(col("o_year"), col("target_rev"), col("total_rev"),
+        (col("target_rev") / col("total_rev")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Product-type profit by nation and year (TPC-H Q9 shape on a
+    * schema without supplycost: profit = discounted revenue). The
+    * part-type filter broadcasts as a key set and cuts the fact
+    * stream FIRST — the orders key join (the one real exchange) then
+    * carries only the type's slice; supplier→nation decorates via two
+    * broadcasts after the cut. */
+  def productTypeProfit(lineitem: DataFrame, orders: DataFrame,
+                        supplier: DataFrame, nation: DataFrame,
+                        part: DataFrame, pType: String): DataFrame =
+    lineitem
+      .join(broadcast(part.where(col("p_type") === pType)
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("profit"), count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** Ship-delay / order-priority cross-tab (TPC-H Q12 shape with the
+    * ship-delay band standing in for the absent shipmode column):
+    * lines shipped in a window, bucketed LATE vs ONTIME by calendar-
+    * day delay, counting high-priority (urgent/high) vs low-priority
+    * orders in each band. One fact⋈fact key join (the date filter
+    * pushed to the lineitem scan), then a two-row aggregate —
+    * conditional integer sums, exact in any order. */
+  def shipDelayPriority(lineitem: DataFrame, orders: DataFrame,
+                        start: String, end: String,
+                        lateDays: Int): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem.where(col("l_shipdate") >= lit(start).cast("timestamp") &&
+        col("l_shipdate") < lit(end).cast("timestamp"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .select(when(datediff(col("l_shipdate"), col("o_orderdate")) > lateDays,
+        lit("LATE")).otherwise(lit("ONTIME")).as("delay_band"),
+        when(hi, lit(1L)).otherwise(lit(0L)).as("hi"))
+      .groupBy(col("delay_band"))
+      .agg(sum(col("hi")).as("high_line_count"),
+        sum(lit(1L) - col("hi")).as("low_line_count"))
+      .orderBy(col("delay_band"))
+  }
+
+  /** Customer order-count distribution (TPC-H Q13 shape): how many
+    * customers placed exactly k orders, zero included — the left
+    * OUTER join whose unmatched side carries information. Orders
+    * filter (excluded priority class) before the join; count of the
+    * right key (not count(*)) makes the no-order customer a 0, and
+    * the second, customers-sized aggregate is grid-cheap. */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame,
+                                excludePriority: String): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.where(col("o_orderpriority") =!= excludePriority)
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Promotion revenue share per month (TPC-H Q14 shape): the part
+    * dimension broadcasts with an `is_promo` flag (the denominator
+    * needs every part), one month-grain conditional aggregate, then
+    * the percentage as `100·promo/total` — cent-rounded sums first,
+    * one IEEE multiply+divide after, mirrored operation-for-operation
+    * in the oracle. */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame,
+                        promoType: String, start: String,
+                        end: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem.where(col("l_shipdate") >= lit(start).cast("timestamp") &&
+        col("l_shipdate") < lit(end).cast("timestamp"))
+      .join(broadcast(part
+        .select(col("p_partkey"), (col("p_type") === promoType).as("is_promo"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+      .agg(round(sum(when(col("is_promo"), rev).otherwise(lit(0.0))), 2)
+        .as("promo_rev"), round(sum(rev), 2).as("total_rev"))
+      .select(col("month"), col("promo_rev"), col("total_rev"),
+        (lit(100.0) * col("promo_rev") / col("total_rev")).as("promo_pct"))
+      .orderBy(col("month"))
+  }
+
+  /** Top supplier of a window (TPC-H Q15 shape): per-supplier revenue
+    * aggregate, then the max-revenue supplier(s) via a broadcast
+    * 1-row max crossed back — never a single-partition global window.
+    * Revenue rounds to cents BEFORE the max/equality compare, so the
+    * argmax can't be flipped by summation-order ulps and ties emerge
+    * as genuine multi-row answers (classic Q15 semantics). */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+                  start: String, end: String): DataFrame = {
+    val rev = lineitem.where(col("l_shipdate") >= lit(start).cast("timestamp") &&
+        col("l_shipdate") < lit(end).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    // supplier-sized; persisted (Caches-tracked, releasable) because
+    // the max probe and the equality filter both read it
+    val revP = graft.Caches.hold(rev)
+    val mx = revP.agg(max(col("total_revenue")).as("mx"))
+    val out = revP.crossJoin(broadcast(mx))
+      .where(col("total_revenue") === col("mx"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+    out
+  }
+
+  /** Part-supplier variety (TPC-H Q16 shape from lineitem-observed
+    * pairs — the schema has no partsupp table): distinct supplier
+    * count per (brand, type, size band), one brand excluded. The
+    * (partkey, suppkey) distinct caps everything downstream at
+    * |part|×|suppliers-per-part| rows however large the fact table
+    * is; the part attributes broadcast onto that reduced frame. */
+  def partSupplierVariety(lineitem: DataFrame, part: DataFrame,
+                          excludeBrand: String, sizeBand: Int): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(part.where(col("p_brand") =!= excludeBrand)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          (floor(col("p_size") / sizeBand) * sizeBand).cast("int")
+            .as("size_band"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("size_band"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("size_band"))
+
+  /** Disjunctive-predicate revenue (TPC-H Q19 shape): three
+    * brand×size×quantity clauses OR'd together, reported per clause.
+    * The brands are disjoint so the when-chain labels exactly; the
+    * part attributes ride a broadcast and Catalyst pushes the
+    * disjunction below the join where the quantity legs prune the
+    * scan. Per-clause revenue rounds to cents. */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame,
+                         brands: Seq[String]): DataFrame = {
+    require(brands.size == 3)
+    val c1 = col("p_brand") === brands(0) && col("p_size").between(1, 10) &&
+      col("l_quantity").between(1, 15)
+    val c2 = col("p_brand") === brands(1) && col("p_size").between(11, 25) &&
+      col("l_quantity").between(10, 25)
+    val c3 = col("p_brand") === brands(2) && col("p_size").between(26, 50) &&
+      col("l_quantity").between(20, 35)
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"),
+        col("p_size"))), col("l_partkey") === col("p_partkey"))
+      .where(c1 || c2 || c3)
+      .select(when(c1, lit("clause_1")).when(c2, lit("clause_2"))
+        .otherwise(lit("clause_3")).as("clause"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .groupBy(col("clause"))
+      .agg(round(sum(col("rev")), 2).as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("clause"))
   }
 }

@@ -553,6 +553,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("Q4 order-priority: EXISTS is a semi join with the window pushed") {
+    val p = plan("q_order_priority")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("Q7 nation trade: nation-filtered dims ride broadcasts") {
+    val p = plan("q_nation_trade")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("Q8 market share: one aggregate, semi-filtered region customers") {
+    val p = plan("q_market_share")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    // numerator+denominator in ONE aggregate: exactly one grouping
+    // column set on o_year, no self-join union of two aggregates
+    assert("HashAggregate".r.findAllIn(p).size <= 4, p.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
+  }
+
+  test("Q19 disjunctive revenue: quantity legs prune the lineitem scan") {
+    val p = plan("q_disjunctive_rev")
+    // the OR of the three quantity bands must reach the scan as an
+    // Or pushed filter, not evaluate post-join
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), Or("), p.take(3000))
+  }
+
   test("bm25 search: broadcast stat sides, TakeOrdered k-cut") {
     val p = plan("q_search_bm25")
     // df/avgdl are term- and single-row-sized: they must broadcast,
