@@ -55,7 +55,7 @@ object Bench {
     "q_ship_priority", "q_late_suppliers", "q_k_anon", "q_forecast_naive",
     "q_autocorr", "q_chi2_independence", "q_fanout_audit",
     "q_item_similarity", "q_pagerank", "q_bigram_lm",
-    "q_graph_stats", "q_triangles", "q_wedge_recs",
+    "q_graph_stats", "q_triangles", "q_wedge_recs", "q_k_core",
     "q_changepoint", "q_file_skipping", "q_small_orders",
     "q_bulk_orders", "q_idle_customers",
     "q_ctr_wilson", "q_entity_components", "q_bpe_apply",

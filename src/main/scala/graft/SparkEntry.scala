@@ -265,6 +265,46 @@ object SparkEntry {
     * sf0.001/0.01/0.1). */
   private val TriangleMinSupport = 2
 
+  /** q_k_core oracle: the same min-support edge CTE as q_triangles,
+    * the derived-k rule (max(2, ⌈edges/nodes⌉), integer ceil-div —
+    * [[graft.operators.Affinity.kCoreKFor]]), and the peel unrolled
+    * to exactly [[graft.operators.Affinity.KCoreMaxPeels]] CTE steps
+    * — the engine's depth cap replayed structurally (PureProps pins
+    * the final step index), with idempotence making post-convergence
+    * steps no-ops. Each step drops edges with an endpoint whose
+    * degree in the PREVIOUS step's set is under k (simultaneous
+    * removal, matching the engine's round semantics). */
+  private lazy val kCoreOracleSql: String = {
+    val depth = graft.operators.Affinity.KCoreMaxPeels
+    // AS MATERIALIZED is load-bearing: each step references its
+    // predecessor five times, and an inlining planner would expand
+    // the 24-step chain to 5^24 parquet scans
+    val steps = (1 to depth).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT pa, pb FROM p${i - 1}
+          WHERE pa IN (SELECT node FROM (SELECT pa AS node FROM p${i - 1}
+              UNION ALL SELECT pb FROM p${i - 1}) t
+            GROUP BY node HAVING count(*) >= (SELECT k FROM kk))
+          AND pb IN (SELECT node FROM (SELECT pa AS node FROM p${i - 1}
+              UNION ALL SELECT pb FROM p${i - 1}) t
+            GROUP BY node HAVING count(*) >= (SELECT k FROM kk)))"""
+    }.mkString(",\n          ")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS okey,
+            l_partkey AS part FROM lineitem),
+          p0 AS MATERIALIZED (SELECT a.part AS pa, b.part AS pb
+            FROM op a JOIN op b ON a.okey = b.okey AND a.part < b.part
+            GROUP BY 1, 2 HAVING count(*) >= $TriangleMinSupport),
+          kk AS MATERIALIZED (SELECT CASE WHEN count(DISTINCT node) = 0 THEN 2
+              ELSE greatest(2, (count(*) // 2 + count(DISTINCT node) - 1)
+                // count(DISTINCT node)) END AS k
+            FROM (SELECT pa AS node FROM p0 UNION ALL SELECT pb FROM p0) t),
+          $steps
+          SELECT part, CAST(count(*) AS BIGINT) AS core_deg,
+            (SELECT CAST(k AS INTEGER) FROM kk) AS k
+          FROM (SELECT pa AS part FROM p$depth
+            UNION ALL SELECT pb FROM p$depth) t
+          GROUP BY 1 ORDER BY part"""
+  }
+
   /** q_wedge_recs: per-vertex neighbor cap (hub fan-out ≤ cap², the
     * LSH-bucket discipline), report size, and the edge BUDGET the
     * corpus-derived support level is solved against
@@ -1199,6 +1239,10 @@ object SparkEntry {
       Affinity.pageRank(Tables.lineitem(s, d), PageRankIters, PageRankTopN)),
     "q_triangles" -> ((s, d) =>
       Affinity.triangleStats(Tables.lineitem(s, d), TriangleMinSupport)),
+    // k derived from the support graph's own density; peel depth
+    // capped at KCoreMaxPeels on BOTH sides (unrolled in the oracle)
+    "q_k_core" -> ((s, d) =>
+      Affinity.kCore(Tables.lineitem(s, d), TriangleMinSupport)),
     "q_wedge_recs" -> ((s, d) =>
       Affinity.wedgeRecommendations(Tables.lineitem(s, d),
         TriangleMinSupport, WedgeNeighborCap, WedgeTopN,
@@ -3908,6 +3952,7 @@ object SparkEntry {
             CAST(tr.t * 3 AS DOUBLE) / nullif(sz.n_wedges, 0)
               AS transitivity
           FROM sz CROSS JOIN tr""",
+    "q_k_core" -> kCoreOracleSql,
     // Capped sorted neighbor prefixes + in-task wedge pairs (the
     // simhash-bucket idiom) — the cap is replayed, so a binding cap
     // is a gate event. The SUPPORT level is corpus-derived (smallest

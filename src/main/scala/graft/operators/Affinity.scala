@@ -429,4 +429,78 @@ object Affinity {
     ranks.orderBy(col("rank_micro").desc, col("node")).limit(topN)
       .select(col("node").as("part"), col("rank_micro"))
   }
+
+  /** Unrolled-peel depth shared with the k-core oracle (CAPS.md):
+    * both engines apply at most this many simultaneous-removal
+    * rounds, so a pathologically slow-converging graph produces the
+    * SAME depth-capped state on both sides instead of silent
+    * divergence (peeling is idempotent once stable, so extra oracle
+    * rounds after convergence are no-ops). Observed convergence on
+    * the min-support co-purchase graph: ≤ 6 rounds at every tested
+    * SF — a 4× margin. */
+  val KCoreMaxPeels: Int = 24
+
+  /** Corpus-derived coreness threshold (the wedgeSupportFor /
+    * blockCharsFor discipline): k = max(kFloor, ⌈edges/nodes⌉), i.e.
+    * half the average degree — a FIXED k is degenerate across
+    * density regimes (the sf0.001 support graph is a near-clique
+    * where k=3 peels nothing; at sf0.1 it is a sparse forest where
+    * k=3 peels everything). Integer ceil-div, replayed exactly. */
+  def kCoreKFor(nEdges: Long, nNodes: Long, kFloor: Int = 2): Int = {
+    require(kFloor >= 1, "kFloor must be at least 1")
+    if (nNodes == 0L) kFloor
+    else math.max(kFloor.toLong, (nEdges + nNodes - 1L) / nNodes).toInt
+  }
+
+  /** k-core of the min-support co-purchase graph: the maximal
+    * subgraph where every item still has ≥ k co-purchase partners —
+    * the standard "dense cohesive catalog cluster" extraction
+    * (Seidman '83) behind community seeding and graph sampling.
+    * Returns the surviving nodes with their in-core degree plus the
+    * derived k, so the derivation itself is hash-checked.
+    *
+    * Shape: the classic simultaneous peel — each round is one
+    * node-grain degree aggregate over the current edge set plus two
+    * left-SEMI joins dropping edges with a low-degree endpoint; the
+    * edge set only shrinks, lineage is cut per round with
+    * localCheckpoint (the PageRank pattern), and the loop stops at
+    * the fixpoint (equal edge count ⟺ equal set, since peeling only
+    * removes) or at [[KCoreMaxPeels]], whichever comes first. Work
+    * per round is O(current edges); the min-support frame bounds the
+    * starting edge volume (CAPS.md). The oracle replays the same
+    * bounded peel as [[KCoreMaxPeels]] unrolled CTE steps. */
+  def kCore(lineitem: DataFrame, minSupport: Int = 2,
+            kFloor: Int = 2): DataFrame = {
+    val pairs0 = coPurchasePairs(lineitem)
+      .where(col("cooc") >= minSupport)
+      .select(col("part_a"), col("part_b"))
+    val st = pairs0
+      .select(explode(array(col("part_a"), col("part_b"))).as("node"))
+      .agg(count(lit(1)).as("e2"), countDistinct(col("node")).as("n"))
+      .head()
+    val k = kCoreKFor(st.getLong(0) / 2, st.getLong(1), kFloor)
+    var cur = pairs0.localCheckpoint()
+    var curCount = cur.count()
+    var stable = curCount == 0L
+    var round = 0
+    while (!stable && round < KCoreMaxPeels) {
+      val good = cur
+        .select(explode(array(col("part_a"), col("part_b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("node"))
+      val next = cur
+        .join(good.select(col("node").as("part_a")), Seq("part_a"), "left_semi")
+        .join(good.select(col("node").as("part_b")), Seq("part_b"), "left_semi")
+        .localCheckpoint()
+      val nextCount = next.count()
+      stable = nextCount == curCount
+      cur = next
+      curCount = nextCount
+      round += 1
+    }
+    cur.select(explode(array(col("part_a"), col("part_b"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("core_deg"))
+      .select(col("part"), col("core_deg"), lit(k).cast("int").as("k"))
+      .orderBy(col("part"))
+  }
 }

@@ -134,4 +134,24 @@ class AffinitySpec extends SparkSpec {
     assert(out.head._1 == 10L)
     assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
   }
+
+  test("kCore peels the pendant, keeps the triangle, derives k") {
+    // support-2 graph: triangle 1-2-3 plus pendant edge 3-4
+    // (4 edges / 4 nodes → derived k = max(2, ceil(1)) = 2)
+    val rows = li(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 3L), (3L, 4L),
+      (4L, 3L), (4L, 4L))
+    val out = Affinity.kCore(rows, minSupport = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 2L, 2), (2L, 2L, 2), (3L, 2L, 2)))
+  }
+
+  test("kCoreKFor: floor in sparse regimes, half-average-degree in dense") {
+    assert(Affinity.kCoreKFor(3573L, 5922L) == 2)  // sparse: floor
+    assert(Affinity.kCoreKFor(2324L, 200L) == 12)  // dense: ceil(e/n)
+    assert(Affinity.kCoreKFor(0L, 0L) == 2)        // empty graph
+    assert(Affinity.kCoreKFor(4L, 4L) == 2)
+  }
 }

@@ -104,7 +104,11 @@ object PureProps extends Properties("graft") {
       "q_dedup_incremental" -> s"[1:${NearDup.DefaultBucketCap}]",
       "q_fanout_audit" -> s"least(ln, ${SparkEntry.FanoutMultCap})",
       "q_wedge_recs" -> s"[1:${SparkEntry.WedgeNeighborCap}]",
-      "q_wedge_recs" -> s"> ${SparkEntry.WedgeEdgeBudget}")
+      "q_wedge_recs" -> s"> ${SparkEntry.WedgeEdgeBudget}",
+      // the peel-depth cap is replayed STRUCTURALLY (the oracle's
+      // unroll ends at p<depth>); a depth change without the oracle
+      // regenerating would leave the final-step marker stale
+      "q_k_core" -> s"FROM p${operators.Affinity.KCoreMaxPeels}")
     val missing = pins.collect {
       case (q, marker) if !SparkEntry.oracleSql(q).contains(marker) =>
         s"$q missing '$marker'"
