@@ -47,9 +47,9 @@ object Bench {
     "q_range_join", "q_qa_drift", "q_source_drift", "q_dedup_bloom",
     "q_cohort", "q_lifecycle", "q_lifecycle_approx",
     "q_funnel_steps", "q_funnel_latency",
-    "q_next_event", "q_rfm", "q_trend", "q_source_overlap",
+    "q_next_event", "q_rfm", "q_trend", "q_theilsen_trend", "q_source_overlap",
     "q_session_paths", "q_dq_rules", "q_user_features", "q_attribution",
-    "q_attribution_decay", "q_l_diversity",
+    "q_attribution_decay", "q_l_diversity", "q_t_closeness",
     "q_ooo_audit", "q_watermark_rec", "q_record_dedup", "q_canary_scan",
     "q_inverted_index",
     "q_ship_priority", "q_late_suppliers", "q_k_anon", "q_forecast_naive",
@@ -60,8 +60,8 @@ object Bench {
     "q_bulk_orders", "q_idle_customers",
     "q_ctr_wilson", "q_entity_components", "q_bpe_apply",
     "q_freshness", "q_seasonality", "q_funnel_windowed",
-    "q_histogram", "q_qa_anomaly",
-    "q_semantic_dedup", "q_mixture", "q_props_health",
+    "q_histogram", "q_qa_anomaly", "q_ewma_anomaly",
+    "q_semantic_dedup", "q_mixture", "q_curriculum", "q_token_budget", "q_props_health",
     "q_search", "q_search_bm25", "q_qa_orphans", "q_percentiles", "q_winsorize",
     "q_mixture_sample",
     "q_active_users", "q_active_users_approx",

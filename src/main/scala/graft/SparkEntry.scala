@@ -199,6 +199,23 @@ object SparkEntry {
     * (nation, segment) class must carry. */
   private val LDiversityL = 3
 
+  /** q_t_closeness: max ordered-EMD distance between a class's
+    * balance-band distribution and the table's. */
+  private val TClosenessT = 0.15
+
+  /** q_curriculum: equal-population quality tiers. */
+  private val CurriculumBuckets = 10
+
+  /** q_token_budget: spend half the corpus's tokens; priority weight
+    * 2 for even-suffixed sources, 1 for odd (standing in for a
+    * user-supplied source-priority table, derived from the source
+    * name so the oracle replays it). */
+  private val TokenBudgetNum = 1L
+  private val TokenBudgetDen = 2L
+  private def tokenBudgetWeight =
+    when(regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 2 === 0,
+      lit(2L)).otherwise(lit(1L))
+
   /** q_forecast_naive: seasonal lag in days (same weekday last week). */
   private val ForecastLagDays = 7
 
@@ -1224,6 +1241,14 @@ object SparkEntry {
         "segment" -> col("c_mktsegment")),
         "bal_band" -> floor(col("c_acctbal") / KAnonBalBand).cast("bigint"),
         LDiversityL)),
+    // t-closeness over the same classes/sensitive as q_l_diversity —
+    // the skewness-attack audit (distribution distance, not count)
+    "q_t_closeness" -> ((s, d) =>
+      Privacy.tCloseness(Tables.customer(s, d), Seq(
+        "nationkey" -> col("c_nationkey"),
+        "segment" -> col("c_mktsegment")),
+        "bal_band" -> floor(col("c_acctbal") / KAnonBalBand).cast("bigint"),
+        TClosenessT)),
     "q_forecast_naive" -> ((s, d) =>
       Temporal.forecastNaive(Tables.events(s, d), ForecastLagDays)),
     "q_autocorr" -> ((s, d) =>
@@ -1294,6 +1319,14 @@ object SparkEntry {
     "q_qa_anomaly" -> ((s, d) =>
       DataChecks.anomalyFlags(Tables.events(s, d), AnomalyDays, AnomalyK,
         AnomalyMinDays)),
+    // recency-weighted twin of q_qa_anomaly (1-day half-life EWMA
+    // baseline, integer power-of-two weights, cross-mult decision)
+    "q_ewma_anomaly" -> ((s, d) =>
+      DataChecks.ewmaAnomaly(Tables.events(s, d), AnomalyDays, AnomalyK,
+        AnomalyMinDays)),
+    // robust twin of q_trend: pairwise-median slope, outlier-immune
+    "q_theilsen_trend" -> ((s, d) =>
+      DataChecks.theilSenTrend(Tables.events(s, d))),
     "q_semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       VectorSearch.semanticDedup(emb, annSeeds(emb, d),
@@ -1302,6 +1335,13 @@ object SparkEntry {
     "q_mixture" -> ((s, d) =>
       Curation.mixturePlan(Tables.documents(s, d), MixtureWeights,
         MixtureBudget)),
+    // equal-population quality tiers + cumulative curriculum tokens
+    "q_curriculum" -> ((s, d) =>
+      Curation.curriculumPlan(Tables.documents(s, d), CurriculumBuckets)),
+    // priority-weighted water-filling of a token budget over sources
+    "q_token_budget" -> ((s, d) =>
+      Curation.tokenBudgetPlan(Tables.documents(s, d), tokenBudgetWeight,
+        TokenBudgetNum, TokenBudgetDen)),
     "q_props_health" -> ((s, d) => Analytics.propsHealth(Tables.events(s, d))),
     "q_search" -> ((s, d) =>
       TextAnalysis.searchTopK(Tables.documents(s, d), SearchTerms, SearchK)),
@@ -2630,6 +2670,56 @@ object SparkEntry {
             count(DISTINCT doc_id) AS n_docs
           FROM p GROUP BY pair
           ORDER BY n_occ DESC, pair LIMIT $BpeTopN""",
+    "q_curriculum" ->
+      s"""WITH $QualityScoreCtes,
+          r AS (SELECT doc_id, token_cnt,
+            coalesce(quality_score, -1.0) AS qs FROM qsc),
+          rk2 AS (SELECT *, row_number()
+              OVER (ORDER BY qs DESC, doc_id) AS rn,
+            count(*) OVER () AS n FROM r),
+          bk AS (SELECT *,
+            CAST((rn - 1) * $CurriculumBuckets // n AS INTEGER) + 1
+              AS bucket FROM rk2),
+          agg AS (SELECT bucket, count(*) AS n_docs,
+            CAST(sum(token_cnt) AS BIGINT) AS n_tokens,
+            min(qs) AS min_score, max(qs) AS max_score
+          FROM bk GROUP BY 1)
+          SELECT bucket, n_docs, n_tokens, min_score, max_score,
+            CAST(sum(n_tokens) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+          FROM agg ORDER BY bucket""",
+    "q_token_budget" ->
+      s"""WITH $QualityScoreCtes,
+          av AS (SELECT source, CAST(sum(token_cnt) AS BIGINT) AS avail,
+            CAST(CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1)
+                AS INTEGER) % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS weight
+          FROM qsc GROUP BY 1),
+          tot AS (SELECT CAST(sum(avail) AS BIGINT) AS tot_a,
+            CAST(sum(weight) AS BIGINT) AS tot_w FROM av),
+          rk3 AS (SELECT av.*, tot.tot_a, tot.tot_w,
+            CAST((tot.tot_a * $TokenBudgetNum) // $TokenBudgetDen
+              AS BIGINT) AS budget,
+            CAST(sum(avail) OVER wf AS BIGINT) AS cum_a,
+            CAST(sum(weight) OVER wf AS BIGINT) AS cum_w
+          FROM av CROSS JOIN tot
+          WINDOW wf AS (ORDER BY CAST(avail AS DOUBLE) / weight, avail,
+            source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          ck AS (SELECT *, avail * (tot_w - cum_w) <=
+            weight * (budget - cum_a) AS capped FROM rk3),
+          lvl AS (SELECT
+            CAST(coalesce(max(cum_a) FILTER (WHERE capped), 0)
+              AS BIGINT) AS capped_a,
+            CAST(coalesce(max(cum_w) FILTER (WHERE capped), 0)
+              AS BIGINT) AS capped_w FROM ck),
+          fin AS (SELECT source, avail, weight, budget, capped,
+            CAST(CASE WHEN capped THEN avail
+              ELSE weight * (budget - capped_a) // (tot_w - capped_w)
+              END AS BIGINT) AS allocated
+          FROM ck CROSS JOIN lvl)
+          SELECT *, CAST(allocated AS DOUBLE) / nullif(avail, 0)
+            AS fill_frac
+          FROM fin ORDER BY source""",
     "q_quality_cap" ->
       s"""WITH $QualityScoreCtes,
           rk AS (SELECT doc_id, source, quality_score,
@@ -3567,6 +3657,41 @@ object SparkEntry {
           FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     // Integer moments, ONE final division each (the portability
     // recipe); DuckDB sums BIGINT into HUGEINT -> CAST back.
+    "q_ewma_anomaly" ->
+      s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS date,
+            count(*) AS n_events FROM events GROUP BY 1, 2),
+          dd AS (SELECT *, CAST(date_diff('day', DATE '1970-01-01', date)
+            AS BIGINT) AS day_num FROM d),
+          j AS (SELECT a.event_type, a.date, a.n_events, a.day_num,
+              b.day_num AS p_day, b.n_events AS p_n
+            FROM dd a LEFT JOIN dd b ON a.event_type = b.event_type
+              AND a.day_num - b.day_num BETWEEN 1 AND $AnomalyDays),
+          jw AS (SELECT *, CAST(power(2, $AnomalyDays - (day_num - p_day))
+            AS BIGINT) AS w FROM j)
+          SELECT event_type, date, n_events,
+            count(p_day) AS base_days,
+            CAST(coalesce(sum(p_n * w), 0) AS DOUBLE) /
+              nullif(coalesce(sum(w), 0), 0) AS ewma,
+            (count(p_day) >= $AnomalyMinDays AND
+              n_events * coalesce(sum(w), 0) >
+                $AnomalyK * coalesce(sum(p_n * w), 0)) AS is_spike
+          FROM jw GROUP BY event_type, date, n_events, day_num
+          ORDER BY date, event_type""",
+    "q_theilsen_trend" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            count(*) AS y FROM events GROUP BY 1, 2),
+          dd AS (SELECT *, CAST(date_diff('day', DATE '1970-01-01', day)
+            AS BIGINT) AS day_num FROM d),
+          p AS (SELECT a.event_type,
+              CAST(b.y - a.y AS DOUBLE) / (b.day_num - a.day_num) AS slope
+            FROM dd a JOIN dd b ON a.event_type = b.event_type
+              AND a.day_num < b.day_num),
+          nd AS (SELECT event_type, count(*) AS n_days FROM d GROUP BY 1)
+          SELECT p.event_type, nd.n_days, count(*) AS n_pairs,
+            quantile_cont(slope, 0.5) AS slope_per_day,
+            quantile_cont(slope, 0.5) > 0.0 AS rising
+          FROM p JOIN nd USING (event_type)
+          GROUP BY 1, 2 ORDER BY 1""",
     "q_trend" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
             count(*) AS y FROM events GROUP BY 1, 2),
@@ -3777,6 +3902,36 @@ object SparkEntry {
             count(DISTINCT CAST(floor(c_acctbal / $KAnonBalBand) AS BIGINT))
               >= $LDiversityL AS diverse
           FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Integer EMD numerator (c·N − g·n) with one double division at
+    // the end — band order is the window order in both engines
+    "q_t_closeness" ->
+      s"""WITH cb AS (SELECT c_nationkey AS nationkey,
+            c_mktsegment AS segment,
+            CAST(floor(c_acctbal / $KAnonBalBand) AS BIGINT) AS sens,
+            count(*) AS c
+          FROM customer GROUP BY 1, 2, 3),
+          cls AS (SELECT nationkey, segment, sum(c) AS n
+            FROM cb GROUP BY 1, 2),
+          gb AS (SELECT sens, sum(c) AS g FROM cb GROUP BY 1),
+          tot AS (SELECT sum(g) AS nn, count(*) AS m FROM gb),
+          grid AS (SELECT cls.nationkey, cls.segment, cls.n,
+              gb.sens, gb.g, coalesce(cb.c, 0) AS c
+            FROM cls CROSS JOIN gb
+            LEFT JOIN cb ON cb.nationkey = cls.nationkey
+              AND cb.segment = cls.segment AND cb.sens = gb.sens),
+          cum AS (SELECT nationkey, segment, n,
+              sum(c * (SELECT nn FROM tot) - g * n)
+                OVER (PARTITION BY nationkey, segment ORDER BY sens)
+                AS cum_num
+            FROM grid)
+          SELECT nationkey, segment, n AS class_size,
+            CAST(sum(abs(cum_num)) AS DOUBLE) /
+              (CAST(n AS DOUBLE) * (SELECT nn FROM tot)
+                * ((SELECT m FROM tot) - 1)) AS t_value,
+            CAST(sum(abs(cum_num)) AS DOUBLE) /
+              (CAST(n AS DOUBLE) * (SELECT nn FROM tot)
+                * ((SELECT m FROM tot) - 1)) <= $TClosenessT AS close
+          FROM cum GROUP BY 1, 2, 3 ORDER BY 1, 2""",
     "q_forecast_naive" ->
       s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
             count(*) AS n FROM events GROUP BY 1, 2),

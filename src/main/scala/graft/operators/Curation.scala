@@ -607,4 +607,106 @@ object Curation {
         col("token_share"))
       .orderBy(col("shard"))
   }
+
+  /** Curriculum schedule plan: the corpus split into `buckets`
+    * equal-population quality tiers (tier 1 = highest-scoring docs),
+    * with per-tier doc/token totals and the cumulative token count a
+    * trainer walking the curriculum best-first has consumed by the
+    * end of each tier — the planning artifact behind
+    * quality-ascending training-data schedules.
+    *
+    * Ranking is the [[ValueMapping.assignDenseIds]] two-phase
+    * range-partition + zipWithIndex (global order with NO
+    * single-partition window); ties and the handful of unscorable
+    * docs are pinned deterministically (score desc, doc_id asc;
+    * NULL scores coalesce to −1 so empty docs land in the last tier,
+    * where a curriculum wants them). The tier rule is the integer
+    * `((rank−1)·buckets) div n + 1`, replayed exactly in the oracle;
+    * the final cumulative window runs over `buckets` rows. */
+  def curriculumPlan(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
+    val scored = TextAnalysis.qualityFrame(docs, Nil)
+      .select(col("doc_id"), col("token_cnt"),
+        coalesce(col("quality_score"), lit(-1.0)).as("qs"))
+      .withColumn("neg_qs", -col("qs"))
+      .withColumn("ord", struct(col("neg_qs"), col("doc_id")))
+    val ranked = ValueMapping.assignDenseIds(scored, "ord")
+    val n = broadcast(ranked.agg(count(lit(1)).as("n_total")))
+    val agg = ranked.crossJoin(n)
+      .withColumn("bucket",
+        expr(s"((val_id - 1) * $buckets) div n_total").cast("int") + 1)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("token_cnt")).as("n_tokens"),
+        min(col("qs")).as("min_score"), max(col("qs")).as("max_score"))
+    agg
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .orderBy(col("bucket"))
+  }
+
+  /** Token-budget allocation across sources by priority-weighted
+    * water-filling: spend `budgetNum/budgetDen` of the corpus's
+    * tokens, giving each source budget in proportion to its `weight`
+    * UNTIL the source runs out of tokens — capped sources keep their
+    * full supply and the freed budget re-levels across the rest (the
+    * standard water-filling solution, the mixture-planning step a
+    * fixed-proportion plan gets wrong whenever a high-priority
+    * source is small).
+    *
+    * Exact integer algorithm: sort sources by capacity ratio
+    * A/w ascending; the capped set is the maximal prefix where
+    * `Aᵢ·(W−cumWᵢ) ≤ wᵢ·(B−cumAᵢ)` (the cross-multiplied form of
+    * "this source's ratio sits under the water level with the prefix
+    * capped" — no division anywhere), and uncapped sources get
+    * `w·(B−cumA*) div (W−cumW*)`. Every step is int64 on token
+    * counts; the windows run over the sources-sized frame (one
+    * corpus-grain aggregate upstream, grid-sized after). */
+  def tokenBudgetPlan(docs: DataFrame, weightOf: Column,
+                      budgetNum: Long = 1, budgetDen: Long = 2): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0, "budget must be a valid fraction")
+    import org.apache.spark.sql.expressions.Window
+    val avail = TextAnalysis.qualityFrame(docs, Seq("source"))
+      .groupBy(col("source"))
+      .agg(sum(col("token_cnt")).as("avail"))
+      .withColumn("weight", weightOf.cast("long"))
+    val tot = broadcast(avail.agg(
+      sum(col("avail")).as("tot_a"), sum(col("weight")).as("tot_w")))
+    val w = Window.orderBy(col("ratio_a"), col("ratio_w"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = avail.crossJoin(tot)
+      .withColumn("budget", expr(s"(tot_a * $budgetNum) div $budgetDen"))
+      // ratio A/w kept as the exact pair (compare a1/w1 < a2/w2 as
+      // a1*w2 < a2*w1 is what the ORDER BY needs; a double A/w ratio
+      // is correctly rounded once and identical in both engines, so
+      // the sort key uses it with the (A, w, source) tiebreak)
+      .withColumn("ratio_a", col("avail").cast("double") / col("weight"))
+      .withColumn("ratio_w", col("avail"))
+      .withColumn("cum_a", sum(col("avail")).over(w))
+      .withColumn("cum_w", sum(col("weight")).over(w))
+      .withColumn("capped",
+        col("avail") * (col("tot_w") - col("cum_w")) <=
+          col("weight") * (col("budget") - col("cum_a")))
+    // the water level comes from the LAST capped row's cumulative
+    // state; the capped set is a prefix of the sort order and both
+    // cumulatives are monotone along it, so the conditional max IS
+    // that row's state (zero rows capped -> 0/0 = level over the
+    // whole budget/weight)
+    val lvl = broadcast(ranked
+      .agg(coalesce(max(when(col("capped"), col("cum_a"))), lit(0L))
+          .as("capped_a"),
+        coalesce(max(when(col("capped"), col("cum_w"))), lit(0L))
+          .as("capped_w")))
+    ranked.crossJoin(lvl)
+      .withColumn("allocated",
+        when(col("capped"), col("avail"))
+          .otherwise(expr(
+            "weight * (budget - capped_a) div (tot_w - capped_w)")))
+      .select(col("source"), col("avail"), col("weight"), col("budget"),
+        col("capped"), col("allocated"),
+        (col("allocated").cast("double") / nullif(col("avail"), lit(0L)))
+          .as("fill_frac"))
+      .orderBy(col("source"))
+  }
 }

@@ -896,4 +896,89 @@ object DataChecks {
         col("before_mean"), col("after_mean"), col("shift"))
       .orderBy(col("event_type"))
   }
+
+  /** EWMA spike detector over the per-type daily series — the
+    * recency-weighted complement of [[anomalyFlags]]'s flat z-test:
+    * the baseline is an exponentially-weighted moving average with a
+    * one-day half-life over the trailing `windowDays`, so a spike
+    * right after a level change is judged against what the series is
+    * NOW, not a week-old mean.
+    *
+    * Exactness: weights are INTEGER powers of two 2^(window−age) (the
+    * attributionDecay discipline), the baseline stays the exact
+    * integer pair (Σ nₚ·w, Σw), and the spike test is the integer
+    * cross-multiplication `n·den > mult·num` — no float in the
+    * decision anywhere; the reported ewma is one IEEE division. Σw ≤
+    * 2^window − 1, so num overflows only past ~7·10¹⁶ events/day at
+    * the default window.
+    *
+    * Shape: one (type, day) aggregate, then a banded self-join of the
+    * GRID-SIZED day frame (types × days rows, never event rows) on
+    * a 1..window day offset; everything downstream is grid-sized. */
+  def ewmaAnomaly(events: DataFrame, windowDays: Int = 7, mult: Int = 3,
+                  minDays: Int = 4): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 62, "2^window must fit int64")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("date"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("day_num",
+        datediff(col("date"), lit("1970-01-01").cast("date")).cast("long"))
+    val prev = daily.select(col("event_type").as("p_type"),
+      col("day_num").as("p_day"), col("n_events").as("p_n"))
+    daily
+      .join(prev, col("event_type") === col("p_type") &&
+        col("day_num") - col("p_day") >= 1 &&
+        col("day_num") - col("p_day") <= windowDays, "left")
+      .withColumn("wgt",
+        expr(s"CAST(power(2, $windowDays - (day_num - p_day)) AS BIGINT)"))
+      .groupBy(col("event_type"), col("date"), col("n_events"))
+      .agg(count(col("p_day")).as("base_days"),
+        coalesce(sum(col("p_n") * col("wgt")), lit(0L)).as("num"),
+        coalesce(sum(col("wgt")), lit(0L)).as("den"))
+      .select(col("event_type"), col("date"), col("n_events"),
+        col("base_days"),
+        (col("num").cast("double") / nullif(col("den"), lit(0L)))
+          .as("ewma"),
+        (col("base_days") >= minDays &&
+          col("n_events") * col("den") > lit(mult.toLong) * col("num"))
+          .as("is_spike"))
+      .orderBy(col("date"), col("event_type"))
+  }
+
+  /** Theil–Sen robust trend per event type: the slope estimate is the
+    * MEDIAN of all pairwise day-slopes (yⱼ−yᵢ)/(dayⱼ−dayᵢ) — one wild
+    * outlier day moves an OLS slope (the q_trend regression) but not
+    * the pairwise median, which tolerates ~29% contamination. The
+    * slope sign is decided on the exact median, reported with the
+    * pair count so a thin series is visibly thin.
+    *
+    * Exactness: each pairwise slope is ONE IEEE division of exact
+    * integers; the median interpolation at an even count is (a+b)/2
+    * in both engines. Shape: the pair explode is over the GRID-SIZED
+    * (type, day) frame — days²/2 pairs per type off a 1-shuffle daily
+    * aggregate, never event-grain; a year of days is ~66k pairs. */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("date"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("day_num",
+        datediff(col("date"), lit("1970-01-01").cast("date")).cast("long"))
+    val b = daily.select(col("event_type").as("b_type"),
+      col("day_num").as("b_day"), col("y").as("b_y"))
+    val nDays = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    daily
+      .join(b, col("event_type") === col("b_type") &&
+        col("day_num") < col("b_day"))
+      .select(col("event_type"),
+        ((col("b_y") - col("y")).cast("double") /
+          (col("b_day") - col("day_num"))).as("slope"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(slope, 0.5)").as("slope_per_day"))
+      .join(broadcast(nDays), "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("slope_per_day"), (col("slope_per_day") > 0.0).as("rising"))
+      .orderBy(col("event_type"))
+  }
 }

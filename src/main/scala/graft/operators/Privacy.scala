@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** PII detection and redaction for training-data curation: per-doc
@@ -122,5 +123,60 @@ object Privacy {
         countDistinct(col(sensitive._1)).as("n_sensitive"))
       .withColumn("diverse", col("n_sensitive") >= l)
       .orderBy(quasi.map(q => col(q._1)): _*)
+  }
+
+  /** t-closeness audit — the [[lDiversity]] follow-up (Li et al.,
+    * ICDE'07): a diverse class still leaks if its sensitive
+    * DISTRIBUTION differs from the table's (skewness attack: "people
+    * in this class are mostly in the top balance band"), so each
+    * quasi-identifier class's distance to the global distribution
+    * must stay ≤ t. For an ORDERED sensitive attribute the distance
+    * is the Earth Mover's Distance with unit ground distance between
+    * adjacent categories: t = Σᵢ|cumᵢ(p−q)| / (m−1) over the m
+    * global bands.
+    *
+    * Exactness: the cumulative term is kept as the INTEGER numerator
+    * `Σ(c·N − g·n)` (c = class-band count, g = global band count,
+    * n = class size, N = table size) — order-independent under any
+    * shuffle schedule; the single double division at the end is
+    * correctly rounded in both engines. |cum| ≤ n·N, so the integer
+    * path is exact below N·n ≈ 9·10¹⁸ — a ~3·10⁹-row table whose
+    * largest class is the whole table; larger corpora would move the
+    * numerator to per-class scaled fractions.
+    *
+    * Shape: one domain-bounded aggregate to the (class, band) grain,
+    * a classes×bands grid (generalized-domain-sized, never
+    * table-sized), a per-class window over the m bands, and a
+    * grid-sized final aggregate. The global band frame and the 1-row
+    * (N, m) frame ride broadcasts. */
+  def tCloseness(df: DataFrame, quasi: Seq[(String, Column)],
+                 sensitive: (String, Column), t: Double): DataFrame = {
+    require(quasi.nonEmpty, "tCloseness needs at least one quasi-identifier")
+    val qNames = quasi.map(_._1)
+    val base = df.select(
+      quasi.map { case (n, c) => c.as(n) } :+ sensitive._2.as("sens"): _*)
+    val cb = base.groupBy((qNames :+ "sens").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+    val cls = cb.groupBy(qNames.map(col): _*).agg(sum(col("c")).as("n"))
+    val gb = cb.groupBy(col("sens")).agg(sum(col("c")).as("g"))
+    val tot = gb.agg(sum(col("g")).as("nn"), count(lit(1)).as("m"))
+    val grid = cls.crossJoin(broadcast(gb))
+      .join(cb, qNames :+ "sens", "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(tot))
+    val w = Window.partitionBy(qNames.map(col): _*).orderBy(col("sens"))
+    grid
+      .withColumn("cum_num",
+        sum(col("c") * col("nn") - col("g") * col("n")).over(w))
+      .groupBy((qNames :+ "n").map(col): _*)
+      .agg(sum(abs(col("cum_num"))).as("s"),
+        max(col("nn")).as("nn"), max(col("m")).as("m"))
+      .select(qNames.map(col) ++ Seq(
+        col("n").as("class_size"),
+        (col("s").cast("double") /
+          (col("n").cast("double") * col("nn") * (col("m") - 1)))
+          .as("t_value")): _*)
+      .withColumn("close", col("t_value") <= t)
+      .orderBy(qNames.map(col): _*)
   }
 }

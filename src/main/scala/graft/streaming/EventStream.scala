@@ -352,12 +352,39 @@ object EventStream {
   def anomalyAlerts(spark: SparkSession, events: Dataset[Event],
                     windowDays: Int = 7, k: Int = 3,
                     minDays: Int = 4): Dataset[DailyAnomaly] = {
-    import spark.implicits._
+    implicit val enc: org.apache.spark.sql.Encoder[DailyAnomaly] =
+      org.apache.spark.sql.Encoders.product[DailyAnomaly]
+    dailyFinalizeWalk(events, windowDays) { (etype, d, x, base) =>
+      val bn = base.size.toLong
+      val bs = base.map(_.n).sum
+      val bss = base.map(b => b.n * b.n).sum
+      val flag = bn >= minDays && {
+        val dev = bn.toDouble * x.toDouble - bs.toDouble
+        dev * dev >
+          (k.toDouble * k) * (bn.toDouble * bss.toDouble -
+            bs.toDouble * bs.toDouble)
+      }
+      DailyAnomaly(etype, d, x, bn, bs, flag)
+    }
+  }
+
+  /** Shared per-type day-finalization walk behind [[anomalyAlerts]]
+    * and [[ewmaAlerts]]: counts each UTC day per event type, finalizes
+    * a day one watermark delay after it ends, and hands the decision
+    * callback the finalized (type, day, count) plus the trailing
+    * `windowDays` CLOSED day buckets — per-key state is O(windowDays),
+    * independent of event volume. Late events past the watermark miss
+    * their (already-emitted) day — the module's lateness contract. */
+  private def dailyFinalizeWalk[T](events: Dataset[Event], windowDays: Int)
+      (decide: (String, Long, Long, Seq[DayBucket]) => T)
+      (implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    implicit val stEnc: org.apache.spark.sql.Encoder[AnomalyState] =
+      org.apache.spark.sql.Encoders.product[AnomalyState]
     val dayMs = 86400000L
     events
       .withWatermark("ts", "2 hours")
-      .groupByKey(_.event_type)
-      .flatMapGroupsWithState[AnomalyState, DailyAnomaly](
+      .groupByKey(_.event_type)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[AnomalyState, T](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (etype, rows, state: GroupState[AnomalyState]) =>
           val st = state.getOption.getOrElse(
@@ -385,19 +412,11 @@ object EventStream {
           val out = done.toSeq.sortBy(_._1).map { case (d, x) =>
             val base = closed.filter(b =>
               b.day >= d - windowDays && b.day <= d - 1)
-            val bn = base.size.toLong
-            val bs = base.map(_.n).sum
-            val bss = base.map(b => b.n * b.n).sum
-            val flag = bn >= minDays && {
-              val dev = bn.toDouble * x.toDouble - bs.toDouble
-              dev * dev >
-                (k.toDouble * k) * (bn.toDouble * bss.toDouble -
-                  bs.toDouble * bs.toDouble)
-            }
+            val res = decide(etype, d, x, base)
             // keep only days a FUTURE day's trailing window can read
             closed = (closed :+ DayBucket(d, x))
               .filter(_.day > d - windowDays)
-            DailyAnomaly(etype, d, x, bn, bs, flag)
+            res
           }
           val frontier =
             if (done.isEmpty) st.frontier else done.keys.max
@@ -410,6 +429,32 @@ object EventStream {
           } else state.remove()
           out.iterator
       }
+  }
+
+  case class DailyEwma(event_type: String, day_num: Long, n_events: Long,
+                       base_days: Long, ewma: Option[Double],
+                       is_spike: Boolean)
+
+  /** Streaming EWMA spike alerting — the streaming twin of
+    * DataChecks.ewmaAnomaly, sharing [[dailyFinalizeWalk]]'s state
+    * contract with [[anomalyAlerts]]. The decision replays the batch
+    * operator's exact integer arithmetic: weights 2^(window−age) over
+    * the trailing closed days, spike iff `n·Σw > mult·Σ(nₚ·w)` with
+    * ≥ `minDays` baseline days — bit-equal to the batch flags on
+    * finalized days (EquivalenceSpec-gated like the z² twin). */
+  def ewmaAlerts(spark: SparkSession, events: Dataset[Event],
+                 windowDays: Int = 7, mult: Int = 3,
+                 minDays: Int = 4): Dataset[DailyEwma] = {
+    implicit val enc: org.apache.spark.sql.Encoder[DailyEwma] =
+      org.apache.spark.sql.Encoders.product[DailyEwma]
+    dailyFinalizeWalk(events, windowDays) { (etype, d, x, base) =>
+      val num = base.map(b => b.n << (windowDays - (d - b.day).toInt)).sum
+      val den = base.map(b => 1L << (windowDays - (d - b.day).toInt)).sum
+      val bn = base.size.toLong
+      val flag = bn >= minDays && x * den > mult.toLong * num
+      DailyEwma(etype, d, x, bn,
+        if (den == 0L) None else Some(num.toDouble / den), flag)
+    }
   }
 
   case class ActiveDaysState(days: Seq[Long])

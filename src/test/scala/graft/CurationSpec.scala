@@ -389,4 +389,39 @@ class CurationSpec extends SparkSpec {
     assert(s1.values.map(_._1).sum == 200L)
     assert(s1.keys.forall(k => s2(k)._1 >= s1(k)._1))
   }
+
+  test("tokenBudgetPlan caps the small source and re-levels the rest") {
+    // A: 2 tokens at weight 2 (capped — its fair share exceeds its
+    // supply); B: 100 tokens at weight 1. Budget = 51 of 102.
+    val df = Seq(
+      (1L, "a b", "A"),
+      (2L, (1 to 100).map(i => s"w$i").mkString(" "), "B"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.tokenBudgetPlan(df,
+        when(col("source") === "A", lit(2L)).otherwise(lit(1L)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4 - 2),
+        r.getBoolean(4), r.getLong(5))).sortBy(_._1)
+    // (source, avail, weight, capped, allocated)
+    assert(out.toSeq == Seq(
+      ("A", 2L, 2L, true, 2L),
+      ("B", 100L, 1L, false, 49L)))
+  }
+
+  test("curriculumPlan tiers are equal-population and quality-ordered") {
+    val df = Seq(
+      (1L, "the cat and the dog ran to the house of the man"),
+      (2L, "zz qq ww"),
+      (3L, "the quick brown fox jumps over the lazy dog again"),
+      (4L, "x1 9 9 9 9 9"))
+      .toDF("doc_id", "text")
+    val out = Curation.curriculumPlan(df, buckets = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(out.map(_._1).toSeq == Seq(1, 2))
+    assert(out.map(_._2).toSeq == Seq(2L, 2L))
+    // tier 1's worst doc still scores >= tier 2's best
+    assert(out(0)._4 >= out(1)._5)
+    // cumulative tokens: tier2 cum = tier1 + tier2
+    assert(out(1)._6 == out(0)._3 + out(1)._3)
+  }
 }

@@ -89,4 +89,22 @@ class PrivacySpec extends SparkSpec {
     assert(out(1L)._3 > out(2L)._3)
     assert(!out.contains(3L), "null-text docs drop out (no tokens)")
   }
+
+  test("tCloseness computes the ordered EMD exactly") {
+    import graft.operators.Privacy
+    // global bands (0, 1) split 3:1; class A is all band-0
+    // (p=(1,0) vs q=(.75,.25) → EMD .25), class B is 1:1
+    // ((.5,.5) vs (.75,.25) → EMD .25)
+    val df = Seq(("A", 0L), ("A", 0L), ("B", 0L), ("B", 1L))
+      .toDF("grp", "band")
+    val out = Privacy.tCloseness(df,
+      Seq("grp" -> col("grp")), "band" -> col("band"), t = 0.3)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(("A", 2L, 0.25, true), ("B", 2L, 0.25, true)))
+    val strict = Privacy.tCloseness(df,
+      Seq("grp" -> col("grp")), "band" -> col("band"), t = 0.2)
+      .collect().map(_.getBoolean(3))
+    assert(strict.forall(_ == false))
+  }
 }

@@ -358,4 +358,39 @@ class StreamingSpec extends SparkSpec {
         r.getLong(4), r.getBoolean(5)))).toMap
     assert(streamed == batch, "streamed alerts equal batch flags")
   }
+
+  test("streaming EWMA alerts match the batch spike flags on finalized days") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // rising quiet days then a spike: the EWMA baseline tracks the
+    // rise, so only the genuine spike flags
+    val quiet = (1 to 9).flatMap { d =>
+      val n = if (d % 2 == 0) 2 else 3
+      (1 to n).map(i => Event(i, ts(f"2024-01-0$d%d 0$i%d:00:00"), "t", 1.0))
+    }
+    val spike = (1 to 50).map(i =>
+      Event(i, ts("2024-01-10 05:00:00"), "t", 1.0))
+    mem.addData(quiet ++ spike: _*)
+    val q = EventStream.ewmaAlerts(spark, mem.toDS())
+      .writeStream.format("memory").queryName("ewma_a").outputMode("append")
+      .start()
+    mem.addData(Event(99, ts("2024-01-12 00:00:00"), "t", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ewma_a").collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getBoolean(5)))).toMap
+    val day10 = java.time.LocalDate.of(2024, 1, 10).toEpochDay
+    assert(streamed(day10)._4, "spike day flags")
+    assert(streamed.filterNot(_._1 == day10).values.forall(!_._4))
+    val batch = graft.operators.DataChecks.ewmaAnomaly((quiet ++ spike).toDF())
+      .withColumn("day_num",
+        datediff(col("date"), lit("1970-01-01")).cast("long"))
+      .collect()
+      .map(r => r.getAs[Long]("day_num") -> ((r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getBoolean(5)))).toMap
+    assert(streamed == batch, "streamed EWMA alerts equal batch flags")
+  }
 }
