@@ -8,7 +8,7 @@ object Bench {
     * knn, all-pairs cosine) are excluded — their scale path
     * (IVF/LSH/minhash) is what gets benched. */
   val headline: Seq[String] = Seq(
-    "q1_pricing_summary", "q_revenue_by_nation", "q_local_volume", "q_returned_items",
+    "q1_pricing_summary", "q_revenue_by_nation", "q_gini", "q_local_volume", "q_returned_items",
     "q_order_priority", "q_revenue_forecast", "q_nation_trade",
     "q_market_share", "q_product_profit", "q_priority_delay",
     "q_cust_order_dist", "q_promo_share", "q_top_supplier",
@@ -31,7 +31,7 @@ object Bench {
     "q_simhash", "q_simhash_pairs", "q_skew_salted", "q_decontam",
     "q_stratified_sample", "q_split", "q_split_leak", "q_blocklist", "q_chunks",
     "q_chunk_dedup",
-    "q_pack", "q_curation_funnel", "q_vocab", "q_bpe_pairs", "q_bpe_train",
+    "q_pack", "q_curation_funnel", "q_vocab", "q_zipf", "q_bpe_pairs", "q_bpe_train",
     "q_quality_cap",
     "q_dedup_incremental", "q_dedup_index_stats",
     "q_vector_health", "q_embed_quant",
@@ -53,7 +53,7 @@ object Bench {
     "q_ooo_audit", "q_watermark_rec", "q_record_dedup", "q_canary_scan",
     "q_inverted_index",
     "q_ship_priority", "q_late_suppliers", "q_k_anon", "q_forecast_naive",
-    "q_autocorr", "q_chi2_independence", "q_fanout_audit",
+    "q_autocorr", "q_comovement", "q_welch", "q_chi2_independence", "q_fanout_audit",
     "q_item_similarity", "q_pagerank", "q_bigram_lm",
     "q_graph_stats", "q_triangles", "q_wedge_recs", "q_k_core",
     "q_changepoint", "q_file_skipping", "q_small_orders",

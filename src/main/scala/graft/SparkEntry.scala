@@ -72,6 +72,9 @@ object SparkEntry {
     * the ordering contract, not the cut, is what the gate checks). */
   private val VocabTopN = 1000
 
+  /** q_zipf: top-rank terms the log-log OLS fits over. */
+  private val ZipfTopK = 100
+
   /** q_bpe_pairs top-N — BINDING on the synthetic corpus (~40-word
     * vocabulary → hundreds of distinct adjacent pairs), so the
     * deterministic tie-break at the cut is itself gate-checked. */
@@ -758,6 +761,9 @@ object SparkEntry {
         Tables.part(s, d), Q19Brands)),
     "q_revenue_by_nation" -> ((s, d) =>
       Analytics.revenueByNation(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    // per-nation customer revenue inequality (exact rank-weighted sum)
+    "q_gini" -> ((s, d) =>
+      Analytics.giniByNation(Tables.orders(s, d), Tables.customer(s, d))),
     "q_top_orders_per_cust" -> ((s, d) =>
       Analytics.topOrdersPerCustomer(Tables.orders(s, d))),
     // Same result through the graft_topk bounded-heap aggregate — the
@@ -844,6 +850,9 @@ object SparkEntry {
       BeforeAfter.metrics(
         BeforeAfter.getBeforeAfter(BeforeAfter.constructHHFirst(p, e, u), 1, 2))
     }),
+    // Welch two-sample t-test of mean value between type pairs
+    "q_welch" -> ((s, d) =>
+      BeforeAfter.welchPairs(Tables.events(s, d))),
     "q_contingency" -> ((s, d) => {
       val (p, e, u) = beforeAfterInputs(s, d)
       BeforeAfter.contingency(
@@ -975,6 +984,9 @@ object SparkEntry {
         BlocklistMaxFrac, SampleRates, SampleBuckets)),
     "q_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(Tables.documents(s, d), VocabTopN)),
+    // one-row "does this corpus look like language" gauge
+    "q_zipf" -> ((s, d) =>
+      TextAnalysis.zipfFit(Tables.documents(s, d), ZipfTopK)),
     "q_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairs(Tables.documents(s, d), BpeTopN)),
     "q_bpe_train" -> ((s, d) =>
@@ -1253,6 +1265,9 @@ object SparkEntry {
       Temporal.forecastNaive(Tables.events(s, d), ForecastLagDays)),
     "q_autocorr" -> ((s, d) =>
       DataChecks.autocorr(Tables.events(s, d), AutocorrLags)),
+    // cross-type daily-volume correlation (exact bigint moments)
+    "q_comovement" -> ((s, d) =>
+      DataChecks.comoveCorrelation(Tables.events(s, d))),
     "q_chi2_independence" -> ((s, d) =>
       DataChecks.chi2Independence(Tables.events(s, d))),
     "q_fanout_audit" -> ((s, d) =>
@@ -2050,6 +2065,22 @@ object SparkEntry {
              OR (p_brand = '${Q19Brands(2)}' AND p_size BETWEEN 26 AND 50
               AND l_quantity BETWEEN 20 AND 35)
           GROUP BY 1 ORDER BY 1""",
+    "q_gini" ->
+      """WITH rev AS (SELECT o_custkey,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_c
+          FROM orders GROUP BY 1),
+          j AS (SELECT c_nationkey, o_custkey, rev_c
+            FROM rev JOIN customer ON o_custkey = c_custkey),
+          rnk AS (SELECT *, CAST(row_number() OVER (
+            PARTITION BY c_nationkey ORDER BY rev_c, o_custkey)
+            AS BIGINT) AS rk FROM j)
+          SELECT c_nationkey, count(*) AS n_custs,
+            CAST(sum(rev_c) AS DOUBLE) / 100.0 AS total_rev,
+            (2.0 * sum(rk * rev_c)) /
+              (CAST(count(*) AS DOUBLE) * sum(rev_c)) -
+              CAST(count(*) + 1 AS DOUBLE) / count(*) AS gini
+          FROM rnk GROUP BY 1 ORDER BY 1""",
     "q_revenue_by_nation" ->
       """SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
          count(*) AS num_orders
@@ -2243,6 +2274,31 @@ object SparkEntry {
             cwgt_bb_cnt,
             CAST(bwgt_cnt AS DOUBLE) / nullif(cwgt_bb_cnt, 0) AS i_ratio_bb, wgt
           FROM summed ORDER BY hh_exposed, bef_aft DESC""",
+    "q_welch" ->
+      """WITH c AS (SELECT event_type,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL),
+          m AS (SELECT event_type, count(*) AS n,
+            CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+          FROM c GROUP BY 1),
+          mm AS (SELECT *, CAST(s AS DOUBLE) / n AS mean_c,
+            (CAST(ss AS DOUBLE) / n -
+              (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) *
+              (CAST(n AS DOUBLE) / (n - 1)) AS var_c
+          FROM m)
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+            a.n AS n_a, b.n AS n_b,
+            a.mean_c / 100.0 AS mean_a, b.mean_c / 100.0 AS mean_b,
+            (a.mean_c - b.mean_c) /
+              sqrt(a.var_c / a.n + b.var_c / b.n) AS t_stat,
+            ((a.var_c / a.n + b.var_c / b.n) *
+              (a.var_c / a.n + b.var_c / b.n)) /
+              ((a.var_c / a.n) * (a.var_c / a.n) / (a.n - 1) +
+               (b.var_c / b.n) * (b.var_c / b.n) / (b.n - 1)) AS welch_df,
+            abs((a.mean_c - b.mean_c) /
+              sqrt(a.var_c / a.n + b.var_c / b.n)) > 1.96 AS significant
+          FROM mm a JOIN mm b ON a.event_type < b.event_type
+          ORDER BY 1, 2""",
     "q_contingency" ->
       s"""${beforeAfterCtes(6, 7, exposedOnly = true)},
           hh AS (
@@ -2652,6 +2708,27 @@ object SparkEntry {
               FROM s4 JOIN ntok USING (doc_id))
           ORDER BY stage_ix"""
     },
+    "q_zipf" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          e AS (SELECT unnest(toks) AS term FROM tk),
+          f AS (SELECT term, count(*) AS n_occ FROM e GROUP BY 1),
+          nv AS (SELECT count(*) AS n_vocab FROM f),
+          top AS (SELECT * FROM f ORDER BY n_occ DESC, term
+            LIMIT $ZipfTopK),
+          rnk AS (SELECT *, row_number()
+            OVER (ORDER BY n_occ DESC, term) AS rank FROM top),
+          pts AS (SELECT ln(rank) AS lx, ln(n_occ) AS ly FROM rnk),
+          mm AS (SELECT CAST(count(*) AS BIGINT) AS k,
+            sum(lx) AS sx, sum(ly) AS sy, sum(lx * ly) AS sxy,
+            sum(lx * lx) AS sxx, sum(ly * ly) AS syy FROM pts)
+          SELECT nv.n_vocab, mm.k AS n_top_terms,
+            -(mm.k * mm.sxy - mm.sx * mm.sy) /
+              (mm.k * mm.sxx - mm.sx * mm.sx) AS zipf_alpha,
+            ((mm.k * mm.sxy - mm.sx * mm.sy) *
+              (mm.k * mm.sxy - mm.sx * mm.sy)) /
+              ((mm.k * mm.sxx - mm.sx * mm.sx) *
+                (mm.k * mm.syy - mm.sy * mm.sy)) AS r2
+          FROM mm CROSS JOIN nv""",
     "q_vocab" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
           e AS (SELECT doc_id, unnest(toks) AS term FROM tk)
@@ -3945,6 +4022,20 @@ object SparkEntry {
     // back); the r combination runs in DOUBLE off the exact moments on
     // both engines (identical correctly-rounded scalar chain), with
     // zero variance on either side -> NULL.
+    "q_comovement" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            count(*) AS n FROM events GROUP BY 1, 2)
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+            count(*) AS n_days,
+            CAST(count(*) * sum(a.n * b.n) - sum(a.n) * sum(b.n)
+              AS DOUBLE) /
+              sqrt(CAST(nullif(
+                (count(*) * sum(a.n * a.n) - sum(a.n) * sum(a.n)) *
+                (count(*) * sum(b.n * b.n) - sum(b.n) * sum(b.n)), 0)
+                AS DOUBLE)) AS corr
+          FROM d a JOIN d b ON a.day = b.day
+            AND a.event_type < b.event_type
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_autocorr" ->
       s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
             CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),

@@ -679,4 +679,41 @@ object Analytics {
       .agg(round(sum(col("rev")), 2).as("revenue"), count(lit(1)).as("n_lines"))
       .orderBy(col("clause"))
   }
+
+  /** Gini coefficient of customer revenue concentration per nation —
+    * the "do 1% of customers carry this market" inequality gauge
+    * behind quota and risk planning. G = 2·Σᵢ(i·xᵢ)/(n·Σx) − (n+1)/n
+    * over each nation's customers sorted by revenue (ties broken by
+    * custkey, so ranks are total and both engines agree).
+    *
+    * Exactness: revenue is integer cents (order totals summed per
+    * customer), the rank-weighted sum Σ(i·xᵢ) is exact bigint —
+    * overflow past ~10⁷ customers of ~10⁹ cents per nation
+    * (i·xᵢ ≈ 10¹⁶, summed — documented bound), and the two
+    * divisions run in double with mirrored operation order. Shape:
+    * one customer-grain aggregate, a per-nation sort window (rank
+    * within nation — parallel across nations, the partition bounded
+    * by the hottest nation), one nation-grain aggregate. */
+  def giniByNation(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val rev = orders
+      .select(col("o_custkey"), round(col("o_totalprice") * 100)
+        .cast("bigint").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("rev_c"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("rev_c"), col("o_custkey"))
+    rev
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"), sum(col("rev_c")).as("total_c"),
+        sum(col("rk") * col("rev_c")).as("iws"))
+      .select(col("c_nationkey"), col("n_custs"),
+        (col("total_c").cast("double") / 100.0).as("total_rev"),
+        ((lit(2.0) * col("iws")) /
+          (col("n_custs").cast("double") * col("total_c")) -
+          (col("n_custs") + 1).cast("double") / col("n_custs"))
+          .as("gini"))
+      .orderBy(col("c_nationkey"))
+  }
 }

@@ -208,4 +208,51 @@ object BeforeAfter {
       .agg(count(lit(1)).as("count"))
       .orderBy(col("bb"), col("bc"), col("ab"), col("ac"))
   }
+
+  /** Welch two-sample t-test of mean `value` between every event-type
+    * pair — the experiment-readout step after [[beforeAfterLift]]
+    * shows a difference: is the gap real or noise. Unequal variances
+    * assumed (Welch), with the Welch–Satterthwaite degrees of
+    * freedom, and a fixed 1.96 two-sided flag (the α=.05 normal
+    * approximation — df here is in the thousands, where t ≈ z).
+    *
+    * Exactness: values move to integer CENTS first (the dailyPartials
+    * discipline), so the moments (n, Σc, Σc²) are exact bigint in any
+    * shuffle order; means/variances recover in DOUBLE with the
+    * identical operation order in the oracle (the variance-in-double
+    * form — the integer form n·Σc²−(Σc)² would overflow at ~6·10⁴
+    * rows of ~5·10⁴-cent values). Sample variance applies the
+    * n/(n−1) correction as its own double step. Shape: one map-side-
+    * combining aggregate to the types frame, pair join and the t/df
+    * chain all types²-sized. */
+  def welchPairs(events: DataFrame, tCrit: Double = 1.96): DataFrame = {
+    val m = events.where(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .withColumn("mean_c", col("s").cast("double") / col("n"))
+      .withColumn("var_c",
+        (col("ss").cast("double") / col("n") -
+          (col("s").cast("double") / col("n")) *
+            (col("s").cast("double") / col("n"))) *
+          (col("n").cast("double") / (col("n") - 1)))
+    val b = m.select(col("event_type").as("type_b"), col("n").as("n_b"),
+      col("mean_c").as("mean_b"), col("var_c").as("var_b"))
+    val se2 = col("var_c") / col("n") + col("var_b") / col("n_b")
+    m.join(b, col("event_type") < col("type_b"))
+      .select(col("event_type").as("type_a"), col("type_b"),
+        col("n").as("n_a"), col("n_b"),
+        (col("mean_c") / 100.0).as("mean_a"),
+        (col("mean_b") / 100.0).as("mean_b"),
+        ((col("mean_c") - col("mean_b")) / sqrt(se2)).as("t_stat"),
+        ((se2 * se2) /
+          ((col("var_c") / col("n")) * (col("var_c") / col("n")) /
+            (col("n") - 1) +
+           (col("var_b") / col("n_b")) * (col("var_b") / col("n_b")) /
+            (col("n_b") - 1))).as("welch_df"))
+      .withColumn("significant", abs(col("t_stat")) > tCrit)
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

@@ -981,4 +981,42 @@ object DataChecks {
         col("slope_per_day"), (col("slope_per_day") > 0.0).as("rising"))
       .orderBy(col("event_type"))
   }
+
+  /** Cross-type co-movement: Pearson correlation of the DAILY volume
+    * series between every event-type pair — "do purchases move with
+    * clicks" is the first question after any per-type trend/anomaly
+    * flag fires, and a correlated drop across types points at
+    * ingestion, not product. Days are the inner join of both types'
+    * active days (the corpus grid is dense; a sparse feed would
+    * zero-fill first).
+    *
+    * Exactness: all six moments (n, Σx, Σy, Σxy, Σx², Σy²) are
+    * bigint over daily counts — order-independent, overflow-safe
+    * below ~5·10⁸ events/day/type (n·Σxy < 2⁶³) — and r is one
+    * fixed-shape double expression over them; zero-variance sides
+    * yield NULL via nullif. Shape: pair join and everything after is
+    * GRID-sized (types² × days), off one (type, day) aggregate. */
+  def comoveCorrelation(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val b = daily.select(col("event_type").as("type_b"),
+      col("day").as("day_b"), col("n").as("y"))
+    daily
+      .join(b, col("day") === col("day_b") &&
+        col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("n") * col("y")).as("sxy"),
+        sum(col("n") * col("n")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        ((col("n_days") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          sqrt(nullif((col("n_days") * col("sxx") - col("sx") * col("sx")) *
+            (col("n_days") * col("syy") - col("sy") * col("sy")), lit(0L))
+            .cast("double"))).as("corr"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

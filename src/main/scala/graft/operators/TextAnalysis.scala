@@ -875,4 +875,42 @@ object TextAnalysis {
         col("len_before"), col("len_after"), col("cleaned"))
       .orderBy(col("doc_id"))
   }
+
+  /** Zipf fit of the term-frequency distribution: OLS of ln(freq) on
+    * ln(rank) over the top-`topK` terms — natural corpora sit near
+    * α ≈ 1 (slope −1); a collapsed α flags template/boilerplate
+    * corpora and an inflated one flags vocabulary starvation, so this
+    * is the one-row "does this corpus look like language" gauge next
+    * to [[vocabulary]].
+    *
+    * Shape: term counts are the [[vocabulary]] aggregate; the top-K
+    * cut is TakeOrdered and everything after runs on K rows (the
+    * rank window included — K-sized, never vocab-sized); the vocab
+    * size rides a broadcast 1-row frame. Determinism: libm ln is not
+    * correctly rounded, and the K-term double sums are tree-order
+    * dependent — both land orders of magnitude inside the gate's
+    * 1e-6 relative tolerance (the BM25 precedent). */
+  def zipfFit(docs: DataFrame, topK: Int = 100): DataFrame = {
+    val freq = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_occ"))
+    val nv = freq.agg(count(lit(1)).as("n_vocab"))
+    val ranked = freq.orderBy(col("n_occ").desc, col("term")).limit(topK)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("n_occ").desc, col("term"))))
+    val pts = ranked.select(log(col("rank").cast("double")).as("lx"),
+      log(col("n_occ").cast("double")).as("ly"))
+    pts
+      .agg(count(lit(1)).as("k"), sum(col("lx")).as("sx"),
+        sum(col("ly")).as("sy"), sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("ly") * col("ly")).as("syy"))
+      .crossJoin(broadcast(nv))
+      .select(col("n_vocab"), col("k").as("n_top_terms"),
+        (-(col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx"))).as("zipf_alpha"),
+        (((col("k") * col("sxy") - col("sx") * col("sy")) *
+          (col("k") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("k") * col("sxx") - col("sx") * col("sx")) *
+            (col("k") * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
 }

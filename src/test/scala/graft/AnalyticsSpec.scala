@@ -97,4 +97,21 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq((1, 1L, 30.0)))
   }
+
+  test("giniByNation: 0 for equal revenues, 2/9 for the 1-2-3 ramp") {
+    import java.sql.Timestamp
+    // nation 1: three equal customers -> G = 0 exactly;
+    // nation 2: revenues 1,2,3 -> G = 2*(1+4+9)/(3*6) - 4/3 = 2/9
+    val cust = Seq((1L, 1), (2L, 1), (3L, 1), (4L, 2), (5L, 2), (6L, 2))
+      .toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (1L, 10.0), (2L, 10.0), (3L, 10.0),
+      (4L, 1.0), (5L, 2.0), (6L, 3.0))
+      .toDF("o_custkey", "o_totalprice")
+    val out = Analytics.giniByNation(orders, cust).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(out.length == 2)
+    assert(out(0) == ((1, 3L, 0.0)))
+    assert(math.abs(out(1)._3 - 2.0 / 9.0) < 1e-15)
+  }
 }
