@@ -500,6 +500,15 @@ object SparkEntry {
   /** q_search: literal query terms (corpus-vocabulary words) and the
     * result-list size. */
   private val SearchTerms = Seq("spark", "window", "stream")
+
+  /** q_search_eval: (query id, conjunctive term set) pairs — terms
+    * drawn from the synthetic vocab so every query has matches — and
+    * the precision@k cut. */
+  private val EvalQueries = Seq(
+    "multi_spark_table" -> Seq("spark", "table"),
+    "pair_window_stream" -> Seq("window", "stream"),
+    "single_merge" -> Seq("merge"))
+  private val EvalK = 10
   private val SearchK = 20
 
   /** q_qa_orphans: the measurement panel = customers with key <
@@ -1362,6 +1371,9 @@ object SparkEntry {
       TextAnalysis.searchTopK(Tables.documents(s, d), SearchTerms, SearchK)),
     "q_search_bm25" -> ((s, d) =>
       TextAnalysis.searchBm25(Tables.documents(s, d), SearchTerms, SearchK)),
+    // MRR/precision@k of the BM25 order vs conjunctive containment
+    "q_search_eval" -> ((s, d) =>
+      TextAnalysis.searchEval(Tables.documents(s, d), EvalQueries, EvalK)),
     "q_qa_orphans" -> ((s, d) =>
       DataChecks.coverageCheck(Tables.events(s, d),
         Tables.customer(s, d).where(col("c_custkey") < PanelMaxKey),
@@ -1893,6 +1905,61 @@ object SparkEntry {
           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
             AS BIGINT) AS simhash
           FROM sums GROUP BY 1)"""
+
+
+  /** q_search_eval oracle: one BM25+relevance leg per query (the
+    * q_search_bm25 CTE chain parameterized by term set), UNION ALL'd.
+    * The rank is the same window-free counting form the engine uses:
+    * 1 + |docs strictly ahead of the best relevant doc|; the
+    * count-over-empty 1 is masked by the n_rel CASE on both sides. */
+  private lazy val searchEvalOracleSql: String = {
+    val legs = EvalQueries.map { case (qid, terms) =>
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      val relCond = terms.map(t => s"list_contains(toks, '$t')")
+        .mkString(" AND ")
+      s"""SELECT * FROM (
+          WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+          st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+          ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+          h AS (SELECT doc_id, term, count(*) AS tf FROM ex
+            WHERE term IN ($termList) GROUP BY 1, 2),
+          dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM h
+            GROUP BY 1),
+          sc AS (SELECT h.doc_id, h.term, h.tf,
+              ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                (h.tf * (1.2 + 1)) /
+                (h.tf + 1.2 * (CAST(1 AS DOUBLE) - 0.75 +
+                  0.75 * dl.dl / st.avgdl)) AS w
+            FROM h JOIN dfq USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN st),
+          ag AS (SELECT doc_id,
+              round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(w ORDER BY term)), (x, y) -> x + y), 6) AS score
+            FROM sc GROUP BY 1),
+          rel AS (SELECT doc_id FROM tk WHERE $relCond),
+          nrel AS (SELECT count(*) AS n_rel FROM rel),
+          best AS (SELECT score, doc_id FROM ag
+            WHERE doc_id IN (SELECT doc_id FROM rel)
+            ORDER BY score DESC, doc_id LIMIT 1),
+          rnk AS (SELECT count(*) + 1 AS r FROM ag CROSS JOIN best b
+            WHERE ag.score > b.score OR
+              (ag.score = b.score AND ag.doc_id < b.doc_id)),
+          tk2 AS (SELECT doc_id FROM ag
+            ORDER BY score DESC, doc_id LIMIT $EvalK),
+          pk AS (SELECT count(*) AS rel_in_k FROM tk2
+            WHERE doc_id IN (SELECT doc_id FROM rel))
+          SELECT '$qid' AS query_id, nrel.n_rel,
+            CASE WHEN nrel.n_rel > 0 THEN rnk.r END AS first_rel_rank,
+            CASE WHEN nrel.n_rel > 0 THEN CAST(1.0 AS DOUBLE) / rnk.r
+              ELSE CAST(0.0 AS DOUBLE) END AS rr,
+            CAST(pk.rel_in_k AS DOUBLE) / $EvalK AS p_at_k
+          FROM nrel CROSS JOIN rnk CROSS JOIN pk)"""
+    }
+    legs.mkString("", "\n          UNION ALL\n          ",
+      "\n          ORDER BY query_id")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -4630,6 +4697,7 @@ object SparkEntry {
           SELECT doc_id, n_terms, n_hits, score FROM ag
           ORDER BY score DESC, doc_id LIMIT $SearchK"""
     },
+    "q_search_eval" -> searchEvalOracleSql,
     // same hit/df/dl CTEs as the engine; the fold is term-sorted and
     // the k-cut orders by the ROUNDED score (ln is the one libm op —
     // see searchBm25 scaladoc)
@@ -4659,6 +4727,7 @@ object SparkEntry {
           SELECT doc_id, n_terms, n_hits, score FROM ag
           ORDER BY score DESC, doc_id LIMIT $SearchK"""
     },
+    "q_search_eval" -> searchEvalOracleSql,
     "q_qa_orphans" ->
       s"""WITH k AS (SELECT DISTINCT c_custkey AS user_id FROM customer
             WHERE c_custkey < $PanelMaxKey),

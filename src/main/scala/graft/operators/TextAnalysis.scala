@@ -634,7 +634,18 @@ object TextAnalysis {
     * dl/avgdl derive from the same tokenizer as the hits; avgdl is
     * one exact division of two integer aggregates. */
   def searchBm25(docs: DataFrame, queryTerms: Seq[String], k: Int,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(docs, queryTerms, k1, b)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** The full BM25-scored matching-docs frame behind [[searchBm25]]'s
+    * TakeOrdered cut — [[searchEval]] needs every matching doc's
+    * score (ranks of relevant docs), not just the top-k. */
+  private[operators] def bm25Scores(docs: DataFrame,
+                                    queryTerms: Seq[String],
+                                    k1: Double = 1.2,
+                                    b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "searchBm25 needs at least one term")
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .transform(graft.Caches.hold)
@@ -666,8 +677,52 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("term"), col("w")))),
           lit(0.0), (acc, x) => acc + x.getField("w")).as("score"))
       .withColumn("score", round(col("score"), 6))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+  }
+
+  /** Retrieval-quality eval of the BM25 ranking against a
+    * corpus-derived relevance oracle: a doc is RELEVANT to a query
+    * iff it contains ALL the query's terms (the conjunctive
+    * containment ground truth — derivable in any engine, no labels
+    * needed), and the report gives per query the relevant-doc count,
+    * the rank of the first relevant doc in the BM25 ordering, its
+    * reciprocal rank, and precision@k — the "is the ranker actually
+    * ranking" gate run before anyone trusts q_search_bm25's order.
+    *
+    * Rank WITHOUT a global window: the first relevant doc is a
+    * TakeOrdered(1) over the relevant slice, and its rank is
+    * 1 + count(docs strictly ahead of it) — a counting aggregate
+    * over the scored frame, never a corpus-wide row_number. The
+    * scored frame is Caches-held (read by the best-rel probe, the
+    * rank count and the top-k cut); each query's report is a 1-row
+    * frame, unioned across the query set. Empty relevant sets mask
+    * rank/rr to NULL/0 (the count-over-empty 1 never escapes). */
+  def searchEval(docs: DataFrame, queries: Seq[(String, Seq[String])],
+                 k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "searchEval needs at least one query")
+    val toksCol = tokens(col("text"))
+    queries.map { case (qid, terms) =>
+      val scored = graft.Caches.hold(bm25Scores(docs, terms, k1, b))
+      val rel = docs
+        .where(terms.map(t => array_contains(toksCol, t)).reduce(_ && _))
+        .select(col("doc_id").as("rid"))
+      val nrel = rel.agg(count(lit(1)).as("n_rel"))
+      val best = scored.join(rel, scored("doc_id") === rel("rid"), "left_semi")
+        .orderBy(col("score").desc, col("doc_id")).limit(1)
+        .select(col("score").as("bs"), col("doc_id").as("bid"))
+      val rank = scored.crossJoin(broadcast(best))
+        .where(col("score") > col("bs") ||
+          (col("score") === col("bs") && col("doc_id") < col("bid")))
+        .agg((count(lit(1)) + 1).as("r"))
+      val topk = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      val pk = topk.join(rel, topk("doc_id") === rel("rid"), "left_semi")
+        .agg(count(lit(1)).as("rel_in_k"))
+      nrel.crossJoin(broadcast(rank)).crossJoin(broadcast(pk))
+        .select(lit(qid).as("query_id"), col("n_rel"),
+          when(col("n_rel") > 0, col("r")).as("first_rel_rank"),
+          when(col("n_rel") > 0, lit(1.0) / col("r")).otherwise(lit(0.0))
+            .as("rr"),
+          (col("rel_in_k").cast("double") / k).as("p_at_k"))
+    }.reduce(_.unionAll(_)).orderBy(col("query_id"))
   }
 
   /** Corpus-frequency unigram LM score — the word-frequency

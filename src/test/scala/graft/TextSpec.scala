@@ -462,4 +462,24 @@ class TextSpec extends SparkSpec {
     assert(out(1L) == out(2L) && out(2L) == out(3L))
     assert(out(4L) < out(1L) / 2)
   }
+
+  test("searchEval ranks past non-relevant high scorers") {
+    import spark.implicits._
+    // query {a, b}: only doc 2 contains both, but docs 1 and 4 score
+    // higher on single-term tf — hand-computed BM25 order is 1, 4, 2,
+    // so the first relevant doc sits at rank 3 and misses the top-2
+    val docs = Seq(
+      (1L, "a a a a"),
+      (2L, "a b f f f f f f f f f f"),
+      (3L, "f f g g"),
+      (4L, "b b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.searchEval(docs,
+      Seq("ab" -> Seq("a", "b"), "none" -> Seq("zzz")), k = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("ab") == ((1L, 3L, 1.0 / 3.0, 0.0)))
+    // a query with no relevant docs masks rank to NULL and rr to 0
+    assert(out("none") == ((0L, -1L, 0.0, 0.0)))
+  }
 }
