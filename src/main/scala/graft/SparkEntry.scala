@@ -1075,6 +1075,9 @@ object SparkEntry {
     // predicts the decoded geometry + pixel sum in closed form.
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.mediaMeta(s, Tables.documents(s, d))),
+    // real RIFF/PCM WAV encode -> byte-level parse round trip
+    "q_multimodal_audio" -> ((s, d) =>
+      Multimodal.audioMeta(s, Tables.documents(s, d))),
     "q_multimodal_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Tables.documents(s, d), FrameStride, MaxFrames)),
     // Planted pathological key: half of all events collapse onto
@@ -3085,6 +3088,17 @@ object SparkEntry {
     // geometry (width/height from doc_id, 1 gray band) and the
     // checkerboard pixel sum (cells with (x+y) odd in a w×h grid =
     // wh//2; an odd doc_id phase-flips to the complement).
+    "q_multimodal_audio" ->
+      """SELECT doc_id,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END
+            AS BIGINT) AS sample_rate,
+          CAST(doc_id % 400 + 100 AS BIGINT) AS n_samples,
+          (doc_id % 400 + 100) * 1000000 //
+            (CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END)
+            AS duration_us,
+          CAST((doc_id % 100 + 1) * 250 AS BIGINT) AS peak_abs,
+          CAST((doc_id % 100 + 1) * 250 AS DOUBLE) AS rms
+          FROM documents ORDER BY doc_id""",
     "q_multimodal_meta" ->
       """WITH g AS (SELECT doc_id,
            (doc_id % 48) + 16 AS width, (doc_id % 32) + 16 AS height

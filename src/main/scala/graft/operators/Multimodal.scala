@@ -190,4 +190,106 @@ object Multimodal {
           1, maxFrames)).as("frame_ix"))
       .orderBy(col("doc_id"), col("frame_ix"))
   }
+
+  case class AudioFeatures(doc_id: Long, sample_rate: Long,
+                           n_samples: Long, duration_us: Long,
+                           peak_abs: Long, rms: Double)
+
+  /** Real RIFF/PCM WAV codec — the audio leg of the multimodal
+    * contract, no external libs needed (a WAV is 44 header bytes +
+    * little-endian int16 PCM). Encode writes a mono square wave whose
+    * amplitude a = (doc_id%100+1)·250, length n = (doc_id%400)+100
+    * samples and rate (8 or 16 kHz by doc_id parity) all derive from
+    * doc_id; decode PARSES the actual bytes (magic tags, fmt chunk,
+    * PCM/mono/16-bit asserts, sample loop) and computes peak and RMS
+    * from the samples. A square wave's RMS is its amplitude EXACTLY —
+    * n·a² is below 2⁵³ so mean and sqrt are both exact IEEE — so the
+    * oracle predicts every decoded column in closed form from doc_id
+    * and a hash match proves the decode read precisely what the
+    * encode wrote (the PNG-leg contract, for audio). */
+  object WavCodec {
+    def amplitude(docId: Long): Int = (((docId % 100) + 1) * 250).toInt
+    def nSamples(docId: Long): Int = ((docId % 400) + 100).toInt
+    def sampleRate(docId: Long): Int = if (docId % 2 == 0) 8000 else 16000
+    private val HalfPeriod = 8
+
+    def encodeWav(docId: Long): Array[Byte] = {
+      val a = amplitude(docId)
+      val n = nSamples(docId)
+      val rate = sampleRate(docId)
+      val dataSize = n * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataSize)
+      var i = 0
+      while (i < n) {
+        val sgn = if ((i / HalfPeriod) % 2 == 0) 1 else -1
+        buf.putShort((sgn * a).toShort)
+        i += 1
+      }
+      buf.array()
+    }
+
+    def decode(r: MediaRow): AudioFeatures = {
+      val buf = java.nio.ByteBuffer.wrap(r.content)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      require(tag() == "RIFF", s"doc ${r.doc_id}: not RIFF")
+      buf.getInt()
+      require(tag() == "WAVE", s"doc ${r.doc_id}: not WAVE")
+      require(tag() == "fmt ", s"doc ${r.doc_id}: missing fmt chunk")
+      require(buf.getInt() == 16, s"doc ${r.doc_id}: non-PCM fmt size")
+      require(buf.getShort() == 1, s"doc ${r.doc_id}: not PCM")
+      require(buf.getShort() == 1, s"doc ${r.doc_id}: not mono")
+      val rate = buf.getInt()
+      buf.getInt(); buf.getShort()
+      require(buf.getShort() == 16, s"doc ${r.doc_id}: not 16-bit")
+      require(tag() == "data", s"doc ${r.doc_id}: missing data chunk")
+      val dataSize = buf.getInt()
+      val n = dataSize / 2
+      var peak = 0L
+      var sumsq = 0L
+      var i = 0
+      while (i < n) {
+        val s = buf.getShort().toLong
+        val abs = math.abs(s)
+        if (abs > peak) peak = abs
+        sumsq += s * s
+        i += 1
+      }
+      AudioFeatures(r.doc_id, rate.toLong, n.toLong,
+        n.toLong * 1000000L / rate,
+        peak, math.sqrt(sumsq.toDouble / n))
+    }
+  }
+
+  /** Synthetic audio corpus: one real WAV per document, encoded
+    * partition-locally after the same id-frame repartition as the
+    * image leg (payloads never shuffle; a real corpus arrives
+    * distributed). */
+  def syntheticAudio(spark: SparkSession,
+                     docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long].mapPartitions { ids =>
+        ids.map(id => MediaRow(id, WavCodec.encodeWav(id), "wav"))
+      }
+  }
+
+  /** Oracle-checked audio decode query: encode a real WAV per doc,
+    * parse it back, emit rate/length/duration/peak/RMS. */
+  def audioMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    syntheticAudio(spark, docs)
+      .mapPartitions(rows => rows.map(WavCodec.decode))
+      .toDF().orderBy(col("doc_id"))
+  }
 }

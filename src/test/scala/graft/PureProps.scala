@@ -28,6 +28,31 @@ object PureProps extends Properties("graft") {
         png.length > 8 && (png(1) & 0xff) == 'P'.toInt
     }
 
+  property("wav codec round-trips rate, length, peak and exact RMS") =
+    Prop.forAll(Gen.choose(0L, 1000000L)) { id =>
+      import Multimodal.WavCodec
+      val wav = WavCodec.encodeWav(id)
+      val f = WavCodec.decode(Multimodal.MediaRow(id, wav, "wav"))
+      val a = WavCodec.amplitude(id).toLong
+      // a square wave's RMS is its amplitude EXACTLY (n·a² < 2⁵³, so
+      // mean and sqrt are both exact IEEE) — the closed form the
+      // DuckDB oracle predicts
+      f.sample_rate == WavCodec.sampleRate(id).toLong &&
+        f.n_samples == WavCodec.nSamples(id).toLong &&
+        f.duration_us == f.n_samples * 1000000L / f.sample_rate &&
+        f.peak_abs == a && f.rms == a.toDouble &&
+        wav.length == 44 + WavCodec.nSamples(id) * 2 &&
+        new String(wav.slice(0, 4), "US-ASCII") == "RIFF"
+    }
+
+  property("wav decode fails loud on corrupt payloads") =
+    Prop.forAll(Gen.choose(0L, 1000L)) { id =>
+      val wav = Multimodal.WavCodec.encodeWav(id)
+      wav(0) = 'X'.toByte // break the RIFF magic
+      scala.util.Try(Multimodal.WavCodec.decode(
+        Multimodal.MediaRow(id, wav, "wav"))).isFailure
+    }
+
   property("xlsx sheets round-trip arbitrary text cells through a real XML parser") =
     Prop.forAll(Gen.listOfN(3,
       Gen.asciiPrintableStr.map(_.take(40)))) { cells =>
