@@ -34,7 +34,7 @@ object Bench {
     "q_pack", "q_curation_funnel", "q_vocab", "q_zipf", "q_bpe_pairs", "q_bpe_train",
     "q_quality_cap",
     "q_dedup_incremental", "q_dedup_index_stats",
-    "q_vector_health", "q_embed_quant",
+    "q_vector_health", "q_label_separation", "q_embed_quant",
     "q_embed_lsh", "q_ann_ivf", "q_ann_ivf_p2", "q_ann_pq", "q_ann_pq_rerank",
     "q_ann_sq", "q_ann_recall",
     "q_multimodal_meta", "q_multimodal_audio", "q_multimodal_frames",
@@ -50,7 +50,7 @@ object Bench {
     "q_next_event", "q_rfm", "q_trend", "q_theilsen_trend", "q_source_overlap",
     "q_session_paths", "q_dq_rules", "q_user_features", "q_attribution",
     "q_attribution_decay", "q_l_diversity", "q_t_closeness",
-    "q_ooo_audit", "q_watermark_rec", "q_record_dedup", "q_canary_scan",
+    "q_ooo_audit", "q_watermark_rec", "q_join_skew", "q_record_dedup", "q_canary_scan",
     "q_inverted_index",
     "q_ship_priority", "q_late_suppliers", "q_k_anon", "q_forecast_naive",
     "q_autocorr", "q_comovement", "q_welch", "q_chi2_independence", "q_fanout_audit",

@@ -561,6 +561,11 @@ object SparkEntry {
   private val SplitTrainBuckets = 8000
   private val SplitValBuckets = 1000
 
+  /** q_join_skew: report size + the per-bucket output-row target
+    * the power-of-two bucket ladder is solved against. */
+  private val JoinSkewTopK = 20
+  private val JoinSkewTarget = 1000000L
+
   /** q_vector_health: the testdata embedding dimensionality. */
   private val EmbeddingDim = 64
 
@@ -1397,6 +1402,16 @@ object SparkEntry {
     "q_split" -> ((s, d) =>
       Curation.hashSplit(Tables.documents(s, d), SampleBuckets,
         SplitTrainBuckets, SplitValBuckets)),
+    // class-separation QA over the embedding space
+    "q_label_separation" -> ((s, d) =>
+      VectorSearch.labelCentroidSeparation(Tables.embeddings(s, d),
+        EmbeddingDim)),
+    // pre-flight skew/cardinality analysis of the partkey self-join
+    "q_join_skew" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      DataChecks.joinSkewAdvisor(li, li, "l_partkey", "l_partkey",
+        JoinSkewTopK, JoinSkewTarget)
+    }),
     "q_vector_health" -> ((s, d) =>
       VectorSearch.vectorHealth(Tables.embeddings(s, d), EmbeddingDim)),
     "q_embed_quant" -> ((s, d) =>
@@ -3255,6 +3270,50 @@ object SparkEntry {
     // Every float op is the same expression tree as the engine's
     // (identical op order incl. the 0.0-init folds — 0+x is exact),
     // so doubles hash-match; codes are exact integers.
+    "q_label_separation" ->
+      s"""WITH h AS (SELECT label, embedding FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = $EmbeddingDim
+              AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0),
+          di AS (SELECT unnest(range(1, $EmbeddingDim + 1)) AS i),
+          ex AS (SELECT label, i - 1 AS d0,
+              CAST(embedding[i] AS DOUBLE) AS v
+            FROM h CROSS JOIN di),
+          cd AS (SELECT label, d0, count(*) AS n,
+              CAST(sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS s
+            FROM ex GROUP BY 1, 2),
+          cm AS (SELECT *, CAST(s AS DOUBLE) / n AS mean_micro FROM cd),
+          pr AS (SELECT a.label AS label_a, b.label AS label_b, a.d0,
+              a.n AS n_a, b.n AS n_b,
+              (a.mean_micro - b.mean_micro) *
+                (a.mean_micro - b.mean_micro) AS dd2
+            FROM cm a JOIN cm b ON a.d0 = b.d0 AND a.label < b.label)
+          SELECT label_a, label_b, n_a, n_b,
+            sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(dd2 ORDER BY d0)), (x, y) -> x + y)) / 1000000.0
+              AS centroid_dist
+          FROM pr GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""",
+    "q_join_skew" ->
+      s"""WITH ca AS (SELECT l_partkey AS key, count(*) AS n_left
+            FROM lineitem GROUP BY 1),
+          cb AS (SELECT l_partkey AS key, count(*) AS n_right
+            FROM lineitem GROUP BY 1),
+          ct AS (SELECT ca.key, n_left, n_right,
+              CAST(n_left * n_right AS BIGINT) AS out_rows
+            FROM ca JOIN cb USING (key)),
+          tot AS (SELECT CAST(sum(out_rows) AS BIGINT) AS total_out,
+            count(*) AS n_join_keys FROM ct),
+          exc AS (SELECT CASE
+              WHEN (total_out + $JoinSkewTarget - 1) // $JoinSkewTarget <= 1
+                THEN 0
+              ELSE length(bin((total_out + $JoinSkewTarget - 1)
+                // $JoinSkewTarget - 1)) END AS e FROM tot)
+          SELECT key, n_left, n_right, out_rows, total_out, n_join_keys,
+            CAST(out_rows AS DOUBLE) / total_out AS share,
+            CAST(power(2, e) AS BIGINT) AS suggested_buckets
+          FROM ct CROSS JOIN tot CROSS JOIN exc
+          ORDER BY out_rows DESC, key LIMIT $JoinSkewTopK""",
     "q_embed_quant" ->
       s"""WITH h AS (SELECT vec_id, embedding FROM embeddings
             WHERE embedding IS NOT NULL AND len(embedding) = $EmbeddingDim

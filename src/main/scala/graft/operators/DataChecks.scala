@@ -1019,4 +1019,49 @@ object DataChecks {
             .cast("double"))).as("corr"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /** Join-skew advisor: per-key contribution analysis of a planned
+    * equi-join — exact output cardinality (Σ |A_k|·|B_k|), the top
+    * `topK` keys by contribution with both sides' counts, each key's
+    * share of the total, and a suggested bucket count from the
+    * power-of-two ladder (the srpParamsFor discipline: smallest 2^i
+    * with expected output rows per bucket ≤ `targetPerBucket`). This
+    * is the pre-flight a 100 TB self-join runs BEFORE paying the
+    * shuffle: a top-key share near 1 says salt-or-cap first, a flat
+    * profile says bucket-and-go.
+    *
+    * All arithmetic is exact bigint (counts and products of counts);
+    * shares are one IEEE division each. Shape: one key-grain
+    * aggregate per side, a key-grain join of the two count frames
+    * (key-cardinality-sized, never row-sized), a broadcast 1-row
+    * total, TakeOrdered top-k. */
+  def joinSkewAdvisor(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      topK: Int = 20,
+                      targetPerBucket: Long = 1000000L): DataFrame = {
+    require(topK > 0 && targetPerBucket > 0)
+    val ca = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val cb = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val contrib = ca.join(cb, "key")
+      .withColumn("out_rows", col("n_left") * col("n_right"))
+    val tot = contrib.agg(sum(col("out_rows")).as("total_out"),
+      count(lit(1)).as("n_join_keys"))
+    // smallest power-of-two bucket count with total/buckets <= target,
+    // derived in INTEGER space: need = ⌈total/target⌉, exponent = bit
+    // length of need−1 (bin() is the minimal binary string in both
+    // engines) — a ln-based log₂ would misround at exact powers of two
+    val need = expr(s"(total_out + $targetPerBucket - 1) div $targetPerBucket")
+    val exp = when(need <= 1, lit(0))
+      .otherwise(length(bin(need - 1)))
+    contrib.crossJoin(broadcast(tot))
+      .select(col("key"), col("n_left"), col("n_right"), col("out_rows"),
+        col("total_out"), col("n_join_keys"),
+        (col("out_rows").cast("double") / col("total_out"))
+          .as("share"),
+        pow(lit(2.0), exp).cast("bigint").as("suggested_buckets"))
+      .orderBy(col("out_rows").desc, col("key"))
+      .limit(topK)
+  }
 }

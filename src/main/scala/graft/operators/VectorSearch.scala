@@ -748,4 +748,44 @@ object VectorSearch extends Logging {
         round(col("cos_exact"), 6).as("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Per-label centroid separation: the pairwise distance matrix
+    * between class centroids in a fixed micro-integer grid — the
+    * "are my labels actually separated in embedding space" QA run
+    * before anyone trusts a classifier or per-label mixture built on
+    * these vectors, and the drift check when embeddings are
+    * re-generated (centroids moving = the space moved).
+    *
+    * Exactness: each element quantizes to an integer micro-unit
+    * (⌊v·10⁶+0.5⌋ — float inputs are exact in double, so the floor is
+    * portable), per-(label, dim) SUMS are exact bigint under any
+    * shuffle order, and each pair's squared distance folds the
+    * per-dim (meanₐ−mean_b)² terms in FIXED dim order via the
+    * sorted-array aggregate (the BM25 idiom) — the only doubles are
+    * the two mean divisions and the ordered fold. Shape: one
+    * (vec_id → dim) explode (dim-linear, the vector family's floor),
+    * one (label, dim) aggregate, then labels²·dim grid work. */
+  def labelCentroidSeparation(embeddings: DataFrame,
+                              expectedDim: Int): DataFrame = {
+    val cd = healthyVecs(embeddings, expectedDim)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d0", "v")))
+      .groupBy(col("label"), col("d0"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v").cast("double") * 1000000 + 0.5).cast("bigint"))
+          .as("s"))
+      .withColumn("mean_micro", col("s").cast("double") / col("n"))
+    val b = cd.select(col("label").as("label_b"), col("d0").as("d0_b"),
+      col("n").as("n_b"), col("mean_micro").as("mean_b"))
+    cd.join(b, col("d0") === col("d0_b") && col("label") < col("label_b"))
+      .select(col("label").as("label_a"), col("label_b"), col("d0"),
+        col("n").as("n_a"), col("n_b"),
+        ((col("mean_micro") - col("mean_b")) *
+          (col("mean_micro") - col("mean_b"))).as("dd"))
+      .groupBy(col("label_a"), col("label_b"), col("n_a"), col("n_b"))
+      .agg(aggregate(array_sort(collect_list(struct(col("d0"), col("dd")))),
+        lit(0.0), (acc, x) => acc + x.getField("dd")).as("ssd"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        (sqrt(col("ssd")) / lit(1000000.0)).as("centroid_dist"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
 }

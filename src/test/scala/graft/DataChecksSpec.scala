@@ -563,4 +563,42 @@ class DataChecksSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - e75) <= 0.05 * e75 + 1)
     }
   }
+
+  test("joinSkewAdvisor: exact contributions, prefix shares, pow2 ladder") {
+    import spark.implicits._
+    // hot key 1 on both sides: 3x4=12 of 12+1+1=14 output rows
+    val left = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")
+    val right = Seq(1L, 1L, 1L, 1L, 2L, 3L).toDF("k")
+    val out = DataChecks.joinSkewAdvisor(left, right, "k", "k",
+      topK = 2, targetPerBucket = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(6), r.getLong(7)))
+    // total 14, target 4 -> need ceil(14/4)=4 -> buckets 4 (exact
+    // power of two: the integer bit-length ladder must not round up
+    // to 8 the way a ln-based log2 can)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 4L, 12L, 12.0 / 14.0, 4L),
+      (2L, 1L, 1L, 1L, 1.0 / 14.0, 4L)))
+  }
+
+  test("ewmaAnomaly flags a spike against a recency-weighted baseline") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rows =
+      (1 to 8).flatMap(d => (1 to 10).map(i =>
+        (Timestamp.valueOf(f"2024-01-0$d%d 01:${i}%02d:00"), "t"))) ++
+      (1 to 99).map(i =>
+        (Timestamp.valueOf(f"2024-01-09 01:${i % 60}%02d:00"), "t"))
+    val out = DataChecks.ewmaAnomaly(rows.toDF("ts", "event_type"))
+      .collect().map(r => r.getDate(1).toString ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1.0 else r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    // steady 10/day: ewma = 10 exactly, no flags on quiet days
+    assert(out("2024-01-08") == ((10L, 7L, 10.0, false)))
+    assert(out("2024-01-09")._1 == 99L && out("2024-01-09")._4,
+      "the 99-event day flags against the 10/day EWMA")
+    assert(!out("2024-01-01")._4 && out("2024-01-01")._2 == 0L,
+      "warmup day has no baseline and never flags")
+  }
 }
