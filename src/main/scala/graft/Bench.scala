@@ -62,7 +62,7 @@ object Bench {
     "q_freshness", "q_seasonality", "q_funnel_windowed",
     "q_histogram", "q_qa_anomaly", "q_ewma_anomaly",
     "q_semantic_dedup", "q_mixture", "q_curriculum", "q_token_budget", "q_props_health",
-    "q_search", "q_search_bm25", "q_search_eval", "q_qa_orphans", "q_percentiles", "q_winsorize",
+    "q_search", "q_search_bm25", "q_search_eval", "q_search_ndcg", "q_qa_orphans", "q_percentiles", "q_winsorize",
     "q_mixture_sample",
     "q_active_users", "q_active_users_approx",
     "q_skew_report", "q_skew_report_approx", "q_dedup_best", "q_table_diff",

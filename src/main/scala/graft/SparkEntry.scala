@@ -1382,6 +1382,9 @@ object SparkEntry {
     // MRR/precision@k of the BM25 order vs conjunctive containment
     "q_search_eval" -> ((s, d) =>
       TextAnalysis.searchEval(Tables.documents(s, d), EvalQueries, EvalK)),
+    // NDCG@k under graded (term-count) relevance
+    "q_search_ndcg" -> ((s, d) =>
+      TextAnalysis.searchNdcg(Tables.documents(s, d), EvalQueries, EvalK)),
     "q_qa_orphans" -> ((s, d) =>
       DataChecks.coverageCheck(Tables.events(s, d),
         Tables.customer(s, d).where(col("c_custkey") < PanelMaxKey),
@@ -1974,6 +1977,60 @@ object SparkEntry {
               ELSE CAST(0.0 AS DOUBLE) END AS rr,
             CAST(pk.rel_in_k AS DOUBLE) / $EvalK AS p_at_k
           FROM nrel CROSS JOIN rnk CROSS JOIN pk)"""
+    }
+    legs.mkString("", "\n          UNION ALL\n          ",
+      "\n          ORDER BY query_id")
+  }
+
+
+  /** q_search_ndcg oracle: per-query graded-relevance legs (grade =
+    * contained-term count) over the same BM25 CTE chain; DCG/IDCG
+    * fold in rank order via the sorted-list reduce. */
+  private lazy val searchNdcgOracleSql: String = {
+    val legs = EvalQueries.map { case (qid, terms) =>
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      val gradeExpr = terms.map(t => s"CAST(list_contains(toks, '$t') AS BIGINT)")
+        .mkString(" + ")
+      s"""SELECT * FROM (
+          WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+          st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+          ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+          h AS (SELECT doc_id, term, count(*) AS tf FROM ex
+            WHERE term IN ($termList) GROUP BY 1, 2),
+          dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM h
+            GROUP BY 1),
+          sc AS (SELECT h.doc_id, h.term, h.tf,
+              ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                (h.tf * (1.2 + 1)) /
+                (h.tf + 1.2 * (CAST(1 AS DOUBLE) - 0.75 +
+                  0.75 * dl.dl / st.avgdl)) AS w
+            FROM h JOIN dfq USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN st),
+          ag AS (SELECT doc_id,
+              round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(w ORDER BY term)), (x, y) -> x + y), 6) AS score
+            FROM sc GROUP BY 1),
+          g AS (SELECT doc_id, $gradeExpr AS grade FROM tk),
+          top AS (SELECT doc_id, row_number()
+              OVER (ORDER BY score DESC, doc_id) AS rk
+            FROM ag ORDER BY score DESC, doc_id LIMIT $EvalK),
+          dcg AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(g.grade / log2(rk + 1) ORDER BY rk)), (x, y) -> x + y)
+              AS dcg
+            FROM top JOIN g USING (doc_id)),
+          ideal AS (SELECT grade, row_number()
+              OVER (ORDER BY grade DESC, doc_id) AS rk
+            FROM g WHERE grade > 0
+            ORDER BY grade DESC, doc_id LIMIT $EvalK),
+          idcg AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(grade / log2(rk + 1) ORDER BY rk)), (x, y) -> x + y)
+              AS idcg FROM ideal),
+          ng AS (SELECT count(*) AS n_graded FROM g WHERE grade > 0)
+          SELECT '$qid' AS query_id, ng.n_graded, dcg.dcg, idcg.idcg,
+            dcg.dcg / nullif(idcg.idcg, CAST(0.0 AS DOUBLE)) AS ndcg
+          FROM ng CROSS JOIN dcg CROSS JOIN idcg)"""
     }
     legs.mkString("", "\n          UNION ALL\n          ",
       "\n          ORDER BY query_id")
@@ -4771,6 +4828,7 @@ object SparkEntry {
           ORDER BY score DESC, doc_id LIMIT $SearchK"""
     },
     "q_search_eval" -> searchEvalOracleSql,
+    "q_search_ndcg" -> searchNdcgOracleSql,
     // same hit/df/dl CTEs as the engine; the fold is term-sorted and
     // the k-cut orders by the ROUNDED score (ln is the one libm op —
     // see searchBm25 scaladoc)
@@ -4801,6 +4859,7 @@ object SparkEntry {
           ORDER BY score DESC, doc_id LIMIT $SearchK"""
     },
     "q_search_eval" -> searchEvalOracleSql,
+    "q_search_ndcg" -> searchNdcgOracleSql,
     "q_qa_orphans" ->
       s"""WITH k AS (SELECT DISTINCT c_custkey AS user_id FROM customer
             WHERE c_custkey < $PanelMaxKey),

@@ -679,6 +679,50 @@ object TextAnalysis {
       .withColumn("score", round(col("score"), 6))
   }
 
+  /** NDCG@k of the BM25 ranking under GRADED containment relevance
+    * (grade = how many of the query's terms the doc contains) — the
+    * companion to [[searchEval]]'s binary MRR: a ranker can ace MRR
+    * (one perfect doc up top) while burying the rest of the relevant
+    * mass, which is exactly what the cumulative-gain curve sees.
+    * DCG@k folds grade/log₂(rank+1) over the BM25 top-k in rank
+    * order; the ideal ordering is a TakeOrdered(k) by (grade desc,
+    * doc_id) — both k-sized, no corpus-wide window anywhere. The only
+    * engine-specific float is log₂ (libm, inside gate tolerance — the
+    * BM25 precedent). */
+  def searchNdcg(docs: DataFrame, queries: Seq[(String, Seq[String])],
+                 k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "searchNdcg needs at least one query")
+    import org.apache.spark.sql.expressions.Window
+    val toksCol = tokens(col("text"))
+    queries.map { case (qid, terms) =>
+      val graded = graft.Caches.hold(docs.select(col("doc_id"),
+        terms.map(t => array_contains(toksCol, t).cast("long"))
+          .reduce(_ + _).as("grade")))
+      val scored = graft.Caches.hold(bm25Scores(docs, terms, k1, b))
+      def foldDcg(ranked: DataFrame): DataFrame =
+        ranked
+          .agg(aggregate(
+            array_sort(collect_list(struct(col("rk"),
+              (col("grade") / log(2.0, col("rk") + 1)).as("c")))),
+            lit(0.0), (a, x) => a + x.getField("c")).as("v"))
+      val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .join(graded, "doc_id")
+      val ideal = graded.where(col("grade") > 0)
+        .orderBy(col("grade").desc, col("doc_id")).limit(k)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("grade").desc, col("doc_id"))))
+      val ng = graded.where(col("grade") > 0)
+        .agg(count(lit(1)).as("n_graded"))
+      ng.crossJoin(broadcast(foldDcg(top).select(col("v").as("dcg"))))
+        .crossJoin(broadcast(foldDcg(ideal).select(col("v").as("idcg"))))
+        .select(lit(qid).as("query_id"), col("n_graded"), col("dcg"),
+          col("idcg"),
+          (col("dcg") / nullif(col("idcg"), lit(0.0))).as("ndcg"))
+    }.reduce(_.unionAll(_)).orderBy(col("query_id"))
+  }
+
   /** Retrieval-quality eval of the BM25 ranking against a
     * corpus-derived relevance oracle: a doc is RELEVANT to a query
     * iff it contains ALL the query's terms (the conjunctive

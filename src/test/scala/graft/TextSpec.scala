@@ -482,4 +482,26 @@ class TextSpec extends SparkSpec {
     // a query with no relevant docs masks rank to NULL and rr to 0
     assert(out("none") == ((0L, -1L, 0.0, 0.0)))
   }
+
+  test("searchNdcg penalizes the buried high-grade doc") {
+    import spark.implicits._
+    // same corpus as the searchEval case: BM25 order 1, 4, 2 but the
+    // grade-2 doc is 2 — hand-computed DCG/IDCG at k=3:
+    // DCG = 1/log2(2) + 1/log2(3) + 2/log2(4), IDCG = 2 + 1/log2(3) + 1/2
+    val docs = Seq(
+      (1L, "a a a a"),
+      (2L, "a b f f f f f f f f f f"),
+      (3L, "f f g g"),
+      (4L, "b b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.searchNdcg(docs, Seq("ab" -> Seq("a", "b")), k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    val l3 = math.log(3) / math.log(2)
+    val dcg = 1.0 + 1.0 / l3 + 2.0 / 2.0
+    val idcg = 2.0 + 1.0 / l3 + 1.0 / 2.0
+    assert(out.length == 1 && out(0)._1 == 3L)
+    assert(math.abs(out(0)._2 - dcg) < 1e-12)
+    assert(math.abs(out(0)._3 - idcg) < 1e-12)
+    assert(math.abs(out(0)._4 - dcg / idcg) < 1e-12 && out(0)._4 < 0.85)
+  }
 }
