@@ -561,6 +561,16 @@ object SparkEntry {
   private val SplitTrainBuckets = 8000
   private val SplitValBuckets = 1000
 
+  /** q_schema_contract: the declared orders contract — v2 of the
+    * feed (adds o_comment, narrows o_totalprice to a decimal), so the
+    * drift report against the actual v1 parquet carries one
+    * missing_in_actual and one type_changed row by construction. */
+  private val OrdersContract = Seq(
+    "o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+    "o_orderstatus" -> "string", "o_totalprice" -> "decimal(12,2)",
+    "o_orderdate" -> "timestamp", "o_orderpriority" -> "string",
+    "o_comment" -> "string")
+
   /** q_join_skew: report size + the per-bucket output-row target
     * the power-of-two bucket ladder is solved against. */
   private val JoinSkewTopK = 20
@@ -1409,6 +1419,9 @@ object SparkEntry {
     "q_label_separation" -> ((s, d) =>
       VectorSearch.labelCentroidSeparation(Tables.embeddings(s, d),
         EmbeddingDim)),
+    // schema-drift preflight against a declared contract
+    "q_schema_contract" -> ((s, d) =>
+      DataChecks.schemaContract(Tables.orders(s, d), OrdersContract)),
     // pre-flight skew/cardinality analysis of the partkey self-join
     "q_join_skew" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -3351,6 +3364,28 @@ object SparkEntry {
               list(dd2 ORDER BY d0)), (x, y) -> x + y)) / 1000000.0
               AS centroid_dist
           FROM pr GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""",
+    "q_schema_contract" -> {
+      val values = OrdersContract
+        .map { case (c, t) => s"('$c', '$t')" }.mkString(", ")
+      s"""WITH act AS (SELECT name AS col_name,
+            CASE WHEN lower(type) = 'varchar' THEN 'string'
+              -- DuckDB reports TIMESTAMP for both flavors; this
+              -- parquet is isAdjustedToUTC=false, which Spark
+              -- surfaces as timestamp_ntz
+              WHEN lower(type) = 'timestamp' THEN 'timestamp_ntz'
+              ELSE lower(type) END AS actual_type
+          FROM pragma_table_info('orders')),
+          exp AS (SELECT * FROM (VALUES $values)
+            AS t(col_name, expected_type))
+          SELECT coalesce(exp.col_name, act.col_name) AS col_name,
+            expected_type, actual_type,
+            CASE WHEN expected_type IS NULL THEN 'unexpected'
+              WHEN actual_type IS NULL THEN 'missing_in_actual'
+              WHEN expected_type <> actual_type THEN 'type_changed'
+              ELSE 'ok' END AS status
+          FROM exp FULL OUTER JOIN act USING (col_name)
+          ORDER BY col_name"""
+    },
     "q_join_skew" ->
       s"""WITH ca AS (SELECT l_partkey AS key, count(*) AS n_left
             FROM lineitem GROUP BY 1),

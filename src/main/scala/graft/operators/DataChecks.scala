@@ -1064,4 +1064,34 @@ object DataChecks {
       .orderBy(col("out_rows").desc, col("key"))
       .limit(topK)
   }
+
+  /** Schema-contract QA: the actual DataFrame schema checked against
+    * a declared (column → type) contract — the preflight that catches
+    * silent producer-side schema drift (a widened type, a dropped
+    * column, a stray new field) BEFORE a downstream job misreads it.
+    * One row per column in the union of contract and actual, with
+    * status ok / type_changed / missing_in_actual / unexpected.
+    * The schema is driver metadata (no data scan at all); the frame
+    * is columns-sized. The oracle replays the contract as a VALUES
+    * list against the engine catalog's own column listing with a
+    * type-name normalization, so the GATE also proves both engines
+    * agree on what the physical schema is. */
+  def schemaContract(df: DataFrame,
+                     expected: Seq[(String, String)]): DataFrame = {
+    require(expected.nonEmpty, "schemaContract needs a declared contract")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val actual = df.schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString))
+      .toDF("col_name", "actual_type")
+    val exp = expected.toDF("col_name", "expected_type")
+    exp.join(actual, Seq("col_name"), "full_outer")
+      .select(col("col_name"), col("expected_type"), col("actual_type"),
+        when(col("expected_type").isNull, lit("unexpected"))
+          .when(col("actual_type").isNull, lit("missing_in_actual"))
+          .when(col("expected_type") =!= col("actual_type"),
+            lit("type_changed"))
+          .otherwise(lit("ok")).as("status"))
+      .orderBy(col("col_name"))
+  }
 }
