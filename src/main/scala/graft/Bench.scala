@@ -8,7 +8,7 @@ object Bench {
     * knn, all-pairs cosine) are excluded — their scale path
     * (IVF/LSH/minhash) is what gets benched. */
   val headline: Seq[String] = Seq(
-    "q1_pricing_summary", "q_revenue_by_nation", "q_gini", "q_local_volume", "q_returned_items",
+    "q1_pricing_summary", "q_revenue_by_nation", "q_gini", "q_discount_lift", "q_local_volume", "q_returned_items",
     "q_order_priority", "q_revenue_forecast", "q_nation_trade",
     "q_market_share", "q_product_profit", "q_priority_delay",
     "q_cust_order_dist", "q_promo_share", "q_top_supplier",
@@ -59,7 +59,7 @@ object Bench {
     "q_changepoint", "q_file_skipping", "q_small_orders",
     "q_bulk_orders", "q_idle_customers",
     "q_ctr_wilson", "q_entity_components", "q_bpe_apply",
-    "q_freshness", "q_seasonality", "q_funnel_windowed",
+    "q_freshness", "q_seasonality", "q_hourly_profile", "q_funnel_windowed",
     "q_histogram", "q_qa_anomaly", "q_ewma_anomaly",
     "q_semantic_dedup", "q_mixture", "q_curriculum", "q_token_budget", "q_props_health",
     "q_search", "q_search_bm25", "q_search_eval", "q_search_ndcg", "q_qa_orphans", "q_percentiles", "q_winsorize",

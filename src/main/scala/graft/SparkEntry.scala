@@ -785,6 +785,12 @@ object SparkEntry {
         Tables.part(s, d), Q19Brands)),
     "q_revenue_by_nation" -> ((s, d) =>
       Analytics.revenueByNation(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    // first-order discount elasticity per brand
+    "q_discount_lift" -> ((s, d) =>
+      Analytics.discountLift(Tables.lineitem(s, d), Tables.part(s, d))),
+    // intraday traffic profile + peak hour per type
+    "q_hourly_profile" -> ((s, d) =>
+      Analytics.hourlyProfile(Tables.events(s, d))),
     // per-nation customer revenue inequality (exact rank-weighted sum)
     "q_gini" -> ((s, d) =>
       Analytics.giniByNation(Tables.orders(s, d), Tables.customer(s, d))),
@@ -2220,6 +2226,33 @@ object SparkEntry {
              OR (p_brand = '${Q19Brands(2)}' AND p_size BETWEEN 26 AND 50
               AND l_quantity BETWEEN 20 AND 35)
           GROUP BY 1 ORDER BY 1""",
+    "q_discount_lift" ->
+      """WITH agg AS (SELECT p_brand, l_discount > 0.0 AS disc,
+            count(*) AS n, sum(l_quantity) AS sq
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2),
+          d AS (SELECT p_brand, n AS n_disc, sq / n AS avg_qty_disc
+            FROM agg WHERE disc),
+          nd AS (SELECT p_brand, n AS n_nodisc, sq / n AS avg_qty_nodisc
+            FROM agg WHERE NOT disc)
+          SELECT d.p_brand, n_disc, n_nodisc, avg_qty_disc,
+            avg_qty_nodisc,
+            avg_qty_disc / avg_qty_nodisc AS qty_lift
+          FROM d JOIN nd USING (p_brand) ORDER BY p_brand""",
+    "q_hourly_profile" ->
+      """WITH hg AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+            count(*) AS n FROM events GROUP BY 1, 2),
+          tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type
+            FROM hg GROUP BY 1),
+          pk AS (SELECT event_type,
+              CAST(min(hr) FILTER (WHERE n = mxn) AS INTEGER)
+                AS peak_hour
+            FROM (SELECT *, max(n) OVER (PARTITION BY event_type)
+              AS mxn FROM hg) t GROUP BY 1)
+          SELECT hg.event_type, hr, n,
+            CAST(n AS DOUBLE) / n_type AS share, peak_hour
+          FROM hg JOIN tot USING (event_type) JOIN pk USING (event_type)
+          ORDER BY 1, 2""",
     "q_gini" ->
       """WITH rev AS (SELECT o_custkey,
             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))

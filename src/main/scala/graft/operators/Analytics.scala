@@ -716,4 +716,53 @@ object Analytics {
           .as("gini"))
       .orderBy(col("c_nationkey"))
   }
+
+  /** Discount lift per brand: mean line quantity on discounted vs
+    * undiscounted lines — "does discounting actually move volume for
+    * this brand", the first-order elasticity read every pricing
+    * review starts with. Quantities are integer-valued doubles, so
+    * the per-group sums are exact in any order; each mean is one IEEE
+    * division and the lift is one more, mirrored in the oracle. The
+    * brand dimension rides a broadcast; one (brand, discounted)
+    * aggregate then a brands-sized pivot join. */
+  def discountLift(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val agg = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), (col("l_discount") > 0.0).as("disc"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sq"))
+    val d = agg.where(col("disc"))
+      .select(col("p_brand"), col("n").as("n_disc"),
+        (col("sq") / col("n")).as("avg_qty_disc"))
+    val nd = agg.where(!col("disc"))
+      .select(col("p_brand").as("b2"), col("n").as("n_nodisc"),
+        (col("sq") / col("n")).as("avg_qty_nodisc"))
+    d.join(nd, col("p_brand") === col("b2"))
+      .select(col("p_brand"), col("n_disc"), col("n_nodisc"),
+        col("avg_qty_disc"), col("avg_qty_nodisc"),
+        (col("avg_qty_disc") / col("avg_qty_nodisc")).as("qty_lift"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Hour-of-day traffic profile per event type: counts on the
+    * (type, hour) grid, each hour's share of the type's day, and the
+    * type's peak hour (argmax via an order-independent max over
+    * (count, −hour) pairs — ties resolve to the EARLIest hour in both
+    * engines, no window). One hash aggregate; everything after is
+    * grid-sized. The intraday twin of the weekday seasonality row. */
+  def hourlyProfile(events: DataFrame): DataFrame = {
+    val hg = events
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val tot = hg.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_type"),
+        max(struct(col("n").as("n"), (-col("hr")).as("nh"))).as("pk"))
+      .select(col("event_type").as("t2"), col("n_type"),
+        (-col("pk.nh")).cast("int").as("peak_hour"))
+    hg.join(tot, col("event_type") === col("t2"))
+      .select(col("event_type"), col("hr"), col("n"),
+        (col("n").cast("double") / col("n_type")).as("share"),
+        col("peak_hour"))
+      .orderBy(col("event_type"), col("hr"))
+  }
 }
