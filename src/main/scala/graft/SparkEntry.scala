@@ -945,6 +945,9 @@ object SparkEntry {
     // documentsFloored on the regex/shingle-heavy single-pass queries
     // below — see Tables.documentsFloored scaladoc for the measured
     // keep/skip decision per query
+    // per-source language-mix drift gauge (shares + entropy)
+    "q_lang_mix" -> ((s, d) =>
+      TextAnalysis.langMixBySource(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documentsFloored(s, d))),
     "q_text_quality" -> ((s, d) =>
@@ -1751,16 +1754,19 @@ object SparkEntry {
 
   /** Oracle of TextAnalysis.languageId — shared by q_lang_id and the
     * q_langid_eval confusion matrix. */
-  private lazy val LangIdSql = s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
-          sc AS (SELECT doc_id, lang,
+  /** Shared langid scoring CTEs (yields `pred`: doc_id, source, lang,
+    * lang_pred + per-language scores) — q_lang_id and q_lang_mix read
+    * the same chain so the views can never disagree. */
+  private lazy val LangPredCtes = s"""t AS (SELECT doc_id, source, lang, $ToksSql AS toks FROM documents),
+          sc AS (SELECT doc_id, source, lang,
             CAST(len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS INTEGER) AS s_de,
             CAST(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','is'], t))) AS INTEGER) AS s_en,
             CAST(len(list_filter(toks, t -> list_contains(['el','los','las','y','es','no'], t))) AS INTEGER) AS s_es,
             CAST(len(list_filter(toks, t -> list_contains(['le','la','et','les','est','pas'], t))) AS INTEGER) AS s_fr,
             CAST(len(list_filter(toks, t -> list_contains(['de','shi','le','bu','wo','zai'], t))) AS INTEGER) AS s_zh
           FROM t),
-          m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM sc)
-          SELECT doc_id, lang,
+          m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM sc),
+          pred AS (SELECT doc_id, source, lang,
             CASE WHEN mx > 0 AND s_de = mx THEN 'de'
                  WHEN mx > 0 AND s_en = mx THEN 'en'
                  WHEN mx > 0 AND s_es = mx THEN 'es'
@@ -1768,7 +1774,11 @@ object SparkEntry {
                  WHEN mx > 0 AND s_zh = mx THEN 'zh'
                  ELSE 'unknown' END AS lang_pred,
             s_de, s_en, s_es, s_fr, s_zh
-          FROM m ORDER BY doc_id"""
+          FROM m)"""
+
+  private lazy val LangIdSql = s"""WITH $LangPredCtes
+          SELECT doc_id, lang, lang_pred, s_de, s_en, s_es, s_fr, s_zh
+          FROM pred ORDER BY doc_id"""
 
   /** Min-label connected-components CTE chain over the minhash-verified
     * edge set (expects `ver` in scope, yields `lab`/`sz`) — shared by
@@ -2582,6 +2592,22 @@ object SparkEntry {
            AND dm.label = ka2.id_value AND dm.etype = ka2.etype2
          ORDER BY id, val_id""",
     "q_lang_id" -> LangIdSql,
+    "q_lang_mix" ->
+      s"""WITH $LangPredCtes,
+          cnt AS (SELECT source, lang_pred, count(*) AS n FROM pred
+            GROUP BY 1, 2),
+          tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_src
+            FROM cnt GROUP BY 1),
+          sh AS (SELECT cnt.source, lang_pred, n,
+              CAST(n AS DOUBLE) / n_src AS share
+            FROM cnt JOIN tot USING (source)),
+          ent AS (SELECT source,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(-(share * ln(share)) ORDER BY lang_pred)),
+                (x, y) -> x + y) AS source_entropy
+            FROM sh GROUP BY 1)
+          SELECT sh.source, lang_pred, n, share, source_entropy
+          FROM sh JOIN ent USING (source) ORDER BY 1, 2""",
     "q_text_quality" ->
       s"""WITH $QualityScoreCtes
           SELECT doc_id, text_len, token_cnt, stop_hits, alpha_ratio,

@@ -30,6 +30,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language mix per source: predicted-language counts and shares
+    * per source plus each source's language ENTROPY — the "src7
+    * suddenly went French" drift gauge a per-doc langid can't show.
+    * Reuses [[languageId]]'s scoring (same stopword lists, same
+    * argmax), so the two views can never disagree. Entropy folds
+    * −p·ln p over the ≤ langs-sized per-source mix in lang order (the
+    * sorted-array aggregate); everything after the one (source,
+    * lang_pred) aggregate is grid-sized. */
+  def langMixBySource(docs: DataFrame): DataFrame = {
+    val langs = stopwords.keys.toSeq.sorted
+    val withToks = docs.select(col("doc_id"), col("source"),
+      tokens(col("text")).as("toks"))
+    val withScores = withToks.select(
+      Seq(col("source")) ++
+        langs.map(l => stopwordHits(col("toks"), stopwords(l)).as(s"s_$l")): _*)
+    val scoreRefs = langs.map(l => l -> col(s"s_$l")).toMap
+    val cnt = withScores
+      .select(col("source"), langPred(scoreRefs).as("lang_pred"))
+      .groupBy(col("source"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("n")).as("n_src"))
+    val sh = cnt.join(tot, "source")
+      .withColumn("share", col("n").cast("double") / col("n_src"))
+    val ent = sh.groupBy(col("source"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("lang_pred"),
+          (-(col("share") * log(col("share")))).as("term")))),
+        lit(0.0), (a, x) => a + x.getField("term")).as("source_entropy"))
+    sh.join(ent, "source")
+      .select(col("source"), col("lang_pred"), col("n"), col("share"),
+        col("source_entropy"))
+      .orderBy(col("source"), col("lang_pred"))
+  }
+
   /** Quality signals: lengths, token stats, alpha/stopword ratios and
     * a bounded composite score. Pure arithmetic over exact integer
     * counts — deterministic across engines. `passthrough` columns ride

@@ -551,4 +551,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(NearDup.indexStats(corpus).collect().isEmpty)
     idx.release()
   }
+
+  test("session-new planners tolerate empty inputs") {
+    import graft.operators.{Analytics, Curation, DataChecks, Privacy}
+    val emptyDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    // curriculum over nothing: no tiers, no divide-by-zero
+    assert(Curation.curriculumPlan(emptyDocs, buckets = 4).count() == 0)
+    // water-filling over nothing: no sources, no 0/0
+    assert(Curation.tokenBudgetPlan(emptyDocs, lit(1L)).count() == 0)
+    // advisor over empty sides: no keys, no rows
+    val e2 = Seq.empty[Long].toDF("k")
+    assert(DataChecks.joinSkewAdvisor(e2, e2, "k", "k").count() == 0)
+    // t-closeness over nothing: no classes
+    val eg = Seq.empty[(String, Long)].toDF("grp", "band")
+    assert(Privacy.tCloseness(eg, Seq("grp" -> col("grp")),
+      "band" -> col("band"), 0.2).count() == 0)
+    // gini over nothing: no nations
+    val eo = Seq.empty[(Long, Double)].toDF("o_custkey", "o_totalprice")
+    val ec = Seq.empty[(Long, Int)].toDF("c_custkey", "c_nationkey")
+    assert(Analytics.giniByNation(eo, ec).count() == 0)
+  }
+
+  test("kCore on an empty and a coreless graph returns empty") {
+    import graft.operators.Affinity
+    val empty = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+    assert(Affinity.kCore(empty).count() == 0)
+    // a pure path graph (support-2) peels away entirely at k=2
+    val path = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),   // edge 1-2 (cooc 2)
+      (3L, 2L), (3L, 3L), (4L, 2L), (4L, 3L))   // edge 2-3 (cooc 2)
+      .toDF("l_orderkey", "l_partkey")
+    assert(Affinity.kCore(path, minSupport = 2).count() == 0)
+  }
 }
