@@ -1017,6 +1017,9 @@ object SparkEntry {
         BlocklistMaxFrac, SampleRates, SampleBuckets)),
     "q_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(Tables.documents(s, d), VocabTopN)),
+    // one-row corpus nutrition label (composes the gated signals)
+    "q_corpus_card" -> ((s, d) =>
+      TextAnalysis.corpusCard(Tables.documents(s, d))),
     // one-row "does this corpus look like language" gauge
     "q_zipf" -> ((s, d) =>
       TextAnalysis.zipfFit(Tables.documents(s, d), ZipfTopK)),
@@ -2922,6 +2925,28 @@ object SparkEntry {
               FROM s4 JOIN ntok USING (doc_id))
           ORDER BY stage_ix"""
     },
+    "q_corpus_card" ->
+      s"""WITH $LangPredCtes, $QualityScoreCtes,
+          b AS (SELECT doc_id, source,
+              CAST(len($ToksSql) AS BIGINT) AS n_toks,
+              md5($NormSql) AS fp
+            FROM documents),
+          agg AS (SELECT count(*) AS n_docs,
+              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+              count(DISTINCT source) AS n_sources,
+              count(DISTINCT fp) AS n_fp
+            FROM b),
+          q AS (SELECT round(sum(quality_score), 6) AS sum_quality
+            FROM qsc),
+          u AS (SELECT count(*) FILTER (WHERE lang_pred = 'unknown')
+            AS n_unknown FROM pred)
+          SELECT agg.n_docs, agg.n_tokens, agg.n_sources,
+            CAST(agg.n_tokens AS DOUBLE) / agg.n_docs AS mean_doc_tokens,
+            CAST(1.0 AS DOUBLE) - CAST(agg.n_fp AS DOUBLE) / agg.n_docs
+              AS exact_dup_frac,
+            q.sum_quality / agg.n_docs AS mean_quality,
+            CAST(u.n_unknown AS DOUBLE) / agg.n_docs AS unknown_lang_frac
+          FROM agg CROSS JOIN q CROSS JOIN u""",
     "q_zipf" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
           e AS (SELECT unnest(toks) AS term FROM tk),

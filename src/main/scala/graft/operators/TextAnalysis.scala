@@ -1009,6 +1009,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus card: the one-row "nutrition label" a dataset ships with
+    * — doc/token/source counts, mean tokens per doc, exact-duplicate
+    * fraction (1 − distinct fingerprints/docs), mean quality score
+    * and the predicted-unknown-language share — every number derived
+    * from the SAME expressions the dedicated queries gate, assembled
+    * in one pass over the corpus plus three 1-row broadcast combines.
+    * Doubles are single divisions of exact counts except mean_quality
+    * (sum of per-doc scores, rounded to 6 so summation order can't
+    * move the hash). */
+  def corpusCard(docs: DataFrame): DataFrame = {
+    val langs = stopwords.keys.toSeq.sorted
+    val withToks = docs.select(col("doc_id"), col("source"),
+      col("text"), tokens(col("text")).as("toks"))
+    val scoreRefs = langs.map(l => l -> col(s"s_$l")).toMap
+    val base = withToks.select(col("doc_id"), col("source"),
+      size(col("toks")).cast("long").as("n_toks"),
+      md5(normText(col("text"))).as("fp"))
+    val quality = qualityFrame(docs, Nil)
+      .agg(round(sum(col("quality_score")), 6).as("sum_quality"))
+    val unknownF = withToks
+      .select(Seq(col("doc_id")) ++
+        langs.map(l => stopwordHits(col("toks"), stopwords(l)).as(s"s_$l")): _*)
+      .select(langPred(scoreRefs).as("lang_pred"))
+      .agg(count(when(col("lang_pred") === "unknown", 1)).as("n_unknown"))
+    base
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("fp")).as("n_distinct_fp"))
+      .crossJoin(broadcast(quality))
+      .crossJoin(broadcast(unknownF))
+      .select(col("n_docs"), col("n_tokens"), col("n_sources"),
+        (col("n_tokens").cast("double") / col("n_docs"))
+          .as("mean_doc_tokens"),
+        (lit(1.0) - col("n_distinct_fp").cast("double") / col("n_docs"))
+          .as("exact_dup_frac"),
+        (col("sum_quality") / col("n_docs")).as("mean_quality"),
+        (col("n_unknown").cast("double") / col("n_docs"))
+          .as("unknown_lang_frac"))
+  }
+
   /** Zipf fit of the term-frequency distribution: OLS of ln(freq) on
     * ln(rank) over the top-`topK` terms — natural corpora sit near
     * α ≈ 1 (slope −1); a collapsed α flags template/boilerplate
