@@ -785,6 +785,15 @@ object SparkEntry {
         Tables.part(s, d), Q19Brands)),
     "q_revenue_by_nation" -> ((s, d) =>
       Analytics.revenueByNation(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    // dead inventory + revenue-magnitude catalog buckets
+    "q_dead_stock" -> ((s, d) =>
+      Analytics.deadStock(Tables.lineitem(s, d), Tables.part(s, d))),
+    // repurchase cadence percentiles per segment
+    "q_repurchase" -> ((s, d) =>
+      Analytics.repurchaseCycle(Tables.orders(s, d), Tables.customer(s, d))),
+    // supplier revenue concentration (HHI) per nation
+    "q_supplier_hhi" -> ((s, d) =>
+      Analytics.supplierHhi(Tables.lineitem(s, d), Tables.supplier(s, d))),
     // first-order discount elasticity per brand
     "q_discount_lift" -> ((s, d) =>
       Analytics.discountLift(Tables.lineitem(s, d), Tables.part(s, d))),
@@ -2238,6 +2247,43 @@ object SparkEntry {
               AND l_quantity BETWEEN 10 AND 25)
              OR (p_brand = '${Q19Brands(2)}' AND p_size BETWEEN 26 AND 50
               AND l_quantity BETWEEN 20 AND 35)
+          GROUP BY 1 ORDER BY 1""",
+    "q_dead_stock" ->
+      """WITH rev AS (SELECT l_partkey,
+            CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+              AS DOUBLE)) * 100 + 0.5) AS BIGINT) AS rev_c
+          FROM lineitem GROUP BY 1),
+          dead AS (SELECT count(*) AS n_dead_parts FROM part
+            WHERE p_partkey NOT IN (SELECT l_partkey FROM rev))
+          SELECT CAST(length(CAST(rev_c AS VARCHAR)) AS BIGINT)
+              AS rev_digits,
+            count(*) AS n_parts,
+            CAST(sum(rev_c) AS DOUBLE) / 100.0 AS total_rev,
+            (SELECT n_dead_parts FROM dead) AS n_dead_parts
+          FROM rev GROUP BY 1 ORDER BY 1""",
+    "q_repurchase" ->
+      """WITH g AS (SELECT o_custkey,
+            CAST(date_diff('day', lag(o_orderdate) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS BIGINT) AS gap
+          FROM orders)
+          SELECT c_mktsegment, count(*) AS n_gaps,
+            quantile_cont(gap, 0.25) AS p25_days,
+            quantile_cont(gap, 0.5) AS p50_days,
+            quantile_cont(gap, 0.75) AS p75_days
+          FROM g JOIN customer ON o_custkey = c_custkey
+          WHERE gap IS NOT NULL
+          GROUP BY 1 ORDER BY 1""",
+    "q_supplier_hhi" ->
+      """WITH rev AS (SELECT l_suppkey,
+            CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+              AS DOUBLE)) + 0.5) AS BIGINT) AS rev_d
+          FROM lineitem GROUP BY 1)
+          SELECT s_nationkey, count(*) AS n_suppliers,
+            CAST(sum(rev_d) AS DOUBLE) AS total_rev,
+            (CAST(sum(rev_d * rev_d) AS DOUBLE) * 10000.0) /
+              (CAST(sum(rev_d) AS DOUBLE) * sum(rev_d)) AS hhi_points
+          FROM rev JOIN supplier ON l_suppkey = s_suppkey
           GROUP BY 1 ORDER BY 1""",
     "q_discount_lift" ->
       """WITH agg AS (SELECT p_brand, l_discount > 0.0 AS disc,

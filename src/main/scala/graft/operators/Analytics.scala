@@ -765,4 +765,82 @@ object Analytics {
         col("peak_hour"))
       .orderBy(col("event_type"), col("hr"))
   }
+
+  /** Dead-stock report: parts never ordered (left-ANTI against the
+    * fact) plus the live catalog bucketed by revenue DECIMAL
+    * MAGNITUDE (the graphStats digit idiom — integer-exact, portable,
+    * non-degenerate at any scale). One fact aggregate to the part
+    * grain, one anti join, one magnitude aggregate; the dead count
+    * rides every row so the report is one frame. */
+  def deadStock(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rev = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("double")).as("raw"))
+      .select(col("l_partkey"),
+        floor(col("raw") * 100 + 0.5).cast("bigint").as("rev_c"))
+    val dead = part.join(rev, col("p_partkey") === col("l_partkey"),
+      "left_anti").agg(count(lit(1)).as("n_dead_parts"))
+    rev
+      .groupBy(length(col("rev_c").cast("string")).cast("long")
+        .as("rev_digits"))
+      .agg(count(lit(1)).as("n_parts"),
+        (sum(col("rev_c")).cast("double") / 100.0).as("total_rev"))
+      .crossJoin(broadcast(dead))
+      .select(col("rev_digits"), col("n_parts"), col("total_rev"),
+        col("n_dead_parts"))
+      .orderBy(col("rev_digits"))
+  }
+
+  /** Repurchase cycle per market segment: the distribution (p25/p50/
+    * p75) of days between a customer's CONSECUTIVE orders — the
+    * cadence number behind retention and inventory planning. The lag
+    * runs in a per-customer window (natural partition key, bounded by
+    * the heaviest customer); gaps are exact integer days; the
+    * segment-grain percentiles interpolate identically in both
+    * engines. */
+  def repurchaseCycle(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(
+      col("o_orderdate"), col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), col("prev")).cast("long").as("gap"))
+      .join(broadcast(customer.select(col("c_custkey"),
+        col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap, 0.25)").as("p25_days"),
+        expr("percentile(gap, 0.5)").as("p50_days"),
+        expr("percentile(gap, 0.75)").as("p75_days"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Supplier concentration per nation: the Herfindahl–Hirschman
+    * index of supplier revenue shares — the antitrust-style "is this
+    * market one supplier in a trench coat" gauge, the squared-share
+    * complement of [[giniByNation]]'s rank view. Exact INTEGER
+    * numerator: HHI = Σrᵢ²/(Σrᵢ)² over WHOLE-DOLLAR revenues (shares
+    * are unit-invariant, and dollars keep rᵢ² inside int64 to ~3·10⁹
+    * dollars per supplier-nation where cents overflow 100× sooner);
+    * both sums order-independent bigint, one double division at the
+    * end. 10000·HHI is the conventional points scale. */
+  def supplierHhi(lineitem: DataFrame, supplier: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("double")).as("raw"))
+      .select(col("l_suppkey"),
+        floor(col("raw") + 0.5).cast("bigint").as("rev_d"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev_d")).cast("double").as("total_rev"),
+        ((sum(col("rev_d") * col("rev_d")).cast("double") * 10000.0) /
+          (sum(col("rev_d")).cast("double") * sum(col("rev_d"))))
+          .as("hhi_points"))
+      .orderBy(col("s_nationkey"))
 }
