@@ -1020,26 +1020,33 @@ object TextAnalysis {
     * move the hash). */
   def corpusCard(docs: DataFrame): DataFrame = {
     val langs = stopwords.keys.toSeq.sorted
-    val withToks = docs.select(col("doc_id"), col("source"),
-      col("text"), tokens(col("text")).as("toks"))
     val scoreRefs = langs.map(l => l -> col(s"s_$l")).toMap
-    val base = withToks.select(col("doc_id"), col("source"),
-      size(col("toks")).cast("long").as("n_toks"),
-      md5(normText(col("text"))).as("fp"))
-    val quality = qualityFrame(docs, Nil)
-      .agg(round(sum(col("quality_score")), 6).as("sum_quality"))
-    val unknownF = withToks
-      .select(Seq(col("doc_id")) ++
-        langs.map(l => stopwordHits(col("toks"), stopwords(l)).as(s"s_$l")): _*)
-      .select(langPred(scoreRefs).as("lang_pred"))
-      .agg(count(when(col("lang_pred") === "unknown", 1)).as("n_unknown"))
-    base
+    // ONE corpus pass: every per-doc signal projects off a single
+    // staged tokenization, then one aggregate — a card that costs
+    // three scans would be three cards at 100 TB
+    val perDoc = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        tokens(col("text")).as("toks"))
+      .select(
+        Seq(col("source"),
+          size(col("toks")).cast("long").as("n_toks"),
+          md5(normText(col("text"))).as("fp"),
+          (least(lit(1.0), size(col("toks")) / lit(100.0)) *
+            (lit(0.5) + lit(0.5) *
+              (stopwordHits(col("toks"), stopwords("en")).cast("double") /
+                nullif(size(col("toks")), lit(0)))) *
+            (length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+              .cast("double") / nullif(length(col("text")), lit(0))))
+            .as("quality_score")) ++
+          langs.map(l => stopwordHits(col("toks"), stopwords(l)).as(s"s_$l")): _*)
+      .withColumn("lang_pred", langPred(scoreRefs))
+    perDoc
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"),
         countDistinct(col("source")).as("n_sources"),
-        countDistinct(col("fp")).as("n_distinct_fp"))
-      .crossJoin(broadcast(quality))
-      .crossJoin(broadcast(unknownF))
+        countDistinct(col("fp")).as("n_distinct_fp"),
+        round(sum(col("quality_score")), 6).as("sum_quality"),
+        count(when(col("lang_pred") === "unknown", 1)).as("n_unknown"))
       .select(col("n_docs"), col("n_tokens"), col("n_sources"),
         (col("n_tokens").cast("double") / col("n_docs"))
           .as("mean_doc_tokens"),

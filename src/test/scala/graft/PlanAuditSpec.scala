@@ -609,4 +609,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
     assert("Exchange".r.findAllIn(p).size <= 3, p.take(2000))
   }
+
+  test("corpus card reads the corpus exactly once") {
+    val p = plan("q_corpus_card")
+    // every signal projects off ONE staged scan — a card that costs
+    // three corpus scans would be three cards at 100 TB
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size == 1,
+      p.take(3000))
+  }
+
+  test("dead stock: never-ordered parts via an anti join, no cartesian") {
+    val p = plan("q_dead_stock")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
