@@ -38,7 +38,7 @@ object Bench {
     "q_embed_lsh", "q_ann_ivf", "q_ann_ivf_p2", "q_ann_pq", "q_ann_pq_rerank",
     "q_ann_sq", "q_ann_recall",
     "q_multimodal_meta", "q_multimodal_audio", "q_multimodal_frames",
-    "q_sessionize", "q_basket_pairs", "q_event_gaps", "q_gap_fill",
+    "q_sessionize", "q_bounce_rate", "q_return_rate", "q_basket_pairs", "q_event_gaps", "q_gap_fill",
     "q_asof_join",
     "q_rolling_daily",
     "q_reach_rollup",

@@ -1131,6 +1131,12 @@ object SparkEntry {
       Skew.saltedSum(ev, Seq("hot_key"), "v", col("event_id"), 32)
         .orderBy(col("hot_key"))
     }),
+    // landing-quality: 1-event-session share per entry type
+    "q_bounce_rate" -> ((s, d) =>
+      Temporal.bounceRate(Tables.events(s, d), SessionGapMin, CtrZ)),
+    // returns QA per brand, Wilson-bounded
+    "q_return_rate" -> ((s, d) =>
+      Analytics.returnRate(Tables.lineitem(s, d), Tables.part(s, d), CtrZ)),
     "q_sessionize" -> ((s, d) =>
       Temporal.sessionize(Tables.events(s, d), SessionGapMin)),
     // One exposure per (user, instant) before the as-of probe: the
@@ -3340,6 +3346,51 @@ object SparkEntry {
     // events.ts is parquet timestamp[ns]; the temporal oracles CAST to
     // microsecond TIMESTAMP up front so gap arithmetic and equality
     // match the engine (GraftSession reads the same column as micros).
+    "q_bounce_rate" -> {
+      val z2 = CtrZ * CtrZ
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+            event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+          s AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+              OR tu - lag(tu) OVER w > ${SessionGapMin * 60L * 1000000L}
+              THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          x AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_ix FROM s),
+          r AS (SELECT user_id, session_ix, event_type, row_number()
+              OVER (PARTITION BY user_id, session_ix
+                ORDER BY tu, event_id) AS rn FROM x),
+          ses AS (SELECT user_id, session_ix, count(*) AS n_events
+            FROM x GROUP BY 1, 2),
+          entry AS (SELECT user_id, session_ix, event_type AS entry_type
+            FROM r WHERE rn = 1),
+          a AS (SELECT entry_type, count(*) AS n_sessions,
+              count(*) FILTER (WHERE n_events = 1) AS n_bounces
+            FROM ses JOIN entry USING (user_id, session_ix) GROUP BY 1),
+          pr AS (SELECT *, CAST(n_bounces AS DOUBLE) / n_sessions AS p
+            FROM a)
+          SELECT entry_type, n_sessions, n_bounces, p AS bounce_rate,
+            (p + $z2 / (CAST(n_sessions AS DOUBLE) * 2) - $CtrZ *
+              sqrt(p * (1.0 - p) / CAST(n_sessions AS DOUBLE) +
+                $z2 / (CAST(n_sessions AS DOUBLE) *
+                  CAST(n_sessions AS DOUBLE) * 4))) /
+            (1.0 + $z2 / CAST(n_sessions AS DOUBLE)) AS wilson_lb
+          FROM pr ORDER BY entry_type""" },
+    "q_return_rate" -> {
+      val z2 = CtrZ * CtrZ
+      s"""WITH a AS (SELECT p_brand, count(*) AS n_lines,
+            count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned
+          FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+          pr AS (SELECT *, CAST(n_returned AS DOUBLE) / n_lines AS p
+            FROM a)
+          SELECT p_brand, n_lines, n_returned, p AS return_rate,
+            (p + $z2 / (CAST(n_lines AS DOUBLE) * 2) - $CtrZ *
+              sqrt(p * (1.0 - p) / CAST(n_lines AS DOUBLE) +
+                $z2 / (CAST(n_lines AS DOUBLE) *
+                  CAST(n_lines AS DOUBLE) * 4))) /
+            (1.0 + $z2 / CAST(n_lines AS DOUBLE)) AS wilson_lb
+          FROM pr ORDER BY p_brand""" },
     "q_sessionize" ->
       s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
             value, epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),

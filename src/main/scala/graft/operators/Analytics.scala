@@ -843,4 +843,27 @@ object Analytics {
           (sum(col("rev_d")).cast("double") * sum(col("rev_d"))))
           .as("hhi_points"))
       .orderBy(col("s_nationkey"))
+
+  /** Return rate per brand with the Wilson lower bound — the
+    * returns-QA twin of the conversion rate: a brand with 1 return
+    * in 2 lines must not outrank one with 90 in 1000. Exact counts
+    * from one aggregate; the bound is the fixed-shape IEEE chain. */
+  def returnRate(lineitem: DataFrame, part: DataFrame,
+                 z: Double = 1.96): DataFrame = {
+    val agg = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_returned"))
+    val nD = col("n_lines").cast("double")
+    val p = col("n_returned").cast("double") / nD
+    val z2 = z * z
+    val lb = (p + lit(z2) / (nD * 2) - lit(z) *
+      sqrt(p * (lit(1.0) - p) / nD + lit(z2) / (nD * nD * 4))) /
+      (lit(1.0) + lit(z2) / nD)
+    agg.select(col("p_brand"), col("n_lines"), col("n_returned"),
+        p.as("return_rate"), lb.as("wilson_lb"))
+      .orderBy(col("p_brand"))
+  }
 }

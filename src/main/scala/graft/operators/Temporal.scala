@@ -441,4 +441,46 @@ object Temporal {
         abs(col("n") - col("forecast_n")).as("abs_err"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** Session bounce rate per entry event type: the share of sessions
+    * that ended after ONE event, keyed by what the session STARTED
+    * with — the landing-quality read every funnel review opens with.
+    * Sessions come from the same gap rule as [[sessionize]]; the
+    * entry event is the (tu, event_id)-min struct (order-independent
+    * argmin, no second window); the bounce share carries the Wilson
+    * lower bound (the conversionWilson fixed-shape IEEE chain) so
+    * thin entry types can't outrank well-measured ones. */
+  def bounceRate(events: DataFrame, gapMinutes: Int,
+                 z: Double = 1.96): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("tu"))
+      .withColumn("new_sess",
+        when(lag(col("tu"), 1).over(order).isNull ||
+          col("tu") - lag(col("tu"), 1).over(order) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_ix",
+        sum(col("new_sess")).over(order.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+    val agg = sess.groupBy(col("user_id"), col("session_ix"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("tu").as("tu"), col("event_id").as("eid"),
+          col("event_type").as("et"))).as("first"))
+      .select(col("first.et").as("entry_type"), col("n_events"))
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("n_events") === 1, 1)).as("n_bounces"))
+    val nD = col("n_sessions").cast("double")
+    val p = col("n_bounces").cast("double") / nD
+    val z2 = z * z
+    val lb = (p + lit(z2) / (nD * 2) - lit(z) *
+      sqrt(p * (lit(1.0) - p) / nD + lit(z2) / (nD * nD * 4))) /
+      (lit(1.0) + lit(z2) / nD)
+    agg.select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        p.as("bounce_rate"), lb.as("wilson_lb"))
+      .orderBy(col("entry_type"))
+  }
 }
