@@ -785,6 +785,10 @@ object SparkEntry {
         Tables.part(s, d), Q19Brands)),
     "q_revenue_by_nation" -> ((s, d) =>
       Analytics.revenueByNation(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    // QoQ revenue growth per nation (grid-sized lag window)
+    "q_revenue_growth" -> ((s, d) =>
+      Analytics.revenueGrowth(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d))),
     // dead inventory + revenue-magnitude catalog buckets
     "q_dead_stock" -> ((s, d) =>
       Analytics.deadStock(Tables.lineitem(s, d), Tables.part(s, d))),
@@ -2334,6 +2338,21 @@ object SparkEntry {
               (CAST(count(*) AS DOUBLE) * sum(rev_c)) -
               CAST(count(*) + 1 AS DOUBLE) / count(*) AS gini
           FROM rnk GROUP BY 1 ORDER BY 1""",
+    "q_revenue_growth" ->
+      """WITH q AS (SELECT n_name,
+            CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_c,
+            count(*) AS n_orders
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2)
+          SELECT n_name, quarter,
+            CAST(rev_c AS DOUBLE) / 100.0 AS revenue, n_orders,
+            CAST(rev_c - lag(rev_c) OVER w AS DOUBLE) /
+              nullif(lag(rev_c) OVER w, 0) AS qoq_growth
+          FROM q WINDOW w AS (PARTITION BY n_name ORDER BY quarter)
+          ORDER BY n_name, quarter""",
     "q_revenue_by_nation" ->
       """SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
          count(*) AS num_orders

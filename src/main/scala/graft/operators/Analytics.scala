@@ -866,4 +866,31 @@ object Analytics {
         p.as("return_rate"), lb.as("wilson_lb"))
       .orderBy(col("p_brand"))
   }
+
+  /** Quarter-over-quarter revenue growth per nation: quarter-grain
+    * cent-exact revenue, the previous quarter via a lag window over
+    * the GRID-SIZED (nation, quarter) frame, and the growth ratio as
+    * one IEEE division (NULL on the first quarter — absence, not
+    * zero). The standard finance trend view next to the statistical
+    * trend family. */
+  def revenueGrowth(orders: DataFrame, customer: DataFrame,
+                    nation: DataFrame): DataFrame = {
+    val q = orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        date_trunc("quarter", col("o_orderdate")).cast("date").as("quarter"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev_c"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("quarter"))
+    q.withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+      .select(col("n_name"), col("quarter"),
+        (col("rev_c").cast("double") / 100.0).as("revenue"),
+        col("n_orders"),
+        ((col("rev_c") - col("prev_c")).cast("double") /
+          nullif(col("prev_c"), lit(0L))).as("qoq_growth"))
+      .orderBy(col("n_name"), col("quarter"))
+  }
 }
