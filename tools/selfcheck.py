@@ -13,7 +13,11 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # Spark-written tables are DIRECTORIES of part files (the ScaleUp
+    # sf1 probe data); driver-written testdata is a single file
+    p = f"{sfdir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 missing = [n for n in oracles if not os.path.isdir(os.path.join(outdir, n))]
