@@ -140,4 +140,33 @@ object PureProps extends Properties("graft") {
     }
     Prop(missing.isEmpty) :| missing.mkString("; ")
   }
+
+  /** The declared rows-only set: hash-function-dependent sketches and
+    * the data-dependent BPE loops — each spec-gated elsewhere. A
+    * query added WITHOUT an oracle silently downgrades the driver's
+    * gate to a rows>0 check; this pin makes that a deliberate,
+    * reviewed decision instead of an accident. */
+  private val RowsOnlyDeclared = Set(
+    "q_active_users_approx", "q_bpe_apply", "q_bpe_train",
+    "q_compress_ratio", "q_lifecycle_approx", "q_pairwise_approx",
+    "q_percentiles_approx", "q_reach_approx", "q_skew_report_approx")
+
+  property("every query key has an oracle or a declared rows-only slot") = {
+    val undeclared = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- RowsOnlyDeclared
+    val stale = RowsOnlyDeclared -- SparkEntry.queries.keySet
+    val shadowed = RowsOnlyDeclared & SparkEntry.oracleSql.keySet
+    (Prop(undeclared.isEmpty) :| s"missing oracle: ${undeclared.mkString(", ")}") &&
+      (Prop(stale.isEmpty) :| s"stale rows-only: ${stale.mkString(", ")}") &&
+      (Prop(shadowed.isEmpty) :| s"declared rows-only but has oracle: ${shadowed.mkString(", ")}")
+  }
+
+  property("every bench headline name is a real query, no duplicates") = {
+    // a typo'd headline name fails loud at bench time; this fails it
+    // at build time, and a duplicate would double-count the total
+    val unknown = Bench.headline.filterNot(SparkEntry.queries.keySet)
+    val dups = Bench.headline.groupBy(identity).filter(_._2.size > 1).keys
+    (Prop(unknown.isEmpty) :| s"unknown: ${unknown.mkString(", ")}") &&
+      (Prop(dups.isEmpty) :| s"duplicated: ${dups.mkString(", ")}")
+  }
 }
