@@ -2093,6 +2093,11 @@ object SparkEntry {
          round(sum(l_quantity), 2) AS sum_qty,
          round(sum(l_extendedprice), 2) AS sum_base_price,
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           AS sum_charge,
+         round(sum(l_quantity) / count(*), 6) AS avg_qty,
+         round(sum(l_extendedprice) / count(*), 6) AS avg_price,
+         round(sum(l_discount) / count(*), 6) AS avg_disc,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
          GROUP BY 1, 2 ORDER BY 1, 2""",

@@ -24,6 +24,12 @@ object Analytics {
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(sum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        round(sum(col("l_extendedprice")) / count(lit(1)), 6)
+          .as("avg_price"),
+        round(sum(col("l_discount")) / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
