@@ -795,6 +795,15 @@ object SparkEntry {
     // repurchase cadence percentiles per segment
     "q_repurchase" -> ((s, d) =>
       Analytics.repurchaseCycle(Tables.orders(s, d), Tables.customer(s, d))),
+    // revenue exposure through negative-balance suppliers
+    "q_supplier_risk" -> ((s, d) =>
+      Analytics.supplierRisk(Tables.lineitem(s, d), Tables.supplier(s, d))),
+    // realized unit price vs list price per brand
+    "q_price_realization" -> ((s, d) =>
+      Analytics.priceRealization(Tables.lineitem(s, d), Tables.part(s, d))),
+    // basket-position effect on volume/value
+    "q_line_position" -> ((s, d) =>
+      Analytics.linePosition(Tables.lineitem(s, d))),
     // supplier revenue concentration (HHI) per nation
     "q_supplier_hhi" -> ((s, d) =>
       Analytics.supplierHhi(Tables.lineitem(s, d), Tables.supplier(s, d))),
@@ -2289,6 +2298,43 @@ object SparkEntry {
           FROM g JOIN customer ON o_custkey = c_custkey
           WHERE gap IS NOT NULL
           GROUP BY 1 ORDER BY 1""",
+    "q_supplier_risk" ->
+      """WITH rev AS (SELECT l_suppkey,
+            CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+              AS DOUBLE)) * 100 + 0.5) AS BIGINT) AS rev_c
+          FROM lineitem GROUP BY 1)
+          SELECT s_nationkey, count(*) AS n_suppliers,
+            count(*) FILTER (WHERE s_acctbal < 0) AS n_risky,
+            CAST(sum(rev_c) AS DOUBLE) / 100.0 AS total_rev,
+            CAST(coalesce(sum(rev_c) FILTER (WHERE s_acctbal < 0), 0)
+              AS DOUBLE) / 100.0 AS risky_rev,
+            CAST(coalesce(sum(rev_c) FILTER (WHERE s_acctbal < 0), 0)
+              AS DOUBLE) / sum(rev_c) AS exposure_share
+          FROM rev JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY 1 ORDER BY 1""",
+    "q_price_realization" ->
+      """WITH lp AS (SELECT p_brand, count(*) AS n_parts,
+            CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS list_c
+          FROM part GROUP BY 1),
+          rl AS (SELECT p_brand, count(*) AS n_lines,
+            sum(l_quantity) AS sum_qty,
+            CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+              AS DOUBLE)) * 100 + 0.5) AS BIGINT) AS rev_c
+          FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+          SELECT rl.p_brand, n_lines,
+            CAST(rev_c AS DOUBLE) / 100.0 / sum_qty
+              AS realized_unit_price,
+            CAST(list_c AS DOUBLE) / 100.0 / n_parts AS mean_list_price,
+            (CAST(rev_c AS DOUBLE) / 100.0 / sum_qty) /
+              (CAST(list_c AS DOUBLE) / 100.0 / n_parts)
+              AS realization_ratio
+          FROM rl JOIN lp USING (p_brand) ORDER BY p_brand""",
+    "q_line_position" ->
+      """SELECT l_linenumber, count(*) AS n_lines,
+          sum(l_quantity) / count(*) AS mean_qty,
+          round(sum(l_extendedprice), 2) / count(*) AS mean_price
+          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_supplier_hhi" ->
       """WITH rev AS (SELECT l_suppkey,
             CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)

@@ -899,4 +899,77 @@ object Analytics {
           nullif(col("prev_c"), lit(0L))).as("qoq_growth"))
       .orderBy(col("n_name"), col("quarter"))
   }
+
+  /** Supplier financial-risk exposure per nation: suppliers in
+    * negative account balance and the revenue share flowing through
+    * them — "how much of this market rides on financially stressed
+    * suppliers". One supplier-grain revenue aggregate (cents-rounded),
+    * the balance flag joins as a broadcast, one nation rollup; the
+    * exposure share is a single IEEE division. */
+  def supplierRisk(lineitem: DataFrame, supplier: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("double")).as("raw"))
+      .select(col("l_suppkey"),
+        floor(col("raw") * 100 + 0.5).cast("bigint").as("rev_c"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"),
+        (col("s_acctbal") < 0).as("risky"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        count(when(col("risky"), 1)).as("n_risky"),
+        sum(col("rev_c")).as("tot_c"),
+        coalesce(sum(when(col("risky"), col("rev_c"))), lit(0L))
+          .as("risky_c"))
+      .select(col("s_nationkey"), col("n_suppliers"), col("n_risky"),
+        (col("tot_c").cast("double") / 100.0).as("total_rev"),
+        (col("risky_c").cast("double") / 100.0).as("risky_rev"),
+        (col("risky_c").cast("double") / col("tot_c"))
+          .as("exposure_share"))
+      .orderBy(col("s_nationkey"))
+
+  /** Price realization per brand: realized unit price (cent-rounded
+    * revenue over integer quantity) against the brand's mean list
+    * price (cent-exact per part row) — "are we selling below list".
+    * Every sum is exact or cent-rounded before the two mirrored
+    * divisions; the list side aggregates the 2000-row dimension. */
+  def priceRealization(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val listP = part
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(floor(col("p_retailprice") * 100 + 0.5).cast("bigint"))
+          .as("list_c"))
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).as("sum_qty"),
+        floor(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("double")) * 100 + 0.5).cast("bigint").as("rev_c"))
+      .join(broadcast(listP), "p_brand")
+      .select(col("p_brand"), col("n_lines"),
+        (col("rev_c").cast("double") / 100.0 / col("sum_qty"))
+          .as("realized_unit_price"),
+        (col("list_c").cast("double") / 100.0 / col("n_parts"))
+          .as("mean_list_price"),
+        ((col("rev_c").cast("double") / 100.0 / col("sum_qty")) /
+          (col("list_c").cast("double") / 100.0 / col("n_parts")))
+          .as("realization_ratio"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Basket-position effect: volume and value by line NUMBER within
+    * the order — "do first-listed items sell bigger". One grid-sized
+    * aggregate on the line position; means are mirrored divisions
+    * over exact (integer-valued) sums. */
+  def linePosition(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_linenumber"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("l_quantity")) / count(lit(1))).as("mean_qty"),
+        (round(sum(col("l_extendedprice")), 2) / count(lit(1)))
+          .as("mean_price"))
+      .orderBy(col("l_linenumber"))
 }
