@@ -62,7 +62,13 @@ object Runner {
   val defaultDependencies: Map[String, Seq[String]] = Map(
     "q_dedup_clusters" -> Seq("q_minhash_dedup"),
     "q_qa_flags" -> Seq("q_qa_daily"),
-    "q_contingency" -> Seq("q_before_after"))
+    "q_contingency" -> Seq("q_before_after"),
+    // the ranking evals run after the ranking itself is built
+    "q_search_eval" -> Seq("q_search_bm25"),
+    "q_search_ndcg" -> Seq("q_search_bm25"),
+    // graph preflight before the peel (and the shared pair-frame memo
+    // means the ordering also reuses one build)
+    "q_k_core" -> Seq("q_graph_stats"))
 
   /** Requested names expanded with their transitive dependencies, in
     * dependency-first order; fails loud on a cycle. */
