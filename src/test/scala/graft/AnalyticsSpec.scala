@@ -98,6 +98,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 1L, 30.0)))
   }
 
+  test("supplierRisk: exposure share is the risky suppliers' revenue") {
+    val li = Seq(
+      (1L, 10.0, 0.0), (1L, 20.0, 0.0),   // supplier 1: 30 revenue
+      (2L, 70.0, 0.0))                     // supplier 2: 70 revenue
+      .toDF("l_suppkey", "l_extendedprice", "l_discount")
+    val sup = Seq((1L, 5, -10.0), (2L, 5, 10.0))
+      .toDF("s_suppkey", "s_nationkey", "s_acctbal")
+    val out = Analytics.supplierRisk(li, sup).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 100.0 && r.getDouble(4) == 30.0)
+    assert(r.getDouble(5) == 0.3)
+  }
+
+  test("priceRealization: selling at list yields ratio exactly 1") {
+    // one part listed at 10.00, sold once: qty 2 at extprice 20, no
+    // discount -> realized unit 10.00 == mean list -> ratio 1.0
+    val part = Seq((1L, "B#1", 10.0))
+      .toDF("p_partkey", "p_brand", "p_retailprice")
+    val li = Seq((1L, 2.0, 20.0, 0.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val out = Analytics.priceRealization(li, part).collect()
+    assert(out.length == 1)
+    assert(out.head.getDouble(2) == 10.0 && out.head.getDouble(3) == 10.0)
+    assert(out.head.getDouble(4) == 1.0)
+  }
+
   test("giniByNation: 0 for equal revenues, 2/9 for the 1-2-3 ramp") {
     import java.sql.Timestamp
     // nation 1: three equal customers -> G = 0 exactly;
