@@ -49,7 +49,7 @@ object Bench {
     "q_funnel_steps", "q_funnel_latency",
     "q_next_event", "q_rfm", "q_trend", "q_theilsen_trend", "q_source_overlap",
     "q_session_paths", "q_dq_rules", "q_user_features", "q_attribution",
-    "q_attribution_decay", "q_l_diversity", "q_t_closeness",
+    "q_attribution_decay", "q_attribution_u", "q_l_diversity", "q_t_closeness",
     "q_ooo_audit", "q_watermark_rec", "q_join_skew", "q_record_dedup", "q_canary_scan",
     "q_inverted_index",
     "q_ship_priority", "q_late_suppliers", "q_k_anon", "q_forecast_naive",

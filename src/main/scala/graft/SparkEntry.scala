@@ -1281,6 +1281,9 @@ object SparkEntry {
         PathMaxLen, PathTopN)),
     "q_attribution" -> ((s, d) =>
       Temporal.attribution(Tables.events(s, d), AttribDays)),
+    // position-based (40/20/40) attribution — the family's third member
+    "q_attribution_u" -> ((s, d) =>
+      Temporal.attributionUShaped(Tables.events(s, d), AttribDays)),
     "q_attribution_decay" -> ((s, d) =>
       Temporal.attributionDecay(Tables.events(s, d), AttribDays)),
     "q_dq_rules" -> ((s, d) =>
@@ -4335,6 +4338,36 @@ object SparkEntry {
           FROM cr GROUP BY 1 ORDER BY 1""",
     // Same pairing as q_attribution; integer power-of-two day weights
     // and micro-cent credit division, so sums replay exactly
+    "q_attribution_u" ->
+      s"""WITH p AS (SELECT user_id, ts AS end_ts,
+            ts - INTERVAL $AttribDays DAYS AS start_ts,
+            event_id AS purchase_id,
+            CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'),
+          x AS (SELECT user_id, ts, event_id AS touch_id,
+            event_type AS channel FROM events
+            WHERE event_type <> 'purchase'),
+          pc AS (SELECT purchase_id, cents, channel,
+              row_number() OVER (PARTITION BY purchase_id
+                ORDER BY x.ts, touch_id) AS pos,
+              CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+                AS n
+            FROM p JOIN x ON x.user_id = p.user_id
+              AND x.ts >= p.start_ts AND x.ts < p.end_ts),
+          cr AS (SELECT channel,
+              CASE WHEN n = 1 THEN cents * 1000000
+                WHEN n = 2 THEN (cents * 1000000 * 50) // 100
+                WHEN pos = 1 OR pos = n
+                  THEN (cents * 1000000 * 40) // 100
+                ELSE ((cents * 1000000 * 20) // 100) // (n - 2)
+              END AS credit FROM pc
+            UNION ALL
+            SELECT '(none)', cents * 1000000 FROM p
+              WHERE purchase_id NOT IN (SELECT purchase_id FROM pc))
+          SELECT channel, count(*) AS n_credits,
+            CAST(CAST(sum(credit) AS BIGINT) AS DOUBLE) / 100000000.0
+              AS credited_value
+          FROM cr GROUP BY 1 ORDER BY 1""",
     "q_attribution_decay" ->
       s"""WITH p AS (SELECT user_id, ts AS end_ts,
             ts - INTERVAL $AttribDays DAYS AS start_ts,

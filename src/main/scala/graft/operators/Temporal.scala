@@ -483,4 +483,53 @@ object Temporal {
         p.as("bounce_rate"), lb.as("wilson_lb"))
       .orderBy(col("entry_type"))
   }
+
+  /** Position-based (U-shaped) multi-touch attribution — the third
+    * member of the family: the FIRST and LAST touches before a
+    * purchase take 40% each and the middle touches share the
+    * remaining 20% (one touch takes all; two split evenly) — the
+    * marketer's discover-and-close model next to equal-split and
+    * time-decay. Positions come from a per-purchase rank over
+    * (ts, exposure id) — partitions bounded by touches-per-window,
+    * never corpus-sized. Credits stay INTEGER micro-cents with the
+    * family's div discipline (each CASE arm replayed verbatim), so
+    * channel sums are exact in any summation order. Unattributed
+    * purchases land in `(none)` at full value. */
+  def attributionUShaped(events: DataFrame, windowDays: Int): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        (col("ts") - expr(s"INTERVAL $windowDays DAYS")).as("start"),
+        col("ts").as("end"), col("event_id").as("purchase_id"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exposures = events.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"))
+    val w = Window.partitionBy(col("purchase_id"))
+    val pc = rangeJoin(purchases, exposures, "user_id", 86400L)
+      .where(col("ts") < col("end"))
+      .select(col("purchase_id"), col("cents"), col("channel"),
+        col("ts"), col("touch_id"))
+      .withColumn("pos", row_number().over(
+        w.orderBy(col("ts"), col("touch_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val total = col("cents") * 1000000L
+    val credited = pc.select(col("channel"),
+      when(col("n") === 1, total)
+        .when(col("n") === 2, expr("(cents * 1000000 * 50) div 100"))
+        .when(col("pos") === 1 || col("pos") === col("n"),
+          expr("(cents * 1000000 * 40) div 100"))
+        .otherwise(expr("((cents * 1000000 * 20) div 100) div (n - 2)"))
+        .as("credit"))
+    val unattributed = purchases
+      .join(pc.select(col("purchase_id")).distinct(),
+        Seq("purchase_id"), "left_anti")
+      .select(lit("(none)").as("channel"), (col("cents") * 1000000L).as("credit"))
+    credited.union(unattributed)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        (sum(col("credit")).cast("double") / 100000000.0)
+          .as("credited_value"))
+      .orderBy(col("channel"))
+  }
 }

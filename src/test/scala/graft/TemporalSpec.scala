@@ -319,4 +319,30 @@ class TemporalSpec extends SparkSpec {
     assert(math.abs(est("all") - exactAll) <=
       math.max(1L, (exactAll * 0.05).toLong))
   }
+
+  test("attributionUShaped: 40/20/40 with 1- and 2-touch degeneracies") {
+    import java.sql.Timestamp
+    def ev(id: Long, uid: Long, t: String, typ: String, v: Double) =
+      (id, uid, Timestamp.valueOf(t), typ, v)
+    val rows = Seq(
+      // user 1: three touches a<b<c then a 1.00 purchase
+      ev(1, 1, "2024-01-01 10:00:00", "click", 0),
+      ev(2, 1, "2024-01-02 10:00:00", "view", 0),
+      ev(3, 1, "2024-01-03 10:00:00", "signup", 0),
+      ev(4, 1, "2024-01-04 10:00:00", "purchase", 1.0),
+      // user 2: two touches then a 1.00 purchase
+      ev(5, 2, "2024-01-01 10:00:00", "click", 0),
+      ev(6, 2, "2024-01-02 10:00:00", "view", 0),
+      ev(7, 2, "2024-01-04 10:00:00", "purchase", 1.0),
+      // user 3: one touch then a 1.00 purchase
+      ev(8, 3, "2024-01-03 10:00:00", "error", 0),
+      ev(9, 3, "2024-01-04 10:00:00", "purchase", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Temporal.attributionUShaped(rows, windowDays = 7)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("click") == 0.4 + 0.5)   // first of 3 + first of 2
+    assert(out("view") == 0.2 + 0.5)    // middle of 3 + last of 2
+    assert(out("signup") == 0.4)        // last of 3
+    assert(out("error") == 1.0)         // sole touch takes all
+  }
 }
