@@ -2210,8 +2210,8 @@ object SparkEntry {
               > $Q12LateDays THEN 'LATE' ELSE 'ONTIME' END AS delay_band,
             count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
               AS high_line_count,
-            count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
-              AS low_line_count
+            count(*) FILTER (WHERE coalesce(o_orderpriority, '')
+              NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           WHERE l_shipdate >= TIMESTAMP '$Q12Start'
             AND l_shipdate < TIMESTAMP '$Q12End'
@@ -4517,14 +4517,14 @@ object SparkEntry {
                 OVER (PARTITION BY nationkey, segment ORDER BY sens)
                 AS cum_num
             FROM grid)
-          SELECT nationkey, segment, n AS class_size,
+          SELECT nationkey, segment, CAST(n AS BIGINT) AS class_size,
             CAST(sum(abs(cum_num)) AS DOUBLE) /
               (CAST(n AS DOUBLE) * (SELECT nn FROM tot)
                 * ((SELECT m FROM tot) - 1)) AS t_value,
             CAST(sum(abs(cum_num)) AS DOUBLE) /
               (CAST(n AS DOUBLE) * (SELECT nn FROM tot)
                 * ((SELECT m FROM tot) - 1)) <= $TClosenessT AS close
-          FROM cum GROUP BY 1, 2, 3 ORDER BY 1, 2""",
+          FROM cum GROUP BY nationkey, segment, n ORDER BY 1, 2""",
     "q_forecast_naive" ->
       s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
             count(*) AS n FROM events GROUP BY 1, 2),
@@ -4545,10 +4545,11 @@ object SparkEntry {
             count(*) AS n_days,
             CAST(count(*) * sum(a.n * b.n) - sum(a.n) * sum(b.n)
               AS DOUBLE) /
-              sqrt(CAST(nullif(
-                (count(*) * sum(a.n * a.n) - sum(a.n) * sum(a.n)) *
-                (count(*) * sum(b.n * b.n) - sum(b.n) * sum(b.n)), 0)
-                AS DOUBLE)) AS corr
+              sqrt(nullif(
+                CAST(count(*) * sum(a.n * a.n) - sum(a.n) * sum(a.n)
+                  AS DOUBLE) *
+                CAST(count(*) * sum(b.n * b.n) - sum(b.n) * sum(b.n)
+                  AS DOUBLE), 0.0)) AS corr
           FROM d a JOIN d b ON a.day = b.day
             AND a.event_type < b.event_type
           GROUP BY 1, 2 ORDER BY 1, 2""",
@@ -5177,8 +5178,6 @@ object SparkEntry {
           SELECT doc_id, n_terms, n_hits, score FROM ag
           ORDER BY score DESC, doc_id LIMIT $SearchK"""
     },
-    "q_search_eval" -> searchEvalOracleSql,
-    "q_search_ndcg" -> searchNdcgOracleSql,
     "q_qa_orphans" ->
       s"""WITH k AS (SELECT DISTINCT c_custkey AS user_id FROM customer
             WHERE c_custkey < $PanelMaxKey),

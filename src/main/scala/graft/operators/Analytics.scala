@@ -559,7 +559,10 @@ object Analytics {
   def shipDelayPriority(lineitem: DataFrame, orders: DataFrame,
                         start: String, end: String,
                         lateDays: Int): DataFrame = {
-    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    // NULL priority is explicitly LOW on both engine and oracle sides
+    // (coalesce before the isin; a bare NOT IN would drop NULLs).
+    val hi = coalesce(col("o_orderpriority"), lit(""))
+      .isin("1-URGENT", "2-HIGH")
     lineitem.where(col("l_shipdate") >= lit(start).cast("timestamp") &&
         col("l_shipdate") < lit(end).cast("timestamp"))
       .join(orders.select(col("o_orderkey"), col("o_orderdate"),

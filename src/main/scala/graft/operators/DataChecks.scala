@@ -993,8 +993,12 @@ object DataChecks {
     * Exactness: all six moments (n, Σx, Σy, Σxy, Σx², Σy²) are
     * bigint over daily counts — order-independent, overflow-safe
     * below ~5·10⁸ events/day/type (n·Σxy < 2⁶³) — and r is one
-    * fixed-shape double expression over them; zero-variance sides
-    * yield NULL via nullif. Shape: pair join and everything after is
+    * fixed-shape double expression over them. Each centered variance
+    * factor (n·Σxx−Σx²) is cast to double BEFORE the two factors are
+    * multiplied (the autocorr form): the factor product ≈ n²·var(x)
+    * · n²·var(y) silently wraps int64 at moderate daily volumes while
+    * each factor alone fits. Zero-variance sides yield NULL via
+    * nullif. Shape: pair join and everything after is
     * GRID-sized (types² × days), off one (type, day) aggregate. */
   def comoveCorrelation(events: DataFrame): DataFrame = {
     val daily = events
@@ -1014,9 +1018,10 @@ object DataChecks {
       .select(col("type_a"), col("type_b"), col("n_days"),
         ((col("n_days") * col("sxy") - col("sx") * col("sy"))
           .cast("double") /
-          sqrt(nullif((col("n_days") * col("sxx") - col("sx") * col("sx")) *
-            (col("n_days") * col("syy") - col("sy") * col("sy")), lit(0L))
-            .cast("double"))).as("corr"))
+          sqrt(nullif(
+            (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n_days") * col("syy") - col("sy") * col("sy")).cast("double"),
+            lit(0.0d)))).as("corr"))
       .orderBy(col("type_a"), col("type_b"))
   }
 

@@ -65,6 +65,19 @@ for name in sorted(os.listdir(outdir)):
         print(f"{name:24s} ROWCOUNT spark={len(a)} oracle={len(b)}")
         fails.append(name)
         continue
+    # The driver hashes VALUES exactly: an int64 420 vs a float64 420.0
+    # hash-differ even though assert_frame_equal(check_dtype=False) passes.
+    # DuckDB sum() over integers returns HUGEINT -> pandas float64, so any
+    # uncast aggregate projection in an oracle is exactly this trap
+    # (round-7 q_t_closeness). Flag integer-vs-float kind mismatches hard.
+    kind_bad = [c for c in a.columns
+                if {a[c].dtype.kind, b[c].dtype.kind} == {"i", "f"}]
+    if kind_bad:
+        print(f"{name:24s} DTYPE KIND MISMATCH (int vs float — driver hash "
+              f"will fail): " + ", ".join(
+                  f"{c} spark={a[c].dtype} oracle={b[c].dtype}" for c in kind_bad))
+        fails.append(name)
+        continue
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,
                                       rtol=1e-6, atol=1e-9)
