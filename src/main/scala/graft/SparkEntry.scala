@@ -1725,6 +1725,25 @@ object SparkEntry {
   /** 3-word shingles of ToksSql (as `toks`). */
   private val ShinglesSql = shinglesSqlN(3)
 
+  /** DuckDB replay of [[graft.operators.NearDup.dfCapFor]] over an
+    * exploded (doc_id, s) CTE named `<p>e0`: emits `<p>dfs`, `<p>cap`
+    * (the corpus-derived df cap — largest df whose ascending
+    * cumulative pair volume Σ cnt·df(df−1)/2 fits the pair budget,
+    * floored) and the capped explode `<p>e`. The same rule, off the
+    * same histogram, as the engine — the derived knob is part of the
+    * hash gate, not folklore. */
+  private def dfCapCtes(p: String): String =
+    s"""${p}dfs AS (SELECT s, count(*) AS df FROM ${p}e0 GROUP BY s),
+        ${p}cap AS (SELECT greatest(${NearDup.DfCapFloor}, coalesce(
+            max(df) FILTER (WHERE pv <= ${NearDup.DfPairBudget}),
+            ${NearDup.DfCapFloor})) AS df_cap
+          FROM (SELECT df, sum(cnt * (df * (df - 1) // 2))
+              OVER (ORDER BY df) AS pv
+            FROM (SELECT df, count(*) AS cnt FROM ${p}dfs GROUP BY df))),
+        ${p}e AS (SELECT ${p}e0.doc_id, ${p}e0.s FROM ${p}e0
+          JOIN ${p}dfs USING (s)
+          WHERE df <= (SELECT df_cap FROM ${p}cap))"""
+
   /** DuckDB replay of Curation.chunks(ChunkSize, ChunkStride):
     * per-doc sliding token windows with md5 fingerprints. */
   private lazy val ChunksSql =
@@ -2798,15 +2817,16 @@ object SparkEntry {
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
           t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),
           e0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
-          e AS (SELECT e0.* FROM e0 JOIN (SELECT s FROM e0 GROUP BY s
-            HAVING count(*) <= ${NearDup.DefaultDfCap}) k USING (s)),
+          ${dfCapCtes("")},
           c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS cnt
             FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
           sz AS (SELECT doc_id, len(sh) AS n FROM t),
           j AS (SELECT d1, d2,
             CAST(cnt AS DOUBLE) / (s1.n + s2.n - cnt) AS jaccard
             FROM c JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
-          SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY d1, d2""",
+          SELECT d1, d2, jaccard,
+            CAST((SELECT df_cap FROM cap) AS BIGINT) AS df_cap
+          FROM j WHERE jaccard >= 0.3 ORDER BY d1, d2""",
     // Same inverted-index CTEs as q_ngram_jaccard; each threshold
     // qualifies pairs by integer cross-multiplication (no division
     // anywhere), so the replay is bit-exact by construction.
@@ -2814,8 +2834,7 @@ object SparkEntry {
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
           t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),
           e0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
-          e AS (SELECT e0.* FROM e0 JOIN (SELECT s FROM e0 GROUP BY s
-            HAVING count(*) <= ${NearDup.DefaultDfCap}) k USING (s)),
+          ${dfCapCtes("")},
           c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS cnt
             FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
           sz AS (SELECT doc_id, len(sh) AS n FROM t),
@@ -2826,7 +2845,8 @@ object SparkEntry {
           q AS (SELECT threshold_pm, d2 FROM p JOIN th
             ON cnt * 1000 >= threshold_pm * den)
           SELECT threshold_pm, count(*) AS n_pairs,
-            count(DISTINCT d2) AS n_docs_dropped
+            count(DISTINCT d2) AS n_docs_dropped,
+            CAST((SELECT df_cap FROM cap) AS BIGINT) AS df_cap
           FROM q GROUP BY 1 ORDER BY 1""",
     // Seed md5 is bit-identical across engines, so membership, island
     // merging and span extents replay exactly; sum() OVER (ORDER BY
@@ -2884,8 +2904,7 @@ object SparkEntry {
     "q_minhash_recall" ->
       s"""WITH ${minhashVerCtes(s"doc_id % $SampleModSql = 0")},
           je0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
-          je AS (SELECT je0.* FROM je0 JOIN (SELECT s FROM je0 GROUP BY s
-            HAVING count(*) <= ${NearDup.DefaultDfCap}) k USING (s)),
+          ${dfCapCtes("j")},
           jc AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS cnt
             FROM je a JOIN je b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2),
@@ -2912,16 +2931,17 @@ object SparkEntry {
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
           t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),
           e0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
-          e AS (SELECT e0.* FROM e0 JOIN (SELECT s FROM e0 GROUP BY s
-            HAVING count(*) <= ${NearDup.DefaultDfCap}) k USING (s)),
+          ${dfCapCtes("")},
           c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS cnt
             FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
           sz AS (SELECT doc_id, len(sh) AS n FROM t),
           j AS (SELECT d1, d2,
             CAST(cnt AS DOUBLE) / least(s1.n, s2.n) AS containment
             FROM c JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
-          SELECT d1, d2, containment FROM j
-          WHERE containment >= $ContainmentThreshold ORDER BY d1, d2""",
+          SELECT d1, d2, containment,
+            CAST((SELECT df_cap FROM cap) AS BIGINT) AS df_cap
+          FROM j WHERE containment >= $ContainmentThreshold
+          ORDER BY d1, d2""",
     "q_decontam" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
           t AS (SELECT doc_id, ${shinglesSqlN(DecontamN)} AS sh FROM tk),

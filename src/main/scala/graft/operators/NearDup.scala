@@ -33,22 +33,68 @@ object NearDup {
       .select(col("doc_id") +: extra.map(col) :+ tokens(col("text")).as("toks"): _*)
       .select(col("doc_id") +: extra.map(col) :+ shingles(col("toks"), n).as("sh"): _*)
 
-  /** Default document-frequency cap for [[jaccardPairs]]: a shingle
-    * shared by more docs than this is stopword-like evidence and the
-    * skew bomb at scale (d docs sharing a shingle → d²/2 join rows
-    * from one key). Results are exact whenever no shingle exceeds the
-    * cap (max observed df in the test corpora is 25); when the cap
-    * binds, pairs whose overlap includes capped shingles score lower
-    * (never higher), so the output degrades toward fewer pairs rather
-    * than wrong ones. */
-  val DefaultDfCap: Int = 1000
+  /** Document-frequency cap policy for the exact-jaccard family. A
+    * shingle shared by d docs yields d(d−1)/2 index-join pairs, so a
+    * hot shingle is both the skew bomb and the superlinear-growth
+    * driver; the cap drops them. When the cap binds, pairs whose
+    * overlap includes capped shingles score lower (never higher), so
+    * the output degrades toward fewer pairs rather than wrong ones. */
+  sealed trait DfCap
+  /** Fixed cap — tests and corpora with a known df profile. */
+  final case class FixedDfCap(cap: Int) extends DfCap
+  /** No cap — only for corpora known skew-free. */
+  case object UncappedDf extends DfCap
+  /** CORPUS-DERIVED cap (the default; the `wedgeSupportFor` /
+    * `blockCharsFor` / `centroidStrideFor` discipline): the largest
+    * cap whose kept pair volume Σ_{df≤cap} cnt(df)·df(df−1)/2 fits
+    * `pairBudget`, floored at `floor` so recall never collapses on a
+    * pathological corpus. A FIXED cap compounds with corpus density —
+    * measured 199× pair volume at 10× data (sf0.1→sf1: 1.27M→252M
+    * pairs) with the old fixed 1000 cap never binding below real
+    * scale; the derived cap holds the pair stage ~linear instead
+    * (9.8M kept at sf1 with the default budget) and does NOT bind at
+    * the gate corpora (sf≤0.1 total volume 1.27M < budget, so gate
+    * results are identical to uncapped). The cap is emitted as a
+    * result column and the oracle replays the identical rule off the
+    * same histogram, so the derivation is hash-checked, not
+    * folklore. */
+  final case class DerivedDfCap(floor: Int = DfCapFloor,
+                                pairBudget: Long = DfPairBudget) extends DfCap
+
+  /** Floor for [[DerivedDfCap]] — max observed gate-corpus df, so the
+    * derived cap can never undercut gate-scale recall. */
+  val DfCapFloor: Int = 25
+  /** Pair budget for [[DerivedDfCap]] — ~8× the sf0.1 corpus's total
+    * pair volume, i.e. a linear-at-10× growth allowance. */
+  val DfPairBudget: Long = 10000000L
+
+  /** The [[DerivedDfCap]] rule over a (df, shingle count) histogram:
+    * walk df ascending accumulating pair volume cnt·df(df−1)/2; the
+    * cap is the largest df whose cumulative volume fits the budget
+    * (floored). BigInt accumulation — per-bucket volume is ~df²·cnt
+    * and df is corpus-sized at 100 TB, past Long. The histogram is
+    * DISTINCT-df-sized (hundreds of rows at any scale — the
+    * BPE-merge-table driver-small class). */
+  def dfCapFor(hist: Seq[(Long, Long)], floor: Int = DfCapFloor,
+               pairBudget: Long = DfPairBudget): Int = {
+    require(floor >= 1, "df-cap floor must be at least 1")
+    require(pairBudget > 0, "pair budget must be positive")
+    var cum = BigInt(0)
+    var best = 0L
+    hist.sortBy(_._1).foreach { case (d, c) =>
+      cum += BigInt(c) * BigInt(d) * BigInt(d - 1) / 2
+      if (cum <= pairBudget && d > best) best = d
+    }
+    require(best <= Int.MaxValue, s"derived df cap $best out of Int range")
+    math.max(floor, best.toInt)
+  }
 
   /** Exact Jaccard pairs ≥ `threshold` via inverted index: explode
     * shingles into per-shingle posting lists, emit each list's pairs
     * in-task, count how many shingles each pair shares, join set
     * sizes. Any pair with jaccard > 0 shares ≥1 shingle, so the index
     * is exact (no recall loss). Shingles with posting lists longer
-    * than `dfCap` ([[DefaultDfCap]]) are dropped — they are the skew
+    * than `dfCap` ([[DerivedDfCap]] by default) are dropped — they are the skew
     * bomb AND the unbounded-row risk (an uncapped hot shingle
     * materializes its whole posting list in one aggregation row);
     * pass `None` only when the corpus is known skew-free. The shingle
@@ -69,13 +115,16 @@ object NearDup {
     * diverse vocabulary); for a dense corpus the count aggregation is
     * the scale shape. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                   dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame =
-    sharedShingleCounts(docs, n, dfCap, "graft_jaccard_dfcap")
+                   dfCap: DfCap = DerivedDfCap()): DataFrame = {
+    val (counts, capCol) =
+      sharedShingleCounts(docs, n, dfCap, "graft_jaccard_dfcap")
+    counts
       .withColumn("jaccard",
         col("common").cast("double") / (col("n1") + col("n2") - col("common")))
       .where(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), col("jaccard"))
+      .select(col("d1"), col("d2"), col("jaccard"), capCol.as("df_cap"))
       .orderBy(col("d1"), col("d2"))
+  }
 
   /** Asymmetric containment pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥
     * `threshold` — the "short doc embedded in long doc" near-dup that
@@ -84,13 +133,16 @@ object NearDup {
     * inverted-index machinery and df-cap contract as [[jaccardPairs]];
     * only the final scoring differs. */
   def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
-                       dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame =
-    sharedShingleCounts(docs, n, dfCap, "graft_containment_dfcap")
+                       dfCap: DfCap = DerivedDfCap()): DataFrame = {
+    val (counts, capCol) =
+      sharedShingleCounts(docs, n, dfCap, "graft_containment_dfcap")
+    counts
       .withColumn("containment",
         col("common").cast("double") / least(col("n1"), col("n2")))
       .where(col("containment") >= threshold)
-      .select(col("d1"), col("d2"), col("containment"))
+      .select(col("d1"), col("d2"), col("containment"), capCol.as("df_cap"))
       .orderBy(col("d1"), col("d2"))
+  }
 
   /** (d1 < d2, common, n1, n2): per-pair shared-shingle counts plus
     * set sizes, the shared core of [[jaccardPairs]] and
@@ -100,17 +152,32 @@ object NearDup {
     * listener would attribute containment's dropped shingles to
     * jaccard). */
   private def sharedShingleCounts(docs: DataFrame, n: Int,
-                                  dfCap: Option[Int],
-                                  metricName: String): DataFrame = {
+                                  dfCap: DfCap,
+                                  metricName: String): (DataFrame, Column) = {
     val t = shingleSets(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e0 = t.select(col("doc_id"), explode(col("sh")).as("s"))
+    // per-shingle df frame: in Derived mode it feeds BOTH the
+    // driver-small (df, count) histogram action and the hot filter, so
+    // it is persisted (vocab-sized) — the histogram action also
+    // materializes the shingle cache the whole operator reuses
+    lazy val dfFrame = e0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val capOpt: Option[Int] = dfCap match {
+      case FixedDfCap(c) => Some(c)
+      case UncappedDf => None
+      case DerivedDfCap(floor, budget) =>
+        val dfs = dfFrame
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hist = dfs.groupBy(col("df")).agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        Some(dfCapFor(hist, floor, budget))
+    }
     // hot shingles are dropped BEFORE the posting-list aggregation via
     // a cheap count + anti-join (integer partials, no lists): filtering
     // after collect_list would already have materialized a hot
     // shingle's entire posting list in one aggregation buffer — the
     // unbounded-row blowup the cap exists to prevent
-    val e = dfCap match {
+    val e = capOpt match {
       case Some(cap) =>
         // observed metric: a binding cap is a visible event, not silent
         // recall drift — every action over this plan reports how many
@@ -120,7 +187,7 @@ object NearDup {
         // NB an ABSENT metric also means nothing dropped: when no row
         // flows through the observe node no task updates its
         // accumulator, so the entry never materializes
-        val hot = e0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        val hot = dfFrame
           .where(col("df") > cap).select(col("s"))
           .observe(metricName,
             count(lit(1)).as("dropped_hot_shingles"))
@@ -138,9 +205,14 @@ object NearDup {
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("common"))
     val sizes = t.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    common
+    val counts = common
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+    // the cap actually used rides out as a BIGINT literal column so a
+    // derived cap is part of the hash-checked result, not a log line
+    val capCol = capOpt.map(c => lit(c.toLong))
+      .getOrElse(lit(null)).cast("long")
+    (counts, capCol)
   }
 
   /** Dedup-threshold sensitivity sweep — sizes the Jaccard threshold
@@ -161,10 +233,12 @@ object NearDup {
     * A threshold no pair reaches yields no row (engine and oracle
     * agree). */
   def dedupSweep(docs: DataFrame, n: Int, thresholdsPm: Seq[Int],
-                 dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
+                 dfCap: DfCap = DerivedDfCap()): DataFrame = {
     require(thresholdsPm.nonEmpty, "dedupSweep needs at least one threshold")
     val tArr = array(thresholdsPm.map(lit): _*)
-    sharedShingleCounts(docs, n, dfCap, "graft_sweep_dfcap")
+    val (counts, capCol) =
+      sharedShingleCounts(docs, n, dfCap, "graft_sweep_dfcap")
+    counts
       .select(col("d2"), filter(tArr, t =>
         col("common") * 1000L >= t.cast("long") *
           (col("n1") + col("n2") - col("common"))).as("ts"))
@@ -172,6 +246,7 @@ object NearDup {
       .groupBy(col("threshold_pm"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("d2")).as("n_docs_dropped"))
+      .withColumn("df_cap", capCol)
       .orderBy(col("threshold_pm"))
   }
 

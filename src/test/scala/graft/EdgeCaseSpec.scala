@@ -177,7 +177,7 @@ class EdgeCaseSpec extends SparkSpec {
       (3L, s"$hot q w r t u i o p"),
       (4L, s"$hot m n l j v s d a")
     ).toDF("doc_id", "text")
-    val capped = NearDup.jaccardPairs(df, 3, 0.3, dfCap = Some(3)).collect()
+    val capped = NearDup.jaccardPairs(df, 3, 0.3, dfCap = NearDup.FixedDfCap(3)).collect()
     assert(capped.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
   }
 
@@ -255,12 +255,12 @@ class EdgeCaseSpec extends SparkSpec {
       (3L, s"$hot q w r t u i o p"),
       (4L, s"$hot m n l j v s d a")
     ).toDF("doc_id", "text")
-    val capped = NearDup.jaccardPairs(df, 3, 0.3, dfCap = Some(3))
+    val capped = NearDup.jaccardPairs(df, 3, 0.3, dfCap = NearDup.FixedDfCap(3))
     capped.collect()
     val dropped = capped.queryExecution.observedMetrics("graft_jaccard_dfcap")
       .getAs[Long]("dropped_hot_shingles")
     assert(dropped == 1L) // only the planted df=4 shingle binds
-    val slack = NearDup.jaccardPairs(df, 3, 0.3) // default cap 1000
+    val slack = NearDup.jaccardPairs(df, 3, 0.3) // derived cap (slack here)
     slack.collect()
     // nothing flows through the observe node when the cap is slack, so
     // the metric is absent (no task ever updates the accumulator) —

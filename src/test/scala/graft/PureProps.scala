@@ -118,11 +118,15 @@ object PureProps extends Properties("graft") {
     // constant's CURRENT value, so an oracle left on the old number no
     // longer contains the marker.
     val pins = Seq(
-      "q_ngram_jaccard" -> s"<= ${NearDup.DefaultDfCap}",
-      "q_containment" -> s"<= ${NearDup.DefaultDfCap}",
-      "q_minhash_recall" -> s"<= ${NearDup.DefaultDfCap}",
+      "q_ngram_jaccard" -> s"<= ${NearDup.DfPairBudget}",
+      "q_ngram_jaccard" -> s"greatest(${NearDup.DfCapFloor}",
+      "q_containment" -> s"<= ${NearDup.DfPairBudget}",
+      "q_containment" -> s"greatest(${NearDup.DfCapFloor}",
+      "q_minhash_recall" -> s"<= ${NearDup.DfPairBudget}",
+      "q_minhash_recall" -> s"greatest(${NearDup.DfCapFloor}",
       "q_minhash_recall" -> s"/ ${NearDup.RecallSampleTarget}.0",
-      "q_dedup_sweep" -> s"<= ${NearDup.DefaultDfCap}",
+      "q_dedup_sweep" -> s"<= ${NearDup.DfPairBudget}",
+      "q_dedup_sweep" -> s"greatest(${NearDup.DfCapFloor}",
       "q_minhash_dedup" -> s"[1:${NearDup.DefaultBucketCap}]",
       "q_dedup_clusters" -> s"[1:${NearDup.DefaultBucketCap}]",
       "q_embed_lsh" -> s"[1:${NearDup.DefaultBucketCap}]",
