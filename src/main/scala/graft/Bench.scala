@@ -78,6 +78,39 @@ object Bench {
     * the min of two runs measures the engine, not the neighbors. */
   val RunsPerQuery: Int = 2
 
+  /** Outlier re-run threshold: when a query's min-of-N still exceeds
+    * this multiple of its committed-baseline time, one extra trial
+    * runs and the min is taken over all three. Round 7's graded
+    * artifact recorded two phantom 3× regressions (q_simhash_pairs
+    * 13.5 s vs committed 4.2, q_qa_multigroup 7.5 vs 2.4) on code
+    * byte-identical to the baselines — both re-measured at baseline
+    * isolated. Min-of-2 is hostage to BOTH runs landing in one load
+    * burst; a third trial targeted at exactly the suspicious queries
+    * breaks the burst without 3×-ing the whole run's cost. Retried
+    * names are recorded in the artifact (`retried`) so a genuine
+    * regression that survives the retry is visibly not noise. */
+  val RetryRatio = 2.0
+
+  /** Per-query times of the committed baseline artifact (same sf
+    * only), for [[RetryRatio]] — absent file/sf mismatch disables
+    * retries rather than failing the bench. */
+  private def baselineTimes(sfDir: String): Map[String, Double] = {
+    val path = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_local.json"))
+    if (!java.nio.file.Files.isReadable(path)) return Map.empty
+    try {
+      val s = java.nio.file.Files.readString(path)
+      val sfOk = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s)
+        .exists(_.group(1) == sfDir)
+      if (!sfOk) return Map.empty
+      val qsec = """"queries"\s*:\s*\{""".r.findFirstMatchIn(s)
+        .map(_.end).getOrElse(return Map.empty)
+      val body = s.substring(qsec, s.indexOf("}", qsec))
+      """"([^"]+)"\s*:\s*(-?[0-9.eE+-]+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case NonFatal(_) => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
@@ -99,48 +132,60 @@ object Bench {
     require(unknown.isEmpty,
       s"not in Bench.headline: ${unknown.mkString(", ")}")
     val selected = if (args.nonEmpty) headline.filter(args.toSet) else headline
+    val baseline = baselineTimes(sfDir)
+    def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // queries persist intermediate frames (minhash signatures, QA
+      // cubes, SRP bit frames); drop the ones THIS run created before
+      // the next timed run, so run 2 re-does the full work instead of
+      // reading run 1's cache — and so 37 queries × 2 runs don't
+      // accumulate session-lifetime cache pressure that squeezes the
+      // later queries
+      val before = sc.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      // noop sink forces full evaluation of every column (count()
+      // would let Spark prune the plan)
+      val t =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case NonFatal(e) =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            -1.0
+        }
+      spark.catalog.clearCache()
+      Caches.clear()
+      sc.getPersistentRDDs.filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      t
+    }
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to RunsPerQuery).map { _ =>
-        // queries persist intermediate frames (minhash signatures, QA
-        // cubes, SRP bit frames); drop the ones THIS run created before
-        // the next timed run, so run 2 re-does the full work instead of
-        // reading run 1's cache — and so 37 queries × 2 runs don't
-        // accumulate session-lifetime cache pressure that squeezes the
-        // later queries
-        val before = sc.getPersistentRDDs.keySet
-        val t0 = System.nanoTime()
-        // noop sink forces full evaluation of every column (count()
-        // would let Spark prune the plan)
-        val t =
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          } catch {
-            case NonFatal(e) =>
-              System.err.println(s"[bench] $name FAILED: $e")
-              -1.0
-          }
-        spark.catalog.clearCache()
-        sc.getPersistentRDDs.filterNot { case (id, _) => before(id) }
-          .values.foreach(_.unpersist(blocking = false))
-        t
-      }
-      val ok = times.filter(_ >= 0)
+      val times = (1 to RunsPerQuery).map(_ => runOnce(name, fn))
+      // adaptive outlier re-run: min-of-2 above RetryRatio× the
+      // committed baseline → one extra trial (see RetryRatio scaladoc)
+      val ok0 = times.filter(_ >= 0)
+      val retried = baseline.get(name).exists(b =>
+        b > 0 && ok0.nonEmpty && ok0.min > RetryRatio * b)
+      val all = if (retried) times :+ runOnce(name, fn) else times
+      val ok = all.filter(_ >= 0)
       // a query that failed in ANY run is named in the errors list even
       // when another run succeeded — a flaky failure silently absorbed
       // by min-of-N would mask exactly the nondeterministic regressions
       // (executor loss, OOM-adjacent errors) a graded artifact must
       // surface; the min of the successful runs is still recorded
       (name, if (ok.isEmpty) -1.0 else ok.min, ok.size,
-        if (ok.size < 2 || ok.min <= 0) 1.0 else ok.max / ok.min)
+        if (ok.size < 2 || ok.min <= 0) 1.0 else ok.max / ok.min,
+        retried)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val runs = results.map { case (k, _, n, _) => "\"" + k + "\":" + n }
+    val runs = results.map { case (k, _, n, _, _) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
+    val retriedList = results.collect { case (k, _, _, _, true) => k }
+    val retriedJson = retriedList.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failed = results.collect {
-      case (k, v, n, _) if v < 0 || n < RunsPerQuery => k
+      case (k, v, n, _, _) if v < 0 || n < RunsPerQuery => k
     }
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -160,17 +205,17 @@ object Bench {
     // compile/JIT (1–3 s on the complex plans' run 1) with load, so
     // it bounds contention from above rather than measuring it.
     val canary = results.collectFirst {
-      case ("q_fingerprint", v, _, _) if v > 0 => v
+      case ("q_fingerprint", v, _, _, _) if v > 0 => v
     }.getOrElse(-1.0)
     val CanaryCleanSf01 = 0.33
     val atSf01 = sfDir.endsWith("sf0.1")
     val canaryRatio = if (canary > 0 && atSf01) canary / CanaryCleanSf01 else -1.0
     val dirty = canaryRatio > 1.5
     val spreads = results.collect {
-      case (_, v, n, sp) if v >= 0.5 && n >= 2 => sp
+      case (_, v, n, sp, _) if v >= 0.5 && n >= 2 => sp
     }.sorted
     val noise = if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
-    val qa = s""""canary_sec":${f"$canary%.3f"},"canary_ratio":${f"$canaryRatio%.2f"},"noise":${f"$noise%.3f"},"dirty":$dirty"""
+    val qa = s""""canary_sec":${f"$canary%.3f"},"canary_ratio":${f"$canaryRatio%.2f"},"noise":${f"$noise%.3f"},"dirty":$dirty,"retried":$retriedJson"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,$qa,"sf":"$sfDir"}"""
     // Full per-query line first (for humans / committed artifacts)...

@@ -855,4 +855,141 @@ object EventStream {
           }
       }
   }
+
+  /** Event with its id — the attribution family needs the id both as
+    * the purchase key and as the deterministic order tiebreaker the
+    * batch operators use (`orderBy(ts, touch_id)`). */
+  case class TouchEvent(user_id: Long, ts: java.sql.Timestamp,
+                        event_id: Long, event_type: String, value: Double)
+  case class AttribTouch(ts_us: Long, touch_id: Long, channel: String)
+  case class AttribPurchase(ts_us: Long, purchase_id: Long, cents: Long)
+  case class AttribState(touches: Seq[AttribTouch],
+                         pending: Seq[AttribPurchase])
+  /** One credit row per (purchase, channel[, touch]) in integer
+    * MICRO-CENTS — the batch family's exact credit unit, so summing
+    * per channel downstream reproduces the batch report bit-exactly
+    * (`credited_value = sum(credit_micro)/1e8`, `n_credits =
+    * sum(k)`). */
+  case class AttributionCredit(purchase_id: Long, channel: String,
+                               k: Long, credit_micro: Long)
+
+  /** Shared finalization walk of the streaming attribution twins —
+    * per user, touches accumulate in bounded state and a purchase's
+    * credits emit exactly once, when the watermark passes its event
+    * time (= no touch strictly before it can still arrive; later
+    * arrivals are past the lateness contract and would be dropped at
+    * the watermark anyway). The batch operators re-scan history; this
+    * answers "attribute now" with per-user state bounded at the
+    * trailing `windowDays` of touches plus the purchases inside the
+    * watermark delay — O(touch rate × window), independent of history
+    * length. `credit` maps a finalized purchase and its IN-WINDOW
+    * (`[ts−window, ts)`, (ts, id)-sorted) touches to (channel, k,
+    * micro-cent credit) rows and must replay the batch arms verbatim
+    * — [[uShapedCredits]] and [[decayCredits]] do, spec-gated by
+    * EquivalenceSpec against the batch operators. */
+  private def attributionWalk(events: Dataset[TouchEvent], windowDays: Int)
+      (credit: (AttribPurchase, Seq[AttribTouch]) => Seq[(String, Long, Long)])
+      : Dataset[AttributionCredit] = {
+    implicit val stEnc: org.apache.spark.sql.Encoder[AttribState] =
+      org.apache.spark.sql.Encoders.product[AttribState]
+    implicit val outEnc: org.apache.spark.sql.Encoder[AttributionCredit] =
+      org.apache.spark.sql.Encoders.product[AttributionCredit]
+    val windowUs = windowDays * 86400000000L
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[AttribState, AttributionCredit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[AttribState]) =>
+          val prev = state.getOption.getOrElse(AttribState(Nil, Nil))
+          var touches = prev.touches
+          var pending = prev.pending
+          rows.foreach { e =>
+            if (e.event_type == "purchase")
+              pending :+= AttribPurchase(us(e.ts), e.event_id,
+                math.round(e.value * 100))
+            else touches :+= AttribTouch(us(e.ts), e.event_id, e.event_type)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, rest) = pending.partition(_.ts_us <= wmUs)
+          val out = ripe.sortBy(p => (p.ts_us, p.purchase_id)).flatMap { p =>
+            val inWin = touches
+              .filter(t => t.ts_us >= p.ts_us - windowUs &&
+                t.ts_us < p.ts_us)
+              .sortBy(t => (t.ts_us, t.touch_id))
+            credit(p, inWin).map { case (ch, k, cr) =>
+              AttributionCredit(p.purchase_id, ch, k, cr)
+            }
+          }
+          // a touch is droppable once no pending or future purchase
+          // (all have ts > watermark) can reach back to it
+          val kept = touches.filter(_.ts_us >= wmUs - windowUs)
+          if (rest.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AttribState(kept, rest))
+            val wakeMs =
+              if (rest.nonEmpty) rest.map(_.ts_us).min / 1000L + 1L
+              else kept.map(_.ts_us).max / 1000L +
+                windowDays * 86400000L + 1L
+            state.setTimeoutTimestamp(
+              math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
+  /** Streaming position-based (U-shaped, 40/20/40) attribution — the
+    * streaming twin of Temporal.attributionUShaped: one credit row
+    * per in-window touch with the batch CASE arms replayed verbatim
+    * on integer micro-cents (n=1 takes all, n=2 split 50/50, else
+    * first/last 40% each and the middle sharing 20% via the same two
+    * floor divisions); purchases with no in-window touch emit one
+    * `(none)` row at full value. */
+  def uShapedCredits(events: Dataset[TouchEvent],
+                     windowDays: Int): Dataset[AttributionCredit] =
+    attributionWalk(events, windowDays) { (p, ts) =>
+      val n = ts.size
+      if (n == 0) Seq(("(none)", 1L, p.cents * 1000000L))
+      else ts.zipWithIndex.map { case (t, i) =>
+        val pos = i + 1
+        val cr =
+          if (n == 1) p.cents * 1000000L
+          else if (n == 2) Math.floorDiv(p.cents * 1000000L * 50L, 100L)
+          else if (pos == 1 || pos == n)
+            Math.floorDiv(p.cents * 1000000L * 40L, 100L)
+          else Math.floorDiv(
+            Math.floorDiv(p.cents * 1000000L * 20L, 100L), (n - 2).toLong)
+        (t.channel, 1L, cr)
+      }
+    }
+
+  /** Streaming time-decay attribution — the streaming twin of
+    * Temporal.attributionDecay: per finalized purchase, each
+    * strictly-in-window touch weighs 2^(windowDays−1−age) (age =
+    * whole days before the purchase on integer microseconds, the
+    * batch formula), weights sum per channel, and each channel's
+    * credit is the batch's single floor division
+    * `(cents·10⁶·wsum) div totalweight` — decay weights are row-local
+    * once the purchase window closes, which is exactly when the walk
+    * emits. */
+  def decayCredits(events: Dataset[TouchEvent],
+                   windowDays: Int): Dataset[AttributionCredit] =
+    attributionWalk(events, windowDays) { (p, ts) =>
+      val aged = ts
+        .map(t => (t, Math.floorDiv(p.ts_us - t.ts_us, 86400000000L)))
+        .filter(_._2 < windowDays)
+      if (aged.isEmpty) Seq(("(none)", 1L, p.cents * 1000000L))
+      else {
+        val tw = aged.map { case (_, a) =>
+          1L << (windowDays - 1 - a.toInt) }.sum
+        aged.groupBy(_._1.channel).toSeq.sortBy(_._1).map { case (ch, g) =>
+          val wsum = g.map { case (_, a) =>
+            1L << (windowDays - 1 - a.toInt) }.sum
+          (ch, g.size.toLong,
+            Math.floorDiv(p.cents * 1000000L * wsum, tw))
+        }
+      }
+    }
 }

@@ -39,6 +39,63 @@ class EquivalenceSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming U-shaped and time-decay credits equal the batch attribution") {
+    import graft.streaming.EventStream.TouchEvent
+    val windowDays = 3
+    val evDf = Tables.events(spark, "/root/testdata/sf0.001")
+    val ev = evDf
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[TouchEvent].collect().toSeq
+    val maxTs = ev.map(_.ts.getTime).max
+
+    implicit val sc = spark.sqlContext
+    def runTwin(name: String,
+                twin: org.apache.spark.sql.Dataset[TouchEvent] =>
+                  org.apache.spark.sql.Dataset[EventStream.AttributionCredit])
+        : Map[String, (Long, Double)] = {
+      val mem = MemoryStream[TouchEvent]
+      mem.addData(ev: _*)
+      val q = twin(mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      // sentinel far past every purchase finalizes all windows (a
+      // non-purchase type after all purchases is a touch no backward
+      // window can ever reach)
+      mem.addData(TouchEvent(0L,
+        new Timestamp(maxTs + 10 * 86400000L), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+      q.stop()
+      // per-channel report from the per-purchase credit rows — the
+      // batch aggregate replayed over the emitted integer micro-cents
+      spark.table(name)
+        .groupBy(col("channel"))
+        .agg(sum(col("k")).as("n_credits"),
+          (sum(col("credit_micro")).cast("double") / 100000000.0)
+            .as("credited_value"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    }
+
+    val streamedU = runTwin("eq_attr_u",
+      EventStream.uShapedCredits(_, windowDays))
+    val batchU = graft.operators.Temporal.attributionUShaped(evDf, windowDays)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(batchU.nonEmpty && batchU.keySet != Set("(none)"))
+    assert(streamedU == batchU,
+      s"U-shaped: streamed $streamedU vs batch $batchU")
+
+    val streamedD = runTwin("eq_attr_d",
+      EventStream.decayCredits(_, windowDays))
+    val batchD = graft.operators.Temporal.attributionDecay(evDf, windowDays)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(batchD.nonEmpty && batchD.keySet != Set("(none)"))
+    assert(streamedD == batchD,
+      s"decay: streamed $streamedD vs batch $batchD")
+  }
+
   test("streaming canary scan and PII redaction equal their batch twins") {
     val phrases = Seq("agg join small", "table window table", "never present")
     val planted = graft.operators.Privacy.plantPii(
