@@ -31,10 +31,11 @@ object Bench {
     "q_simhash", "q_simhash_pairs", "q_skew_salted", "q_decontam",
     "q_stratified_sample", "q_split", "q_split_leak", "q_blocklist", "q_chunks",
     "q_chunk_dedup",
-    "q_pack", "q_curation_funnel", "q_corpus_card", "q_vocab", "q_zipf", "q_bpe_pairs", "q_bpe_train",
+    "q_pack", "q_curation_funnel", "q_corpus_card", "q_vocab", "q_zipf",
+    "q_heaps", "q_quality_trend", "q_dup_sources", "q_bpe_pairs", "q_bpe_train",
     "q_quality_cap",
     "q_dedup_incremental", "q_dedup_index_stats",
-    "q_vector_health", "q_label_separation", "q_embed_quant",
+    "q_vector_health", "q_label_separation", "q_embed_outliers", "q_embed_quant",
     "q_embed_lsh", "q_ann_ivf", "q_ann_ivf_p2", "q_ann_pq", "q_ann_pq_rerank",
     "q_ann_sq", "q_ann_recall",
     "q_multimodal_meta", "q_multimodal_audio", "q_multimodal_frames",
@@ -53,7 +54,7 @@ object Bench {
     "q_ooo_audit", "q_watermark_rec", "q_join_skew", "q_record_dedup", "q_canary_scan",
     "q_inverted_index",
     "q_ship_priority", "q_late_suppliers", "q_k_anon", "q_forecast_naive",
-    "q_autocorr", "q_comovement", "q_welch", "q_chi2_independence", "q_fanout_audit",
+    "q_autocorr", "q_comovement", "q_benford", "q_welch", "q_chi2_independence", "q_fanout_audit",
     "q_item_similarity", "q_pagerank", "q_bigram_lm",
     "q_graph_stats", "q_triangles", "q_wedge_recs", "q_k_core",
     "q_changepoint", "q_file_skipping", "q_small_orders",

@@ -75,6 +75,19 @@ object SparkEntry {
   /** q_zipf: top-rank terms the log-log OLS fits over. */
   private val ZipfTopK = 100
 
+  /** q_heaps: doc_id-grid prefix checkpoints the ln–ln Heaps fit runs
+    * over (no global sort — the grid is row-local off min/max ids). */
+  private val HeapsCheckpoints = 10
+
+  /** q_quality_trend: ingestion-order buckets (same id grid). */
+  private val QualityTrendBuckets = 10
+
+  /** q_embed_outliers: farthest-from-centroid vectors kept per label. */
+  private val OutlierTopK = 10
+
+  /** q_benford: χ² suspect threshold (8 df, p≈0.01). */
+  private val BenfordChi2Crit = 20.09
+
   /** q_bpe_pairs top-N — BINDING on the synthetic corpus (~40-word
     * vocabulary → hundreds of distinct adjacent pairs), so the
     * deterministic tie-break at the cut is itself gate-checked. */
@@ -1045,6 +1058,18 @@ object SparkEntry {
     // one-row "does this corpus look like language" gauge
     "q_zipf" -> ((s, d) =>
       TextAnalysis.zipfFit(Tables.documents(s, d), ZipfTopK)),
+    // vocabulary-growth twin of q_zipf (Heaps' law over id-grid
+    // prefixes; β drift = growth-regime shift)
+    "q_heaps" -> ((s, d) =>
+      TextAnalysis.heapsFit(Tables.documents(s, d), HeapsCheckpoints)),
+    // quality drift across ingestion order (id-grid buckets + OLS)
+    "q_quality_trend" -> ((s, d) =>
+      TextAnalysis.qualityTrend(Tables.documents(s, d),
+        QualityTrendBuckets)),
+    // which sources copy from which: the near-dup pair frame at
+    // (source, source) grain
+    "q_dup_sources" -> ((s, d) =>
+      NearDup.dupSourceMatrix(Tables.documentsFloored(s, d), 3, 0.3)),
     "q_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairs(Tables.documents(s, d), BpeTopN)),
     "q_bpe_train" -> ((s, d) =>
@@ -1338,6 +1363,9 @@ object SparkEntry {
     // cross-type daily-volume correlation (exact bigint moments)
     "q_comovement" -> ((s, d) =>
       DataChecks.comoveCorrelation(Tables.events(s, d))),
+    // Benford first-digit forensics on the value feed
+    "q_benford" -> ((s, d) =>
+      DataChecks.benfordQa(Tables.events(s, d), BenfordChi2Crit)),
     "q_chi2_independence" -> ((s, d) =>
       DataChecks.chi2Independence(Tables.events(s, d))),
     "q_fanout_audit" -> ((s, d) =>
@@ -1462,6 +1490,10 @@ object SparkEntry {
     "q_label_separation" -> ((s, d) =>
       VectorSearch.labelCentroidSeparation(Tables.embeddings(s, d),
         EmbeddingDim)),
+    // per-label farthest-from-centroid vectors (mislabel/garbage probe)
+    "q_embed_outliers" -> ((s, d) =>
+      VectorSearch.embedOutliers(Tables.embeddings(s, d),
+        EmbeddingDim, OutlierTopK)),
     // schema-drift preflight against a declared contract
     "q_schema_contract" -> ((s, d) =>
       DataChecks.schemaContract(Tables.orders(s, d), OrdersContract)),
@@ -2760,6 +2792,47 @@ object SparkEntry {
           SELECT doc_id, text_len, token_cnt, stop_hits, alpha_ratio,
             stop_ratio, quality_score
           FROM qsc ORDER BY doc_id""",
+    // Same id-grid buckets as q_heaps, same ordered-fold OLS moments;
+    // scores quantize to integer micro-units before the bucket sum so
+    // the per-bucket mean is shuffle-order-exact
+    "q_quality_trend" ->
+      s"""WITH $QualityScoreCtes,
+          mb AS (SELECT min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents),
+          qb AS (SELECT ((doc_id - min_id) * $QualityTrendBuckets)
+              // (max_id - min_id + 1) + 1 AS bucket,
+              CAST(floor(quality_score * 1000000 + 0.5) AS BIGINT) AS qm
+            FROM qsc CROSS JOIN mb WHERE quality_score IS NOT NULL),
+          per AS (SELECT bucket, count(*) AS n_docs,
+              CAST(sum(qm) AS BIGINT) AS s FROM qb GROUP BY 1),
+          pm AS (SELECT bucket, n_docs,
+              CAST(s AS DOUBLE) / n_docs / 1000000.0 AS mean_quality
+            FROM per),
+          mm AS (SELECT CAST(count(*) AS BIGINT) AS kk,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(CAST(bucket AS DOUBLE) ORDER BY bucket)),
+                (x, y) -> x + y) AS sx,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(mean_quality ORDER BY bucket)), (x, y) -> x + y) AS sy,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(CAST(bucket AS DOUBLE) * mean_quality
+                  ORDER BY bucket)), (x, y) -> x + y) AS sxy,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(CAST(bucket AS DOUBLE) * CAST(bucket AS DOUBLE)
+                  ORDER BY bucket)), (x, y) -> x + y) AS sxx,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(mean_quality * mean_quality ORDER BY bucket)),
+                (x, y) -> x + y) AS syy
+            FROM pm),
+          f1 AS (SELECT *, (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
+              AS slope FROM mm),
+          f2 AS (SELECT slope, (sy - slope * sx) / kk AS intercept,
+              ((kk * sxy - sx * sy) * (kk * sxy - sx * sy)) /
+                ((kk * sxx - sx * sx) * (kk * syy - sy * sy)) AS r2
+            FROM f1)
+          SELECT bucket AS checkpoint, CAST(n_docs AS BIGINT) AS n_docs,
+            mean_quality, slope, intercept, r2
+          FROM pm CROSS JOIN f2 ORDER BY 1""",
     "q_token_count" ->
       s"""SELECT doc_id,
           CAST(len($ToksSql) AS INTEGER) AS ws_tokens,
@@ -2827,6 +2900,29 @@ object SparkEntry {
           SELECT d1, d2, jaccard,
             CAST((SELECT df_cap FROM cap) AS BIGINT) AS df_cap
           FROM j WHERE jaccard >= 0.3 ORDER BY d1, d2""",
+    // q_ngram_jaccard's pair frame (same derived df cap) rolled up to
+    // the unordered (source, source) grain
+    "q_dup_sources" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),
+          e0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
+          ${dfCapCtes("")},
+          c AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS cnt
+            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          sz AS (SELECT doc_id, len(sh) AS n FROM t),
+          j AS (SELECT d1, d2 FROM c
+            JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+            WHERE CAST(cnt AS DOUBLE) / (s1.n + s2.n - cnt) >= 0.3),
+          m AS (SELECT least(da.source, db.source) AS source_a,
+              greatest(da.source, db.source) AS source_b
+            FROM j JOIN documents da ON da.doc_id = d1
+              JOIN documents db ON db.doc_id = d2),
+          tot AS (SELECT count(*) AS n_total FROM m)
+          SELECT source_a, source_b, count(*) AS n_pairs,
+            (SELECT CAST(n_total AS BIGINT) FROM tot) AS n_total,
+            CAST(count(*) AS DOUBLE) / (SELECT n_total FROM tot)
+              AS pair_share
+          FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
     // Same inverted-index CTEs as q_ngram_jaccard; each threshold
     // qualifies pairs by integer cross-multiplication (no division
     // anywhere), so the replay is bit-exact by construction.
@@ -3113,6 +3209,54 @@ object SparkEntry {
               ((mm.k * mm.sxx - mm.sx * mm.sx) *
                 (mm.k * mm.syy - mm.sy * mm.sy)) AS r2
           FROM mm CROSS JOIN nv""",
+    // Same id-grid bucket rule as the engine (row-local off min/max
+    // ids, integer floor division); the OLS moments fold in lx order
+    // so the ≤B-point double sums are order-independent on both sides
+    "q_heaps" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          mb AS (SELECT min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents),
+          bt AS (SELECT ((doc_id - min_id) * $HeapsCheckpoints)
+              // (max_id - min_id + 1) + 1 AS bucket, toks
+            FROM tk CROSS JOIN mb),
+          tb AS (SELECT bucket, CAST(sum(len(toks)) AS BIGINT) AS tb
+            FROM bt GROUP BY 1),
+          tm AS (SELECT term, min(bucket) AS bucket FROM
+            (SELECT bucket, unnest(toks) AS term FROM bt) GROUP BY term),
+          fb AS (SELECT bucket, count(*) AS nw FROM tm GROUP BY 1),
+          sp AS (SELECT unnest(range(1, $HeapsCheckpoints + 1)) AS bucket),
+          cm AS (SELECT sp.bucket, coalesce(tb.tb, 0) AS tb,
+              coalesce(fb.nw, 0) AS nw
+            FROM sp LEFT JOIN tb USING (bucket) LEFT JOIN fb USING (bucket)),
+          cc AS (SELECT bucket,
+              CAST(sum(tb) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+              CAST(sum(nw) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+            FROM cm),
+          cf AS (SELECT * FROM cc WHERE cum_tokens > 0),
+          pts AS (SELECT ln(CAST(cum_tokens AS DOUBLE)) AS lx,
+              ln(CAST(cum_vocab AS DOUBLE)) AS ly FROM cf),
+          mm AS (SELECT CAST(count(*) AS BIGINT) AS kk,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(lx ORDER BY lx)), (x, y) -> x + y) AS sx,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(ly ORDER BY lx)), (x, y) -> x + y) AS sy,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(lx * ly ORDER BY lx)), (x, y) -> x + y) AS sxy,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(lx * lx ORDER BY lx)), (x, y) -> x + y) AS sxx,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(ly * ly ORDER BY lx)), (x, y) -> x + y) AS syy
+            FROM pts),
+          f1 AS (SELECT *, (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
+              AS heaps_beta FROM mm),
+          f2 AS (SELECT heaps_beta,
+              (sy - heaps_beta * sx) / kk AS heaps_lnk,
+              ((kk * sxy - sx * sy) * (kk * sxy - sx * sy)) /
+                ((kk * sxx - sx * sx) * (kk * syy - sy * sy)) AS r2
+            FROM f1)
+          SELECT bucket AS checkpoint, cum_tokens, cum_vocab,
+            heaps_beta, heaps_lnk, r2
+          FROM cf CROSS JOIN f2 ORDER BY 1""",
     "q_vocab" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
           e AS (SELECT doc_id, unnest(toks) AS term FROM tk)
@@ -3638,6 +3782,36 @@ object SparkEntry {
               list(dd2 ORDER BY d0)), (x, y) -> x + y)) / 1000000.0
               AS centroid_dist
           FROM pr GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""",
+    // q_label_separation's micro-integer centroid grid, probed per
+    // VECTOR: squared distance to own-label centroid, fixed-dim-order
+    // fold, top-k farthest per label with vec_id ties
+    "q_embed_outliers" ->
+      s"""WITH h AS (SELECT vec_id, label, embedding FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = $EmbeddingDim
+              AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0),
+          di AS (SELECT unnest(range(1, $EmbeddingDim + 1)) AS i),
+          ex AS (SELECT label, vec_id, i - 1 AS d0,
+              CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS vm
+            FROM h CROSS JOIN di),
+          cd AS (SELECT label, d0, count(*) AS n,
+              CAST(sum(vm) AS BIGINT) AS s FROM ex GROUP BY 1, 2),
+          cm AS (SELECT *, CAST(s AS DOUBLE) / n AS mean_micro FROM cd),
+          dv AS (SELECT ex.label, ex.vec_id, ex.d0, cm.n,
+              (CAST(ex.vm AS DOUBLE) - cm.mean_micro) *
+                (CAST(ex.vm AS DOUBLE) - cm.mean_micro) AS dd
+            FROM ex JOIN cm ON cm.label = ex.label AND cm.d0 = ex.d0),
+          pv AS (SELECT label, vec_id, n,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(dd ORDER BY d0)), (x, y) -> x + y) AS ssd
+            FROM dv GROUP BY 1, 2, 3),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY label
+              ORDER BY ssd DESC, vec_id) AS rank FROM pv)
+          SELECT label, vec_id, CAST(rank AS INTEGER) AS rank,
+            CAST(n AS BIGINT) AS n_label,
+            sqrt(ssd) / 1000000.0 AS centroid_dist
+          FROM rk WHERE rank <= $OutlierTopK ORDER BY label, rank""",
     "q_schema_contract" -> {
       val values = OrdersContract
         .map { case (c, t) => s"('$c', '$t')" }.mkString(", ")
@@ -4573,6 +4747,42 @@ object SparkEntry {
           FROM d a JOIN d b ON a.day = b.day
             AND a.event_type < b.event_type
           GROUP BY 1, 2 ORDER BY 1, 2""",
+    // First digit from the INTEGER cent amount's decimal string (no
+    // float log10 boundary risk); dense 9-digit spine; χ² terms fold
+    // in digit order
+    "q_benford" ->
+      s"""WITH c AS (SELECT event_type,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events WHERE value IS NOT NULL),
+          dg AS (SELECT event_type,
+              CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+                AS digit
+            FROM c WHERE cents > 0),
+          dc AS (SELECT event_type, digit, count(*) AS nd
+            FROM dg GROUP BY 1, 2),
+          tt AS (SELECT event_type, CAST(sum(nd) AS BIGINT) AS nt
+            FROM dc GROUP BY 1),
+          sp AS (SELECT event_type, nt,
+              CAST(unnest(range(1, 10)) AS INTEGER) AS digit FROM tt),
+          fl AS (SELECT sp.event_type, sp.digit, sp.nt,
+              CAST(coalesce(dc.nd, 0) AS BIGINT) AS nd,
+              log10(1.0 + 1.0 / sp.digit) AS exp_share
+            FROM sp LEFT JOIN dc ON dc.event_type = sp.event_type
+              AND dc.digit = sp.digit),
+          tm AS (SELECT *,
+              (CAST(nd AS DOUBLE) - CAST(nt AS DOUBLE) * exp_share) *
+                (CAST(nd AS DOUBLE) - CAST(nt AS DOUBLE) * exp_share) /
+                (CAST(nt AS DOUBLE) * exp_share) AS term
+            FROM fl),
+          ch AS (SELECT event_type,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(term ORDER BY digit)), (x, y) -> x + y) AS chi2
+            FROM tm GROUP BY 1)
+          SELECT tm.event_type, digit, nd AS n_obs,
+            CAST(nd AS DOUBLE) / nt AS obs_share, exp_share, chi2,
+            chi2 > $BenfordChi2Crit AS suspect
+          FROM tm JOIN ch ON ch.event_type = tm.event_type
+          ORDER BY 1, 2""",
     "q_autocorr" ->
       s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
             CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),

@@ -1099,4 +1099,55 @@ object DataChecks {
           .otherwise(lit("ok")).as("status"))
       .orderBy(col("col_name"))
   }
+
+  /** Benford first-digit QA of the value column, per event type: the
+    * observed first-significant-digit distribution of the positive
+    * cent amounts against Benford's log10(1+1/d) expectation, with a
+    * per-type χ² statistic (8 df) and a suspect flag. Fabricated,
+    * capped, or unit-mismatched amount feeds bend this curve long
+    * before a mean or quantile moves — the classic forensic gauge,
+    * run here as a feed-QA check next to [[distributionDrift]].
+    *
+    * Exactness: the digit comes from the INTEGER cent amount's
+    * decimal string (no float log10 near power-of-ten boundaries —
+    * `floor(log10(0.999·10^k))` is a portability landmine; substr of
+    * the integer is not), counts are exact bigint on a dense 9-digit
+    * spine, and each type's χ² folds its 9 terms in FIXED digit
+    * order. Shape: one (type, digit) aggregate off the scan; the
+    * spine, fold and join-back are all (types × 9)-sized. */
+  def benfordQa(events: DataFrame, chi2Crit: Double = 20.09): DataFrame = {
+    val digits = events
+      .where(col("value").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .where(col("cents") > 0)
+      .select(col("event_type"),
+        substring(col("cents").cast("string"), 1, 1).cast("int")
+          .as("digit"))
+      .groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("nd"))
+    val types = digits.groupBy(col("event_type"))
+      .agg(sum(col("nd")).as("nt"))
+    val spine = types.select(col("event_type"), col("nt"),
+      explode(sequence(lit(1), lit(9))).as("digit"))
+    val full = spine
+      .join(digits, Seq("event_type", "digit"), "left_outer")
+      .select(col("event_type"), col("digit"), col("nt"),
+        coalesce(col("nd"), lit(0L)).as("nd"))
+      .withColumn("exp_share",
+        log10(lit(1.0) + lit(1.0) / col("digit")))
+      .withColumn("term",
+        (col("nd").cast("double") - col("nt").cast("double") * col("exp_share")) *
+          (col("nd").cast("double") - col("nt").cast("double") * col("exp_share")) /
+          (col("nt").cast("double") * col("exp_share")))
+    val chi = full.groupBy(col("event_type"))
+      .agg(aggregate(array_sort(collect_list(struct(col("digit"), col("term")))),
+        lit(0.0), (a, x) => a + x.getField("term")).as("chi2"))
+    full.join(chi, Seq("event_type"))
+      .select(col("event_type"), col("digit"), col("nd").as("n_obs"),
+        (col("nd").cast("double") / col("nt")).as("obs_share"),
+        col("exp_share"), col("chi2"),
+        (col("chi2") > chi2Crit).as("suspect"))
+      .orderBy(col("event_type"), col("digit"))
+  }
 }

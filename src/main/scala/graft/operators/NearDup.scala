@@ -250,6 +250,42 @@ object NearDup {
       .orderBy(col("threshold_pm"))
   }
 
+  /** Cross-source duplication matrix: the [[jaccardPairs]] near-dup
+    * pair frame rolled up to the (source, source) grain — which
+    * sources copy from which (mirror sites, syndicated feeds,
+    * scraped-twice domains), the first question a curation pipeline
+    * asks after the pair list itself. One row per unordered source
+    * pair with a near-dup pair across it (diagonal = within-source
+    * dup burden): n_pairs, the corpus-wide pair total, and each
+    * cell's share.
+    *
+    * Shape: everything rides the near-dup machinery (inverted shingle
+    * index, corpus-derived df cap — `df_cap` dropped before the
+    * rollup so the matrix grain is purely (source, source)); the two
+    * source joins are at PAIR grain (near-dup-pairs-sized, never
+    * corpus-sized), the matrix is |sources|²-bounded, and the 1-row
+    * total is a broadcast. */
+  def dupSourceMatrix(docs: DataFrame, n: Int, threshold: Double,
+                      dfCap: DfCap = DerivedDfCap()): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val m = jaccardPairs(docs, n, threshold, dfCap)
+      .select(col("d1"), col("d2"))
+      .join(src.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("source", "src1"), "d1")
+      .join(src.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("source", "src2"), "d2")
+      .select(least(col("src1"), col("src2")).as("source_a"),
+        greatest(col("src1"), col("src2")).as("source_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = m.agg(count(lit(1)).as("n_total"))
+    m.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(total))
+      .withColumn("pair_share",
+        col("n_pairs").cast("double") / col("n_total"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Benchmark decontamination: flag training docs sharing any word
     * `n`-gram with a held-out eval set (the GPT-3-style long-n-gram
     * overlap check). Returns (doc_id, n_overlap, n_sh, overlap_frac)

@@ -1094,4 +1094,146 @@ object TextAnalysis {
           ((col("k") * col("sxx") - col("sx") * col("sx")) *
             (col("k") * col("syy") - col("sy") * col("sy")))).as("r2"))
   }
+
+  /** Heaps'-law vocabulary-growth gauge — [[zipfFit]]'s companion on
+    * the OTHER axis: V(T) ≈ K·T^β over cumulative corpus prefixes.
+    * One row per checkpoint with the prefix's exact token and vocab
+    * counts plus the ln–ln OLS fit (β, ln K, r²) as constant columns.
+    * Read it as: β far off ~0.5 or a falling r² says the corpus's
+    * vocabulary growth regime shifted (template flooding pushes β
+    * toward 0, OCR noise or id-like junk toward 1) — the same
+    * one-number drift gauge Zipf α gives for the frequency axis.
+    *
+    * Prefixes are by doc_id on a FIXED `checkpoints`-cell id grid
+    * (bucket = ((doc_id−min)·B) div span + 1 — row-local off a
+    * broadcast 1-row min/max, exact in integers): no global
+    * row_number sort, so the plan has no corpus-sized single
+    * partition anywhere. Per-bucket token sums and per-term
+    * first-occurrence buckets (one vocab-grain shuffle) cumulate over
+    * the B-row spine (driver-small window); empty id ranges carry
+    * forward. ln/exp-free integers everywhere except the B-point
+    * ln–ln fit, whose closed form is the q_trend/zipf discipline. */
+  def heapsFit(docs: DataFrame, checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 3, "need at least 3 checkpoints for a fit")
+    val b = checkpoints.toLong
+    val ids = docs.agg(min(col("doc_id")).as("min_id"),
+      max(col("doc_id")).as("max_id"))
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .crossJoin(broadcast(ids))
+      .withColumn("bucket",
+        expr(s"((doc_id - min_id) * $b) div (max_id - min_id + 1)") + 1L)
+    val bucketTokens = toks
+      .select(col("bucket"), size(col("toks")).as("nt"))
+      .groupBy(col("bucket")).agg(sum(col("nt")).as("tb"))
+    val firstBuckets = toks
+      .select(col("bucket"), explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("nw"))
+    val spine = broadcast(ids)
+      .select(explode(sequence(lit(1L), lit(b))).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = spine
+      .join(bucketTokens, Seq("bucket"), "left_outer")
+      .join(firstBuckets, Seq("bucket"), "left_outer")
+      .select(col("bucket"),
+        coalesce(col("tb"), lit(0L)).as("tb"),
+        coalesce(col("nw"), lit(0L)).as("nw"))
+      .withColumn("cum_tokens", sum(col("tb")).over(w))
+      .withColumn("cum_vocab", sum(col("nw")).over(w))
+      .where(col("cum_tokens") > 0)
+    val pts = cum.select(log(col("cum_tokens").cast("double")).as("lx"),
+      log(col("cum_vocab").cast("double")).as("ly"))
+    // ≤B-point OLS moments fold in FIXED lx order (lx is strictly
+    // increasing across prefixes) — a plain shuffled double sum would
+    // be order-dependent in the last ULP
+    val gx = (c: Column) => c.getField("lx")
+    val gy = (c: Column) => c.getField("ly")
+    val mm = pts
+      .agg(count(lit(1)).as("k"),
+        array_sort(collect_list(struct(col("lx"), col("ly")))).as("a"))
+      .select(col("k"),
+        aggregate(col("a"), lit(0.0), (ac, x) => ac + gx(x)).as("sx"),
+        aggregate(col("a"), lit(0.0), (ac, x) => ac + gy(x)).as("sy"),
+        aggregate(col("a"), lit(0.0), (ac, x) => ac + gx(x) * gy(x)).as("sxy"),
+        aggregate(col("a"), lit(0.0), (ac, x) => ac + gx(x) * gx(x)).as("sxx"),
+        aggregate(col("a"), lit(0.0), (ac, x) => ac + gy(x) * gy(x)).as("syy"))
+    val fit = mm
+      .withColumn("heaps_beta",
+        (col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("heaps_lnk",
+        (col("sy") - col("heaps_beta") * col("sx")) / col("k"))
+      .withColumn("r2",
+        ((col("k") * col("sxy") - col("sx") * col("sy")) *
+          (col("k") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("k") * col("sxx") - col("sx") * col("sx")) *
+            (col("k") * col("syy") - col("sy") * col("sy"))))
+      .select(col("heaps_beta"), col("heaps_lnk"), col("r2"))
+    cum.crossJoin(broadcast(fit))
+      .select(col("bucket").as("checkpoint"), col("cum_tokens"),
+        col("cum_vocab"), col("heaps_beta"), col("heaps_lnk"), col("r2"))
+      .orderBy(col("checkpoint"))
+  }
+
+  /** Quality drift across ingestion order: mean composite quality
+    * score per doc_id-grid bucket (the [[heapsFit]] id grid — no
+    * global sort), with the OLS slope/intercept/r² of mean quality on
+    * bucket index as constant columns. A sliding scraper, a source
+    * going paywalled, or a pipeline change mid-ingestion shows up as
+    * a trend here while the corpus-wide mean still looks fine — the
+    * ingestion-axis twin of the per-source drift QA.
+    *
+    * Exactness: scores quantize to integer micro-units per doc
+    * (bigint bucket sums exact in any order; NULL-score docs — empty
+    * text — drop on both sides), each bucket mean is two divisions,
+    * and the ≤`buckets`-point OLS moments fold in FIXED bucket order
+    * (a plain double sum over a shuffled aggregate would be
+    * order-dependent). Shape: one scan + one bucket-grain aggregate;
+    * everything after is B-row arithmetic. */
+  def qualityTrend(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 3, "need at least 3 buckets for a fit")
+    val b = buckets.toLong
+    val ids = docs.agg(min(col("doc_id")).as("min_id"),
+      max(col("doc_id")).as("max_id"))
+    val per = qualityFrame(docs, Nil)
+      .where(col("quality_score").isNotNull)
+      .crossJoin(broadcast(ids))
+      .select(
+        (expr(s"((doc_id - min_id) * $b) div (max_id - min_id + 1)") + 1L)
+          .as("bucket"),
+        floor(col("quality_score") * 1000000 + 0.5).cast("bigint").as("qm"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("qm")).as("s"))
+      .withColumn("mean_quality",
+        col("s").cast("double") / col("n_docs") / lit(1000000.0))
+    val bx = (c: Column) => c.getField("bucket").cast("double")
+    val by = (c: Column) => c.getField("mean_quality")
+    val mm = per
+      .agg(count(lit(1)).as("k"),
+        array_sort(collect_list(struct(col("bucket"), col("mean_quality"))))
+          .as("a"))
+      .select(col("k"),
+        aggregate(col("a"), lit(0.0), (ac, x) => ac + bx(x)).as("sx"),
+        aggregate(col("a"), lit(0.0), (ac, x) => ac + by(x)).as("sy"),
+        aggregate(col("a"), lit(0.0), (ac, x) => ac + bx(x) * by(x)).as("sxy"),
+        aggregate(col("a"), lit(0.0), (ac, x) => ac + bx(x) * bx(x)).as("sxx"),
+        aggregate(col("a"), lit(0.0), (ac, x) => ac + by(x) * by(x)).as("syy"))
+    val fit = mm
+      .withColumn("slope",
+        (col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("k"))
+      .withColumn("r2",
+        ((col("k") * col("sxy") - col("sx") * col("sy")) *
+          (col("k") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("k") * col("sxx") - col("sx") * col("sx")) *
+            (col("k") * col("syy") - col("sy") * col("sy"))))
+      .select(col("slope"), col("intercept"), col("r2"))
+    per.crossJoin(broadcast(fit))
+      .select(col("bucket").as("checkpoint"), col("n_docs"),
+        col("mean_quality"), col("slope"), col("intercept"), col("r2"))
+      .orderBy(col("checkpoint"))
+  }
 }

@@ -788,4 +788,50 @@ object VectorSearch extends Logging {
         (sqrt(col("ssd")) / lit(1000000.0)).as("centroid_dist"))
       .orderBy(col("label_a"), col("label_b"))
   }
+
+  /** Embedding outliers: the `k` vectors FARTHEST from their own
+    * label's centroid, per label — the mislabeled-or-garbage probe
+    * run before any per-label mixture, classifier eval, or
+    * [[labelCentroidSeparation]] drift reading (one bad batch of
+    * vectors drags its centroid and poisons every downstream
+    * distance; this names the rows to look at). The vector's own
+    * contribution is inside its centroid — the usual QA convention,
+    * biasing distances DOWN, never creating a false outlier.
+    *
+    * Exactness is the [[labelCentroidSeparation]] grid: elements
+    * quantize to integer micro-units, per-(label, dim) centroid sums
+    * are exact bigint, and each vector's squared distance folds its
+    * per-dim terms in FIXED dim order — rank ties break on vec_id so
+    * the top-k cut is total. Shape: one dim-explode (n·dim, the
+    * family's floor), the labels×dim centroid frame joins back
+    * BROADCAST, one per-vector fold aggregate, bounded top-k per
+    * label. */
+  def embedOutliers(embeddings: DataFrame, expectedDim: Int,
+                    k: Int = 10): DataFrame = {
+    val ex = healthyVecs(embeddings, expectedDim)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d0", "v")))
+      .select(col("vec_id"), col("label"), col("d0"),
+        floor(col("v").cast("double") * 1000000 + 0.5).cast("bigint")
+          .as("vm"))
+    val cm = ex.groupBy(col("label"), col("d0"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("s"))
+      .withColumn("mean_micro", col("s").cast("double") / col("n"))
+      .select(col("label"), col("d0"), col("n"), col("mean_micro"))
+    val dd = ex.join(broadcast(cm), Seq("label", "d0"))
+      .select(col("label"), col("vec_id"), col("d0"), col("n"),
+        ((col("vm").cast("double") - col("mean_micro")) *
+          (col("vm").cast("double") - col("mean_micro"))).as("dd"))
+    val perVec = dd.groupBy(col("label"), col("vec_id"), col("n"))
+      .agg(aggregate(array_sort(collect_list(struct(col("d0"), col("dd")))),
+        lit(0.0), (acc, x) => acc + x.getField("dd")).as("ssd"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(desc("ssd"), asc("vec_id"))
+    perVec.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("label"), col("vec_id"), col("rank"),
+        col("n").as("n_label"),
+        (sqrt(col("ssd")) / lit(1000000.0)).as("centroid_dist"))
+      .orderBy(col("label"), col("rank"))
+  }
 }

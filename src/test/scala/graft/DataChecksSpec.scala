@@ -601,4 +601,26 @@ class DataChecksSpec extends SparkSpec {
     assert(!out("2024-01-01")._4 && out("2024-01-01")._2 == 0L,
       "warmup day has no baseline and never flags")
   }
+
+  test("benfordQa: digits from integer cents, dense spine, chi2 flags") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // type "flat": 90 values all starting with digit 9 (9.00..9.89)
+    // -> wildly non-Benford, must flag. type "skip": digits 1 and 2
+    // only -> spine still emits all 9 digits with zero counts.
+    val flat = (0 until 90).map(i => (ts, "flat", Some(9.0 + i * 0.01)))
+    val skip = Seq((ts, "skip", Some(1.23)), (ts, "skip", Some(0.25)),
+      (ts, "skip", Some(100.0)), (ts, "skip", Some(0.0)), // 0 cents drops
+      (ts, "skip", None: Option[Double]))
+    val ev = (flat ++ skip).toDF("ts", "event_type", "value")
+    val out = DataChecks.benfordQa(ev).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(6)))).toMap
+    assert(out.size == 18, "9-digit spine per type")
+    assert(out(("flat", 9))._1 == 90L && out(("flat", 9))._2 == 1.0)
+    assert(out(("flat", 9))._3, "all-nines flags suspect")
+    assert(out(("skip", 1))._1 == 2L, "1.23 and 100.0 both lead with 1")
+    assert(out(("skip", 2))._1 == 1L, "0.25 -> 25 cents -> digit 2")
+    assert(out(("skip", 5))._1 == 0L, "zero-count digit present on spine")
+  }
 }

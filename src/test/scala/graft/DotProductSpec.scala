@@ -146,4 +146,28 @@ class DotProductSpec extends SparkSpec {
     assert(out(4L)._1 == 0L)
     assert((out(1L)._1 >> 40) == 0L, "40-bit fingerprint")
   }
+
+  test("embedOutliers ranks the planted far vector first, drops unhealthy") {
+    import spark.implicits._
+    // label 7: three vectors near (1,0), one planted at (9,9); the
+    // NaN and wrong-dim rows must be excluded from centroid AND ranks
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 7),
+      (2L, Array(1.1f, 0.1f), 7),
+      (3L, Array(0.9f, -0.1f), 7),
+      (4L, Array(9.0f, 9.0f), 7),                       // the outlier
+      (5L, Array(Float.NaN, 0.0f), 7),                  // unhealthy
+      (6L, Array(1.0f), 7),                             // wrong dim
+      (7L, Array(5.0f, 5.0f), 8)                        // other label
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorSearch.embedOutliers(df, expectedDim = 2, k = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out((7, 1))._1 == 4L, "planted far vector ranks first")
+    assert(out((7, 1))._2 == 4L, "healthy population only (n=4)")
+    assert(out((7, 1))._3 > out((7, 2))._3, "distances strictly ordered")
+    // one-vector label: its distance to its own centroid is exactly 0
+    assert(out((8, 1)) == ((7L, 1L, 0.0)))
+  }
 }

@@ -504,4 +504,68 @@ class TextSpec extends SparkSpec {
     assert(math.abs(out(0)._3 - idcg) < 1e-12)
     assert(math.abs(out(0)._4 - dcg / idcg) < 1e-12 && out(0)._4 < 0.85)
   }
+
+  test("heapsFit: pure-linear vocab growth fits beta=1, lnK=0, r2=1") {
+    // doc i contributes exactly one NEW word and one token: V(T) = T,
+    // so the ln-ln OLS must land exactly on beta=1, lnK=0, r2=1.
+    // Dense ids 1..10 on a 10-cell grid -> one doc per checkpoint.
+    val docs = (1L to 10L).map(i => (i, s"w$i")).toDF("doc_id", "text")
+    val out = TextAnalysis.heapsFit(docs, checkpoints = 10).collect()
+    assert(out.length == 10)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i + 1)            // checkpoint
+      assert(r.getLong(1) == i + 1)            // cum_tokens
+      assert(r.getLong(2) == i + 1)            // cum_vocab
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-12, "beta")
+      assert(math.abs(r.getDouble(4)) < 1e-12, "lnK")
+      assert(math.abs(r.getDouble(5) - 1.0) < 1e-12, "r2")
+    }
+  }
+
+  test("heapsFit: repeated-vocab corpus flattens beta toward 0") {
+    // every doc repeats the same 3 words: vocab saturates at bucket 1
+    val docs = (1L to 10L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.heapsFit(docs, checkpoints = 5).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(2)).toSeq == Seq.fill(5)(3L), "vocab flat at 3")
+    // flat series: slope 0 up to IEEE rounding of the moment sums
+    assert(math.abs(out.head.getDouble(3)) < 1e-12, "beta ~0 for a flat series")
+  }
+
+  test("qualityTrend: rising quality across ingestion order -> positive slope") {
+    // later docs are longer with stopwords -> higher composite quality;
+    // constant-quality control must fit slope 0 exactly
+    val rising = (1L to 12L).map { i =>
+      val words = (1 to (i.toInt * 8)).map(j => if (j % 2 == 0) "the" else s"w$j")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.qualityTrend(rising, buckets = 4).collect()
+    assert(out.length == 4)
+    assert(out.head.getDouble(3) > 0, "slope positive on rising quality")
+    val means = out.map(_.getDouble(2)).toSeq
+    assert(means == means.sorted, "bucket means rise monotonically")
+    val flat = (1L to 12L).map(i => (i, "the quick brown fox the lazy dog"))
+      .toDF("doc_id", "text")
+    val f = TextAnalysis.qualityTrend(flat, buckets = 4).collect()
+    assert(math.abs(f.head.getDouble(3)) < 1e-9,
+      "identical quality -> slope ~0")
+  }
+
+  test("dupSourceMatrix: near-dup pairs land in their source cells") {
+    // docs 1~2 near-dup across srcA/srcB; 3~4 near-dup within srcC;
+    // 5 is unrelated -> cells (A,B)=1 and (C,C)=1, shares 0.5 each
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "srcA"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight", "srcB"),
+      (3L, "entirely different words fill this other document here", "srcC"),
+      (4L, "entirely different words fill this other document there", "srcC"),
+      (5L, "nothing shared with anything else at all whatsoever", "srcD")
+    ).toDF("doc_id", "text", "source")
+    val out = NearDup.dupSourceMatrix(d, 3, 0.3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(("srcA", "srcB"), ("srcC", "srcC")))
+    assert(out(("srcA", "srcB")) == ((1L, 2L, 0.5)))
+    assert(out(("srcC", "srcC")) == ((1L, 2L, 0.5)))
+  }
 }
