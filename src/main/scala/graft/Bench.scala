@@ -8,7 +8,7 @@ object Bench {
     * knn, all-pairs cosine) are excluded — their scale path
     * (IVF/LSH/minhash) is what gets benched. */
   val headline: Seq[String] = Seq(
-    "q1_pricing_summary", "q_revenue_by_nation", "q_revenue_growth", "q_gini", "q_discount_lift", "q_dead_stock", "q_repurchase", "q_supplier_hhi", "q_supplier_risk", "q_price_realization", "q_line_position", "q_local_volume", "q_returned_items",
+    "q1_pricing_summary", "q_revenue_by_nation", "q_revenue_growth", "q_gini", "q_discount_lift", "q_dead_stock", "q_repurchase", "q_supplier_hhi", "q_supplier_risk", "q_price_realization", "q_line_position", "q_reconcile", "q_local_volume", "q_returned_items",
     "q_order_priority", "q_revenue_forecast", "q_nation_trade",
     "q_market_share", "q_product_profit", "q_priority_delay",
     "q_cust_order_dist", "q_promo_share", "q_top_supplier",
@@ -26,7 +26,7 @@ object Bench {
     "q_quality_filter", "q_dedup_exact", "q_quality_dup_calib",
     "q_ngram_jaccard", "q_dedup_sweep", "q_span_dedup", "q_span_strip",
     "q_novelty", "q_containment",
-    "q_minhash_dedup", "q_minhash_recall",
+    "q_minhash_dedup", "q_minhash_recall", "q_hard_negatives",
     "q_dedup_clusters",
     "q_simhash", "q_simhash_pairs", "q_skew_salted", "q_decontam",
     "q_stratified_sample", "q_split", "q_split_leak", "q_blocklist", "q_chunks",
@@ -49,7 +49,7 @@ object Bench {
     "q_cohort", "q_lifecycle", "q_lifecycle_approx",
     "q_funnel_steps", "q_funnel_latency",
     "q_next_event", "q_rfm", "q_trend", "q_theilsen_trend", "q_source_overlap",
-    "q_session_paths", "q_dq_rules", "q_user_features", "q_attribution",
+    "q_session_paths", "q_dq_rules", "q_fd_audit", "q_corr_matrix", "q_user_features", "q_attribution",
     "q_attribution_decay", "q_attribution_u", "q_l_diversity", "q_t_closeness",
     "q_ooo_audit", "q_watermark_rec", "q_join_skew", "q_record_dedup", "q_canary_scan",
     "q_inverted_index",

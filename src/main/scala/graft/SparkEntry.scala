@@ -88,6 +88,22 @@ object SparkEntry {
   /** q_benford: χ² suspect threshold (8 df, p≈0.01). */
   private val BenfordChi2Crit = 20.09
 
+  /** q_reconcile: header/detail mismatch tolerance in cents. */
+  private val ReconTolCents = 1L
+
+  /** q_fd_audit: candidate determinant → dependent pairs over orders
+    * (one true key FD, two deliberately violated candidates). */
+  private val FdAuditPairs = Seq(
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderpriority", "o_orderstatus"))
+
+  /** q_corr_matrix: audited lineitem measures with their decimal
+    * quantization scales (quantity is integral; the rest are 2dp). */
+  private val CorrMatrixCols = Seq(
+    ("l_quantity", 0), ("l_extendedprice", 2),
+    ("l_discount", 2), ("l_tax", 2))
+
   /** q_bpe_pairs top-N — BINDING on the synthetic corpus (~40-word
     * vocabulary → hundreds of distinct adjacent pairs), so the
     * deterministic tie-break at the cut is itself gate-checked. */
@@ -817,6 +833,10 @@ object SparkEntry {
     // basket-position effect on volume/value
     "q_line_position" -> ((s, d) =>
       Analytics.linePosition(Tables.lineitem(s, d))),
+    // header/detail financial reconciliation + orphan headers
+    "q_reconcile" -> ((s, d) =>
+      Analytics.reconcile(Tables.orders(s, d), Tables.lineitem(s, d),
+        ReconTolCents)),
     // supplier revenue concentration (HHI) per nation
     "q_supplier_hhi" -> ((s, d) =>
       Analytics.supplierHhi(Tables.lineitem(s, d), Tables.supplier(s, d))),
@@ -1096,6 +1116,9 @@ object SparkEntry {
     "q_dedup_index_stats" -> ((s, d) =>
       NearDup.indexStats(Tables.documents(s, d))),
     "q_minhash_dedup" -> ((s, d) => NearDup.minhashDedup(Tables.documents(s, d))),
+    // contrastive hard negatives: banded-but-below-threshold pairs
+    "q_hard_negatives" -> ((s, d) =>
+      NearDup.hardNegatives(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       NearDup.dedupClusters(docs, NearDup.minhashPairs(docs))
@@ -1313,6 +1336,12 @@ object SparkEntry {
       Temporal.attributionDecay(Tables.events(s, d), AttribDays)),
     "q_dq_rules" -> ((s, d) =>
       DataChecks.ruleCheck(Tables.orders(s, d), orderRules)),
+    // key-discovery / denormalization-consistency audit
+    "q_fd_audit" -> ((s, d) =>
+      DataChecks.fdAudit(Tables.orders(s, d), FdAuditPairs)),
+    // second-moment column profile (which measures move together)
+    "q_corr_matrix" -> ((s, d) =>
+      DataChecks.corrMatrix(Tables.lineitem(s, d), CorrMatrixCols)),
     "q_ooo_audit" -> ((s, d) =>
       DataChecks.oooAudit(DataChecks.plantLate(Tables.events(s, d)),
         OooDelays)),
@@ -1983,10 +2012,12 @@ object SparkEntry {
             i -> list_transform(range(i + 1, len(ids) + 1),
             j -> [ids[i], ids[j]])))) AS p
            FROM buckets WHERE len(ids) > 1)),
-        ver AS (SELECT d1, d2 FROM cand
-          JOIN t t1 ON t1.doc_id = d1 JOIN t t2 ON t2.doc_id = d2
-          WHERE CAST(len(list_intersect(t1.sh, t2.sh)) AS DOUBLE) /
-            len(list_distinct(list_concat(t1.sh, t2.sh))) >= 0.5)"""
+        ver0 AS (SELECT d1, d2,
+          CAST(len(list_intersect(t1.sh, t2.sh)) AS DOUBLE) /
+            len(list_distinct(list_concat(t1.sh, t2.sh))) AS jaccard
+          FROM cand
+          JOIN t t1 ON t1.doc_id = d1 JOIN t t2 ON t2.doc_id = d2),
+        ver AS (SELECT d1, d2 FROM ver0 WHERE jaccard >= 0.5)"""
   }
 
   /** CTE chain replaying the PQ encode + ADC stages (`adc` =
@@ -2389,6 +2420,29 @@ object SparkEntry {
           sum(l_quantity) / count(*) AS mean_qty,
           round(sum(l_extendedprice), 2) / count(*) AS mean_price
           FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // per-line cent rounding BEFORE the sum (order-independent), one
+    // header rounding, bigint diffs
+    "q_reconcile" ->
+      s"""WITH calc AS (SELECT l_orderkey,
+            CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) *
+              (1.0 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+              AS calc_cents,
+            count(*) AS n_lines
+          FROM lineitem GROUP BY 1),
+          j AS (SELECT o_orderstatus, calc.n_lines IS NULL AS no_lines,
+            coalesce(calc.calc_cents, 0) -
+              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS diff
+          FROM orders LEFT JOIN calc ON o_orderkey = l_orderkey)
+          SELECT o_orderstatus, count(*) AS n_orders,
+            CAST(sum(CASE WHEN no_lines THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_no_lines,
+            CAST(sum(CASE WHEN NOT no_lines AND abs(diff) > $ReconTolCents
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+            max(CASE WHEN NOT no_lines THEN abs(diff) END)
+              AS max_abs_diff_cents,
+            CAST(sum(CASE WHEN NOT no_lines THEN diff ELSE 0 END)
+              AS BIGINT) AS net_diff_cents
+          FROM j GROUP BY 1 ORDER BY 1""",
     "q_supplier_hhi" ->
       """WITH rev AS (SELECT l_suppkey,
             CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
@@ -3363,6 +3417,12 @@ object SparkEntry {
             (ex.exact_match IS NULL AND nr.near_match IS NULL) AS is_new
           FROM nw LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
           ORDER BY nw.doc_id""",
+    // the banding chain's ver0 complement: collided but verified
+    // below threshold — the hardness score is the exact jaccard
+    "q_hard_negatives" ->
+      s"""WITH $MinhashVerCtes
+          SELECT d1, d2, jaccard FROM ver0 WHERE jaccard < 0.5
+          ORDER BY d1, d2""",
     "q_minhash_dedup" ->
       s"""WITH $MinhashVerCtes,
           p AS (SELECT d1 AS doc_id, d2 AS partner FROM ver
@@ -5232,6 +5292,57 @@ object SparkEntry {
               AS DOUBLE) / count(*) AS violation_rate
             FROM orders"""
       }.mkString("", "\n          UNION ALL ", "\n          ORDER BY rule")
+    },
+    // One det-grain subquery per declared candidate pair, 1-row
+    // summaries unioned — the engine's exact shape
+    "q_fd_audit" -> FdAuditPairs.map { case (det, dep) =>
+      s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+          CAST(count(*) AS BIGINT) AS n_classes,
+          CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_violating,
+          CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+            count(*) AS violation_rate,
+          CAST(max(n_dep) AS BIGINT) AS max_distinct,
+          CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0
+            AS holds
+          FROM (SELECT $det AS det_value, count(DISTINCT $dep) AS n_dep
+            FROM orders GROUP BY 1)"""
+    }.mkString("SELECT * FROM (", "\n          UNION ALL ",
+      ")\n          ORDER BY determinant, dependent"),
+    // Quantize on the declared decimal grids, ONE moment aggregate,
+    // per-pair r with every moment cast to double BEFORE combining
+    // (the comovement overflow form)
+    "q_corr_matrix" -> {
+      val names = CorrMatrixCols.map(_._1)
+      val pairs = for {
+        i <- names.indices; j <- (i + 1) until names.size
+      } yield (names(i), names(j))
+      val qsel = CorrMatrixCols.map { case (c, s) =>
+        s"CAST(floor($c * ${math.pow(10, s)} + 0.5) AS BIGINT) AS $c"
+      }.mkString(", ")
+      // moments stay HUGEINT (the engine's decimal(38,0) twin) — the
+      // sum of squared cent prices passes int64 at ~1e5 rows; the only
+      // cast is the per-moment double cast inside the r expression
+      val aggsql = (names.map(c => s"sum($c) AS s_$c") ++
+        names.map(c => s"sum($c * $c) AS ss_$c") ++
+        pairs.map { case (a, b) =>
+          s"sum($a * $b) AS sp_${a}_$b" }).mkString(", ")
+      def dd(c: String) = s"CAST($c AS DOUBLE)"
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n AS n_rows,
+            (${dd("n")} * ${dd(s"sp_${a}_$b")} -
+              ${dd(s"s_$a")} * ${dd(s"s_$b")}) /
+            sqrt(nullif(
+              (${dd("n")} * ${dd(s"ss_$a")} - ${dd(s"s_$a")} * ${dd(s"s_$a")}) *
+              (${dd("n")} * ${dd(s"ss_$b")} - ${dd(s"s_$b")} * ${dd(s"s_$b")}),
+              0.0)) AS corr
+            FROM m"""
+      }
+      s"""WITH c AS (SELECT $qsel FROM lineitem
+            WHERE ${names.map(n => s"$n IS NOT NULL").mkString(" AND ")}),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n, $aggsql FROM c)
+          SELECT * FROM (${rows.mkString("\n          UNION ALL ")})
+          ORDER BY col_a, col_b"""
     },
     // Single GROUP BY replay; cadence is (last-first)/(n-1) off integer
     // microsecond extremes, spend sums integer cents.

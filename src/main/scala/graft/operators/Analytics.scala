@@ -975,4 +975,43 @@ object Analytics {
         (round(sum(col("l_extendedprice")), 2) / count(lit(1)))
           .as("mean_price"))
       .orderBy(col("l_linenumber"))
+
+  /** Order↔lineitem financial reconciliation: per order status, how
+    * many orders have NO line items at all, how many mismatch the
+    * line-derived total — Σ per-line cent-rounded
+    * extendedprice·(1−discount)·(1+tax) vs the header's totalprice —
+    * beyond `tolCents`, the worst absolute gap and the signed net
+    * drift. The first report finance asks for from any order store,
+    * and the referential+arithmetic QA twin of q_qa_orphans: orphan
+    * HEADERS and header/detail disagreement in one pass.
+    *
+    * Exactness: each line rounds to cents independently (one
+    * fixed-shape double product per line, then integer sums — order
+    * independent; summing doubles first would not be), the header
+    * rounds once, diffs/aggregates are pure bigint. Shape: one
+    * order-grain aggregate of lineitem (the only fact shuffle), a
+    * key-grain left join, and a statuses-sized report. */
+  def reconcile(orders: DataFrame, lineitem: DataFrame,
+                tolCents: Long = 1L): DataFrame = {
+    val calc = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")) * 100).cast("bigint")).as("calc_cents"),
+        count(lit(1)).as("n_lines"))
+    orders.select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("bigint").as("total_cents"))
+      .join(calc, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .select(col("o_orderstatus"), col("n_lines").isNull.as("no_lines"),
+        (coalesce(col("calc_cents"), lit(0L)) - col("total_cents")).as("diff"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("no_lines"), 1L).otherwise(0L)).as("n_no_lines"),
+        sum(when(!col("no_lines") && abs(col("diff")) > tolCents, 1L)
+          .otherwise(0L)).as("n_mismatch"),
+        max(when(!col("no_lines"), abs(col("diff"))))
+          .as("max_abs_diff_cents"),
+        sum(when(!col("no_lines"), col("diff")).otherwise(0L))
+          .as("net_diff_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
 }

@@ -442,7 +442,35 @@ object NearDup {
     * (d1 < d2) pairs. Shared by the one-hop dedup summary and the
     * transitive [[dedupClusters]]. */
   def minhashPairs(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 16,
-                   threshold: Double = 0.5, bucketCap: Int = DefaultBucketCap): DataFrame = {
+                   threshold: Double = 0.5, bucketCap: Int = DefaultBucketCap): DataFrame =
+    verifiedCandidates(docs, n, k, bands, bucketCap)
+      .where(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"))
+
+  /** Hard-negative mining off the SAME LSH banding as
+    * [[minhashPairs]]: candidate pairs that collided in at least one
+    * band but verify BELOW the near-dup threshold — "similar enough
+    * to hash together, not duplicates" — exactly the contrastive
+    * training pairs a naive random-negative sampler never finds (its
+    * negatives are trivially far). Zero extra corpus work: the
+    * signature/banding/verify stages are the dedup pipeline's own;
+    * this keeps the complement of the pairs [[minhashPairs]] keeps,
+    * with the exact verified jaccard as the hardness score. Output
+    * (d1 < d2, jaccard) ordered; same bucket-cap bound on candidate
+    * volume. */
+  def hardNegatives(docs: DataFrame, n: Int = 3, k: Int = 32,
+                    bands: Int = 16, threshold: Double = 0.5,
+                    bucketCap: Int = DefaultBucketCap): DataFrame =
+    verifiedCandidates(docs, n, k, bands, bucketCap)
+      .where(col("jaccard") < threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+
+  /** LSH-banded candidates with their exact verified jaccard — the
+    * shared stage behind [[minhashPairs]] (keeps ≥ threshold) and
+    * [[hardNegatives]] (keeps the complement). */
+  private def verifiedCandidates(docs: DataFrame, n: Int, k: Int,
+                                 bands: Int, bucketCap: Int): DataFrame = {
     val rows = k / bands
     // k=32 / r=2: at J=0.5 the candidate recall is 1-(1-J^2)^16 ≈ 0.99
     // (vs 0.64 with r=4) while halving the signature work; the extra
@@ -470,8 +498,6 @@ object NearDup {
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))))
-      .where(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"))
   }
 
   /** Pair-level precision/recall of the LSH-banded minhash path

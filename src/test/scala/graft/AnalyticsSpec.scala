@@ -142,4 +142,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(0) == ((1, 3L, 0.0)))
     assert(math.abs(out(1)._3 - 2.0 / 9.0) < 1e-15)
   }
+
+  test("reconcile: orphan headers, per-line cent rounding, net drift") {
+    // order 1: two lines, derived total == header (diff 0)
+    // order 2: header overstates by 5.00 -> diff -500, mismatch
+    // order 3: NO lines -> orphan header, excluded from diff stats
+    val orders = Seq(
+      (1L, "O", 220.00), (2L, "F", 115.00), (3L, "O", 50.00))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val lines = Seq(
+      (1L, 100.0, 0.0, 0.1),   // 110.00
+      (1L, 100.0, 0.0, 0.1),   // 110.00 -> order 1 total 220.00
+      (2L, 100.0, 0.0, 0.1))   // 110.00 vs header 115.00
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val out = Analytics.reconcile(orders, lines).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))).toMap
+    assert(out("O") == ((2L, 1L, 0L, 0L, 0L)),
+      "order 1 reconciles exactly; order 3 counts as orphan only")
+    assert(out("F") == ((1L, 0L, 1L, 500L, -500L)),
+      "order 2 mismatches by exactly 500 cents, net drift signed")
+  }
 }

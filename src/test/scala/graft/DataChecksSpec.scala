@@ -623,4 +623,37 @@ class DataChecksSpec extends SparkSpec {
     assert(out(("skip", 2))._1 == 1L, "0.25 -> 25 cents -> digit 2")
     assert(out(("skip", 5))._1 == 0L, "zero-count digit present on spine")
   }
+
+  test("fdAudit: holding FD reports zero violations, forked key flags") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, "HI"), (2L, 10L, "LO"),   // k->c holds; c=10 -> {HI,LO}
+      (3L, 20L, "HI"), (3L, 21L, "HI"))   // k=3 forked: c in {20,21}
+      .toDF("k", "c", "p")
+    val out = DataChecks.fdAudit(df, Seq(("k", "c"), ("c", "p")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    assert(out(("k", "c")) == ((3L, 1L, 1.0 / 3.0, 2L, false)),
+      "key 3 determines two custkeys -> violated")
+    assert(out(("c", "p")) == ((3L, 1L, 1.0 / 3.0, 2L, false)))
+    val holds = DataChecks.fdAudit(df.where(col("k") < 3), Seq(("k", "c")))
+      .collect()(0)
+    assert(holds.getLong(3) == 0L && holds.getBoolean(6), "clean FD holds")
+  }
+
+  test("corrMatrix: perfect, anti and zero-variance pairs") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0)).toDF("a", "b", "neg", "const")
+    val out = DataChecks.corrMatrix(df,
+      Seq(("a", 2), ("b", 2), ("neg", 2), ("const", 2))).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out.size == 6)
+    assert(out(("a", "b")).contains(1.0), "b = 2a -> r exactly 1")
+    assert(out(("a", "neg")).contains(-1.0), "neg = -a -> r exactly -1")
+    assert(out(("a", "const")).isEmpty, "zero variance -> NULL not NaN")
+    assert(out(("b", "neg")).contains(-1.0))
+  }
 }

@@ -551,6 +551,29 @@ class TextSpec extends SparkSpec {
       "identical quality -> slope ~0")
   }
 
+  test("hardNegatives: collided-but-below-threshold pairs, disjoint from dups") {
+    // docs 1,2: identical (J=1 -> near-dup, NEVER a hard negative);
+    // docs 3,4: share a long prefix, distinct suffixes -> J ≈ 0.45,
+    // high band-collision probability at J≈0.45 with 16 r=2 bands
+    // (deterministic given the fixed minhash coefficients)
+    val common = (1 to 22).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, s"$common x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"),
+      (4L, s"$common y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11 y12"))
+      .toDF("doc_id", "text")
+    val hard = NearDup.hardNegatives(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val dups = NearDup.minhashPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups == Set((1L, 2L)), "identical pair is a dup, not a negative")
+    assert(hard.keySet.intersect(dups).isEmpty, "complement partition")
+    assert(hard.contains((3L, 4L)), "planted near-miss pair mined")
+    assert(hard((3L, 4L)) > 0.3 && hard((3L, 4L)) < 0.5,
+      "hardness score is the exact jaccard")
+  }
+
   test("dupSourceMatrix: near-dup pairs land in their source cells") {
     // docs 1~2 near-dup across srcA/srcB; 3~4 near-dup within srcC;
     // 5 is unrelated -> cells (A,B)=1 and (C,C)=1, shares 0.5 each
