@@ -1105,23 +1105,28 @@ object TextAnalysis {
     * one-number drift gauge Zipf α gives for the frequency axis.
     *
     * Prefixes are by doc_id on a FIXED `checkpoints`-cell id grid
-    * (bucket = ((doc_id−min)·B) div span + 1 — row-local off a
-    * broadcast 1-row min/max, exact in integers): no global
-    * row_number sort, so the plan has no corpus-sized single
-    * partition anywhere. Per-bucket token sums and per-term
+    * (bucket = ((doc_id−min)·B) div span + 1 — row-local off ONE
+    * collected min/max, the derived-knob discipline; exact in
+    * integers): no global row_number sort, so the plan has no
+    * corpus-sized single partition anywhere, and PlanAuditSpec pins
+    * the scan count (the naive formulation re-scanned the corpus 10×
+    * — once per derived branch). The tokenized frame persists for its
+    * two consumers; per-bucket token sums and per-term
     * first-occurrence buckets (one vocab-grain shuffle) cumulate over
-    * the B-row spine (driver-small window); empty id ranges carry
-    * forward. ln/exp-free integers everywhere except the B-point
-    * ln–ln fit, whose closed form is the q_trend/zipf discipline. */
+    * the B-row spine (driver-small window, itself persisted for the
+    * fit and the output); empty id ranges carry forward. ln/exp-free
+    * integers everywhere except the B-point ln–ln fit, whose closed
+    * form is the q_trend/zipf discipline. */
   def heapsFit(docs: DataFrame, checkpoints: Int = 10): DataFrame = {
     require(checkpoints >= 3, "need at least 3 checkpoints for a fit")
     val b = checkpoints.toLong
-    val ids = docs.agg(min(col("doc_id")).as("min_id"),
-      max(col("doc_id")).as("max_id"))
+    val idRow = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    require(!idRow.isNullAt(0), "heapsFit needs a non-empty corpus")
+    val (minId, span) = (idRow.getLong(0), idRow.getLong(1) - idRow.getLong(0) + 1)
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .crossJoin(broadcast(ids))
       .withColumn("bucket",
-        expr(s"((doc_id - min_id) * $b) div (max_id - min_id + 1)") + 1L)
+        expr(s"((doc_id - ${minId}L) * $b) div ${span}L") + 1L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketTokens = toks
       .select(col("bucket"), size(col("toks")).as("nt"))
       .groupBy(col("bucket")).agg(sum(col("nt")).as("tb"))
@@ -1129,8 +1134,8 @@ object TextAnalysis {
       .select(col("bucket"), explode(col("toks")).as("term"))
       .groupBy(col("term")).agg(min(col("bucket")).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("nw"))
-    val spine = broadcast(ids)
-      .select(explode(sequence(lit(1L), lit(b))).as("bucket"))
+    val spine = docs.sparkSession.range(1, b + 1)
+      .select(col("id").as("bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)
     val cum = spine
@@ -1142,6 +1147,7 @@ object TextAnalysis {
       .withColumn("cum_tokens", sum(col("tb")).over(w))
       .withColumn("cum_vocab", sum(col("nw")).over(w))
       .where(col("cum_tokens") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pts = cum.select(log(col("cum_tokens").cast("double")).as("lx"),
       log(col("cum_vocab").cast("double")).as("ly"))
     // ≤B-point OLS moments fold in FIXED lx order (lx is strictly
@@ -1194,19 +1200,22 @@ object TextAnalysis {
   def qualityTrend(docs: DataFrame, buckets: Int = 10): DataFrame = {
     require(buckets >= 3, "need at least 3 buckets for a fit")
     val b = buckets.toLong
-    val ids = docs.agg(min(col("doc_id")).as("min_id"),
-      max(col("doc_id")).as("max_id"))
+    val idRow = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    require(!idRow.isNullAt(0), "qualityTrend needs a non-empty corpus")
+    val (minId, span) = (idRow.getLong(0), idRow.getLong(1) - idRow.getLong(0) + 1)
+    // the B-row bucket frame persists: the fit and the output both
+    // read it — unpersisted, each would replay the corpus scan
     val per = qualityFrame(docs, Nil)
       .where(col("quality_score").isNotNull)
-      .crossJoin(broadcast(ids))
       .select(
-        (expr(s"((doc_id - min_id) * $b) div (max_id - min_id + 1)") + 1L)
+        (expr(s"((doc_id - ${minId}L) * $b) div ${span}L") + 1L)
           .as("bucket"),
         floor(col("quality_score") * 1000000 + 0.5).cast("bigint").as("qm"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("qm")).as("s"))
       .withColumn("mean_quality",
         col("s").cast("double") / col("n_docs") / lit(1000000.0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bx = (c: Column) => c.getField("bucket").cast("double")
     val by = (c: Column) => c.getField("mean_quality")
     val mm = per

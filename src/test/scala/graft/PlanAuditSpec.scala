@@ -623,4 +623,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("corr matrix: ALL moments from one aggregate over one scan") {
+    val p = plan("q_corr_matrix")
+    // one pass: a per-pair or per-moment re-scan would multiply the
+    // 100 TB cost by the number of audited columns
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size == 1,
+      p.take(3000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("embedding outliers broadcast the centroid grid back to vectors") {
+    val p = plan("q_embed_outliers")
+    // the labels×dim centroid frame must come back as a broadcast —
+    // a shuffled join here would re-exchange the n·dim explode
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("heaps fit: ONE corpus scan feeds cached frames, no global sort") {
+    // buckets are row-local integer arithmetic off a collected 1-row
+    // min/max; the tokenized frame and the B-row cum frame persist for
+    // their multiple consumers. The naive formulation (broadcast ids
+    // crossJoin, nothing persisted) re-scanned the corpus 10×, once
+    // per derived branch — this pin is what caught it. Formatted mode
+    // prints each node once, so the count is of DISTINCT scan nodes
+    // (the tree-string repr echoes the same node inside every
+    // InMemoryRelation definition).
+    val p = SparkEntry.queries("q_heaps")(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 1, s"documents has $scans distinct scan nodes:\n" + p.take(3000))
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+  }
+
+  test("reconcile: one fact aggregate, key-grain left join, no window") {
+    val p = plan("q_reconcile")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
