@@ -3418,11 +3418,17 @@ object SparkEntry {
           FROM nw LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
           ORDER BY nw.doc_id""",
     // the banding chain's ver0 complement: collided but verified
-    // below threshold — the hardness score is the exact jaccard
+    // below threshold, ranked hardest-first per anchor and cut at the
+    // per-anchor cap (the output-linear training shape)
     "q_hard_negatives" ->
-      s"""WITH $MinhashVerCtes
-          SELECT d1, d2, jaccard FROM ver0 WHERE jaccard < 0.5
-          ORDER BY d1, d2""",
+      s"""WITH $MinhashVerCtes,
+          hn AS (SELECT d1, d2, jaccard,
+              row_number() OVER (PARTITION BY d1
+                ORDER BY jaccard DESC, d2) AS rank
+            FROM ver0 WHERE jaccard < 0.5)
+          SELECT d1, d2, jaccard, CAST(rank AS INTEGER) AS rank
+          FROM hn WHERE rank <= ${NearDup.HardNegPerAnchor}
+          ORDER BY d1, rank""",
     "q_minhash_dedup" ->
       s"""WITH $MinhashVerCtes,
           p AS (SELECT d1 AS doc_id, d2 AS partner FROM ver

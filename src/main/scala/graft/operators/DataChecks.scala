@@ -1115,8 +1115,17 @@ object DataChecks {
     * spine, and each type's χ² folds its 9 terms in FIXED digit
     * order. Shape: one (type, digit) aggregate off the scan; the
     * spine, fold and join-back are all (types × 9)-sized. */
-  def benfordQa(events: DataFrame, chi2Crit: Double = 20.09): DataFrame = {
-    val digits = events
+  def benfordQa(events: DataFrame, chi2Crit: Double = 20.09): DataFrame =
+    benfordFromCounts(
+      benfordDigits(events).groupBy(col("event_type"), col("digit"))
+        .agg(count(lit(1)).as("nd")),
+      chi2Crit)
+
+  /** The row-local digit projection of [[benfordQa]] — shared with the
+    * streaming twin (`EventStream.digitCounts`), so batch and stream
+    * extract digits identically by construction. */
+  private[graft] def benfordDigits(events: DataFrame): DataFrame =
+    events
       .where(col("value").isNotNull)
       .select(col("event_type"),
         round(col("value") * 100).cast("bigint").as("cents"))
@@ -1124,8 +1133,12 @@ object DataChecks {
       .select(col("event_type"),
         substring(col("cents").cast("string"), 1, 1).cast("int")
           .as("digit"))
-      .groupBy(col("event_type"), col("digit"))
-      .agg(count(lit(1)).as("nd"))
+
+  /** The (type, digit, nd) → report stage of [[benfordQa]] — also the
+    * batch finisher over the streaming twin's continuously-maintained
+    * count table (counts are mergeable, the report is grid-sized). */
+  private[graft] def benfordFromCounts(digits: DataFrame,
+                                       chi2Crit: Double): DataFrame = {
     val types = digits.groupBy(col("event_type"))
       .agg(sum(col("nd")).as("nt"))
     val spine = types.select(col("event_type"), col("nt"),

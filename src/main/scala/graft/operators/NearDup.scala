@@ -447,6 +447,15 @@ object NearDup {
       .where(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"))
 
+  /** Per-anchor keep count for [[hardNegatives]] — K negatives per
+    * anchor is what contrastive training consumes, and the cap is
+    * what keeps the OUTPUT linear in corpus size: uncapped, the
+    * below-threshold pair count grows with pair density (measured
+    * 316× output rows at the 10× probe on the densifying synthetic
+    * corpus — 1 962 → 620 k — and 29× operator time). Replayed by the
+    * oracle's ranked window, PureProps-pinned. */
+  val HardNegPerAnchor: Int = 8
+
   /** Hard-negative mining off the SAME LSH banding as
     * [[minhashPairs]]: candidate pairs that collided in at least one
     * band but verify BELOW the near-dup threshold — "similar enough
@@ -455,16 +464,24 @@ object NearDup {
     * negatives are trivially far). Zero extra corpus work: the
     * signature/banding/verify stages are the dedup pipeline's own;
     * this keeps the complement of the pairs [[minhashPairs]] keeps,
-    * with the exact verified jaccard as the hardness score. Output
-    * (d1 < d2, jaccard) ordered; same bucket-cap bound on candidate
-    * volume. */
+    * ranked per anchor by the exact verified jaccard (hardest first,
+    * d2 ties) and cut at `perAnchor` ([[HardNegPerAnchor]]) — the
+    * training-shaped, output-linear form. Output (d1, d2, jaccard,
+    * rank) ordered; bucket cap bounds candidate volume, the anchor
+    * cap bounds output volume. */
   def hardNegatives(docs: DataFrame, n: Int = 3, k: Int = 32,
                     bands: Int = 16, threshold: Double = 0.5,
-                    bucketCap: Int = DefaultBucketCap): DataFrame =
+                    bucketCap: Int = DefaultBucketCap,
+                    perAnchor: Int = HardNegPerAnchor): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d1")).orderBy(col("jaccard").desc, col("d2"))
     verifiedCandidates(docs, n, k, bands, bucketCap)
       .where(col("jaccard") < threshold)
-      .select(col("d1"), col("d2"), col("jaccard"))
-      .orderBy(col("d1"), col("d2"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= perAnchor)
+      .select(col("d1"), col("d2"), col("jaccard"), col("rank"))
+      .orderBy(col("d1"), col("rank"))
+  }
 
   /** LSH-banded candidates with their exact verified jaccard — the
     * shared stage behind [[minhashPairs]] (keeps ≥ threshold) and

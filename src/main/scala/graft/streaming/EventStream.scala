@@ -940,6 +940,23 @@ object EventStream {
       }
   }
 
+  /** Streaming Benford digit counts — the maintained-state half of
+    * the batch DataChecks.benfordQa split: the SAME row-local digit
+    * projection (shared code, so batch and stream extract digits
+    * identically by construction) into a running (event_type, digit)
+    * count. State is the count table itself — types × 9 rows, O(1) in
+    * event volume — so Complete output mode is the right fit: every
+    * micro-batch republishes the full grid and
+    * DataChecks.benfordFromCounts turns the latest table into the χ²
+    * report on demand. The batch operator stays the historical-truth
+    * path; this answers "is the feed bending NOW" without a rescan.
+    * EquivalenceSpec proves finisher(streamed counts) ==
+    * batch benfordQa on the same events. */
+  def digitCounts(events: DataFrame): DataFrame =
+    graft.operators.DataChecks.benfordDigits(events)
+      .groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("nd"))
+
   /** Streaming position-based (U-shaped, 40/20/40) attribution — the
     * streaming twin of Temporal.attributionUShaped: one credit row
     * per in-window touch with the batch CASE arms replayed verbatim

@@ -96,6 +96,40 @@ class EquivalenceSpec extends SparkSpec {
       s"decay: streamed $streamedD vs batch $batchD")
   }
 
+  test("streaming Benford digit counts + batch finisher equal benfordQa") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(ev: _*)
+    // Complete mode: state IS the types×9 count grid, republished each
+    // micro-batch — no watermark/finalization dance needed
+    val q = EventStream.digitCounts(mem.toDF())
+      .writeStream.format("memory").queryName("eq_benford")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    // snapshot the sink: the finisher self-joins its input (spine ×
+    // counts) and the streaming MemoryPlan view trips analyzer
+    // reference-dedup when both sides are the same sink view
+    val countsSnap = spark.table("eq_benford")
+      .as[(String, Int, Long)].collect().toSeq
+      .toDF("event_type", "digit", "nd")
+    val streamed = graft.operators.DataChecks
+      .benfordFromCounts(countsSnap, 20.09)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(5), r.getBoolean(6)))).toMap
+    val batch = graft.operators.DataChecks
+      .benfordQa(Tables.events(spark, "/root/testdata/sf0.001"), 20.09)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch, "finisher over streamed counts == batch report")
+  }
+
   test("streaming canary scan and PII redaction equal their batch twins") {
     val phrases = Seq("agg join small", "table window table", "never present")
     val planted = graft.operators.Privacy.plantPii(

@@ -127,6 +127,7 @@ object PureProps extends Properties("graft") {
       "q_minhash_recall" -> s"/ ${NearDup.RecallSampleTarget}.0",
       "q_dedup_sweep" -> s"<= ${NearDup.DfPairBudget}",
       "q_dedup_sweep" -> s"greatest(${NearDup.DfCapFloor}",
+      "q_hard_negatives" -> s"<= ${NearDup.HardNegPerAnchor}",
       "q_minhash_dedup" -> s"[1:${NearDup.DefaultBucketCap}]",
       "q_dedup_clusters" -> s"[1:${NearDup.DefaultBucketCap}]",
       "q_embed_lsh" -> s"[1:${NearDup.DefaultBucketCap}]",
