@@ -20,7 +20,7 @@ object Bench {
     "q_reach_week",
     "q_projection_ratio", "q_value_mapping", "q_before_after",
     "q_contingency", "q_qa_daily", "q_qa_meta", "q_qa_multigroup",
-    "q_qa_flags", "q_schema_contract", "q_profile", "q_lang_id", "q_lang_mix",
+    "q_qa_flags", "q_schema_contract", "q_profile", "q_lang_id", "q_lang_mix", "q_fertility",
     "q_text_quality", "q_token_count", "q_fingerprint", "q_repetition",
     "q_compress_ratio",
     "q_quality_filter", "q_dedup_exact", "q_quality_dup_calib",

@@ -1005,6 +1005,9 @@ object SparkEntry {
       TextAnalysis.langMixBySource(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documentsFloored(s, d))),
+    // per-language tokenizer cost gauge (fertility, chars/token)
+    "q_fertility" -> ((s, d) =>
+      TextAnalysis.fertilityByLanguage(Tables.documentsFloored(s, d))),
     "q_text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documentsFloored(s, d))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
@@ -2825,6 +2828,25 @@ object SparkEntry {
            AND dm.label = ka2.id_value AND dm.etype = ka2.etype2
          ORDER BY id, val_id""",
     "q_lang_id" -> LangIdSql,
+    // shared LangPred CTEs; counts replay q_token_count's tokenizers
+    "q_fertility" ->
+      s"""WITH $LangPredCtes,
+          st AS (SELECT p.lang_pred,
+              CAST(len(t.toks) AS INTEGER) AS wst,
+              CAST(len(regexp_extract_all(d.text, '[a-z]+|[0-9]+'))
+                AS INTEGER) AS ret,
+              CAST(len(d.text) AS INTEGER) AS nch
+            FROM pred p JOIN t ON t.doc_id = p.doc_id
+              JOIN documents d ON d.doc_id = p.doc_id)
+          SELECT lang_pred, count(*) AS n_docs,
+            CAST(sum(wst) AS BIGINT) AS ws_tokens,
+            CAST(sum(ret) AS BIGINT) AS re_tokens,
+            CAST(sum(nch) AS BIGINT) AS n_chars,
+            CAST(sum(ret) AS DOUBLE) / nullif(CAST(sum(wst) AS BIGINT), 0)
+              AS fertility,
+            CAST(sum(nch) AS DOUBLE) / nullif(CAST(sum(ret) AS BIGINT), 0)
+              AS chars_per_token
+          FROM st GROUP BY 1 ORDER BY 1""",
     "q_lang_mix" ->
       s"""WITH $LangPredCtes,
           cnt AS (SELECT source, lang_pred, count(*) AS n FROM pred

@@ -101,6 +101,46 @@ object TextAnalysis {
           (lit(0.5) + lit(0.5) * col("stop_ratio")) * col("alpha_ratio"))
   }
 
+  /** Tokenizer fertility by predicted language: per lang_pred, the
+    * corpus totals of whitespace-word tokens, regex word/number
+    * tokens (the BPE-ish lower bound) and characters, with
+    * fertility = regex/word tokens and chars-per-token ratios — the
+    * per-language cost gauge a tokenizer budget is planned from
+    * (a language whose fertility drifts up is getting fragmented, and
+    * its documents silently cost more context per word). Token budgets
+    * per language feed directly into [[graft.operators.Curation]]'s
+    * mixture/water-filling planners.
+    *
+    * One pass: language scores, prediction and all three counts are
+    * row-local projections of a single staged scan (the languageId
+    * staging discipline — Spark does not CSE inside the prediction
+    * CASE, so scores stage first); integer sums at language grain,
+    * two guarded divisions at the very end. */
+  def fertilityByLanguage(docs: DataFrame): DataFrame = {
+    val langs = stopwords.keys.toSeq.sorted
+    val staged = docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(Seq(col("text"), col("toks")) ++
+        langs.map(l => stopwordHits(col("toks"), stopwords(l)).as(s"s_$l")): _*)
+    staged
+      .select(
+        langPred(langs.map(l => l -> col(s"s_$l")).toMap).as("lang_pred"),
+        size(col("toks")).as("wst"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+          .as("ret"),
+        length(col("text")).as("nch"))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("wst")).as("ws_tokens"),
+        sum(col("ret")).as("re_tokens"), sum(col("nch")).as("n_chars"))
+      .select(col("lang_pred"), col("n_docs"), col("ws_tokens"),
+        col("re_tokens"), col("n_chars"),
+        (col("re_tokens").cast("double") /
+          nullif(col("ws_tokens"), lit(0L))).as("fertility"),
+        (col("n_chars").cast("double") /
+          nullif(col("re_tokens"), lit(0L))).as("chars_per_token"))
+      .orderBy(col("lang_pred"))
+  }
+
   /** Token counts: normalized-whitespace tokens and a regex word/number
     * tokenizer (the BPE-ish lower bound). */
   def tokenCounts(docs: DataFrame): DataFrame =

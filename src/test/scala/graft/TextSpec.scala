@@ -574,6 +574,25 @@ class TextSpec extends SparkSpec {
       "hardness score is the exact jaccard")
   }
 
+  test("fertilityByLanguage: per-language totals and guarded ratios") {
+    // doc 1: english (stopwords the/and), 6 words; doc 2: german;
+    // doc 3: no stopword hits -> unknown
+    val d = Seq(
+      (1L, "the cat and the dog runs"),
+      (2L, "der hund und die katze hier"),
+      (3L, "zz9 qq7 xx1")).toDF("doc_id", "text")
+    val out = TextAnalysis.fertilityByLanguage(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5)))).toMap
+    assert(out.keySet == Set("en", "de", "unknown"))
+    assert(out("en")._1 == 1L && out("en")._2 == 6L)
+    assert(out("en")._3 == 6L && out("en")._4 == 1.0,
+      "clean words: regex tokens == word tokens -> fertility 1")
+    assert(out("unknown")._3 == 6L,
+      "alnum-mixed junk splits into letter+digit runs: fertility 2")
+    assert(out("unknown")._4 == 2.0)
+  }
+
   test("dupSourceMatrix: near-dup pairs land in their source cells") {
     // docs 1~2 near-dup across srcA/srcB; 3~4 near-dup within srcC;
     // 5 is unrelated -> cells (A,B)=1 and (C,C)=1, shares 0.5 each
