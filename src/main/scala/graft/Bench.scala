@@ -61,7 +61,7 @@ object Bench {
     "q_bulk_orders", "q_idle_customers",
     "q_ctr_wilson", "q_entity_components", "q_bpe_apply",
     "q_freshness", "q_seasonality", "q_hourly_profile", "q_funnel_windowed",
-    "q_histogram", "q_qa_anomaly", "q_ewma_anomaly",
+    "q_histogram", "q_qa_anomaly", "q_ewma_anomaly", "q_mad_anomaly",
     "q_semantic_dedup", "q_mixture", "q_curriculum", "q_token_budget", "q_props_health",
     "q_search", "q_search_bm25", "q_search_eval", "q_search_ndcg", "q_qa_orphans", "q_percentiles", "q_winsorize",
     "q_mixture_sample",

@@ -1464,6 +1464,9 @@ object SparkEntry {
     "q_qa_anomaly" -> ((s, d) =>
       DataChecks.anomalyFlags(Tables.events(s, d), AnomalyDays, AnomalyK,
         AnomalyMinDays)),
+    // robust whole-series twin of q_qa_anomaly (median + MAD flags)
+    "q_mad_anomaly" -> ((s, d) =>
+      DataChecks.madAnomaly(Tables.events(s, d), AnomalyK)),
     // recency-weighted twin of q_qa_anomaly (1-day half-life EWMA
     // baseline, integer power-of-two weights, cross-mult decision)
     "q_ewma_anomaly" -> ((s, d) =>
@@ -5409,6 +5412,22 @@ object SparkEntry {
             n, CAST(n AS DOUBLE) /
               CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS share
           FROM g ORDER BY event_type, bin""",
+    // median/MAD via quantile_cont — the percentileBands interpolation
+    // contract; the flag is one multiply-compare per grid row
+    "q_mad_anomaly" ->
+      s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            count(*) AS n FROM events GROUP BY 1, 2),
+          md AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+            FROM d GROUP BY 1),
+          dv AS (SELECT d.event_type, day, n, med,
+              abs(CAST(n AS DOUBLE) - med) AS adev
+            FROM d JOIN md ON md.event_type = d.event_type),
+          md2 AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dv GROUP BY 1)
+          SELECT dv.event_type, day, n, med, md2.mad,
+            adev > $AnomalyK * md2.mad AS is_outlier
+          FROM dv JOIN md2 ON md2.event_type = dv.event_type
+          ORDER BY 1, 2""",
     "q_qa_anomaly" ->
       s"""WITH d AS (SELECT CAST(ts AS DATE) AS date, event_type,
             count(*) AS n_events,

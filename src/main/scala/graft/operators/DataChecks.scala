@@ -1164,6 +1164,39 @@ object DataChecks {
       .orderBy(col("event_type"), col("digit"))
   }
 
+  /** MAD-based daily-volume outliers — the ROBUST whole-series twin
+    * of the trailing z²-rule (`anomalyFlags`), the same relationship
+    * Theil–Sen bears to the OLS trend: the z-test's own mean/variance
+    * absorb the outliers it is looking for (one 10× day inflates σ
+    * enough to hide a 5× day), while the median absolute deviation
+    * breaks down only past 50% contamination. Per event type, each
+    * day's count is flagged when |n − median| > k·MAD over the full
+    * series.
+    *
+    * Exactness: the daily grid is exact integers; median and MAD are
+    * the [[percentileBands]] interpolation contract (integer/
+    * half-integer grids, exact in IEEE, identical to quantile_cont);
+    * the flag is one multiply-compare. Shape: ONE fact aggregate to
+    * the (type, day) grid; medians, joins and flags are all
+    * grid-sized with types-sized broadcasts. */
+  def madAnomaly(events: DataFrame, k: Int = 3): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .transform(graft.Caches.hold)
+    val med = daily.groupBy(col("event_type"))
+      .agg(expr("percentile(n, 0.5D)").as("med"))
+    val dev = daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("n").cast("double") - col("med")))
+      .transform(graft.Caches.hold)
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"), col("med"),
+        col("mad"), (col("adev") > lit(k) * col("mad")).as("is_outlier"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Functional-dependency audit: for each candidate determinant →
     * dependent pair, how many determinant classes exist, how many are
     * VIOLATED (more than one distinct dependent value), and the worst

@@ -624,6 +624,26 @@ class DataChecksSpec extends SparkSpec {
     assert(out(("skip", 5))._1 == 0L, "zero-count digit present on spine")
   }
 
+  test("madAnomaly: robust to the outlier the z-rule absorbs") {
+    import spark.implicits._
+    // 9 days at 10 events + one 50-event day: median 10, MAD 0 on the
+    // flat mass -> the spike flags; flat days do not
+    val rows = (1 to 9).flatMap(d => (1 to 10).map(i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-0$d%d 10:00:00"), "a"))) ++
+      (1 to 50).map(i =>
+        (java.sql.Timestamp.valueOf("2024-01-10 10:00:00"), "a"))
+    val ev = rows.toDF("ts", "event_type")
+    val out = DataChecks.madAnomaly(ev).collect()
+      .map(r => r.getDate(1).toString ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(out.size == 10)
+    assert(out("2024-01-10") == ((50L, 10.0, 0.0, true)),
+      "spike day flags against median 10 / MAD 0")
+    assert(out("2024-01-01") == ((10L, 10.0, 0.0, false)),
+      "flat day |n-med| = 0 is not > 0")
+  }
+
   test("fdAudit: holding FD reports zero violations, forked key flags") {
     import spark.implicits._
     val df = Seq(
