@@ -1145,6 +1145,11 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       VectorSearch.bruteForceTopK(emb, emb.where(col("vec_id") < 10), 5)
     }),
+    // pre-filtered top-k within the query's own label stratum
+    "q_ann_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorSearch.filteredTopK(emb, emb.where(col("vec_id") < 10), 5)
+    }),
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       VectorSearch.ivfTopK(emb, annSeeds(emb, d),
@@ -3508,6 +3513,25 @@ object SparkEntry {
               ORDER BY c DESC, neighbor_id) AS INTEGER) AS "rank",
             round(c, 6) AS cos FROM s)
           SELECT query_id, neighbor_id, "rank", cos FROM r
+          WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+    // q_ann_topk with the label predicate in the candidate JOIN —
+    // pre-filtering, so each query draws its full k from its stratum
+    "q_ann_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+            sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (a, b) -> a + b)) AS nrm
+          FROM embeddings),
+          q AS (SELECT * FROM e WHERE vec_id < 10),
+          s AS (SELECT q.vec_id AS query_id, q.label,
+            e.vec_id AS neighbor_id,
+            ${dotSql("q", "e")} / (q.nrm * e.nrm) AS c
+            FROM q JOIN e ON q.label = e.label AND q.vec_id <> e.vec_id),
+          r AS (SELECT query_id, label, neighbor_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY c DESC, neighbor_id) AS INTEGER) AS "rank",
+            round(c, 6) AS cos FROM s)
+          SELECT query_id, label, neighbor_id, "rank", cos FROM r
           WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
     // both legs at rank <= 3 with identical tie-breaks, full-outer
     // joined per (query, neighbor), rolled up per query

@@ -256,6 +256,40 @@ object VectorSearch extends Logging {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Filtered exact top-k: nearest neighbors among vectors sharing
+    * the QUERY's label — the "search within my tenant/class" shape
+    * every production vector store serves. The filter joins INTO the
+    * candidate generation (a label equi-join replaces the cross
+    * join): pre-filtering, so every query gets its full k from its
+    * own stratum — the post-filtering formulation (rank globally,
+    * filter after) silently returns < k results exactly when the
+    * stratum is small, which is when the caller cares most. At scale
+    * the label is the natural co-partition key: candidates shrink to
+    * the stratum size and the broadcast query side never shuffles the
+    * corpus. Ranking/tie-break/rounding contract identical to
+    * [[bruteForceTopK]]. */
+  def filteredTopK(embeddings: DataFrame, queries: DataFrame,
+                   k: Int): DataFrame = {
+    def normed(df: DataFrame) = df.select(col("vec_id"), col("label"),
+      col("embedding"), norm(col("embedding")).as("nrm"))
+    val corpus = normed(embeddings)
+    val q = normed(queries).select(col("vec_id").as("query_id"),
+      col("label").as("qlabel"), col("embedding").as("qe"),
+      col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_exact"), asc("vec_id"))
+    broadcast(q).join(corpus, col("qlabel") === col("label"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_exact",
+        cosine(col("qe"), col("embedding"), col("qn"), col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("qlabel").as("label"),
+        col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos_exact"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic centroid assignment: nearest centroid by cosine
     * (min centroid_id on ties). Centroids are broadcast and the argmax
     * is a `max_by` aggregate over the broadcast-nested-loop expansion:

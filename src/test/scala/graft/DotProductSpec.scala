@@ -147,6 +147,26 @@ class DotProductSpec extends SparkSpec {
     assert((out(1L)._1 >> 40) == 0L, "40-bit fingerprint")
   }
 
+  test("filteredTopK: full k from the query's own stratum, pre-filtered") {
+    import spark.implicits._
+    // label 1: query 1 plus three same-label candidates; label 2 holds
+    // the GLOBALLY nearest vector (identical direction), which
+    // pre-filtering must exclude
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 1),
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.5f, 0.5f), 1),
+      (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(1.0f, 0.0f), 2)   // exact match, wrong stratum
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorSearch.filteredTopK(df, df.where(col("vec_id") === 1), 3)
+      .collect().map(r => r.getInt(3) -> r.getLong(2)).toMap
+    assert(out.values.toSet == Set(2L, 3L, 4L), "stratum-only neighbors")
+    assert(out(1) == 2L && out(2) == 3L && out(3) == 4L,
+      "ranked by exact cosine within the stratum; cross-label exact" +
+        " match never appears")
+  }
+
   test("embedOutliers ranks the planted far vector first, drops unhealthy") {
     import spark.implicits._
     // label 7: three vectors near (1,0), one planted at (9,9); the
