@@ -8,7 +8,7 @@ object Bench {
     * knn, all-pairs cosine) are excluded — their scale path
     * (IVF/LSH/minhash) is what gets benched. */
   val headline: Seq[String] = Seq(
-    "q1_pricing_summary", "q_revenue_by_nation", "q_revenue_growth", "q_gini", "q_discount_lift", "q_dead_stock", "q_repurchase", "q_supplier_hhi", "q_supplier_risk", "q_price_realization", "q_line_position", "q_reconcile", "q_local_volume", "q_returned_items",
+    "q1_pricing_summary", "q_revenue_by_nation", "q_revenue_growth", "q_gini", "q_discount_lift", "q_dead_stock", "q_repurchase", "q_km_survival", "q_supplier_hhi", "q_supplier_risk", "q_price_realization", "q_line_position", "q_reconcile", "q_local_volume", "q_returned_items",
     "q_order_priority", "q_revenue_forecast", "q_nation_trade",
     "q_market_share", "q_product_profit", "q_priority_delay",
     "q_cust_order_dist", "q_promo_share", "q_top_supplier",
@@ -23,7 +23,7 @@ object Bench {
     "q_qa_flags", "q_schema_contract", "q_profile", "q_lang_id", "q_lang_mix", "q_fertility",
     "q_text_quality", "q_token_count", "q_fingerprint", "q_repetition",
     "q_compress_ratio",
-    "q_quality_filter", "q_dedup_exact", "q_quality_dup_calib",
+    "q_quality_filter", "q_dedup_exact", "q_quality_dup_calib", "q_dup_auc",
     "q_ngram_jaccard", "q_dedup_sweep", "q_span_dedup", "q_span_strip",
     "q_novelty", "q_containment",
     "q_minhash_dedup", "q_minhash_recall", "q_hard_negatives",

@@ -824,6 +824,9 @@ object SparkEntry {
     // repurchase cadence percentiles per segment
     "q_repurchase" -> ((s, d) =>
       Analytics.repurchaseCycle(Tables.orders(s, d), Tables.customer(s, d))),
+    // Kaplan–Meier time-to-second-order survival (censoring-aware)
+    "q_km_survival" -> ((s, d) =>
+      Analytics.kmRepurchase(Tables.orders(s, d), Tables.customer(s, d))),
     // revenue exposure through negative-balance suppliers
     "q_supplier_risk" -> ((s, d) =>
       Analytics.supplierRisk(Tables.lineitem(s, d), Tables.supplier(s, d))),
@@ -1024,6 +1027,9 @@ object SparkEntry {
     // cross-signal QA: fixed-width quality bands x exact-dup flags
     "q_quality_dup_calib" -> ((s, d) =>
       TextAnalysis.qualityDupCalibration(Tables.documents(s, d))),
+    // Mann-Whitney AUC of the quality score as a dup detector
+    "q_dup_auc" -> ((s, d) =>
+      TextAnalysis.dupAuc(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) =>
       NearDup.jaccardPairs(Tables.documentsFloored(s, d), 3, 0.3)),
     "q_dedup_sweep" -> ((s, d) =>
@@ -2394,6 +2400,46 @@ object SparkEntry {
           FROM g JOIN customer ON o_custkey = c_custkey
           WHERE gap IS NOT NULL
           GROUP BY 1 ORDER BY 1""",
+    // Kaplan-Meier product-limit curve: integer at-risk cumsums off
+    // the (segment, gap) grid; the survival product folds each
+    // segment's (1 - d/n) terms in ascending gap order from an exact
+    // 1.0 (list_reduce over an ORDER BY list here, the sorted-array
+    // aggregate engine side) so S(t) is multiplication-order-exact
+    "q_km_survival" ->
+      """WITH o2 AS (SELECT o_custkey,
+            list_sort(list(o_orderdate)) AS ds FROM orders GROUP BY 1),
+          mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+          subj AS (SELECT o_custkey,
+            CASE WHEN len(ds) >= 2
+              THEN CAST(date_diff('day', ds[1], ds[2]) AS BIGINT)
+              ELSE CAST(date_diff('day', ds[1], maxd) AS BIGINT)
+            END AS gap,
+            CASE WHEN len(ds) >= 2 THEN 1 ELSE 0 END AS ev
+          FROM o2, mx),
+          sg AS (SELECT c_mktsegment AS segment, gap, ev
+            FROM subj JOIN customer ON c_custkey = o_custkey),
+          g AS (SELECT segment, gap, CAST(sum(ev) AS BIGINT) AS d,
+              CAST(count(*) - sum(ev) AS BIGINT) AS cns
+            FROM sg GROUP BY 1, 2),
+          w AS (SELECT *,
+            CAST(sum(d + cns) OVER (PARTITION BY segment) AS BIGINT)
+            - coalesce(CAST(sum(d + cns) OVER (PARTITION BY segment
+                ORDER BY gap ROWS BETWEEN UNBOUNDED PRECEDING AND
+                1 PRECEDING) AS BIGINT), 0) AS n_risk
+          FROM g),
+          e AS (SELECT segment, gap, d, n_risk,
+            CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+              AS term
+          FROM w WHERE d > 0),
+          arr AS (SELECT segment,
+            list(struct_pack(g := gap, t := term) ORDER BY gap) AS a
+          FROM e GROUP BY 1)
+          SELECT e.segment, gap AS gap_days, d AS n_events,
+            n_risk AS n_at_risk,
+            list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+              list_transform(list_filter(a, x -> x.g <= gap), x -> x.t)),
+              (acc, x) -> acc * x) AS survival
+          FROM e JOIN arr USING (segment) ORDER BY 1, 2""",
     "q_supplier_risk" ->
       """WITH rev AS (SELECT l_suppkey,
             CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
@@ -2970,6 +3016,30 @@ object SparkEntry {
             CAST(sum(is_dup) AS DOUBLE) / count(*) AS dup_rate
           FROM bd JOIN r USING (doc_id)
           GROUP BY 1 ORDER BY 1""",
+    // exact Mann-Whitney AUC off the micro-quantized score histogram:
+    // integer U-statistic terms (HUGEINT here, DECIMAL(38,0) engine
+    // side), midrank tie half-credit, one division at the end
+    "q_dup_auc" ->
+      s"""WITH $QualityScoreCtes,
+          f AS (SELECT doc_id, md5($NormSql) AS fingerprint FROM documents),
+          r AS (SELECT doc_id, CASE WHEN doc_id <> min(doc_id)
+              OVER (PARTITION BY fingerprint) THEN 1 ELSE 0 END AS is_dup
+            FROM f),
+          lb AS (SELECT qsc.source,
+              CAST(floor(quality_score * 1000000) AS BIGINT) AS sq, is_dup
+            FROM qsc JOIN r USING (doc_id)
+            WHERE quality_score IS NOT NULL),
+          g AS (SELECT source, sq, CAST(sum(is_dup) AS BIGINT) AS n1,
+              CAST(count(*) - sum(is_dup) AS BIGINT) AS n0
+            FROM lb GROUP BY 1, 2),
+          w AS (SELECT *, coalesce(CAST(sum(n0) OVER (PARTITION BY source
+              ORDER BY sq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS cum0 FROM g)
+          SELECT source, CAST(sum(n1) AS BIGINT) AS n_dup,
+            CAST(sum(n0) AS BIGINT) AS n_uniq,
+            CAST(2 * sum(n1 * cum0) + sum(n1 * n0) AS DOUBLE) /
+              CAST(nullif(2 * sum(n1) * sum(n0), 0) AS DOUBLE) AS dup_auc
+          FROM w GROUP BY 1 ORDER BY 1""",
     "q_ngram_jaccard" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
           t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),

@@ -827,6 +827,69 @@ object Analytics {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Kaplan–Meier repurchase survival per market segment: S(t) = the
+    * probability a customer has NOT yet placed a second order t days
+    * after the first, with single-order customers right-CENSORED at
+    * the corpus frontier instead of silently dropped — the bias
+    * [[repurchaseCycle]]'s observed-gap quartiles can't avoid (they
+    * only see customers who DID come back; a cohort whose slow
+    * repurchasers haven't returned yet looks faster than it is).
+    * Standard product-limit estimator: at each event time, n_at_risk
+    * = subjects whose observed time ≥ t (censored-at-t kept at risk),
+    * S = Π (1 − d/n) over event times ≤ t.
+    *
+    * Scale shape: one customer-grain aggregate over orders (the
+    * per-customer order-date list is bounded by orders-per-customer,
+    * a data-model constant), a broadcast segment join, then EVERYTHING
+    * runs on the (segment × distinct gap-days) grid — bounded by the
+    * date range, not the corpus. The censor frontier max(o_orderdate)
+    * is collected as a literal (driver-small scalar, the operator-frame
+    * scan rule). At-risk counts are pure integer window cumsums; the
+    * running product folds each segment's (1 − d/n) terms in ascending
+    * gap order from an exact 1.0 via a sorted-array aggregate — the
+    * ordered-fold discipline, so S(t) is bit-identical in any engine
+    * that multiplies doubles in the same order. */
+  def kmRepurchase(orders: DataFrame, customer: DataFrame): DataFrame = {
+    // timestamp-typed in the testdata; lit() round-trips the JVM value
+    val maxd = orders.agg(max(col("o_orderdate"))).first().get(0)
+    val subj = orders
+      .groupBy(col("o_custkey"))
+      .agg(array_sort(collect_list(col("o_orderdate"))).as("ds"))
+      .select(col("o_custkey"),
+        when(size(col("ds")) >= 2,
+          datediff(element_at(col("ds"), 2), element_at(col("ds"), 1)))
+          .otherwise(datediff(lit(maxd), element_at(col("ds"), 1)))
+          .cast("long").as("gap"),
+        when(size(col("ds")) >= 2, 1).otherwise(0).as("ev"))
+    val grid = subj
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("gap"))
+      .agg(sum(col("ev")).as("d"),
+        (count(lit(1)) - sum(col("ev"))).as("cns"))
+    val wall = Window.partitionBy(col("segment"))
+    val wprev = Window.partitionBy(col("segment")).orderBy(col("gap"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = grid
+      .withColumn("n_risk", sum(col("d") + col("cns")).over(wall) -
+        coalesce(sum(col("d") + col("cns")).over(wprev), lit(0L)))
+      .where(col("d") > 0)
+      .withColumn("term", lit(1.0) -
+        col("d").cast("double") / col("n_risk").cast("double"))
+    ev.groupBy(col("segment"))
+      .agg(array_sort(collect_list(struct(col("gap").as("g"),
+        col("term").as("t"), col("d").as("d"),
+        col("n_risk").as("nr")))).as("a"))
+      .select(col("segment"), col("a"), posexplode(col("a")))
+      .select(col("segment"),
+        col("col.g").as("gap_days"),
+        col("col.d").as("n_events"),
+        col("col.nr").as("n_at_risk"),
+        aggregate(slice(col("a"), lit(1), col("pos") + 1), lit(1.0),
+          (acc, x) => acc * x.getField("t")).as("survival"))
+      .orderBy(col("segment"), col("gap_days"))
+  }
+
   /** Supplier concentration per nation: the Herfindahl–Hirschman
     * index of supplier revenue shares — the antitrust-style "is this
     * market one supplier in a trench coat" gauge, the squared-share

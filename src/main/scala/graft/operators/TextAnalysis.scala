@@ -958,6 +958,61 @@ object TextAnalysis {
       .orderBy(col("quality_band"))
   }
 
+  /** AUC of the composite quality score as a duplicate detector, per
+    * source: the probability a random exact-dup copy scores HIGHER
+    * than a random unique doc, ties half-credit (Mann–Whitney with
+    * midranks) — a score that sees dups as junk drives this BELOW
+    * 0.5, ≈ 0.5 is blind; the one-number answer to "does the quality
+    * signal see what dedup sees, and where does it go blind?".
+    * [[qualityDupCalibration]] shows the shape; this ranks sources by
+    * separation so a curator knows whose score to distrust.
+    *
+    * Exact and sort-free at any scale: scores are micro-quantized
+    * (floor(score·1e6), identical double→int boundary both engines),
+    * so the per-source (score, label) HISTOGRAM is the sufficient
+    * statistic — U = Σ_s n_dup(s)·cum_uniq(<s) + ½·Σ_s n_dup(s)·
+    * n_uniq(s), AUC = U/(n_dup·n_uniq), every term an integer off the
+    * grid. No global rank window: the doc-grain work is the
+    * fingerprint shuffle + one hash aggregate, and the ordered window
+    * runs over a grid bounded by 1e6 quantization levels per source
+    * REGARDLESS of corpus size. Products fold in DECIMAL(38,0) (the
+    * int128 twin of DuckDB's HUGEINT — bigint Σ n·cum wraps silently
+    * at real scale); the single division is the last operation.
+    * NULL-score docs (empty text) carry no rank information and are
+    * excluded on both sides. */
+  def dupAuc(docs: DataFrame): DataFrame = {
+    val scored = qualityFrame(
+      docs.withColumn("fingerprint", md5(normText(col("text")))),
+      passthrough = Seq("fingerprint", "source"))
+      .select(col("doc_id"), col("fingerprint"), col("source"),
+        col("quality_score"))
+    val wf = Window.partitionBy(col("fingerprint"))
+    val labeled = scored
+      .withColumn("is_dup",
+        (col("doc_id") =!= min(col("doc_id")).over(wf)).cast("int"))
+      .where(col("quality_score").isNotNull)
+      .select(col("source"),
+        floor(col("quality_score") * 1000000).cast("long").as("sq"),
+        col("is_dup"))
+    val grid = labeled.groupBy(col("source"), col("sq"))
+      .agg(sum(col("is_dup")).as("n1"),
+        (count(lit(1)) - sum(col("is_dup"))).as("n0"))
+    val wcum = Window.partitionBy(col("source")).orderBy(col("sq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("cum0", coalesce(sum(col("n0")).over(wcum), lit(0L)))
+      .groupBy(col("source"))
+      .agg(sum(col("n1")).as("n_dup"), sum(col("n0")).as("n_uniq"),
+        sum(col("n1").cast("decimal(38,0)") * col("cum0")).as("u_below"),
+        sum(col("n1").cast("decimal(38,0)") * col("n0")).as("u_ties"))
+      .select(col("source"), col("n_dup"), col("n_uniq"),
+        ((lit(2).cast("decimal(38,0)") * col("u_below") + col("u_ties"))
+          .cast("double") /
+          nullif((lit(2).cast("decimal(38,0)") * col("n_dup") * col("n_uniq"))
+            .cast("double"), lit(0.0))).as("dup_auc"))
+      .orderBy(col("source"))
+  }
+
   /** Language-ID accuracy evaluation: the confusion matrix of
     * [[languageId]]'s prediction against the labeled `lang` column —
     * per (actual, predicted) pair the doc count and the share of the

@@ -8,6 +8,30 @@ import graft.operators.{Analytics, Privacy, Temporal}
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("kmRepurchase: product-limit curve with right-censoring") {
+    // segment A: c1/c4 repurchase at gap 2, c2 at gap 4, c3 never
+    // (censored at the frontier 2024-01-11, gap 10, after both event
+    // times -> at risk at both). c1's THIRD order must not matter.
+    // segment B: c5 single order at the frontier -> censored, no rows.
+    // KM: t=2 n=4 d=2 S=0.5; t=4 n=2 d=1 S=0.25.
+    val o = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-03"), (1L, "2024-01-10"),
+      (2L, "2024-01-01"), (2L, "2024-01-05"),
+      (3L, "2024-01-01"),
+      (4L, "2024-01-01"), (4L, "2024-01-03"),
+      (5L, "2024-01-11"))
+      .map { case (c, d) => (c, Timestamp.valueOf(d + " 00:00:00")) }
+      .toDF("o_custkey", "o_orderdate")
+    val cust = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"), (5L, "B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val out = Analytics.kmRepurchase(o, cust).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+    assert(out.toSeq == Seq(
+      ("A", 2L) -> ((2L, 4L, 0.5)),
+      ("A", 4L) -> ((1L, 2L, 0.25))))
+  }
+
   test("soleLateSuppliers: only the sole late supplier of a shared order") {
     val orders = Seq((1L, Date.valueOf("2024-01-01")),
       (2L, Date.valueOf("2024-01-01")), (3L, Date.valueOf("2024-01-01")))

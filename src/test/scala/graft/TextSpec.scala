@@ -610,4 +610,32 @@ class TextSpec extends SparkSpec {
     assert(out(("srcA", "srcB")) == ((1L, 2L, 0.5)))
     assert(out(("srcC", "srcC")) == ((1L, 2L, 0.5)))
   }
+
+  test("dupAuc: U-statistic with midrank ties, NULL scores excluded") {
+    // s1: docs 1/2 identical low-quality pair (2 is the dup copy),
+    // docs 3/4 unique high-quality. The one positive ties its own
+    // canonical (identical text = identical score) and sits below
+    // both uniques: U = 0 strict + 0.5 tie -> auc = 0.5/3 = 1/6.
+    // s2: no dups -> NULL auc; the empty doc's NULL score is excluded
+    // so n_uniq = 2, not 3.
+    val d = Seq(
+      (1L, "zz qq zz", "s1"),
+      (2L, "zz qq zz", "s1"),
+      (3L, "the quick brown fox and the lazy dog is here today", "s1"),
+      (4L, "a stitch in time saves nine and the rest is history", "s1"),
+      (5L, "completely unrelated words occupy this document space", "s2"),
+      (6L, "and another set of the finest filler words is present", "s2"),
+      (7L, "", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.dupAuc(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out.keySet == Set("s1", "s2"))
+    assert(out("s1")._1 == 1L && out("s1")._2 == 3L)
+    assert(math.abs(out("s1")._3.get - 1.0 / 6.0) < 1e-15,
+      "one tied pair of three gets half credit")
+    assert(out("s2") == ((0L, 2L, None)),
+      "dup-free source: NULL auc, empty doc excluded")
+  }
 }
