@@ -8,7 +8,7 @@ object Bench {
     * knn, all-pairs cosine) are excluded — their scale path
     * (IVF/LSH/minhash) is what gets benched. */
   val headline: Seq[String] = Seq(
-    "q1_pricing_summary", "q_revenue_by_nation", "q_revenue_growth", "q_gini", "q_discount_lift", "q_dead_stock", "q_repurchase", "q_km_survival", "q_supplier_hhi", "q_supplier_risk", "q_price_realization", "q_line_position", "q_reconcile", "q_local_volume", "q_returned_items",
+    "q1_pricing_summary", "q_revenue_by_nation", "q_revenue_growth", "q_gini", "q_ltv_deciles", "q_discount_lift", "q_discount_elasticity", "q_dead_stock", "q_repurchase", "q_km_survival", "q_supplier_hhi", "q_supplier_risk", "q_price_realization", "q_line_position", "q_reconcile", "q_local_volume", "q_returned_items",
     "q_order_priority", "q_revenue_forecast", "q_nation_trade",
     "q_market_share", "q_product_profit", "q_priority_delay",
     "q_cust_order_dist", "q_promo_share", "q_top_supplier",

@@ -852,6 +852,12 @@ object SparkEntry {
     // per-nation customer revenue inequality (exact rank-weighted sum)
     "q_gini" -> ((s, d) =>
       Analytics.giniByNation(Tables.orders(s, d), Tables.customer(s, d))),
+    // LTV decile table: where the revenue mass sits, per segment
+    "q_ltv_deciles" -> ((s, d) =>
+      Analytics.ltvDeciles(Tables.orders(s, d), Tables.customer(s, d))),
+    // least-squares qty-per-discount-point slope per brand
+    "q_discount_elasticity" -> ((s, d) =>
+      Analytics.discountElasticity(Tables.lineitem(s, d), Tables.part(s, d))),
     "q_top_orders_per_cust" -> ((s, d) =>
       Analytics.topOrdersPerCustomer(Tables.orders(s, d))),
     // Same result through the graft_topk bounded-heap aggregate — the
@@ -2554,6 +2560,51 @@ object SparkEntry {
               (CAST(count(*) AS DOUBLE) * sum(rev_c)) -
               CAST(count(*) + 1 AS DOUBLE) / count(*) AS gini
           FROM rnk GROUP BY 1 ORDER BY 1""",
+    // ntile over the deterministic (rev, custkey) order; shares are
+    // one double division off bigint cent sums per decile row
+    "q_ltv_deciles" ->
+      """WITH rev AS (SELECT o_custkey,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_c
+          FROM orders GROUP BY 1),
+          j AS (SELECT c_mktsegment AS segment, o_custkey, rev_c
+            FROM rev JOIN customer ON o_custkey = c_custkey),
+          dd AS (SELECT segment, rev_c, ntile(10) OVER (
+            PARTITION BY segment ORDER BY rev_c, o_custkey) AS decile
+          FROM j),
+          g AS (SELECT segment, decile,
+            CAST(count(*) AS BIGINT) AS n_custs,
+            CAST(sum(rev_c) AS BIGINT) AS rev_cents
+          FROM dd GROUP BY 1, 2)
+          SELECT segment, decile, n_custs,
+            CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+            CAST(rev_cents AS DOUBLE) /
+              CAST(sum(rev_cents) OVER (PARTITION BY segment) AS DOUBLE)
+              AS rev_share,
+            CAST(sum(rev_cents) OVER (PARTITION BY segment
+                ORDER BY decile) AS DOUBLE) /
+              CAST(sum(rev_cents) OVER (PARTITION BY segment) AS DOUBLE)
+              AS cum_share
+          FROM g ORDER BY 1, 2""",
+    // integer moments (HUGEINT here, DECIMAL(38,0) engine side), the
+    // slope a fixed-shape double expression over per-moment casts
+    "q_discount_elasticity" ->
+      """WITH base AS (SELECT p_brand,
+            CAST(round(l_discount * 100) AS BIGINT) AS x,
+            CAST(round(l_quantity) AS BIGINT) AS y
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+          m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+            sum(x) AS sx, sum(y) AS sy,
+            sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM base GROUP BY 1)
+          SELECT p_brand, n_lines,
+            CAST(sy AS DOUBLE) / CAST(n_lines AS DOUBLE) AS avg_qty,
+            (CAST(n_lines AS DOUBLE) * CAST(sxy AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              nullif(CAST(n_lines AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), CAST(0.0 AS DOUBLE))
+              AS qty_slope_per_pt
+          FROM m ORDER BY 1""",
     "q_revenue_growth" ->
       """WITH q AS (SELECT n_name,
             CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,

@@ -753,6 +753,88 @@ object Analytics {
       .orderBy(col("p_brand"))
   }
 
+  /** Discount elasticity of demand per brand: the closed-form
+    * least-squares slope of order quantity on the discount level —
+    * "how many extra units does one discount point buy", the
+    * dose-response refinement of [[discountLift]]'s binary
+    * discounted-vs-not contrast (a lift of 1.1 can hide a flat curve
+    * with one deep-discount outlier; the slope sees the whole ladder).
+    *
+    * Exact-moment shape: x = the discount in integer points
+    * (round(l_discount·100) — the data's own 0.01 grid), y = integer
+    * units, so (n, Σx, Σy, Σx², Σxy) are exact integer sums off ONE
+    * brand-grain hash aggregate — no second pass, no window. Moments
+    * fold in DECIMAL(38,0) (int64 Σxy wraps silently at real row
+    * counts; DECIMAL(38,0) is the int128 twin of the oracle's
+    * HUGEINT), and the slope is a fixed-shape double expression over
+    * per-moment casts — both engines multiply the same doubles in the
+    * same order. Single-discount-level brands have zero x-variance →
+    * NULL slope via nullif, not a division blowup. */
+  def discountElasticity(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val base = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        round(col("l_discount") * 100).cast("long")
+          .cast("decimal(38,0)").as("x"),
+        round(col("l_quantity")).cast("long")
+          .cast("decimal(38,0)").as("y"))
+    base.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("p_brand"), col("n_lines"),
+        (col("sy").cast("double") / col("n_lines").cast("double"))
+          .as("avg_qty"),
+        ((col("n_lines").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          nullif(col("n_lines").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"),
+            lit(0.0))).as("qty_slope_per_pt"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Customer lifetime-value deciles per market segment: customers
+    * ranked by total order revenue within their segment, cut into ten
+    * equal-population tiles, with each decile's headcount, revenue,
+    * revenue share and cumulative share — the "top 10% of customers
+    * carry X% of revenue" table that [[giniByNation]] compresses to
+    * one number (the Gini says HOW concentrated; the decile table
+    * says WHERE the mass sits, which is what a retention budget
+    * needs).
+    *
+    * Scale shape: revenue is a cent-exact customer-grain aggregate
+    * (the only corpus-sized shuffle), the segment label a broadcast
+    * dim join, and the ntile window partitions BY SEGMENT — no global
+    * single-partition sort; within a segment the customer grain is
+    * already ≪ the order grain. Ties order by (rev, custkey) so tile
+    * boundaries are deterministic in both engines; shares are one
+    * double division off bigint cent sums per decile row. */
+  def ltvDeciles(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val rev = orders
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("rev_c"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("rev_c"), col("o_custkey"))
+    val wseg = Window.partitionBy(col("segment"))
+    val wcum = Window.partitionBy(col("segment")).orderBy(col("decile"))
+    rev
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("c_mktsegment").as("segment"), col("decile"))
+      .agg(count(lit(1)).as("n_custs"), sum(col("rev_c")).as("rev_cents"))
+      .select(col("segment"), col("decile"), col("n_custs"),
+        (col("rev_cents").cast("double") / 100.0).as("revenue"),
+        (col("rev_cents").cast("double") /
+          sum(col("rev_cents")).over(wseg).cast("double")).as("rev_share"),
+        (sum(col("rev_cents")).over(wcum).cast("double") /
+          sum(col("rev_cents")).over(wseg).cast("double")).as("cum_share"))
+      .orderBy(col("segment"), col("decile"))
+  }
+
   /** Hour-of-day traffic profile per event type: counts on the
     * (type, hour) grid, each hour's share of the type's day, and the
     * type's peak hour (argmax via an order-independent max over

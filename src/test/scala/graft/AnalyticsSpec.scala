@@ -32,6 +32,39 @@ class AnalyticsSpec extends SparkSpec {
       ("A", 4L) -> ((1L, 2L, 0.25))))
   }
 
+  test("ltvDeciles: deterministic tile cut, cent-exact shares") {
+    // 4 customers in segment A with revenues 1/2/3/4 -> ntile(10) puts
+    // one customer per tile 1..4 (first tiles get the extras only when
+    // n > tiles); shares 0.1/0.2/0.3/0.4, cum 0.1/0.3/0.6/1.0.
+    val o = Seq((1L, 1.0), (2L, 2.0), (3L, 1.5), (3L, 1.5), (4L, 4.0))
+      .toDF("o_custkey", "o_totalprice")
+    val cust = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"))
+      .toDF("c_custkey", "c_mktsegment")
+    val out = Analytics.ltvDeciles(o, cust).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+    assert(out.toSeq == Seq(
+      ("A", 1L) -> ((1L, 1.0, 0.1, 0.1)),
+      ("A", 2L) -> ((1L, 2.0, 0.2, 0.3)),
+      ("A", 3L) -> ((1L, 3.0, 0.3, 0.6)),
+      ("A", 4L) -> ((1L, 4.0, 0.4, 1.0))))
+  }
+
+  test("discountElasticity: exact-moment slope, NULL on zero variance") {
+    // brand B1: (x=0,y=10) x2, (x=10,y=20) x2 -> slope = 1 unit/pt,
+    // avg 15. B2: all x=5 -> zero x-variance -> NULL slope.
+    val li = Seq((1L, 0.0, 10.0), (1L, 0.0, 10.0),
+      (1L, 0.10, 20.0), (1L, 0.10, 20.0),
+      (2L, 0.05, 7.0), (2L, 0.05, 9.0))
+      .toDF("l_partkey", "l_discount", "l_quantity")
+    val part = Seq((1L, "B1"), (2L, "B2")).toDF("p_partkey", "p_brand")
+    val out = Analytics.discountElasticity(li, part).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out("B1") == ((4L, 15.0, Some(1.0))))
+    assert(out("B2") == ((2L, 8.0, None)))
+  }
+
   test("soleLateSuppliers: only the sole late supplier of a shared order") {
     val orders = Seq((1L, Date.valueOf("2024-01-01")),
       (2L, Date.valueOf("2024-01-01")), (3L, Date.valueOf("2024-01-01")))
