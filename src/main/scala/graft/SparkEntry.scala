@@ -72,6 +72,10 @@ object SparkEntry {
     * the ordering contract, not the cut, is what the gate checks). */
   private val VocabTopN = 1000
 
+  /** q_source_kl: corpus-term simplex size (+1 residual bucket) the
+    * per-source KL folds over — bounds the fold at any corpus size. */
+  private val KlTopTerms = 2000
+
   /** q_zipf: top-rank terms the log-log OLS fits over. */
   private val ZipfTopK = 100
 
@@ -553,6 +557,10 @@ object SparkEntry {
     * at every SF. */
   private val FixedPerStratum = 30
 
+  /** q_weighted_sample: docs drawn per source by token-mass A-ES keys
+    * — binds at every SF (sources are larger). */
+  private val WeightedPerStratum = 25
+
   /** q_reach_var: jackknife replicate groups. */
   private val JackknifeGroups = 10
 
@@ -827,6 +835,9 @@ object SparkEntry {
     // Kaplan–Meier time-to-second-order survival (censoring-aware)
     "q_km_survival" -> ((s, d) =>
       Analytics.kmRepurchase(Tables.orders(s, d), Tables.customer(s, d))),
+    // order-intensity band transition matrix between history halves
+    "q_segment_migration" -> ((s, d) =>
+      Analytics.segmentMigration(Tables.orders(s, d))),
     // revenue exposure through negative-balance suppliers
     "q_supplier_risk" -> ((s, d) =>
       Analytics.supplierRisk(Tables.lineitem(s, d), Tables.supplier(s, d))),
@@ -1344,6 +1355,9 @@ object SparkEntry {
       DataChecks.dailyTrend(Tables.events(s, d))),
     "q_source_overlap" -> ((s, d) =>
       TextAnalysis.sourceVocabOverlap(Tables.documents(s, d))),
+    // per-source unigram KL vs the corpus over the top-K simplex
+    "q_source_kl" -> ((s, d) =>
+      TextAnalysis.sourceKl(Tables.documents(s, d), KlTopTerms)),
     "q_session_paths" -> ((s, d) =>
       Temporal.sessionPaths(Tables.events(s, d), SessionGapMin,
         PathMaxLen, PathTopN)),
@@ -1667,6 +1681,12 @@ object SparkEntry {
       TextAnalysis.langIdEval(Tables.documentsFloored(s, d))),
     "q_sample_fixed" -> ((s, d) =>
       Curation.fixedSample(Tables.documents(s, d), FixedPerStratum)),
+    // token-mass-weighted sample (Efraimidis-Spirakis top-k keys)
+    "q_weighted_sample" -> ((s, d) =>
+      Curation.weightedSample(Tables.documents(s, d), WeightedPerStratum)),
+    // domain-grain keep/sample/drop policy off quality+dup+length
+    "q_domain_policy" -> ((s, d) =>
+      Curation.domainPolicy(Tables.documents(s, d))),
     "q_cluster_best" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       NearDup.clusterBest(docs, NearDup.minhashPairs(docs))
@@ -2446,6 +2466,34 @@ object SparkEntry {
               list_transform(list_filter(a, x -> x.g <= gap), x -> x.t)),
               (acc, x) -> acc * x) AS survival
           FROM e JOIN arr USING (segment) ORDER BY 1, 2""",
+    // date-grain midpoint (lo + days//2), per-half customer counts,
+    // full outer join, banding CASE, grid-sized share window
+    "q_segment_migration" ->
+      """WITH mm AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+            CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+          md AS (SELECT lo + CAST(date_diff('day', lo, hi) // 2
+              AS INTEGER) AS mid
+            FROM mm),
+          h1 AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n1
+            FROM orders, md WHERE CAST(o_orderdate AS DATE) <= mid
+            GROUP BY o_custkey),
+          h2 AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n2
+            FROM orders, md WHERE CAST(o_orderdate AS DATE) > mid
+            GROUP BY o_custkey),
+          j AS (SELECT
+              CASE WHEN n1 IS NULL THEN 'absent' WHEN n1 = 1 THEN 'light'
+                WHEN n1 <= 4 THEN 'regular' ELSE 'heavy' END AS band_h1,
+              CASE WHEN n2 IS NULL THEN 'absent' WHEN n2 = 1 THEN 'light'
+                WHEN n2 <= 4 THEN 'regular' ELSE 'heavy' END AS band_h2
+            FROM h1 FULL OUTER JOIN h2 USING (o_custkey)),
+          g AS (SELECT band_h1, band_h2, CAST(count(*) AS BIGINT)
+              AS n_customers
+            FROM j GROUP BY band_h1, band_h2)
+          SELECT band_h1, band_h2, n_customers,
+            CAST(n_customers AS DOUBLE) /
+              CAST(sum(n_customers) OVER (PARTITION BY band_h1)
+                AS DOUBLE) AS share_of_h1
+          FROM g ORDER BY band_h1, band_h2""",
     "q_supplier_risk" ->
       """WITH rev AS (SELECT l_suppkey,
             CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
@@ -4720,6 +4768,43 @@ object SparkEntry {
           FROM i JOIN sz sa ON sa.source = i.source_a
             JOIN sz sb ON sb.source = i.source_b
           ORDER BY 1, 2""",
+    // Top-K + __other__ bucketed simplex; probabilities are single
+    // divisions of exact counts and the KL folds in bucket order.
+    "q_source_kl" ->
+      s"""WITH tk AS (SELECT source, $ToksSql AS toks FROM documents),
+          e AS (SELECT source, unnest(toks) AS term FROM tk),
+          tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+            FROM e GROUP BY source, term),
+          corpus AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS ct
+            FROM tf GROUP BY term),
+          tt AS (SELECT term FROM corpus
+            ORDER BY ct DESC, term LIMIT $KlTopTerms),
+          b AS (SELECT source,
+              CASE WHEN tt.term IS NOT NULL THEN tf.term
+                ELSE '__other__' END AS bucket, cnt
+            FROM tf LEFT JOIN tt ON tf.term = tt.term),
+          bk AS (SELECT source, bucket, CAST(sum(cnt) AS BIGINT) AS n_st
+            FROM b GROUP BY source, bucket),
+          bt AS (SELECT bucket, CAST(sum(n_st) AS BIGINT) AS n_t
+            FROM bk GROUP BY bucket),
+          btt AS (SELECT bucket, n_t,
+            CAST(sum(n_t) OVER () AS BIGINT) AS tot_c FROM bt),
+          j AS (SELECT source, bk.bucket, n_st,
+              CAST(sum(n_st) OVER (PARTITION BY source) AS BIGINT) AS tot_s,
+              n_t, tot_c
+            FROM bk JOIN btt ON bk.bucket = btt.bucket),
+          p AS (SELECT source, bucket, n_st,
+              CAST(n_st AS DOUBLE) / tot_s AS ps,
+              CAST(n_t AS DOUBLE) / tot_c AS pc
+            FROM j),
+          c AS (SELECT source, bucket, n_st, ps * ln(ps / pc) AS contrib
+            FROM p)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_buckets,
+            CAST(sum(n_st) AS BIGINT) AS n_tokens,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(contrib ORDER BY bucket)), (x, y) -> x + y)
+              AS kl_vs_corpus
+          FROM c GROUP BY source ORDER BY source""",
     // Same session CTEs as q_sessionize, carrying event_type; the
     // ordered list slice is the path prefix, share one bigint division.
     "q_session_paths" ->
@@ -5933,6 +6018,57 @@ object SparkEntry {
               ORDER BY h, doc_id) AS INTEGER) AS rk FROM h)
           SELECT doc_id, lang, rk FROM r WHERE rk <= $FixedPerStratum
           ORDER BY lang, rk""",
+    // A-ES keys replayed off the same md5 uniforms; the engine's
+    // bounded-heap top-k is proven against the window formulation
+    "q_weighted_sample" ->
+      s"""WITH t AS (SELECT source AS stratum, doc_id,
+            CAST(len($ToksSql) AS BIGINT) AS weight,
+            (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':es'),
+              1, 6))::BIGINT AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+              CAST(16777216.0 AS DOUBLE) AS u
+          FROM documents),
+          k AS (SELECT stratum, doc_id, ln(u) / CAST(weight AS DOUBLE)
+              AS es_key
+            FROM t WHERE weight > 0),
+          r AS (SELECT stratum, doc_id, es_key,
+            CAST(row_number() OVER (PARTITION BY stratum
+              ORDER BY es_key DESC, doc_id) AS INTEGER) AS rk FROM k)
+          SELECT stratum, doc_id, es_key, rk FROM r
+          WHERE rk <= $WeightedPerStratum ORDER BY stratum, rk""",
+    // quality mean off the floor(score*1e6) integer grid, dup flag off
+    // the fingerprint counts, policy CASE with the engine's thresholds
+    "q_domain_policy" ->
+      s"""WITH $QualityScoreCtes,
+          fp AS (SELECT doc_id, md5($NormSql) AS f FROM documents),
+          fc AS (SELECT f, count(*) AS cnt FROM fp GROUP BY f),
+          d AS (SELECT qsc.source, qsc.token_cnt, qsc.quality_score,
+              CASE WHEN fc.cnt > 1 THEN 1 ELSE 0 END AS is_dup
+            FROM qsc JOIN fp ON qsc.doc_id = fp.doc_id
+              JOIN fc ON fp.f = fc.f),
+          g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(coalesce(sum(is_dup), 0) AS BIGINT) AS n_dup,
+              CAST(coalesce(sum(CASE WHEN token_cnt <
+                ${Curation.PolicyMinTokens} THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_short,
+              sum(CAST(floor(quality_score * 1000000) AS BIGINT)) AS sq_sum,
+              CAST(count(quality_score) AS BIGINT) AS n_scored
+            FROM d GROUP BY source),
+          r AS (SELECT source, n_docs,
+              CAST(n_dup AS DOUBLE) / n_docs AS dup_rate,
+              CAST(n_short AS DOUBLE) / n_docs AS short_rate,
+              CAST(sq_sum AS DOUBLE) / nullif(n_scored, 0) / 1000000.0
+                AS avg_quality
+            FROM g)
+          SELECT source, n_docs, dup_rate, short_rate, avg_quality,
+            CASE WHEN avg_quality IS NULL
+                OR avg_quality < ${Curation.PolicyMinQuality}
+                OR dup_rate > ${Curation.PolicyMaxDupRate} THEN 'drop'
+              WHEN avg_quality < ${Curation.PolicySampleQuality}
+                OR dup_rate > ${Curation.PolicySampleDupRate}
+                OR short_rate > ${Curation.PolicyMaxShortRate}
+                THEN 'sample'
+              ELSE 'keep' END AS policy
+          FROM r ORDER BY source""",
     "q_cluster_best" ->
       s"""WITH RECURSIVE $MinhashVerCtes,
           $ClusterCtes,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -970,6 +970,58 @@ object Analytics {
         aggregate(slice(col("a"), lit(1), col("pos") + 1), lit(1.0),
           (acc, x) => acc * x.getField("t")).as("survival"))
       .orderBy(col("segment"), col("gap_days"))
+  }
+
+  /** Customer order-intensity migration matrix: customers banded by
+    * order count (absent / light=1 / regular=2–4 / heavy=5+) in the
+    * FIRST and SECOND half of the order history, one row per
+    * (band_h1, band_h2) with headcount and the share of the h1 band
+    * that moved there — the full transition picture behind
+    * [[graft.operators.Journey.lifecycle]]'s four-bucket accounting
+    * (lifecycle says WHO was retained; the matrix says whether your
+    * heavy buyers are decaying into light ones, which retention
+    * counts can't see). Customers absent in both halves don't exist
+    * in the data, so the 'absent'→'absent' cell is structurally
+    * empty.
+    *
+    * Shape: the midpoint date is derived from collected min/max
+    * literals (driver-small scalars, the operator-frame scan rule);
+    * each half is a customer-grain count aggregate; the full outer
+    * join on custkey is the only other shuffle; banding is a
+    * row-local CASE and everything after runs on the ≤4×4 grid.
+    * Integer date midpoint (lo + days/2) so both engines cut the
+    * same day; h1 takes the boundary date. */
+  def segmentMigration(orders: DataFrame): DataFrame = {
+    // timestamp-typed in the testdata — cast to date BEFORE collecting
+    // so the literal and the comparisons are all date-grain; collected
+    // as ISO strings (date-typed Row decoding trips over the java8
+    // datetime external-row path on this Spark build)
+    val r = orders.agg(
+      min(col("o_orderdate").cast("date")).cast("string"),
+      max(col("o_orderdate").cast("date")).cast("string")).first()
+    val (lo, hi) = (java.time.LocalDate.parse(r.getString(0)),
+      java.time.LocalDate.parse(r.getString(1)))
+    val mid = lit(lo.plusDays(
+      java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2).toString)
+      .cast("date")
+    def half(f: DataFrame, nm: String) = f.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as(nm))
+    val h1 = half(orders.where(col("o_orderdate").cast("date") <= mid),
+      "n1")
+    val h2 = half(orders.where(col("o_orderdate").cast("date") > mid),
+      "n2")
+    def band(c: Column) = when(c.isNull, lit("absent"))
+      .when(c === 1, lit("light")).when(c <= 4, lit("regular"))
+      .otherwise(lit("heavy"))
+    val w1 = Window.partitionBy(col("band_h1"))
+    h1.join(h2, Seq("o_custkey"), "full_outer")
+      .select(band(col("n1")).as("band_h1"), band(col("n2")).as("band_h2"))
+      .groupBy(col("band_h1"), col("band_h2"))
+      .agg(count(lit(1)).as("n_customers"))
+      .withColumn("share_of_h1",
+        col("n_customers").cast("double") /
+          sum(col("n_customers")).over(w1).cast("double"))
+      .orderBy(col("band_h1"), col("band_h2"))
   }
 
   /** Supplier concentration per nation: the Herfindahl–Hirschman

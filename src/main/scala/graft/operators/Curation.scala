@@ -12,6 +12,16 @@ import graft.functions.TextFunctions._
   */
 object Curation {
 
+  /** [[domainPolicy]] thresholds — interpolated verbatim into the
+    * q_domain_policy oracle so the policy CASE is part of the hash
+    * gate, not folklore. */
+  val PolicyMinQuality = 0.23
+  val PolicySampleQuality = 0.245
+  val PolicyMaxDupRate = 0.5
+  val PolicySampleDupRate = 0.25
+  val PolicyMaxShortRate = 0.12
+  val PolicyMinTokens = 20
+
   /** Deterministic per-doc sampling bucket in [0, buckets): the first
     * 24 bits of md5(doc_id) — stable across runs, engines, partitions
     * and cluster sizes, unlike `rand()` (re-rolls per task retry) or
@@ -462,6 +472,102 @@ object Curation {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= perSource)
       .orderBy(col("source"), col("rk"))
+  }
+
+  /** Per-source (domain) curation policy rollup: every doc-level
+    * signal this engine computes — composite quality, exact-dup
+    * membership, too-short flag — aggregated to the grain curation
+    * decisions are actually made at (a crawler blocks DOMAINS, not
+    * documents), with a keep / sample / drop policy label derived
+    * from fixed thresholds. The domain-reputation table a pipeline
+    * consults before it even fetches: a source whose corpus-wide dup
+    * rate or quality mean is junk gets dropped wholesale, one that's
+    * merely noisy gets sampled.
+    *
+    * Determinism + scale: quality scores are micro-quantized
+    * (floor(score·1e6), the [[TextAnalysis.dupAuc]] recipe — identical
+    * double→int boundary in both engines) so the per-source mean is
+    * exact integer arithmetic with ONE division at the end; dup
+    * membership is a count-over-fingerprint window (the exact-dedup
+    * shuffle, md5 keys so no skew); everything else is row-local and
+    * the final grain is |sources|. NULL-score docs (empty text) count
+    * in n_docs but carry no quality signal; a source with no scored
+    * docs has NULL avg_quality and is policy 'drop' explicitly. */
+  def domainPolicy(docs: DataFrame,
+                   minQuality: Double = PolicyMinQuality,
+                   sampleQuality: Double = PolicySampleQuality,
+                   maxDupRate: Double = PolicyMaxDupRate,
+                   sampleDupRate: Double = PolicySampleDupRate,
+                   maxShortRate: Double = PolicyMaxShortRate,
+                   minTokens: Int = PolicyMinTokens): DataFrame = {
+    val scored = TextAnalysis.qualityFrame(
+      docs.withColumn("fingerprint", md5(normText(col("text")))),
+      passthrough = Seq("fingerprint", "source"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fingerprint"))
+    val flagged = scored
+      .withColumn("is_dup", (count(lit(1)).over(wf) > 1).cast("int"))
+      .select(col("source"), col("is_dup"),
+        (col("token_cnt") < minTokens).cast("int").as("is_short"),
+        floor(col("quality_score") * 1000000).cast("long").as("sq"))
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("is_dup")), lit(0L)).as("n_dup"),
+        coalesce(sum(col("is_short")), lit(0L)).as("n_short"),
+        sum(col("sq")).as("sq_sum"),
+        count(col("sq")).as("n_scored"))
+      .select(col("source"), col("n_docs"),
+        (col("n_dup").cast("double") / col("n_docs")).as("dup_rate"),
+        (col("n_short").cast("double") / col("n_docs")).as("short_rate"),
+        (col("sq_sum").cast("double") / nullif(col("n_scored"), lit(0L)) /
+          lit(1000000.0)).as("avg_quality"))
+      .withColumn("policy",
+        when(col("avg_quality").isNull
+          .or(col("avg_quality") < minQuality)
+          .or(col("dup_rate") > maxDupRate), lit("drop"))
+          .when((col("avg_quality") < sampleQuality)
+            .or(col("dup_rate") > sampleDupRate)
+            .or(col("short_rate") > maxShortRate), lit("sample"))
+          .otherwise(lit("keep")))
+      .orderBy(col("source"))
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis
+    * A-ES): the top `perStratum` docs per stratum under the key
+    * ln(u)/w — equivalent to u^(1/w), so a doc's inclusion
+    * probability is proportional to its weight (here its token
+    * count: "sample by token mass, not doc count", which is what a
+    * token-budgeted corpus actually wants). u is a deterministic
+    * md5-derived uniform ((first 24 bits + ½)/2²⁴ — never 0 or 1,
+    * salt ':es' keeps it independent of the split/sample buckets),
+    * so the sample is rerun-stable and engine-portable, unlike
+    * rand().
+    *
+    * Scale shape: the key is a row-local projection; selection is the
+    * `graft_topk` bounded-heap aggregate — per-row O(log k),
+    * map-side combine, shuffle volume strata×k — NOT a
+    * row_number window, which would sort every doc of a popular
+    * source on one partition. Zero-weight docs can never be drawn
+    * (u^(1/0)=0) and are excluded symmetrically on both sides. */
+  def weightedSample(docs: DataFrame, perStratum: Int = 50,
+                     strataCol: String = "source"): DataFrame = {
+    require(perStratum > 0, s"perStratum must be positive: $perStratum")
+    val keyed = docs
+      .select(col(strataCol).as("stratum"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("weight"),
+        ((conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":es"))), 1, 6), 16, 10).cast("long").cast("double") + 0.5) /
+          16777216.0).as("u"))
+      .where(col("weight") > 0)
+      .withColumn("es_key", log(col("u")) / col("weight").cast("double"))
+    keyed.groupBy(col("stratum"))
+      .agg(call_function("graft_topk", col("es_key"), col("doc_id"),
+        lit(perStratum)).as("top"))
+      .select(col("stratum"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("stratum"), col("e.id").as("doc_id"),
+        col("e.score").as("es_key"),
+        (col("pos") + 1).cast("int").as("rk"))
+      .orderBy(col("stratum"), col("rk"))
   }
 
   /** End-to-end curation funnel: quality filter → blocklist → exact

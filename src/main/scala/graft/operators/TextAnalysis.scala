@@ -363,6 +363,61 @@ object TextAnalysis {
       .orderBy(col("n_occ").desc, col("term"))
       .limit(topN)
 
+  /** Per-source unigram KL divergence to the corpus distribution —
+    * "which sources read least like the rest of the data", the
+    * information-theoretic refinement of [[sourceVocabOverlap]]'s
+    * set-level Jaccard (two sources can share every WORD and still
+    * use them at wildly different rates). KL(source ‖ corpus) =
+    * Σ p_s·ln(p_s/p_c), always finite here because every source term
+    * is by construction a corpus term.
+    *
+    * Scale design: the distribution support is bounded to the top
+    * `topTerms` corpus terms plus one residual `__other__` bucket
+    * ('_' is outside the token alphabet, so no collision) — an
+    * unbounded support would need a per-source fold over the full
+    * vocabulary (collect_list of millions of terms at 100 TB), while
+    * the bucketed simplex keeps the ordered fold ≤ topTerms+1 rows
+    * per source at ANY corpus size, and top-term mass dominates KL in
+    * Zipfian text anyway. Work: one (source, term) hash aggregate
+    * (the only corpus-sized exchange), a TakeOrdered top-K (heap, no
+    * global sort), a broadcast membership join, then grid-sized
+    * arithmetic; probabilities are single divisions of exact bigint
+    * counts and the KL sum folds in bucket order so both engines add
+    * identically. */
+  def sourceKl(docs: DataFrame, topTerms: Int = 2000): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+    val top = tf.groupBy(col("term")).agg(sum(col("cnt")).as("ct"))
+      .orderBy(col("ct").desc, col("term")).limit(topTerms)
+      .select(col("term"), lit(1).as("in_top"))
+    val bucketed = tf.join(broadcast(top), Seq("term"), "left")
+      .select(col("source"),
+        when(col("in_top").isNotNull, col("term"))
+          .otherwise(lit("__other__")).as("bucket"),
+        col("cnt"))
+      .groupBy(col("source"), col("bucket")).agg(sum(col("cnt")).as("n_st"))
+    val wc = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bt = bucketed.groupBy(col("bucket")).agg(sum(col("n_st")).as("n_t"))
+      .withColumn("tot_c", sum(col("n_t")).over(wc))
+    val ws = Window.partitionBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val contrib = bucketed
+      .withColumn("tot_s", sum(col("n_st")).over(ws))
+      .join(broadcast(bt), "bucket")
+      .withColumn("ps", col("n_st").cast("double") / col("tot_s"))
+      .withColumn("pc", col("n_t").cast("double") / col("tot_c"))
+      .withColumn("contrib", col("ps") * log(col("ps") / col("pc")))
+    contrib.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n_st")).as("n_tokens"),
+        aggregate(array_sort(collect_list(struct(col("bucket"),
+          col("contrib")))), lit(0.0),
+          (a, x) => a + x.getField("contrib")).as("kl_vs_corpus"))
+      .orderBy(col("source"))
+  }
+
   /** Pairwise vocabulary overlap between sources: for each source
     * pair, the Jaccard similarity of their distinct token sets — the
     * mixture-design signal for "are these two crawls the same corpus

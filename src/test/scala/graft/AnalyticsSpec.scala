@@ -50,6 +50,26 @@ class AnalyticsSpec extends SparkSpec {
       ("A", 4L) -> ((1L, 4.0, 0.4, 1.0))))
   }
 
+  test("segmentMigration: banded transition cells with h1-row shares") {
+    // span 2024-01-01..01-11 -> mid = 01-06 (lo + 10/2), h1 inclusive
+    def d(s: String) = Date.valueOf(s)
+    val orders = Seq(
+      (1L, d("2024-01-01")), (1L, d("2024-01-10")),   // light -> light
+      (2L, d("2024-01-02")), (2L, d("2024-01-03")), (2L, d("2024-01-06")),
+      (3L, d("2024-01-07")), (3L, d("2024-01-08")), (3L, d("2024-01-09")),
+      (3L, d("2024-01-10")), (3L, d("2024-01-11")),   // absent -> heavy
+      (4L, d("2024-01-04"))                           // light -> absent
+    ).toDF("o_custkey", "o_orderdate")
+    val out = Analytics.segmentMigration(orders).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3))))
+    assert(out.toSeq == Seq(
+      ("absent", "heavy") -> ((1L, 1.0)),
+      ("light", "absent") -> ((1L, 0.5)),
+      ("light", "light") -> ((1L, 0.5)),
+      ("regular", "absent") -> ((1L, 1.0))))
+  }
+
   test("discountElasticity: exact-moment slope, NULL on zero variance") {
     // brand B1: (x=0,y=10) x2, (x=10,y=20) x2 -> slope = 1 unit/pt,
     // avg 15. B2: all x=5 -> zero x-variance -> NULL slope.

@@ -179,6 +179,47 @@ class CurationSpec extends SparkSpec {
       Seq(("src0", 1, 0L), ("src0", 2, 2L), ("src1", 1, 1L), ("src1", 2, 3L)))
   }
 
+  test("domainPolicy: dup/low-quality drop, good keeps, shorts sample") {
+    val unit = "the quick brown fox and the lazy dog of summer is here to stay"
+    val good = Seq.fill(9)(unit).mkString(" ")         // ~126 toks, q≈0.56
+    val low = Seq.fill(2)(unit).mkString(" ")          // 28 toks, q≈0.16
+    val rows =
+      (1L to 4L).map(i => (i, good, "srcA")) ++        // 4 identical copies
+      (11L to 14L).map(i => (i, good + s" zebra$i", "srcB")) ++ // distinct
+      Seq((21L, good + " zebraone", "srcE"), (22L, good + " zebratwo", "srcE"),
+        (23L, "tiny doc here", "srcE")) ++             // 1/3 short → sample
+      Seq((26L, low + " zebraone", "srcC"), (27L, low + " zebratwo", "srcC")) ++
+      Seq((31L, "", "srcD"))                           // empty → NULL score
+    val df = rows.toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val out = Curation.domainPolicy(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("srcA").getLong(1) == 4 && out("srcA").getDouble(2) == 1.0)
+    assert(out("srcA").getString(5) == "drop", "all-dup domain drops")
+    assert(out("srcB").getDouble(2) == 0.0 &&
+      out("srcB").getDouble(4) > 0.45 && out("srcB").getString(5) == "keep")
+    assert(out("srcE").getString(5) == "sample",
+      s"short-heavy domain samples (short=${out("srcE").getDouble(3)})")
+    assert(out("srcC").getDouble(4) < 0.23 &&
+      out("srcC").getString(5) == "drop", "low-quality domain drops")
+    assert(out("srcD").isNullAt(4) && out("srcD").getString(5) == "drop",
+      "unscorable domain drops explicitly")
+  }
+
+  test("weightedSample: k per stratum, rerun-stable, zero-weight excluded") {
+    val df = ((1L to 10L).map(i =>
+      (i, Seq.fill(i.toInt)("word").mkString(" "), "a")) ++
+      Seq((21L, "hello world", "b"), (22L, "", "b")))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val out = Curation.weightedSample(df, 3).collect()
+    val byst = out.groupBy(_.getString(0))
+    assert(byst("a").length == 3, "binds on the large stratum")
+    assert(byst("a").map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3))
+    assert(byst("b").map(_.getLong(1)).toSeq == Seq(21L),
+      "zero-weight (empty) docs can never be drawn, short stratum kept")
+    assert(Curation.weightedSample(df, 3).collect().map(_.getLong(1)).toSet
+      == out.map(_.getLong(1)).toSet, "A-ES keys are rerun-stable")
+  }
+
   test("dedupIncrement flags exact, near, and fresh docs vs the corpus") {
     val body = (1 to 30).map(i => s"w$i").mkString(" ")
     val corpus = docs(10L -> body, 11L -> "an unrelated corpus document here")

@@ -434,6 +434,29 @@ class TextSpec extends SparkSpec {
     assert(r.getDouble(5) == 0.5)
   }
 
+  test("sourceKl: hand-checked divergence, residual bucket engages") {
+    val df = Seq(
+      (1L, "aa aa bb", "s1"), (2L, "bb bb cc", "s2"))
+      .toDF("doc_id", "text", "source")
+    // corpus: aa 2, bb 3, cc 1 (tot 6); s1: aa 2/3, bb 1/3
+    val out = TextAnalysis.sourceKl(df, 100).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val klA = 2.0 / 3 * math.log((2.0 / 3) / (2.0 / 6)) +
+      1.0 / 3 * math.log((1.0 / 3) / (3.0 / 6))
+    val klB = 2.0 / 3 * math.log((2.0 / 3) / (3.0 / 6)) +
+      1.0 / 3 * math.log((1.0 / 3) / (1.0 / 6))
+    assert(out("s1").getLong(2) == 3L && out("s2").getLong(2) == 3L)
+    assert(math.abs(out("s1").getDouble(3) - klA) < 1e-12)
+    assert(math.abs(out("s2").getDouble(3) - klB) < 1e-12)
+    // topTerms=1 keeps only bb; everything else folds into __other__
+    val b = TextAnalysis.sourceKl(df, 1).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(b("s1").getLong(1) == 2L, "bb + __other__")
+    val klA1 = 1.0 / 3 * math.log((1.0 / 3) / (3.0 / 6)) +
+      2.0 / 3 * math.log((2.0 / 3) / (3.0 / 6))
+    assert(math.abs(b("s1").getDouble(3) - klA1) < 1e-12)
+  }
+
   test("bigramLmScore: integer conditional contributions, hand-checked") {
     // corpus bigrams: "a b", "b c" (doc 1), "a c" (doc 2);
     // first-token counts: a→2, b→1. Scores (micro-probability):
