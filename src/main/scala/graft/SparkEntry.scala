@@ -800,6 +800,10 @@ object SparkEntry {
     "q_priority_delay" -> ((s, d) =>
       Analytics.shipDelayPriority(Tables.lineitem(s, d),
         Tables.orders(s, d), Q12Start, Q12End, Q12LateDays)),
+    // order→ship lag quartiles per priority (grid percentiles)
+    "q_fulfillment_latency" -> ((s, d) =>
+      Analytics.fulfillmentLatency(Tables.lineitem(s, d),
+        Tables.orders(s, d))),
     // TPC-H Q13 shape: order-count histogram incl. zero-order customers
     "q_cust_order_dist" -> ((s, d) =>
       Analytics.customerOrderDistribution(Tables.customer(s, d),
@@ -1358,6 +1362,10 @@ object SparkEntry {
     // per-source unigram KL vs the corpus over the top-K simplex
     "q_source_kl" -> ((s, d) =>
       TextAnalysis.sourceKl(Tables.documents(s, d), KlTopTerms)),
+    "q_ttr" -> ((s, d) =>
+      TextAnalysis.lexicalDiversity(Tables.documents(s, d))),
+    "q_readability" -> ((s, d) =>
+      TextAnalysis.readabilityBands(Tables.documents(s, d))),
     "q_session_paths" -> ((s, d) =>
       Temporal.sessionPaths(Tables.events(s, d), SessionGapMin,
         PathMaxLen, PathTopN)),
@@ -1542,6 +1550,9 @@ object SparkEntry {
       DataChecks.winsorize(Tables.events(s, d), "value", "event_type")),
     "q_basket_pairs" -> ((s, d) =>
       Temporal.basketPairs(Tables.events(s, d), SessionGapMin)),
+    // directed confidence/lift refinement of the basket support table
+    "q_assoc_rules" -> ((s, d) =>
+      Temporal.assocRules(Tables.events(s, d), SessionGapMin)),
     "q_event_gaps" -> ((s, d) =>
       Temporal.eventGaps(Tables.events(s, d))),
     // Sparse slice (1-in-997 events) so the daily series actually has
@@ -3954,6 +3965,46 @@ object SparkEntry {
             CAST(count(*) AS DOUBLE) / tot.n_sessions AS support
           FROM p CROSS JOIN tot GROUP BY 1, 2, tot.n_sessions
           ORDER BY 1, 2""",
+    // Same session CTE chain; item counts + both pair directions, and
+    // lift multiplies count-DOUBLES (the engine's overflow-proof form).
+    "q_assoc_rules" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+            event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+          s AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+              OR tu - lag(tu) OVER w > ${SessionGapMin * 60L * 1000000L}
+              THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          x AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_ix FROM s),
+          sets AS (SELECT user_id, session_ix,
+            list_sort(list_distinct(list(event_type))) AS types
+            FROM x GROUP BY 1, 2),
+          tot AS (SELECT count(*) AS n_sessions FROM sets),
+          iu AS (SELECT unnest(types) AS t FROM sets),
+          items AS (SELECT t, count(*) AS n_item FROM iu GROUP BY 1),
+          p AS (SELECT unnest(flatten(list_transform(
+              range(1, len(types)),
+              i -> list_transform(range(i + 1, len(types) + 1),
+                j -> [types[i], types[j]])))) AS pr
+            FROM sets WHERE len(types) >= 2),
+          co AS (SELECT pr[1] AS t1, pr[2] AS t2, count(*) AS n_co
+            FROM p GROUP BY 1, 2),
+          d AS (SELECT t1 AS antecedent, t2 AS consequent, n_co FROM co
+            UNION ALL
+            SELECT t2 AS antecedent, t1 AS consequent, n_co FROM co)
+          SELECT d.antecedent, d.consequent, d.n_co,
+            a.n_item AS n_ante, c.n_item AS n_cons, tot.n_sessions,
+            CAST(d.n_co AS DOUBLE) / tot.n_sessions AS support,
+            CAST(d.n_co AS DOUBLE) / a.n_item AS confidence,
+            (CAST(d.n_co AS DOUBLE) * CAST(tot.n_sessions AS DOUBLE)) /
+              (CAST(a.n_item AS DOUBLE) * CAST(c.n_item AS DOUBLE)) AS lift
+          FROM d
+          JOIN items a ON d.antecedent = a.t
+          JOIN items c ON d.consequent = c.t
+          CROSS JOIN tot
+          ORDER BY 1, 2""",
     // Integer-microsecond gaps, dyadic quartiles on the integer grid
     // (the q_percentiles contract), one /1e6 display division.
     "q_event_gaps" ->
@@ -3972,6 +4023,21 @@ object SparkEntry {
             ps[1] / 1000000.0 AS p25_s, ps[2] / 1000000.0 AS p50_s,
             ps[3] / 1000000.0 AS p75_s
           FROM q ORDER BY event_type""",
+    // Day gaps on the (priority × days) grid; quantile_cont matches
+    // the engine's percentile-with-frequencies (q_event_gaps contract).
+    "q_fulfillment_latency" ->
+      """WITH j AS (SELECT coalesce(o_orderpriority, '') AS priority,
+            date_diff('day', CAST(o_orderdate AS DATE),
+              CAST(l_shipdate AS DATE)) AS lag_days
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          q AS (SELECT priority, count(*) AS n_lines,
+            CAST(sum(lag_days) AS BIGINT) AS sum_days,
+            quantile_cont(lag_days, [0.25, 0.5, 0.75]) AS ps
+          FROM j GROUP BY 1)
+          SELECT priority, n_lines,
+            CAST(sum_days AS DOUBLE) / n_lines AS mean_days,
+            ps[1] AS p25_days, ps[2] AS p50_days, ps[3] AS p75_days
+          FROM q ORDER BY priority""",
     // generate_series spine + running max of observed days replays the
     // engine's fill; day arithmetic is all-integer.
     "q_gap_fill" ->
@@ -4805,6 +4871,53 @@ object SparkEntry {
               list(contrib ORDER BY bucket)), (x, y) -> x + y)
               AS kl_vs_corpus
           FROM c GROUP BY source ORDER BY source""",
+    // One (source, term) aggregate; ratios single divisions of exact
+    // bigint counts (count(*) FILTER = the engine's count(when)).
+    "q_ttr" ->
+      s"""WITH tk AS (SELECT source, $ToksSql AS toks FROM documents),
+          e AS (SELECT source, unnest(toks) AS term FROM tk),
+          tf AS (SELECT source, term, count(*) AS nn
+            FROM e GROUP BY source, term),
+          s AS (SELECT source, CAST(sum(nn) AS BIGINT) AS n_tokens,
+            CAST(count(*) AS BIGINT) AS n_types,
+            CAST(count(*) FILTER (WHERE nn = 1) AS BIGINT) AS n_hapax
+          FROM tf GROUP BY source)
+          SELECT source, n_tokens, n_types, n_hapax,
+            CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+            CAST(n_types AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE))
+              AS guiraud_r,
+            CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
+              AS hapax_share
+          FROM s ORDER BY source""",
+    // Row-local integer counts → fixed-shape IEEE Flesch score →
+    // banding CASE; the aggregate is a (source, band) grid count.
+    "q_readability" ->
+      s"""WITH d AS (SELECT source,
+            len($ToksSql) AS words,
+            greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+            len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sylls
+          FROM documents),
+          b AS (SELECT source, CASE WHEN words = 0 THEN 'unscorable'
+              WHEN 206.835 - 1.015 * (CAST(words AS DOUBLE) /
+                  CAST(sents AS DOUBLE)) -
+                84.6 * (CAST(sylls AS DOUBLE) / CAST(words AS DOUBLE))
+                >= 70.0 THEN 'easy'
+              WHEN 206.835 - 1.015 * (CAST(words AS DOUBLE) /
+                  CAST(sents AS DOUBLE)) -
+                84.6 * (CAST(sylls AS DOUBLE) / CAST(words AS DOUBLE))
+                >= 50.0 THEN 'standard'
+              WHEN 206.835 - 1.015 * (CAST(words AS DOUBLE) /
+                  CAST(sents AS DOUBLE)) -
+                84.6 * (CAST(sylls AS DOUBLE) / CAST(words AS DOUBLE))
+                >= 30.0 THEN 'difficult'
+              ELSE 'very_difficult' END AS band
+          FROM d),
+          g AS (SELECT source, band, count(*) AS n_docs
+            FROM b GROUP BY source, band)
+          SELECT source, band, n_docs,
+            CAST(n_docs AS DOUBLE) /
+              sum(n_docs) OVER (PARTITION BY source) AS share
+          FROM g ORDER BY source, band""",
     // Same session CTEs as q_sessionize, carrying event_type; the
     // ordered list slice is the path prefix, share one bigint division.
     "q_session_paths" ->

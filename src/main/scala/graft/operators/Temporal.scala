@@ -152,26 +152,7 @@ object Temporal {
     * vocabulary-sized — and the session total arrives by broadcast.
     * Support = n_co/n_sessions is one exact IEEE division. */
   def basketPairs(events: DataFrame, gapMinutes: Int): DataFrame = {
-    val gapUs = gapMinutes * 60L * 1000000L
-    val order = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val sess = events
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("tu"))
-      .withColumn("new_sess",
-        when(lag(col("tu"), 1).over(order).isNull ||
-          col("tu") - lag(col("tu"), 1).over(order) > gapUs, 1)
-          .otherwise(0))
-      .withColumn("session_ix",
-        sum(col("new_sess")).over(order.rowsBetween(
-          Window.unboundedPreceding, Window.currentRow)))
-    // persisted: the pair leg AND the broadcast session total both read
-    // it — unpersisted, the total branch re-runs the session windows
-    // end-to-end (a second full user_id exchange). Caller owns the
-    // cache lifetime (same contract as the minhash signature frame).
-    val sets = sess.groupBy(col("user_id"), col("session_ix"))
-      .agg(sort_array(collect_set(col("event_type"))).as("types"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = sessionTypeSets(events, gapMinutes)
     val total = sets.select(count(lit(1)).as("n_sessions"))
     sets.where(size(col("types")) >= 2)
       .select(explode(flatten(transform(
@@ -188,6 +169,86 @@ object Temporal {
       .select(col("t1"), col("t2"), col("n_co"), col("n_sessions"),
         col("support"))
       .orderBy(col("t1"), col("t2"))
+  }
+
+  /** The shared session-type-set frame behind [[basketPairs]] and
+    * [[assocRules]]: one row per (user, session) with the sorted
+    * DISTINCT event-type set, sessions cut by the [[sessionize]] gap
+    * rule over the deterministic (ts, event_id) order. Persisted: the
+    * pair/item legs AND the broadcast session total all read it —
+    * unpersisted, each branch re-runs the session windows end-to-end
+    * (another full user_id exchange per consumer). Caller owns the
+    * cache lifetime (same contract as the minhash signature frame). */
+  private def sessionTypeSets(events: DataFrame,
+                              gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+      .withColumn("new_sess",
+        when(lag(col("tu"), 1).over(order).isNull ||
+          col("tu") - lag(col("tu"), 1).over(order) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_ix",
+        sum(col("new_sess")).over(order.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_ix"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Association rules over session itemsets: every DIRECTED type
+    * pair a→b with its support (sessions containing both / all
+    * sessions), confidence (… / sessions containing a) and lift
+    * (confidence / consequent base rate) — the "users who do a also
+    * do b" table [[basketPairs]]'s symmetric support can't rank,
+    * because confidence is asymmetric (checkout→search is near-1,
+    * search→checkout is the interesting number).
+    *
+    * Shape: the ONE user_id exchange builds the shared session set
+    * frame; item counts (per-type session counts) and pair counts
+    * both collapse onto vocabulary-sized grids, join by broadcast,
+    * and the session total arrives as a broadcast 1-row frame. All
+    * counts exact bigint; support/confidence are single IEEE
+    * divisions and lift divides products of count-DOUBLES — casting
+    * BEFORE the multiply so the expression never wraps int64 at any
+    * corpus size (n_co·n_sessions ≈ 10²² at 100 TB grain), at the
+    * cost of ≤1 ulp which both engines round identically. */
+  def assocRules(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val sets = sessionTypeSets(events, gapMinutes)
+    val total = sets.select(count(lit(1)).as("n_sessions"))
+    val items = sets.select(explode(col("types")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_item"))
+    val co = sets.where(size(col("types")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("types")) - 1),
+        i => transform(sequence(i + 1, size(col("types"))),
+          j => struct(element_at(col("types"), i).as("t1"),
+            element_at(col("types"), j).as("t2")))))).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_co"))
+    val directed = co
+      .select(col("t1").as("antecedent"), col("t2").as("consequent"),
+        col("n_co"))
+      .union(co.select(col("t2").as("antecedent"),
+        col("t1").as("consequent"), col("n_co")))
+    directed
+      .join(broadcast(items.select(col("t").as("antecedent"),
+        col("n_item").as("n_ante"))), Seq("antecedent"))
+      .join(broadcast(items.select(col("t").as("consequent"),
+        col("n_item").as("n_cons"))), Seq("consequent"))
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("n_co"),
+        col("n_ante"), col("n_cons"), col("n_sessions"),
+        (col("n_co").cast("double") / col("n_sessions")).as("support"),
+        (col("n_co").cast("double") / col("n_ante")).as("confidence"),
+        ((col("n_co").cast("double") * col("n_sessions").cast("double")) /
+          (col("n_ante").cast("double") * col("n_cons").cast("double")))
+          .as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
   }
 
   /** Equal-split multi-touch attribution: every purchase's value is

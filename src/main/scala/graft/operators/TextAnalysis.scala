@@ -418,6 +418,80 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Per-source lexical diversity: type–token ratio, Guiraud's R
+    * (types/√tokens — the length-robust form; raw TTR falls
+    * mechanically with corpus size, so cross-source TTR comparison
+    * needs the root normalization printed next to it) and the hapax
+    * share (fraction of the vocabulary seen exactly once — high
+    * hapax = productive/noisy text, low = templated). The
+    * vocabulary-richness gauge a mixture plan reads alongside
+    * [[sourceKl]]'s rate drift: KL says a source uses COMMON words
+    * at odd rates; a hapax spike says its tail is unlike anything.
+    *
+    * Shape: one tokenize scan into a (source, term) hash aggregate —
+    * the same only-corpus-sized exchange as [[vocabulary]] — then a
+    * source-grain rollup of exact bigint counts; the three ratios
+    * are single IEEE divisions at |sources| grain. Sources whose
+    * docs normalize to zero tokens simply don't appear (no token
+    * rows), which the oracle reproduces by construction. */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("nn"))
+      .groupBy(col("source"))
+      .agg(sum(col("nn")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("nn") === 1, 1)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("n_types").cast("double") /
+          sqrt(col("n_tokens").cast("double"))).as("guiraud_r"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_share"))
+      .orderBy(col("source"))
+
+  /** Readability banding per source: each doc gets a Flesch-style
+    * reading-ease score from three deterministic integer counts —
+    * words (the normalized token count every other text op uses),
+    * sentence marks (runs of `.!?`, floored at one so headline-only
+    * docs don't divide by zero) and a vowel-group syllable proxy
+    * (runs of `aeiouy`; real hyphenation needs a dictionary, but the
+    * PROXY is applied identically to every doc, and a per-source
+    * ranking only needs a consistent gauge) — then docs are banded
+    * (easy ≥70 / standard ≥50 / difficult ≥30 / very_difficult,
+    * empty docs → unscorable) and counted per (source, band) with
+    * each band's share of its source. Banding rather than averaging
+    * keeps the aggregate order-independent: the per-doc score is a
+    * fixed-shape IEEE expression (bit-identical in both engines);
+    * a MEAN of millions of doubles would be shuffle-order-dependent.
+    *
+    * Shape: all three counts and the score are row-local on the one
+    * corpus scan; the only exchange is the (source, band) hash
+    * aggregate and the share window runs on the ≤|sources|×5 grid. */
+  def readabilityBands(docs: DataFrame): DataFrame = {
+    val words = size(tokens(col("text")))
+    val sents = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+    val sylls = size(
+      regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+    val flesch = lit(206.835) -
+      lit(1.015) * (words.cast("double") / sents.cast("double")) -
+      lit(84.6) * (sylls.cast("double") / words.cast("double"))
+    val band = when(words === 0, lit("unscorable"))
+      .when(flesch >= 70.0, lit("easy"))
+      .when(flesch >= 50.0, lit("standard"))
+      .when(flesch >= 30.0, lit("difficult"))
+      .otherwise(lit("very_difficult"))
+    val w = Window.partitionBy(col("source"))
+    docs.select(col("source"), band.as("band"))
+      .groupBy(col("source"), col("band"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        col("n_docs").cast("double") / sum(col("n_docs")).over(w))
+      .orderBy(col("source"), col("band"))
+  }
+
   /** Pairwise vocabulary overlap between sources: for each source
     * pair, the Jaccard similarity of their distinct token sets — the
     * mixture-design signal for "are these two crawls the same corpus

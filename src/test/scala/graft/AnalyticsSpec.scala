@@ -70,6 +70,25 @@ class AnalyticsSpec extends SparkSpec {
       ("regular", "absent") -> ((1L, 1.0))))
   }
 
+  test("fulfillmentLatency: grid quartiles of order->ship day gaps") {
+    def d(s: String) = Date.valueOf(s)
+    val orders = Seq(
+      (1L, d("2024-01-01"), "1-URGENT"),
+      (2L, d("2024-02-01"), null))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, d("2024-01-03")), (1L, d("2024-01-05")), (1L, d("2024-01-07")),
+      (2L, d("2024-02-11")))
+      .toDF("l_orderkey", "l_shipdate")
+    val out = Analytics.fulfillmentLatency(li, orders).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // urgent gaps {2,4,6}: interpolated quartiles 3/4/5, mean 4
+    assert(out("1-URGENT") == ((3L, 4.0, 3.0, 4.0, 5.0)))
+    // NULL priority coalesces to '' (the row-2i contract)
+    assert(out("") == ((1L, 10.0, 10.0, 10.0, 10.0)))
+  }
+
   test("discountElasticity: exact-moment slope, NULL on zero variance") {
     // brand B1: (x=0,y=10) x2, (x=10,y=20) x2 -> slope = 1 unit/pt,
     // avg 15. B2: all x=5 -> zero x-variance -> NULL slope.

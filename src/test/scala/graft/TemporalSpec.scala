@@ -140,6 +140,25 @@ class TemporalSpec extends SparkSpec {
       ("buy", "click") -> ((1L, 3L, 1.0 / 3))))
   }
 
+  test("assocRules emits both directions with confidence and lift") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:10:00"), 2L, "click"),  // s1: {click, view}
+      (1L, ts("2024-01-01 12:00:00"), 3L, "view"),   // s2: {view}
+      (2L, ts("2024-01-01 09:00:00"), 4L, "view"))   // s3: {view}
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Temporal.assocRules(events, 30).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8))).toMap
+    // 3 sessions; view in 3, click in 1, co-occur in 1.
+    // click→view: conf 1/1=1, lift = (1*3)/(1*3) = 1
+    // view→click: conf 1/3,   lift = (1*3)/(3*1) = 1
+    assert(out == Map(
+      ("click", "view") -> ((1L, 1L, 3L, 3L, 1.0 / 3, 1.0, 1.0)),
+      ("view", "click") -> ((1L, 3L, 1L, 3L, 1.0 / 3, 1.0 / 3, 1.0))))
+  }
+
   test("eventGaps computes per-type gap quartiles over user streams") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "a"),

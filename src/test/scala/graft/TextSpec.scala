@@ -661,4 +661,36 @@ class TextSpec extends SparkSpec {
     assert(out("s2") == ((0L, 2L, None)),
       "dup-free source: NULL auc, empty doc excluded")
   }
+
+  test("lexicalDiversity: TTR, Guiraud R and hapax share per source") {
+    val d = Seq(
+      (1L, "a a b", "s1"),      // 3 tokens, 2 types, 1 hapax
+      (2L, "c c c", "s2"),      // 3 tokens, 1 type, 0 hapax
+      (3L, "", "s3"))           // zero tokens: source absent
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.lexicalDiversity(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(out.keySet == Set("s1", "s2"))
+    assert(out("s1") == ((3L, 2L, 1L, 2.0 / 3,
+      2.0 / math.sqrt(3.0), 0.5)))
+    assert(out("s2") == ((3L, 1L, 0L, 1.0 / 3,
+      1.0 / math.sqrt(3.0), 0.0)))
+  }
+
+  test("readabilityBands: fixed-shape Flesch banding incl. unscorable") {
+    val d = Seq(
+      (1L, "The cat sat.", "s1"),     // 3w/1s/3syl -> 119.2: easy
+      (2L, "onomatopoeia audiovisual aeiou", "s1"), // 3w/1s/10syl -> -78
+      (3L, "", "s1"))                 // zero words -> unscorable
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.readabilityBands(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      ("s1", "easy") -> ((1L, 1.0 / 3)),
+      ("s1", "very_difficult") -> ((1L, 1.0 / 3)),
+      ("s1", "unscorable") -> ((1L, 1.0 / 3))))
+  }
 }
