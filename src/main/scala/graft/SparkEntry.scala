@@ -804,6 +804,15 @@ object SparkEntry {
     "q_fulfillment_latency" -> ((s, d) =>
       Analytics.fulfillmentLatency(Tables.lineitem(s, d),
         Tables.orders(s, d))),
+    // first-quarter-new vs returning revenue accounting
+    "q_new_returning" -> ((s, d) =>
+      Analytics.newVsReturning(Tables.orders(s, d))),
+    // cent-quantized Laspeyres basket index per brand/quarter
+    "q_price_index" -> ((s, d) =>
+      Analytics.priceIndex(Tables.lineitem(s, d), Tables.part(s, d))),
+    // difference-array open-order backlog curve
+    "q_backlog" -> ((s, d) =>
+      Analytics.backlog(Tables.orders(s, d), Tables.lineitem(s, d))),
     // TPC-H Q13 shape: order-count histogram incl. zero-order customers
     "q_cust_order_dist" -> ((s, d) =>
       Analytics.customerOrderDistribution(Tables.customer(s, d),
@@ -1364,6 +1373,8 @@ object SparkEntry {
       TextAnalysis.sourceKl(Tables.documents(s, d), KlTopTerms)),
     "q_ttr" -> ((s, d) =>
       TextAnalysis.lexicalDiversity(Tables.documents(s, d))),
+    "q_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, d))),
     "q_readability" -> ((s, d) =>
       TextAnalysis.readabilityBands(Tables.documents(s, d))),
     "q_session_paths" -> ((s, d) =>
@@ -4023,6 +4034,77 @@ object SparkEntry {
             ps[1] / 1000000.0 AS p25_s, ps[2] / 1000000.0 AS p50_s,
             ps[3] / 1000000.0 AS p75_s
           FROM q ORDER BY event_type""",
+    // Customer min-quarter CTE + conditional cent sums; the share is
+    // one double division of exact bigint totals.
+    "q_new_returning" ->
+      """WITH o AS (SELECT o_custkey,
+            CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+          f AS (SELECT o_custkey, min(quarter) AS fq FROM o GROUP BY 1),
+          j AS (SELECT o.quarter,
+            CASE WHEN o.quarter = f.fq THEN 1 ELSE 0 END AS is_new, cents
+          FROM o JOIN f USING (o_custkey))
+          SELECT quarter,
+            CAST(count(*) FILTER (WHERE is_new = 1) AS BIGINT)
+              AS n_new_orders,
+            CAST(count(*) FILTER (WHERE is_new = 0) AS BIGINT)
+              AS n_ret_orders,
+            CAST(sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END)
+              AS BIGINT) AS rev_new_cents,
+            CAST(sum(CASE WHEN is_new = 0 THEN cents ELSE 0 END)
+              AS BIGINT) AS rev_ret_cents,
+            CAST(sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END)
+                AS DOUBLE) /
+              CAST(sum(cents) AS DOUBLE) AS new_rev_share
+          FROM j GROUP BY quarter ORDER BY quarter""",
+    // (part, quarter) integer unit prices via (2c+q)//(2q) round-half-
+    // up; Laspeyres sums are HUGEINT products (engine: DECIMAL(38,0)).
+    "q_price_index" ->
+      """WITH pq AS (SELECT l_partkey,
+            CAST(date_trunc('quarter', l_shipdate) AS DATE) AS quarter,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS c,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+          FROM lineitem GROUP BY 1, 2),
+          pp AS (SELECT *, (2 * c + q) // (2 * q) AS p_cents FROM pq),
+          bq AS (SELECT min(quarter) AS g FROM pp),
+          base AS (SELECT l_partkey, p_cents AS p0, q AS q0
+            FROM pp, bq WHERE quarter = g),
+          j AS (SELECT p_brand, pp.quarter,
+            pp.p_cents * base.q0 AS num, base.p0 * base.q0 AS den
+          FROM pp JOIN base USING (l_partkey)
+          JOIN part ON l_partkey = p_partkey)
+          SELECT p_brand, quarter, CAST(count(*) AS BIGINT) AS n_parts,
+            CAST(sum(num) AS DOUBLE) / CAST(sum(den) AS DOUBLE) * 100.0
+              AS index_pts
+          FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Difference-array replay: two day-grain delta CTEs, dense spine,
+    // two running sums on the |days| grid.
+    "q_backlog" ->
+      """WITH cl AS (SELECT l_orderkey,
+            max(CAST(l_shipdate AS DATE)) AS close_day
+          FROM lineitem GROUP BY 1),
+          iv AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS open_day,
+            close_day
+          FROM orders JOIN cl ON o_orderkey = l_orderkey),
+          op AS (SELECT open_day AS day, count(*) AS nn FROM iv GROUP BY 1),
+          cz AS (SELECT close_day AS day, count(*) AS nn FROM iv GROUP BY 1),
+          sp AS (SELECT CAST(unnest(generate_series(lo, hi,
+              INTERVAL 1 DAY)) AS DATE) AS day
+            FROM (SELECT min(open_day) AS lo, max(close_day) AS hi
+              FROM iv)),
+          g AS (SELECT sp.day, CAST(coalesce(op.nn, 0) AS BIGINT)
+              AS n_opened,
+            CAST(coalesce(cz.nn, 0) AS BIGINT) AS n_closed
+          FROM sp LEFT JOIN op ON sp.day = op.day
+          LEFT JOIN cz ON sp.day = cz.day)
+          SELECT day, n_opened, n_closed,
+            CAST(sum(n_opened) OVER w - sum(n_closed) OVER w AS BIGINT)
+              AS open_backlog
+          FROM g WINDOW w AS (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          ORDER BY day""",
     // Day gaps on the (priority × days) grid; quantile_cont matches
     // the engine's percentile-with-frequencies (q_event_gaps contract).
     "q_fulfillment_latency" ->
@@ -4889,6 +4971,31 @@ object SparkEntry {
             CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
               AS hapax_share
           FROM s ORDER BY source""",
+    // Per-doc term-ordered n·ln n fold → fixed-shape H → micro-nat
+    // quantization; source rollup is exact bigint sums.
+    "q_entropy" ->
+      s"""WITH tk AS (SELECT source, doc_id, $ToksSql AS toks
+            FROM documents),
+          e AS (SELECT source, doc_id, unnest(toks) AS term FROM tk),
+          tf AS (SELECT source, doc_id, term, count(*) AS nn
+            FROM e GROUP BY 1, 2, 3),
+          c AS (SELECT source, doc_id, term, nn,
+            CAST(nn AS DOUBLE) * ln(CAST(nn AS DOUBLE)) AS contrib
+          FROM tf),
+          d AS (SELECT source, doc_id, CAST(sum(nn) AS BIGINT) AS n_toks,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(contrib ORDER BY term)), (x, y) -> x + y) AS nlogn
+          FROM c GROUP BY 1, 2),
+          h AS (SELECT source, CAST(floor((ln(CAST(n_toks AS DOUBLE)) -
+              nlogn / CAST(n_toks AS DOUBLE)) * 1000000.0 + 0.5)
+              AS BIGINT) AS hq
+          FROM d)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(hq) AS DOUBLE) / count(*) / 1000000.0
+              AS mean_entropy,
+            CAST(min(hq) AS DOUBLE) / 1000000.0 AS min_entropy,
+            CAST(max(hq) AS DOUBLE) / 1000000.0 AS max_entropy
+          FROM h GROUP BY source ORDER BY source""",
     // Row-local integer counts → fixed-shape IEEE Flesch score →
     // banding CASE; the aggregate is a (source, band) grid count.
     "q_readability" ->

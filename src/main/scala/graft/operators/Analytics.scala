@@ -1024,6 +1024,131 @@ object Analytics {
       .orderBy(col("band_h1"), col("band_h2"))
   }
 
+  /** New-vs-returning revenue split per quarter: each order is "new"
+    * iff it falls in its customer's FIRST active quarter, and every
+    * quarter reports order counts and cent-exact revenue for both
+    * populations plus the new-revenue share — the growth-accounting
+    * twin of [[graft.operators.Journey.lifecycle]] on the REVENUE
+    * axis (user counts say who came back; this says whether the
+    * money does). Cents are the q_revenue_growth quantization so
+    * sums are shuffle-order-exact; the share is one IEEE division.
+    *
+    * Shape: one customer-grain min-quarter aggregate, one custkey
+    * co-partitioned join back to orders, then a quarter-grid
+    * aggregate — two exchanges, both on keys the data already
+    * clusters by. */
+  def newVsReturning(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_custkey"),
+      date_trunc("quarter", col("o_orderdate")).cast("date").as("quarter"),
+      round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    val firsts = o.groupBy(col("o_custkey"))
+      .agg(min(col("quarter")).as("first_quarter"))
+    o.join(firsts, Seq("o_custkey"))
+      .withColumn("is_new",
+        (col("quarter") === col("first_quarter")).cast("int"))
+      .groupBy(col("quarter"))
+      .agg(count(when(col("is_new") === 1, 1)).as("n_new_orders"),
+        count(when(col("is_new") === 0, 1)).as("n_ret_orders"),
+        sum(when(col("is_new") === 1, col("cents")).otherwise(0L))
+          .as("rev_new_cents"),
+        sum(when(col("is_new") === 0, col("cents")).otherwise(0L))
+          .as("rev_ret_cents"))
+      .withColumn("new_rev_share",
+        col("rev_new_cents").cast("double") /
+          (col("rev_new_cents") + col("rev_ret_cents")).cast("double"))
+      .orderBy(col("quarter"))
+  }
+
+  /** Cent-quantized Laspeyres price index per brand and quarter:
+    * index(t) = Σᵢ pᵢ,ₜ·qᵢ,₀ / Σᵢ pᵢ,₀·qᵢ,₀ × 100 over parts i
+    * matched between quarter t and the base (earliest) quarter —
+    * "what does the base-quarter basket cost now", the inflation
+    * gauge [[priceRealization]]'s single-quarter ratio can't give.
+    * The base quarter indexes at exactly 100 (it matches itself), a
+    * built-in sanity row.
+    *
+    * Exactness: the per-(part, quarter) unit price is rounded to an
+    * INTEGER cent via (2c+q) div (2q) — round-half-up in pure
+    * integer arithmetic — so every index contribution pᵢ,ₜ·qᵢ,₀ is
+    * an exact product folded in DECIMAL(38,0) (HUGEINT's int128
+    * twin, order-independent at any scale); a raw double unit price
+    * would make the basket sums shuffle-order-dependent. One double
+    * division per output row at the end.
+    *
+    * Shape: one (part, quarter) fact aggregate is the only
+    * corpus-sized exchange; the base-quarter frame joins back on
+    * partkey, the brand dim broadcasts, and the output grain is
+    * brands × quarters. */
+  def priceIndex(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val pq = lineitem.select(col("l_partkey"),
+        date_trunc("quarter", col("l_shipdate")).cast("date").as("quarter"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("cents"),
+        col("l_quantity").cast("bigint").as("qty"))
+      .groupBy(col("l_partkey"), col("quarter"))
+      .agg(sum(col("cents")).as("c"), sum(col("qty")).as("q"))
+      .withColumn("p_cents", expr("(2 * c + q) div (2 * q)"))
+      // three consumers (series, per-part base, global base) — without
+      // the persist each branch re-runs the fact aggregate end-to-end
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = pq.groupBy(col("l_partkey"))
+      .agg(min_by(struct(col("p_cents"), col("q")), col("quarter"))
+        .as("b"), min(col("quarter")).as("bq"))
+    // Laspeyres matches against the GLOBAL base quarter, not each
+    // part's first appearance — parts born later are unmatched there.
+    val globalBase = pq.agg(min(col("quarter")).as("g"))
+    pq.join(base, Seq("l_partkey"))
+      .crossJoin(broadcast(globalBase))
+      .where(col("bq") === col("g"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("quarter"),
+        (col("p_cents").cast("decimal(38,0)") * col("b.q")).as("num"),
+        (col("b.p_cents").cast("decimal(38,0)") * col("b.q")).as("den"))
+      .groupBy(col("p_brand"), col("quarter"))
+      .agg(count(lit(1)).as("n_parts"),
+        (sum(col("num")).cast("double") / sum(col("den")).cast("double")
+          * 100.0).as("index_pts"))
+      .orderBy(col("p_brand"), col("quarter"))
+  }
+
+  /** Open-order backlog curve: for every calendar day between the
+    * first order and the last shipment, how many orders were opened,
+    * how many fully shipped (their LAST line's ship day), and the
+    * end-of-day open backlog — the operational "are we falling
+    * behind" series behind [[Analytics.shipDelayPriority]]'s static
+    * late counts. Orders with no lines never close and are excluded
+    * (they're [[reconcile]]'s orphan finding, not a backlog fact).
+    *
+    * Shape: the difference-array trick — one order-grain max-ship
+    * aggregate and one orderkey join collapse the facts to two
+    * day-grain delta frames; the dense spine joins them and the
+    * backlog is two running sums over the |days| grid (thousands of
+    * rows at ANY corpus size, so the unpartitioned window is safe by
+    * construction). */
+  def backlog(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val closes = lineitem.groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate").cast("date")).as("close_day"))
+    val iv = orders.select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("open_day"))
+      .join(closes, col("o_orderkey") === col("l_orderkey"))
+    val opened = iv.groupBy(col("open_day").as("day"))
+      .agg(count(lit(1)).as("n_opened"))
+    val closed = iv.groupBy(col("close_day").as("day"))
+      .agg(count(lit(1)).as("n_closed"))
+    val spine = iv
+      .agg(min(col("open_day")).as("lo"), max(col("close_day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(opened, Seq("day"), "left")
+      .join(closed, Seq("day"), "left")
+      .withColumn("n_opened", coalesce(col("n_opened"), lit(0L)))
+      .withColumn("n_closed", coalesce(col("n_closed"), lit(0L)))
+      .withColumn("open_backlog",
+        sum(col("n_opened")).over(w) - sum(col("n_closed")).over(w))
+      .orderBy(col("day"))
+  }
+
   /** Order-to-ship fulfillment latency per order priority: exact
     * quartiles and mean of the day gap between order placement and
     * each line's ship date — the DISTRIBUTIONAL refinement of

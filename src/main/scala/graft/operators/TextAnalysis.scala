@@ -418,6 +418,45 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Per-source token-entropy profile: each doc's Shannon entropy
+    * over its own unigram distribution — H = ln N − (Σ n·ln n)/N —
+    * then exact per-source mean/min/max of the MICRO-QUANTIZED
+    * per-doc score. Low-entropy docs are templated/repetitive (the
+    * information-theoretic cousin of the Gopher repetition signals
+    * and the exactly-oracle-able stand-in for the deflate gauge);
+    * a source whose mean entropy sags is boilerplate farming.
+    *
+    * Determinism: the per-doc Σ n·ln n folds in TERM order (sorted
+    * struct list — per-DOC arrays, bounded by doc length, never
+    * corpus-sized), the per-doc H is a fixed-shape IEEE expression
+    * quantized to integer micro-nats, and the source rollup is exact
+    * bigint sums with single divisions last — a raw double mean
+    * would be shuffle-order-dependent. Shape: one (doc, term) hash
+    * aggregate (the tfidf exchange), one doc-grain fold, one
+    * source-grain rollup. */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("nn"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sum(col("nn")).as("n_toks"),
+        aggregate(array_sort(collect_list(struct(col("term"),
+          (col("nn").cast("double") * log(col("nn").cast("double")))
+            .as("contrib")))),
+          lit(0.0), (a, x) => a + x.getField("contrib")).as("nlogn"))
+      .select(col("source"),
+        floor((log(col("n_toks").cast("double")) -
+          col("nlogn") / col("n_toks").cast("double")) * lit(1000000.0) +
+          lit(0.5)).cast("bigint").as("hq"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("hq")).cast("double") / count(lit(1)) / 1000000.0)
+          .as("mean_entropy"),
+        (min(col("hq")).cast("double") / 1000000.0).as("min_entropy"),
+        (max(col("hq")).cast("double") / 1000000.0).as("max_entropy"))
+      .orderBy(col("source"))
+
   /** Per-source lexical diversity: type–token ratio, Guiraud's R
     * (types/√tokens — the length-robust form; raw TTR falls
     * mechanically with corpus size, so cross-source TTR comparison

@@ -89,6 +89,61 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("") == ((1L, 10.0, 10.0, 10.0, 10.0)))
   }
 
+  test("newVsReturning: first-quarter orders are new, rest returning") {
+    def d(s: String) = Date.valueOf(s)
+    val orders = Seq(
+      (1L, d("2024-01-15"), 10.0),   // c1 Q1: new
+      (1L, d("2024-05-01"), 20.0),   // c1 Q2: returning
+      (2L, d("2024-06-01"), 5.0))    // c2 Q2: new
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Analytics.newVsReturning(orders).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out == Map(
+      "2024-01-01" -> ((1L, 0L, 1000L, 0L, 1.0)),
+      "2024-04-01" -> ((1L, 1L, 500L, 2000L, 500.0 / 2500.0))))
+  }
+
+  test("priceIndex: base quarter pins 100; late-born parts excluded") {
+    def d(s: String) = Date.valueOf(s)
+    val li = Seq(
+      (1L, d("2024-01-10"), 10.0, 2.0),  // p1 Q1: unit 500c, q0=2
+      (1L, d("2024-04-10"), 6.0, 1.0),   // p1 Q2: unit 600c
+      (2L, d("2024-02-01"), 1.0, 1.0),   // p2 Q1 only
+      (3L, d("2024-05-01"), 9.0, 1.0))   // p3 born Q2: no base match
+      .toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
+    val part = Seq((1L, "A"), (2L, "A"), (3L, "A"))
+      .toDF("p_partkey", "p_brand")
+    val out = Analytics.priceIndex(li, part).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // Q1 = base: both parts match themselves -> exactly 100
+    assert(out(("A", "2024-01-01")) == ((2L, 100.0)))
+    // Q2: only p1 matched: 600*2 / (500*2) * 100 = 120
+    assert(out(("A", "2024-04-01")) == ((1L, 120.0)))
+    assert(out.size == 2, "the late-born part contributes no cell")
+  }
+
+  test("backlog: difference-array curve over the dense day spine") {
+    def d(s: String) = Date.valueOf(s)
+    val orders = Seq(
+      (1L, d("2024-01-01")), (2L, d("2024-01-02")),
+      (3L, d("2024-01-03")))                     // no lines: excluded
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (1L, d("2024-01-02")), (1L, d("2024-01-04")),  // closes 01-04
+      (2L, d("2024-01-02")))                         // closes 01-02
+      .toDF("l_orderkey", "l_shipdate")
+    val out = Analytics.backlog(orders, li).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(out.toSeq == Seq(
+      "2024-01-01" -> ((1L, 0L, 1L)),
+      "2024-01-02" -> ((1L, 1L, 1L)),
+      "2024-01-03" -> ((0L, 0L, 1L)),
+      "2024-01-04" -> ((0L, 1L, 0L))))
+  }
+
   test("discountElasticity: exact-moment slope, NULL on zero variance") {
     // brand B1: (x=0,y=10) x2, (x=10,y=20) x2 -> slope = 1 unit/pt,
     // avg 15. B2: all x=5 -> zero x-variance -> NULL slope.

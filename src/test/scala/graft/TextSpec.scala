@@ -679,6 +679,18 @@ class TextSpec extends SparkSpec {
       1.0 / math.sqrt(3.0), 0.0)))
   }
 
+  test("tokenEntropy: micro-nat quantized per-doc H, exact source mean") {
+    val d = Seq(
+      (1L, "a a b b", "s1"),   // H = ln4 - 4ln2/4 = ln2
+      (2L, "c c c", "s1"))     // H = 0 (single-type doc)
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.tokenEntropy(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val hq = math.floor(math.log(2.0) * 1e6 + 0.5) // 693147 micro-nats
+    assert(out("s1") == ((2L, hq / 2.0 / 1e6, 0.0, hq / 1e6)))
+  }
+
   test("readabilityBands: fixed-shape Flesch banding incl. unscorable") {
     val d = Seq(
       (1L, "The cat sat.", "s1"),     // 3w/1s/3syl -> 119.2: easy
