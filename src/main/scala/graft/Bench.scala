@@ -11,7 +11,7 @@ object Bench {
     "q1_pricing_summary", "q_revenue_by_nation", "q_revenue_growth", "q_gini", "q_ltv_deciles", "q_discount_lift", "q_discount_elasticity", "q_dead_stock", "q_repurchase", "q_km_survival", "q_supplier_hhi", "q_supplier_risk", "q_price_realization", "q_line_position", "q_reconcile", "q_local_volume", "q_returned_items",
     "q_domain_policy", "q_weighted_sample", "q_segment_migration",
     "q_fulfillment_latency", "q_new_returning", "q_price_index",
-    "q_backlog",
+    "q_backlog", "q_brand_affinity", "q_late_returns",
     "q_order_priority", "q_revenue_forecast", "q_nation_trade",
     "q_market_share", "q_product_profit", "q_priority_delay",
     "q_cust_order_dist", "q_promo_share", "q_top_supplier",
@@ -53,7 +53,9 @@ object Bench {
     "q_funnel_steps", "q_funnel_latency",
     "q_next_event", "q_rfm", "q_trend", "q_theilsen_trend", "q_source_overlap",
     "q_source_kl", "q_ttr", "q_readability", "q_entropy",
-    "q_assoc_rules",
+    "q_pmi_bigrams", "q_dedup_savings", "q_engagement_dist",
+    "q_churn_risk",
+    "q_assoc_rules", "q_session_duration", "q_concurrency",
     "q_session_paths", "q_dq_rules", "q_fd_audit", "q_corr_matrix", "q_user_features", "q_attribution",
     "q_attribution_decay", "q_attribution_u", "q_l_diversity", "q_t_closeness",
     "q_ooo_audit", "q_watermark_rec", "q_join_skew", "q_record_dedup", "q_canary_scan",

@@ -303,6 +303,8 @@ object SparkEntry {
   private val CtrSuccessType = "purchase"
   private val CtrSegments = 5
   private val CtrZ = 1.96
+  private val PmiMinCount = 5
+  private val PmiTopN = 200
 
   /** q_entity_components synthetic shared identifiers: key g3 groups
     * consecutive custkey triples; key dec links the multiples of 3
@@ -813,6 +815,13 @@ object SparkEntry {
     // difference-array open-order backlog curve
     "q_backlog" -> ((s, d) =>
       Analytics.backlog(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // in-order brand pair support + lift (sales-fact cross-sell)
+    "q_brand_affinity" -> ((s, d) =>
+      Analytics.brandAffinity(Tables.lineitem(s, d), Tables.part(s, d))),
+    // return rate by ship-latency band with Wilson lower bounds
+    "q_late_returns" -> ((s, d) =>
+      Analytics.lateReturns(Tables.lineitem(s, d), Tables.orders(s, d),
+        CtrZ)),
     // TPC-H Q13 shape: order-count histogram incl. zero-order customers
     "q_cust_order_dist" -> ((s, d) =>
       Analytics.customerOrderDistribution(Tables.customer(s, d),
@@ -1364,6 +1373,12 @@ object SparkEntry {
       Journey.nextEventMatrix(Tables.events(s, d))),
     "q_rfm" -> ((s, d) =>
       Journey.rfmSegments(Tables.events(s, d))),
+    // cadence-personalized churn flags, integer cross-multiplied
+    "q_churn_risk" -> ((s, d) =>
+      Journey.churnRisk(Tables.orders(s, d), Tables.customer(s, d))),
+    // decimal-magnitude engagement buckets with user + event shares
+    "q_engagement_dist" -> ((s, d) =>
+      Journey.engagementDist(Tables.events(s, d))),
     "q_trend" -> ((s, d) =>
       DataChecks.dailyTrend(Tables.events(s, d))),
     "q_source_overlap" -> ((s, d) =>
@@ -1375,6 +1390,13 @@ object SparkEntry {
       TextAnalysis.lexicalDiversity(Tables.documents(s, d))),
     "q_entropy" -> ((s, d) =>
       TextAnalysis.tokenEntropy(Tables.documents(s, d))),
+    // micro-nat-ranked PMI collocations with a min-count floor
+    "q_pmi_bigrams" -> ((s, d) =>
+      TextAnalysis.pmiBigrams(Tables.documents(s, d), PmiMinCount,
+        PmiTopN)),
+    // exact-dedup ROI in docs AND tokens per source
+    "q_dedup_savings" -> ((s, d) =>
+      TextAnalysis.dedupSavings(Tables.documents(s, d))),
     "q_readability" -> ((s, d) =>
       TextAnalysis.readabilityBands(Tables.documents(s, d))),
     "q_session_paths" -> ((s, d) =>
@@ -1564,6 +1586,12 @@ object SparkEntry {
     // directed confidence/lift refinement of the basket support table
     "q_assoc_rules" -> ((s, d) =>
       Temporal.assocRules(Tables.events(s, d), SessionGapMin)),
+    // per-entry-type session length quartiles + p95 (grid percentiles)
+    "q_session_duration" -> ((s, d) =>
+      Temporal.sessionDuration(Tables.events(s, d), SessionGapMin)),
+    // hourly active-session difference-array curve
+    "q_concurrency" -> ((s, d) =>
+      Temporal.concurrency(Tables.events(s, d), SessionGapMin)),
     "q_event_gaps" -> ((s, d) =>
       Temporal.eventGaps(Tables.events(s, d))),
     // Sparse slice (1-in-997 events) so the daily series actually has
@@ -3976,6 +4004,69 @@ object SparkEntry {
             CAST(count(*) AS DOUBLE) / tot.n_sessions AS support
           FROM p CROSS JOIN tot GROUP BY 1, 2, tot.n_sessions
           ORDER BY 1, 2""",
+    // Session CTEs + rn=1 entry type; integer-second durations on the
+    // (entry_type × dur_s) grid, quantile_cont per the gaps contract.
+    "q_session_duration" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+            event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+          s AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+              OR tu - lag(tu) OVER w > ${SessionGapMin * 60L * 1000000L}
+              THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          x AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_ix FROM s),
+          r AS (SELECT user_id, session_ix, event_type, row_number()
+              OVER (PARTITION BY user_id, session_ix
+                ORDER BY tu, event_id) AS rn FROM x),
+          ses AS (SELECT user_id, session_ix,
+            (max(tu) - min(tu)) // 1000000 AS dur_s
+            FROM x GROUP BY 1, 2),
+          entry AS (SELECT user_id, session_ix, event_type AS entry_type
+            FROM r WHERE rn = 1),
+          q AS (SELECT entry_type, count(*) AS n_sessions,
+            CAST(sum(dur_s) AS BIGINT) AS sum_s,
+            quantile_cont(dur_s, [0.25, 0.5, 0.75, 0.95]) AS ps
+          FROM ses JOIN entry USING (user_id, session_ix) GROUP BY 1)
+          SELECT entry_type, n_sessions,
+            CAST(sum_s AS DOUBLE) / n_sessions AS mean_s,
+            ps[1] AS p25_s, ps[2] AS p50_s, ps[3] AS p75_s,
+            ps[4] AS p95_s
+          FROM q ORDER BY entry_type""",
+    // Session min/max → hour deltas → dense hour spine → running sums;
+    // active = cum(started) − cum(ended) + ended(h).
+    "q_concurrency" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+          s AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+              OR tu - lag(tu) OVER w > ${SessionGapMin * 60L * 1000000L}
+              THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          x AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_ix FROM s),
+          ses AS (SELECT user_id, session_ix, min(ts) AS st, max(ts) AS en
+            FROM x GROUP BY 1, 2),
+          sh AS (SELECT date_trunc('hour', st) AS hs,
+            date_trunc('hour', en) AS he FROM ses),
+          stt AS (SELECT hs AS hour, count(*) AS nn FROM sh GROUP BY 1),
+          enn AS (SELECT he AS hour, count(*) AS nn FROM sh GROUP BY 1),
+          sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+              AS hour
+            FROM (SELECT min(hs) AS lo, max(he) AS hi FROM sh)),
+          g AS (SELECT sp.hour,
+            CAST(coalesce(stt.nn, 0) AS BIGINT) AS n_started,
+            CAST(coalesce(enn.nn, 0) AS BIGINT) AS n_ended
+          FROM sp LEFT JOIN stt ON sp.hour = stt.hour
+          LEFT JOIN enn ON sp.hour = enn.hour)
+          SELECT hour, n_started, n_ended,
+            CAST(sum(n_started) OVER w - sum(n_ended) OVER w + n_ended
+              AS BIGINT) AS active_sessions
+          FROM g WINDOW w AS (ORDER BY hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          ORDER BY hour""",
     // Same session CTE chain; item counts + both pair directions, and
     // lift multiplies count-DOUBLES (the engine's overflow-proof form).
     "q_assoc_rules" ->
@@ -4034,6 +4125,94 @@ object SparkEntry {
             ps[1] / 1000000.0 AS p25_s, ps[2] / 1000000.0 AS p50_s,
             ps[3] / 1000000.0 AS p75_s
           FROM q ORDER BY event_type""",
+    // Order-grain sorted brand sets; the basket pair/item/total CTE
+    // chain on the sales fact, lift over count-DOUBLES.
+    "q_brand_affinity" ->
+      """WITH ob AS (SELECT l_orderkey,
+            list_sort(list_distinct(list(p_brand))) AS brands
+          FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+          tot AS (SELECT count(*) AS n_orders FROM ob),
+          iu AS (SELECT unnest(brands) AS b FROM ob),
+          items AS (SELECT b, count(*) AS n_item FROM iu GROUP BY 1),
+          p AS (SELECT unnest(flatten(list_transform(
+              range(1, len(brands)),
+              i -> list_transform(range(i + 1, len(brands) + 1),
+                j -> [brands[i], brands[j]])))) AS pr
+            FROM ob WHERE len(brands) >= 2),
+          co AS (SELECT pr[1] AS b1, pr[2] AS b2, count(*) AS n_co
+            FROM p GROUP BY 1, 2)
+          SELECT co.b1, co.b2, co.n_co, a.n_item AS n_b1,
+            c.n_item AS n_b2, tot.n_orders,
+            CAST(co.n_co AS DOUBLE) / tot.n_orders AS support,
+            (CAST(co.n_co AS DOUBLE) * CAST(tot.n_orders AS DOUBLE)) /
+              (CAST(a.n_item AS DOUBLE) * CAST(c.n_item AS DOUBLE))
+              AS lift
+          FROM co JOIN items a ON co.b1 = a.b
+          JOIN items c ON co.b2 = c.b CROSS JOIN tot
+          ORDER BY 1, 2""",
+    // Integer-threshold latency bands + the Wilson chain in the exact
+    // engine operation order (the q_return_rate replay).
+    "q_late_returns" -> {
+      val z2 = CtrZ * CtrZ
+      s"""WITH l AS (SELECT date_diff('day', CAST(o_orderdate AS DATE),
+              CAST(l_shipdate AS DATE)) AS lag_days, l_returnflag
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          j AS (SELECT CASE WHEN lag_days <= 7 THEN 0
+              WHEN lag_days <= 30 THEN 1 WHEN lag_days <= 90 THEN 2
+              ELSE 3 END AS band_ix,
+            CASE WHEN lag_days <= 7 THEN '0-7'
+              WHEN lag_days <= 30 THEN '8-30'
+              WHEN lag_days <= 90 THEN '31-90'
+              ELSE '90+' END AS band, l_returnflag FROM l),
+          a AS (SELECT band_ix, band, count(*) AS n_lines,
+            count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned
+          FROM j GROUP BY 1, 2),
+          pr AS (SELECT *, CAST(n_returned AS DOUBLE) / n_lines AS p
+            FROM a)
+          SELECT band_ix, band, n_lines, n_returned, p AS return_rate,
+            (p + $z2 / (CAST(n_lines AS DOUBLE) * 2) - $CtrZ *
+              sqrt(p * (1.0 - p) / CAST(n_lines AS DOUBLE) +
+                $z2 / (CAST(n_lines AS DOUBLE) *
+                  CAST(n_lines AS DOUBLE) * 4))) /
+            (1.0 + $z2 / CAST(n_lines AS DOUBLE)) AS wilson_lb
+          FROM pr ORDER BY band_ix""" },
+    // Telescoped cadence (sum of gaps = last − first) and the integer
+    // cross-multiplied risk test; frontier is a scalar-subquery max.
+    "q_churn_risk" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day
+            FROM orders),
+          fr AS (SELECT max(day) AS f FROM o),
+          per AS (SELECT o_custkey, count(*) AS n_orders,
+            min(day) AS first_day, max(day) AS last_day
+          FROM o GROUP BY 1 HAVING count(*) >= 2),
+          r AS (SELECT o_custkey, CASE WHEN
+              CAST(date_diff('day', last_day, f) AS BIGINT) *
+                (n_orders - 1) >
+              CAST(date_diff('day', first_day, last_day) AS BIGINT) * 2
+            THEN 1 ELSE 0 END AS at_risk FROM per CROSS JOIN fr),
+          j AS (SELECT c_mktsegment, at_risk FROM r
+            JOIN customer ON o_custkey = c_custkey)
+          SELECT c_mktsegment, count(*) AS n_repeat_customers,
+            CAST(count(*) FILTER (WHERE at_risk = 1) AS BIGINT)
+              AS n_at_risk,
+            CAST(count(*) FILTER (WHERE at_risk = 1) AS DOUBLE) /
+              CAST(count(*) AS DOUBLE) AS at_risk_share
+          FROM j GROUP BY 1 ORDER BY 1""",
+    // Decimal-magnitude buckets (the deg_digits idiom); shares off
+    // unpartitioned window sums over the ≤20-row grid.
+    "q_engagement_dist" ->
+      """WITH per AS (SELECT user_id, count(*) AS ne FROM events
+            GROUP BY 1),
+          b AS (SELECT CAST(length(CAST(ne AS VARCHAR)) AS BIGINT)
+              AS digits,
+            count(*) AS n_users, CAST(sum(ne) AS BIGINT) AS n_events
+          FROM per GROUP BY 1)
+          SELECT digits, n_users, n_events,
+            CAST(n_users AS DOUBLE) / sum(n_users) OVER ()
+              AS user_share,
+            CAST(n_events AS DOUBLE) / sum(n_events) OVER ()
+              AS event_share
+          FROM b ORDER BY digits""",
     // Customer min-quarter CTE + conditional cent sums; the share is
     // one double division of exact bigint totals.
     "q_new_returning" ->
@@ -4971,6 +5150,53 @@ object SparkEntry {
             CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
               AS hapax_share
           FROM s ORDER BY source""",
+    // Parallel-unnest adjacent pairs + unigram/total CTEs; PMI in the
+    // engine's left-assoc double order, micro-nat-quantized rank cut.
+    "q_pmi_bigrams" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          u AS (SELECT unnest(toks) AS term FROM t),
+          uni AS (SELECT term, CAST(count(*) AS BIGINT) AS n_term
+            FROM u GROUP BY 1),
+          tu AS (SELECT CAST(sum(n_term) AS BIGINT) AS nn FROM uni),
+          tp AS (SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT)
+            AS np FROM t),
+          p AS (SELECT
+            unnest(list_transform(range(1, len(toks)), i -> toks[i]))
+              AS t1,
+            unnest(list_transform(range(1, len(toks)), i -> toks[i + 1]))
+              AS t2
+          FROM t WHERE len(toks) >= 2),
+          co AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_pair
+            FROM p GROUP BY 1, 2 HAVING count(*) >= $PmiMinCount),
+          j AS (SELECT co.t1, co.t2, n_pair, a.n_term AS n_t1,
+            b.n_term AS n_t2, nn, np
+          FROM co JOIN uni a ON co.t1 = a.term
+          JOIN uni b ON co.t2 = b.term CROSS JOIN tu CROSS JOIN tp)
+          SELECT t1, t2, n_pair, n_t1, n_t2,
+            CAST(floor(ln((CAST(n_pair AS DOUBLE) * CAST(nn AS DOUBLE) *
+                CAST(nn AS DOUBLE)) /
+              (CAST(np AS DOUBLE) * CAST(n_t1 AS DOUBLE) *
+                CAST(n_t2 AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
+              AS pmi_micro
+          FROM j ORDER BY pmi_micro DESC, t1, t2 LIMIT $PmiTopN""",
+    // Fingerprint-window dup flags (q_dedup_exact contract) rolled to
+    // source grain in docs AND tokens; guarded pct division.
+    "q_dedup_savings" ->
+      s"""WITH f AS (SELECT source, doc_id, md5($NormSql) AS fp,
+            len($ToksSql) AS n_toks FROM documents),
+          s AS (SELECT source, n_toks, CASE WHEN doc_id <>
+              min(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END
+            AS dup FROM f)
+          SELECT source, count(*) AS n_docs,
+            CAST(count(*) FILTER (WHERE dup = 1) AS BIGINT) AS n_dupes,
+            CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+            CAST(sum(CASE WHEN dup = 1 THEN n_toks ELSE 0 END)
+              AS BIGINT) AS tokens_dropped,
+            CAST(sum(CASE WHEN dup = 1 THEN n_toks ELSE 0 END)
+                AS DOUBLE) /
+              CAST(greatest(sum(n_toks), 1) AS DOUBLE)
+              AS pct_tokens_dropped
+          FROM s GROUP BY source ORDER BY source""",
     // Per-doc term-ordered n·ln n fold → fixed-shape H → micro-nat
     // quantization; source rollup is exact bigint sums.
     "q_entropy" ->

@@ -1024,6 +1024,95 @@ object Analytics {
       .orderBy(col("band_h1"), col("band_h2"))
   }
 
+  /** In-order brand cross-sell affinity: unordered brand pairs that
+    * co-occur in one order, with support (orders containing both /
+    * all orders) and lift — the merchandising twin of the session
+    * basket table ([[graft.operators.Temporal.basketPairs]] asks
+    * "what do users DO together", this asks "what do they BUY
+    * together" on the sales fact). Lift > 1 flags bundles; < 1
+    * flags substitutes.
+    *
+    * Shape: one orderkey-grain aggregate (the only corpus-sized
+    * exchange) after a broadcast brand-dim join; the per-order
+    * distinct brand set is bounded by the brand vocabulary, so the
+    * in-task sorted pair fan-out never self-joins; item and pair
+    * counts collapse to vocabulary-sized grids joined by broadcast.
+    * Lift multiplies count-DOUBLES (the q_assoc_rules overflow
+    * discipline). */
+  def brandAffinity(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    // persisted: pairs, item counts AND the broadcast total read it
+    val ob = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = ob.select(count(lit(1)).as("n_orders"))
+    val items = ob.select(explode(col("brands")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n_item"))
+    ob.where(size(col("brands")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("brands")) - 1),
+        i => transform(sequence(i + 1, size(col("brands"))),
+          j => struct(element_at(col("brands"), i).as("b1"),
+            element_at(col("brands"), j).as("b2")))))).as("p"))
+      .select(col("p.b1").as("b1"), col("p.b2").as("b2"))
+      .groupBy(col("b1"), col("b2"))
+      .agg(count(lit(1)).as("n_co"))
+      .join(broadcast(items.select(col("b").as("b1"),
+        col("n_item").as("n_b1"))), Seq("b1"))
+      .join(broadcast(items.select(col("b").as("b2"),
+        col("n_item").as("n_b2"))), Seq("b2"))
+      .crossJoin(broadcast(total))
+      .select(col("b1"), col("b2"), col("n_co"), col("n_b1"),
+        col("n_b2"), col("n_orders"),
+        (col("n_co").cast("double") / col("n_orders")).as("support"),
+        ((col("n_co").cast("double") * col("n_orders").cast("double")) /
+          (col("n_b1").cast("double") * col("n_b2").cast("double")))
+          .as("lift"))
+      .orderBy(col("b1"), col("b2"))
+  }
+
+  /** Return rate by fulfillment-latency band: do late-shipped lines
+    * come back more? Lines are banded by the order→ship day gap
+    * (0–7 / 8–30 / 31–90 / 90+, integer thresholds so the banding is
+    * exact) and each band reports its return rate with the Wilson
+    * lower bound — the quality-of-service signal behind
+    * [[returnRate]]'s per-brand view, and the causal question the
+    * [[fulfillmentLatency]] quartiles set up. Band index is emitted
+    * so the natural order survives any sort.
+    *
+    * Shape: the orderkey fact⋈fact join is the only corpus-sized
+    * exchange; banding is a row-local CASE and the rollup is a
+    * 4-row grid. The Wilson bound is the fixed-shape IEEE chain. */
+  def lateReturns(lineitem: DataFrame, orders: DataFrame,
+                  z: Double = 1.96): DataFrame = {
+    val lag0 = datediff(col("l_shipdate").cast("date"),
+      col("o_orderdate").cast("date"))
+    val bandIx = when(lag0 <= 7, 0).when(lag0 <= 30, 1)
+      .when(lag0 <= 90, 2).otherwise(3)
+    val bandNm = when(lag0 <= 7, "0-7").when(lag0 <= 30, "8-30")
+      .when(lag0 <= 90, "31-90").otherwise("90+")
+    val agg = lineitem.select(col("l_orderkey"), col("l_shipdate"),
+        col("l_returnflag"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(bandIx.as("band_ix"), bandNm.as("band"),
+        col("l_returnflag"))
+      .groupBy(col("band_ix"), col("band"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_returned"))
+    val nD = col("n_lines").cast("double")
+    val p = col("n_returned").cast("double") / nD
+    val z2 = z * z
+    val lb = (p + lit(z2) / (nD * 2) - lit(z) *
+      sqrt(p * (lit(1.0) - p) / nD + lit(z2) / (nD * nD * 4))) /
+      (lit(1.0) + lit(z2) / nD)
+    agg.select(col("band_ix"), col("band"), col("n_lines"),
+        col("n_returned"), p.as("return_rate"), lb.as("wilson_lb"))
+      .orderBy(col("band_ix"))
+  }
+
   /** New-vs-returning revenue split per quarter: each order is "new"
     * iff it falls in its customer's FIRST active quarter, and every
     * quarter reports order counts and cent-exact revenue for both

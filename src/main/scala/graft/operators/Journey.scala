@@ -523,4 +523,73 @@ object Journey {
         when(col("n") > 0, lb).as("wilson_lb"))
       .orderBy(col("segment"))
   }
+
+  /** Engagement distribution: users bucketed by the decimal MAGNITUDE
+    * of their lifetime event count (1 digit = 1–9 events, 2 = 10–99,
+    * …, the [[graft.operators.Affinity.graphStats]] bucket idiom —
+    * integer-exact where a log2 float boundary wobbles), with each
+    * bucket's user share and EVENT share. The two shares read
+    * together are the whale gauge: a tiny user share carrying most
+    * of the event share is a bot/power-user concentration a mean
+    * events-per-user hides completely.
+    *
+    * Shape: one user-grain count aggregate (the only corpus-sized
+    * exchange), a ≤20-row magnitude grid, and the share totals come
+    * from an unpartitioned window over that grid — safe by
+    * construction, never a second corpus pass. */
+  def engagementDist(events: DataFrame): DataFrame = {
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    events.groupBy(col("user_id")).agg(count(lit(1)).as("ne"))
+      .groupBy(length(col("ne").cast("string")).cast("long")
+        .as("digits"))
+      .agg(count(lit(1)).as("n_users"), sum(col("ne")).as("n_events"))
+      .withColumn("user_share",
+        col("n_users").cast("double") / sum(col("n_users")).over(wAll))
+      .withColumn("event_share",
+        col("n_events").cast("double") / sum(col("n_events")).over(wAll))
+      .orderBy(col("digits"))
+  }
+
+  /** Churn-risk accounting per market segment: a repeat customer is
+    * AT RISK when their current silence (corpus frontier minus last
+    * order) exceeds twice their own mean inter-order gap — the
+    * personalized-cadence test, because 60 quiet days is churn for a
+    * weekly buyer and noise for a quarterly one. Single-order
+    * customers have no cadence and are excluded (they're lifecycle
+    * "new", not churn candidates).
+    *
+    * Exactness: consecutive gaps telescope, so mean gap =
+    * (last−first)/(n−1) needs NO per-customer window — and the risk
+    * test cross-multiplies to pure integers, (frontier−last)·(n−1) >
+    * 2·(last−first): no division, no float, no boundary risk. A
+    * zero-span customer (all orders one day) is at risk from the
+    * first silent day, the correct degenerate reading. Shape: one
+    * customer-grain aggregate, a custkey join to the segment dim,
+    * a segment-grid rollup; the frontier is a collected ISO-string
+    * literal (driver-small). */
+  def churnRisk(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val o = orders.select(col("o_custkey"),
+      col("o_orderdate").cast("date").as("day"))
+    val frontier = lit(o.agg(max(col("day")).cast("string")).first()
+      .getString(0)).cast("date")
+    o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), min(col("day")).as("first_day"),
+        max(col("day")).as("last_day"))
+      .where(col("n_orders") >= 2)
+      .select(col("o_custkey"),
+        (datediff(frontier, col("last_day")).cast("long") *
+          (col("n_orders") - 1) >
+          datediff(col("last_day"), col("first_day")).cast("long") * 2)
+          .cast("int").as("at_risk"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_repeat_customers"),
+        count(when(col("at_risk") === 1, 1)).as("n_at_risk"))
+      .withColumn("at_risk_share",
+        col("n_at_risk").cast("double") /
+          col("n_repeat_customers").cast("double"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

@@ -545,6 +545,111 @@ object Temporal {
       .orderBy(col("entry_type"))
   }
 
+  /** Session-duration distribution per entry type: wall-clock length
+    * of each session (first→last event, floored to integer seconds)
+    * rolled up by the session's ENTRY event type — the "how long do
+    * visits that start here last" table next to [[bounceRate]]'s
+    * one-event share (a landing page can have a fine bounce rate and
+    * still lose everyone 30 seconds in). Includes p95 because
+    * session-length tails are where abuse and stuck clients live.
+    *
+    * Shape: the one user_id exchange builds sessions; durations are
+    * integer seconds so the corpus collapses onto the (entry_type ×
+    * dur_s) grid and the exact percentiles run WITH FREQUENCIES (the
+    * q_event_gaps contract); mean = exact bigint Σ(dur·cnt) with one
+    * division last. Entry type is min(struct(tu, event_id, type)) —
+    * deterministic under the session's total event order. */
+  def sessionDuration(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("tu"))
+      .withColumn("new_sess",
+        when(lag(col("tu"), 1).over(order).isNull ||
+          col("tu") - lag(col("tu"), 1).over(order) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_ix",
+        sum(col("new_sess")).over(order.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy(col("user_id"), col("session_ix"))
+      .agg(min(struct(col("tu").as("tu"), col("event_id").as("eid"),
+        col("event_type").as("et"))).as("first"),
+        min(col("tu")).as("lo"), max(col("tu")).as("hi"))
+      .select(col("first.et").as("entry_type"),
+        expr("(hi - lo) div 1000000").as("dur_s"))
+      .groupBy(col("entry_type"), col("dur_s"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("entry_type"))
+      .agg(sum(col("cnt")).as("n_sessions"),
+        sum(col("dur_s") * col("cnt")).as("sum_s"),
+        expr("percentile(dur_s, array(0.25D, 0.5D, 0.75D, 0.95D), cnt)")
+          .as("ps"))
+      .select(col("entry_type"), col("n_sessions"),
+        (col("sum_s").cast("double") / col("n_sessions")).as("mean_s"),
+        element_at(col("ps"), 1).as("p25_s"),
+        element_at(col("ps"), 2).as("p50_s"),
+        element_at(col("ps"), 3).as("p75_s"),
+        element_at(col("ps"), 4).as("p95_s"))
+      .orderBy(col("entry_type"))
+  }
+
+  /** Hourly session-concurrency curve: for every hour between the
+    * first session start and the last session end, how many sessions
+    * started, how many ended (their LAST event's hour), and how many
+    * were active at some point in the hour — the capacity-planning
+    * series ("what does peak look like, and when") that per-day
+    * volume rollups flatten away. A session is active in hour h iff
+    * start_hour ≤ h ≤ end_hour.
+    *
+    * Shape: the [[backlog]] difference-array discipline on the
+    * events table — the session aggregate collapses the corpus to
+    * per-session (start_hour, end_hour), two hour-grain delta
+    * frames, a dense hour spine, and active = cum(started) −
+    * cum(ended) + ended(h) as two running sums over the |hours| grid
+    * (tens of thousands of rows at ANY corpus size, so the
+    * unpartitioned window is safe by construction). */
+  def concurrency(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // persisted: started/ended/spine all read it — unpersisted, each
+    // branch re-runs the session windows end-to-end
+    val sh = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("tu"))
+      .withColumn("new_sess",
+        when(lag(col("tu"), 1).over(order).isNull ||
+          col("tu") - lag(col("tu"), 1).over(order) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_ix",
+        sum(col("new_sess")).over(order.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_ix"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      .select(date_trunc("hour", col("s")).as("sh"),
+        date_trunc("hour", col("e")).as("eh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val started = sh.groupBy(col("sh").as("hour"))
+      .agg(count(lit(1)).as("n_started"))
+    val ended = sh.groupBy(col("eh").as("hour"))
+      .agg(count(lit(1)).as("n_ended"))
+    val spine = sh.agg(min(col("sh")).as("lo"), max(col("eh")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("hour"))
+    val w = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(started, Seq("hour"), "left")
+      .join(ended, Seq("hour"), "left")
+      .withColumn("n_started", coalesce(col("n_started"), lit(0L)))
+      .withColumn("n_ended", coalesce(col("n_ended"), lit(0L)))
+      .withColumn("active_sessions",
+        sum(col("n_started")).over(w) - sum(col("n_ended")).over(w) +
+          col("n_ended"))
+      .orderBy(col("hour"))
+  }
+
   /** Position-based (U-shaped) multi-touch attribution — the third
     * member of the family: the FIRST and LAST touches before a
     * purchase take 40% each and the middle touches share the

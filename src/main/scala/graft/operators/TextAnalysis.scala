@@ -630,6 +630,87 @@ object TextAnalysis {
       .orderBy(col("n_occ").desc, col("pair"))
       .limit(topN)
 
+  /** PMI collocations: adjacent token pairs ranked by pointwise
+    * mutual information ln(p(ab) / (p(a)·p(b))) — the "statistically
+    * glued" phrases ("new york", "machine learning") that raw pair
+    * counts ([[bpePairs]]) bury under "of the". The `minCount` floor
+    * is the standard guard against PMI's rare-pair bias.
+    *
+    * Determinism at the cut: PMI is a fixed-shape IEEE expression
+    * over count-doubles (identical in both engines), but the top-N
+    * RANK quantizes it to integer micro-nats and breaks ties by pair
+    * — a raw double ORDER BY would make the cut ULP-fragile. Shape:
+    * one tokenize scan (persisted — unigram, pair and total legs all
+    * read it), two hash aggregates (term and pair grain — the only
+    * corpus-sized exchanges), term-keyed joins the optimizer may
+    * broadcast at small vocab, TakeOrdered top-N. */
+  def pmiBigrams(docs: DataFrame, minCount: Int = 5,
+                 topN: Int = 200): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = toks.select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totU = uni.agg(sum(col("n_term")).as("nn"))
+    val totP = toks.agg(sum(greatest(size(col("toks")) - 1, lit(0))
+      .cast("long")).as("np"))
+    val pmi = log((col("n_pair").cast("double") *
+      col("nn").cast("double") * col("nn").cast("double")) /
+      (col("np").cast("double") * col("n_t1").cast("double") *
+        col("n_t2").cast("double")))
+    toks.select(explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("t1"),
+            element_at(col("toks"), i + 1).as("t2"))))
+        .otherwise(array().cast(
+          "array<struct<t1:string,t2:string>>"))).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+      .join(uni.select(col("term").as("t1"), col("n_term").as("n_t1")),
+        Seq("t1"))
+      .join(uni.select(col("term").as("t2"), col("n_term").as("n_t2")),
+        Seq("t2"))
+      .crossJoin(broadcast(totU)).crossJoin(broadcast(totP))
+      .select(col("t1"), col("t2"), col("n_pair"), col("n_t1"),
+        col("n_t2"),
+        floor(pmi * lit(1000000.0) + lit(0.5)).cast("bigint")
+          .as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("t1"), col("t2"))
+      .limit(topN)
+  }
+
+  /** Dedup ROI report: what exact dedup would save, per source —
+    * duplicate docs (same normalized-md5 fingerprint, min-doc_id
+    * survivor: the q_dedup_exact contract) and the TOKEN mass they
+    * carry, because training cost is paid in tokens, not documents
+    * (a source that is 5% dup docs but 40% dup tokens is cloning its
+    * longest pages). Duplicates count against the source the COPY
+    * lives in, not the survivor's source.
+    *
+    * Shape: one fingerprint-keyed window (count + min over the same
+    * partition — one exchange), row-local flags, source-grain
+    * rollup of exact bigint sums; the pct is one guarded IEEE
+    * division. */
+  def dedupSavings(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("doc_id"),
+        md5(normText(col("text"))).as("fp"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("survivor",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .select(col("source"), col("n_toks"),
+        (col("doc_id") =!= col("survivor")).cast("int").as("dup"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("dup") === 1, 1)).as("n_dupes"),
+        sum(col("n_toks")).as("tokens_total"),
+        sum(when(col("dup") === 1, col("n_toks")).otherwise(0L))
+          .as("tokens_dropped"))
+      .withColumn("pct_tokens_dropped",
+        col("tokens_dropped").cast("double") /
+          greatest(col("tokens_total"), lit(1L)).cast("double"))
+      .orderBy(col("source"))
+
   /** Word-level BPE training — `nMerges` iterations of the byte-pair
     * encoding merge loop over the corpus vocabulary: start from
     * per-character symbols on the (term, count) vocab frame, each

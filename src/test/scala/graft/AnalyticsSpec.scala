@@ -89,6 +89,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("") == ((1L, 10.0, 10.0, 10.0, 10.0)))
   }
 
+  test("brandAffinity: in-order pair support and lift") {
+    val part = Seq((1L, "A"), (2L, "B"), (3L, "A"))
+      .toDF("p_partkey", "p_brand")
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Analytics.brandAffinity(li, part).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    // orders: {A,B}, {A}, {B} -> pair (A,B) co 1; A in 2, B in 2 of 3
+    assert(out == Map(("A", "B") ->
+      ((1L, 2L, 2L, 3L, 1.0 / 3, 3.0 / 4.0))))
+  }
+
+  test("lateReturns: threshold bands, boundary days stay in-band") {
+    def d(s: String) = Date.valueOf(s)
+    val orders = Seq((1L, d("2024-01-01")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (1L, d("2024-01-05"), "R"),   // lag 4 -> 0-7, returned
+      (1L, d("2024-01-08"), "N"),   // lag 7 -> boundary stays 0-7
+      (1L, d("2024-01-20"), "N"))   // lag 19 -> 8-30
+      .toDF("l_orderkey", "l_shipdate", "l_returnflag")
+    val out = Analytics.lateReturns(li, orders).collect()
+      .map(r => r.getString(1) -> ((r.getInt(0), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val b0 = out("0-7")
+    assert((b0._1, b0._2, b0._3, b0._4) == ((0, 2L, 1L, 0.5)))
+    assert(b0._5 > 0.0 && b0._5 < 0.5, "Wilson lb strictly inside (0, p)")
+    val b1 = out("8-30")
+    assert((b1._1, b1._2, b1._3, b1._4) == ((1, 1L, 0L, 0.0)))
+    assert(math.abs(b1._5) < 1e-12, "p=0 collapses the bound to 0")
+  }
+
   test("newVsReturning: first-quarter orders are new, rest returning") {
     def d(s: String) = Date.valueOf(s)
     val orders = Seq(

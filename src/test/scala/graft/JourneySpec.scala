@@ -302,4 +302,36 @@ class JourneySpec extends SparkSpec {
     assert(out(1L)._2 == 0L && out(1L)._3 == 0.0)
     assert(out(0L)._4 > 0.0 && out(0L)._4 < p)
   }
+
+  test("engagementDist: magnitude buckets with user and event shares") {
+    val events = (Seq.fill(3)(1L) ++ Seq.fill(12)(2L) ++ Seq(3L))
+      .toDF("user_id")
+    val out = Journey.engagementDist(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // 1-digit: u1 (3) + u3 (1); 2-digit: u2 (12); 16 events total
+    assert(out == Map(
+      1L -> ((2L, 4L, 2.0 / 3, 4.0 / 16)),
+      2L -> ((1L, 12L, 1.0 / 3, 12.0 / 16))))
+  }
+
+  test("churnRisk: silence vs own cadence, zero-span degenerate") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    val orders = Seq(
+      (1L, d("2024-01-01")), (1L, d("2024-01-11")),  // gap 10, quiet 21
+      (2L, d("2024-01-20")), (2L, d("2024-01-30")),  // gap 10, quiet 2
+      (3L, d("2024-02-01")),                         // single: frontier
+      (4L, d("2024-01-15")), (4L, d("2024-01-15")))  // zero span
+      .toDF("o_custkey", "o_orderdate")
+    val cust = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val out = Journey.churnRisk(orders, cust).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // c1: 21·1 > 2·10 at risk; c2: 2·1 < 20 fine; c4: 17·1 > 0 at risk
+    assert(out == Map(
+      "A" -> ((2L, 1L, 0.5)),
+      "B" -> ((1L, 1L, 1.0))))
+  }
 }

@@ -159,6 +159,41 @@ class TemporalSpec extends SparkSpec {
       ("view", "click") -> ((1L, 3L, 1L, 3L, 1.0 / 3, 1.0 / 3, 1.0))))
   }
 
+  test("sessionDuration: entry-typed integer-second quartiles + p95") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:00:30"), 2L, "b"),
+      (1L, ts("2024-01-01 10:10:00"), 3L, "c"),   // s1: entry a, 600 s
+      (1L, ts("2024-01-01 11:00:00"), 4L, "b"),   // s2: entry b, 0 s
+      (2L, ts("2024-01-01 09:00:00"), 5L, "a"))   // s3: entry a, 0 s
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Temporal.sessionDuration(events, 30).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6)))).toMap
+    // entry a durations {0, 600}: interpolated 150/300/450/570
+    assert(out("a") == ((2L, 300.0, 150.0, 300.0, 450.0, 570.0)))
+    assert(out("b") == ((1L, 0.0, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("concurrency: hour-spanning sessions stay active in both hours") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:10:00"), 2L, "a"),   // s1: hours 10→10
+      (1L, ts("2024-01-01 11:00:00"), 3L, "a"),   // s2: 11→11
+      (2L, ts("2024-01-01 09:00:00"), 4L, "a"),   // s3: 9→9
+      (3L, ts("2024-01-01 10:50:00"), 5L, "a"),
+      (3L, ts("2024-01-01 11:05:00"), 6L, "a"))   // s4: 10→11
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Temporal.concurrency(events, 30).collect()
+      .map(r => r.getTimestamp(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(out.toSeq == Seq(
+      "2024-01-01 09:00:00.0" -> ((1L, 1L, 1L)),
+      "2024-01-01 10:00:00.0" -> ((2L, 1L, 2L)),
+      "2024-01-01 11:00:00.0" -> ((1L, 2L, 2L))))
+  }
+
   test("eventGaps computes per-type gap quartiles over user streams") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "a"),

@@ -691,6 +691,42 @@ class TextSpec extends SparkSpec {
     assert(out("s1") == ((2L, hq / 2.0 / 1e6, 0.0, hq / 1e6)))
   }
 
+  test("pmiBigrams: equal-rational pairs share one micro-nat score") {
+    val d = Seq(
+      (1L, "x y", "s"), (2L, "x y", "s"), (3L, "x y", "s"),
+      (4L, "x z x z x", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.pmiBigrams(d, minCount = 2, topN = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    // unigrams x=6 y=3 z=2, N=11, P=7; all three pairs reduce to the
+    // SAME rational 363/126 = 242/84 -> identical correctly-rounded
+    // double -> identical micro-nat score; tie-break is (t1, t2)
+    val exp = math.floor(
+      math.log(363.0 / 126.0) * 1e6 + 0.5).toLong
+    assert(out.map(_._1).toSeq == Seq(("x", "y"), ("x", "z"), ("z", "x")))
+    assert(out.toMap == Map(
+      ("x", "y") -> ((3L, 6L, 3L, exp)),
+      ("x", "z") -> ((2L, 6L, 2L, exp)),
+      ("z", "x") -> ((2L, 2L, 6L, exp))))
+  }
+
+  test("dedupSavings: token mass of non-survivors, cross-source") {
+    val d = Seq(
+      (1L, "a b c", "s1"),
+      (2L, "a b c!!", "s1"),          // same fingerprint: dup
+      (3L, "unique words here", "s1"),
+      (4L, "A  B c", "s2"))           // cross-source copy of d1
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.dedupSavings(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out == Map(
+      "s1" -> ((3L, 1L, 9L, 3L, 3.0 / 9)),
+      "s2" -> ((1L, 1L, 3L, 3L, 1.0))))
+  }
+
   test("readabilityBands: fixed-shape Flesch banding incl. unscorable") {
     val d = Seq(
       (1L, "The cat sat.", "s1"),     // 3w/1s/3syl -> 119.2: easy
