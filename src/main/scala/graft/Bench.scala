@@ -54,8 +54,11 @@ object Bench {
     "q_next_event", "q_rfm", "q_trend", "q_theilsen_trend", "q_source_overlap",
     "q_source_kl", "q_ttr", "q_readability", "q_entropy",
     "q_pmi_bigrams", "q_dedup_savings", "q_engagement_dist",
-    "q_churn_risk",
+    "q_churn_risk", "q_prefix_templates", "q_ingest_mix",
+    "q_sample_bias", "q_error_share", "q_retention_days",
+    "q_discount_returns", "q_zipf_by_source",
     "q_assoc_rules", "q_session_duration", "q_concurrency",
+    "q_session_conversion", "q_value_dist",
     "q_session_paths", "q_dq_rules", "q_fd_audit", "q_corr_matrix", "q_user_features", "q_attribution",
     "q_attribution_decay", "q_attribution_u", "q_l_diversity", "q_t_closeness",
     "q_ooo_audit", "q_watermark_rec", "q_join_skew", "q_record_dedup", "q_canary_scan",

@@ -305,6 +305,12 @@ object SparkEntry {
   private val CtrZ = 1.96
   private val PmiMinCount = 5
   private val PmiTopN = 200
+  private val PrefixK = 8
+  private val PrefixMinDocs = 2
+  private val PrefixTopN = 100
+  private val SampleBiasMod = 10
+  private val SampleBiasCritical = 3.841
+  private val IngestBuckets = 20
 
   /** q_entity_components synthetic shared identifiers: key g3 groups
     * consecutive custkey triples; key dec links the multiples of 3
@@ -1379,6 +1385,19 @@ object SparkEntry {
     // decimal-magnitude engagement buckets with user + event shares
     "q_engagement_dist" -> ((s, d) =>
       Journey.engagementDist(Tables.events(s, d))),
+    // chi-square GOF of the 1-in-10 event_id sample vs full
+    "q_sample_bias" -> ((s, d) =>
+      DataChecks.sampleBias(Tables.events(s, d), SampleBiasMod,
+        SampleBiasCritical)),
+    // Wilson-bounded error share by hour of day
+    "q_error_share" -> ((s, d) =>
+      DataChecks.errorShare(Tables.events(s, d), CtrZ)),
+    // D1/D7/D30 fixed-horizon retention per daily cohort
+    "q_retention_days" -> ((s, d) =>
+      Journey.retentionDays(Tables.events(s, d))),
+    // Wilson-bounded return rate by integer discount-point band
+    "q_discount_returns" -> ((s, d) =>
+      Analytics.discountReturns(Tables.lineitem(s, d), CtrZ)),
     "q_trend" -> ((s, d) =>
       DataChecks.dailyTrend(Tables.events(s, d))),
     "q_source_overlap" -> ((s, d) =>
@@ -1397,6 +1416,16 @@ object SparkEntry {
     // exact-dedup ROI in docs AND tokens per source
     "q_dedup_savings" -> ((s, d) =>
       TextAnalysis.dedupSavings(Tables.documents(s, d))),
+    // first-k-token template families (exact-dedup blind spot)
+    "q_prefix_templates" -> ((s, d) =>
+      TextAnalysis.prefixTemplates(Tables.documents(s, d), PrefixK,
+        PrefixMinDocs, PrefixTopN)),
+    // source-mix drift across ingestion-order id buckets
+    "q_ingest_mix" -> ((s, d) =>
+      Curation.ingestMix(Tables.documents(s, d), IngestBuckets)),
+    // per-source Zipf alpha (rank-ordered OLS folds)
+    "q_zipf_by_source" -> ((s, d) =>
+      TextAnalysis.zipfBySource(Tables.documents(s, d), ZipfTopK)),
     "q_readability" -> ((s, d) =>
       TextAnalysis.readabilityBands(Tables.documents(s, d))),
     "q_session_paths" -> ((s, d) =>
@@ -1589,6 +1618,13 @@ object SparkEntry {
     // per-entry-type session length quartiles + p95 (grid percentiles)
     "q_session_duration" -> ((s, d) =>
       Temporal.sessionDuration(Tables.events(s, d), SessionGapMin)),
+    // Wilson-bounded purchase-session share per entry type
+    "q_session_conversion" -> ((s, d) =>
+      Temporal.sessionConversion(Tables.events(s, d), SessionGapMin,
+        CtrZ)),
+    // cent-grid value quartiles + p95 per event type
+    "q_value_dist" -> ((s, d) =>
+      DataChecks.valueDist(Tables.events(s, d))),
     // hourly active-session difference-array curve
     "q_concurrency" -> ((s, d) =>
       Temporal.concurrency(Tables.events(s, d), SessionGapMin)),
@@ -4034,6 +4070,55 @@ object SparkEntry {
             ps[1] AS p25_s, ps[2] AS p50_s, ps[3] AS p75_s,
             ps[4] AS p95_s
           FROM q ORDER BY entry_type""",
+    // Session CTEs + rn=1 entry + bool_max convert flag; Wilson chain
+    // in engine operation order.
+    "q_session_conversion" -> {
+      val z2 = CtrZ * CtrZ
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+            event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+          s AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+              OR tu - lag(tu) OVER w > ${SessionGapMin * 60L * 1000000L}
+              THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          x AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_ix FROM s),
+          r AS (SELECT user_id, session_ix, event_type, row_number()
+              OVER (PARTITION BY user_id, session_ix
+                ORDER BY tu, event_id) AS rn FROM x),
+          ses AS (SELECT user_id, session_ix,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS converted
+            FROM x GROUP BY 1, 2),
+          entry AS (SELECT user_id, session_ix, event_type AS entry_type
+            FROM r WHERE rn = 1),
+          a AS (SELECT entry_type, count(*) AS n_sessions,
+              count(*) FILTER (WHERE converted = 1) AS n_converting
+            FROM ses JOIN entry USING (user_id, session_ix) GROUP BY 1),
+          pr AS (SELECT *, CAST(n_converting AS DOUBLE) / n_sessions
+              AS p FROM a)
+          SELECT entry_type, n_sessions, n_converting,
+            p AS conversion_rate,
+            (p + $z2 / (CAST(n_sessions AS DOUBLE) * 2) - $CtrZ *
+              sqrt(p * (1.0 - p) / CAST(n_sessions AS DOUBLE) +
+                $z2 / (CAST(n_sessions AS DOUBLE) *
+                  CAST(n_sessions AS DOUBLE) * 4))) /
+            (1.0 + $z2 / CAST(n_sessions AS DOUBLE)) AS wilson_lb
+          FROM pr ORDER BY entry_type""" },
+    // Cent grid + quantile_cont (the gaps contract) + exact mean.
+    "q_value_dist" ->
+      """WITH c AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+          q AS (SELECT event_type, count(*) AS n_events,
+            CAST(sum(cents) AS BIGINT) AS sum_c,
+            quantile_cont(cents, [0.25, 0.5, 0.75, 0.95]) AS ps
+          FROM c GROUP BY 1)
+          SELECT event_type, n_events,
+            CAST(sum_c AS DOUBLE) / n_events / 100.0 AS mean_value,
+            ps[1] / 100.0 AS p25, ps[2] / 100.0 AS p50,
+            ps[3] / 100.0 AS p75, ps[4] / 100.0 AS p95
+          FROM q ORDER BY event_type""",
     // Session min/max → hour deltas → dense hour spine → running sums;
     // active = cum(started) − cum(ended) + ended(h).
     "q_concurrency" ->
@@ -4198,6 +4283,91 @@ object SparkEntry {
             CAST(count(*) FILTER (WHERE at_risk = 1) AS DOUBLE) /
               CAST(count(*) AS DOUBLE) AS at_risk_share
           FROM j GROUP BY 1 ORDER BY 1""",
+    // One aggregate computes both counts; expected/χ² fixed-shape
+    // doubles off grid-window totals, nullif-guarded.
+    "q_sample_bias" ->
+      s"""WITH per AS (SELECT event_type,
+            CAST(count(*) AS BIGINT) AS n_full,
+            CAST(count(*) FILTER (WHERE event_id % $SampleBiasMod = 0)
+              AS BIGINT) AS n_sampled
+          FROM events GROUP BY 1),
+          w AS (SELECT *, CAST(n_full AS DOUBLE) *
+            CAST(sum(n_sampled) OVER () AS DOUBLE) /
+            CAST(sum(n_full) OVER () AS DOUBLE) AS expected_sampled
+          FROM per),
+          c AS (SELECT *,
+            (CAST(n_sampled AS DOUBLE) - expected_sampled) *
+            (CAST(n_sampled AS DOUBLE) - expected_sampled) /
+            nullif(expected_sampled, 0.0) AS contrib FROM w)
+          SELECT event_type, n_full, n_sampled, expected_sampled,
+            contrib,
+            CASE WHEN contrib > $SampleBiasCritical THEN 1 ELSE 0 END
+              AS suspect
+          FROM c ORDER BY event_type""",
+    // (user, day) distinct + min-day cohort + horizon filter onto the
+    // day grid; left join keeps zero-retention cohorts with 0 counts.
+    "q_retention_days" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+          f AS (SELECT user_id, min(day) AS cohort_day FROM ud
+            GROUP BY 1),
+          co AS (SELECT cohort_day, count(*) AS n_users FROM f
+            GROUP BY 1),
+          r AS (SELECT f.cohort_day,
+            CAST(sum(CASE WHEN date_diff('day', f.cohort_day, ud.day) = 1
+              THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+            CAST(sum(CASE WHEN date_diff('day', f.cohort_day, ud.day) = 7
+              THEN 1 ELSE 0 END) AS BIGINT) AS d7,
+            CAST(sum(CASE WHEN date_diff('day', f.cohort_day, ud.day) = 30
+              THEN 1 ELSE 0 END) AS BIGINT) AS d30
+          FROM ud JOIN f USING (user_id)
+          WHERE date_diff('day', f.cohort_day, ud.day) IN (1, 7, 30)
+          GROUP BY 1)
+          SELECT co.cohort_day, co.n_users,
+            coalesce(d1, 0) AS d1, coalesce(d7, 0) AS d7,
+            coalesce(d30, 0) AS d30,
+            CAST(coalesce(d1, 0) AS DOUBLE) / co.n_users AS r1,
+            CAST(coalesce(d7, 0) AS DOUBLE) / co.n_users AS r7,
+            CAST(coalesce(d30, 0) AS DOUBLE) / co.n_users AS r30
+          FROM co LEFT JOIN r ON co.cohort_day = r.cohort_day
+          ORDER BY co.cohort_day""",
+    // Integer discount points band + the Wilson chain in engine order.
+    "q_discount_returns" -> {
+      val z2 = CtrZ * CtrZ
+      s"""WITH l AS (SELECT CAST(round(l_discount * 100) AS INTEGER)
+              AS bp, l_returnflag FROM lineitem),
+          j AS (SELECT CASE WHEN bp = 0 THEN 0 WHEN bp <= 5 THEN 1
+              ELSE 2 END AS band_ix,
+            CASE WHEN bp = 0 THEN 'none' WHEN bp <= 5 THEN 'light_1_5'
+              ELSE 'deep_6_plus' END AS band, l_returnflag FROM l),
+          a AS (SELECT band_ix, band, count(*) AS n_lines,
+            count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned
+          FROM j GROUP BY 1, 2),
+          pr AS (SELECT *, CAST(n_returned AS DOUBLE) / n_lines AS p
+            FROM a)
+          SELECT band_ix, band, n_lines, n_returned, p AS return_rate,
+            (p + $z2 / (CAST(n_lines AS DOUBLE) * 2) - $CtrZ *
+              sqrt(p * (1.0 - p) / CAST(n_lines AS DOUBLE) +
+                $z2 / (CAST(n_lines AS DOUBLE) *
+                  CAST(n_lines AS DOUBLE) * 4))) /
+            (1.0 + $z2 / CAST(n_lines AS DOUBLE)) AS wilson_lb
+          FROM pr ORDER BY band_ix""" },
+    // 24-row hour grid + the Wilson chain in engine operation order.
+    "q_error_share" -> {
+      val z2 = CtrZ * CtrZ
+      s"""WITH a AS (SELECT CAST(hour(ts) AS INTEGER) AS hod,
+            count(*) AS n_events,
+            count(*) FILTER (WHERE event_type = 'error') AS n_errors
+          FROM events GROUP BY 1),
+          pr AS (SELECT *, CAST(n_errors AS DOUBLE) / n_events AS p
+            FROM a)
+          SELECT hod, n_events, n_errors, p AS error_share,
+            (p + $z2 / (CAST(n_events AS DOUBLE) * 2) - $CtrZ *
+              sqrt(p * (1.0 - p) / CAST(n_events AS DOUBLE) +
+                $z2 / (CAST(n_events AS DOUBLE) *
+                  CAST(n_events AS DOUBLE) * 4))) /
+            (1.0 + $z2 / CAST(n_events AS DOUBLE)) AS wilson_lb
+          FROM pr ORDER BY hod""" },
     // Decimal-magnitude buckets (the deg_digits idiom); shares off
     // unpartitioned window sums over the ≤20-row grid.
     "q_engagement_dist" ->
@@ -5179,6 +5349,79 @@ object SparkEntry {
                 CAST(n_t2 AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
               AS pmi_micro
           FROM j ORDER BY pmi_micro DESC, t1, t2 LIMIT $PmiTopN""",
+    // Per-source rank window + rank-ORDERED list folds (the B-point
+    // OLS discipline); nullif guards mirror the engine.
+    "q_zipf_by_source" ->
+      s"""WITH tk AS (SELECT source, $ToksSql AS toks FROM documents),
+          e AS (SELECT source, unnest(toks) AS term FROM tk),
+          f AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_occ
+            FROM e GROUP BY 1, 2),
+          nv AS (SELECT source, count(*) AS n_vocab FROM f GROUP BY 1),
+          r AS (SELECT source, term, n_occ, row_number() OVER (
+              PARTITION BY source ORDER BY n_occ DESC, term) AS rnk
+            FROM f),
+          p AS (SELECT source, rnk,
+            ln(CAST(rnk AS DOUBLE)) AS lx,
+            ln(CAST(n_occ AS DOUBLE)) AS ly
+          FROM r WHERE rnk <= $ZipfTopK),
+          m AS (SELECT source, count(*) AS k,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(lx ORDER BY rnk)), (x, y) -> x + y) AS sx,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(ly ORDER BY rnk)), (x, y) -> x + y) AS sy,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(lx * ly ORDER BY rnk)), (x, y) -> x + y) AS sxy,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(lx * lx ORDER BY rnk)), (x, y) -> x + y) AS sxx,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(ly * ly ORDER BY rnk)), (x, y) -> x + y) AS syy
+          FROM p GROUP BY 1)
+          SELECT m.source, n_vocab, k AS n_top_terms,
+            -(k * sxy - sx * sy) /
+              nullif(k * sxx - sx * sx, 0.0) AS zipf_alpha,
+            ((k * sxy - sx * sy) * (k * sxy - sx * sy)) /
+              nullif((k * sxx - sx * sx) * (k * syy - sy * sy), 0.0)
+              AS r2
+          FROM m JOIN nv ON m.source = nv.source
+          ORDER BY m.source""",
+    // Row-local first-k-token md5 + HAVING floor + deterministic
+    // (n_docs desc, fp) cut.
+    "q_prefix_templates" ->
+      s"""WITH t AS (SELECT doc_id, source, $ToksSql AS toks
+            FROM documents),
+          p AS (SELECT doc_id, source,
+            md5(array_to_string(list_slice(toks, 1, $PrefixK), ' '))
+              AS prefix_fp,
+            CAST(len(toks) AS BIGINT) AS n_toks
+          FROM t WHERE len(toks) > 0),
+          g AS (SELECT prefix_fp, count(*) AS n_docs,
+            CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+            CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+            min(doc_id) AS example_doc
+          FROM p GROUP BY 1 HAVING count(*) >= $PrefixMinDocs)
+          SELECT prefix_fp, n_docs, n_sources, total_tokens, example_doc
+          FROM g ORDER BY n_docs DESC, prefix_fp LIMIT $PrefixTopN""",
+    // Id-grid bucket CTE (min/max via scalar CTE = the collected
+    // literals) + grid-window shares; drift recomputes the same
+    // expressions, so the doubles match the engine's reuse.
+    "q_ingest_mix" ->
+      s"""WITH ids AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+            FROM documents),
+          b AS (SELECT ((doc_id - mn) * $IngestBuckets) //
+              (mx - mn + 1) + 1 AS bucket, source
+            FROM documents, ids),
+          g AS (SELECT bucket, source, count(*) AS n_docs
+            FROM b GROUP BY 1, 2)
+          SELECT bucket, source, n_docs,
+            CAST(n_docs AS DOUBLE) /
+              sum(n_docs) OVER (PARTITION BY bucket) AS bucket_share,
+            CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE) /
+              sum(n_docs) OVER () AS overall_share,
+            CAST(n_docs AS DOUBLE) /
+              sum(n_docs) OVER (PARTITION BY bucket) -
+              CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE) /
+                sum(n_docs) OVER () AS drift
+          FROM g ORDER BY bucket, source""",
     // Fingerprint-window dup flags (q_dedup_exact contract) rolled to
     // source grain in docs AND tokens; guarded pct division.
     "q_dedup_savings" ->

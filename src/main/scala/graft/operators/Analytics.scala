@@ -1073,6 +1073,37 @@ object Analytics {
       .orderBy(col("b1"), col("b2"))
   }
 
+  /** Return rate by discount depth: are discounted lines coming back
+    * more (the "we moved it with a markdown and got it back" loss
+    * pattern)? Lines band on INTEGER discount points — none (0) /
+    * light (1–5) / deep (6+), exact cent-free arithmetic — and each
+    * band reports its Wilson-bounded return rate. The pricing twin
+    * of [[lateReturns]]; read together they separate "late ships
+    * return" from "cheap ships return".
+    *
+    * Shape: single scan, row-local banding, 3-row grid rollup, the
+    * fixed-shape Wilson chain. */
+  def discountReturns(lineitem: DataFrame, z: Double = 1.96): DataFrame = {
+    val bp = round(col("l_discount") * 100).cast("int")
+    val bandIx = when(bp === 0, 0).when(bp <= 5, 1).otherwise(2)
+    val bandNm = when(bp === 0, "none").when(bp <= 5, "light_1_5")
+      .otherwise("deep_6_plus")
+    val agg = lineitem
+      .select(bandIx.as("band_ix"), bandNm.as("band"), col("l_returnflag"))
+      .groupBy(col("band_ix"), col("band"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_returned"))
+    val nD = col("n_lines").cast("double")
+    val p = col("n_returned").cast("double") / nD
+    val z2 = z * z
+    val lb = (p + lit(z2) / (nD * 2) - lit(z) *
+      sqrt(p * (lit(1.0) - p) / nD + lit(z2) / (nD * nD * 4))) /
+      (lit(1.0) + lit(z2) / nD)
+    agg.select(col("band_ix"), col("band"), col("n_lines"),
+        col("n_returned"), p.as("return_rate"), lb.as("wilson_lb"))
+      .orderBy(col("band_ix"))
+  }
+
   /** Return rate by fulfillment-latency band: do late-shipped lines
     * come back more? Lines are banded by the order→ship day gap
     * (0–7 / 8–30 / 31–90 / 90+, integer thresholds so the banding is

@@ -815,4 +815,44 @@ object Curation {
           .as("fill_frac"))
       .orderBy(col("source"))
   }
+
+  /** Ingestion-mix drift: source composition across doc_id-order
+    * buckets — "did my crawl mix shift mid-ingestion", the VOLUME
+    * axis next to [[graft.operators.TextAnalysis.qualityTrend]]'s
+    * quality axis (a source that quietly became 60% of late buckets
+    * skews every downstream mixture even if its quality held). Each
+    * (bucket, source) cell carries the in-bucket share, the source's
+    * overall corpus share, and the drift delta between them.
+    *
+    * Shape: the id-grid discipline — bucket is a row-local integer
+    * floor-div off collected min/max id literals (driver-small, no
+    * sort, no window over the corpus); one (bucket, source) hash
+    * aggregate is the only corpus-sized exchange and every share
+    * comes from window sums over the buckets×sources grid. */
+  def ingestMix(docs: DataFrame, buckets: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, "need at least 2 buckets for a drift read")
+    val b = buckets.toLong
+    val idRow = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    require(!idRow.isNullAt(0), "ingestMix needs a non-empty corpus")
+    val (minId, span) =
+      (idRow.getLong(0), idRow.getLong(1) - idRow.getLong(0) + 1)
+    val wB = Window.partitionBy(col("bucket"))
+    val wS = Window.partitionBy(col("source"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    docs.select(
+        (expr(s"((doc_id - ${minId}L) * $b) div ${span}L") + 1L)
+          .as("bucket"),
+        col("source"))
+      .groupBy(col("bucket"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("bucket_share",
+        col("n_docs").cast("double") / sum(col("n_docs")).over(wB))
+      .withColumn("overall_share",
+        sum(col("n_docs")).over(wS).cast("double") /
+          sum(col("n_docs")).over(wAll))
+      .withColumn("drift", col("bucket_share") - col("overall_share"))
+      .orderBy(col("bucket"), col("source"))
+  }
 }

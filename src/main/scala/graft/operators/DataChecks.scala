@@ -1273,4 +1273,97 @@ object DataChecks {
       .select(col("col_a"), col("col_b"), col("n_rows"), col("corr"))
       .orderBy(col("col_a"), col("col_b"))
   }
+
+  /** Sampling-bias audit: is the deterministic 1-in-`mod` sample
+    * (the event_id slice every probe query uses) actually
+    * representative? Per event type: full and sampled counts, the
+    * expected sampled count under the full distribution, the χ²
+    * contribution (o−e)²/e and a suspect flag at the 1-df critical
+    * value — the check that belongs NEXT to every sampled pipeline,
+    * because a modulus that correlates with type assignment silently
+    * biases everything downstream.
+    *
+    * Shape: ONE corpus aggregate computes both counts (the sample
+    * indicator is row-local); totals come from unpartitioned window
+    * sums over the types-sized grid; expected/χ² are fixed-shape
+    * IEEE expressions with a nullif guard for an empty sample. */
+  def sampleBias(events: DataFrame, mod: Int = 10,
+                 critical: Double = 3.841): DataFrame = {
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val e = col("expected_sampled")
+    val o = col("n_sampled").cast("double")
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_full"),
+        count(when(col("event_id") % mod === 0, 1)).as("n_sampled"))
+      .withColumn("expected_sampled",
+        col("n_full").cast("double") *
+          sum(col("n_sampled")).over(wAll).cast("double") /
+          sum(col("n_full")).over(wAll).cast("double"))
+      .withColumn("contrib", (o - e) * (o - e) / nullif(e, lit(0.0)))
+      .withColumn("suspect", (col("contrib") > critical).cast("int"))
+      .select(col("event_type"), col("n_full"), col("n_sampled"),
+        col("expected_sampled"), col("contrib"), col("suspect"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-type event-value distribution: exact quartiles + p95 and
+    * mean of the cent-quantized value — the monetary axis next to
+    * [[graft.operators.Temporal.eventGaps]]'s cadence axis, and the
+    * distribution the [[anomalyFlags]] daily totals flatten (a mean
+    * shift can be one whale or a price change; the quartiles tell
+    * you which).
+    *
+    * Shape: values quantize to integer cents row-locally, the corpus
+    * collapses onto the (type × cents) grid, exact percentiles run
+    * WITH FREQUENCIES there (the q_event_gaps contract), and the
+    * mean is exact bigint Σ(cents·cnt) with one division last; the
+    * /100 displays are single IEEE divisions. */
+  def valueDist(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n_events"),
+        sum(col("cents") * col("cnt")).as("sum_c"),
+        expr("percentile(cents, array(0.25D, 0.5D, 0.75D, 0.95D), cnt)")
+          .as("ps"))
+      .select(col("event_type"), col("n_events"),
+        (col("sum_c").cast("double") / col("n_events") / 100.0)
+          .as("mean_value"),
+        (element_at(col("ps"), 1) / 100.0).as("p25"),
+        (element_at(col("ps"), 2) / 100.0).as("p50"),
+        (element_at(col("ps"), 3) / 100.0).as("p75"),
+        (element_at(col("ps"), 4) / 100.0).as("p95"))
+      .orderBy(col("event_type"))
+
+  /** Error share by hour of day, Wilson-bounded: what fraction of
+    * each hour's traffic is `error` events — the intraday
+    * reliability profile next to [[graft.operators.Analytics
+    * .hourlyProfile]]'s volume view (an error RATE spike at 03:00
+    * with flat volume is a batch job, not a user incident). The
+    * Wilson lower bound keeps low-traffic night hours from
+    * outranking busy ones on a single failure.
+    *
+    * Shape: one (hour-of-day) hash aggregate off a row-local hour
+    * extraction — a 24-row grid at any corpus size; the bound is
+    * the fixed-shape IEEE chain. */
+  def errorShare(events: DataFrame, z: Double = 1.96): DataFrame = {
+    val agg = events
+      .select(hour(col("ts")).as("hod"),
+        (col("event_type") === "error").cast("int").as("is_err"))
+      .groupBy(col("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("is_err") === 1, 1)).as("n_errors"))
+    val nD = col("n_events").cast("double")
+    val p = col("n_errors").cast("double") / nD
+    val z2 = z * z
+    val lb = (p + lit(z2) / (nD * 2) - lit(z) *
+      sqrt(p * (lit(1.0) - p) / nD + lit(z2) / (nD * nD * 4))) /
+      (lit(1.0) + lit(z2) / nD)
+    agg.select(col("hod"), col("n_events"), col("n_errors"),
+        p.as("error_share"), lb.as("wilson_lb"))
+      .orderBy(col("hod"))
+  }
 }

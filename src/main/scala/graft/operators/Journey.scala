@@ -524,6 +524,48 @@ object Journey {
       .orderBy(col("segment"))
   }
 
+  /** Day-N retention per daily signup cohort: of the users whose
+    * FIRST activity fell on a cohort day, how many were active again
+    * exactly 1, 7 and 30 days later — the growth team's D1/D7/D30
+    * next to [[cohortRetention]]'s weekly triangle (the triangle
+    * shows the whole surface; this is the fixed-horizon cut that
+    * goes on the dashboard). Counts are exact; trailing cohorts that
+    * haven't LIVED 30 days yet simply report what was observed
+    * (zeros, not NULLs — the replayable convention).
+    *
+    * Shape: one (user, day) distinct, one user-grain min aggregate,
+    * one co-partitioned user join; the horizon filter collapses
+    * everything onto the (cohort_day × 3) grid before the pivot, and
+    * rates are single IEEE divisions at day grain. */
+  def retentionDays(events: DataFrame): DataFrame = {
+    // two consumers (cohort mins, horizon join) — persisted so the
+    // corpus-sized distinct runs once
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = ud.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val cohorts = firsts.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"))
+    val rets = ud.join(firsts, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("dd"))
+      .where(col("dd").isin(1, 7, 30))
+      .groupBy(col("cohort_day"))
+      .agg(sum(when(col("dd") === 1, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("dd") === 7, 1L).otherwise(0L)).as("d7"),
+        sum(when(col("dd") === 30, 1L).otherwise(0L)).as("d30"))
+    cohorts.join(rets, Seq("cohort_day"), "left")
+      .select(col("cohort_day"), col("n_users"),
+        coalesce(col("d1"), lit(0L)).as("d1"),
+        coalesce(col("d7"), lit(0L)).as("d7"),
+        coalesce(col("d30"), lit(0L)).as("d30"))
+      .withColumn("r1", col("d1").cast("double") / col("n_users"))
+      .withColumn("r7", col("d7").cast("double") / col("n_users"))
+      .withColumn("r30", col("d30").cast("double") / col("n_users"))
+      .orderBy(col("cohort_day"))
+  }
+
   /** Engagement distribution: users bucketed by the decimal MAGNITUDE
     * of their lifetime event count (1 digit = 1–9 events, 2 = 10–99,
     * …, the [[graft.operators.Affinity.graphStats]] bucket idiom —

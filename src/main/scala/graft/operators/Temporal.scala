@@ -545,6 +545,50 @@ object Temporal {
       .orderBy(col("entry_type"))
   }
 
+  /** Session conversion per entry type: the share of sessions that
+    * contain a `purchase` event, by the session's ENTRY type — the
+    * money-complement of [[bounceRate]] (bounce says who left
+    * immediately; this says which doors the buyers came through),
+    * Wilson-bounded so a 2-session entry type can't top the ranking.
+    *
+    * Shape: the one user_id exchange builds sessions; the convert
+    * flag is an in-aggregate max so no second pass; the rollup is an
+    * entry-type grid and the bound is the fixed-shape IEEE chain. */
+  def sessionConversion(events: DataFrame, gapMinutes: Int,
+                        z: Double = 1.96): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("tu"))
+      .withColumn("new_sess",
+        when(lag(col("tu"), 1).over(order).isNull ||
+          col("tu") - lag(col("tu"), 1).over(order) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_ix",
+        sum(col("new_sess")).over(order.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+    val agg = sess.groupBy(col("user_id"), col("session_ix"))
+      .agg(min(struct(col("tu").as("tu"), col("event_id").as("eid"),
+        col("event_type").as("et"))).as("first"),
+        max((col("event_type") === "purchase").cast("int"))
+          .as("converted"))
+      .select(col("first.et").as("entry_type"), col("converted"))
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("converted") === 1, 1)).as("n_converting"))
+    val nD = col("n_sessions").cast("double")
+    val p = col("n_converting").cast("double") / nD
+    val z2 = z * z
+    val lb = (p + lit(z2) / (nD * 2) - lit(z) *
+      sqrt(p * (lit(1.0) - p) / nD + lit(z2) / (nD * nD * 4))) /
+      (lit(1.0) + lit(z2) / nD)
+    agg.select(col("entry_type"), col("n_sessions"), col("n_converting"),
+        p.as("conversion_rate"), lb.as("wilson_lb"))
+      .orderBy(col("entry_type"))
+  }
+
   /** Session-duration distribution per entry type: wall-clock length
     * of each session (first→last event, floored to integer seconds)
     * rolled up by the session's ENTRY event type — the "how long do

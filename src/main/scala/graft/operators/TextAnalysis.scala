@@ -680,6 +680,33 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Prefix-template families: docs grouped by the md5 of their first
+    * `k` normalized tokens — the "same intro, different body" pattern
+    * (scraped article headers, generated-page frames) that EXACT
+    * dedup misses (the bodies differ) and shingle near-dup
+    * under-weights (one shared window among hundreds). Families with
+    * `minDocs`+ members, largest first; `n_sources` > 1 flags a
+    * template that crossed crawls — syndication, not a site quirk.
+    *
+    * Shape: row-local prefix hash (docs shorter than k use what they
+    * have), one fingerprint hash aggregate, TakeOrdered top-N with
+    * an (n_docs desc, fp) deterministic cut. */
+  def prefixTemplates(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
+                      topN: Int = 100): DataFrame =
+    docs.select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", slice(col("toks"), 1, k))).as("prefix_fp"),
+        size(col("toks")).cast("long").as("n_toks"))
+      .groupBy(col("prefix_fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_toks")).as("total_tokens"),
+        min(col("doc_id")).as("example_doc"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("prefix_fp"))
+      .limit(topN)
+
   /** Dedup ROI report: what exact dedup would save, per source —
     * duplicate docs (same normalized-md5 fingerprint, min-doc_id
     * survivor: the q_dedup_exact contract) and the TOKEN mass they
@@ -1437,6 +1464,65 @@ object TextAnalysis {
           (col("k") * col("sxy") - col("sx") * col("sy"))) /
           ((col("k") * col("sxx") - col("sx") * col("sx")) *
             (col("k") * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
+
+  /** Per-source Zipf fit — [[zipfFit]] at the grain drift actually
+    * happens: α per source over its own top-`topK` rank–frequency
+    * curve. Natural text sits near α≈1; a source whose α runs hot is
+    * template-flooded (head mass), one running cold is id/OCR junk
+    * (flat head). Read next to [[sourceKl]]: KL says a source's
+    * rates differ from the corpus, this says whether its SHAPE is
+    * even Zipfian.
+    *
+    * Determinism: per-source points fold in RANK order (sorted
+    * struct list, ≤topK rows per source — the B-point OLS
+    * discipline), because unlike [[zipfFit]]'s single TakeOrdered
+    * partition the per-source frames are distributed; zero-variance
+    * denominators null out via nullif on both engines. Shape: one
+    * (source, term) aggregate, a per-source rank window (parallel
+    * across sources), grid-sized folds. */
+  def zipfBySource(docs: DataFrame, topK: Int = 100): DataFrame = {
+    // two consumers (vocab counts, ranked points) — persist or the
+    // corpus tokenize+aggregate runs twice
+    val freq = docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n_occ"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nv = freq.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vocab"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_occ").desc, col("term"))
+    val pts = freq.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("source"), col("rank"),
+        log(col("rank").cast("double")).as("lx"),
+        log(col("n_occ").cast("double")).as("ly"))
+    val mm = pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("k"),
+        array_sort(collect_list(struct(col("rank"), col("lx"),
+          col("ly")))).as("a"))
+      .select(col("source"), col("k"),
+        aggregate(col("a"), lit(0.0),
+          (ac, x) => ac + x.getField("lx")).as("sx"),
+        aggregate(col("a"), lit(0.0),
+          (ac, x) => ac + x.getField("ly")).as("sy"),
+        aggregate(col("a"), lit(0.0),
+          (ac, x) => ac + x.getField("lx") * x.getField("ly")).as("sxy"),
+        aggregate(col("a"), lit(0.0),
+          (ac, x) => ac + x.getField("lx") * x.getField("lx")).as("sxx"),
+        aggregate(col("a"), lit(0.0),
+          (ac, x) => ac + x.getField("ly") * x.getField("ly")).as("syy"))
+    mm.join(nv, Seq("source"))
+      .select(col("source"), col("n_vocab"), col("k").as("n_top_terms"),
+        (-(col("k") * col("sxy") - col("sx") * col("sy")) /
+          nullif(col("k") * col("sxx") - col("sx") * col("sx"),
+            lit(0.0))).as("zipf_alpha"),
+        (((col("k") * col("sxy") - col("sx") * col("sy")) *
+          (col("k") * col("sxy") - col("sx") * col("sy"))) /
+          nullif((col("k") * col("sxx") - col("sx") * col("sx")) *
+            (col("k") * col("syy") - col("sy") * col("sy")),
+            lit(0.0))).as("r2"))
+      .orderBy(col("source"))
   }
 
   /** Heaps'-law vocabulary-growth gauge — [[zipfFit]]'s companion on

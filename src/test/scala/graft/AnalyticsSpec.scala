@@ -123,6 +123,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(b1._5) < 1e-12, "p=0 collapses the bound to 0")
   }
 
+  test("discountReturns: integer point bands, boundary at 5 stays light") {
+    val li = Seq(
+      (0.00, "R"), (0.00, "N"),         // none: 1/2 returned
+      (0.05, "N"), (0.03, "N"),         // light: 0/2
+      (0.06, "R"), (0.10, "R"))         // deep: 2/2
+      .toDF("l_discount", "l_returnflag")
+    val out = Analytics.discountReturns(li).collect()
+      .map(r => r.getString(1) -> ((r.getInt(0), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("none") == ((0, 2L, 1L, 0.5)))
+    assert(out("light_1_5") == ((1, 2L, 0L, 0.0)))
+    assert(out("deep_6_plus") == ((2, 2L, 2L, 1.0)))
+  }
+
   test("newVsReturning: first-quarter orders are new, rest returning") {
     def d(s: String) = Date.valueOf(s)
     val orders = Seq(

@@ -465,4 +465,19 @@ class CurationSpec extends SparkSpec {
     // cumulative tokens: tier2 cum = tier1 + tier2
     assert(out(1)._6 == out(0)._3 + out(1)._3)
   }
+
+  test("ingestMix: id-grid buckets, in-bucket vs overall drift") {
+    // ids 1..4 in 2 buckets: {1,2} and {3,4}; source x drifts out
+    val d = Seq(
+      (1L, "x"), (2L, "x"),     // bucket 1: all x
+      (3L, "x"), (4L, "y"))     // bucket 2: half x
+      .toDF("doc_id", "source")
+    val out = Curation.ingestMix(d, buckets = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out((1L, "x")) == ((2L, 1.0, 0.75, 0.25)))
+    assert(out((2L, "x")) == ((1L, 0.5, 0.75, -0.25)))
+    assert(out((2L, "y")) == ((1L, 0.5, 0.25, 0.25)))
+  }
 }

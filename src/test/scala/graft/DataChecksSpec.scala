@@ -676,4 +676,49 @@ class DataChecksSpec extends SparkSpec {
     assert(out(("a", "const")).isEmpty, "zero variance -> NULL not NaN")
     assert(out(("b", "neg")).contains(-1.0))
   }
+
+  test("valueDist: cent-grid quartiles and exact mean per type") {
+    val events = Seq(
+      ("a", 1.00), ("a", 2.00), ("a", 3.00),   // cents 100/200/300
+      ("b", 0.10))
+      .toDF("event_type", "value")
+    val out = DataChecks.valueDist(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6)))).toMap
+    // {100,200,300}: p25=150, p50=200, p75=250, p95=290 (inexact idx)
+    val a = out("a")
+    assert((a._1, a._2, a._3, a._4, a._5) == ((3L, 2.0, 1.5, 2.0, 2.5)))
+    assert(math.abs(a._6 - 2.9) < 1e-9)
+    assert(out("b") == ((1L, 0.1, 0.1, 0.1, 0.1, 0.1)))
+  }
+
+  test("sampleBias: uniform modulus passes, skewed one flags") {
+    // type a: ids 0..9 -> exactly 1 sampled of 10; type b: ids all
+    // ≡ 0 (mod 10) -> wildly over-sampled
+    val events = ((0L to 9L).map(i => (i, "a")) ++
+      (1L to 5L).map(i => (i * 10L, "b")))
+      .toDF("event_id", "event_type")
+    val out = DataChecks.sampleBias(events, mod = 10).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(5)))).toMap
+    // totals: full 15, sampled 6; expected a = 10*6/15 = 4, b = 2
+    assert(out("a") == ((10L, 1L, 4.0, 0)))   // (1-4)²/4 = 2.25 < 3.841
+    assert(out("b") == ((5L, 5L, 2.0, 1)))    // (5-2)²/2 = 4.5 flags
+  }
+
+  test("errorShare: per-hour rate with a sane Wilson bound") {
+    val events = Seq(
+      ("2024-01-01 03:00:01", "error"), ("2024-01-01 03:10:00", "view"),
+      ("2024-01-01 09:00:00", "view"), ("2024-01-01 09:30:00", "view"))
+      .toDF("tss", "event_type")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val out = DataChecks.errorShare(events).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(3)._1 == 2L && out(3)._2 == 1L && out(3)._3 == 0.5)
+    assert(out(3)._4 > 0.0 && out(3)._4 < 0.5)
+    assert((out(9)._1, out(9)._2, out(9)._3) == ((2L, 0L, 0.0)))
+    assert(math.abs(out(9)._4) < 1e-12, "p=0 bound collapses to ~0")
+  }
 }

@@ -303,6 +303,22 @@ class JourneySpec extends SparkSpec {
     assert(out(0L)._4 > 0.0 && out(0L)._4 < p)
   }
 
+  test("retentionDays: fixed horizons, dup days collapse, zeros kept") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "a"), (1L, "2024-01-01 12:00:00", "a"),
+      (1L, "2024-01-02 09:00:00", "a"),   // u1: D1 yes
+      (1L, "2024-01-08 09:00:00", "a"),   // u1: D7 yes
+      (2L, "2024-01-01 11:00:00", "a"),   // u2: never returns
+      (3L, "2024-01-02 10:00:00", "a"),
+      (3L, "2024-02-01 10:00:00", "a"))   // u3: D30 yes
+    val out = Journey.retentionDays(events).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7)))).toMap
+    assert(out("2024-01-01") == ((2L, 1L, 1L, 0L, 0.5, 0.5, 0.0)))
+    assert(out("2024-01-02") == ((1L, 0L, 0L, 1L, 0.0, 0.0, 1.0)))
+  }
+
   test("engagementDist: magnitude buckets with user and event shares") {
     val events = (Seq.fill(3)(1L) ++ Seq.fill(12)(2L) ++ Seq(3L))
       .toDF("user_id")

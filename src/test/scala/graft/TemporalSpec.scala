@@ -159,6 +159,20 @@ class TemporalSpec extends SparkSpec {
       ("view", "click") -> ((1L, 3L, 1L, 3L, 1.0 / 3, 1.0 / 3, 1.0))))
   }
 
+  test("sessionConversion: entry-typed purchase share") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:05:00"), 2L, "purchase"), // s1 view->buys
+      (1L, ts("2024-01-01 12:00:00"), 3L, "view"),     // s2 view, no buy
+      (2L, ts("2024-01-01 09:00:00"), 4L, "purchase")) // s3 entry=buy
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Temporal.sessionConversion(events, 30).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out("view") == ((2L, 1L, 0.5)))
+    assert(out("purchase") == ((1L, 1L, 1.0)))
+  }
+
   test("sessionDuration: entry-typed integer-second quartiles + p95") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "a"),

@@ -712,6 +712,39 @@ class TextSpec extends SparkSpec {
       ("z", "x") -> ((2L, 2L, 6L, exp))))
   }
 
+  test("zipfBySource: perfect power law fits alpha=1, r2=1") {
+    // a two-point fit is exact by construction: slope through
+    // (ln1, ln6) and (ln2, ln2) is -ln3/ln2, r2 = 1
+    val d = Seq(
+      (1L, "a a a a b b", "z"),
+      (2L, "a a", "z"))            // totals: a=6, b=2
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.zipfBySource(d, topK = 10).collect()
+    val r = out.head
+    // ranks: a(6)=1, b(2)=2 -> slope = (ln2-ln6)/(ln2-ln1) = -ln3/ln2
+    val alpha = math.log(3.0) / math.log(2.0)
+    assert(r.getString(0) == "z" && r.getLong(1) == 2L &&
+      r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3) - alpha) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
+  }
+
+  test("prefixTemplates: shared first-k intro groups, short docs kept") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta one", "s1"),
+      (2L, "alpha beta gamma delta two", "s2"),   // same 4-prefix
+      (3L, "alpha beta", "s1"),                   // short: own prefix
+      (4L, "totally different text here", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.prefixTemplates(d, k = 4, minDocs = 2,
+      topN = 10).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // (n_docs, n_sources, total_tokens, example_doc)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 2L, 10L, 1L)))
+  }
+
   test("dedupSavings: token mass of non-survivors, cross-source") {
     val d = Seq(
       (1L, "a b c", "s1"),
