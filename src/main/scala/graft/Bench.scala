@@ -56,7 +56,8 @@ object Bench {
     "q_pmi_bigrams", "q_dedup_savings", "q_engagement_dist",
     "q_churn_risk", "q_prefix_templates", "q_ingest_mix",
     "q_sample_bias", "q_error_share", "q_retention_days",
-    "q_discount_returns", "q_zipf_by_source",
+    "q_discount_returns", "q_zipf_by_source", "q_priority_mix",
+    "q_traffic_heatmap", "q_supplier_consistency", "q_source_gini",
     "q_assoc_rules", "q_session_duration", "q_concurrency",
     "q_session_conversion", "q_value_dist",
     "q_session_paths", "q_dq_rules", "q_fd_audit", "q_corr_matrix", "q_user_features", "q_attribution",

@@ -311,6 +311,7 @@ object SparkEntry {
   private val SampleBiasMod = 10
   private val SampleBiasCritical = 3.841
   private val IngestBuckets = 20
+  private val ConsistencyTopK = 20
 
   /** q_entity_components synthetic shared identifiers: key g3 groups
     * consecutive custkey triples; key dec links the multiples of 3
@@ -815,6 +816,19 @@ object SparkEntry {
     // first-quarter-new vs returning revenue accounting
     "q_new_returning" -> ((s, d) =>
       Analytics.newVsReturning(Tables.orders(s, d))),
+    // priority composition drift per quarter
+    "q_priority_mix" -> ((s, d) =>
+      Analytics.priorityMix(Tables.orders(s, d))),
+    // 7x24 weekday-hour traffic grid with dual shares
+    "q_traffic_heatmap" -> ((s, d) =>
+      Analytics.trafficHeatmap(Tables.events(s, d))),
+    // top-K suppliers by ship-lag variance (micro-day rank cut)
+    "q_supplier_consistency" -> ((s, d) =>
+      Analytics.supplierConsistency(Tables.lineitem(s, d),
+        Tables.orders(s, d), ConsistencyTopK)),
+    // one-row corpus concentration (doc + token Gini per source)
+    "q_source_gini" -> ((s, d) =>
+      Curation.sourceGini(Tables.documents(s, d))),
     // cent-quantized Laspeyres basket index per brand/quarter
     "q_price_index" -> ((s, d) =>
       Analytics.priceIndex(Tables.lineitem(s, d), Tables.part(s, d))),
@@ -4261,6 +4275,79 @@ object SparkEntry {
                   CAST(n_lines AS DOUBLE) * 4))) /
             (1.0 + $z2 / CAST(n_lines AS DOUBLE)) AS wilson_lb
           FROM pr ORDER BY band_ix""" },
+    // (quarter, priority) grid + three window-sum shares; drift
+    // recomputes the same expressions.
+    "q_priority_mix" ->
+      """WITH g AS (SELECT
+            CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+            coalesce(o_orderpriority, '') AS priority,
+            count(*) AS n_orders
+          FROM orders GROUP BY 1, 2)
+          SELECT quarter, priority, n_orders,
+            CAST(n_orders AS DOUBLE) /
+              sum(n_orders) OVER (PARTITION BY quarter) AS quarter_share,
+            CAST(sum(n_orders) OVER (PARTITION BY priority) AS DOUBLE) /
+              sum(n_orders) OVER () AS overall_share,
+            CAST(n_orders AS DOUBLE) /
+              sum(n_orders) OVER (PARTITION BY quarter) -
+              CAST(sum(n_orders) OVER (PARTITION BY priority) AS DOUBLE) /
+                sum(n_orders) OVER () AS drift
+          FROM g ORDER BY quarter, priority""",
+    // isodow = Spark weekday()+1; 168-cell grid, dual window shares.
+    "q_traffic_heatmap" ->
+      """WITH g AS (SELECT CAST(isodow(ts) AS INTEGER) AS iso_weekday,
+            CAST(hour(ts) AS INTEGER) AS hod, count(*) AS n_events
+          FROM events GROUP BY 1, 2)
+          SELECT iso_weekday, hod, n_events,
+            CAST(n_events AS DOUBLE) / sum(n_events) OVER ()
+              AS total_share,
+            CAST(n_events AS DOUBLE) /
+              sum(n_events) OVER (PARTITION BY iso_weekday)
+              AS weekday_share
+          FROM g ORDER BY iso_weekday, hod""",
+    // HUGEINT moments, double-combined variance (comovement form),
+    // micro-day quantized rank cut with suppkey tie-break.
+    "q_supplier_consistency" ->
+      s"""WITH m AS (SELECT l_suppkey, count(*) AS n_lines,
+            CAST(sum(lag_days) AS BIGINT) AS s1,
+            sum(lag_days * lag_days) AS s2
+          FROM (SELECT l_suppkey,
+              CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                CAST(l_shipdate AS DATE)) AS BIGINT) AS lag_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+          GROUP BY 1 HAVING count(*) >= 2)
+          SELECT l_suppkey, n_lines,
+            CAST(s1 AS DOUBLE) / n_lines AS mean_lag_days,
+            CAST(floor(sqrt(((CAST(n_lines AS DOUBLE) *
+                CAST(s2 AS DOUBLE)) -
+                (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) /
+              (CAST(n_lines AS DOUBLE) *
+                CAST(n_lines - 1 AS DOUBLE))) * 1000000.0 + 0.5)
+              AS BIGINT) AS stddev_micro
+          FROM m ORDER BY stddev_micro DESC, l_suppkey
+          LIMIT $ConsistencyTopK""",
+    // Rank-weighted integer Gini (the giniByNation form) over the
+    // sources grid, two mirrored double divisions.
+    "q_source_gini" ->
+      s"""WITH tk AS (SELECT source, len($ToksSql) AS n_toks
+            FROM documents),
+          s AS (SELECT source, count(*) AS nd,
+            CAST(sum(n_toks) AS BIGINT) AS nt FROM tk GROUP BY 1),
+          r AS (SELECT *,
+            row_number() OVER (ORDER BY nd, source) AS rd,
+            row_number() OVER (ORDER BY nt, source) AS rt FROM s)
+          SELECT CAST(count(*) AS BIGINT) AS n_sources,
+            (2.0 * sum(rd * nd)) /
+              (CAST(count(*) AS DOUBLE) * sum(nd)) -
+              CAST(count(*) + 1 AS DOUBLE) / count(*) AS gini_docs,
+            (2.0 * sum(rt * nt)) /
+              (CAST(count(*) AS DOUBLE) * sum(nt)) -
+              CAST(count(*) + 1 AS DOUBLE) / count(*) AS gini_tokens,
+            CAST(max(nd) AS DOUBLE) / CAST(sum(nd) AS DOUBLE)
+              AS top_doc_share,
+            CAST(max(nt) AS DOUBLE) / CAST(sum(nt) AS DOUBLE)
+              AS top_token_share
+          FROM r""",
     // Telescoped cadence (sum of gaps = last − first) and the integer
     // cross-multiplied risk test; frontier is a scalar-subquery max.
     "q_churn_risk" ->

@@ -1024,6 +1024,99 @@ object Analytics {
       .orderBy(col("band_h1"), col("band_h2"))
   }
 
+  /** Order-priority mix drift per quarter: each (quarter, priority)
+    * cell with its in-quarter share, the priority's overall share,
+    * and the delta — "is the urgent share creeping up", the
+    * composition trend that total order counts hide. NULL priorities
+    * coalesce to '' (the row-2i contract).
+    *
+    * Shape: one (quarter, priority) hash aggregate is the only
+    * corpus-sized exchange; every share is a window sum over the
+    * quarters×priorities grid. */
+  def priorityMix(orders: DataFrame): DataFrame = {
+    val wQ = Window.partitionBy(col("quarter"))
+    val wP = Window.partitionBy(col("priority"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    orders.select(
+        date_trunc("quarter", col("o_orderdate")).cast("date")
+          .as("quarter"),
+        coalesce(col("o_orderpriority"), lit("")).as("priority"))
+      .groupBy(col("quarter"), col("priority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("quarter_share",
+        col("n_orders").cast("double") / sum(col("n_orders")).over(wQ))
+      .withColumn("overall_share",
+        sum(col("n_orders")).over(wP).cast("double") /
+          sum(col("n_orders")).over(wAll))
+      .withColumn("drift", col("quarter_share") - col("overall_share"))
+      .orderBy(col("quarter"), col("priority"))
+  }
+
+  /** Weekday × hour traffic heatmap: the 7×24 grid behind both
+    * [[hourlyProfile]] (hours, type-split) and the weekday
+    * seasonality index — per cell the event count, its share of ALL
+    * traffic and its share within its weekday, which is the pair a
+    * capacity planner actually reads (Monday 09:00 can be the global
+    * peak while being an ordinary Monday hour). ISO weekday
+    * (Monday=1) via Spark's weekday()+1 = DuckDB isodow.
+    *
+    * Shape: one hash aggregate onto the 168-cell grid off row-local
+    * extractions; shares are grid-window sums. */
+  def trafficHeatmap(events: DataFrame): DataFrame = {
+    val wD = Window.partitionBy(col("iso_weekday"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    events.select((weekday(col("ts")) + 1).as("iso_weekday"),
+        hour(col("ts")).as("hod"))
+      .groupBy(col("iso_weekday"), col("hod"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("total_share",
+        col("n_events").cast("double") / sum(col("n_events")).over(wAll))
+      .withColumn("weekday_share",
+        col("n_events").cast("double") / sum(col("n_events")).over(wD))
+      .orderBy(col("iso_weekday"), col("hod"))
+  }
+
+  /** Supplier delivery consistency: the top-K suppliers by VARIANCE
+    * of their order→ship lag — the "reliably slow beats randomly
+    * fast" procurement gauge ([[fulfillmentLatency]] profiles the
+    * corpus; this names the suppliers a buyer should chase). Exact
+    * integer moments (n, Σlag, Σlag²) off one supplier-grain
+    * aggregate, Σlag² folded in DECIMAL(38,0) (the moment-sum
+    * discipline — day² per line stays small but 100 TB line counts
+    * don't); the sample variance combines the moments as DOUBLES
+    * (the comovement overflow form) and the RANK cut quantizes the
+    * stddev to micro-days with a suppkey tie-break so it is never
+    * ULP-fragile.
+    *
+    * Shape: the co-partitioned orderkey fact⋈fact join, one
+    * supplier-grain aggregate, TakeOrdered top-K. */
+  def supplierConsistency(lineitem: DataFrame, orders: DataFrame,
+                          topK: Int = 20): DataFrame = {
+    val m = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("lag"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("lag")).as("s1"),
+        sum((col("lag") * col("lag")).cast("decimal(38,0)")).as("s2"))
+      .where(col("n_lines") >= 2)
+    val varE = ((col("n_lines").cast("double") * col("s2").cast("double")) -
+      (col("s1").cast("double") * col("s1").cast("double"))) /
+      (col("n_lines").cast("double") *
+        (col("n_lines") - 1).cast("double"))
+    m.select(col("l_suppkey"), col("n_lines"),
+        (col("s1").cast("double") / col("n_lines")).as("mean_lag_days"),
+        floor(sqrt(varE) * lit(1000000.0) + lit(0.5)).cast("bigint")
+          .as("stddev_micro"))
+      .orderBy(col("stddev_micro").desc, col("l_suppkey"))
+      .limit(topK)
+  }
+
   /** In-order brand cross-sell affinity: unordered brand pairs that
     * co-occur in one order, with support (orders containing both /
     * all orders) and lift — the merchandising twin of the session

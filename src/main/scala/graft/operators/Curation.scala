@@ -816,6 +816,51 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Corpus concentration by source: Gini over per-source doc AND
+    * token counts plus the largest source's share of each — the
+    * one-row "is this corpus actually diverse" gauge a mixture plan
+    * reads before weighting anything (ten sources where one holds
+    * 90% of tokens is one source with satellites). Token Gini and
+    * doc Gini disagree exactly when a few sources carry
+    * disproportionately long documents.
+    *
+    * Exactness: the giniByNation integer form — rank-weighted bigint
+    * sums over the (count, source)-ordered grid, two mirrored double
+    * divisions last; ranks come from windows over the |sources| grid
+    * (unpartitioned but grid-sized by construction). One tokenize
+    * scan + one source-grain aggregate is all the corpus work. */
+  def sourceGini(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long")
+        .as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_toks")).as("nt"))
+    val ranked = sizes
+      .withColumn("rd",
+        row_number().over(Window.orderBy(col("nd"), col("source"))))
+      .withColumn("rt",
+        row_number().over(Window.orderBy(col("nt"), col("source"))))
+    ranked
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("nd")).as("td"), sum(col("rd") * col("nd")).as("iwd"),
+        sum(col("nt")).as("tt"), sum(col("rt") * col("nt")).as("iwt"),
+        max(col("nd")).as("maxd"), max(col("nt")).as("maxt"))
+      .select(col("n_sources"),
+        ((lit(2.0) * col("iwd")) /
+          (col("n_sources").cast("double") * col("td")) -
+          (col("n_sources") + 1).cast("double") / col("n_sources"))
+          .as("gini_docs"),
+        ((lit(2.0) * col("iwt")) /
+          (col("n_sources").cast("double") * col("tt")) -
+          (col("n_sources") + 1).cast("double") / col("n_sources"))
+          .as("gini_tokens"),
+        (col("maxd").cast("double") / col("td").cast("double"))
+          .as("top_doc_share"),
+        (col("maxt").cast("double") / col("tt").cast("double"))
+          .as("top_token_share"))
+  }
+
   /** Ingestion-mix drift: source composition across doc_id-order
     * buckets — "did my crawl mix shift mid-ingestion", the VOLUME
     * axis next to [[graft.operators.TextAnalysis.qualityTrend]]'s

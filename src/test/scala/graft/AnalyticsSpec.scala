@@ -89,6 +89,55 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("") == ((1L, 10.0, 10.0, 10.0, 10.0)))
   }
 
+  test("priorityMix: in-quarter vs overall composition drift") {
+    def d(s: String) = Date.valueOf(s)
+    val orders = Seq(
+      (d("2024-01-10"), "1-URGENT"), (d("2024-01-20"), "5-LOW"),
+      (d("2024-04-10"), "1-URGENT"), (d("2024-04-20"), "1-URGENT"))
+      .toDF("o_orderdate", "o_orderpriority")
+    val out = Analytics.priorityMix(orders).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // urgent overall 3/4; Q1 half urgent, Q2 all urgent
+    assert(out(("2024-01-01", "1-URGENT")) == ((1L, 0.5, 0.75, -0.25)))
+    assert(out(("2024-04-01", "1-URGENT")) == ((2L, 1.0, 0.75, 0.25)))
+    assert(out(("2024-01-01", "5-LOW")) == ((1L, 0.5, 0.25, 0.25)))
+  }
+
+  test("trafficHeatmap: ISO weekday cells with dual shares") {
+    import java.sql.Timestamp
+    val events = Seq(
+      "2024-01-01 09:00:00", "2024-01-01 09:30:00",  // Mon 9: 2
+      "2024-01-01 15:00:00",                         // Mon 15: 1
+      "2024-01-07 09:00:00")                         // Sun 9: 1
+      .map(Timestamp.valueOf).toDF("ts")
+    val out = Analytics.trafficHeatmap(events).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out((1, 9)) == ((2L, 0.5, 2.0 / 3)))
+    assert(out((1, 15)) == ((1L, 0.25, 1.0 / 3)))
+    assert(out((7, 9)) == ((1L, 0.25, 1.0)))
+  }
+
+  test("supplierConsistency: variance ranks, constant supplier last") {
+    def d(s: String) = Date.valueOf(s)
+    val orders = Seq((1L, d("2024-01-01")), (2L, d("2024-02-01")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (1L, 10L, d("2024-01-03")), (2L, 10L, d("2024-02-03")),  // lags 2,2
+      (1L, 20L, d("2024-01-02")), (2L, 20L, d("2024-02-11")))  // lags 1,10
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val out = Analytics.supplierConsistency(li, orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    // s20 var = ((2*101)-121)/2 = 40.5 -> std 6.363961...; s10 var 0
+    assert(out.map(x => (x._1, x._2, x._3)).toSeq ==
+      Seq((20L, 2L, 5.5), (10L, 2L, 2.0)))
+    assert(out(0)._4 == math.floor(math.sqrt(40.5) * 1e6 + 0.5).toLong)
+    assert(out(1)._4 == 0L)
+  }
+
   test("brandAffinity: in-order pair support and lift") {
     val part = Seq((1L, "A"), (2L, "B"), (3L, "A"))
       .toDF("p_partkey", "p_brand")

@@ -466,6 +466,22 @@ class CurationSpec extends SparkSpec {
     assert(out(1)._6 == out(0)._3 + out(1)._3)
   }
 
+  test("sourceGini: equal sources zero, concentration positive") {
+    // equal: two sources, 2 docs / 4 tokens each -> both ginis 0
+    val eq = Seq((1L, "a b", "s1"), (2L, "c d", "s1"),
+      (3L, "e f", "s2"), (4L, "g h", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r0 = Curation.sourceGini(eq).collect().head
+    assert(r0.getLong(0) == 2L && r0.getDouble(1) == 0.0 &&
+      r0.getDouble(2) == 0.0 && r0.getDouble(3) == 0.5)
+    // skewed tokens, equal docs: doc gini 0, token gini > 0
+    val sk = Seq((1L, "a b c d e f", "s1"), (2L, "x y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r1 = Curation.sourceGini(sk).collect().head
+    assert(r1.getDouble(1) == 0.0 && r1.getDouble(2) > 0.0)
+    assert(r1.getDouble(4) == 0.75, "6 of 8 tokens in s1")
+  }
+
   test("ingestMix: id-grid buckets, in-bucket vs overall drift") {
     // ids 1..4 in 2 buckets: {1,2} and {3,4}; source x drifts out
     val d = Seq(
