@@ -819,6 +819,9 @@ object SparkEntry {
     // priority composition drift per quarter
     "q_priority_mix" -> ((s, d) =>
       Analytics.priorityMix(Tables.orders(s, d))),
+    // per-quarter AOV with ordered-fold OLS slope constants
+    "q_aov_trend" -> ((s, d) =>
+      Analytics.aovTrend(Tables.orders(s, d))),
     // 7x24 weekday-hour traffic grid with dual shares
     "q_traffic_heatmap" -> ((s, d) =>
       Analytics.trafficHeatmap(Tables.events(s, d))),
@@ -1434,6 +1437,9 @@ object SparkEntry {
     "q_prefix_templates" -> ((s, d) =>
       TextAnalysis.prefixTemplates(Tables.documents(s, d), PrefixK,
         PrefixMinDocs, PrefixTopN)),
+    // dup-family size-magnitude histogram
+    "q_dup_cluster_hist" -> ((s, d) =>
+      TextAnalysis.dupClusterHist(Tables.documents(s, d))),
     // source-mix drift across ingestion-order id buckets
     "q_ingest_mix" -> ((s, d) =>
       Curation.ingestMix(Tables.documents(s, d), IngestBuckets)),
@@ -4293,6 +4299,51 @@ object SparkEntry {
               CAST(sum(n_orders) OVER (PARTITION BY priority) AS DOUBLE) /
                 sum(n_orders) OVER () AS drift
           FROM g ORDER BY quarter, priority""",
+    // Quarter grid + row_number index + qi-ORDERED list folds; slope
+    // and r2 attach as cross-joined constants, nullif-guarded.
+    "q_aov_trend" ->
+      """WITH g AS (SELECT
+            CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+            count(*) AS n_orders,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS sum_c
+          FROM orders GROUP BY 1),
+          q AS (SELECT *, CAST(sum_c AS DOUBLE) / n_orders / 100.0
+              AS aov,
+            CAST(row_number() OVER (ORDER BY quarter) AS DOUBLE) AS qi
+          FROM g),
+          m AS (SELECT count(*) AS k,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(qi ORDER BY qi)), (x, y) -> x + y) AS sx,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(aov ORDER BY qi)), (x, y) -> x + y) AS sy,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(qi * aov ORDER BY qi)), (x, y) -> x + y) AS sxy,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(qi * qi ORDER BY qi)), (x, y) -> x + y) AS sxx,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(aov * aov ORDER BY qi)), (x, y) -> x + y) AS syy
+          FROM q),
+          f AS (SELECT
+            (k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0.0)
+              AS slope_per_quarter,
+            ((k * sxy - sx * sy) * (k * sxy - sx * sy)) /
+              nullif((k * sxx - sx * sx) * (k * syy - sy * sy), 0.0)
+              AS r2
+          FROM m)
+          SELECT quarter, n_orders, aov, slope_per_quarter, r2
+          FROM q CROSS JOIN f ORDER BY quarter""",
+    // Fingerprint-size groups (>=2) onto the magnitude grid.
+    "q_dup_cluster_hist" ->
+      s"""WITH f AS (SELECT md5($NormSql) AS fp FROM documents),
+          g AS (SELECT fp, count(*) AS sz FROM f GROUP BY 1
+            HAVING count(*) >= 2)
+          SELECT CAST(length(CAST(sz AS VARCHAR)) AS BIGINT)
+              AS size_digits,
+            count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs,
+            CAST(sum(sz) - count(*) AS BIGINT) AS n_redundant,
+            min(sz) AS min_size, max(sz) AS max_size
+          FROM g GROUP BY 1 ORDER BY 1""",
     // isodow = Spark weekday()+1; 168-cell grid, dual window shares.
     "q_traffic_heatmap" ->
       """WITH g AS (SELECT CAST(isodow(ts) AS INTEGER) AS iso_weekday,

@@ -1024,6 +1024,60 @@ object Analytics {
       .orderBy(col("band_h1"), col("band_h2"))
   }
 
+  /** Average-order-value trend: per-quarter AOV (cent-exact mean)
+    * with the closed-form OLS slope and r² of AOV against the
+    * quarter index attached as constant columns (the Heaps-fit
+    * presentation) — "is basket size actually growing or did one
+    * quarter spike". The slope is per-quarter cents-of-AOV, fitted
+    * over the handful of quarter points.
+    *
+    * Determinism: per-quarter AOV is an exact-bigint division; the
+    * ≤|quarters|-point fit folds its moments in quarter-index order
+    * (sorted struct list — the B-point OLS discipline), and the
+    * quarter index itself is a row_number over the GRID, never the
+    * corpus. One quarter-grain aggregate is all the corpus work;
+    * the grid persists for its two consumers (fit + output). */
+  def aovTrend(orders: DataFrame): DataFrame = {
+    val grid = orders.select(
+        date_trunc("quarter", col("o_orderdate")).cast("date")
+          .as("quarter"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      .groupBy(col("quarter"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_c"))
+      .withColumn("aov",
+        col("sum_c").cast("double") / col("n_orders") / 100.0)
+      .withColumn("qi",
+        row_number().over(Window.orderBy(col("quarter"))).cast("double"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bx = (c: Column) => c.getField("qi")
+    val by = (c: Column) => c.getField("aov")
+    val fit = grid
+      .agg(count(lit(1)).as("k"),
+        array_sort(collect_list(struct(col("qi"), col("aov")))).as("a"))
+      .select(col("k"),
+        aggregate(col("a"), lit(0.0), (ac, x) => ac + bx(x)).as("sx"),
+        aggregate(col("a"), lit(0.0), (ac, x) => ac + by(x)).as("sy"),
+        aggregate(col("a"), lit(0.0),
+          (ac, x) => ac + bx(x) * by(x)).as("sxy"),
+        aggregate(col("a"), lit(0.0),
+          (ac, x) => ac + bx(x) * bx(x)).as("sxx"),
+        aggregate(col("a"), lit(0.0),
+          (ac, x) => ac + by(x) * by(x)).as("syy"))
+      .select(
+        ((col("k") * col("sxy") - col("sx") * col("sy")) /
+          nullif(col("k") * col("sxx") - col("sx") * col("sx"),
+            lit(0.0))).as("slope_per_quarter"),
+        (((col("k") * col("sxy") - col("sx") * col("sy")) *
+          (col("k") * col("sxy") - col("sx") * col("sy"))) /
+          nullif((col("k") * col("sxx") - col("sx") * col("sx")) *
+            (col("k") * col("syy") - col("sy") * col("sy")),
+            lit(0.0))).as("r2"))
+    grid.crossJoin(broadcast(fit))
+      .select(col("quarter"), col("n_orders"), col("aov"),
+        col("slope_per_quarter"), col("r2"))
+      .orderBy(col("quarter"))
+  }
+
   /** Order-priority mix drift per quarter: each (quarter, priority)
     * cell with its in-quarter share, the priority's overall share,
     * and the delta — "is the urgent share creeping up", the

@@ -680,6 +680,28 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Duplicate-cluster size histogram: exact-dup fingerprint groups
+    * (size ≥ 2) bucketed by the decimal MAGNITUDE of their size —
+    * "is my duplication a million pairs or one pathological
+    * thousand-copy family", the shape question [[dedupSavings]]'s
+    * per-source totals can't answer and the answer that decides
+    * between plain dedup and a boilerplate investigation. Redundant
+    * = docs the min-id survivor rule would drop.
+    *
+    * Shape: one fingerprint hash aggregate (the q_dedup_exact
+    * exchange), then a ≤20-row magnitude-grid rollup of exact bigint
+    * sums (the deg_digits idiom). */
+  def dupClusterHist(docs: DataFrame): DataFrame =
+    docs.select(md5(normText(col("text"))).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("sz"))
+      .where(col("sz") >= 2)
+      .groupBy(length(col("sz").cast("string")).cast("long")
+        .as("size_digits"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+        (sum(col("sz")) - count(lit(1))).as("n_redundant"),
+        min(col("sz")).as("min_size"), max(col("sz")).as("max_size"))
+      .orderBy(col("size_digits"))
+
   /** Prefix-template families: docs grouped by the md5 of their first
     * `k` normalized tokens — the "same intro, different body" pattern
     * (scraped article headers, generated-page frames) that EXACT

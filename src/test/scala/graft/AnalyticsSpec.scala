@@ -89,6 +89,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("") == ((1L, 10.0, 10.0, 10.0, 10.0)))
   }
 
+  test("aovTrend: exact per-quarter AOV, two-point fit is exact") {
+    def d(s: String) = Date.valueOf(s)
+    val orders = Seq(
+      (d("2024-01-10"), 10.0), (d("2024-01-20"), 20.0),  // Q1 aov 15
+      (d("2024-04-10"), 25.0))                           // Q2 aov 25
+      .toDF("o_orderdate", "o_totalprice")
+    val out = Analytics.aovTrend(orders).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("2024-01-01")._1 == 2L && out("2024-01-01")._2 == 15.0)
+    assert(out("2024-04-01")._1 == 1L && out("2024-04-01")._2 == 25.0)
+    // slope through (1,15),(2,25) = 10, r2 = 1 (two-point exact)
+    assert(out("2024-01-01")._3 == 10.0 && out("2024-01-01")._4 == 1.0)
+  }
+
   test("priorityMix: in-quarter vs overall composition drift") {
     def d(s: String) = Date.valueOf(s)
     val orders = Seq(

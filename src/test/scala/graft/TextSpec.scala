@@ -745,6 +745,20 @@ class TextSpec extends SparkSpec {
       ((2L, 2L, 10L, 1L)))
   }
 
+  test("dupClusterHist: families >=2 on the magnitude grid") {
+    val d = (1L to 12L).map(i => (i, "big family")) ++     // size 12
+      Seq((20L, "pair a"), (21L, "pair A!"),               // size 2
+        (22L, "pair b"), (23L, "pair b"),                  // size 2
+        (30L, "solo doc"))                                 // excluded
+    val out = TextAnalysis.dupClusterHist(
+      d.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 4L, 2L, 2L, 2L)),
+      2L -> ((1L, 12L, 11L, 12L, 12L))))
+  }
+
   test("dedupSavings: token mass of non-survivors, cross-source") {
     val d = Seq(
       (1L, "a b c", "s1"),
