@@ -58,7 +58,8 @@ object Bench {
     "q_sample_bias", "q_error_share", "q_retention_days",
     "q_discount_returns", "q_zipf_by_source", "q_priority_mix",
     "q_traffic_heatmap", "q_supplier_consistency", "q_source_gini",
-    "q_aov_trend", "q_dup_cluster_hist",
+    "q_aov_trend", "q_dup_cluster_hist", "q_return_trend",
+    "q_revenue_accounting", "q_char_profile", "q_token_lengths",
     "q_assoc_rules", "q_session_duration", "q_concurrency",
     "q_session_conversion", "q_value_dist",
     "q_session_paths", "q_dq_rules", "q_fd_audit", "q_corr_matrix", "q_user_features", "q_attribution",

@@ -1415,6 +1415,12 @@ object SparkEntry {
     // Wilson-bounded return rate by integer discount-point band
     "q_discount_returns" -> ((s, d) =>
       Analytics.discountReturns(Tables.lineitem(s, d), CtrZ)),
+    // returns rate + revenue share per ship quarter
+    "q_return_trend" -> ((s, d) =>
+      Analytics.returnTrend(Tables.lineitem(s, d))),
+    // weekly new/expansion/contraction/flat/resurrected/churned cents
+    "q_revenue_accounting" -> ((s, d) =>
+      Journey.revenueAccounting(Tables.events(s, d))),
     "q_trend" -> ((s, d) =>
       DataChecks.dailyTrend(Tables.events(s, d))),
     "q_source_overlap" -> ((s, d) =>
@@ -1440,6 +1446,12 @@ object SparkEntry {
     // dup-family size-magnitude histogram
     "q_dup_cluster_hist" -> ((s, d) =>
       TextAnalysis.dupClusterHist(Tables.documents(s, d))),
+    // per-source character-class composition shares
+    "q_char_profile" -> ((s, d) =>
+      TextAnalysis.charProfile(Tables.documents(s, d))),
+    // clamped token-length histogram with cumulative share
+    "q_token_lengths" -> ((s, d) =>
+      TextAnalysis.tokenLengths(Tables.documents(s, d))),
     // source-mix drift across ingestion-order id buckets
     "q_ingest_mix" -> ((s, d) =>
       Curation.ingestMix(Tables.documents(s, d), IngestBuckets)),
@@ -4333,6 +4345,46 @@ object SparkEntry {
           FROM m)
           SELECT quarter, n_orders, aov, slope_per_quarter, r2
           FROM q CROSS JOIN f ORDER BY quarter""",
+    // Class-stripped length counts (alpha on LOWERCASED text, the
+    // explicit whitespace class), exact sums, guarded shares.
+    "q_char_profile" ->
+      """WITH d AS (SELECT source,
+            CAST(length(text) AS BIGINT) AS t,
+            CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+              AS BIGINT) AS a,
+            CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+              AS BIGINT) AS d2,
+            CAST(length(regexp_replace(text, '[^ \t\n\r]', '', 'g'))
+              AS BIGINT) AS s
+          FROM documents),
+          g AS (SELECT source, count(*) AS n_docs,
+            CAST(sum(t) AS BIGINT) AS n_chars,
+            CAST(sum(a) AS BIGINT) AS n_alpha,
+            CAST(sum(d2) AS BIGINT) AS n_digit,
+            CAST(sum(s) AS BIGINT) AS n_space
+          FROM d GROUP BY 1)
+          SELECT source, n_docs, n_chars, n_alpha, n_digit, n_space,
+            n_chars - n_alpha - n_digit - n_space AS n_other,
+            CAST(n_alpha AS DOUBLE) /
+              CAST(greatest(n_chars, 1) AS DOUBLE) AS alpha_share,
+            CAST(n_digit AS DOUBLE) /
+              CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_share,
+            CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) /
+              CAST(greatest(n_chars, 1) AS DOUBLE) AS other_share
+          FROM g ORDER BY source""",
+    // Clamped length grid; share + running share off window sums.
+    "q_token_lengths" ->
+      s"""WITH tk AS (SELECT $ToksSql AS toks FROM documents),
+          e AS (SELECT unnest(toks) AS term FROM tk),
+          g AS (SELECT CAST(least(length(term), 16) AS BIGINT)
+              AS len_bucket, count(*) AS n_tokens
+            FROM e GROUP BY 1)
+          SELECT len_bucket, n_tokens,
+            CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share,
+            CAST(sum(n_tokens) OVER (ORDER BY len_bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) / sum(n_tokens) OVER () AS cum_share
+          FROM g ORDER BY len_bucket""",
     // Fingerprint-size groups (>=2) onto the magnitude grid.
     "q_dup_cluster_hist" ->
       s"""WITH f AS (SELECT md5($NormSql) AS fp FROM documents),
@@ -4469,6 +4521,59 @@ object SparkEntry {
             CAST(coalesce(d30, 0) AS DOUBLE) / co.n_users AS r30
           FROM co LEFT JOIN r ON co.cohort_day = r.cohort_day
           ORDER BY co.cohort_day""",
+    // Quarter grid with conditional cent sums; two final divisions.
+    "q_return_trend" ->
+      """WITH l AS (SELECT
+            CAST(date_trunc('quarter', l_shipdate) AS DATE) AS quarter,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+            CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+          FROM lineitem)
+          SELECT quarter, count(*) AS n_lines,
+            CAST(count(*) FILTER (WHERE ret = 1) AS BIGINT)
+              AS n_returned,
+            CAST(sum(cents) AS BIGINT) AS total_cents,
+            CAST(sum(CASE WHEN ret = 1 THEN cents ELSE 0 END)
+              AS BIGINT) AS returned_cents,
+            CAST(count(*) FILTER (WHERE ret = 1) AS DOUBLE) / count(*)
+              AS return_rate,
+            CAST(sum(CASE WHEN ret = 1 THEN cents ELSE 0 END)
+                AS DOUBLE) /
+              CAST(sum(cents) AS DOUBLE) AS revenue_share
+          FROM l GROUP BY quarter ORDER BY quarter""",
+    // (user, week) cents + zero-cent ghosts at week+7 merged at the
+    // same grain; per-user lag chain, the engine's CASE order, churn
+    // carries prev_cents.
+    "q_revenue_accounting" ->
+      """WITH uw AS (SELECT user_id,
+            CAST(date_trunc('week', ts) AS DATE) AS week,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+              AS cents
+          FROM events GROUP BY 1, 2),
+          al AS (SELECT user_id, week, CAST(sum(cents) AS BIGINT)
+              AS cents
+            FROM (SELECT user_id, week, cents FROM uw
+              UNION ALL
+              SELECT user_id, CAST(week + INTERVAL 7 DAY AS DATE),
+                CAST(0 AS BIGINT) FROM uw)
+            GROUP BY 1, 2),
+          lg AS (SELECT *, lag(week) OVER w AS prev_week,
+              lag(cents) OVER w AS prev_cents
+            FROM al WINDOW w AS (PARTITION BY user_id ORDER BY week)),
+          c AS (SELECT week, cents, prev_cents,
+            CASE WHEN cents = 0 THEN 'churned'
+              WHEN prev_week IS NULL THEN 'new'
+              WHEN date_diff('day', prev_week, week) = 7
+                  AND prev_cents > 0 THEN
+                CASE WHEN cents > prev_cents THEN 'expansion'
+                  WHEN cents < prev_cents THEN 'contraction'
+                  ELSE 'flat' END
+              ELSE 'resurrected' END AS category
+          FROM lg)
+          SELECT week, category, count(*) AS n_users,
+            CAST(sum(CASE WHEN category = 'churned' THEN prev_cents
+              ELSE cents END) AS BIGINT) AS cents
+          FROM c WHERE cents > 0 OR prev_cents > 0
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     // Integer discount points band + the Wilson chain in engine order.
     "q_discount_returns" -> {
       val z2 = CtrZ * CtrZ

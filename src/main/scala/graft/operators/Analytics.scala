@@ -1187,23 +1187,25 @@ object Analytics {
     * Lift multiplies count-DOUBLES (the q_assoc_rules overflow
     * discipline). */
   def brandAffinity(lineitem: DataFrame, part: DataFrame): DataFrame = {
-    // persisted: pairs, item counts AND the broadcast total read it
+    // persisted: pairs, item counts AND the broadcast total read it.
+    // The part dim is NOT broadcast-hinted (part scales with the
+    // corpus, unlike nation/supplier — AQE must stay free to shuffle
+    // the partkey join). Pairs come from the graphStats-style
+    // distinct + (a < b) self-join on the DISTINCT (order, brand)
+    // frame — the whole-stage-codegen'd join beat the per-order
+    // nested-lambda pair explode ~2× at the 10× probe, and the join
+    // output is the same Σ C(brands-per-order, 2) either way.
     val ob = lineitem.select(col("l_orderkey"), col("l_partkey"))
-      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+      .join(part.select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("b"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = ob.select(count(lit(1)).as("n_orders"))
-    val items = ob.select(explode(col("brands")).as("b"))
-      .groupBy(col("b")).agg(count(lit(1)).as("n_item"))
-    ob.where(size(col("brands")) >= 2)
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("brands")) - 1),
-        i => transform(sequence(i + 1, size(col("brands"))),
-          j => struct(element_at(col("brands"), i).as("b1"),
-            element_at(col("brands"), j).as("b2")))))).as("p"))
-      .select(col("p.b1").as("b1"), col("p.b2").as("b2"))
+    val total = ob.agg(countDistinct(col("okey")).as("n_orders"))
+    val items = ob.groupBy(col("b")).agg(count(lit(1)).as("n_item"))
+    ob.select(col("okey"), col("b").as("b1"))
+      .join(ob.select(col("okey").as("okey2"), col("b").as("b2")),
+        col("okey") === col("okey2") && col("b1") < col("b2"))
       .groupBy(col("b1"), col("b2"))
       .agg(count(lit(1)).as("n_co"))
       .join(broadcast(items.select(col("b").as("b1"),
@@ -1219,6 +1221,34 @@ object Analytics {
           .as("lift"))
       .orderBy(col("b1"), col("b2"))
   }
+
+  /** Returns trend per ship quarter: line counts, cent-exact returned
+    * and total revenue, the return RATE and the returned REVENUE
+    * share — the time axis the static per-brand/per-band return
+    * tables lack (a rate that doubles over four quarters is a
+    * process problem, not a product one). Rate and revenue share
+    * diverge exactly when returns skew to cheap or expensive lines.
+    *
+    * Shape: one (quarter) hash aggregate with conditional cent sums,
+    * all integer until the two final divisions. */
+  def returnTrend(lineitem: DataFrame): DataFrame =
+    lineitem.select(
+        date_trunc("quarter", col("l_shipdate")).cast("date")
+          .as("quarter"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("cents"),
+        (col("l_returnflag") === "R").cast("int").as("ret"))
+      .groupBy(col("quarter"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("ret") === 1, 1)).as("n_returned"),
+        sum(col("cents")).as("total_cents"),
+        sum(when(col("ret") === 1, col("cents")).otherwise(0L))
+          .as("returned_cents"))
+      .withColumn("return_rate",
+        col("n_returned").cast("double") / col("n_lines"))
+      .withColumn("revenue_share",
+        col("returned_cents").cast("double") /
+          col("total_cents").cast("double"))
+      .orderBy(col("quarter"))
 
   /** Return rate by discount depth: are discounted lines coming back
     * more (the "we moved it with a markdown and got it back" loss

@@ -524,6 +524,61 @@ object Journey {
       .orderBy(col("segment"))
   }
 
+  /** Weekly revenue growth accounting: every week's value decomposed
+    * into new / expansion / contraction / flat / resurrected /
+    * churned user-revenue — row 85's lifecycle on the REVENUE axis
+    * (headcount retention can hold steady while the money quietly
+    * contracts). Churn is accounted in the week the user went
+    * silent, carrying the cents they stopped paying.
+    *
+    * Mechanics: per-(user, week) exact cent sums; each active week
+    * also spawns a zero-cent GHOST row at week+7, so a user's silent
+    * week materializes and the per-user lag chain sees it (ghosts
+    * merge away when the user was actually active). Category logic
+    * off (prev_week, prev_cents): no prev → new; adjacent active
+    * prev → expansion/contraction/flat by integer compare; adjacent
+    * ghost prev or an older prev → resurrected; a ghost row itself →
+    * churned (its lag is always its spawning active week).
+    *
+    * Shape: one (user, week) aggregate, the ghost union re-grouped
+    * at the same grain, one per-user lag window (weeks unique per
+    * user, so the order is total), then a (week × 6) grid rollup of
+    * exact bigint sums. */
+  def revenueAccounting(events: DataFrame): DataFrame = {
+    val uw = events.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .groupBy(col("user_id"), col("week"))
+      .agg(sum(col("cents")).as("cents"))
+    val all = uw
+      .select(col("user_id"), col("week"), col("cents"))
+      .union(uw.select(col("user_id"), date_add(col("week"), 7),
+        lit(0L)))
+      .groupBy(col("user_id"), col("week"))
+      .agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val cat = all
+      .withColumn("prev_week", lag(col("week"), 1).over(w))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .withColumn("category",
+        when(col("cents") === 0, lit("churned"))
+          .when(col("prev_week").isNull, lit("new"))
+          .when(datediff(col("week"), col("prev_week")) === 7 &&
+            col("prev_cents") > 0,
+            when(col("cents") > col("prev_cents"), lit("expansion"))
+              .when(col("cents") < col("prev_cents"), lit("contraction"))
+              .otherwise(lit("flat")))
+          .otherwise(lit("resurrected")))
+    // churned ghosts that merged with nothing carry prev_cents (the
+    // lost revenue); every other category carries this week's cents
+    cat.where(col("cents") > 0 || col("prev_cents") > 0)
+      .groupBy(col("week"), col("category"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("category") === "churned", col("prev_cents"))
+          .otherwise(col("cents"))).as("cents"))
+      .orderBy(col("week"), col("category"))
+  }
+
   /** Day-N retention per daily signup cohort: of the users whose
     * FIRST activity fell on a cohort day, how many were active again
     * exactly 1, 7 and 30 days later — the growth team's D1/D7/D30

@@ -680,6 +680,71 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Character-class composition per source: exact counts and shares
+    * of lowercase-alpha, digit, whitespace and other characters —
+    * the cheapest corpus X-ray there is (a digit share spiking says
+    * tables/ids, an "other" share spiking says markup, encoding rot
+    * or emoji floods), and the row-local precursor the quality
+    * scores build on, surfaced at the grain drift happens.
+    *
+    * Counts are per-row integer lengths of class-stripped strings
+    * (alpha measured on the LOWERCASED text so 'A' counts as alpha),
+    * whitespace is the explicit [ \t\n\r] class so both engines
+    * agree on the set; other = total − alpha − digit − space. One
+    * scan, one source-grain aggregate, four share divisions. */
+  def charProfile(docs: DataFrame): DataFrame = {
+    val total = length(col("text")).cast("long")
+    val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+      .cast("long")
+    val digit = length(regexp_replace(col("text"), "[^0-9]", ""))
+      .cast("long")
+    val space = length(regexp_replace(col("text"), "[^ \t\n\r]", ""))
+      .cast("long")
+    docs.select(col("source"), total.as("t"), alpha.as("a"),
+        digit.as("d"), space.as("s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_chars"),
+        sum(col("a")).as("n_alpha"), sum(col("d")).as("n_digit"),
+        sum(col("s")).as("n_space"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space"))
+      .withColumn("alpha_share", col("n_alpha").cast("double") /
+        greatest(col("n_chars"), lit(1L)).cast("double"))
+      .withColumn("digit_share", col("n_digit").cast("double") /
+        greatest(col("n_chars"), lit(1L)).cast("double"))
+      .withColumn("other_share", col("n_other").cast("double") /
+        greatest(col("n_chars"), lit(1L)).cast("double"))
+      .orderBy(col("source"))
+  }
+
+  /** Token-length distribution: how many tokens have 1, 2, …, 15,
+    * 16+ characters, with each bucket's share and cumulative share —
+    * the tokenizer-fit fingerprint ([[fertilityByLanguage]] prices
+    * tokens per word; this shows WHY: a mass of 1–2-char tokens is
+    * OCR shrapnel, a fat 16+ tail is ids/URLs that a word tokenizer
+    * will shred). Clamped at 16 so the grid is fixed-width at any
+    * corpus size.
+    *
+    * Shape: one tokenize scan onto the ≤16-row length grid; shares
+    * and the running share are grid-window sums. */
+  def tokenLengths(docs: DataFrame): DataFrame = {
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("len_bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(explode(tokens(col("text"))).as("term"))
+      .select(least(length(col("term")), lit(16)).cast("long")
+        .as("len_bucket"))
+      .groupBy(col("len_bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+      .withColumn("share",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(wAll))
+      .withColumn("cum_share",
+        sum(col("n_tokens")).over(wCum).cast("double") /
+          sum(col("n_tokens")).over(wAll))
+      .orderBy(col("len_bucket"))
+  }
+
   /** Duplicate-cluster size histogram: exact-dup fingerprint groups
     * (size ≥ 2) bucketed by the decimal MAGNITUDE of their size —
     * "is my duplication a million pairs or one pathological

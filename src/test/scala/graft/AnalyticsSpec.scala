@@ -89,6 +89,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("") == ((1L, 10.0, 10.0, 10.0, 10.0)))
   }
 
+  test("returnTrend: rate vs revenue share diverge on skewed returns") {
+    def d(s: String) = Date.valueOf(s)
+    val li = Seq(
+      (d("2024-01-10"), 10.0, "R"), (d("2024-01-20"), 90.0, "N"),
+      (d("2024-04-10"), 50.0, "N"), (d("2024-04-20"), 50.0, "R"))
+      .toDF("l_shipdate", "l_extendedprice", "l_returnflag")
+    val out = Analytics.returnTrend(li).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // Q1: half the lines but only 10% of the money came back
+    assert(out("2024-01-01") == ((2L, 1L, 10000L, 1000L, 0.5, 0.1)))
+    assert(out("2024-04-01") == ((2L, 1L, 10000L, 5000L, 0.5, 0.5)))
+  }
+
   test("aovTrend: exact per-quarter AOV, two-point fit is exact") {
     def d(s: String) = Date.valueOf(s)
     val orders = Seq(

@@ -303,6 +303,31 @@ class JourneySpec extends SparkSpec {
     assert(out(0L)._4 > 0.0 && out(0L)._4 < p)
   }
 
+  test("revenueAccounting: six categories, churn carries prev cents") {
+    // weeks: 2024-01-01 (Mon), 01-08, 01-15, 01-22
+    def e(u: Long, t: String, v: Double) =
+      (u, java.sql.Timestamp.valueOf(t), v)
+    val events = Seq(
+      e(1L, "2024-01-01 10:00:00", 1.0),   // u1 w1: new (100c)
+      e(1L, "2024-01-08 10:00:00", 2.0),   // u1 w2: expansion (200c)
+      e(1L, "2024-01-15 10:00:00", 1.0),   // u1 w3: contraction
+      e(2L, "2024-01-01 10:00:00", 3.0),   // u2 w1: new, then silent
+      e(2L, "2024-01-15 10:00:00", 3.0),   // u2 w3: resurrected, flat?
+      e(3L, "2024-01-08 10:00:00", 5.0), e(3L, "2024-01-08 11:00:00", 0.5))
+      .toDF("user_id", "ts", "value")
+    val out = Journey.revenueAccounting(events).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("2024-01-01", "new")) == ((2L, 400L)))
+    assert(out(("2024-01-08", "expansion")) == ((1L, 200L)))
+    assert(out(("2024-01-08", "new")) == ((1L, 550L)))      // u3
+    assert(out(("2024-01-08", "churned")) == ((1L, 300L)))  // u2 cents
+    assert(out(("2024-01-15", "contraction")) == ((1L, 100L)))
+    assert(out(("2024-01-15", "resurrected")) == ((1L, 300L)))
+    assert(out(("2024-01-15", "churned")) == ((1L, 550L)))  // u3 gone
+    assert(out(("2024-01-22", "churned")) == ((2L, 400L)))  // u1+u2
+  }
+
   test("retentionDays: fixed horizons, dup days collapse, zeros kept") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", "a"), (1L, "2024-01-01 12:00:00", "a"),

@@ -745,6 +745,28 @@ class TextSpec extends SparkSpec {
       ((2L, 2L, 10L, 1L)))
   }
 
+  test("charProfile: exact class counts, uppercase counts as alpha") {
+    val d = Seq((1L, "Ab1 c!", "s1")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.charProfile(d).collect().head
+    // total 6 = 3 alpha + 1 digit + 1 space + 1 other
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) == ((1L, 6L, 3L, 1L, 1L, 1L)))
+    assert(r.getDouble(7) == 0.5 && r.getDouble(8) == 1.0 / 6 &&
+      r.getDouble(9) == 1.0 / 6)
+  }
+
+  test("tokenLengths: clamped grid with cumulative share") {
+    val d = Seq((1L, "a bb ccc", "s"),
+      (2L, "dddddddddddddddddddd", "s"))  // 20 chars -> 16+ bucket
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.tokenLengths(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(out == Map(
+      1L -> ((1L, 0.25, 0.25)), 2L -> ((1L, 0.25, 0.5)),
+      3L -> ((1L, 0.25, 0.75)), 16L -> ((1L, 0.25, 1.0))))
+  }
+
   test("dupClusterHist: families >=2 on the magnitude grid") {
     val d = (1L to 12L).map(i => (i, "big family")) ++     // size 12
       Seq((20L, "pair a"), (21L, "pair A!"),               // size 2
