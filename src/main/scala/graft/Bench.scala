@@ -60,6 +60,7 @@ object Bench {
     "q_traffic_heatmap", "q_supplier_consistency", "q_source_gini",
     "q_aov_trend", "q_dup_cluster_hist", "q_return_trend",
     "q_revenue_accounting", "q_char_profile", "q_token_lengths",
+    "q_order_completion", "q_cohort_value",
     "q_assoc_rules", "q_session_duration", "q_concurrency",
     "q_session_conversion", "q_value_dist",
     "q_session_paths", "q_dq_rules", "q_fd_audit", "q_corr_matrix", "q_user_features", "q_attribution",

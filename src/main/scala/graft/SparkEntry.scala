@@ -813,6 +813,10 @@ object SparkEntry {
     "q_fulfillment_latency" -> ((s, d) =>
       Analytics.fulfillmentLatency(Tables.lineitem(s, d),
         Tables.orders(s, d))),
+    // order-grain completion (last line ships) quartiles per priority
+    "q_order_completion" -> ((s, d) =>
+      Analytics.orderCompletion(Tables.lineitem(s, d),
+        Tables.orders(s, d))),
     // first-quarter-new vs returning revenue accounting
     "q_new_returning" -> ((s, d) =>
       Analytics.newVsReturning(Tables.orders(s, d))),
@@ -1412,6 +1416,9 @@ object SparkEntry {
     // D1/D7/D30 fixed-horizon retention per daily cohort
     "q_retention_days" -> ((s, d) =>
       Journey.retentionDays(Tables.events(s, d))),
+    // first-week cent value per daily cohort
+    "q_cohort_value" -> ((s, d) =>
+      Journey.cohortValue(Tables.events(s, d))),
     // Wilson-bounded return rate by integer discount-point band
     "q_discount_returns" -> ((s, d) =>
       Analytics.discountReturns(Tables.lineitem(s, d), CtrZ)),
@@ -4494,6 +4501,22 @@ object SparkEntry {
             CASE WHEN contrib > $SampleBiasCritical THEN 1 ELSE 0 END
               AS suspect
           FROM c ORDER BY event_type""",
+    // Min-day cohort + row-local first-week window; exact cent sums.
+    "q_cohort_value" ->
+      """WITH ue AS (SELECT user_id, CAST(ts AS DATE) AS day,
+            CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+          f AS (SELECT user_id, min(day) AS cohort_day FROM ue
+            GROUP BY 1),
+          j AS (SELECT f.cohort_day, ue.user_id, ue.cents FROM ue
+            JOIN f USING (user_id)
+            WHERE date_diff('day', f.cohort_day, ue.day) < 7)
+          SELECT cohort_day,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+            count(*) AS n_events,
+            CAST(sum(cents) AS BIGINT) AS first_week_cents,
+            CAST(sum(cents) AS DOUBLE) / count(DISTINCT user_id)
+              AS cents_per_user
+          FROM j GROUP BY 1 ORDER BY 1""",
     // (user, day) distinct + min-day cohort + horizon filter onto the
     // day grid; left join keeps zero-retention cohorts with 0 counts.
     "q_retention_days" ->
@@ -4697,6 +4720,23 @@ object SparkEntry {
           FROM g WINDOW w AS (ORDER BY day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           ORDER BY day""",
+    // Order-grain close day + the same grid-percentile contract.
+    "q_order_completion" ->
+      """WITH cl AS (SELECT l_orderkey,
+            max(CAST(l_shipdate AS DATE)) AS close_day
+          FROM lineitem GROUP BY 1),
+          j AS (SELECT coalesce(o_orderpriority, '') AS priority,
+            date_diff('day', CAST(o_orderdate AS DATE), close_day)
+              AS days
+          FROM cl JOIN orders ON l_orderkey = o_orderkey),
+          q AS (SELECT priority, count(*) AS n_orders,
+            CAST(sum(days) AS BIGINT) AS sum_days,
+            quantile_cont(days, [0.25, 0.5, 0.75]) AS ps
+          FROM j GROUP BY 1)
+          SELECT priority, n_orders,
+            CAST(sum_days AS DOUBLE) / n_orders AS mean_days,
+            ps[1] AS p25_days, ps[2] AS p50_days, ps[3] AS p75_days
+          FROM q ORDER BY priority""",
     // Day gaps on the (priority × days) grid; quantile_cont matches
     // the engine's percentile-with-frequencies (q_event_gaps contract).
     "q_fulfillment_latency" ->

@@ -1408,6 +1408,39 @@ object Analytics {
       .orderBy(col("p_brand"), col("quarter"))
   }
 
+  /** Order-completion time per priority: exact quartiles + mean of
+    * the days from order placement to the LAST line shipping — the
+    * order-grain complement of [[fulfillmentLatency]] (a customer
+    * waits for the order, not its median line; one straggler line
+    * IS the completion time). Line-less orders are excluded (the
+    * reconcile orphans, not completions).
+    *
+    * Shape: one order-grain max-ship aggregate, the co-partitioned
+    * orderkey join, then the (priority × days) grid WITH FREQUENCIES
+    * percentiles (the q_event_gaps contract) and a bigint-exact
+    * mean. */
+  def orderCompletion(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate").cast("date")).as("close_day"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .select(coalesce(col("o_orderpriority"), lit("")).as("priority"),
+        datediff(col("close_day"),
+          col("o_orderdate").cast("date")).as("days"))
+      .groupBy(col("priority"), col("days"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("priority"))
+      .agg(sum(col("cnt")).as("n_orders"),
+        sum(col("days") * col("cnt")).as("sum_days"),
+        expr("percentile(days, array(0.25D, 0.5D, 0.75D), cnt)")
+          .as("ps"))
+      .select(col("priority"), col("n_orders"),
+        (col("sum_days").cast("double") / col("n_orders")).as("mean_days"),
+        element_at(col("ps"), 1).as("p25_days"),
+        element_at(col("ps"), 2).as("p50_days"),
+        element_at(col("ps"), 3).as("p75_days"))
+      .orderBy(col("priority"))
+
   /** Open-order backlog curve: for every calendar day between the
     * first order and the last shipment, how many orders were opened,
     * how many fully shipped (their LAST line's ship day), and the

@@ -793,12 +793,26 @@ object DataChecks {
       "trailDays must be positive and distinct")
     // persisted: the as-of leg would otherwise re-run the corpus scan
     // (caller owns the lifetime)
-    val daily = events
+    freshnessFromDaily(
+      dailyTypeCounts(events).transform(graft.Caches.hold), trailDays)
+  }
+
+  /** The (type, day, n, max_us) aggregate of [[freshness]] — shared
+    * with the streaming twin (`EventStream.dailyTypeCounts`), so
+    * batch and stream roll the frontier identically by construction;
+    * counts and maxima are mergeable. */
+  private[graft] def dailyTypeCounts(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"), to_date(col("ts")).as("day"),
         unix_micros(col("ts")).as("tu"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"), max(col("tu")).as("max_us"))
-      .transform(graft.Caches.hold)
+
+  /** The daily-grid → freshness report stage of [[freshness]] — also
+    * the batch finisher over the streaming twin's continuously-
+    * maintained (type, day) table (grid-sized at any corpus size). */
+  private[graft] def freshnessFromDaily(daily: DataFrame,
+                                        trailDays: Seq[Int]): DataFrame = {
     val asOf = daily.agg(max(col("max_us")).as("as_of_us"),
       max(col("day")).as("as_of_day"))
     val trailAggs = trailDays.map(dd =>
@@ -1349,13 +1363,26 @@ object DataChecks {
     * Shape: one (hour-of-day) hash aggregate off a row-local hour
     * extraction — a 24-row grid at any corpus size; the bound is
     * the fixed-shape IEEE chain. */
-  def errorShare(events: DataFrame, z: Double = 1.96): DataFrame = {
-    val agg = events
+  def errorShare(events: DataFrame, z: Double = 1.96): DataFrame =
+    errorShareFromCounts(hourErrorCounts(events), z)
+
+  /** The (hod, n_events, n_errors) aggregate of [[errorShare]] —
+    * shared with the streaming twin (`EventStream.hourErrorCounts`),
+    * so batch and stream count identically by construction; counts
+    * are mergeable, the report is 24-row. */
+  private[graft] def hourErrorCounts(events: DataFrame): DataFrame =
+    events
       .select(hour(col("ts")).as("hod"),
         (col("event_type") === "error").cast("int").as("is_err"))
       .groupBy(col("hod"))
       .agg(count(lit(1)).as("n_events"),
         count(when(col("is_err") === 1, 1)).as("n_errors"))
+
+  /** The counts → Wilson report stage of [[errorShare]] — also the
+    * batch finisher over the streaming twin's continuously-maintained
+    * 24-row count table. */
+  private[graft] def errorShareFromCounts(agg: DataFrame,
+                                          z: Double): DataFrame = {
     val nD = col("n_events").cast("double")
     val p = col("n_errors").cast("double") / nD
     val z2 = z * z

@@ -524,6 +524,32 @@ object Journey {
       .orderBy(col("segment"))
   }
 
+  /** First-week cohort value: per daily signup cohort, the cent-exact
+    * value its users generated in their first 7 days (days 0–6 from
+    * each user's own first activity) — the quality axis next to
+    * [[retentionDays]]'s came-back counts (a cohort can retain fine
+    * and still be worthless, or churn fast after paying plenty).
+    * Value-per-user is the acquisition-channel comparison number.
+    *
+    * Shape: one user-grain min-day aggregate, one co-partitioned
+    * user join with a row-local day-window filter, one cohort-grid
+    * rollup; all cents exact bigint with one division last. */
+  def cohortValue(events: DataFrame): DataFrame = {
+    val ue = events.select(col("user_id"), to_date(col("ts")).as("day"),
+      round(col("value") * 100).cast("bigint").as("cents"))
+    val firsts = ue.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ue.join(firsts, Seq("user_id"))
+      .where(datediff(col("day"), col("cohort_day")) < 7)
+      .groupBy(col("cohort_day"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("first_week_cents"))
+      .withColumn("cents_per_user",
+        col("first_week_cents").cast("double") / col("n_users"))
+      .orderBy(col("cohort_day"))
+  }
+
   /** Weekly revenue growth accounting: every week's value decomposed
     * into new / expansion / contraction / flat / resurrected /
     * churned user-revenue — row 85's lifecycle on the REVENUE axis

@@ -957,6 +957,23 @@ object EventStream {
       .groupBy(col("event_type"), col("digit"))
       .agg(count(lit(1)).as("nd"))
 
+  /** Streaming (type, day) count + event-time-frontier table — the
+    * state behind a live q_freshness: Complete mode republishes the
+    * grid-sized table each micro-batch and
+    * DataChecks.freshnessFromDaily turns the latest snapshot into
+    * the lag/trailing-volume report on demand. Counts and maxima
+    * are mergeable, so the state is exactly the batch aggregate.
+    * EquivalenceSpec proves finisher(streamed) == batch freshness. */
+  def dailyTypeCounts(events: DataFrame): DataFrame =
+    graft.operators.DataChecks.dailyTypeCounts(events)
+
+  /** Streaming 24-row hour-of-day error/total count table — the
+    * state behind a live q_error_share; the Wilson finisher
+    * (DataChecks.errorShareFromCounts) reads any snapshot.
+    * EquivalenceSpec proves finisher(streamed) == batch. */
+  def hourErrorCounts(events: DataFrame): DataFrame =
+    graft.operators.DataChecks.hourErrorCounts(events)
+
   /** Streaming position-based (U-shaped, 40/20/40) attribution — the
     * streaming twin of Temporal.attributionUShaped: one credit row
     * per in-window touch with the batch CASE arms replayed verbatim

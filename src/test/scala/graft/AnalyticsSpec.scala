@@ -70,6 +70,22 @@ class AnalyticsSpec extends SparkSpec {
       ("regular", "absent") -> ((1L, 1.0))))
   }
 
+  test("orderCompletion: straggler line sets the order's time") {
+    def d(s: String) = Date.valueOf(s)
+    val orders = Seq((1L, d("2024-01-01"), "1-URGENT"),
+      (2L, d("2024-01-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, d("2024-01-02")), (1L, d("2024-01-09")),  // completes day 8
+      (2L, d("2024-01-03")))                         // completes day 2
+      .toDF("l_orderkey", "l_shipdate")
+    val out = Analytics.orderCompletion(li, orders).collect().head
+    // gaps {2, 8}: mean 5, interpolated quartiles 3.5/5/6.5
+    assert((out.getString(0), out.getLong(1), out.getDouble(2),
+      out.getDouble(3), out.getDouble(4), out.getDouble(5)) ==
+      (("1-URGENT", 2L, 5.0, 3.5, 5.0, 6.5)))
+  }
+
   test("fulfillmentLatency: grid quartiles of order->ship day gaps") {
     def d(s: String) = Date.valueOf(s)
     val orders = Seq(

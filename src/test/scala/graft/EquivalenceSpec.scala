@@ -96,6 +96,59 @@ class EquivalenceSpec extends SparkSpec {
       s"decay: streamed $streamedD vs batch $batchD")
   }
 
+  test("streaming daily type counts + finisher equal batch freshness") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(ev: _*)
+    val q = EventStream.dailyTypeCounts(mem.toDF())
+      .writeStream.format("memory").queryName("eq_fresh")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val snap = spark.table("eq_fresh")
+      .as[(String, java.sql.Date, Long, Long)].collect().toSeq
+      .toDF("event_type", "day", "n", "max_us")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        r.getTimestamp(2).getTime, r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    val streamed = key(graft.operators.DataChecks
+      .freshnessFromDaily(snap, Seq(1, 7)))
+    val batch = key(graft.operators.DataChecks
+      .freshness(Tables.events(spark, "/root/testdata/sf0.001")))
+    assert(batch.nonEmpty)
+    assert(streamed == batch, "finisher over streamed grid == batch")
+  }
+
+  test("streaming hour error counts + Wilson finisher equal batch") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(ev: _*)
+    val q = EventStream.hourErrorCounts(mem.toDF())
+      .writeStream.format("memory").queryName("eq_errshare")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val snap = spark.table("eq_errshare")
+      .as[(Int, Long, Long)].collect().toSeq
+      .toDF("hod", "n_events", "n_errors")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val streamed = key(graft.operators.DataChecks
+      .errorShareFromCounts(snap, 1.96))
+    val batch = key(graft.operators.DataChecks
+      .errorShare(Tables.events(spark, "/root/testdata/sf0.001")))
+    assert(batch.nonEmpty && batch.values.exists(_._2 > 0))
+    assert(streamed == batch, "finisher over streamed grid == batch")
+  }
+
   test("streaming Benford digit counts + batch finisher equal benfordQa") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))

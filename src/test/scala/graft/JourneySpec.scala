@@ -303,6 +303,21 @@ class JourneySpec extends SparkSpec {
     assert(out(0L)._4 > 0.0 && out(0L)._4 < p)
   }
 
+  test("cohortValue: day-7 boundary excluded, per-user division") {
+    def e(u: Long, t: String, v: Double) =
+      (u, java.sql.Timestamp.valueOf(t), v)
+    val events = Seq(
+      e(1L, "2024-01-01 10:00:00", 1.0),
+      e(1L, "2024-01-07 10:00:00", 2.0),   // day 6: in window
+      e(1L, "2024-01-08 10:00:00", 9.0),   // day 7: excluded
+      e(2L, "2024-01-01 11:00:00", 4.0))
+      .toDF("user_id", "ts", "value")
+    val out = Journey.cohortValue(events).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map("2024-01-01" -> ((2L, 3L, 700L, 350.0))))
+  }
+
   test("revenueAccounting: six categories, churn carries prev cents") {
     // weeks: 2024-01-01 (Mon), 01-08, 01-15, 01-22
     def e(u: Long, t: String, v: Double) =
