@@ -62,7 +62,8 @@ object Bench {
     "q_revenue_accounting", "q_char_profile", "q_token_lengths",
     "q_order_completion", "q_cohort_value",
     "q_assoc_rules", "q_session_duration", "q_concurrency",
-    "q_session_conversion", "q_value_dist",
+    "q_session_conversion", "q_value_dist", "q_session_depth",
+    "q_user_lifespan",
     "q_session_paths", "q_dq_rules", "q_fd_audit", "q_corr_matrix", "q_user_features", "q_attribution",
     "q_attribution_decay", "q_attribution_u", "q_l_diversity", "q_t_closeness",
     "q_ooo_audit", "q_watermark_rec", "q_join_skew", "q_record_dedup", "q_canary_scan",

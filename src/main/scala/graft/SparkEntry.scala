@@ -1661,6 +1661,12 @@ object SparkEntry {
     "q_session_conversion" -> ((s, d) =>
       Temporal.sessionConversion(Tables.events(s, d), SessionGapMin,
         CtrZ)),
+    // session event-count histogram (1..5, 6+) with dual shares
+    "q_session_depth" -> ((s, d) =>
+      Temporal.sessionDepth(Tables.events(s, d), SessionGapMin)),
+    // one-row user activity-span distribution
+    "q_user_lifespan" -> ((s, d) =>
+      Journey.userLifespan(Tables.events(s, d))),
     // cent-grid value quartiles + p95 per event type
     "q_value_dist" -> ((s, d) =>
       DataChecks.valueDist(Tables.events(s, d))),
@@ -4109,6 +4115,47 @@ object SparkEntry {
             ps[1] AS p25_s, ps[2] AS p50_s, ps[3] AS p75_s,
             ps[4] AS p95_s
           FROM q ORDER BY entry_type""",
+    // Session CTEs + per-session counts onto the clamped depth grid.
+    "q_session_depth" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+          s AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+              OR tu - lag(tu) OVER w > ${SessionGapMin * 60L * 1000000L}
+              THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          x AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_ix FROM s),
+          ses AS (SELECT user_id, session_ix, count(*) AS ne
+            FROM x GROUP BY 1, 2),
+          g AS (SELECT CAST(least(ne, 6) AS BIGINT) AS depth_bucket,
+            count(*) AS n_sessions, CAST(sum(ne) AS BIGINT) AS n_events
+          FROM ses GROUP BY 1)
+          SELECT depth_bucket, n_sessions, n_events,
+            CAST(n_sessions AS DOUBLE) / sum(n_sessions) OVER ()
+              AS session_share,
+            CAST(n_events AS DOUBLE) / sum(n_events) OVER ()
+              AS event_share
+          FROM g ORDER BY depth_bucket""",
+    // User-grain span + the grid-percentile contract, one output row.
+    "q_user_lifespan" ->
+      """WITH u AS (SELECT user_id,
+            CAST(date_diff('day', min(CAST(ts AS DATE)),
+              max(CAST(ts AS DATE))) AS BIGINT) AS span
+          FROM events GROUP BY 1),
+          q AS (SELECT count(*) AS n_users,
+            CAST(sum(span) AS BIGINT) AS sum_span,
+            CAST(count(*) FILTER (WHERE span = 0) AS BIGINT)
+              AS n_single_day,
+            quantile_cont(span, [0.25, 0.5, 0.75, 0.95]) AS ps
+          FROM u)
+          SELECT n_users,
+            CAST(sum_span AS DOUBLE) / n_users AS mean_days,
+            CAST(n_single_day AS DOUBLE) / n_users AS single_day_share,
+            ps[1] AS p25_days, ps[2] AS p50_days, ps[3] AS p75_days,
+            ps[4] AS p95_days
+          FROM q""",
     // Session CTEs + rn=1 entry + bool_max convert flag; Wilson chain
     // in engine operation order.
     "q_session_conversion" -> {

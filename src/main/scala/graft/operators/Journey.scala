@@ -524,6 +524,39 @@ object Journey {
       .orderBy(col("segment"))
   }
 
+  /** User-lifespan distribution: one row with exact quartiles + p95
+    * and mean of each user's activity span in days (last − first
+    * active day; 0 = one-day users, whose share prints separately) —
+    * the corpus-level "how long do users stay" number behind
+    * [[churnRisk]]'s per-customer flags and [[cohortRetention]]'s
+    * per-cohort curves.
+    *
+    * Shape: one user-grain min/max aggregate, spans collapse onto
+    * the integer-day grid and the exact percentiles run WITH
+    * FREQUENCIES there (the q_event_gaps contract); mean and the
+    * one-day share are single divisions of exact bigints. */
+  def userLifespan(events: DataFrame): DataFrame =
+    events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(datediff(max(col("day")), min(col("day"))).cast("long")
+        .as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_users"),
+        sum(col("span") * col("cnt")).as("sum_span"),
+        coalesce(sum(when(col("span") === 0, col("cnt"))), lit(0L))
+          .as("n_single_day"),
+        expr("percentile(span, array(0.25D, 0.5D, 0.75D, 0.95D), cnt)")
+          .as("ps"))
+      .select(col("n_users"),
+        (col("sum_span").cast("double") / col("n_users")).as("mean_days"),
+        (col("n_single_day").cast("double") / col("n_users"))
+          .as("single_day_share"),
+        element_at(col("ps"), 1).as("p25_days"),
+        element_at(col("ps"), 2).as("p50_days"),
+        element_at(col("ps"), 3).as("p75_days"),
+        element_at(col("ps"), 4).as("p95_days"))
+
   /** First-week cohort value: per daily signup cohort, the cent-exact
     * value its users generated in their first 7 days (days 0–6 from
     * each user's own first activity) — the quality axis next to

@@ -545,6 +545,43 @@ object Temporal {
       .orderBy(col("entry_type"))
   }
 
+  /** Session-depth distribution: sessions bucketed by event count
+    * (1..5 exact, 6 = "6+") with session and event shares — the full
+    * histogram behind [[bounceRate]]'s single size==1 number (two
+    * surfaces with equal bounce can differ completely in whether
+    * survivors go 2 events deep or 20). The event share shows where
+    * the engagement mass actually sits.
+    *
+    * Shape: the one user_id exchange builds sessions; the rollup is
+    * a ≤6-row grid with window-sum shares. */
+  def sessionDepth(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("tu"))
+      .withColumn("new_sess",
+        when(lag(col("tu"), 1).over(order).isNull ||
+          col("tu") - lag(col("tu"), 1).over(order) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_ix",
+        sum(col("new_sess")).over(order.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_ix"))
+      .agg(count(lit(1)).as("ne"))
+      .groupBy(least(col("ne"), lit(6L)).as("depth_bucket"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("ne")).as("n_events"))
+      .withColumn("session_share",
+        col("n_sessions").cast("double") /
+          sum(col("n_sessions")).over(wAll))
+      .withColumn("event_share",
+        col("n_events").cast("double") / sum(col("n_events")).over(wAll))
+      .orderBy(col("depth_bucket"))
+  }
+
   /** Session conversion per entry type: the share of sessions that
     * contain a `purchase` event, by the session's ENTRY type — the
     * money-complement of [[bounceRate]] (bounce says who left

@@ -303,6 +303,17 @@ class JourneySpec extends SparkSpec {
     assert(out(0L)._4 > 0.0 && out(0L)._4 < p)
   }
 
+  test("userLifespan: span grid quartiles, single-day share") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "a"), (1L, "2024-01-11 10:00:00", "a"),
+      (2L, "2024-01-05 10:00:00", "a"),           // span 0
+      (3L, "2024-01-01 09:00:00", "a"), (3L, "2024-01-03 09:00:00", "a"))
+    val r = Journey.userLifespan(events).collect().head
+    // spans {0, 2, 10}: mean 4, p50 = 2
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(4)) == ((3L, 4.0, 1.0 / 3, 2.0)))
+  }
+
   test("cohortValue: day-7 boundary excluded, per-user division") {
     def e(u: Long, t: String, v: Double) =
       (u, java.sql.Timestamp.valueOf(t), v)

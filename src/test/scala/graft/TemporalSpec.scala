@@ -159,6 +159,25 @@ class TemporalSpec extends SparkSpec {
       ("view", "click") -> ((1L, 3L, 1L, 3L, 1.0 / 3, 1.0 / 3, 1.0))))
   }
 
+  test("sessionDepth: clamped buckets, session vs event shares") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "a"),   // s1: depth 2
+      (2L, ts("2024-01-01 09:00:00"), 3L, "a")) ++ // s2: depth 1
+      (1L to 8L).map(i =>                          // s3: depth 8 -> 6+
+        (3L, ts(s"2024-01-01 12:0$i:00"), 10L + i, "a"))
+      .toSeq
+    val out = Temporal.sessionDepth(
+      events.toDF("user_id", "ts", "event_id", "event_type"), 30)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      1L -> ((1L, 1L, 1.0 / 3, 1.0 / 11)),
+      2L -> ((1L, 2L, 1.0 / 3, 2.0 / 11)),
+      6L -> ((1L, 8L, 1.0 / 3, 8.0 / 11))))
+  }
+
   test("sessionConversion: entry-typed purchase share") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
