@@ -662,4 +662,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  // Round-8 second-session pins: every new multi-consumer operator
+  // frame must come from cache — a missing persist re-runs the
+  // corpus-sized aggregate once per consumer (the q_heaps 10×-scan
+  // class). InMemoryTableScan counts are lower bounds so an extra
+  // cached leg can't fail the pin.
+
+  test("price index: series, per-part base and global base read cache") {
+    val p = plan("q_price_index")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("brand affinity: pairs, items and total read the cached frame") {
+    val p = plan("q_brand_affinity")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(3000))
+  }
+
+  test("concurrency: started/ended/spine read the cached session frame") {
+    val p = plan("q_concurrency")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(3000))
+  }
+
+  test("retention days: cohort mins and horizon join read the cached distinct") {
+    val p = plan("q_retention_days")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("pmi bigrams: tokenize and unigram frames feed every leg from cache") {
+    val p = plan("q_pmi_bigrams")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 5, p.take(3000))
+  }
+
+  test("aov trend: fit and output both read the cached quarter grid") {
+    val p = plan("q_aov_trend")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+  }
 }
