@@ -1477,6 +1477,22 @@ object SparkEntry {
       Temporal.attributionUShaped(Tables.events(s, d), AttribDays)),
     "q_attribution_decay" -> ((s, d) =>
       Temporal.attributionDecay(Tables.events(s, d), AttribDays)),
+    // single-touch brackets of the multi-touch family (opener/closer)
+    "q_attribution_fl" -> ((s, d) =>
+      Temporal.attributionFirstLast(Tables.events(s, d), AttribDays)),
+    // Goh–Barabási burstiness of the inter-event gap population
+    "q_burstiness" -> ((s, d) =>
+      Temporal.burstiness(Tables.events(s, d))),
+    // ABC cumulative-revenue classification of the part catalog
+    "q_abc_analysis" -> ((s, d) =>
+      Analytics.abcAnalysis(Tables.lineitem(s, d))),
+    // endpoint-degree correlation of the co-purchase graph
+    "q_assortativity" -> ((s, d) =>
+      Affinity.degreeAssortativity(Tables.lineitem(s, d),
+        TriangleMinSupport)),
+    // per-source 3-sigma length-outlier QA
+    "q_length_outliers" -> ((s, d) =>
+      TextAnalysis.lengthOutliers(Tables.documents(s, d))),
     "q_dq_rules" -> ((s, d) =>
       DataChecks.ruleCheck(Tables.orders(s, d), orderRules)),
     // key-discovery / denormalization-consistency audit
@@ -5870,6 +5886,130 @@ object SparkEntry {
             CAST(CAST(sum(credit) AS BIGINT) AS DOUBLE) / 100000000.0
               AS credited_value
           FROM cr GROUP BY 1 ORDER BY 1""",
+    // Same pairing as q_attribution; pos=1 / pos=n pick the first and
+    // last touch (ts, touch_id order = the engine's struct min/max),
+    // full cents credited to each, (none) rows feed both accountings.
+    "q_attribution_fl" ->
+      s"""WITH p AS (SELECT user_id, ts AS end_ts,
+            ts - INTERVAL $AttribDays DAYS AS start_ts,
+            event_id AS purchase_id,
+            CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'),
+          x AS (SELECT user_id, ts, event_id AS touch_id,
+            event_type AS channel FROM events
+            WHERE event_type <> 'purchase'),
+          pc AS (SELECT purchase_id, cents, channel,
+              row_number() OVER (PARTITION BY purchase_id
+                ORDER BY x.ts, touch_id) AS pos,
+              count(*) OVER (PARTITION BY purchase_id) AS n
+            FROM p JOIN x ON x.user_id = p.user_id
+              AND x.ts >= p.start_ts AND x.ts < p.end_ts),
+          fr AS (SELECT channel, 1 AS nf, cents AS vf, 0 AS nl,
+              0 AS vl FROM pc WHERE pos = 1
+            UNION ALL SELECT channel, 0, 0, 1, cents
+              FROM pc WHERE pos = n
+            UNION ALL SELECT '(none)', 1, cents, 1, cents FROM p
+              WHERE purchase_id NOT IN (SELECT purchase_id FROM pc))
+          SELECT channel, CAST(sum(nf) AS BIGINT) AS n_first,
+            CAST(CAST(sum(vf) AS BIGINT) AS DOUBLE) / 100.0
+              AS first_value,
+            CAST(sum(nl) AS BIGINT) AS n_last,
+            CAST(CAST(sum(vl) AS BIGINT) AS DOUBLE) / 100.0
+              AS last_value
+          FROM fr GROUP BY channel ORDER BY channel""",
+    // The q_event_gaps gap CTE feeding exact HUGEINT moments;
+    // B = (sqrt(D) - S1)/(sqrt(D) + S1), D = n*S2 - S1^2 — the 1/n in
+    // sigma and mu cancels, so only exact integers reach the doubles.
+    "q_burstiness" ->
+      """WITH e AS (SELECT event_type, user_id, CAST(ts AS TIMESTAMP) AS ts,
+            event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+          g AS (SELECT event_type, tu - lag(tu) OVER (
+              PARTITION BY user_id, event_type ORDER BY ts, event_id)
+              AS gap FROM e),
+          f AS (SELECT event_type, CAST(gap AS HUGEINT) AS gap
+            FROM g WHERE gap IS NOT NULL),
+          m AS (SELECT event_type, count(*) AS nn,
+            sum(gap) AS s1, sum(gap * gap) AS s2
+          FROM f GROUP BY event_type)
+          SELECT event_type, CAST(nn AS BIGINT) AS n_gaps,
+            CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE) / 1000000.0
+              AS mean_gap_s,
+            (sqrt(CAST(nn * s2 - s1 * s1 AS DOUBLE)) - CAST(s1 AS DOUBLE))
+              / nullif(sqrt(CAST(nn * s2 - s1 * s1 AS DOUBLE))
+                + CAST(s1 AS DOUBLE), 0.0) AS burstiness
+          FROM m ORDER BY event_type""",
+    // Part-grain cent revenue, cumulative window in (rev desc, key)
+    // order, integer cross-multiplied class cuts, 3-row grid shares.
+    "q_abc_analysis" ->
+      """WITH pr AS (SELECT l_partkey,
+            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+              AS BIGINT)) AS BIGINT) AS rev_c
+            FROM lineitem GROUP BY l_partkey),
+          cum AS (SELECT rev_c,
+            CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_c,
+            CAST(sum(rev_c) OVER () AS BIGINT) AS tot_c FROM pr),
+          cl AS (SELECT CASE WHEN cum_c * 5 <= tot_c * 4 THEN 'A'
+              WHEN cum_c * 20 <= tot_c * 19 THEN 'B'
+              ELSE 'C' END AS abc_class, rev_c FROM cum),
+          gr AS (SELECT abc_class, count(*) AS n_parts,
+            CAST(sum(rev_c) AS BIGINT) AS cls_c
+          FROM cl GROUP BY abc_class)
+          SELECT abc_class, n_parts,
+            CAST(cls_c AS DOUBLE) / 100.0 AS revenue,
+            CAST(cls_c AS DOUBLE) / CAST(sum(cls_c) OVER () AS DOUBLE)
+              AS revenue_share,
+            CAST(n_parts AS DOUBLE) / CAST(sum(n_parts) OVER () AS DOUBLE)
+              AS part_share
+          FROM gr ORDER BY abc_class""",
+    // The q_triangles support-filtered edge CTE; endpoint degrees join
+    // back on, five HUGEINT moments, Newman r off exact integers.
+    "q_assortativity" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS okey,
+            l_partkey AS part FROM lineitem),
+          pr AS (SELECT a.part AS pa, b.part AS pb
+            FROM op a JOIN op b ON a.okey = b.okey AND a.part < b.part
+            GROUP BY 1, 2 HAVING count(*) >= $TriangleMinSupport),
+          e AS (SELECT pa AS src, pb AS dst FROM pr
+            UNION ALL SELECT pb, pa FROM pr),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM e GROUP BY 1),
+          dd AS (SELECT CAST(d1.deg AS HUGEINT) AS x,
+              CAST(d2.deg AS HUGEINT) AS y
+            FROM e JOIN deg d1 ON e.src = d1.src
+            JOIN deg d2 ON e.dst = d2.src),
+          m AS (SELECT CAST(count(*) AS HUGEINT) AS m2,
+            sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+            sum(x * x) AS sxx, sum(y * y) AS syy FROM dd),
+          n AS (SELECT count(*) AS n_nodes FROM deg)
+          SELECT CAST(n.n_nodes AS BIGINT) AS n_nodes,
+            CAST(m.m2 // 2 AS BIGINT) AS n_edges,
+            CAST(m.m2 * m.sxy - m.sx * m.sy AS DOUBLE) /
+              nullif(sqrt(CAST(m.m2 * m.sxx - m.sx * m.sx AS DOUBLE) *
+                CAST(m.m2 * m.syy - m.sy * m.sy AS DOUBLE)), 0.0)
+              AS assortativity
+          FROM m CROSS JOIN n""",
+    // Source-grain HUGEINT moments join back on the doc grain; the
+    // 3-sigma cut is (n*x - S1)^2 > 9*(n*S2 - S1^2), no doubles.
+    "q_length_outliers" ->
+      """WITH m AS (SELECT source, count(*) AS nn,
+            sum(CAST(n_chars AS HUGEINT)) AS s1,
+            sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+          FROM documents GROUP BY source)
+          SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(*) FILTER (WHERE
+              (m.nn * d.n_chars - m.s1) * (m.nn * d.n_chars - m.s1) >
+              9 * (m.nn * m.s2 - m.s1 * m.s1)) AS BIGINT) AS n_outliers,
+            CAST(count(*) FILTER (WHERE
+              (m.nn * d.n_chars - m.s1) * (m.nn * d.n_chars - m.s1) >
+              9 * (m.nn * m.s2 - m.s1 * m.s1)) AS DOUBLE) / count(*)
+              AS outlier_share,
+            CAST(min(m.s1) AS DOUBLE) / CAST(min(m.nn) AS DOUBLE)
+              AS mean_chars,
+            CAST(max(d.n_chars) AS BIGINT) AS max_chars
+          FROM documents d JOIN m ON d.source = m.source
+          GROUP BY d.source ORDER BY d.source""",
     // Same pairing as q_attribution; integer power-of-two day weights
     // and micro-cent credit division, so sums replay exactly
     "q_attribution_u" ->

@@ -247,6 +247,53 @@ object Affinity {
       .orderBy(col("deg_digits"))
   }
 
+  /** Degree assortativity of the min-support co-purchase graph: the
+    * Pearson correlation of endpoint degrees over the directed edge
+    * list (both orientations, the standard Newman r) — positive means
+    * hubs link to hubs (a rich-club catalog where bestsellers
+    * cross-sell each other), negative means hub-and-spoke (bestsellers
+    * pull long-tail items). The one-number structure read next to
+    * [[graphStats]]' degree histogram: the histogram says how skewed
+    * the degrees are, r says how they WIRE.
+    *
+    * Determinism and scale: the same support-≥`minSupport` edge set as
+    * [[triangleStats]] (memoized [[coPurchasePairs]] bounds the pair
+    * explosion); degrees attach to both endpoints by two node-grain
+    * joins off one persisted degree frame; the five moments accumulate
+    * as decimal(38,0) (n·Σxy needs ~int128 on a dense graph — the
+    * moment-sum overflow trap), and r is assembled from exact integers
+    * with two double conversions, one sqrt and one division, mirrored
+    * exactly in the oracle. Output is one row. */
+  def degreeAssortativity(lineitem: DataFrame, minSupport: Int = 2): DataFrame = {
+    val pairs = coPurchasePairs(lineitem)
+      .where(col("cooc") >= minSupport)
+      .select(col("part_a"), col("part_b"))
+    val edges = pairs.unionAll(
+      pairs.select(col("part_b"), col("part_a"))).toDF("src", "dst")
+    val deg = hold(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val moments = edges
+      .join(deg.select(col("src").as("u"), col("deg").as("du")),
+        col("src") === col("u"))
+      .join(deg.select(col("src").as("v"), col("deg").as("dv")),
+        col("dst") === col("v"))
+      .select(col("du").cast("decimal(38,0)").as("x"),
+        col("dv").cast("decimal(38,0)").as("y"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("m2"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    moments.crossJoin(broadcast(nodes))
+      .select(col("n_nodes"),
+        expr("CAST(m2 AS BIGINT) div 2").as("n_edges"),
+        ((col("m2") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullif(sqrt(
+            (col("m2") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("m2") * col("syy") - col("sy") * col("sy")).cast("double")),
+            lit(0.0))).as("assortativity"))
+  }
+
   /** Exact triangle census of the MIN-SUPPORT co-purchase graph:
     * node/edge/wedge counts, the triangle count, and global
     * transitivity (3·triangles / wedges) — the one-row "how clustered

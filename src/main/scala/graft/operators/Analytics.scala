@@ -835,6 +835,53 @@ object Analytics {
       .orderBy(col("segment"), col("decile"))
   }
 
+  /** ABC inventory classification: parts ranked by cent-exact
+    * discounted revenue, cut at the classic cumulative-share
+    * thresholds — class A carries the first 80% of revenue, B the
+    * next 15%, C the tail — with each class's part count, revenue
+    * and both shares. The stock-policy view next to [[ltvDeciles]]'
+    * customer deciles: deciles are equal POPULATION cuts, ABC is
+    * equal REVENUE cuts, and purchasing policy keys on the latter
+    * (count A parts daily, C parts yearly).
+    *
+    * Determinism and scale shape: revenue is per-line cents rounding
+    * then bigint sums (exact in any order); the class rule is integer
+    * cross-multiplication against the total (`5·cum ≤ 4·tot` → A,
+    * `20·cum ≤ 19·tot` → B — a part is classed WITH the boundary it
+    * closes), so no double compare anywhere near a cut. The only
+    * corpus-sized exchange is the part-grain revenue aggregate; the
+    * cumulative window then runs over the PART grain (orders of
+    * magnitude below the line grain — same adjudication as the
+    * decile and Gini rank windows), and the output is a 3-row grid
+    * with window-sum shares. */
+  def abcAnalysis(lineitem: DataFrame): DataFrame = {
+    val rev = lineitem
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("bigint").as("cents"))
+      .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev_c"))
+    val wcum = Window.orderBy(col("rev_c").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    rev
+      .withColumn("cum_c", sum(col("rev_c")).over(wcum))
+      .withColumn("tot_c", sum(col("rev_c")).over(wAll))
+      .withColumn("abc_class",
+        when(col("cum_c") * 5 <= col("tot_c") * 4, "A")
+          .when(col("cum_c") * 20 <= col("tot_c") * 19, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev_c")).as("cls_c"))
+      .select(col("abc_class"), col("n_parts"),
+        (col("cls_c").cast("double") / 100.0).as("revenue"),
+        (col("cls_c").cast("double") /
+          sum(col("cls_c")).over(wAll).cast("double")).as("revenue_share"),
+        (col("n_parts").cast("double") /
+          sum(col("n_parts")).over(wAll).cast("double")).as("part_share"))
+      .orderBy(col("abc_class"))
+  }
+
   /** Hour-of-day traffic profile per event type: counts on the
     * (type, hour) grid, each hour's share of the type's day, and the
     * type's peak hour (argmax via an order-independent max over

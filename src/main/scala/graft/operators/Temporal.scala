@@ -358,6 +358,59 @@ object Temporal {
       .orderBy(col("channel"))
   }
 
+  /** First/last-touch attribution: each purchase's FULL value credited
+    * once to the first exposure channel in the trailing window and
+    * once to the last — the two single-touch accountings bracketing
+    * the multi-touch splits ([[attribution]] equal, [[attributionDecay]],
+    * [[attributionUShaped]]): first-touch reads as "what starts
+    * journeys", last-touch as "what closes them", and a channel whose
+    * first and last totals diverge is an opener or a closer, which is
+    * exactly what a budget reallocation needs to know. Purchases with
+    * no exposure in window land in `(none)` in BOTH accountings, so
+    * each column totals the same complete purchase value.
+    *
+    * Shape: the same day-binned [[rangeJoin]] pairing as the split
+    * operators, but the per-purchase reduction is one order-independent
+    * min/max over (ts, touch_id, channel) structs — no window, no
+    * credit division, value stays integer cents end to end (touch_id
+    * breaks ts ties, the oracle's row_number order). The attributed
+    * frame is persisted: the credit legs and the `(none)` anti-join
+    * both read it. */
+  def attributionFirstLast(events: DataFrame, windowDays: Int): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        (col("ts") - expr(s"INTERVAL $windowDays DAYS")).as("start"),
+        col("ts").as("end"), col("event_id").as("purchase_id"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exposures = events.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"))
+    val fl = rangeJoin(purchases, exposures, "user_id", 86400L)
+      .where(col("ts") < col("end")) // strictly before the purchase
+      .groupBy(col("purchase_id"), col("cents"))
+      .agg(
+        min(struct(col("ts"), col("touch_id"), col("channel"))).as("f"),
+        max(struct(col("ts"), col("touch_id"), col("channel"))).as("l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val credits = fl
+      .select(col("f.channel").as("channel"), lit(1L).as("nf"),
+        col("cents").as("vf"), lit(0L).as("nl"), lit(0L).as("vl"))
+      .unionAll(fl.select(col("l.channel"), lit(0L), lit(0L), lit(1L),
+        col("cents")))
+    val none = purchases
+      .join(fl.select(col("purchase_id")), Seq("purchase_id"), "left_anti")
+      .select(lit("(none)").as("channel"), lit(1L).as("nf"),
+        col("cents").as("vf"), lit(1L).as("nl"), col("cents").as("vl"))
+    credits.unionAll(none)
+      .groupBy(col("channel"))
+      .agg(sum(col("nf")).as("n_first"),
+        (sum(col("vf")).cast("double") / 100.0).as("first_value"),
+        sum(col("nl")).as("n_last"),
+        (sum(col("vl")).cast("double") / 100.0).as("last_value"))
+      .orderBy(col("channel"))
+  }
+
   /** Top session paths: the most common ordered event-type sequences a
     * session opens with (first `maxLen` events, joined with `>`), with
     * session counts and share of all sessions — the flow summary that
@@ -440,6 +493,51 @@ object Temporal {
         (element_at(col("ps"), 1) / 1000000.0).as("p25_s"),
         (element_at(col("ps"), 2) / 1000000.0).as("p50_s"),
         (element_at(col("ps"), 3) / 1000000.0).as("p75_s"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Burstiness per event type: the Goh–Barabási coefficient
+    * B = (σ−μ)/(σ+μ) of the [[eventGaps]] gap population — B→−1 for
+    * clockwork cadences, 0 for a Poisson stream, →+1 for heavy-tailed
+    * bursts. The one-number complement to the gap quartiles: capacity
+    * planning and anomaly thresholds behave completely differently on
+    * a bursty stream than on a regular one at the same mean rate.
+    *
+    * Determinism: σ and μ share the factor 1/n, so
+    * B = (√D − S₁)/(√D + S₁) with D = n·Σgap² − S₁² — gaps are integer
+    * microseconds and the moments accumulate as decimal(38,0) (the
+    * exact int128 discipline; Σgap² overflows int64 at month-scale
+    * gaps, and a silent Spark wrap where the oracle's HUGEINT is
+    * exact is the known moment-sum trap), so D and S₁ are exact
+    * integers that convert to double once, then one IEEE sqrt and one
+    * division replay bit-identically. Same plan shape as eventGaps:
+    * one (user, type) exchange for the lag, a map-side-combining
+    * rollup onto the (type, gap) grid, then grid-sized moments. */
+  def burstiness(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("tu"))
+      .withColumn("gap", col("tu") - lag(col("tu"), 1).over(order))
+      .where(col("gap").isNotNull)
+    gaps.groupBy(col("event_type"), col("gap"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        col("gap").cast("decimal(38,0)").as("g"),
+        col("cnt").cast("decimal(38,0)").as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("nn"),
+        sum(col("g") * col("c")).as("s1"),
+        sum(col("g") * col("g") * col("c")).as("s2"))
+      .withColumn("d",
+        (col("nn") * col("s2") - col("s1") * col("s1")).cast("double"))
+      .select(col("event_type"), col("nn").cast("bigint").as("n_gaps"),
+        (col("s1").cast("double") / col("nn").cast("double") / 1000000.0)
+          .as("mean_gap_s"),
+        ((sqrt(col("d")) - col("s1").cast("double")) /
+          nullif(sqrt(col("d")) + col("s1").cast("double"), lit(0.0)))
+          .as("burstiness"))
       .orderBy(col("event_type"))
   }
 

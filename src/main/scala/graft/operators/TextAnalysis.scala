@@ -1762,4 +1762,44 @@ object TextAnalysis {
         col("mean_quality"), col("slope"), col("intercept"), col("r2"))
       .orderBy(col("checkpoint"))
   }
+
+  /** Per-source length outliers: documents whose character count sits
+    * more than three population standard deviations from their OWN
+    * source's mean — truncated shards, concatenation accidents and
+    * scrape blowups surface as length outliers long before a content
+    * check sees them, and the per-source frame matters because a
+    * normal length for one source is an outlier for another.
+    *
+    * Determinism: the 3σ test is integer cross-multiplication —
+    * |x−μ|>3σ ⟺ (n·x−S₁)² > 9·(n·Σx²−S₁²) — on decimal(38,0) moments
+    * (n·x−S₁ squared clears int64 at gate corpus sizes; the oracle's
+    * HUGEINT is exact, so Spark must be too), no double anywhere near
+    * the cut. Shape: one source-grain moment aggregate rides back on
+    * a broadcast (sources are few), so the corpus is scanned twice at
+    * worst and never shuffled on the doc grain; mean and share are
+    * final-expression double divisions. */
+  def lengthOutliers(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"),
+      col("n_chars").cast("decimal(38,0)").as("x"))
+    val m = d.groupBy(col("source"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("nn"),
+        sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"))
+    d.join(broadcast(m), "source")
+      .withColumn("dev", col("nn") * col("x") - col("s1"))
+      .withColumn("is_out",
+        when(col("dev") * col("dev") >
+          lit(9) * (col("nn") * col("s2") - col("s1") * col("s1")), 1L)
+          .otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_out")).as("n_outliers"),
+        max(col("x")).cast("bigint").as("max_chars"),
+        (first(col("s1")).cast("double") /
+          first(col("nn")).cast("double")).as("mean_chars"))
+      .select(col("source"), col("n_docs"), col("n_outliers"),
+        (col("n_outliers").cast("double") / col("n_docs"))
+          .as("outlier_share"),
+        col("mean_chars"), col("max_chars"))
+      .orderBy(col("source"))
+  }
 }

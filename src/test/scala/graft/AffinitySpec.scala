@@ -154,4 +154,19 @@ class AffinitySpec extends SparkSpec {
     assert(Affinity.kCoreKFor(0L, 0L) == 2)        // empty graph
     assert(Affinity.kCoreKFor(4L, 4L) == 2)
   }
+
+  test("degreeAssortativity: a support-2 star is exactly -1") {
+    // each leaf pair co-occurs with the hub in two orders (support 2);
+    // leaf-leaf pairs never repeat, so the kept graph is the 10-star
+    // and Newman r over a star is -1 by the closed form
+    val star = li(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L), (4L, 10L), (4L, 30L),
+      (5L, 10L), (5L, 40L), (6L, 10L), (6L, 40L))
+    val r = Affinity.degreeAssortativity(star, minSupport = 2)
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == -1.0)
+    Affinity.clearCache()
+  }
 }

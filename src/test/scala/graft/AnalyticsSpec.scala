@@ -458,4 +458,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("F") == ((1L, 0L, 1L, 500L, -500L)),
       "order 2 mismatches by exactly 500 cents, net drift signed")
   }
+
+  test("abcAnalysis: 80/95 cuts close WITH the boundary part") {
+    // revenues 80/15/5: part 1 closes exactly 80% -> A, part 2 closes
+    // exactly 95% -> B, part 3 is the tail -> C
+    val li = Seq((1L, 80.0), (2L, 15.0), (3L, 5.0))
+      .toDF("l_partkey", "l_extendedprice")
+      .withColumn("l_discount", lit(0.0))
+    val out = Analytics.abcAnalysis(li).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("A") == ((1L, 80.0, 0.80, 1.0 / 3)))
+    assert(out("B") == ((1L, 15.0, 0.15, 1.0 / 3)))
+    assert(out("C") == ((1L, 5.0, 0.05, 1.0 / 3)))
+  }
 }

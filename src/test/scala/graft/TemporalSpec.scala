@@ -432,4 +432,43 @@ class TemporalSpec extends SparkSpec {
     assert(out("signup") == 0.4)        // last of 3
     assert(out("error") == 1.0)         // sole touch takes all
   }
+
+  test("attributionFirstLast: opener and closer each take full value") {
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 11:00:00", 2L, "click", 0.0),
+      (1L, "2024-01-01 12:00:00", 3L, "purchase", 10.0),
+      (1L, "2024-01-01 13:00:00", 4L, "view", 0.0), // after: no credit
+      (2L, "2024-01-05 12:00:00", 5L, "purchase", 7.77))
+      .map { case (u, t, id, et, v) => (u, ts(t), id, et, v) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Temporal.attributionFirstLast(e, 3).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out("view") == ((1L, 10.0, 0L, 0.0)))   // opener only
+    assert(out("click") == ((0L, 0.0, 1L, 10.0)))  // closer only
+    assert(out("(none)") == ((1L, 7.77, 1L, 7.77)))
+  }
+
+  test("burstiness: clockwork is -1, mixed gaps hit the closed form") {
+    // type a: gaps 60s, 60s (sigma 0 -> B = -1); type b: gaps 1s and
+    // 99s -> D = 2*9802e12 - (100e6)^2 = 9604e12, sqrt = 98e6,
+    // B = (98-100)/(98+100) = -1/99
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "a", 0.0),
+      (1L, "2024-01-01 10:01:00", 2L, "a", 0.0),
+      (1L, "2024-01-01 10:02:00", 3L, "a", 0.0),
+      (2L, "2024-01-01 10:00:00", 4L, "b", 0.0),
+      (2L, "2024-01-01 10:00:01", 5L, "b", 0.0),
+      (2L, "2024-01-01 10:01:40", 6L, "b", 0.0))
+      .map { case (u, t, id, et, v) => (u, ts(t), id, et, v) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Temporal.burstiness(e).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("a") == ((2L, 60.0, -1.0)))
+    assert(out("b")._1 == 2L && out("b")._2 == 50.0)
+    assert(math.abs(out("b")._3 - (-1.0 / 99)) < 1e-15)
+  }
 }

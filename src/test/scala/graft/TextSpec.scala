@@ -810,4 +810,18 @@ class TextSpec extends SparkSpec {
       ("s1", "very_difficult") -> ((1L, 1.0 / 3)),
       ("s1", "unscorable") -> ((1L, 1.0 / 3))))
   }
+
+  test("lengthOutliers: 3-sigma cross-multiplied cut, zero-variance safe") {
+    // s1: ten docs of 10 chars + one of 1000 -> dev^2 = 9900^2 =
+    // 98 010 000 > 9*(11*1001000 - 1100^2) = 88 209 000: one outlier.
+    // s2: constant lengths -> sigma 0, strict compare keeps 0 outliers.
+    val d = ((1 to 10).map(i => (i.toLong, "s1", 10L)) :+
+      (11L, "s1", 1000L)) ++ Seq((12L, "s2", 50L), (13L, "s2", 50L))
+    val out = TextAnalysis.lengthOutliers(
+      d.toDF("doc_id", "source", "n_chars")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(out("s1") == ((11L, 1L, 1.0 / 11, 100.0, 1000L)))
+    assert(out("s2") == ((2L, 0L, 0.0, 50.0, 50L)))
+  }
 }
