@@ -67,7 +67,9 @@ object Bench {
     "q_session_paths", "q_dq_rules", "q_fd_audit", "q_corr_matrix", "q_user_features", "q_attribution",
     "q_attribution_decay", "q_attribution_u", "q_attribution_fl",
     "q_burstiness", "q_abc_analysis", "q_assortativity",
-    "q_length_outliers", "q_l_diversity", "q_t_closeness",
+    "q_length_outliers", "q_oov_rate", "q_ngram_coverage",
+    "q_transition_entropy", "q_user_concentration", "q_stickiness",
+    "q_l_diversity", "q_t_closeness",
     "q_ooo_audit", "q_watermark_rec", "q_join_skew", "q_record_dedup", "q_canary_scan",
     "q_inverted_index",
     "q_ship_priority", "q_late_suppliers", "q_k_anon", "q_forecast_naive",

@@ -71,6 +71,10 @@ object SparkEntry {
   /** q_vocab top-N (non-binding on the 31-term synthetic vocabulary —
     * the ordering contract, not the cut, is what the gate checks). */
   private val VocabTopN = 1000
+  /** q_ngram_coverage head-coverage checkpoints. */
+  private val CoverageKs = Seq(100, 1000, 10000)
+  /** q_stickiness trailing window (the MAU in DAU/MAU). */
+  private val StickinessDays = 30
 
   /** q_source_kl: corpus-term simplex size (+1 residual bucket) the
     * per-source KL folds over — bounds the fold at any corpus size. */
@@ -1493,6 +1497,21 @@ object SparkEntry {
     // per-source 3-sigma length-outlier QA
     "q_length_outliers" -> ((s, d) =>
       TextAnalysis.lengthOutliers(Tables.documents(s, d))),
+    // per-source OOV rate vs the top-N corpus vocabulary
+    "q_oov_rate" -> ((s, d) =>
+      TextAnalysis.oovRate(Tables.documents(s, d), VocabTopN)),
+    // head-coverage curve of the bigram distribution
+    "q_ngram_coverage" -> ((s, d) =>
+      TextAnalysis.ngramCoverage(Tables.documents(s, d), CoverageKs)),
+    // next-event Shannon entropy per from-type
+    "q_transition_entropy" -> ((s, d) =>
+      Journey.transitionEntropy(Tables.events(s, d))),
+    // event/value concentration deciles over users
+    "q_user_concentration" -> ((s, d) =>
+      Journey.userConcentration(Tables.events(s, d))),
+    // DAU/MAU(30) habit ratio per day
+    "q_stickiness" -> ((s, d) =>
+      Journey.stickiness(Tables.events(s, d), StickinessDays)),
     "q_dq_rules" -> ((s, d) =>
       DataChecks.ruleCheck(Tables.orders(s, d), orderRules)),
     // key-discovery / denormalization-consistency audit
@@ -6010,6 +6029,115 @@ object SparkEntry {
             CAST(max(d.n_chars) AS BIGINT) AS max_chars
           FROM documents d JOIN m ON d.source = m.source
           GROUP BY d.source ORDER BY d.source""",
+    // The q_vocab top-N cut as a membership set; OOV mass and types
+    // ride the (source, term) grain, shares single bigint divisions.
+    "q_oov_rate" ->
+      s"""WITH tk AS (SELECT source, $ToksSql AS toks FROM documents),
+          e AS (SELECT source, unnest(toks) AS term FROM tk),
+          tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+            FROM e GROUP BY source, term),
+          corpus AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS ct
+            FROM tf GROUP BY term),
+          tt AS (SELECT term FROM corpus
+            ORDER BY ct DESC, term LIMIT $VocabTopN),
+          j AS (SELECT tf.source, tf.cnt, tt.term AS hit
+            FROM tf LEFT JOIN tt ON tf.term = tt.term)
+          SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+            CAST(coalesce(sum(cnt) FILTER (WHERE hit IS NULL), 0)
+              AS BIGINT) AS oov_tokens,
+            CAST(coalesce(sum(cnt) FILTER (WHERE hit IS NULL), 0)
+              AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS oov_share,
+            CAST(count(*) AS BIGINT) AS n_types,
+            CAST(count(*) FILTER (WHERE hit IS NULL) AS BIGINT)
+              AS oov_types,
+            CAST(count(*) FILTER (WHERE hit IS NULL) AS DOUBLE) /
+              count(*) AS oov_type_share
+          FROM j GROUP BY source ORDER BY source""",
+    // The q_bpe_pairs bigram CTE; rank/cumsum windows over the top
+    // max(k) rows only, each checkpoint reads the cum at its rank.
+    "q_ngram_coverage" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          p AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+              list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])
+            ELSE CAST([] AS VARCHAR[]) END) AS pair FROM t),
+          c AS (SELECT pair, CAST(count(*) AS BIGINT) AS nn
+            FROM p GROUP BY pair),
+          tot AS (SELECT CAST(sum(nn) AS BIGINT) AS total_occ FROM c),
+          r AS (SELECT nn, row_number()
+              OVER (ORDER BY nn DESC, pair) AS rk FROM c),
+          cumt AS (SELECT CAST(rk AS BIGINT) AS rk,
+            CAST(sum(nn) OVER (ORDER BY rk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+            FROM r WHERE rk <= ${CoverageKs.max}),
+          ks AS (SELECT CAST(unnest([${CoverageKs.mkString(", ")}])
+            AS BIGINT) AS k)
+          SELECT k, max(rk) AS n_ngrams, max(cum) AS covered_occ,
+            tot.total_occ,
+            CAST(max(cum) AS DOUBLE) / CAST(tot.total_occ AS DOUBLE)
+              AS coverage
+          FROM ks JOIN cumt ON cumt.rk <= ks.k CROSS JOIN tot
+          GROUP BY k, tot.total_occ ORDER BY k""",
+    // The q_next_event pair CTE; H = ln N - (sum n ln n)/N folded in
+    // to_type order (the token-entropy discipline), CASE-normalized.
+    "q_transition_entropy" ->
+      """WITH p AS (SELECT event_type AS from_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS to_type
+            FROM events),
+          c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+            FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+          d AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_transitions,
+            CAST(count(*) AS BIGINT) AS n_to_types,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                ORDER BY to_type)), (x, y) -> x + y) AS nlogn
+          FROM c GROUP BY from_type),
+          h AS (SELECT from_type, n_transitions, n_to_types,
+            ln(CAST(n_transitions AS DOUBLE)) -
+              nlogn / CAST(n_transitions AS DOUBLE) AS entropy_nats
+          FROM d)
+          SELECT from_type, n_transitions, n_to_types, entropy_nats,
+            CASE WHEN n_to_types > 1 THEN entropy_nats /
+              ln(CAST(n_to_types AS DOUBLE)) ELSE 0.0 END AS entropy_norm
+          FROM h ORDER BY from_type""",
+    // User-grain count/cents aggregate, the ltv-decile ntile order
+    // (count DESC, user_id), grid windows for the three shares.
+    "q_user_concentration" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_ev,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+              AS cents
+            FROM events GROUP BY user_id),
+          t AS (SELECT *, ntile(10)
+            OVER (ORDER BY n_ev DESC, user_id) AS decile FROM u),
+          g AS (SELECT CAST(decile AS BIGINT) AS decile,
+            count(*) AS n_users, CAST(sum(n_ev) AS BIGINT) AS n_events,
+            CAST(sum(cents) AS BIGINT) AS dec_cents
+          FROM t GROUP BY decile)
+          SELECT decile, n_users, n_events,
+            CAST(n_events AS DOUBLE) / CAST(sum(n_events) OVER ()
+              AS DOUBLE) AS event_share,
+            CAST(sum(n_events) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) / CAST(sum(n_events) OVER () AS DOUBLE)
+              AS cum_event_share,
+            CAST(dec_cents AS DOUBLE) / 100.0 AS event_value,
+            CAST(dec_cents AS DOUBLE) / CAST(sum(dec_cents) OVER ()
+              AS DOUBLE) AS value_share
+          FROM g ORDER BY decile""",
+    // The q_active_users contribute-forward expansion at 30 days plus
+    // the ratio — only days with their own activity publish.
+    "q_stickiness" ->
+      s"""WITH uw AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+          dau AS (SELECT day, count(*) AS dau FROM uw GROUP BY 1),
+          ex AS (SELECT DISTINCT user_id, day + CAST(x AS INTEGER) AS day2
+            FROM uw, range(0, $StickinessDays) t(x)),
+          mau AS (SELECT day2 AS day, count(*) AS mau FROM ex GROUP BY 1)
+          SELECT d.day, d.dau, m.mau,
+            CAST(d.dau AS DOUBLE) / m.mau AS stickiness
+          FROM dau d JOIN mau m USING (day) ORDER BY day""",
     // Same pairing as q_attribution; integer power-of-two day weights
     // and micro-cent credit division, so sums replay exactly
     "q_attribution_u" ->

@@ -524,6 +524,119 @@ object Journey {
       .orderBy(col("segment"))
   }
 
+  /** Transition entropy per event type: the Shannon entropy of the
+    * next-event distribution out of each type — the predictability
+    * number behind [[nextEventMatrix]]'s full matrix (H→0 means the
+    * next step is scripted, H→ln(fanout) means anything can follow;
+    * the normalized column divides by ln(n_to_types) so types with
+    * different fanouts compare). Reads on a session model: a
+    * high-entropy hub type is where flows diverge.
+    *
+    * Determinism: the [[nextEventMatrix]] pair grain is exact bigint
+    * counts; H = ln N − (Σ n·ln n)/N folds the per-type contributions
+    * in to_type order (sorted struct list over a fanout-bounded
+    * array), the [[graft.operators.TextAnalysis.tokenEntropy]]
+    * discipline, so the IEEE sum replays exactly. Shape: one user_id
+    * exchange for the lead window, then everything is types²-sized. */
+  def transitionEntropy(events: DataFrame): DataFrame = {
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_transitions"),
+        count(lit(1)).as("n_to_types"),
+        aggregate(array_sort(collect_list(struct(col("to_type"),
+          (col("n").cast("double") * log(col("n").cast("double")))
+            .as("contrib")))),
+          lit(0.0), (a, x) => a + x.getField("contrib")).as("nlogn"))
+      .select(col("from_type"), col("n_transitions"), col("n_to_types"),
+        (log(col("n_transitions").cast("double")) -
+          col("nlogn") / col("n_transitions").cast("double"))
+          .as("entropy_nats"))
+      .withColumn("entropy_norm",
+        when(col("n_to_types") > 1,
+          col("entropy_nats") / log(col("n_to_types").cast("double")))
+          .otherwise(lit(0.0)))
+      .orderBy(col("from_type"))
+  }
+
+  /** User activity-concentration deciles: users ranked by event count
+    * (ties by user_id), cut into ten equal-population tiles, with each
+    * decile's share of events and of cent-exact event value plus the
+    * cumulative event share — the "do 10% of users generate 60% of
+    * the traffic" table, the EVENT-side twin of the revenue LTV
+    * deciles (concentration of LOAD, not money: capacity planning and
+    * abuse thresholds read this one).
+    *
+    * Shape: one user-grain aggregate (the only corpus-sized
+    * exchange); the ntile window then runs over the user grain —
+    * orders of magnitude below the event grain, the decile/Gini rank
+    * adjudication — and the shares are grid windows over ten rows.
+    * Decile 1 is the heaviest tile (rank order is count DESC). */
+  def userConcentration(events: DataFrame): DataFrame = {
+    val per = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(round(col("value") * 100).cast("bigint")).as("cents"))
+    val w = Window.orderBy(col("n_ev").desc, col("user_id"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"),
+        sum(col("cents")).as("dec_cents"))
+      .select(col("decile"), col("n_users"), col("n_events"),
+        (col("n_events").cast("double") /
+          sum(col("n_events")).over(wAll).cast("double"))
+          .as("event_share"),
+        (sum(col("n_events")).over(wCum).cast("double") /
+          sum(col("n_events")).over(wAll).cast("double"))
+          .as("cum_event_share"),
+        (col("dec_cents").cast("double") / 100.0).as("event_value"),
+        (col("dec_cents").cast("double") /
+          sum(col("dec_cents")).over(wAll).cast("double"))
+          .as("value_share"))
+      .orderBy(col("decile"))
+  }
+
+  /** DAU/MAU stickiness: per day, the distinct daily actives, the
+    * distinct actives of the trailing `windowDays` window and their
+    * ratio — the standard habit gauge (a 0.5 stickiness means the
+    * average monthly user shows up every other day; a falling curve
+    * with flat MAU is engagement decay that neither series shows
+    * alone). The 30-day companion to [[activeUsers]]' DAU/WAU pair,
+    * published as a ratio because that is the number PM dashboards
+    * track.
+    *
+    * Same exact-sliding-distinct design as [[activeUsers]]: the
+    * deduped (user, day) frame contributes forward `windowDays` days
+    * and a second dedup lands the window total — cost windowDays ×
+    * |user-days|, bounded by users × calendar, never raw event
+    * volume; the ratio is one IEEE division of exact bigints. Only
+    * days with their own activity publish (inner join), matching the
+    * exact pair's contract. */
+  def stickiness(events: DataFrame, windowDays: Int = 30): DataFrame = {
+    val uw = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = uw.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val mau = uw
+      .select(col("user_id"), explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau").cast("double") / col("mau")).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   /** User-lifespan distribution: one row with exact quartiles + p95
     * and mean of each user's activity span in days (last − first
     * active day; 0 = one-day users, whose share prints separately) —

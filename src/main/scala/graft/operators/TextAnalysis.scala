@@ -1763,6 +1763,93 @@ object TextAnalysis {
       .orderBy(col("checkpoint"))
   }
 
+  /** Per-source out-of-vocabulary rate against the top-`topN` corpus
+    * vocabulary — the tokenizer-planning number behind
+    * [[vocabulary]]: a source whose occurrence mass falls outside the
+    * head vocabulary will shred into subwords (high fertility) or
+    * UNKs under any bounded tokenizer, and the TYPE-level share next
+    * to the token-level one separates "rare words used often" from
+    * "a long noisy tail". OOV here = not among the top `topN` terms
+    * by corpus occurrence count (ties by term — [[vocabulary]]'s
+    * exact cut, so the two reports agree on what "in vocab" means).
+    *
+    * Shape: one (source, term) hash aggregate (the tfidf exchange),
+    * a TakeOrdered top-N (heap, no global sort), then the membership
+    * rides a broadcast back onto the (source, term) grain — the
+    * corpus never shuffles twice. Shares are single divisions of
+    * exact bigints. */
+  def oovRate(docs: DataFrame, topN: Int): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+    val top = tf.groupBy(col("term")).agg(sum(col("cnt")).as("ct"))
+      .orderBy(col("ct").desc, col("term")).limit(topN)
+      .select(col("term"), lit(1).as("in_vocab"))
+    tf.join(broadcast(top), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        coalesce(sum(when(col("in_vocab").isNull, col("cnt"))), lit(0L))
+          .as("oov_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+          .as("oov_types"))
+      .select(col("source"), col("n_tokens"), col("oov_tokens"),
+        (col("oov_tokens").cast("double") / col("n_tokens"))
+          .as("oov_share"),
+        col("n_types"), col("oov_types"),
+        (col("oov_types").cast("double") / col("n_types"))
+          .as("oov_type_share"))
+      .orderBy(col("source"))
+  }
+
+  /** Head-coverage curve of the bigram distribution: for each k in
+    * `ks`, the share of ALL bigram occurrences covered by the top-k
+    * bigrams (count desc, bigram asc — [[bpePairs]]' exact order).
+    * The "how Zipfian is the phrase head" gauge that sizes phrase
+    * tables, cache tiers and merge budgets: 80% coverage at k=1000
+    * and at k=100 000 are very different corpora, a fact the single
+    * Zipf exponent compresses away.
+    *
+    * Shape: one bigram hash aggregate (the only corpus-sized
+    * exchange), a TakeOrdered top-max(k) heap cut, then the rank and
+    * cumulative windows run over max(k) ROWS — never the full bigram
+    * vocabulary — and each requested k reads one row. The total is a
+    * broadcast 1-row frame. */
+  def ngramCoverage(docs: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), "ks must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxK = ks.max
+    val counts = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(explode(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("nn"))
+      // two consumers (total + top cut): persist, released by caller
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counts.agg(sum(col("nn")).as("total_occ"))
+    val w = Window.orderBy(col("nn").desc, col("pair"))
+    val ranked = counts.orderBy(col("nn").desc, col("pair")).limit(maxK)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("nn")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ks.sorted.map(_.toLong).toDF("k")
+      .crossJoin(ranked.select(col("rk"), col("cum")))
+      .where(col("rk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(max(col("rk")).as("n_ngrams"), max(col("cum")).as("covered_occ"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("n_ngrams"), col("covered_occ"),
+        col("total_occ"),
+        (col("covered_occ").cast("double") / col("total_occ"))
+          .as("coverage"))
+      .orderBy(col("k"))
+  }
+
   /** Per-source length outliers: documents whose character count sits
     * more than three population standard deviations from their OWN
     * source's mean — truncated shards, concatenation accidents and

@@ -314,6 +314,55 @@ class JourneySpec extends SparkSpec {
       r.getDouble(4)) == ((3L, 4.0, 1.0 / 3, 2.0)))
   }
 
+  test("transitionEntropy: hand-checked H, degenerate fanout -> 0") {
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "a"),
+      (1L, "2024-01-01 10:01:00", 2L, "b"),
+      (1L, "2024-01-01 10:02:00", 3L, "a"),
+      (1L, "2024-01-01 10:03:00", 4L, "b"),
+      (2L, "2024-01-01 10:00:00", 5L, "a"),
+      (2L, "2024-01-01 10:01:00", 6L, "c"))
+      .map { case (u, t, id, et) =>
+        (u, java.sql.Timestamp.valueOf(t), id, et) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Journey.transitionEntropy(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // from a: b twice, c once -> H = ln3 - (2 ln2)/3, norm /ln2
+    val h = math.log(3) - 2 * math.log(2) / 3
+    assert(out("a")._1 == 3L && out("a")._2 == 2L)
+    assert(math.abs(out("a")._3 - h) < 1e-12)
+    assert(math.abs(out("a")._4 - h / math.log(2)) < 1e-12)
+    assert(out("b") == ((1L, 1L, 0.0, 0.0))) // single successor
+  }
+
+  test("userConcentration: heaviest users land in decile 1") {
+    // ten users with 10..1 events of value 1.00 each
+    val rows = for (u <- 1 to 10; i <- 1 to (11 - u)) yield
+      (u.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 10:$u%02d:$i%02d"),
+        (u * 100 + i).toLong, "view", 1.0)
+    val e = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Journey.userConcentration(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(1L) == ((1L, 10L, 10.0 / 55, 10.0 / 55, 10.0)))
+    assert(out(10L) == ((1L, 1L, 1.0 / 55, 1.0, 1.0)))
+    assert(out.size == 10)
+  }
+
+  test("stickiness: trailing window counts each user once") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 18:00:00", "view"), // same day, dedupes
+      (1L, "2024-01-02 10:00:00", "view"),
+      (2L, "2024-01-01 10:00:00", "view"))
+    val out = Journey.stickiness(e, windowDays = 2).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("2024-01-01") == ((2L, 2L, 1.0)))
+    assert(out("2024-01-02") == ((1L, 2L, 0.5)))
+  }
+
   test("cohortValue: day-7 boundary excluded, per-user division") {
     def e(u: Long, t: String, v: Double) =
       (u, java.sql.Timestamp.valueOf(t), v)

@@ -811,6 +811,31 @@ class TextSpec extends SparkSpec {
       ("s1", "unscorable") -> ((1L, 1.0 / 3))))
   }
 
+  test("oovRate: top-N cut with term tie-break, token and type shares") {
+    // corpus counts: aa=3, bb=1, cc=1 -> top-2 is {aa, bb} (tie on 1
+    // breaks to the lexically smaller bb)
+    val d = Seq((1L, "s1", "aa aa bb"), (2L, "s2", "aa cc"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.oovRate(d, 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    assert(out("s1") == ((3L, 0L, 0.0, 2L, 0L, 0.0)))
+    assert(out("s2") == ((2L, 1L, 0.5, 2L, 1L, 0.5)))
+  }
+
+  test("ngramCoverage: checkpoint reads the cumulative head mass") {
+    // bigrams of "a b a b c": "a b" x2, "b a", "b c" -> total 4;
+    // top-1 covers 2/4, top-2 covers 3/4 ("b a" beats "b c" on tie)
+    val d = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramCoverage(d, Seq(1, 2)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L) == ((1L, 2L, 4L, 0.5)))
+    assert(out(2L) == ((2L, 3L, 4L, 0.75)))
+  }
+
   test("lengthOutliers: 3-sigma cross-multiplied cut, zero-variance safe") {
     // s1: ten docs of 10 chars + one of 1000 -> dev^2 = 9900^2 =
     // 98 010 000 > 9*(11*1001000 - 1100^2) = 88 209 000: one outlier.
