@@ -699,4 +699,22 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_aov_trend")
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
   }
+
+  test("attribution fl: purchases and the paired frame feed from cache") {
+    val p = plan("q_attribution_fl")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("ngram coverage: total and head cut read the cached pair counts") {
+    val p = plan("q_ngram_coverage")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("assortativity: both degree joins read the held degree frame") {
+    val p = plan("q_assortativity")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    graft.operators.Affinity.clearCache()
+  }
 }
