@@ -1499,10 +1499,10 @@ object SparkEntry {
       TextAnalysis.lengthOutliers(Tables.documents(s, d))),
     // per-source OOV rate vs the top-N corpus vocabulary
     "q_oov_rate" -> ((s, d) =>
-      TextAnalysis.oovRate(Tables.documents(s, d), VocabTopN)),
+      TextAnalysis.oovRate(Tables.documentsFloored(s, d), VocabTopN)),
     // head-coverage curve of the bigram distribution
     "q_ngram_coverage" -> ((s, d) =>
-      TextAnalysis.ngramCoverage(Tables.documents(s, d), CoverageKs)),
+      TextAnalysis.ngramCoverage(Tables.documentsFloored(s, d), CoverageKs)),
     // next-event Shannon entropy per from-type
     "q_transition_entropy" -> ((s, d) =>
       Journey.transitionEntropy(Tables.events(s, d))),
@@ -1512,6 +1512,21 @@ object SparkEntry {
     // DAU/MAU(30) habit ratio per day
     "q_stickiness" -> ((s, d) =>
       Journey.stickiness(Tables.events(s, d), StickinessDays)),
+    // shingle-index df histogram + in-plan derived df cap
+    "q_shingle_stats" -> ((s, d) =>
+      NearDup.shingleStats(Tables.documentsFloored(s, d))),
+    // per-brand unit-price range consistency QA
+    "q_price_dispersion" -> ((s, d) =>
+      Analytics.priceDispersion(Tables.lineitem(s, d), Tables.part(s, d))),
+    // per-brand ever-sold catalog coverage
+    "q_catalog_coverage" -> ((s, d) =>
+      Analytics.catalogCoverage(Tables.lineitem(s, d), Tables.part(s, d))),
+    // one-way-ANOVA weekday seasonality strength per type
+    "q_weekday_anova" -> ((s, d) =>
+      DataChecks.weekdayAnova(Tables.events(s, d))),
+    // max peak-to-trough fall of daily order revenue
+    "q_drawdown" -> ((s, d) =>
+      DataChecks.drawdown(Tables.orders(s, d))),
     "q_dq_rules" -> ((s, d) =>
       DataChecks.ruleCheck(Tables.orders(s, d), orderRules)),
     // key-discovery / denormalization-consistency audit
@@ -6138,6 +6153,107 @@ object SparkEntry {
           SELECT d.day, d.dau, m.mau,
             CAST(d.dau AS DOUBLE) / m.mau AS stickiness
           FROM dau d JOIN mau m USING (day) ORDER BY day""",
+    // The jaccard index's df histogram on magnitude buckets, plus the
+    // dfCapCtes cap rule recomputed in-query — the derivation itself
+    // is hash-gated.
+    "q_shingle_stats" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),
+          e0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
+          dfs AS (SELECT s, CAST(count(*) AS BIGINT) AS df
+            FROM e0 GROUP BY s),
+          hist AS (SELECT df, count(*) AS cnt FROM dfs GROUP BY df),
+          pv AS (SELECT df, sum(cnt * (df * (df - 1) // 2))
+              OVER (ORDER BY df) AS pv FROM hist),
+          cap AS (SELECT CAST(greatest(${NearDup.DfCapFloor}, coalesce(
+              max(df) FILTER (WHERE pv <= ${NearDup.DfPairBudget}),
+              ${NearDup.DfCapFloor})) AS BIGINT) AS df_cap FROM pv)
+          SELECT CAST(length(CAST(df AS VARCHAR)) AS BIGINT) AS df_digits,
+            count(*) AS n_shingles, min(df) AS min_df, max(df) AS max_df,
+            CAST(sum(df) AS BIGINT) AS sum_postings,
+            CAST(sum(df * (df - 1) // 2) AS BIGINT) AS pair_volume,
+            cap.df_cap
+          FROM dfs CROSS JOIN cap GROUP BY df_digits, cap.df_cap
+          ORDER BY df_digits""",
+    // Integer-cent unit price via integer division, part-grain range,
+    // (max-min)*10 > min cross-multiplied dispersion cut.
+    "q_price_dispersion" ->
+      """WITH u AS (SELECT l_partkey,
+            CAST(round(l_extendedprice * 100) AS BIGINT) //
+              CAST(l_quantity AS BIGINT) AS unit_c
+          FROM lineitem),
+          p AS (SELECT l_partkey, min(unit_c) AS min_c,
+            max(unit_c) AS max_c FROM u GROUP BY l_partkey),
+          j AS (SELECT p_brand, min_c, max_c
+            FROM p JOIN part ON l_partkey = p_partkey)
+          SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+            CAST(count(*) FILTER (WHERE (max_c - min_c) * 10 > min_c)
+              AS BIGINT) AS n_dispersed,
+            CAST(count(*) FILTER (WHERE (max_c - min_c) * 10 > min_c)
+              AS DOUBLE) / count(*) AS dispersed_share,
+            CAST(sum(max_c - min_c) AS DOUBLE) / count(*) / 100.0
+              AS mean_range
+          FROM j GROUP BY p_brand ORDER BY p_brand""",
+    // Part-grain revenue LEFT-joined from the catalog side so
+    // never-ordered parts survive; brand-grid ratios.
+    "q_catalog_coverage" ->
+      """WITH s AS (SELECT l_partkey,
+            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+              AS BIGINT)) AS BIGINT) AS rev_c
+          FROM lineitem GROUP BY l_partkey)
+          SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+            CAST(count(rev_c) AS BIGINT) AS n_sellers,
+            CAST(count(rev_c) AS DOUBLE) / count(*) AS coverage,
+            CAST(coalesce(sum(rev_c), 0) AS DOUBLE) / 100.0 AS revenue,
+            CAST(coalesce(sum(rev_c), 0) AS DOUBLE) /
+              nullif(CAST(count(rev_c) AS DOUBLE), 0.0) / 100.0
+              AS revenue_per_seller
+          FROM part LEFT JOIN s ON p_partkey = l_partkey
+          GROUP BY p_brand ORDER BY p_brand""",
+    // Daily grid, isodow groups, eta^2 off exact integer moments with
+    // the between-group fold in weekday order (list_reduce).
+    "q_weekday_anova" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(count(*) AS BIGINT) AS nd FROM events GROUP BY 1, 2),
+          wd AS (SELECT event_type, CAST(isodow(day) AS INTEGER) AS dow,
+            CAST(sum(nd) AS BIGINT) AS tg, CAST(count(*) AS BIGINT) AS kg
+          FROM daily GROUP BY 1, 2),
+          g AS (SELECT event_type,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(CAST(tg AS DOUBLE) * CAST(tg AS DOUBLE) /
+                CAST(kg AS DOUBLE) ORDER BY dow)),
+              (x, y) -> x + y) AS ssb_raw
+          FROM wd GROUP BY event_type),
+          m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+            CAST(sum(nd) AS BIGINT) AS tt,
+            sum(CAST(nd AS HUGEINT) * nd) AS s2
+          FROM daily GROUP BY event_type)
+          SELECT g.event_type, m.n_days,
+            (g.ssb_raw - CAST(m.tt AS DOUBLE) * CAST(m.tt AS DOUBLE) /
+              CAST(m.n_days AS DOUBLE)) /
+            nullif(CAST(m.s2 AS DOUBLE) -
+              CAST(m.tt AS DOUBLE) * CAST(m.tt AS DOUBLE) /
+              CAST(m.n_days AS DOUBLE), 0.0) AS eta_sq
+          FROM g JOIN m USING (event_type) ORDER BY event_type""",
+    // Daily cents, running-max window, deterministic (dd DESC, day)
+    // argmax — the engine's struct-max tie rule.
+    "q_drawdown" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_c
+          FROM orders GROUP BY 1),
+          r AS (SELECT day, rev_c, max(rev_c) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS peak_c FROM daily),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM r),
+          b AS (SELECT day, rev_c, peak_c, peak_c - rev_c AS dd
+            FROM r ORDER BY dd DESC, day ASC LIMIT 1)
+          SELECT b.day AS dd_day, CAST(b.dd AS DOUBLE) / 100.0
+              AS max_drawdown,
+            CAST(b.peak_c AS DOUBLE) / 100.0 AS peak_revenue,
+            CAST(b.rev_c AS DOUBLE) / 100.0 AS trough_revenue,
+            n.n_days
+          FROM b CROSS JOIN n""",
     // Same pairing as q_attribution; integer power-of-two day weights
     // and micro-cent credit division, so sums replay exactly
     "q_attribution_u" ->

@@ -835,6 +835,76 @@ object Analytics {
       .orderBy(col("segment"), col("decile"))
   }
 
+  /** Per-brand price dispersion: for each part, the exact integer-cent
+    * realized unit price per line (`cents div qty` — integer division,
+    * no float anywhere), then per brand the share of parts whose
+    * unit-price RANGE exceeds 10% of their own floor
+    * (`(max−min)·10 > min`, integer cross-multiplication) — the
+    * price-consistency QA next to [[priceRealization]]'s levels: a
+    * brand can realize the right average while selling the same part
+    * at wildly different effective prices, which is exactly the
+    * leakage a pricing audit hunts.
+    *
+    * Shape: one part-grain min/max aggregate off the line stream (the
+    * only corpus-sized exchange), the brand dim rides a broadcast,
+    * and the rollup is a brands-sized grid; the mean range is one
+    * double division of exact bigints. */
+  def priceDispersion(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val unit = lineitem
+      .select(col("l_partkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT)")
+          .as("unit_c"))
+      .groupBy(col("l_partkey"))
+      .agg(min(col("unit_c")).as("min_c"), max(col("unit_c")).as("max_c"))
+    unit
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when((col("max_c") - col("min_c")) * 10 > col("min_c"), 1L)
+          .otherwise(0L)).as("n_dispersed"),
+        sum(col("max_c") - col("min_c")).as("range_sum_c"))
+      .select(col("p_brand"), col("n_parts"), col("n_dispersed"),
+        (col("n_dispersed").cast("double") / col("n_parts"))
+          .as("dispersed_share"),
+        (col("range_sum_c").cast("double") / col("n_parts") / 100.0)
+          .as("mean_range"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Per-brand catalog coverage: how much of each brand's part catalog
+    * has EVER sold (the brand rollup of [[deadStock]]'s raw list), with
+    * cent-exact revenue per selling part — the assortment-efficiency
+    * table: low coverage with high revenue-per-seller is a catalog
+    * carrying dead weight, the first read before a range cut.
+    *
+    * Shape: one part-grain revenue aggregate off the line stream, a
+    * part-grain LEFT join from the catalog side (never-ordered parts
+    * must survive with NULL sales), then a brands-sized rollup; all
+    * ratios are single double divisions of exact bigints. */
+  def catalogCoverage(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val sold = lineitem
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("bigint").as("cents"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("rev_c"))
+    part.select(col("p_partkey"), col("p_brand"))
+      .join(sold, col("p_partkey") === col("l_partkey"), "left")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        count(col("rev_c")).as("n_sellers"),
+        coalesce(sum(col("rev_c")), lit(0L)).as("brand_c"))
+      .select(col("p_brand"), col("n_parts"), col("n_sellers"),
+        (col("n_sellers").cast("double") / col("n_parts"))
+          .as("coverage"),
+        (col("brand_c").cast("double") / 100.0).as("revenue"),
+        (col("brand_c").cast("double") /
+          nullif(col("n_sellers").cast("double"), lit(0.0)) / 100.0)
+          .as("revenue_per_seller"))
+      .orderBy(col("p_brand"))
+  }
+
   /** ABC inventory classification: parts ranked by cent-exact
     * discounted revenue, cut at the classic cumulative-share
     * thresholds — class A carries the first 80% of revenue, B the

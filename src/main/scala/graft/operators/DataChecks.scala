@@ -1393,4 +1393,85 @@ object DataChecks {
         p.as("error_share"), lb.as("wilson_lb"))
       .orderBy(col("hod"))
   }
+
+  /** Weekday-seasonality STRENGTH per event type: the one-way-ANOVA
+    * η² of daily volumes grouped by ISO weekday — the share of
+    * day-to-day variance the weekly cycle explains. The effect-SIZE
+    * companion to the seasonality indices (which say WHICH days are
+    * high) and the χ² independence audit (which only says "not
+    * independent"): η²≈0 means deseasonalizing is pointless, η²≈1
+    * means any anomaly baseline MUST be weekday-conditional.
+    *
+    * Determinism: η² = (Σ_g T_g²/k_g − T²/N) / (Σn² − T²/N) off exact
+    * integer aggregates; the between-group sum folds over ≤7 weekday
+    * rows in weekday order (the ordered-fold discipline), the two
+    * correction terms are fixed-shape double expressions, and Σn²
+    * accumulates as decimal(38,0) (daily counts square past int64 at
+    * real scale). Shape: the raw volume collapses in the first daily
+    * aggregate (persisted — the weekday rollup and the moment
+    * aggregate both read it); everything after is (types × days)
+    * grid-sized. */
+  def weekdayAnova(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("nd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wd = daily
+      .groupBy(col("event_type"), (weekday(col("day")) + 1).as("dow"))
+      .agg(sum(col("nd")).as("tg"), count(lit(1)).as("kg"))
+      .groupBy(col("event_type"))
+      .agg(aggregate(array_sort(collect_list(struct(col("dow"),
+        (col("tg").cast("double") * col("tg").cast("double") /
+          col("kg").cast("double")).as("contrib")))),
+        lit(0.0), (a, x) => a + x.getField("contrib")).as("ssb_raw"))
+    val m = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("nd")).as("tt"),
+        sum(col("nd").cast("decimal(38,0)") * col("nd")).as("s2"))
+    val corr = col("tt").cast("double") * col("tt").cast("double") /
+      col("n_days").cast("double")
+    wd.join(m, "event_type")
+      .select(col("event_type"), col("n_days"),
+        ((col("ssb_raw") - corr) /
+          nullif(col("s2").cast("double") - corr, lit(0.0)))
+          .as("eta_sq"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Maximum drawdown of the daily order-revenue series: the largest
+    * peak-to-trough fall of cent-exact daily revenue under a running
+    * peak — the worst-case "how far below the best day did we sink"
+    * number behind the trend and changepoint rows (a trend can be
+    * flat while the drawdown says a crash happened and recovered).
+    * One row: the drawdown, the day it bottomed (earliest on ties),
+    * the running peak it fell from, that day's revenue, and the
+    * series length.
+    *
+    * Shape: the order stream collapses in one daily cents aggregate;
+    * the running-max window and the argmax run over the DAYS grid
+    * (thousands of rows at any scale). The argmax is one
+    * order-independent max over (dd, −epoch_day, …) structs — the
+    * hourlyProfile tie discipline, no window-sort on doubles. */
+  def drawdown(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .select(to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("rev_c"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("peak_c", max(col("rev_c")).over(w))
+      .withColumn("nd", -datediff(col("day"), to_date(lit("1970-01-01")))
+        .cast("long"))
+      .agg(count(lit(1)).as("n_days"),
+        max(struct((col("peak_c") - col("rev_c")).as("dd"), col("nd"),
+          col("rev_c"), col("peak_c"))).as("m"))
+      .select(
+        date_add(to_date(lit("1970-01-01")), (-col("m.nd")).cast("int"))
+          .as("dd_day"),
+        (col("m.dd").cast("double") / 100.0).as("max_drawdown"),
+        (col("m.peak_c").cast("double") / 100.0).as("peak_revenue"),
+        (col("m.rev_c").cast("double") / 100.0).as("trough_revenue"),
+        col("n_days"))
+  }
 }

@@ -473,4 +473,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("B") == ((1L, 15.0, 0.15, 1.0 / 3)))
     assert(out("C") == ((1L, 5.0, 0.05, 1.0 / 3)))
   }
+
+  test("priceDispersion: integer unit cents, 10% range cut") {
+    // part 1: units 100 and 120 cents -> range 20, 200 > 100 dispersed;
+    // part 2: units 100 and 105 -> 50 > 100 fails, consistent
+    val li = Seq(
+      (1L, 1.00, 1.0), (1L, 2.40, 2.0),
+      (2L, 1.00, 1.0), (2L, 2.10, 2.0))
+      .toDF("l_partkey", "l_extendedprice", "l_quantity")
+    val part = Seq((1L, "X"), (2L, "X")).toDF("p_partkey", "p_brand")
+    val r = Analytics.priceDispersion(li, part).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+      r.getDouble(4)) == (("X", 2L, 1L, 0.5, 0.125)))
+  }
+
+  test("catalogCoverage: never-sold parts survive the left join") {
+    val li = Seq((1L, 10.0, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val part = Seq((1L, "X"), (2L, "X"), (3L, "Y"))
+      .toDF("p_partkey", "p_brand")
+    val out = Analytics.catalogCoverage(li, part).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) -1.0 else r.getDouble(5)))).toMap
+    assert(out("X") == ((2L, 1L, 0.5, 10.0, 10.0)))
+    assert(out("Y") == ((1L, 0L, 0.0, 0.0, -1.0)))
+  }
 }

@@ -721,4 +721,36 @@ class DataChecksSpec extends SparkSpec {
     assert((out(9)._1, out(9)._2, out(9)._3) == ((2L, 0L, 0.0)))
     assert(math.abs(out(9)._4) < 1e-12, "p=0 bound collapses to ~0")
   }
+
+  test("weekdayAnova: perfect separation is 1, anti-balanced is 0") {
+    import spark.implicits._
+    def day(d: String, t: String, n: Int) = (1 to n).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"$d 10:00:${i % 60}%02d"), t))
+    // type a: Mondays always 10, Tuesdays always 20 -> eta^2 = 1;
+    // type b: each weekday sees both 10 and 20 -> between-SS = 0
+    val rows =
+      day("2024-01-01", "a", 10) ++ day("2024-01-08", "a", 10) ++
+      day("2024-01-02", "a", 20) ++ day("2024-01-09", "a", 20) ++
+      day("2024-01-01", "b", 10) ++ day("2024-01-08", "b", 20) ++
+      day("2024-01-02", "b", 20) ++ day("2024-01-09", "b", 10)
+    val e = rows.map { case (id, ts, t) => (id, ts, t) }
+      .toDF("event_id", "ts", "event_type")
+    val out = DataChecks.weekdayAnova(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("a")._1 == 4L && math.abs(out("a")._2 - 1.0) < 1e-12)
+    assert(out("b")._1 == 4L && math.abs(out("b")._2) < 1e-12)
+  }
+
+  test("drawdown: deepest fall under the running peak, earliest tie") {
+    import spark.implicits._
+    val o = Seq(
+      ("2024-01-01", 100.0), ("2024-01-02", 150.0),
+      ("2024-01-03", 90.0), ("2024-01-04", 120.0))
+      .map { case (d, v) => (java.sql.Date.valueOf(d), v) }
+      .toDF("o_orderdate", "o_totalprice")
+    val r = DataChecks.drawdown(o).collect().head
+    assert(r.getDate(0).toString == "2024-01-03")
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      == ((60.0, 150.0, 90.0, 4L)))
+  }
 }

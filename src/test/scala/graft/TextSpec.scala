@@ -836,6 +836,20 @@ class TextSpec extends SparkSpec {
     assert(out(2L) == ((2L, 3L, 4L, 0.75)))
   }
 
+  test("shingleStats: df histogram with the in-plan derived cap") {
+    // shingles: "a b c" in docs 1+2 (df 2), "b c d"/"b c e"/"x y z"
+    // df 1 -> one digit bucket: 4 shingles, postings 5, pair volume 1;
+    // cumulative volume 1 <= budget so the cap floors at DfCapFloor
+    val d = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val r = NearDup.shingleStats(d).collect()
+    assert(r.length == 1)
+    assert((r.head.getLong(0), r.head.getLong(1), r.head.getLong(2),
+      r.head.getLong(3), r.head.getLong(4), r.head.getLong(5),
+      r.head.getLong(6)) ==
+      ((1L, 4L, 1L, 2L, 5L, 1L, NearDup.DfCapFloor.toLong)))
+  }
+
   test("lengthOutliers: 3-sigma cross-multiplied cut, zero-variance safe") {
     // s1: ten docs of 10 chars + one of 1000 -> dev^2 = 9900^2 =
     // 98 010 000 > 9*(11*1001000 - 1100^2) = 88 209 000: one outlier.
