@@ -73,6 +73,8 @@ object SparkEntry {
   private val VocabTopN = 1000
   /** q_ngram_coverage head-coverage checkpoints. */
   private val CoverageKs = Seq(100, 1000, 10000)
+  /** q_ann_recall_curve recall@k checkpoints. */
+  private val AnnCurveKs = Seq(1, 3, 5)
   /** q_stickiness trailing window (the MAU in DAU/MAU). */
   private val StickinessDays = 30
 
@@ -1527,6 +1529,18 @@ object SparkEntry {
     // max peak-to-trough fall of daily order revenue
     "q_drawdown" -> ((s, d) =>
       DataChecks.drawdown(Tables.orders(s, d))),
+    // recall@k curve of IVF serving vs exact brute force
+    "q_ann_recall_curve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorSearch.annRecallCurve(emb, annSeeds(emb, d),
+        col("vec_id") < 10, AnnCurveKs)
+    }),
+    // per-dimension embedding moments/zero-share QA
+    "q_dim_stats" -> ((s, d) =>
+      VectorSearch.dimensionStats(Tables.embeddings(s, d))),
+    // per-source doc-length quartiles + p95 on the integer grid
+    "q_length_bands" -> ((s, d) =>
+      TextAnalysis.lengthBands(Tables.documents(s, d))),
     "q_dq_rules" -> ((s, d) =>
       DataChecks.ruleCheck(Tables.orders(s, d), orderRules)),
     // key-discovery / denormalization-consistency audit
@@ -6254,6 +6268,95 @@ object SparkEntry {
             CAST(b.rev_c AS DOUBLE) / 100.0 AS trough_revenue,
             n.n_days
           FROM b CROSS JOIN n""",
+    // The q_ann_recall chain with BOTH rank lists kept to max(k);
+    // the ks grid reads pooled counts at each checkpoint.
+    "q_ann_recall_curve" -> {
+      val maxK = AnnCurveKs.max
+      s"""WITH e AS ($NormedEmbSql),
+          ctr AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e
+            WHERE vec_id % $CentroidStrideSql = 0),
+          asg AS (SELECT e.vec_id, e.embedding, e.nrm, ctr.centroid_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,
+                       ctr.centroid_id) AS rk
+            FROM e CROSS JOIN ctr WHERE e.nrm <> 0 AND ctr.nrm <> 0),
+          a2 AS (SELECT vec_id, embedding, nrm, centroid_id FROM asg
+            WHERE rk = 1),
+          q AS (SELECT vec_id AS query_id, embedding, nrm, centroid_id
+            FROM a2 WHERE vec_id < 10),
+          s AS (SELECT query_id, a2.vec_id AS neighbor_id,
+            ${dotSql("q", "a2")} / (q.nrm * a2.nrm) AS c
+            FROM q JOIN a2 USING (centroid_id) WHERE query_id <> a2.vec_id),
+          r AS (SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY c DESC, neighbor_id) AS rk FROM s),
+          ap AS (SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS ark
+            FROM r WHERE rk <= $maxK),
+          bq AS (SELECT * FROM e WHERE vec_id < 10),
+          bs AS (SELECT bq.vec_id AS query_id, e.vec_id AS neighbor_id,
+            ${dotSql("bq", "e")} / (bq.nrm * e.nrm) AS c
+            FROM bq JOIN e ON bq.vec_id <> e.vec_id),
+          br AS (SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY c DESC, neighbor_id) AS rk FROM bs),
+          ex AS (SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS erk
+            FROM br WHERE rk <= $maxK),
+          fo AS (SELECT erk, ark FROM ex FULL OUTER JOIN ap
+            ON ex.query_id = ap.query_id
+              AND ex.neighbor_id = ap.neighbor_id),
+          ks AS (SELECT CAST(unnest([${AnnCurveKs.mkString(", ")}])
+            AS BIGINT) AS k),
+          g AS (SELECT k,
+            CAST(count(*) FILTER (WHERE erk <= k) AS BIGINT) AS n_exact,
+            CAST(count(*) FILTER (WHERE ark <= k) AS BIGINT) AS n_approx,
+            CAST(count(*) FILTER (WHERE erk <= k AND ark <= k)
+              AS BIGINT) AS n_both
+          FROM ks CROSS JOIN fo GROUP BY k)
+          SELECT k, n_exact, n_approx, n_both,
+            CAST(n_both AS DOUBLE) /
+              nullif(CAST(n_exact AS DOUBLE), 0.0) AS recall,
+            CAST(n_both AS DOUBLE) /
+              nullif(CAST(n_approx AS DOUBLE), 0.0) AS precision
+          FROM g ORDER BY k"""
+    },
+    // 1-based lateral range over the vector; micro-quantized exact
+    // moments, HUGEINT sum of squares, fixed-shape mean/std.
+    "q_dim_stats" ->
+      """WITH e AS (SELECT embedding FROM embeddings
+            WHERE embedding IS NOT NULL),
+          x AS (SELECT CAST(u.i AS BIGINT) AS dim,
+            CAST(embedding[u.i] AS DOUBLE) AS vd
+          FROM e CROSS JOIN (SELECT unnest(generate_series(1,
+            (SELECT max(len(embedding)) FROM e))) AS i) u
+          WHERE u.i <= len(embedding)),
+          qv AS (SELECT dim, vd,
+            CAST(round(vd * 1000000) AS BIGINT) AS q FROM x),
+          m AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_vals,
+            CAST(sum(q) AS BIGINT) AS s1,
+            sum(CAST(q AS HUGEINT) * q) AS s2,
+            min(q) AS min_q, max(q) AS max_q,
+            CAST(count(*) FILTER (WHERE vd = 0.0) AS BIGINT) AS n_zero
+          FROM qv GROUP BY dim)
+          SELECT dim, n_vals,
+            CAST(s1 AS DOUBLE) / n_vals / 1000000.0 AS mean_val,
+            sqrt(CAST(n_vals * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE))
+              / n_vals / 1000000.0 AS std_val,
+            CAST(min_q AS DOUBLE) / 1000000.0 AS min_val,
+            CAST(max_q AS DOUBLE) / 1000000.0 AS max_val,
+            CAST(n_zero AS DOUBLE) / n_vals AS zero_share
+          FROM m ORDER BY dim""",
+    // (source, n_chars) grid percentiles WITH FREQUENCIES — the
+    // q_user_lifespan quantile contract, per source.
+    "q_length_bands" ->
+      """WITH q AS (SELECT source, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95]) AS ps
+          FROM documents GROUP BY source)
+          SELECT source, n_docs,
+            CAST(sum_chars AS DOUBLE) / n_docs AS mean_chars,
+            ps[1] AS p25_chars, ps[2] AS p50_chars,
+            ps[3] AS p75_chars, ps[4] AS p95_chars
+          FROM q ORDER BY source""",
     // Same pairing as q_attribution; integer power-of-two day weights
     // and micro-cent credit division, so sums replay exactly
     "q_attribution_u" ->

@@ -411,6 +411,26 @@ object Temporal {
       .orderBy(col("channel"))
   }
 
+  /** Batch finisher for the streaming first/last credit rows
+    * (EventStream.flCredits): k=1 rows are first-leg credits, k=2
+    * last-leg, k=3 `(none)` purchases counting in both — regrouping
+    * them reproduces [[attributionFirstLast]]'s report exactly
+    * (EquivalenceSpec-gated), so a live dashboard reads the stream's
+    * credit table through this and matches the nightly batch. */
+  def attributionFlFromCredits(credits: DataFrame): DataFrame =
+    credits
+      .groupBy(col("channel"))
+      .agg(
+        sum(when(col("k") === 1 || col("k") === 3, 1L).otherwise(0L))
+          .as("n_first"),
+        (sum(when(col("k") === 1 || col("k") === 3, col("credit_micro"))
+          .otherwise(0L)).cast("double") / 100000000.0).as("first_value"),
+        sum(when(col("k") === 2 || col("k") === 3, 1L).otherwise(0L))
+          .as("n_last"),
+        (sum(when(col("k") === 2 || col("k") === 3, col("credit_micro"))
+          .otherwise(0L)).cast("double") / 100000000.0).as("last_value"))
+      .orderBy(col("channel"))
+
   /** Top session paths: the most common ordered event-type sequences a
     * session opens with (first `maxLen` events, joined with `>`), with
     * session counts and share of all sessions — the flow summary that

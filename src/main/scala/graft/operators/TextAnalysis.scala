@@ -1850,6 +1850,35 @@ object TextAnalysis {
       .orderBy(col("k"))
   }
 
+  /** Per-source document-length bands: exact quartiles + p95 and the
+    * bigint-exact mean of character counts per source — the
+    * distribution the [[lengthOutliers]] 3σ flags are read against
+    * (a fat p95/p50 gap is a long-tail source where σ-based flags
+    * under-fire; percentiles say it directly) and the input a
+    * chunking or packing plan sizes its windows from.
+    *
+    * Shape: the corpus collapses onto the (source, n_chars) integer
+    * grid first, then the exact percentiles run WITH FREQUENCIES
+    * there (the event-gaps grid contract — interpolations on integer
+    * grids are exact doubles in both engines); the mean is one
+    * division of exact bigints. */
+  def lengthBands(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("n_chars"))
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        sum(col("n_chars") * col("cnt")).as("sum_chars"),
+        expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D), cnt)")
+          .as("ps"))
+      .select(col("source"), col("n_docs"),
+        (col("sum_chars").cast("double") / col("n_docs")).as("mean_chars"),
+        element_at(col("ps"), 1).as("p25_chars"),
+        element_at(col("ps"), 2).as("p50_chars"),
+        element_at(col("ps"), 3).as("p75_chars"),
+        element_at(col("ps"), 4).as("p95_chars"))
+      .orderBy(col("source"))
+
   /** Per-source length outliers: documents whose character count sits
     * more than three population standard deviations from their OWN
     * source's mean — truncated shards, concatenation accidents and

@@ -536,6 +536,87 @@ object VectorSearch extends Logging {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ANN recall@k CURVE: pooled recall and precision of the IVF
+    * top-max(k) lists against the exact brute-force lists at each
+    * checkpoint k — the serving-tuning table behind [[annRecall]]'s
+    * single-k per-query rows (pick k where the curve flattens; a
+    * curve that sags only at small k means cell-boundary loss near
+    * the top, which multi-probe fixes, while a uniform sag means the
+    * centroids need retraining). Both rank lists share the exact
+    * tie-break (cos desc, vec_id asc), so every count is an exact
+    * integer and the two ratios are single IEEE divisions.
+    *
+    * Shape: the two top-max(k) legs run once ([[bruteForceTopK]]'s
+    * brute leg is linear — fixed queries × corpus, broadcast
+    * queries); the full-outer pair join and the per-k conditional
+    * counts run over (queries × max k) rows — grid-sized at any
+    * corpus scale. */
+  def annRecallCurve(embeddings: DataFrame, centroids: DataFrame,
+                     queryFilter: Column, ks: Seq[Int],
+                     nprobe: Int = 1): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), "ks must be positive")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val maxK = ks.max
+    val exact = bruteForceTopK(embeddings, embeddings.where(queryFilter),
+      maxK).select(col("query_id"), col("neighbor_id"),
+      col("rank").as("erk"))
+    val approx = ivfTopK(embeddings, centroids, queryFilter, maxK, nprobe)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("ark"))
+    val joined = exact
+      .join(approx, Seq("query_id", "neighbor_id"), "full_outer")
+    ks.sorted.map(_.toLong).toDF("k").crossJoin(joined)
+      .groupBy(col("k"))
+      .agg(
+        sum(when(col("erk") <= col("k"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("ark") <= col("k"), 1L).otherwise(0L)).as("n_approx"),
+        sum(when(col("erk") <= col("k") && col("ark") <= col("k"), 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(col("k"), col("n_exact"), col("n_approx"), col("n_both"),
+        (col("n_both").cast("double") /
+          nullif(col("n_exact").cast("double"), lit(0.0))).as("recall"),
+        (col("n_both").cast("double") /
+          nullif(col("n_approx").cast("double"), lit(0.0)))
+          .as("precision"))
+      .orderBy(col("k"))
+  }
+
+  /** Per-dimension embedding statistics: mean, population std,
+    * min/max and exact-zero share of every coordinate — the
+    * dimension-grain refinement of [[vectorHealth]]'s corpus row:
+    * a dead dimension (std≈0), a scale-runaway one (max ≫ others)
+    * or a sparsity spike (zero share) all poison cosine geometry
+    * and are invisible in whole-vector norms.
+    *
+    * Determinism: coordinates quantize to integer micro-units
+    * (round(v·10⁶) — float32 inputs carry ~7 significant digits, so
+    * micro-quantization is far below input noise) and the moments
+    * accumulate exactly, Σq² as decimal(38,0); mean and std are then
+    * fixed-shape expressions over exact integers, and the zero test
+    * is an exact float compare both engines share. Shape: one
+    * posexplode into a (dim)-keyed aggregate — dims-sized output. */
+  def dimensionStats(embeddings: DataFrame): DataFrame =
+    embeddings.where(col("embedding").isNotNull)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        col("v").cast("double").as("vd"))
+      .withColumn("q", round(col("vd") * 1000000).cast("bigint"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vals"), sum(col("q")).as("s1"),
+        sum(col("q").cast("decimal(38,0)") * col("q")).as("s2"),
+        min(col("q")).as("min_q"), max(col("q")).as("max_q"),
+        sum(when(col("vd") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("dim"), col("n_vals"),
+        (col("s1").cast("double") / col("n_vals") / 1000000.0)
+          .as("mean_val"),
+        (sqrt((col("n_vals").cast("decimal(38,0)") * col("s2") -
+          col("s1").cast("decimal(38,0)") * col("s1")).cast("double")) /
+          col("n_vals").cast("double") / 1000000.0).as("std_val"),
+        (col("min_q").cast("double") / 1000000.0).as("min_val"),
+        (col("max_q").cast("double") / 1000000.0).as("max_val"),
+        (col("n_zero").cast("double") / col("n_vals")).as("zero_share"))
+      .orderBy(col("dim"))
+
   /** Deterministic ±1 (Rademacher) hyperplanes for [[srpNearDup]],
     * seeded so the Spark pipeline and the DuckDB oracle embed the SAME
     * constants — and exactly representable, so the per-plane

@@ -999,6 +999,24 @@ object EventStream {
       }
     }
 
+  /** Streaming first/last-touch attribution — the streaming twin of
+    * Temporal.attributionFirstLast: per finalized purchase, the
+    * window's opening touch and its closing touch each receive the
+    * FULL purchase value (micro-cents, no division), tagged through
+    * the `k` column — k=1 first leg, k=2 last leg, k=3 a `(none)`
+    * purchase counting in both accountings. The walk's (ts_us,
+    * touch_id) sort IS the batch struct-min/max tie order, so the
+    * picked touches match by construction;
+    * Temporal.attributionFlFromCredits turns the credit rows back
+    * into the batch report (EquivalenceSpec-gated). */
+  def flCredits(events: Dataset[TouchEvent],
+                windowDays: Int): Dataset[AttributionCredit] =
+    attributionWalk(events, windowDays) { (p, ts) =>
+      if (ts.isEmpty) Seq(("(none)", 3L, p.cents * 1000000L))
+      else Seq((ts.head.channel, 1L, p.cents * 1000000L),
+        (ts.last.channel, 2L, p.cents * 1000000L))
+    }
+
   /** Streaming time-decay attribution — the streaming twin of
     * Temporal.attributionDecay: per finalized purchase, each
     * strictly-in-window touch weighs 2^(windowDays−1−age) (age =

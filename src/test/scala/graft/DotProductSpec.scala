@@ -190,4 +190,35 @@ class DotProductSpec extends SparkSpec {
     // one-vector label: its distance to its own centroid is exactly 0
     assert(out((8, 1)) == ((7L, 1L, 0.0)))
   }
+
+  test("dimStats: micro-quantized moments, dead dim reads zero") {
+    import spark.implicits._
+    val df2 = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.0f)),
+      (3L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val out = VectorSearch.dimensionStats(df2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(out(1L) == ((2L, 0.75, 0.25, 0.5, 1.0, 0.0)))
+    assert(out(2L) == ((2L, 0.0, 0.0, 0.0, 0.0, 1.0)), "dead dimension")
+  }
+
+  test("annRecallCurve: boundary loss shows at k=2, not k=1") {
+    import spark.implicits._
+    // v3's true cell is c2, so nprobe=1 from c1 misses it: exact top-2
+    // for the query is [2, 3], the probed cell only holds [2]
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(0.9f, 0.2f)),
+      (3L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val ctr = Seq((100L, Array(1.0f, 0.0f)), (200L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = VectorSearch.annRecallCurve(emb, ctr,
+      col("vec_id") === 1, Seq(1, 2)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(1L) == ((1L, 1L, 1L, 1.0, 1.0)))
+    assert(out(2L) == ((2L, 1L, 1L, 0.5, 1.0)))
+  }
 }

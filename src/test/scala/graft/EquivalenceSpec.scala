@@ -94,6 +94,28 @@ class EquivalenceSpec extends SparkSpec {
     assert(batchD.nonEmpty && batchD.keySet != Set("(none)"))
     assert(streamedD == batchD,
       s"decay: streamed $streamedD vs batch $batchD")
+
+    // first/last twin: its finisher reshapes the k-tagged credit rows
+    // back into the four-column batch report
+    val memFl = MemoryStream[TouchEvent]
+    memFl.addData(ev: _*)
+    val qFl = EventStream.flCredits(memFl.toDS(), windowDays)
+      .writeStream.format("memory").queryName("eq_attr_fl")
+      .outputMode("append").start()
+    memFl.addData(TouchEvent(0L,
+      new Timestamp(maxTs + 10 * 86400000L), -1L, "sentinel", 0.0))
+    qFl.processAllAvailable()
+    qFl.stop()
+    def flKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    val streamedFl = flKey(graft.operators.Temporal
+      .attributionFlFromCredits(spark.table("eq_attr_fl")))
+    val batchFl = flKey(graft.operators.Temporal
+      .attributionFirstLast(evDf, windowDays))
+    assert(batchFl.nonEmpty && batchFl.keySet != Set("(none)"))
+    assert(streamedFl == batchFl,
+      s"first/last: streamed $streamedFl vs batch $batchFl")
   }
 
   test("streaming daily type counts + finisher equal batch freshness") {

@@ -836,6 +836,18 @@ class TextSpec extends SparkSpec {
     assert(out(2L) == ((2L, 3L, 4L, 0.75)))
   }
 
+  test("lengthBands: exact grid interpolation per source") {
+    val d = Seq((1L, "s1", 10L), (2L, "s1", 10L), (3L, "s1", 20L),
+      (4L, "s1", 30L)).toDF("doc_id", "source", "n_chars")
+    val r = TextAnalysis.lengthBands(d).collect().head
+    // p95 rank 0.95·3 = 2.849999… (0.95 is not dyadic); the expected
+    // value mirrors the engines' shared interpolation arithmetic
+    val p95 = 20.0 + (0.95 * 3 - 2.0) * 10.0
+    assert((r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5), r.getDouble(6)) ==
+      (("s1", 4L, 17.5, 10.0, 15.0, 22.5, p95)))
+  }
+
   test("shingleStats: df histogram with the in-plan derived cap") {
     // shingles: "a b c" in docs 1+2 (df 2), "b c d"/"b c e"/"x y z"
     // df 1 -> one digit bucket: 4 shingles, postings 5, pair volume 1;
