@@ -71,7 +71,8 @@ object Bench {
     "q_transition_entropy", "q_user_concentration", "q_stickiness",
     "q_shingle_stats", "q_price_dispersion", "q_catalog_coverage",
     "q_weekday_anova", "q_drawdown", "q_ann_recall_curve",
-    "q_dim_stats", "q_length_bands",
+    "q_dim_stats", "q_length_bands", "q_hamming_hist",
+    "q_ivf_balance", "q_knn_accuracy", "q_acctbal_bands",
     "q_l_diversity", "q_t_closeness",
     "q_ooo_audit", "q_watermark_rec", "q_join_skew", "q_record_dedup", "q_canary_scan",
     "q_inverted_index",

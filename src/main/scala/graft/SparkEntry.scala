@@ -75,6 +75,9 @@ object SparkEntry {
   private val CoverageKs = Seq(100, 1000, 10000)
   /** q_ann_recall_curve recall@k checkpoints. */
   private val AnnCurveKs = Seq(1, 3, 5)
+  /** q_knn_accuracy query prefix (vec_id < max) and vote size. */
+  private val KnnQueryMax = 100
+  private val KnnK = 5
   /** q_stickiness trailing window (the MAU in DAU/MAU). */
   private val StickinessDays = 30
 
@@ -1541,6 +1544,21 @@ object SparkEntry {
     // per-source doc-length quartiles + p95 on the integer grid
     "q_length_bands" -> ((s, d) =>
       TextAnalysis.lengthBands(Tables.documents(s, d))),
+    // simhash candidate hamming-distance histogram
+    "q_hamming_hist" -> ((s, d) =>
+      NearDup.hammingHist(Tables.documentsFloored(s, d))),
+    // IVF cell-occupancy histogram + imbalance ratio
+    "q_ivf_balance" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorSearch.ivfBalance(emb, annSeeds(emb, d))
+    }),
+    // leave-one-out kNN label accuracy per class
+    "q_knn_accuracy" -> ((s, d) =>
+      VectorSearch.knnAccuracy(Tables.embeddings(s, d),
+        col("vec_id") < KnnQueryMax, KnnK)),
+    // per-segment balance quartiles + negative share on the cent grid
+    "q_acctbal_bands" -> ((s, d) =>
+      Analytics.acctbalBands(Tables.customer(s, d))),
     "q_dq_rules" -> ((s, d) =>
       DataChecks.ruleCheck(Tables.orders(s, d), orderRules)),
     // key-discovery / denormalization-consistency audit
@@ -6357,6 +6375,104 @@ object SparkEntry {
             ps[1] AS p25_chars, ps[2] AS p50_chars,
             ps[3] AS p75_chars, ps[4] AS p95_chars
           FROM q ORDER BY source""",
+    // The q_simhash_pairs candidate chain rolled onto the hamming
+    // grid with a window share.
+    "q_hamming_hist" ->
+      s"""WITH $SimhashFpCtes,
+          bands AS (SELECT doc_id, b,
+            CASE b WHEN 0 THEN simhash & 1023
+                   WHEN 1 THEN (simhash >> 10) & 1023
+                   WHEN 2 THEN (simhash >> 20) & 1023
+                   ELSE (simhash >> 30) & 1023 END AS key
+            FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+          buckets AS (SELECT b, key,
+            (list_sort(list(doc_id)))[1:${NearDup.DefaultBucketCap}] AS ids
+            FROM bands GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT p[1] AS d1, p[2] AS d2 FROM
+            (SELECT unnest(flatten(list_transform(range(1, len(ids)),
+              i -> list_transform(range(i + 1, len(ids) + 1),
+              j -> [ids[i], ids[j]])))) AS p
+             FROM buckets WHERE len(ids) > 1)),
+          pp AS (SELECT
+            CAST(bit_count(xor(f1.simhash, f2.simhash)) AS INTEGER)
+              AS hamming
+            FROM cand JOIN fp f1 ON f1.doc_id = d1
+            JOIN fp f2 ON f2.doc_id = d2
+            WHERE bit_count(xor(f1.simhash, f2.simhash)) <= 3),
+          g AS (SELECT hamming, count(*) AS n_pairs FROM pp GROUP BY 1)
+          SELECT hamming, n_pairs, CAST(n_pairs AS DOUBLE) /
+            CAST(sum(n_pairs) OVER () AS DOUBLE) AS pair_share
+          FROM g ORDER BY hamming""",
+    // The IVF assignment chain rolled to cell occupancy; imbalance =
+    // max cell over mean cell off the same exact integers on all rows.
+    "q_ivf_balance" ->
+      s"""WITH e AS ($NormedEmbSql),
+          ctr AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e
+            WHERE vec_id % $CentroidStrideSql = 0),
+          asg AS (SELECT e.vec_id, ctr.centroid_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,
+                       ctr.centroid_id) AS rk
+            FROM e CROSS JOIN ctr WHERE e.nrm <> 0 AND ctr.nrm <> 0),
+          cells AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vecs
+            FROM asg WHERE rk = 1 GROUP BY 1),
+          g AS (SELECT CAST(count(*) AS BIGINT) AS n_cells_total,
+            CAST(sum(n_vecs) AS BIGINT) AS n_total,
+            max(n_vecs) AS max_total FROM cells)
+          SELECT CAST(length(CAST(n_vecs AS VARCHAR)) AS BIGINT)
+              AS size_digits,
+            count(*) AS n_cells, CAST(sum(n_vecs) AS BIGINT) AS n_vectors,
+            min(n_vecs) AS min_cell, max(n_vecs) AS max_cell,
+            CAST(g.max_total AS DOUBLE) *
+              CAST(g.n_cells_total AS DOUBLE) /
+              CAST(g.n_total AS DOUBLE) AS imbalance
+          FROM cells CROSS JOIN g
+          GROUP BY size_digits, g.max_total, g.n_cells_total, g.n_total
+          ORDER BY size_digits""",
+    // The q_ann_topk brute chain at k=$KnnK over the query prefix;
+    // majority vote via (votes DESC, label) row_number, per-class
+    // accuracy off exact counts.
+    "q_knn_accuracy" ->
+      s"""WITH e AS ($NormedEmbSql),
+          l AS (SELECT vec_id, label FROM embeddings),
+          bq AS (SELECT * FROM e WHERE vec_id < $KnnQueryMax),
+          bs AS (SELECT bq.vec_id AS query_id, e.vec_id AS neighbor_id,
+            ${dotSql("bq", "e")} / (bq.nrm * e.nrm) AS c
+            FROM bq JOIN e ON bq.vec_id <> e.vec_id),
+          br AS (SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY c DESC, neighbor_id) AS rk FROM bs),
+          top AS (SELECT query_id, neighbor_id FROM br WHERE rk <= $KnnK),
+          v AS (SELECT query_id, l.label AS n_label, count(*) AS votes
+            FROM top JOIN l ON neighbor_id = l.vec_id GROUP BY 1, 2),
+          p AS (SELECT query_id, n_label, row_number() OVER (
+              PARTITION BY query_id ORDER BY votes DESC, n_label) AS rn
+            FROM v),
+          pr AS (SELECT query_id, n_label AS pred FROM p WHERE rn = 1)
+          SELECT l.label, CAST(count(*) AS BIGINT) AS n_queries,
+            CAST(count(*) FILTER (WHERE pred = l.label) AS BIGINT)
+              AS n_correct,
+            CAST(count(*) FILTER (WHERE pred = l.label) AS DOUBLE) /
+              count(*) AS accuracy
+          FROM pr JOIN l ON pr.query_id = l.vec_id
+          GROUP BY l.label ORDER BY l.label""",
+    // (segment, cents) grid percentiles WITH FREQUENCIES + exact
+    // mean/negative share, /100 display divisions at the edge.
+    "q_acctbal_bands" ->
+      """WITH g AS (SELECT c_mktsegment AS segment,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          FROM customer),
+          q AS (SELECT segment, count(*) AS n_custs,
+            CAST(sum(cents) AS BIGINT) AS sum_c,
+            CAST(count(*) FILTER (WHERE cents < 0) AS BIGINT) AS n_neg,
+            quantile_cont(cents, [0.25, 0.5, 0.75]) AS ps
+          FROM g GROUP BY segment)
+          SELECT segment, n_custs,
+            CAST(sum_c AS DOUBLE) / n_custs / 100.0 AS mean_bal,
+            CAST(n_neg AS DOUBLE) / n_custs AS neg_share,
+            ps[1] / 100.0 AS p25_bal, ps[2] / 100.0 AS p50_bal,
+            ps[3] / 100.0 AS p75_bal
+          FROM q ORDER BY segment""",
     // Same pairing as q_attribution; integer power-of-two day weights
     // and micro-cent credit division, so sums replay exactly
     "q_attribution_u" ->

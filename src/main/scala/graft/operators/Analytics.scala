@@ -905,6 +905,35 @@ object Analytics {
       .orderBy(col("p_brand"))
   }
 
+  /** Per-segment account-balance bands: exact quartiles, mean and the
+    * negative-balance share of customer balances on the integer-cent
+    * grid — the finance-QA view of the customer dim the idle-customer
+    * report (Q22 shape) thresholds against; a segment whose p25 dives
+    * negative is a receivables problem no mean shows.
+    *
+    * Shape: customers collapse onto the (segment, cents) grid, exact
+    * percentiles run WITH FREQUENCIES there, and mean/share are
+    * single divisions of exact bigints — the event-gaps grid
+    * contract. */
+  def acctbalBands(customer: DataFrame): DataFrame =
+    customer.select(col("c_mktsegment").as("segment"),
+        round(col("c_acctbal") * 100).cast("bigint").as("cents"))
+      .groupBy(col("segment"), col("cents")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("segment"))
+      .agg(sum(col("cnt")).as("n_custs"),
+        sum(col("cents") * col("cnt")).as("sum_c"),
+        coalesce(sum(when(col("cents") < 0, col("cnt"))), lit(0L))
+          .as("n_neg"),
+        expr("percentile(cents, array(0.25D, 0.5D, 0.75D), cnt)").as("ps"))
+      .select(col("segment"), col("n_custs"),
+        (col("sum_c").cast("double") / col("n_custs") / 100.0)
+          .as("mean_bal"),
+        (col("n_neg").cast("double") / col("n_custs")).as("neg_share"),
+        (element_at(col("ps"), 1) / 100.0).as("p25_bal"),
+        (element_at(col("ps"), 2) / 100.0).as("p50_bal"),
+        (element_at(col("ps"), 3) / 100.0).as("p75_bal"))
+      .orderBy(col("segment"))
+
   /** ABC inventory classification: parts ranked by cent-exact
     * discounted revenue, cut at the classic cumulative-share
     * thresholds — class A carries the first 80% of revenue, B the

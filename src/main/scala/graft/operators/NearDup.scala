@@ -1051,6 +1051,26 @@ object NearDup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Hamming-distance histogram of the SimHash candidate pairs — the
+    * observability row for the simhash family (the [[shingleStats]] /
+    * dedupIndexStats pattern): mass piling at the `maxHamming`
+    * boundary means the threshold is cutting through a real cluster
+    * (raise it or re-band), mass at 0–1 means the corpus carries
+    * exact-ish duplicates the cheaper fingerprint pass should have
+    * caught first. One ≤(maxHamming+1)-row grid off the same banded
+    * candidate generation as [[simhashPairs]] — never all pairs. */
+  def hammingHist(docs: DataFrame, maxHamming: Int = 3,
+                  bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    simhashPairs(docs, maxHamming, bucketCap)
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("pair_share",
+        col("n_pairs").cast("double") / sum(col("n_pairs")).over(wAll))
+      .orderBy(col("hamming"))
+  }
+
   /** Planted repeated span — the q_span_dedup gate fixture. The
     * synthetic corpus is word-soup over a tiny vocabulary, so natural
     * cross-doc 8-gram sharing is ~zero; without planting, a span

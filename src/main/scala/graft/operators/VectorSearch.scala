@@ -617,6 +617,68 @@ object VectorSearch extends Logging {
         (col("n_zero").cast("double") / col("n_vals")).as("zero_share"))
       .orderBy(col("dim"))
 
+  /** IVF cell-balance QA: the cell-occupancy histogram of the index's
+    * [[assignCells]] assignment on decimal-magnitude buckets, plus the
+    * global imbalance ratio (max cell / mean cell) on every row — the
+    * ANN-index twin of the dedup-index and shingle-index health rows:
+    * a fat top bucket or a high imbalance means some probes scan far
+    * more than N/k vectors (the p99 latency driver), which is the
+    * signal to retrain or split centroids. The corpus collapses in
+    * the one assignment aggregate; everything after is cell-grain. */
+  def ivfBalance(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val cells = assignCells(embeddings, centroids)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vecs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = cells.agg(count(lit(1)).as("n_cells_total"),
+      sum(col("n_vecs")).as("n_total"), max(col("n_vecs")).as("max_total"))
+    cells
+      .groupBy(length(col("n_vecs").cast("string")).cast("long")
+        .as("size_digits"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n_vecs")).as("n_vectors"),
+        min(col("n_vecs")).as("min_cell"), max(col("n_vecs")).as("max_cell"))
+      .crossJoin(broadcast(g))
+      .select(col("size_digits"), col("n_cells"), col("n_vectors"),
+        col("min_cell"), col("max_cell"),
+        (col("max_total").cast("double") * col("n_cells_total")
+          .cast("double") / col("n_total").cast("double"))
+          .as("imbalance"))
+      .orderBy(col("size_digits"))
+  }
+
+  /** Leave-one-out kNN label accuracy over the embedding column: each
+    * query vector's label predicted by majority vote of its k exact
+    * nearest neighbors (self excluded), reported per true label — the
+    * one-number-per-class answer to "do these embeddings actually
+    * encode the label", which [[labelSeparation]]'s centroid
+    * distances only proxy (centroids can separate while boundaries
+    * interleave). Vote ties break to the smaller label; the neighbor
+    * lists carry [[bruteForceTopK]]'s exact tie order, so every count
+    * is deterministic. The brute leg is linear (fixed queries ×
+    * corpus, broadcast queries); everything after is
+    * (queries × k)-sized. */
+  def knnAccuracy(embeddings: DataFrame, queryFilter: Column,
+                  k: Int): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val nn = bruteForceTopK(embeddings, embeddings.where(queryFilter), k)
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+    nn.groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"))
+      .agg(max_by(col("n_label"),
+        struct(col("votes"), negate(col("n_label")))).as("pred"))
+      .join(labels.select(col("vec_id").as("query_id"), col("label")),
+        "query_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_queries"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_queries"))
+          .as("accuracy"))
+      .orderBy(col("label"))
+  }
+
   /** Deterministic ±1 (Rademacher) hyperplanes for [[srpNearDup]],
     * seeded so the Spark pipeline and the DuckDB oracle embed the SAME
     * constants — and exactly representable, so the per-plane

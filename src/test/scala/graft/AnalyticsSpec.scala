@@ -474,6 +474,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("C") == ((1L, 5.0, 0.05, 1.0 / 3)))
   }
 
+  test("acctbalBands: cent-grid quartiles, negative share") {
+    val c = Seq(("A", 1.00), ("A", 2.00), ("A", 3.00), ("A", -1.00))
+      .toDF("c_mktsegment", "c_acctbal")
+    val r = Analytics.acctbalBands(c).collect().head
+    assert((r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5), r.getDouble(6)) ==
+      (("A", 4L, 1.25, 0.25, 0.5, 1.5, 2.25)))
+  }
+
   test("priceDispersion: integer unit cents, 10% range cut") {
     // part 1: units 100 and 120 cents -> range 20, 200 > 100 dispersed;
     // part 2: units 100 and 105 -> 50 > 100 fails, consistent

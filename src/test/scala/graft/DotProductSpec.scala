@@ -205,6 +205,45 @@ class DotProductSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0.0, 0.0, 0.0, 0.0, 1.0)), "dead dimension")
   }
 
+  test("ivfBalance: occupancy buckets plus the max/mean imbalance") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.8f, 0.2f)), (4L, Array(0.1f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ctr = Seq((100L, Array(1.0f, 0.0f)), (200L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = VectorSearch.ivfBalance(emb, ctr).collect()
+    assert(r.length == 1)
+    // cells of size 3 and 1 -> one 1-digit bucket; imbalance 3/(4/2)
+    assert((r.head.getLong(0), r.head.getLong(1), r.head.getLong(2),
+      r.head.getLong(3), r.head.getLong(4), r.head.getDouble(5)) ==
+      ((1L, 2L, 4L, 1L, 3L, 1.5)))
+  }
+
+  test("knnAccuracy: separable clusters score 1, ties take smaller label") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 1), (2L, Array(0.95f, 0.05f), 1),
+      (3L, Array(0.9f, 0.1f), 1),
+      (4L, Array(0.0f, 1.0f), 2), (5L, Array(0.05f, 0.95f), 2),
+      (6L, Array(0.1f, 0.9f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorSearch.knnAccuracy(emb, col("vec_id") < 100, 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1) == ((3L, 3L, 1.0)) && out(2) == ((3L, 3L, 1.0)))
+    // vote tie (one neighbor each of labels 1 and 3) -> smaller label
+    // wins, so the label-2 query misses
+    val tie = Seq(
+      (1L, Array(1.0f, 0.0f), 2), (2L, Array(0.99f, 0.01f), 1),
+      (3L, Array(0.98f, 0.02f), 3)).toDF("vec_id", "embedding", "label")
+    val t = VectorSearch.knnAccuracy(tie, col("vec_id") === 1, 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(t(2) == ((1L, 0L)), "tie resolved to label 1, not 2 or 3")
+  }
+
   test("annRecallCurve: boundary loss shows at k=2, not k=1") {
     import spark.implicits._
     // v3's true cell is c2, so nprobe=1 from c1 misses it: exact top-2

@@ -836,6 +836,14 @@ class TextSpec extends SparkSpec {
     assert(out(2L) == ((2L, 3L, 4L, 0.75)))
   }
 
+  test("hammingHist: grid mass equals the pair frame, shares sum to 1") {
+    val pairs = NearDup.simhashPairs(docs).count()
+    val hist = NearDup.hammingHist(docs).collect()
+    assert(pairs > 0 && hist.map(_.getLong(1)).sum == pairs)
+    assert(hist.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 3))
+    assert(math.abs(hist.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+  }
+
   test("lengthBands: exact grid interpolation per source") {
     val d = Seq((1L, "s1", 10L), (2L, "s1", 10L), (3L, "s1", 20L),
       (4L, "s1", 30L)).toDF("doc_id", "source", "n_chars")
