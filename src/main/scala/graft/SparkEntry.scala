@@ -1559,6 +1559,12 @@ object SparkEntry {
     // per-segment balance quartiles + negative share on the cent grid
     "q_acctbal_bands" -> ((s, d) =>
       Analytics.acctbalBands(Tables.customer(s, d))),
+    // Laspeyres/Paasche/Fisher on the matched-part panel
+    "q_fisher_index" -> ((s, d) =>
+      Analytics.fisherIndex(Tables.lineitem(s, d), Tables.part(s, d))),
+    // part-vintage revenue ramp over relative quarters 0-3
+    "q_part_vintage" -> ((s, d) =>
+      Analytics.partVintage(Tables.lineitem(s, d))),
     "q_dq_rules" -> ((s, d) =>
       DataChecks.ruleCheck(Tables.orders(s, d), orderRules)),
     // key-discovery / denormalization-consistency audit
@@ -6473,6 +6479,65 @@ object SparkEntry {
             ps[1] / 100.0 AS p25_bal, ps[2] / 100.0 AS p50_bal,
             ps[3] / 100.0 AS p75_bal
           FROM q ORDER BY segment""",
+    // The q_price_index panel with BOTH quantity weightings; each
+    // index one double division, Fisher one sqrt of their product.
+    "q_fisher_index" ->
+      """WITH pq AS (SELECT l_partkey,
+            CAST(date_trunc('quarter', l_shipdate) AS DATE) AS quarter,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS c,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+          FROM lineitem GROUP BY 1, 2),
+          pp AS (SELECT *, (2 * c + q) // (2 * q) AS p_cents FROM pq),
+          bq AS (SELECT min(quarter) AS g FROM pp),
+          base AS (SELECT l_partkey, p_cents AS p0, q AS q0
+            FROM pp, bq WHERE quarter = g),
+          j AS (SELECT p_brand, pp.quarter,
+            pp.p_cents * base.q0 AS num_l, base.p0 * base.q0 AS den_l,
+            pp.p_cents * pp.q AS num_p, base.p0 * pp.q AS den_p
+          FROM pp JOIN base USING (l_partkey)
+          JOIN part ON l_partkey = p_partkey),
+          g2 AS (SELECT p_brand, quarter,
+            CAST(count(*) AS BIGINT) AS n_parts,
+            sum(num_l) AS snl, sum(den_l) AS sdl,
+            sum(num_p) AS snp, sum(den_p) AS sdp
+          FROM j GROUP BY p_brand, quarter)
+          SELECT p_brand, quarter, n_parts,
+            CAST(snl AS DOUBLE) / CAST(sdl AS DOUBLE) * 100.0
+              AS laspeyres_pts,
+            CAST(snp AS DOUBLE) / CAST(sdp AS DOUBLE) * 100.0
+              AS paasche_pts,
+            sqrt((CAST(snl AS DOUBLE) / CAST(sdl AS DOUBLE)) *
+              (CAST(snp AS DOUBLE) / CAST(sdp AS DOUBLE))) * 100.0
+              AS fisher_pts
+          FROM g2 ORDER BY p_brand, quarter""",
+    // Integer year*4+quarter keys, part-grain min intro, conditional
+    // cent sums per relative quarter on the vintages grid.
+    "q_part_vintage" ->
+      """WITH pq AS (SELECT l_partkey,
+            CAST(year(l_shipdate) * 4 + quarter(l_shipdate) - 1
+              AS BIGINT) AS qk,
+            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+              AS BIGINT)) AS BIGINT) AS c
+          FROM lineitem GROUP BY 1, 2),
+          intro AS (SELECT l_partkey, min(qk) AS q0 FROM pq GROUP BY 1),
+          j AS (SELECT pq.l_partkey, intro.q0, pq.qk - intro.q0 AS rel,
+            pq.c FROM pq JOIN intro USING (l_partkey)),
+          g AS (SELECT q0, CAST(count(DISTINCT l_partkey) AS BIGINT)
+              AS n_parts,
+            CAST(coalesce(sum(c) FILTER (WHERE rel = 0), 0) AS DOUBLE)
+              / 100.0 AS rev_q0,
+            CAST(coalesce(sum(c) FILTER (WHERE rel = 1), 0) AS DOUBLE)
+              / 100.0 AS rev_q1,
+            CAST(coalesce(sum(c) FILTER (WHERE rel = 2), 0) AS DOUBLE)
+              / 100.0 AS rev_q2,
+            CAST(coalesce(sum(c) FILTER (WHERE rel = 3), 0) AS DOUBLE)
+              / 100.0 AS rev_q3
+          FROM j GROUP BY q0)
+          SELECT q0 // 4 AS intro_year,
+            CAST(q0 % 4 + 1 AS BIGINT) AS intro_quarter,
+            n_parts, rev_q0, rev_q1, rev_q2, rev_q3
+          FROM g ORDER BY intro_year, intro_quarter""",
     // Same pairing as q_attribution; integer power-of-two day weights
     // and micro-cent credit division, so sums replay exactly
     "q_attribution_u" ->

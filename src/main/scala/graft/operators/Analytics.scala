@@ -1554,6 +1554,98 @@ object Analytics {
       .orderBy(col("p_brand"), col("quarter"))
   }
 
+  /** Fisher price index per brand: Laspeyres (base-quantity weights),
+    * Paasche (current-quantity weights) and their geometric mean on
+    * the same matched-part panel as [[priceIndex]] — the economist's
+    * standard pair: Laspeyres overstates inflation (consumers shift
+    * away from risers), Paasche understates it, Fisher splits the
+    * bias. Published together so the L−P gap itself reads as a
+    * substitution gauge.
+    *
+    * Same determinism discipline as [[priceIndex]]: quarter prices
+    * are integer half-up cents (`(2c+q) div 2q`), the four weighted
+    * sums accumulate as decimal(38,0), and each index is one double
+    * division (Fisher one sqrt of their product) at the very edge.
+    * Same plan shape: one fact aggregate (persisted for its three
+    * consumers), part-grain base join, broadcast dims. */
+  def fisherIndex(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val pq = lineitem.select(col("l_partkey"),
+        date_trunc("quarter", col("l_shipdate")).cast("date").as("quarter"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("cents"),
+        col("l_quantity").cast("bigint").as("qty"))
+      .groupBy(col("l_partkey"), col("quarter"))
+      .agg(sum(col("cents")).as("c"), sum(col("qty")).as("q"))
+      .withColumn("p_cents", expr("(2 * c + q) div (2 * q)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = pq.groupBy(col("l_partkey"))
+      .agg(min_by(struct(col("p_cents"), col("q")), col("quarter"))
+        .as("b"), min(col("quarter")).as("bq"))
+    val globalBase = pq.agg(min(col("quarter")).as("g"))
+    pq.join(base, Seq("l_partkey"))
+      .crossJoin(broadcast(globalBase))
+      .where(col("bq") === col("g"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("quarter"),
+        (col("p_cents").cast("decimal(38,0)") * col("b.q")).as("num_l"),
+        (col("b.p_cents").cast("decimal(38,0)") * col("b.q")).as("den_l"),
+        (col("p_cents").cast("decimal(38,0)") * col("q")).as("num_p"),
+        (col("b.p_cents").cast("decimal(38,0)") * col("q")).as("den_p"))
+      .groupBy(col("p_brand"), col("quarter"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("num_l")).as("snl"), sum(col("den_l")).as("sdl"),
+        sum(col("num_p")).as("snp"), sum(col("den_p")).as("sdp"))
+      .select(col("p_brand"), col("quarter"), col("n_parts"),
+        (col("snl").cast("double") / col("sdl").cast("double") * 100.0)
+          .as("laspeyres_pts"),
+        (col("snp").cast("double") / col("sdp").cast("double") * 100.0)
+          .as("paasche_pts"),
+        (sqrt((col("snl").cast("double") / col("sdl").cast("double")) *
+          (col("snp").cast("double") / col("sdp").cast("double"))) * 100.0)
+          .as("fisher_pts"))
+      .orderBy(col("p_brand"), col("quarter"))
+  }
+
+  /** Part-vintage revenue ramp: parts cohorted by the quarter they
+    * FIRST shipped, with each vintage's cent-exact revenue in its own
+    * relative quarters 0–3 — the catalog-side twin of the user cohort
+    * table ("do newer introductions ramp faster than older ones"),
+    * which a range review reads before crediting growth to new SKUs.
+    *
+    * Shape: one (part, quarter) fact aggregate (persisted — the
+    * intro-quarter aggregate and the ramp join both read it), a
+    * part-grain min join, then the vintages-sized grid; quarter
+    * arithmetic is the integer year·4+quarter key, revenue conditional
+    * bigint cent sums. */
+  def partVintage(lineitem: DataFrame): DataFrame = {
+    val pq = lineitem.select(col("l_partkey"),
+        (year(col("l_shipdate")) * 4 + quarter(col("l_shipdate")) - 1)
+          .cast("long").as("qk"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("bigint").as("cents"))
+      .groupBy(col("l_partkey"), col("qk"))
+      .agg(sum(col("cents")).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val intro = pq.groupBy(col("l_partkey")).agg(min(col("qk")).as("q0"))
+    pq.join(intro, Seq("l_partkey"))
+      .withColumn("rel", col("qk") - col("q0"))
+      .groupBy(col("q0"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        (coalesce(sum(when(col("rel") === 0, col("c"))), lit(0L))
+          .cast("double") / 100.0).as("rev_q0"),
+        (coalesce(sum(when(col("rel") === 1, col("c"))), lit(0L))
+          .cast("double") / 100.0).as("rev_q1"),
+        (coalesce(sum(when(col("rel") === 2, col("c"))), lit(0L))
+          .cast("double") / 100.0).as("rev_q2"),
+        (coalesce(sum(when(col("rel") === 3, col("c"))), lit(0L))
+          .cast("double") / 100.0).as("rev_q3"))
+      .select(expr("q0 div 4").as("intro_year"),
+        (col("q0") % 4 + 1).cast("long").as("intro_quarter"),
+        col("n_parts"), col("rev_q0"), col("rev_q1"), col("rev_q2"),
+        col("rev_q3"))
+      .orderBy(col("intro_year"), col("intro_quarter"))
+  }
+
   /** Order-completion time per priority: exact quartiles + mean of
     * the days from order placement to the LAST line shipping — the
     * order-grain complement of [[fulfillmentLatency]] (a customer

@@ -474,6 +474,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("C") == ((1L, 5.0, 0.05, 1.0 / 3)))
   }
 
+  test("fisherIndex: quantity shift opens the L-P gap, Fisher splits it") {
+    import java.sql.Date
+    // Q2: part 1 doubles in price and loses volume, part 2 holds price
+    // and gains it -> Laspeyres 150, Paasche 110, Fisher sqrt(1.65)*100
+    val li = Seq(
+      (1L, "2024-01-15", 10.00, 10.0), (2L, "2024-01-15", 10.00, 10.0),
+      (1L, "2024-04-15", 4.00, 2.0), (2L, "2024-04-15", 18.00, 18.0))
+      .map { case (p, d, e, q) => (p, Date.valueOf(d), e, q) }
+      .toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
+    val part = Seq((1L, "X"), (2L, "X")).toDF("p_partkey", "p_brand")
+    val out = Analytics.fisherIndex(li, part).collect()
+      .map(r => r.getDate(1).toString ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out("2024-01-01") == ((2L, 100.0, 100.0, 100.0)))
+    assert(out("2024-04-01")._2 == 150.0 &&
+      math.abs(out("2024-04-01")._3 - 110.0) < 1e-12) // 1.1 not dyadic
+    assert(math.abs(out("2024-04-01")._4 - math.sqrt(1.5 * 1.1) * 100.0)
+      < 1e-12)
+  }
+
+  test("partVintage: relative-quarter ramp per intro cohort") {
+    import java.sql.Date
+    val li = Seq(
+      (1L, "2024-01-10", 10.0), (1L, "2024-04-10", 20.0),
+      (2L, "2024-05-01", 5.0))
+      .map { case (p, d, e) => (p, Date.valueOf(d), e, 0.0) }
+      .toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val out = Analytics.partVintage(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(out((2024L, 1L)) == ((1L, 10.0, 20.0, 0.0, 0.0)))
+    assert(out((2024L, 2L)) == ((1L, 5.0, 0.0, 0.0, 0.0)))
+  }
+
   test("acctbalBands: cent-grid quartiles, negative share") {
     val c = Seq(("A", 1.00), ("A", 2.00), ("A", 3.00), ("A", -1.00))
       .toDF("c_mktsegment", "c_acctbal")
