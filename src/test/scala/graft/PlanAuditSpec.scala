@@ -717,4 +717,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     graft.operators.Affinity.clearCache()
   }
+
+  test("fisher index: all four weighted legs read the cached panel") {
+    val p = plan("q_fisher_index")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("part vintage: intro aggregate and ramp join read the cache") {
+    val p = plan("q_part_vintage")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("ivf balance: histogram and global stats read the cell cache") {
+    val p = plan("q_ivf_balance")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+  }
 }
