@@ -637,6 +637,28 @@ object Journey {
       .orderBy(col("day"))
   }
 
+  /** Batch finisher for the streaming stickiness state
+    * (EventStream.dailyActive at windowDays=30): the streamed
+    * (day, kind, n_users) grid pivots back into [[stickiness]]'s
+    * (day, dau, mau, stickiness) report. The inner join keeps only
+    * days with their own dau row — exactly the batch pair's
+    * days-with-activity contract, dropping the stream's trailing
+    * ghost-day window rows — so a live dashboard reading the
+    * streamed grid through this matches the nightly batch
+    * (EquivalenceSpec-gated). */
+  def stickinessFromDaily(counts: DataFrame): DataFrame = {
+    val dau = counts.where(col("kind") === "dau")
+      .select(col("day"), col("n_users").as("dau"))
+    // self-join of one source table: rename the join key on this leg
+    // so the analyzer never sees conflicting references
+    val mau = counts.where(col("kind") === "wau")
+      .select(col("day").as("mday"), col("n_users").as("mau"))
+    dau.join(mau, col("day") === col("mday"))
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau").cast("double") / col("mau")).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   /** User-lifespan distribution: one row with exact quartiles + p95
     * and mean of each user's activity span in days (last − first
     * active day; 0 = one-day users, whose share prints separately) —

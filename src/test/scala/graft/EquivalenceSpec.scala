@@ -266,6 +266,36 @@ class EquivalenceSpec extends SparkSpec {
     assert(batch.exists(_._2 == 1) && batch.exists(_._2 == 0))
   }
 
+  test("streaming dailyActive(30) + ratio finisher equal batch stickiness") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val maxTs = ev.map(_.ts.getTime).max
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(ev: _*)
+    val q = EventStream.dailyActive(spark, mem.toDS(), 30)
+      .writeStream.format("memory").queryName("eq_stick")
+      .outputMode("append").start()
+    // 35 days past the last event closes every 30-day trailing window
+    mem.addData(Event(0L,
+      new Timestamp(maxTs + 35 * 86400000L), "sentinel", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val streamed = key(graft.operators.Journey
+      .stickinessFromDaily(spark.table("eq_stick")))
+    val batch = key(graft.operators.Journey
+      .stickiness(Tables.events(spark, "/root/testdata/sf0.001"), 30))
+    assert(batch.nonEmpty)
+    batch.foreach { case (day, v) =>
+      assert(streamed.get(day).contains(v),
+        s"$day: streamed ${streamed.get(day)} vs batch $v")
+    }
+  }
+
   test("streaming dailyActive equals batch activeUsers on finalized days") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))
