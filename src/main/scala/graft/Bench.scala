@@ -73,7 +73,7 @@ object Bench {
     "q_weekday_anova", "q_drawdown", "q_ann_recall_curve",
     "q_dim_stats", "q_length_bands", "q_hamming_hist",
     "q_ivf_balance", "q_knn_accuracy", "q_acctbal_bands",
-    "q_fisher_index", "q_part_vintage",
+    "q_fisher_index", "q_part_vintage", "q_order_lines",
     "q_l_diversity", "q_t_closeness",
     "q_ooo_audit", "q_watermark_rec", "q_join_skew", "q_record_dedup", "q_canary_scan",
     "q_inverted_index",

@@ -1565,6 +1565,9 @@ object SparkEntry {
     // part-vintage revenue ramp over relative quarters 0-3
     "q_part_vintage" -> ((s, d) =>
       Analytics.partVintage(Tables.lineitem(s, d))),
+    // order-width distribution (lines per order, dual shares)
+    "q_order_lines" -> ((s, d) =>
+      Analytics.orderLineDist(Tables.lineitem(s, d))),
     "q_dq_rules" -> ((s, d) =>
       DataChecks.ruleCheck(Tables.orders(s, d), orderRules)),
     // key-discovery / denormalization-consistency audit
@@ -6538,6 +6541,19 @@ object SparkEntry {
             CAST(q0 % 4 + 1 AS BIGINT) AS intro_quarter,
             n_parts, rev_q0, rev_q1, rev_q2, rev_q3
           FROM g ORDER BY intro_year, intro_quarter""",
+    // Order-grain line counts onto the width grid, dual window shares.
+    "q_order_lines" ->
+      """WITH o AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS nl
+            FROM lineitem GROUP BY 1),
+          g AS (SELECT nl AS n_lines, count(*) AS n_orders
+            FROM o GROUP BY 1)
+          SELECT n_lines, n_orders,
+            CAST(n_orders AS DOUBLE) /
+              CAST(sum(n_orders) OVER () AS DOUBLE) AS order_share,
+            CAST(n_lines * n_orders AS DOUBLE) /
+              CAST(sum(n_lines * n_orders) OVER () AS DOUBLE)
+              AS line_share
+          FROM g ORDER BY n_lines""",
     // Same pairing as q_attribution; integer power-of-two day weights
     // and micro-cent credit division, so sums replay exactly
     "q_attribution_u" ->

@@ -1554,6 +1554,29 @@ object Analytics {
       .orderBy(col("p_brand"), col("quarter"))
   }
 
+  /** Order-width distribution: orders bucketed by line count with
+    * order AND line shares — the order-grain twin of the customer
+    * order-count distribution (Q13 shape): picking, packing and
+    * basket-analysis capacity all key on how many lines an order
+    * carries, and the line share shows where the volume mass sits
+    * (many thin orders vs few wide ones). One order-grain aggregate
+    * (the only corpus-sized exchange), then a ≤7-row grid with
+    * window-sum shares. */
+  def orderLineDist(lineitem: DataFrame): DataFrame = {
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    lineitem.groupBy(col("l_orderkey")).agg(count(lit(1)).as("nl"))
+      .groupBy(col("nl").as("n_lines")).agg(count(lit(1)).as("n_orders"))
+      .select(col("n_lines"), col("n_orders"),
+        (col("n_orders").cast("double") /
+          sum(col("n_orders")).over(wAll).cast("double"))
+          .as("order_share"),
+        ((col("n_lines") * col("n_orders")).cast("double") /
+          sum(col("n_lines") * col("n_orders")).over(wAll).cast("double"))
+          .as("line_share"))
+      .orderBy(col("n_lines"))
+  }
+
   /** Fisher price index per brand: Laspeyres (base-quantity weights),
     * Paasche (current-quantity weights) and their geometric mean on
     * the same matched-part panel as [[priceIndex]] — the economist's

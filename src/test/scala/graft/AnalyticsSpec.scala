@@ -474,6 +474,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("C") == ((1L, 5.0, 0.05, 1.0 / 3)))
   }
 
+  test("orderLineDist: width grid with order and line shares") {
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Analytics.orderLineDist(li).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((1L, 0.5, 1.0 / 3)))
+    assert(out(2L) == ((1L, 0.5, 2.0 / 3)))
+  }
+
   test("fisherIndex: quantity shift opens the L-P gap, Fisher splits it") {
     import java.sql.Date
     // Q2: part 1 doubles in price and loses volume, part 2 holds price
