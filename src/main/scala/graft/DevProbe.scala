@@ -1,66 +1,67 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Affinity
+import org.apache.spark.sql.DataFrame
+import graft.operators.NearDup
 
 /** Scratch dev main — timing decomposition, not part of the library. */
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf0.1")
-    def time(label: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      f
-      println(f"[probe] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val sc = spark.sparkContext
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
+    def clear(): Unit = {
+      spark.catalog.clearCache()
+      Caches.clear()
+      sc.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
-    val li = Tables.lineitem(spark, dir)
-    val op = li.select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .distinct()
-    time("distinct op")(op.write.format("noop").mode("overwrite").save())
-    val cnt = op.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
-    val sets = op.join(cnt, "part")
-      .groupBy(col("okey"))
-      .agg(sort_array(collect_set(struct(col("part"), col("cnt")))).as("ps"))
-    time("sets")(sets.write.format("noop").mode("overwrite").save())
-    val pairs = Affinity.coPurchasePairs(li)
-    time("pairs full")(pairs.write.format("noop").mode("overwrite").save())
-    println("[probe] pair rows " + pairs.count())
-    time("pairs again (op cached)")(
-      pairs.write.format("noop").mode("overwrite").save())
-    time("itemSimilarity")(
-      Affinity.itemSimilarity(li).write.format("noop").mode("overwrite").save())
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-    time("pageRank 1 iter")(
-      Affinity.pageRank(li, 1).write.format("noop").mode("overwrite").save())
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-    time("pageRank 3 iter")(
-      Affinity.pageRank(li, 3).write.format("noop").mode("overwrite").save())
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-    // decompose setup
-    val pairs2 = Affinity.coPairs(li)  // the production pageRank path
-    time("pr: pairs")(pairs2.write.format("noop").mode("overwrite").save())
-    val edges2 = pairs2.unionAll(pairs2.select(col("part_b"), col("part_a"))).toDF("src", "dst")
-    val deg2 = edges2.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edgesDeg2 = edges2.join(deg2, "src").repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("pr: edgesDeg materialize")(edgesDeg2.write.format("noop").mode("overwrite").save())
-    val nodes2 = deg2.select(col("src").as("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("pr: nodes materialize")(nodes2.write.format("noop").mode("overwrite").save())
-    var ranks2 = nodes2.select(col("node"), lit(1000000L).as("rank_micro"))
-    for (it <- 1 to 3) {
-      time(s"pr: iteration $it") {
-        val inflow = edgesDeg2.join(ranks2.hint("SHUFFLE_HASH"), edgesDeg2("src") === ranks2("node"))
-          .select(col("dst"), expr("((rank_micro * 17) div 20) div deg").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-        ranks2 = nodes2.join(inflow, nodes2("node") === inflow("dst"), "left")
-          .select(col("node"), (lit(150000L) + coalesce(col("inflow"), lit(0L))).as("rank_micro"))
-          .localCheckpoint()
+    def time2(label: String)(f: => DataFrame): Unit = {
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        clear()
+        (System.nanoTime() - t0) / 1e9
       }
+      println(f"[probe] $label min=${ts.min}%.2f s (runs ${ts.map(t => f"$t%.1f").mkString(", ")})")
     }
+    val docs = Tables.documentsFloored(spark, dir)
+
+    def pairsExpr = expr(
+      """flatten(transform(sequence(1, size(ids) - 1),
+         i -> transform(sequence(i + 1, size(ids)),
+         j -> struct(element_at(ids, i) AS d1, element_at(ids, j) AS d2))))""")
+
+    // OLD shape: verify-all complement off distinct candidates
+    def old(): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("d1")).orderBy(col("jaccard").desc, col("d2"))
+      val sig = NearDup.signatures(docs, 3, 32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bnd = NearDup.bandRows(sig, 16, 2)
+      val cand = bnd
+        .groupBy(col("band"), col("band_sig"))
+        .agg(slice(sort_array(collect_list(col("doc_id"))), 1,
+          NearDup.DefaultBucketCap).as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(explode(pairsExpr).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .distinct()
+      val t = sig.select(col("doc_id"), col("sh"))
+      cand
+        .join(t.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+        .join(t.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))))
+        .where(col("jaccard") < 0.5)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 8)
+        .select(col("d1"), col("d2"), col("jaccard"), col("rank"))
+        .orderBy(col("d1"), col("rank"))
+    }
+    time2("OLD verify-all")(old())
+    time2("NEW preCap=64 (current)")(NearDup.hardNegatives(docs))
+    time2("NEW preCap=16")(NearDup.hardNegatives(docs, preCap = 16))
     spark.stop()
   }
 }

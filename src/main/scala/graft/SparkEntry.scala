@@ -1088,7 +1088,7 @@ object SparkEntry {
       TextAnalysis.fertilityByLanguage(Tables.documentsFloored(s, d))),
     "q_text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documentsFloored(s, d))),
-    "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documentsFloored(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(Tables.documentsFloored(s, d))),
@@ -1128,7 +1128,7 @@ object SparkEntry {
       NearDup.containmentPairs(Tables.documentsFloored(s, d), 3,
         ContainmentThreshold)),
     "q_decontam" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsFloored(s, d)
       NearDup.decontaminate(
         docs.where(pmod(col("doc_id"), lit(DecontamEvalMod)) =!= DecontamEvalRem),
         docs.where(pmod(col("doc_id"), lit(DecontamEvalMod)) === DecontamEvalRem),
@@ -1143,7 +1143,7 @@ object SparkEntry {
     "q_canary_scan" -> ((s, d) =>
       Curation.canaryScan(Tables.documents(s, d), CanaryPhrases)),
     "q_chunks" -> ((s, d) =>
-      Curation.chunks(Tables.documents(s, d), ChunkSize, ChunkStride)),
+      Curation.chunks(Tables.documentsFloored(s, d), ChunkSize, ChunkStride)),
     "q_chunk_dedup" -> ((s, d) =>
       Curation.chunkDedup(Tables.documents(s, d), ChunkSize, ChunkStride)),
     "q_profile" -> ((s, d) =>
@@ -1158,7 +1158,7 @@ object SparkEntry {
       TextAnalysis.vocabulary(Tables.documents(s, d), VocabTopN)),
     // one-row corpus nutrition label (composes the gated signals)
     "q_corpus_card" -> ((s, d) =>
-      TextAnalysis.corpusCard(Tables.documents(s, d))),
+      TextAnalysis.corpusCard(Tables.documentsFloored(s, d))),
     // one-row "does this corpus look like language" gauge
     "q_zipf" -> ((s, d) =>
       TextAnalysis.zipfFit(Tables.documents(s, d), ZipfTopK)),
@@ -1175,7 +1175,7 @@ object SparkEntry {
     "q_dup_sources" -> ((s, d) =>
       NearDup.dupSourceMatrix(Tables.documentsFloored(s, d), 3, 0.3)),
     "q_bpe_pairs" -> ((s, d) =>
-      TextAnalysis.bpePairs(Tables.documents(s, d), BpeTopN)),
+      TextAnalysis.bpePairs(Tables.documentsFloored(s, d), BpeTopN)),
     "q_bpe_train" -> ((s, d) =>
       TextAnalysis.bpeTrain(Tables.documents(s, d), BpeMerges)),
     "q_quality_cap" -> ((s, d) =>
@@ -1207,7 +1207,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       NearDup.dedupClusters(docs, NearDup.minhashPairs(docs))
     }),
-    "q_simhash" -> ((s, d) => NearDup.simhash(Tables.documents(s, d))),
+    "q_simhash" -> ((s, d) => NearDup.simhash(Tables.documentsFloored(s, d))),
     // simhash stays UNfloored: measured 4.49 s -> 4.43 s (noise) — the
     // native row-local fingerprint is cheap enough that bucket/verify
     // output volume dominates, so the floor's exchange buys nothing
@@ -1450,7 +1450,7 @@ object SparkEntry {
       TextAnalysis.tokenEntropy(Tables.documents(s, d))),
     // micro-nat-ranked PMI collocations with a min-count floor
     "q_pmi_bigrams" -> ((s, d) =>
-      TextAnalysis.pmiBigrams(Tables.documents(s, d), PmiMinCount,
+      TextAnalysis.pmiBigrams(Tables.documentsFloored(s, d), PmiMinCount,
         PmiTopN)),
     // exact-dedup ROI in docs AND tokens per source
     "q_dedup_savings" -> ((s, d) =>
@@ -3838,16 +3838,34 @@ object SparkEntry {
             (ex.exact_match IS NULL AND nr.near_match IS NULL) AS is_new
           FROM nw LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
           ORDER BY nw.doc_id""",
-    // the banding chain's ver0 complement: collided but verified
-    // below threshold, ranked hardest-first per anchor and cut at the
-    // per-anchor cap (the output-linear training shape)
+    // the banding chain's complement: collided but verified below
+    // threshold, ranked hardest-first per anchor and cut at the
+    // per-anchor cap (the output-linear training shape). Replays the
+    // engine's PRE-VERIFY cap too: only the top HardNegPreVerifyCap
+    // candidates per anchor — ranked by band-collision count, d2
+    // ties — reach the exact verify (the verify-work-linear shape)
     "q_hard_negatives" ->
       s"""WITH $MinhashVerCtes,
+          candn AS (SELECT p[1] AS d1, p[2] AS d2, count(*) AS n_bands
+            FROM (SELECT unnest(flatten(list_transform(range(1, len(ids)),
+              i -> list_transform(range(i + 1, len(ids) + 1),
+              j -> [ids[i], ids[j]])))) AS p
+             FROM buckets WHERE len(ids) > 1) GROUP BY 1, 2),
+          pv AS (SELECT d1, d2 FROM (SELECT d1, d2,
+              row_number() OVER (PARTITION BY d1
+                ORDER BY n_bands DESC, d2) AS prk
+            FROM candn) WHERE prk <= ${NearDup.HardNegPreVerifyCap}),
+          verh AS (SELECT d1, d2,
+            CAST(len(list_intersect(t1.sh, t2.sh)) AS DOUBLE) /
+              len(list_distinct(list_concat(t1.sh, t2.sh))) AS jaccard
+            FROM pv
+            JOIN t t1 ON t1.doc_id = d1 JOIN t t2 ON t2.doc_id = d2),
           hn AS (SELECT d1, d2, jaccard,
               row_number() OVER (PARTITION BY d1
                 ORDER BY jaccard DESC, d2) AS rank
-            FROM ver0 WHERE jaccard < 0.5)
-          SELECT d1, d2, jaccard, CAST(rank AS INTEGER) AS rank
+            FROM verh WHERE jaccard < 0.5)
+          SELECT d1, d2, jaccard, CAST(rank AS INTEGER) AS rank,
+            ${NearDup.HardNegPreVerifyCap} AS pre_cap
           FROM hn WHERE rank <= ${NearDup.HardNegPerAnchor}
           ORDER BY d1, rank""",
     "q_minhash_dedup" ->

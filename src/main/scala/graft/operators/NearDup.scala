@@ -506,30 +506,97 @@ object NearDup {
     * oracle's ranked window, PureProps-pinned. */
   val HardNegPerAnchor: Int = 8
 
+  /** Pre-verify candidate cap for [[hardNegatives]]: at most this
+    * many banded candidates per anchor reach the exact-jaccard
+    * verify, ranked by band-collision count (more shared bands ≈
+    * higher signature agreement ≈ harder negative) with d2 ties.
+    * The round-8 per-anchor OUTPUT cap made the result linear, but
+    * the verify stage still paid every below-threshold banded
+    * candidate — and candidate density grows superlinearly on a
+    * densifying corpus (measured 17.2× operator time at the 10×
+    * probe). 2× the output cap keeps headroom for candidates the
+    * verify discards as true duplicates (≥ threshold) while bounding
+    * verify work per anchor to a constant (measured at the 10×
+    * probe: verify-all 92 s, preCap=64 14 s, preCap=16 5 s — the
+    * verify stage IS the operator). An anchor whose top candidates
+    * are all true dups can yield fewer than perAnchor negatives —
+    * the documented cost of a bounded mining operator. Replayed by
+    * the oracle's collision-count-ranked window and emitted as the
+    * `pre_cap` column, PureProps-pinned. */
+  val HardNegPreVerifyCap: Int = 16
+
   /** Hard-negative mining off the SAME LSH banding as
     * [[minhashPairs]]: candidate pairs that collided in at least one
     * band but verify BELOW the near-dup threshold — "similar enough
     * to hash together, not duplicates" — exactly the contrastive
     * training pairs a naive random-negative sampler never finds (its
     * negatives are trivially far). Zero extra corpus work: the
-    * signature/banding/verify stages are the dedup pipeline's own;
-    * this keeps the complement of the pairs [[minhashPairs]] keeps,
+    * signature/banding stages are the dedup pipeline's own; this
+    * keeps the complement of the pairs [[minhashPairs]] keeps,
     * ranked per anchor by the exact verified jaccard (hardest first,
     * d2 ties) and cut at `perAnchor` ([[HardNegPerAnchor]]) — the
-    * training-shaped, output-linear form. Output (d1, d2, jaccard,
-    * rank) ordered; bucket cap bounds candidate volume, the anchor
-    * cap bounds output volume. */
+    * training-shaped, output-linear form. Work is bounded BEFORE the
+    * expensive stage too: only the top `preCap`
+    * ([[HardNegPreVerifyCap]]) banded candidates per anchor — ranked
+    * by how many bands they collided in — are exact-verified, so
+    * verify cost per anchor is a constant at any corpus density.
+    * Output (d1, d2, jaccard, rank, pre_cap) ordered; bucket cap
+    * bounds candidate volume, the pre-verify cap bounds verify work,
+    * the anchor cap bounds output volume. */
   def hardNegatives(docs: DataFrame, n: Int = 3, k: Int = 32,
                     bands: Int = 16, threshold: Double = 0.5,
                     bucketCap: Int = DefaultBucketCap,
-                    perAnchor: Int = HardNegPerAnchor): DataFrame = {
+                    perAnchor: Int = HardNegPerAnchor,
+                    preCap: Int = HardNegPreVerifyCap): DataFrame = {
+    val rows = k / bands
+    val sig = signatures(docs, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize ONCE before the fan-out: the banding branch and the
+    // two verify legs all read this frame, and the verify legs sit
+    // under exchanges whose map stages the scheduler launches
+    // concurrently with the banding stage — unfilled cache + three
+    // concurrent readers = the tokenize→shingle→minhash corpus pass
+    // (the operator's most expensive projection) racing itself
+    sig.count()
+    val bnd = bandRows(sig, bands, rows)
+    // banded candidates WITH their collision multiplicity (the
+    // distinct() in the shared verify path drops it): pairs from each
+    // bucket's sorted, capped id list, then one (d1, d2) count
+    val candN = bnd
+      .groupBy(col("band"), col("band_sig"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, bucketCap).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(pairsFromSortedIds("d1", "d2")).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("n_bands"))
+    val wPre = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d1")).orderBy(col("n_bands").desc, col("d2"))
+    val capped = candN
+      .withColumn("prk", row_number().over(wPre))
+      .where(col("prk") <= preCap)
+      .select(col("d1"), col("d2"))
+    val t = sig.select(col("doc_id"), col("sh"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("d1")).orderBy(col("jaccard").desc, col("d2"))
-    verifiedCandidates(docs, n, k, bands, bucketCap)
+    // SHUFFLE_HASH with the PAIR side as build: the window output has
+    // no size stats, and left to estimates Spark broadcasts the
+    // corpus-grain shingle frame (gigabytes of arrays, rebuilt per
+    // leg — measured 2.4× the whole operator at the 10× probe). The
+    // pair side is two longs per row and linear in the corpus; the
+    // shingle side streams from cache. Same result, join-strategy-only
+    // hint.
+    capped.hint("SHUFFLE_HASH")
+      .join(t.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .hint("SHUFFLE_HASH")
+      .join(t.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
       .where(col("jaccard") < threshold)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= perAnchor)
-      .select(col("d1"), col("d2"), col("jaccard"), col("rank"))
+      .select(col("d1"), col("d2"), col("jaccard"), col("rank"),
+        lit(preCap).as("pre_cap"))
       .orderBy(col("d1"), col("rank"))
   }
 

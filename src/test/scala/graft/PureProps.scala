@@ -128,6 +128,8 @@ object PureProps extends Properties("graft") {
       "q_dedup_sweep" -> s"<= ${NearDup.DfPairBudget}",
       "q_dedup_sweep" -> s"greatest(${NearDup.DfCapFloor}",
       "q_hard_negatives" -> s"<= ${NearDup.HardNegPerAnchor}",
+      "q_hard_negatives" -> s"<= ${NearDup.HardNegPreVerifyCap}",
+      "q_hard_negatives" -> s"${NearDup.HardNegPreVerifyCap} AS pre_cap",
       "q_minhash_dedup" -> s"[1:${NearDup.DefaultBucketCap}]",
       "q_dedup_clusters" -> s"[1:${NearDup.DefaultBucketCap}]",
       "q_embed_lsh" -> s"[1:${NearDup.DefaultBucketCap}]",

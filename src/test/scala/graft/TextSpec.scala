@@ -595,6 +595,19 @@ class TextSpec extends SparkSpec {
     assert(hard.contains((3L, 4L)), "planted near-miss pair mined")
     assert(hard((3L, 4L)) > 0.3 && hard((3L, 4L)) < 0.5,
       "hardness score is the exact jaccard")
+    // pre-verify cap: with preCap=1 only the TOP band-collision
+    // candidate per anchor is exact-verified. Anchor 1's top candidate
+    // is its identical twin (collides in all 16 bands) which verifies
+    // as a dup -> anchor 1 yields nothing; anchor 3's only candidate
+    // is the planted near-miss -> still mined. The cap can only
+    // shrink the default result, never add to it.
+    val capped = NearDup.hardNegatives(df, preCap = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(hard.keySet), "preCap only shrinks")
+    assert(capped.contains((3L, 4L)), "sole candidate survives preCap=1")
+    val perAnchorVerified = NearDup.hardNegatives(df, preCap = 1).collect()
+      .groupBy(_.getLong(0)).values.map(_.length)
+    assert(perAnchorVerified.forall(_ <= 1), "preCap bounds per-anchor output")
   }
 
   test("fertilityByLanguage: per-language totals and guarded ratios") {
