@@ -89,8 +89,11 @@ object Bench {
     "q_semantic_dedup", "q_mixture", "q_curriculum", "q_token_budget", "q_props_health",
     "q_search", "q_search_bm25", "q_search_eval", "q_search_ndcg", "q_qa_orphans", "q_percentiles", "q_winsorize",
     "q_mixture_sample",
-    "q_active_users", "q_active_users_approx",
-    "q_skew_report", "q_skew_report_approx", "q_dedup_best", "q_table_diff",
+    "q_active_users", "q_active_users_approx", "q_active_users_gate",
+    "q_skew_report", "q_skew_report_approx", "q_skew_report_gate",
+    "q_reach_approx_gate", "q_pairwise_approx_gate",
+    "q_lifecycle_approx_gate", "q_percentiles_approx_gate",
+    "q_dedup_best", "q_table_diff",
     "q_scd_merge", "q_cdc_apply", "q_entity_match", "q_agg_merge",
     "q_langid_eval",
     "q_sample_fixed", "q_shard_plan", "q_zorder",

@@ -122,9 +122,50 @@ object SparkEntry {
     * deterministic tie-break at the cut is itself gate-checked. */
   private val BpeTopN = 200
 
-  /** q_bpe_train merge rounds (spec-gated — no SQL oracle for the
-    * data-dependent argmax loop). */
+  /** q_bpe_train merge rounds — replayed structurally by the
+    * unrolled-CTE oracle ([[bpeVocabCtes]]), the k-core precedent:
+    * each data-dependent argmax round is one MATERIALIZED CTE step,
+    * so the gate hash-checks the full merge sequence. */
   private val BpeMerges = 10
+
+  /** The BPE merge loop unrolled to exactly [[BpeMerges]]
+    * MATERIALIZED CTE steps — shared by the q_bpe_train and
+    * q_bpe_apply oracles. Symbol arrays ride as '[s1][s2]…' strings
+    * (tokens are [a-z0-9]+ so a bracket can never occur inside a
+    * symbol); the engine's greedy left-to-right merge fold
+    * ([[graft.operators.TextAnalysis.bpeTrain]]'s mergeFold) is
+    * EXACTLY SQL replace()'s non-overlapping left-to-right scan — a
+    * replacement is never re-scanned, so a merged symbol cannot
+    * immediately re-merge, and overlapping runs resolve left-first
+    * on both sides. Yields v0..v$BpeMerges (term, symstr, cnt) and
+    * m0..m${BpeMerges-1} (a, b, w) — the per-round winning pair. */
+  private lazy val BpeVocabCtes: String = {
+    val steps = (0 until BpeMerges).map { k =>
+      s"""p$k AS MATERIALIZED (
+            SELECT pp[1] AS a, pp[2] AS b, CAST(sum(cnt) AS BIGINT) AS w
+            FROM (SELECT unnest(list_transform(range(1, len(sym)),
+                i -> [sym[i], sym[i + 1]])) AS pp, cnt
+              FROM (SELECT regexp_extract_all(symstr,
+                  '\\[([^\\]]+)\\]', 1) AS sym, cnt FROM v$k) s
+              WHERE len(sym) >= 2)
+            GROUP BY 1, 2),
+          m$k AS MATERIALIZED (SELECT a, b, w FROM p$k
+            ORDER BY w DESC, a, b LIMIT 1),
+          v${k + 1} AS MATERIALIZED (SELECT term,
+            replace(symstr,
+              '[' || (SELECT a FROM m$k) || '][' ||
+                (SELECT b FROM m$k) || ']',
+              '[' || (SELECT a FROM m$k) ||
+                (SELECT b FROM m$k) || ']') AS symstr,
+            cnt FROM v$k)"""
+    }.mkString(",\n          ")
+    s"""v0 AS MATERIALIZED (
+          SELECT term, regexp_replace(term, '(.)', '[\\1]', 'g') AS symstr,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest($ToksSql) AS term FROM documents)
+          GROUP BY 1),
+          $steps"""
+  }
 
   /** q_quality_cap: best docs kept per source. */
   private val QualityPerSource = 3
@@ -981,6 +1022,11 @@ object SparkEntry {
     // the inclusion-exclusion estimates against exact distinct counts.
     "q_pairwise_approx" -> ((s, d) =>
       Pairwise.pairwiseOverlapApprox(Tables.media(s, d), "etype")),
+    // bound gate: every pair's side counts within 5%, the
+    // inclusion-exclusion overlap within 8% of the exact union -
+    // hash-gated via the exact leg + TRUE verdicts in the oracle
+    "q_pairwise_approx_gate" -> ((s, d) =>
+      SketchGates.pairwiseGate(Tables.media(s, d), "etype")),
     "q_reach_multi" -> ((s, d) =>
       Reach.reachByDimensions(
         Tables.media(s, d).withColumn("week_s", col("week").cast("string")),
@@ -1316,6 +1362,10 @@ object SparkEntry {
     // ReachSpec bounds the estimates against the exact counts.
     "q_reach_approx" -> ((s, d) =>
       Reach.approxReach(Tables.media(s, d), "etype")),
+    // bound gate: per-value + merged "all" HLL estimates within 5%
+    // of the exact distinct counts (driver-checked, not spec-only)
+    "q_reach_approx_gate" -> ((s, d) =>
+      SketchGates.reachGate(Tables.media(s, d), "etype")),
     "q_tfidf" -> ((s, d) =>
       TextAnalysis.tfidf(Tables.documents(s, d), TfidfPerDoc)),
     "q_inverted_index" -> ((s, d) =>
@@ -1394,6 +1444,11 @@ object SparkEntry {
     // small-domain near-exactness and bounds vs the exact lifecycle.
     "q_lifecycle_approx" -> ((s, d) =>
       Journey.lifecycleApprox(Tables.events(s, d)
+        .where(col("event_id") % CohortSliceMod === 0))),
+    // bound gate: sketch growth accounting vs the exact lifecycle at
+    // active-week grain (active 5%, statuses 8% inclusion-exclusion)
+    "q_lifecycle_approx_gate" -> ((s, d) =>
+      SketchGates.lifecycleGate(Tables.events(s, d)
         .where(col("event_id") % CohortSliceMod === 0))),
     "q_funnel_steps" -> ((s, d) =>
       Journey.funnelSteps(Tables.events(s, d)
@@ -1650,9 +1705,8 @@ object SparkEntry {
         WedgeEdgeBudget)),
     "q_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, d))),
-    // Rows-only: the merge table comes from bpeTrain's data-dependent
-    // argmax loop (no SQL oracle); TextSpec pins train+apply
-    // segmentations on the training fixture.
+    // Hash-gated via the unrolled merge-chain oracle (BpeVocabCtes);
+    // TextSpec pins train+apply segmentations on the training fixture.
     "q_bpe_apply" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = TextAnalysis.bpeTrain(docs, BpeMerges).collect()
@@ -1817,6 +1871,9 @@ object SparkEntry {
     // estimates against the exact pair.
     "q_active_users_approx" -> ((s, d) =>
       Journey.approxActiveUsers(Tables.events(s, d), ActiveDays)),
+    // bound gate: per-day sketch DAU/WAU within 5% of the exact pair
+    "q_active_users_gate" -> ((s, d) =>
+      SketchGates.activeUsersGate(Tables.events(s, d), ActiveDays)),
     // Same planted hot key as q_skew_salted — the detector that says
     // the mitigation is needed.
     "q_skew_report" -> ((s, d) => {
@@ -1833,6 +1890,14 @@ object SparkEntry {
         when(col("event_id") % 2 === 0, lit(0L))
           .otherwise(col("user_id").cast("long")).as("hot_key"))
       Skew.skewReportApprox(ev, "hot_key", SkewTopN)
+    }),
+    // bound gate: every Misra-Gries-GUARANTEED key (count > n/(k+1))
+    // present in the summary with its lower-bound estimate in range
+    "q_skew_report_gate" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        when(col("event_id") % 2 === 0, lit(0L))
+          .otherwise(col("user_id").cast("long")).as("hot_key"))
+      SketchGates.skewGate(ev, "hot_key", SkewTopN)
     }),
     "q_dedup_best" -> ((s, d) =>
       TextAnalysis.exactDedupBest(Tables.documents(s, d))),
@@ -1917,6 +1982,11 @@ object SparkEntry {
     // DataChecksSpec bounds the estimates against the exact quartiles.
     "q_percentiles_approx" -> ((s, d) =>
       DataChecks.percentileBandsApprox(Tables.events(s, d), "value",
+        "event_type")),
+    // bound gate: KLL quartiles within 5%+1 of the exact cent-grid
+    // quartiles, per dim
+    "q_percentiles_approx_gate" -> ((s, d) =>
+      SketchGates.percentilesGate(Tables.events(s, d), "value",
         "event_type")),
     "q_reach_var" -> ((s, d) =>
       Reach.reachVariance(Tables.media(s, d), "household_id", "projfact",
@@ -3750,6 +3820,30 @@ object SparkEntry {
             count(DISTINCT doc_id) AS n_docs
           FROM p GROUP BY pair
           ORDER BY n_occ DESC, pair LIMIT $BpeTopN""",
+    // the merge loop replayed round-by-round: each unrolled step's
+    // 1-row argmax is that round's merge, ties (w desc, a, b)
+    "q_bpe_train" -> {
+      val out = (0 until BpeMerges).map { k =>
+        s"""SELECT $k AS merge_ix, a AS "left", b AS "right",
+            a || b AS merged, w AS pair_weight FROM m$k"""
+      }.mkString("\n          UNION ALL ")
+      s"""WITH $BpeVocabCtes
+          $out
+          ORDER BY merge_ix"""
+    },
+    // deploy step: the final unrolled vocab's symbol counts joined
+    // back into the token stream at term grain
+    "q_bpe_apply" ->
+      s"""WITH $BpeVocabCtes,
+          enc AS (SELECT term,
+            len(regexp_extract_all(symstr, '\\[([^\\]]+)\\]', 1)) AS n_sym
+            FROM v$BpeMerges),
+          tk AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(n_sym) AS BIGINT) AS n_symbols,
+            CAST(sum(n_sym) AS DOUBLE) / count(*) AS symbols_per_token
+          FROM tk JOIN enc USING (term)
+          GROUP BY doc_id ORDER BY doc_id""",
     "q_curriculum" ->
       s"""WITH $QualityScoreCtes,
           r AS (SELECT doc_id, token_cnt,
@@ -7572,6 +7666,115 @@ object SparkEntry {
             FROM ex GROUP BY 1)
           SELECT d.day, d.dau, w.active_${ActiveDays}d
           FROM dau d JOIN wau w USING (day) ORDER BY day""",
+    // sketch-bound gates: the oracle recomputes the EXACT leg and
+    // expects literal TRUE per verdict column — a sketch drifting
+    // past its bound hash-fails the gate (the estimate itself never
+    // rides in the output; it is the engine-specific part)
+    "q_reach_approx_gate" ->
+      """WITH pv AS (SELECT CAST(event_type AS VARCHAR) AS value,
+            count(DISTINCT user_id) AS reach_exact FROM events GROUP BY 1
+          UNION ALL
+          SELECT 'all', count(DISTINCT user_id) FROM events)
+          SELECT value, CAST(reach_exact AS BIGINT) AS reach_exact,
+            TRUE AS within_bound
+          FROM pv ORDER BY value""",
+    "q_active_users_gate" ->
+      s"""WITH uw AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+          dau AS (SELECT day, count(*) AS dau FROM uw GROUP BY 1),
+          ex AS (SELECT DISTINCT user_id, day + CAST(x AS INTEGER) AS day2
+            FROM uw, range(0, $ActiveDays) t(x)),
+          wau AS (SELECT day2 AS day, count(*) AS active_${ActiveDays}d
+            FROM ex GROUP BY 1)
+          SELECT d.day, d.dau, w.active_${ActiveDays}d,
+            TRUE AS dau_within, TRUE AS wau_within
+          FROM dau d JOIN wau w USING (day) ORDER BY day""",
+    "q_pairwise_approx_gate" ->
+      """WITH hv AS (SELECT DISTINCT event_type AS value,
+            user_id AS household_id FROM events),
+          pv AS (SELECT value, count(*) AS nx FROM hv GROUP BY 1),
+          ep AS (SELECT a.value AS media_type_1, b.value AS media_type_2,
+            count(*) AS overlap_exact
+            FROM hv a JOIN hv b ON a.household_id = b.household_id
+              AND a.value < b.value
+            GROUP BY 1, 2)
+          SELECT p1.value AS media_type_1, p2.value AS media_type_2,
+            CAST(p1.nx AS BIGINT) AS n1_exact,
+            CAST(p2.nx AS BIGINT) AS n2_exact,
+            CAST(coalesce(ep.overlap_exact, 0) AS BIGINT) AS overlap_exact,
+            TRUE AS within_bound
+          FROM pv p1 JOIN pv p2 ON p1.value < p2.value
+          LEFT JOIN ep ON ep.media_type_1 = p1.value
+            AND ep.media_type_2 = p2.value
+          ORDER BY 1, 2""",
+    "q_lifecycle_approx_gate" ->
+      s"""WITH uw AS (SELECT DISTINCT user_id,
+            CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events WHERE event_id % $CohortSliceMod = 0),
+          mx AS (SELECT max(week) AS max_week FROM uw),
+          lagged AS (SELECT user_id, week,
+            lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_w,
+            lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_w
+            FROM uw),
+          act AS (SELECT week,
+            CASE WHEN prev_w IS NULL THEN 'new'
+                 WHEN week - prev_w = 7 THEN 'retained'
+                 ELSE 'resurrected' END AS status FROM lagged),
+          churn AS (SELECT week + 7 AS week, 'churned' AS status
+            FROM lagged, mx
+            WHERE (next_w IS NULL OR next_w - week > 7)
+              AND week + 7 <= max_week),
+          allr AS (SELECT * FROM act UNION ALL SELECT * FROM churn),
+          wide AS (SELECT week,
+            CAST(coalesce(count(*) FILTER (WHERE status = 'new'), 0)
+              AS BIGINT) AS new_exact,
+            CAST(coalesce(count(*) FILTER (WHERE status = 'retained'), 0)
+              AS BIGINT) AS retained_exact,
+            CAST(coalesce(count(*) FILTER (WHERE status = 'resurrected'), 0)
+              AS BIGINT) AS resurrected_exact,
+            CAST(coalesce(count(*) FILTER (WHERE status = 'churned'), 0)
+              AS BIGINT) AS churned_exact
+            FROM allr GROUP BY week),
+          actv AS (SELECT week, count(*) AS active_exact FROM uw GROUP BY 1),
+          fs AS (SELECT week, count(*) AS first_seen FROM
+            (SELECT user_id, min(week) AS week FROM uw GROUP BY 1)
+            GROUP BY 1),
+          grain AS (SELECT a.week, a.active_exact,
+            CAST(sum(coalesce(f.first_seen, 0)) OVER (ORDER BY a.week
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_exact
+            FROM actv a LEFT JOIN fs f USING (week))
+          SELECT a.week, CAST(a.active_exact AS BIGINT) AS active_exact,
+            a.cum_exact,
+            coalesce(w.new_exact, 0) AS new_exact,
+            coalesce(w.retained_exact, 0) AS retained_exact,
+            coalesce(w.resurrected_exact, 0) AS resurrected_exact,
+            coalesce(w.churned_exact, 0) AS churned_exact,
+            TRUE AS active_within, TRUE AS new_within,
+            TRUE AS retained_within, TRUE AS resurrected_within,
+            TRUE AS churned_within
+          FROM grain a LEFT JOIN wide w USING (week) ORDER BY a.week""",
+    "q_percentiles_approx_gate" ->
+      """WITH c AS (SELECT event_type,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL),
+          q AS (SELECT event_type, count(*) AS n_rows,
+            quantile_cont(c, [0.25, 0.5, 0.75]) AS ps FROM c GROUP BY 1)
+          SELECT event_type, n_rows, ps[1] / 100.0 AS p25,
+            ps[2] / 100.0 AS p50, ps[3] / 100.0 AS p75,
+            TRUE AS p25_within, TRUE AS p50_within, TRUE AS p75_within
+          FROM q ORDER BY event_type""",
+    "q_skew_report_gate" ->
+      s"""WITH h AS (SELECT CASE WHEN event_id % 2 = 0 THEN 0
+            ELSE user_id END AS hot_key FROM events),
+          t AS (SELECT count(*) AS n_total FROM h),
+          g AS (SELECT hot_key, count(*) AS n_rows FROM h GROUP BY 1),
+          top AS (SELECT hot_key, n_rows, n_total FROM g CROSS JOIN t
+            ORDER BY n_rows DESC, hot_key LIMIT $SkewTopN)
+          SELECT hot_key, CAST(n_rows AS BIGINT) AS n_rows,
+            CAST(n_total AS BIGINT) AS n_total, TRUE AS within_bound
+          FROM top WHERE n_rows * ${Skew.MgSummaryK + 1} > n_total
+          ORDER BY n_rows DESC, hot_key""",
     "q_skew_report" ->
       s"""WITH h AS (SELECT CASE WHEN event_id % 2 = 0 THEN 0
             ELSE user_id END AS hot_key FROM events),

@@ -62,8 +62,14 @@ object Skew {
     * estimates (not the guarantee), hence rows-only at the gate with
     * SkewSpec bounding it against [[skewReport]] — the same contract
     * as the HLL/KLL sketch twins. */
+  /** Misra–Gries summary size — shared by [[skewReportApprox]] and
+    * [[SketchGates.skewGate]], and interpolated into the
+    * q_skew_report_gate oracle's guarantee threshold (n/(k+1)),
+    * PureProps-pinned. */
+  val MgSummaryK: Int = 256
+
   def skewReportApprox(df: DataFrame, keyCol: String, topN: Int,
-                       k: Int = 256): DataFrame = {
+                       k: Int = MgSummaryK): DataFrame = {
     val agg = df.agg(
       count(lit(1)).as("n_total"),
       call_function("graft_heavy_agg", col(keyCol), lit(k)).as("hh"))

@@ -845,9 +845,12 @@ object TextAnalysis {
     * trainCentroids contract) and the rewrite a row-local fold.
     * `localCheckpoint` per round keeps lineage O(1) across
     * iterations (the Lloyd pattern) — without it round k replays all
-    * k−1 rewrites. No DuckDB oracle: the loop's data-dependent argmax
-    * can't be replayed in non-recursive SQL — spec-gated instead
-    * (exact merge sequence on a hand-computable fixture). */
+    * k−1 rewrites. Oracle: the loop unrolls to one MATERIALIZED CTE
+    * step per round (SparkEntry.BpeVocabCtes, the k-core precedent) —
+    * the greedy fold is replayed by SQL replace()'s left-to-right
+    * non-overlapping scan over '[sym]'-encoded arrays, so the full
+    * merge sequence is hash-gated; TextSpec additionally pins it on a
+    * hand-computable fixture. */
   def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -911,10 +914,11 @@ object TextAnalysis {
     * aggregate. The chained per-merge folds collapse into ONE
     * projection over the vocab frame (each round's array is consumed
     * exactly once by the next fold's input, so projection collapse
-    * chains — it does not multiply — the evaluations). Rows-only at
-    * the gate: the merge table comes from [[bpeTrain]]'s
-    * data-dependent argmax loop; TextSpec pins the segmentation on
-    * the training fixture. */
+    * chains — it does not multiply — the evaluations). Hash-gated:
+    * the oracle replays [[bpeTrain]]'s unrolled merge chain and joins
+    * the final vocab's symbol counts back into the token stream;
+    * TextSpec additionally pins the segmentation on the training
+    * fixture. */
   def bpeApply(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))

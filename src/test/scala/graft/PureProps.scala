@@ -130,6 +130,9 @@ object PureProps extends Properties("graft") {
       "q_hard_negatives" -> s"<= ${NearDup.HardNegPerAnchor}",
       "q_hard_negatives" -> s"<= ${NearDup.HardNegPreVerifyCap}",
       "q_hard_negatives" -> s"${NearDup.HardNegPreVerifyCap} AS pre_cap",
+      // Misra–Gries guarantee threshold n/(k+1) in the sketch gate
+      "q_skew_report_gate" ->
+        s"* ${operators.Skew.MgSummaryK + 1} > n_total",
       "q_minhash_dedup" -> s"[1:${NearDup.DefaultBucketCap}]",
       "q_dedup_clusters" -> s"[1:${NearDup.DefaultBucketCap}]",
       "q_embed_lsh" -> s"[1:${NearDup.DefaultBucketCap}]",
@@ -149,12 +152,13 @@ object PureProps extends Properties("graft") {
   }
 
   /** The declared rows-only set: hash-function-dependent sketches and
-    * the data-dependent BPE loops — each spec-gated elsewhere. A
-    * query added WITHOUT an oracle silently downgrades the driver's
-    * gate to a rows>0 check; this pin makes that a deliberate,
-    * reviewed decision instead of an accident. */
+    * the engine-specific DEFLATE signal — each spec-gated elsewhere
+    * (the BPE loop pair graduated to the unrolled-CTE oracle in
+    * round 9). A query added WITHOUT an oracle silently downgrades
+    * the driver's gate to a rows>0 check; this pin makes that a
+    * deliberate, reviewed decision instead of an accident. */
   private val RowsOnlyDeclared = Set(
-    "q_active_users_approx", "q_bpe_apply", "q_bpe_train",
+    "q_active_users_approx",
     "q_compress_ratio", "q_lifecycle_approx", "q_pairwise_approx",
     "q_percentiles_approx", "q_reach_approx", "q_skew_report_approx")
 
