@@ -1235,6 +1235,17 @@ object SparkEntry {
     // Bloom-pruned exact increment probe: same IncrementMod/Rem split
     // as q_dedup_incremental; the oracle replays plain exact semantics
     // (the bloom only prunes — a false negative would fail the gate).
+    // staleness verdict for the published dedup index: the live
+    // corpus (post-increment) vs the snapshot the index was built
+    // from — rebuild when drift exceeds the pinned thresholds
+    "q_index_staleness" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idxFp = docs
+        .where(pmod(col("doc_id"), lit(IncrementMod)) =!= IncrementRem)
+        .select(md5(graft.functions.TextFunctions.normText(col("text")))
+          .as("fp"))
+      NearDup.indexStaleness(docs, idxFp)
+    }),
     "q_dedup_bloom" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       NearDup.dedupIncrementBloom(
@@ -3932,6 +3943,32 @@ object SparkEntry {
             (ex.exact_match IS NULL AND nr.near_match IS NULL) AS is_new
           FROM nw LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
           ORDER BY nw.doc_id""",
+    // the index-vs-live fingerprint-set diff: one full-outer join on
+    // the md5, one global row; thresholds ride as literal columns
+    "q_index_staleness" ->
+      s"""WITH cur AS (SELECT DISTINCT md5($NormSql) AS fp FROM documents),
+          idx AS (SELECT DISTINCT md5($NormSql) AS fp FROM documents
+            WHERE doc_id % $IncrementMod <> $IncrementRem),
+          j AS (SELECT c.fp AS cfp, i.fp AS ifp
+            FROM cur c FULL JOIN idx i ON c.fp = i.fp),
+          g AS (SELECT CAST(count(ifp) AS BIGINT) AS n_index_fp,
+              CAST(count(cfp) AS BIGINT) AS n_corpus_fp,
+              CAST(count(*) FILTER (WHERE cfp IS NOT NULL AND ifp IS NULL)
+                AS BIGINT) AS n_new_fp,
+              CAST(count(*) FILTER (WHERE ifp IS NOT NULL AND cfp IS NULL)
+                AS BIGINT) AS n_gone_fp
+            FROM j),
+          r AS (SELECT *,
+              CAST(n_new_fp AS DOUBLE) / nullif(n_corpus_fp, 0)
+                AS new_frac,
+              CAST(n_gone_fp AS DOUBLE) / nullif(n_index_fp, 0)
+                AS gone_frac,
+              CAST(${NearDup.StaleNewFracMax} AS DOUBLE) AS max_new_frac,
+              CAST(${NearDup.StaleGoneFracMax} AS DOUBLE) AS max_gone_frac
+            FROM g)
+          SELECT *, (coalesce(new_frac > max_new_frac, FALSE)
+            OR coalesce(gone_frac > max_gone_frac, FALSE)) AS stale
+          FROM r""",
     // the banding chain's complement: collided but verified below
     // threshold, ranked hardest-first per anchor and cut at the
     // per-anchor cap (the output-linear training shape). Replays the

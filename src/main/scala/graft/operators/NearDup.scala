@@ -851,6 +851,65 @@ object NearDup {
       .agg(count(lit(1)).as("n_buckets"))
       .orderBy(col("bucket_size"))
 
+  /** Staleness thresholds for [[indexStaleness]]: the published index
+    * needs a rebuild when more than this fraction of the live
+    * corpus's fingerprints are unknown to it (drift in), or more than
+    * this fraction of its fingerprints no longer exist in the corpus
+    * (deletes/rewrites) — 10% tracks the usual "rebuild when the
+    * increment stops being incremental" operating point. Interpolated
+    * into the q_index_staleness oracle, PureProps-pinned. */
+  val StaleNewFracMax: Double = 0.1
+  val StaleGoneFracMax: Double = 0.1
+
+  /** Staleness gate for a published increment index: compares the
+    * LIVE corpus's exact-fingerprint set against the index's
+    * published fingerprint map and emits the one-row rebuild verdict
+    * — the check an operator runs BEFORE trusting a probe cadence
+    * against frozen artifacts ([[publishIncrementIndex]] freezes a
+    * snapshot; nothing else says when the snapshot has drifted). A
+    * probe against a stale index silently under-flags duplicates
+    * (new near-dup families are invisible to frozen buckets), so
+    * staleness must be a measured gate, not an ops memory.
+    *
+    * Measures (all exact, md5-portable → fully hash-gated): index and
+    * corpus fingerprint cardinalities, `n_new_fp` (live fingerprints
+    * the index has never seen), `n_gone_fp` (index fingerprints no
+    * longer live), their fractions, and `stale` = either fraction
+    * over its threshold (thresholds ride as literal columns).
+    *
+    * Scale shape: two fingerprint-set frames (the index side IS the
+    * published artifact — corpus-sized-once; the live side is the
+    * same one-pass projection the exact dedup family pays), one
+    * full-outer join on the md5 hash, ONE global aggregate row. */
+  def indexStaleness(current: DataFrame, indexFp: DataFrame,
+                     maxNewFrac: Double = StaleNewFracMax,
+                     maxGoneFrac: Double = StaleGoneFracMax): DataFrame = {
+    import graft.functions.TextFunctions.normText
+    val cur = current.select(md5(normText(col("text"))).as("fp")).distinct()
+      .withColumn("in_cur", lit(1))
+    val idx = indexFp.select(col("fp")).distinct()
+      .withColumn("in_idx", lit(1))
+    cur.join(idx, Seq("fp"), "full_outer")
+      .agg(
+        count(col("in_idx")).as("n_index_fp"),
+        count(col("in_cur")).as("n_corpus_fp"),
+        count(when(col("in_cur").isNotNull && col("in_idx").isNull, 1))
+          .as("n_new_fp"),
+        count(when(col("in_idx").isNotNull && col("in_cur").isNull, 1))
+          .as("n_gone_fp"))
+      .select(col("n_index_fp"), col("n_corpus_fp"), col("n_new_fp"),
+        col("n_gone_fp"),
+        (col("n_new_fp").cast("double") /
+          nullif(col("n_corpus_fp"), lit(0L)).cast("double")).as("new_frac"),
+        (col("n_gone_fp").cast("double") /
+          nullif(col("n_index_fp"), lit(0L)).cast("double")).as("gone_frac"),
+        lit(maxNewFrac).as("max_new_frac"),
+        lit(maxGoneFrac).as("max_gone_frac"))
+      .withColumn("stale",
+        coalesce(col("new_frac") > col("max_new_frac"), lit(false)) ||
+          coalesce(col("gone_frac") > col("max_gone_frac"), lit(false)))
+  }
+
   /** Load a published increment index. `n`/`k`/`bands` must match the
     * publish-time values (they parameterize the PROBE side's shingle
     * and band generation; the artifacts carry no metadata row by

@@ -236,6 +236,32 @@ class CurationSpec extends SparkSpec {
       && out(22L).getBoolean(3), "fresh doc is new")
   }
 
+  test("indexStaleness: fresh index is not stale, drifted corpus is") {
+    import org.apache.spark.sql.functions.{col, md5}
+    import graft.functions.TextFunctions.normText
+    val corpus = docs((1L to 20L).map(i => i -> s"unique document body $i"): _*)
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.select(md5(normText(col("text"))).as("fp"))
+    // same corpus both sides: zero drift, not stale
+    val fresh = NearDup.indexStaleness(corpus, fp(corpus)).collect().head
+    assert(fresh.getLong(0) == 20L && fresh.getLong(1) == 20L)
+    assert(fresh.getLong(2) == 0L && fresh.getLong(3) == 0L)
+    assert(!fresh.getBoolean(8), "no drift -> not stale")
+    // 25% of the live corpus unseen by the snapshot -> new_frac 0.25
+    // over the 10% threshold; nothing deleted -> gone_frac 0
+    val grown = corpus.unionAll(
+      docs((21L to 26L).map(i => i -> s"drifted new body $i"): _*)
+        .select(corpus.columns.map(col): _*))
+    val drift = NearDup.indexStaleness(grown, fp(corpus)).collect().head
+    assert(drift.getLong(2) == 6L && drift.getLong(3) == 0L)
+    assert(drift.getBoolean(8), "23% unseen fingerprints -> stale")
+    // deletes: live corpus lost half the snapshot -> gone_frac 0.5
+    val shrunk = corpus.where(col("doc_id") <= 10L)
+    val gone = NearDup.indexStaleness(shrunk, fp(corpus)).collect().head
+    assert(gone.getLong(2) == 0L && gone.getLong(3) == 10L)
+    assert(gone.getBoolean(8), "half the index gone -> stale")
+  }
+
   test("published dedup index probes row-identically to an in-session build") {
     val body = (1 to 30).map(i => s"w$i").mkString(" ")
     val corpus = docs(10L -> body, 11L -> "an unrelated corpus document here")

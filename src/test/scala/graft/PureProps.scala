@@ -133,6 +133,11 @@ object PureProps extends Properties("graft") {
       // Misra–Gries guarantee threshold n/(k+1) in the sketch gate
       "q_skew_report_gate" ->
         s"* ${operators.Skew.MgSummaryK + 1} > n_total",
+      // index-staleness rebuild thresholds
+      "q_index_staleness" ->
+        s"CAST(${NearDup.StaleNewFracMax} AS DOUBLE) AS max_new_frac",
+      "q_index_staleness" ->
+        s"CAST(${NearDup.StaleGoneFracMax} AS DOUBLE) AS max_gone_frac",
       "q_minhash_dedup" -> s"[1:${NearDup.DefaultBucketCap}]",
       "q_dedup_clusters" -> s"[1:${NearDup.DefaultBucketCap}]",
       "q_embed_lsh" -> s"[1:${NearDup.DefaultBucketCap}]",
