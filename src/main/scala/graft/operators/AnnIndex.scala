@@ -52,6 +52,18 @@ object AnnIndex {
     VectorSearch.ivfTopK(embeddings, spark.table(ivfTable(prefix)),
       queryFilter, k, nprobe)
 
+  /** Streaming serve against the published IVF centroids: queries
+    * arrive as a stream (query_id, embedding, ts) and are answered
+    * per finalized window — [[graft.streaming.EventStream
+    * .annServeStream]] against `spark.table(ivfTable(prefix))`.
+    * EquivalenceSpec proves finalized rows equal the batch
+    * [[servedIvfTopK]] on the same queries. */
+  def servedIvfTopKStream(spark: SparkSession, queries: DataFrame,
+                          corpus: DataFrame, k: Int, nprobe: Int = 1,
+                          prefix: String = DefaultPrefix): DataFrame =
+    graft.streaming.EventStream.annServeStream(queries, corpus,
+      spark.table(ivfTable(prefix)), k, nprobe)
+
   def servedPqTopK(spark: SparkSession, embeddings: DataFrame,
                    queryFilter: Column, k: Int, m: Int = 4,
                    dim: Int = 64,

@@ -178,6 +178,83 @@ object EventStream {
         col("exact_match"), col("near_match"), col("is_new"))
   }
 
+  /** Streaming ANN serve — [[graft.operators.AnnIndex.servedIvfTopK]]'s
+    * probe cadence live: each arriving query (query_id, embedding, ts)
+    * is answered against the STATIC published IVF index instead of a
+    * nightly batch. Cell selection is ROW-LOCAL: the centroid table
+    * (√n-sized by construction — a dimension table) collapses to one
+    * broadcast array row, and each query sorts its per-centroid
+    * cosines inside higher-order functions — no stream-side shuffle,
+    * no aggregation spent on it. Candidates come from ONE stateless
+    * stream-static join against the corpus's cell assignment, the
+    * exact cosine is row-local, and the single watermark-windowed
+    * aggregation folds each query's candidates to its top-k (state
+    * per in-flight query is bounded by nprobe · cell size). Output
+    * per finalized window: (window_start, query_id, neighbor_id,
+    * rank, cos) — row-identical to the batch [[graft.operators
+    * .VectorSearch.ivfTopK]] on the same queries (EquivalenceSpec),
+    * same (cos desc, vec_id) tie-break, same zero-norm exclusions.
+    *
+    * The corpus assignment is the static side of the join; it is
+    * persisted through [[graft.Caches]] so micro-batches reuse it —
+    * at scale a deployment publishes it next to the centroids
+    * (corpus-sized-once, exactly like the dedup index's artifacts). */
+  def annServeStream(queries: DataFrame, corpus: DataFrame,
+                     centroids: DataFrame, k: Int, nprobe: Int = 1,
+                     delay: String = "2 hours",
+                     windowLen: String = "1 hour"): DataFrame = {
+    import graft.operators.VectorSearch
+    val assigned = graft.Caches.memo(corpus, s"ann.serve.assigned") {
+      VectorSearch.assignCells(corpus, centroids)
+    }
+    // one static row holding every centroid (id, embedding, norm)
+    val cPack = centroids
+      .select(col("vec_id").cast("long").as("cid"), col("embedding"))
+      .withColumn("cn", VectorSearch.norm(col("embedding")))
+      .where(col("cn") =!= 0.0)
+      .agg(sort_array(collect_list(struct(col("cid"),
+        col("embedding").as("ce"), col("cn")))).as("cents"))
+    // watermark at the stream's head. CAVEAT (probe-verified): the
+    // optimizer pushes the deterministic zero-norm filter BELOW the
+    // EventTimeWatermark node wherever it is written, so a
+    // micro-batch containing only degenerate (zero-norm) queries
+    // advances no event time — window finalization rides on valid
+    // query traffic, the natural state of a serving stream
+    val withCells = queries
+      .withWatermark("ts", delay)
+      .withColumn("qn", VectorSearch.norm(col("embedding")))
+      .where(col("qn") =!= 0.0)
+      .crossJoin(broadcast(cPack))
+      // top-nprobe cells row-locally: (−cos, cid) struct sort — the
+      // exact tie-break ivfTopK's collect_list+slice uses; NULL
+      // cosines (degenerate centroids) are filtered like the batch's
+      // isNotNull guard
+      .withColumn("cells", slice(sort_array(
+        filter(
+          transform(col("cents"), c => struct(
+            negate(VectorSearch.cosine(col("embedding"), c("ce"),
+              col("qn"), c("cn"))).as("nc"),
+            c("cid").as("cid"))),
+          s => s("nc").isNotNull)), 1, nprobe))
+      .select(col("query_id"), col("ts"), col("embedding").as("qe"),
+        col("qn"), explode(col("cells.cid")).as("centroid_id"))
+    withCells
+      .join(assigned, Seq("centroid_id"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_exact", VectorSearch.cosine(col("qe"),
+        col("embedding"), col("qn"), col("nrm")))
+      .groupBy(window(col("ts"), windowLen), col("query_id"))
+      .agg(slice(sort_array(collect_list(struct(
+        negate(col("cos_exact")).as("nc"), col("vec_id").as("nid")))),
+        1, k).as("top"))
+      .select(col("window.start").as("window_start"), col("query_id"),
+        posexplode(col("top")))
+      .select(col("window_start"), col("query_id"),
+        col("col.nid").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(negate(col("col.nc")), 6).as("cos"))
+  }
+
   /** Streaming composite quality filter — the Gopher-style keep/drop
     * verdict (named reasons) of
     * [[graft.operators.TextAnalysis.qualityFilter]] applied as
