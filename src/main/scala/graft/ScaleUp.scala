@@ -102,13 +102,29 @@ object ScaleUp {
       .withColumn("n_chars", length(col("text")).cast("long")),
       "documents")
 
+    // rotation has only dim distinct values, so factors past the
+    // dimensionality (64) would collide copies into exact duplicates
+    // (and the raw `slice(…, size - _copy)` turned negative-length
+    // and failed outright at factor 100): rotate by _copy mod dim and
+    // add a sign flip as a second axis — dim × 2 distinct isometries,
+    // each preserving within-copy pair structure exactly while
+    // cross-copy cosine stays ~0 (rotation) or negative (flip).
+    require(factor <= 128,
+      "embedding perturbation supports at most 128 distinct copies " +
+        "(64 rotations x 2 signs)")
     val emb = in("embeddings")
     out(replicate(emb, factor, Seq("vec_id"), stride(emb, "vec_id"))
-      .withColumn("embedding",
-        expr("CASE WHEN _copy = 0 THEN embedding ELSE " +
-          "concat(slice(embedding, CAST(_copy AS INT) + 1, " +
-          "size(embedding) - CAST(_copy AS INT)), " +
-          "slice(embedding, 1, CAST(_copy AS INT))) END")),
+      .withColumn("embedding", expr(
+        """CASE WHEN _copy = 0 THEN embedding ELSE
+           transform(
+             IF(_copy % size(embedding) = 0, embedding,
+               concat(
+                 slice(embedding,
+                   CAST(_copy % size(embedding) AS INT) + 1,
+                   size(embedding) - CAST(_copy % size(embedding) AS INT)),
+                 slice(embedding, 1, CAST(_copy % size(embedding) AS INT)))),
+             x -> IF(_copy DIV size(embedding) % 2 = 1, -x, x))
+           END""")),
       "embeddings")
 
     spark.stop()
