@@ -33,6 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local mode = driver-only JVM; the box has 128 GiB, size the heap
-  // so sf0.1 joins/aggs never spill in the default configuration
+  // so sf0.1 joins/aggs never spill in the default configuration.
+  // -Xms matches -Xmx: the first big shuffle/sort otherwise pays the
+  // 1 GiB→tens-of-GiB heap-growth GC storm inside its measured time
+  // (the round-9 scale probes clocked a ~100–300 s first-heavy-job
+  // penalty that vanished on the second run)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -2,66 +2,50 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
-import graft.operators.NearDup
+import graft.operators.VectorSearch
 
 /** Scratch dev main — timing decomposition, not part of the library. */
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
     val sc = spark.sparkContext
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val s = e.stageInfo
+        val ms = for {
+          a <- s.submissionTime; b <- s.completionTime
+        } yield b - a
+        stages.add(f"stage ${s.stageId}%4d tasks=${s.numTasks}%5d " +
+          f"wall=${ms.getOrElse(-1L) / 1000.0}%8.1fs " +
+          f"cpu=${s.taskMetrics.executorCpuTime / 1e9}%8.1fs " +
+          f"run=${s.taskMetrics.executorRunTime / 1e3}%8.1fs " +
+          f"gc=${s.taskMetrics.jvmGCTime / 1e3}%7.1fs " +
+          f"spill=${s.taskMetrics.diskBytesSpilled / 1e6}%8.1fMB " +
+          f"shW=${s.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
+          s.name.take(60))
+      }
+    })
     def clear(): Unit = {
       spark.catalog.clearCache()
       Caches.clear()
       sc.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
-    def time2(label: String)(f: => DataFrame): Unit = {
-      val ts = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        f.write.format("noop").mode("overwrite").save()
-        clear()
-        (System.nanoTime() - t0) / 1e9
-      }
-      println(f"[probe] $label min=${ts.min}%.2f s (runs ${ts.map(t => f"$t%.1f").mkString(", ")})")
+    def time1(label: String)(f: => DataFrame): Unit = {
+      stages.clear()
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      println(f"[probe] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      stages.forEach(s => println("[probe]   " + s))
+      clear()
     }
-    val docs = Tables.documentsFloored(spark, dir)
-
-    def pairsExpr = expr(
-      """flatten(transform(sequence(1, size(ids) - 1),
-         i -> transform(sequence(i + 1, size(ids)),
-         j -> struct(element_at(ids, i) AS d1, element_at(ids, j) AS d2))))""")
-
-    // OLD shape: verify-all complement off distinct candidates
-    def old(): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("d1")).orderBy(col("jaccard").desc, col("d2"))
-      val sig = NearDup.signatures(docs, 3, 32)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bnd = NearDup.bandRows(sig, 16, 2)
-      val cand = bnd
-        .groupBy(col("band"), col("band_sig"))
-        .agg(slice(sort_array(collect_list(col("doc_id"))), 1,
-          NearDup.DefaultBucketCap).as("ids"))
-        .where(size(col("ids")) > 1)
-        .select(explode(pairsExpr).as("p"))
-        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-        .distinct()
-      val t = sig.select(col("doc_id"), col("sh"))
-      cand
-        .join(t.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-        .join(t.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-        .withColumn("jaccard",
-          size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-            size(array_union(col("sh1"), col("sh2"))))
-        .where(col("jaccard") < 0.5)
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 8)
-        .select(col("d1"), col("d2"), col("jaccard"), col("rank"))
-        .orderBy(col("d1"), col("rank"))
-    }
-    time2("OLD verify-all")(old())
-    time2("NEW preCap=64 (current)")(NearDup.hardNegatives(docs))
-    time2("NEW preCap=16")(NearDup.hardNegatives(docs, preCap = 16))
+    val emb = Tables.embeddings(spark, dir)
+    val stride = VectorSearch.centroidStrideFor(emb.count())
+    val seeds = emb.where(col("vec_id") % stride === 0)
+    time1("assignCells #1")(VectorSearch.assignCells(emb, seeds))
+    time1("assignCells #2")(VectorSearch.assignCells(emb, seeds))
     spark.stop()
   }
 }

@@ -18,11 +18,13 @@ import graft.functions.{BloomAgg, BloomContains, DeflateLen, DotProduct, MatchMa
   *    err high — too few partitions at 100 TB means >2 GB shuffle
   *    blocks and executor OOM, which AQE cannot fix upward before
   *    Spark 4's full skew handling kicks in only for joins/aggs.
-  *  - `spark.sql.files.maxPartitionBytes` (default 128 MB): leave at
-  *    default for columnar scans; RAISE (256–512 MB) only for narrow
+  *  - `spark.sql.files.maxPartitionBytes`: set to 16 MB locally (see
+  *    the inline note — the text/vector operators are CPU-bound in
+  *    the scan stage, and local corpora are few-file, so the 128 MB
+  *    default serializes the heaviest work on one core). On a
+  *    cluster, go back to 128 MB and RAISE (256–512 MB) for narrow
   *    projections over many small row groups, where task-scheduling
-  *    overhead dominates. Every operator here prunes columns, so scan
-  *    tasks are input-bound, not CPU-bound.
+  *    overhead dominates; 16 MB at 100 TB would plan ~6M tasks.
   *  - `spark.sql.autoBroadcastJoinThreshold`: the engine broadcast()s
   *    its dimension/vocab/centroid/eval-set sides EXPLICITLY, so
   *    correctness never depends on this threshold or on stats.
@@ -125,6 +127,21 @@ object GraftSession {
             BloomContains(e(0), e(1)) }))
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // LOCAL-mode scan granularity: 16 MB, not the 128 MB default.
+      // This engine's heaviest per-row work (regex/shingle/vector
+      // arithmetic) happens IN the scan stage, and the bench corpora
+      // arrive as a handful of files — at 128 MB a 63 MB documents
+      // table is ONE task and 31 of 32 cores idle through the most
+      // CPU-dense stage (the round-9 sf10 probe measured q_lang_id
+      // 100× instead of 10× on exactly this). On a real cluster
+      // reading 100 TB this knob goes back UP (128–512 MB — 16 MB
+      // would plan 6M tasks); it is a per-deployment setting, and
+      // the local value must match local core-to-bytes ratios.
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
+      // small-file packing: the scale-probe corpora are written as
+      // many ~1 MB files; the default 4 MB per-file "open cost" would
+      // pack them back into few fat partitions
+      .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -51,11 +51,21 @@ object ScaleUp {
     require(factor >= 1)
     val spark = GraftSession.local()
     def in(t: String) = spark.read.parquet(s"$inDir/$t.parquet")
-    def out(df: DataFrame, t: String): Unit =
-      df.drop("_copy").write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    // Facts ship as 64 files, not as one: the input is a single small
+    // file, so the crossJoin inherits ONE partition and a plain write
+    // emits one fat single-row-group file — unsplittable, so every
+    // downstream scan of the amplified data runs on one core and the
+    // probe measures the amplifier's layout, not the engine (the
+    // round-9 sf10 probe read 100× ratios on linear operators from
+    // exactly this). Real corpora at these volumes arrive as many
+    // files; 64 ≈ 2× local cores keeps every scan parallel.
+    def out(df: DataFrame, t: String, parts: Int = 64): Unit =
+      df.drop("_copy").repartition(parts)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
 
-    // dims: fixed
-    Seq("region", "nation", "part", "supplier").foreach(t => out(in(t), t))
+    // dims: fixed (and small — one file each)
+    Seq("region", "nation", "part", "supplier").foreach(t =>
+      out(in(t), t, parts = 1))
 
     val cust = in("customer")
     val custStride = stride(cust, "c_custkey")

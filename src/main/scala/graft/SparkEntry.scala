@@ -588,6 +588,11 @@ object SparkEntry {
     * representable — the normalizer is summation-order-independent. */
   private val MixtureWeights = Map("src0" -> 4.0, "src3" -> 2.0, "src7" -> 0.5)
   private val MixtureBudget = 0.5
+  /** q_trending_terms grid: ingestion-order buckets × chart depth. */
+  private val TrendBuckets = 4
+  private val TrendTopK = 15
+  /** q_decompose centered-trend half-window (days each side). */
+  private val DecomposeHalf = 3
 
   /** q_search: literal query terms (corpus-vocabulary words) and the
     * result-list size. */
@@ -1733,6 +1738,9 @@ object SparkEntry {
       DataChecks.freshness(Tables.events(s, d), FreshnessTrailDays)),
     "q_seasonality" -> ((s, d) =>
       DataChecks.seasonality(Tables.events(s, d))),
+    // additive trend/weekday/residual split of the daily series
+    "q_decompose" -> ((s, d) =>
+      DataChecks.seasonalDecompose(Tables.events(s, d), DecomposeHalf)),
     "q_file_skipping" -> ((s, d) =>
       Layout.fileSkipping(Tables.events(s, d), SkipFiles, SkipProbes)),
     "q_small_orders" -> ((s, d) =>
@@ -1779,6 +1787,19 @@ object SparkEntry {
     "q_mixture" -> ((s, d) =>
       Curation.mixturePlan(Tables.documents(s, d), MixtureWeights,
         MixtureBudget)),
+    // sqrt-temperature source smoothing (α=1/2 sampling shares)
+    "q_mixture_temp" -> ((s, d) =>
+      Curation.mixtureTemperature(Tables.documents(s, d))),
+    // soft-dedup 1/n token weighting per source (integer micro-tokens)
+    "q_effective_tokens" -> ((s, d) =>
+      Curation.softDedupTokens(Tables.documents(s, d))),
+    // per-source quality deciles (source-fair quality floor map)
+    "q_quality_norm" -> ((s, d) =>
+      TextAnalysis.qualityNormalize(Tables.documents(s, d))),
+    // ingestion-bucket top-K term charts with prev-bucket rank deltas
+    "q_trending_terms" -> ((s, d) =>
+      TextAnalysis.trendingTerms(Tables.documents(s, d), TrendBuckets,
+        TrendTopK)),
     // equal-population quality tiers + cumulative curriculum tokens
     "q_curriculum" -> ((s, d) =>
       Curation.curriculumPlan(Tables.documents(s, d), CurriculumBuckets)),
@@ -7228,6 +7249,42 @@ object SparkEntry {
             (CAST(w.n_events AS DOUBLE) / w.n_days) /
               (CAST(t.t_events AS DOUBLE) / t.t_days) AS idx
           FROM w JOIN t USING (event_type) ORDER BY 1, 2""",
+    // full-coverage centered RANGE mean, micro-quantized detrending
+    // before the weekday average (BIGINT sums, one division) — the
+    // residual is a pure function of already-identical doubles
+    "q_decompose" ->
+      s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(count(*) AS BIGINT) AS n,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS day_num
+            FROM events GROUP BY 1, 2, 4),
+          w AS (SELECT event_type, day, n,
+            CAST(isodow(day) AS INT) AS dow,
+            count(n) OVER wc AS w_days,
+            CAST(sum(n) OVER wc AS BIGINT) AS w_sum
+            FROM d WINDOW wc AS (PARTITION BY event_type ORDER BY day_num
+              RANGE BETWEEN $DecomposeHalf PRECEDING
+                AND $DecomposeHalf FOLLOWING)),
+          f AS (SELECT event_type, day, dow, n,
+            CASE WHEN w_days = ${2 * DecomposeHalf + 1} THEN
+              CAST(w_sum AS DOUBLE) /
+                CAST(${2 * DecomposeHalf + 1} AS DOUBLE) END AS trend
+            FROM w),
+          g AS (SELECT *,
+            CAST(floor((CAST(n AS DOUBLE) - trend) * 1000000.0 + 0.5)
+              AS BIGINT) AS dt_micro FROM f),
+          s AS (SELECT event_type, dow,
+            CAST(sum(dt_micro) AS DOUBLE) / count(dt_micro) / 1000000.0
+              AS seasonal_all
+            FROM g WHERE dt_micro IS NOT NULL GROUP BY 1, 2)
+          SELECT g.event_type, g.day, g.dow, g.n, g.trend,
+            CASE WHEN g.trend IS NOT NULL THEN s.seasonal_all END
+              AS seasonal,
+            CASE WHEN g.trend IS NOT NULL THEN
+              CAST(g.dt_micro AS DOUBLE) / 1000000.0 - s.seasonal_all END
+              AS residual
+          FROM g LEFT JOIN s USING (event_type, dow)
+          ORDER BY g.event_type, g.day""",
     // Replays the zorder ladder (shared with q_zorder) then probes the
     // per-file footers with the same 2×nProbes range grid.
     "q_file_skipping" ->
@@ -7556,6 +7613,87 @@ object SparkEntry {
           FROM a2 LEFT JOIN dp ON a2.vec_id = dp.vec_id
           ORDER BY a2.vec_id""",
     "q_mixture" -> MixtureSql,
+    // sqrt() is correctly rounded in both engines; the Σ√share
+    // normalizer replays the engine's source-ordered fold exactly
+    "q_mixture_temp" ->
+      s"""WITH t AS (SELECT source, $ToksSql AS toks FROM documents),
+          g AS (SELECT source, count(*) AS n_docs,
+            CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_tokens
+            FROM t GROUP BY 1),
+          w AS (SELECT source, n_docs, n_tokens,
+            CAST(sum(n_tokens) OVER () AS BIGINT) AS tot_tokens FROM g),
+          x AS (SELECT source, n_docs, n_tokens,
+            CAST(n_tokens AS DOUBLE) / nullif(tot_tokens, 0) AS avail_share,
+            sqrt(CAST(n_tokens AS DOUBLE) / nullif(tot_tokens, 0)) AS root
+            FROM w),
+          nr AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(root ORDER BY source)), (a, b) -> a + b) AS tot_root
+            FROM x)
+          SELECT source, n_docs, n_tokens, avail_share,
+            root / nullif(tot_root, 0.0) AS smoothed_share,
+            (root / nullif(tot_root, 0.0)) / nullif(avail_share, 0.0)
+              AS boost
+          FROM x, nr ORDER BY source""",
+    // integer micro-token floor-div per doc, BIGINT sums — the 1/n
+    // soft-dedup weight replayed order-independently
+    "q_effective_tokens" ->
+      s"""WITH t AS (SELECT doc_id, source, md5($NormSql) AS fingerprint,
+            CAST(coalesce(len($ToksSql), 0) AS BIGINT) AS n_toks
+            FROM documents),
+          fam AS (SELECT fingerprint, CAST(count(*) AS BIGINT) AS csize
+            FROM t GROUP BY 1),
+          j AS (SELECT t.source, t.n_toks, fam.csize
+            FROM t JOIN fam USING (fingerprint))
+          SELECT source, count(*) AS n_docs,
+            CAST(coalesce(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_dup_docs,
+            CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS raw_tokens,
+            CAST(coalesce(sum(n_toks * 1000000 // csize), 0) AS BIGINT)
+              AS eff_tokens_micro,
+            CAST(CAST(coalesce(sum(n_toks * 1000000 // csize), 0) AS BIGINT)
+                AS DOUBLE) /
+              nullif(CAST(coalesce(sum(n_toks), 0) AS BIGINT) * 1000000, 0)
+              AS eff_ratio
+          FROM j GROUP BY source ORDER BY source""",
+    // ntile over the identical (quality_score, doc_id) total order;
+    // NULL-quality docs excluded on both sides (NULL sort order is
+    // engine-specific and must not sit inside a rank window)
+    "q_quality_norm" ->
+      s"""WITH $QualityScoreCtes,
+          nn AS (SELECT source, doc_id, quality_score FROM qsc
+            WHERE quality_score IS NOT NULL),
+          dd AS (SELECT source, doc_id, quality_score,
+            CAST(ntile(10) OVER (PARTITION BY source
+              ORDER BY quality_score, doc_id) AS INTEGER) AS decile
+            FROM nn)
+          SELECT source, decile, count(*) AS n_docs,
+            min(quality_score) AS q_lo, max(quality_score) AS q_hi,
+            (CAST(decile AS DOUBLE) - CAST(0.5 AS DOUBLE)) /
+              CAST(10.0 AS DOUBLE) AS norm_mid
+          FROM dd GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the oracle replays the PLAIN per-bucket window; the engine's
+    // graft_topk τ-prune keeps everything with cnt ≥ the k-th count,
+    // so the row_number cut is bit-identical by construction
+    "q_trending_terms" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+          mb AS (SELECT min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents),
+          tf AS (SELECT ((doc_id - min_id) * $TrendBuckets) //
+              (max_id - min_id + 1) + 1 AS bucket,
+            unnest(toks) AS term FROM t, mb),
+          c AS (SELECT bucket, term, count(*) AS cnt FROM tf
+            GROUP BY 1, 2),
+          r AS (SELECT bucket, term, cnt,
+            CAST(row_number() OVER (PARTITION BY bucket
+              ORDER BY cnt DESC, term) AS INTEGER) AS rnk
+            FROM c),
+          k AS (SELECT * FROM r WHERE rnk <= $TrendTopK)
+          SELECT k.bucket, k.term, k.cnt, k.rnk,
+            p.rnk AS prev_rnk,
+            p.rnk - k.rnk AS rank_delta
+          FROM k LEFT JOIN k p
+            ON p.bucket = k.bucket - 1 AND p.term = k.term
+          ORDER BY k.bucket, k.rnk""",
     "q_mixture_sample" ->
       s"""WITH mix AS ($MixtureSql),
           d AS (SELECT doc_id, source,

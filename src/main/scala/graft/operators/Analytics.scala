@@ -774,11 +774,14 @@ object Analytics {
     val base = lineitem
       .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
+      // plain BIGINT moments: x ≤ 10 points, y ≤ 50 units, so Σx·y ≤
+      // 500·n — int64 overflows only past ~10¹⁶ lines per brand, while
+      // decimal(38,0) sums allocate a BigDecimal per row (the round-9
+      // 100× probe measured the decimal version at 250 s / 60M rows;
+      // the bigint version is codegen-native)
       .select(col("p_brand"),
-        round(col("l_discount") * 100).cast("long")
-          .cast("decimal(38,0)").as("x"),
-        round(col("l_quantity")).cast("long")
-          .cast("decimal(38,0)").as("y"))
+        round(col("l_discount") * 100).cast("long").as("x"),
+        round(col("l_quantity")).cast("long").as("y"))
     base.groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_lines"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),

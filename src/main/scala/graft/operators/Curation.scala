@@ -355,6 +355,88 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Temperature-smoothed source mixture: sampling shares p_i ∝
+    * avail_share_i^(1/2) — the standard sqrt-temperature flattening of
+    * a skewed source distribution (multilingual-corpus sampling à la
+    * XLM/mT5's α ≈ 0.5 exponent, public recipes: Conneau & Lample
+    * 2019; Xue et al. 2021): head sources are damped, tail sources
+    * boosted, without ever inverting the order. The `boost` column
+    * (smoothed/available) is the per-source up/down-sampling factor a
+    * [[stratifiedSample]] rate map implements. Exponent is FIXED at
+    * 1/2 because sqrt is an IEEE-correctly-rounded primitive in every
+    * engine, so the oracle matches bit-for-bit — a free `pow(x, t)`
+    * would put a libm last-ulp disagreement inside a hash gate.
+    *
+    * Shape: one map-side-combined hash aggregate to source grain (the
+    * only corpus-sized exchange — same scan as [[mixturePlan]]), then
+    * windows over the sources-sized grid. The double normalizer
+    * Σ√share is an ORDERED fold over the source-sorted collect_list
+    * (the q_lang_mix discipline) — a plain window sum over doubles
+    * would make the result depend on row arrival order. */
+  def mixtureTemperature(docs: DataFrame): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    docs
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(sizeOrNull(col("toks")).cast("long")), lit(0L))
+          .as("n_tokens"))
+      .withColumn("tot_tokens", sum(col("n_tokens")).over(all))
+      .withColumn("avail_share",
+        col("n_tokens").cast("double") / nullif(col("tot_tokens"), lit(0L)))
+      .withColumn("root", sqrt(col("avail_share")))
+      .withColumn("tot_root", aggregate(
+        array_sort(collect_list(struct(col("source"), col("root"))).over(all)),
+        lit(0.0), (a, x) => a + x.getField("root")))
+      .withColumn("smoothed_share",
+        col("root") / nullif(col("tot_root"), lit(0.0)))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("avail_share"), col("smoothed_share"),
+        (col("smoothed_share") / nullif(col("avail_share"), lit(0.0)))
+          .as("boost"))
+      .orderBy(col("source"))
+  }
+
+  /** Soft-dedup effective token count per source: every doc in an
+    * exact-duplicate family of size n contributes tokens/n — the
+    * "keep all copies but weight them 1/n" dedup policy (the gentler
+    * alternative to dropping, for corpora where near-boilerplate
+    * still carries signal), and the honest denominator for "how many
+    * UNIQUE tokens does this source really add". Emitted in exact
+    * integer micro-tokens (floor(tokens·10⁶/n) per doc, summed as
+    * BIGINT) so the per-source sum is order-independent and
+    * hash-portable — a double Σ tokens/n would depend on row arrival
+    * order. `eff_ratio` (effective/raw) is the per-source soft-dedup
+    * discount: 1.0 = no duplication, → 0 = the source is copies.
+    *
+    * Shape: one scan projects (fingerprint, tokens); one
+    * fingerprint-grain hash aggregate counts family sizes; the join
+    * back is co-partitioned on the fingerprint key it just grouped
+    * by; then a source-grain grid aggregate. Two key-grain exchanges,
+    * nothing quadratic — the q_dedup_exact scale shape plus one
+    * join. */
+  def softDedupTokens(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"), col("source"),
+      md5(normText(col("text"))).as("fingerprint"),
+      coalesce(sizeOrNull(tokens(col("text"))).cast("long"), lit(0L))
+        .as("n_toks"))
+    val families = fp.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("csize"))
+    fp.join(families, "fingerprint")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_toks")).as("raw_tokens"),
+        sum(expr("n_toks * 1000000L div csize")).as("eff_tokens_micro"))
+      .withColumn("eff_ratio",
+        col("eff_tokens_micro").cast("double") /
+          nullif(col("raw_tokens") * 1000000L, lit(0L)))
+      .orderBy(col("source"))
+  }
+
   /** Fixed-SIZE deterministic sample: the `perStratum` docs of each
     * stratum with the smallest salted md5 hash (doc_id tiebreak) — the
     * fixed-budget complement of the rate-based [[stratifiedSample]]

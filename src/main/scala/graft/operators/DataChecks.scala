@@ -863,6 +863,69 @@ object DataChecks {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** Classical additive seasonal decomposition of the per-type daily
+    * series: n = trend + seasonal + residual — [[seasonality]] gives
+    * the static weekday profile, this splits EVERY day's count into
+    * the slow level (centered (2·half+1)-day RANGE mean), the weekday
+    * effect (per (type, isodow) mean of the detrended series) and
+    * what's left — the residual is the right input for outlier eyes
+    * because a Friday spike on a growing series is invisible to both
+    * the raw series (growth masks it) and the weekday profile
+    * (Fridays are always high).
+    *
+    * Exactness contract: the trend is a single division of a bigint
+    * window sum (full-coverage windows only — edge days report NULL
+    * trend/seasonal/residual rather than a biased partial mean); the
+    * detrended value is micro-quantized (floor(·10⁶ + ½) of an
+    * identical-in-both-engines double) BEFORE the weekday averaging,
+    * so the seasonal mean is a BIGINT sum with one division —
+    * shuffle-order-exact — and the residual is defined against the
+    * quantized detrended value (dt_micro/10⁶ − seasonal), a pure
+    * function of already-identical doubles.
+    *
+    * Shape: one corpus aggregate to (type, day); the RANGE window,
+    * the weekday grid aggregate and the broadcast seasonal join all
+    * run on the types×days grid — thousands of rows at ANY corpus
+    * size. */
+  def seasonalDecompose(events: DataFrame, half: Int = 3): DataFrame = {
+    require(half >= 1, s"need a positive half-window: $half")
+    val width = 2 * half + 1
+    val d = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("day_num", datediff(col("day"),
+        lit("1970-01-01").cast("date")).cast("long"))
+    val wC = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-half, half)
+    val framed = d
+      .withColumn("w_days", count(col("n")).over(wC))
+      .withColumn("w_sum", sum(col("n")).over(wC))
+      .withColumn("trend",
+        when(col("w_days") === width,
+          col("w_sum").cast("double") / lit(width.toDouble)))
+      .withColumn("dt_micro",
+        floor((col("n").cast("double") - col("trend")) * lit(1000000.0) +
+          lit(0.5)).cast("long"))
+      .withColumn("dow", weekday(col("day")) + 1)
+      .transform(graft.Caches.hold)
+    val seas = framed.where(col("dt_micro").isNotNull)
+      .groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("dt_micro")).as("s_sum"),
+        count(lit(1)).as("s_days"))
+      .select(col("event_type"), col("dow"),
+        (col("s_sum").cast("double") / col("s_days") / lit(1000000.0))
+          .as("seasonal_all"))
+    framed.join(broadcast(seas), Seq("event_type", "dow"), "left")
+      .select(col("event_type"), col("day"), col("dow"), col("n"),
+        col("trend"),
+        when(col("trend").isNotNull, col("seasonal_all")).as("seasonal"),
+        when(col("trend").isNotNull,
+          col("dt_micro").cast("double") / lit(1000000.0) -
+            col("seasonal_all")).as("residual"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Per-type level-shift changepoint: for each day, compare the mean
     * daily volume of the `windowDays` days STRICTLY BEFORE against
     * the window STARTING AT the day (a shift at day d means d opens

@@ -101,6 +101,100 @@ object TextAnalysis {
           (lit(0.5) + lit(0.5) * col("stop_ratio")) * col("alpha_ratio"))
   }
 
+  /** Per-source quantile normalization of the composite quality score:
+    * each source's docs are ranked within their OWN source and cut
+    * into `deciles` equal-population bands — the lookup table that
+    * makes a quality floor source-FAIR ("keep everyone's top 60%")
+    * instead of absolute (an absolute 0.3 floor can annihilate a
+    * source whose whole distribution sits low while waving through
+    * another's spam). Per (source, decile): population and the raw
+    * score band [q_lo, q_hi], plus the normalized band midpoint
+    * (decile−0.5)/deciles every source shares. NULL-quality docs
+    * (empty text) are excluded — NULL ordering differs between
+    * engines, so they must not sit inside a rank window a hash gate
+    * replays.
+    *
+    * Shape: one quality scan, one ntile window PARTITIONED BY source
+    * (parallel across sources at any corpus size; within-source sort
+    * is the price of exact quantile banding — same contract as the
+    * curriculum tiers), then a grid aggregate over sources×deciles
+    * cells. Min/max per cell are order-independent, so the doubles
+    * hash-match; a mean would not. */
+  def qualityNormalize(docs: DataFrame, deciles: Int = 10): DataFrame = {
+    require(deciles >= 2, s"need at least 2 bands: $deciles")
+    val wN = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score"), col("doc_id"))
+    qualityFrame(docs, Seq("source"))
+      .where(col("quality_score").isNotNull)
+      .select(col("source"), col("doc_id"), col("quality_score"))
+      .withColumn("decile", ntile(deciles).over(wN))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality_score")).as("q_lo"),
+        max(col("quality_score")).as("q_hi"))
+      .withColumn("norm_mid",
+        (col("decile").cast("double") - lit(0.5)) / lit(deciles.toDouble))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  /** Trending terms across ingestion order: docs bucket by doc_id
+    * range (the id-grid discipline of [[graft.operators.Curation.ingestMix]]),
+    * each bucket reports its exact top-`topK` terms by occurrence
+    * count, and every term carries its rank in the PREVIOUS bucket
+    * (NULL = newly charted) plus the rank delta — the "what is this
+    * crawl suddenly full of" drift gauge at term grain, one level
+    * finer than [[graft.operators.Curation.ingestMix]]'s source
+    * shares. Ties break lexicographically so the chart is
+    * row-order-independent.
+    *
+    * Shape: one (bucket, term) hash aggregate is the only corpus-sized
+    * exchange. The top-K cut does NOT window-sort the per-bucket
+    * vocabulary (buckets are FEW — a window partitioned by bucket
+    * funnels vocab/buckets rows through single reducers): a
+    * graft_topk bounded-heap pass finds each bucket's k-th count τ
+    * (O(k) state, map-side combined), the broadcast τ prunes the
+    * count frame to the ≥τ survivors (≈K + count-ties per bucket),
+    * and only those rows pay the exact row_number — bit-identical to
+    * the naive window by construction (everything it would keep has
+    * cnt ≥ τ). Chart-vs-chart prev-rank join is grid-sized. */
+  def trendingTerms(docs: DataFrame, buckets: Int = 4,
+                    topK: Int = 15): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets for a trend read")
+    val idRow = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    require(!idRow.isNullAt(0), "trendingTerms needs a non-empty corpus")
+    val (minId, span) =
+      (idRow.getLong(0), idRow.getLong(1) - idRow.getLong(0) + 1)
+    val b = buckets.toLong
+    val tf = docs.select(
+        (expr(s"((doc_id - ${minId}L) * $b) div ${span}L") + 1L)
+          .as("bucket"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy(col("bucket"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = tf.groupBy(col("bucket"))
+      .agg(expr(s"graft_topk(CAST(cnt AS DOUBLE), xxhash64(term), $topK)")
+        .as("tk"))
+      .select(col("bucket"),
+        element_at(col("tk"), least(lit(topK), size(col("tk"))))
+          .getField("score").as("tau"))
+    val wR = Window.partitionBy(col("bucket"))
+      .orderBy(col("cnt").desc, col("term"))
+    val ranked = tf.join(broadcast(thr), "bucket")
+      .where(col("cnt").cast("double") >= col("tau"))
+      .withColumn("rnk", row_number().over(wR))
+      .where(col("rnk") <= topK)
+      .select(col("bucket"), col("term"), col("cnt"), col("rnk"))
+    ranked
+      .join(ranked.select(col("bucket").as("pb"), col("term").as("pt"),
+        col("rnk").as("prev_rnk")),
+        col("bucket") === col("pb") + 1L && col("term") === col("pt"),
+        "left")
+      .select(col("bucket"), col("term"), col("cnt"), col("rnk"),
+        col("prev_rnk"), (col("prev_rnk") - col("rnk")).as("rank_delta"))
+      .orderBy(col("bucket"), col("rnk"))
+  }
+
   /** Tokenizer fertility by predicted language: per lang_pred, the
     * corpus totals of whitespace-word tokens, regex word/number
     * tokens (the BPE-ish lower bound) and characters, with

@@ -291,13 +291,25 @@ object VectorSearch extends Logging {
   }
 
   /** Deterministic centroid assignment: nearest centroid by cosine
-    * (min centroid_id on ties). Centroids are broadcast and the argmax
-    * is a `max_by` aggregate over the broadcast-nested-loop expansion:
-    * all k candidate rows for a vector sit in the same map partition,
-    * so partial aggregation collapses them to one row per vector
-    * BEFORE the single hash shuffle on vec_id — the corpus ×
-    * centroids frame is never shuffled (the previous row_number
-    * window shuffled the full expansion). */
+    * (min centroid_id on ties). Centroids are broadcast; the argmax
+    * runs as a `graft_topk(…, 1)` bounded-heap aggregate over a SLIM
+    * (vec_id, centroid_id, ccos) projection of the broadcast-nested-
+    * loop expansion — the embedding arrays are dropped BEFORE the
+    * aggregate and joined back by vec_id afterwards.
+    *
+    * Why not max_by/first: both are declarative aggregates whose
+    * buffers hold a struct/array, and Spark's HashAggregate cannot
+    * host complex-typed declarative buffers — the planner silently
+    * falls back to SortAggregate, which SORTS the corpus × centroids
+    * pair frame (with the arrays riding along) on both sides of the
+    * exchange. The round-9 100× probe measured that fallback at 297 s
+    * for a 200k × 448 assignment; the typed-imperative topk heap
+    * (ObjectHashAggregate, map-side combined, same (cos DESC, id ASC)
+    * tiebreak) plus one AQE-sized vec_id join measures ~20 s on the
+    * same data. All candidate rows for a vector sit in one map
+    * partition, so partials collapse to one row per vector before the
+    * only corpus-keyed exchange; the pair frame is never shuffled and
+    * never sorted. */
   def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     // zero-norm vectors/centroids have no defined cosine (NULL here,
     // inf/NaN in IEEE engines) — exclude them from the index rather
@@ -305,18 +317,16 @@ object VectorSearch extends Logging {
     val e = withNorm(embeddings).where(col("nrm") =!= 0.0)
     val c = withNorm(centroids).where(col("nrm") =!= 0.0).select(
       col("vec_id").as("centroid_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-    e.crossJoin(broadcast(c))
-      .withColumn("ccos", cosine(col("embedding"), col("ce"), col("nrm"), col("cn")))
+    val cell = e.crossJoin(broadcast(c))
+      .select(col("vec_id"),
+        cosine(col("embedding"), col("ce"), col("nrm"), col("cn"))
+          .as("ccos"),
+        col("centroid_id"))
       .groupBy(col("vec_id"))
-      .agg(
-        // every candidate row carries the same embedding/nrm for a
-        // given vec_id, so first() is deterministic here
-        first(col("embedding")).as("embedding"),
-        first(col("nrm")).as("nrm"),
-        // lexicographic struct max: highest ccos, then lowest
-        // centroid_id — the (cos DESC, centroid_id ASC) tiebreak
-        max_by(col("centroid_id"),
-          struct(col("ccos"), negate(col("centroid_id")))).as("centroid_id"))
+      .agg(expr("graft_topk(ccos, centroid_id, 1)").as("tk"))
+      .select(col("vec_id"),
+        element_at(col("tk"), 1).getField("id").as("centroid_id"))
+    e.join(cell, "vec_id")
       .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
   }
 

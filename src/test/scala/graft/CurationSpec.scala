@@ -522,4 +522,44 @@ class CurationSpec extends SparkSpec {
     assert(out((2L, "x")) == ((1L, 0.5, 0.75, -0.25)))
     assert(out((2L, "y")) == ((1L, 0.5, 0.25, 0.25)))
   }
+
+  test("mixtureTemperature: sqrt smoothing damps the head, boosts the tail") {
+    // a: 16 tokens, b: 4, c: 0 -> avail 0.8 / 0.2 / 0
+    val d = Seq(
+      (1L, "w w w w w w w w w w w w w w w w", "a"),
+      (2L, "w w w w", "b"),
+      (3L, "", "c"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.mixtureTemperature(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (rootA, rootB) = (math.sqrt(0.8), math.sqrt(0.2))
+    val tot = rootA + rootB
+    assert(out("a") == ((16L, 0.8, rootA / tot)))
+    assert(out("b") == ((4L, 0.2, rootB / tot)))
+    assert(out("c")._1 == 0L && out("c")._3 == 0.0)
+    // smoothing never inverts the order, only flattens it
+    assert(out("a")._3 < 0.8 && out("b")._3 > 0.2)
+    assert(out("a")._3 > out("b")._3)
+    // shuffle-order independence: the normalizer is an ordered fold
+    val rep = Curation.mixtureTemperature(d.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getDouble(4))).toMap
+    assert(rep("a") == out("a")._3 && rep("b") == out("b")._3)
+  }
+
+  test("softDedupTokens: 1/n micro-token weights, cross-source families") {
+    // family "a b c" has 3 members across two sources
+    val d = Seq(
+      (1L, "a b c", "s1"), (2L, "a b c", "s1"), (3L, "x y", "s1"),
+      (4L, "a b c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.softDedupTokens(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    // s1: raw 3+3+2=8; eff = 2*(3e6/3) + 2e6 = 4e6; ratio 0.5
+    assert(out("s1") == ((3L, 2L, 8L, 4000000L, 0.5)))
+    // s2: its one doc sits in a family of 3 -> eff = 1e6
+    assert(out("s2") == ((1L, 1L, 3L, 1000000L, 1000000.0 / 3000000.0)))
+  }
 }

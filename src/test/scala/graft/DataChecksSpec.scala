@@ -516,6 +516,40 @@ class DataChecksSpec extends SparkSpec {
     assert(out(2) == ((1L, 6L, 6.0, 1.5)))
   }
 
+  test("seasonalDecompose: trend + weekday effect + ~zero residual") {
+    import spark.implicits._
+    // 21 days from Mon 2024-01-01: 10/day plus a +7 Friday bump.
+    // Interior days (full 7-day window) decompose exactly: trend =
+    // (7·10 + 7)/7 = 11, seasonal(Fri) = +6, seasonal(else) = −1,
+    // residual 0 up to the 1e-6 quantization grain.
+    val e = (0 until 21).flatMap { d =>
+      val n = if (d % 7 == 4) 17 else 10 // day 4 = Friday
+      Seq.tabulate(n)(i => ("A",
+        java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 10:$i%02d:00")))
+    }.toDF("event_type", "ts")
+    val out = DataChecks.seasonalDecompose(e, half = 3).collect()
+    assert(out.length == 21)
+    val byDay = out.map(r => r.getDate(1).toString -> r).toMap
+    // edge days have no full centered window
+    Seq("2024-01-01", "2024-01-03", "2024-01-19", "2024-01-21").foreach {
+      d => assert(byDay(d).isNullAt(4) && byDay(d).isNullAt(5) &&
+        byDay(d).isNullAt(6), s"$d must be NULL-trend")
+    }
+    val fri = byDay("2024-01-12") // interior Friday
+    val tue = byDay("2024-01-09") // interior Tuesday
+    assert(fri.getLong(3) == 17L && tue.getLong(3) == 10L)
+    assert(fri.getDouble(4) == 11.0 && tue.getDouble(4) == 11.0)
+    assert(math.abs(fri.getDouble(5) - 6.0) < 1e-5)
+    assert(math.abs(tue.getDouble(5) + 1.0) < 1e-5)
+    assert(math.abs(fri.getDouble(6)) < 1e-5)
+    assert(math.abs(tue.getDouble(6)) < 1e-5)
+    // the three components reassemble the observed count
+    out.filterNot(_.isNullAt(4)).foreach { r =>
+      val sum = r.getDouble(4) + r.getDouble(5) + r.getDouble(6)
+      assert(math.abs(sum - r.getLong(3)) < 1e-5)
+    }
+  }
+
   test("changepoint finds the level-shift day, gap- and guard-correct") {
     import spark.implicits._
     // days 1–5 at 2/day, days 6–10 at 10/day: the shift opens at day 6

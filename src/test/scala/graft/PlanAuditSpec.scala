@@ -42,7 +42,12 @@ class PlanAuditSpec extends SparkSpec {
 
   test("IVF assignment is aggregate-based; only the query top-k windows") {
     val p = plan("q_ann_ivf")
-    assert(p.contains("max_by"), p.take(2000))
+    // graft_topk (typed-imperative) — NOT max_by/first, whose complex
+    // declarative buffers force a SortAggregate that sorts the
+    // corpus × centroids frame (round-9 sf10 probe: 297 s vs 20 s)
+    assert(p.contains("graft_topk"), p.take(2000))
+    assert(!"SortAggregate.*graft_topk".r.findFirstIn(p).isDefined,
+      p.take(2000))
     // exactly one Window chain (rank over query_id) — the assignment
     // no longer windows the corpus x centroids expansion
     assert("(?<!Group)Window(?!GroupLimit)".r.findAllIn(p).size == 1, p.take(2000))
@@ -732,5 +737,47 @@ class PlanAuditSpec extends SparkSpec {
   test("ivf balance: histogram and global stats read the cell cache") {
     val p = plan("q_ivf_balance")
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("mixture temp: one source-grain aggregate, ordered-fold normalizer") {
+    val p = plan("q_mixture_temp")
+    // the Σ√share normalizer must be the sorted collect_list fold, not
+    // a bare double window sum (order-dependent result)
+    assert(p.contains("array_sort") && p.contains("collect_list"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("effective tokens: fingerprint family join, no cartesian") {
+    val p = plan("q_effective_tokens")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // doc text never survives past the first projection: the family
+    // join and source rollup move (fingerprint, n_toks) only
+    assert(!p.contains("text#") || p.indexOf("text#") > p.indexOf("md5"),
+      p.take(3000))
+  }
+
+  test("trending terms: topk tau-prune, no corpus-vocab window funnel") {
+    val p = plan("q_trending_terms")
+    // the bounded-heap aggregate computes τ; the row_number window
+    // runs only on the pruned ≥τ survivors (filter sits below it)
+    assert(p.contains("graft_topk"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("quality norm: the ntile window partitions by source") {
+    val p = plan("q_quality_norm")
+    // a SinglePartition exchange feeding the window means the
+    // per-source partitioning was lost (the whole corpus through one
+    // reducer)
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+    assert(p.contains("ntile"), p.take(3000))
+  }
+
+  test("decompose: grid-sized frames after one corpus aggregate") {
+    val p = plan("q_decompose")
+    // seasonal leg + final leg read the held (type, day) frame
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 }

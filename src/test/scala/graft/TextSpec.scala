@@ -896,4 +896,66 @@ class TextSpec extends SparkSpec {
     assert(out("s1") == ((11L, 1L, 1.0 / 11, 100.0, 1000L)))
     assert(out("s2") == ((2L, 0L, 0.0, 50.0, 50L)))
   }
+
+  test("qualityNormalize: equal-population source bands, NULLs excluded") {
+    // 20 scoreable docs with strictly increasing quality (longer text,
+    // same stopword mix) + one empty doc that must fall out
+    val rows = (1 to 20).map { i =>
+      (i.toLong, Seq.fill(i)("the quick fox").mkString(" "), "s1")
+    } :+ (21L, "", "s1")
+    val d = rows.toDF("doc_id", "text", "source")
+    val out = TextAnalysis.qualityNormalize(d, deciles = 10).collect()
+    assert(out.length == 10, "one row per non-empty decile")
+    assert(out.map(_.getLong(2)).forall(_ == 2L), "20 docs / 10 bands")
+    // bands tile the score line in order: lo <= hi within a band,
+    // and the next band starts at or above this band's hi
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= a.getDouble(4))
+      assert(b.getDouble(3) >= a.getDouble(4))
+    }
+    assert(out.map(_.getDouble(5)).toSeq ==
+      (1 to 10).map(i => (i - 0.5) / 10.0))
+  }
+
+  test("trendingTerms: per-bucket charts, prev ranks, lexicographic ties") {
+    val d = Seq(
+      (0L, "apple apple banana"), (1L, "apple cherry"),
+      (2L, "banana banana cherry"), (3L, "banana date"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.trendingTerms(d, buckets = 2, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getInt(3),
+          if (r.isNullAt(4)) null else r.getInt(4),
+          if (r.isNullAt(5)) null else r.getInt(5)))).toMap
+    // bucket 1: apple 3, banana/cherry tie 1 -> banana wins rank 2
+    assert(out((1L, "apple")) == ((3L, 1, null, null)))
+    assert(out((1L, "banana")) == ((1L, 2, null, null)))
+    // bucket 2: banana 3 (charted at 2 before -> delta +1), cherry new
+    assert(out((2L, "banana")) == ((3L, 1, 2, 1)))
+    assert(out((2L, "cherry")) == ((1L, 2, null, null)))
+    assert(out.size == 4)
+  }
+
+  test("trendingTerms: topk tau-prune equals the naive per-bucket window") {
+    import org.apache.spark.sql.expressions.Window
+    // adversarial count ties at the cut boundary across many terms
+    val d = (0L until 120L).map(i =>
+      (i, (0 to (i % 7).toInt).map(j => s"t${(i + j) % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fast = TextAnalysis.trendingTerms(d, buckets = 3, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val idr = d.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (lo, span) = (idr.getLong(0), idr.getLong(1) - idr.getLong(0) + 1)
+    val naive = d.select(
+        (expr(s"((doc_id - ${lo}L) * 3L) div ${span}L") + 1L).as("bucket"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("bucket", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("bucket"))
+        .orderBy(col("cnt").desc, col("term"))))
+      .where(col("rnk") <= 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(fast == naive)
+  }
 }
