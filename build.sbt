@@ -39,5 +39,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (the round-9 scale probes clocked a ~100–300 s first-heavy-job
   // penalty that vanished on the second run)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // SPARK_GRAFT_XMS overrides the initial heap alone — the A/B knob
+  // for measuring whether -Xms=-Xmx (motivated by the sf10 probes'
+  // heap-growth GC storm) costs anything at sf0.1
+  s"-Xms${sys.env.getOrElse("SPARK_GRAFT_XMS",
+    sys.env.getOrElse("SPARK_DRIVER_MEM", "24g"))}",
+  // codegen-heavy marathons (300 queries × whole-stage fragments)
+  // fill the default 240 MB JIT code cache; once full, HotSpot stops
+  // compiling and hot fragments run interpreted — a prime suspect for
+  // the round-9 marathon-vs-isolated 4–6× gap. 512 MB is the
+  // spark-docs-recommended headroom for codegen-heavy workloads.
+  "-XX:ReservedCodeCacheSize=512m",
 )

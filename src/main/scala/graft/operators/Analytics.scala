@@ -764,12 +764,18 @@ object Analytics {
     * (round(l_discount·100) — the data's own 0.01 grid), y = integer
     * units, so (n, Σx, Σy, Σx², Σxy) are exact integer sums off ONE
     * brand-grain hash aggregate — no second pass, no window. Moments
-    * fold in DECIMAL(38,0) (int64 Σxy wraps silently at real row
-    * counts; DECIMAL(38,0) is the int128 twin of the oracle's
-    * HUGEINT), and the slope is a fixed-shape double expression over
-    * per-moment casts — both engines multiply the same doubles in the
-    * same order. Single-discount-level brands have zero x-variance →
-    * NULL slope via nullif, not a division blowup. */
+    * fold as plain BIGINT: x ≤ 10 and y ≤ 50 bound every per-row
+    * term (x·y ≤ 500, x² ≤ 100), so Σxy stays under int64 until
+    * ~10¹⁶ lines PER BRAND — brand cardinality alone (thousands of
+    * brands over 100 TB ≈ 10¹¹ lines) keeps real data 5+ orders of
+    * magnitude away, and bigint sums stay codegen-native while a
+    * DECIMAL(38,0) fold allocates a BigDecimal per row (the round-9
+    * 100× probe measured that version at 250 s / 60M rows). The
+    * oracle's HUGEINT sums agree exactly because both fit the same
+    * integers. The slope is a fixed-shape double expression over
+    * per-moment casts — both engines multiply the same doubles in
+    * the same order. Single-discount-level brands have zero
+    * x-variance → NULL slope via nullif, not a division blowup. */
   def discountElasticity(lineitem: DataFrame, part: DataFrame): DataFrame = {
     val base = lineitem
       .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),

@@ -156,17 +156,28 @@ object TextAnalysis {
     * count frame to the ≥τ survivors (≈K + count-ties per bucket),
     * and only those rows pay the exact row_number — bit-identical to
     * the naive window by construction (everything it would keep has
-    * cnt ≥ τ). Chart-vs-chart prev-rank join is grid-sized. */
+    * cnt ≥ τ). Chart-vs-chart prev-rank join is grid-sized.
+    *
+    * The id-grid bounds join in LAZILY (a broadcast 1-row aggregate,
+    * the same cross-join shape the oracle SQL uses) rather than via
+    * an eager driver action: the operator stays a pure plan, and an
+    * empty corpus yields an empty chart with the output schema —
+    * matching the oracle and every other operator's empty-input
+    * contract — instead of throwing at call time. */
   def trendingTerms(docs: DataFrame, buckets: Int = 4,
                     topK: Int = 15): DataFrame = {
     require(buckets >= 2, "need at least 2 buckets for a trend read")
-    val idRow = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
-    require(!idRow.isNullAt(0), "trendingTerms needs a non-empty corpus")
-    val (minId, span) =
-      (idRow.getLong(0), idRow.getLong(1) - idRow.getLong(0) + 1)
     val b = buckets.toLong
-    val tf = docs.select(
-        (expr(s"((doc_id - ${minId}L) * $b) div ${span}L") + 1L)
+    // 1-row bounds frame; min_id is NULL on an empty corpus, and the
+    // isNotNull filter turns that into ZERO rows, so the cross join
+    // (broadcast nested loop over one row) propagates emptiness
+    val bounds = docs
+      .agg(min(col("doc_id")).as("grid_min_id"),
+        (max(col("doc_id")) - min(col("doc_id")) + 1L).as("grid_span"))
+      .where(col("grid_min_id").isNotNull)
+    val tf = docs.crossJoin(broadcast(bounds))
+      .select(
+        (expr(s"((doc_id - grid_min_id) * $b) div grid_span") + 1L)
           .as("bucket"),
         explode(tokens(col("text"))).as("term"))
       .groupBy(col("bucket"), col("term"))

@@ -958,4 +958,14 @@ class TextSpec extends SparkSpec {
         r.getInt(3))).toSet
     assert(fast == naive)
   }
+
+  test("trendingTerms: empty corpus yields an empty chart, not a throw") {
+    val d = spark.emptyDataFrame
+      .select(lit(0L).as("doc_id"), lit("").as("text"))
+      .where(lit(false))
+    val out = TextAnalysis.trendingTerms(d, buckets = 2, topK = 2)
+    assert(out.columns.toSeq == Seq(
+      "bucket", "term", "cnt", "rnk", "prev_rnk", "rank_delta"))
+    assert(out.count() == 0L)
+  }
 }
