@@ -18,13 +18,13 @@ import graft.functions.{BloomAgg, BloomContains, DeflateLen, DotProduct, MatchMa
   *    err high — too few partitions at 100 TB means >2 GB shuffle
   *    blocks and executor OOM, which AQE cannot fix upward before
   *    Spark 4's full skew handling kicks in only for joins/aggs.
-  *  - `spark.sql.files.maxPartitionBytes`: set to 16 MB locally (see
-  *    the inline note — the text/vector operators are CPU-bound in
-  *    the scan stage, and local corpora are few-file, so the 128 MB
-  *    default serializes the heaviest work on one core). On a
-  *    cluster, go back to 128 MB and RAISE (256–512 MB) for narrow
-  *    projections over many small row groups, where task-scheduling
-  *    overhead dominates; 16 MB at 100 TB would plan ~6M tasks.
+  *  - `spark.sql.files.maxPartitionBytes`: the 128 MB Spark default
+  *    (see the inline note — a round-9 global 16 MB floor taxed every
+  *    light scan 8% net; CPU-dense single-pass operators carry their
+  *    own per-operator parallelism floor via
+  *    [[Tables.documentsFloored]] instead). On a cluster RAISE
+  *    (256–512 MB) for narrow projections over many small row
+  *    groups, where task-scheduling overhead dominates.
   *  - `spark.sql.autoBroadcastJoinThreshold`: the engine broadcast()s
   *    its dimension/vocab/centroid/eval-set sides EXPLICITLY, so
   *    correctness never depends on this threshold or on stats.
@@ -127,20 +127,23 @@ object GraftSession {
             BloomContains(e(0), e(1)) }))
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions)
-      // LOCAL-mode scan granularity: 16 MB, not the 128 MB default.
-      // This engine's heaviest per-row work (regex/shingle/vector
-      // arithmetic) happens IN the scan stage, and the bench corpora
-      // arrive as a handful of files — at 128 MB a 63 MB documents
-      // table is ONE task and 31 of 32 cores idle through the most
-      // CPU-dense stage (the round-9 sf10 probe measured q_lang_id
-      // 100× instead of 10× on exactly this). On a real cluster
-      // reading 100 TB this knob goes back UP (128–512 MB — 16 MB
-      // would plan 6M tasks); it is a per-deployment setting, and
-      // the local value must match local core-to-bytes ratios.
-      // SPARK_GRAFT_SCAN_MB overrides for A/B probes (judge r9 item 2:
-      // global floor vs per-operator Tables.documentsFloored)
+      // Scan granularity: the 128 MB Spark default. Round 9 floored
+      // this session-globally to 16 MB after the sf10 probe caught
+      // CPU-dense scans serialized on one core — but the root cause
+      // was ScaleUp writing ONE unsplittable file (fixed: 64-file
+      // facts), and the global floor taxed every light scan instead:
+      // the round-10 A/B on the full 299-query sf0.1 bench measured
+      // 16 MB = 224.3 s vs 128 MB = 205.7 s (median per-query ratio
+      // 0.918), with ZERO text-family regressions at 128 MB because
+      // the CPU-dense single-pass operators carry their own
+      // parallelism floor (Tables.documentsFloored — applied
+      // per-operator, the selective discipline this knob's global
+      // floor duplicated badly). On a cluster reading 100 TB this
+      // stays at or above the default (256–512 MB for narrow
+      // projections); it is a per-deployment setting.
+      // SPARK_GRAFT_SCAN_MB overrides for A/B probes.
       .config("spark.sql.files.maxPartitionBytes",
-        s"${sys.env.getOrElse("SPARK_GRAFT_SCAN_MB", "16").toInt * 1024 * 1024}")
+        s"${sys.env.getOrElse("SPARK_GRAFT_SCAN_MB", "128").toInt * 1024 * 1024}")
       // small-file packing: the scale-probe corpora are written as
       // many ~1 MB files; the default 4 MB per-file "open cost" would
       // pack them back into few fat partitions

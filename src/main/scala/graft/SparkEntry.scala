@@ -582,6 +582,29 @@ object SparkEntry {
   private val CentroidStrideSql =
     "(SELECT greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
 
+  /** Lloyd iterations for the IVF-family centroids: ONE refinement of
+    * the stride seeds. Measured at sf0.1 (DevProbe, 45 cells / 2000
+    * vectors): recall@3 0.267→0.333, recall@10 0.22→0.25, cell
+    * imbalance 1.44→1.33 vs raw stride seeds; a second iteration gave
+    * part of that back (recall@3 0.30) while doubling training cost —
+    * the classic k-means knee. PQ codebooks stay on raw stride seeds:
+    * they quantize 16-dim SUBspaces where the full-vector Lloyd means
+    * are not the relevant geometry. */
+  private val LloydIters = 1
+
+  /** Trained IVF centroids: [[annSeeds]] refined by [[LloydIters]]
+    * bounded, deterministic k-means steps
+    * ([[VectorSearch.trainCentroids]] — integer-quantized means, so
+    * the result is summation-order-independent and the DuckDB oracle
+    * replays the identical refinement via [[TrainedCtrCtes]]).
+    * Retrained inside each query plan (one extra corpus × √n
+    * assignment pass — same order as the serve-side assignment it
+    * improves); a deployment publishes the trained frame once via
+    * [[graft.operators.AnnIndex.publish]] instead. */
+  private def annCentroids(emb: DataFrame, d: String): DataFrame =
+    VectorSearch.trainCentroids(emb, annSeeds(emb, d), LloydIters)
+      .select(col("centroid_id").as("vec_id"), col("embedding"))
+
   /** q_mixture: per-source target weights (unlisted sources weight 1)
     * and the token budget as a fraction of the corpus. Weights are
     * dyadic rationals so every windowed partial sum is exactly
@@ -1295,19 +1318,19 @@ object SparkEntry {
     }),
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      VectorSearch.ivfTopK(emb, annSeeds(emb, d),
+      VectorSearch.ivfTopK(emb, annCentroids(emb, d),
         col("vec_id") < 10, 3)
     }),
     "q_ann_ivf_p2" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      VectorSearch.ivfTopK(emb, annSeeds(emb, d),
+      VectorSearch.ivfTopK(emb, annCentroids(emb, d),
         col("vec_id") < 10, 3, nprobe = 2)
     }),
     // recall@3 of q_ann_ivf's serving path vs the exact top-3 — the
     // ANN twin of q_dedup_recall, linear in the corpus (fixed queries)
     "q_ann_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      VectorSearch.annRecall(emb, annSeeds(emb, d), col("vec_id") < 10, 3)
+      VectorSearch.annRecall(emb, annCentroids(emb, d), col("vec_id") < 10, 3)
     }),
     "q_ann_pq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1606,7 +1629,7 @@ object SparkEntry {
     // recall@k curve of IVF serving vs exact brute force
     "q_ann_recall_curve" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      VectorSearch.annRecallCurve(emb, annSeeds(emb, d),
+      VectorSearch.annRecallCurve(emb, annCentroids(emb, d),
         col("vec_id") < 10, AnnCurveKs)
     }),
     // per-dimension embedding moments/zero-share QA
@@ -1621,7 +1644,7 @@ object SparkEntry {
     // IVF cell-occupancy histogram + imbalance ratio
     "q_ivf_balance" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      VectorSearch.ivfBalance(emb, annSeeds(emb, d))
+      VectorSearch.ivfBalance(emb, annCentroids(emb, d))
     }),
     // leave-one-out kNN label accuracy per class
     "q_knn_accuracy" -> ((s, d) =>
@@ -1781,7 +1804,7 @@ object SparkEntry {
       DataChecks.theilSenTrend(Tables.events(s, d))),
     "q_semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      VectorSearch.semanticDedup(emb, annSeeds(emb, d),
+      VectorSearch.semanticDedup(emb, annCentroids(emb, d),
         SemDedupThreshold)
     }),
     "q_mixture" -> ((s, d) =>
@@ -2206,6 +2229,40 @@ object SparkEntry {
     * a near-dup candidate set). */
   private val NormedNonzeroEmbSql =
     s"SELECT * FROM ($NormedEmbSql) WHERE nrm <> 0"
+
+  /** Oracle twin of [[annCentroids]]: the Lloyd-refined centroid CTE
+    * chain — stride seeds (`ctr0`) → nearest-seed assignment (`tasg`,
+    * same (cos DESC, centroid_id) tie-break as assignCells) → the
+    * integer-quantized per-dimension mean (round(x·10⁶) BIGINT sums,
+    * then the fixed CAST(s AS DOUBLE)/n/10⁶ → FLOAT expression — the
+    * trainCentroids contract, order-independent in both engines).
+    * Expects a CTE `e` = [[NormedEmbSql]] in scope; emits `ctr`
+    * (centroid_id, embedding, nrm) exactly where the stride-seed
+    * `ctr` CTE used to sit, so every IVF-family oracle swaps in
+    * place. */
+  private lazy val TrainedCtrCtes: String =
+    s"""ctr0 AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e
+          WHERE vec_id % $CentroidStrideSql = 0),
+        tasg AS (SELECT e.vec_id, e.embedding, ctr0.centroid_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${dotSql("e", "ctr0")} / (e.nrm * ctr0.nrm) DESC,
+                     ctr0.centroid_id) AS trk
+          FROM e CROSS JOIN ctr0 WHERE e.nrm <> 0 AND ctr0.nrm <> 0),
+        tgrid AS (SELECT centroid_id, embedding,
+          unnest(range(1, len(embedding) + 1)) AS pos
+          FROM tasg WHERE trk = 1),
+        tmean AS (SELECT centroid_id, pos,
+          CAST(sum(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000)
+            AS BIGINT)) AS BIGINT) AS s, count(*) AS n
+          FROM tgrid GROUP BY 1, 2),
+        tctr AS (SELECT centroid_id,
+          list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+            AS FLOAT) ORDER BY pos) AS embedding
+          FROM tmean GROUP BY 1),
+        ctr AS (SELECT centroid_id, embedding,
+          sqrt(list_reduce(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+            AS nrm FROM tctr)"""
 
   /** Oracle of Curation.mixturePlan under MixtureWeights/MixtureBudget
     * — shared by q_mixture and q_mixture_sample's epochs leg. */
@@ -4098,8 +4155,7 @@ object SparkEntry {
     // joined per (query, neighbor), rolled up per query
     "q_ann_recall" ->
       s"""WITH e AS ($NormedEmbSql),
-          ctr AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e
-            WHERE vec_id % $CentroidStrideSql = 0),
+          $TrainedCtrCtes,
           asg AS (SELECT e.vec_id, e.embedding, e.nrm, ctr.centroid_id,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,
@@ -4138,8 +4194,7 @@ object SparkEntry {
           FROM fo GROUP BY query_id ORDER BY query_id""",
     "q_ann_ivf" ->
       s"""WITH e AS ($NormedEmbSql),
-          ctr AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e
-            WHERE vec_id % $CentroidStrideSql = 0),
+          $TrainedCtrCtes,
           asg AS (SELECT e.vec_id, e.embedding, e.nrm, ctr.centroid_id,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,
@@ -4159,8 +4214,7 @@ object SparkEntry {
           WHERE "rank" <= 3 ORDER BY query_id, "rank"""",
     "q_ann_ivf_p2" ->
       s"""WITH e AS ($NormedEmbSql),
-          ctr AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e
-            WHERE vec_id % $CentroidStrideSql = 0),
+          $TrainedCtrCtes,
           asg AS (SELECT e.vec_id, e.embedding, e.nrm, ctr.centroid_id,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,
@@ -6470,8 +6524,7 @@ object SparkEntry {
     "q_ann_recall_curve" -> {
       val maxK = AnnCurveKs.max
       s"""WITH e AS ($NormedEmbSql),
-          ctr AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e
-            WHERE vec_id % $CentroidStrideSql = 0),
+          $TrainedCtrCtes,
           asg AS (SELECT e.vec_id, e.embedding, e.nrm, ctr.centroid_id,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,
@@ -6586,8 +6639,7 @@ object SparkEntry {
     // max cell over mean cell off the same exact integers on all rows.
     "q_ivf_balance" ->
       s"""WITH e AS ($NormedEmbSql),
-          ctr AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e
-            WHERE vec_id % $CentroidStrideSql = 0),
+          $TrainedCtrCtes,
           asg AS (SELECT e.vec_id, ctr.centroid_id,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,
@@ -7592,8 +7644,7 @@ object SparkEntry {
           FROM w ORDER BY date, event_type""",
     "q_semantic_dedup" ->
       s"""WITH e AS ($NormedEmbSql),
-          ctr AS (SELECT vec_id AS centroid_id, embedding, nrm FROM e
-            WHERE vec_id % $CentroidStrideSql = 0),
+          $TrainedCtrCtes,
           asg AS (SELECT e.vec_id, e.embedding, e.nrm, ctr.centroid_id,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,

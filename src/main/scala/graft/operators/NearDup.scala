@@ -926,6 +926,41 @@ object NearDup {
       spark.table(sigsTable(prefix)),
       n, k, bands, None)
 
+  /** Staleness-AWARE index acquisition: the refresh-policy loop of
+    * [[indexStaleness]] closed as code instead of an ops runbook.
+    * Consults the published snapshot's staleness verdict against the
+    * LIVE corpus; when stale (new-fingerprint or gone-fingerprint
+    * drift past its threshold) the index is rebuilt from the live
+    * corpus and re-published BEFORE any probe trusts it — a probe
+    * against a drifted snapshot silently under-flags duplicates (new
+    * near-dup families are invisible to frozen buckets), which is a
+    * corpus-quality bug no downstream gate would catch.
+    *
+    * Returns (index, rebuilt): callers route probes through the
+    * returned index unconditionally; `rebuilt` is the audit signal
+    * (a rebuild on every call means the refresh cadence is wrong,
+    * exactly what [[indexStaleness]]'s fractions quantify first).
+    * The verdict is ONE driver-side boolean off the one-row staleness
+    * frame — control-plane, same discipline as the BPE merge loop;
+    * the rebuild itself is the same one-scan publish the nightly job
+    * pays. */
+  def freshIncrementIndex(corpus: DataFrame, n: Int = 3, k: Int = 32,
+                          bands: Int = 16,
+                          bucketCap: Int = DefaultBucketCap,
+                          prefix: String = DefaultDedupPrefix,
+                          maxNewFrac: Double = StaleNewFracMax,
+                          maxGoneFrac: Double = StaleGoneFracMax)
+      : (IncrementIndex, Boolean) = {
+    val spark = corpus.sparkSession
+    val published = loadIncrementIndex(spark, n, k, bands, prefix)
+    val stale = indexStaleness(corpus, published.fingerprints,
+      maxNewFrac, maxGoneFrac).select(col("stale")).head().getBoolean(0)
+    if (stale) {
+      publishIncrementIndex(corpus, n, k, bands, bucketCap, prefix)
+      (loadIncrementIndex(spark, n, k, bands, prefix), true)
+    } else (published, false)
+  }
+
   /** Bloom-pruned incremental EXACT dedup: the corpus's fingerprints
     * are reduced to one fixed-size bloom bitset
     * ([[graft.functions.BloomAgg]] — map-side OR-combine, so the

@@ -335,7 +335,19 @@ object VectorSearch extends Logging {
     * cell's centroid as the elementwise mean. Each iteration is one
     * map-side assignment pass + one (centroid, dim) aggregation —
     * linear in corpus size, the standard distributed k-means shape.
-    * Returns (centroid_id, embedding). */
+    * Returns (centroid_id, embedding).
+    *
+    * Bit-portable means: coordinates quantize to integer micro-units
+    * (round(x·10⁶) — the [[dimensionStats]] grid; float32 inputs
+    * carry ~7 significant digits, so the quantization sits below
+    * input noise) and fold as exact BIGINT sums, so the mean is
+    * summation-ORDER-independent — a raw double avg() would make the
+    * trained centroids (and every cosine ranked against them) depend
+    * on partitioning, which no hash-gated oracle could replay. The
+    * mean is then the fixed expression CAST(s AS DOUBLE)/n/10⁶ →
+    * FLOAT, identical in any engine. BIGINT Σq wraps only past ~10¹²
+    * members per cell (|q| ≤ ~10⁶ for unit-scale embeddings) —
+    * cells are N/√N = √N-sized under [[centroidStrideFor]]. */
   def trainCentroids(embeddings: DataFrame, initial: DataFrame,
                      iterations: Int): DataFrame = {
     var centroids = initial.select(col("vec_id").as("centroid_id"), col("embedding"))
@@ -345,11 +357,14 @@ object VectorSearch extends Logging {
       centroids = assigned
         .select(col("centroid_id"), posexplode(col("embedding")))
         .toDF("centroid_id", "pos", "x")
+        .withColumn("q", round(col("x").cast("double") * 1000000).cast("bigint"))
         .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
         .groupBy(col("centroid_id"))
         .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
+          array_sort(collect_list(struct(col("pos"),
+            (col("s").cast("double") / col("n").cast("double") /
+              lit(1000000.0)).as("m")))),
           p => p.getField("m").cast("float")).as("embedding"))
         // materialize the (tiny) centroid frame and truncate lineage:
         // without this, iteration i's plan re-executes iterations

@@ -288,6 +288,42 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("freshIncrementIndex rebuilds on drift, serves published otherwise") {
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = docs(10L -> body, 11L -> "an unrelated corpus document here")
+    val prefix = "graft_dedup_fresh_spec"
+    NearDup.publishIncrementIndex(corpus, prefix = prefix)
+    // same corpus: verdict not stale, the published snapshot is served
+    val (idx0, rebuilt0) = NearDup.freshIncrementIndex(corpus, prefix = prefix)
+    assert(!rebuilt0, "zero drift must not trigger a rebuild")
+    assert(idx0.fingerprints.count() == 2)
+    // the live corpus grows past the 10% new-fingerprint threshold; a
+    // probe of a near-dup of the NEW doc against the frozen snapshot
+    // would come back is_new (the silent under-flagging failure) —
+    // the staleness-aware path must rebuild first and catch it
+    val freshBody = (1 to 30).map(i => s"q$i").mkString(" ")
+    val grown = corpus.unionAll(
+      docs(12L -> freshBody).select(corpus.columns.map(col): _*))
+    val nearOfNew = docs(
+      20L -> ((1 to 28).map(i => s"q$i").mkString(" ") + " tail changed"))
+    val staleVerdict = NearDup
+      .dedupIncrementAgainst(nearOfNew,
+        NearDup.loadIncrementIndex(spark, prefix = prefix))
+      .collect().head
+    assert(staleVerdict.getBoolean(3),
+      "the frozen snapshot misses the new family (the hazard)")
+    val (idx1, rebuilt1) = NearDup.freshIncrementIndex(grown, prefix = prefix)
+    assert(rebuilt1, "33% unseen fingerprints must trigger the rebuild")
+    assert(idx1.fingerprints.count() == 3,
+      "the served index is the REBUILT snapshot")
+    val freshVerdict = NearDup.dedupIncrementAgainst(nearOfNew, idx1)
+      .collect().head
+    assert(!freshVerdict.getBoolean(3) && freshVerdict.getLong(2) == 12L,
+      "after the rebuild the probe flags the near-dup of the new doc")
+    Seq(NearDup.fpTable(prefix), NearDup.bucketsTable(prefix),
+      NearDup.sigsTable(prefix)).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("containment finds short-in-long dups that jaccard misses") {
     val short = (1 to 12).map(i => s"s$i").mkString(" ")
     val filler = (1 to 120).map(i => s"f$i").mkString(" ")
