@@ -1,41 +1,50 @@
 package graft
 
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
-import graft.operators.VectorSearch
 
-/** Scratch dev main — timing decomposition, not part of the library. */
+/** Scratch dev main — per-query stage-metric decomposition, not part
+  * of the library. Usage: DevProbe <query names...> with
+  * SPARK_GRAFT_SF_DIR; each query runs twice (cold + warm) with
+  * per-stage wall/cpu/gc/spill/shuffle breakdowns. */
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
     val sc = spark.sparkContext
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val s = e.stageInfo
+        val ms = for {
+          a <- s.submissionTime; b <- s.completionTime
+        } yield b - a
+        stages.add(f"stage ${s.stageId}%4d tasks=${s.numTasks}%5d " +
+          f"wall=${ms.getOrElse(-1L) / 1000.0}%8.1fs " +
+          f"cpu=${s.taskMetrics.executorCpuTime / 1e9}%8.1fs " +
+          f"gc=${s.taskMetrics.jvmGCTime / 1e3}%7.1fs " +
+          f"spill=${s.taskMetrics.diskBytesSpilled / 1e6}%8.1fMB " +
+          f"shW=${s.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
+          s.name.take(60))
+      }
+    })
     def clear(): Unit = {
       spark.catalog.clearCache()
       Caches.clear()
       sc.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
-    def show(label: String)(f: => DataFrame): Unit = {
+    def time1(label: String, detail: Boolean)(f: => DataFrame): Unit = {
+      stages.clear()
       val t0 = System.nanoTime()
-      val rows = f.collect()
+      f.write.format("noop").mode("overwrite").save()
       println(f"[probe] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      rows.foreach(r => println("[probe]   " + r))
+      if (detail) stages.forEach(s => println("[probe]   " + s))
       clear()
     }
-    val emb = Tables.embeddings(spark, dir)
-    val stride = VectorSearch.centroidStrideFor(emb.count())
-    val seeds = emb.where(col("vec_id") % stride === 0)
-    val ks = Seq(1, 3, 10)
-    show("recall curve STRIDE")(
-      VectorSearch.annRecallCurve(emb, seeds, col("vec_id") < 10, ks))
-    show("balance STRIDE")(VectorSearch.ivfBalance(emb, seeds))
-    def trained(it: Int) =
-      VectorSearch.trainCentroids(emb, seeds, it)
-        .select(col("centroid_id").as("vec_id"), col("embedding"))
-    Seq(1, 2).foreach { it =>
-      show(s"recall curve LLOYD$it")(
-        VectorSearch.annRecallCurve(emb, trained(it), col("vec_id") < 10, ks))
-      show(s"balance LLOYD$it")(VectorSearch.ivfBalance(emb, trained(it)))
+    args.foreach { q =>
+      val fn = SparkEntry.queries(q)
+      time1(s"$q cold", detail = false)(fn(spark, dir))
+      time1(s"$q warm", detail = true)(fn(spark, dir))
     }
     spark.stop()
   }

@@ -169,19 +169,24 @@ object Curation {
     * `line_df * maxDocEvery >= n_docs` — no fractional cutoff, so the
     * oracle replay is bit-exact at any corpus size (a double 0.05×n
     * crosses ceil() boundaries differently in decimal engines).
-    * Two linear passes, no per-doc shuffle of text: pass 1 explodes
-    * distinct (doc, line) pairs into a line-frequency aggregate whose
-    * output is tiny by construction (a line over the df threshold can
-    * number at most avgLinesPerDoc / minDocFrac distinct values), so
-    * the frequent set collapses to a ONE-ROW array frame that
-    * broadcast-crossJoins back; pass 2 strips row-locally with an
-    * array higher-order filter — document text never shuffles, and
-    * the whole strip stays inside whole-stage codegen. NULL text
-    * propagates NULL counts/output. */
+    * Two linear passes, no per-doc shuffle of text: pass 1 dedups
+    * each doc's lines ROW-LOCALLY (array_distinct — the per-doc
+    * `distinct()` this replaces was a second full-line-text exchange:
+    * distinct shuffled on (doc, line), then the df aggregate
+    * re-shuffled the same text on line; the 100× probe clocked
+    * q_boilerplate 18.3× for 10× data on exactly that double
+    * exchange) and explodes into ONE line-keyed frequency aggregate
+    * (map-side combined) whose output is tiny by construction (a line
+    * over the df threshold can number at most avgLinesPerDoc /
+    * minDocFrac distinct values), so the frequent set collapses to a
+    * ONE-ROW array frame that broadcast-crossJoins back; pass 2
+    * strips row-locally with an array higher-order filter — document
+    * text never shuffles, and the whole strip stays inside
+    * whole-stage codegen. NULL text propagates NULL counts/output. */
   def boilerplateStrip(docs: DataFrame, maxDocEvery: Int = 20): DataFrame = {
-    val lines = docs.select(col("doc_id"),
-      explode(split(col("text"), "\n")).as("line"))
-    val freq = lines.distinct()
+    val lines = docs.select(
+      explode(array_distinct(split(col("text"), "\n"))).as("line"))
+    val freq = lines
       .groupBy(col("line")).agg(count(lit(1)).as("line_df"))
       .crossJoin(broadcast(docs.select(count(lit(1)).as("n_total"))))
       .filter(col("line_df") * maxDocEvery >= col("n_total"))
