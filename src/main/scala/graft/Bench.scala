@@ -29,7 +29,8 @@ object Bench {
     "q_quality_filter", "q_dedup_exact", "q_quality_dup_calib", "q_dup_auc",
     "q_ngram_jaccard", "q_dedup_sweep", "q_span_dedup", "q_span_strip",
     "q_novelty", "q_containment",
-    "q_minhash_dedup", "q_minhash_recall", "q_hard_negatives",
+    "q_minhash_dedup", "q_minhash_recall", "q_lsh_curve", "q_minhash_est",
+    "q_hard_negatives",
     "q_dedup_clusters",
     "q_simhash", "q_simhash_pairs", "q_skew_salted", "q_decontam",
     "q_stratified_sample", "q_split", "q_split_leak", "q_blocklist", "q_chunks",

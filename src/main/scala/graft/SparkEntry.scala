@@ -1198,6 +1198,16 @@ object SparkEntry {
     // (0.5 — pinned by the verify stage both here and in the oracle).
     "q_minhash_recall" -> ((s, d) =>
       NearDup.minhashRecallSampled(Tables.documentsFloored(s, d))),
+    // The banding S-curve measured: observed candidate rate per exact
+    // jaccard decile vs the closed 1-(1-s^2)^16 theory (exact
+    // squaring chain, no libm pow) — bands/rows tuning as a gate row.
+    "q_lsh_curve" -> ((s, d) =>
+      NearDup.lshCurveSampled(Tables.documentsFloored(s, d))),
+    // Sketch-accuracy twin: mean minhash agreement estimate vs mean
+    // exact jaccard per decile, with the bias — validates the k=32
+    // estimator itself, not just the banding built on it.
+    "q_minhash_est" -> ((s, d) =>
+      NearDup.minhashEstCurveSampled(Tables.documentsFloored(s, d))),
     "q_containment" -> ((s, d) =>
       NearDup.containmentPairs(Tables.documentsFloored(s, d), 3,
         ContainmentThreshold)),
@@ -3657,6 +3667,72 @@ object SparkEntry {
               nullif(CAST(coalesce(sum(in_exact), 0) AS BIGINT), 0)
               AS recall
           FROM fo""",
+    // Observed-vs-theoretical banding curve: the exact df-capped pairs
+    // at 0.3 bucketed by jaccard decile, flagged by membership in the
+    // SAME capped candidate set (`cand` from the minhash chain); the
+    // theoretical leg is the exact squaring chain (x1=1-s², then four
+    // squarings → x16), never pow() — libm last-ulp behavior differs.
+    "q_lsh_curve" ->
+      s"""WITH ${minhashVerCtes(s"doc_id % $SampleModSql = 0")},
+          je0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
+          ${dfCapCtes("j")},
+          jc AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS cnt
+            FROM je a JOIN je b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          jsz AS (SELECT doc_id, len(sh) AS n FROM t),
+          ex AS (SELECT d1, d2,
+            CAST(cnt AS DOUBLE) / (s1.n + s2.n - cnt) AS jaccard FROM jc
+            JOIN jsz s1 ON s1.doc_id = d1 JOIN jsz s2 ON s2.doc_id = d2
+            WHERE CAST(cnt AS DOUBLE) / (s1.n + s2.n - cnt) >= 0.3),
+          fo AS (SELECT
+            least(CAST(floor(ex.jaccard * 10) AS INT), 9) AS jaccard_bucket,
+            CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_cand
+            FROM ex LEFT JOIN cand c ON c.d1 = ex.d1 AND c.d2 = ex.d2),
+          g AS (SELECT jaccard_bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(in_cand) AS BIGINT) AS n_candidates FROM fo GROUP BY 1),
+          g2 AS (SELECT *, CAST(jaccard_bucket * 2 + 1 AS DOUBLE) / 20.0
+            AS s_mid FROM g),
+          g3 AS (SELECT *, 1.0 - s_mid * s_mid AS x1 FROM g2),
+          g4 AS (SELECT *, (x1 * x1) * (x1 * x1) AS x4 FROM g3)
+          SELECT jaccard_bucket, n_pairs, n_candidates,
+            CAST(n_candidates AS DOUBLE) / n_pairs AS candidate_rate,
+            s_mid, 1.0 - (x4 * x4) * (x4 * x4) AS expected_rate
+          FROM g4 ORDER BY jaccard_bucket""",
+    // Sketch-accuracy calibration: per exact-jaccard decile the mean
+    // coordinate-agreement estimate (Σ matches / (n·32), integer
+    // numerator) vs the micro-quantized exact mean and the bias.
+    "q_minhash_est" ->
+      s"""WITH ${minhashVerCtes(s"doc_id % $SampleModSql = 0")},
+          je0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
+          ${dfCapCtes("j")},
+          jc AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS cnt
+            FROM je a JOIN je b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          jsz AS (SELECT doc_id, len(sh) AS n FROM t),
+          ex AS (SELECT d1, d2,
+            CAST(cnt AS DOUBLE) / (s1.n + s2.n - cnt) AS jaccard FROM jc
+            JOIN jsz s1 ON s1.doc_id = d1 JOIN jsz s2 ON s2.doc_id = d2
+            WHERE CAST(cnt AS DOUBLE) / (s1.n + s2.n - cnt) >= 0.3),
+          mm AS (SELECT ex.d1, ex.d2, ex.jaccard,
+            CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+              AS matches
+            FROM ex JOIN perms a ON a.doc_id = ex.d1
+            JOIN perms b ON b.doc_id = ex.d2 AND b.j = a.j
+            GROUP BY 1, 2, 3),
+          fo AS (SELECT
+            least(CAST(floor(jaccard * 10) AS INT), 9) AS jaccard_bucket,
+            matches, CAST(round(jaccard * 1000000) AS BIGINT) AS jq FROM mm),
+          g AS (SELECT jaccard_bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(matches) AS BIGINT) AS sm, CAST(sum(jq) AS BIGINT) AS sj
+            FROM fo GROUP BY 1)
+          SELECT jaccard_bucket, n_pairs,
+            CAST(sm AS DOUBLE) / CAST(n_pairs * 32 AS DOUBLE) AS mean_est,
+            CAST(sj AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1000000.0
+              AS mean_exact,
+            CAST(sm AS DOUBLE) / CAST(n_pairs * 32 AS DOUBLE)
+              - CAST(sj AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1000000.0
+              AS bias
+          FROM g ORDER BY jaccard_bucket""",
     "q_containment" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
           t AS (SELECT doc_id, $ShinglesSql AS sh FROM tk),

@@ -700,6 +700,128 @@ object NearDup {
         col("n_both").cast("double") / nullif(col("n_exact"), lit(0L)))
   }
 
+  /** LSH banding-curve calibration: the observed candidate rate of
+    * the minhash banding per exact-jaccard decile against the closed
+    * S-curve 1−(1−s^r)^b — the tuning table behind every bands/rows
+    * choice this family makes (an operator reads WHERE the observed
+    * curve sags below theory before touching a parameter: a uniform
+    * sag means bucket-cap loss, a sag only at low deciles is the
+    * designed cut-off doing its job). Denominator = the df-capped
+    * exact inverted-index pairs at `threshold` ([[jaccardPairs]]);
+    * numerator = those pairs that the banding also surfaced
+    * ([[verifiedCandidates]]'s pre-verify candidate set, bucket cap
+    * and all — so the curve measures the DEPLOYED candidate
+    * generation, caps included, not idealized banding).
+    *
+    * Bit-portable by construction: bucket = floor(jaccard·10) off
+    * the identical IEEE ratio both engines compute, counts are
+    * integers, and the theoretical leg at the bucket midpoint is an
+    * EXACT multiplication chain — r=2, b=16 gives 1−((1−s²)²)²…² via
+    * four squarings, every step a correctly-rounded IEEE multiply —
+    * no pow(), whose last-ulp behavior is libm-specific (the
+    * require() pins the parameters the chain hardcodes). Grid-sized
+    * output (≤ 7 deciles at threshold 0.3). */
+  def lshCurve(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 16,
+               threshold: Double = 0.3,
+               bucketCap: Int = DefaultBucketCap,
+               dfCap: DfCap = DerivedDfCap()): DataFrame = {
+    require(k / bands == 2 && bands == 16,
+      "the exact-squaring theoretical curve hardcodes r=2, b=16")
+    val exact = jaccardPairs(docs, n, threshold, dfCap)
+      .select(col("d1"), col("d2"), col("jaccard"))
+    val cand = verifiedCandidates(docs, n, k, bands, bucketCap)
+      .select(col("d1"), col("d2"), lit(1L).as("in_cand"))
+    def sq(c: Column): Column = c * c
+    exact.join(cand, Seq("d1", "d2"), "left_outer")
+      .select(
+        least(floor(col("jaccard") * 10).cast("int"), lit(9))
+          .as("jaccard_bucket"),
+        coalesce(col("in_cand"), lit(0L)).as("in_cand"))
+      .groupBy(col("jaccard_bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("in_cand")).as("n_candidates"))
+      .withColumn("candidate_rate",
+        col("n_candidates").cast("double") / col("n_pairs"))
+      .withColumn("s_mid",
+        (col("jaccard_bucket") * 2 + 1).cast("double") / lit(20.0))
+      .withColumn("expected_rate",
+        lit(1.0) - sq(sq(sq(sq(lit(1.0) - col("s_mid") * col("s_mid"))))))
+      .select(col("jaccard_bucket"), col("n_pairs"), col("n_candidates"),
+        col("candidate_rate"), col("s_mid"), col("expected_rate"))
+      .orderBy(col("jaccard_bucket"))
+  }
+
+  /** [[lshCurve]] on the corpus-derived deterministic sample — the
+    * [[minhashRecallSampled]] discipline: the curve is a property of
+    * the PARAMETERS, estimated from ~[[RecallSampleTarget]] docs at
+    * any corpus size (the exact leg grows in the df² regime); gate
+    * corpora at or under the target evaluate the full corpus, so
+    * sampling engages only above gate scale and the oracle replays
+    * the identical modulus. */
+  def lshCurveSampled(docs: DataFrame, n: Int = 3,
+                      threshold: Double = 0.3,
+                      target: Long = RecallSampleTarget): DataFrame = {
+    val mod = sampleModFor(docs.count(), target)
+    lshCurve(docs.where(col("doc_id") % mod === 0), n, threshold = threshold)
+  }
+
+  /** MinHash sketch-accuracy calibration: per exact-jaccard decile,
+    * the mean signature-agreement estimate (matching coordinates / k
+    * — the estimator every minhash decision implicitly trusts,
+    * E[est] = J) against the mean exact jaccard, with the bias — the
+    * "measure, don't guess" row for the SKETCH itself, where
+    * [[minhashRecall]] measures only the banding's recall. A biased
+    * decile says k is too small for that similarity regime BEFORE a
+    * dedup threshold silently moves.
+    *
+    * Pairs come from the same df-capped exact index ([[jaccardPairs]]
+    * at `threshold`), so the agreement join is pairs × k — row-local
+    * zip over two k-length arrays, never corpus². Exact-integer
+    * portability: Σ matching coordinates is an integer (mean_est =
+    * Σ/(n·k), one fixed division), and the exact-jaccard mean folds
+    * on the round(j·10⁶) integer grid ([[VectorSearch.dimensionStats]]
+    * discipline) — no order-dependent double sums anywhere. */
+  def minhashEstCurve(docs: DataFrame, n: Int = 3, k: Int = 32,
+                      threshold: Double = 0.3,
+                      dfCap: DfCap = DerivedDfCap()): DataFrame = {
+    val exact = jaccardPairs(docs, n, threshold, dfCap)
+      .select(col("d1"), col("d2"), col("jaccard"))
+    val arr = signatures(docs, n, k)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("mh"))
+    exact
+      .join(arr.select(col("doc_id").as("d1"), col("mh").as("mh1")), "d1")
+      .join(arr.select(col("doc_id").as("d2"), col("mh").as("mh2")), "d2")
+      .select(
+        least(floor(col("jaccard") * 10).cast("int"), lit(9))
+          .as("jaccard_bucket"),
+        size(filter(zip_with(col("mh1"), col("mh2"), (a, b) => a === b),
+          x => x)).cast("long").as("matches"),
+        round(col("jaccard") * 1000000).cast("bigint").as("jq"))
+      .groupBy(col("jaccard_bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("matches")).as("sum_matches"),
+        sum(col("jq")).as("sum_jq"))
+      .select(col("jaccard_bucket"), col("n_pairs"),
+        (col("sum_matches").cast("double") /
+          (col("n_pairs") * k).cast("double")).as("mean_est"),
+        (col("sum_jq").cast("double") / col("n_pairs").cast("double") /
+          lit(1000000.0)).as("mean_exact"),
+        (col("sum_matches").cast("double") /
+          (col("n_pairs") * k).cast("double") -
+          col("sum_jq").cast("double") / col("n_pairs").cast("double") /
+            lit(1000000.0)).as("bias"))
+      .orderBy(col("jaccard_bucket"))
+  }
+
+  /** [[minhashEstCurve]] on the corpus-derived sample — same contract
+    * as [[lshCurveSampled]]. */
+  def minhashEstCurveSampled(docs: DataFrame, n: Int = 3,
+                             threshold: Double = 0.3,
+                             target: Long = RecallSampleTarget): DataFrame = {
+    val mod = sampleModFor(docs.count(), target)
+    minhashEstCurve(docs.where(col("doc_id") % mod === 0), n,
+      threshold = threshold)
+  }
+
   /** Incremental-ingestion dedup: flag each NEW doc that exactly or
     * nearly duplicates the EXISTING corpus — the operational shape at
     * 100 TB, where the daily increment is deduped against the corpus

@@ -324,6 +324,33 @@ class CurationSpec extends SparkSpec {
       NearDup.sigsTable(prefix)).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("lshCurve and minhashEstCurve calibrate banding and sketch") {
+    val body = (1 to 40).map(i => s"w$i").mkString(" ")
+    val far = (1 to 40).map(i => s"z$i").mkString(" ")
+    val df = docs(1L -> body, 2L -> body, 3L -> far)
+    // identical docs: jaccard 1.0 → decile 9 (clamped), every band
+    // collides → candidate rate 1; theoretical at s=0.95 off the
+    // exact squaring chain
+    val curve = NearDup.lshCurve(df, 3).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(curve.keySet == Set(9))
+    val c9 = curve(9)
+    assert(c9.getLong(1) == 1L && c9.getLong(2) == 1L)
+    assert(c9.getDouble(3) == 1.0, "identical docs must be candidates")
+    def sq(x: Double) = x * x
+    assert(c9.getDouble(5) == 1.0 - sq(sq(sq(sq(1.0 - 0.95 * 0.95)))),
+      "expected_rate is the exact squaring chain at the midpoint")
+    // identical signatures agree on all 32 coordinates: est exactly 1,
+    // exact mean exactly 1, zero bias
+    val est = NearDup.minhashEstCurve(df, 3).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(est.keySet == Set(9))
+    val e9 = est(9)
+    assert(e9.getLong(1) == 1L)
+    assert(e9.getDouble(2) == 1.0 && e9.getDouble(3) == 1.0
+      && e9.getDouble(4) == 0.0)
+  }
+
   test("containment finds short-in-long dups that jaccard misses") {
     val short = (1 to 12).map(i => s"s$i").mkString(" ")
     val filler = (1 to 120).map(i => s"f$i").mkString(" ")
