@@ -73,7 +73,7 @@ object Bench {
     "q_shingle_stats", "q_price_dispersion", "q_catalog_coverage",
     "q_weekday_anova", "q_drawdown", "q_ann_recall_curve",
     "q_dim_stats", "q_length_bands", "q_hamming_hist",
-    "q_ivf_balance", "q_knn_accuracy", "q_acctbal_bands",
+    "q_ivf_balance", "q_ann_probe_cost", "q_knn_accuracy", "q_acctbal_bands",
     "q_fisher_index", "q_part_vintage", "q_order_lines",
     "q_l_diversity", "q_t_closeness",
     "q_ooo_audit", "q_watermark_rec", "q_join_skew", "q_record_dedup", "q_canary_scan",
@@ -211,6 +211,14 @@ object Bench {
       Caches.clear()
       sc.getPersistentRDDs.filterNot { case (id, _) => before(id) }
         .values.foreach(_.unpersist(blocking = false))
+      // runs=1 scale probes only: compact the heap BETWEEN queries
+      // (outside the timed section) so query N doesn't inherit query
+      // N-1's old-gen debris — the round-10 sf10 marathon recorded
+      // q_repurchase at 38.8 s where the same code measures 7.1 s
+      // cold in a fresh JVM; min-of-2 absorbs this at sf0.1 (where a
+      // forced full GC would also skew the committed-baseline
+      // comparability), but a single-run probe has no second chance.
+      if (RunsPerQuery == 1) System.gc()
       t
     }
     val results = selected.map { name =>

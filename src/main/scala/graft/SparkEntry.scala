@@ -1656,6 +1656,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       VectorSearch.ivfBalance(emb, annCentroids(emb, d))
     }),
+    // per-query probe cost: which cells each query visits at
+    // nprobe 1..2, cumulative candidates scanned, corpus share —
+    // the p99 driver q_ivf_balance's histogram can't attribute
+    "q_ann_probe_cost" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorSearch.probeCost(emb, annCentroids(emb, d), col("vec_id") < 10)
+    }),
     // leave-one-out kNN label accuracy per class
     "q_knn_accuracy" -> ((s, d) =>
       VectorSearch.knnAccuracy(Tables.embeddings(s, d),
@@ -6736,6 +6743,37 @@ object SparkEntry {
           FROM cells CROSS JOIN g
           GROUP BY size_digits, g.max_total, g.n_cells_total, g.n_total
           ORDER BY size_digits""",
+    // Probe-cost chain: the same trained-centroid assignment rolled to
+    // cell sizes, each query's ranked probe cells kept WITH their rank
+    // (q_ann_ivf_p2's qc), cumulative scan via the per-query window.
+    "q_ann_probe_cost" ->
+      s"""WITH e AS ($NormedEmbSql),
+          $TrainedCtrCtes,
+          asg AS (SELECT e.vec_id, ctr.centroid_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,
+                       ctr.centroid_id) AS rk
+            FROM e CROSS JOIN ctr WHERE e.nrm <> 0 AND ctr.nrm <> 0),
+          cells AS (SELECT centroid_id, CAST(count(*) AS BIGINT)
+              AS cell_size
+            FROM asg WHERE rk = 1 GROUP BY 1),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus
+            FROM asg WHERE rk = 1),
+          q AS (SELECT vec_id AS query_id, embedding, nrm FROM e
+            WHERE vec_id < 10 AND nrm <> 0),
+          qc AS (SELECT query_id, ctr.centroid_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY ${dotSql("q", "ctr")} / (q.nrm * ctr.nrm) DESC,
+                       ctr.centroid_id) AS INT) AS nprobe
+            FROM q CROSS JOIN ctr WHERE ctr.nrm <> 0),
+          pr AS (SELECT query_id, nprobe, centroid_id, cell_size,
+            CAST(sum(cell_size) OVER (PARTITION BY query_id
+              ORDER BY nprobe) AS BIGINT) AS scanned
+            FROM qc JOIN cells USING (centroid_id) WHERE nprobe <= 2)
+          SELECT query_id, nprobe, centroid_id, cell_size, scanned,
+            CAST(scanned AS DOUBLE) /
+              (SELECT CAST(n_corpus AS DOUBLE) FROM tot) AS corpus_share
+          FROM pr ORDER BY query_id, nprobe""",
     // The q_ann_topk brute chain at k=$KnnK over the query prefix;
     // majority vote via (votes DESC, label) row_number, per-class
     // accuracy off exact counts.

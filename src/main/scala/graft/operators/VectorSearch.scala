@@ -650,6 +650,53 @@ object VectorSearch extends Logging {
     * more than N/k vectors (the p99 latency driver), which is the
     * signal to retrain or split centroids. The corpus collapses in
     * the one assignment aggregate; everything after is cell-grain. */
+  /** Per-query IVF probe-cost report: for each query and each probe
+    * depth up to `maxProbe`, WHICH cell the probe visits, its size,
+    * the cumulative candidates scanned, and that as a share of the
+    * indexed corpus — [[ivfBalance]] says the index is skewed in
+    * aggregate; this says what each QUERY actually pays, which is the
+    * p99 latency driver a serving team tunes nprobe against (a query
+    * whose rank-1 cell holds 10% of the corpus is the incident; the
+    * histogram never shows who hit it). All counts are exact integers
+    * off the one assignment aggregate; the only division is the final
+    * share. Corpus collapses in the assignment; everything after is
+    * (queries × maxProbe)-sized. */
+  def probeCost(embeddings: DataFrame, centroids: DataFrame,
+                queryFilter: Column, maxProbe: Int = 2): DataFrame = {
+    val assigned = assignCells(embeddings, centroids)
+    val cells = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("cell_size"))
+    val total = assigned.agg(count(lit(1)).as("n_corpus"))
+    val c = withNorm(centroids).where(col("nrm") =!= 0.0).select(
+      col("vec_id").as("centroid_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
+    // ranked probe cells per query: the exact qcells struct-sort of
+    // [[ivfTopK]], keeping the rank instead of discarding it
+    val qc = withNorm(embeddings.where(queryFilter))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+      .crossJoin(broadcast(c))
+      .withColumn("ccos", cosine(col("qe"), col("ce"), col("qn"), col("cn")))
+      .where(col("ccos").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(slice(sort_array(collect_list(struct(
+        negate(col("ccos")).as("nc"), col("centroid_id").as("cid")))),
+        1, maxProbe).as("cells"))
+      .select(col("query_id"), posexplode(col("cells")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("nprobe"),
+        col("col.cid").as("centroid_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("nprobe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    qc.join(cells, "centroid_id")
+      .withColumn("scanned", sum(col("cell_size")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("query_id"), col("nprobe"), col("centroid_id"),
+        col("cell_size"), col("scanned"),
+        (col("scanned").cast("double") / col("n_corpus").cast("double"))
+          .as("corpus_share"))
+      .orderBy(col("query_id"), col("nprobe"))
+  }
+
   def ivfBalance(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val cells = assignCells(embeddings, centroids)
       .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vecs"))

@@ -205,6 +205,25 @@ class TextSpec extends SparkSpec {
     assert(math.abs(c1(1) - (0.1f + 0.0f + 0.05f) / 3) < 1e-6)
   }
 
+  test("probeCost attributes per-query scan cost across probe depths") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.9f, 0.05f)),
+      (10L, Array(0.1f, 1.0f)), (11L, Array(0.0f, 1.0f)), (12L, Array(0.05f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val seeds = vecs.where(col("vec_id").isin(1L, 10L))
+    val out = VectorSearch.probeCost(vecs, seeds, col("vec_id") === 1L)
+      .collect()
+    assert(out.length == 2)
+    // rank 1 probes the query's own cluster (3 vectors = half the
+    // corpus); rank 2 adds the far cluster (all 6 scanned)
+    assert(out(0).getInt(1) == 1 && out(0).getLong(2) == 1L)
+    assert(out(0).getLong(3) == 3L && out(0).getLong(4) == 3L)
+    assert(out(0).getDouble(5) == 0.5)
+    assert(out(1).getInt(1) == 2 && out(1).getLong(2) == 10L)
+    assert(out(1).getLong(3) == 3L && out(1).getLong(4) == 6L)
+    assert(out(1).getDouble(5) == 1.0)
+  }
+
   test("brute-force topk ranks by cosine desc") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
