@@ -35,7 +35,7 @@ object Bench {
     "q_simhash", "q_simhash_pairs", "q_skew_salted", "q_decontam",
     "q_stratified_sample", "q_split", "q_split_leak", "q_blocklist", "q_chunks",
     "q_chunk_dedup",
-    "q_pack", "q_curation_funnel", "q_corpus_card", "q_vocab", "q_zipf",
+    "q_pack", "q_pack_frag", "q_curation_funnel", "q_corpus_card", "q_vocab", "q_zipf",
     "q_heaps", "q_quality_trend", "q_dup_sources", "q_bpe_pairs", "q_bpe_train",
     "q_quality_cap",
     "q_dedup_incremental", "q_dedup_index_stats", "q_index_staleness",

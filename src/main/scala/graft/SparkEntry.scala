@@ -1235,6 +1235,11 @@ object SparkEntry {
     "q_pack" -> ((s, d) =>
       Curation.packChunks(Tables.documents(s, d), PackContextLen,
         ChunkSize, ChunkStride).orderBy(col("doc_id"), col("chunk_ix"))),
+    // packing fragmentation: docs-per-bin distribution + straddling
+    // chunks — the cross-document-attention gauge for packed training
+    "q_pack_frag" -> ((s, d) =>
+      Curation.packFragmentation(Tables.documents(s, d), PackContextLen,
+        ChunkSize, ChunkStride)),
     "q_curation_funnel" -> ((s, d) =>
       Curation.curationFunnel(Tables.documents(s, d), BlocklistTerms,
         BlocklistMaxFrac, SampleRates, SampleBuckets)),
@@ -3847,6 +3852,30 @@ object SparkEntry {
           WINDOW w AS (ORDER BY doc_id, chunk_ix
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           ORDER BY doc_id, chunk_ix""",
+    // The q_pack prefix-sum chain rolled to bins, then the docs-per-
+    // bin grid; a straddle = chunk whose tokens cross its bin's end.
+    "q_pack_frag" ->
+      s"""WITH c AS ($ChunksSql),
+          p AS (SELECT doc_id, n_chunk_toks,
+            CAST((sum(n_chunk_toks) OVER w - n_chunk_toks)
+              // $PackContextLen AS BIGINT) AS bin_id,
+            CAST((sum(n_chunk_toks) OVER w - n_chunk_toks)
+              % $PackContextLen AS BIGINT) AS bin_offset
+            FROM c
+            WINDOW w AS (ORDER BY doc_id, chunk_ix
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          pb AS (SELECT bin_id, CAST(count(*) AS BIGINT) AS n_chunks,
+            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN bin_offset + n_chunk_toks
+              > $PackContextLen THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+            FROM p GROUP BY 1),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS total_bins FROM pb)
+          SELECT n_docs, CAST(count(*) AS BIGINT) AS n_bins,
+            CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+            CAST(sum(n_straddle) AS BIGINT) AS n_straddle,
+            CAST(count(*) AS DOUBLE) /
+              (SELECT CAST(total_bins AS DOUBLE) FROM tot) AS bin_share
+          FROM pb GROUP BY 1 ORDER BY n_docs""",
     "q_curation_funnel" -> {
       val list = BlocklistTerms.map(t => s"'$t'").mkString(", ")
       s"""WITH $QualityCtes,

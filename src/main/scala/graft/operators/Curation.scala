@@ -308,6 +308,46 @@ object Curation {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Packing-fragmentation QA: the docs-per-bin distribution of
+    * [[packChunks]]'s output plus straddling-chunk counts — the
+    * cross-document-attention gauge for a packed training run. Stream
+    * packing fills every bin exactly (utilization is trivially 1), so
+    * the quality question is FRAGMENTATION: a bin holding chunks of
+    * many distinct documents trains attention across unrelated
+    * contexts unless the loader masks boundaries, and a chunk whose
+    * tokens straddle two bins (bin_offset + n_chunk_toks > contextLen)
+    * is split mid-sequence. Per docs-per-bin level: bin count, chunk
+    * count, straddling chunks, share of all bins. A bin's chunks =
+    * chunks STARTING in it (its bin_id), the deterministic attribution
+    * the packer's prefix-sum already assigns.
+    *
+    * Shape: the packer's one distributed prefix-sum pass, one
+    * bins-grain aggregate (slim integers, linear), then a ≤docs-sized
+    * grid. Counts are exact integers; the share is the one final
+    * division. */
+  def packFragmentation(docs: DataFrame, contextLen: Int,
+                        size: Int = 32, stride: Int = 24): DataFrame = {
+    val perBin = packChunks(docs, contextLen, size, stride)
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(when(col("bin_offset") + col("n_chunk_toks") > contextLen,
+          1L).otherwise(0L)).as("n_straddle"))
+      // two readers (grid + total) of a bins-grain integer frame;
+      // caller-owned lifetime, same contract as searchTopK
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = perBin.agg(count(lit(1)).as("total_bins"))
+    perBin.groupBy(col("n_docs"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_chunks")).as("n_chunks"),
+        sum(col("n_straddle")).as("n_straddle"))
+      .crossJoin(broadcast(total))
+      .select(col("n_docs"), col("n_bins"), col("n_chunks"),
+        col("n_straddle"),
+        (col("n_bins").cast("double") / col("total_bins").cast("double"))
+          .as("bin_share"))
+      .orderBy(col("n_docs"))
+  }
+
   /** Source-mixture plan: per source, the available docs/tokens and
     * share of the corpus, the TARGET share implied by a per-source
     * weight map (unlisted sources weight `defaultWeight`, weights

@@ -135,6 +135,26 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getLong(5)).max == 4)
   }
 
+  test("packFragmentation: docs-per-bin grid, straddles, shares sum to 1") {
+    // same fixture as the packChunks test: 20 chunks of (32,16) per
+    // doc, 480 tokens into 100-token bins → 5 bins, each spanning
+    // chunks of 2-3 distinct docs
+    val df = (0L until 10L).map(i =>
+      (i, (1 to 40).map(j => s"d${i}t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .repartition(7)
+    val out = Curation.packFragmentation(df, contextLen = 100, 32, 24)
+      .collect()
+    assert(out.map(_.getLong(1)).sum == 5L, "total bins = 480 // 100 + 1")
+    assert(out.map(_.getLong(2)).sum == 20L, "every chunk attributed once")
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-12)
+    // chunk starting at prefix 80 (len 32) crosses into bin 1 — at
+    // least one straddle exists and every straddle is counted in the
+    // bin the chunk STARTS in
+    assert(out.map(_.getLong(3)).sum >= 1L)
+  }
+
   test("curationFunnel: labeled stages, monotone survival, strata filter") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val rows = Curation.curationFunnel(real, Seq("slow"), 0.12,
