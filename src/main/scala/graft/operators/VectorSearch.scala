@@ -687,7 +687,9 @@ object VectorSearch extends Logging {
         col("col.cid").as("centroid_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("nprobe"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    qc.join(cells, "centroid_id")
+    // cells is index-sized (√n under centroidStrideFor) — broadcast
+    // it so the (queries × nprobe)-sized probe frame never shuffles
+    qc.join(broadcast(cells), "centroid_id")
       .withColumn("scanned", sum(col("cell_size")).over(w))
       .crossJoin(broadcast(total))
       .select(col("query_id"), col("nprobe"), col("centroid_id"),

@@ -780,4 +780,43 @@ class PlanAuditSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("lloyd-trained IVF keeps the graft_topk assignment in training") {
+    // the trained-centroid chain adds a SECOND assignment pass (the
+    // Lloyd step) — BOTH must stay on the typed-imperative topk heap;
+    // a max_by/first regression in either silently re-plans the
+    // corpus × centroids frame through a SortAggregate
+    val p = plan("q_ann_recall_curve")
+    assert("graft_topk".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!"SortAggregate.*graft_topk".r.findFirstIn(p).isDefined,
+      p.take(3000))
+  }
+
+  test("probe cost: broadcast cells join, query-partitioned window") {
+    val p = plan("q_ann_probe_cost")
+    // the index-sized cells frame must broadcast into the tiny probe
+    // frame (a SortMergeJoin here shuffles the probe side), and the
+    // cumulative-scan window must partition by query_id — a global
+    // (unpartitioned) window would mean the corpus-grain frame got
+    // windowed instead
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("windowspecdefinition(query_id"), p.take(3000))
+  }
+
+  test("lsh curve: exact leg reuses the cached shingle frame, no pow") {
+    val p = plan("q_lsh_curve")
+    // the theoretical S-curve is the squaring chain — POWER would mean
+    // a libm pow snuck back into a hash-gated expression
+    assert(!p.toLowerCase.contains("power("), p.take(3000))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 1, p.take(3000))
+  }
+
+  test("pack fragmentation: grid stage reads the bins-grain cache") {
+    val p = plan("q_pack_frag")
+    // grid + total both read the persisted per-bin frame — without it
+    // the packer's prefix-sum pass (and its collect) runs twice
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(3000))
+  }
 }
