@@ -151,11 +151,19 @@ object Bench {
   private def baselineTimes(sfDir: String): Map[String, Double] = {
     val path = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_local.json"))
+    parseQueryTimes(path, Some(sfDir))
+  }
+
+  /** queries{} map of a bench artifact; `wantSf` None skips the sf
+    * match (cross-SF ratio references like the warm-probe base). */
+  private def parseQueryTimes(path: java.nio.file.Path,
+                              wantSf: Option[String]): Map[String, Double] = {
     if (!java.nio.file.Files.isReadable(path)) return Map.empty
     try {
       val s = java.nio.file.Files.readString(path)
-      val sfOk = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s)
-        .exists(_.group(1) == sfDir)
+      val sfOk = wantSf.forall(sf =>
+        """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s)
+          .exists(_.group(1) == sf))
       if (!sfOk) return Map.empty
       val qsec = """"queries"\s*:\s*\{""".r.findFirstMatchIn(s)
         .map(_.end).getOrElse(return Map.empty)
@@ -164,6 +172,25 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case NonFatal(_) => Map.empty }
   }
+
+  /** Warm-probe reference: SPARK_GRAFT_WARM_BASE names a bench
+    * artifact at a SMALLER sf (e.g. BENCH_sf1.json under an sf10
+    * probe); any query whose single-run time exceeds
+    * SPARK_GRAFT_WARM_RATIO (default 10) × its reference time gets
+    * ONE extra timed execution recorded in the artifact's `warm`
+    * map. runs=1 scale probes pay full JIT compilation inside the
+    * first (only) timed run — q_simhash measured 25 s cold vs 2.8 s
+    * warm at sf10 — so a superlinear-looking ratio is unreadable
+    * until a warm time sits next to it: `warm` ≈ cold means the cost
+    * is real; `warm` ≪ cold names JIT. The cold time stays the
+    * recorded value (artifact comparability); warm is the label. */
+  private def warmBase(): Map[String, Double] =
+    sys.env.get("SPARK_GRAFT_WARM_BASE") match {
+      case None => Map.empty
+      case Some(p) => parseQueryTimes(java.nio.file.Paths.get(p), None)
+    }
+  private val WarmRatio: Double =
+    sys.env.get("SPARK_GRAFT_WARM_RATIO").map(_.trim.toDouble).getOrElse(10.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -221,7 +248,8 @@ object Bench {
       if (RunsPerQuery == 1) System.gc()
       t
     }
-    val results = selected.map { name =>
+    val warmRef = warmBase()
+    val results0 = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to RunsPerQuery).map(_ => runOnce(name, fn))
       // adaptive outlier re-run: min-of-2 above RetryRatio× the
@@ -231,23 +259,59 @@ object Bench {
         b > 0 && ok0.nonEmpty && ok0.min > RetryRatio * b)
       val all = if (retried) times :+ runOnce(name, fn) else times
       val ok = all.filter(_ >= 0)
+      val v = if (ok.isEmpty) -1.0 else ok.min
+      // warm-probe label for flagged scale tails (see warmBase): one
+      // extra timed execution right after the cold one, same JVM —
+      // the delta IS the JIT/codegen compile share of the cold time
+      val warm = if (v > 0 && warmRef.get(name).exists(b =>
+          b > 0 && v > WarmRatio * b)) runOnce(name, fn) else -1.0
       // a query that failed in ANY run is named in the errors list even
       // when another run succeeded — a flaky failure silently absorbed
       // by min-of-N would mask exactly the nondeterministic regressions
       // (executor loss, OOM-adjacent errors) a graded artifact must
       // surface; the min of the successful runs is still recorded
-      (name, if (ok.isEmpty) -1.0 else ok.min, ok.size,
+      (name, v, ok.size,
         if (ok.size < 2 || ok.min <= 0) 1.0 else ok.max / ok.min,
-        retried)
+        retried, warm)
     }
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    // end-of-run resplice: a retry that ran INSIDE a load burst lands
+    // in the same burst (the round-10 driver marathon retried 24
+    // queries at noise 1.418 on code that benches clean in isolation
+    // — bursts are temporally correlated, and trial 3 fires seconds
+    // after trials 1-2). Queries still above RetryRatio× baseline
+    // after their in-place retry get ONE more trial after the whole
+    // marathon tail, minutes-to-hours later, and the min splices in;
+    // names are recorded (`respliced`) so a regression that survives
+    // even the late trial is visibly not noise.
+    val resplice = results0.collect {
+      case (name, v, _, _, true, _) if v > 0 && baseline.get(name)
+        .exists(b => b > 0 && v > RetryRatio * b) => name
+    }
+    val results = if (resplice.isEmpty) results0 else {
+      System.err.println(s"[bench] end-of-run resplice of " +
+        s"${resplice.size} still-high retried queries: " +
+        resplice.mkString(", "))
+      val extra = resplice.map(n =>
+        n -> runOnce(n, SparkEntry.queries(n))).toMap
+      results0.map { case r @ (name, v, n, sp, retried, warm) =>
+        extra.get(name) match {
+          case Some(t) if t >= 0 && (v < 0 || t < v) =>
+            (name, t, n, sp, retried, warm)
+          case _ => r
+        }
+      }
+    }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val runs = results.map { case (k, _, n, _, _) => "\"" + k + "\":" + n }
+    val runs = results.map { case (k, _, n, _, _, _) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val retriedList = results.collect { case (k, _, _, _, true) => k }
+    val retriedList = results.collect { case (k, _, _, _, true, _) => k }
     val retriedJson = retriedList.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val resplicedJson = resplice.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val warmJson = results.collect { case (k, _, _, _, _, w) if w >= 0 =>
+      "\"" + k + "\":" + w }.mkString("{", ",", "}")
     val failed = results.collect {
-      case (k, v, n, _, _) if v < 0 || n < RunsPerQuery => k
+      case (k, v, n, _, _, _) if v < 0 || n < RunsPerQuery => k
     }
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -274,7 +338,7 @@ object Bench {
     // are NOT added to total/queries — they label the box, not the
     // engine.
     val canary = results.collectFirst {
-      case ("q_fingerprint", v, _, _, _) if v > 0 => v
+      case ("q_fingerprint", v, _, _, _, _) if v > 0 => v
     }.getOrElse {
       val fn = SparkEntry.queries("q_fingerprint")
       val ts = (1 to RunsPerQuery).map(_ => runOnce("q_fingerprint(canary)", fn))
@@ -286,10 +350,10 @@ object Bench {
     val canaryRatio = if (canary > 0 && atSf01) canary / CanaryCleanSf01 else -1.0
     val dirty = canaryRatio > 1.5
     val spreads = results.collect {
-      case (_, v, n, sp, _) if v >= 0.5 && n >= 2 => sp
+      case (_, v, n, sp, _, _) if v >= 0.5 && n >= 2 => sp
     }.sorted
     val noise = if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
-    val qa = s""""canary_sec":${f"$canary%.3f"},"canary_ratio":${f"$canaryRatio%.2f"},"noise":${f"$noise%.3f"},"dirty":$dirty,"retried":$retriedJson"""
+    val qa = s""""canary_sec":${f"$canary%.3f"},"canary_ratio":${f"$canaryRatio%.2f"},"noise":${f"$noise%.3f"},"dirty":$dirty,"retried":$retriedJson,"respliced":$resplicedJson,"warm":$warmJson"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,$qa,"sf":"$sfDir"}"""
     // Full per-query line first (for humans / committed artifacts)...

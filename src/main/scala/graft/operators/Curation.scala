@@ -334,8 +334,9 @@ object Curation {
         sum(when(col("bin_offset") + col("n_chunk_toks") > contextLen,
           1L).otherwise(0L)).as("n_straddle"))
       // two readers (grid + total) of a bins-grain integer frame;
-      // caller-owned lifetime, same contract as searchTopK
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // an INTERNAL intermediate (never returned), so scoped cleanup
+      // (Bench/Runner/Caches.clear) owns its release
+      .transform(graft.Caches.hold)
     val total = perBin.agg(count(lit(1)).as("total_bins"))
     perBin.groupBy(col("n_docs"))
       .agg(count(lit(1)).as("n_bins"), sum(col("n_chunks")).as("n_chunks"),

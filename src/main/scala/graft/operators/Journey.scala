@@ -574,21 +574,38 @@ object Journey {
     * abuse thresholds read this one).
     *
     * Shape: one user-grain aggregate (the only corpus-sized
-    * exchange); the ntile window then runs over the user grain —
-    * orders of magnitude below the event grain, the decile/Gini rank
-    * adjudication — and the shares are grid windows over ten rows.
+    * exchange); then the [[Ranking.groupedRank]] two-phase rank — NOT
+    * a global ntile window: user grain sits below event grain, but a
+    * thin-history log (users ≈ events/10) would still funnel every
+    * user through ONE reducer's sort, and the heavy-tie tail (most
+    * users at n_ev=1) concentrates it further. The bucket
+    * (−n_ev, user-id range cell) is monotone in the (n_ev DESC,
+    * user_id) sort order, so cell row_number + broadcast grid prefix
+    * replays the global rank exactly and [[Ranking.ntileExpr]] the
+    * ntile banding — the largest single sort is one count's ties/64,
+    * not the user universe. Shares are grid windows over ten rows.
     * Decile 1 is the heaviest tile (rank order is count DESC). */
   def userConcentration(events: DataFrame): DataFrame = {
+    val S = 64
     val per = events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_ev"),
         sum(round(col("value") * 100).cast("bigint")).as("cents"))
-    val w = Window.orderBy(col("n_ev").desc, col("user_id"))
+    // 1-row id-grid bounds: empty input → zero rows propagate
+    val bounds = per.agg(min(col("user_id")).as("u_lo"),
+        (max(col("user_id")) - min(col("user_id")) + 1L).as("u_span"))
+      .where(col("u_lo").isNotNull)
+    val bucketed = per.crossJoin(broadcast(bounds))
+      .withColumn("u_sub", expr(s"((user_id - u_lo) * $S) div u_span"))
+    val ranked = Ranking.groupedRank(bucketed, Nil,
+      struct((-col("n_ev")).as("neg_ev"), col("u_sub").as("sub")),
+      Seq(col("n_ev").desc, col("user_id")))
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val wCum = Window.orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    ranked
+      .withColumn("decile",
+        Ranking.ntileExpr("rank", "n_grp", 10).cast("long"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"),
         sum(col("cents")).as("dec_cents"))

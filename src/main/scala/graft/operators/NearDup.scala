@@ -725,8 +725,8 @@ object NearDup {
                threshold: Double = 0.3,
                bucketCap: Int = DefaultBucketCap,
                dfCap: DfCap = DerivedDfCap()): DataFrame = {
-    require(k / bands == 2 && bands == 16,
-      "the exact-squaring theoretical curve hardcodes r=2, b=16")
+    require(k == 32 && bands == 16,
+      "the exact-squaring theoretical curve hardcodes k=32, r=2, b=16")
     val exact = jaccardPairs(docs, n, threshold, dfCap)
       .select(col("d1"), col("d2"), col("jaccard"))
     val cand = verifiedCandidates(docs, n, k, bands, bucketCap)
@@ -1038,7 +1038,8 @@ object NearDup {
     * design — catalog tables stay pure data). A mismatch cannot
     * corrupt silently: band sigs are formatted from k/bands, so wrong
     * parameters produce zero bucket joins, and the increment spec
-    * pins the round trip. */
+    * pins the round trip. Precondition: the snapshot exists (see
+    * [[freshIncrementIndex]] for the bootstrap-aware path). */
   def loadIncrementIndex(spark: org.apache.spark.sql.SparkSession,
                          n: Int = 3, k: Int = 32, bands: Int = 16,
                          prefix: String = DefaultDedupPrefix): IncrementIndex =
@@ -1065,7 +1066,10 @@ object NearDup {
     * The verdict is ONE driver-side boolean off the one-row staleness
     * frame — control-plane, same discipline as the BPE merge loop;
     * the rebuild itself is the same one-scan publish the nightly job
-    * pays. */
+    * pays. Bootstrap: when NO snapshot was ever published under
+    * `prefix` (first run in a fresh catalog), the index is built from
+    * the live corpus and published — "serve a fresh index" holds from
+    * call one, and `rebuilt=true` flags the cold start. */
   def freshIncrementIndex(corpus: DataFrame, n: Int = 3, k: Int = 32,
                           bands: Int = 16,
                           bucketCap: Int = DefaultBucketCap,
@@ -1074,6 +1078,10 @@ object NearDup {
                           maxGoneFrac: Double = StaleGoneFracMax)
       : (IncrementIndex, Boolean) = {
     val spark = corpus.sparkSession
+    if (!spark.catalog.tableExists(fpTable(prefix))) {
+      publishIncrementIndex(corpus, n, k, bands, bucketCap, prefix)
+      return (loadIncrementIndex(spark, n, k, bands, prefix), true)
+    }
     val published = loadIncrementIndex(spark, n, k, bands, prefix)
     val stale = indexStaleness(corpus, published.fingerprints,
       maxNewFrac, maxGoneFrac).select(col("stale")).head().getBoolean(0)

@@ -344,6 +344,23 @@ class CurationSpec extends SparkSpec {
       NearDup.sigsTable(prefix)).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("freshIncrementIndex bootstraps a never-published prefix") {
+    val corpus = docs(1L -> (1 to 30).map(i => s"b$i").mkString(" "),
+      2L -> "a second unrelated document body")
+    val prefix = "graft_dedup_boot_spec"
+    // no snapshot exists: "serve a fresh index" must hold from call
+    // one (publish from the live corpus, flag the cold start) instead
+    // of throwing on the missing catalog tables
+    val (idx, rebuilt) = NearDup.freshIncrementIndex(corpus, prefix = prefix)
+    assert(rebuilt, "cold start must publish and report rebuilt=true")
+    assert(idx.fingerprints.count() == 2)
+    // the bootstrap published: the next call serves the snapshot
+    val (_, rebuilt2) = NearDup.freshIncrementIndex(corpus, prefix = prefix)
+    assert(!rebuilt2, "the bootstrapped snapshot must serve without drift")
+    Seq(NearDup.fpTable(prefix), NearDup.bucketsTable(prefix),
+      NearDup.sigsTable(prefix)).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("lshCurve and minhashEstCurve calibrate banding and sketch") {
     val body = (1 to 40).map(i => s"w$i").mkString(" ")
     val far = (1 to 40).map(i => s"z$i").mkString(" ")

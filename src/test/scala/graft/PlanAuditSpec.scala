@@ -765,13 +765,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
-  test("quality norm: the ntile window partitions by source") {
+  test("quality norm: two-phase rank, no source-wide sort window") {
     val p = plan("q_quality_norm")
-    // a SinglePartition exchange feeding the window means the
-    // per-source partitioning was lost (the whole corpus through one
-    // reducer)
+    // the doc-grain window must partition by (source, score bucket) —
+    // a bare per-source window is a few single-reducer corpus sorts
+    // at 100 TB, and the banding must be the closed-form ntileExpr
+    // off the two-phase rank, never an ntile window
     assert(!p.contains("Exchange SinglePartition"), p.take(3000))
-    assert(p.contains("ntile"), p.take(3000))
+    assert(!p.contains("ntile("), p.take(3000))
+    assert("windowspecdefinition\\(source#\\d+, gr_bucket#\\d+".r
+      .findFirstIn(p).isDefined, p.take(3000))
+  }
+
+  test("user concentration: two-phase rank off the user-grain frame") {
+    val p = plan("q_user_concentration")
+    // the user-grain rank window partitions by the (−n_ev, id-cell)
+    // bucket; an ntile window here funnels the user universe (and its
+    // heavy n_ev=1 tie tail) through one reducer
+    assert(!p.contains("ntile("), p.take(3000))
+    assert("windowspecdefinition\\(gr_bucket#\\d+".r
+      .findFirstIn(p).isDefined, p.take(3000))
   }
 
   test("decompose: grid-sized frames after one corpus aggregate") {
