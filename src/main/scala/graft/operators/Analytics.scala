@@ -1342,26 +1342,35 @@ object Analytics {
     * Lift multiplies count-DOUBLES (the q_assoc_rules overflow
     * discipline). */
   def brandAffinity(lineitem: DataFrame, part: DataFrame): DataFrame = {
-    // persisted: pairs, item counts AND the broadcast total read it.
-    // The part dim is NOT broadcast-hinted (part scales with the
-    // corpus, unlike nation/supplier — AQE must stay free to shuffle
-    // the partkey join). Pairs come from the graphStats-style
-    // distinct + (a < b) self-join on the DISTINCT (order, brand)
-    // frame — the whole-stage-codegen'd join beat the per-order
-    // nested-lambda pair explode ~2× at the 10× probe, and the join
-    // output is the same Σ C(brands-per-order, 2) either way.
+    // ONE okey-grain exchange: collect_set dedups AND groups in a
+    // single map-side-combining aggregate, then the per-order sorted
+    // brand set fans out its C(k,2) pairs IN-TASK (k ≤ the order's
+    // line count) and items/total are order-grain derivatives of the
+    // same held sets frame. The round-10 shape — distinct (okey,
+    // brand) then a (a < b) self-join on okey — paid the distinct
+    // exchange PLUS two more corpus-sized join exchanges (671+622 MB
+    // shuffled at the 100× probe) plus the SMJ sorts; the round-9
+    // race that picked the join predates the JIT-code-cache fix, and
+    // the re-race measured the join 22.5 s vs 13.6 s for this plan at
+    // sf10 (warm, DevProbe; cold 43.4 vs 25.0). The part dim is NOT broadcast-hinted
+    // (part scales with the corpus, unlike nation/supplier — AQE must
+    // stay free to shuffle the partkey join).
     val ob = lineitem.select(col("l_orderkey"), col("l_partkey"))
       .join(part.select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("okey"), col("p_brand").as("b"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = ob.agg(countDistinct(col("okey")).as("n_orders"))
-    val items = ob.groupBy(col("b")).agg(count(lit(1)).as("n_item"))
-    ob.select(col("okey"), col("b").as("b1"))
-      .join(ob.select(col("okey").as("okey2"), col("b").as("b2")),
-        col("okey") === col("okey2") && col("b1") < col("b2"))
-      .groupBy(col("b1"), col("b2"))
+    val sets = graft.Caches.hold(ob.groupBy(col("okey"))
+      .agg(sort_array(collect_set(col("b"))).as("bs")))
+    val total = sets.agg(count(lit(1)).as("n_orders"))
+    val items = sets.select(explode(col("bs")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n_item"))
+    sets.where(size(col("bs")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("bs")) - 1),
+        i => transform(sequence(i + 1, size(col("bs"))),
+          j => struct(element_at(col("bs"), i).as("b1"),
+            element_at(col("bs"), j).as("b2")))))).as("p"))
+      .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
       .agg(count(lit(1)).as("n_co"))
       .join(broadcast(items.select(col("b").as("b1"),
         col("n_item").as("n_b1"))), Seq("b1"))

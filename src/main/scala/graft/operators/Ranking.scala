@@ -40,7 +40,12 @@ object Ranking {
   def groupedRank(rows: DataFrame, group: Seq[String], bucket: Column,
                   order: Seq[Column]): DataFrame = {
     val gCols = group.map(col)
-    val withB = rows.withColumn("gr_bucket", bucket)
+    // both phases (cell counts, ranked row pass) read this frame —
+    // without the hold each pays the full upstream scan, which
+    // DOUBLES a CPU-dense input (the quality scan measured 59 s vs
+    // 26 s at the 100× probe before this); internal intermediate, so
+    // scoped cleanup (Bench/Runner/Caches.clear) owns the release
+    val withB = graft.Caches.hold(rows.withColumn("gr_bucket", bucket))
     val cellKey = gCols :+ col("gr_bucket")
     // grid pass: per-cell counts → exclusive prefix offset + group
     // total; both windows run over the grid frame (cells, not rows)

@@ -911,15 +911,42 @@ object VectorSearch extends Logging {
     * sequential-fold [[dot]] (identical expression tree on both
     * engine sides). */
   def pqTopK(embeddings: DataFrame, codebook: DataFrame, queryFilter: Column,
-             k: Int, m: Int = 4, dim: Int = 64): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(asc("approx_dist"), asc("vec_id"))
-    pqApproxDistances(embeddings, codebook, queryFilter, m, dim)
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+             k: Int, m: Int = 4, dim: Int = 64): DataFrame =
+    nearestByApproxDist(
+      pqApproxDistances(embeddings, codebook, queryFilter, m, dim), k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
         round(col("approx_dist"), 6).as("approx_dist"))
       .orderBy(col("query_id"), col("rank"))
+
+  /** Per-query k-nearest cut of a (query_id, vec_id, approx_dist)
+    * frame — the graft_topk τ-prune form of `row_number() OVER
+    * (PARTITION BY query_id ORDER BY approx_dist, vec_id) <= k`. The
+    * ADC frame is corpus × queries grain, so the bare window sorts a
+    * CORPUS-sized partition per query (the plan that measured 11.9×
+    * at the 100× probe); instead the bounded-heap aggregate finds
+    * each query's k-th distance τ (O(k) state, map-side combined —
+    * score = −dist so the heap's "top" is nearest, same
+    * (dist, vec_id) tie order as the window), the broadcast τ prunes
+    * the frame to the ≤τ survivors (≈k + distance-ties per query),
+    * and only those pay the exact row_number — bit-identical to the
+    * naive window by construction (everything it keeps has
+    * dist ≤ τ), which is why the unchanged window-replay oracles
+    * still hash-match. */
+  private def nearestByApproxDist(approx: DataFrame, k: Int): DataFrame = {
+    val a = graft.Caches.hold(approx)
+    val thr = a.groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(-approx_dist, vec_id, $k)").as("tk"))
+      .select(col("query_id"),
+        element_at(col("tk"), least(lit(k), size(col("tk"))))
+          .getField("score").as("neg_tau"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(asc("approx_dist"), asc("vec_id"))
+    a.join(broadcast(thr), "query_id")
+      .where(-col("approx_dist") >= col("neg_tau"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("approx_dist"),
+        col("rank"))
   }
 
   /** The shared PQ-ADC stage of [[pqTopK]] and [[pqTopKRerank]]:
@@ -977,11 +1004,9 @@ object VectorSearch extends Logging {
   def pqTopKRerank(embeddings: DataFrame, codebook: DataFrame,
                    queryFilter: Column, k: Int, m: Int = 4, dim: Int = 64,
                    overfetch: Int = 4): DataFrame = {
-    val wA = Window.partitionBy(col("query_id"))
-      .orderBy(asc("approx_dist"), asc("vec_id"))
-    val shortlist = pqApproxDistances(embeddings, codebook, queryFilter, m, dim)
-      .withColumn("arank", row_number().over(wA))
-      .where(col("arank") <= k * overfetch)
+    val shortlist = nearestByApproxDist(
+      pqApproxDistances(embeddings, codebook, queryFilter, m, dim),
+      k * overfetch)
       .select(col("query_id"), col("vec_id"))
     val e = withNorm(embeddings).where(col("nrm") =!= 0.0)
     val q = e.select(col("vec_id").as("query_id"),

@@ -777,6 +777,18 @@ class PlanAuditSpec extends SparkSpec {
       .findFirstIn(p).isDefined, p.take(3000))
   }
 
+  test("pq topk cuts via graft_topk tau-prune, not a corpus window") {
+    // the ADC frame is corpus × queries grain: the per-query cut must
+    // be the bounded-heap τ + pruned row_number (the 11.9× sf10 tail
+    // was the bare query-partitioned window sorting corpus-sized
+    // partitions); both PQ queries share nearestByApproxDist
+    for (q <- Seq("q_ann_pq", "q_ann_pq_rerank")) {
+      val p = plan(q)
+      assert(p.contains("graft_topk"), s"$q: ${p.take(3000)}")
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(3000)}")
+    }
+  }
+
   test("user concentration: two-phase rank off the user-grain frame") {
     val p = plan("q_user_concentration")
     // the user-grain rank window partitions by the (−n_ev, id-cell)
