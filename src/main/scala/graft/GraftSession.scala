@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BloomAgg, BloomContains, DeflateLen, DotProduct, MatchMask, MinHashSigs, MisraGriesAgg, NfcNormalize, RollingHash, SeedHashes, SimHash40, TopKAgg}
+import graft.functions.{BloomAgg, BloomContains, DeflateLen, DotProduct, MatchMask, MinHashSigs, MisraGriesAgg, NfcNormalize, QualityCounts, RollingHash, SeedHashes, SimHash40, TopKAgg}
 
 /** Standard session config for the graft engine. One place to keep the
   * settings that matter at scale (AQE, shuffle partitions sized to the
@@ -120,6 +120,21 @@ object GraftSession {
           new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
           (exprs: Exprs) => { val e = arity("graft_deflate_len", 1, exprs)
             DeflateLen(e.head) }))
+        ext.injectFunction((
+          FunctionIdentifier("graft_quality_counts"),
+          new ExpressionInfo(classOf[QualityCounts].getName,
+            "graft_quality_counts"),
+          (exprs: Exprs) => {
+            require(exprs.length >= 2,
+              "graft_quality_counts expects (text, stopword...)")
+            val words = exprs.tail.map {
+              case org.apache.spark.sql.catalyst.expressions.Literal(
+                s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+              case other => throw new IllegalArgumentException(
+                s"graft_quality_counts stopwords must be string literals, got $other")
+            }
+            QualityCounts(exprs.head, words)
+          }))
         ext.injectFunction((
           FunctionIdentifier("graft_bloom_contains"),
           new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),

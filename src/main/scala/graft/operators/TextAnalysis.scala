@@ -77,18 +77,26 @@ object TextAnalysis {
     * (per-source capping) that re-partition anyway. */
   private[operators] def qualityFrame(docs: DataFrame,
                                       passthrough: Seq[String]): DataFrame = {
+    // token/stopword/alpha counts come from ONE native byte pass
+    // ([[graft.functions.QualityCounts]]) instead of the composed
+    // tokens()+stopwordHits+regexp_replace three-pass form — same
+    // integers by construction (the expression's scaladoc carries the
+    // case analysis), and the coalesce(-1) reproduces the legacy
+    // size(NULL tokens) = -1 the composed form emitted on NULL text
     docs.select(Seq(col("doc_id"), col("text"),
-        tokens(col("text")).as("toks")) ++ passthrough.map(col): _*)
+        call_function("graft_quality_counts",
+          (col("text") +: stopwords("en").map(lit)): _*).as("qc"))
+        ++ passthrough.map(col): _*)
       .select(
         Seq(col("doc_id"),
         length(col("text")).as("text_len"),
-        size(col("toks")).as("token_cnt"),
-        stopwordHits(col("toks"), stopwords("en")).as("stop_hits"),
+        coalesce(element_at(col("qc"), 1), lit(-1)).as("token_cnt"),
+        coalesce(element_at(col("qc"), 2), lit(-1)).as("stop_hits"),
         // nullif guards: empty text / zero tokens → NULL ratios in
         // BOTH engines (DuckDB's IEEE double 0/0 is NaN, Spark's
         // non-ANSI is NULL — without the guard the oracle match is
         // data-dependent)
-        (length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double") /
+        (element_at(col("qc"), 3).cast("double") /
           nullif(length(col("text")), lit(0))).as("alpha_ratio"))
         ++ passthrough.map(col): _*)
       .withColumn("stop_ratio",

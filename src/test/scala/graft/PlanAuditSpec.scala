@@ -765,6 +765,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("quality scan is the one-pass native expression, no regex") {
+    // the quality frame feeds the whole curation family; a regression
+    // back to the composed tokens()+stopwordHits+regexp_replace form
+    // triples the per-row text passes on the family's hot scan.
+    // (q_quality_filter is NOT pinned: the Gopher signals consume the
+    // materialized token array itself, so its one tokens() pass is
+    // already shared across signals.)
+    for (q <- Seq("q_text_quality", "q_quality_norm")) {
+      val p = plan(q)
+      assert(p.contains("graft_quality_counts"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("regexp_replace(lower("), s"$q: ${p.take(3000)}")
+    }
+  }
+
   test("quality norm: two-phase rank, no source-wide sort window") {
     val p = plan("q_quality_norm")
     // the doc-grain window must partition by (source, score bucket) —
