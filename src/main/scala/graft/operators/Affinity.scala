@@ -258,32 +258,42 @@ object Affinity {
     *
     * Determinism and scale: the same support-≥`minSupport` edge set as
     * [[triangleStats]] (memoized [[coPurchasePairs]] bounds the pair
-    * explosion); degrees attach to both endpoints by two node-grain
-    * joins off one persisted degree frame; the five moments accumulate
-    * as decimal(38,0) (n·Σxy needs ~int128 on a dense graph — the
-    * moment-sum overflow trap), and r is assembled from exact integers
-    * with two double conversions, one sqrt and one division, mirrored
-    * exactly in the oracle. Output is one row. */
+    * explosion). The directed edge list of the standard Newman r is
+    * never MATERIALIZED: per undirected pair it holds (da,db) AND
+    * (db,da), so the moments fold symmetrically off the UNDOUBLED
+    * pair frame — m2 = 2·|pairs|, sx = sy = Σ(da+db), sxy = 2·Σda·db,
+    * sxx = syy = Σ(da²+db²) — half the join volume of doubling
+    * first (the doubled form shuffled 840+673 MB through two ~700
+    * s-CPU stages at the 100× probe). Degrees come from one explode
+    * of the pair frame. Per-row products are LONG multiplies
+    * (deg < 2³¹ so da·db < 2⁶²), cast to decimal(38,0) only for the
+    * overflow-safe SUM (n·Σxy needs ~int128 on a dense graph — the
+    * moment-sum overflow trap; per-row BigDecimal multiplies were
+    * half the probe's CPU); r is assembled from the identical exact
+    * integers the doubled form produced, with two double
+    * conversions, one sqrt and one division, mirrored exactly in the
+    * oracle. Output is one row. */
   def degreeAssortativity(lineitem: DataFrame, minSupport: Int = 2): DataFrame = {
     val pairs = coPurchasePairs(lineitem)
       .where(col("cooc") >= minSupport)
       .select(col("part_a"), col("part_b"))
-    val edges = pairs.unionAll(
-      pairs.select(col("part_b"), col("part_a"))).toDF("src", "dst")
-    val deg = hold(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val deg = hold(pairs
+      .select(explode(array(col("part_a"), col("part_b"))).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("deg")))
     val nodes = deg.agg(count(lit(1)).as("n_nodes"))
-    val moments = edges
-      .join(deg.select(col("src").as("u"), col("deg").as("du")),
-        col("src") === col("u"))
-      .join(deg.select(col("src").as("v"), col("deg").as("dv")),
-        col("dst") === col("v"))
-      .select(col("du").cast("decimal(38,0)").as("x"),
-        col("dv").cast("decimal(38,0)").as("y"))
-      .agg(count(lit(1)).cast("decimal(38,0)").as("m2"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+    val half = pairs
+      .join(deg.select(col("u").as("part_a"), col("deg").as("da")), "part_a")
+      .join(deg.select(col("u").as("part_b"), col("deg").as("db")), "part_b")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("m1"),
+        sum((col("da") + col("db")).cast("decimal(38,0)")).as("s1"),
+        sum((col("da") * col("db")).cast("decimal(38,0)")).as("s12"),
+        sum((col("da") * col("da") + col("db") * col("db"))
+          .cast("decimal(38,0)")).as("s11"))
+    val moments = half.select(
+      (col("m1") * 2).cast("decimal(38,0)").as("m2"),
+      col("s1").as("sx"), col("s1").as("sy"),
+      (col("s12") * 2).cast("decimal(38,0)").as("sxy"),
+      col("s11").as("sxx"), col("s11").as("syy"))
     moments.crossJoin(broadcast(nodes))
       .select(col("n_nodes"),
         expr("CAST(m2 AS BIGINT) div 2").as("n_edges"),
