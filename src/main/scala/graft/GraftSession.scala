@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BloomAgg, BloomContains, DeflateLen, DotProduct, MatchMask, MinHashSigs, MisraGriesAgg, NfcNormalize, QualityCounts, RollingHash, SeedHashes, SimHash40, TopKAgg}
+import graft.functions.{BloomAgg, BloomContains, DeflateLen, DotProduct, MatchMask, MinHashSigs, MisraGriesAgg, NfcNormalize, QualityCounts, RollingHash, SeedHashes, SimHash40, Tokenize, TopKAgg}
 
 /** Standard session config for the graft engine. One place to keep the
   * settings that matter at scale (AQE, shuffle partitions sized to the
@@ -120,6 +120,11 @@ object GraftSession {
           new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
           (exprs: Exprs) => { val e = arity("graft_deflate_len", 1, exprs)
             DeflateLen(e.head) }))
+        ext.injectFunction((
+          FunctionIdentifier("graft_tokens"),
+          new ExpressionInfo(classOf[Tokenize].getName, "graft_tokens"),
+          (exprs: Exprs) => { val e = arity("graft_tokens", 1, exprs)
+            Tokenize(e.head) }))
         ext.injectFunction((
           FunctionIdentifier("graft_quality_counts"),
           new ExpressionInfo(classOf[QualityCounts].getName,

@@ -13,9 +13,12 @@ object TextFunctions {
   def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
 
-  /** Whitespace tokens of the normalized text (no empties). */
-  def tokens(c: Column): Column =
-    filter(split(normText(c), " "), t => t =!= "")
+  /** Whitespace tokens of the normalized text (no empties) — the
+    * [a-z0-9] runs of the lowercased text. One native byte pass
+    * ([[Tokenize]]); the composed regexp_replace+split+filter chain
+    * it replaced is replayed verbatim by every oracle's ToksSql and
+    * pinned bit-equal in TokenizeSpec. */
+  def tokens(c: Column): Column = call_function("graft_tokens", c)
 
   /** Distinct word n-gram shingles (space-joined) of the token array.
     * Empty when the doc has fewer than n tokens (Spark's `sequence`

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native tokenizer: `graft_tokens(text)` → the [a-z0-9] runs of the
+  * lowercased text, as one byte pass. This IS
+  * [[TextFunctions.tokens]] — the composed form (a `[^a-z0-9]+`
+  * regexp_replace building a normalized COPY of the document, a
+  * split, and a lambda filter dropping empties) is the single most
+  * pervasive primitive in the text stack (token counts, vocab/zipf/
+  * pmi, BPE, chunking, shingles for every dedup family, corpus
+  * card), so its constant factor is a corpus-bill constant factor at
+  * 100 TB the same way the quality scan's was.
+  *
+  * Bit-equal to the composed form by the [[QualityCounts]] case
+  * analysis: same `UTF8String.toLowerCase`; every byte of a
+  * multi-byte char is ≥ 0x80, so non-ASCII separates runs exactly
+  * like the char-level regex; runs are emitted in order as zero-copy
+  * views over the lowered buffer. NULL text → NULL (the composed
+  * chain null-propagates); empty / token-less text → empty array
+  * (split-then-filter dropped the empties). */
+case class Tokenize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_tokens expects string, got ${other.simpleString}")
+  }
+
+  /** One pass; called from both interpreted and generated code. */
+  def run(text: UTF8String): ArrayData = {
+    val lowered = text.toLowerCase
+    val bytes = lowered.getBytes
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](8)
+    var runStart = -1
+    var i = 0
+    while (i <= n) {
+      val inTok = i < n && {
+        val b = bytes(i)
+        (b >= 'a'.toByte && b <= 'z'.toByte) ||
+          (b >= '0'.toByte && b <= '9'.toByte)
+      }
+      if (inTok) {
+        if (runStart < 0) runStart = i
+      } else if (runStart >= 0) {
+        out += UTF8String.fromBytes(bytes, runStart, i - runStart)
+        runStart = -1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    run(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenize", this, classOf[Tokenize].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.run($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
