@@ -614,21 +614,18 @@ object DataChecks {
     val nullD = lit(null).cast("double")
     val nullS = lit(null).cast("string")
     def leg(c: String, isNum: Boolean): DataFrame = {
-      val counts = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      // numeric legs: the counts frame feeds BOTH the stats aggregate
+      // and the median chain — held so the value-grain groupBy runs
+      // once (internal intermediate, scoped-cleanup-owned)
+      val counts0 = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      val counts = if (isNum) graft.Caches.hold(counts0) else counts0
       val typed =
         if (isNum) Seq(
           min(col(c)).cast("double").as("min_num"),
           max(col(c)).cast("double").as("max_num"),
           round(sum(col(c) * col("cnt")).cast("double") /
             sum(when(col(c).isNotNull, col("cnt"))).cast("double"), 2)
-            .as("mean"),
-          // EXACT median from the (value, count) pairs — Spark's
-          // frequency-weighted percentile interpolates identically to
-          // quantile_cont over the raw rows (probe-verified bit-equal),
-          // so no second raw scan. Buffer is O(distinct values); for a
-          // near-continuous column at extreme scale substitute
-          // approx_percentile and drop the oracle to rows-only.
-          expr(s"percentile($c, 0.5D, cnt)").as("p50"))
+            .as("mean"))
         else Seq(
           min(col(c)).cast("string").as("min_str"),
           max(col(c)).cast("string").as("max_str"))
@@ -637,12 +634,22 @@ object DataChecks {
         (Seq(
           coalesce(sum(when(col(c).isNull, col("cnt"))), lit(0L)).as("n_nulls"),
           count(col(c)).as("n_distinct")) ++ typed): _*)
+      // EXACT median from the (value, count) pairs, two-phase
+      // ([[Ranking.interpolatedMedian]] — the built-in percentile
+      // aggregate funneled a near-continuous column's whole value
+      // domain through one 55 s task at the 100× probe); bit-equal to
+      // percentile(c, 0.5, cnt), which quantile_cont over the raw
+      // rows replays (probe-verified), so no second raw scan either.
+      val agg2 =
+        if (isNum) agged.crossJoin(broadcast(
+          Ranking.interpolatedMedian(counts, c, "cnt")))
+        else agged
       val out =
         if (isNum) Seq(col("min_num"), col("max_num"), col("mean"),
           col("p50"), nullS.as("min_str"), nullS.as("max_str"))
         else Seq(nullD.as("min_num"), nullD.as("max_num"), nullD.as("mean"),
           nullD.as("p50"), col("min_str"), col("max_str"))
-      agged.select(Seq(lit(c).as("col_name"), col("n_rows"),
+      agg2.select(Seq(lit(c).as("col_name"), col("n_rows"),
         col("n_nulls"), col("n_distinct")) ++ out: _*)
     }
     (numCols.map(leg(_, isNum = true)) ++ strCols.map(leg(_, isNum = false)))

@@ -66,6 +66,70 @@ object Ranking {
       .drop("gr_bucket", "gr_off")
   }
 
+  /** Exact interpolated median off a (value, count) frame — the
+    * distributed form of `percentile(v, 0.5, cnt)`. The built-in is a
+    * single-group TypedImperative aggregate: every (value, count)
+    * pair of the column funnels into ONE task's buffer and one sort
+    * (a near-continuous column at the 100× probe spent 55 of
+    * q_profile's 66 s in that single-task stage — the worst
+    * single-reducer left in the repo). Here the counts frame is
+    * value-range sub-bucketed (monotone in the sort order, the
+    * [[groupedRank]] discipline), per-bucket cumulative counts shift
+    * by broadcast grid offsets, and the two rows bracketing the
+    * median position are picked by a cumulative-count crossing
+    * filter — one exchange at value grain, no global sort, no
+    * single-task buffer. A degenerate distribution (all mass in one
+    * range cell) falls back to one cell's window sort, which is the
+    * old behavior for that column — data, not plan.
+    *
+    * Bit-identical to the aggregate by replaying its exact double
+    * sequence (position = 0.5·(N−1), expanded[k] = first value whose
+    * cumulative count exceeds k, result = (⌈p⌉−p)·v_lo + (p−⌊p⌋)·v_hi
+    * in that multiplication order), which is what keeps the
+    * quantile_cont-replay oracles hash-matching; RankingSpec races it
+    * against the built-in on adversarial frequency frames. Returns
+    * ONE row (`p50` double; NULL on an all-NULL/empty column, like
+    * the aggregate). */
+  def interpolatedMedian(counts: DataFrame, valueCol: String,
+                         cntCol: String, buckets: Int = 256): DataFrame = {
+    val nn = counts.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("v"),
+        col(cntCol).cast("long").as("cnt"))
+    val tot = broadcast(nn.agg(sum(col("cnt")).as("n_tot"),
+      min(col("v")).as("v_lo"), max(col("v")).as("v_hi")))
+    val bucketed = nn.crossJoin(tot)
+      .withColumn("bk", coalesce(
+        least(greatest(floor((col("v") - col("v_lo")) * buckets /
+          nullif(col("v_hi") - col("v_lo"), lit(0.0))), lit(0.0)),
+          lit((buckets - 1).toDouble)).cast("int"), lit(0)))
+    val offs = bucketed.groupBy(col("bk"))
+      .agg(sum(col("cnt")).as("bn"))
+      .withColumn("c_off", coalesce(sum(col("bn")).over(
+        Window.orderBy(col("bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bk"), col("c_off"))
+    val wCum = Window.partitionBy(col("bk")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pos = (col("n_tot") - 1).cast("double") * lit(0.5)
+    val lo = floor(pos)
+    val hi = ceil(pos)
+    // one window execution picks BOTH bracketing values: the crossing
+    // row is the unique one with prev-cumulative ≤ k < cumulative
+    bucketed.join(broadcast(offs), "bk")
+      .withColumn("cum", col("c_off") + sum(col("cnt")).over(wCum))
+      .agg(
+        min(when(col("cum") > lo && col("cum") - col("cnt") <= lo,
+          col("v"))).as("v_l"),
+        min(when(col("cum") > hi && col("cum") - col("cnt") <= hi,
+          col("v"))).as("v_h"),
+        min(lo).as("k_lo"), min(hi).as("k_hi"), min(pos).as("pp"))
+      .select(
+        when(col("k_lo") === col("k_hi"), col("v_l"))
+          .otherwise((col("k_hi").cast("double") - col("pp")) * col("v_l") +
+            (col("pp") - col("k_lo").cast("double")) * col("v_h"))
+          .as("p50"))
+  }
+
   /** Exact ANSI `ntile(k)` tile from a 1-based `rank` column and the
     * partition row count `n` — ntile's "first (n mod k) tiles carry
     * the extra row" distribution as closed-form integer arithmetic,

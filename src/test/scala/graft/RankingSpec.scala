@@ -50,6 +50,34 @@ class RankingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("interpolatedMedian is bit-equal to percentile(v, 0.5, cnt)") {
+    // adversarial frequency frames: irrational-ish doubles, heavy
+    // ties, even/odd expanded totals, single value, negative values —
+    // any last-ulp divergence from the built-in's interpolation
+    // breaks the quantile_cont-replay oracle downstream
+    val shapes = Seq(
+      (1L to 101L).map(i => (math.sqrt(i.toDouble * 7), 1L + i % 3)),
+      (1L to 100L).map(i => (math.sqrt(i.toDouble * 7), 1L + i % 3)),
+      (1L to 50L).map(i => ((i % 7).toDouble - 3.0, 1L + i % 5)),
+      Seq((42.5, 9L)),
+      (1L to 64L).map(i => (1.0 / i, 2L))
+    )
+    shapes.zipWithIndex.foreach { case (rows, ix) =>
+      val df = rows.toDF("v", "cnt")
+      val want = df.select(expr("percentile(v, 0.5D, cnt)").as("p"))
+        .collect().head.getDouble(0)
+      val got = Ranking.interpolatedMedian(df, "v", "cnt")
+        .collect().head.getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(want),
+        s"shape $ix: got $got want $want")
+    }
+    // all-NULL / empty column → NULL, like the aggregate
+    val empty = Seq((Option.empty[java.lang.Double], 3L)).toDF("v", "cnt")
+    assert(Ranking.interpolatedMedian(empty, "v", "cnt")
+      .collect().head.isNullAt(0))
+  }
+
   test("groupedRank with no group is the global rank; empty input ok") {
     val rows = (1L to 50L).map(i => (i, (50 - i) / 10)).toDF("id", "v")
     val got = Ranking.groupedRank(rows, Nil, col("v"),
