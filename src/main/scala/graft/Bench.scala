@@ -190,7 +190,16 @@ object Bench {
       case Some(p) => parseQueryTimes(java.nio.file.Paths.get(p), None)
     }
   private val WarmRatio: Double =
-    sys.env.get("SPARK_GRAFT_WARM_RATIO").map(_.trim.toDouble).getOrElse(10.0)
+    sys.env.get("SPARK_GRAFT_WARM_RATIO") match {
+      case None => 10.0
+      case Some(raw) =>
+        // fail with the env var's name, not an opaque
+        // ExceptionInInitializerError from object init mid-bench
+        val v = raw.trim.toDoubleOption.getOrElse(sys.error(
+          s"SPARK_GRAFT_WARM_RATIO must be a number, got '$raw'"))
+        require(v > 0, s"SPARK_GRAFT_WARM_RATIO must be > 0, got $v")
+        v
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -249,6 +258,18 @@ object Bench {
       t
     }
     val warmRef = warmBase()
+    // all trials of a query live in one vector: the recorded value,
+    // runs count and spread are derived from the SAME trials, so a
+    // late resplice trial can't leave the artifact internally
+    // inconsistent (a spliced min next to a spread computed from the
+    // pre-splice trials)
+    case class QRes(name: String, times: Seq[Double], retried: Boolean,
+                    warm: Double) {
+      def ok: Seq[Double] = times.filter(_ >= 0)
+      def v: Double = if (ok.isEmpty) -1.0 else ok.min
+      def spread: Double =
+        if (ok.size < 2 || ok.min <= 0) 1.0 else ok.max / ok.min
+    }
     val results0 = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to RunsPerQuery).map(_ => runOnce(name, fn))
@@ -258,21 +279,13 @@ object Bench {
       val retried = baseline.get(name).exists(b =>
         b > 0 && ok0.nonEmpty && ok0.min > RetryRatio * b)
       val all = if (retried) times :+ runOnce(name, fn) else times
-      val ok = all.filter(_ >= 0)
-      val v = if (ok.isEmpty) -1.0 else ok.min
+      val v0 = all.filter(_ >= 0).minOption.getOrElse(-1.0)
       // warm-probe label for flagged scale tails (see warmBase): one
       // extra timed execution right after the cold one, same JVM —
       // the delta IS the JIT/codegen compile share of the cold time
-      val warm = if (v > 0 && warmRef.get(name).exists(b =>
-          b > 0 && v > WarmRatio * b)) runOnce(name, fn) else -1.0
-      // a query that failed in ANY run is named in the errors list even
-      // when another run succeeded — a flaky failure silently absorbed
-      // by min-of-N would mask exactly the nondeterministic regressions
-      // (executor loss, OOM-adjacent errors) a graded artifact must
-      // surface; the min of the successful runs is still recorded
-      (name, v, ok.size,
-        if (ok.size < 2 || ok.min <= 0) 1.0 else ok.max / ok.min,
-        retried, warm)
+      val warm = if (v0 > 0 && warmRef.get(name).exists(b =>
+          b > 0 && v0 > WarmRatio * b)) runOnce(name, fn) else -1.0
+      QRes(name, all, retried, warm)
     }
     // end-of-run resplice: a retry that ran INSIDE a load burst lands
     // in the same burst (the round-10 driver marathon retried 24
@@ -280,41 +293,62 @@ object Bench {
     // — bursts are temporally correlated, and trial 3 fires seconds
     // after trials 1-2). Queries still above RetryRatio× baseline
     // after their in-place retry get ONE more trial after the whole
-    // marathon tail, minutes-to-hours later, and the min splices in;
-    // names are recorded (`respliced`) so a regression that survives
-    // even the late trial is visibly not noise.
+    // marathon tail, minutes-to-hours later, and the trial folds into
+    // the query's trial vector (min/runs/spread all recomputed from
+    // it); names are recorded (`respliced`) so a regression that
+    // survives even the late trial is visibly not noise.
     val resplice = results0.collect {
-      case (name, v, _, _, true, _) if v > 0 && baseline.get(name)
-        .exists(b => b > 0 && v > RetryRatio * b) => name
+      case r if r.retried && r.v > 0 && baseline.get(r.name)
+        .exists(b => b > 0 && r.v > RetryRatio * b) => r.name
     }
-    val results = if (resplice.isEmpty) results0 else {
+    val results1 = if (resplice.isEmpty) results0 else {
       System.err.println(s"[bench] end-of-run resplice of " +
         s"${resplice.size} still-high retried queries: " +
         resplice.mkString(", "))
       val extra = resplice.map(n =>
         n -> runOnce(n, SparkEntry.queries(n))).toMap
-      results0.map { case r @ (name, v, n, sp, retried, warm) =>
-        extra.get(name) match {
-          case Some(t) if t >= 0 && (v < 0 || t < v) =>
-            (name, t, n, sp, retried, warm)
+      results0.map { r =>
+        extra.get(r.name) match {
+          case Some(t) if t >= 0 => r.copy(times = r.times :+ t)
           case _ => r
         }
       }
     }
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
+    // end-of-run warm sweep: the in-run warm probe compares against
+    // whatever warm base was on disk WHEN THE RUN STARTED — a stale
+    // smaller-sf artifact (the exact escape that let round 11's
+    // q_late_suppliers ship a 13.5× cold number with no warm label)
+    // or an in-run miss leaves a >ratio row unlabeled. Re-check every
+    // row against its FINAL min: any row still past WarmRatio× its
+    // reference without a warm number gets one now, so a committed
+    // scale artifact cannot contain an unvetted superlinear ratio.
+    val results = results1.map { r =>
+      if (r.warm < 0 && r.v > 0 && warmRef.get(r.name).exists(b =>
+          b > 0 && r.v > WarmRatio * b)) {
+        System.err.println(s"[bench] warm sweep: ${r.name} " +
+          f"${r.v}%.1f s > $WarmRatio× reference, probing warm")
+        r.copy(warm = runOnce(r.name, SparkEntry.queries(r.name)))
+      } else r
+    }
+    val qs = results.map(r => "\"" + r.name + "\":" + r.v)
       .mkString("{", ",", "}")
-    val runs = results.map { case (k, _, n, _, _, _) => "\"" + k + "\":" + n }
+    val runs = results.map(r => "\"" + r.name + "\":" + r.ok.size)
       .mkString("{", ",", "}")
-    val retriedList = results.collect { case (k, _, _, _, true, _) => k }
+    val retriedList = results.collect { case r if r.retried => r.name }
     val retriedJson = retriedList.map("\"" + _ + "\"").mkString("[", ",", "]")
     val resplicedJson = resplice.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val warmJson = results.collect { case (k, _, _, _, _, w) if w >= 0 =>
-      "\"" + k + "\":" + w }.mkString("{", ",", "}")
+    val warmJson = results.collect { case r if r.warm >= 0 =>
+      "\"" + r.name + "\":" + r.warm }.mkString("{", ",", "}")
+    // a query that failed in ANY trial is named in the errors list even
+    // when another trial succeeded — a flaky failure silently absorbed
+    // by min-of-N would mask exactly the nondeterministic regressions
+    // (executor loss, OOM-adjacent errors) a graded artifact must
+    // surface; the min of the successful trials is still recorded
     val failed = results.collect {
-      case (k, v, n, _, _, _) if v < 0 || n < RunsPerQuery => k
+      case r if r.v < 0 || r.times.exists(_ < 0) => r.name
     }
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_.v).filter(_ >= 0).sum
     // Self-labeling for neighbor load: committed artifacts have twice
     // recorded 20%+ inflation vs a clean box (BENCH_r02 110 s vs 57 s,
     // BENCH_r06 137 s vs 112 s) and nothing in the JSON said so.
@@ -338,7 +372,7 @@ object Bench {
     // are NOT added to total/queries — they label the box, not the
     // engine.
     val canary = results.collectFirst {
-      case ("q_fingerprint", v, _, _, _, _) if v > 0 => v
+      case r if r.name == "q_fingerprint" && r.v > 0 => r.v
     }.getOrElse {
       val fn = SparkEntry.queries("q_fingerprint")
       val ts = (1 to RunsPerQuery).map(_ => runOnce("q_fingerprint(canary)", fn))
@@ -350,7 +384,7 @@ object Bench {
     val canaryRatio = if (canary > 0 && atSf01) canary / CanaryCleanSf01 else -1.0
     val dirty = canaryRatio > 1.5
     val spreads = results.collect {
-      case (_, v, n, sp, _, _) if v >= 0.5 && n >= 2 => sp
+      case r if r.v >= 0.5 && r.ok.size >= 2 => r.spread
     }.sorted
     val noise = if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
     val qa = s""""canary_sec":${f"$canary%.3f"},"canary_ratio":${f"$canaryRatio%.2f"},"noise":${f"$noise%.3f"},"dirty":$dirty,"retried":$retriedJson,"respliced":$resplicedJson,"warm":$warmJson"""

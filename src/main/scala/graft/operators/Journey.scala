@@ -578,26 +578,54 @@ object Journey {
     * a global ntile window: user grain sits below event grain, but a
     * thin-history log (users ≈ events/10) would still funnel every
     * user through ONE reducer's sort, and the heavy-tie tail (most
-    * users at n_ev=1) concentrates it further. The bucket
-    * (−n_ev, user-id range cell) is monotone in the (n_ev DESC,
-    * user_id) sort order, so cell row_number + broadcast grid prefix
-    * replays the global rank exactly and [[Ranking.ntileExpr]] the
-    * ntile banding — the largest single sort is one count's ties/64,
-    * not the user universe. Shares are grid windows over ten rows.
-    * Decile 1 is the heaviest tile (rank order is count DESC). */
+    * users at n_ev=1) concentrates it further. The bucket plan comes
+    * from ONE driver-small control row (id bounds + B+1 approximate
+    * count quantiles): cells alternate eq/interval over the distinct
+    * cutpoints DESCENDING — an eq cell holds exactly one count value
+    * (its ties), where the id-range sub-key is safely monotone; an
+    * interval cell holds ≤ ~1/B of the users by quantile construction
+    * and needs no sub-split. That bounds the offsets grid at
+    * (2B+1)·(S+1) cells REGARDLESS of the count distribution (a raw
+    * (−n_ev, id-cell) bucket grew the grid with |distinct n_ev| —
+    * toward user grain on heavy-tailed logs), while staying monotone
+    * in the (n_ev DESC, user_id) sort order, so cell row_number +
+    * broadcast grid prefix replays the global rank exactly and
+    * [[Ranking.ntileExpr]] the ntile banding. The quantile sketch only
+    * routes rows — ANY monotone bucketing yields bit-identical ranks
+    * (the groupedRank contract), so approximation cannot touch
+    * correctness. Shares are grid windows over ten rows. Decile 1 is
+    * the heaviest tile (rank order is count DESC). */
   def userConcentration(events: DataFrame): DataFrame = {
-    val S = 64
-    val per = events.groupBy(col("user_id"))
+    val S = 64 // id-range fan-out inside one eq (single-count) cell
+    val B = 64 // count-quantile interval cells
+    val per = graft.Caches.hold(events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_ev"),
-        sum(round(col("value") * 100).cast("bigint")).as("cents"))
-    // 1-row id-grid bounds: empty input → zero rows propagate
-    val bounds = per.agg(min(col("user_id")).as("u_lo"),
-        (max(col("user_id")) - min(col("user_id")) + 1L).as("u_span"))
-      .where(col("u_lo").isNotNull)
-    val bucketed = per.crossJoin(broadcast(bounds))
-      .withColumn("u_sub", expr(s"((user_id - u_lo) * $S) div u_span"))
-    val ranked = Ranking.groupedRank(bucketed, Nil,
-      struct((-col("n_ev")).as("neg_ev"), col("u_sub").as("sub")),
+        sum(round(col("value") * 100).cast("bigint")).as("cents")))
+    val probs = (0 to B).map(_.toDouble / B).toArray
+    val stat = per.agg(min(col("user_id")).as("u_lo"),
+      max(col("user_id")).as("u_hi"),
+      percentile_approx(col("n_ev"), lit(probs), lit(10000)).as("cuts"))
+      .head()
+    val bucket: Column = if (stat.isNullAt(0)) lit(0L) else {
+      val uLo = stat.getLong(0)
+      val uHi = stat.getLong(1)
+      // sub-cell width via BigInt, sub-key as div-then-subtract: an id
+      // span near Long.MaxValue overflows the old (id−lo)·S multiply;
+      // truncating division is monotone, so the key stays rank-safe
+      val width = (((BigInt(uHi) - BigInt(uLo)) / S) + 1).toLong
+      val uSub = expr(s"(user_id div $width) - ${uLo / width}")
+      val desc = stat.getSeq[Long](2).distinct.sorted(Ordering[Long].reverse)
+      val branches = desc.zipWithIndex.flatMap { case (d, i) =>
+        Seq((col("n_ev") > lit(d), lit(2 * i)),
+          (col("n_ev") === lit(d), lit(2 * i + 1)))
+      }
+      val cellId = branches.foldRight(lit(2 * desc.size): Column) {
+        case ((c, v), acc) => when(c, v).otherwise(acc)
+      }
+      struct(cellId.as("uc_cell"),
+        when(cellId % 2 === 1, uSub).otherwise(lit(0L)).as("uc_sub"))
+    }
+    val ranked = Ranking.groupedRank(per, Nil, bucket,
       Seq(col("n_ev").desc, col("user_id")))
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)

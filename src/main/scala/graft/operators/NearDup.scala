@@ -1078,7 +1078,20 @@ object NearDup {
                           maxGoneFrac: Double = StaleGoneFracMax)
       : (IncrementIndex, Boolean) = {
     val spark = corpus.sparkSession
-    if (!spark.catalog.tableExists(fpTable(prefix))) {
+    // a snapshot is all three tables or nothing: a failed publish can
+    // leave a partial set behind (fp written, buckets/sigs not — or
+    // the converse), and gating on one table alone either overwrites
+    // the survivors silently or loads a snapshot whose missing
+    // sibling fails much later inside a probe join. Any partial set
+    // is treated as a bootstrap (full republish), loudly.
+    val snapshot = Seq(fpTable(prefix), bucketsTable(prefix),
+      sigsTable(prefix)).map(t => t -> spark.catalog.tableExists(t))
+    if (snapshot.exists(!_._2)) {
+      if (snapshot.exists(_._2)) System.err.println(
+        s"[graft] PARTIAL dedup snapshot under '$prefix' (" +
+          snapshot.map { case (t, ok) =>
+            s"$t=${if (ok) "present" else "MISSING"}" }.mkString(", ") +
+          ") — republishing the full set")
       publishIncrementIndex(corpus, n, k, bands, bucketCap, prefix)
       return (loadIncrementIndex(spark, n, k, bands, prefix), true)
     }

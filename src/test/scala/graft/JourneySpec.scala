@@ -350,6 +350,41 @@ class JourneySpec extends SparkSpec {
     assert(out.size == 10)
   }
 
+  test("userConcentration: matches the ntile window on a heavy-tailed frame") {
+    // heavy ties at n_ev=1 (the realistic log tail), a spread of
+    // distinct mid-range counts (the grid-growth case the quantile
+    // cells exist to bound) and id extremes whose span overflows the
+    // old (id−lo)·64 sub-key multiply
+    val users: Seq[(Long, Int)] =
+      (1 to 60).map(u => (u * 1000L, 1)) ++
+        (1 to 25).map(u => (10_000_000L + u * 7L, 1 + u % 9)) ++
+        Seq((Long.MinValue / 2, 40), (Long.MaxValue / 2, 37),
+          (Long.MaxValue - 1, 3))
+    val rows = users.flatMap { case (uid, n) => (1 to n).map { i =>
+      (uid, java.sql.Timestamp.valueOf(f"2024-01-0${1 + i % 9} 10:00:00"),
+        uid + i, "view", (i % 5) + 0.25)
+    } }
+    val e = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Journey.userConcentration(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(5)))).toMap
+    // naive oracle: the single-reducer ntile window the two-phase
+    // rank replaces — identical deciles by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_ev").desc, col("user_id"))
+    val naive = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(round(col("value") * 100).cast("bigint")).as("cents"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"),
+        (sum(col("cents")).cast("double") / 100.0).as("event_value"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out == naive)
+  }
+
   test("stickiness: trailing window counts each user once") {
     val e = ev(
       (1L, "2024-01-01 10:00:00", "view"),
