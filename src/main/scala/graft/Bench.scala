@@ -41,6 +41,7 @@ object Bench {
     "q_dedup_incremental", "q_dedup_index_stats", "q_index_staleness",
     "q_vector_health", "q_label_separation", "q_embed_outliers", "q_embed_quant",
     "q_embed_lsh", "q_ann_ivf", "q_ann_ivf_p2", "q_ann_pq", "q_ann_pq_rerank",
+    "q_ann_ivfpq",
     "q_ann_sq", "q_ann_recall", "q_ann_filtered",
     "q_multimodal_meta", "q_multimodal_audio", "q_multimodal_frames",
     "q_sessionize", "q_bounce_rate", "q_return_rate", "q_basket_pairs", "q_event_gaps", "q_gap_fill",

@@ -1357,6 +1357,14 @@ object SparkEntry {
       VectorSearch.pqTopKRerank(emb, annSeeds(emb, d),
         col("vec_id") < 10, 5)
     }),
+    // IVFADC: the PQ fold restricted to each query's nprobe=2 trained
+    // IVF cells — the 100 TB path where flat PQ's per-query
+    // corpus-linear code scan dies
+    "q_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      VectorSearch.ivfPqTopK(emb, annCentroids(emb, d), annSeeds(emb, d),
+        col("vec_id") < 10, 5, nprobe = 2)
+    }),
     // Real PNG encode→decode round trip (javax.imageio); the oracle
     // predicts the decoded geometry + pixel sum in closed form.
     "q_multimodal_meta" -> ((s, d) =>
@@ -4378,6 +4386,62 @@ object SparkEntry {
             round(c, 6) AS cos FROM s)
           SELECT query_id, neighbor_id, "rank", cos FROM rr
           WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+    // IVFADC: the PqAdcCtes chain with (a) the corpus restricted to
+    // cell-assigned (nonzero-norm) vectors and (b) the ADC join gated
+    // by each query's nprobe=2 trained-centroid cells
+    "q_ann_ivfpq" -> {
+      val m = 4; val subLen = 16
+      val ds = (0 until m).map(j =>
+        s"${l2SubSql("a2", "cb", j * subLen, subLen)} AS d$j")
+      val qds = (0 until m).map(j =>
+        s"${l2SubSql("q", "cb", j * subLen, subLen)} AS qd$j")
+      val rks = (0 until m).map(j =>
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY d$j, centroid_id) AS r$j")
+      val cs = (0 until m).map(j =>
+        s"max(CASE WHEN r$j = 1 THEN centroid_id END) AS c$j")
+      s"""WITH e AS ($NormedEmbSql),
+          $TrainedCtrCtes,
+          asg AS (SELECT e.vec_id, e.embedding, e.nrm, ctr.centroid_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${dotSql("e", "ctr")} / (e.nrm * ctr.nrm) DESC,
+                       ctr.centroid_id) AS rk
+            FROM e CROSS JOIN ctr WHERE e.nrm <> 0 AND ctr.nrm <> 0),
+          a2 AS (SELECT vec_id, embedding, nrm, centroid_id AS cell
+            FROM asg WHERE rk = 1),
+          cb AS (SELECT vec_id AS centroid_id, embedding FROM embeddings
+            WHERE vec_id % $CentroidStrideSql = 0),
+          wd AS (SELECT a2.vec_id, a2.cell, cb.centroid_id,
+            ${ds.mkString(", ")} FROM a2 CROSS JOIN cb),
+          rk2 AS (SELECT *, ${rks.mkString(", ")} FROM wd),
+          codes AS (SELECT vec_id, cell, ${cs.mkString(", ")} FROM rk2
+            GROUP BY vec_id, cell),
+          q AS (SELECT vec_id AS query_id, embedding, nrm FROM a2
+            WHERE vec_id < 10),
+          qc AS (SELECT query_id, ctr.centroid_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY ${dotSql("q", "ctr")} / (q.nrm * ctr.nrm) DESC,
+                       ctr.centroid_id) AS crk
+            FROM q CROSS JOIN ctr WHERE q.nrm * ctr.nrm <> 0),
+          qcells AS (SELECT query_id, centroid_id AS cell FROM qc
+            WHERE crk <= 2),
+          dtab AS (SELECT query_id, centroid_id, ${qds.mkString(", ")}
+            FROM q CROSS JOIN cb),
+          adc AS (SELECT qs.query_id, c.vec_id,
+            t0.qd0 + t1.qd1 + t2.qd2 + t3.qd3 AS approx_dist
+            FROM qcells qs
+            JOIN codes c ON c.cell = qs.cell
+            JOIN dtab t0 ON t0.query_id = qs.query_id AND t0.centroid_id = c.c0
+            JOIN dtab t1 ON t1.query_id = qs.query_id AND t1.centroid_id = c.c1
+            JOIN dtab t2 ON t2.query_id = qs.query_id AND t2.centroid_id = c.c2
+            JOIN dtab t3 ON t3.query_id = qs.query_id AND t3.centroid_id = c.c3
+            WHERE qs.query_id <> c.vec_id),
+          r2 AS (SELECT query_id, vec_id AS neighbor_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_dist, vec_id) AS INTEGER) AS "rank",
+            round(approx_dist, 6) AS approx_dist FROM adc)
+          SELECT query_id, neighbor_id, "rank", approx_dist FROM r2
+          WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+    },
     "q_skew_salted" ->
       """SELECT CASE WHEN event_id % 2 = 0 THEN 0
                 ELSE CAST(user_id AS BIGINT) END AS hot_key,

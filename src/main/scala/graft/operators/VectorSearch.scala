@@ -949,6 +949,57 @@ object VectorSearch extends Logging {
         col("rank"))
   }
 
+  /** j-th PQ subspace of a `dim`-dim vector column. */
+  private def pqSubCol(c: Column, j: Int, subLen: Int): Column =
+    slice(c, j * subLen + 1, subLen)
+  /** L2² expanded to reuse the codegen'd sequential-fold [[dot]]
+    * (identical expression tree on both engine sides). */
+  private def pqL2sq(a: Column, b: Column): Column =
+    dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
+
+  /** PQ encoding: every vector of `vecs` (plus any rider columns in
+    * `keep`) as its m per-subspace nearest codebook entries — one
+    * pass, broadcast codebook, m min_by argmins collapsed map-side. */
+  private def pqCodes(vecs: DataFrame, cb: DataFrame, keep: Seq[String],
+                      m: Int, subLen: Int): DataFrame = {
+    val keyCols = ("vec_id" +: keep).map(col)
+    val withD = vecs.crossJoin(broadcast(cb))
+      .select(keyCols ++ Seq(col("centroid_id")) ++
+        (0 until m).map(j =>
+          pqL2sq(pqSubCol(col("embedding"), j, subLen),
+            pqSubCol(col("ce"), j, subLen)).as(s"d$j")): _*)
+    withD.groupBy(keyCols: _*).agg(
+      min_by(col("centroid_id"), struct(col("d0"), col("centroid_id"))).as("c0"),
+      (1 until m).map(j =>
+        min_by(col("centroid_id"), struct(col(s"d$j"), col("centroid_id"))).as(s"c$j")): _*)
+  }
+
+  /** Query-side ADC distance tables (tiny: queries × codebook, one
+    * qd_j per subspace) — broadcast into the code lookups. */
+  private def pqDistTables(q: DataFrame, cb: DataFrame,
+                           m: Int, subLen: Int): DataFrame =
+    q.crossJoin(broadcast(cb))
+      .select(Seq(col("query_id"), col("centroid_id")) ++
+        (0 until m).map(j =>
+          pqL2sq(pqSubCol(col("qe"), j, subLen),
+            pqSubCol(col("ce"), j, subLen)).as(s"qd$j")): _*)
+
+  /** m broadcast dtab lookups of a codes frame (any grain that carries
+    * query_id + c0..c(m−1)) → summed approx_dist, self-pairs out. */
+  private def pqAdcFold(codesWithQuery: DataFrame, dtab: DataFrame,
+                        m: Int): DataFrame = {
+    var adc = codesWithQuery
+    (0 until m).foreach { j =>
+      val dj = dtab.select(
+        col("query_id"), col("centroid_id").as(s"c$j"), col(s"qd$j"))
+      adc = adc.join(broadcast(dj), Seq("query_id", s"c$j"))
+    }
+    adc
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("approx_dist", (0 until m).map(j => col(s"qd$j")).reduce(_ + _))
+      .select(col("query_id"), col("vec_id"), col("approx_dist"))
+  }
+
   /** The shared PQ-ADC stage of [[pqTopK]] and [[pqTopKRerank]]:
     * (query_id, vec_id, approx_dist) for every (query, corpus vector)
     * pair, self-pairs excluded. */
@@ -956,28 +1007,13 @@ object VectorSearch extends Logging {
                                 queryFilter: Column, m: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subLen = dim / m
-    def subCol(c: Column, j: Int): Column = slice(c, j * subLen + 1, subLen)
-    def l2sq(a: Column, b: Column): Column =
-      dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
-
     val cb = codebook.select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
-    // encode: one corpus × codebook pass, m argmins aggregated at once
-    val withD = embeddings.crossJoin(broadcast(cb))
-      .select(Seq(col("vec_id"), col("centroid_id")) ++
-        (0 until m).map(j =>
-          l2sq(subCol(col("embedding"), j), subCol(col("ce"), j)).as(s"d$j")): _*)
-    val codes = withD.groupBy(col("vec_id")).agg(
-      min_by(col("centroid_id"), struct(col("d0"), col("centroid_id"))).as("c0"),
-      (1 until m).map(j =>
-        min_by(col("centroid_id"), struct(col(s"d$j"), col("centroid_id"))).as(s"c$j")): _*)
-    // query-side distance tables (tiny: queries × codebook), broadcast
+    val codes = pqCodes(embeddings, cb, Nil, m, subLen)
     val q = embeddings.where(queryFilter)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val dtab = q.crossJoin(broadcast(cb))
-      .select(Seq(col("query_id"), col("centroid_id")) ++
-        (0 until m).map(j =>
-          l2sq(subCol(col("qe"), j), subCol(col("ce"), j)).as(s"qd$j")): _*)
-    // ADC: m broadcast lookups of the codes in the query's table
+    val dtab = pqDistTables(q, cb, m, subLen)
+    // flat ADC: every query folds every corpus vector's codes — the
+    // first lookup (c0) carries the query fan-out
     var adc = codes
     (0 until m).foreach { j =>
       val dj = dtab.select(
@@ -989,6 +1025,66 @@ object VectorSearch extends Logging {
       .where(col("query_id") =!= col("vec_id"))
       .withColumn("approx_dist", (0 until m).map(j => col(s"qd$j")).reduce(_ + _))
       .select(col("query_id"), col("vec_id"), col("approx_dist"))
+  }
+
+  /** IVF-PQ composed top-k (the standard IVFADC pairing, Jégou et al.,
+    * PAMI'11 §V): corpus vectors are cell-assigned against the trained
+    * IVF centroids AND PQ-encoded against the codebook; a query ranks
+    * only the codes of its `nprobe` nearest cells. This is the scale
+    * path flat [[pqTopK]] lacks: the flat ADC fold touches EVERY
+    * corpus code for every query — corpus-linear per query by design,
+    * the shape that measured 13.7× at the 100× probe even after the
+    * τ-prune fixed its window — while here the per-query work is
+    * nprobe/|cells| of the corpus, and with √n cells the scan per
+    * query is k·√n-ish instead of n.
+    *
+    * Shape: one held cell-assignment pass (broadcast centroids,
+    * map-side argmax), one PQ encode pass over the assigned frame
+    * (broadcast codebook), then the candidate cut is a BROADCAST join
+    * of the tiny (query × nprobe) cell list into the codes frame — the
+    * corpus-sized codes never shuffle — followed by the same broadcast
+    * dtab lookups and bounded-heap τ-prune top-k as flat PQ.
+    * Zero-norm vectors are excluded on both sides (no defined cell —
+    * same [[assignCells]] contract as [[ivfTopK]]); everything is
+    * sequential-fold arithmetic, so the DuckDB oracle replays it
+    * exactly. Output: (query_id, neighbor_id, rank, approx_dist). */
+  def ivfPqTopK(embeddings: DataFrame, centroids: DataFrame,
+                codebook: DataFrame, queryFilter: Column, k: Int,
+                m: Int = 4, dim: Int = 64, nprobe: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subLen = dim / m
+    val cb = codebook.select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    // both the encode pass and the query legs read the assignment —
+    // hold it so the corpus × centroids argmax runs once
+    val assigned = graft.Caches.hold(assignCells(embeddings, centroids))
+    val codes = pqCodes(
+      assigned.select(col("vec_id"), col("embedding"),
+        col("centroid_id").as("cell")),
+      cb, Seq("cell"), m, subLen)
+    val c = withNorm(centroids).select(col("vec_id").as("centroid_id"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    // top-nprobe cells per query, row-locally (the ivfTopK idiom)
+    val qcells = assigned.where(queryFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+      .crossJoin(broadcast(c))
+      .withColumn("ccos", cosine(col("qe"), col("ce"), col("qn"), col("cn")))
+      .where(col("ccos").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(slice(sort_array(collect_list(struct(
+        negate(col("ccos")).as("nc"), col("centroid_id").as("cid")))),
+        1, nprobe).as("cells"))
+      .select(col("query_id"), explode(col("cells.cid")).as("cell"))
+    val q = assigned.where(queryFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val dtab = pqDistTables(q, cb, m, subLen)
+    // THE pruning join: tiny (query, cell) list broadcast into the
+    // codes — only probed cells' codes enter the ADC fold
+    val cand = broadcast(qcells).join(codes, "cell")
+    nearestByApproxDist(pqAdcFold(cand, dtab, m), k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("approx_dist"), 6).as("approx_dist"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** PQ-ADC with an exact re-rank stage — standard ADC practice

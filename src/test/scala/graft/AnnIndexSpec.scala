@@ -37,6 +37,29 @@ class AnnIndexSpec extends SparkSpec {
     assert(freshSq.nonEmpty && servedSq == freshSq)
   }
 
+  test("ivfPqTopK with all cells probed equals flat pqTopK; nprobe=1 stays well-formed") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.where(col("vec_id") % 50 === 0)
+    // every corpus vector in the testdata is nonzero-norm, so the
+    // assigned corpus == the flat corpus; probing every cell must then
+    // reproduce flat PQ bit-for-bit (same codes, same ADC, same cut)
+    val nCells = centroids.count().toInt
+    val flat = VectorSearch.pqTopK(emb, centroids,
+      col("vec_id") < 10, 5, dim = Dim).collect().toSeq
+    val allCells = VectorSearch.ivfPqTopK(emb, centroids, centroids,
+      col("vec_id") < 10, 5, dim = Dim, nprobe = nCells).collect().toSeq
+    assert(flat.nonEmpty && allCells == flat)
+    // nprobe=1: at most k neighbors per query, ranks contiguous from 1
+    val p1 = VectorSearch.ivfPqTopK(emb, centroids, centroids,
+      col("vec_id") < 10, 5, dim = Dim, nprobe = 1).collect()
+      .groupBy(_.getLong(0))
+    assert(p1.nonEmpty)
+    p1.foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
   test("streamed serve equals the batch served top-k on finalized windows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp

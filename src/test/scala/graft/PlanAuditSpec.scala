@@ -803,6 +803,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq composes the cell cut as a broadcast join ahead of the ADC fold") {
+    val p = plan("q_ann_ivfpq")
+    // the (query, cell) probe list must broadcast INTO the corpus
+    // codes on the cell key — a regression to flat PQ (no cell join)
+    // or to shuffling the codes re-creates the per-query corpus scan
+    assert("BroadcastHashJoin \\[cell#\\d+L?\\], \\[cell#\\d+L?\\]".r
+      .findFirstIn(p).isDefined, p.take(3000))
+    // bounded-heap argmax assignment + τ-prune top-k stay typed-imperative
+    assert(p.contains("graft_topk"), p.take(3000))
+    assert(!p.contains("ntile("), p.take(3000))
+  }
+
   test("user concentration: two-phase rank off the user-grain frame") {
     val p = plan("q_user_concentration")
     // the user-grain rank window partitions by the (−n_ev, id-cell)
