@@ -1342,36 +1342,49 @@ object Analytics {
     * Lift multiplies count-DOUBLES (the q_assoc_rules overflow
     * discipline). */
   def brandAffinity(lineitem: DataFrame, part: DataFrame): DataFrame = {
-    // ONE okey-grain exchange: collect_set dedups AND groups in a
-    // single map-side-combining aggregate, then the per-order sorted
-    // brand set fans out its C(k,2) pairs IN-TASK (k ≤ the order's
-    // line count) and items/total are order-grain derivatives of the
-    // same held sets frame. The round-10 shape — distinct (okey,
-    // brand) then a (a < b) self-join on okey — paid the distinct
-    // exchange PLUS two more corpus-sized join exchanges (671+622 MB
-    // shuffled at the 100× probe) plus the SMJ sorts; the round-9
-    // race that picked the join predates the JIT-code-cache fix, and
-    // the re-race measured the join 22.5 s vs 13.6 s for this plan at
-    // sf10 (warm, DevProbe; cold 43.4 vs 25.0). The part dim is NOT broadcast-hinted
-    // (part scales with the corpus, unlike nation/supplier — AQE must
-    // stay free to shuffle the partkey join).
+    // ONE okey-grain exchange (collect_set dedups AND groups in a
+    // single map-side-combining aggregate), then ONE fan-out pass
+    // emits every count this query needs — a per-order total marker
+    // (NULL, NULL), one (b, NULL) item marker per distinct brand and
+    // the C(k,2) sorted pairs — into a single vocabulary²-sized grid
+    // aggregate. The round-11 shape computed items/total as separate
+    // aggregates over a HELD sets frame: the 100× probe measured
+    // those extra legs at 3 serial cache passes (33 s CPU) plus
+    // ~19 s of serial single-task broadcast-build stalls; folding
+    // them into the pair fan-out reads the order-grain frame once
+    // and drops the cache entirely. (The round-10 distinct+self-join
+    // shape was already retired: 22.5 s vs 13.6 s warm at sf10.)
+    // The part dim is NOT broadcast-hinted (part scales with the
+    // corpus, unlike nation/supplier — AQE must stay free to shuffle
+    // the partkey join).
     val ob = lineitem.select(col("l_orderkey"), col("l_partkey"))
       .join(part.select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("okey"), col("p_brand").as("b"))
-    val sets = graft.Caches.hold(ob.groupBy(col("okey"))
-      .agg(sort_array(collect_set(col("b"))).as("bs")))
-    val total = sets.agg(count(lit(1)).as("n_orders"))
-    val items = sets.select(explode(col("bs")).as("b"))
-      .groupBy(col("b")).agg(count(lit(1)).as("n_item"))
-    sets.where(size(col("bs")) >= 2)
-      .select(explode(flatten(transform(
+    val sets = ob.groupBy(col("okey"))
+      .agg(sort_array(collect_set(col("b"))).as("bs"))
+    val nullS = lit(null).cast("string")
+    val fan = concat(
+      array(struct(nullS.as("b1"), nullS.as("b2"))),
+      transform(col("bs"), x => struct(x.as("b1"), nullS.as("b2"))),
+      // guard: sequence(1, 0) steps DOWNWARD in Spark, so a 1-brand
+      // order must short-circuit to an empty pair leg, not explode
+      // junk out-of-range element_at pairs
+      when(size(col("bs")) >= 2, flatten(transform(
         sequence(lit(1), size(col("bs")) - 1),
         i => transform(sequence(i + 1, size(col("bs"))),
           j => struct(element_at(col("bs"), i).as("b1"),
-            element_at(col("bs"), j).as("b2")))))).as("p"))
+            element_at(col("bs"), j).as("b2"))))))
+        .otherwise(array().cast("array<struct<b1:string,b2:string>>")))
+    val counts = graft.Caches.hold(sets.select(explode(fan).as("p"))
       .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
-      .agg(count(lit(1)).as("n_co"))
+      .agg(count(lit(1)).as("n")))
+    val total = counts.where(col("b1").isNull)
+      .select(col("n").as("n_orders"))
+    val items = counts.where(col("b1").isNotNull && col("b2").isNull)
+      .select(col("b1").as("b"), col("n").as("n_item"))
+    counts.where(col("b2").isNotNull)
+      .select(col("b1"), col("b2"), col("n").as("n_co"))
       .join(broadcast(items.select(col("b").as("b1"),
         col("n_item").as("n_b1"))), Seq("b1"))
       .join(broadcast(items.select(col("b").as("b2"),

@@ -680,9 +680,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
-  test("brand affinity: pairs, items and total read the cached frame") {
+  test("brand affinity: one fan-out pass feeds pairs, items and total") {
     val p = plan("q_brand_affinity")
+    // total/items/pairs all filter the ONE held vocabulary²-sized
+    // grid — a regression to separate aggregates re-creates the 3
+    // serial cache passes + broadcast stalls the 100× probe measured
     assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(3000))
+    // ...and the fan-out marker structs sit INSIDE the cached plan
+    // (the grid carries total/item markers, not separate aggregates)
+    assert(p.contains("InMemoryTableScan [b1#"), p.take(3000))
   }
 
   test("concurrency: started/ended/spine read the cached session frame") {
