@@ -608,8 +608,22 @@ object DataChecks {
       .orderBy(col(dim))
   }
 
+  /** Value-domain size above which [[profile]]'s exact median switches
+    * from the single-group `percentile(c, 0.5, cnt)` aggregate to the
+    * distributed [[Ranking.interpolatedMedian]] crossing. Both replay
+    * the identical double sequence (RankingSpec races them
+    * bit-for-bit), so the switch can never change a result — it picks
+    * the cheaper PLAN: below the knee, one task folding ≤2²⁰
+    * (value, count) pairs beats the crossing's 5-stage chain (the
+    * distributed form cost q_profile +1.8 s at sf0.1, where the
+    * largest domain is 583k values); above it, the single-group
+    * buffer is the hidden single reducer that spent 55 s on one task
+    * at the 100× probe (l_orderkey: 15M distinct). */
+  val MedianSingleTaskMax: Long = 1L << 20
+
   def profile(df: DataFrame, numCols: Seq[String],
-              strCols: Seq[String]): DataFrame = {
+              strCols: Seq[String],
+              medianSingleTaskMax: Long = MedianSingleTaskMax): DataFrame = {
     requireColumns(df, numCols ++ strCols, "profile")
     val nullD = lit(null).cast("double")
     val nullS = lit(null).cast("string")
@@ -634,16 +648,21 @@ object DataChecks {
         (Seq(
           coalesce(sum(when(col(c).isNull, col("cnt"))), lit(0L)).as("n_nulls"),
           count(col(c)).as("n_distinct")) ++ typed): _*)
-      // EXACT median from the (value, count) pairs, two-phase
-      // ([[Ranking.interpolatedMedian]] — the built-in percentile
-      // aggregate funneled a near-continuous column's whole value
-      // domain through one 55 s task at the 100× probe); bit-equal to
+      // EXACT median from the (value, count) pairs — bit-equal to
       // percentile(c, 0.5, cnt), which quantile_cont over the raw
       // rows replays (probe-verified), so no second raw scan either.
+      // Plan choice by value-domain size (see [[MedianSingleTaskMax]]):
+      // the count() also materializes the held counts cache the stats
+      // aggregate reads next, so it is not an extra pass.
       val agg2 =
-        if (isNum) agged.crossJoin(broadcast(
-          Ranking.interpolatedMedian(counts, c, "cnt")))
-        else agged
+        if (isNum) {
+          val med =
+            if (counts.count() <= medianSingleTaskMax)
+              counts.agg(expr(s"CAST(percentile(`$c`, 0.5D, cnt) AS DOUBLE)")
+                .as("p50"))
+            else Ranking.interpolatedMedian(counts, c, "cnt")
+          agged.crossJoin(broadcast(med))
+        } else agged
       val out =
         if (isNum) Seq(col("min_num"), col("max_num"), col("mean"),
           col("p50"), nullS.as("min_str"), nullS.as("max_str"))

@@ -202,6 +202,20 @@ class DataChecksSpec extends SparkSpec {
     assert(!plan.contains("Expand"), plan.take(3000))
   }
 
+  test("profile: the median plan switch never changes a value") {
+    // fractional-position interpolation (even total count) + a null +
+    // repeated values — the cases where the two median plans could
+    // diverge if they weren't replaying the same double sequence
+    val df = (Seq.fill(3)(7.25) ++ Seq(1.5, 2.0, 4.75) ++
+      Seq.fill(2)(2.0)).map(Option(_)).appended(None)
+      .toDF("x").withColumn("s", lit("k"))
+    val single = DataChecks.profile(df, Seq("x"), Seq("s"),
+      medianSingleTaskMax = Long.MaxValue).collect().toSeq
+    val dist = DataChecks.profile(df, Seq("x"), Seq("s"),
+      medianSingleTaskMax = 0L).collect().toSeq
+    assert(single == dist && single.nonEmpty)
+  }
+
   test("distributionDrift reports shares, deltas and guarded chi2 terms") {
     import spark.implicits._
     val base = Seq("a", "a", "a", "b").toDF("event_type")       // a .75, b .25
