@@ -578,17 +578,23 @@ object NearDup {
     val t = sig.select(col("doc_id"), col("sh"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("d1")).orderBy(col("jaccard").desc, col("d2"))
-    // SHUFFLE_HASH with the PAIR side as build: the window output has
-    // no size stats, and left to estimates Spark broadcasts the
-    // corpus-grain shingle frame (gigabytes of arrays, rebuilt per
-    // leg — measured 2.4× the whole operator at the 10× probe). The
-    // pair side is two longs per row and linear in the corpus; the
-    // shingle side streams from cache. Same result, join-strategy-only
-    // hint.
+    // SHUFFLE_HASH on both joins: the window output has no size
+    // stats, and left to estimates Spark broadcasts the corpus-grain
+    // shingle frame (gigabytes of arrays, rebuilt per leg — measured
+    // 2.4× the whole operator at the 10× probe). Build sides are
+    // chosen per join by WIDTH, not convention: join 1 builds the
+    // bare (d1, d2) pair frame (two longs per row); join 2 must
+    // build the SHINGLE side — the pair frame now carries the sh1
+    // arrays, and hinting it as build (the round-11 form) made each
+    // task hash-build gigabytes of arrays, which is exactly the
+    // "Can't acquire 512 MB to build hash relation" OOM the first
+    // 100× probe of this query hit. The shingle side hashes one
+    // corpus partition of arrays per task (scales with
+    // shuffle-partition count); the wide pair frame streams.
     capped.hint("SHUFFLE_HASH")
       .join(t.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .hint("SHUFFLE_HASH")
-      .join(t.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .join(t.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+        .hint("SHUFFLE_HASH"), "d2")
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))))
