@@ -1191,11 +1191,31 @@ object NearDup {
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
     val ids = docs.select(col("doc_id").cast("long"))
+    // both orientations from ONE in-task explode: a unionAll of the
+    // edge plan with its own reversal executes the upstream pair
+    // pipeline TWICE (the LSH verify joins are the expensive part —
+    // the internal signature persist only dedups the scan below
+    // them); the explode duplicates each row where it already is
     val (sym, symIds) = ckpt(edges
       .select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
-      .unionAll(edges.select(col("d2").cast("long").as("a"),
-        col("d1").cast("long").as("b"))))
-    var (labels, labelIds) = ckpt(ids.select(col("doc_id"), col("doc_id").as("rep")))
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b")))
+    // only EDGE-TOUCHED vertices iterate: a doc with no verified pair
+    // can never change its label, so the propagation loop (join +
+    // min-agg + checkpoint + convergence count, × rounds) runs on the
+    // near-dup subset instead of the corpus — at 100 TB the dup
+    // family is a sliver of the corpus, and the old corpus-grain
+    // label frame paid every round on 100% of it. Singletons are
+    // appended after convergence as (doc_id, doc_id, 1), which is
+    // exactly what the fixpoint assigns them. The semi-join keeps the
+    // old semantics for ill-formed edge lists (an endpoint outside
+    // `docs` never gets a label, so it cannot propagate its id).
+    val verts = ids.join(
+      sym.select(col("a").as("doc_id")).distinct(), Seq("doc_id"),
+      "left_semi")
+    var (labels, labelIds) = ckpt(verts.select(col("doc_id"), col("doc_id").as("rep")))
     def step(cur: DataFrame): (DataFrame, Set[Int], Long) = {
       val nbrMin = sym
         .join(cur.select(col("doc_id").as("a"), col("rep").as("nrep")), "a")
@@ -1243,9 +1263,13 @@ object NearDup {
     // frame served its last read in the loop above
     free(symIds)
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "rep")
+    val clustered = labels.join(sizes, "rep")
       .select(col("doc_id"), col("rep").as("rep_id"), col("cluster_size"))
-      .orderBy(col("doc_id"))
+    val singletons = ids
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("rep_id"),
+        lit(1L).as("cluster_size"))
+    clustered.unionByName(singletons).orderBy(col("doc_id"))
   }
 
   /** Best-copy survivors over transitive near-dup clusters: each
