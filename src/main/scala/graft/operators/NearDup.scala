@@ -632,9 +632,17 @@ object NearDup {
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
     val t = sig.select(col("doc_id"), col("sh"))
-    cand
+    // SHUFFLE_HASH with width-aware build sides (the hardNegatives
+    // discipline): left to estimates, the planner sort-merge-joins —
+    // sorting shingle-ARRAY rows spilled 13.7 GB in one stage at the
+    // 100× probe. Join 1 builds the bare (d1, d2) pair frame; join 2
+    // must build the bare shingle side (the pair frame now carries
+    // the sh1 arrays — hashing THAT side is the 512 MB hash-relation
+    // OOM class), one corpus partition of arrays per task.
+    cand.hint("SHUFFLE_HASH")
       .join(t.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(t.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .join(t.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+        .hint("SHUFFLE_HASH"), "d2")
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))))
