@@ -618,7 +618,20 @@ object DataChecks {
     * distributed form cost q_profile +1.8 s at sf0.1, where the
     * largest domain is 583k values); above it, the single-group
     * buffer is the hidden single reducer that spent 55 s on one task
-    * at the 100× probe (l_orderkey: 15M distinct). */
+    * at the 100× probe (l_orderkey: 15M distinct).
+    *
+    * The size probe is an EAGER action: [[profile]] runs one
+    * `counts.count()` job per numeric column AT FRAME-CONSTRUCTION
+    * time (and materializes the held counts cache the stats aggregate
+    * then rides — the job is not an extra pass, but it IS a
+    * laziness-semantics departure: building the profile frame
+    * schedules work even if the frame is never executed, the same
+    * trade [[graft.operators.NearDup.freshIncrementIndex]] makes for
+    * its driver-side staleness verdict). The count includes the
+    * null-value row, so a nullable column switches plans at 2²⁰ − 1
+    * non-null values — one grid cell early, immaterial because both
+    * plans are bit-equal and the knee is an order-of-magnitude
+    * choice, not a boundary contract. */
   val MedianSingleTaskMax: Long = 1L << 20
 
   def profile(df: DataFrame, numCols: Seq[String],
