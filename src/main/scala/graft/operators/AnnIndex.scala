@@ -31,6 +31,7 @@ object AnnIndex {
   def ivfTable(prefix: String): String = s"${prefix}_ivf_centroids"
   def pqTable(prefix: String): String = s"${prefix}_pq_codebook"
   def sqTable(prefix: String): String = s"${prefix}_sq_stats"
+  def ivfPqCodesTable(prefix: String): String = s"${prefix}_ivfpq_codes"
 
   /** Publish the three index artifacts for `embeddings`. `centroids`
     * and `codebook` are whatever the caller trained (e.g.
@@ -45,6 +46,44 @@ object AnnIndex {
     Sources.publishTable(VectorSearch.sqStats(embeddings, expectedDim),
       sqTable(prefix))
   }
+
+  /** Publish the COMPOSED IVF-PQ index (the IVFADC serving set):
+    * centroids + codebook (the same dimension-sized artifacts
+    * [[publish]] writes) PLUS the corpus-side codes table
+    * ([[VectorSearch.ivfPqCodes]] — every vector's IVF cell and its m
+    * PQ codes). Without the codes table the composed path re-assigns
+    * and re-encodes the whole corpus inline on every query — 17.5 s
+    * of the sf10 q_ann_ivfpq cell was exactly that index-build cost,
+    * vs flat PQ-serve's 11.6 — which defeats the reason IVFADC
+    * exists. The codes table is corpus-CARDINALITY but code-WIDTH
+    * (one long cell id + m small ints per vector, no floats): at
+    * 100 TB of float vectors it is the ~100× smaller artifact whose
+    * one-time write is the price of float-free serving ever after. */
+  def publishIvfPq(embeddings: DataFrame, centroids: DataFrame,
+                   codebook: DataFrame, m: Int = 4, dim: Int = 64,
+                   prefix: String = DefaultPrefix): Unit = {
+    Sources.publishTable(centroids, ivfTable(prefix))
+    Sources.publishTable(codebook, pqTable(prefix))
+    Sources.publishTable(
+      VectorSearch.ivfPqCodes(embeddings, centroids, codebook, m, dim),
+      ivfPqCodesTable(prefix))
+  }
+
+  /** Serve IVF-PQ top-k against the published artifacts with ZERO
+    * training or encoding work: the corpus side is the codes table
+    * read back from parquet; only the query rows' float vectors are
+    * touched (filter-pushed scan of the live embeddings). Delegates
+    * to [[VectorSearch.ivfPqTopKWith]] — the same serve stage the
+    * train-fresh [[VectorSearch.ivfPqTopK]] runs — so a served answer
+    * is bit-identical to a train-fresh one (AnnIndexSpec proves it,
+    * and pins the composed path against flat PQ at all-cells). */
+  def servedIvfPqTopK(spark: SparkSession, embeddings: DataFrame,
+                      queryFilter: Column, k: Int, m: Int = 4,
+                      dim: Int = 64, nprobe: Int = 1,
+                      prefix: String = DefaultPrefix): DataFrame =
+    VectorSearch.ivfPqTopKWith(embeddings, spark.table(ivfTable(prefix)),
+      spark.table(pqTable(prefix)), spark.table(ivfPqCodesTable(prefix)),
+      queryFilter, k, m, dim, nprobe)
 
   def servedIvfTopK(spark: SparkSession, embeddings: DataFrame,
                     queryFilter: Column, k: Int, nprobe: Int = 1,

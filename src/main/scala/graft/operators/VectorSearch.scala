@@ -891,6 +891,54 @@ object VectorSearch extends Logging {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** SRP-LSH bucket-occupancy health report — the [[graft.operators
+    * .NearDup.indexStats]] discipline for the embedding near-dup
+    * family: the histogram of STORED (cap-clamped) bucket sizes under
+    * the CORPUS-DERIVED [[srpParamsFor]] parameters, pooled across
+    * bands. A mass at `bucket_size = bucketCap` means the prefix cap
+    * binds on ordinary buckets (the recall-skew-toward-low-vec_ids
+    * regime [[srpNearDup]]'s scaladoc warns about — raise
+    * `targetBucket` or bands); a healthy corpus shows a long tail of
+    * 1s and single-digit buckets. This is the gate that PROVES the
+    * derived plane count right at a given scale instead of assuming
+    * it: the expected-occupancy arithmetic in [[srpParamsFor]] is a
+    * uniform-hash model, and only the observed histogram says whether
+    * the real corpus (correlated embeddings, sign skew) respects it.
+    *
+    * Scale shape: one corpus pass computing the projection signs
+    * (plane literals broadcast inside the expression tree), one
+    * (band, sig) count aggregate — map-side combined, no id lists
+    * collected — and one histogram aggregate over the ≤ bands·2^
+    * (planes/bands)-row bucket frame. Strictly cheaper than the
+    * near-dup query it gates. Output: (bucket_size, n_buckets)
+    * ordered by size. */
+  def srpBucketStats(embeddings: DataFrame, corpusCount: Long,
+                     bands: Int = 4, dim: Int = 64,
+                     bucketCap: Int = NearDup.DefaultBucketCap): DataFrame = {
+    val (nPlanes, nBands) = srpParamsFor(corpusCount, bands)
+    val rows = nPlanes / nBands
+    val p = srpPlanes(nPlanes, dim)
+    def planeLit(i: Int): Column = array(p(i).toIndexedSeq.map(lit(_)): _*)
+    val withBits = withNorm(embeddings)
+      .where(col("nrm") =!= 0.0)
+      .select(Seq(col("vec_id")) ++
+        (0 until nPlanes).map(i =>
+          (dot(col("embedding"), planeLit(i)) >= 0).cast("int").as(s"b$i")): _*)
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rows).map(r =>
+          col(s"b${b * rows + r}").cast("string")): _*).as("sig"))
+    }
+    withBits
+      .select(explode(array(bandStructs: _*)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .groupBy(col("band"), col("sig"))
+      .agg(least(count(lit(1)), lit(bucketCap.toLong)).as("bucket_size"))
+      .groupBy(col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .orderBy(col("bucket_size"))
+  }
+
   /** Product-quantization ADC top-k (Jégou et al., PAMI'11 — public
     * algorithm): split the `dim`-dim space into `m` subspaces, encode
     * every corpus vector as its nearest codebook entry per subspace
@@ -1038,9 +1086,10 @@ object VectorSearch extends Logging {
     * nprobe/|cells| of the corpus, and with √n cells the scan per
     * query is k·√n-ish instead of n.
     *
-    * Shape: one held cell-assignment pass (broadcast centroids,
-    * map-side argmax), one PQ encode pass over the assigned frame
-    * (broadcast codebook), then the candidate cut is a BROADCAST join
+    * Shape: one cell-assignment pass (broadcast centroids, map-side
+    * argmax) feeding one PQ encode pass ([[ivfPqCodes]] — at serve
+    * time both are a published table read instead,
+    * [[ivfPqTopKWith]]), then the candidate cut is a BROADCAST join
     * of the tiny (query × nprobe) cell list into the codes frame — the
     * corpus-sized codes never shuffle — followed by the same broadcast
     * dtab lookups and bounded-heap τ-prune top-k as flat PQ.
@@ -1050,21 +1099,58 @@ object VectorSearch extends Logging {
     * exactly. Output: (query_id, neighbor_id, rank, approx_dist). */
   def ivfPqTopK(embeddings: DataFrame, centroids: DataFrame,
                 codebook: DataFrame, queryFilter: Column, k: Int,
-                m: Int = 4, dim: Int = 64, nprobe: Int = 1): DataFrame = {
+                m: Int = 4, dim: Int = 64, nprobe: Int = 1): DataFrame =
+    ivfPqTopKWith(embeddings, centroids, codebook,
+      ivfPqCodes(embeddings, centroids, codebook, m, dim),
+      queryFilter, k, m, dim, nprobe)
+
+  /** The corpus-side IVF-PQ index: every vector's IVF cell AND its m
+    * PQ codes in one frame (vec_id, cell, c0..c{m−1}) — the artifact
+    * a deployment trains ONCE and publishes next to the centroids and
+    * codebook ([[graft.operators.AnnIndex.publishIvfPq]]), so serving
+    * ([[ivfPqTopKWith]]) touches no float vectors on the corpus side
+    * at all. One assignment pass (broadcast centroids, map-side
+    * argmax) + one encode pass over the assigned frame (broadcast
+    * codebook) — the exact frames [[ivfPqTopK]] builds inline. */
+  def ivfPqCodes(embeddings: DataFrame, centroids: DataFrame,
+                 codebook: DataFrame, m: Int = 4, dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subLen = dim / m
     val cb = codebook.select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
-    // both the encode pass and the query legs read the assignment —
-    // hold it so the corpus × centroids argmax runs once
-    val assigned = graft.Caches.hold(assignCells(embeddings, centroids))
-    val codes = pqCodes(
+    val assigned = assignCells(embeddings, centroids)
+    pqCodes(
       assigned.select(col("vec_id"), col("embedding"),
         col("centroid_id").as("cell")),
       cb, Seq("cell"), m, subLen)
+  }
+
+  /** IVF-PQ serve stage against a PRECOMPUTED codes frame (published
+    * or fresh — [[ivfPqTopK]] delegates here, so a served query is
+    * bit-identical to a train-fresh one by construction). The query
+    * legs read only the query rows (filter-pushed scans of the live
+    * embeddings — queries need their float vectors for the cell probe
+    * and the ADC distance tables); the corpus side is the m-int codes
+    * frame alone, which never shuffles: the tiny (query, cell) probe
+    * list is BROADCAST into it. Zero-norm queries are excluded, the
+    * [[assignCells]] contract the codes frame itself was built
+    * under. */
+  def ivfPqTopKWith(embeddings: DataFrame, centroids: DataFrame,
+                    codebook: DataFrame, codes: DataFrame,
+                    queryFilter: Column, k: Int,
+                    m: Int = 4, dim: Int = 64, nprobe: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subLen = dim / m
+    val cb = codebook.select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
     val c = withNorm(centroids).select(col("vec_id").as("centroid_id"),
       col("embedding").as("ce"), col("nrm").as("cn"))
+    // query rows with norms, zero-norm excluded — the same rows the
+    // inline path's assigned.where(queryFilter) kept (assignCells
+    // keeps exactly the nonzero-norm vectors), read directly off the
+    // live embeddings so the filter pushes to the scan
+    val qside = withNorm(embeddings).where(col("nrm") =!= 0.0)
+      .where(queryFilter)
     // top-nprobe cells per query, row-locally (the ivfTopK idiom)
-    val qcells = assigned.where(queryFilter)
+    val qcells = qside
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"))
       .crossJoin(broadcast(c))
@@ -1075,7 +1161,7 @@ object VectorSearch extends Logging {
         negate(col("ccos")).as("nc"), col("centroid_id").as("cid")))),
         1, nprobe).as("cells"))
       .select(col("query_id"), explode(col("cells.cid")).as("cell"))
-    val q = assigned.where(queryFilter)
+    val q = qside
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val dtab = pqDistTables(q, cb, m, subLen)
     // THE pruning join: tiny (query, cell) list broadcast into the

@@ -60,6 +60,27 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("served IVF-PQ equals train-fresh ivfPqTopK bit-for-bit, with zero training work") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.where(col("vec_id") % 50 === 0)
+    val codebook = emb.where(col("vec_id") % 70 === 0)
+    AnnIndex.publishIvfPq(emb, centroids, codebook, dim = Dim,
+      prefix = "spec_ann_ivfpq")
+    val fresh = VectorSearch.ivfPqTopK(emb, centroids, codebook,
+      col("vec_id") < 10, 5, dim = Dim, nprobe = 2).collect().toSeq
+    val served = AnnIndex.servedIvfPqTopK(spark, emb,
+      col("vec_id") < 10, 5, dim = Dim, nprobe = 2,
+      prefix = "spec_ann_ivfpq").collect().toSeq
+    assert(fresh.nonEmpty && served == fresh)
+    // the published codes table is corpus-cardinality but code-width:
+    // one row per nonzero-norm vector, cell + m int codes, no floats
+    val codes = spark.table(AnnIndex.ivfPqCodesTable("spec_ann_ivfpq"))
+    assert(codes.count() == emb.count())
+    assert(codes.columns.toSeq ==
+      Seq("vec_id", "cell", "c0", "c1", "c2", "c3"))
+    assert(!codes.schema.exists(_.dataType.typeName.contains("array")))
+  }
+
   test("streamed serve equals the batch served top-k on finalized windows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
