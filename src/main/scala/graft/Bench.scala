@@ -40,7 +40,8 @@ object Bench {
     "q_quality_cap",
     "q_dedup_incremental", "q_dedup_index_stats", "q_index_staleness",
     "q_vector_health", "q_label_separation", "q_embed_outliers", "q_embed_quant",
-    "q_embed_lsh", "q_ann_ivf", "q_ann_ivf_p2", "q_ann_pq", "q_ann_pq_rerank",
+    "q_embed_lsh", "q_srp_bucket_stats",
+    "q_ann_ivf", "q_ann_ivf_p2", "q_ann_pq", "q_ann_pq_rerank",
     "q_ann_ivfpq",
     "q_ann_sq", "q_ann_recall", "q_ann_filtered",
     "q_multimodal_meta", "q_multimodal_audio", "q_multimodal_frames",
