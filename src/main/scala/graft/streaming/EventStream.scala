@@ -14,7 +14,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * same aggregation plan runs incrementally with state kept in the
   * state store instead of re-reading history.
   */
-object EventStream {
+object EventStream extends org.apache.spark.internal.Logging {
 
   /** Tumbling 1-hour windowed counts per event type with a 2-hour
     * watermark — the streaming twin of Analytics.eventWindows (same
@@ -176,6 +176,42 @@ object EventStream {
         col("exact_match").isNull && col("near_match").isNull)
       .select(col("window.start").as("window_start"), col("doc_id"),
         col("exact_match"), col("near_match"), col("is_new"))
+  }
+
+  /** Staleness-AWARE streaming near-dup probe: [[nearDupProbe]] with
+    * the index acquired through [[graft.operators.NearDup
+    * .freshIncrementIndex]] instead of handed in frozen — the batch
+    * refresh-policy loop applied to the probe cadence that runs
+    * LONGEST against a snapshot. A streaming probe is the worst
+    * place for silent staleness: the query starts once and then
+    * probes every arriving document against the same static frames
+    * for hours or days, so a drifted snapshot under-flags duplicates
+    * continuously (new near-dup families are invisible to frozen
+    * buckets) with nothing downstream to notice. Consulting the
+    * staleness verdict at STREAM START (rebuild+republish when the
+    * live corpus has drifted past the thresholds, bootstrap when no
+    * snapshot exists) bounds that exposure to one stream lifetime —
+    * restart cadence IS the refresh cadence, the operational contract
+    * this entry point encodes. The driver-side verdict is the same
+    * one-row boolean the batch path pays; the probe itself is
+    * unchanged ([[nearDupProbe]] semantics, EquivalenceSpec-proven).
+    * EquivalenceSpec proves the rebuilt path catches a streamed
+    * near-dup of a post-snapshot corpus document that the frozen
+    * snapshot provably misses. */
+  def freshNearDupProbe(docs: DataFrame, corpus: DataFrame,
+                        n: Int = 3, k: Int = 32, bands: Int = 16,
+                        bucketCap: Int =
+                          graft.operators.NearDup.DefaultBucketCap,
+                        prefix: String =
+                          graft.operators.NearDup.DefaultDedupPrefix,
+                        threshold: Double = 0.5, delay: String = "2 hours",
+                        windowLen: String = "1 hour"): DataFrame = {
+    val (idx, rebuilt) = graft.operators.NearDup.freshIncrementIndex(
+      corpus, n, k, bands, bucketCap, prefix)
+    if (rebuilt) log.info(
+      s"freshNearDupProbe: snapshot '$prefix' was stale or absent — " +
+        "rebuilt and republished before the stream starts")
+    nearDupProbe(docs, idx, threshold, delay, windowLen)
   }
 
   /** Streaming ANN serve — [[graft.operators.AnnIndex.servedIvfTopK]]'s

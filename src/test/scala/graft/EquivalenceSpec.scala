@@ -591,6 +591,54 @@ class EquivalenceSpec extends SparkSpec {
     idx.release()
   }
 
+  test("freshNearDupProbe rebuilds a stale snapshot before streaming; the frozen snapshot provably misses") {
+    import graft.operators.NearDup
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val prefix = "graft_dedup_stream_fresh"
+    val corpus = docs(10L -> (1 to 30).map(i => s"w$i").mkString(" "),
+      11L -> "an unrelated corpus document here")
+    NearDup.publishIncrementIndex(corpus, prefix = prefix)
+    // live corpus grows past the staleness threshold with a NEW family
+    val grown = corpus.unionAll(
+      docs(12L -> (1 to 30).map(i => s"q$i").mkString(" "))
+        .select(corpus.columns.map(col): _*))
+    val probeText = (1 to 28).map(i => s"q$i").mkString(" ") + " tail changed"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def streamVerdict(df: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                      name: String): org.apache.spark.sql.Row = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, java.sql.Timestamp)]
+      mem.addData((20L, probeText, t0))
+      val q = df(mem.toDF().toDF("doc_id", "text", "ts"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      mem.addData((999999L, "sentinel doc",
+        new java.sql.Timestamp(t0.getTime + 10L * 3600 * 1000)))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).where(col("doc_id") === 20L).collect().head
+    }
+    // the frozen snapshot misses the near-dup of the new doc — the
+    // silent under-flagging hazard, streamed
+    val stale = streamVerdict(s => graft.streaming.EventStream
+      .nearDupProbe(s, NearDup.loadIncrementIndex(spark, prefix = prefix)),
+      "eq_fresh_stale")
+    assert(stale.getBoolean(4), "frozen snapshot must miss (is_new=true)")
+    // the staleness-aware path consults the verdict, rebuilds, and the
+    // SAME streamed probe now catches the near-dup
+    val fresh = streamVerdict(s => graft.streaming.EventStream
+      .freshNearDupProbe(s, grown, prefix = prefix), "eq_fresh_rebuilt")
+    assert(!fresh.getBoolean(4) && fresh.getLong(3) == 12L,
+      "rebuilt snapshot must flag the near-dup of the new corpus doc")
+    // and the rebuild REPUBLISHED: a plain load now serves the fresh set
+    assert(spark.table(NearDup.fpTable(prefix)).count() == 3)
+    Seq(NearDup.fpTable(prefix), NearDup.bucketsTable(prefix),
+      NearDup.sigsTable(prefix)).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("publishStream appends each micro-batch to a catalog table") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
