@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BloomAgg, BloomContains, DeflateLen, DotProduct, MatchMask, MinHashSigs, MisraGriesAgg, NfcNormalize, QualityCounts, RollingHash, SeedHashes, SimHash40, Tokenize, TopKAgg}
+import graft.functions.{BloomAgg, BloomContains, DeflateLen, DotProduct, MatchMask, MinHashSigs, MisraGriesAgg, NfcNormalize, QualityCounts, RollingHash, SeedHashes, SimHash40, SrpBandSigs, Tokenize, TopKAgg}
 
 /** Standard session config for the graft engine. One place to keep the
   * settings that matter at scale (AQE, shuffle partitions sized to the
@@ -145,6 +145,19 @@ object GraftSession {
           new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
           (exprs: Exprs) => { val e = arity("graft_bloom_contains", 2, exprs)
             BloomContains(e(0), e(1)) }))
+        ext.injectFunction((
+          FunctionIdentifier("graft_srp_sigs"),
+          new ExpressionInfo(classOf[SrpBandSigs].getName, "graft_srp_sigs"),
+          (exprs: Exprs) => { val e = arity("graft_srp_sigs", 4, exprs)
+            def intLit(x: org.apache.spark.sql.catalyst.expressions.Expression,
+                       what: String): Int = x match {
+              case org.apache.spark.sql.catalyst.expressions.Literal(
+                i: Int, _) => i
+              case other => throw new IllegalArgumentException(
+                s"graft_srp_sigs $what must be an int literal, got $other")
+            }
+            SrpBandSigs(e.head, intLit(e(1), "nPlanes"),
+              intLit(e(2), "perBand"), intLit(e(3), "dim")) }))
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       // Scan granularity: the 128 MB Spark default. Round 9 floored

@@ -759,10 +759,9 @@ object VectorSearch extends Logging {
     * projection is bit-identical in any engine with a sequential
     * double fold (unlike Gaussian float literals, which need careful
     * decimal round-tripping). */
-  def srpPlanes(planes: Int, dim: Int): IndexedSeq[Array[Float]] = {
-    val rnd = new scala.util.Random(1234)
-    IndexedSeq.fill(planes)(Array.fill(dim)(if (rnd.nextBoolean()) 1f else -1f))
-  }
+  def srpPlanes(planes: Int, dim: Int): IndexedSeq[Array[Float]] =
+    graft.functions.SrpBandSigs.flatPlanes(planes, dim)
+      .grouped(dim).toIndexedSeq
 
   /** Corpus-sized SRP parameters: the planes-per-band count such that a
     * band's expected bucket occupancy N / 2^(planes/bands) lands at or
@@ -843,24 +842,22 @@ object VectorSearch extends Logging {
           "recall will skew toward low vec_ids; raise planes or targetBucket")
     }
     val rows = nPlanes / nBands
-    val p = srpPlanes(nPlanes, dim)
-    def planeLit(i: Int): Column = array(p(i).toIndexedSeq.map(lit(_)): _*)
-    // one pass: 16 projection-sign columns; persisted because band
-    // bucketing AND both verify sides read it
+    // one pass: ALL band signatures from one native expression
+    // (graft_srp_sigs). The per-plane graft_dot column formulation
+    // this replaces hit the whole-stage-codegen JIT cliff at derived
+    // plane counts — the 48-plane sign pass measured 29.8 s codegen'd
+    // vs 0.4 s interpreted at the 100× probe (the consume method
+    // outgrew HotSpot's 8k-bytecode JIT limit) — see the expression's
+    // scaladoc. Persisted because band bucketing AND both verify
+    // sides read it.
     val withBits = withNorm(embeddings)
       .where(col("nrm") =!= 0.0)
-      .select(Seq(col("vec_id"), col("embedding"), col("nrm")) ++
-        (0 until nPlanes).map(i =>
-          (dot(col("embedding"), planeLit(i)) >= 0).cast("int").as(s"b$i")): _*)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        call_function("graft_srp_sigs", col("embedding"),
+          lit(nPlanes), lit(rows), lit(dim)).as("sigs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandStructs = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (0 until rows).map(r =>
-          col(s"b${b * rows + r}").cast("string")): _*).as("sig"))
-    }
     val cand = withBits
-      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
       .groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("n_bucket"),
         slice(sort_array(collect_list(col("vec_id"))), 1, bucketCap).as("ids"))
@@ -917,21 +914,10 @@ object VectorSearch extends Logging {
                      bucketCap: Int = NearDup.DefaultBucketCap): DataFrame = {
     val (nPlanes, nBands) = srpParamsFor(corpusCount, bands)
     val rows = nPlanes / nBands
-    val p = srpPlanes(nPlanes, dim)
-    def planeLit(i: Int): Column = array(p(i).toIndexedSeq.map(lit(_)): _*)
-    val withBits = withNorm(embeddings)
+    withNorm(embeddings)
       .where(col("nrm") =!= 0.0)
-      .select(Seq(col("vec_id")) ++
-        (0 until nPlanes).map(i =>
-          (dot(col("embedding"), planeLit(i)) >= 0).cast("int").as(s"b$i")): _*)
-    val bandStructs = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (0 until rows).map(r =>
-          col(s"b${b * rows + r}").cast("string")): _*).as("sig"))
-    }
-    withBits
-      .select(explode(array(bandStructs: _*)).as("bs"))
-      .select(col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .select(posexplode(call_function("graft_srp_sigs", col("embedding"),
+        lit(nPlanes), lit(rows), lit(dim))).as(Seq("band", "sig")))
       .groupBy(col("band"), col("sig"))
       .agg(least(count(lit(1)), lit(bucketCap.toLong)).as("bucket_size"))
       .groupBy(col("bucket_size"))
