@@ -983,25 +983,43 @@ object VectorSearch extends Logging {
         col("rank"))
   }
 
-  /** j-th PQ subspace of a `dim`-dim vector column. */
-  private def pqSubCol(c: Column, j: Int, subLen: Int): Column =
-    slice(c, j * subLen + 1, subLen)
-  /** L2² expanded to reuse the codegen'd sequential-fold [[dot]]
-    * (identical expression tree on both engine sides). */
-  private def pqL2sq(a: Column, b: Column): Column =
-    dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
+  /** The m per-subspace dot products in one native pass
+    * ([[graft.functions.PqSubDots]]) — replaces the slice-and-dot
+    * column formulation that allocated 2m sliced arrays per PAIR row
+    * of the n·√n encode frame and generated m-scaled consume methods
+    * (the [[graft.functions.SrpBandSigs]] JIT-cliff class). Element
+    * j is bit-identical to dot(slice(a, j·subLen+1, subLen),
+    * slice(b, …)), so the oracles replay unchanged. */
+  private def subDots(a: Column, b: Column, m: Int, subLen: Int): Column =
+    call_function("graft_pq_subdots", a, b, lit(m), lit(subLen))
+
+  /** Per-subspace L2² off hoisted self-dot arrays: (selfA_j +
+    * selfB_j) − 2·cross_j — the exact expression tree of the expanded
+    * dot(a,a) + dot(b,b) − 2·dot(a,b) it replaces, with the two
+    * self-dot legs computed ONCE per corpus/codebook row instead of
+    * on every pair. */
+  private def pqL2At(selfA: Column, selfB: Column, cross: Column,
+                     j: Int): Column =
+    element_at(selfA, j + 1) + element_at(selfB, j + 1) -
+      lit(2.0) * element_at(cross, j + 1)
 
   /** PQ encoding: every vector of `vecs` (plus any rider columns in
     * `keep`) as its m per-subspace nearest codebook entries — one
-    * pass, broadcast codebook, m min_by argmins collapsed map-side. */
+    * pass, broadcast codebook, m min_by argmins collapsed map-side.
+    * Self-dots are hoisted out of the pair frame: dot(a,a) is
+    * constant per corpus row and dot(b,b) per codebook row, so the
+    * pair-grain work is ONE fused m-subspace cross-dot per row. */
   private def pqCodes(vecs: DataFrame, cb: DataFrame, keep: Seq[String],
                       m: Int, subLen: Int): DataFrame = {
     val keyCols = ("vec_id" +: keep).map(col)
-    val withD = vecs.crossJoin(broadcast(cb))
+    val v = vecs.withColumn("eself",
+      subDots(col("embedding"), col("embedding"), m, subLen))
+    val c = cb.withColumn("cself", subDots(col("ce"), col("ce"), m, subLen))
+    val withD = v.crossJoin(broadcast(c))
+      .withColumn("xd", subDots(col("embedding"), col("ce"), m, subLen))
       .select(keyCols ++ Seq(col("centroid_id")) ++
         (0 until m).map(j =>
-          pqL2sq(pqSubCol(col("embedding"), j, subLen),
-            pqSubCol(col("ce"), j, subLen)).as(s"d$j")): _*)
+          pqL2At(col("eself"), col("cself"), col("xd"), j).as(s"d$j")): _*)
     withD.groupBy(keyCols: _*).agg(
       min_by(col("centroid_id"), struct(col("d0"), col("centroid_id"))).as("c0"),
       (1 until m).map(j =>
@@ -1011,12 +1029,15 @@ object VectorSearch extends Logging {
   /** Query-side ADC distance tables (tiny: queries × codebook, one
     * qd_j per subspace) — broadcast into the code lookups. */
   private def pqDistTables(q: DataFrame, cb: DataFrame,
-                           m: Int, subLen: Int): DataFrame =
-    q.crossJoin(broadcast(cb))
+                           m: Int, subLen: Int): DataFrame = {
+    val qq = q.withColumn("qself", subDots(col("qe"), col("qe"), m, subLen))
+    val cc = cb.withColumn("cself", subDots(col("ce"), col("ce"), m, subLen))
+    qq.crossJoin(broadcast(cc))
+      .withColumn("xd", subDots(col("qe"), col("ce"), m, subLen))
       .select(Seq(col("query_id"), col("centroid_id")) ++
         (0 until m).map(j =>
-          pqL2sq(pqSubCol(col("qe"), j, subLen),
-            pqSubCol(col("ce"), j, subLen)).as(s"qd$j")): _*)
+          pqL2At(col("qself"), col("cself"), col("xd"), j).as(s"qd$j")): _*)
+  }
 
   /** m broadcast dtab lookups of a codes frame (any grain that carries
     * query_id + c0..c(m−1)) → summed approx_dist, self-pairs out. */
