@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BloomAgg, BloomContains, DeflateLen, DotProduct, MatchMask, MinHashSigs, MisraGriesAgg, NfcNormalize, PqSubDots, QualityCounts, RollingHash, SeedHashes, SimHash40, SrpBandSigs, Tokenize, TopKAgg}
+import graft.functions.{BloomAgg, BloomContains, DeflateLen, DotProduct, MatchMask, MinHashSigs, MisraGriesAgg, NfcNormalize, PqSubDots, QualityCounts, RollingHash, SeedHashes, SetJaccard, SimHash40, SrpBandSigs, Tokenize, TopKAgg}
 
 /** Standard session config for the graft engine. One place to keep the
   * settings that matter at scale (AQE, shuffle partitions sized to the
@@ -145,6 +145,11 @@ object GraftSession {
           new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
           (exprs: Exprs) => { val e = arity("graft_bloom_contains", 2, exprs)
             BloomContains(e(0), e(1)) }))
+        ext.injectFunction((
+          FunctionIdentifier("graft_jaccard"),
+          new ExpressionInfo(classOf[SetJaccard].getName, "graft_jaccard"),
+          (exprs: Exprs) => { val e = arity("graft_jaccard", 2, exprs)
+            SetJaccard(e.head, e(1)) }))
         ext.injectFunction((
           FunctionIdentifier("graft_pq_subdots"),
           new ExpressionInfo(classOf[PqSubDots].getName, "graft_pq_subdots"),

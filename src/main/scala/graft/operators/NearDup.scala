@@ -596,8 +596,7 @@ object NearDup {
       .join(t.select(col("doc_id").as("d2"), col("sh").as("sh2"))
         .hint("SHUFFLE_HASH"), "d2")
       .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))))
+        call_function("graft_jaccard", col("sh1"), col("sh2")))
       .where(col("jaccard") < threshold)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= perAnchor)
@@ -644,8 +643,7 @@ object NearDup {
       .join(t.select(col("doc_id").as("d2"), col("sh").as("sh2"))
         .hint("SHUFFLE_HASH"), "d2")
       .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))))
+        call_function("graft_jaccard", col("sh1"), col("sh2")))
   }
 
   /** Pair-level precision/recall of the LSH-banded minhash path
@@ -889,8 +887,7 @@ object NearDup {
       .join(sigN.select(col("doc_id"), col("sh").as("sh_n")), "doc_id")
       .join(idx.sigs, "c_id")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_n"), col("sh_c"))).cast("double") /
-          size(array_union(col("sh_n"), col("sh_c"))))
+        call_function("graft_jaccard", col("sh_n"), col("sh_c")))
       .where(col("jaccard") >= threshold)
       .groupBy(col("doc_id")).agg(min(col("c_id")).as("near_match"))
     newDocs.select(col("doc_id"))

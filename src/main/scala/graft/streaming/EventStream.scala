@@ -161,8 +161,7 @@ object EventStream extends org.apache.spark.internal.Logging {
         explode(col("c_ids")).as("c_id"))
       .join(idx.sigs, Seq("c_id"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh"), col("sh_c"))).cast("double") /
-          size(array_union(col("sh"), col("sh_c"))))
+        call_function("graft_jaccard", col("sh"), col("sh_c")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_id"), col("ts"),
         lit(null).cast("long").as("exact_match"),
