@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Dedicated specs for the round-13 fused expressions — each is
+  * raced bit-for-bit against the composed Spark formulation it
+  * replaced, on adversarial inputs the corpus never produces
+  * (duplicates, shared nulls, short arrays, empty arrays), so the
+  * "bit-identical by construction" claims are pinned, not asserted.
+  */
+class FusedExprSpec extends SparkSpec {
+
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private def jac(a: Column, b: Column): Column =
+    call_function("graft_jaccard", a, b)
+
+  test("graft_jaccard equals size(intersect)/size(union) on adversarial arrays") {
+    val rows = Seq[(Seq[String], Seq[String])](
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("a", "b", "b")),          // duplicates
+      (Seq("a"), Seq("z")),                              // disjoint
+      (Seq("x", "y"), Seq("x", "y")),                    // equal
+      (Seq(), Seq("a")),                                 // one empty
+      (Seq("πφ", "東京"), Seq("東京", "a")),              // non-ascii
+      (Seq("a", null), Seq(null, "b")),                  // shared null
+      (Seq(null, null), Seq(null)),                      // null-only
+      (Seq(), Seq()))                                    // union empty -> NULL
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(StringType, containsNull = true)),
+      StructField("b", ArrayType(StringType, containsNull = true))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*), schema)
+    val raced = df.select(
+      jac(col("a"), col("b")).as("fused"),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b")))).as("composed"))
+      .collect()
+    raced.foreach { r =>
+      val f = if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0))
+      val c = if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+      assert(f == c, s"fused=$f composed=$c")
+    }
+    // NULL input propagates
+    val n = df.select(jac(lit(null).cast("array<string>"), col("b")))
+      .collect()
+    assert(n.forall(_.isNullAt(0)))
+  }
+
+  test("graft_pq_subdots element j equals dot(slice_j(a), slice_j(b)), clamps included") {
+    val rnd = new scala.util.Random(7)
+    def vec(n: Int): Seq[Float] = Seq.fill(n)(rnd.nextFloat() * 2 - 1)
+    // full-length, short (slice clamp), very short (empty tail slices)
+    val rows = Seq(
+      (vec(64), vec(64)), (vec(64), vec(40)), (vec(7), vec(64)),
+      (vec(3), vec(3)), (vec(0), vec(64)))
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType, containsNull = false)),
+      StructField("b", ArrayType(FloatType, containsNull = false))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*), schema)
+    val m = 4; val subLen = 16
+    def sub(c: Column, j: Int): Column = slice(c, j * subLen + 1, subLen)
+    val cols = (0 until m).flatMap { j =>
+      Seq(
+        element_at(call_function("graft_pq_subdots", col("a"), col("b"),
+          lit(m), lit(subLen)), j + 1).as(s"f$j"),
+        call_function("graft_dot", sub(col("a"), j), sub(col("b"), j))
+          .as(s"c$j"))
+    }
+    df.select(cols: _*).collect().foreach { r =>
+      (0 until m).foreach { j =>
+        val f = r.getDouble(2 * j)
+        val c = r.getDouble(2 * j + 1)
+        assert(java.lang.Double.doubleToLongBits(f) ==
+          java.lang.Double.doubleToLongBits(c),
+          s"subspace $j: fused=$f composed=$c")
+      }
+    }
+  }
+
+  test("graft_srp_sigs equals the per-plane dot-sign concat_ws chain") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val nPlanes = 48; val bands = 4; val rows = nPlanes / bands
+    val p = graft.operators.VectorSearch.srpPlanes(nPlanes, 64)
+    def planeLit(i: Int): Column = array(p(i).toIndexedSeq.map(lit(_)): _*)
+    val composed = emb.select(
+      Seq(col("vec_id")) ++ (0 until nPlanes).map(i =>
+        (call_function("graft_dot", col("embedding"), planeLit(i)) >= 0)
+          .cast("int").as(s"b$i")): _*)
+      .select(col("vec_id") +: (0 until bands).map(b =>
+        concat_ws(",", (b * rows until (b + 1) * rows).map(i =>
+          col(s"b$i").cast("string")): _*).as(s"s$b")): _*)
+    val fused = emb.select(
+      col("vec_id") +: (0 until bands).map(b =>
+        element_at(call_function("graft_srp_sigs", col("embedding"),
+          lit(nPlanes), lit(rows), lit(64)), b + 1).as(s"s$b")): _*)
+    assert(composed.exceptAll(fused).isEmpty &&
+      fused.exceptAll(composed).isEmpty)
+    // prefix stability: plane i identical whatever the total
+    assert(graft.operators.VectorSearch.srpPlanes(16, 64).map(_.toSeq) ==
+      graft.operators.VectorSearch.srpPlanes(64, 64).take(16).map(_.toSeq))
+  }
+}
