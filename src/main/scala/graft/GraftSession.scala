@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BloomAgg, BloomContains, DeflateLen, DotProduct, MatchMask, MinHashSigs, MisraGriesAgg, NfcNormalize, PqSubDots, QualityCounts, RollingHash, SeedHashes, SetJaccard, SimHash40, SrpBandSigs, Tokenize, TopKAgg}
+import graft.functions.{BloomAgg, BloomContains, DeflateLen, DotProduct, MatchMask, MinHashSigs, MisraGriesAgg, NfcNormalize, PqSubDots, QualityCounts, RollingHash, RollingHashes, SeedHashes, SetJaccard, Shingles, SimHash40, SrpBandSigs, Tokenize, TopKAgg}
 
 /** Standard session config for the graft engine. One place to keep the
   * settings that matter at scale (AQE, shuffle partitions sized to the
@@ -145,6 +145,23 @@ object GraftSession {
           new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
           (exprs: Exprs) => { val e = arity("graft_bloom_contains", 2, exprs)
             BloomContains(e(0), e(1)) }))
+        ext.injectFunction((
+          FunctionIdentifier("graft_shingles"),
+          new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+          (exprs: Exprs) => { val e = arity("graft_shingles", 2, exprs)
+            val n = e(1) match {
+              case org.apache.spark.sql.catalyst.expressions.Literal(
+                i: Int, _) => i
+              case other => throw new IllegalArgumentException(
+                s"graft_shingles n must be an int literal, got $other")
+            }
+            Shingles(e.head, n) }))
+        ext.injectFunction((
+          FunctionIdentifier("graft_rolling_hashes"),
+          new ExpressionInfo(classOf[RollingHashes].getName,
+            "graft_rolling_hashes"),
+          (exprs: Exprs) => { val e = arity("graft_rolling_hashes", 1, exprs)
+            RollingHashes(e.head) }))
         ext.injectFunction((
           FunctionIdentifier("graft_jaccard"),
           new ExpressionInfo(classOf[SetJaccard].getName, "graft_jaccard"),

@@ -25,9 +25,7 @@ object TextFunctions {
     * would otherwise count DOWN for a negative span). */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      call_function("graft_shingles", toks, lit(n)))
       .otherwise(array().cast("array<string>"))
 
   /** Language-ID stopword lists. Deliberately tiny n-gram heuristics —

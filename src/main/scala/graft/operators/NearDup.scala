@@ -443,7 +443,7 @@ object NearDup {
     val aLit = array(coef.map(c => lit(c._1)): _*)
     val bLit = array(coef.map(c => lit(c._2)): _*)
     shingleSets(docs, n, extra)
-      .withColumn("h0s", transform(col("sh"), s => rollingHash(s)))
+      .withColumn("h0s", call_function("graft_rolling_hashes", col("sh")))
       .withColumn("mh", call_function("graft_minhash", col("h0s"), aLit, bLit))
       .select(
         Seq(col("doc_id"), col("sh")) ++ extra.map(col) ++

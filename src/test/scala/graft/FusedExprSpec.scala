@@ -81,6 +81,40 @@ class FusedExprSpec extends SparkSpec {
     }
   }
 
+  test("graft_shingles equals array_distinct(transform(sequence, concat_ws(slice))); graft_rolling_hashes equals transform(rollingHash)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = docs.select(col("doc_id"),
+      call_function("graft_tokens", col("text")).as("toks"))
+    val n = 3
+    def composedShingles(t: Column): Column =
+      when(size(t) >= n,
+        array_distinct(transform(
+          sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+    val raced = toks.select(
+      graft.functions.TextFunctions.shingles(col("toks"), n).as("fused"),
+      composedShingles(col("toks")).as("composed"))
+    // ORDER matters (first-occurrence dedup contract), so compare the
+    // arrays themselves, not set membership
+    assert(raced.where(not(col("fused") === col("composed"))).isEmpty)
+    assert(raced.where(size(col("fused")) > 0).count() > 0)
+    // short/empty token arrays take the empty-array branch
+    import spark.implicits._
+    val shorts = Seq(Seq("a", "b"), Seq("x"), Seq[String]())
+      .toDF("toks")
+      .select(graft.functions.TextFunctions.shingles(col("toks"), n).as("s"))
+      .collect()
+    assert(shorts.forall(_.getSeq[String](0).isEmpty))
+    val hashes = toks
+      .withColumn("sh", graft.functions.TextFunctions.shingles(col("toks"), n))
+      .select(
+        call_function("graft_rolling_hashes", col("sh")).as("fused"),
+        transform(col("sh"),
+          s => graft.functions.TextFunctions.rollingHash(s)).as("composed"))
+    assert(hashes.where(not(col("fused") === col("composed"))).isEmpty)
+  }
+
   test("graft_srp_sigs equals the per-plane dot-sign concat_ws chain") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val nPlanes = 48; val bands = 4; val rows = nPlanes / bands
