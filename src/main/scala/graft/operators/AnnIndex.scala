@@ -85,6 +85,20 @@ object AnnIndex {
       spark.table(pqTable(prefix)), spark.table(ivfPqCodesTable(prefix)),
       queryFilter, k, m, dim, nprobe)
 
+  /** Streaming serve against the published IVF-PQ artifacts: queries
+    * arrive as a stream (query_id, embedding, ts) and are answered
+    * per finalized window with zero training/encoding work —
+    * [[graft.streaming.EventStream.ivfPqServeStream]] against the
+    * three published tables. AnnIndexSpec proves finalized rows equal
+    * the batch [[servedIvfPqTopK]] on the same queries. */
+  def servedIvfPqTopKStream(spark: SparkSession, queries: DataFrame,
+                            k: Int, m: Int = 4, dim: Int = 64,
+                            nprobe: Int = 1,
+                            prefix: String = DefaultPrefix): DataFrame =
+    graft.streaming.EventStream.ivfPqServeStream(queries,
+      spark.table(ivfTable(prefix)), spark.table(pqTable(prefix)),
+      spark.table(ivfPqCodesTable(prefix)), k, m, dim, nprobe)
+
   def servedIvfTopK(spark: SparkSession, embeddings: DataFrame,
                     queryFilter: Column, k: Int, nprobe: Int = 1,
                     prefix: String = DefaultPrefix): DataFrame =

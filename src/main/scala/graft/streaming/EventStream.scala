@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -211,6 +211,89 @@ object EventStream extends org.apache.spark.internal.Logging {
       s"freshNearDupProbe: snapshot '$prefix' was stale or absent — " +
         "rebuilt and republished before the stream starts")
     nearDupProbe(docs, idx, threshold, delay, windowLen)
+  }
+
+  /** Streaming COMPOSED IVF-PQ serve — [[graft.operators.AnnIndex
+    * .servedIvfPqTopK]]'s probe cadence live: each arriving query
+    * (query_id, embedding, ts) is answered against the PUBLISHED
+    * IVFADC artifacts (centroids + codebook + corpus codes table)
+    * with zero training or encoding work. Cell selection is
+    * row-local off the one-row broadcast centroid pack (the
+    * [[annServeStream]] idiom); candidates come from ONE stateless
+    * stream-static join of the (query, cell) rows against the codes
+    * table — the only corpus-sized frame, and it carries m ints per
+    * vector, no floats; the ADC distance is row-local off a one-row
+    * broadcast codebook map (√n entries), summed with the exact
+    * per-subspace expression tree of the batch serve stage
+    * ([[graft.operators.VectorSearch.ivfPqTopKWith]] — same fused
+    * sub-dots, same (self + self − 2·cross) tree, same fold order),
+    * so finalized rows are value-identical to the batch
+    * servedIvfPqTopK (AnnIndexSpec proves it). One watermark-windowed
+    * top-k fold; state per in-flight query is bounded by
+    * nprobe · cell size. Output per finalized window:
+    * (window_start, query_id, neighbor_id, rank, approx_dist). */
+  def ivfPqServeStream(queries: DataFrame, centroids: DataFrame,
+                       codebook: DataFrame, codes: DataFrame, k: Int,
+                       m: Int = 4, dim: Int = 64, nprobe: Int = 1,
+                       delay: String = "2 hours",
+                       windowLen: String = "1 hour"): DataFrame = {
+    import graft.operators.VectorSearch
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subLen = dim / m
+    // one static row holding every centroid (cell probe order) …
+    val cPack = centroids
+      .select(col("vec_id").cast("long").as("cid"), col("embedding"))
+      .withColumn("cn", VectorSearch.norm(col("embedding")))
+      .where(col("cn") =!= 0.0)
+      .agg(sort_array(collect_list(struct(col("cid"),
+        col("embedding").as("ce"), col("cn")))).as("cents"))
+    // … and one static row mapping codebook id → entry vector
+    val cbPack = codebook
+      .select(col("vec_id").cast("long").as("cbid"),
+        col("embedding").as("cbe"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("cbid"), col("cbe"))))).as("cbmap"))
+    def subDots(a: Column, b: Column): Column =
+      call_function("graft_pq_subdots", a, b, lit(m), lit(subLen))
+    val withCells = queries
+      .withWatermark("ts", delay)
+      .withColumn("qn", VectorSearch.norm(col("embedding")))
+      .where(col("qn") =!= 0.0)
+      .crossJoin(broadcast(cPack))
+      .withColumn("cells", slice(sort_array(
+        filter(
+          transform(col("cents"), c => struct(
+            negate(VectorSearch.cosine(col("embedding"), c("ce"),
+              col("qn"), c("cn"))).as("nc"),
+            c("cid").as("cid"))),
+          s => s("nc").isNotNull)), 1, nprobe))
+      .select(col("query_id"), col("ts"), col("embedding").as("qe"),
+        explode(col("cells.cid")).as("cell"))
+      .crossJoin(broadcast(cbPack))
+      .withColumn("qself", subDots(col("qe"), col("qe")))
+    val cand = withCells
+      .join(codes, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+    // the batch pqL2At tree per subspace — (self + self) − 2·cross —
+    // summed left-to-right, so ADC values equal the batch serve's
+    val dist = (0 until m).map { j =>
+      val cej = element_at(col("cbmap"), col(s"c$j"))
+      element_at(col("qself"), j + 1) +
+        element_at(subDots(cej, cej), j + 1) -
+        lit(2.0) * element_at(subDots(col("qe"), cej), j + 1)
+    }.reduce(_ + _)
+    cand
+      .withColumn("approx_dist", dist)
+      .groupBy(window(col("ts"), windowLen), col("query_id"))
+      .agg(slice(sort_array(collect_list(struct(
+        col("approx_dist").as("d"), col("vec_id").as("nid")))),
+        1, k).as("top"))
+      .select(col("window.start").as("window_start"), col("query_id"),
+        posexplode(col("top")))
+      .select(col("window_start"), col("query_id"),
+        col("col.nid").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("col.d"), 6).as("approx_dist"))
   }
 
   /** Streaming ANN serve — [[graft.operators.AnnIndex.servedIvfTopK]]'s

@@ -125,6 +125,48 @@ class AnnIndexSpec extends SparkSpec {
       "finalized streamed top-k must equal the served batch top-k")
   }
 
+  test("streamed IVF-PQ serve equals the batch served top-k on finalized windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.where(col("vec_id") % 50 === 0)
+    val codebook = emb.where(col("vec_id") % 70 === 0)
+    AnnIndex.publishIvfPq(emb, centroids, codebook, dim = Dim,
+      prefix = "spec_ann_ivfpq_s")
+    val batch = AnnIndex.servedIvfPqTopK(spark, emb, col("vec_id") < 10,
+        5, dim = Dim, nprobe = 2, prefix = "spec_ann_ivfpq_s")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(batch.nonEmpty)
+    val qRows = emb.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1),
+        Timestamp.valueOf("2024-01-01 10:00:00")))
+    val mem = MemoryStream[(Long, Seq[Float], Timestamp)]
+    mem.addData(qRows.toIndexedSeq: _*)
+    val q = AnnIndex.servedIvfPqTopKStream(spark,
+        mem.toDF().toDF("query_id", "embedding", "ts"),
+        k = 5, dim = Dim, nprobe = 2, prefix = "spec_ann_ivfpq_s")
+      .writeStream.format("memory").queryName("eq_ivfpq_serve")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData((999999L, Seq.fill(Dim)(1.0f),
+      new Timestamp(Timestamp.valueOf("2024-01-01 10:00:00").getTime
+        + 10L * 3600 * 1000)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("eq_ivfpq_serve")
+      .where(col("query_id") =!= 999999L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+      .toSet
+    assert(streamed == batch,
+      "finalized streamed IVF-PQ top-k must equal the batch served top-k")
+  }
+
   test("published artifacts are index-sized tables, not corpus copies") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count()
