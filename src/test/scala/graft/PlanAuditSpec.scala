@@ -876,4 +876,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastExchange"), p.take(3000))
   }
+
+  // ---- round-13 fused-expression pins: these guard the JIT-cliff
+  // fixes (CAPS.md round-13 table). The composed forms are CORRECT,
+  // so only a plan assertion can catch a revert — the oracle gate
+  // would stay green while the 100× cost silently returns.
+
+  test("SRP sign pass is the fused graft_srp_sigs, never per-plane dot columns") {
+    // the ANALYZED plan: the operator's internal persist substitutes
+    // an InMemoryRelation into the executed plan, hiding the cached
+    // fragment's expressions from the string audit
+    def analyzed(name: String): String =
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.analyzed.toString
+    // per-plane graft_dot columns regrow the whole-stage consume
+    // method past HotSpot's JIT limit at derived plane counts
+    // (29.8 s codegen'd vs 0.4 s interpreted at the 100× probe); the
+    // only legitimate graft_dot left in these plans is the exact
+    // cosine verify (one per pair side), so the count must stay tiny
+    // legitimate graft_dot survivors: the norm self-dots and the
+    // exact cosine verify — all take COLUMN arguments; the per-plane
+    // cliff form dots the embedding against a LITERAL array
+    val perPlane = """graft_dot\([^,)]+, \[""".r
+    val p = analyzed("q_embed_lsh")
+    assert(p.contains("graft_srp_sigs"), p.take(3000))
+    assert(perPlane.findFirstIn(p).isEmpty, p.take(3000))
+    val g = analyzed("q_srp_bucket_stats")
+    assert(g.contains("graft_srp_sigs") && perPlane.findFirstIn(g).isEmpty,
+      g.take(3000))
+  }
+
+  test("PQ encode uses fused sub-dots with self-dots hoisted off the pair frame") {
+    val p = plan("q_ann_pq")
+    assert(p.contains("graft_pq_subdots"), p.take(3000))
+    // slice(embedding, …) inside the encode projection means the
+    // 2m-arrays-per-pair-row form is back
+    assert(!p.contains("slice(embedding"), p.take(3000))
+  }
+
+  test("minhash verify scores candidates with graft_jaccard, not intersect/union arrays") {
+    val p = plan("q_minhash_dedup")
+    assert(p.contains("graft_jaccard"), p.take(3000))
+    assert(!p.contains("array_intersect"), p.take(3000))
+  }
+
+  test("shingles and per-shingle hashes are the fused expressions, not HOF chains") {
+    val p = plan("q_minhash_dedup")
+    assert(p.contains("graft_shingles"), p.take(3000))
+    assert(p.contains("graft_rolling_hashes"), p.take(3000))
+    // a lambda over the shingle array means the interpreted
+    // per-element dispatch is back
+    assert(!p.contains("transform(sh"), p.take(3000))
+  }
 }
