@@ -16,6 +16,7 @@ object Bench {
     "q_market_share", "q_product_profit", "q_priority_delay",
     "q_cust_order_dist", "q_promo_share", "q_top_supplier",
     "q_supplier_variety", "q_disjunctive_rev",
+    "q_min_cost_supplier", "q_important_stock", "q_promo_stock_suppliers",
     "q_top_orders_per_cust",
     "q_topk_orders", "q_bloom_join",
     "q_event_windows", "q_reach_overall", "q_reach_by_type", "q_frequency",
@@ -97,6 +98,7 @@ object Bench {
     "q_mixture_sample",
     "q_active_users", "q_active_users_approx", "q_active_users_gate",
     "q_skew_report", "q_skew_report_approx", "q_skew_report_gate",
+    "q_cms_freq",
     "q_reach_approx_gate", "q_pairwise_approx_gate",
     "q_lifecycle_approx_gate", "q_percentiles_approx_gate",
     "q_dedup_best", "q_table_diff",

@@ -348,6 +348,27 @@ object SparkEntry {
     * no-orders-EVER is degenerate here: every customer orders). */
   private val IdleDays = 365
 
+  /** q_min_cost_supplier (TPC-H Q2 shape): supplier region, part
+    * type/size slice (size divisible by 5 ≈ 1/5 of the type's parts),
+    * classic report cut. 57 rows at sf0.01. */
+  private val Q2Region = "EUROPE"
+  private val Q2PartType = "STANDARD"
+  private val Q2SizeMod = 5
+  private val Q2TopK = 100
+
+  /** q_important_stock (TPC-H Q11 shape): the stock-holding nation and
+    * the cross-multiplied share threshold (part value > 1/500 of the
+    * nation total keeps 50 of ~1200 observed parts at sf0.01; the
+    * classic fraction scales with 1/|supplier| the same way). */
+  private val Q11NationKey = 3
+  private val Q11FracDen = 500L
+
+  /** q_promo_stock_suppliers (TPC-H Q20 shape): promo part type and
+    * ship-year window (64 qualifying suppliers at sf0.01). */
+  private val Q20PartType = "PROMO"
+  private val Q20Start = "1997-01-01"
+  private val Q20End = "1998-01-01"
+
   /** q_ctr_wilson: success event type, segment count (the
     * qa_multigroup site convention), z. */
   private val CtrSuccessType = "purchase"
@@ -969,6 +990,20 @@ object SparkEntry {
     "q_disjunctive_rev" -> ((s, d) =>
       Analytics.disjunctiveRevenue(Tables.lineitem(s, d),
         Tables.part(s, d), Q19Brands)),
+    // TPC-H Q2 shape: min-cost supplier per part from observed pairs
+    "q_min_cost_supplier" -> ((s, d) =>
+      Analytics.minCostSupplier(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d),
+        Q2Region, Q2PartType, Q2SizeMod, Q2TopK)),
+    // TPC-H Q11 shape: important-stock share threshold, one nation
+    "q_important_stock" -> ((s, d) =>
+      Analytics.importantStock(Tables.lineitem(s, d),
+        Tables.supplier(s, d), Q11NationKey, Q11FracDen)),
+    // TPC-H Q20 shape: suppliers dominating promo-part window volume
+    "q_promo_stock_suppliers" -> ((s, d) =>
+      Analytics.promoStockSuppliers(Tables.lineitem(s, d),
+        Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Q20PartType, Q20Start, Q20End)),
     "q_revenue_by_nation" -> ((s, d) =>
       Analytics.revenueByNation(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     // QoQ revenue growth per nation (grid-sized lag window)
@@ -2005,6 +2040,14 @@ object SparkEntry {
         when(col("event_id") % 2 === 0, lit(0L))
           .otherwise(col("user_id").cast("long")).as("hot_key"))
       Skew.skewReportApprox(ev, "hot_key", SkewTopN)
+    }),
+    // Count-Min frequency estimates on the hot-key frame — the one
+    // HASH-gated sketch (commutative-sum counters, merge-order free)
+    "q_cms_freq" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        when(col("event_id") % 2 === 0, lit(0L))
+          .otherwise(col("user_id").cast("long")).as("hot_key"))
+      Skew.cmsFreqReport(ev, "hot_key", SkewTopN)
     }),
     // bound gate: every Misra-Gries-GUARANTEED key (count > n/(k+1))
     // present in the summary with its lower-bound estimate in range
@@ -7651,6 +7694,66 @@ object SparkEntry {
             CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
               AS BIGINT) AS DOUBLE) / 100.0 AS revenue
           FROM j GROUP BY 1 ORDER BY 1""",
+    // Costs are integer cents (round -> bigint div, the
+    // q_price_dispersion idiom), so min and the equality join-back
+    // replay exactly; the ORDER BY is total because (p_partkey,
+    // s_name) is unique on the candidate grain.
+    "q_min_cost_supplier" ->
+      s"""WITH ps AS (SELECT l_partkey, l_suppkey,
+            min(CAST(round(l_extendedprice * 100) AS BIGINT) //
+              CAST(l_quantity AS BIGINT)) AS cost_cents
+            FROM lineitem GROUP BY 1, 2),
+          eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = '$Q2Region'),
+          cand AS (SELECT ps.l_partkey, p.p_brand, ps.cost_cents,
+              eu.s_name, eu.s_acctbal, eu.n_name
+            FROM ps JOIN eu ON eu.s_suppkey = ps.l_suppkey
+            JOIN part p ON p.p_partkey = ps.l_partkey
+            WHERE p.p_type = '$Q2PartType' AND p.p_size % $Q2SizeMod = 0),
+          mn AS (SELECT l_partkey, min(cost_cents) AS mc
+            FROM cand GROUP BY 1)
+          SELECT c.s_acctbal, c.s_name, c.n_name,
+            c.l_partkey AS p_partkey, c.p_brand,
+            CAST(c.cost_cents AS DOUBLE) / 100.0 AS supply_cost
+          FROM cand c JOIN mn ON mn.l_partkey = c.l_partkey
+            AND c.cost_cents = mn.mc
+          ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.l_partkey
+          LIMIT $Q2TopK""",
+    // Cent-exact part values, cross-multiplied share threshold
+    // (val*den > total — pure bigint, no division in the cut).
+    "q_important_stock" ->
+      s"""WITH v AS (SELECT l_partkey,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS value_c
+            FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+            WHERE s_nationkey = $Q11NationKey GROUP BY 1),
+          t AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c FROM v)
+          SELECT l_partkey AS p_partkey,
+            CAST(value_c AS DOUBLE) / 100.0 AS stock_value,
+            CAST(value_c AS DOUBLE) / total_c AS share
+          FROM v CROSS JOIN t WHERE value_c * $Q11FracDen > total_c
+          ORDER BY stock_value DESC, p_partkey""",
+    // Integer-valued quantities sum exactly in double in any order;
+    // the dominance cut is the 2*supp > part cross-multiply.
+    "q_promo_stock_suppliers" ->
+      s"""WITH w AS (SELECT l_partkey, l_suppkey,
+            sum(l_quantity) AS supp_qty
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_type = '$Q20PartType'
+              AND l_shipdate >= '$Q20Start' AND l_shipdate < '$Q20End'
+            GROUP BY 1, 2),
+          pt AS (SELECT l_partkey, sum(supp_qty) AS part_qty
+            FROM w GROUP BY 1),
+          q AS (SELECT w.l_suppkey, count(*) AS n_parts,
+              CAST(sum(w.supp_qty) AS BIGINT) AS dominated_qty
+            FROM w JOIN pt ON pt.l_partkey = w.l_partkey
+            WHERE w.supp_qty * 2 > pt.part_qty GROUP BY 1)
+          SELECT s_suppkey, s_name, n_name, n_parts, dominated_qty
+          FROM q JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          ORDER BY s_suppkey""",
     "q_bulk_orders" ->
       s"""WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
             FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > $BulkMinQty)
@@ -8246,6 +8349,34 @@ object SparkEntry {
             ps[2] / 100.0 AS p50, ps[3] / 100.0 AS p75,
             TRUE AS p25_within, TRUE AS p50_within, TRUE AS p75_within
           FROM q ORDER BY event_type""",
+    // The CMS counters are plain commutative sums, so the estimates
+    // are merge-order independent and the oracle rebuilds the sketch
+    // bucket-for-bucket from the interpolated (a, b, p, w) literals —
+    // the one sketch query that is hash-gated, not rows-only.
+    "q_cms_freq" -> {
+      val cmsRows = Skew.CmsA.indices.map(i =>
+        s"(${i}, ${Skew.CmsA(i)}, ${Skew.CmsB(i)})").mkString(", ")
+      val p = Skew.CmsPrime
+      val w = Skew.CmsWidth
+      s"""WITH h AS (SELECT CASE WHEN event_id % 2 = 0 THEN 0
+            ELSE user_id END AS hot_key FROM events),
+          c(row_i, a, b) AS (VALUES $cmsRows),
+          sk AS (SELECT row_i,
+            ((a * (hot_key % $p) + b) % $p) % $w AS bucket,
+            count(*) AS cnt FROM h CROSS JOIN c GROUP BY 1, 2),
+          t AS (SELECT count(*) AS n_total FROM h),
+          top AS (SELECT hot_key, count(*) AS n_rows FROM h GROUP BY 1
+            ORDER BY n_rows DESC, hot_key LIMIT $SkewTopN),
+          probe AS (SELECT hot_key, n_rows, row_i,
+            ((a * (hot_key % $p) + b) % $p) % $w AS bucket
+            FROM top CROSS JOIN c),
+          e AS (SELECT hot_key, n_rows, min(cnt) AS est_rows
+            FROM probe JOIN sk USING (row_i, bucket) GROUP BY 1, 2)
+          SELECT hot_key, CAST(n_rows AS BIGINT) AS n_rows, est_rows,
+            est_rows - n_rows AS over_rows,
+            CAST(n_total AS BIGINT) AS n_total
+          FROM e CROSS JOIN t ORDER BY n_rows DESC, hot_key"""
+    },
     "q_skew_report_gate" ->
       s"""WITH h AS (SELECT CASE WHEN event_id % 2 = 0 THEN 0
             ELSE user_id END AS hot_key FROM events),

@@ -1994,4 +1994,140 @@ object Analytics {
           .as("net_diff_cents"))
       .orderBy(col("o_orderstatus"))
   }
+
+  /** Minimum-cost supplier per part (TPC-H Q2 shape from
+    * lineitem-OBSERVED part-supplier pairs — the schema has no
+    * partsupp table, so "supply cost" is the best realized integer-cent
+    * unit price each supplier ever quoted for the part): for every
+    * part in the type/size slice, the region's suppliers achieving the
+    * part's minimum cost, classic Q2 report order (balance desc) cut
+    * at `topK`.
+    *
+    * Shape: ONE fact shuffle builds the (part, supplier) cost frame
+    * (distinct-pair-grain, bounded by |part|×suppliers-per-part
+    * however large lineitem is); the region suppliers and the part
+    * slice ride broadcasts that prune that frame BEFORE the per-part
+    * min; the argmin is groupBy-min + equality join-back on the
+    * pair-grain frame ([[topSupplier]]'s discipline — never a
+    * single-partition window). Costs are integer cents (round → bigint
+    * div, [[priceDispersion]]'s idiom), so the min and the equality
+    * can't be flipped by ulps and ties surface as genuine multi-row
+    * answers. The final sort feeds TakeOrderedAndProject (per-partition
+    * heaps), total-ordered because (p_partkey, s_name) is unique on
+    * the candidate grain. */
+  def minCostSupplier(lineitem: DataFrame, part: DataFrame,
+                      supplier: DataFrame, nation: DataFrame,
+                      region: DataFrame, regionName: String,
+                      partType: String, sizeMod: Int,
+                      topK: Int): DataFrame = {
+    val cost = lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT)")
+          .as("unit_c"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_c")).as("cost_cents"))
+    val regionSupp = supplier
+      .join(broadcast(nation), col("n_nationkey") === col("s_nationkey"))
+      .join(broadcast(region.where(col("r_name") === regionName)),
+        col("r_regionkey") === col("n_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val slice = part
+      .where(col("p_type") === partType && col("p_size") % sizeMod === 0)
+      .select(col("p_partkey"), col("p_brand"))
+    val cand = cost
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(slice), col("l_partkey") === col("p_partkey"))
+    val candP = graft.Caches.hold(cand)
+    val mn = candP.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("cost_cents")).as("min_cents"))
+    candP
+      .join(mn, col("p_partkey") === col("mk") &&
+        col("cost_cents") === col("min_cents"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"),
+        (col("cost_cents").cast("double") / 100.0).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(topK)
+  }
+
+  /** Important stock per part from ONE nation's suppliers (TPC-H Q11
+    * shape over lineitem-observed supply): cent-exact part value =
+    * Σ extended price of the nation's lines, kept when the part's
+    * value exceeds 1/`fracDen` of the nation total — the
+    * cross-multiplied HAVING (val·fracDen > total, pure bigint, no
+    * division) that makes the threshold ulp-proof.
+    *
+    * Shape: the nation's suppliers are a broadcast pre-filter on the
+    * fact scan (the selective leg runs FIRST, the part-grain aggregate
+    * sees only that nation's lines), the grand total is a broadcast
+    * 1-row frame off the part-grain aggregate — the scalar-subquery
+    * shape, never a window. Output is part-grain for one nation's
+    * share threshold: bounded by the catalog however large the fact
+    * table grows. */
+  def importantStock(lineitem: DataFrame, supplier: DataFrame,
+                     nationKey: Int, fracDen: Long): DataFrame = {
+    val natSupp = supplier.where(col("s_nationkey") === nationKey)
+      .select(col("s_suppkey"))
+    val value = lineitem
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("bigint"))
+        .as("value_c"))
+    val valueP = graft.Caches.hold(value)
+    val total = valueP.agg(sum(col("value_c")).as("total_c"))
+    valueP.crossJoin(broadcast(total))
+      .where(col("value_c") * fracDen > col("total_c"))
+      .select(col("l_partkey").as("p_partkey"),
+        (col("value_c").cast("double") / 100.0).as("stock_value"),
+        (col("value_c").cast("double") / col("total_c")).as("share"))
+      .orderBy(col("stock_value").desc, col("p_partkey"))
+  }
+
+  /** Dominant suppliers of promo-type parts in a ship window (TPC-H
+    * Q20 shape re-expressed over observed flow: with no partsupp
+    * availqty, a supplier "has the stock" of a part when they shipped
+    * MORE THAN HALF of the part's window volume — the `2·supp_qty >
+    * part_qty` integer cross-multiply; quantities are integer-valued
+    * doubles that sum exactly). Reports each qualifying supplier with
+    * their nation, the number of promo parts they dominate and the
+    * quantity shipped across those parts.
+    *
+    * Shape: the promo part slice broadcasts into the window-filtered
+    * fact scan (filters pushed to the parquet reader), ONE fact
+    * shuffle to the (part, supplier) grain, then the part total is a
+    * part-grain groupBy joined back on the pair frame (the EXISTS leg
+    * collapses to pair-grain arithmetic — no correlated re-scan of
+    * the fact table), and the supplier dims ride a broadcast onto the
+    * supplier-grain result. */
+  def promoStockSuppliers(lineitem: DataFrame, part: DataFrame,
+                          supplier: DataFrame, nation: DataFrame,
+                          promoType: String, start: String,
+                          end: String): DataFrame = {
+    val promo = part.where(col("p_type") === promoType)
+      .select(col("p_partkey"))
+    val pairQty = lineitem
+      .where(col("l_shipdate") >= lit(start).cast("timestamp") &&
+        col("l_shipdate") < lit(end).cast("timestamp"))
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("supp_qty"))
+    val pairP = graft.Caches.hold(pairQty)
+    val partQty = pairP.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("supp_qty")).as("part_qty"))
+    pairP
+      .join(partQty, col("l_partkey") === col("pk") &&
+        col("supp_qty") * 2 > col("part_qty"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("supp_qty")).cast("bigint").as("dominated_qty"))
+      .join(broadcast(supplier
+        .join(broadcast(nation), col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("n_parts"), col("dominated_qty"))
+      .orderBy(col("s_suppkey"))
+  }
 }

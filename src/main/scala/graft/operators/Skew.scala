@@ -80,4 +80,69 @@ object Skew {
       .orderBy(col("est_rows").desc, col(keyCol))
       .limit(topN)
   }
+
+  /** Count-Min sketch geometry (Cormode & Muthukrishnan '05): depth
+    * (independent hash rows), width (counters per row), the universal
+    * hash family h_i(x) = ((a_i·(x mod p) + b_i) mod p) mod width over
+    * the Mersenne prime p = 2³¹−1. Fixed LITERALS (never derived from
+    * the corpus — the round-13 JIT-cliff rule, and the oracle
+    * interpolates them), multipliers < 2³¹ so a_i·(x mod p) stays
+    * inside a signed 64-bit long. */
+  val CmsDepth: Int = 4
+  val CmsWidth: Int = 512
+  val CmsPrime: Long = 2147483647L
+  val CmsA: Seq[Long] = Seq(1103515245L, 1299709L, 15485863L, 32452843L)
+  val CmsB: Seq[Long] = Seq(12345L, 7919L, 104729L, 1299721L)
+
+  /** The d hash-bucket expressions for one key column. */
+  private def cmsBuckets(key: Column): Seq[Column] =
+    (0 until CmsDepth).map { i =>
+      pmod(lit(CmsA(i)) * pmod(key, lit(CmsPrime)) + lit(CmsB(i)),
+        lit(CmsPrime)) % CmsWidth
+    }
+
+  /** Count-Min frequency estimates for the `topN` heaviest keys — the
+    * THIRD frequency-sketch regime next to the exact detector
+    * ([[skewReport]], one shuffle row per distinct key) and Misra–Gries
+    * ([[skewReportApprox]], O(k) state, lower bounds, merge-order
+    * noise): d·w = 2048 counters total, upper-bound estimates
+    * (est ≥ true ALWAYS — the sketch only ever over-counts via
+    * collisions), and — unlike MG or HLL — every counter is a plain
+    * commutative SUM, so the estimate is bit-identical under any task
+    * split or merge order. That makes this the one sketch the DuckDB
+    * oracle replays bucket-for-bucket: `q_cms_freq` is HASH-gated, not
+    * rows-only.
+    *
+    * Shape: the sketch is Spark's own aggregation engine — a d-way
+    * posexplode then groupBy (row, bucket), so map-side combine
+    * collapses every task's fan-out to ≤ d·w partial rows and the
+    * shuffle carries ≤ d·w rows TOTAL at any corpus size (the
+    * fixed-state promise, without a custom aggregate); the probe side
+    * joins the top-key frame's d hash positions against those 2048
+    * rows and takes min per key. The exact top-N frame this reports on
+    * is [[skewReport]]'s own aggregate, so the report doubles as the
+    * overcount audit (`over_rows` = collision mass on each hot key). */
+  def cmsFreqReport(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    val sketch = df
+      .select(posexplode(array(cmsBuckets(col(keyCol)): _*))
+        .as(Seq("row_i", "bucket")))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    val top = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("n_rows").desc, col(keyCol))
+      .limit(topN)
+    top
+      .select(col(keyCol), col("n_rows"),
+        posexplode(array(cmsBuckets(col(keyCol)): _*))
+          .as(Seq("row_i", "bucket")))
+      .join(sketch, Seq("row_i", "bucket"))
+      .groupBy(col(keyCol), col("n_rows"))
+      .agg(min(col("cnt")).as("est_rows"))
+      .crossJoin(broadcast(total))
+      .select(col(keyCol), col("n_rows"), col("est_rows"),
+        (col("est_rows") - col("n_rows")).as("over_rows"), col("n_total"))
+      .orderBy(col("n_rows").desc, col(keyCol))
+  }
 }

@@ -529,6 +529,80 @@ class AnalyticsSpec extends SparkSpec {
       (("A", 4L, 1.25, 0.25, 0.5, 1.5, 2.25)))
   }
 
+  test("minCostSupplier: region cut, integer-cent min, ties both kept") {
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    // part 1: s10 quotes 200c then 150c, s11 quotes 150c (300c/qty 2)
+    // -> tie at the 150c min, both rows survive; s12 quotes 100c but
+    // sits outside the region. part 2: only s10. parts 3/4 fail the
+    // type/size slice.
+    val li = Seq(
+      (1L, 10L, 1.0, 2.00), (1L, 10L, 1.0, 1.50), (1L, 11L, 2.0, 3.00),
+      (1L, 12L, 1.0, 1.00), (2L, 10L, 1.0, 5.00), (3L, 10L, 1.0, 1.00),
+      (4L, 10L, 1.0, 1.00))
+      .map { case (p, s, q, x) => (p, s, q, x, ts("2024-01-01")) }
+      .toDF("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_shipdate")
+    val part = Seq((1L, "Brand#1", "STANDARD", 5), (2L, "Brand#2", "STANDARD", 10),
+      (3L, "Brand#3", "PROMO", 5), (4L, "Brand#4", "STANDARD", 7))
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val supp = Seq((10L, "S10", 0, 100.0), (11L, "S11", 0, 200.0),
+      (12L, "S12", 1, 999.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val nat = Seq((0, "N0", 0), (1, "N1", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val reg = Seq((0, "EUROPE"), (1, "ASIA")).toDF("r_regionkey", "r_name")
+    val out = Analytics.minCostSupplier(li, part, supp, nat, reg,
+      "EUROPE", "STANDARD", 5, 100).collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (200.0, "S11", "N0", 1L, 1.50),
+      (100.0, "S10", "N0", 1L, 1.50),
+      (100.0, "S10", "N0", 2L, 5.00)))
+  }
+
+  test("importantStock: nation filter, cross-multiplied share cut") {
+    val li = Seq((1L, 1L, 10.0), (1L, 3L, 99.0), (2L, 2L, 1.0),
+      (3L, 1L, 0.5))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val supp = Seq((1L, 3), (2L, 3), (3L, 4))
+      .toDF("s_suppkey", "s_nationkey")
+    // nation-3 values: part1 1000c, part2 100c, part3 50c; total 1150c
+    // keep value*10 > 1150 -> part 1 only
+    val out = Analytics.importantStock(li, supp, 3, 10L).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L)
+    assert(out.head.getDouble(1) == 10.0)
+    assert(out.head.getDouble(2) == 1000.0 / 1150.0)
+  }
+
+  test("promoStockSuppliers: window + type cut, strict majority, " +
+      "exact-half excluded") {
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (1L, 1L, 6.0, "2024-01-10"), (1L, 2L, 4.0, "2024-01-11"),
+      (2L, 2L, 3.0, "2024-01-12"),
+      (3L, 1L, 100.0, "2024-01-13"),      // not a promo part
+      (1L, 2L, 50.0, "2024-03-01"),       // outside the window
+      (4L, 1L, 5.0, "2024-01-14"), (4L, 2L, 5.0, "2024-01-15"))
+      .map { case (p, s, q, d) => (p, s, q, ts(d)) }
+      .toDF("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    val part = Seq((1L, "PROMO"), (2L, "PROMO"), (3L, "STANDARD"),
+      (4L, "PROMO")).toDF("p_partkey", "p_type")
+    val supp = Seq((1L, "S1", 0), (2L, "S2", 1))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nat = Seq((0, "N0"), (1, "N1")).toDF("n_nationkey", "n_name")
+    val out = Analytics.promoStockSuppliers(li, part, supp, nat,
+      "PROMO", "2024-01-01", "2024-02-01").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    // part 1: s1 ships 6 of 10 (dominates), s2 4 of 10 (no); part 2:
+    // s2 ships all 3; part 4 splits 5/5 -> the 2*q > total strict
+    // cut excludes BOTH
+    assert(out.toSeq == Seq((1L, "S1", "N0", 1L, 6L),
+      (2L, "S2", "N1", 1L, 3L)))
+  }
+
   test("priceDispersion: integer unit cents, 10% range cut") {
     // part 1: units 100 and 120 cents -> range 20, 200 > 100 dispersed;
     // part 2: units 100 and 105 -> 50 > 100 fails, consistent

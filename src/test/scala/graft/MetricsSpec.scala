@@ -120,6 +120,34 @@ class MetricsSpec extends SparkSpec {
     assert(ex == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("cmsFreqReport: upper bounds, exactness sans collisions, " +
+      "merge-order independence") {
+    import graft.operators.Skew
+    // 600 hot rows + keys 1..200 once each, across 8 partitions
+    val df = ((1L to 600L).map(_ => 0L) ++ (1L to 200L))
+      .toDF("k").repartition(8)
+    val out = Skew.cmsFreqReport(df, "k", 5).collect()
+    assert(out.length == 5)
+    assert(out.head.getLong(0) == 0L && out.head.getLong(1) == 600L)
+    // CMS never undercounts, and the hot key's row can only gain
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS undercounted key ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+      assert(r.getLong(4) == 800L)
+    }
+    // merge-order independence: a different task split yields the
+    // SAME estimates bit-for-bit (counters are commutative sums) —
+    // the property that lets the DuckDB oracle replay the sketch
+    val out2 = Skew.cmsFreqReport(df.repartition(3), "k", 5).collect()
+    assert(out.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq)
+    // 201 distinct keys in 512 buckets x 4 rows: the min over rows
+    // is exact unless some key collides with the hot key in EVERY
+    // row — verify estimates are the true counts here
+    val over = out.map(_.getLong(3)).sum
+    assert(over == 0L, s"unexpected full-depth collisions: $over")
+  }
+
   test("graft_topk aggregate equals the ranking window exactly") {
     import graft.operators.Analytics
     // 40 customers x 25 orders with heavy score ties (score = i % 7),
