@@ -123,26 +123,44 @@ object Skew {
     * is [[skewReport]]'s own aggregate, so the report doubles as the
     * overcount audit (`over_rows` = collision mass on each hot key). */
   def cmsFreqReport(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
-    val sketch = df
-      .select(posexplode(array(cmsBuckets(col(keyCol)): _*))
-        .as(Seq("row_i", "bucket")))
-      .groupBy(col("row_i"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
     val total = df.agg(count(lit(1)).as("n_total"))
     val top = df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(col("n_rows").desc, col(keyCol))
       .limit(topN)
-    top
-      .select(col(keyCol), col("n_rows"),
-        posexplode(array(cmsBuckets(col(keyCol)): _*))
-          .as(Seq("row_i", "bucket")))
-      .join(sketch, Seq("row_i", "bucket"))
-      .groupBy(col(keyCol), col("n_rows"))
-      .agg(min(col("cnt")).as("est_rows"))
+    cmsProbe(cmsSketch(df, keyCol), top, keyCol)
       .crossJoin(broadcast(total))
       .select(col(keyCol), col("n_rows"), col("est_rows"),
         (col("est_rows") - col("n_rows")).as("over_rows"), col("n_total"))
       .orderBy(col("n_rows").desc, col(keyCol))
+  }
+
+  /** The bare counter grid: (row_i, bucket, cnt), ≤ d·w rows. Also the
+    * STREAMING twin's whole plan ([[graft.streaming.EventStream
+    * .cmsSketchStream]] delegates here): under complete-mode streaming
+    * the grid IS the state — bounded at d·w counters however long the
+    * stream runs, and because micro-batches fold in by the same
+    * commutative sums as the batch plan's map-side partials, the
+    * streamed grid equals the batch grid over the same rows
+    * bit-for-bit (StreamingSpec pins it). */
+  def cmsSketch(df: DataFrame, keyCol: String): DataFrame =
+    df.select(posexplode(array(cmsBuckets(col(keyCol)): _*))
+        .as(Seq("row_i", "bucket")))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Serve frequency estimates for `keys` (any frame carrying
+    * `keyCol`, extra columns ride along) from a built [[cmsSketch]]
+    * grid: d probe rows per key against the ≤ d·w-row grid, min over
+    * the depth; a bucket the stream never touched reads 0. */
+  def cmsProbe(sketch: DataFrame, keys: DataFrame,
+               keyCol: String): DataFrame = {
+    val carried = keys.columns.filterNot(_ == keyCol).map(col)
+    keys.select(col(keyCol) +: carried :+
+        posexplode(array(cmsBuckets(col(keyCol)): _*))
+          .as(Seq("row_i", "bucket")): _*)
+      .join(broadcast(sketch), Seq("row_i", "bucket"), "left_outer")
+      .groupBy(col(keyCol) +: carried: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_rows"))
   }
 }

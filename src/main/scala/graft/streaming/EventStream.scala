@@ -419,6 +419,18 @@ object EventStream extends org.apache.spark.internal.Logging {
                          k: Int = 256): DataFrame =
     graft.operators.Skew.skewReportApprox(events, keyCol, topN, k)
 
+  /** Live Count-Min frequency sketch: the complete-mode counter grid
+    * over the stream-so-far. Streaming state is the d·w grid itself
+    * (≤ 2048 rows, BOUNDED at any stream length — the same fixed-state
+    * promise as [[heavyHittersStream]] but with UPPER-bound estimates
+    * and, because every counter is a commutative sum, a streamed
+    * sketch that equals the batch sketch over the same rows
+    * bit-for-bit; StreamingSpec proves the equality and serves
+    * estimates from the streamed grid via [[graft.operators.Skew
+    * .cmsProbe]]). */
+  def cmsSketchStream(events: DataFrame, keyCol: String): DataFrame =
+    graft.operators.Skew.cmsSketch(events, keyCol)
+
   /** Windowed trending keys — [[heavyHittersStream]]'s production
     * shape: one Misra–Gries sketch PER tumbling event-time window
     * (append mode + watermark), so each closed window emits its own

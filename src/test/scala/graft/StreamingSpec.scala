@@ -70,6 +70,35 @@ class StreamingSpec extends SparkSpec {
     assert(out == List((hot, 50L, 55L), (1L, 2L, 55L), (2L, 1L, 55L)))
   }
 
+  test("streaming CMS grid equals the batch sketch bit-for-bit; " +
+      "probe serves from it") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.Skew
+    val mem = MemoryStream[Long]
+    val q = EventStream.cmsSketchStream(mem.toDF().toDF("k"), "k")
+      .writeStream.format("memory").queryName("cmsgrid")
+      .outputMode("complete").start()
+    val b1 = Seq.fill(25)(7L) ++ (1L to 40L)
+    val b2 = Seq.fill(10)(7L) ++ (30L to 60L)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def grid(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(x => x)
+    val streamed = grid(spark.table("cmsgrid").collect())
+    val batch = grid(Skew.cmsSketch((b1 ++ b2).toDF("k"), "k").collect())
+    // commutative-sum counters: micro-batch folding == batch partials
+    assert(streamed.toSeq == batch.toSeq)
+    // serve point estimates from the STREAMED grid: upper bounds that
+    // are exact here (61 distinct keys, no full-depth collision), and
+    // a never-seen key reads 0 through the left-outer probe
+    val keys = Seq(7L, 35L, 999983L).toDF("k")
+    val est = Skew.cmsProbe(spark.table("cmsgrid"), keys, "k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // key 7: 25 planted + 1 from the 1..40 ramp + 10 planted = 36
+    assert(est == Map(7L -> 36L, 35L -> 2L, 999983L -> 0L))
+  }
+
   test("trendingStream: per-window sketches finalize on watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
