@@ -40,7 +40,8 @@ object Bench {
     "q_heaps", "q_quality_trend", "q_dup_sources", "q_bpe_pairs", "q_bpe_train",
     "q_quality_cap",
     "q_dedup_incremental", "q_dedup_index_stats", "q_index_staleness",
-    "q_vector_health", "q_label_separation", "q_embed_outliers", "q_embed_quant",
+    "q_vector_health", "q_label_separation", "q_embed_outliers",
+    "q_silhouette", "q_embed_quant",
     "q_embed_lsh", "q_srp_bucket_stats",
     "q_ann_ivf", "q_ann_ivf_p2", "q_ann_pq", "q_ann_pq_rerank",
     "q_ann_ivfpq",

@@ -1986,6 +1986,9 @@ object SparkEntry {
     "q_embed_outliers" -> ((s, d) =>
       VectorSearch.embedOutliers(Tables.embeddings(s, d),
         EmbeddingDim, OutlierTopK)),
+    // simplified silhouette / nearest-centroid separation per label
+    "q_silhouette" -> ((s, d) =>
+      VectorSearch.silhouette(Tables.embeddings(s, d), EmbeddingDim)),
     // schema-drift preflight against a declared contract
     "q_schema_contract" -> ((s, d) =>
       DataChecks.schemaContract(Tables.orders(s, d), OrdersContract)),
@@ -5476,6 +5479,57 @@ object SparkEntry {
               list(dd2 ORDER BY d0)), (x, y) -> x + y)) / 1000000.0
               AS centroid_dist
           FROM pr GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""",
+    // The centroid grid probed per (vector, candidate label):
+    // deterministic fixed-order ssd folds, b2-vs-a2 verdicts compare
+    // those doubles exactly, each silhouette is one fixed-shape
+    // scalar chain, and the mean rides micro-quantized bigints.
+    "q_silhouette" ->
+      s"""WITH h AS (SELECT vec_id, label, embedding FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = $EmbeddingDim
+              AND len(list_filter(embedding,
+                x -> isnan(x) OR isinf(x))) = 0),
+          di AS (SELECT unnest(range(1, $EmbeddingDim + 1)) AS i),
+          ex AS (SELECT vec_id, label, i - 1 AS d0,
+              CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS vm
+            FROM h CROSS JOIN di),
+          cd AS (SELECT label AS label_c, d0,
+              CAST(sum(vm) AS BIGINT) AS s, count(*) AS n
+            FROM ex GROUP BY 1, 2),
+          cm AS (SELECT label_c, d0,
+            CAST(s AS DOUBLE) / n AS mean_micro FROM cd),
+          dv AS (SELECT ex.vec_id, ex.label, cm.label_c, ex.d0,
+              (CAST(ex.vm AS DOUBLE) - cm.mean_micro) *
+                (CAST(ex.vm AS DOUBLE) - cm.mean_micro) AS dd
+            FROM ex JOIN cm ON cm.d0 = ex.d0),
+          pv AS (SELECT vec_id, label, label_c,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(dd ORDER BY d0)), (x, y) -> x + y) AS ssd
+            FROM dv GROUP BY 1, 2, 3),
+          per AS (SELECT vec_id, label,
+              min(CASE WHEN label_c = label THEN ssd END) AS a2,
+              min(CASE WHEN label_c <> label THEN ssd END) AS b2
+            FROM pv GROUP BY 1, 2),
+          sv AS (SELECT label, a2, b2,
+              CASE WHEN a2 = 0 AND b2 = 0 THEN 0.0
+                ELSE (sqrt(b2) - sqrt(a2)) /
+                  greatest(sqrt(a2), sqrt(b2)) END AS sil
+            FROM per),
+          sq AS (SELECT label, a2, b2, sil,
+            CAST(floor(sil * 1000000 + 0.5) AS BIGINT) AS sil_micro
+            FROM sv)
+          SELECT label, count(*) AS n,
+            CAST(count(*) FILTER (WHERE b2 > a2) AS BIGINT)
+              AS n_separated,
+            CAST(count(*) FILTER (WHERE b2 < a2) AS BIGINT)
+              AS n_misplaced,
+            CAST(count(*) FILTER (WHERE b2 = a2) AS BIGINT) AS n_tied,
+            CAST(count(*) FILTER (WHERE b2 > a2) AS DOUBLE) / count(*)
+              AS sep_share,
+            CAST(CAST(sum(sil_micro) AS BIGINT) AS DOUBLE) / count(*)
+              / 1000000.0 AS mean_sil,
+            min(sil) AS min_sil, max(sil) AS max_sil
+          FROM sq GROUP BY 1 ORDER BY 1""",
     // q_label_separation's micro-integer centroid grid, probed per
     // VECTOR: squared distance to own-label centroid, fixed-dim-order
     // fold, top-k farthest per label with vec_id ties

@@ -1299,4 +1299,73 @@ object VectorSearch extends Logging {
         (sqrt(col("ssd")) / lit(1000000.0)).as("centroid_dist"))
       .orderBy(col("label"), col("rank"))
   }
+
+  /** Simplified (centroid) silhouette per label — the
+    * cluster-cohesion gauge the full O(n²) silhouette can't give at
+    * corpus scale: per vector, a = distance to its OWN label centroid,
+    * b = distance to the NEAREST OTHER centroid, s = (b−a)/max(a,b);
+    * reported per label as the separated/misplaced/tied counts
+    * (b²≷a² — the nearest-centroid-classifier verdict), the mean of
+    * the micro-quantized silhouettes, and the exact min/max. The
+    * companion read to [[labelCentroidSeparation]] (which says whether
+    * CENTROIDS are apart; this says whether the VECTORS actually sit
+    * with their own) and [[knnAccuracy]] (the local-neighborhood
+    * verdict; this is the global-geometry one).
+    *
+    * Exactness: the [[labelCentroidSeparation]] grid end-to-end —
+    * micro-integer elements, exact bigint centroid sums, per-(vector,
+    * candidate) squared distances folded in FIXED dim order; the
+    * b²≷a² verdicts compare those deterministic doubles, each
+    * vector's silhouette is one fixed-shape scalar chain (two sqrts,
+    * one divide), and the per-label MEAN quantizes each silhouette to
+    * an integer micro-unit first so the sum is exact bigint in any
+    * order (min/max are order-free as-is). Shape: the candidate frame
+    * is n·dim·|labels| rows — |labels|× the vector family's
+    * dim-explode floor, the intrinsic nearest-centroid cost — with
+    * the labels×dim centroid grid riding a broadcast; folds are
+    * dim-sized; everything downstream is label-grain. */
+  def silhouette(embeddings: DataFrame, expectedDim: Int): DataFrame = {
+    val ex = healthyVecs(embeddings, expectedDim)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d0", "v")))
+      .select(col("vec_id"), col("label"), col("d0"),
+        floor(col("v").cast("double") * 1000000 + 0.5).cast("bigint")
+          .as("vm"))
+    val cm = ex.groupBy(col("label"), col("d0"))
+      .agg(sum(col("vm")).as("s"), count(lit(1)).as("n"))
+      .select(col("label").as("label_c"), col("d0"),
+        (col("s").cast("double") / col("n")).as("mean_micro"))
+    val dv = ex.join(broadcast(cm), Seq("d0"))
+      .select(col("vec_id"), col("label"), col("label_c"), col("d0"),
+        ((col("vm").cast("double") - col("mean_micro")) *
+          (col("vm").cast("double") - col("mean_micro"))).as("dd"))
+    val pv = dv.groupBy(col("vec_id"), col("label"), col("label_c"))
+      .agg(aggregate(array_sort(collect_list(struct(col("d0"), col("dd")))),
+        lit(0.0), (acc, x) => acc + x.getField("dd")).as("ssd"))
+    val per = pv.groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("label_c") === col("label"), col("ssd"))).as("a2"),
+        min(when(col("label_c") =!= col("label"), col("ssd"))).as("b2"))
+    val a = sqrt(col("a2"))
+    val b = sqrt(col("b2"))
+    val sil = when(col("a2") === 0.0 && col("b2") === 0.0, lit(0.0))
+      .otherwise((b - a) / greatest(a, b))
+    per
+      .select(col("label"), col("a2"), col("b2"), sil.as("sil"),
+        floor(sil * 1000000 + 0.5).cast("bigint").as("sil_micro"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("b2") > col("a2"), 1L).otherwise(0L))
+          .as("n_separated"),
+        sum(when(col("b2") < col("a2"), 1L).otherwise(0L))
+          .as("n_misplaced"),
+        sum(when(col("b2") === col("a2"), 1L).otherwise(0L)).as("n_tied"),
+        sum(col("sil_micro")).as("sm"),
+        min(col("sil")).as("min_sil"), max(col("sil")).as("max_sil"))
+      .select(col("label"), col("n"), col("n_separated"),
+        col("n_misplaced"), col("n_tied"),
+        (col("n_separated").cast("double") / col("n")).as("sep_share"),
+        (col("sm").cast("double") / col("n") / 1000000.0).as("mean_sil"),
+        col("min_sil"), col("max_sil"))
+      .orderBy(col("label"))
+  }
 }

@@ -191,6 +191,37 @@ class DotProductSpec extends SparkSpec {
     assert(out((8, 1)) == ((7L, 1L, 0.0)))
   }
 
+  test("silhouette: separated/misplaced verdicts, exact extremes, " +
+      "unhealthy dropped") {
+    import spark.implicits._
+    // label 0: two near (0,·) plus one planted AT label 1's turf
+    // (9,1); label 1: two at (10,·). Centroids: L0 (3,1), L1 (10,1).
+    // The planted vector reads a=6, b=1 -> misplaced, sil = -5/6.
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 2.0f), 0),
+      (3L, Array(9.0f, 1.0f), 0),                 // the defector
+      (4L, Array(10.0f, 0.0f), 1),
+      (5L, Array(10.0f, 2.0f), 1),
+      (6L, Array(Float.NaN, 0.0f), 0),            // unhealthy
+      (7L, Array(1.0f), 1)                        // wrong dim
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorSearch.silhouette(df, expectedDim = 2).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(7))))
+      .toMap
+    // label 0: 3 healthy, 2 separated, the defector misplaced
+    assert(out(0)._1 == 3L && out(0)._2 == 2L && out(0)._3 == 1L &&
+      out(0)._4 == 0L)
+    assert(out(0)._5 == 2.0 / 3.0)
+    // micro-integer coords make the defector's chain exact:
+    // a = 6e6 micro, b = 1e6 micro, sil = (1-6)/6
+    assert(out(0)._6 == (1000000.0 - 6000000.0) / 6000000.0)
+    // label 1: both vectors sit with their own centroid
+    assert(out(1) == ((2L, 2L, 0L, 0L, 1.0,
+      out(1)._6)) && out(1)._6 > 0.0)
+  }
+
   test("dimStats: micro-quantized moments, dead dim reads zero") {
     import spark.implicits._
     val df2 = Seq(
