@@ -928,4 +928,36 @@ class PlanAuditSpec extends SparkSpec {
     // per-element dispatch is back
     assert(!p.contains("transform(sh"), p.take(3000))
   }
+
+  test("min-cost supplier: dims broadcast, pair frame cached, no window") {
+    val p = plan("q_min_cost_supplier")
+    // region suppliers + part slice prune via broadcast probes; the
+    // argmin is groupBy-min + join-back on the held candidate frame
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    // the report cut is a bounded TakeOrdered, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("important stock: scalar-subquery total via broadcast, no window") {
+    val p = plan("q_important_stock")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("cms: probe joins the grid broadcast; no per-key state growth") {
+    val p = plan("q_cms_freq")
+    // the ≤ d·w-row sketch grid must ride a broadcast into the probe
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // top-N cut is a bounded TakeOrdered
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("silhouette: centroid grid broadcasts into the candidate frame") {
+    val p = plan("q_silhouette")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // all downstream grains are label/vector-sized aggregates
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }
