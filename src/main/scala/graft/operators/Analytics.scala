@@ -2020,12 +2020,6 @@ object Analytics {
                       region: DataFrame, regionName: String,
                       partType: String, sizeMod: Int,
                       topK: Int): DataFrame = {
-    val cost = lineitem
-      .select(col("l_partkey"), col("l_suppkey"),
-        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT)")
-          .as("unit_c"))
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(col("unit_c")).as("cost_cents"))
     val regionSupp = supplier
       .join(broadcast(nation), col("n_nationkey") === col("s_nationkey"))
       .join(broadcast(region.where(col("r_name") === regionName)),
@@ -2035,6 +2029,22 @@ object Analytics {
     val slice = part
       .where(col("p_type") === partType && col("p_size") % sizeMod === 0)
       .select(col("p_partkey"), col("p_brand"))
+    // both key sets cut the FACT ROWS before the pair-grain aggregate
+    // (filter commutes with per-pair min): the hash map holds only the
+    // slice's pairs, ~1/(type·size·region) of the observed-pair
+    // universe — aggregating first and filtering after ran a
+    // 60M-distinct-pair map at the 100× probe (153 s of GC)
+    val cut = lineitem
+      .join(broadcast(slice.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(regionSupp.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+    val cost = cut
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT)")
+          .as("unit_c"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_c")).as("cost_cents"))
     val cand = cost
       .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(slice), col("l_partkey") === col("p_partkey"))
