@@ -149,6 +149,31 @@ object Skew {
       .groupBy(col("row_i"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Catalog table name for the published CMS grid. */
+  val CmsTable: String = "graft_cms_sketch"
+
+  /** Publish the [[cmsSketch]] grid as a catalog parquet table — ONE
+    * corpus scan, a ≤ d·w-row write (the sketch is dimension-sized
+    * however large the corpus), after which any number of
+    * [[servedCmsProbe]] calls answer frequency lookups with zero
+    * corpus work. The frequency-sketch leg of the publish-and-serve
+    * surface next to [[AnnIndex.publish]] and the dedup index; the
+    * published grid is also exactly what a streamed
+    * [[graft.streaming.EventStream.cmsSketchStream]] holds, so batch
+    * publish and stream state are interchangeable serving sources. */
+  def publishCms(df: DataFrame, keyCol: String,
+                 table: String = CmsTable): Unit =
+    graft.sources.Sources.publishTable(cmsSketch(df, keyCol), table)
+
+  /** Serve estimates from the PUBLISHED grid — delegates to the same
+    * [[cmsProbe]] the fresh path runs, so served == fresh by
+    * construction (SketchGatesSpec proves the round trip
+    * bit-for-bit). */
+  def servedCmsProbe(spark: org.apache.spark.sql.SparkSession,
+                     keys: DataFrame, keyCol: String,
+                     table: String = CmsTable): DataFrame =
+    cmsProbe(spark.table(table), keys, keyCol)
+
   /** Serve frequency estimates for `keys` (any frame carrying
     * `keyCol`, extra columns ride along) from a built [[cmsSketch]]
     * grid: d probe rows per key against the ≤ d·w-row grid, min over

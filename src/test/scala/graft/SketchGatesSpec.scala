@@ -94,4 +94,25 @@ class SketchGatesSpec extends SparkSpec {
     assert(joined.exists(!_.getBoolean(0)),
       "a 10x exact/estimate mismatch must verdict false")
   }
+
+  test("published CMS grid serves estimates identical to the fresh probe") {
+    val df = ((1L to 300L).map(_ => 42L) ++ (1L to 80L)).toDF("k")
+      .repartition(5)
+    Skew.publishCms(df, "k", table = "cms_roundtrip_spec")
+    try {
+      val keys = Seq(42L, 5L, 123456789L).toDF("k")
+      val served = Skew.servedCmsProbe(spark, keys, "k",
+        table = "cms_roundtrip_spec")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val fresh = Skew.cmsProbe(Skew.cmsSketch(df, "k"), keys, "k")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      // parquet round trip is exact on bigint counters, and the probe
+      // is the SAME code path — served == fresh bit-for-bit
+      assert(served.toSeq == fresh.toSeq)
+      // and both are the true counts here (83 distinct keys, no
+      // full-depth collision): hot 301 (42 rides the 1..80 ramp too)
+      assert(served.toMap == Map(5L -> 1L, 42L -> 301L,
+        123456789L -> 0L))
+    } finally spark.sql("DROP TABLE IF EXISTS cms_roundtrip_spec")
+  }
 }
