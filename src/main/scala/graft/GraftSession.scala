@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BloomAgg, BloomContains, DeflateLen, DotProduct, MatchMask, MinHashSigs, MisraGriesAgg, NfcNormalize, PqSubDots, QualityCounts, RollingHash, RollingHashes, SeedHashes, SetJaccard, Shingles, SimHash40, SrpBandSigs, Tokenize, TopKAgg}
+import graft.functions.{BloomAgg, BloomContains, DeflateLen, DotProduct, HammingPairs, MatchMask, MinHashSigs, MisraGriesAgg, NfcNormalize, Pairs, PqSubDots, QualityCounts, RollingHash, RollingHashes, SeedHashes, SetJaccard, Shingles, SimHash40, SrpBandSigs, Tokenize, TopKAgg}
 
 /** Standard session config for the graft engine. One place to keep the
   * settings that matter at scale (AQE, shuffle partitions sized to the
@@ -162,6 +162,23 @@ object GraftSession {
             "graft_rolling_hashes"),
           (exprs: Exprs) => { val e = arity("graft_rolling_hashes", 1, exprs)
             RollingHashes(e.head) }))
+        ext.injectFunction((
+          FunctionIdentifier("graft_pairs"),
+          new ExpressionInfo(classOf[Pairs].getName, "graft_pairs"),
+          (exprs: Exprs) => { val e = arity("graft_pairs", 1, exprs)
+            Pairs(e.head) }))
+        ext.injectFunction((
+          FunctionIdentifier("graft_hamming_pairs"),
+          new ExpressionInfo(classOf[HammingPairs].getName,
+            "graft_hamming_pairs"),
+          (exprs: Exprs) => { val e = arity("graft_hamming_pairs", 2, exprs)
+            val m = e(1) match {
+              case org.apache.spark.sql.catalyst.expressions.Literal(
+                i: Int, _) => i
+              case other => throw new IllegalArgumentException(
+                s"graft_hamming_pairs maxHamming must be an int literal, got $other")
+            }
+            HammingPairs(e.head, m) }))
         ext.injectFunction((
           FunctionIdentifier("graft_jaccard"),
           new ExpressionInfo(classOf[SetJaccard].getName, "graft_jaccard"),

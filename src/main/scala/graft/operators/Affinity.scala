@@ -129,17 +129,13 @@ object Affinity {
       val sets = op.join(cnt, "part")
         .groupBy(col("okey"))
         .agg(sort_array(collect_set(struct(col("part"), col("cnt")))).as("ps"))
+      // native graft_pairs over the (part, cnt) carrier structs — the
+      // interpreted nested-transform fan-out this replaces was the
+      // family's dominant CPU (see coPairs)
       val res = sets.where(size(col("ps")) >= 2)
-        .select(explode(flatten(transform(
-          sequence(lit(1), size(col("ps")) - 1),
-          i => transform(sequence(i + 1, size(col("ps"))),
-            j => struct(
-              element_at(col("ps"), i).getField("part").as("part_a"),
-              element_at(col("ps"), j).getField("part").as("part_b"),
-              element_at(col("ps"), i).getField("cnt").as("n_a"),
-              element_at(col("ps"), j).getField("cnt").as("n_b")))))).as("p"))
-        .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"),
-          col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+        .select(explode(call_function("graft_pairs", col("ps"))).as("p"))
+        .groupBy(col("p.a.part").as("part_a"), col("p.b.part").as("part_b"),
+          col("p.a.cnt").as("n_a"), col("p.b.cnt").as("n_b"))
         .agg(count(lit(1)).as("cooc"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       res.count()
@@ -205,13 +201,13 @@ object Affinity {
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
         .groupBy(col("okey"))
         .agg(sort_array(collect_set(col("part"))).as("ps"))
+      // native graft_pairs: the interpreted nested-transform fan-out
+      // this replaces cost ~22 s CPU to shuffle 7 MB at sf0.1 (the
+      // round-13 DevProbe of q_graph_stats) — the dominant CPU of
+      // every query on this frame
       sets.where(size(col("ps")) >= 2)
-        .select(explode(flatten(transform(
-          sequence(lit(1), size(col("ps")) - 1),
-          i => transform(sequence(i + 1, size(col("ps"))),
-            j => struct(element_at(col("ps"), i).as("part_a"),
-              element_at(col("ps"), j).as("part_b")))))).as("p"))
-        .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+        .select(explode(call_function("graft_pairs", col("ps"))).as("p"))
+        .select(col("p.a").as("part_a"), col("p.b").as("part_b"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
@@ -439,12 +435,8 @@ object Affinity {
           .as("ns"))
     val cand = nbrs.where(size(col("ns")) >= 2)
       .select(expr("1000000 div deg").as("ra"),
-        explode(flatten(transform(
-          sequence(lit(1), size(col("ns")) - 1),
-          i => transform(sequence(i + 1, size(col("ns"))),
-            j => struct(element_at(col("ns"), i).as("u"),
-              element_at(col("ns"), j).as("w")))))).as("p"))
-      .groupBy(col("p.u").as("part_u"), col("p.w").as("part_w"))
+        explode(call_function("graft_pairs", col("ns"))).as("p"))
+      .groupBy(col("p.a").as("part_u"), col("p.b").as("part_w"))
       .agg(count(lit(1)).as("n_common"), sum(col("ra")).as("ra_micro"))
     cand.join(pairs,
         col("part_u") === col("part_a") && col("part_w") === col("part_b"),

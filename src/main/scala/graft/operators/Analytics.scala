@@ -1364,20 +1364,16 @@ object Analytics {
     val sets = ob.groupBy(col("okey"))
       .agg(sort_array(collect_set(col("b"))).as("bs"))
     val nullS = lit(null).cast("string")
+    // pair leg is the native graft_pairs generator (fields a/b; a
+    // 1-brand order yields an empty pair array, so the old
+    // sequence(1, 0)-steps-downward guard is moot); marker legs share
+    // its field names so concat sees one struct type
     val fan = concat(
-      array(struct(nullS.as("b1"), nullS.as("b2"))),
-      transform(col("bs"), x => struct(x.as("b1"), nullS.as("b2"))),
-      // guard: sequence(1, 0) steps DOWNWARD in Spark, so a 1-brand
-      // order must short-circuit to an empty pair leg, not explode
-      // junk out-of-range element_at pairs
-      when(size(col("bs")) >= 2, flatten(transform(
-        sequence(lit(1), size(col("bs")) - 1),
-        i => transform(sequence(i + 1, size(col("bs"))),
-          j => struct(element_at(col("bs"), i).as("b1"),
-            element_at(col("bs"), j).as("b2"))))))
-        .otherwise(array().cast("array<struct<b1:string,b2:string>>")))
+      array(struct(nullS.as("a"), nullS.as("b"))),
+      transform(col("bs"), x => struct(x.as("a"), nullS.as("b"))),
+      call_function("graft_pairs", col("bs")))
     val counts = graft.Caches.hold(sets.select(explode(fan).as("p"))
-      .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
+      .groupBy(col("p.a").as("b1"), col("p.b").as("b2"))
       .agg(count(lit(1)).as("n")))
     val total = counts.where(col("b1").isNull)
       .select(col("n").as("n_orders"))

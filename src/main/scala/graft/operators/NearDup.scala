@@ -251,8 +251,8 @@ object NearDup {
     val common = e.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(pairsFromSortedIds("d1", "d2")).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .select(explode(pairsFromSortedIds).as("p"))
+      .groupBy(col("p.a").as("d1"), col("p.b").as("d2"))
       .agg(count(lit(1)).as("common"))
     val sizes = t.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val counts = common
@@ -366,14 +366,18 @@ object NearDup {
   }
 
   /** All (a < b) pairs from a sorted `ids` array column, generated
-    * row-locally with caller-chosen field names. Shared by the jaccard
-    * posting lists, the minhash LSH buckets, and
-    * [[graft.operators.VectorSearch.srpNearDup]]'s embedding buckets. */
-  private[operators] def pairsFromSortedIds(f1: String, f2: String): Column =
-    expr(
-      s"""flatten(transform(sequence(1, size(ids) - 1),
-         i -> transform(sequence(i + 1, size(ids)),
-         j -> struct(element_at(ids, i) AS $f1, element_at(ids, j) AS $f2))))""")
+    * row-locally as one native `graft_pairs` pass (fields `a`, `b` —
+    * callers alias on select). Shared by the jaccard posting lists,
+    * the minhash LSH buckets, and
+    * [[graft.operators.VectorSearch.srpNearDup]]'s embedding buckets.
+    * Replaces the interpreted nested-transform fan-out
+    * (`flatten(transform(sequence(...), i -> transform(...)))`), which
+    * walked an expression tree per pair — the round-13 probe measured
+    * the composed form as the dominant CPU of every bucketed pair
+    * stage; [[graft.functions.Pairs]] emits the identical structs in
+    * the identical order. */
+  private[operators] def pairsFromSortedIds: Column =
+    call_function("graft_pairs", col("ids"))
 
   /** Default LSH bucket candidate-prefix cap, shared by
     * [[minhashDedup]]/[[minhashPairs]] and
@@ -566,8 +570,8 @@ object NearDup {
       .groupBy(col("band"), col("band_sig"))
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, bucketCap).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(pairsFromSortedIds("d1", "d2")).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .select(explode(pairsFromSortedIds).as("p"))
+      .groupBy(col("p.a").as("d1"), col("p.b").as("d2"))
       .agg(count(lit(1)).as("n_bands"))
     val wPre = org.apache.spark.sql.expressions.Window
       .partitionBy(col("d1")).orderBy(col("n_bands").desc, col("d2"))
@@ -627,8 +631,8 @@ object NearDup {
       .groupBy(col("band"), col("band_sig"))
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, bucketCap).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(pairsFromSortedIds("d1", "d2")).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .select(explode(pairsFromSortedIds).as("p"))
+      .select(col("p.a").as("d1"), col("p.b").as("d2"))
       .distinct()
     val t = sig.select(col("doc_id"), col("sh"))
     // SHUFFLE_HASH with width-aware build sides (the hardNegatives
@@ -1373,17 +1377,16 @@ object NearDup {
       .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("simhash")))),
         1, bucketCap).as("ids"))
       .where(size(col("ids")) > 1)
-      // the hamming filter sits INSIDE the pair lambda: a degenerate
-      // cap-sized bucket evaluates cap² bit_counts but only ever
-      // materializes the surviving pairs, instead of building the full
-      // cap²-struct array for the generator to re-filter
-      .select(explode(expr(
-        s"""flatten(transform(sequence(1, size(ids) - 1),
-           i -> filter(transform(sequence(i + 1, size(ids)),
-             j -> struct(ids[i-1].doc_id AS d1, ids[j-1].doc_id AS d2,
-               cast(bit_count(ids[i-1].simhash ^ ids[j-1].simhash) AS int)
-                 AS hamming)),
-             x -> x.hamming <= $maxHamming)))""")).as("p"))
+      // the hamming filter sits INSIDE the generator: a degenerate
+      // cap-sized bucket evaluates cap² popcounts but only ever
+      // materializes the surviving pairs. graft_hamming_pairs is the
+      // native one-pass form of the interpreted
+      // flatten(transform(..., filter(transform(...)))) chain it
+      // replaced — identical structs, identical order; the composed
+      // form walked an expression tree per candidate pair and was the
+      // whole query's cost (one 4.5 s single-task stage at sf0.1)
+      .select(explode(call_function("graft_hamming_pairs",
+        col("ids"), lit(maxHamming))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
         col("p.hamming").as("hamming"))
       .distinct()

@@ -155,12 +155,8 @@ object Temporal {
     val sets = sessionTypeSets(events, gapMinutes)
     val total = sets.select(count(lit(1)).as("n_sessions"))
     sets.where(size(col("types")) >= 2)
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("types")) - 1),
-        i => transform(sequence(i + 1, size(col("types"))),
-          j => struct(element_at(col("types"), i).as("t1"),
-            element_at(col("types"), j).as("t2")))))).as("p"))
-      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .select(explode(call_function("graft_pairs", col("types"))).as("p"))
+      .select(col("p.a").as("t1"), col("p.b").as("t2"))
       .groupBy(col("t1"), col("t2"))
       .agg(count(lit(1)).as("n_co"))
       .crossJoin(broadcast(total))
@@ -222,12 +218,8 @@ object Temporal {
     val items = sets.select(explode(col("types")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("n_item"))
     val co = sets.where(size(col("types")) >= 2)
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("types")) - 1),
-        i => transform(sequence(i + 1, size(col("types"))),
-          j => struct(element_at(col("types"), i).as("t1"),
-            element_at(col("types"), j).as("t2")))))).as("p"))
-      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .select(explode(call_function("graft_pairs", col("types"))).as("p"))
+      .select(col("p.a").as("t1"), col("p.b").as("t2"))
       .groupBy(col("t1"), col("t2"))
       .agg(count(lit(1)).as("n_co"))
     val directed = co

@@ -873,8 +873,8 @@ object VectorSearch extends Logging {
         .as("truncated_buckets"))
       .drop("n_bucket")
       .where(size(col("ids")) > 1)
-      .select(explode(NearDup.pairsFromSortedIds("v1", "v2")).as("p"))
-      .select(col("p.v1").as("v1"), col("p.v2").as("v2"))
+      .select(explode(NearDup.pairsFromSortedIds).as("p"))
+      .select(col("p.a").as("v1"), col("p.b").as("v2"))
       .distinct()
     val side = withBits.select(col("vec_id"), col("embedding"), col("nrm"))
     cand

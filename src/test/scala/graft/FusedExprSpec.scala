@@ -115,6 +115,71 @@ class FusedExprSpec extends SparkSpec {
     assert(hashes.where(not(col("fused") === col("composed"))).isEmpty)
   }
 
+  test("graft_pairs equals the nested-transform fan-out, order included") {
+    import spark.implicits._
+    // strings (brand/basket grain): duplicates, singletons, empties
+    val sdf = Seq(
+      Seq("a", "b", "c", "d"), Seq("a", "a", "b"), Seq("x", "y"),
+      Seq("only"), Seq[String]()).toDF("ids")
+    def composed(c: Column): Column =
+      when(size(c) >= 2, flatten(transform(
+        sequence(lit(1), size(c) - 1),
+        i => transform(sequence(i + 1, size(c)),
+          j => struct(element_at(c, i).as("a"), element_at(c, j).as("b"))))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val raced = sdf.select(
+      call_function("graft_pairs", col("ids")).as("fused"),
+      composed(col("ids")).as("composed"))
+    // ORDER matters (flatten order is the contract), so compare arrays
+    assert(raced.where(not(col("fused") === col("composed"))).isEmpty)
+    assert(raced.where(size(col("fused")) > 0).count() > 0)
+    // longs (graph/bucket grain), including the C(n,2) count
+    val ldf = Seq(Seq(5L, 9L, 2L, 9L), Seq(1L, 2L)).toDF("ids")
+    val lp = ldf.select(call_function("graft_pairs", col("ids")).as("p"))
+      .collect()
+    assert(lp(0).getSeq[Row](0).size == 6 && lp(1).getSeq[Row](0).size == 1)
+    assert(lp(0).getSeq[Row](0).head == Row(5L, 9L))
+    // struct elements (the (part, cnt) carrier): fields pass through
+    val stdf = Seq((Seq((10L, 3L), (20L, 4L)))).toDF("ids")
+    val sp = stdf.select(explode(call_function("graft_pairs", col("ids")))
+      .as("p"))
+      .select(col("p.a._1"), col("p.b._2")).collect()
+    assert(sp.head == Row(10L, 4L))
+    // NULL array propagates
+    assert(sdf.select(call_function("graft_pairs",
+      lit(null).cast("array<string>"))).collect().forall(_.isNullAt(0)))
+  }
+
+  test("graft_hamming_pairs equals the filtered nested-transform chain") {
+    import spark.implicits._
+    val rows = Seq(
+      Seq((1L, 0L), (2L, 1L), (3L, 7L), (4L, 0L)),   // mixed distances
+      Seq((9L, 255L), (10L, 0L)),                    // all filtered out
+      Seq((5L, 42L)), Seq[(Long, Long)]())           // singleton, empty
+    val df = rows.toDF("raw")
+      .select(transform(col("raw"),
+        x => struct(x.getField("_1").as("doc_id"),
+          x.getField("_2").as("simhash"))).as("ids"))
+    val maxHamming = 3
+    val raced = df.select(
+      call_function("graft_hamming_pairs", col("ids"), lit(maxHamming))
+        .as("fused"),
+      // size guard as in production (simhashPairs filters buckets of
+      // size > 1 before the fan-out): sequence(1, 0) steps DOWNWARD,
+      // so the unguarded composed form emits junk on short arrays
+      expr(
+        s"""CASE WHEN size(ids) >= 2 THEN
+           flatten(transform(sequence(1, size(ids) - 1),
+           i -> filter(transform(sequence(i + 1, size(ids)),
+             j -> struct(ids[i-1].doc_id AS d1, ids[j-1].doc_id AS d2,
+               cast(bit_count(ids[i-1].simhash ^ ids[j-1].simhash) AS int)
+                 AS hamming)),
+             x -> x.hamming <= $maxHamming)))
+           ELSE array() END""").as("composed"))
+    assert(raced.where(not(col("fused") === col("composed"))).isEmpty)
+    assert(raced.where(size(col("fused")) > 0).count() > 0)
+  }
+
   test("graft_srp_sigs equals the per-plane dot-sign concat_ws chain") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val nPlanes = 48; val bands = 4; val rows = nPlanes / bands

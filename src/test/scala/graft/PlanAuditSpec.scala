@@ -88,7 +88,10 @@ class PlanAuditSpec extends SparkSpec {
     // task — a join (or a cached frame feeding one) in this plan means
     // the cap² candidate explosion is being shuffled again
     assert(!p.contains("Join"), p.take(2000))
-    assert(p.contains("bit_count"), p.take(2000))
+    // the in-task verify is the native fused generator (round 13) —
+    // bit_count runs inside graft_hamming_pairs, not as a per-pair
+    // interpreted lambda
+    assert(p.contains("graft_hamming_pairs"), p.take(2000))
   }
 
   test("stratified sample is a pure scan+filter: no join, no aggregate") {
