@@ -1207,10 +1207,24 @@ object TextAnalysis {
   private[operators] def bm25Scores(docs: DataFrame,
                                     queryTerms: Seq[String],
                                     k1: Double = 1.2,
-                                    b: Double = 0.75): DataFrame = {
+                                    b: Double = 0.75): DataFrame =
+    bm25ScoresFromToks(
+      docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+        .transform(graft.Caches.hold),
+      queryTerms, k1, b)
+
+  /** [[bm25Scores]] over an ALREADY-tokenized (doc_id, toks) frame —
+    * the multi-query evals ([[searchEval]], [[searchNdcg]]) tokenize
+    * the corpus ONCE and share the held frame across their per-query
+    * scoring calls (the round-13 probe measured one full corpus
+    * tokenize pass per query: 3 queries = 3 redundant scans). Same
+    * arithmetic, same tokenizer — results are unchanged; only the
+    * number of corpus passes drops. Caller owns the toks cache. */
+  private def bm25ScoresFromToks(toks: DataFrame,
+                                 queryTerms: Seq[String],
+                                 k1: Double = 1.2,
+                                 b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "searchBm25 needs at least one term")
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .transform(graft.Caches.hold)
     val docLen = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     val stats = docLen.agg(
       count(lit(1)).cast("double").as("n_docs"),
@@ -1255,12 +1269,16 @@ object TextAnalysis {
                  k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty, "searchNdcg needs at least one query")
     import org.apache.spark.sql.expressions.Window
-    val toksCol = tokens(col("text"))
+    // ONE corpus tokenize pass shared by every query's grading and
+    // scoring leg (was: one per bm25Scores call plus one per graded
+    // projection — 2·|queries| corpus scans)
+    val toks = graft.Caches.hold(
+      docs.select(col("doc_id"), tokens(col("text")).as("toks")))
     queries.map { case (qid, terms) =>
-      val graded = graft.Caches.hold(docs.select(col("doc_id"),
-        terms.map(t => array_contains(toksCol, t).cast("long"))
+      val graded = graft.Caches.hold(toks.select(col("doc_id"),
+        terms.map(t => array_contains(col("toks"), t).cast("long"))
           .reduce(_ + _).as("grade")))
-      val scored = graft.Caches.hold(bm25Scores(docs, terms, k1, b))
+      val scored = graft.Caches.hold(bm25ScoresFromToks(toks, terms, k1, b))
       def foldDcg(ranked: DataFrame): DataFrame =
         ranked
           .agg(aggregate(
@@ -1305,11 +1323,14 @@ object TextAnalysis {
   def searchEval(docs: DataFrame, queries: Seq[(String, Seq[String])],
                  k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty, "searchEval needs at least one query")
-    val toksCol = tokens(col("text"))
+    // ONE corpus tokenize pass shared by every query's relevance and
+    // scoring leg (same restructure as searchNdcg — round 13)
+    val toks = graft.Caches.hold(
+      docs.select(col("doc_id"), tokens(col("text")).as("toks")))
     queries.map { case (qid, terms) =>
-      val scored = graft.Caches.hold(bm25Scores(docs, terms, k1, b))
-      val rel = docs
-        .where(terms.map(t => array_contains(toksCol, t)).reduce(_ && _))
+      val scored = graft.Caches.hold(bm25ScoresFromToks(toks, terms, k1, b))
+      val rel = toks
+        .where(terms.map(t => array_contains(col("toks"), t)).reduce(_ && _))
         .select(col("doc_id").as("rid"))
       val nrel = rel.agg(count(lit(1)).as("n_rel"))
       val best = scored.join(rel, scored("doc_id") === rel("rid"), "left_semi")
