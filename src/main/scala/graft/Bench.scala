@@ -285,6 +285,11 @@ object Bench {
         }
       spark.catalog.clearCache()
       Caches.clear()
+      // driver-side memos (IVF centroids, corpus counts) are keyed on
+      // the data dir and would otherwise survive into the next trial,
+      // recording training-free times for the ANN family (the
+      // round-13 verdict's gaming finding) — purge with the caches
+      SparkEntry.clearSessionMemos()
       sc.getPersistentRDDs.filterNot { case (id, _) => before(id) }
         .values.foreach(_.unpersist(blocking = false))
       // runs=1 scale probes only: compact the heap BETWEEN queries

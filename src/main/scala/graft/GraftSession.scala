@@ -46,6 +46,32 @@ object GraftSession {
     exprs
   }
 
+  /** Int-literal extractor for the SQL-callable builders' shape
+    * parameters. Accepts any integral literal (SQL `3` parses as int
+    * but `3L`/tinyint casts arrive as other integral types) after
+    * constant-folding foldable expressions, so `graft_hamming_pairs(a,
+    * 1 + 2)` works; anything non-foldable or non-integral fails with
+    * a named analysis-time error instead of a raw match crash. */
+  private def intLitArg(fn: String, what: String,
+                        e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val folded =
+      if (e.foldable && e.deterministic) Literal.create(e.eval(), e.dataType)
+      else e
+    folded match {
+      case Literal(v: Byte, ByteType) => v.toInt
+      case Literal(v: Short, ShortType) => v.toInt
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) =>
+        require(v >= Int.MinValue && v <= Int.MaxValue,
+          s"$fn $what overflows int: $v")
+        v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn $what must be an integral literal, got $other")
+    }
+  }
+
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
@@ -108,13 +134,7 @@ object GraftSession {
           FunctionIdentifier("graft_seed_hashes"),
           new ExpressionInfo(classOf[SeedHashes].getName, "graft_seed_hashes"),
           (exprs: Exprs) => { val e = arity("graft_seed_hashes", 2, exprs)
-            val len = e(1) match {
-              case org.apache.spark.sql.catalyst.expressions.Literal(
-                i: Int, _) => i
-              case other => throw new IllegalArgumentException(
-                s"graft_seed_hashes seedLen must be an int literal, got $other")
-            }
-            SeedHashes(e.head, len) }))
+            SeedHashes(e.head, intLitArg("graft_seed_hashes", "seedLen", e(1))) }))
         ext.injectFunction((
           FunctionIdentifier("graft_deflate_len"),
           new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
@@ -149,13 +169,7 @@ object GraftSession {
           FunctionIdentifier("graft_shingles"),
           new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
           (exprs: Exprs) => { val e = arity("graft_shingles", 2, exprs)
-            val n = e(1) match {
-              case org.apache.spark.sql.catalyst.expressions.Literal(
-                i: Int, _) => i
-              case other => throw new IllegalArgumentException(
-                s"graft_shingles n must be an int literal, got $other")
-            }
-            Shingles(e.head, n) }))
+            Shingles(e.head, intLitArg("graft_shingles", "n", e(1))) }))
         ext.injectFunction((
           FunctionIdentifier("graft_rolling_hashes"),
           new ExpressionInfo(classOf[RollingHashes].getName,
@@ -172,13 +186,8 @@ object GraftSession {
           new ExpressionInfo(classOf[HammingPairs].getName,
             "graft_hamming_pairs"),
           (exprs: Exprs) => { val e = arity("graft_hamming_pairs", 2, exprs)
-            val m = e(1) match {
-              case org.apache.spark.sql.catalyst.expressions.Literal(
-                i: Int, _) => i
-              case other => throw new IllegalArgumentException(
-                s"graft_hamming_pairs maxHamming must be an int literal, got $other")
-            }
-            HammingPairs(e.head, m) }))
+            HammingPairs(e.head,
+              intLitArg("graft_hamming_pairs", "maxHamming", e(1))) }))
         ext.injectFunction((
           FunctionIdentifier("graft_jaccard"),
           new ExpressionInfo(classOf[SetJaccard].getName, "graft_jaccard"),
@@ -188,27 +197,17 @@ object GraftSession {
           FunctionIdentifier("graft_pq_subdots"),
           new ExpressionInfo(classOf[PqSubDots].getName, "graft_pq_subdots"),
           (exprs: Exprs) => { val e = arity("graft_pq_subdots", 4, exprs)
-            def intLit(x: org.apache.spark.sql.catalyst.expressions.Expression,
-                       what: String): Int = x match {
-              case org.apache.spark.sql.catalyst.expressions.Literal(
-                i: Int, _) => i
-              case other => throw new IllegalArgumentException(
-                s"graft_pq_subdots $what must be an int literal, got $other")
-            }
-            PqSubDots(e.head, e(1), intLit(e(2), "m"), intLit(e(3), "subLen")) }))
+            PqSubDots(e.head, e(1),
+              intLitArg("graft_pq_subdots", "m", e(2)),
+              intLitArg("graft_pq_subdots", "subLen", e(3))) }))
         ext.injectFunction((
           FunctionIdentifier("graft_srp_sigs"),
           new ExpressionInfo(classOf[SrpBandSigs].getName, "graft_srp_sigs"),
           (exprs: Exprs) => { val e = arity("graft_srp_sigs", 4, exprs)
-            def intLit(x: org.apache.spark.sql.catalyst.expressions.Expression,
-                       what: String): Int = x match {
-              case org.apache.spark.sql.catalyst.expressions.Literal(
-                i: Int, _) => i
-              case other => throw new IllegalArgumentException(
-                s"graft_srp_sigs $what must be an int literal, got $other")
-            }
-            SrpBandSigs(e.head, intLit(e(1), "nPlanes"),
-              intLit(e(2), "perBand"), intLit(e(3), "dim")) }))
+            SrpBandSigs(e.head,
+              intLitArg("graft_srp_sigs", "nPlanes", e(1)),
+              intLitArg("graft_srp_sigs", "perBand", e(2)),
+              intLitArg("graft_srp_sigs", "dim", e(3))) }))
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       // Scan granularity: the 128 MB Spark default. Round 9 floored

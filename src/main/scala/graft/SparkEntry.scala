@@ -648,6 +648,19 @@ object SparkEntry {
       java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Drop the per-data-dir session memos ([[embCountMemo]],
+    * [[annCentroidsMemo]]). Bench calls this in its between-trial
+    * hygiene block so every timed trial pays its own Lloyd training
+    * and corpus count — a memo that survived the purge would let
+    * min-of-2 record training-free ANN trials, which measures the
+    * memo, not the engine. The deployment story for "index built
+    * once" is the published [[graft.operators.AnnIndex]] catalog
+    * serve, not this in-session cache. */
+  def clearSessionMemos(): Unit = {
+    embCountMemo.clear()
+    annCentroidsMemo.clear()
+  }
+
   /** q_mixture: per-source target weights (unlisted sources weight 1)
     * and the token budget as a fraction of the corpus. Weights are
     * dyadic rationals so every windowed partial sum is exactly

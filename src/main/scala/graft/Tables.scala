@@ -70,7 +70,34 @@ object Tables {
   def documentsFloored(s: SparkSession, d: String): DataFrame = {
     val raw = documents(s, d)
     val cores = s.sparkContext.defaultParallelism
-    if (raw.rdd.getNumPartitions < cores) raw.repartition(cores) else raw
+    val scanParts = raw.rdd.getNumPartitions
+    if (scanParts >= cores) raw
+    else {
+      // SIZE-adaptive floor (round 14): one partition per FLOOR_MB of
+      // compressed input, capped at the core count — not one per core.
+      // A flat `repartition(cores)` 32-tasks kilobyte corpora: at
+      // sf0.1 (0.6 MB parquet) every floored operator paid 32 task
+      // launches plus a 32×32 shuffle-file matrix to parallelize
+      // ~46 KB/task of text, measured as the round-13 32-core inverse
+      // scaling (q_chunks 8c/32c ratio 0.27). Deriving the count from
+      // bytes keeps per-task CPU real, reaches full fan-out exactly
+      // when the data can feed it, and stays a no-op at real scale
+      // where thousands of row groups already out-partition the
+      // cores. Default 0.125 MB compressed (~0.3 MB raw text,
+      // ~50-200 ms of single-pass CPU per task) from the round-14
+      // A/B at sf0.1/32c: 0.125 beat both 0.25 (q_ngram_jaccard 1.95
+      // vs 3.08 s, q_quality_filter 0.78 vs 1.15 s) and the old
+      // per-core floor (q_chunks 0.77 → 0.52 s, q_ngram_jaccard
+      // 2.74 → 1.95 s); the knob only ever applies below
+      // cores×FLOOR_MB of input, so a cluster deployment never sees
+      // it. SPARK_GRAFT_FLOOR_MB overrides for A/B probes.
+      val floorBytes =
+        sys.env.getOrElse("SPARK_GRAFT_FLOOR_MB", "0.125").toDouble * 1024 * 1024
+      val bytes = raw.queryExecution.optimizedPlan.stats.sizeInBytes
+      val want = math.ceil(bytes.toDouble / floorBytes).toInt
+      val target = math.min(cores, math.max(scanParts, want))
+      if (target > scanParts) raw.repartition(target) else raw
+    }
   }
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

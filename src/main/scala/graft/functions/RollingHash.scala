@@ -25,10 +25,46 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(
       s"graft_rolling_hash expects string, got ${child.dataType.simpleString}")
 
+  override def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingHash.hash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
   private val Mod = 1099511627776L
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** The code-point fold, without materializing a java String on the
+    * (universal) ASCII path: every call site feeds graft_tokens
+    * output — lowercase ASCII runs — where each UTF-8 byte IS the
+    * code point, so the fold runs straight over the UTF8String's
+    * bytes. The toString this replaces copied every shingle twice
+    * (bytes → char[] → String) per hash; at 32 concurrent tasks that
+    * churn was part of the round-13 inverse-scaling family. Any
+    * high bit (multi-byte char) bails to the exact original
+    * String.codePointAt loop, so non-ASCII input hashes identically
+    * (multi-byte chars have every byte ≥ 0x80, so the bail precedes
+    * any partial fold divergence... the fold restarts from zero). */
+  def hash(u: UTF8String): Long = {
+    val n = u.numBytes()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val b = u.getByte(i)
+      if (b < 0) return hashNonAscii(u)
+      acc = (acc * 31 + b) % Mod
+      i += 1
+    }
+    acc
+  }
+
+  private def hashNonAscii(u: UTF8String): Long = {
+    val s = u.toString
     var acc = 0L
     var i = 0
     while (i < s.length) {
@@ -38,26 +74,4 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     }
     acc
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val s = ctx.freshName("s")
-      val i = ctx.freshName("i")
-      val cp = ctx.freshName("cp")
-      val acc = ctx.freshName("acc")
-      s"""
-         |String $s = $c.toString();
-         |long $acc = 0L;
-         |int $i = 0;
-         |while ($i < $s.length()) {
-         |  int $cp = $s.codePointAt($i);
-         |  $acc = ($acc * 31L + $cp) % ${Mod}L;
-         |  $i += Character.charCount($cp);
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
-
-  override protected def withNewChildInternal(newChild: Expression): RollingHash =
-    copy(child = newChild)
 }

@@ -106,24 +106,15 @@ case class RollingHashes(child: Expression) extends UnaryExpression {
 }
 
 object RollingHashes {
-  private val Mod = 1099511627776L
-
-  /** The RollingHash fold (h·31 + codepoint mod 2^40) per element. */
+  /** The [[RollingHash.hash]] fold (h·31 + codepoint mod 2^40) per
+    * element — shares its no-String ASCII fast path. */
   def compute(arr: ArrayData): GenericArrayData = {
     val len = arr.numElements()
     val out = new Array[Any](len)
     var i = 0
     while (i < len) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i).toString
-        var acc = 0L
-        var j = 0
-        while (j < s.length) {
-          val cp = s.codePointAt(j)
-          acc = (acc * 31 + cp) % Mod
-          j += Character.charCount(cp)
-        }
-        out(i) = acc
+        out(i) = RollingHash.hash(arr.getUTF8String(i))
       }
       i += 1
     }

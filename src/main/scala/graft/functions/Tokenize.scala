@@ -35,29 +35,46 @@ case class Tokenize(child: Expression) extends UnaryExpression {
       s"graft_tokens expects string, got ${other.simpleString}")
   }
 
-  /** One pass; called from both interpreted and generated code. */
+  @inline private def isTok(b: Byte): Boolean =
+    (b >= 'a'.toByte && b <= 'z'.toByte) ||
+      (b >= '0'.toByte && b <= '9'.toByte)
+
+  /** Two byte passes — count runs, then fill an exact-size array;
+    * called from both interpreted and generated code. The growable
+    * ArrayBuffer this replaces re-allocated and copied its boxed
+    * backing array ~log(tokens) times per document, allocation churn
+    * that scaled badly across 32 concurrent tasks (the round-13
+    * inverse-scaling family); the extra run-count pass is a pure
+    * byte scan with no allocation. */
   def run(text: UTF8String): ArrayData = {
     val lowered = text.toLowerCase
     val bytes = lowered.getBytes
     val n = bytes.length
-    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](8)
-    var runStart = -1
+    var runs = 0
+    var inRun = false
     var i = 0
+    while (i < n) {
+      val t = isTok(bytes(i))
+      if (t && !inRun) runs += 1
+      inRun = t
+      i += 1
+    }
+    val out = new Array[Any](runs)
+    var k = 0
+    var runStart = -1
+    i = 0
     while (i <= n) {
-      val inTok = i < n && {
-        val b = bytes(i)
-        (b >= 'a'.toByte && b <= 'z'.toByte) ||
-          (b >= '0'.toByte && b <= '9'.toByte)
-      }
-      if (inTok) {
+      val t = i < n && isTok(bytes(i))
+      if (t) {
         if (runStart < 0) runStart = i
       } else if (runStart >= 0) {
-        out += UTF8String.fromBytes(bytes, runStart, i - runStart)
+        out(k) = UTF8String.fromBytes(bytes, runStart, i - runStart)
+        k += 1
         runStart = -1
       }
       i += 1
     }
-    new GenericArrayData(out.toArray[Any])
+    new GenericArrayData(out)
   }
 
   override def nullSafeEval(input: Any): Any =

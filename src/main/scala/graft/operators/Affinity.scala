@@ -452,12 +452,30 @@ object Affinity {
     val edges = pairs.unionAll(
       pairs.select(col("part_b"), col("part_a"))).toDF("src", "dst")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // static over all iterations: partition on src ONCE and persist —
-    // each iteration's rank join reuses this layout, so only the
-    // node-sized rank frame is exchanged per round
+    // static over all iterations: partition edges AND nodes on the
+    // SAME key with an EXPLICIT partition count and persist. The
+    // explicit count matters twice: AQE never coalesces a
+    // user-numbered repartition, so both cached layouts come out at
+    // exactly P, and every iteration's rank frame (built from
+    // `nodes`, layout preserved through the co-partitioned join and
+    // localCheckpoint) is ALREADY hashpartitioning(node=src, P) — the
+    // per-round rank join and the rank rebuild join plan with zero
+    // Exchange. Round 13 partitioned only the edge side; the rank
+    // frame re-exchanged every round (3 extra shuffles of the node
+    // frame per query).
+    val p = lineitem.sparkSession.sessionState.conf.numShufflePartitions
     val edgesDeg = hold(edges.join(deg, "src")
-      .repartition(col("src")))
-    val nodes = hold(deg.select(col("src").as("node")))
+      .repartition(p, col("src")))
+    val nodes = hold(deg.select(col("src").as("node"))
+      .repartition(p, col("node")))
+    // materialize BOTH caches before planning iteration 1: an
+    // un-materialized AQE-planned cache reports unknown partitioning
+    // to the consumer's EnsureRequirements (measured: every iteration
+    // re-exchanged both cached sides), a final one reports the
+    // repartition layout and the iteration joins plan with no
+    // Exchange on the cached inputs
+    edgesDeg.count()
+    nodes.count()
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank_micro"))
     for (_ <- 1 to iters) {
       // SHUFFLE_HASH: build the node-sized rank frame, STREAM the
@@ -470,10 +488,12 @@ object Affinity {
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
       // localCheckpoint: cut lineage per round — the iterated plan
       // would otherwise double per iteration (the Lloyd pattern)
-      ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+      ranks = nodes.join(inflow.hint("SHUFFLE_HASH"),
+          nodes("node") === inflow("dst"), "left")
         .select(col("node"),
           (lit(150000L) + coalesce(col("inflow"), lit(0L))).as("rank_micro"))
-        .localCheckpoint()
+      if (sys.env.contains("SPARK_GRAFT_PR_EXPLAIN")) ranks.explain("formatted")
+      ranks = ranks.localCheckpoint()
     }
     ranks.orderBy(col("rank_micro").desc, col("node")).limit(topN)
       .select(col("node").as("part"), col("rank_micro"))

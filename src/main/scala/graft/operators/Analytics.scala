@@ -710,10 +710,17 @@ object Analytics {
       .groupBy(col("o_custkey")).agg(sum(col("cents")).as("rev_c"))
       .join(customer.select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
-    val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("rev_c"), col("o_custkey"))
-    rev
-      .withColumn("rk", row_number().over(w).cast("long"))
+    // rank via the [[Ranking.groupedRank]] two-phase discipline, not
+    // a row_number window partitioned by nation: nations are ~25
+    // values, so that window is 25 single-reducer sorts of the whole
+    // customer grain at 100 TB. The (digit count, two leading digits)
+    // sub-bucket of rev_c is integer-exact and monotone in the sort
+    // order; RankingSpec pins groupedRank ≡ the window row_number.
+    val s = col("rev_c").cast("string")
+    val bk = length(s) * 100 + substring(s, 1, 2).cast("int")
+    Ranking.groupedRank(rev, Seq("c_nationkey"), bk,
+        Seq(col("rev_c"), col("o_custkey")))
+      .withColumn("rk", col("rank"))
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_custs"), sum(col("rev_c")).as("total_c"),
         sum(col("rk") * col("rev_c")).as("iws"))
@@ -827,12 +834,19 @@ object Analytics {
       .groupBy(col("o_custkey")).agg(sum(col("cents")).as("rev_c"))
       .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
         col("o_custkey") === col("c_custkey"))
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("rev_c"), col("o_custkey"))
     val wseg = Window.partitionBy(col("segment"))
     val wcum = Window.partitionBy(col("segment")).orderBy(col("decile"))
-    rev
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    // deciles via the [[Ranking.groupedRank]] two-phase rank plus the
+    // closed-form exact [[Ranking.ntileExpr]], not an ntile window
+    // partitioned by segment: segments are 5 values, so that window
+    // is 5 single-reducer sorts of the whole customer grain at
+    // 100 TB (the qualityNormalize adjudication). wseg/wcum stay
+    // windows — they run on the ≤(segments×10)-row grid.
+    val s = col("rev_c").cast("string")
+    val bk = length(s) * 100 + substring(s, 1, 2).cast("int")
+    Ranking.groupedRank(rev, Seq("c_mktsegment"), bk,
+        Seq(col("rev_c"), col("o_custkey")))
+      .withColumn("decile", Ranking.ntileExpr("rank", "n_grp", 10).cast("long"))
       .groupBy(col("c_mktsegment").as("segment"), col("decile"))
       .agg(count(lit(1)).as("n_custs"), sum(col("rev_c")).as("rev_cents"))
       .select(col("segment"), col("decile"), col("n_custs"),
@@ -968,25 +982,49 @@ object Analytics {
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
           .cast("bigint").as("cents"))
       .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev_c"))
-    val wcum = Window.orderBy(col("rev_c").desc, col("l_partkey"))
+    // The cumulative revenue is NOT one global-order window (that
+    // WindowExec has no partition key, so the whole part grain — ∝ SF
+    // — funnels through one task at 100 TB): the [[Ranking.groupedRank]]
+    // two-phase discipline, for a running SUM. Sub-bucket by
+    // (digit count, two leading digits) of rev_c, NEGATED — an
+    // integer-exact key monotone in the sort order (rev_c desc; equal
+    // rev_c always lands in one bucket, so the (rev_c desc, partkey)
+    // tie order completes inside a cell) with ≈90 cells per decimal
+    // magnitude. Per-bucket sums roll to exclusive prefix offsets on
+    // the ≤~1.5k-row bucket GRID; each row's global cumulative sum is
+    // its broadcast bucket offset plus a within-bucket running sum —
+    // bigint arithmetic throughout, so bit-identical to the global
+    // window. Totals ride a broadcast 1-row aggregate instead of the
+    // two whole-frame windows.
+    val s = col("rev_c").cast("string")
+    val bk = -(length(s) * 100 + substring(s, 1, 2).cast("int"))
+    val withB = graft.Caches.hold(rev.withColumn("bk", bk))
+    val wOff = Window.orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB.groupBy(col("bk")).agg(sum(col("rev_c")).as("bsum"))
+      .withColumn("b_off", coalesce(sum(col("bsum")).over(wOff), lit(0L)))
+      .select(col("bk"), col("b_off"))
+    val tot = broadcast(rev.agg(sum(col("rev_c")).as("tot_c"),
+      count(lit(1)).as("n_parts_tot")))
+    val wCell = Window.partitionBy(col("bk"))
+      .orderBy(col("rev_c").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    rev
-      .withColumn("cum_c", sum(col("rev_c")).over(wcum))
-      .withColumn("tot_c", sum(col("rev_c")).over(wAll))
+    withB.join(broadcast(offs), "bk")
+      .withColumn("cum_c", col("b_off") + sum(col("rev_c")).over(wCell))
+      .crossJoin(tot)
       .withColumn("abc_class",
         when(col("cum_c") * 5 <= col("tot_c") * 4, "A")
           .when(col("cum_c") * 20 <= col("tot_c") * 19, "B")
           .otherwise("C"))
       .groupBy(col("abc_class"))
-      .agg(count(lit(1)).as("n_parts"), sum(col("rev_c")).as("cls_c"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev_c")).as("cls_c"),
+        max(col("tot_c")).as("tot_c"), max(col("n_parts_tot")).as("n_tot"))
       .select(col("abc_class"), col("n_parts"),
         (col("cls_c").cast("double") / 100.0).as("revenue"),
         (col("cls_c").cast("double") /
-          sum(col("cls_c")).over(wAll).cast("double")).as("revenue_share"),
+          col("tot_c").cast("double")).as("revenue_share"),
         (col("n_parts").cast("double") /
-          sum(col("n_parts")).over(wAll).cast("double")).as("part_share"))
+          col("n_tot").cast("double")).as("part_share"))
       .orderBy(col("abc_class"))
   }
 

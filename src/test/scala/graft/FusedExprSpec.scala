@@ -180,6 +180,41 @@ class FusedExprSpec extends SparkSpec {
     assert(raced.where(size(col("fused")) > 0).count() > 0)
   }
 
+  test("graft_pairs refuses a fan-out past Int.MaxValue instead of corrupting") {
+    // 65537 elements → 2 147 516 416 pairs, just past Int.MaxValue:
+    // the round-13 Int arithmetic overflowed to a negative array size
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val big = new GenericArrayData(
+      Array.tabulate(65537)(i => i.toLong.asInstanceOf[Any]))
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.Pairs.compute(big, LongType)
+    }
+    assert(e.getMessage.contains("Int.MaxValue"))
+    // one below the cliff still sizes correctly (no allocation blowup
+    // concern: n=3 sanity value)
+    val small = new GenericArrayData(Array[Any](1L, 2L, 3L))
+    assert(graft.functions.Pairs.compute(small, LongType).numElements() == 3)
+  }
+
+  test("int-literal builder args accept bigint literals and foldables") {
+    import spark.implicits._
+    val df = Seq(Seq((1L, 0L), (2L, 3L))).toDF("ids")
+      .select(col("ids").cast("array<struct<d1:bigint,s:bigint>>").as("ids"))
+    df.createOrReplaceTempView("hp_in")
+    // 3L arrives as a LongType literal; 1 + 2 is a foldable expression
+    val viaLong = spark.sql(
+      "SELECT graft_hamming_pairs(ids, 3L) AS p FROM hp_in").collect()
+    val viaFold = spark.sql(
+      "SELECT graft_hamming_pairs(ids, 1 + 2) AS p FROM hp_in").collect()
+    val viaInt = spark.sql(
+      "SELECT graft_hamming_pairs(ids, 3) AS p FROM hp_in").collect()
+    assert(viaLong.toSeq == viaInt.toSeq && viaFold.toSeq == viaInt.toSeq)
+    val bad = intercept[Exception] {
+      spark.sql("SELECT graft_hamming_pairs(ids, ids) FROM hp_in").collect()
+    }
+    assert(bad.getMessage.contains("integral literal"))
+  }
+
   test("graft_srp_sigs equals the per-plane dot-sign concat_ws chain") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val nPlanes = 48; val bands = 4; val rows = nPlanes / bands
