@@ -1261,7 +1261,7 @@ object SparkEntry {
       NearDup.spanStrip(NearDup.plantSpans(Tables.documents(s, d)),
         SpanSeedLen)),
     "q_novelty" -> ((s, d) =>
-      NearDup.seedNovelty(NearDup.plantSpans(Tables.documents(s, d)),
+      NearDup.seedNovelty(NearDup.plantSpans(Tables.documentsFloored(s, d)),
         SpanSeedLen)),
     // Text twin of q_dedup_recall: banding recall + df-cap precision
     // of the minhash path vs the exact index at the same threshold
@@ -1336,11 +1336,11 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairs(Tables.documentsFloored(s, d), BpeTopN)),
     "q_bpe_train" -> ((s, d) =>
-      TextAnalysis.bpeTrain(Tables.documents(s, d), BpeMerges)),
+      TextAnalysis.bpeTrain(Tables.documentsFloored(s, d), BpeMerges)),
     "q_quality_cap" -> ((s, d) =>
       Curation.topQualityPerSource(Tables.documents(s, d), QualityPerSource)),
     "q_dedup_incremental" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsFloored(s, d)
       NearDup.dedupIncrement(
         docs.where(pmod(col("doc_id"), lit(IncrementMod)) === IncrementRem),
         docs.where(pmod(col("doc_id"), lit(IncrementMod)) =!= IncrementRem))
@@ -1360,7 +1360,7 @@ object SparkEntry {
       NearDup.indexStaleness(docs, idxFp)
     }),
     "q_dedup_bloom" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsFloored(s, d)
       NearDup.dedupIncrementBloom(
         docs.where(pmod(col("doc_id"), lit(IncrementMod)) === IncrementRem),
         docs.where(pmod(col("doc_id"), lit(IncrementMod)) =!= IncrementRem))
@@ -1368,19 +1368,16 @@ object SparkEntry {
     // LSH bucket-occupancy histogram of the published dedup index —
     // the cap-engagement QA read before trusting an increment run
     "q_dedup_index_stats" -> ((s, d) =>
-      NearDup.indexStats(Tables.documents(s, d))),
+      NearDup.indexStats(Tables.documentsFloored(s, d))),
     "q_minhash_dedup" -> ((s, d) => NearDup.minhashDedup(Tables.documents(s, d))),
     // contrastive hard negatives: banded-but-below-threshold pairs
     "q_hard_negatives" -> ((s, d) =>
-      NearDup.hardNegatives(Tables.documents(s, d))),
+      NearDup.hardNegatives(Tables.documentsFloored(s, d))),
     "q_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       NearDup.dedupClusters(docs, NearDup.minhashPairs(docs))
     }),
     "q_simhash" -> ((s, d) => NearDup.simhash(Tables.documentsFloored(s, d))),
-    // simhash stays UNfloored: measured 4.49 s -> 4.43 s (noise) — the
-    // native row-local fingerprint is cheap enough that bucket/verify
-    // output volume dominates, so the floor's exchange buys nothing
     "q_simhash_pairs" -> ((s, d) => NearDup.simhashPairs(Tables.documents(s, d))),
     "q_embed_neardup" -> ((s, d) =>
       VectorSearch.cosineNearDup(Tables.embeddings(s, d), 0.4)),
@@ -1507,9 +1504,9 @@ object SparkEntry {
     "q_reach_approx_gate" -> ((s, d) =>
       SketchGates.reachGate(Tables.media(s, d), "etype")),
     "q_tfidf" -> ((s, d) =>
-      TextAnalysis.tfidf(Tables.documents(s, d), TfidfPerDoc)),
+      TextAnalysis.tfidf(Tables.documentsFloored(s, d), TfidfPerDoc)),
     "q_inverted_index" -> ((s, d) =>
-      TextAnalysis.invertedIndex(Tables.documents(s, d), IndexMinDf,
+      TextAnalysis.invertedIndex(Tables.documentsFloored(s, d), IndexMinDf,
         IndexTopPostings)),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
     // PII is PLANTED deterministically in-query (the raw corpus has
@@ -1855,7 +1852,7 @@ object SparkEntry {
     // Hash-gated via the unrolled merge-chain oracle (BpeVocabCtes);
     // TextSpec pins train+apply segmentations on the training fixture.
     "q_bpe_apply" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsFloored(s, d)
       val merges = TextAnalysis.bpeTrain(docs, BpeMerges).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeApply(docs, merges)

@@ -142,59 +142,74 @@ object DailyQA {
     val bounds = logF
       .where(col("gid") === gidOf(logCols, Seq("date") ++ metaCol.toSeq))
       .groupBy().agg(max(col("date")).as("max_d"))
-    def trailing(df: DataFrame): DataFrame =
+    // The (dim, shape) blocks are NOT materialized as 7 separate
+    // re-aggregations (round 13's shape: 21 tiny aggregates + 14 tiny
+    // joins = ~40 sequential stages of pure scheduling latency,
+    // measured 4.3 s warm at sf0.1 where every frame is grid-sized):
+    // each cube row is EXPANDED to its block memberships — up to three
+    // labeled (dimension, value, date) entries per dim, with the
+    // trailing-period predicate folded into the entry's keep flag —
+    // and ONE (dimension, value, date) aggregate per side replaces all
+    // per-block ones, one full-outer join replaces the 14. Row set is
+    // identical: blocks are disjoint label groups of the one
+    // aggregate, and grouping by the stringified (value, date) is
+    // grouping by the raw keys because dates and the string dims
+    // stringify injectively (NULL → NULL, and both forms group NULLs
+    // together).
+    def expanded(df: DataFrame, cols: Seq[String],
+                 withMeta: Boolean): DataFrame = {
+      val entries = (dims :+ "date").flatMap { d =>
+        val kept = (if (d == "date") Seq("date") else Seq(d, "date")) ++
+          (if (withMeta) metaCol.toSeq else Nil)
+        val ofDim = col("gid") === gidOf(cols, kept)
+        val vStr = col(d).cast("string")
+        val dStr = col("date").cast("string")
+        if (d == "date")
+          Seq(struct(lit("date").as("dimension"), dStr.as("value"),
+            dStr.as("dateOut"), ofDim.as("keep")))
+        else Seq(
+          struct(lit(d).as("dimension"), vStr.as("value"),
+            lit("whole period").as("dateOut"), ofDim.as("keep")),
+          struct(lit(d).as("dimension"), vStr.as("value"),
+            lit(s"$period days").as("dateOut"),
+            (ofDim && col("in_period")).as("keep")),
+          struct(lit(s"$d date").as("dimension"), vStr.as("value"),
+            dStr.as("dateOut"), (ofDim && col("in_period")).as("keep")))
+      }
       df.crossJoin(broadcast(bounds))
-        .where(datediff(col("max_d"), col("date")) < period)
-        .drop("max_d")
-
-    def block(d: String, filtered: Boolean, byDate: Boolean): DataFrame = {
-      val keys = if (byDate && d != "date") Seq(d, "date") else Seq(d)
-      val logKept = (if (d == "date") Seq("date") else Seq(d, "date")) ++
-        metaCol.toSeq
-      val lf0 = logF.where(col("gid") === gidOf(logCols, logKept))
-      val lf = if (filtered) trailing(lf0) else lf0
-      val lg = lf.groupBy(keys.map(col): _*).agg(sum(col("cnt")).as("exe_imp"))
-      val joined = adF match {
-        case Some(af0) =>
-          val adKept = if (d == "date") Seq("date") else Seq(d, "date")
-          val af1 = af0.where(col("gid") === gidOf(adCols, adKept))
-          val ag = (if (filtered) trailing(af1) else af1)
-            .groupBy(keys.map(col): _*).agg(sum(col("cnt")).as("impressions"))
-          lg.join(ag, keys, "full_outer")
-        case None => lg.withColumn("impressions", lit(null).cast("long"))
-      }
-      val withMeta = metaCol match {
-        case Some(mc) =>
-          // the cube rows are (keys…, conf) grain, so collect_set IS
-          // the distinct-conf aggregation the raw-row version did
-          val m = lf.groupBy(keys.map(col): _*)
-            .agg(array_join(sort_array(collect_set(col(mc).cast("string"))), " ")
-              .as("meta"))
-          joined.join(m, keys, "left_outer")
-        case None => joined.withColumn("meta", lit(null).cast("string"))
-      }
-      val dimLabel = if (byDate && d != "date") s"$d date" else d
-      val dateOut =
-        if (byDate || d == "date") col("date").cast("string")
-        else if (filtered) lit(s"$period days")
-        else lit("whole period")
-      withMeta.select(
-        lit(dimLabel).as("dimension"),
-        col(d).cast("string").as("value"),
-        dateOut.as("date"),
-        col("exe_imp"),
-        col("impressions"),
+        .withColumn("in_period", datediff(col("max_d"), col("date")) < period)
+        .select(Seq(explode(array(entries: _*)).as("e"), col("cnt")) ++
+          metaCol.filter(_ => withMeta).map(col): _*)
+        .where(col("e.keep"))
+        .select(Seq(col("e.dimension").as("dimension"),
+          col("e.value").as("value"), col("e.dateOut").as("date"),
+          col("cnt")) ++ metaCol.filter(_ => withMeta).map(col): _*)
+    }
+    val lgAggs =
+      sum(col("cnt")).as("exe_imp") +: metaCol.toSeq.map(mc =>
+        array_join(sort_array(collect_set(col(mc).cast("string"))), " ")
+          .as("meta"))
+    val lg = expanded(logF, logCols, withMeta = true)
+      .groupBy(col("dimension"), col("value"), col("date"))
+      .agg(lgAggs.head, lgAggs.tail: _*)
+    val joined = adF match {
+      case Some(af) =>
+        val ag = expanded(af, adCols, withMeta = false)
+          .groupBy(col("dimension"), col("value"), col("date"))
+          .agg(sum(col("cnt")).as("impressions"))
+        lg.join(ag, Seq("dimension", "value", "date"), "full_outer")
+      case None => lg.withColumn("impressions", lit(null).cast("long"))
+    }
+    val withMetaCol =
+      if (metaCol.isDefined) joined
+      else joined.withColumn("meta", lit(null).cast("string"))
+    withMetaCol.select(
+        col("dimension"), col("value"), col("date"),
+        col("exe_imp"), col("impressions"),
         (col("impressions") - col("exe_imp")).as("diff"),
         ((col("impressions") - col("exe_imp")).cast("double") /
           nullif(col("impressions"), lit(0))).as("pct_diff"),
         col("meta"))
-    }
-
-    val blocks =
-      (dims :+ "date").map(d => block(d, filtered = false, byDate = false)) ++
-        dims.map(d => block(d, filtered = true, byDate = false)) ++
-        dims.map(d => block(d, filtered = true, byDate = true))
-    blocks.reduce(_ unionAll _)
       .orderBy(col("dimension"), col("date"), col("value"))
   }
 

@@ -75,10 +75,16 @@ class PlanAuditSpec extends SparkSpec {
     val p = exec.toString
     assert(!p.contains("Expand"), p.take(3000))
     assert(!p.contains("FileScan") && !p.contains("Scan parquet"), p.take(3000))
-    // …it only re-aggregates exactly TWO materialized cubes (log + ad)
+    // …and the round-14 shape assembles every (dim, shape) block from
+    // ONE labeled aggregate per side (the per-block form re-scanned
+    // the cubes 10+ times and joined 14 times): exactly TWO distinct
+    // materialized cubes (log + ad), at most a handful of reads
+    // (expanded log + ad + the trailing-bound max), one full-outer
+    // join
     val scans = exec.collect { case s: RDDScanExec => s }
-    assert(scans.size >= 10, p.take(3000))
+    assert(scans.size <= 4, p.take(3000))
     assert(scans.map(_.rdd.id).distinct.size == 2, p.take(3000))
+    assert("FullOuter".r.findAllIn(p).size == 1, p.take(3000))
   }
 
   test("simhash pairs verifies hamming in-task: no joins, no cache") {
