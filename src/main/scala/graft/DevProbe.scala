@@ -31,6 +31,9 @@ object DevProbe {
     def clear(): Unit = {
       spark.catalog.clearCache()
       Caches.clear()
+      // same trial hygiene as Bench.runOnce: the warm run must pay
+      // its own ANN training, or the probe measures the memo
+      SparkEntry.clearSessionMemos()
       sc.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     def time1(label: String, detail: Boolean)(f: => DataFrame): Unit = {

@@ -473,9 +473,11 @@ object Affinity {
     // to the consumer's EnsureRequirements (measured: every iteration
     // re-exchanged both cached sides), a final one reports the
     // repartition layout and the iteration joins plan with no
-    // Exchange on the cached inputs
-    edgesDeg.count()
-    nodes.count()
+    // Exchange on the cached inputs. One union job fills both caches
+    // (separate counts would serialize two jobs and re-run the deg
+    // aggregate)
+    edgesDeg.select(col("src"))
+      .unionAll(nodes.select(col("node"))).count()
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank_micro"))
     for (_ <- 1 to iters) {
       // SHUFFLE_HASH: build the node-sized rank frame, STREAM the

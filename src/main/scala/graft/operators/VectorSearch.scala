@@ -315,19 +315,36 @@ object VectorSearch extends Logging {
     // inf/NaN in IEEE engines) — exclude them from the index rather
     // than let engine-specific null/NaN ordering pick their cells
     val e = withNorm(embeddings).where(col("nrm") =!= 0.0)
-    val c = withNorm(centroids).where(col("nrm") =!= 0.0).select(
-      col("vec_id").as("centroid_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-    val cell = e.crossJoin(broadcast(c))
-      .select(col("vec_id"),
-        cosine(col("embedding"), col("ce"), col("nrm"), col("cn"))
-          .as("ccos"),
-        col("centroid_id"))
-      .groupBy(col("vec_id"))
-      .agg(expr("graft_topk(ccos, centroid_id, 1)").as("tk"))
-      .select(col("vec_id"),
-        element_at(col("tk"), 1).getField("id").as("centroid_id"))
-    e.join(cell, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
+    // The argmax runs as ONE native row-local expression over a
+    // plan-time centroid table ([[graft.functions.CellArgmax]] — the
+    // SrpBandSigs reference-object pattern): the previous broadcast
+    // cross join fanned every vector to |centroids| rows, paid a topk
+    // hash aggregate over that √n-times-corpus fan-out, then re-joined
+    // the corpus to itself to recover the embedding — measured ~80 s
+    // CPU per assignment stage at the 100× probe, twice per trained
+    // ANN query. Collecting the centroid frame here moves the same
+    // √n-sized rows the broadcast shipped anyway (≈8 MB at 10⁹
+    // vectors); at stream-serve time the centroids are the published
+    // (bounded) index table, same contract.
+    val cRows = withNorm(centroids).where(col("nrm") =!= 0.0)
+      .select(col("vec_id"), col("embedding"), col("nrm")).collect()
+    if (cRows.isEmpty) {
+      // no valid centroid: nothing is assignable (the old inner join
+      // against an empty cell frame) — keep the output schema
+      e.where(lit(false))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          lit(null).cast("bigint").as("centroid_id"))
+    } else {
+      import org.apache.spark.sql.GraftExpressionBridge
+      val argmax = GraftExpressionBridge.column(graft.functions.CellArgmax(
+        GraftExpressionBridge.expression(col("embedding")),
+        GraftExpressionBridge.expression(col("nrm")),
+        cRows.map(_.getLong(0)),
+        cRows.map(_.getSeq[Float](1).toArray),
+        cRows.map(_.getDouble(2))))
+      e.select(col("vec_id"), col("embedding"), col("nrm"),
+        argmax.as("centroid_id"))
+    }
   }
 
   /** Lloyd iterations for IVF centroid training: assign every vector
@@ -1012,18 +1029,29 @@ object VectorSearch extends Logging {
   private def pqCodes(vecs: DataFrame, cb: DataFrame, keep: Seq[String],
                       m: Int, subLen: Int): DataFrame = {
     val keyCols = ("vec_id" +: keep).map(col)
-    val v = vecs.withColumn("eself",
-      subDots(col("embedding"), col("embedding"), m, subLen))
-    val c = cb.withColumn("cself", subDots(col("ce"), col("ce"), m, subLen))
-    val withD = v.crossJoin(broadcast(c))
-      .withColumn("xd", subDots(col("embedding"), col("ce"), m, subLen))
-      .select(keyCols ++ Seq(col("centroid_id")) ++
-        (0 until m).map(j =>
-          pqL2At(col("eself"), col("cself"), col("xd"), j).as(s"d$j")): _*)
-    withD.groupBy(keyCols: _*).agg(
-      min_by(col("centroid_id"), struct(col("d0"), col("centroid_id"))).as("c0"),
-      (1 until m).map(j =>
-        min_by(col("centroid_id"), struct(col(s"d$j"), col("centroid_id"))).as(s"c$j")): _*)
+    // ONE native row-local pass over a plan-time codebook
+    // ([[graft.functions.PqCodebookCodes]] — the CellArgmax pattern):
+    // the broadcast cross join this replaces fanned every vector to
+    // |codebook| rows and argmin'd them back under a sort-aggregate,
+    // and codegen's lazy column evaluation re-computed any expensive
+    // rider column (the IVF cell) once per PAIR on that fan-out. The
+    // codebook rows are the same √n-sized frame the broadcast shipped.
+    val cbRows = cb.select(col("centroid_id"), col("ce")).collect()
+    if (cbRows.isEmpty) {
+      // empty codebook: the old fan-out produced no pair rows and the
+      // aggregate an empty frame — keep the output schema
+      vecs.where(lit(false)).select(keyCols ++ (0 until m).map(j =>
+        lit(null).cast("bigint").as(s"c$j")): _*)
+    } else {
+      import org.apache.spark.sql.GraftExpressionBridge
+      val codes = GraftExpressionBridge.column(graft.functions.PqCodebookCodes(
+        GraftExpressionBridge.expression(col("embedding")),
+        cbRows.map(_.getLong(0)),
+        cbRows.map(_.getSeq[Float](1).toArray), m, subLen))
+      vecs.withColumn("graft_pq_cs", codes)
+        .select(keyCols ++ (0 until m).map(j =>
+          element_at(col("graft_pq_cs"), j + 1).as(s"c$j")): _*)
+    }
   }
 
   /** Query-side ADC distance tables (tiny: queries × codebook, one
